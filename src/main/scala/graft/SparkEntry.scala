@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.Core
+import graft.queries.{Core, Events, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -48,6 +48,25 @@ object SparkEntry {
     "q1_pricing_summary" -> (Core.q1PricingSummary _),
     "q3_top_orders" -> (Core.q3TopOrders _),
     "q5_nation_revenue" -> (Core.q5NationRevenue _),
+    "j1_delist_adjust" -> (Relational.j1DelistAdjust _),
+    "j3_interval_containment" -> (Relational.j3IntervalContainment _),
+    "j5_interval_overlap" -> (Relational.j5IntervalOverlap _),
+    "j9_coalesce_preference" -> (Relational.j9CoalescePreference _),
+    "j11_range_expansion" -> (Relational.j11RangeExpansion _),
+    "a2_argmax_dedup" -> (Relational.a2ArgmaxDedup _),
+    "w3_rownumber_dedup" -> (Relational.w3RownumberDedup _),
+    "w2_pct_change" -> (Relational.w2PctChange _),
+    "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
+    "u1_union_by_name" -> (Relational.u1UnionByName _),
+    "u2_melt" -> (Relational.u2Melt _),
+    "f5_string_normalize" -> (Relational.f5StringNormalize _),
+    "p5_anti_join" -> (Relational.p5AntiJoin _),
+    "p6_null_drop" -> (Relational.p6NullDrop _),
+    "ev_tumbling_window" -> (Events.evTumblingWindow _),
+    "ev_sliding_window" -> (Events.evSlidingWindow _),
+    "ev_session_window" -> (Events.evSessionWindow _),
+    "ev_json_extract" -> (Events.evJsonExtract _),
+    "ev_top_users" -> (Events.evTopUsers _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY). */
@@ -117,5 +136,158 @@ object SparkEntry {
         |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+    "j1_delist_adjust" ->
+      """SELECT o_orderkey, o_totalprice, dl_rate,
+        |  o_totalprice * (1.0 + COALESCE(dl_rate, 0.0)) AS adj_price
+        |FROM orders
+        |LEFT JOIN (
+        |  SELECT l_orderkey,
+        |    CAST(sum(CAST(round(l_discount * 100) AS BIGINT)) AS DOUBLE) / (count(l_discount) * CAST(100 AS DOUBLE)) AS dl_rate
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey) adj
+        |ON o_orderkey = l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3_interval_containment" ->
+      """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j5_interval_overlap" ->
+      """WITH custitv AS (
+        |  SELECT c_custkey, c_nationkey, min(o_orderdate) AS c_start, max(o_orderdate) AS c_end
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |suppitv AS (
+        |  SELECT s_suppkey, s_nationkey, min(l_shipdate) AS s_start, max(l_shipdate) AS s_end
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)
+        |SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+        |  CAST(sum(date_diff('day', greatest(c_start, s_start), least(c_end, s_end))) AS BIGINT) AS total_overlap_days
+        |FROM custitv JOIN suppitv ON c_nationkey = s_nationkey
+        |WHERE greatest(c_start, s_start) <= least(c_end, s_end)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j9_coalesce_preference" ->
+      """SELECT o_orderstatus, count(*) AS n_orders, count(p2) AS n_p2, count(p3) AS n_p3,
+        |  count(close) AS n_close,
+        |  CAST(sum(CAST(round(close * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_close
+        |FROM (
+        |  SELECT o_orderstatus, p2, p3, COALESCE(p2, p3) AS close
+        |  FROM orders
+        |  LEFT JOIN (SELECT l_orderkey AS k2, l_extendedprice AS p2 FROM lineitem WHERE l_linenumber = 2) a ON o_orderkey = k2
+        |  LEFT JOIN (SELECT l_orderkey AS k3, l_extendedprice AS p3 FROM lineitem WHERE l_linenumber = 3) b ON o_orderkey = k3)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "j11_range_expansion" ->
+      """WITH itv AS (
+        |  SELECT c_nationkey AS nationkey, min(o_orderdate) AS m_start, max(o_orderdate) AS m_end
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1),
+        |days AS (
+        |  SELECT nationkey, unnest(generate_series(m_start, m_end, INTERVAL 1 DAY)) AS d FROM itv)
+        |SELECT nationkey, count(*) AS n_trading_days, min(d) AS first_day, max(d) AS last_day
+        |FROM days WHERE isodow(d) <= 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a2_argmax_dedup" ->
+      """SELECT o_custkey AS custkey, arg_max(o_orderpriority, o_orderkey) AS latest_priority,
+        |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date, count(*) AS n_orders
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "w3_rownumber_dedup" ->
+      """SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_totalprice
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) = 1
+        |ORDER BY custkey""".stripMargin,
+    "w2_pct_change" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2)
+        |SELECT nationkey, date, rev,
+        |  rev / lag(rev) OVER (PARTITION BY nationkey ORDER BY date) - 1.0 AS ret
+        |FROM daily ORDER BY nationkey, date""".stripMargin,
+    "w1_cumulative_product" ->
+      // DuckDB's windowed product() merges partials in segment-tree order,
+      // which drifts from a sequential scan in the last ulps. list_reduce
+      // over the ordered prefix forces the same left-to-right multiply
+      // order Spark's running-frame product uses, so values are bit-equal.
+      """WITH daily AS (
+        |  SELECT o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders GROUP BY 1),
+        |r AS (
+        |  SELECT date, rev,
+        |    COALESCE(rev / lag(rev) OVER (ORDER BY date) - 1.0, 0.0) AS ret
+        |  FROM daily),
+        |rn AS (SELECT *, row_number() OVER (ORDER BY date) AS i FROM r),
+        |lst AS (SELECT list(1.0 + ret ORDER BY date) AS arr FROM r)
+        |SELECT date, rev, ret,
+        |  list_reduce(arr[1:i], (a, b) -> a * b) * 100.0 AS level
+        |FROM rn, lst ORDER BY date""".stripMargin,
+    "u1_union_by_name" ->
+      """SELECT o_orderpriority, count(*) AS n_rows, count(o_totalprice) AS n_priced,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+        |FROM (
+        |  SELECT o_orderkey, o_orderpriority, o_totalprice FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderpriority, NULL AS o_totalprice FROM orders WHERE o_orderpriority = '5-LOW')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u2_melt" ->
+      """SELECT c_custkey, metric, value FROM (
+        |  SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS value FROM customer WHERE c_custkey <= 200
+        |  UNION ALL
+        |  SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS value FROM customer WHERE c_custkey <= 200)
+        |ORDER BY c_custkey, metric""".stripMargin,
+    "f5_string_normalize" ->
+      """SELECT c_custkey,
+        |  upper(substring(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'), 1, 8)) AS norm_id
+        |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "p5_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |WHERE o_orderkey IS NULL
+        |ORDER BY c_custkey""".stripMargin,
+    "p6_null_drop" ->
+      """SELECT o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(p4 * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_p4
+        |FROM (SELECT o_orderstatus, l_extendedprice AS p4
+        |      FROM orders JOIN lineitem ON o_orderkey = l_orderkey AND l_linenumber = 4)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_tumbling_window" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev_sliding_window" ->
+      """SELECT window_start, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '1 hour', ts, INTERVAL '30 minutes') AS window_start, value FROM events)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_session_window" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |         OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL '10 minutes'
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged),
+        |per_sess AS (
+        |  SELECT user_id, sid, count(*) AS n_events FROM sess GROUP BY 1, 2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(max(n_events) AS BIGINT) AS max_session_events
+        |FROM per_sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_json_extract" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_top_users" ->
+      """SELECT event_type, user_id, n_events, sum_value, rnk FROM (
+        |  SELECT event_type, user_id, count(*) AS n_events,
+        |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
+        |  FROM events GROUP BY 1, 2)
+        |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
   )
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.{Exact, Tables}
+
+/** Time-window / event-stream operators over the `events` table.
+  *
+  * The reference is pure batch (SURVEY.md §2.10), so these extend its
+  * surface with the windowing semantics a Structured Streaming deployment
+  * would use — expressed with the same `window`/`session_window` functions
+  * that work identically under `readStream` (see graft.streaming). Batch
+  * execution here doubles as the oracle-checkable form.
+  */
+object Events {
+
+  private def events(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+
+  /** Tumbling 1-hour window aggregate per event type — the batch twin of a
+    * watermarked streaming groupBy (window start/end kept as columns).
+    * `value` carries exactly 2 decimals, so the sum is exact integer units.
+    */
+  def evTumblingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  /** Sliding window: 1-hour length, 30-minute slide — each event lands in
+    * two overlapping windows.
+    */
+  def evSlidingWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("window_start")
+
+  /** Gap-based session windows per user (10-minute inactivity gap) via the
+    * native `session_window`, which keeps sessionization fully distributed
+    * (state partitioned by user) instead of a driver-side scan. Sessions
+    * are summarized per user; session_end = last event + gap.
+    */
+  def evSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id")
+
+  /** F13 (JSON field extraction, `wrds_ingestion.py:965-973`): pull a typed
+    * field out of a JSON string column and aggregate it.
+    */
+  def evJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum("k").as("sum_k"),
+        min("k").as("min_k"),
+        max("k").as("max_k"))
+      .orderBy("event_type")
+
+  /** Top-N active users per event type: window rank over exact per-user
+    * aggregates (rank ties broken by user_id for determinism).
+    */
+  def evTopUsers(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = events(spark, dir)
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.sumFixed(col("value"), 2).as("sum_value"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+      .orderBy(col("n_events").desc, col("user_id").asc)
+    perUser.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .orderBy("event_type", "rnk")
+  }
+}

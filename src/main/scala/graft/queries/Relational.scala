@@ -1,0 +1,264 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.{Exact, Tables}
+
+/** Join / window / dedup / set-op operators from SURVEY.md §2, re-expressed
+  * over the driver testdata.
+  *
+  * Every reference join is an equi-join or equi+range join (SURVEY.md §2.4);
+  * the shapes below mirror them one-to-one (scaladoc cites the reference
+  * operator id + file:line). All fact-fact joins shuffle on their keys;
+  * dimension-sized sides are broadcast. Outputs are aggregated or
+  * key-filtered so verify dumps stay bounded at every scale factor.
+  */
+object Relational {
+
+  /** J1/J2 + F2/F7 (delist-adjust, `wrds_ingestion.py:452-477`): left join a
+    * fact table to a per-key adjustment side, default the missing rate to 0
+    * via coalesce, compound multiplicatively. The adjustment side is built
+    * with exact integer-unit division so both engines derive bit-identical
+    * rates; the compounding is then a single IEEE multiply.
+    */
+  def j1DelistAdjust(spark: SparkSession, dir: String): DataFrame = {
+    val adj = Tables(spark, dir, "lineitem")
+      .filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey")
+      .agg(Exact.avgFixed(col("l_discount"), 2).as("dl_rate"))
+    Tables(spark, dir, "orders")
+      .select("o_orderkey", "o_totalprice")
+      .join(adj, col("o_orderkey") === col("l_orderkey"), "left")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice"),
+        col("dl_rate"),
+        (col("o_totalprice") * (lit(1.0) + coalesce(col("dl_rate"), lit(0.0))))
+          .as("adj_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** J3 + P7 (fundamentals link join, `wrds_ingestion.py:514-518`): equi-join
+    * plus interval-containment predicate *in the join condition* so Catalyst
+    * plans it as a hash join with a post-join filter rather than a cartesian
+    * range join. Aggregated per month to keep output bounded.
+    */
+  def j3IntervalContainment(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders").select("o_orderkey", "o_orderdate")
+    val li = Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_shipdate", "l_extendedprice")
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumFixed(col("l_extendedprice"), 2).as("sum_price"))
+      .orderBy("month")
+  }
+
+  /** J5 + F8 (IBES↔CRSP interval-overlap join, `wrds_ingestion.py:606-626`):
+    * equi-join two per-entity validity intervals on a shared key, intersect
+    * with greatest/least, drop empty intersections, measure overlap. The
+    * per-entity intervals are min/max aggregates, so the join inputs shrink
+    * from fact-size to entity-size before the many-to-many join — the same
+    * pre-aggregation that keeps this viable at 100 TB.
+    */
+  def j5IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val custItv = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy("c_custkey", "c_nationkey")
+      .agg(min("o_orderdate").as("c_start"), max("o_orderdate").as("c_end"))
+    val suppItv = Tables(spark, dir, "lineitem")
+      .join(Tables(spark, dir, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_suppkey", "s_nationkey")
+      .agg(min("l_shipdate").as("s_start"), max("l_shipdate").as("s_end"))
+    custItv.join(suppItv, col("c_nationkey") === col("s_nationkey"))
+      .select(col("c_nationkey").as("nationkey"),
+        greatest(col("c_start"), col("s_start")).as("o_start"),
+        least(col("c_end"), col("s_end")).as("o_end"))
+      .filter(col("o_start") <= col("o_end"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(datediff(col("o_end"), col("o_start"))).cast("long")
+          .as("total_overlap_days"))
+      .orderBy("nationkey")
+  }
+
+  /** J9 + F7 (dividend price-attach, `wrds_ingestion.py:297-308,1113`): two
+    * left joins against alternative per-key value sources, preferring the
+    * first via coalesce.
+    */
+  def j9CoalescePreference(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    def lineN(n: Int, as: String): DataFrame =
+      li.filter(col("l_linenumber") === n)
+        .select(col("l_orderkey").as(s"k$n"), col("l_extendedprice").as(as))
+    Tables(spark, dir, "orders")
+      .join(lineN(2, "p2"), col("o_orderkey") === col("k2"), "left")
+      .join(lineN(3, "p3"), col("o_orderkey") === col("k3"), "left")
+      .withColumn("close", coalesce(col("p2"), col("p3")))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("p2")).as("n_p2"),
+        count(col("p3")).as("n_p3"),
+        count(col("close")).as("n_close"),
+        Exact.sumFixed(col("close"), 2).as("sum_close"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** J11 + S6 (universe×calendar expansion, `wrds_ingestion.py:160-166`):
+    * expand per-key membership intervals to one row per business day via
+    * distributed sequence+explode (the reference uses a driver-side
+    * iterrows loop). The expansion happens on the small (per-entity
+    * interval) side, never on the fact side.
+    */
+  def j11RangeExpansion(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(min("o_orderdate").as("m_start"), max("o_orderdate").as("m_end"))
+      .select(col("nationkey"),
+        explode(sequence(col("m_start"), col("m_end"), expr("INTERVAL 1 DAY")))
+          .as("d"))
+      .filter(weekday(col("d")) < 5)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_trading_days"),
+        min("d").as("first_day"), max("d").as("last_day"))
+      .orderBy("nationkey")
+
+  /** A2 variant (assets-master dedup, `wrds_ingestion.py:235-253`): one row
+    * per key with the value as-of the maximum ordering column, via
+    * `max_by` on a unique ordering key (deterministic — no shuffle-order
+    * dependence, unlike bare `first`).
+    */
+  def a2ArgmaxDedup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(max_by(col("o_orderpriority"), col("o_orderkey")).as("latest_priority"),
+        min("o_orderdate").as("first_date"),
+        max("o_orderdate").as("last_date"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("custkey")
+
+  /** W3 + O2 (ordered-dedup via row_number, `wrds_ingestion.py:241-246`):
+    * latest row per key under an explicit multi-key ordering with a unique
+    * tiebreak, the shuffle-safe replacement for pandas' order-dependent
+    * `first()` (SURVEY.md §7.4.1).
+    */
+  def w3RownumberDedup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey").as("custkey"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      .orderBy("custkey")
+  }
+
+  /** W2 (per-group pct_change, `test_local_parquet_data_handler.py:61`):
+    * lag-based return series per nation over exact daily revenue. The
+    * division of two bit-identical exact sums is itself bit-identical.
+    */
+  def w2PctChange(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
+      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("rev"))
+    val w = Window.partitionBy("nationkey").orderBy("date")
+    daily
+      .withColumn("ret", col("rev") / lag("rev", 1).over(w) - lit(1.0))
+      .orderBy("nationkey", "date")
+  }
+
+  /** W1 (benchmark cumulative product, `wrds_ingestion.py:996`): index level
+    * `100 * cumprod(1 + ret)` over an ordered running frame, using the
+    * native `product` window aggregate (sequential in frame order — no
+    * log/exp rounding detour, and defined for ret <= -1).
+    */
+  def w1CumulativeProduct(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("date"))
+      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("rev"))
+    val wOrd = Window.orderBy("date")
+    val wRun = Window.orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily
+      .withColumn("ret",
+        coalesce(col("rev") / lag("rev", 1).over(wOrd) - lit(1.0), lit(0.0)))
+      .withColumn("level", product(lit(1.0) + col("ret")).over(wRun) * lit(100.0))
+      .orderBy("date")
+  }
+
+  /** U1 (concat frames, `wrds_ingestion.py:166,941,979`): union-by-name with
+    * missing columns null-filled, then re-aggregated.
+    */
+  def u1UnionByName(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+    val low = ord.filter(col("o_orderpriority") === "5-LOW")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    urgent.unionByName(low, allowMissingColumns = true)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("o_totalprice")).as("n_priced"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** U2 (wide→long melt, `wrds_ingestion.py:927-941`): `stack` a wide frame
+    * into (key, metric, value) rows, the distributed equivalent of
+    * `pd.melt` used for the factor table.
+    */
+  def u2Melt(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 200)
+      .select(col("c_custkey"),
+        expr("stack(2, 'acctbal', c_acctbal, 'nationkey', CAST(c_nationkey AS DOUBLE))")
+          .as(Seq("metric", "value")))
+      .orderBy("c_custkey", "metric")
+
+  /** F5 (CUSIP normalization, `wrds_ingestion.py:554-555`): strip
+    * non-alphanumerics, upper-case, take the first 8 chars.
+    */
+  def f5StringNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .filter(col("c_custkey") <= 300)
+      .select(col("c_custkey"),
+        upper(substring(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ""), 1, 8))
+          .as("norm_id"))
+      .orderBy("c_custkey")
+
+  /** P5-style anti pattern: entities with no matching fact rows (left join +
+    * null filter). The reference's equality-snapshot filter is
+    * `parquet.py:119`; the null-handling contract is P6.
+    */
+  def p5AntiJoin(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+      .filter(col("o_orderkey").isNull)
+      .select("c_custkey", "c_name", "c_nationkey")
+      .orderBy("c_custkey")
+
+  /** P6 (null-drop, `wrds_ingestion.py:789,891`): `.na.drop` on join-produced
+    * nulls — dropping rows whose subset columns are null.
+    */
+  def p6NullDrop(spark: SparkSession, dir: String): DataFrame = {
+    val li2 = Tables(spark, dir, "lineitem")
+      .filter(col("l_linenumber") === 4)
+      .select(col("l_orderkey"), col("l_extendedprice").as("p4"))
+    Tables(spark, dir, "orders")
+      .join(li2, col("o_orderkey") === col("l_orderkey"), "left")
+      .na.drop(Seq("p4"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumFixed(col("p4"), 2).as("sum_p4"))
+      .orderBy("o_orderstatus")
+  }
+}
