@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Core, Events, Relational}
+import graft.queries.{Core, Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,6 +67,17 @@ object SparkEntry {
     "ev_session_window" -> (Events.evSessionWindow _),
     "ev_json_extract" -> (Events.evJsonExtract _),
     "ev_top_users" -> (Events.evTopUsers _),
+    "tx_quality_score" -> (Text.txQualityScore _),
+    "tx_token_count" -> (Text.txTokenCount _),
+    "tx_langid" -> (Text.txLangId _),
+    "tx_fingerprint" -> (Text.txFingerprint _),
+    "dd_exact" -> (Text.ddExact _),
+    "dd_ngram_jaccard" -> (Text.ddNgramJaccard _),
+    "dd_minhash_lsh" -> (Text.ddMinhashLsh _),
+    "dd_simhash" -> (Text.ddSimhash _),
+    "sim_cosine_topk" -> (Similarity.simCosineTopk _),
+    "sim_lsh_buckets" -> (Similarity.simLshBuckets _),
+    "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY). */
@@ -289,5 +300,116 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "tx_quality_score" ->
+      """SELECT doc_id, lang, n_tokens, len_chars, n_alnum, n_stop,
+        |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_alnum AS DOUBLE) / len_chars AS alpha_ratio
+        |FROM (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    length(text) AS len_chars,
+        |    length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+        |    len(list_filter(string_split(lower(text), ' '),
+        |        t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS n_stop
+        |  FROM documents WHERE doc_id < 300)
+        |ORDER BY doc_id""".stripMargin,
+    "tx_token_count" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]'))) AS BIGINT) AS total_re_tokens,
+        |  CAST(max(len(string_split(text, ' '))) AS BIGINT) AS max_ws_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_langid" ->
+      """WITH scored AS (
+        |  SELECT lang,
+        |    len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS en_h,
+        |    len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','la','de','los','las','y','en','que','un','una'], t))) AS es_h,
+        |    len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS de_h,
+        |    len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','les','de','et','un','une','est','en','que'], t))) AS fr_h,
+        |    length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS cjk
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN cjk > 0 THEN 'zh'
+        |       WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h THEN 'en'
+        |       WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
+        |       WHEN de_h >= fr_h THEN 'de'
+        |       ELSE 'fr' END AS predicted,
+        |  count(*) AS n_docs
+        |FROM scored GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
+        |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "dd_exact" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT text) AS n_distinct_texts,
+        |  count(DISTINCT md5(text)) AS n_distinct_md5,
+        |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS bucket,
+        |    list_distinct(string_split(text, ' ')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.lang AS lang,
+        |    len(list_intersect(a.toks, b.toks)) AS inter,
+        |    len(a.toks) AS la, len(b.toks) AS lb
+        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT lang, count(*) AS n_candidate_pairs,
+        |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+        |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_cosine_topk" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, vec_id, label,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+        |  FROM e, q WHERE vec_id <> qid)
+        |SELECT qid, vec_id, label, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "sim_lsh_buckets" ->
+      """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+        |FROM (
+        |  SELECT vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 16), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0))),
+        |             (x, y) -> x + y) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket
+        |  FROM embeddings)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_centroid_assign" ->
+      """WITH c AS (
+        |  SELECT label AS c_label, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+        |  FROM embeddings GROUP BY label),
+        |cent AS (
+        |  SELECT c_label,
+        |    list_transform(range(1, 65), d ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+        |  FROM c),
+        |cn AS (
+        |  SELECT c_label, centroid,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
+        |  FROM cent),
+        |q AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS qnorm
+        |  FROM embeddings WHERE vec_id < 5),
+        |s AS (
+        |  SELECT vec_id, label, c_label,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (qnorm * cnorm) AS cosine
+        |  FROM q, cn)
+        |SELECT vec_id, label, c_label AS nearest_label, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
+        |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
   )
 }

@@ -1,0 +1,101 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, 64-dim).
+  *
+  * Dot products are computed with an explicit sequential fold over
+  * double-cast elements (`aggregate(sequence(...))`), which (a) stays in
+  * whole-stage codegen, and (b) fixes the floating-point reduction order so
+  * the DuckDB oracle — written as the same left-to-right fold — is
+  * bit-identical. Brute force is the correctness baseline; the LSH variant
+  * is the scale path (candidates meet only inside a bucket, so the join
+  * shuffles signatures, not the full vector set).
+  */
+object Similarity {
+
+  private val dims = 64
+
+  /** Sequential double-precision dot product of two float-array columns. */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))"
+
+  /** Brute-force cosine top-k: the first 5 vectors query the whole table.
+    * One broadcast of the 5 query vectors, one narrow pass over the
+    * corpus, one small top-k per query — no all-pairs shuffle.
+    */
+  def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("qid", "vec_id", "label", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** Random-hyperplane LSH bucketing: 16 sign bits from deterministic
+    * rational hyperplanes → 16-bit bucket id. Reports the bucket
+    * histogram — the data layout an ANN index would shuffle once and
+    * bucket-join against at scale.
+    */
+  def simLshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    // plane(j, d) = (((j*73 + d*37) % 19) - 9) / 9.0 — integer-derived,
+    // so both engines materialize identical doubles.
+    val planeDot =
+      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
+            acc + CAST(embedding[d] AS DOUBLE) *
+                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
+    Tables(spark, dir, "embeddings")
+      .withColumn("bucket",
+        expr(s"""aggregate(sequence(0, 15), 0L, (b, j) ->
+                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_vecs"),
+        min("vec_id").as("min_vec_id"),
+        max("vec_id").as("max_vec_id"))
+      .orderBy("bucket")
+  }
+
+  /** IVF-style coarse quantization: per-label centroids via an
+    * order-fixed sequential sum (list sorted by vec_id, then folded), so
+    * the float accumulation is deterministic under any shuffle; then the
+    * first 5 vectors are assigned to their nearest centroid by cosine.
+    */
+  def simCentroidAssign(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings")
+    val centroids = emb
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("members"))
+      .select(col("label").as("c_label"),
+        expr(s"""transform(sequence(0, ${dims - 1}), d ->
+                   aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d] AS DOUBLE))
+                   / size(members))""").as("centroid"))
+    val cnorm = centroids.withColumn("cnorm",
+      expr(s"sqrt(${dotExpr("centroid", "centroid")})"))
+    val q = emb.filter(col("vec_id") < 5)
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val scored = q.join(broadcast(cnorm))
+      .withColumn("cosine",
+        expr(s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * centroid[i])")
+          / (col("qnorm") * col("cnorm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("c_label").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("vec_id"), col("label"), col("c_label").as("nearest_label"),
+        col("cosine"))
+      .orderBy("vec_id")
+  }
+}

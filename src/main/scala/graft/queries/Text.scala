@@ -1,0 +1,197 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Text-analysis and deduplication operators over the `documents` table —
+  * the training-data-pipeline extensions (SURVEY.md §7.5).
+  *
+  * Everything here is pure native-function Spark (split / regexp /
+  * higher-order array functions), so the whole pipeline stays inside
+  * whole-stage codegen with no UDFs — at 100 TB these run as a single
+  * scan + narrow projection per document, embarrassingly parallel, with
+  * shuffles only at the final (small) aggregations or candidate joins.
+  */
+object Text {
+
+  private def docs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+
+  /** Quality scoring (length / punctuation / stopword ratios): the standard
+    * cheap heuristics a pretraining filter computes per document. Single
+    * float division per ratio keeps every value bit-deterministic.
+    */
+  def txQualityScore(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").as("n_tokens"),
+        length(col("text")).as("len_chars"),
+        expr("length(regexp_replace(text, '[^A-Za-z0-9]', ''))").as("n_alnum"),
+        expr("size(filter(split(lower(text), ' '), t -> array_contains(array('the','a','of','and','to','in','is','it','that','for'), t)))")
+          .as("n_stop"))
+      .withColumn("avg_token_len",
+        (col("len_chars") - (col("n_tokens") - 1)).cast("double") / col("n_tokens"))
+      .withColumn("stop_ratio", col("n_stop").cast("double") / col("n_tokens"))
+      .withColumn("alpha_ratio", col("n_alnum").cast("double") / col("len_chars"))
+      .orderBy("doc_id")
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token count
+    * (letter runs, digits, single punctuation), aggregated per source.
+    */
+  def txTokenCount(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("source"),
+        expr("size(split(text, ' '))").as("ws_tokens"),
+        expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))")
+          .as("re_tokens"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("ws_tokens").as("total_ws_tokens"),
+        sum("re_tokens").as("total_re_tokens"),
+        max("ws_tokens").as("max_ws_tokens"))
+      .orderBy("source")
+
+  /** Language identification: deterministic stopword-lexicon scoring with a
+    * CJK codepoint check, reported as a (label × prediction) confusion
+    * matrix. On this synthetic corpus every language draws from the same
+    * English-ish wordlist, so the matrix mostly predicts 'en' — the point
+    * is the operator, exercised end-to-end and oracle-checked.
+    */
+  def txLangId(spark: SparkSession, dir: String): DataFrame = {
+    val scored = docs(spark, dir)
+      .withColumn("toks", expr("split(lower(text), ' ')"))
+      .withColumn("en_h", expr("size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it','that','for'), t)))"))
+      .withColumn("es_h", expr("size(filter(toks, t -> array_contains(array('el','la','de','los','las','y','en','que','un','una'), t)))"))
+      .withColumn("de_h", expr("size(filter(toks, t -> array_contains(array('der','die','das','und','ist','ein','eine','zu','den','von'), t)))"))
+      .withColumn("fr_h", expr("size(filter(toks, t -> array_contains(array('le','la','les','de','et','un','une','est','en','que'), t)))"))
+      .withColumn("cjk", expr("length(regexp_replace(text, '[^\\u4e00-\\u9fff]', ''))"))
+      .withColumn("predicted",
+        expr("""CASE WHEN cjk > 0 THEN 'zh'
+                     WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h THEN 'en'
+                     WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
+                     WHEN de_h >= fr_h THEN 'de'
+                     ELSE 'fr' END"""))
+    scored.groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+  }
+
+  /** Document fingerprinting: polynomial rolling hash over the codepoint
+    * stream, `h = (h*31 + cp) mod 1e9+7`, entirely in exact integer
+    * arithmetic so any engine agrees bit-for-bit.
+    */
+  def txFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        expr("aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)")
+          .as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Exact deduplication stats: per language, distinct-text and distinct-md5
+    * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
+    * shuffle on the 16-byte digest, never on the document text itself).
+    */
+  def ddExact(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("lang"), expr("md5(cast(text AS BINARY))").as("h"), col("text"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_texts"),
+        countDistinct(col("h")).as("n_distinct_md5"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_dup_rows"))
+      .orderBy("lang")
+
+  /** N-gram (token-set) Jaccard near-dedup: candidate pairs restricted to
+    * the same (lang, length-bucket) block — the blocking step that turns an
+    * O(n²) all-pairs compare into small per-block joins, which is the only
+    * shape that survives 100 TB. Reports per-language candidate and
+    * near-dup counts plus the maximum observed similarity.
+    */
+  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        (col("n_chars") / lit(100)).cast("long").as("bucket"),
+        expr("array_distinct(split(text, ' '))").as("toks"))
+    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("bucket"),
+      col("toks").as("toks_a"))
+    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
+      col("bucket").as("bucket_b"), col("toks").as("toks_b"))
+    a.join(b, col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
+        col("id_a") < col("id_b"))
+      .withColumn("inter", expr("size(array_intersect(toks_a, toks_b))"))
+      .withColumn("jaccard",
+        col("inter").cast("double") /
+          (expr("size(toks_a)") + expr("size(toks_b)") - col("inter")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
+        max("jaccard").as("max_jaccard"))
+      .orderBy("lang")
+  }
+
+  /** MinHash + LSH near-dedup (no SQL oracle — xxhash64 is Spark-native;
+    * correctness is covered by the ScalaTest planted-duplicate spec).
+    * Shingle (3-token) → 16 minhash slots → 4 bands of 4 → band-hash
+    * bucket join → true-Jaccard confirmation on candidates only. The
+    * banded self-join is the 100 TB path: candidates meet only inside a
+    * (band, signature) bucket, so the shuffle is on short hashes.
+    */
+  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val shingled = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("shingles",
+        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+    val sigs = shingled.select(col("doc_id"), col("lang"),
+      expr("transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
+        .as("sig"),
+      col("shingles"))
+    val bands = sigs.select(col("doc_id"), col("lang"),
+        posexplode(expr("transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
+    val pairs = bands.as("x").join(bands.as("y"),
+        $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
+          $"x.doc_id" < $"y.doc_id")
+      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
+    val withSets = pairs
+      .join(sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("inter", expr("size(array_intersect(array_distinct(sh_a), array_distinct(sh_b)))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(array_distinct(sh_a))") + expr("size(array_distinct(sh_b))") - col("inter")))
+    withSets.agg(count(lit(1)).as("n_candidate_pairs"),
+      sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_confirmed_dups"))
+  }
+
+  /** SimHash near-dedup (no SQL oracle — xxhash64). 64-bit simhash from
+    * token hashes; docs pair up only within the same 16-bit prefix block
+    * (banding again), then Hamming distance via bit_count(xor).
+    */
+  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    val hashed = docs(spark, dir)
+      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("simhash",
+        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+                 acc + CASE WHEN aggregate(hs, 0L, (s, h) ->
+                   s + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+                 THEN shiftleft(1L, b) ELSE 0L END)"""))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        expr("shiftright(simhash, 48)").as("block"))
+    val p = hashed.as("x").join(hashed.as("y"),
+        $"x.block" === $"y.block" && $"x.doc_id" < $"y.doc_id")
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+    p.groupBy($"x.lang".as("lang"))
+      .agg(count(lit(1)).as("n_block_pairs"),
+        sum(when(col("hamming") <= 16, 1L).otherwise(0L)).as("n_close_pairs"),
+        min("hamming").as("min_hamming"))
+      .orderBy("lang")
+  }
+}
