@@ -1,0 +1,292 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.{EquitySource, MacroSource}
+
+/** The 17-step ingestion DAG (`wrds_ingestion.py:1022-1249`, SURVEY.md
+  * §3.1), rebuilt as lazy Spark plans materialized only at their parquet
+  * writes. Each step is pure composition of [[sources.EquitySource]] reads
+  * and [[Transforms]]; the per-step timing log mirrors the reference's
+  * `[N/17] step ... ✔ (x.xs)` progress format (`wrds_ingestion.py:1026-1034`).
+  */
+object Ingest {
+
+  case class Result(root: String, steps: Seq[(String, Double)])
+
+  private val defaultStart = "2000-01-01" // wrds_ingestion.py:19-20
+  private val defaultEnd = "2025-01-01"
+
+  def run(spark: SparkSession, equity: EquitySource, macroSrc: MacroSource,
+      root: String, start: String = defaultStart, end: String = defaultEnd,
+      saveRaw: Boolean = false,
+      macroSeries: Seq[String] = Seq("CPIAUCSL", "UNRATE", "INDPRO")): Result = {
+
+    val processed = s"$root/data_processed"
+    val meta = s"$root/data_meta"
+    val raw = s"$root/data_raw"
+    Seq(processed, meta, raw).foreach(p => new java.io.File(p).mkdirs())
+
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    def step[T](name: String)(body: => T): T = {
+      val n = steps.size + 1
+      println(f"[$n/17] $name ...")
+      val t0 = System.nanoTime()
+      val out = body
+      val secs = (System.nanoTime() - t0) / 1e9
+      steps += name -> secs
+      println(f"  + $name ($secs%.1fs)")
+      out
+    }
+    def write(df: DataFrame, path: String): Unit =
+      df.write.mode("overwrite").parquet(path)
+
+    step("Connect to source") { () } // boundary held by the EquitySource impl
+
+    val universe = step("Build SP500 universe") {
+      equity.universe(start, end).cache()
+    }
+    // Entity IN-lists are small (S&P 500 ≈ 1.2k permnos over 25y); the
+    // collect mirrors the reference's `_sql_list` (`wrds_ingestion.py:24-28`)
+    // and feeds the source-side pushdown.
+    val permnos = universe.select("permno").distinct()
+      .collect().map(_.getLong(0)).toSeq
+
+    val assetsMaster = step("Build assets master") {
+      val names = equity.nameRecords(permnos)
+      val ipo = equity.ipoDates(permnos)
+      val enriched =
+        if (ipo.isEmpty) names
+        else names.join(ipo, Seq("asset_id"), "left")
+      Transforms.dedupeAssetsMaster(enriched).cache()
+    }
+
+    val (calendar, membership) = step("Build trading calendar and membership") {
+      val cal = Transforms.tradingCalendar(spark, start, end)
+      (cal, Transforms.universeDaily(universe, cal))
+    }
+
+    val idxref = step("Build IBES-CRSP mapping (CUSIP)") {
+      Transforms.ibesCrspMapping(
+        equity.ibesIds(end), equity.crspCusipNames(permnos, start, end),
+        start, end).cache()
+    }
+    val ibesTickers = idxref.select("ticker").distinct()
+      .collect().map(_.getString(0)).toSeq
+
+    val (prices, returns) = step("Download daily prices/returns") {
+      val p = equity.pricesDaily(permnos, start, end)
+        .withColumnRenamed("permno", "asset_id")
+        .withColumn("adj_close", col("close") * col("cfacpr")) // F1
+      val withTickers = Transforms.attachTickers(p, assetsMaster)
+      val rets = Transforms.applyDelistReturns(
+        Transforms.buildReturns(withTickers),
+        equity.delistEvents(permnos, start, end))
+      (withTickers, rets)
+    }
+
+    val fundamentals = step("Download fundamentals") {
+      val links = equity.ccmLinks(permnos, end).cache()
+      val gvkeys = links.select("gvkey").distinct()
+        .collect().map(_.getString(0)).toSeq
+      Transforms.linkFundamentals(equity.fundamentals(gvkeys, start, end), links)
+    }
+
+    val consensus = step("Download analyst consensus") {
+      buildConsensus(equity.consensusSummary(ibesTickers, start, end), idxref)
+    }
+
+    val ratings = step("Download analyst rating history") {
+      buildRatingsHistory(equity.ratingsDetail(ibesTickers, start, end), idxref)
+    }
+
+    val (factors, riskFree, ffRaw) = step("Download style factors and risk-free") {
+      val ff = equity.ffFactors(start, end)
+      (Transforms.factorsWideToLong(ff),
+        ff.select(col("date"), (col("rf") / 100.0).as("rf")), ff)
+    }
+
+    val macroTs = step("Download macro series") {
+      macroSrc.series(macroSeries, start, end)
+    }
+
+    val benchmark = step("Download benchmark") {
+      Transforms.benchmarkLevel(
+        equity.benchmark(start, end).withColumn("benchmark_name", lit("^GSPC")))
+        .select("date", "benchmark_name", "level", "ret")
+    }
+
+    val (pricesMonthly, returnsMonthly) = step("Download monthly prices/returns") {
+      val pm = equity.pricesMonthly(permnos, start, end)
+        .withColumnRenamed("permno", "asset_id")
+      val rm = Transforms.applyDelistReturns(
+        pm.select(col("date"), col("asset_id"), col("ret").as("ret_1m"),
+          col("close").as("price"), col("volume"), col("shrout")),
+        equity.delistEvents(permnos, start, end), retCol = "ret_1m")
+      (pm, rm)
+    }
+
+    val dividends = step("Download dividends") {
+      val raw = equity.dividends(permnos, start, end)
+      if (raw.isEmpty) raw
+      else Transforms.cleanDividends(
+        raw.join(pricesMonthly.select("asset_id", "date", "close"),
+          Seq("asset_id", "date"), "left")
+          .withColumn("ord", xxhash64(struct(col("asset_id"), col("date"), col("divamt")))),
+        prices, "ord")
+    }
+
+    step(if (saveRaw) "Write raw snapshots" else "Skip raw snapshots") {
+      if (saveRaw) {
+        write(prices, s"$raw/prices_raw.parquet")
+        write(universe, s"$raw/sp500_membership_raw.parquet")
+        write(fundamentals, s"$raw/fundamentals_raw.parquet")
+        write(idxref, s"$raw/ibes_idxref_raw.parquet")
+        write(ffRaw, s"$raw/style_factors_raw.parquet")
+        write(pricesMonthly, s"$raw/prices_monthly_raw.parquet")
+      }
+    }
+
+    step("Write processed datasets") {
+      write(prices, s"$processed/prices_daily.parquet")
+      write(returns, s"$processed/returns_daily.parquet")
+      write(membership, s"$processed/sp500_membership.parquet")
+      write(fundamentals, s"$processed/fundamentals_quarterly.parquet")
+      write(consensus, s"$processed/analyst_consensus.parquet")
+      write(ratings, s"$processed/analyst_ratings_history.parquet")
+      write(macroTs, s"$processed/macro_timeseries.parquet")
+      write(riskFree, s"$processed/risk_free.parquet")
+      write(factors, s"$processed/style_factor_returns.parquet")
+      write(benchmark, s"$processed/benchmarks.parquet")
+      write(returnsMonthly, s"$processed/returns_monthly.parquet")
+      write(dividends, s"$processed/dividends_monthly.parquet")
+    }
+
+    step("Write metadata and manifests") {
+      write(assetsMaster, s"$meta/assets_master.parquet")
+      write(membership.withColumnRenamed("in_sp500", "in_universe"),
+        s"$meta/universe_sp500.parquet")
+      write(calendar, s"$meta/trading_calendar.parquet")
+      writeManifests(spark, root, processed, meta, start, end, saveRaw)
+    }
+
+    val total = steps.map(_._2).sum
+    println(f"Ingest finished: ${steps.size} steps, $total%.1fs total")
+    Result(root, steps.toSeq)
+  }
+
+  /** J6 + F11: consensus summary → permno-mapped canonical frame
+    * (`wrds_ingestion.py:728-790`): left join on IBES ticker, keep rows
+    * whose statpers falls inside the mapping validity window, rename to
+    * friendly names, conform, drop rows without (date, asset_id), dedup
+    * first-non-null per (date, asset_id).
+    */
+  def buildConsensus(recdsum: DataFrame, idxref: DataFrame): DataFrame = {
+    val renames = Seq("statpers" -> "date", "meanrec" -> "mean_rating",
+      "medrec" -> "median_rating", "stdev" -> "stdev_rating",
+      "numrec" -> "num_analysts", "buypct" -> "buy_percent",
+      "holdpct" -> "hold_percent", "sellpct" -> "sell_percent",
+      "numup" -> "num_up", "numdown" -> "num_down",
+      "oftic" -> "ibes_official_ticker", "cusip" -> "ibes_cusip",
+      "cname" -> "company_name")
+    val expected = Seq("date", "asset_id", "ticker", "mean_rating",
+      "median_rating", "stdev_rating", "num_analysts", "buy_percent",
+      "hold_percent", "sell_percent", "num_up", "num_down", "usfirm",
+      "ibes_official_ticker", "ibes_cusip", "company_name")
+    val mapped = recdsum
+      .join(idxref.select("ticker", "asset_id", "start_date", "end_date"),
+        Seq("ticker"), "left")
+      .where(col("statpers") >= col("start_date") &&
+        col("statpers") <= col("end_date"))
+    val renamed = renames.foldLeft(mapped) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    val present = renamed.columns.toSet
+    val conformed = expected.foldLeft(renamed)((d, c) =>
+      if (present.contains(c)) d else d.withColumn(c, lit(null)))
+      .select(expected.map(col): _*)
+      .na.drop(Seq("date", "asset_id"))
+    Transforms.dedupeConsensus(
+      conformed.withColumn("ord",
+        xxhash64(struct(conformed.columns.map(col): _*))), "ord")
+      .select(expected.map(col): _*)
+  }
+
+  /** J7 + F7: detail recommendation history → canonical point-in-time
+    * frame (`wrds_ingestion.py:845-891`): map via idxref validity, pick
+    * the first present column for each canonical field (analys/amaskcd,
+    * ireccd/rec, ereccd/actioncode, itext/recdef, statpers/anndats),
+    * drop unmapped rows, dedup per (date, asset_id, analyst_id).
+    */
+  def buildRatingsHistory(detail: DataFrame, idxref: DataFrame): DataFrame = {
+    val cols = detail.columns.toSet
+    val mapped = detail
+      .join(idxref.select("ticker", "asset_id", "start_date", "end_date"),
+        Seq("ticker"), "left")
+      .where({
+        val dateField =
+          if (cols.contains("statpers")) "statpers"
+          else if (cols.contains("anndats")) "anndats" else null
+        if (dateField == null) lit(true)
+        else col(dateField) >= col("start_date") && col(dateField) <= col("end_date")
+      })
+    def firstPresent(cands: Seq[String]): Column =
+      cands.find(cols.contains).map(col).getOrElse(lit(null))
+    val dateCol = Seq("anndats_act", "anndats", "statpers", "actdats", "revdats")
+      .find(cols.contains).map(col).getOrElse(lit(null))
+    val canonical = mapped.select(
+      dateCol.as("date"),
+      col("asset_id"),
+      col("ticker"),
+      firstPresent(Seq("analys", "amaskcd")).cast("long").as("analyst_id"),
+      firstPresent(Seq("ireccd", "rec")).cast("double").as("rating"),
+      firstPresent(Seq("ereccd", "actioncode")).cast("string").as("action_code"),
+      firstPresent(Seq("itext", "recdef")).cast("string").as("rating_text"),
+      firstPresent(Seq("statpers", "anndats")).cast("timestamp").as("statistic_date"))
+      .na.drop(Seq("date", "asset_id"))
+    Transforms.dedupeRatingsHistory(
+      canonical.withColumn("ord",
+        xxhash64(struct(canonical.columns.map(col): _*))), "ord")
+      .select("date", "asset_id", "analyst_id", "ticker", "rating",
+        "action_code", "rating_text", "statistic_date")
+  }
+
+  /** K2/K3: provenance + field manifests (`wrds_ingestion.py:1155-1245`). */
+  private def writeManifests(spark: SparkSession, root: String,
+      processed: String, meta: String, start: String, end: String,
+      saveRaw: Boolean): Unit = {
+    val datasets = Seq(
+      "prices_daily" -> "wrds_crsp_dsf", "returns_daily" -> "wrds_crsp_dsf",
+      "sp500_membership" -> "wrds_crsp_dsp500list",
+      "fundamentals_quarterly" -> "wrds_comp_funda",
+      "analyst_consensus" -> "wrds_tr_ibes_recdsum",
+      "analyst_ratings_history" -> "wrds_tr_ibes_recddet",
+      "macro_timeseries" -> "fred_api", "risk_free" -> "ff_all",
+      "style_factor_returns" -> "ff_all", "benchmarks" -> "wrds_crsp_dsp500",
+      "returns_monthly" -> "wrds_crsp_msf",
+      "dividends_monthly" -> "wrds_crsp_msedist")
+    val yml = new StringBuilder
+    yml ++= s"ingested_at_utc: '${java.time.Instant.now()}'\n"
+    yml ++= s"params:\n  start: '$start'\n  end: '$end'\n  source: wrds\n  save_raw: $saveRaw\n"
+    yml ++= "datasets:\n"
+    datasets.foreach { case (name, src) =>
+      yml ++= s"  $name:\n    source: $src\n    path: $processed/$name.parquet\n"
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$meta/data_sources.yml"), yml.toString)
+
+    // Column-level field manifest across all written datasets (K2,
+    // `wrds_ingestion.py:1200-1244`).
+    val rows = datasets.map(_._1).flatMap { name =>
+      scala.util.Try(spark.read.parquet(s"$processed/$name.parquet").schema)
+        .toOption.toSeq.flatMap(_.fields.map(f =>
+          (name, f.name, f.dataType.simpleString)))
+    }
+    val csv = ("dataset,field,dtype" +: rows.map { case (d, f, t) => s"$d,$f,$t" })
+      .mkString("\n")
+    new java.io.File(s"$root/reference").mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$root/reference/field_manifest.csv"), csv)
+  }
+}
