@@ -78,6 +78,21 @@ object SparkEntry {
     "sim_cosine_topk" -> (Similarity.simCosineTopk _),
     "sim_lsh_buckets" -> (Similarity.simLshBuckets _),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
+    "mm_frame_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100)))
+        .orderBy("media_id", "frame_idx")
+    }),
+    "mm_decode_features" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.col
+      graft.multimodal.Multimodal.decodeStub(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100)))
+        .select("media_id", "byte_len", "checksum", "header")
+        .orderBy("media_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY). */
@@ -411,5 +426,16 @@ object SparkEntry {
         |SELECT vec_id, label, c_label AS nearest_label, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "mm_frame_features" ->
+      // The Spark side slices UTF-8 *bytes*; the oracle slices characters.
+      // The corpus is ASCII, so offsets and md5 inputs coincide.
+      """SELECT doc_id AS media_id, i AS frame_idx,
+        |  length(substring(text, CAST(i * ceil(length(text) / 4.0) AS BIGINT) + 1,
+        |                   CAST(ceil(length(text) / 4.0) AS BIGINT))) AS frame_bytes,
+        |  md5(substring(text, CAST(i * ceil(length(text) / 4.0) AS BIGINT) + 1,
+        |                CAST(ceil(length(text) / 4.0) AS BIGINT))) AS frame_md5
+        |FROM documents, generate_series(0, 3) t(i)
+        |WHERE doc_id < 100
+        |ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

@@ -1,0 +1,85 @@
+package graft.multimodal
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: images/audio/video as opaque `binary`
+  * columns with typed metadata (SURVEY.md §7.5 extension surface).
+  *
+  * The Spark-side plumbing — schema, binary slicing, per-frame feature
+  * rows, partition-friendly layout — is real and tested. The *codec* step
+  * is a clearly-marked deterministic fake ([[decodeStub]]): this container
+  * has no image/audio libraries, so "decode" derives metadata from the
+  * bytes themselves (hash-based), keeping every downstream operator
+  * exercisable and oracle-comparable. Swapping in a real codec means
+  * replacing only `decodeStub`'s column expressions (or, for native
+  * libraries, a `mapPartitions` over the same schema).
+  *
+  * Everything stays in native expressions on BinaryType (substring / crc32
+  * / md5 / length are codegen'd for binary), so at 100 TB the media scan
+  * is one narrow pass with no serialization fence.
+  */
+object Multimodal {
+
+  /** Canonical media-table schema: id + opaque payload + typed metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType),
+    StructField("media", BinaryType),
+    StructField("meta", StructType(Seq(
+      StructField("format", StringType), StructField("width", IntegerType),
+      StructField("height", IntegerType), StructField("n_frames", IntegerType))))))
+
+  /** Build a media table from the documents table: payload = UTF-8 bytes of
+    * the text (a deterministic stand-in for real image/audio bytes),
+    * metadata derived from payload size.
+    */
+  def fromDocuments(docs: DataFrame, nFrames: Int = 4): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("media"),
+      struct(
+        lit("fake/raw").as("format"),
+        (pmod(xxhash64(col("text")), lit(1280)) + 64).cast("int").as("width"),
+        (pmod(xxhash64(col("text"), lit(1)), lit(720)) + 64).cast("int").as("height"),
+        lit(nFrames).as("n_frames")).as("meta"))
+
+  /** STUB DECODE — deterministic fake (no codec libraries in this
+    * environment). A real implementation would decode pixels/samples here;
+    * the fake derives stable per-media features from the raw bytes so the
+    * pipeline shape (one feature row per media) is fully exercised.
+    */
+  def decodeStub(media: DataFrame): DataFrame =
+    media.select(
+      col("media_id"), col("meta"),
+      length(col("media")).as("byte_len"),
+      crc32(col("media")).as("checksum"),
+      hex(expr("substring(media, 1, 4)")).as("header"))
+
+  /** Frame sampling: slice the payload into `meta.n_frames` equal byte
+    * ranges and emit one row per frame with per-frame digests — the shape
+    * of video frame extraction (posexplode keeps it distributed; no
+    * driver-side loop).
+    */
+  def frameSample(media: DataFrame): DataFrame =
+    media
+      .withColumn("frame_size",
+        greatest(ceil(length(col("media")) / col("meta.n_frames")), lit(1)).cast("int"))
+      .select(col("media_id"), col("frame_size"),
+        posexplode(expr(
+          "transform(sequence(0, meta.n_frames - 1), i -> substring(media, i * frame_size + 1, frame_size))")))
+      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame")
+      .select(col("media_id"), col("frame_idx"),
+        length(col("frame")).as("frame_bytes"),
+        md5(col("frame")).as("frame_md5"))
+
+  /** Resize stub: truncate the payload to `w*h` bytes (a real resize would
+    * decode → scale → re-encode; the byte-level truncation keeps the
+    * schema/partition shape identical).
+    */
+  def resizeStub(media: DataFrame, w: Int, h: Int): DataFrame =
+    media.withColumn("media", expr(s"substring(media, 1, ${w * h})"))
+      .withColumn("meta", struct(
+        col("meta.format"), lit(w).cast("int").as("width"),
+        lit(h).cast("int").as("height"), col("meta.n_frames")))
+}

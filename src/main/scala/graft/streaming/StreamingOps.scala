@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream.
+  *
+  * The reference is pure batch (SURVEY.md §2.10); this module adds the
+  * streaming semantics a production deployment of the same pipeline needs.
+  * Every windowed transform here is a plain `DataFrame => DataFrame`
+  * applied identically under `read` and `readStream` — the batch runs in
+  * `graft.queries.Events` double as the oracle-checked semantics of the
+  * streaming jobs, and the specs execute the same plans through
+  * `readStream → memory sink` with an availableNow trigger.
+  */
+object StreamingOps {
+
+  /** events schema for readStream (files need it declared up front).
+    * `ts` arrives as parquet TIMESTAMP(NANOS) → read as long, truncated
+    * to µs exactly like the batch loader (graft.Tables).
+    */
+  val eventsRawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** File-source stream over an events parquet directory. */
+  def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream.schema(eventsRawSchema)
+      .parquet(dir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
+  /** Watermarked tumbling 1-hour aggregate per event type. On a stream the
+    * watermark bounds state and admits late data up to `lateness`; on a
+    * batch frame `withWatermark` is a no-op, so batch and stream results
+    * coincide once the stream is drained.
+    */
+  def tumblingCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("sum_value_cents"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value_cents"))
+
+  /** Watermarked per-user session windows (10-minute gap) — distributed
+    * sessionization with state partitioned by user, the streaming twin of
+    * `graft.queries.Events.evSessionWindow`.
+    */
+  def sessionCounts(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), "10 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Custom stateful accumulation via flatMapGroupsWithState: per-user
+    * running totals that survive across micro-batches — the
+    * `KeyValueGroupedDataset` escape hatch for semantics windows can't
+    * express (SURVEY.md build brief). Value math is integer cents so the
+    * running state is exact.
+    */
+  def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("user_id"), col("event_type"),
+        col("value")).as[UserEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (userId: Long, rows: Iterator[UserEvent], state: GroupState[UserRunning]) => {
+          val prev = state.getOption.getOrElse(UserRunning(userId, 0L, 0L))
+          val next = rows.foldLeft(prev)((acc, e) =>
+            UserRunning(userId, acc.n_events + 1,
+              acc.total_cents + math.round(e.value * 100)))
+          state.update(next)
+          Iterator.single(next)
+        })
+  }
+}

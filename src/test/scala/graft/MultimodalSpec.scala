@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.multimodal.Multimodal
+
+/** Multimodal plumbing specs: binary payloads, typed metadata, frame
+  * slicing, deterministic stub decode.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, "/root/testdata/sf0.001", "documents")
+    .filter(col("doc_id") < 20)
+
+  test("fromDocuments produces binary payloads with typed metadata") {
+    val media = Multimodal.fromDocuments(docs)
+    assert(media.schema("media").dataType.typeName == "binary")
+    val m = media.orderBy("media_id").collect().head
+    val meta = m.getStruct(m.fieldIndex("meta"))
+    assert(meta.getAs[String]("format") == "fake/raw")
+    assert(meta.getAs[Int]("width") >= 64 && meta.getAs[Int]("n_frames") == 4)
+  }
+
+  test("decodeStub is deterministic and reads real bytes") {
+    val a = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+      .orderBy("media_id").collect()
+    val b = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
+      .orderBy("media_id").collect()
+    assert(a.toSeq == b.toSeq) // same input → same features
+    val text = docs.orderBy("doc_id").collect().head.getAs[String]("text")
+    val first = a.head
+    assert(first.getAs[Int]("byte_len") == text.getBytes("UTF-8").length)
+    // header = hex of the first 4 payload bytes
+    assert(first.getAs[String]("header") ==
+      text.getBytes("UTF-8").take(4).map("%02X".format(_)).mkString)
+  }
+
+  test("frameSample emits n_frames rows covering every payload byte") {
+    val media = Multimodal.fromDocuments(docs)
+    val frames = Multimodal.frameSample(media)
+    val perDoc = frames.groupBy("media_id")
+      .agg(count(lit(1)).as("n"), sum("frame_bytes").as("bytes"))
+      .join(media.select(col("media_id"), length(col("media")).as("len")), "media_id")
+      .collect()
+    assert(perDoc.forall(_.getAs[Long]("n") == 4L))
+    assert(perDoc.forall(r => r.getAs[Long]("bytes") == r.getAs[Int]("len").toLong))
+  }
+
+  test("resizeStub truncates payload and rewrites dimensions") {
+    val media = Multimodal.fromDocuments(docs)
+    val resized = Multimodal.resizeStub(media, 8, 8)
+    val r = resized.select(length(col("media")).as("len"),
+      col("meta.width"), col("meta.height")).collect()
+    assert(r.forall(_.getAs[Int]("len") <= 64))
+    assert(r.forall(x => x.getAs[Int]("width") == 8 && x.getAs[Int]("height") == 8))
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming specs: the same transforms run under readStream
+  * (file source, availableNow) must agree with their batch twins, and
+  * custom flatMapGroupsWithState state must accumulate across
+  * micro-batches.
+  */
+class StreamingSpec extends SparkSpec {
+
+  // The streaming file source needs a directory; stage the single-file
+  // testdata parquet into one.
+  private lazy val eventsDir: String = {
+    val dir = java.nio.file.Files.createTempDirectory("events-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("events.parquet"))
+    dir.toString
+  }
+
+  test("streamed tumbling window equals the batch result (file source)") {
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    assert(stream.isStreaming)
+    val q = StreamingOps.tumblingCounts(stream)
+      .writeStream.format("memory").queryName("tumbling_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("tumbling_stream")
+      .orderBy("window_start", "event_type").collect()
+    val batch = StreamingOps.tumblingCounts(Tables(spark, "/root/testdata/sf0.001", "events"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
+  test("session windows: batch twin of the streaming transform matches Events query") {
+    val viaStreamingOps = StreamingOps.sessionCounts(
+      Tables(spark, "/root/testdata/sf0.001", "events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"),
+        max("n_events").as("max_session_events"))
+      .orderBy("user_id").collect()
+    val viaQuery = graft.queries.Events.evSessionWindow(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(viaStreamingOps.length == viaQuery.length)
+    assert(viaStreamingOps.zip(viaQuery).forall { case (a, b) => a == b })
+  }
+
+  test("flatMapGroupsWithState accumulates across micro-batches") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val events = input.toDF().toDF("user_id", "event_type", "value")
+    val q = StreamingOps.runningUserTotals(events)
+      .writeStream.format("memory").queryName("running_totals")
+      .outputMode("update").start()
+
+    input.addData((1L, "click", 1.50), (1L, "view", 2.25), (2L, "click", 10.00))
+    q.processAllAvailable()
+    input.addData((1L, "purchase", 0.25))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = spark.table("running_totals")
+      .groupBy("user_id").agg(max("n_events").as("n"), max("total_cents").as("cents"))
+      .orderBy("user_id").collect()
+    assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 3L, 400L), (2L, 1L, 1000L))) // state carried into batch 2
+  }
+}
