@@ -27,7 +27,7 @@ object SparkEntry {
       .select("l_orderkey", "l_extendedprice", "l_discount")
     val cust = Tables(spark, dir, "customer").select("c_custkey", "c_nationkey")
     val daily = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey"), col("o_orderdate").as("date"))
       .agg(Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
         .as("revenue"))

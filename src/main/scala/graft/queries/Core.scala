@@ -90,12 +90,12 @@ object Core {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
-  /** TPC-H Q3-shaped top-k: selective dimension filter broadcast-joined
-    * into the fact tables, aggregate, global top-10. Only the customer
-    * dimension is broadcast; orders×lineitem is a shuffle join on the
-    * order key (both sides are fact-sized, so broadcasting either would
-    * not survive a 100× scale-up). The top-10 is a TakeOrderedAndProject,
-    * not a global sort.
+  /** TPC-H Q3-shaped top-k: selective dimension filter joined into the
+    * fact tables, aggregate, global top-10. No explicit broadcasts:
+    * customer and both fact sides grow with scale, so the plan declares
+    * plain key joins and AQE converts whichever side is actually small at
+    * runtime into a broadcast. The top-10 is a TakeOrderedAndProject, not
+    * a global sort.
     */
   def q3TopOrders(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables(spark, dir, "customer")
@@ -107,7 +107,7 @@ object Core {
     val li = Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate") > lit("1995-03-15"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
       .agg(Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
@@ -117,8 +117,12 @@ object Core {
   }
 
   /** TPC-H Q5-shaped star join: region -> nation -> customer + supplier
-    * co-membership, revenue per nation. All dimensions broadcast; the
-    * single shuffle is the final groupBy on 25 nation keys.
+    * co-membership, revenue per nation. Only the guaranteed-small
+    * dimensions (nation: 25 rows, region: 5) get explicit broadcast
+    * hints; orders/customer/supplier are fact-or-large-dim tables that
+    * would never fit in a broadcast at 100 TB, so they join by key
+    * shuffle and AQE upgrades them to broadcast at runtime whenever the
+    * filtered side actually is small (as it is at test scale).
     */
   def q5NationRevenue(spark: SparkSession, dir: String): DataFrame = {
     val nation = Tables(spark, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
@@ -130,9 +134,9 @@ object Core {
       .select("o_orderkey", "o_custkey")
     val li = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey") &&
         col("c_nationkey") === col("s_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))

@@ -148,20 +148,25 @@ object Text {
       .filter(size(col("toks")) >= 3)
       .withColumn("shingles",
         expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-    val sigs = shingled.select(col("doc_id"), col("lang"),
+      .select(col("doc_id"), col("lang"), col("shingles"))
+    // The 16-slot signature is the expensive expression (16 × |shingles|
+    // xxhash64 evaluations per doc). Cache the small projected result so
+    // the banding pass evaluates it exactly once — without this, each
+    // side of the self-join and every pushed-down filter re-derives it.
+    val sigs = shingled.select(col("doc_id"),
       expr("transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
-        .as("sig"),
-      col("shingles"))
-    val bands = sigs.select(col("doc_id"), col("lang"),
+        .as("sig")).cache()
+    val bands = sigs.select(col("doc_id"),
         posexplode(expr("transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val pairs = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
           $"x.doc_id" < $"y.doc_id")
       .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
+    // Confirmation re-reads only the (cheap) shingle arrays, not the sigs.
     val withSets = pairs
-      .join(sigs.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
-      .join(sigs.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .join(shingled.select(col("doc_id").as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(shingled.select(col("doc_id").as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("inter", expr("size(array_intersect(array_distinct(sh_a), array_distinct(sh_b)))"))
       .withColumn("jaccard", col("inter").cast("double") /
         (expr("size(array_distinct(sh_a))") + expr("size(array_distinct(sh_b))") - col("inter")))
@@ -176,6 +181,9 @@ object Text {
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    // The 64-bit fold costs 64 × |tokens| lambda steps per doc; cache the
+    // tiny (doc_id, simhash) projection so the self-join's two sides and
+    // the pushed-down join-key filters don't re-evaluate it.
     val hashed = docs(spark, dir)
       .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
       .withColumn("simhash",
@@ -185,6 +193,7 @@ object Text {
                  THEN shiftleft(1L, b) ELSE 0L END)"""))
       .select(col("doc_id"), col("lang"), col("simhash"),
         expr("shiftright(simhash, 48)").as("block"))
+      .cache()
     val p = hashed.as("x").join(hashed.as("y"),
         $"x.block" === $"y.block" && $"x.doc_id" < $"y.doc_id")
       .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
