@@ -85,6 +85,20 @@ object SparkEntry {
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
         .orderBy("media_id", "frame_idx")
     }),
+    "dd_embedding_cosine" -> (Similarity.ddEmbeddingCosine _),
+    "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    // SQL front-end: a correlated-EXISTS (semi-join) query submitted as
+    // text via spark.sql over registered views — Catalyst decorrelates it
+    // into a LeftSemi hash join.
+    "sql_semi_join" -> ((s, dir) => Catalog.sql(s, dir,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
     "mm_decode_features" -> ((s, dir) => {
       import org.apache.spark.sql.functions.col
       graft.multimodal.Multimodal.decodeStub(
@@ -426,6 +440,53 @@ object SparkEntry {
         |SELECT vec_id, label, c_label AS nearest_label, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "dd_embedding_cosine" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0))),
+        |             (x, y) -> x + y) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.bucket AS bucket,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine,
+        |    a.label AS label_a, b.label AS label_b
+        |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT bucket, count(*) AS n_pairs,
+        |  CAST(sum(CASE WHEN cosine >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
+        |  CAST(sum(CASE WHEN label_a = label_b THEN 1 ELSE 0 END) AS BIGINT) AS n_same_label_pairs,
+        |  max(cosine) AS max_cosine
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_lsh_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0))),
+        |             (x, y) -> x + y) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (a, b) -> a + b) AS bucket,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, bucket AS qbucket, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, vec_id,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+        |  FROM e, q WHERE e.bucket = q.qbucket AND e.vec_id <> q.qid)
+        |SELECT qid, vec_id, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "sql_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "mm_frame_features" ->
       // The Spark side slices UTF-8 *bytes*; the oracle slices characters.
       // The corpus is ASCII, so offsets and md5 inputs coincide.

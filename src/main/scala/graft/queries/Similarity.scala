@@ -67,6 +67,67 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** Embedding-cosine near-duplicate detection: pairs whose cosine
+    * exceeds a threshold, restricted to the same LSH bucket — the
+    * embedding-space member of the dedup family. Blocking first means the
+    * pair join is per-bucket; at 100 TB the shuffle carries (bucket, id,
+    * vec) once instead of an O(n²) cross join.
+    */
+  def ddEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val planeDot =
+      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
+            acc + CAST(embedding[d] AS DOUBLE) *
+                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
+    val bucketed = Tables(spark, dir, "embeddings")
+      .withColumn("bucket",
+        expr(s"""aggregate(sequence(0, 7), 0L, (b, j) ->
+                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"), col("label").as("label_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("cosine") >= 0.9, 1L).otherwise(0L)).as("n_near_dups"),
+        sum(when(col("label_a") === col("label_b"), 1L).otherwise(0L))
+          .as("n_same_label_pairs"),
+        max("cosine").as("max_cosine"))
+      .orderBy("bucket")
+  }
+
+  /** LSH-bucketed approximate nearest neighbour: each query vector only
+    * scores candidates in its own hyperplane bucket (8 bits here so
+    * buckets stay populated at test scale), then takes the top-5. The
+    * ScalaTest spec measures recall against the brute-force baseline.
+    */
+  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+    val planeDot =
+      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
+            acc + CAST(embedding[d] AS DOUBLE) *
+                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
+    val bucketed = Tables(spark, dir, "embeddings")
+      .withColumn("bucket",
+        expr(s"""aggregate(sequence(0, 7), 0L, (b, j) ->
+                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = bucketed.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
+        col("embedding").as("qvec"), col("norm").as("qnorm"))
+    val scored = bucketed.join(broadcast(q),
+        col("bucket") === col("qbucket") && col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select("qid", "vec_id", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF-style coarse quantization: per-label centroids via an
     * order-fixed sequential sum (list sorted by vec_id, then folded), so
     * the float accumulation is deterministic under any shuffle; then the

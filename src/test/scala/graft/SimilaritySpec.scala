@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Similarity
+
+/** ANN spec. Note on recall: the synthetic embeddings are near-random
+  * (same-label mean cosine ≈ 0.01, max pairwise ≈ 0.38 — no cluster
+  * geometry), so recall of single-table LSH against brute force is
+  * expectedly near zero on this corpus and is NOT a meaningful assertion.
+  * What must hold regardless of geometry: the ANN search only scores
+  * same-bucket candidates, ranks by the identical cosine the brute-force
+  * path computes, and returns at most k per query.
+  */
+class SimilaritySpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("LSH ANN is internally consistent with brute-force cosines") {
+    val ann = Similarity.simLshAnn(spark, dir).collect()
+    assert(ann.nonEmpty)
+    // at most 5 per query, rank contiguous from 1, cosine non-increasing
+    ann.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // every ANN cosine equals the brute-force cosine for that pair
+    val brute = Similarity.simCosineTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ann.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(b => assert(b == r.getAs[Double]("cosine")))
+    }
+  }
+
+  test("centroid assignment is deterministic and covers every query") {
+    val a = Similarity.simCentroidAssign(spark, dir).collect()
+    val b = Similarity.simCentroidAssign(spark, dir).collect()
+    assert(a.length == 5 && a.toSeq == b.toSeq)
+    assert(a.forall(r => r.getAs[Double]("cosine") <= 1.0 + 1e-12))
+  }
+
+  test("embedding-cosine near-dup blocks are bounded and deterministic") {
+    val out = Similarity.ddEmbeddingCosine(spark, dir).collect()
+    assert(out.nonEmpty)
+    // near-random corpus → no pair should exceed the 0.9 near-dup bar
+    assert(out.map(_.getAs[Long]("n_near_dups")).sum == 0)
+    assert(out.forall(_.getAs[Double]("max_cosine") < 0.9))
+  }
+}
