@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation utilities (SURVEY.md §7.4.3: interval joins and hot
+  * keys at the 100 TB scale).
+  *
+  * First line of defense is AQE's skew-join splitting
+  * (`spark.sql.adaptive.skewJoin.enabled`, on by default); salting is for
+  * the cases AQE can't fix — skewed *aggregations* and skewed *broadcast
+  * build sides* — by spreading one hot key over `factor` synthetic
+  * sub-keys.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation: `groupBy(key, salt).agg(partials)` then
+    * `groupBy(key).agg(merge)`. Correct for any commutative+associative
+    * aggregate expressed as (partial, merge) column pairs; the hot key's
+    * rows spread over `factor` reducers in phase 1.
+    *
+    * Example: saltedSum(df, Seq("k"), col("v"), 32) ==
+    * df.groupBy("k").sum("v") with the hot-key shuffle fanned out.
+    */
+  def saltedSum(df: DataFrame, keys: Seq[String], value: Column,
+      factor: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(factor)))
+    salted.groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(sum(value).as("__partial"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__partial")).as("sum"))
+  }
+
+  /** Salted join of a skewed fact against a small dimension: the fact side
+    * gets a random-ish salt in [0, factor); the dimension is exploded
+    * `factor` times so every (key, salt) pair still matches. The
+    * dimension must be broadcast-sized (it grows by `factor`).
+    */
+  def saltedBroadcastJoin(fact: DataFrame, dim: DataFrame, key: String,
+      factor: Int): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(factor.toLong)))
+    val explodedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    saltedFact.join(broadcast(explodedDim), Seq(key, "__salt"))
+      .drop("__salt")
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Core, Events, Relational, Similarity, Text}
+import graft.queries.{Aggregates, Core, Events, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -87,6 +87,10 @@ object SparkEntry {
     }),
     "dd_embedding_cosine" -> (Similarity.ddEmbeddingCosine _),
     "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "u4_pivot" -> (Aggregates.u4Pivot _),
+    "a9_rollup" -> (Aggregates.a9Rollup _),
+    "o4_percentiles" -> (Aggregates.o4Percentiles _),
+    "a8_approx_distinct" -> (Aggregates.a8ApproxDistinct _),
     // SQL front-end: a correlated-EXISTS (semi-join) query submitted as
     // text via spark.sql over registered views — Catalyst decorrelates it
     // into a LeftSemi hash join.
@@ -478,6 +482,26 @@ object SparkEntry {
         |SELECT qid, vec_id, cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "u4_pivot" ->
+      """SELECT o_orderstatus,
+        |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p1_urgent,
+        |  CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p2_high,
+        |  CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p3_medium,
+        |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p4_not_specified,
+        |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p5_low
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a9_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "o4_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q25,
+        |  quantile_cont(l_quantity, 0.5) AS q50,
+        |  quantile_cont(l_quantity, 0.75) AS q75,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_semi_join" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

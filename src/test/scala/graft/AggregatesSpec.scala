@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Aggregates
+
+/** Sketches and skew utilities: bounded-error approx distinct, and salted
+  * aggregation/join equivalence with their unsalted forms.
+  */
+class AggregatesSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("approx_count_distinct within 5% of exact") {
+    val approx = Aggregates.a8ApproxDistinct(spark, dir).collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("approx_orders"), r.getAs[Long]("approx_parts"))).toMap
+    val exact = Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_orderkey")).as("o"),
+        countDistinct(col("l_partkey")).as("p"))
+      .collect()
+      .map(r => r.getAs[String]("l_returnflag") ->
+        (r.getAs[Long]("o"), r.getAs[Long]("p"))).toMap
+    exact.foreach { case (flag, (o, p)) =>
+      val (ao, ap) = approx(flag)
+      assert(math.abs(ao - o).toDouble / o < 0.05, s"$flag orders: $ao vs $o")
+      assert(math.abs(ap - p).toDouble / p < 0.05, s"$flag parts: $ap vs $p")
+    }
+  }
+
+  test("salted sum equals plain sum") {
+    val li = Tables(spark, dir, "lineitem")
+    val salted = Skew.saltedSum(li,
+        Seq("l_returnflag"), col("l_quantity").cast("long"), 16)
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("sum")))
+    val plain = li.groupBy("l_returnflag")
+      .agg(sum(col("l_quantity").cast("long")).as("sum"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getAs[String]("l_returnflag"), r.getAs[Long]("sum")))
+    assert(salted.toSeq == plain.toSeq)
+  }
+
+  test("salted broadcast join equals plain join") {
+    val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
+    val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
+      .withColumnRenamed("s_suppkey", "l_suppkey")
+    val salted = Skew.saltedBroadcastJoin(li, supp, "l_suppkey", 8)
+      .groupBy("s_nationkey").count().orderBy("s_nationkey").collect()
+      .map(r => (r.getAs[Int]("s_nationkey"), r.getAs[Long]("count")))
+    val plain = li.join(supp, "l_suppkey")
+      .groupBy("s_nationkey").count().orderBy("s_nationkey").collect()
+      .map(r => (r.getAs[Int]("s_nationkey"), r.getAs[Long]("count")))
+    assert(salted.toSeq == plain.toSeq)
+  }
+}
