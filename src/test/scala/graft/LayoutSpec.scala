@@ -1,0 +1,56 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** Storage-layout proofs: date partitioning must prune partitions at the
+  * scan, and same-bucketing must eliminate the join shuffle.
+  */
+class LayoutSpec extends SparkSpec {
+
+  test("date-partitioned writes prune partitions under a date filter") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/orders"
+    Layout.writeDatePartitioned(
+      Tables(spark, "/root/testdata/sf0.001", "orders"), dir, "o_orderdate")
+    val q = Layout.readDateRange(spark, dir, "o_orderdate",
+      "1996-03-01", "1996-05-31")
+      .select("o_orderkey", "o_totalprice")
+    // the physical proof: the scan carries non-empty PartitionFilters
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year") &&
+      plan.contains("+ month") && plan.contains(">= 199603"),
+      s"no partition filters in:\n$plan")
+    // and results equal the unpartitioned read
+    val expected = Tables(spark, "/root/testdata/sf0.001", "orders")
+      .filter(col("o_orderdate").between(lit("1996-03-01"), lit("1996-05-31")))
+      .count()
+    assert(q.count() == expected)
+  }
+
+  test("co-bucketed tables join without a shuffle") {
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      Layout.saveBucketed(
+        Tables(spark, "/root/testdata/sf0.001", "orders"), "orders_b", 4,
+        Seq("o_orderkey"))
+      Layout.saveBucketed(
+        Tables(spark, "/root/testdata/sf0.001", "lineitem")
+          .withColumnRenamed("l_orderkey", "o_orderkey"), "lineitem_b", 4,
+        Seq("o_orderkey"))
+      val joined = spark.table("lineitem_b")
+        .join(spark.table("orders_b"), "o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"))
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should have no shuffle exchange:\n$plan")
+      // equal to the plain join
+      val expected = Tables(spark, "/root/testdata/sf0.001", "lineitem").count()
+      assert(joined.count() == expected)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS orders_b")
+      spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    }
+  }
+}
