@@ -112,10 +112,15 @@ object Text {
     * near-dup counts plus the maximum observed similarity.
     */
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    // Token sets are hashed to longs before the pair join: set-intersection
+    // COUNTS are what the query returns (and what the oracle compares, on
+    // the raw strings), and counts are preserved under a collision-free
+    // hash while the per-pair intersect drops from string equality to
+    // 8-byte compares.
     val d = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lit(100)).cast("long").as("bucket"),
-        expr("array_distinct(split(text, ' '))").as("toks"))
+        expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))").as("toks"))
     val a = d.select(col("doc_id").as("id_a"), col("lang"), col("bucket"),
       col("toks").as("toks_a"))
     val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
