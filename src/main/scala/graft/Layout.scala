@@ -19,17 +19,25 @@ object Layout {
     * PartitionFilters handles year/month directories and row-group stats
     * handle the rest.
     */
+  // Reserved partition column names — prefixed so a dataset that already
+  // carries its own `year`/`month` columns round-trips untouched.
+  private val PYear = "_p_year"
+  private val PMonth = "_p_month"
+
   def writeDatePartitioned(df: DataFrame, path: String,
-      dateCol: String = "date"): Unit =
-    df.withColumn("year", year(col(dateCol)))
-      .withColumn("month", month(col(dateCol)))
+      dateCol: String = "date"): Unit = {
+    require(!df.columns.contains(PYear) && !df.columns.contains(PMonth),
+      s"input already has reserved partition columns $PYear/$PMonth")
+    df.withColumn(PYear, year(col(dateCol)))
+      .withColumn(PMonth, month(col(dateCol)))
       .write.mode("overwrite")
-      .partitionBy("year", "month")
+      .partitionBy(PYear, PMonth)
       .parquet(path)
+  }
 
   /** Read a date-partitioned dataset and re-derive the plain schema. */
   def readDatePartitioned(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("year", "month")
+    spark.read.parquet(path).drop(PYear, PMonth)
 
   /** Date-range read over a date-partitioned dataset. A predicate on the
     * *data* column alone does not prune partitions — Spark cannot infer
@@ -42,13 +50,15 @@ object Layout {
       start: String, end: String): DataFrame = {
     val s = java.sql.Timestamp.valueOf(start + " 00:00:00").toLocalDateTime
     val e = java.sql.Timestamp.valueOf(end + " 00:00:00").toLocalDateTime
-    val ym = col("year") * 100 + col("month")
+    val ym = col(PYear) * 100 + col(PMonth)
     spark.read.parquet(path)
       .filter(ym >= lit(s.getYear * 100 + s.getMonthValue) &&
         ym <= lit(e.getYear * 100 + e.getMonthValue))
-      .filter(col(dateCol).between(
-        lit(start).cast("timestamp"), lit(end).cast("timestamp")))
-      .drop("year", "month")
+      // inclusive end DATE: timestamps carry intraday times, so the upper
+      // bound is strictly-before the day after `end`, not `end 00:00:00`
+      .filter(col(dateCol) >= lit(start).cast("timestamp") &&
+        col(dateCol) < lit(end).cast("timestamp") + expr("INTERVAL 1 DAY"))
+      .drop(PYear, PMonth)
   }
 
   /** Save a dataset as a bucketed+sorted table: joins and aggregations on

@@ -33,15 +33,22 @@ case class FloatVectorDot(left: Expression, right: Expression)
     }
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
+  // Null also arises from malformed input (length mismatch, null element),
+  // not just null children.
+  override def nullable: Boolean = true
   override def prettyName: String = "float_dot"
 
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    // Match the fold/oracle semantics on malformed rows: a length
+    // mismatch or a null element yields NULL, never a partial sum.
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
       i += 1
     }
@@ -54,12 +61,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 
@@ -70,9 +82,10 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
 object VectorFunctions {
 
-  private val fid = FunctionIdentifier("float_dot")
-  private val info = new ExpressionInfo(classOf[FloatVectorDot].getName, "float_dot")
-  private val builder = (exprs: Seq[Expression]) => {
+  private[functions] val fid = FunctionIdentifier("float_dot")
+  private[functions] val info =
+    new ExpressionInfo(classOf[FloatVectorDot].getName, "float_dot")
+  private[functions] val builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 2, "float_dot takes exactly 2 arguments")
     FloatVectorDot(exprs.head, exprs(1)): Expression
   }
@@ -96,7 +109,5 @@ object VectorFunctions {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
     ext.injectFunction((
-      FunctionIdentifier("float_dot"),
-      new ExpressionInfo(classOf[FloatVectorDot].getName, "float_dot"),
-      (exprs: Seq[Expression]) => FloatVectorDot(exprs.head, exprs(1))))
+      VectorFunctions.fid, VectorFunctions.info, VectorFunctions.builder))
 }

@@ -114,9 +114,10 @@ object Text {
   def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
     // Token sets are hashed to longs before the pair join: set-intersection
     // COUNTS are what the query returns (and what the oracle compares, on
-    // the raw strings), and counts are preserved under a collision-free
-    // hash while the per-pair intersect drops from string equality to
-    // 8-byte compares.
+    // the raw strings). A 64-bit hash collision would shrink a count and
+    // diverge from the string-side oracle — probability ~|tokens|²/2⁶⁵,
+    // negligible here; the payoff is per-pair intersects on 8-byte
+    // compares instead of string equality.
     val d = docs(spark, dir)
       .select(col("doc_id"), col("lang"),
         (col("n_chars") / lit(100)).cast("long").as("bucket"),

@@ -18,8 +18,8 @@ class LayoutSpec extends SparkSpec {
       .select("o_orderkey", "o_totalprice")
     // the physical proof: the scan carries non-empty PartitionFilters
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters: [isnotnull(year") &&
-      plan.contains("+ month") && plan.contains(">= 199603"),
+    assert(plan.contains("PartitionFilters: [isnotnull(_p_year") &&
+      plan.contains("+ _p_month") && plan.contains(">= 199603"),
       s"no partition filters in:\n$plan")
     // and results equal the unpartitioned read
     val expected = Tables(spark, "/root/testdata/sf0.001", "orders")

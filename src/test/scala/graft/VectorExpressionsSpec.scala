@@ -34,6 +34,17 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.isNullAt(0))
   }
 
+  test("float_dot yields null on length mismatch and null elements, never a partial sum") {
+    VectorFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  float_dot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), array(CAST(1 AS FLOAT))) AS mismatch,
+        |  float_dot(array(CAST(1 AS FLOAT), CAST(NULL AS FLOAT)), array(CAST(1 AS FLOAT), CAST(1 AS FLOAT))) AS nullelem
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0), "length mismatch must be NULL")
+    assert(rows.isNullAt(1), "null element must be NULL")
+  }
+
   test("GraftExtensions registers float_dot at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
