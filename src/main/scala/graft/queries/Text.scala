@@ -156,9 +156,12 @@ object Text {
         expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
       .select(col("doc_id"), col("lang"), col("shingles"))
     // The 16-slot signature is the expensive expression (16 × |shingles|
-    // xxhash64 evaluations per doc). Cache the small projected result so
-    // the banding pass evaluates it exactly once — without this, each
-    // side of the self-join and every pushed-down filter re-derives it.
+    // seeded xxhash64 evaluations per doc). Cached so the banding pass
+    // and pushed-down filters evaluate it exactly once. (An arithmetic
+    // permutation family — hash once, permute 16× with (2j+1)*h+b mod
+    // 2^31-1 — was measured SLOWER here: higher-order-function lambdas
+    // are interpreted, so lambda-invocation count dominates and the extra
+    // permutation pass outweighs the saved string hashing.)
     val sigs = shingled.select(col("doc_id"),
       expr("transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
         .as("sig")).cache()
