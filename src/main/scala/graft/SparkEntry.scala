@@ -67,6 +67,8 @@ object SparkEntry {
     "ev_session_window" -> (Events.evSessionWindow _),
     "ev_json_extract" -> (Events.evJsonExtract _),
     "ev_top_users" -> (Events.evTopUsers _),
+    "ev_asof_join" -> (Events.evAsofJoin _),
+    "ev_cohort_retention" -> (Events.evCohortRetention _),
     "tx_quality_score" -> (Text.txQualityScore _),
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
@@ -320,6 +322,23 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_sessions, CAST(sum(n_events) AS BIGINT) AS n_events,
         |  CAST(max(n_events) AS BIGINT) AS max_session_events
         |FROM per_sess GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_asof_join" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, ts AS view_ts, arg_max(value, event_id) AS view_value
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase')
+        |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
+        |ORDER BY event_id""".stripMargin,
+    "ev_cohort_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events)
+        |SELECT cohort_week, active_week, count(DISTINCT c.user_id) AS n_users
+        |FROM cohort c JOIN active a ON c.user_id = a.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_json_extract" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

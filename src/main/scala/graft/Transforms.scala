@@ -255,6 +255,49 @@ object Transforms {
         when(col("close").isNotNull, col("divamt") / col("close")))
   }
 
+  /** As-of join: for every left row, attach the latest right row with
+    * `rightTime <= leftTime` per key — the point-in-time lookup quant
+    * pipelines live on (the reference approximates it with interval
+    * predicates, J3/P7). Implemented by composing built-ins (brief
+    * preference (a)): tag both sides, union, and carry the last right
+    * value forward with a running window — ONE shuffle on (key, time),
+    * no per-row range probe, AQE/skew-handling compatible, scales to any
+    * right-side size (vs. a broadcast interval join). Right values must
+    * be unique per (key, rightTime); pre-dedup if not.
+    *
+    * valueCols are the right-side columns to attach; rows with no prior
+    * right row get nulls (left semantics).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      valueCols: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+      .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
+        leftCols.filterNot(keys.contains).map(col) ++
+        valueCols.map(c => lit(null).cast(right.schema(c).dataType).as(c)): _*)
+    val r = right
+      .withColumn("__t", col(rightTime))
+      .withColumn("__is_left", lit(0))
+      .select((keys.map(col) :+ col("__t") :+ col("__is_left")) ++
+        leftCols.filterNot(keys.contains)
+          .map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        valueCols.map(col): _*)
+    // Right rows sort BEFORE left rows at equal time (__is_left asc), so
+    // rightTime == leftTime matches (inclusive as-of), matching DuckDB's
+    // ASOF JOIN `ON l.t >= r.t`.
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
+      df.withColumn(c, last(when(col("__is_left") === 0, col(c)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__is_left") === 1)
+      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+  }
+
   /** §2.12: degraded-plan ladder — try each source builder in order,
     * falling back to a schema-stable empty frame if all fail
     * (`wrds_ingestion.py:810-843,637-682`).

@@ -72,6 +72,42 @@ object Events {
         max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** As-of join (point-in-time lookup): each purchase event picks up the
+    * latest preceding (or simultaneous) view event of the same user, via
+    * [[graft.Transforms.asofJoin]]'s union+running-window composition —
+    * one shuffle, no range probe. The oracle is DuckDB's native ASOF
+    * LEFT JOIN, so two independent formulations must agree row-for-row.
+    */
+  def evAsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy("user_id", "ts")
+      .agg(max_by(col("value"), col("event_id")).as("view_value"))
+      .withColumn("view_ts", col("ts"))
+    graft.Transforms.asofJoin(purchases, views, Seq("user_id"),
+        leftTime = "ts", rightTime = "ts",
+        valueCols = Seq("view_ts", "view_value"))
+      .orderBy("event_id")
+  }
+
+  /** Cohort retention: users bucketed by first-seen week × weeks they were
+    * active, distinct-user counts per cell — the activation/retention
+    * matrix of a product-analytics warehouse.
+    */
+  def evCohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min(col("ts"))).as("cohort_week"))
+    val active = ev.select(col("user_id"),
+      date_trunc("week", col("ts")).as("active_week")).distinct()
+    cohort.join(active, "user_id")
+      .groupBy("cohort_week", "active_week")
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_week", "active_week")
+  }
+
   /** Top-N active users per event type: window rank over exact per-user
     * aggregates (rank ties broken by user_id for determinism).
     */

@@ -225,4 +225,27 @@ class TransformsSpec extends SparkSpec {
       () => throw new RuntimeException("down")))
     assert(none.count() == 0 && none.schema == Schemas.riskFree)
   }
+
+  test("asof join: latest right at-or-before left, nulls before any right (J12)") {
+    val left = df(
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("amount", DoubleType))),
+      Row(1L, ts("2020-01-05"), 10.0), // after both views -> latest (01-04)
+      Row(1L, ts("2020-01-03"), 11.0), // equal ts -> inclusive match
+      Row(1L, ts("2020-01-01"), 12.0), // before any view -> null
+      Row(2L, ts("2020-01-05"), 13.0)) // other key, no views -> null
+    val right = df(
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("view_ts", TimestampType), StructField("view_v", DoubleType))),
+      Row(1L, ts("2020-01-03"), ts("2020-01-03"), 0.3),
+      Row(1L, ts("2020-01-04"), ts("2020-01-04"), 0.4))
+    val out = Transforms.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+        Seq("view_ts", "view_v"))
+      .orderBy("user_id", "ts").collect()
+    def vts(r: Row): Any = if (r.isNullAt(3)) null else r.getTimestamp(3)
+    assert(vts(out(0)) == null)                     // (1, 01-01)
+    assert(vts(out(1)) == ts("2020-01-03"))         // (1, 01-03) inclusive
+    assert(vts(out(2)) == ts("2020-01-04"))         // (1, 01-05) latest
+    assert(vts(out(3)) == null)                     // (2, 01-05) keyless
+  }
 }
