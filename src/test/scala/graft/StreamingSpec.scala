@@ -52,6 +52,31 @@ class StreamingSpec extends SparkSpec {
     assert(viaStreamingOps.zip(viaQuery).forall { case (a, b) => a == b })
   }
 
+  test("watermark drops events later than the allowed lateness") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    // 10-minute lateness so the second batch's hour-old event is late
+    val agg = events.withWatermark("ts", "10 minutes")
+      .groupBy(org.apache.spark.sql.functions.window($"ts", "1 hour"), $"event_type")
+      .count()
+    val q = agg.writeStream.format("memory").queryName("late_data")
+      .outputMode("update").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((ts("2024-01-01 10:05:00"), "click", 1.0),
+      (ts("2024-01-01 12:00:00"), "click", 1.0)) // advances watermark to 11:50
+    q.processAllAvailable()
+    input.addData((ts("2024-01-01 10:10:00"), "click", 1.0)) // 10:xx window closed
+    q.processAllAvailable()
+    q.stop()
+    val tenOclock = spark.table("late_data")
+      .filter("window.start = TIMESTAMP '2024-01-01 10:00:00'")
+      .agg(org.apache.spark.sql.functions.max("count")).collect().head.getLong(0)
+    assert(tenOclock == 1L, "late event must not increment the closed window")
+  }
+
   test("flatMapGroupsWithState accumulates across micro-batches") {
     val spark2 = spark
     import spark2.implicits._
