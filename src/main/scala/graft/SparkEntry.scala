@@ -69,6 +69,7 @@ object SparkEntry {
     "ev_top_users" -> (Events.evTopUsers _),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
+    "pipeline_clean_corpus" -> (Text.pipelineCleanCorpus _),
     "tx_quality_score" -> (Text.txQualityScore _),
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
@@ -352,6 +353,29 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    "pipeline_clean_corpus" ->
+      """WITH base AS (
+        |  SELECT doc_id, lang, n_chars, text,
+        |    len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 30
+        |    AND CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text) > 0.7),
+        |exact AS (
+        |  SELECT * FROM base
+        |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
+        |blocked AS (
+        |  SELECT doc_id, lang, n_chars // 100 AS bucket,
+        |    list_distinct(string_split(text, ' ')) AS tokset, n_tokens
+        |  FROM exact),
+        |dups AS (
+        |  SELECT DISTINCT x.doc_id
+        |  FROM blocked x JOIN blocked y
+        |    ON x.lang = y.lang AND x.bucket = y.bucket AND y.doc_id < x.doc_id
+        |  WHERE CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE) /
+        |        (len(x.tokset) + len(y.tokset) - len(list_intersect(x.tokset, y.tokset))) >= 0.5)
+        |SELECT lang, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+        |FROM blocked b WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = b.doc_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_quality_score" ->
       """SELECT doc_id, lang, n_tokens, len_chars, n_alnum, n_stop,
         |  CAST(len_chars - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,

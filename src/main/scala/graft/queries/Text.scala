@@ -139,6 +139,46 @@ object Text {
       .orderBy("lang")
   }
 
+  /** The composed corpus-cleaning pipeline — what a pretraining data job
+    * actually runs, as ONE declarative plan: quality gate (token count +
+    * alphanumeric ratio) → exact dedup (min doc_id per md5) → blocked
+    * near-dedup (drop any doc with token-Jaccard ≥ 0.5 against a
+    * lower-id doc in its (lang, length-bucket) block) → per-language
+    * survivor stats. Every stage is a narrow transform or a blocked
+    * join, so the whole pipeline is a handful of bounded shuffles at any
+    * scale.
+    */
+  def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir)
+      .withColumn("toks", expr("split(text, ' ')"))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("alpha_ratio",
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS DOUBLE) / length(text)"))
+      .filter(col("n_tokens") >= 30 && col("alpha_ratio") > 0.7)
+    val exactDeduped = base
+      .withColumn("h", expr("md5(cast(text AS BINARY))"))
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY h ORDER BY doc_id)"))
+      .filter(col("rn") === 1)
+      .drop("h", "rn")
+    val blocked = exactDeduped.select(col("doc_id"), col("lang"),
+      (col("n_chars") / lit(100)).cast("long").as("bucket"),
+      expr("array_distinct(transform(toks, t -> xxhash64(t)))").as("tokset"),
+      col("n_tokens"))
+    val dupIds = blocked.as("x").join(blocked.as("y"),
+        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
+          col("y.doc_id") < col("x.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(x.tokset, y.tokset))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(x.tokset)") + expr("size(y.tokset)") - col("inter")) >= 0.5)
+      .select(col("x.doc_id").as("doc_id")).distinct()
+    blocked.join(dupIds, Seq("doc_id"), "left_anti")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_kept"),
+        sum("n_tokens").as("total_tokens"))
+      .orderBy("lang")
+  }
+
   /** MinHash + LSH near-dedup (no SQL oracle — xxhash64 is Spark-native;
     * correctness is covered by the ScalaTest planted-duplicate spec).
     * Shingle (3-token) → 16 minhash slots → 4 bands of 4 → band-hash
