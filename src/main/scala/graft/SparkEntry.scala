@@ -94,6 +94,7 @@ object SparkEntry {
     "a9_rollup" -> (Aggregates.a9Rollup _),
     "o4_percentiles" -> (Aggregates.o4Percentiles _),
     "a8_approx_distinct" -> (Aggregates.a8ApproxDistinct _),
+    "a10_approx_quantiles" -> (Aggregates.a10ApproxQuantiles _),
     // SQL front-end: a correlated-EXISTS (semi-join) query submitted as
     // text via spark.sql over registered views — Catalyst decorrelates it
     // into a LeftSemi hash join.

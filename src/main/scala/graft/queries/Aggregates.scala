@@ -68,4 +68,21 @@ object Aggregates {
         approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
+
+  /** Approximate quantiles via the Greenwald-Khanna sketch
+    * (`percentile_approx`) — mergeable partials like HLL, the scale
+    * replacement for exact sort-based percentiles. No SQL oracle (sketch
+    * internals are engine-specific); the spec bounds the rank error
+    * against the exact values.
+    */
+  def a10ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(
+        expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
+          .as("approx_q"),
+        count(lit(1)).as("n_rows"))
+      .selectExpr("o_orderstatus", "approx_q[0] AS q25", "approx_q[1] AS q50",
+        "approx_q[2] AS q75", "n_rows")
+      .orderBy("o_orderstatus")
 }

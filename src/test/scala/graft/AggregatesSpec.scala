@@ -29,6 +29,24 @@ class AggregatesSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles within tight rank error of exact percentiles") {
+    val approx = Aggregates.a10ApproxQuantiles(spark, dir).collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        (r.getAs[Double]("q25"), r.getAs[Double]("q50"), r.getAs[Double]("q75"))).toMap
+    val exact = Tables(spark, dir, "orders")
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("q"))
+      .collect()
+      .map(r => r.getAs[String]("o_orderstatus") ->
+        r.getSeq[Double](1)).toMap
+    exact.foreach { case (status, qs) =>
+      val (a25, a50, a75) = approx(status)
+      Seq(a25 -> qs(0), a50 -> qs(1), a75 -> qs(2)).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.05, s"$status: approx $a vs exact $e")
+      }
+    }
+  }
+
   test("salted sum equals plain sum") {
     val li = Tables(spark, dir, "lineitem")
     val salted = Skew.saltedSum(li,

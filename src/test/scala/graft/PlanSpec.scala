@@ -34,6 +34,12 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("entry flagship plan: no cartesian, keeps partial aggregation") {
+    val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("partial_sum"))
+  }
+
   test("q1 aggregate keeps its map-side partial phase") {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, dir)
       .queryExecution.executedPlan.toString
