@@ -189,11 +189,15 @@ object Text {
   def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
+    // Shingles never materialize as strings: tokens hash once, then each
+    // 3-shingle is a hash-of-three-longs — no concat allocation, and the
+    // downstream Jaccard confirmation compares 8-byte values.
     val shingled = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("shingles",
-        expr("transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+        expr("transform(sequence(0, size(th) - 3), i -> xxhash64(th[i], th[i+1], th[i+2]))"))
       .select(col("doc_id"), col("lang"), col("shingles"))
     // The 16-slot signature is the expensive expression (16 × |shingles|
     // seeded xxhash64 evaluations per doc). Cached so the banding pass
