@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Custom Catalyst expression for the one hot-path Spark's built-ins can't
   * express efficiently (SURVEY.md §7.3 tier (b)): the float-vector dot
@@ -80,6 +80,81 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a pre-hashed token array: bit b of the result is set
+  * iff the count of inputs with bit b set exceeds the count without. Same
+  * semantics as the higher-order-function formulation in
+  * `graft.queries.Text.ddSimhash`, but as one codegen'd loop instead of
+  * 64 × |tokens| interpreted lambda steps. Null input or a null element
+  * yields null.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash64 requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val counters = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val h = xs.getLong(i)
+      var b = 0
+      while (b < 64) {
+        counters(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) {
+      if (counters(b) > 0) out |= (1L << b)
+      b += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val h = ctx.freshName("h")
+      val counters = ctx.freshName("counters")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counters = new int[64];
+         |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  long $h = $a.getLong($i);
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    $counters[$b] += ((($h >> $b) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |if (!${ev.isNull}) {
+         |  long $out = 0L;
+         |  for (int $b = 0; $b < 64; $b++) {
+         |    if ($counters[$b] > 0) $out |= (1L << $b);
+         |  }
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private[functions] val fid = FunctionIdentifier("float_dot")
@@ -90,14 +165,28 @@ object VectorFunctions {
     FloatVectorDot(exprs.head, exprs(1)): Expression
   }
 
-  /** Idempotently register `float_dot` in this session's function registry
-    * so `expr("float_dot(a, b)")` resolves. Called lazily at query-build
-    * time — works for any session, extensions-configured or not.
+  private[functions] val simhashFid = FunctionIdentifier("simhash64")
+  private[functions] val simhashInfo =
+    new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
+  private[functions] val simhashBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 1, "simhash64 takes exactly 1 argument")
+    SimHash64(exprs.head): Expression
+  }
+
+  /** Idempotently register the custom functions in this session's registry
+    * so `expr("float_dot(a, b)")` / `expr("simhash64(a)")` resolve.
+    * Called lazily at query-build time — works for any session,
+    * extensions-configured or not.
     */
-  def ensureRegistered(spark: SparkSession): Unit =
+  def ensureRegistered(spark: SparkSession): Unit = {
     if (!spark.sessionState.functionRegistry.functionExists(fid)) {
       spark.sessionState.functionRegistry.registerFunction(fid, info, builder)
     }
+    if (!spark.sessionState.functionRegistry.functionExists(simhashFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        simhashFid, simhashInfo, simhashBuilder)
+    }
+  }
 }
 
 /** `SparkSessionExtensions` hook: sessions built with
@@ -107,7 +196,11 @@ object VectorFunctions {
   * registration is not wanted.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       VectorFunctions.fid, VectorFunctions.info, VectorFunctions.builder))
+    ext.injectFunction((
+      VectorFunctions.simhashFid, VectorFunctions.simhashInfo,
+      VectorFunctions.simhashBuilder))
+  }
 }

@@ -234,16 +234,13 @@ object Text {
   def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    // The 64-bit fold costs 64 × |tokens| lambda steps per doc; cache the
-    // tiny (doc_id, simhash) projection so the self-join's two sides and
-    // the pushed-down join-key filters don't re-evaluate it.
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // simhash64 is the codegen'd expression (one tight loop per doc); the
+    // tiny (doc_id, simhash) projection is still cached so the self-join's
+    // two sides and pushed-down join-key filters evaluate it once.
     val hashed = docs(spark, dir)
       .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
-      .withColumn("simhash",
-        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
-                 acc + CASE WHEN aggregate(hs, 0L, (s, h) ->
-                   s + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END) > 0
-                 THEN shiftleft(1L, b) ELSE 0L END)"""))
+      .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         expr("shiftright(simhash, 48)").as("block"))
       .cache()

@@ -45,6 +45,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.isNullAt(1), "null element must be NULL")
   }
 
+  test("simhash64 equals the interpreted double-fold formulation") {
+    VectorFunctions.ensureRegistered(spark)
+    val both = Tables(spark, "/root/testdata/sf0.01", "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .select(
+        expr("simhash64(hs)").as("fast"),
+        expr("""aggregate(sequence(0, 63), 0L, (acc, b) ->
+                 acc + CASE WHEN aggregate(hs, 0L, (s, h) ->
+                   s + CASE WHEN ((h >> b) & 1) = 1 THEN 1L ELSE -1L END) > 0
+                 THEN shiftleft(1L, b) ELSE 0L END)""").as("fold"))
+      .collect()
+    assert(both.length == 200)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("simhash64 null handling") {
+    VectorFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      """SELECT simhash64(CAST(NULL AS ARRAY<BIGINT>)) AS a,
+        |       simhash64(array(CAST(NULL AS BIGINT), 5L)) AS b,
+        |       simhash64(array(CAST(0 AS BIGINT))) AS c""".stripMargin)
+      .collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+    assert(out.getLong(2) == 0L) // all counters negative -> no bits set
+  }
+
   test("GraftExtensions registers float_dot at session build") {
     val s2 = SparkSession.builder()
       .master("local[2]")
