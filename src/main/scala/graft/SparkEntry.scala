@@ -60,6 +60,7 @@ object SparkEntry {
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
     "f5_string_normalize" -> (Relational.f5StringNormalize _),
+    "f14_date_format" -> (Relational.f14DateFormat _),
     "p5_anti_join" -> (Relational.p5AntiJoin _),
     "p6_null_drop" -> (Relational.p6NullDrop _),
     "ev_tumbling_window" -> (Events.evTumblingWindow _),
@@ -284,6 +285,11 @@ object SparkEntry {
       """SELECT c_custkey,
         |  upper(substring(regexp_replace(c_name, '[^A-Za-z0-9]', '', 'g'), 1, 8)) AS norm_id
         |FROM customer WHERE c_custkey <= 300 ORDER BY c_custkey""".stripMargin,
+    "f14_date_format" ->
+      """SELECT strftime(o_orderdate, '%Y-%m') AS month_key,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_price
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "p5_anti_join" ->
       """SELECT c_custkey, c_name, c_nationkey
         |FROM customer LEFT JOIN orders ON c_custkey = o_custkey

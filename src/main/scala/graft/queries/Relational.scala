@@ -246,6 +246,17 @@ object Relational {
       .select("c_custkey", "c_name", "c_nationkey")
       .orderBy("c_custkey")
 
+  /** F14 (date string formatting, `wrds_ingestion.py:44,1157`): format
+    * timestamps to string keys — here the per-month revenue ledger keyed
+    * by a 'yyyy-MM' label.
+    */
+  def f14DateFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy(date_format(col("o_orderdate"), "yyyy-MM").as("month_key"))
+      .agg(count(lit(1)).as("n_orders"),
+        Exact.sumFixed(col("o_totalprice"), 2).as("sum_price"))
+      .orderBy("month_key")
+
   /** P6 (null-drop, `wrds_ingestion.py:789,891`): `.na.drop` on join-produced
     * nulls — dropping rows whose subset columns are null.
     */

@@ -165,6 +165,9 @@ object Text {
       (col("n_chars") / lit(100)).cast("long").as("bucket"),
       expr("array_distinct(transform(toks, t -> xxhash64(t)))").as("tokset"),
       col("n_tokens"))
+      // evaluated by both self-join sides and the anti join — cache, or
+      // the whole quality+md5+window chain runs three times
+      .cache()
     val dupIds = blocked.as("x").join(blocked.as("y"),
         col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
           col("y.doc_id") < col("x.doc_id"))
