@@ -75,6 +75,7 @@ object SparkEntry {
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
+    "tx_hash_sample" -> (Text.txHashSample _),
     "dd_exact" -> (Text.ddExact _),
     "dd_ngram_jaccard" -> (Text.ddNgramJaccard _),
     "dd_minhash_lsh" -> (Text.ddMinhashLsh _),
@@ -426,6 +427,20 @@ object SparkEntry {
         |    list_transform(range(1, length(text) + 1), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
+    "tx_hash_sample" ->
+      """WITH hashed AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+        |bern AS (
+        |  SELECT lang, count(*) AS n_bernoulli FROM hashed
+        |  WHERE substring(h, 1, 1) < '2' GROUP BY 1),
+        |strat AS (
+        |  SELECT lang, count(*) AS n_stratified, min(doc_id) AS min_sampled_id
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+        |        FROM hashed)
+        |  WHERE rn <= 10 GROUP BY 1)
+        |SELECT COALESCE(b.lang, s.lang) AS lang, n_bernoulli, n_stratified, min_sampled_id
+        |FROM bern b FULL JOIN strat s ON b.lang = s.lang
+        |ORDER BY lang""".stripMargin,
     "dd_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,
