@@ -428,19 +428,15 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS fingerprint
         |FROM documents WHERE doc_id < 300 ORDER BY doc_id""".stripMargin,
     "tx_hash_sample" ->
-      """WITH hashed AS (
-        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
-        |bern AS (
-        |  SELECT lang, count(*) AS n_bernoulli FROM hashed
-        |  WHERE substring(h, 1, 1) < '2' GROUP BY 1),
-        |strat AS (
-        |  SELECT lang, count(*) AS n_stratified, min(doc_id) AS min_sampled_id
-        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
-        |        FROM hashed)
-        |  WHERE rn <= 10 GROUP BY 1)
-        |SELECT COALESCE(b.lang, s.lang) AS lang, n_bernoulli, n_stratified, min_sampled_id
-        |FROM bern b FULL JOIN strat s ON b.lang = s.lang
-        |ORDER BY lang""".stripMargin,
+      """WITH r AS (
+        |  SELECT doc_id, lang, md5(CAST(doc_id AS VARCHAR)) AS h,
+        |    row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN substring(h, 1, 1) < '2' THEN 1 ELSE 0 END) AS BIGINT) AS n_bernoulli,
+        |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_stratified,
+        |  min(CASE WHEN rn <= 10 THEN doc_id END) AS min_sampled_id
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,

@@ -91,27 +91,27 @@ object Text {
           .as("fingerprint"))
       .orderBy("doc_id")
 
-  /** Deterministic content-addressed sampling — the reproducible
-    * subsetting a training pipeline needs (same sample on every run, any
-    * partitioning, any engine, no RNG state): a ~12.5% Bernoulli sample
-    * selected by md5 prefix, plus a stratified per-language sample of the
-    * 10 lowest-hash documents. Both reduce to pure hash comparisons, so
-    * the oracle reproduces them exactly.
+  /** Deterministic key-addressed sampling (beyond-reference extension,
+    * SURVEY.md §7.5): reproducible subsetting with no RNG state — the
+    * same sample on every run, any partitioning, any engine. A ~12.5%
+    * Bernoulli sample selected by the md5 prefix of the stable doc id,
+    * and a stratified per-language sample of the 10 lowest-hash docs,
+    * both from one scan + one window (no join). For duplicate-consistent
+    * (content-addressed) selection, hash the text instead, as
+    * [[ddExact]] does.
     */
-  def txHashSample(spark: SparkSession, dir: String): DataFrame = {
-    val hashed = docs(spark, dir)
+  def txHashSample(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
       .withColumn("h", expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"))
-    val bernoulli = hashed.filter(expr("substring(h, 1, 1) < '2'")) // 2/16
-      .groupBy("lang").agg(count(lit(1)).as("n_bernoulli"))
-    val stratified = hashed
       .withColumn("rn", expr(
         "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)"))
-      .filter(col("rn") <= 10)
-      .groupBy("lang").agg(count(lit(1)).as("n_stratified"),
-        min("doc_id").as("min_sampled_id"))
-    bernoulli.join(stratified, Seq("lang"), "full")
+      .groupBy("lang")
+      .agg(
+        sum(when(expr("substring(h, 1, 1) < '2'"), 1L).otherwise(0L))
+          .as("n_bernoulli"), // 2/16 of the hex prefix space
+        sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_stratified"),
+        min(when(col("rn") <= 10, col("doc_id"))).as("min_sampled_id"))
       .orderBy("lang")
-  }
 
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
     * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
