@@ -58,6 +58,26 @@ object StreamingOps {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: purchases matched to the same user's
+    * view events from the preceding hour. Both sides carry watermarks so
+    * the join state is bounded — Spark drops buffered view rows once the
+    * purchase-side watermark passes the interval's upper bound. Works
+    * identically on batch frames (watermarks become no-ops).
+    */
+  def purchaseViewJoin(purchases: DataFrame, views: DataFrame,
+      lateness: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", lateness)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"), col("value").as("purchase_value"))
+    val v = views.withWatermark("ts", lateness)
+      .select(col("user_id").as("v_user_id"), col("ts").as("view_ts"))
+    p.join(v,
+      col("user_id") === col("v_user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("view_ts") >= col("purchase_ts") - expr("INTERVAL 1 HOUR"))
+      .select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_ts")
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

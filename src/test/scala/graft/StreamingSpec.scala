@@ -52,6 +52,41 @@ class StreamingSpec extends SparkSpec {
     assert(viaStreamingOps.zip(viaQuery).forall { case (a, b) => a == b })
   }
 
+  test("stream-stream interval join matches its batch twin") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val vIn = MemoryStream[(Long, Long, java.sql.Timestamp, Double)]
+    val pDf = pIn.toDF().toDF("event_id", "user_id", "ts", "value")
+    val vDf = vIn.toDF().toDF("event_id", "user_id", "ts", "value")
+    val q = StreamingOps.purchaseViewJoin(pDf, vDf)
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    // user 1: view 10:00 then purchase 10:30 (match); view 8:00 (too old)
+    // user 2: purchase with no view
+    vIn.addData((100L, 1L, ts("2024-01-01 10:00:00"), 0.1),
+      (101L, 1L, ts("2024-01-01 08:00:00"), 0.2))
+    pIn.addData((200L, 1L, ts("2024-01-01 10:30:00"), 9.99),
+      (201L, 2L, ts("2024-01-01 10:30:00"), 5.00))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ss_join").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("purchase_id") == 200L)
+    assert(rows.head.getAs[java.sql.Timestamp]("view_ts") == ts("2024-01-01 10:00:00"))
+    // batch twin over the same data agrees
+    val pB = Seq((200L, 1L, ts("2024-01-01 10:30:00"), 9.99),
+      (201L, 2L, ts("2024-01-01 10:30:00"), 5.00))
+      .toDF("event_id", "user_id", "ts", "value")
+    val vB = Seq((100L, 1L, ts("2024-01-01 10:00:00"), 0.1),
+      (101L, 1L, ts("2024-01-01 08:00:00"), 0.2))
+      .toDF("event_id", "user_id", "ts", "value")
+    val batch = StreamingOps.purchaseViewJoin(pB, vB).collect()
+    assert(batch.toSeq == rows.toSeq)
+  }
+
   test("watermark drops events later than the allowed lateness") {
     val spark2 = spark
     import spark2.implicits._
