@@ -84,7 +84,6 @@ object SparkEntry {
     "sim_lsh_buckets" -> (Similarity.simLshBuckets _),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "mm_frame_features" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
@@ -110,7 +109,6 @@ object SparkEntry {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),
     "mm_decode_features" -> ((s, dir) => {
-      import org.apache.spark.sql.functions.col
       graft.multimodal.Multimodal.decodeStub(
         graft.multimodal.Multimodal.fromDocuments(
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
@@ -125,7 +123,7 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-03-31 23:59:59'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_shipdate""".stripMargin,
     "s6_trading_calendar" ->
       """SELECT d AS date, true AS is_trading_day
         |FROM (SELECT unnest(generate_series(TIMESTAMP '1995-01-01', TIMESTAMP '1996-12-31', INTERVAL 1 DAY)) AS d)

@@ -27,7 +27,10 @@ object Core {
     Tables(spark, dir, "lineitem")
       .filter(col("l_shipdate").between(lit("1996-01-01"), lit("1996-03-31 23:59:59")))
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
-      .orderBy("l_orderkey", "l_linenumber")
+      // the synthetic lineitem has duplicate (orderkey, linenumber) pairs,
+      // so the ORDER BY covers all output columns — ties would otherwise
+      // make the positional oracle compare nondeterministic
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_shipdate")
 
   /** S6: trading-calendar generator — business-day (Mon-Fri) date range,
     * no holiday calendar, matching the reference's `pd.bdate_range`

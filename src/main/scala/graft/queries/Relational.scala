@@ -84,8 +84,7 @@ object Relational {
       .filter(col("o_start") <= col("o_end"))
       .groupBy("nationkey")
       .agg(count(lit(1)).as("n_pairs"),
-        sum(datediff(col("o_end"), col("o_start"))).cast("long")
-          .as("total_overlap_days"))
+        sum(datediff(col("o_end"), col("o_start"))).as("total_overlap_days"))
       .orderBy("nationkey")
   }
 
@@ -241,8 +240,8 @@ object Relational {
     */
   def p5AntiJoin(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "customer")
-      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
-      .filter(col("o_orderkey").isNull)
+      .join(Tables(spark, dir, "orders"), col("c_custkey") === col("o_custkey"),
+        "left_anti") // never materializes matched pairs, unlike outer+IS NULL
       .select("c_custkey", "c_name", "c_nationkey")
       .orderBy("c_custkey")
 
