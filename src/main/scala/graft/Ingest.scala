@@ -18,10 +18,18 @@ object Ingest {
   private val defaultStart = "2000-01-01" // wrds_ingestion.py:19-20
   private val defaultEnd = "2025-01-01"
 
+  /** @param partitionPanels write the big panel datasets (prices_daily,
+    *   returns_daily, sp500_membership) date-partitioned via
+    *   [[Layout.writeDatePartitioned]] instead of flat — the layout a
+    *   100 TB deployment needs for partition pruning. Dimension-sized and
+    *   per-quarter datasets stay flat (partitioning them would just make
+    *   small files).
+    */
   def run(spark: SparkSession, equity: EquitySource, macroSrc: MacroSource,
       root: String, start: String = defaultStart, end: String = defaultEnd,
       saveRaw: Boolean = false,
-      macroSeries: Seq[String] = Seq("CPIAUCSL", "UNRATE", "INDPRO")): Result = {
+      macroSeries: Seq[String] = Seq("CPIAUCSL", "UNRATE", "INDPRO"),
+      partitionPanels: Boolean = false): Result = {
 
     val processed = s"$root/data_processed"
     val meta = s"$root/data_meta"
@@ -149,9 +157,12 @@ object Ingest {
     }
 
     step("Write processed datasets") {
-      write(prices, s"$processed/prices_daily.parquet")
-      write(returns, s"$processed/returns_daily.parquet")
-      write(membership, s"$processed/sp500_membership.parquet")
+      def writePanel(df: DataFrame, path: String): Unit =
+        if (partitionPanels) Layout.writeDatePartitioned(df, path)
+        else write(df, path)
+      writePanel(prices, s"$processed/prices_daily.parquet")
+      writePanel(returns, s"$processed/returns_daily.parquet")
+      writePanel(membership, s"$processed/sp500_membership.parquet")
       write(fundamentals, s"$processed/fundamentals_quarterly.parquet")
       write(consensus, s"$processed/analyst_consensus.parquet")
       write(ratings, s"$processed/analyst_ratings_history.parquet")

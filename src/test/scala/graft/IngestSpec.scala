@@ -122,6 +122,23 @@ class IngestSpec extends SparkSpec {
       Row(ts("2020-01-02"), 0.01), Row(ts("2020-01-03"), -0.02))
   }
 
+  test("partitioned ingest writes pruned panel layouts, same data") {
+    val root = Files.createTempDirectory("graft-ingest-part").toString
+    Ingest.run(spark, new SyntheticEquitySource(spark),
+      new StubMacroSource(spark), root,
+      start = "2020-01-01", end = "2020-12-31", partitionPanels = true)
+    // panel written under _p_year/_p_month directories...
+    val dirs = new java.io.File(s"$root/data_processed/prices_daily.parquet")
+      .listFiles().map(_.getName).filter(_.startsWith("_p_year="))
+    assert(dirs.nonEmpty)
+    // ...and readDateRange round-trips with the original row count
+    val all = Layout.readDateRange(spark,
+      s"$root/data_processed/prices_daily.parquet", "date",
+      "2020-01-01", "2020-12-31")
+    assert(all.count() == 4)
+    assert(all.columns.toSet.intersect(Set("_p_year", "_p_month")).isEmpty)
+  }
+
   test("full 17-step ingest produces queryable datasets end-to-end") {
     val root = Files.createTempDirectory("graft-ingest").toString
     val result = Ingest.run(spark, new SyntheticEquitySource(spark),
