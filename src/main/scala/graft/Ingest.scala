@@ -49,6 +49,17 @@ object Ingest {
     }
     def write(df: DataFrame, path: String): Unit =
       df.write.mode("overwrite").parquet(path)
+    // §2.12 degraded plans at the EXECUTION boundary: Spark frames are
+    // lazy, so a missing warehouse table only surfaces when the plan
+    // runs. Probe with limit(1) (the analog of the reference's
+    // list_tables/try-except availability checks) and degrade optional
+    // sources to schema-stable empties instead of aborting the run.
+    def probeOrEmpty(body: => DataFrame, schemaName: String): DataFrame =
+      scala.util.Try { val df = body; df.limit(1).collect(); df }
+        .getOrElse {
+          println(s"  ! optional source unavailable; continuing with empty $schemaName")
+          Schemas.emptyOf(spark, schemaName)
+        }
 
     step("Connect to source") { () } // boundary held by the EquitySource impl
 
@@ -58,12 +69,15 @@ object Ingest {
     // Entity IN-lists are small (S&P 500 ≈ 1.2k permnos over 25y); the
     // collect mirrors the reference's `_sql_list` (`wrds_ingestion.py:24-28`)
     // and feeds the source-side pushdown.
-    val permnos = universe.select("permno").distinct()
+    val permnos = universe.select(col("permno").cast("long")).distinct()
       .collect().map(_.getLong(0)).toSeq
 
     val assetsMaster = step("Build assets master") {
       val names = equity.nameRecords(permnos)
-      val ipo = equity.ipoDates(permnos)
+      // optional table (wrds_ingestion.py:148-152 catches and skips)
+      val ipo = scala.util.Try {
+        val df = equity.ipoDates(permnos); df.limit(1).collect(); df
+      }.getOrElse(Schemas.emptyOf(spark, "ipo_dates"))
       val enriched =
         if (ipo.isEmpty) names
         else names.join(ipo, Seq("asset_id"), "left")
@@ -87,10 +101,14 @@ object Ingest {
       val p = equity.pricesDaily(permnos, start, end)
         .withColumnRenamed("permno", "asset_id")
         .withColumn("adj_close", col("close") * col("cfacpr")) // F1
-      val withTickers = Transforms.attachTickers(p, assetsMaster)
+      // cached: the frame feeds returns, the dividends close-attach, the
+      // raw snapshot and the processed write — uncached, each write
+      // would re-run the full warehouse download (and could observe
+      // different warehouse state mid-run)
+      val withTickers = Transforms.attachTickers(p, assetsMaster).cache()
       val rets = Transforms.applyDelistReturns(
         Transforms.buildReturns(withTickers),
-        equity.delistEvents(permnos, start, end))
+        probeOrEmpty(equity.delistEvents(permnos, start, end), "delists"))
       (withTickers, rets)
     }
 
@@ -102,11 +120,15 @@ object Ingest {
     }
 
     val consensus = step("Download analyst consensus") {
-      buildConsensus(equity.consensusSummary(ibesTickers, start, end), idxref)
+      buildConsensus(
+        probeOrEmpty(equity.consensusSummary(ibesTickers, start, end), "recdsum"),
+        idxref)
     }
 
     val ratings = step("Download analyst rating history") {
-      buildRatingsHistory(equity.ratingsDetail(ibesTickers, start, end), idxref)
+      buildRatingsHistory(
+        probeOrEmpty(equity.ratingsDetail(ibesTickers, start, end), "recddet"),
+        idxref)
     }
 
     val (factors, riskFree, ffRaw) = step("Download style factors and risk-free") {
@@ -128,31 +150,48 @@ object Ingest {
     val (pricesMonthly, returnsMonthly) = step("Download monthly prices/returns") {
       val pm = equity.pricesMonthly(permnos, start, end)
         .withColumnRenamed("permno", "asset_id")
+        .cache() // reused by returns_monthly, dividends and the raw write
+      // keep the raw ret alongside the delist-adjusted ret_1m, matching
+      // the reference's output schema (wrds_ingestion.py:466-478)
       val rm = Transforms.applyDelistReturns(
-        pm.select(col("date"), col("asset_id"), col("ret").as("ret_1m"),
-          col("close").as("price"), col("volume"), col("shrout")),
-        equity.delistEvents(permnos, start, end), retCol = "ret_1m")
+        pm.select(col("date"), col("asset_id"), col("ret"),
+          col("ret").as("ret_1m"), col("close").as("price"), col("volume"),
+          col("shrout")),
+        probeOrEmpty(equity.delistEvents(permnos, start, end), "delists"),
+        retCol = "ret_1m")
       (pm, rm)
     }
 
     val dividends = step("Download dividends") {
-      val raw = equity.dividends(permnos, start, end)
+      val raw = probeOrEmpty(equity.dividends(permnos, start, end), "dividends_raw")
       if (raw.isEmpty) raw
-      else Transforms.cleanDividends(
-        raw.join(pricesMonthly.select("asset_id", "date", "close"),
+      else {
+        val withClose = raw.join(pricesMonthly.select("asset_id", "date", "close"),
           Seq("asset_id", "date"), "left")
-          .withColumn("ord", xxhash64(struct(col("asset_id"), col("date"), col("divamt")))),
-        prices, "ord")
+        // hash EVERY column for the dedup ordering: two same-day rows with
+        // equal divamt but different distcd must not tie
+        Transforms.cleanDividends(
+          withClose.withColumn("ord",
+            xxhash64(struct(withClose.columns.map(col): _*))),
+          prices, "ord")
+      }
     }
 
     step(if (saveRaw) "Write raw snapshots" else "Skip raw snapshots") {
       if (saveRaw) {
+        // full raw-snapshot set of wrds_ingestion.py:1117-1133
         write(prices, s"$raw/prices_raw.parquet")
         write(universe, s"$raw/sp500_membership_raw.parquet")
+        write(assetsMaster, s"$raw/assets_master_raw.parquet")
         write(fundamentals, s"$raw/fundamentals_raw.parquet")
         write(idxref, s"$raw/ibes_idxref_raw.parquet")
+        write(consensus, s"$raw/analyst_consensus_raw.parquet")
+        write(ratings, s"$raw/analyst_ratings_history_raw.parquet")
         write(ffRaw, s"$raw/style_factors_raw.parquet")
+        write(macroTs, s"$raw/macro_raw.parquet")
+        write(benchmark, s"$raw/benchmark_raw.parquet")
         write(pricesMonthly, s"$raw/prices_monthly_raw.parquet")
+        write(dividends, s"$raw/dividends_monthly_raw.parquet")
       }
     }
 
@@ -288,16 +327,24 @@ object Ingest {
       java.nio.file.Paths.get(s"$meta/data_sources.yml"), yml.toString)
 
     // Column-level field manifest across all written datasets (K2,
-    // `wrds_ingestion.py:1200-1244`).
-    val rows = datasets.map(_._1).flatMap { name =>
-      scala.util.Try(spark.read.parquet(s"$processed/$name.parquet").schema)
-        .toOption.toSeq.flatMap(_.fields.map(f =>
-          (name, f.name, f.dataType.simpleString)))
+    // `wrds_ingestion.py:1200-1244`); internal partition columns are not
+    // part of any dataset's schema.
+    val metaDatasets = Seq("assets_master", "universe_sp500", "trading_calendar")
+    val rows =
+      datasets.map(n => (n._1, s"$processed/${n._1}.parquet")) ++
+        metaDatasets.map(n => (n, s"$meta/$n.parquet"))
+    val lines = rows.flatMap { case (name, path) =>
+      scala.util.Try(spark.read.parquet(path).schema).toOption.toSeq
+        .flatMap(_.fields
+          .filterNot(f => f.name == "_p_year" || f.name == "_p_month")
+          .map(f => s"$name,${f.name},${f.dataType.simpleString}"))
     }
-    val csv = ("dataset,field,dtype" +: rows.map { case (d, f, t) => s"$d,$f,$t" })
-      .mkString("\n")
+    val csv = ("dataset,field,dtype" +: lines).mkString("\n")
     new java.io.File(s"$root/reference").mkdirs()
+    // written to both locations, like the reference (`wrds_ingestion.py:1241-1243`)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$root/reference/field_manifest.csv"), csv)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$meta/field_manifest.csv"), csv)
   }
 }

@@ -36,7 +36,9 @@ class LocalParquetDataHandler(
   private def readParquet(path: String): DataFrame = {
     if (!Files.exists(Paths.get(path)))
       throw new java.io.FileNotFoundException(s"Missing dataset at $path")
-    spark.read.parquet(path)
+    // datasets may be written date-partitioned (Layout); the reserved
+    // partition columns are internal and never part of the API schema
+    spark.read.parquet(path).drop("_p_year", "_p_month")
   }
 
   private lazy val tickerToAssetId: Map[String, Long] =

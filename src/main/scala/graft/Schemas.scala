@@ -46,10 +46,12 @@ object Schemas {
   val returnsDaily: StructType = StructType(Seq(
     ts("date"), lng("asset_id"), str("ticker"), dbl("ret_1d")))
 
-  /** `data_processed/returns_monthly.parquet` (`wrds_ingestion.py:466-478`). */
+  /** `data_processed/returns_monthly.parquet` (`wrds_ingestion.py:466-478`):
+    * raw `ret` is kept alongside the delist-adjusted `ret_1m`.
+    */
   val returnsMonthly: StructType = StructType(Seq(
-    ts("date"), lng("asset_id"), dbl("ret_1m"), dbl("price"), lng("volume"),
-    lng("shrout")))
+    ts("date"), lng("asset_id"), dbl("ret"), dbl("ret_1m"), dbl("price"),
+    lng("volume"), lng("shrout")))
 
   /** `data_processed/sp500_membership.parquet`. */
   val sp500Membership: StructType = StructType(Seq(
@@ -97,8 +99,29 @@ object Schemas {
     lng("asset_id"), ts("date"), dbl("divamt"), lng("distcd"), dbl("facpr"),
     dbl("facshr"), dbl("close"), dbl("dividend_yield")))
 
+  /** Raw-source fallback schemas for the ingest degradation probes. */
+  val ipoDates: StructType = StructType(Seq(lng("asset_id"), ts("ipodate")))
+  val delists: StructType = StructType(Seq(
+    lng("asset_id"), ts("date"), dbl("delret")))
+  val recdsum: StructType = StructType(Seq(
+    ts("statpers"), str("ticker"), str("oftic"), str("cusip"), str("cname"),
+    dbl("buypct"), dbl("holdpct"), dbl("sellpct"), dbl("meanrec"),
+    dbl("medrec"), dbl("stdev"), lng("numup"), lng("numdown"),
+    lng("numrec"), lng("usfirm")))
+  val recddet: StructType = StructType(Seq(
+    str("ticker"), ts("anndats"), lng("analys"), dbl("ireccd"),
+    str("etext"), str("itext"), ts("statpers")))
+  val dividendsRaw: StructType = StructType(Seq(
+    lng("asset_id"), lng("distcd"), dbl("divamt"), dbl("facpr"),
+    dbl("facshr"), ts("date")))
+
   /** All named dataset schemas, keyed by dataset name. */
   val all: Map[String, StructType] = Map(
+    "ipo_dates" -> ipoDates,
+    "delists" -> delists,
+    "recdsum" -> recdsum,
+    "recddet" -> recddet,
+    "dividends_raw" -> dividendsRaw,
     "assets_master" -> assetsMaster,
     "trading_calendar" -> tradingCalendar,
     "universe_sp500" -> universeSp500,

@@ -287,15 +287,20 @@ object Transforms {
         valueCols.map(col): _*)
     // Right rows sort BEFORE left rows at equal time (__is_left asc), so
     // rightTime == leftTime matches (inclusive as-of), matching DuckDB's
-    // ASOF JOIN `ON l.t >= r.t`.
+    // ASOF JOIN `ON l.t >= r.t`. The carried value is the whole right ROW
+    // as a struct — carrying columns independently with ignoreNulls would
+    // skip a newer right row's legitimate null and could stitch fields
+    // from different right rows together.
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__is_left").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(l.unionByName(r)) { (df, c) =>
-      df.withColumn(c, last(when(col("__is_left") === 0, col(c)), ignoreNulls = true).over(w))
-    }
+    val carried = l.unionByName(r)
+      .withColumn("__rrow",
+        last(when(col("__is_left") === 0, struct(valueCols.map(col): _*)),
+          ignoreNulls = true).over(w))
     carried.filter(col("__is_left") === 1)
-      .select(leftCols.map(col) ++ valueCols.map(col): _*)
+      .select(leftCols.map(col) ++
+        valueCols.map(c => col(s"__rrow.$c").as(c)): _*)
   }
 
   /** §2.12: degraded-plan ladder — try each source builder in order,

@@ -113,7 +113,10 @@ class JdbcEquitySource(spark: SparkSession, url: String,
        |  and datadate between '$start' and '$end'""".stripMargin)
 
   def ibesIds(end: String): DataFrame = sql(
-    s"""select ticker, cusip, cname, sdates as start_date, null as end_date
+    // typed NULL: a bare `null` resolves to text over JDBC and would
+    // silently coerce the whole idxref end_date pipeline to strings
+    s"""select ticker, cusip, cname, sdates as start_date,
+       |  cast(null as date) as end_date
        |from tr_ibes.id where sdates <= '$end'""".stripMargin)
 
   def crspCusipNames(permnos: Seq[Long], start: String, end: String): DataFrame = sql(

@@ -248,4 +248,22 @@ class TransformsSpec extends SparkSpec {
     assert(vts(out(2)) == ts("2020-01-04"))         // (1, 01-05) latest
     assert(vts(out(3)) == null)                     // (2, 01-05) keyless
   }
+
+  test("asof join carries whole right rows: a newer null value is not skipped") {
+    val left = df(
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("amount", DoubleType))),
+      Row(1L, ts("2020-01-05"), 10.0))
+    val right = df(
+      StructType(Seq(StructField("user_id", LongType), StructField("ts", TimestampType),
+        StructField("view_ts", TimestampType), StructField("view_v", DoubleType))),
+      Row(1L, ts("2020-01-02"), ts("2020-01-02"), 0.2),   // older, non-null
+      Row(1L, ts("2020-01-04"), ts("2020-01-04"), null))  // latest, null value
+    val out = Transforms.asofJoin(left, right, Seq("user_id"), "ts", "ts",
+      Seq("view_ts", "view_v")).collect().head
+    // the latest right ROW wins as a unit: its timestamp attaches AND its
+    // null value stays null (not the older 0.2)
+    assert(out.getTimestamp(3) == ts("2020-01-04"))
+    assert(out.isNullAt(4))
+  }
 }
