@@ -16,18 +16,30 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.names.foreach(n =>
       scala.util.Try(Tables(spark, sfDir, n).selectExpr("count(*)").collect()))
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes every row and column of the result —
       // unlike count(), which lets Catalyst prune sorts and projections.
+      // A failed query is recorded loudly instead of silently scoring ~0 s
+      // (round 1 flagged the swallowed Throwable).
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
+      catch {
+        case e: Throwable =>
+          val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+          errors(name) = msg
+          System.err.println(s"BENCH ERROR $name -> $msg")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replace("\n", " ") + "\""
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -70,18 +70,18 @@ object SparkEntry {
     "ev_top_users" -> (Events.evTopUsers _),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
-    "pipeline_clean_corpus" -> (Text.pipelineCleanCorpus _),
+    "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
     "tx_quality_score" -> (Text.txQualityScore _),
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_hash_sample" -> (Text.txHashSample _),
     "dd_exact" -> (Text.ddExact _),
-    "dd_ngram_jaccard" -> (Text.ddNgramJaccard _),
-    "dd_minhash_lsh" -> (Text.ddMinhashLsh _),
-    "dd_simhash" -> (Text.ddSimhash _),
+    "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
+    "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
+    "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> (Similarity.simCosineTopk _),
-    "sim_lsh_buckets" -> (Similarity.simLshBuckets _),
+    "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -89,8 +89,8 @@ object SparkEntry {
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
         .orderBy("media_id", "frame_idx")
     }),
-    "dd_embedding_cosine" -> (Similarity.ddEmbeddingCosine _),
-    "sim_lsh_ann" -> (Similarity.simLshAnn _),
+    "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
+    "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "u4_pivot" -> (Aggregates.u4Pivot _),
     "a9_rollup" -> (Aggregates.a9Rollup _),
     "o4_percentiles" -> (Aggregates.o4Percentiles _),
@@ -359,28 +359,41 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    // Replicates graft.functions.MinHashBands bit-for-bit: shingle_i =
+    // toks[i]||' '||..., slot_j = min md5(shingle||':'||j) (hex compare),
+    // band_b = md5(slot_{4b}||..||slot_{4b+3}) — so candidate pairs, not
+    // just final counts, are identical across engines.
     "pipeline_clean_corpus" ->
       """WITH base AS (
-        |  SELECT doc_id, lang, n_chars, text,
+        |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
         |    len(string_split(text, ' ')) AS n_tokens
         |  FROM documents
         |  WHERE len(string_split(text, ' ')) >= 30
         |    AND CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS DOUBLE) / length(text) > 0.7),
         |exact AS (
-        |  SELECT * FROM base
+        |  SELECT doc_id, lang, toks, n_tokens FROM base
         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-        |blocked AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS bucket,
-        |    list_distinct(string_split(text, ' ')) AS tokset, n_tokens
+        |s AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(
+        |      list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |      sg -> md5(sg || ':' || j)))) AS slots,
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
         |  FROM exact),
+        |e AS (
+        |  SELECT doc_id, lang, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
         |dups AS (
-        |  SELECT DISTINCT x.doc_id
-        |  FROM blocked x JOIN blocked y
-        |    ON x.lang = y.lang AND x.bucket = y.bucket AND y.doc_id < x.doc_id
-        |  WHERE CAST(len(list_intersect(x.tokset, y.tokset)) AS DOUBLE) /
-        |        (len(x.tokset) + len(y.tokset) - len(list_intersect(x.tokset, y.tokset))) >= 0.5)
+        |  SELECT DISTINCT p.id_b AS doc_id
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)
         |SELECT lang, count(*) AS n_docs_kept, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
-        |FROM blocked b WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = b.doc_id)
+        |FROM exact x WHERE NOT EXISTS (SELECT 1 FROM dups d WHERE d.doc_id = x.doc_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_quality_score" ->
       """SELECT doc_id, lang, n_tokens, len_chars, n_alnum, n_stop,
@@ -441,20 +454,33 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same MinHashBands replication as pipeline_clean_corpus (see above).
     "dd_ngram_jaccard" ->
       """WITH d AS (
-        |  SELECT doc_id, lang, n_chars // 100 AS bucket,
-        |    list_distinct(string_split(text, ' ')) AS toks
-        |  FROM documents),
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |s AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(
+        |      list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
+        |      sg -> md5(sg || ':' || j)))) AS slots,
+        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |  FROM d),
+        |e AS (
+        |  SELECT doc_id, lang, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
         |p AS (
-        |  SELECT a.lang AS lang,
-        |    len(list_intersect(a.toks, b.toks)) AS inter,
-        |    len(a.toks) AS la, len(b.toks) AS lb
-        |  FROM d a JOIN d b ON a.lang = b.lang AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |  SELECT DISTINCT x.lang AS lang, x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
+        |c AS (
+        |  SELECT p.lang, len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id)
         |SELECT lang, count(*) AS n_candidate_pairs,
         |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
         |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
-        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

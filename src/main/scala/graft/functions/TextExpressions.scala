@@ -1,0 +1,367 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd text/hash expressions for the hot per-document loops of the
+  * dedup family (SURVEY.md §7.5). Higher-order-function formulations of
+  * these are CodegenFallback — every element step is an interpreted lambda
+  * invocation — so the per-token loops live here as tight JVM loops
+  * instead, invoked once per row from generated code.
+  *
+  * All hashing is MD5 over UTF-8 bytes with hex-string comparison, chosen
+  * deliberately over xxhash64: `md5` exists verbatim in DuckDB, so the
+  * oracle replicates every slot, band key and candidate pair bit-for-bit
+  * (see the `dd_ngram_jaccard` / `pipeline_clean_corpus` oracle SQL in
+  * [[graft.SparkEntry]]).
+  */
+object TextDigest {
+  private val md5Local = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  def md5(): MessageDigest = { val m = md5Local.get(); m.reset(); m }
+
+  private val hexChars = "0123456789abcdef".toCharArray
+  def hex(digest: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](digest.length * 2)
+    var i = 0
+    while (i < digest.length) {
+      out(2 * i) = hexChars((digest(i) >> 4) & 0xf).toByte
+      out(2 * i + 1) = hexChars(digest(i) & 0xf).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Unsigned lexicographic byte compare — equals hex-string (and DuckDB
+    * VARCHAR) ordering of the corresponding digests.
+    */
+  def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val x = a(i) & 0xff
+      val y = b(i) & 0xff
+      if (x != y) return x < y
+      i += 1
+    }
+    a.length < b.length
+  }
+}
+
+/** `minhash_bands(tokens, shingleWidth, numSlots, bandSize)` →
+  * `array<string>` of `numSlots / bandSize` LSH band keys.
+  *
+  * Semantics (replicated verbatim by the DuckDB oracle):
+  *   - shingle_i = tokens[i] || ' ' || … || tokens[i+w-1]  (w = shingleWidth)
+  *   - slot_j    = min over shingles of md5(shingle || ':' || j)   (hex cmp)
+  *   - band_b    = md5(slot_{r·b} || … || slot_{r·b+r-1})          (r = bandSize)
+  *
+  * Shingles are built inside the loop (no intermediate array<string> is
+  * ever materialized per row), and slot minima are tracked as 16-byte
+  * digests with unsigned compare — identical ordering to the hex strings
+  * the oracle compares.
+  *
+  * 100 TB sizing rule: two docs collide on band b iff their r slot minima
+  * all agree, so P(candidate | jaccard = j) = 1 − (1 − j^r)^b with
+  * b = numSlots / bandSize. Bucket count scales with the number of
+  * distinct signatures — i.e. with the data — so per-bucket population is
+  * bounded by the size of the near-duplicate clusters themselves, never
+  * by corpus size (the fix for the fixed-block-count blocking flagged in
+  * round 1, VERDICT.md "What's wrong" #1). Pick (r, b) from the recall
+  * curve at the confirmation threshold: r=4, b=4 gives recall 0.986 at
+  * j=0.9 and ~2.5e-5 false-candidate rate at j=0.05.
+  *
+  * Reference behavior rebuilt: the near-duplicate document filter of the
+  * corpus-cleaning stage (reference `data_pipeline` text utilities);
+  * candidate generation follows Broder's MinHash/LSH construction.
+  */
+case class MinHashBands(
+    child: Expression,
+    shingleWidth: Int,
+    numSlots: Int,
+    bandSize: Int)
+  extends UnaryExpression {
+
+  require(shingleWidth >= 1, "shingleWidth must be >= 1")
+  require(numSlots >= 1 && bandSize >= 1 && numSlots % bandSize == 0,
+    "numSlots must be a positive multiple of bandSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_bands"
+
+  @transient private lazy val slotSuffixes: Array[Array[Byte]] =
+    Array.tabulate(numSlots)(j => s":$j".getBytes(UTF_8))
+
+  /** Core loop, shared by interpreted eval and generated code (the
+    * generated code calls this once per row via a reference object — the
+    * win over the HOF formulation is removing the per-element lambda
+    * interpretation, not inlining MD5 itself).
+    * Returns null for a null element or fewer than shingleWidth tokens.
+    */
+  def compute(toksData: ArrayData): ArrayData = {
+    val n = toksData.numElements()
+    if (n < shingleWidth) return null
+    val tokBytes = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      if (toksData.isNullAt(i)) return null
+      tokBytes(i) = toksData.getUTF8String(i).getBytes
+      i += 1
+    }
+    val mins = new Array[Array[Byte]](numSlots)
+    val md = TextDigest.md5()
+    i = 0
+    val nShingles = n - shingleWidth + 1
+    while (i < nShingles) {
+      var j = 0
+      while (j < numSlots) {
+        md.reset()
+        var w = 0
+        while (w < shingleWidth) {
+          if (w > 0) md.update(' '.toByte)
+          md.update(tokBytes(i + w))
+          w += 1
+        }
+        md.update(slotSuffixes(j))
+        val dig = md.digest()
+        if (mins(j) == null || TextDigest.unsignedLess(dig, mins(j))) mins(j) = dig
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numSlots / bandSize
+    val bands = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      md.reset()
+      var r = 0
+      while (r < bandSize) {
+        md.update(TextDigest.hex(mins(b * bandSize + r)))
+        r += 1
+      }
+      bands(b) = UTF8String.fromBytes(TextDigest.hex(md.digest()))
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashBands", this, classOf[MinHashBands].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $self.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashBands =
+    copy(child = newChild)
+}
+
+/** `lsh_bucket(embedding, nbits)` → bigint bucket id: bit j is set iff the
+  * dot product of the vector with deterministic rational hyperplane j is
+  * positive, with plane(j, d) = ((j·73 + d·37) mod 19 − 9) / 9.
+  *
+  * Bit-identical to the higher-order-function fold it replaces (and to the
+  * DuckDB oracle): the accumulation runs d = 0 … n−1 in order, each term
+  * computed as double(v[d]) · (double((j·73+d·37) mod 19 − 9) / 9.0) —
+  * the same IEEE operations in the same order. The HOF form costs
+  * nbits × dims interpreted lambda invocations per row (round 1's #2 plan
+  * flaw, VERDICT.md); this is one tight generated loop.
+  *
+  * 100 TB sizing rule: expected bucket population is n / 2^nbits, so nbits
+  * must grow ≈ log₂(n / targetBucketSize) — nbits is a parameter precisely
+  * so callers scale it with corpus size instead of inheriting a fixed
+  * 2⁸/2¹⁶ block count (round 1's "fixed block" flaw).
+  */
+case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
+
+  require(nbits >= 1 && nbits <= 63, "nbits must be in [1, 63]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bucket requires array<float>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_bucket"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    var bucket = 0L
+    var j = 0
+    while (j < nbits) {
+      var acc = 0.0
+      var d = 0
+      while (d < n) {
+        if (v.isNullAt(d)) return null
+        acc += v.getFloat(d).toDouble *
+          (((j * 73 + d * 37) % 19 - 9).toDouble / 9.0)
+        d += 1
+      }
+      if (acc > 0.0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val bucket = ctx.freshName("bucket")
+      s"""
+         |int $n = $a.numElements();
+         |long $bucket = 0L;
+         |for (int $j = 0; $j < $nbits && !${ev.isNull}; $j++) {
+         |  double $acc = 0.0;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |    $acc += (double) $a.getFloat($d) *
+         |      (((double) (($j * 73 + $d * 37) % 19 - 9)) / 9.0);
+         |  }
+         |  if ($acc > 0.0) $bucket |= (1L << $j);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $bucket; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+/** `lexicon_hits(tokens)` → `array<int>`: element k counts how many tokens
+  * are members of lexicon k. One pass over the token array with N set
+  * probes per token, replacing N interpreted `filter(toks, t ->
+  * array_contains(...))` passes (round 1 flagged tx_langid's four HOF
+  * passes as the #2 bench cost). Null tokens count toward no lexicon, same
+  * as `array_contains` returning null inside `filter`.
+  *
+  * The lexicons ride along as a constructor parameter (not an expression
+  * child) — they are query constants; sets are built once per task.
+  */
+case class LexiconHits(child: Expression, lexicons: Seq[Seq[String]])
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lexicon_hits requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "lexicon_hits"
+
+  @transient private lazy val sets: Array[java.util.HashSet[UTF8String]] =
+    lexicons.map { lex =>
+      val s = new java.util.HashSet[UTF8String](lex.size * 2)
+      lex.foreach(w => s.add(UTF8String.fromString(w)))
+      s
+    }.toArray
+
+  def compute(toksData: ArrayData): ArrayData = {
+    val counts = new Array[Int](sets.length)
+    val n = toksData.numElements()
+    var i = 0
+    while (i < n) {
+      if (!toksData.isNullAt(i)) {
+        val t = toksData.getUTF8String(i)
+        var k = 0
+        while (k < sets.length) {
+          if (sets(k).contains(t)) counts(k) += 1
+          k += 1
+        }
+      }
+      i += 1
+    }
+    new GenericArrayData(counts.map(Integer.valueOf(_): Any))
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lexiconHits", this, classOf[LexiconHits].getName)
+    nullSafeCodeGen(ctx, ev, a => s"${ev.value} = $self.compute($a);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LexiconHits =
+    copy(child = newChild)
+}
+
+/** SQL registration for the text expressions (lexicon_hits is Column-only:
+  * its lexicons are a Scala constructor argument, exposed via
+  * [[TextFunctions.lexiconHits]]).
+  */
+object TextFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case lit if lit.foldable && lit.dataType == IntegerType =>
+      lit.eval().asInstanceOf[Int]
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private[functions] val minhashFid = FunctionIdentifier("minhash_bands")
+  private[functions] val minhashInfo =
+    new ExpressionInfo(classOf[MinHashBands].getName, "minhash_bands")
+  private[functions] val minhashBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 4,
+      "minhash_bands(tokens, shingleWidth, numSlots, bandSize) takes 4 arguments")
+    MinHashBands(exprs.head, intLit(exprs(1), "shingleWidth"),
+      intLit(exprs(2), "numSlots"), intLit(exprs(3), "bandSize")): Expression
+  }
+
+  private[functions] val lshFid = FunctionIdentifier("lsh_bucket")
+  private[functions] val lshInfo =
+    new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket")
+  private[functions] val lshBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "lsh_bucket(embedding, nbits) takes 2 arguments")
+    LshBucket(exprs.head, intLit(exprs(1), "nbits")): Expression
+  }
+
+  /** Idempotent per-session registration (same pattern as
+    * [[VectorFunctions.ensureRegistered]]).
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(minhashFid)) {
+      reg.registerFunction(minhashFid, minhashInfo, minhashBuilder)
+    }
+    if (!reg.functionExists(lshFid)) {
+      reg.registerFunction(lshFid, lshInfo, lshBuilder)
+    }
+  }
+
+  /** Column constructor for [[LexiconHits]]. */
+  def lexiconHits(tokens: org.apache.spark.sql.Column, lexicons: Seq[Seq[String]])
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      LexiconHits(org.apache.spark.sql.graft.ColumnBridge.expression(tokens),
+        lexicons))
+}

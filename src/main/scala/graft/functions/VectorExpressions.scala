@@ -202,5 +202,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       VectorFunctions.simhashFid, VectorFunctions.simhashInfo,
       VectorFunctions.simhashBuilder))
+    ext.injectFunction((
+      TextFunctions.minhashFid, TextFunctions.minhashInfo,
+      TextFunctions.minhashBuilder))
+    ext.injectFunction((
+      TextFunctions.lshFid, TextFunctions.lshInfo, TextFunctions.lshBuilder))
   }
 }

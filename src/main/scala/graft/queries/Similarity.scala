@@ -29,8 +29,10 @@ object Similarity {
     */
   private def dotExpr(a: String, b: String): String = s"float_dot($a, $b)"
 
-  private def register(spark: SparkSession): Unit =
+  private def register(spark: SparkSession): Unit = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
+    graft.functions.TextFunctions.ensureRegistered(spark)
+  }
 
   /** Brute-force cosine top-k: the first 5 vectors query the whole table.
     * One broadcast of the 5 query vectors, one narrow pass over the
@@ -54,22 +56,21 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
-  /** Random-hyperplane LSH bucketing: 16 sign bits from deterministic
-    * rational hyperplanes → 16-bit bucket id. Reports the bucket
-    * histogram — the data layout an ANN index would shuffle once and
-    * bucket-join against at scale.
+  /** Random-hyperplane LSH bucketing: `nbits` sign bits from deterministic
+    * rational hyperplanes → bucket id, via the codegen'd
+    * [[graft.functions.LshBucket]] (plane(j, d) = (((j·73 + d·37) % 19) −
+    * 9) / 9.0, integer-derived so both engines materialize identical
+    * doubles; the expression accumulates in the same order as the DuckDB
+    * fold — bit-identical buckets, none of round 1's interpreted
+    * 16-plane × 64-dim lambda cost). Reports the bucket histogram — the
+    * data layout an ANN index would shuffle once and bucket-join against
+    * at scale. nbits must grow ≈ log₂(n / targetBucketSize) with corpus
+    * size (see [[graft.functions.LshBucket]]).
     */
-  def simLshBuckets(spark: SparkSession, dir: String): DataFrame = {
-    // plane(j, d) = (((j*73 + d*37) % 19) - 9) / 9.0 — integer-derived,
-    // so both engines materialize identical doubles.
-    val planeDot =
-      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
-            acc + CAST(embedding[d] AS DOUBLE) *
-                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
+  def simLshBuckets(spark: SparkSession, dir: String, nbits: Int = 16): DataFrame = {
+    register(spark)
     Tables(spark, dir, "embeddings")
-      .withColumn("bucket",
-        expr(s"""aggregate(sequence(0, 15), 0L, (b, j) ->
-                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_vecs"),
         min("vec_id").as("min_vec_id"),
@@ -81,20 +82,18 @@ object Similarity {
     * exceeds a threshold, restricted to the same LSH bucket — the
     * embedding-space member of the dedup family. Blocking first means the
     * pair join is per-bucket; at 100 TB the shuffle carries (bucket, id,
-    * vec) once instead of an O(n²) cross join.
+    * vec) once instead of an O(n²) cross join. Per-bucket population is
+    * n / 2^nbits, so nbits must grow ≈ log₂(n / targetBucketSize) —
+    * parameterized for exactly that (round 1 flagged the fixed 2⁸ block
+    * count; SimilaritySpec asserts subquadratic pair growth under the
+    * rule).
     */
-  def ddEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  def ddEmbeddingCosine(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    val planeDot =
-      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
-            acc + CAST(embedding[d] AS DOUBLE) *
-                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
     val bucketed = Tables(spark, dir, "embeddings")
-      .withColumn("bucket",
-        expr(s"""aggregate(sequence(0, 7), 0L, (b, j) ->
-                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-      .cache() // bucket fold is interpreted (HOF); evaluate once, not per join side
+      .cache() // join key: evaluate once, not per join side / pushed filter
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
@@ -115,18 +114,12 @@ object Similarity {
     * buckets stay populated at test scale), then takes the top-5. The
     * ScalaTest spec measures recall against the brute-force baseline.
     */
-  def simLshAnn(spark: SparkSession, dir: String): DataFrame = {
+  def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    val planeDot =
-      s"""aggregate(sequence(0, ${dims - 1}), 0D, (acc, d) ->
-            acc + CAST(embedding[d] AS DOUBLE) *
-                  (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
     val bucketed = Tables(spark, dir, "embeddings")
-      .withColumn("bucket",
-        expr(s"""aggregate(sequence(0, 7), 0L, (b, j) ->
-                   b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-      .cache() // bucket fold is interpreted (HOF); evaluate once for q and corpus
+      .cache() // join key: evaluate once for q and corpus sides
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
         col("embedding").as("qvec"), col("norm").as("qnorm"))

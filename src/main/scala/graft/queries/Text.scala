@@ -59,14 +59,25 @@ object Text {
     * matrix. On this synthetic corpus every language draws from the same
     * English-ish wordlist, so the matrix mostly predicts 'en' — the point
     * is the operator, exercised end-to-end and oracle-checked.
+    *
+    * All four lexicon counts come from ONE codegen'd pass over the token
+    * array ([[graft.functions.LexiconHits]]) instead of four interpreted
+    * `filter(toks, …)` passes — round 1's #2 bench cost (VERDICT.md).
+    * The counts are integers, so the split has no effect on values.
     */
   def txLangId(spark: SparkSession, dir: String): DataFrame = {
+    val lexicons = Seq(
+      Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
+      Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+      Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"))
     val scored = docs(spark, dir)
-      .withColumn("toks", expr("split(lower(text), ' ')"))
-      .withColumn("en_h", expr("size(filter(toks, t -> array_contains(array('the','a','of','and','to','in','is','it','that','for'), t)))"))
-      .withColumn("es_h", expr("size(filter(toks, t -> array_contains(array('el','la','de','los','las','y','en','que','un','una'), t)))"))
-      .withColumn("de_h", expr("size(filter(toks, t -> array_contains(array('der','die','das','und','ist','ein','eine','zu','den','von'), t)))"))
-      .withColumn("fr_h", expr("size(filter(toks, t -> array_contains(array('le','la','les','de','et','un','une','est','en','que'), t)))"))
+      .withColumn("hits", graft.functions.TextFunctions.lexiconHits(
+        expr("split(lower(text), ' ')"), lexicons))
+      .withColumn("en_h", col("hits")(0))
+      .withColumn("es_h", col("hits")(1))
+      .withColumn("de_h", col("hits")(2))
+      .withColumn("fr_h", col("hits")(3))
       .withColumn("cjk", expr("length(regexp_replace(text, '[^\\u4e00-\\u9fff]', ''))"))
       .withColumn("predicted",
         expr("""CASE WHEN cjk > 0 THEN 'zh'
@@ -100,18 +111,32 @@ object Text {
     * (content-addressed) selection, hash the text instead, as
     * [[ddExact]] does.
     */
-  def txHashSample(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+  def txHashSample(spark: SparkSession, dir: String): DataFrame = {
+    // Round 1 used row_number() OVER (PARTITION BY lang …): with a handful
+    // of languages, that funnels the whole corpus through a handful of
+    // reducers (VERDICT.md "What's wrong" #4). The stratified top-10 is
+    // now a bounded-buffer aggregate (CollectTopK): each map task keeps at
+    // most 10 (h, doc_id) pairs per language, the shuffle carries only
+    // those buffers, and the merge is exact — top-10 of a union is the
+    // top-10 of per-partition top-10s. No WindowExec, no global sort.
+    import org.apache.spark.sql.graft.ColumnBridge
+    val withH = docs(spark, dir)
       .withColumn("h", expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"))
-      .withColumn("rn", expr(
-        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)"))
-      .groupBy("lang")
+      .select(col("lang"), col("h"), col("doc_id"))
+    // reverse = true keeps the SMALLEST 10 by (h, doc_id) — asserted by
+    // the TextOpsSpec equivalence test against the window formulation.
+    val top10 = ColumnBridge.collectTopK(
+      struct(col("h"), col("doc_id")), 10, reverse = true)
+    withH.groupBy("lang")
       .agg(
         sum(when(expr("substring(h, 1, 1) < '2'"), 1L).otherwise(0L))
           .as("n_bernoulli"), // 2/16 of the hex prefix space
-        sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_stratified"),
-        min(when(col("rn") <= 10, col("doc_id"))).as("min_sampled_id"))
+        least(count(lit(1)), lit(10L)).as("n_stratified"),
+        top10.as("top"))
+      .select(col("lang"), col("n_bernoulli"), col("n_stratified"),
+        expr("array_min(transform(top, x -> x.doc_id))").as("min_sampled_id"))
       .orderBy("lang")
+  }
 
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
     * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
@@ -127,33 +152,63 @@ object Text {
         (count(lit(1)) - countDistinct(col("h"))).as("n_dup_rows"))
       .orderBy("lang")
 
-  /** N-gram (token-set) Jaccard near-dedup: candidate pairs restricted to
-    * the same (lang, length-bucket) block — the blocking step that turns an
-    * O(n²) all-pairs compare into small per-block joins, which is the only
-    * shape that survives 100 TB. Reports per-language candidate and
-    * near-dup counts plus the maximum observed similarity.
+  /** N-gram (3-token-shingle) Jaccard near-dedup with MinHash-band
+    * candidate generation — the 100 TB blocking shape (round 1's top fix,
+    * VERDICT.md "Next round" #1): candidates meet only inside a
+    * (band, band-key) bucket, and bucket count scales with the number of
+    * distinct signatures, so candidate pairs grow with the number of true
+    * near-duplicate clusters, not O(n²) with corpus size (asserted across
+    * scale factors by TextOpsSpec). Confirmation computes EXACT shingle
+    * Jaccard, but only on candidates.
+    *
+    * The MinHash is md5-based ([[graft.functions.MinHashBands]]) so the
+    * DuckDB oracle replicates every slot, band key, candidate pair and
+    * Jaccard value bit-for-bit — the gate checks the whole candidate
+    * semantics, not a weaker rows-only bound. Recall follows the standard
+    * banding curve P(candidate | j) = 1 − (1 − j^r)^b (r = bandSize,
+    * b = numSlots / bandSize): 0.986 at j = 0.9 for the default 16/4.
+    *
+    * Note vs round 1: blocking previously used (lang, n_chars/100) and the
+    * Jaccard ran on token SETS — with this corpus's 31-word vocabulary,
+    * token-set Jaccard of unrelated docs averages ~0.65, so that both
+    * exploded quadratically AND called half the corpus "near-dup".
+    * Shingle Jaccard is bimodal here (planted dups ≈ 1.0, everything else
+    * ≈ 0.0), which is also the realistic regime for web-scale text.
     */
-  def ddNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
-    // Token sets are hashed to longs before the pair join: set-intersection
-    // COUNTS are what the query returns (and what the oracle compares, on
-    // the raw strings). A 64-bit hash collision would shrink a count and
-    // diverge from the string-side oracle — probability ~|tokens|²/2⁶⁵,
-    // negligible here; the payoff is per-pair intersects on 8-byte
-    // compares instead of string equality.
+  def ddNgramJaccard(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
     val d = docs(spark, dir)
-      .select(col("doc_id"), col("lang"),
-        (col("n_chars") / lit(100)).cast("long").as("bucket"),
-        expr("array_distinct(transform(split(text, ' '), t -> xxhash64(t)))").as("toks"))
-    val a = d.select(col("doc_id").as("id_a"), col("lang"), col("bucket"),
-      col("toks").as("toks_a"))
-    val b = d.select(col("doc_id").as("id_b"), col("lang").as("lang_b"),
-      col("bucket").as("bucket_b"), col("toks").as("toks_b"))
-    a.join(b, col("lang") === col("lang_b") && col("bucket") === col("bucket_b") &&
-        col("id_a") < col("id_b"))
-      .withColumn("inter", expr("size(array_intersect(toks_a, toks_b))"))
-      .withColumn("jaccard",
-        col("inter").cast("double") /
-          (expr("size(toks_a)") + expr("size(toks_b)") - col("inter")))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("toks"))
+    // Small (doc_id, lang, band, key) projection; cached because the
+    // candidate self-join evaluates the signature on both sides.
+    val bands = d
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .cache()
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"))
+      .distinct()
+    // Exact-Jaccard confirmation on candidates only: shingle sets are
+    // computed just for candidate docs (semi-join first, then the HOF).
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sh = d.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
@@ -163,14 +218,21 @@ object Text {
 
   /** The composed corpus-cleaning pipeline — what a pretraining data job
     * actually runs, as ONE declarative plan: quality gate (token count +
-    * alphanumeric ratio) → exact dedup (min doc_id per md5) → blocked
-    * near-dedup (drop any doc with token-Jaccard ≥ 0.5 against a
-    * lower-id doc in its (lang, length-bucket) block) → per-language
-    * survivor stats. Every stage is a narrow transform or a blocked
-    * join, so the whole pipeline is a handful of bounded shuffles at any
-    * scale.
+    * alphanumeric ratio) → exact dedup (min doc_id per md5) → MinHash-band
+    * near-dedup (drop any doc whose shingle-Jaccard ≥ 0.5 against a
+    * lower-id candidate; candidates from band buckets, exactly the
+    * [[ddNgramJaccard]] / [[ddMinhashLsh]] shape) → per-language survivor
+    * stats. Every stage is a narrow transform or a bucket-keyed join whose
+    * fan-out scales with the number of near-duplicate clusters, so the
+    * plan survives a 100× scale-up (round 1's fixed-block version did
+    * not — candidate pairs grew 91× for 10× docs, VERDICT.md).
+    *
+    * md5-based MinHash ([[graft.functions.MinHashBands]]) keeps the DuckDB
+    * oracle bit-exact on the full candidate semantics.
     */
-  def pipelineCleanCorpus(spark: SparkSession, dir: String): DataFrame = {
+  def pipelineCleanCorpus(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
     val base = docs(spark, dir)
       .withColumn("toks", expr("split(text, ' ')"))
       .withColumn("n_tokens", expr("size(toks)"))
@@ -182,22 +244,37 @@ object Text {
       .withColumn("rn", expr(
         "row_number() OVER (PARTITION BY h ORDER BY doc_id)"))
       .filter(col("rn") === 1)
-      .drop("h", "rn")
-    val blocked = exactDeduped.select(col("doc_id"), col("lang"),
-      (col("n_chars") / lit(100)).cast("long").as("bucket"),
-      expr("array_distinct(transform(toks, t -> xxhash64(t)))").as("tokset"),
-      col("n_tokens"))
-      // evaluated by both self-join sides and the anti join — cache, or
-      // the whole quality+md5+window chain runs three times
+      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
+      // consumed three times (band side, confirmation side, anti-join
+      // side) — cache, or the quality+md5+window chain runs three times.
+      // At cluster scale this materialization point would be a checkpoint
+      // or an intermediate table instead of executor memory.
       .cache()
-    val dupIds = blocked.as("x").join(blocked.as("y"),
-        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
-          col("y.doc_id") < col("x.doc_id"))
-      .withColumn("inter", expr("size(array_intersect(x.tokset, y.tokset))"))
+    val bands = exactDeduped
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val candIds = pairs.select(col("id_a").as("doc_id"))
+      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
+    val sh = exactDeduped.join(candIds, Seq("doc_id"), "left_semi")
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select(col("doc_id"), col("sh"))
+    // Keep the first occurrence: the higher doc_id of each confirmed pair
+    // is dropped (same rule as round 1's formulation).
+    val dupIds = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
       .filter(col("inter").cast("double") /
-        (expr("size(x.tokset)") + expr("size(y.tokset)") - col("inter")) >= 0.5)
-      .select(col("x.doc_id").as("doc_id")).distinct()
-    blocked.join(dupIds, Seq("doc_id"), "left_anti")
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")) >= 0.5)
+      .select(col("id_b").as("doc_id")).distinct()
+    exactDeduped.join(dupIds, Seq("doc_id"), "left_anti")
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs_kept"),
         sum("n_tokens").as("total_tokens"))
@@ -211,7 +288,10 @@ object Text {
     * banded self-join is the 100 TB path: candidates meet only inside a
     * (band, signature) bucket, so the shuffle is on short hashes.
     */
-  def ddMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def ddMinhashLsh(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    require(numSlots % bandSize == 0, "numSlots must be a multiple of bandSize")
+    val numBands = numSlots / bandSize
     val spark2 = spark
     import spark2.implicits._
     // Shingles never materialize as strings: tokens hash once, then each
@@ -232,10 +312,11 @@ object Text {
     // are interpreted, so lambda-invocation count dominates and the extra
     // permutation pass outweighs the saved string hashing.)
     val sigs = shingled.select(col("doc_id"),
-      expr("transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
+      expr(s"transform(sequence(0, ${numSlots - 1}), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
         .as("sig")).cache()
+    val bandArgs = (0 until bandSize).map(k => s"sig[$bandSize*b+$k]").mkString(", ")
     val bands = sigs.select(col("doc_id"),
-        posexplode(expr("transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))")))
+        posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> xxhash64($bandArgs))")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val pairs = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&
@@ -253,10 +334,18 @@ object Text {
   }
 
   /** SimHash near-dedup (no SQL oracle — xxhash64). 64-bit simhash from
-    * token hashes; docs pair up only within the same 16-bit prefix block
-    * (banding again), then Hamming distance via bit_count(xor).
+    * token hashes; docs pair up only within the same `prefixBits`-bit
+    * prefix block (banding again), then Hamming distance via
+    * bit_count(xor).
+    *
+    * 100 TB sizing rule (round 1 flagged the fixed 16-bit prefix): a
+    * prefix of p bits yields ~n/2^p docs per block and therefore
+    * ~n²/2^(p+1) block pairs — p must grow ≈ log₂(n / targetBlockSize).
+    * TextOpsSpec asserts subquadratic pair growth across scale factors
+    * under this rule.
     */
-  def ddSimhash(spark: SparkSession, dir: String): DataFrame = {
+  def ddSimhash(spark: SparkSession, dir: String, prefixBits: Int = 16): DataFrame = {
+    require(prefixBits >= 1 && prefixBits <= 63, "prefixBits must be in [1, 63]")
     val spark2 = spark
     import spark2.implicits._
     graft.functions.VectorFunctions.ensureRegistered(spark)
@@ -267,7 +356,7 @@ object Text {
       .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
       .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("lang"), col("simhash"),
-        expr("shiftright(simhash, 48)").as("block"))
+        expr(s"shiftright(simhash, ${64 - prefixBits})").as("block"))
       .cache()
     val p = hashed.as("x").join(hashed.as("y"),
         $"x.block" === $"y.block" && $"x.doc_id" < $"y.doc_id")
