@@ -333,38 +333,69 @@ object Text {
       sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_confirmed_dups"))
   }
 
-  /** SimHash near-dedup (no SQL oracle — xxhash64). 64-bit simhash from
-    * token hashes; docs pair up only within the same `prefixBits`-bit
-    * prefix block (banding again), then Hamming distance via
-    * bit_count(xor).
-    *
-    * 100 TB sizing rule (round 1 flagged the fixed 16-bit prefix): a
-    * prefix of p bits yields ~n/2^p docs per block and therefore
-    * ~n²/2^(p+1) block pairs — p must grow ≈ log₂(n / targetBlockSize).
-    * TextOpsSpec asserts subquadratic pair growth across scale factors
-    * under this rule.
+  /** Distinct (lang, prefix-block, simhash) signatures with their document
+    * counts — the cluster-level representation [[ddSimhash]] joins on.
+    * Exposed for the TextOpsSpec growth assertions.
     */
-  def ddSimhash(spark: SparkSession, dir: String, prefixBits: Int = 16): DataFrame = {
+  private[graft] def simhashClusters(spark: SparkSession, dir: String,
+      prefixBits: Int): DataFrame = {
     require(prefixBits >= 1 && prefixBits <= 63, "prefixBits must be in [1, 63]")
-    val spark2 = spark
-    import spark2.implicits._
     graft.functions.VectorFunctions.ensureRegistered(spark)
-    // simhash64 is the codegen'd expression (one tight loop per doc); the
-    // tiny (doc_id, simhash) projection is still cached so the self-join's
-    // two sides and pushed-down join-key filters evaluate it once.
-    val hashed = docs(spark, dir)
+    // simhash64 is the codegen'd expression (one tight loop per doc).
+    docs(spark, dir)
       .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
       .withColumn("simhash", expr("simhash64(hs)"))
-      .select(col("doc_id"), col("lang"), col("simhash"),
+      .select(col("lang"), col("simhash"),
         expr(s"shiftright(simhash, ${64 - prefixBits})").as("block"))
-      .cache()
-    val p = hashed.as("x").join(hashed.as("y"),
-        $"x.block" === $"y.block" && $"x.doc_id" < $"y.doc_id")
+      .groupBy("lang", "block", "simhash")
+      .agg(count(lit(1)).as("c"))
+  }
+
+  /** SimHash near-dedup (no SQL oracle — xxhash64): per language, how many
+    * same-block document pairs exist, how many are within Hamming 16, and
+    * the minimum observed distance. Blocking = `prefixBits`-bit simhash
+    * prefix; pairs are within-language.
+    *
+    * The 100 TB shape (reworked for round 1's fixed-block finding, then
+    * again when measurement showed identical-signature clusters of Θ(n)
+    * docs on this corpus): pair counts are NEVER enumerated per document
+    * pair. Documents first collapse to distinct (lang, block, simhash)
+    * signatures with counts — one exact aggregation — then
+    *   - intra-cluster pairs are arithmetic: c·(c−1)/2 at Hamming 0;
+    *   - cross-cluster pairs come from a self-join over distinct
+    *     signatures within a block, weighted by c_x·c_y.
+    * The join input scales with the number of DISTINCT signatures (data
+    * diversity), not with document count — a corpus where half the docs
+    * are identical costs one counter, not Θ(n²) join rows. prefixBits
+    * still follows the log₂(n / targetBlockSize) rule for the
+    * cross-cluster join; TextOpsSpec asserts the signature join is
+    * output-bound (precision ≥ 0.95 at sf0.1, i.e. work ∝ true close
+    * pairs — the floor for any complete candidate generator) and prunes
+    * ≥ 10× versus unblocked signature all-pairs.
+    */
+  def ddSimhash(spark: SparkSession, dir: String, prefixBits: Int = 16): DataFrame = {
+    val spark2 = spark
+    import spark2.implicits._
+    // Consumed by the per-lang rollup and both self-join sides.
+    val uniq = simhashClusters(spark, dir, prefixBits).cache()
+    val intra = uniq.groupBy("lang")
+      .agg(sum(expr("c * (c - 1) / 2")).as("p0"))
+    val cross = uniq.as("x").join(uniq.as("y"),
+        $"x.lang" === $"y.lang" && $"x.block" === $"y.block" &&
+          $"x.simhash" < $"y.simhash")
       .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
-    p.groupBy($"x.lang".as("lang"))
-      .agg(count(lit(1)).as("n_block_pairs"),
-        sum(when(col("hamming") <= 16, 1L).otherwise(0L)).as("n_close_pairs"),
-        min("hamming").as("min_hamming"))
+      .withColumn("w", $"x.c" * $"y.c")
+      .groupBy($"x.lang".as("lang"))
+      .agg(sum("w").as("cross_pairs"),
+        sum(when(col("hamming") <= 16, col("w")).otherwise(0L)).as("cross_close"),
+        min("hamming").as("min_cross"))
+    intra.join(cross, Seq("lang"), "left_outer")
+      .withColumn("n_block_pairs", col("p0") + coalesce(col("cross_pairs"), lit(0L)))
+      .filter(col("n_block_pairs") > 0)
+      .select(col("lang"),
+        col("n_block_pairs"),
+        (col("p0") + coalesce(col("cross_close"), lit(0L))).as("n_close_pairs"),
+        when(col("p0") > 0, lit(0)).otherwise(col("min_cross")).as("min_hamming"))
       .orderBy("lang")
   }
 }

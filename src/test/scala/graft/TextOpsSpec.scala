@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.queries.{Similarity, Text}
+
+/** Round-2 scale/codegen reworks (VERDICT.md "Next round" #1/#2/#4/#5):
+  * bit-equality of the new codegen'd expressions against their interpreted
+  * formulations, and subquadratic candidate-pair growth across scale
+  * factors for every blocked dedup operator.
+  */
+class TextOpsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+  private val sf01 = "/root/testdata/sf0.1"
+
+  test("minhash_bands equals the interpreted md5 fold bit-for-bit") {
+    TextFunctions.ensureRegistered(spark)
+    val both = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") < 100)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("fast", expr("minhash_bands(toks, 3, 16, 4)"))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .withColumn("slots", expr(
+        "transform(sequence(0, 15), j -> array_min(transform(sh, sg -> md5(cast(concat(sg, ':', cast(j as string)) AS BINARY)))))"))
+      .withColumn("fold", expr(
+        "transform(sequence(0, 3), b -> md5(cast(concat(slots[4*b], slots[4*b+1], slots[4*b+2], slots[4*b+3]) AS BINARY)))"))
+      .select("fast", "fold").collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("minhash_bands null handling: null input, short input, null element") {
+    TextFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      """SELECT minhash_bands(CAST(NULL AS ARRAY<STRING>), 3, 16, 4) AS a,
+        |       minhash_bands(array('x', 'y'), 3, 16, 4) AS b,
+        |       minhash_bands(array('x', CAST(NULL AS STRING), 'z'), 3, 16, 4) AS c
+        |""".stripMargin).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1) && out.isNullAt(2))
+  }
+
+  test("lsh_bucket equals the interpreted hyperplane fold bit-for-bit") {
+    TextFunctions.ensureRegistered(spark)
+    for (nbits <- Seq(8, 16)) {
+      val planeDot =
+        s"""aggregate(sequence(0, 63), 0D, (acc, d) ->
+              acc + CAST(embedding[d] AS DOUBLE) *
+                    (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))"""
+      val both = Tables(spark, sf001, "embeddings")
+        .select(
+          expr(s"lsh_bucket(embedding, $nbits)").as("fast"),
+          expr(s"""aggregate(sequence(0, ${nbits - 1}), 0L, (b, j) ->
+                     b + CASE WHEN ($planeDot) > 0D THEN shiftleft(1L, j) ELSE 0L END)""")
+            .as("fold")).collect()
+      assert(both.length == 500)
+      assert(both.forall(r => r.getLong(0) == r.getLong(1)), s"nbits=$nbits")
+    }
+  }
+
+  test("lsh_bucket null handling") {
+    TextFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      """SELECT lsh_bucket(CAST(NULL AS ARRAY<FLOAT>), 8) AS a,
+        |       lsh_bucket(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 8) AS b
+        |""".stripMargin).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("lexicon_hits equals the four interpreted filter passes") {
+    val lexicons = Seq(
+      Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+      Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
+      Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
+      Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"))
+    val sqlLex = lexicons.map(_.map(w => s"'$w'").mkString("array(", ",", ")"))
+    val both = Tables(spark, sf001, "documents")
+      .withColumn("toks", expr("split(lower(text), ' ')"))
+      .withColumn("fast", TextFunctions.lexiconHits(col("toks"), lexicons))
+      .withColumn("fold", expr(
+        sqlLex.map(l => s"size(filter(toks, t -> array_contains($l, t)))")
+          .mkString("array(", ",", ")")))
+      .select("fast", "fold").collect()
+    assert(both.length == 500)
+    assert(both.forall(r => r.getSeq[Int](0) == r.getSeq[Int](1)))
+  }
+
+  test("near-dup candidate pairs grow subquadratically across scale factors") {
+    // 10x docs (500 -> 5000) must NOT produce ~100x candidate pairs (round
+    // 1's fixed-block blocking measured 91x). MinHash-band candidates
+    // track the planted-duplicate count, which grows linearly.
+    def candPairs(dir: String): Long =
+      Text.ddNgramJaccard(spark, dir)
+        .agg(sum("n_candidate_pairs")).collect().head.getLong(0)
+    val small = candPairs(sf001)
+    val large = candPairs(sf01)
+    assert(small >= 1, s"expected planted dups at sf0.01, got $small")
+    assert(large <= small * 25,
+      s"candidate growth must be ~linear for 10x docs: $small -> $large")
+    // And absolutely tiny versus the ~12.5M same-corpus pairs at sf0.1.
+    assert(large < 2000, s"candidate count at sf0.1 must stay small: $large")
+  }
+
+  test("near-dup recall: band candidates find every planted duplicate pair") {
+    // Ground truth (all-pairs shingle-Jaccard >= 0.5, computed offline in
+    // DuckDB over the fixed testdata): 6 pairs at sf0.01, 79 at sf0.1.
+    // Equality proves 100% candidate recall on the planted duplicates.
+    def nearDups(dir: String): Long =
+      Text.ddNgramJaccard(spark, dir)
+        .agg(sum("n_near_dups")).collect().head.getLong(0)
+    assert(nearDups(sf001) == 6L)
+    assert(nearDups(sf01) == 79L)
+  }
+
+  test("embedding-cosine pairs stay ~linear when nbits follows the log2 rule") {
+    // 4x vectors (500 -> 2000) with nbits 8 -> 10 keeps expected bucket
+    // population constant, so pair count should grow ~linearly (4x), not
+    // quadratically (16x).
+    def pairs(dir: String, nbits: Int): Long =
+      Similarity.ddEmbeddingCosine(spark, dir, nbits)
+        .agg(sum("n_pairs")).collect().head.getLong(0)
+    val small = pairs(sf001, 8)
+    val large = pairs(sf01, 10)
+    assert(small >= 1)
+    assert(large <= small * 8,
+      s"pair growth must be ~linear for 4x vectors under the log2 rule: $small -> $large")
+  }
+
+  test("dd_simhash cluster arithmetic equals enumerated pair counting") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val fast = Text.ddSimhash(spark, sf001, 16).collect().toSeq
+    // The naive enumerated formulation (round 1's shape, within-lang):
+    // quadratic in cluster sizes, but fine as a test oracle at sf0.01.
+    val hashed = Tables(spark, sf001, "documents")
+      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("simhash", expr("simhash64(hs)"))
+      .select(col("doc_id"), col("lang"), col("simhash"),
+        expr("shiftright(simhash, 48)").as("block"))
+    val slow = hashed.as("x").join(hashed.as("y"),
+        col("x.lang") === col("y.lang") && col("x.block") === col("y.block") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .groupBy(col("x.lang").as("lang"))
+      .agg(count(lit(1)).as("n_block_pairs"),
+        sum(when(col("hamming") <= 16, 1L).otherwise(0L)).as("n_close_pairs"),
+        min("hamming").as("min_hamming"))
+      .orderBy("lang").collect().toSeq
+    assert(fast == slow)
+  }
+
+  test("simhash signature join is output-bound: high precision, far below all-pairs") {
+    // This corpus's TRUE close-pair count is quadratic (identical and
+    // near-identical token sets dominate), so no complete method can have
+    // subquadratic OUTPUT. The scalable claims are therefore:
+    //   (1) documents never pair up — the join runs over distinct
+    //       signatures (cluster arithmetic covers intra-cluster pairs);
+    //   (2) the signature join does almost no wasted work — nearly every
+    //       in-block signature pair is a genuinely close pair (work ∝
+    //       output, the best any complete candidate generator can do);
+    //   (3) blocking still prunes hard versus unblocked all-pairs.
+    val u = Text.simhashClusters(spark, sf01, 19).cache()
+    val joined = u.as("x").join(u.as("y"),
+        col("x.lang") === col("y.lang") && col("x.block") === col("y.block") &&
+          col("x.simhash") < col("y.simhash"))
+      .select(expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
+      .cache()
+    val nSigs = u.count()
+    val nDocs = Tables(spark, sf01, "documents").count()
+    val total = joined.count()
+    val close = joined.filter(col("hamming") <= 16).count()
+    val allPairs = nSigs * (nSigs - 1) / 2
+    assert(nSigs < nDocs, s"signatures must deduplicate docs: $nSigs vs $nDocs")
+    assert(close >= (total * 95) / 100,
+      s"block join must be output-bound (precision >= 0.95): $close / $total")
+    assert(total < allPairs / 10,
+      s"blocking must prune vs all-pairs: $total vs $allPairs")
+    u.unpersist(); joined.unpersist()
+  }
+
+  test("tx_hash_sample has no WindowExec and matches the window formulation") {
+    val df = Text.txHashSample(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "two-phase top-k must not fall back to a per-language window sort")
+    // Equivalence against round 1's window formulation (same output).
+    val windowed = Tables(spark, sf001, "documents")
+      .withColumn("h", expr("md5(cast(cast(doc_id AS STRING) AS BINARY))"))
+      .withColumn("rn", expr(
+        "row_number() OVER (PARTITION BY lang ORDER BY h, doc_id)"))
+      .groupBy("lang")
+      .agg(
+        sum(when(expr("substring(h, 1, 1) < '2'"), 1L).otherwise(0L))
+          .as("n_bernoulli"),
+        sum(when(col("rn") <= 10, 1L).otherwise(0L)).as("n_stratified"),
+        min(when(col("rn") <= 10, col("doc_id"))).as("min_sampled_id"))
+      .orderBy("lang")
+    assert(df.collect().toSeq == windowed.collect().toSeq)
+  }
+}
