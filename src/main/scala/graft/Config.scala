@@ -51,4 +51,123 @@ object Config {
       case Some(r) => pipelineRoot(Paths.get(r).toAbsolutePath.normalize)
       case None => pipelineRoot(defaultBaseRoot(env))
     }
+
+  // ----- S4: YAML configuration (`config.py:82-90`, `wrds_ingestion.py:57-96`)
+
+  /** Minimal YAML-subset reader (no dependencies, by design — the sbt
+    * build has no YAML library and the config surface only uses this
+    * shape): top-level `key: value` pairs and one-level nested sections
+    * of `key: value` pairs, with `#` comments, blank lines and optional
+    * single/double quoting. Exactly the shape of the reference's
+    * `wrds_field_map.yml` / `wrds_credentials.yml` / `fred_credentials.yml`
+    * (`config/wrds_field_map.yml:1-11`).
+    *
+    * Returns top-level scalars under their key and each section as a
+    * nested `Map[String, String]`.
+    */
+  def loadYaml(path: Path): Map[String, Any] = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 &&
+        ((t.head == '"' && t.last == '"') || (t.head == '\'' && t.last == '\'')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    def stripComment(line: String): String = {
+      // a # starts a comment unless inside quotes — good enough for the
+      // supported subset (quoted values containing # are rare but legal)
+      var inS = false; var inD = false
+      val sb = new StringBuilder
+      for (c <- line) {
+        if (c == '\'' && !inD) inS = !inS
+        else if (c == '"' && !inS) inD = !inD
+        if (c == '#' && !inS && !inD) return sb.toString
+        sb += c
+      }
+      sb.toString
+    }
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Any]
+    var section: Option[String] = None
+    Files.readAllLines(path).forEach { raw =>
+      val line = stripComment(raw)
+      if (line.trim.nonEmpty) {
+        val indented = line.head == ' ' || line.head == '\t'
+        line.indexOf(':') match {
+          case -1 => // not key:value — outside the supported subset; skip
+          case i =>
+            val key = unquote(line.substring(0, i))
+            val value = unquote(line.substring(i + 1))
+            if (!indented) {
+              if (value.isEmpty) {
+                section = Some(key)
+                out(key) = Map.empty[String, String]
+              } else {
+                section = None
+                out(key) = value
+              }
+            } else section.foreach { s =>
+              out(s) = out(s).asInstanceOf[Map[String, String]] + (key -> value)
+            }
+        }
+      }
+    }
+    out.toMap
+  }
+
+  /** Repo-local config dir (`<project>/config`, like the reference's
+    * `Path(__file__).parents[3] / "config"`), discovered via the build.sbt
+    * marker; falls back to `cwd/config`.
+    */
+  def defaultConfigDir: Path = {
+    val cwd = Paths.get("").toAbsolutePath
+    Iterator.iterate(cwd)(_.getParent).takeWhile(_ != null)
+      .find(p => Files.exists(p.resolve("build.sbt")))
+      .getOrElse(cwd).resolve("config")
+  }
+
+  /** WRDS credentials from YAML if present (`wrds_ingestion.py:57-70`):
+    * `username:` / `password:` keys; (None, None) when the file is absent.
+    */
+  def loadWrdsCredentials(path: Option[Path] = None): (Option[String], Option[String]) = {
+    val p = path.getOrElse(defaultConfigDir.resolve("wrds_credentials.yml"))
+    if (!Files.exists(p)) (None, None)
+    else {
+      val data = loadYaml(p)
+      (data.get("username").map(_.toString), data.get("password").map(_.toString))
+    }
+  }
+
+  /** WRDS → friendly field mapping section from
+    * `config/wrds_field_map.yml` (`wrds_ingestion.py:73-81`); empty map
+    * when the file or section is absent.
+    */
+  def loadFieldMapping(section: String, path: Option[Path] = None): Map[String, String] = {
+    val p = path.getOrElse(defaultConfigDir.resolve("wrds_field_map.yml"))
+    if (!Files.exists(p)) Map.empty
+    else loadYaml(p).get(section) match {
+      case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, String]]
+      case _ => Map.empty
+    }
+  }
+
+  /** The fundamentals rename map [[graft.Ingest]] applies: the file-driven
+    * mapping when `config/wrds_field_map.yml` provides one, else the
+    * built-in [[Transforms.fundamentalsFieldMap]] constant — so a user
+    * with a custom field map has the same hook the reference offers.
+    */
+  def fundamentalsFieldMap(path: Option[Path] = None): Map[String, String] = {
+    val fromFile = loadFieldMapping("fundamentals", path)
+    if (fromFile.nonEmpty) fromFile else Transforms.fundamentalsFieldMap
+  }
+
+  /** FRED API key: env `FRED_API_KEY` first, then
+    * `config/fred_credentials.yml` `api_key:` (`wrds_ingestion.py:84-96`).
+    */
+  def loadFredApiKey(path: Option[Path] = None,
+      env: Map[String, String] = sys.env): Option[String] =
+    env.get("FRED_API_KEY").filter(_.nonEmpty).orElse {
+      val p = path.getOrElse(defaultConfigDir.resolve("fred_credentials.yml"))
+      if (!Files.exists(p)) None
+      else Config.loadYaml(p).get("api_key").map(_.toString)
+    }
 }

@@ -36,15 +36,22 @@ object Ingest {
     val raw = s"$root/data_raw"
     Seq(processed, meta, raw).foreach(p => new java.io.File(p).mkdirs())
 
+    // K4: per-run log file with step timings under <root>/logs, mirroring
+    // the reference's console+file logging (`wrds_ingestion.py:36-54`,
+    // `<root>/logs/wrds_ingestion_<UTC>.log`, "%(asctime)s %(levelname)s
+    // %(message)s" lines).
+    val runLog = RunLog.open(root)
+    runLog.info(s"Ingest run starting: root=$root start=$start end=$end saveRaw=$saveRaw")
+
     val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
     def step[T](name: String)(body: => T): T = {
       val n = steps.size + 1
-      println(f"[$n/17] $name ...")
+      runLog.info(f"[$n/17] $name ...")
       val t0 = System.nanoTime()
       val out = body
       val secs = (System.nanoTime() - t0) / 1e9
       steps += name -> secs
-      println(f"  + $name ($secs%.1fs)")
+      runLog.info(f"  + $name ($secs%.1fs)")
       out
     }
     def write(df: DataFrame, path: String): Unit =
@@ -57,9 +64,14 @@ object Ingest {
     def probeOrEmpty(body: => DataFrame, schemaName: String): DataFrame =
       scala.util.Try { val df = body; df.limit(1).collect(); df }
         .getOrElse {
-          println(s"  ! optional source unavailable; continuing with empty $schemaName")
+          runLog.warn(s"optional source unavailable; continuing with empty $schemaName")
           Schemas.emptyOf(spark, schemaName)
         }
+    // Ladder rung: force execution so remote/scan failures surface inside
+    // Transforms.firstAvailable's Try instead of at first materialization.
+    def forced(body: => DataFrame): DataFrame = {
+      val df = body; df.limit(1).collect(); df
+    }
 
     step("Connect to source") { () } // boundary held by the EquitySource impl
 
@@ -116,7 +128,24 @@ object Ingest {
       val links = equity.ccmLinks(permnos, end).cache()
       val gvkeys = links.select("gvkey").distinct()
         .collect().map(_.getString(0)).toSeq
-      Transforms.linkFundamentals(equity.fundamentals(gvkeys, start, end), links)
+      // §2.12 ladder (`wrds_ingestion.py:501-513`): the full column set,
+      // then the reference's reduced core set, then whatever columns the
+      // source does expose (downstream conformance null-fills the rest),
+      // then a schema-stable empty. A column-poor warehouse degrades
+      // instead of yielding an empty frame.
+      val funda = Transforms.firstAvailable(spark, Schemas.all("funda"), Seq(
+        () => forced(equity.fundamentals(gvkeys, start, end)
+          .select(fundaFullCols.map(col): _*)),
+        () => forced(equity.fundamentalsCore(gvkeys, start, end)
+          .select(fundaCoreCols.map(col): _*)),
+        () => forced(equity.fundamentals(gvkeys, start, end))))
+      if (!funda.columns.contains("sale")) {
+        runLog.warn("fundamentals degraded to a reduced column set: " +
+          funda.columns.mkString(", "))
+      }
+      // S4: friendly names come from config/wrds_field_map.yml when
+      // present (`wrds_ingestion.py:73-81`), else the built-in constant.
+      Transforms.linkFundamentals(funda, links, Config.fundamentalsFieldMap())
     }
 
     val consensus = step("Download analyst consensus") {
@@ -126,9 +155,15 @@ object Ingest {
     }
 
     val ratings = step("Download analyst rating history") {
-      buildRatingsHistory(
-        probeOrEmpty(equity.ratingsDetail(ibesTickers, start, end), "recddet"),
-        idxref)
+      // §2.12 ladder (`wrds_ingestion.py:810-840`): probe each candidate
+      // detail table in order (recddet, then the det_rec variants); the
+      // first that READS wins — an empty-but-present table is a valid
+      // result, matching the reference's break-on-success. All absent →
+      // schema-stable empty.
+      val detail = Transforms.firstAvailable(spark, Schemas.all("recddet"),
+        equity.ratingsDetailLadder(ibesTickers, start, end)
+          .map(c => () => forced(c())))
+      buildRatingsHistory(detail, idxref)
     }
 
     val (factors, riskFree, ffRaw) = step("Download style factors and risk-free") {
@@ -222,8 +257,50 @@ object Ingest {
     }
 
     val total = steps.map(_._2).sum
-    println(f"Ingest finished: ${steps.size} steps, $total%.1fs total")
+    runLog.info(f"Ingest finished: ${steps.size} steps, $total%.1fs total")
+    steps.zipWithIndex.foreach { case ((name, secs), i) =>
+      runLog.fileOnly(f"step ${i + 1}%2d/${steps.size} $secs%8.1fs  $name")
+    }
+    runLog.close()
     Result(root, steps.toSeq)
+  }
+
+  /** Fundamentals column ladder (`wrds_ingestion.py:495-513`): the full
+    * request set and the reduced core set the reference retries with.
+    */
+  private[graft] val fundaFullCols = Seq("gvkey", "datadate", "revt", "sale",
+    "ni", "at", "ceq", "dltt", "pstk", "oancf", "capx", "xrd")
+  private[graft] val fundaCoreCols =
+    Seq("gvkey", "datadate", "revt", "ni", "at", "dltt", "oancf")
+
+  /** K4: per-run console+file logger (`wrds_ingestion.py:36-54`): every
+    * line goes to stdout and to `<root>/logs/ingestion_<UTC>.log` as
+    * `<ISO-instant> LEVEL message`.
+    */
+  private[graft] final class RunLog(val path: java.nio.file.Path,
+      writer: java.io.PrintWriter) {
+    private def stamp(level: String, msg: String): String =
+      s"${java.time.Instant.now()} $level $msg"
+    def info(msg: String): Unit = { val l = stamp("INFO", msg)
+      println(l); writer.println(l); writer.flush() }
+    def warn(msg: String): Unit = { val l = stamp("WARNING", msg)
+      println(l); writer.println(l); writer.flush() }
+    def fileOnly(msg: String): Unit = {
+      writer.println(stamp("INFO", msg)); writer.flush() }
+    def close(): Unit = writer.close()
+  }
+
+  private[graft] object RunLog {
+    def open(root: String): RunLog = {
+      val dir = java.nio.file.Paths.get(root, "logs")
+      java.nio.file.Files.createDirectories(dir)
+      val ts = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd'T'HHmmss'Z'")
+        .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+      val path = dir.resolve(s"ingestion_$ts.log")
+      new RunLog(path, new java.io.PrintWriter(
+        java.nio.file.Files.newBufferedWriter(path,
+          java.nio.charset.StandardCharsets.UTF_8)))
+    }
   }
 
   /** J6 + F11: consensus summary → permno-mapped canonical frame

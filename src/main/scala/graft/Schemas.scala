@@ -114,6 +114,13 @@ object Schemas {
   val dividendsRaw: StructType = StructType(Seq(
     lng("asset_id"), lng("distcd"), dbl("divamt"), dbl("facpr"),
     dbl("facshr"), ts("date")))
+  /** Raw `comp.funda` request shape (`wrds_ingestion.py:493-500`) — the
+    * ladder's schema-stable fallback when every rung fails.
+    */
+  val funda: StructType = StructType(Seq(
+    str("gvkey"), ts("datadate"), dbl("revt"), dbl("sale"), dbl("ni"),
+    dbl("at"), dbl("ceq"), dbl("dltt"), dbl("pstk"), dbl("oancf"),
+    dbl("capx"), dbl("xrd")))
 
   /** All named dataset schemas, keyed by dataset name. */
   val all: Map[String, StructType] = Map(
@@ -121,6 +128,7 @@ object Schemas {
     "delists" -> delists,
     "recdsum" -> recdsum,
     "recddet" -> recddet,
+    "funda" -> funda,
     "dividends_raw" -> dividendsRaw,
     "assets_master" -> assetsMaster,
     "trading_calendar" -> tradingCalendar,

@@ -108,16 +108,37 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin)),
+    // Oracle-checkable columns only (byte_len via length, header via hex
+    // of the leading bytes); the crc32 checksum has no DuckDB analog and
+    // is covered by MultimodalSpec's determinism test instead.
     "mm_decode_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.decodeStub(
         graft.multimodal.Multimodal.fromDocuments(
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
-        .select("media_id", "byte_len", "checksum", "header")
+        .select("media_id", "byte_len", "header")
         .orderBy("media_id")
     }),
   )
 
-  /** DuckDB-equivalent SQL per query (same column names + ORDER BY). */
+  /** DuckDB-equivalent SQL per query (same column names + ORDER BY).
+    *
+    * Four queries are deliberately absent (driver records a rows-only
+    * check), each because its values come from engine-internal algorithms
+    * DuckDB cannot reproduce; each carries a ScalaTest bound instead:
+    *   - a8_approx_distinct: Spark's HLL++ sketch — DuckDB's
+    *     approx_count_distinct uses its own HLL variant with different
+    *     estimates. AggregatesSpec bounds the relative error vs the exact
+    *     count.
+    *   - a10_approx_quantiles: Spark's Greenwald-Khanna sketch; DuckDB's
+    *     approx_quantile is t-digest. AggregatesSpec bounds the rank error
+    *     vs exact percentiles.
+    *   - dd_minhash_lsh: signatures/band hashes are Spark-native xxhash64
+    *     (no DuckDB equivalent). TextOpsSpec/planted-duplicate specs pin
+    *     recall; the md5-based minhash_bands family (dd_ngram_jaccard,
+    *     pipeline_clean_corpus) IS fully oracle-checked.
+    *   - dd_simhash: simhash over xxhash64 token hashes. TextOpsSpec
+    *     proves the cluster-arithmetic plan equals naive pair enumeration.
+    */
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
@@ -607,5 +628,14 @@ object SparkEntry {
         |FROM documents, generate_series(0, 3) t(i)
         |WHERE doc_id < 100
         |ORDER BY media_id, frame_idx""".stripMargin,
+    "mm_decode_features" ->
+      // ASCII corpus: char length == byte length, and the first 4 chars'
+      // bytes are the binary header the Spark side hexes (hex() is
+      // lowercase in DuckDB, uppercase in Spark — hence upper()).
+      """SELECT doc_id AS media_id,
+        |  length(text) AS byte_len,
+        |  upper(hex(encode(substring(text, 1, 4)))) AS header
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY media_id""".stripMargin,
   )
 }

@@ -180,7 +180,8 @@ object Transforms {
     * containment in the join condition, rename to report_date/asset_id,
     * conform to the canonical column set, apply friendly names.
     */
-  def linkFundamentals(funda: DataFrame, links: DataFrame): DataFrame = {
+  def linkFundamentals(funda: DataFrame, links: DataFrame,
+      fieldMap: Map[String, String] = fundamentalsFieldMap): DataFrame = {
     val joined = funda.join(links, Seq("gvkey"), "left")
       .where(col("datadate") >= col("linkdt") &&
         (col("linkenddt").isNull || col("datadate") <= col("linkenddt")))
@@ -192,7 +193,7 @@ object Transforms {
     val conformed = canonical.foldLeft(joined)((d, c) =>
       if (present.contains(c)) d else d.withColumn(c, lit(null).cast("double")))
       .select(canonical.map(col): _*)
-    fundamentalsFieldMap.foldLeft(conformed) { case (d, (from, to)) =>
+    fieldMap.foldLeft(conformed) { case (d, (from, to)) =>
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
   }

@@ -38,6 +38,24 @@ trait EquitySource {
   def consensusSummary(tickers: Seq[String], start: String, end: String): DataFrame
   /** IBES detail recommendation history (`wrds_ingestion.py:808-843`). */
   def ratingsDetail(tickers: Seq[String], start: String, end: String): DataFrame
+  /** §2.12: reduced-column fundamentals retry (`wrds_ingestion.py:505-513`)
+    * — the core set the reference falls back to when the full request
+    * names columns the warehouse lacks. Default: project the core columns
+    * out of [[fundamentals]] (sources that materialize whatever exists);
+    * remote implementations override with a genuinely smaller query.
+    */
+  def fundamentalsCore(gvkeys: Seq[String], start: String, end: String): DataFrame =
+    fundamentals(gvkeys, start, end)
+      .select("gvkey", "datadate", "revt", "ni", "at", "dltt", "oancf")
+  /** §2.12: ordered candidate sources for the detail recommendation
+    * history (`wrds_ingestion.py:810-840` probes tr_ibes.recddet then the
+    * det_rec variants). Each thunk must THROW if its table is absent;
+    * [[graft.Ingest]] takes the first that reads. Default: just
+    * [[ratingsDetail]].
+    */
+  def ratingsDetailLadder(tickers: Seq[String], start: String, end: String)
+      : Seq[() => DataFrame] =
+    Seq(() => ratingsDetail(tickers, start, end))
   /** `ff_all.fivefactors_daily` (+`factors_daily` umd) (`wrds_ingestion.py:895-926`). */
   def ffFactors(start: String, end: String): DataFrame
   /** `crsp.msf` monthly prices (`wrds_ingestion.py:192-207`). */
@@ -137,6 +155,35 @@ class JdbcEquitySource(spark: SparkSession, url: String,
     s"""select * from tr_ibes.recddet
        |where ticker in ('${inList(tickers)}')
        |  and anndats between '$start' and '$end'""".stripMargin)
+
+  /** Reduced core-column retry, verbatim from `wrds_ingestion.py:505-513`. */
+  override def fundamentalsCore(gvkeys: Seq[String], start: String,
+      end: String): DataFrame = sql(
+    s"""select gvkey, datadate, revt, ni, at, dltt, oancf
+       |from comp.funda
+       |where gvkey in ('${inList(gvkeys)}')
+       |  and indfmt='INDL' and datafmt='STD' and popsrc='D' and consol='C'
+       |  and datadate between '$start' and '$end'""".stripMargin)
+
+  /** The reference's detail-table probe order (`wrds_ingestion.py:810-821`):
+    * tr_ibes.recddet (anndats-dated), then det_rec (statpers-dated) in
+    * tr_ibes, ibes, ibesus. Each candidate ships the same pushdown SQL
+    * with the table's own date field.
+    */
+  override def ratingsDetailLadder(tickers: Seq[String], start: String,
+      end: String): Seq[() => DataFrame] = {
+    val candidates = Seq(
+      ("tr_ibes.recddet", "anndats"),
+      ("tr_ibes.det_rec", "statpers"),
+      ("ibes.det_rec", "statpers"),
+      ("ibesus.det_rec", "statpers"))
+    candidates.map { case (table, dateField) =>
+      () => sql(
+        s"""select * from $table
+           |where ticker in ('${inList(tickers)}')
+           |  and $dateField between '$start' and '$end'""".stripMargin)
+    }
+  }
 
   def ffFactors(start: String, end: String): DataFrame = sql(
     s"""select f.date, f.mktrf, f.smb, f.hml, f.rmw, f.cma, f.rf, m.umd
@@ -251,6 +298,20 @@ class SnapshotEquitySource(spark: SparkSession, dir: String) extends EquitySourc
       "analys" -> "bigint", "ireccd" -> "double", "etext" -> "string",
       "itext" -> "string", "statpers" -> "timestamp"))
       .filter(col("ticker").isin(tickers: _*)), "anndats", start, end)
+
+  /** Snapshot twin of the reference's detail-table probes: a MISSING
+    * snapshot file throws (≈ table absent → next rung), unlike the lenient
+    * [[ratingsDetail]], which degrades to a typed empty frame.
+    */
+  override def ratingsDetailLadder(tickers: Seq[String], start: String,
+      end: String): Seq[() => DataFrame] = {
+    def strict(name: String, dateField: String): DataFrame =
+      between(spark.read.parquet(s"$dir/$name.parquet")
+        .filter(col("ticker").isin(tickers: _*)), dateField, start, end)
+    Seq(
+      () => strict("recddet", "anndats"),
+      () => strict("det_rec", "statpers"))
+  }
 
   def ffFactors(start: String, end: String): DataFrame =
     between(read("ff_factors", Seq("date" -> "timestamp", "mktrf" -> "double",

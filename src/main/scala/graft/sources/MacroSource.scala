@@ -40,6 +40,58 @@ object FredJson {
       .filter(col("value").isNotNull)
 }
 
+/** Live FRED implementation over `java.net.http` (S3,
+  * `wrds_ingestion.py:946-981`): one driver-side GET of
+  * `/fred/series/observations?series_id=…&observation_start=…&
+  * observation_end=…&file_type=json[&api_key=…]` per series — the same
+  * driver-side boundary as the reference's `requests.get`; payload sizes
+  * are a few thousand observations per series, so the driver fetch is not
+  * a scale concern. Everything after the payload lands is the shared
+  * [[FredJson.parse]] Spark plan. A failed series degrades to no rows for
+  * that series (the reference logs and continues, `:975-979`); the api key
+  * resolves via [[graft.Config.loadFredApiKey]] (env first, then
+  * `config/fred_credentials.yml`).
+  *
+  * `baseUrl` is injectable so the spec drives the full HTTP + parse path
+  * against an in-process fixture server in the zero-egress environment.
+  */
+class HttpMacroSource(spark: SparkSession,
+    baseUrl: String = "https://api.stlouisfed.org/fred/series/observations",
+    apiKey: Option[String] = None,
+    timeout: java.time.Duration = java.time.Duration.ofSeconds(30))
+  extends MacroSource {
+
+  private lazy val client = java.net.http.HttpClient.newBuilder()
+    .connectTimeout(timeout).build()
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def fetch(seriesId: String, start: String, end: String): Option[String] = {
+    val key = apiKey.orElse(graft.Config.loadFredApiKey())
+    val url = s"$baseUrl?series_id=${enc(seriesId)}" +
+      s"&observation_start=${enc(start)}&observation_end=${enc(end)}" +
+      "&file_type=json" + key.map(k => s"&api_key=${enc(k)}").getOrElse("")
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(timeout).GET().build()
+    scala.util.Try {
+      val resp = client.send(req,
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
+    }.toOption.flatten
+  }
+
+  def series(seriesIds: Seq[String], start: String, end: String): DataFrame = {
+    val rows = seriesIds.flatMap(sid =>
+      fetch(sid, start, end).map(payload => (sid, payload)))
+    import spark.implicits._
+    if (rows.isEmpty) {
+      // the reference's "FRED API returned no data" path (:977-979)
+      FredJson.parse(Seq.empty[(String, String)].toDF("series_name", "payload"))
+    } else FredJson.parse(rows.toDF("series_name", "payload"))
+  }
+}
+
 /** Deterministic offline macro source for the zero-egress environment:
   * synthesizes the FRED JSON payloads the HTTP call would have returned
   * (month-start observations, a few "." missing markers) and runs them

@@ -122,6 +122,65 @@ class IngestSpec extends SparkSpec {
       Row(ts("2020-01-02"), 0.01), Row(ts("2020-01-03"), -0.02))
   }
 
+  test("degraded warehouse: reduced funda columns + det_rec fallback still populate") {
+    // §2.12 ladders end-to-end (VERDICT.md "What's missing" #1): the
+    // warehouse only serves the CORE fundamentals column set (the full
+    // request must fail), and the recddet detail table is absent — only a
+    // det_rec-shaped variant (statpers-dated, rec/actioncode/recdef
+    // columns) exists. Both datasets must still come out populated.
+    val src = new SyntheticEquitySource(spark) {
+      import scala.jdk.CollectionConverters._
+      override def fundamentals(gvkeys: Seq[String], start: String,
+          end: String): DataFrame = spark.createDataFrame(
+        Seq(
+          Row("G1", ts("2020-03-31"), 1000.0, 100.0, 5000.0, 40.0, 7.0),
+          Row("G2", ts("2020-03-31"), 2000.0, 200.0, 6000.0, 50.0, 8.0)).asJava,
+        StructType(Seq(
+          StructField("gvkey", StringType), StructField("datadate", TimestampType),
+          StructField("revt", DoubleType), StructField("ni", DoubleType),
+          StructField("at", DoubleType), StructField("dltt", DoubleType),
+          StructField("oancf", DoubleType))))
+      override def ratingsDetailLadder(tickers: Seq[String], start: String,
+          end: String): Seq[() => DataFrame] = Seq(
+        () => throw new RuntimeException("recddet absent"),
+        () => spark.createDataFrame(
+          Seq(
+            Row("AAAI", ts("2020-02-01"), 77L, 1.0, "3", "Strong Buy"),
+            Row("BBBI", ts("2020-03-01"), 88L, 3.0, "2", "Hold")).asJava,
+          StructType(Seq(
+            StructField("ticker", StringType), StructField("statpers", TimestampType),
+            StructField("amaskcd", LongType), StructField("rec", DoubleType),
+            StructField("actioncode", StringType), StructField("recdef", StringType)))))
+    }
+    val root = Files.createTempDirectory("graft-ingest-degraded").toString
+    Ingest.run(spark, src, new StubMacroSource(spark), root,
+      start = "2020-01-01", end = "2020-12-31")
+
+    // fundamentals: the core-set rung populated rows; absent columns are
+    // null-filled by conformance, present core columns carry through.
+    val f = spark.read.parquet(s"$root/data_processed/fundamentals_quarterly.parquet")
+    assert(f.count() == 2)
+    val row = f.filter("asset_id = 1").collect().head
+    assert(row.getAs[Double]("revenue") == 1000.0)
+    assert(row.isNullAt(row.fieldIndex("capital_expenditures"))) // not in the core set
+
+    // ratings: the det_rec rung mapped through its alternate column names
+    val rh = spark.read.parquet(
+      s"$root/data_processed/analyst_ratings_history.parquet").orderBy("date").collect()
+    assert(rh.length == 2)
+    assert(rh.head.getAs[Double]("rating") == 1.0) // from `rec`
+    assert(rh.head.getAs[Long]("analyst_id") == 77L) // from `amaskcd`
+    assert(rh.head.getAs[String]("rating_text") == "Strong Buy") // from `recdef`
+
+    // K4: the run wrote a per-run log file with step timings
+    val logs = new java.io.File(s"$root/logs").listFiles()
+    assert(logs != null && logs.nonEmpty)
+    val logText = Files.readString(logs.head.toPath)
+    assert(logText.contains("[17/17]"))
+    assert(logText.contains("Ingest finished"))
+    assert(logText.contains("fundamentals degraded to a reduced column set"))
+  }
+
   test("partitioned ingest writes pruned panel layouts, same data") {
     val root = Files.createTempDirectory("graft-ingest-part").toString
     Ingest.run(spark, new SyntheticEquitySource(spark),
