@@ -381,9 +381,10 @@ object SparkEntry {
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
     // Replicates graft.functions.MinHashBands bit-for-bit: shingle_i =
-    // toks[i]||' '||..., slot_j = min md5(shingle||':'||j) (hex compare),
-    // band_b = md5(slot_{4b}||..||slot_{4b+3}) — so candidate pairs, not
-    // just final counts, are identical across engines.
+    // toks[i]||' '||..., hh = md5(sg)||md5(sg||'#')||md5(sg||'##')||
+    // md5(sg||'###'), slot_j = min over shingles of hh[8j+1..8j+8] (hex
+    // compare), band_b = md5(slot_{4b}||..||slot_{4b+3}) — so candidate
+    // pairs, not just final counts, are identical across engines.
     "pipeline_clean_corpus" ->
       """WITH base AS (
         |  SELECT doc_id, lang, text, string_split(text, ' ') AS toks,
@@ -394,13 +395,18 @@ object SparkEntry {
         |exact AS (
         |  SELECT doc_id, lang, toks, n_tokens FROM base
         |  QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1),
-        |s AS (
+        |g AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    list_transform(range(0, 16), j -> list_min(list_transform(
-        |      list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-        |      sg -> md5(sg || ':' || j)))) AS slots,
-        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
         |  FROM exact),
+        |hh AS (
+        |  SELECT doc_id, lang, n_tokens, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, n_tokens, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
         |e AS (
         |  SELECT doc_id, lang, b.band,
         |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
@@ -480,13 +486,18 @@ object SparkEntry {
       """WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |s AS (
+        |g AS (
         |  SELECT doc_id, lang,
-        |    list_transform(range(0, 16), j -> list_min(list_transform(
-        |      list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]),
-        |      sg -> md5(sg || ':' || j)))) AS slots,
-        |    list_distinct(list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS sh
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
         |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
         |e AS (
         |  SELECT doc_id, lang, b.band,
         |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key

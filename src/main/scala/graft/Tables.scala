@@ -15,6 +15,23 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Spread a scan across the session's shuffle parallelism before a
+    * CPU-heavy narrow stage (per-row hashing, JSON parsing, regex).
+    *
+    * Why: a parquet file only splits at row-group boundaries, so a
+    * small-file/compute-heavy stage otherwise runs on however many row
+    * groups the writer happened to emit — one, for this testdata — no
+    * matter how many cores the cluster has. The round-trip is one small
+    * shuffle of the input rows; the win is moving the expensive
+    * projection from p partitions to the full cluster width. At 100 TB
+    * inputs arrive many-split and this becomes a cheap ~even-sized
+    * re-bucketing; the pattern still pays off whenever upstream
+    * cardinality is far below cluster parallelism (e.g. a fetch list
+    * feeding a heavy decode).
+    */
+  def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized

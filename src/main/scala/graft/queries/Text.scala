@@ -24,8 +24,7 @@ object Text {
     * float division per ratio keeps every value bit-deterministic.
     */
   def txQualityScore(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .filter(col("doc_id") < 300)
+    docs(spark, dir).filter(col("doc_id") < 300)
       .select(col("doc_id"), col("lang"),
         expr("size(split(text, ' '))").as("n_tokens"),
         length(col("text")).as("len_chars"),
@@ -42,7 +41,7 @@ object Text {
     * (letter runs, digits, single punctuation), aggregated per source.
     */
   def txTokenCount(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
+    Tables.spread(docs(spark, dir)) // regexp_extract_all is the hot stage
       .select(col("source"),
         expr("size(split(text, ' '))").as("ws_tokens"),
         expr("size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))")
@@ -71,7 +70,7 @@ object Text {
       Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
       Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
       Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"))
-    val scored = docs(spark, dir)
+    val scored = Tables.spread(docs(spark, dir))
       .withColumn("hits", graft.functions.TextFunctions.lexiconHits(
         expr("split(lower(text), ' ')"), lexicons))
       .withColumn("en_h", col("hits")(0))
@@ -95,8 +94,7 @@ object Text {
     * arithmetic so any engine agrees bit-for-bit.
     */
   def txFingerprint(spark: SparkSession, dir: String): DataFrame =
-    docs(spark, dir)
-      .filter(col("doc_id") < 300)
+    docs(spark, dir).filter(col("doc_id") < 300)
       .select(col("doc_id"),
         expr("aggregate(sequence(1, length(text)), 0L, (h, i) -> (h * 31 + ascii(substring(text, i, 1))) % 1000000007)")
           .as("fingerprint"))
@@ -178,28 +176,30 @@ object Text {
   def ddNgramJaccard(spark: SparkSession, dir: String,
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val d = docs(spark, dir)
+    // spread: the md5 minhash is the expensive narrow stage (16 digests
+    // per shingle) — see Tables.spread on why small scans must be
+    // re-bucketed before it.
+    val d = Tables.spread(docs(spark, dir))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("toks"))
-    // Small (doc_id, lang, band, key) projection; cached because the
-    // candidate self-join evaluates the signature on both sides.
+    // Small (doc_id, lang, band, key) projection. No cache: the self-join
+    // sides share the spread Exchange (ReusedExchange), and the signature
+    // recompute above it is ~cheap since the interleaved-digest rework.
     val bands = d
       .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
       .select(col("doc_id"), col("lang"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-      .cache()
     val pairs = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
           col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
         col("y.doc_id").as("id_b"))
       .distinct()
-    // Exact-Jaccard confirmation on candidates only: shingle sets are
-    // computed just for candidate docs (semi-join first, then the HOF).
-    val candIds = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val sh = d.join(candIds, Seq("doc_id"), "left_semi")
+    // Exact-Jaccard confirmation: the shingle projection is a narrow
+    // spread pass (the per-pair intersect only runs on the few candidate
+    // rows the tiny broadcast pair set selects).
+    val sh = d
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
       .select(col("doc_id"), col("sh"))
@@ -233,7 +233,8 @@ object Text {
   def pipelineCleanCorpus(spark: SparkSession, dir: String,
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val base = docs(spark, dir)
+    // spread before the regex quality gate + md5 + minhash chain
+    val base = Tables.spread(docs(spark, dir))
       .withColumn("toks", expr("split(text, ' ')"))
       .withColumn("n_tokens", expr("size(toks)"))
       .withColumn("alpha_ratio",
@@ -259,9 +260,7 @@ object Text {
           col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
       .distinct()
-    val candIds = pairs.select(col("id_a").as("doc_id"))
-      .union(pairs.select(col("id_b").as("doc_id"))).distinct()
-    val sh = exactDeduped.join(candIds, Seq("doc_id"), "left_semi")
+    val sh = exactDeduped
       .withColumn("sh", expr(
         "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
       .select(col("doc_id"), col("sh"))
@@ -297,7 +296,7 @@ object Text {
     // Shingles never materialize as strings: tokens hash once, then each
     // 3-shingle is a hash-of-three-longs — no concat allocation, and the
     // downstream Jaccard confirmation compares 8-byte values.
-    val shingled = docs(spark, dir)
+    val shingled = Tables.spread(docs(spark, dir))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
@@ -342,7 +341,7 @@ object Text {
     require(prefixBits >= 1 && prefixBits <= 63, "prefixBits must be in [1, 63]")
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // simhash64 is the codegen'd expression (one tight loop per doc).
-    docs(spark, dir)
+    Tables.spread(docs(spark, dir))
       .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
       .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("lang"), col("simhash"),

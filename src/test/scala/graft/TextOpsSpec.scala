@@ -24,8 +24,14 @@ class TextOpsSpec extends SparkSpec {
       .withColumn("fast", expr("minhash_bands(toks, 3, 16, 4)"))
       .withColumn("sh", expr(
         "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .withColumn("hh", expr(
+        """transform(sh, sg -> concat(
+             md5(cast(sg AS BINARY)),
+             md5(cast(concat(sg, '#') AS BINARY)),
+             md5(cast(concat(sg, '##') AS BINARY)),
+             md5(cast(concat(sg, '###') AS BINARY))))"""))
       .withColumn("slots", expr(
-        "transform(sequence(0, 15), j -> array_min(transform(sh, sg -> md5(cast(concat(sg, ':', cast(j as string)) AS BINARY)))))"))
+        "transform(sequence(0, 15), j -> array_min(transform(hh, x -> substring(x, 8*j + 1, 8))))"))
       .withColumn("fold", expr(
         "transform(sequence(0, 3), b -> md5(cast(concat(slots[4*b], slots[4*b+1], slots[4*b+2], slots[4*b+3]) AS BINARY)))"))
       .select("fast", "fold").collect()
