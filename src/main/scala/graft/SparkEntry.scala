@@ -76,6 +76,7 @@ object SparkEntry {
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_hash_sample" -> (Text.txHashSample _),
+    "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -475,6 +476,19 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_stratified,
         |  min(CASE WHEN rn <= 10 THEN doc_id END) AS min_sampled_id
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_pack_chunks" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        |    doc_id % 8 AS shard
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT lang, shard, CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_id,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
+        |  min(doc_id) AS first_doc_id
+        |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "dd_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,

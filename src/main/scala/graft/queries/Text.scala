@@ -136,6 +136,40 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Sequence packing (training-batch assembly): concatenate each shard's
+    * token stream in doc_id order and chunk it at a fixed token budget —
+    * the GPT-style pack-and-split a pretraining loader runs, reported as
+    * per-chunk stats. A document's chunk is `floor(tokens_before / budget)`
+    * (the chunk its first token lands in), from one running sum per
+    * (lang, shard) — exact integer arithmetic, so DuckDB agrees
+    * bit-for-bit.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a stream, so
+    * the stream is sharded first (deterministic `doc_id % shards`) and
+    * each shard packs independently — the window runs over (lang, shard)
+    * partitions. At 100 TB, `shards` grows with the corpus
+    * (≈ n_docs / docs-per-shard) so no reducer sees more than a bounded
+    * slice; chunk ids stay deterministic because the shard assignment and
+    * intra-shard order depend only on doc_id.
+    */
+  def txPackChunks(spark: SparkSession, dir: String,
+      budget: Int = 256, shards: Int = 8): DataFrame = {
+    require(budget > 0 && shards > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "shard").orderBy("doc_id")
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"),
+        expr("size(split(text, ' '))").as("n_tokens"),
+        pmod(col("doc_id"), lit(shards.toLong)).as("shard"))
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("chunk_id", expr(s"(cum - n_tokens) div $budget"))
+      .groupBy("lang", "shard", "chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        min("doc_id").as("first_doc_id"))
+      .orderBy("lang", "shard", "chunk_id")
+  }
+
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
     * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
     * shuffle on the 16-byte digest, never on the document text itself).

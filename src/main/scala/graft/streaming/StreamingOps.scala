@@ -78,6 +78,23 @@ object StreamingOps {
       .select("purchase_id", "user_id", "purchase_ts", "purchase_value", "view_ts")
   }
 
+  /** Watermarked streaming exact-dedup by event id — the exactly-once
+    * ingestion guard in front of every downstream aggregate (and the
+    * streaming member of the dedup family in graft.queries.Text).
+    * `dropDuplicatesWithinWatermark` keeps only watermark-bounded state:
+    * a duplicate arriving within `lateness` of the original is dropped,
+    * and the key's state is evicted once the watermark passes — unlike
+    * plain `dropDuplicates`, whose streaming state grows without bound.
+    * On a batch frame the watermark is a no-op and the result is plain
+    * distinct-by-key, so batch and drained-stream results coincide
+    * (asserted by StreamingSpec).
+    */
+  def dedupedEvents(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", lateness)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

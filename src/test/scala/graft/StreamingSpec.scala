@@ -52,6 +52,32 @@ class StreamingSpec extends SparkSpec {
     assert(viaStreamingOps.zip(viaQuery).forall { case (a, b) => a == b })
   }
 
+  test("streamed watermarked dedup drops duplicate event ids, equals batch distinct") {
+    // Stage the events file TWICE: the stream sees every event duplicated
+    // across two files; dropDuplicatesWithinWatermark must emit each
+    // event_id once.
+    val dir = java.nio.file.Files.createTempDirectory("events-dup-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("b.parquet"))
+    val stream = StreamingOps.readEventsStream(spark, dir.toString)
+    val q = StreamingOps.dedupedEvents(stream)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dedup_stream").orderBy("event_type").collect()
+    val batch = StreamingOps.dedupedEvents(
+        Tables(spark, "/root/testdata/sf0.001", "events"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .orderBy("event_type").collect()
+    assert(streamed.length == batch.length && streamed.length > 0)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+  }
+
   test("stream-stream interval join matches its batch twin") {
     val spark2 = spark
     import spark2.implicits._
