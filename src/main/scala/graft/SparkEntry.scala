@@ -84,6 +84,7 @@ object SparkEntry {
     "sim_cosine_topk" -> (Similarity.simCosineTopk _),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
+    "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
@@ -575,6 +576,39 @@ object SparkEntry {
         |SELECT vec_id, label, c_label AS nearest_label, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
+    "sim_ivf_ann" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT label AS c_label, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+        |  FROM embeddings GROUP BY label),
+        |cent AS (
+        |  SELECT c_label,
+        |    list_transform(range(1, 65), d ->
+        |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+        |  FROM c),
+        |cn AS (
+        |  SELECT c_label, centroid,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
+        |  FROM cent),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+        |  FROM (
+        |    SELECT vec_id, embedding, vnorm, c_label,
+        |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+        |    FROM e, cn)),
+        |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+        |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
+        |s AS (
+        |  SELECT qid, m_vec_id, cells.cell AS cell,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+        |  FROM cells JOIN probes ON cells.cell = probes.cell
+        |  WHERE m_vec_id <> qid)
+        |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
+        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
     "dd_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -135,6 +135,70 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Shared IVF machinery: per-label centroids with norms (order-fixed
+    * sequential sums — deterministic under any shuffle), and the
+    * assignment of every corpus vector to its ranked nearest centroids.
+    */
+  private def centroidsWithNorm(emb: DataFrame): DataFrame = {
+    val centroids = emb
+      .groupBy("label")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("members"))
+      .select(col("label").as("c_label"),
+        expr(s"""transform(sequence(0, ${dims - 1}), d ->
+                   aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d] AS DOUBLE))
+                   / size(members))""").as("centroid"))
+    centroids.withColumn("cnorm",
+      expr(s"sqrt(aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + centroid[i] * centroid[i]))"))
+  }
+
+  /** Full IVF approximate search — the 100 TB ANN path the brief asks
+    * for, completing [[simCentroidAssign]]'s coarse quantizer: every
+    * corpus vector lands in the cell of its nearest centroid (one
+    * broadcast of the few centroids + one narrow pass = the inverted
+    * lists), and each query scores ONLY the members of its `nprobe`
+    * nearest cells, never the whole corpus. At scale the cell column is
+    * the partition/bucket key, so a probe touches nprobe buckets while
+    * brute force ([[simCosineTopk]]) touches all of them.
+    *
+    * All arithmetic is the established bit-exact form (query·centroid via
+    * the ordered double fold, candidate scoring via the codegen'd
+    * `float_dot`), so the DuckDB oracle hash-matches the whole pipeline:
+    * centroids, cell assignment, probes and final ranking.
+    */
+  def simIvfAnn(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("vnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val cn = centroidsWithNorm(emb)
+    // rank centroids per vector: cell 1 = nearest (ties broken by label)
+    val ranked = emb.join(broadcast(cn))
+      .withColumn("cos_c",
+        expr(s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * centroid[i])")
+          / (col("vnorm") * col("cnorm")))
+      .withColumn("crnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
+          .orderBy(col("cos_c").desc, col("c_label").asc)))
+    val cells = ranked.filter(col("crnk") === 1)
+      .select(col("vec_id").as("m_vec_id"), col("c_label").as("cell"),
+        col("embedding").as("m_vec"), col("vnorm").as("m_norm"))
+    val probes = ranked.filter(col("vec_id") < 5 && col("crnk") <= nprobe)
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"),
+        col("embedding").as("qvec"), col("vnorm").as("qnorm"))
+    val scored = cells.join(broadcast(probes), Seq("cell"))
+      .filter(col("m_vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "m_vec")) / (col("qnorm") * col("m_norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("m_vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("m_vec_id").as("vec_id"), col("cell"),
+        col("cosine"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF-style coarse quantization: per-label centroids via an
     * order-fixed sequential sum (list sorted by vec_id, then folded), so
     * the float accumulation is deterministic under any shuffle; then the

@@ -46,6 +46,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "no partial aggregation before shuffle")
   }
 
+  test("custom expressions stay inside whole-stage codegen") {
+    // The debug codegen listing enumerates WholeStageCodegen subtrees;
+    // the hot projections built on graft's custom expressions must appear
+    // inside one — a CodegenFallback there would re-introduce round 1's
+    // interpreted per-row cost.
+    import org.apache.spark.sql.execution.debug.codegenString
+    // AQE wraps the plan and only inserts WholeStageCodegen per stage at
+    // execution; disable it for this static plan probe (suites run
+    // serialized, so the conf flip is safe).
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      for ((query, exprName) <- Seq(
+          "sim_lsh_buckets" -> "lsh_bucket",
+          "dd_ngram_jaccard" -> "minhash_bands",
+          "tx_langid" -> "lexicon_hits")) {
+        val cg = codegenString(
+          SparkEntry.queries(query)(spark, dir).queryExecution.executedPlan)
+        assert(cg.contains(exprName),
+          s"$exprName not inside any WholeStageCodegen subtree of $query")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("pack-chunks window is sharded, not single-partition") {
+    val plan = SparkEntry.queries("tx_pack_chunks")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), "packing must use a running-sum window")
+    assert("""windowspecdefinition\(lang#\d+, shard#\d+L""".r
+      .findFirstIn(plan).isDefined,
+      s"window must partition by (lang, shard):\n$plan")
+  }
+
   test("handler plans push asset and date predicates into the scan") {
     // fixture via the ingest synthetic source is overkill here; the
     // sf0.001 lineitem scan through an equivalent read-filter-project

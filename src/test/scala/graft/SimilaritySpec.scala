@@ -16,6 +16,27 @@ class SimilaritySpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.01"
 
+  test("IVF ANN is internally consistent and agrees with brute-force cosines") {
+    val ivf = Similarity.simIvfAnn(spark, dir).collect()
+    assert(ivf.nonEmpty)
+    ivf.groupBy(_.getAs[Long]("qid")).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.length <= 5)
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to sorted.length))
+      val cosines = sorted.map(_.getAs[Double]("cosine")).toSeq
+      assert(cosines == cosines.sorted.reverse)
+    }
+    // wherever IVF and brute force return the same (qid, vec_id), the
+    // cosine must be bit-identical — same float_dot, same math
+    val brute = Similarity.simCosineTopk(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("cosine")).toMap
+    ivf.foreach { r =>
+      val key = (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))
+      brute.get(key).foreach(c => assert(c == r.getAs[Double]("cosine")))
+    }
+  }
+
   test("LSH ANN is internally consistent with brute-force cosines") {
     val ann = Similarity.simLshAnn(spark, dir).collect()
     assert(ann.nonEmpty)
