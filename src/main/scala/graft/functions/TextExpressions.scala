@@ -208,6 +208,102 @@ case class MinHashBands(
     copy(child = newChild)
 }
 
+/** `minhash_xx_bands(tokens, shingleWidth, numSlots, bandSize)` →
+  * `array<bigint>` of band hashes — the xxhash64 sibling of
+  * [[MinHashBands]] for the no-oracle path, bit-equal to the
+  * higher-order-function chain it replaces (TextOpsSpec asserts it):
+  *   - th_i     = xxhash64(tokens[i])                     (seed 42)
+  *   - sh_i     = xxhash64(th_i, …, th_{i+w-1})           (chained longs)
+  *   - slot_j   = min over shingles of xxhash64(sh, j)    (long + int chain)
+  *   - band_b   = xxhash64(slot_{r·b}, …, slot_{r·b+r-1})
+  * One tight loop per row via Spark's own `XXH64` primitives instead of
+  * numSlots × |shingles| interpreted lambda invocations. Same banding
+  * parameter rules as [[MinHashBands]].
+  */
+case class MinHashXxBands(
+    child: Expression,
+    shingleWidth: Int,
+    numSlots: Int,
+    bandSize: Int)
+  extends UnaryExpression {
+
+  require(shingleWidth >= 1, "shingleWidth must be >= 1")
+  require(numSlots >= 1 && bandSize >= 1 && numSlots % bandSize == 0,
+    "numSlots must be a positive multiple of bandSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_xx_bands requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_xx_bands"
+
+  def compute(toksData: ArrayData): ArrayData = {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val n = toksData.numElements()
+    if (n < shingleWidth) return null
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      if (toksData.isNullAt(i)) return null
+      th(i) = XXH64.hashUTF8String(toksData.getUTF8String(i), 42L)
+      i += 1
+    }
+    val mins = Array.fill[Long](numSlots)(Long.MaxValue)
+    val nShingles = n - shingleWidth + 1
+    i = 0
+    while (i < nShingles) {
+      var sh = 42L
+      var w = 0
+      while (w < shingleWidth) {
+        sh = XXH64.hashLong(th(i + w), sh)
+        w += 1
+      }
+      val base = XXH64.hashLong(sh, 42L)
+      var j = 0
+      while (j < numSlots) {
+        val v = XXH64.hashInt(j, base)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    val nBands = numSlots / bandSize
+    val bands = new Array[Any](nBands)
+    var b = 0
+    while (b < nBands) {
+      var h = 42L
+      var r = 0
+      while (r < bandSize) {
+        h = XXH64.hashLong(mins(b * bandSize + r), h)
+        r += 1
+      }
+      bands(b) = java.lang.Long.valueOf(h)
+      b += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("minhashXx", this, classOf[MinHashXxBands].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $self.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashXxBands =
+    copy(child = newChild)
+}
+
 /** `lsh_bucket(embedding, nbits)` → bigint bucket id: bit j is set iff the
   * dot product of the vector with deterministic rational hyperplane j is
   * positive, with plane(j, d) = ((j·73 + d·37) mod 19 − 9) / 9.
@@ -368,6 +464,16 @@ object TextFunctions {
       intLit(exprs(2), "numSlots"), intLit(exprs(3), "bandSize")): Expression
   }
 
+  private[functions] val minhashXxFid = FunctionIdentifier("minhash_xx_bands")
+  private[functions] val minhashXxInfo =
+    new ExpressionInfo(classOf[MinHashXxBands].getName, "minhash_xx_bands")
+  private[functions] val minhashXxBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 4,
+      "minhash_xx_bands(tokens, shingleWidth, numSlots, bandSize) takes 4 arguments")
+    MinHashXxBands(exprs.head, intLit(exprs(1), "shingleWidth"),
+      intLit(exprs(2), "numSlots"), intLit(exprs(3), "bandSize")): Expression
+  }
+
   private[functions] val lshFid = FunctionIdentifier("lsh_bucket")
   private[functions] val lshInfo =
     new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket")
@@ -383,6 +489,9 @@ object TextFunctions {
     val reg = spark.sessionState.functionRegistry
     if (!reg.functionExists(minhashFid)) {
       reg.registerFunction(minhashFid, minhashInfo, minhashBuilder)
+    }
+    if (!reg.functionExists(minhashXxFid)) {
+      reg.registerFunction(minhashXxFid, minhashXxInfo, minhashXxBuilder)
     }
     if (!reg.functionExists(lshFid)) {
       reg.registerFunction(lshFid, lshInfo, lshBuilder)

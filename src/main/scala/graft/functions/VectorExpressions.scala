@@ -206,6 +206,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextFunctions.minhashFid, TextFunctions.minhashInfo,
       TextFunctions.minhashBuilder))
     ext.injectFunction((
+      TextFunctions.minhashXxFid, TextFunctions.minhashXxInfo,
+      TextFunctions.minhashXxBuilder))
+    ext.injectFunction((
       TextFunctions.lshFid, TextFunctions.lshInfo, TextFunctions.lshBuilder))
   }
 }

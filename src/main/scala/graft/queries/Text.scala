@@ -320,36 +320,30 @@ object Text {
     * bucket join → true-Jaccard confirmation on candidates only. The
     * banded self-join is the 100 TB path: candidates meet only inside a
     * (band, signature) bucket, so the shuffle is on short hashes.
+    *
+    * The whole tokens → shingle hashes → slot minima → band hashes chain
+    * is ONE codegen'd expression ([[graft.functions.MinHashXxBands]],
+    * bit-equal to the interpreted numSlots × |shingles| lambda chain it
+    * replaced — TextOpsSpec). Confirmation still compares shingle-hash
+    * sets: tokens hash once, each 3-shingle is a hash-of-three-longs, no
+    * string concat ever materializes.
     */
   def ddMinhashLsh(spark: SparkSession, dir: String,
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     require(numSlots % bandSize == 0, "numSlots must be a multiple of bandSize")
-    val numBands = numSlots / bandSize
+    graft.functions.TextFunctions.ensureRegistered(spark)
     val spark2 = spark
     import spark2.implicits._
-    // Shingles never materialize as strings: tokens hash once, then each
-    // 3-shingle is a hash-of-three-longs — no concat allocation, and the
-    // downstream Jaccard confirmation compares 8-byte values.
-    val shingled = Tables.spread(docs(spark, dir))
+    val src = Tables.spread(docs(spark, dir))
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 3)
+    val shingled = src
       .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
       .withColumn("shingles",
         expr("transform(sequence(0, size(th) - 3), i -> xxhash64(th[i], th[i+1], th[i+2]))"))
       .select(col("doc_id"), col("lang"), col("shingles"))
-    // The 16-slot signature is the expensive expression (16 × |shingles|
-    // seeded xxhash64 evaluations per doc). Cached so the banding pass
-    // and pushed-down filters evaluate it exactly once. (An arithmetic
-    // permutation family — hash once, permute 16× with (2j+1)*h+b mod
-    // 2^31-1 — was measured SLOWER here: higher-order-function lambdas
-    // are interpreted, so lambda-invocation count dominates and the extra
-    // permutation pass outweighs the saved string hashing.)
-    val sigs = shingled.select(col("doc_id"),
-      expr(s"transform(sequence(0, ${numSlots - 1}), j -> array_min(transform(shingles, s -> xxhash64(s, j))))")
-        .as("sig")).cache()
-    val bandArgs = (0 until bandSize).map(k => s"sig[$bandSize*b+$k]").mkString(", ")
-    val bands = sigs.select(col("doc_id"),
-        posexplode(expr(s"transform(sequence(0, ${numBands - 1}), b -> xxhash64($bandArgs))")))
+    val bands = src.select(col("doc_id"),
+        posexplode(expr(s"minhash_xx_bands(toks, 3, $numSlots, $bandSize)")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "band_hash")
     val pairs = bands.as("x").join(bands.as("y"),
         $"x.band" === $"y.band" && $"x.band_hash" === $"y.band_hash" &&

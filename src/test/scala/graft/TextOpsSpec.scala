@@ -39,6 +39,25 @@ class TextOpsSpec extends SparkSpec {
     assert(both.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("minhash_xx_bands equals the interpreted xxhash64 chain bit-for-bit") {
+    TextFunctions.ensureRegistered(spark)
+    val both = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("fast", expr("minhash_xx_bands(toks, 3, 16, 4)"))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(th) - 3), i -> xxhash64(th[i], th[i+1], th[i+2]))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+      .withColumn("fold", expr(
+        "transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+      .select("fast", "fold").collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("minhash_bands null handling: null input, short input, null element") {
     TextFunctions.ensureRegistered(spark)
     val out = spark.sql(
