@@ -77,6 +77,7 @@ object SparkEntry {
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_hash_sample" -> (Text.txHashSample _),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
+    "tx_bigram_score" -> (Text.txBigramScore _),
     "dd_exact" -> (Text.ddExact _),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -477,6 +478,18 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_stratified,
         |  min(CASE WHEN rn <= 10 THEN doc_id END) AS min_sampled_id
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_bigram_score" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |c AS (SELECT bigram, count(*) AS freq FROM g GROUP BY 1)
+        |SELECT doc_id, lang, count(*) AS n_bigrams,
+        |  CAST(sum(freq) AS BIGINT) AS total_freq,
+        |  CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS score
+        |FROM g JOIN c USING (bigram)
+        |WHERE doc_id < 300
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "tx_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,

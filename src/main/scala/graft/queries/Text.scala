@@ -136,6 +136,40 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Bigram-frequency quality scoring — the integer-exact cousin of an
+    * n-gram LM perplexity filter (the KenLM-style gate real pretraining
+    * pipelines run): pass 1 counts every bigram across the corpus, pass 2
+    * scores each document by the mean corpus frequency of its bigrams.
+    * Rare-bigram (low-score) documents are the gibberish candidates.
+    *
+    * Frequencies stay integer until the single final division, so the
+    * DuckDB oracle hash-matches (a log-prob variant would hinge on libm
+    * rounding differences between engines — deliberately avoided).
+    *
+    * Scale shape: the count pass is one shuffle on the bigram key with
+    * map-side partials; the score pass joins per-doc bigrams to the
+    * counts table on the same key — at vocab² cardinality that is a plain
+    * shuffle join (AQE upgrades it to broadcast when, as here, the
+    * distinct-bigram table is small).
+    */
+  def txBigramScore(spark: SparkSession, dir: String): DataFrame = {
+    val grams = docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))")))
+      .withColumnRenamed("col", "bigram").drop("pos")
+    val counts = grams.groupBy("bigram").agg(count(lit(1)).as("freq"))
+    grams.join(counts, "bigram")
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("total_freq"))
+      .filter(col("doc_id") < 300)
+      .withColumn("score", col("total_freq").cast("double") / col("n_bigrams"))
+      .select("doc_id", "lang", "n_bigrams", "total_freq", "score")
+      .orderBy("doc_id")
+  }
+
   /** Sequence packing (training-batch assembly): concatenate each shard's
     * token stream in doc_id order and chunk it at a fixed token budget —
     * the GPT-style pack-and-split a pretraining loader runs, reported as
