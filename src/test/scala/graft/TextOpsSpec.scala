@@ -205,6 +205,21 @@ class TextOpsSpec extends SparkSpec {
     u.unpersist(); joined.unpersist()
   }
 
+  test("sequence packing conserves tokens and orders chunks by document") {
+    val totalTokens = Tables(spark, sf001, "documents")
+      .select(expr("sum(size(split(text, ' ')))")).collect().head.getLong(0)
+    val packed = Text.txPackChunks(spark, sf001).collect()
+    // every token lands in exactly one chunk
+    assert(packed.map(_.getAs[Long]("tokens")).sum == totalTokens)
+    // within a (lang, shard) stream, chunk order == document order
+    packed.groupBy(r => (r.getAs[String]("lang"), r.getAs[Long]("shard")))
+      .foreach { case (_, rows) =>
+        val byChunk = rows.sortBy(_.getAs[Long]("chunk_id"))
+          .map(_.getAs[Long]("first_doc_id")).toSeq
+        assert(byChunk == byChunk.sorted)
+      }
+  }
+
   test("tx_hash_sample has no WindowExec and matches the window formulation") {
     val df = Text.txHashSample(spark, sf001)
     val plan = df.queryExecution.executedPlan.toString
