@@ -16,12 +16,16 @@ object Catalog {
   private val current =
     new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
 
-  def registerAll(spark: SparkSession, sfDir: String): Unit =
+  /** Returns true when the views were (re)registered, false when the dir
+    * was already current and the call was a no-op.
+    */
+  def registerAll(spark: SparkSession, sfDir: String): Boolean =
     if (current.put(spark, sfDir) != sfDir) {
       Tables.names.foreach { n =>
         scala.util.Try(Tables(spark, sfDir, n).createOrReplaceTempView(n))
       }
-    }
+      true
+    } else false
 
   def sql(spark: SparkSession, sfDir: String, query: String): DataFrame = {
     registerAll(spark, sfDir)

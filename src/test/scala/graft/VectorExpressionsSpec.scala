@@ -72,22 +72,39 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getLong(2) == 0L) // all counters negative -> no bits set
   }
 
-  test("GraftExtensions registers float_dot at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .appName("graft-ext-test")
-      .config("spark.sql.shuffle.partitions", "2")
-      .config("spark.ui.enabled", "false")
-      .withExtensions(new GraftExtensions)
-      .getOrCreate()
-    try {
-      val v = s2.sql(
-        "SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT)))")
-        .collect().head.getDouble(0)
-      assert(v == 4.0)
-    } finally {
-      // getOrCreate may return the shared suite session; only the config
-      // differs. Do not stop it — other suites share the SparkContext.
-    }
+  test("every custom function resolves after idempotent registration") {
+    // The production paths: lazy per-session registration (exercised
+    // here, twice — must be idempotent) or GraftExtensions at session
+    // build (same builders; injection exercised below). A fresh
+    // withExtensions session can't be built inside the suite — the shared
+    // SparkContext makes getOrCreate return the existing session.
+    VectorFunctions.ensureRegistered(spark)
+    VectorFunctions.ensureRegistered(spark)
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val row = spark.sql(
+      """SELECT float_dot(array(CAST(1.5 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                 array(CAST(2.0 AS FLOAT), CAST(0.5 AS FLOAT))) AS fd,
+        |       simhash64(array(CAST(0 AS BIGINT))) AS sh,
+        |       size(minhash_bands(array('a','b','c','d'), 3, 16, 4)) AS mb,
+        |       size(minhash_xx_bands(array('a','b','c','d'), 3, 16, 4)) AS mx,
+        |       lsh_bucket(array(CAST(1.0 AS FLOAT)), 4) AS lb
+        |""".stripMargin).collect().head
+    assert(row.getDouble(0) == 4.0)
+    assert(row.getInt(2) == 4 && row.getInt(3) == 4)
+    // the extensions hook injects without error (it reuses the exact same
+    // builders the lazy path just proved)
+    new GraftExtensions().apply(new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
+  test("Catalog registers views once per (session, dir) and on dir switch") {
+    val dirA = "/root/testdata/sf0.001"
+    val dirB = "/root/testdata/sf0.01"
+    Catalog.registerAll(spark, dirA) // whatever state earlier suites left
+    assert(!Catalog.registerAll(spark, dirA), "same dir must be a no-op")
+    assert(Catalog.registerAll(spark, dirB), "dir switch must re-register")
+    assert(Catalog.sql(spark, dirB, "SELECT count(*) AS n FROM region")
+      .collect().head.getLong(0) > 0)
+    assert(Catalog.registerAll(spark, dirA), "switch back must re-register")
   }
 }
