@@ -41,6 +41,7 @@ object Ingest {
     // `<root>/logs/wrds_ingestion_<UTC>.log`, "%(asctime)s %(levelname)s
     // %(message)s" lines).
     val runLog = RunLog.open(root)
+    try {
     runLog.info(s"Ingest run starting: root=$root start=$start end=$end saveRaw=$saveRaw")
 
     val steps = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
@@ -261,8 +262,9 @@ object Ingest {
     steps.zipWithIndex.foreach { case ((name, secs), i) =>
       runLog.fileOnly(f"step ${i + 1}%2d/${steps.size} $secs%8.1fs  $name")
     }
-    runLog.close()
     Result(root, steps.toSeq)
+    // the log file closes even when a step throws mid-run
+    } finally runLog.close()
   }
 
   /** Fundamentals column ladder (`wrds_ingestion.py:495-513`): the full

@@ -28,9 +28,18 @@ object Tables {
     * re-bucketing; the pattern still pays off whenever upstream
     * cardinality is far below cluster parallelism (e.g. a fetch list
     * feeding a heavy decode).
+    *
+    * Conditional: when the input already carries at least the session's
+    * shuffle parallelism (the 100 TB case — thousands of file splits),
+    * this is an identity and NO shuffle is added; the repartition only
+    * fires for genuinely under-split inputs. The partition-count probe
+    * plans the RDD but runs no job.
     */
-  def spread(df: DataFrame): DataFrame =
-    df.repartition(df.sparkSession.sessionState.conf.numShufflePartitions)
+  def spread(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sessionState.conf.numShufflePartitions
+    if (df.rdd.getNumPartitions >= target) df
+    else df.repartition(target)
+  }
 
   def apply(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
