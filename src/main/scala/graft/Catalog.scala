@@ -12,18 +12,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Catalog {
   // Session → currently-registered dir: switching dirs re-registers (the
-  // views are global names), repeating the same dir is a no-op.
+  // views are global names), repeating the same dir is a no-op. Weak keys
+  // so retired sessions don't accumulate.
   private val current =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
 
   /** Returns true when the views were (re)registered, false when the dir
-    * was already current and the call was a no-op.
+    * was already current and the call was a no-op. The dir is recorded
+    * only AFTER registration, so a failure mid-registration is retried on
+    * the next call instead of being cached as success.
     */
   def registerAll(spark: SparkSession, sfDir: String): Boolean =
-    if (current.put(spark, sfDir) != sfDir) {
+    if (current.get(spark) != sfDir) {
       Tables.names.foreach { n =>
         scala.util.Try(Tables(spark, sfDir, n).createOrReplaceTempView(n))
       }
+      current.put(spark, sfDir)
       true
     } else false
 

@@ -439,8 +439,10 @@ object Text {
     import spark2.implicits._
     // Consumed by the per-lang rollup and both self-join sides.
     val uniq = simhashClusters(spark, dir, prefixBits).cache()
+    // `div`, not `/`: SQL '/' is double division — it would silently turn
+    // the pair counts into doubles and lose exactness past 2^53.
     val intra = uniq.groupBy("lang")
-      .agg(sum(expr("c * (c - 1) / 2")).as("p0"))
+      .agg(sum(expr("c * (c - 1) div 2")).as("p0"))
     val cross = uniq.as("x").join(uniq.as("y"),
         $"x.lang" === $"y.lang" && $"x.block" === $"y.block" &&
           $"x.simhash" < $"y.simhash")

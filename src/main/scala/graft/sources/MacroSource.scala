@@ -64,21 +64,35 @@ class HttpMacroSource(spark: SparkSession,
   private lazy val client = java.net.http.HttpClient.newBuilder()
     .connectTimeout(timeout).build()
 
+  // resolved once per source instance — not once per series fetch
+  private lazy val resolvedKey: Option[String] =
+    apiKey.orElse(graft.Config.loadFredApiKey())
+
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
 
   private def fetch(seriesId: String, start: String, end: String): Option[String] = {
-    val key = apiKey.orElse(graft.Config.loadFredApiKey())
     val url = s"$baseUrl?series_id=${enc(seriesId)}" +
       s"&observation_start=${enc(start)}&observation_end=${enc(end)}" +
-      "&file_type=json" + key.map(k => s"&api_key=${enc(k)}").getOrElse("")
+      "&file_type=json" + resolvedKey.map(k => s"&api_key=${enc(k)}").getOrElse("")
     val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
       .timeout(timeout).GET().build()
-    scala.util.Try {
-      val resp = client.send(req,
-        java.net.http.HttpResponse.BodyHandlers.ofString())
-      if (resp.statusCode() / 100 == 2) Some(resp.body()) else None
-    }.toOption.flatten
+    // log-and-continue per series, like the reference (`:975-979`) — a
+    // silent empty macro frame with no diagnostics is undebuggable
+    scala.util.Try(
+      client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    ) match {
+      case scala.util.Success(resp) if resp.statusCode() / 100 == 2 =>
+        Some(resp.body())
+      case scala.util.Success(resp) =>
+        System.err.println(
+          s"[macro] FRED fetch for $seriesId returned HTTP ${resp.statusCode()}; skipping series")
+        None
+      case scala.util.Failure(e) =>
+        System.err.println(
+          s"[macro] FRED fetch for $seriesId failed: ${e.getMessage}; skipping series")
+        None
+    }
   }
 
   def series(seriesIds: Seq[String], start: String, end: String): DataFrame = {

@@ -21,6 +21,22 @@ class MultimodalSpec extends SparkSpec {
     assert(meta.getAs[Int]("width") >= 64 && meta.getAs[Int]("n_frames") == 4)
   }
 
+  test("mm oracle precondition: doc_id < 100 texts are pure ASCII") {
+    // The mm_decode_features / mm_frame_features DuckDB oracles equate
+    // character-based length()/substring() with the Spark side's
+    // byte-based semantics — valid only while the media-source docs are
+    // ASCII. Enforce the precondition mechanically so a future testdata
+    // change fails HERE with a clear message, not as an opaque hash
+    // mismatch in the driver gate.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val nonAscii = Tables(spark, s"/root/testdata/$sf", "documents")
+        .filter(org.apache.spark.sql.functions.col("doc_id") < 100)
+        .filter("length(text) != octet_length(text)").count()
+      assert(nonAscii == 0,
+        s"$sf has $nonAscii non-ASCII docs under doc_id<100 — the mm oracles' char==byte assumption breaks")
+    }
+  }
+
   test("decodeStub is deterministic and reads real bytes") {
     val a = Multimodal.decodeStub(Multimodal.fromDocuments(docs))
       .orderBy("media_id").collect()

@@ -29,7 +29,7 @@ class StreamingSpec extends SparkSpec {
     val q = StreamingOps.tumblingCounts(stream)
       .writeStream.format("memory").queryName("tumbling_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
 
     val streamed = spark.table("tumbling_stream")
       .orderBy("window_start", "event_type").collect()
@@ -68,7 +68,7 @@ class StreamingSpec extends SparkSpec {
       .groupBy("event_type").agg(count(lit(1)).as("n"))
       .writeStream.format("memory").queryName("dedup_stream")
       .outputMode("complete").trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination(120000)
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
     val streamed = spark.table("dedup_stream").orderBy("event_type").collect()
     val batch = StreamingOps.dedupedEvents(
         Tables(spark, "/root/testdata/sf0.001", "events"))
