@@ -348,7 +348,10 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
           (((j * 73 + d * 37) % 19 - 9).toDouble / 9.0)
         d += 1
       }
-      if (acc > 0.0) bucket |= (1L << j)
+      // SQL ordering semantics, not Java primitive compare: Spark (and
+      // DuckDB) treat NaN as larger than every value, so `acc > 0` is
+      // TRUE for NaN (reachable via Infinity × a zero plane coefficient).
+      if (acc > 0.0 || java.lang.Double.isNaN(acc)) bucket |= (1L << j)
       j += 1
     }
     bucket
@@ -371,7 +374,7 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
          |    $acc += (double) $a.getFloat($d) *
          |      (((double) (($j * 73 + $d * 37) % 19 - 9)) / 9.0);
          |  }
-         |  if ($acc > 0.0) $bucket |= (1L << $j);
+         |  if ($acc > 0.0 || Double.isNaN($acc)) $bucket |= (1L << $j);
          |}
          |if (!${ev.isNull}) { ${ev.value} = $bucket; }
        """.stripMargin

@@ -80,6 +80,86 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("minhash_bands equals its HOF mirror on arbitrary unicode token arrays") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // tokens: arbitrary unicode (no spaces — tokens are space-split by
+    // construction), arrays spanning the short-edge cases around the
+    // shingle width
+    val genTok = Gen.chooseNum(1, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumChar, Gen.oneOf('é', 'ß', '中', '文', 'λ', '€')))
+        .map(_.mkString))
+    val genArr = Gen.chooseNum(3, 40).flatMap(n => Gen.listOfN(n, genTok))
+    val cases = samples(genArr, 60)
+    val rows = cases.zipWithIndex.map { case (toks, i) => Row(i.toLong, toks) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)))))
+    val both = df
+      .withColumn("fast", expr("minhash_bands(toks, 3, 16, 4)"))
+      .withColumn("sh", expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+      .withColumn("hh", expr(
+        """transform(sh, sg -> concat(
+             md5(cast(sg AS BINARY)), md5(cast(concat(sg, '#') AS BINARY)),
+             md5(cast(concat(sg, '##') AS BINARY)), md5(cast(concat(sg, '###') AS BINARY))))"""))
+      .withColumn("slots", expr(
+        "transform(sequence(0, 15), j -> array_min(transform(hh, x -> substring(x, 8*j + 1, 8))))"))
+      .withColumn("fold", expr(
+        "transform(sequence(0, 3), b -> md5(cast(concat(slots[4*b], slots[4*b+1], slots[4*b+2], slots[4*b+3]) AS BINARY)))"))
+      .select("fast", "fold").collect()
+    assert(both.length == 60)
+    assert(both.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
+  test("minhash_xx_bands equals its HOF mirror on arbitrary token arrays") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val genTok = Gen.chooseNum(1, 8).flatMap(n =>
+      Gen.listOfN(n, Gen.asciiPrintableChar).map(_.mkString))
+    val genArr = Gen.chooseNum(3, 50).flatMap(n => Gen.listOfN(n, genTok))
+    val cases = samples(genArr, 60)
+    val rows = cases.zipWithIndex.map { case (toks, i) => Row(i.toLong, toks) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)))))
+    val both = df
+      .withColumn("fast", expr("minhash_xx_bands(toks, 3, 16, 4)"))
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("shingles", expr(
+        "transform(sequence(0, size(th) - 3), i -> xxhash64(th[i], th[i+1], th[i+2]))"))
+      .withColumn("sig", expr(
+        "transform(sequence(0, 15), j -> array_min(transform(shingles, s -> xxhash64(s, j))))"))
+      .withColumn("fold", expr(
+        "transform(sequence(0, 3), b -> xxhash64(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]))"))
+      .select("fast", "fold").collect()
+    assert(both.length == 60)
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("lsh_bucket equals the fold on arbitrary float vectors incl. specials") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val genF = Gen.oneOf(
+      Gen.chooseNum(-10.0f, 10.0f),
+      Gen.oneOf(0.0f, -0.0f, Float.MaxValue, Float.MinPositiveValue,
+        Float.PositiveInfinity, Float.NegativeInfinity))
+    val genVec = Gen.chooseNum(1, 64).flatMap(n => Gen.listOfN(n, genF))
+    val cases = samples(genVec, 60)
+    val rows = cases.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(FloatType)))))
+    val both = df
+      .withColumn("fast", expr("lsh_bucket(v, 8)"))
+      .withColumn("fold", expr(
+        """aggregate(sequence(0, 7), 0L, (b, j) ->
+             b + CASE WHEN (aggregate(sequence(0, size(v) - 1), 0D, (acc, d) ->
+               acc + CAST(v[d] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0D))) > 0D
+             THEN shiftleft(1L, j) ELSE 0L END)"""))
+      .select("fast", "fold").collect()
+    assert(both.length == 60)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
   test("conformTo always yields exactly the canonical schema") {
     val gen = Gen.someOf(Seq("date", "ret", "factor_name", "extra_col"))
     samples(gen, 20).foreach { cols =>
