@@ -140,6 +140,41 @@ class TextOpsSpec extends SparkSpec {
     assert(nearDups(sf01) == 79L)
   }
 
+  test("dd_minhash_lsh recall sits on the banding curve over planted duplicates") {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // sf0.001: ground truth enumerated in-spec (all-pairs shingle-hash
+    // Jaccard >= 0.8 — 300 docs, cheap here, impossible at scale).
+    val sh = Tables(spark, "/root/testdata/sf0.001", "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("th", expr("transform(toks, t -> xxhash64(t))"))
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(th) - 3), i -> xxhash64(th[i], th[i+1], th[i+2])))"))
+      .select(col("doc_id"), col("sh"))
+    val truth = sh.as("a").join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .withColumn("inter", expr("size(array_intersect(a.sh, b.sh))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(a.sh)") + expr("size(b.sh)") - col("inter")) >= 0.8)
+      .count()
+    // Confirmed dups can never exceed truth (confirmation is exact
+    // Jaccard), and recall must sit on the banding curve: at the 0.8
+    // threshold P(candidate | j=0.8) = 1-(1-0.8^4)^4 ≈ 0.88, rising
+    // steeply toward 1 for the near-identical planted dups — so >= 85%
+    // found, and in practice all but the borderline-j pairs (measured:
+    // 27 of 28 at sf0.001; the miss has j ≈ 0.8).
+    val got001 = Text.ddMinhashLsh(spark, "/root/testdata/sf0.001")
+      .collect().head.getAs[Long]("n_confirmed_dups")
+    assert(got001 <= truth, s"precision: confirmed $got001 exceeds truth $truth")
+    assert(got001 * 100 >= truth * 85, s"sf0.001 recall: found $got001 of $truth")
+    // sf0.01: ground truth 25 (all-pairs >= 0.8, measured offline in
+    // DuckDB over the fixed testdata; pairs are cross-language here,
+    // unlike ddNgramJaccard's within-language blocking).
+    val got01 = Text.ddMinhashLsh(spark, sf001)
+      .collect().head.getAs[Long]("n_confirmed_dups")
+    assert(got01 <= 25L && got01 * 100 >= 25L * 85,
+      s"sf0.01 recall: found $got01 of 25")
+  }
+
   test("embedding-cosine pairs stay ~linear when nbits follows the log2 rule") {
     // 4x vectors (500 -> 2000) with nbits 8 -> 10 keeps expected bucket
     // population constant, so pair count should grow ~linearly (4x), not
