@@ -19,14 +19,15 @@ object Catalog {
       new java.util.WeakHashMap[SparkSession, String]())
 
   /** Returns true when the views were (re)registered, false when the dir
-    * was already current and the call was a no-op. The dir is recorded
-    * only AFTER registration, so a failure mid-registration is retried on
-    * the next call instead of being cached as success.
+    * was already current and the call was a no-op. A per-table failure
+    * propagates and the dir is NOT recorded, so the next call retries the
+    * whole registration instead of caching a half-registered catalog as
+    * success.
     */
   def registerAll(spark: SparkSession, sfDir: String): Boolean =
     if (current.get(spark) != sfDir) {
       Tables.names.foreach { n =>
-        scala.util.Try(Tables(spark, sfDir, n).createOrReplaceTempView(n))
+        Tables(spark, sfDir, n).createOrReplaceTempView(n)
       }
       current.put(spark, sfDir)
       true

@@ -74,15 +74,27 @@ object Config {
       else t
     }
     def stripComment(line: String): String = {
-      // a # starts a comment unless inside quotes — good enough for the
-      // supported subset (quoted values containing # are rare but legal)
-      var inS = false; var inD = false
+      // a # starts a comment unless inside quotes. A quote only OPENS at
+      // a value boundary (line start or after ':' + spaces) — a mid-word
+      // apostrophe (password `o'brien#1`) is a literal character, not a
+      // state toggle, or it would disable comment stripping for the rest
+      // of the line and corrupt credential values (ADVICE.md round 2).
+      var quote: Char = 0    // 0 = outside any quoted run
+      var boundary = true    // position where a quote may legally open
       val sb = new StringBuilder
       for (c <- line) {
-        if (c == '\'' && !inD) inS = !inS
-        else if (c == '"' && !inS) inD = !inD
-        if (c == '#' && !inS && !inD) return sb.toString
-        sb += c
+        if (quote != 0) {
+          sb += c
+          if (c == quote) { quote = 0; boundary = false }
+        } else if ((c == '\'' || c == '"') && boundary) {
+          quote = c; sb += c
+        } else if (c == '#') {
+          return sb.toString
+        } else {
+          sb += c
+          if (c == ':') boundary = true
+          else if (c != ' ' && c != '\t') boundary = false
+        }
       }
       sb.toString
     }

@@ -32,8 +32,15 @@ object Tables {
     * Conditional: when the input already carries at least the session's
     * shuffle parallelism (the 100 TB case — thousands of file splits),
     * this is an identity and NO shuffle is added; the repartition only
-    * fires for genuinely under-split inputs. The partition-count probe
-    * plans the RDD but runs no job.
+    * fires for genuinely under-split inputs.
+    *
+    * Cost of the probe: `df.rdd` forces one extra physical-planning pass
+    * for the input plan (no job runs). That is microseconds for the
+    * scan-shaped inputs this wraps — apply it to scans, not to deep
+    * mid-query plans, or you pay the planning twice. Under AQE the probe
+    * reads the PRE-execution split count, which is the signal we want:
+    * AQE can only coalesce partitions below the file-split count, never
+    * raise it, so "file splits < cluster width" is decided correctly.
     */
   def spread(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -90,10 +90,12 @@ object Similarity {
     */
   def ddEmbeddingCosine(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    val bucketed = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
-      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-      .cache() // join key: evaluate once, not per join side / pushed filter
+    // join key: evaluate once, not per join side / pushed filter; scoped
+    // so re-invocations release the previous cache (graft.Caches)
+    val bucketed = graft.Caches.scoped("dd_embedding_cosine.bucketed",
+      Tables(spark, dir, "embeddings")
+        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
@@ -116,10 +118,12 @@ object Similarity {
     */
   def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    val bucketed = Tables(spark, dir, "embeddings")
-      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
-      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-      .cache() // join key: evaluate once for q and corpus sides
+    // join key: evaluate once for q and corpus sides; scoped cache —
+    // re-invocations release the previous one (graft.Caches)
+    val bucketed = graft.Caches.scoped("sim_lsh_ann.bucketed",
+      Tables(spark, dir, "embeddings")
+        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
         col("embedding").as("qvec"), col("norm").as("qnorm"))

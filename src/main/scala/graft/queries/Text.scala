@@ -308,17 +308,19 @@ object Text {
       .withColumn("alpha_ratio",
         expr("CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS DOUBLE) / length(text)"))
       .filter(col("n_tokens") >= 30 && col("alpha_ratio") > 0.7)
-    val exactDeduped = base
+    val exactDeduped0 = base
       .withColumn("h", expr("md5(cast(text AS BINARY))"))
       .withColumn("rn", expr(
         "row_number() OVER (PARTITION BY h ORDER BY doc_id)"))
       .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens"))
-      // consumed three times (band side, confirmation side, anti-join
-      // side) — cache, or the quality+md5+window chain runs three times.
-      // At cluster scale this materialization point would be a checkpoint
-      // or an intermediate table instead of executor memory.
-      .cache()
+    // consumed three times (band side, confirmation side, anti-join
+    // side) — cache, or the quality+md5+window chain runs three times.
+    // Scoped: re-invocations release the previous cache (graft.Caches).
+    // At cluster scale this materialization point would be a checkpoint
+    // or an intermediate table instead of executor memory.
+    val exactDeduped = graft.Caches.scoped("pipeline_clean_corpus.deduped",
+      exactDeduped0
+        .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens")))
     val bands = exactDeduped
       .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
       .select(col("doc_id"), col("lang"), posexplode(col("bands")))
@@ -437,8 +439,10 @@ object Text {
   def ddSimhash(spark: SparkSession, dir: String, prefixBits: Int = 16): DataFrame = {
     val spark2 = spark
     import spark2.implicits._
-    // Consumed by the per-lang rollup and both self-join sides.
-    val uniq = simhashClusters(spark, dir, prefixBits).cache()
+    // Consumed by the per-lang rollup and both self-join sides. Scoped:
+    // re-invocations release the previous cache (graft.Caches).
+    val uniq = graft.Caches.scoped("dd_simhash.clusters",
+      simhashClusters(spark, dir, prefixBits))
     // `div`, not `/`: SQL '/' is double division — it would silently turn
     // the pair counts into doubles and lose exactness past 2^53.
     val intra = uniq.groupBy("lang")

@@ -89,8 +89,10 @@ class HttpMacroSource(spark: SparkSession,
           s"[macro] FRED fetch for $seriesId returned HTTP ${resp.statusCode()}; skipping series")
         None
       case scala.util.Failure(e) =>
+        // exception class only — java.net.http messages can embed the full
+        // request URL, whose api_key query parameter is a credential
         System.err.println(
-          s"[macro] FRED fetch for $seriesId failed: ${e.getMessage}; skipping series")
+          s"[macro] FRED fetch for $seriesId failed (${e.getClass.getSimpleName}); skipping series")
         None
     }
   }
