@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components over an edge list — the step a real
+  * dedup pipeline needs between "confirmed near-duplicate PAIRS" and
+  * "which docs to keep": near-duplication is not transitive, so pairwise
+  * drops (keep the lower id of each pair) can drop a doc whose kept twin
+  * is itself dropped later, or keep both ends of an A–B–C chain. The
+  * cluster view (component = min doc id reachable through confirmed
+  * pairs) makes "keep exactly one doc per duplicate cluster" well-defined.
+  *
+  * Algorithm: alternating large-star / small-star contraction (Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii — "Connected Components in
+  * MapReduce and Beyond", SoCC 2014). Each round is two shuffles keyed on
+  * node id; per-node reduce state is a single running `min` (no
+  * `collect_list` of neighborhoods), so a power-law-degree 100 TB edge
+  * set still reduces without a hot-key buffer. Rounds needed:
+  * O(log² n) worst case, 2–3 in practice for near-dup clusters (small
+  * diameter). A label-propagation loop would need O(diameter) rounds and
+  * is unbounded on chain-shaped clusters; this is the shape that scales.
+  *
+  * Reference behavioral anchor: the reference keeps "first occurrence
+  * wins" dedup semantics (`wrds_ingestion.py:700-707` drop_duplicates
+  * keep=first); this operator extends the same rule across transitive
+  * near-dup clusters (component min = first occurrence).
+  */
+object ConnectedComponents {
+
+  /** `edges`: two integral columns `srcCol`/`dstCol` (any orientation,
+    * self-loops and duplicates tolerated). Returns one row per distinct
+    * node: `(id: long, component: long)` where `component` is the
+    * minimum node id in the node's connected component.
+    *
+    * Every iteration `localCheckpoint`s its edge set. This is
+    * correctness-of-scale, not a cache tweak: each round references the
+    * previous frame ~9× (two symmetrizations + two grouped-min joins),
+    * so an un-truncated logical plan grows ~9^rounds nodes and the
+    * driver dies planning it long before the executors see data —
+    * checkpointing pins each round to a materialized RDD and keeps the
+    * plan O(1) per round. On a cluster this would be a reliable
+    * `checkpoint()` (HDFS) so a lost executor replays one round, not the
+    * whole contraction; retired rounds are released by Spark's
+    * ContextCleaner once unreferenced.
+    */
+  def run(edges: DataFrame, srcCol: String = "src", dstCol: String = "dst",
+      maxIter: Int = 50): DataFrame = {
+    // canonical undirected form: u < v, deduped, no self loops
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("u"), col("v")).as("u"),
+          greatest(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+
+    // both orientations, so every node is the grouping center once
+    def sym(e: DataFrame): DataFrame =
+      e.union(e.select(col("v").as("u"), col("u").as("v")))
+
+    // large-star: every neighbor v > u re-attaches to min(Γ(u) ∪ {u})
+    def largeStar(e: DataFrame): DataFrame = {
+      val s = sym(e)
+      val mins = s.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      s.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+    }
+
+    // small-star: orient edges large→small; all smaller neighbors (and
+    // the center) re-attach to the minimum of the small side
+    def smallStar(e: DataFrame): DataFrame = {
+      val o = e.select(greatest(col("u"), col("v")).as("u"),
+        least(col("u"), col("v")).as("v"))
+      val mins = o.groupBy("u").agg(min("v").as("m"))
+      o.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(mins.select(col("u"), col("m").as("v")))
+    }
+
+    // set fingerprint for convergence: count + order-free XOR of row
+    // hashes (bit_xor never overflows — ANSI sum of 2⁶³-scale hashes
+    // would throw)
+    def fingerprint(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
+        .head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    var cur = canon(edges.select(
+        col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
+      .localCheckpoint(true)
+    var fp = fingerprint(cur)
+    var iter = 0
+    var done = fp._1 == 0L
+    while (!done && iter < maxIter) {
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val nfp = fingerprint(next)
+      if (nfp == fp) done = true
+      cur = next
+      fp = nfp
+      iter += 1
+    }
+    // converged: every edge is (component min) < (member). Roots appear
+    // only on the small side; members exactly once on the large side.
+    val members = cur.groupBy(col("v").as("id")).agg(min("u").as("component"))
+    val roots = cur.select(col("u").as("id")).distinct()
+      .join(members.select(col("id")), Seq("id"), "left_anti")
+      .withColumn("component", col("id"))
+    members.unionByName(roots)
+  }
+}

@@ -78,14 +78,18 @@ object SparkEntry {
     "tx_hash_sample" -> (Text.txHashSample _),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
     "tx_bigram_score" -> (Text.txBigramScore _),
+    "tx_repetition" -> (Text.txRepetition _),
+    "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
+    "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> (Similarity.simCosineTopk _),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
+    "sim_sq_int8" -> (Similarity.simSqInt8 _),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
@@ -541,6 +545,113 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
         |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same MinHashBands replication as dd_ngram_jaccard, then the
+    // confirmed pairs are closed under connectivity by a recursive
+    // min-label CTE — an independent connectivity formulation checking
+    // the large-star/small-star contraction row-for-row.
+    "dd_dup_clusters" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, lang, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
+        |conf AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
+        |reach(u, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
+        |comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+        |SELECT c.component, c.doc_id, dd.lang, sz.cluster_size
+        |FROM comp c JOIN sz USING (component) JOIN documents dd USING (doc_id)
+        |ORDER BY component, doc_id""".stripMargin,
+    "tx_repetition" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |b AS (
+        |  SELECT doc_id, lang, len(toks) AS n_tokens,
+        |    list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i+1]) AS bg,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS tg
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(list_max(list_transform(list_distinct(bg), x -> len(list_filter(bg, y -> y = x)))), 0) AS max2,
+        |    len(tg) - len(list_distinct(tg)) AS dup3
+        |  FROM b),
+        |f AS (
+        |  SELECT lang,
+        |    CAST(max2 * 2 AS DOUBLE) / n_tokens AS top2_frac,
+        |    CAST(dup3 * 3 AS DOUBLE) / n_tokens AS dup3_frac
+        |  FROM s)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN top2_frac > CAST(0.125 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top2,
+        |  CAST(sum(CASE WHEN dup3_frac > CAST(0.05 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_dup3,
+        |  max(top2_frac) AS max_top2_frac,
+        |  max(dup3_frac) AS max_dup3_frac
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+        |      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |      toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+        |  FROM d WHERE len(toks) >= 8),
+        |bench AS (SELECT DISTINCT g FROM sh WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE source <> 'src0' AND g IN (SELECT g FROM bench)),
+        |t AS (SELECT doc_id, lang FROM d WHERE source <> 'src0')
+        |SELECT t.lang, count(*) AS n_train_docs,
+        |  count(h.doc_id) AS n_contaminated,
+        |  min(h.doc_id) AS first_contaminated
+        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "sim_sq_int8" ->
+      """WITH sc AS (
+        |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+        |  FROM embeddings),
+        |qn AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * sc.s))) AS BIGINT)) AS qe
+        |  FROM embeddings, sc),
+        |n AS (
+        |  SELECT vec_id, label, qe,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qe[i] * qe[i])), (x, y) -> x + y) AS qnorm2
+        |  FROM qn),
+        |q AS (SELECT vec_id AS qid, qe AS qq, qnorm2 AS qn2 FROM n WHERE vec_id < 5),
+        |s2 AS (
+        |  SELECT qid, vec_id, label,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qq[i] * qe[i])), (x, y) -> x + y) AS DOUBLE)
+        |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) AS approx_cosine
+        |  FROM n, q WHERE vec_id <> qid)
+        |SELECT qid, vec_id, label, approx_cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM s2)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -7,8 +7,10 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Codegen'd text/hash expressions for the hot per-document loops of the
@@ -444,6 +446,89 @@ case class LexiconHits(child: Expression, lexicons: Seq[Seq[String]])
     copy(child = newChild)
 }
 
+/** `ngram_stats(tokens, n)` → `struct<n_total, n_distinct, max_count>`
+  * over the token n-grams of one document: total n-gram occurrences
+  * (`len - n + 1`, floored at 0), distinct n-grams, and the occurrence
+  * count of the most frequent n-gram.
+  *
+  * These are the inputs of the Gopher-style repetition quality gates
+  * (Rae et al. 2021, §A1.1: "fraction of tokens in the most common
+  * 2-gram", "fraction of tokens in duplicated 3-grams"): repetitious
+  * machine-generated text scores high while natural text stays low, so
+  * the fractions gate pretraining corpora alongside [[LexiconHits]]-style
+  * heuristics. One tight per-row pass with an open-addressed count map —
+  * the HOF formulation (`transform` + nested `list_filter`) is both
+  * CodegenFallback AND O(distinct × total) per document.
+  *
+  * N-grams are compared as token SEQUENCES (joined with a single space —
+  * injective for space-split tokens, and exactly the `concat_ws(' ', …)`
+  * the DuckDB oracle uses). A null token anywhere yields a null result
+  * (SQL null-propagation, same as `concat_ws` folding a null into the
+  * joined key would corrupt counts silently).
+  */
+case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
+
+  require(n >= 1, "n must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ngram_stats requires array<string>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_total", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("max_count", LongType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "ngram_stats"
+
+  def compute(toks: ArrayData): InternalRow = {
+    val len = toks.numElements()
+    val total = math.max(0, len - n + 1)
+    if (total == 0) {
+      return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    }
+    var i = 0
+    while (i < len) { // null token → null result, checked up front
+      if (toks.isNullAt(i)) return null
+      i += 1
+    }
+    val counts = new java.util.HashMap[UTF8String, Integer](total * 2)
+    val space = UTF8String.fromString(" ")
+    val parts = new Array[UTF8String](n)
+    var maxCount = 0
+    i = 0
+    while (i < total) {
+      var k = 0
+      while (k < n) {
+        parts(k) = toks.getUTF8String(i + k)
+        k += 1
+      }
+      val key = UTF8String.concatWs(space, parts: _*)
+      val c = counts.merge(key, 1, (a, b) => a + b)
+      if (c > maxCount) maxCount = c
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](total.toLong, counts.size().toLong, maxCount.toLong))
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ngramStats", this, classOf[NgramStats].getName)
+    nullSafeCodeGen(ctx, ev, a => s"""
+       |${ev.value} = $self.compute($a);
+       |if (${ev.value} == null) { ${ev.isNull} = true; }
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NgramStats =
+    copy(child = newChild)
+}
+
 /** SQL registration for the text expressions (lexicon_hits is Column-only:
   * its lexicons are a Scala constructor argument, exposed via
   * [[TextFunctions.lexiconHits]]).
@@ -477,6 +562,14 @@ object TextFunctions {
       intLit(exprs(2), "numSlots"), intLit(exprs(3), "bandSize")): Expression
   }
 
+  private[functions] val ngramFid = FunctionIdentifier("ngram_stats")
+  private[functions] val ngramInfo =
+    new ExpressionInfo(classOf[NgramStats].getName, "ngram_stats")
+  private[functions] val ngramBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "ngram_stats(tokens, n) takes 2 arguments")
+    NgramStats(exprs.head, intLit(exprs(1), "n")): Expression
+  }
+
   private[functions] val lshFid = FunctionIdentifier("lsh_bucket")
   private[functions] val lshInfo =
     new ExpressionInfo(classOf[LshBucket].getName, "lsh_bucket")
@@ -498,6 +591,9 @@ object TextFunctions {
     }
     if (!reg.functionExists(lshFid)) {
       reg.registerFunction(lshFid, lshInfo, lshBuilder)
+    }
+    if (!reg.functionExists(ngramFid)) {
+      reg.registerFunction(ngramFid, ngramInfo, ngramBuilder)
     }
   }
 

@@ -465,4 +465,138 @@ object Text {
         when(col("p0") > 0, lit(0)).otherwise(col("min_cross")).as("min_hamming"))
       .orderBy("lang")
   }
+
+  /** Transitive duplicate CLUSTERS: confirmed near-dup pairs (the
+    * [[ddNgramJaccard]] candidate + exact-Jaccard machinery, threshold
+    * 0.5) closed under connectivity by
+    * [[graft.ConnectedComponents]] (alternating large-star/small-star —
+    * see its scaladoc for the 100 TB argument). Near-duplication is not
+    * transitive, so pairwise keep-the-lower-id dropping is ill-defined on
+    * A–B–C chains; the component view makes "keep exactly one doc per
+    * duplicate cluster" exact: component = min doc_id reachable through
+    * confirmed pairs, i.e. the reference's keep=first dedup rule
+    * (`wrds_ingestion.py:700-707`) extended across whole clusters.
+    *
+    * Output: one row per clustered doc with its component root and
+    * cluster size. The DuckDB oracle recomputes the SAME confirmed pairs
+    * (md5 minhash bands, bit-for-bit) and closes them with a recursive
+    * min-label CTE — two independent connectivity formulations must
+    * agree row-for-row.
+    */
+  def ddDupClusters(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val d = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("toks"))
+    val bands = d
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = d
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select(col("doc_id"), col("sh"))
+    val edges = pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")) >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("component"), col("id").as("doc_id"))
+      .join(sizes, "component")
+      .join(docs(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("component"), col("doc_id"), col("lang"), col("cluster_size"))
+      .orderBy("component", "doc_id")
+  }
+
+  /** Repetition quality signals (Gopher, Rae et al. 2021 §A1.1): fraction
+    * of tokens covered by the most common 2-gram and fraction of tokens
+    * in repeated 3-gram occurrences. Repetitious generated text scores
+    * high; natural text stays low — standard pretraining gates alongside
+    * [[txQualityScore]].
+    *
+    * The per-document counting runs in the codegen'd `ngram_stats`
+    * expression ([[graft.functions.NgramStats]]) — one tight pass and a
+    * count map per document, no explode/shuffle of n-gram rows and no
+    * interpreted HOF in the hot path (the round-1 tx_langid lesson). The
+    * whole query is scan → narrow projection → 5-group aggregate: the
+    * 100 TB plan is the same plan.
+    *
+    * Thresholds sit inside the observed corpus spread (top2 median 0.066
+    * / max 0.31; dup3 max 0.19 at sf0.01) so both flags fire on real
+    * rows; fractions use only exact integer inputs and one double
+    * multiply+divide, reproduced operation-for-operation by the oracle.
+    */
+  def txRepetition(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    docs(spark, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")))
+      .filter(col("n_tokens") >= 3)
+      .withColumn("s2", expr("ngram_stats(toks, 2)"))
+      .withColumn("s3", expr("ngram_stats(toks, 3)"))
+      .withColumn("top2_frac",
+        col("s2.max_count") * lit(2.0) / col("n_tokens"))
+      .withColumn("dup3_frac",
+        (col("s3.n_total") - col("s3.n_distinct")) * lit(3.0) / col("n_tokens"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("top2_frac") > 0.125, 1L).otherwise(0L)).as("n_flag_top2"),
+        sum(when(col("dup3_frac") > 0.05, 1L).otherwise(0L)).as("n_flag_dup3"),
+        max("top2_frac").as("max_top2_frac"),
+        max("dup3_frac").as("max_dup3_frac"))
+      .orderBy("lang")
+  }
+
+  /** Benchmark decontamination: drop-list of training docs sharing any
+    * 8-token shingle with an evaluation suite (here: the docs of one
+    * `source`). 8–13-gram overlap is the published standard (GPT-3
+    * appendix C; Gopher §A1.2) — short shingles over a small vocabulary
+    * flag everything (3-grams mark 84% of this corpus as contaminated;
+    * 8-grams isolate exactly the planted cross-source duplicates).
+    *
+    * Shape: distinct per-doc shingles on both sides, then a semi-join on
+    * the shingle key and a distinct on doc_id — plain shuffle joins under
+    * AQE (the benchmark side is usually broadcast-small, but that is a
+    * runtime property, so no hint is hard-coded; AQE picks broadcast when
+    * it fits, per the project join rule). At 100 TB the shingle key would
+    * be a 64-bit hash (16-byte rows into the shuffle instead of ~50-byte
+    * strings) or a bloom filter on the scan — the string key is kept here
+    * so the DuckDB oracle joins on identical values.
+    */
+  def txDecontaminate(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
+    val all = docs(spark, dir)
+    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
+    val sh = Tables.spread(all)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("source"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
+        .as("g"))
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select("g").distinct()
+    val contaminated = sh.filter(col("source") =!= benchmarkSource)
+      .join(bench, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    all.filter(col("source") =!= benchmarkSource)
+      .select("doc_id", "lang")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train_docs"),
+        count(col("hit")).as("n_contaminated"),
+        min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
+      .orderBy("lang")
+  }
 }

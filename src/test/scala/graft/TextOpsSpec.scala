@@ -274,4 +274,89 @@ class TextOpsSpec extends SparkSpec {
       .orderBy("lang")
     assert(df.collect().toSeq == windowed.collect().toSeq)
   }
+
+  test("ngram_stats equals the interpreted HOF formulation bit-for-bit") {
+    TextFunctions.ensureRegistered(spark)
+    val both = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("fast", expr("ngram_stats(toks, 2)"))
+      .withColumn("bg", expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+      .withColumn("slow", struct(
+        expr("CAST(size(bg) AS BIGINT)").as("n_total"),
+        expr("CAST(size(array_distinct(bg)) AS BIGINT)").as("n_distinct"),
+        expr("CAST(array_max(transform(array_distinct(bg), x -> size(filter(bg, y -> y = x)))) AS BIGINT)")
+          .as("max_count")))
+      .select("fast", "slow").collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getStruct(0) == r.getStruct(1)))
+  }
+
+  test("ngram_stats edge cases: short arrays and null tokens") {
+    TextFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT ngram_stats(array('a'), 3) AS short,
+        |       ngram_stats(array('a', CAST(NULL AS STRING), 'b'), 2) AS withNull,
+        |       ngram_stats(CAST(NULL AS ARRAY<STRING>), 2) AS nullArr,
+        |       ngram_stats(array('x', 'x', 'x', 'x'), 2) AS rep
+        |""".stripMargin).collect().head
+    assert(rows.getStruct(0) == org.apache.spark.sql.Row(0L, 0L, 0L))
+    assert(rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getStruct(3) == org.apache.spark.sql.Row(3L, 1L, 3L))
+  }
+
+  test("tx_repetition flags fire on real corpus rows with bounded fractions") {
+    val rows = Text.txRepetition(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val flagged2 = rows.map(_.getAs[Long]("n_flag_top2")).sum
+    val flagged3 = rows.map(_.getAs[Long]("n_flag_dup3")).sum
+    assert(flagged2 > 0, "top-2-gram flag must fire on this corpus")
+    assert(flagged3 > 0, "dup-3-gram flag must fire on this corpus")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("max_top2_frac") >= 0.0 &&
+        r.getAs[Double]("max_top2_frac") <= 2.0)
+      assert(r.getAs[Double]("max_dup3_frac") >= 0.0 &&
+        r.getAs[Double]("max_dup3_frac") <= 3.0)
+      assert(r.getAs[Long]("n_flag_top2") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("tx_decontaminate finds the planted cross-source duplicates, 8-grams only") {
+    val rows = Text.txDecontaminate(spark, sf001).collect()
+    val contaminated = rows.map(_.getAs[Long]("n_contaminated")).sum
+    val train = rows.map(_.getAs[Long]("n_train_docs")).sum
+    assert(contaminated > 0, "planted cross-source dups must be flagged")
+    // 8-gram overlap is surgical: the vast majority of train docs survive
+    // (3-gram shingles would flag 84% of this corpus — the spec pins the
+    // width choice, not just the plumbing)
+    assert(contaminated * 10 < train,
+      s"decontamination must be selective: $contaminated of $train flagged")
+    rows.foreach { r =>
+      if (r.getAs[Long]("n_contaminated") == 0L) {
+        assert(r.isNullAt(r.fieldIndex("first_contaminated")))
+      }
+    }
+  }
+
+  test("dd_dup_clusters matches the transitive closure of confirmed pairs") {
+    val rows = Text.ddDupClusters(spark, sf001).collect()
+    assert(rows.nonEmpty, "planted near-dups must produce clusters")
+    // invariants: every cluster has >= 2 members, the component IS the
+    // min member id, sizes agree with the actual row counts
+    val byComp = rows.groupBy(_.getAs[Long]("component"))
+    byComp.foreach { case (comp, members) =>
+      val ids = members.map(_.getAs[Long]("doc_id"))
+      assert(ids.min == comp, s"component must be the min doc_id: $comp")
+      assert(members.length >= 2)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+    // clustered docs = union of endpoints of confirmed pairs, and the
+    // number of clusters can only be <= the number of confirmed pairs
+    val nj = Text.ddNgramJaccard(spark, sf001).collect()
+    val confirmedPairs = nj.map(_.getAs[Long]("n_near_dups")).sum
+    assert(byComp.size <= confirmedPairs)
+    assert(rows.length <= 2 * confirmedPairs)
+  }
 }
