@@ -80,6 +80,8 @@ object SparkEntry {
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
+    "tx_source_mix" -> (Text.txSourceMix _),
+    "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
@@ -612,6 +614,27 @@ object SparkEntry {
         |  max(top2_frac) AS max_top2_frac,
         |  max(dup3_frac) AS max_dup3_frac
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    "tx_source_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(tokens) AS BIGINT) AS t_all, count(*) AS k_sources FROM per)
+        |SELECT source, n_docs, tokens,
+        |  CAST(tokens AS DOUBLE) / t_all AS token_share,
+        |  CAST(t_all AS DOUBLE) / (k_sources * tokens) AS target_weight
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    "tx_topk_ngrams" ->
+      """WITH d AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks) - 1), i ->
+        |    toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM d)
+        |SELECT gram, count(*) AS n_occurrences
+        |FROM g GROUP BY gram
+        |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
     "tx_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),

@@ -599,4 +599,59 @@ object Text {
         min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
       .orderBy("lang")
   }
+
+  /** Domain-mixture reweighting: per-source token mass and the sampling
+    * weight that would equalize the mixture — the bookkeeping step of
+    * data-mixing schemes (The Pile's per-set epochs, DoReMi's domain
+    * weights): a pretraining run samples source s with
+    * `weight_s ∝ target_share / actual_share`, here against a uniform
+    * target. Token counts are exact integer sums; the two shares are one
+    * double division each on exact inputs, so the oracle hash-matches.
+    *
+    * Scale shape: one partial-aggregated groupBy over (source) — ~20
+    * groups no matter the corpus size — plus a broadcast of the 1-row
+    * total. The 100 TB plan is identical.
+    */
+  def txSourceMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+    // corpus totals as an unpartitioned window over the AGGREGATED rows:
+    // like w1's calendar-bounded window, the single partition holds one
+    // row per source (~20 at any corpus size), never per-document data —
+    // and it avoids a constant-key join that Catalyst would fold back
+    // into a nested-loop join (PlanSpec bans BNLJ outside sim_*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    per.withColumn("t_all", sum("tokens").over(w))
+      .withColumn("k_sources", count(lit(1)).over(w))
+      .withColumn("token_share",
+        col("tokens").cast("double") / col("t_all"))
+      .withColumn("target_weight",
+        col("t_all").cast("double") / (col("k_sources") * col("tokens")))
+      .select("source", "n_docs", "tokens", "token_share", "target_weight")
+      .orderBy("source")
+  }
+
+  /** Corpus-level heavy hitters: the k most frequent token 3-grams. The
+    * plan IS the 100 TB plan: explode → hash aggregate with map-side
+    * partial combine (each task pre-counts its grams before the shuffle,
+    * so the exchange carries distinct grams, not occurrences) →
+    * `TakeOrderedAndProject` top-k (per-partition bounded heap, driver
+    * merge of k·partitions rows — never a global sort). Deterministic
+    * tiebreak on the gram itself.
+    */
+  def txTopkNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("gram").asc)
+      .limit(k)
 }

@@ -340,6 +340,32 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("tx_source_mix weights invert the shares and shares sum to 1") {
+    val rows = Text.txSourceMix(spark, sf001).collect()
+    assert(rows.length > 1)
+    val shares = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-9)
+    val k = rows.length.toDouble
+    rows.foreach { r =>
+      // weight × share = 1/k exactly in real arithmetic; double round-off
+      // only at the last ulps
+      val prod = r.getAs[Double]("target_weight") * r.getAs[Double]("token_share")
+      assert(math.abs(prod - 1.0 / k) < 1e-12)
+    }
+  }
+
+  test("tx_topk_ngrams is a bounded heap plan, not a global sort") {
+    val df = Text.txTopkNgrams(spark, sf001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-k must compile to per-partition heaps + driver merge")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // descending with deterministic tiebreak
+    val pairs = rows.map(r => (r.getAs[Long]("n_occurrences"), r.getAs[String]("gram")))
+    assert(pairs.sameElements(pairs.sortBy(p => (-p._1, p._2))))
+  }
+
   test("dd_dup_clusters matches the transitive closure of confirmed pairs") {
     val rows = Text.ddDupClusters(spark, sf001).collect()
     assert(rows.nonEmpty, "planted near-dups must produce clusters")
