@@ -88,26 +88,29 @@ object ConnectedComponents {
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
 
+    // lazy checkpoints: the fingerprint action triggers materialization,
+    // so each round costs ONE job (eager=true would schedule a separate
+    // materialization job per round — pure scheduling latency on the
+    // small iterated edge sets this loop converges through)
     var cur = canon(edges.select(
         col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
-      .localCheckpoint(true)
+      .localCheckpoint(false)
     var fp = fingerprint(cur)
     var iter = 0
     var done = fp._1 == 0L
     while (!done && iter < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(true)
+      val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
       val nfp = fingerprint(next)
       if (nfp == fp) done = true
       cur = next
       fp = nfp
       iter += 1
     }
-    // converged: every edge is (component min) < (member). Roots appear
-    // only on the small side; members exactly once on the large side.
-    val members = cur.groupBy(col("v").as("id")).agg(min("u").as("component"))
-    val roots = cur.select(col("u").as("id")).distinct()
-      .join(members.select(col("id")), Seq("id"), "left_anti")
-      .withColumn("component", col("id"))
-    members.unionByName(roots)
+    // converged: every edge is (component min) < (member), so one
+    // symmetrized group-min reads the component off every node at once:
+    // a member's only neighbor is its root; a root's neighbors are all
+    // larger, so least(id, min neighbor) = id.
+    sym(cur).groupBy(col("u").as("id")).agg(min("v").as("mn"))
+      .select(col("id"), least(col("id"), col("mn")).as("component"))
   }
 }
