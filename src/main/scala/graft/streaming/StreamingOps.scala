@@ -95,6 +95,76 @@ object StreamingOps {
         .dropDuplicatesWithinWatermark("event_id")
     else events.dropDuplicates("event_id")
 
+  /** documents schema for readStream (file sources need it declared). */
+  val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-source stream over a documents parquet directory — the shape of
+    * a continuously-landing crawl: each newly arrived file becomes a
+    * micro-batch.
+    */
+  def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(documentsSchema).parquet(dir)
+
+  /** Stream-STATIC enrichment join: a stream joined to a bounded
+    * dimension on an equality key — the remaining §2.10 join shape
+    * (stream-stream interval join is [[purchaseViewJoin]]). The static
+    * side is re-planned every micro-batch (it may be a slowly-refreshed
+    * table) and broadcast when small; the stream side stays stateless —
+    * no watermark needed because nothing is buffered.
+    *
+    * Instance: purchases enriched with per-user lifetime stats computed
+    * in batch — the reference's ticker-attach broadcast join
+    * (`wrds_ingestion.py:659-668`) transplanted onto a stream.
+    */
+  def enrichedPurchases(events: DataFrame, userStats: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .join(userStats, Seq("user_id"), "left")
+
+  /** Streaming decontamination (the stream twin of
+    * `graft.queries.Text.txDecontaminate`): each micro-batch's documents
+    * are shingled and LEFT SEMI joined against the STATIC benchmark
+    * shingle set, emitting flagged doc ids. Stateless by design — a doc
+    * re-emits if it spans micro-batches or matches in several files, so
+    * delivery is at-least-once and the exactly-once view belongs to the
+    * idempotent sink (or a `dropDuplicatesWithinWatermark` when an
+    * event-time column exists; plain streaming `dropDuplicates` would
+    * grow state without bound). A doc matching k distinct shingles emits
+    * k rows (the semi join dedups per exploded row, not per doc) — the
+    * spec compares DISTINCT flagged ids against the batch oracle.
+    */
+  def contaminatedDocs(docsStream: DataFrame, benchShingles: DataFrame,
+      width: Int = 8): DataFrame = {
+    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
+    docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("lang"), explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
+        .as("g"))
+      .join(benchShingles, Seq("g"), "left_semi")
+      .select("doc_id", "lang")
+  }
+
+  /** The static benchmark shingle set for [[contaminatedDocs]] — distinct
+    * `width`-gram shingles of one source's documents, computed in batch.
+    */
+  def benchmarkShingles(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
+    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
+    graft.Tables(spark, dir, "documents")
+      .filter(col("source") === benchmarkSource)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(explode(expr(
+        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
+        .as("g"))
+      .distinct()
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

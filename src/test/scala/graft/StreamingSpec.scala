@@ -160,4 +160,51 @@ class StreamingSpec extends SparkSpec {
     assert(rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
       Seq((1L, 3L, 400L), (2L, 1L, 1000L))) // state carried into batch 2
   }
+
+  test("stream-static enrichment join equals its batch twin") {
+    val sf = "/root/testdata/sf0.001"
+    // static dimension: per-user lifetime stats computed in batch
+    val userStats = Tables(spark, sf, "events")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("lifetime_events"),
+        sum(expr("CAST(round(value * 100) AS BIGINT)")).as("lifetime_cents"))
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.enrichedPurchases(stream, userStats)
+      .writeStream.format("memory").queryName("enriched_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("enriched_stream")
+      .orderBy("event_id").collect()
+    val batch = StreamingOps.enrichedPurchases(
+        Tables(spark, sf, "events"), userStats)
+      .orderBy("event_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b })
+    // every purchase kept its enrichment (left join, dim covers all users)
+    assert(streamed.forall(!_.isNullAt(4)))
+  }
+
+  test("streaming decontamination flags exactly the batch drop-list") {
+    val sf = "/root/testdata/sf0.01"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val bench = StreamingOps.benchmarkShingles(spark, sf)
+    val stream = StreamingOps.readDocumentsStream(spark, docsDir.toString)
+      // train side only — the benchmark's own docs are not candidates
+      .filter(col("source") =!= "src0")
+    val q = StreamingOps.contaminatedDocs(stream, bench)
+      .writeStream.format("memory").queryName("contaminated_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamedIds = spark.table("contaminated_stream")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    // batch oracle: the per-lang counts of tx_decontaminate
+    val batchTotal = graft.queries.Text.txDecontaminate(spark, sf)
+      .agg(sum("n_contaminated")).collect().head.getLong(0)
+    assert(streamedIds.nonEmpty, "planted cross-source dups must be flagged")
+    assert(streamedIds.size.toLong == batchTotal,
+      s"streamed drop-list ${streamedIds.size} != batch $batchTotal")
+  }
 }
