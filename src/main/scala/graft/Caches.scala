@@ -11,27 +11,44 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * executor storage forever in a long-lived session (Bench/Verify loops,
   * notebooks) — ADVICE.md round 2.
   *
-  * `scoped(tag, df)` bounds that: each call unpersists whatever the
-  * PREVIOUS call with the same (session, tag) cached, so a session holds
-  * at most one live cache per query tag no matter how many times the
-  * query is rebuilt. Sessions are weak keys; a retired session's entries
-  * are collected with it.
+  * `scoped(tag, df)` bounds that: each call releases what the PREVIOUS
+  * call with the same (session, tag) cached — but only when the plan
+  * actually CHANGED. Spark's CacheManager keys cached data by normalized
+  * plan equality, not Dataset identity, so re-invoking a builder with
+  * the same parameters makes `cache()` a no-op on the existing entry;
+  * unpersisting the "previous" frame then would evict the very entry the
+  * new frame points at (and recompute the projection once per join side
+  * — the cost the cache exists to avoid).
+  *
+  * Bookkeeping holds sessions weakly and frames via `WeakReference` (a
+  * strongly-held DataFrame would pin its own SparkSession — the
+  * documented WeakHashMap value→key trap — and retired sessions would
+  * never collect). A frame collected before the next call just skips the
+  * explicit unpersist: its cache entry dies with the session, or is
+  * reused in place when the rebuilt plan is equal.
   */
 object Caches {
   private val held =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[SparkSession,
-        java.util.concurrent.ConcurrentHashMap[String, DataFrame]]())
+        java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.WeakReference[DataFrame]]]())
 
   def scoped(tag: String, df: DataFrame): DataFrame = {
     val perSession = held.synchronized {
       held.computeIfAbsent(df.sparkSession,
-        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+        _ => new java.util.concurrent.ConcurrentHashMap[String,
+          java.lang.ref.WeakReference[DataFrame]]())
     }
     val cached = df.cache()
-    val prev = perSession.put(tag, cached)
+    val prevRef = perSession.put(tag, new java.lang.ref.WeakReference(cached))
+    val prev = if (prevRef == null) null else prevRef.get()
     // Non-blocking: in-flight jobs over the old cache just recompute.
-    if (prev != null && (prev ne cached)) prev.unpersist(false)
+    // Same-plan rebuilds share one CacheManager entry — keep it.
+    if (prev != null && (prev ne cached) &&
+        !prev.queryExecution.analyzed.sameResult(cached.queryExecution.analyzed)) {
+      prev.unpersist(false)
+    }
     cached
   }
 }

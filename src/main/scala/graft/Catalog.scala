@@ -20,12 +20,16 @@ object Catalog {
 
   /** Returns true when the views were (re)registered, false when the dir
     * was already current and the call was a no-op. A per-table failure
-    * propagates and the dir is NOT recorded, so the next call retries the
-    * whole registration instead of caching a half-registered catalog as
-    * success.
+    * propagates with NO dir recorded — the record is cleared BEFORE the
+    * loop, because a mid-loop failure leaves a mixed catalog (some views
+    * re-pointed, some not): were the old dir still recorded, falling
+    * back to it would be a silent no-op over that mixed state. With the
+    * record cleared, ANY subsequent call (same dir or the fallback)
+    * re-registers everything.
     */
   def registerAll(spark: SparkSession, sfDir: String): Boolean =
     if (current.get(spark) != sfDir) {
+      current.remove(spark)
       Tables.names.foreach { n =>
         Tables(spark, sfDir, n).createOrReplaceTempView(n)
       }

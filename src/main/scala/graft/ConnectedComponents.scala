@@ -106,6 +106,13 @@ object ConnectedComponents {
       fp = nfp
       iter += 1
     }
+    // The extraction below is only sound at the fixed point — reading a
+    // non-contracted edge set would return wrong labels SILENTLY, so a
+    // maxIter exhaustion must fail loudly. (The paper's bound is
+    // O(log² n) rounds; 50 covers any physical graph.)
+    if (!done) throw new IllegalStateException(
+      s"connected components did not converge within $maxIter rounds " +
+        s"(${fp._1} edges remain in motion)")
     // converged: every edge is (component min) < (member), so one
     // symmetrized group-min reads the component off every node at once:
     // a member's only neighbor is its root; a root's neighbors are all

@@ -80,6 +80,72 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[FloatVectorDot]] for quantized vectors:
+  * `long_dot(array<bigint>, array<bigint>) → bigint`, a tight codegen'd
+  * multiply-accumulate replacing the interpreted `aggregate(zip_with(…))`
+  * fold in the int8 similarity hot loop (per-pair work in
+  * `graft.queries.Similarity.simSqInt8` — CLAUDE.md's hot-loop rule).
+  * Exact long arithmetic end to end; int8-quantized 64-dim inputs peak at
+  * |acc| ≤ 127²·64 ≈ 10⁶, astronomically under overflow (callers with
+  * wider inputs inherit Java wrap-around, same as the SQL fold under
+  * non-ANSI — documented, not checked, to keep the loop branch-free).
+  * Length mismatch or null element yields NULL, never a partial sum.
+  */
+case class LongVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"long_dot requires two array<bigint> arguments, got $l and $r")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "long_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getLong(i) * y.getLong(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $acc = 0L;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getLong($i) * $b.getLong($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 64-bit SimHash of a pre-hashed token array: bit b of the result is set
   * iff the count of inputs with bit b set exceeds the count without. Same
   * semantics as the higher-order-function formulation in
@@ -165,6 +231,14 @@ object VectorFunctions {
     FloatVectorDot(exprs.head, exprs(1)): Expression
   }
 
+  private[functions] val longDotFid = FunctionIdentifier("long_dot")
+  private[functions] val longDotInfo =
+    new ExpressionInfo(classOf[LongVectorDot].getName, "long_dot")
+  private[functions] val longDotBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "long_dot takes exactly 2 arguments")
+    LongVectorDot(exprs.head, exprs(1)): Expression
+  }
+
   private[functions] val simhashFid = FunctionIdentifier("simhash64")
   private[functions] val simhashInfo =
     new ExpressionInfo(classOf[SimHash64].getName, "simhash64")
@@ -185,6 +259,10 @@ object VectorFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(simhashFid)) {
       spark.sessionState.functionRegistry.registerFunction(
         simhashFid, simhashInfo, simhashBuilder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(longDotFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        longDotFid, longDotInfo, longDotBuilder)
     }
   }
 }
@@ -209,6 +287,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       TextFunctions.minhashXxFid, TextFunctions.minhashXxInfo,
       TextFunctions.minhashXxBuilder))
     ext.injectFunction((
+      VectorFunctions.longDotFid, VectorFunctions.longDotInfo,
+      VectorFunctions.longDotBuilder))
+    ext.injectFunction((
       TextFunctions.lshFid, TextFunctions.lshInfo, TextFunctions.lshBuilder))
+    ext.injectFunction((
+      TextFunctions.ngramFid, TextFunctions.ngramInfo,
+      TextFunctions.ngramBuilder))
   }
 }

@@ -267,19 +267,20 @@ object Similarity {
         "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
       .head().getDouble(0)
     val scale = 127.0 / maxAbs
+    // quantize is a once-per-row projection (interpreted HOF, fine); the
+    // dots below are per-PAIR work — codegen'd long_dot, per the hot-loop
+    // rule (exact long arithmetic either way, identical results)
     val quant = emb.withColumn("qe",
         transform(col("embedding"), x =>
           greatest(lit(-127L), least(lit(127L),
             floor(x.cast("double") * lit(scale))))))
-      .withColumn("qnorm2", expr(
-        "aggregate(zip_with(qe, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("qnorm2", expr("long_dot(qe, qe)"))
       .select(col("vec_id"), col("label"), col("qe"), col("qnorm2"))
     val q = quant.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("qe").as("qq"),
         col("qnorm2").as("qn2"))
     val scored = quant.join(broadcast(q), col("vec_id") =!= col("qid"))
-      .withColumn("qdot", expr(
-        "aggregate(zip_with(qq, qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)"))
+      .withColumn("qdot", expr("long_dot(qq, qe)"))
       .withColumn("approx_cosine",
         col("qdot").cast("double") /
           (sqrt(col("qn2").cast("double")) * sqrt(col("qnorm2").cast("double"))))

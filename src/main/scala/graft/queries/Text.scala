@@ -19,6 +19,19 @@ object Text {
   private def docs(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
 
+  /** SQL text of the distinct `width`-token shingle array over a `toks`
+    * column — ONE definition shared by the batch decontamination query,
+    * its streaming twin, and the static benchmark side
+    * ([[graft.streaming.StreamingOps]]): those three must produce
+    * bit-identical shingles or the stream/batch/oracle agreement specs
+    * break, so the expression exists exactly once.
+    */
+  private[graft] def shingleExpr(width: Int): String = {
+    val terms = (0 until width)
+      .map(k => if (k == 0) "toks[i]" else s"toks[i+$k]").mkString(", ")
+    s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"
+  }
+
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * cheap heuristics a pretraining filter computes per document. Single
     * float division per ratio keeps every value bit-deterministic.
@@ -577,13 +590,11 @@ object Text {
   def txDecontaminate(spark: SparkSession, dir: String,
       benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
     val all = docs(spark, dir)
-    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
     val sh = Tables.spread(all)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), col("source"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
-        .as("g"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(shingleExpr(width))).as("g"))
     val bench = sh.filter(col("source") === benchmarkSource)
       .select("g").distinct()
     val contaminated = sh.filter(col("source") =!= benchmarkSource)

@@ -137,33 +137,26 @@ object StreamingOps {
     * spec compares DISTINCT flagged ids against the batch oracle.
     */
   def contaminatedDocs(docsStream: DataFrame, benchShingles: DataFrame,
-      width: Int = 8): DataFrame = {
-    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
+      width: Int = 8): DataFrame =
     docsStream
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), col("lang"), explode(expr(
-        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
-        .as("g"))
+      .select(col("doc_id"), col("lang"),
+        explode(expr(graft.queries.Text.shingleExpr(width))).as("g"))
       .join(benchShingles, Seq("g"), "left_semi")
       .select("doc_id", "lang")
-  }
 
   /** The static benchmark shingle set for [[contaminatedDocs]] — distinct
     * `width`-gram shingles of one source's documents, computed in batch.
     */
   def benchmarkShingles(spark: SparkSession, dir: String,
-      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
-    val terms = (0 until width).map(k => s"toks[i+$k]").mkString(", ")
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame =
     graft.Tables(spark, dir, "documents")
       .filter(col("source") === benchmarkSource)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
-      .select(explode(expr(
-        s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"))
-        .as("g"))
+      .select(explode(expr(graft.queries.Text.shingleExpr(width))).as("g"))
       .distinct()
-  }
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)

@@ -45,6 +45,30 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.isNullAt(1), "null element must be NULL")
   }
 
+  test("long_dot equals the interpreted zip_with fold and handles nulls") {
+    VectorFunctions.ensureRegistered(spark)
+    val quant = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 100) AS BIGINT))")
+        .as("qe"))
+    val a = quant.as("a").filter("vec_id < 20")
+    val b = quant.as("b").filter("vec_id >= 20 AND vec_id < 40")
+    val both = a.crossJoin(b).select(
+      expr("long_dot(a.qe, b.qe)").as("fast"),
+      expr("aggregate(zip_with(a.qe, b.qe, (x, y) -> x * y), 0L, (acc, v) -> acc + v)")
+        .as("fold")).collect()
+    assert(both.length == 400)
+    assert(both.forall(r => r.getLong(0) == r.getLong(1)))
+    val edge = spark.sql(
+      """SELECT long_dot(CAST(NULL AS ARRAY<BIGINT>), array(1L)) AS n,
+        |       long_dot(array(1L, 2L), array(1L)) AS mismatch,
+        |       long_dot(array(1L, CAST(NULL AS BIGINT)), array(1L, 2L)) AS nullElem,
+        |       long_dot(array(3L, -4L), array(5L, 7L)) AS ok
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getLong(3) == -13L)
+  }
+
   test("simhash64 equals the interpreted double-fold formulation") {
     VectorFunctions.ensureRegistered(spark)
     val both = Tables(spark, "/root/testdata/sf0.01", "documents")
