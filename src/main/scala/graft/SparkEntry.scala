@@ -99,6 +99,7 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
+    "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "u4_pivot" -> (Aggregates.u4Pivot _),
     "a9_rollup" -> (Aggregates.a9Rollup _),
@@ -654,6 +655,35 @@ object SparkEntry {
         |  min(h.doc_id) AS first_contaminated
         |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // lsh_bucket replication (8-bit) + float_dot cosine + the same
+    // recursive min-label closure as dd_dup_clusters — three proven
+    // oracle building blocks assembled for the SemDeDup-style clusters.
+    "dd_embedding_clusters" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT vec_id, label,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0))),
+        |             (x, y) -> x + y) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS bucket,
+        |    embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |conf AS (
+        |  SELECT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+        |  WHERE list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+        |        / (a.norm * b2.norm) >= 0.25),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
+        |reach(u, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
+        |comp AS (SELECT u AS vec_id, min(lbl) AS component FROM reach GROUP BY u),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+        |SELECT c.component, c.vec_id, e.label, sz.cluster_size
+        |FROM comp c JOIN sz USING (component) JOIN embeddings e USING (vec_id)
+        |ORDER BY component, vec_id""".stripMargin,
     "sim_sq_int8" ->
       """WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s

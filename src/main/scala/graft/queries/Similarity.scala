@@ -111,6 +111,47 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** SemDeDup-style semantic duplicate CLUSTERS (Abbas et al. 2023:
+    * embedding-space dedup for web-scale pretraining data): cosine-edge
+    * pairs inside LSH buckets (the [[ddEmbeddingCosine]] blocking — the
+    * shuffle carries (bucket, id, vec), never O(n²) pairs), closed under
+    * connectivity by [[graft.ConnectedComponents]]. The keep-one-per-
+    * cluster rule is "minimum vec_id" = the component root, mirroring
+    * [[graft.queries.Text.ddDupClusters]]'s keep-first semantics in
+    * embedding space.
+    *
+    * The 0.25 threshold sits inside this synthetic corpus's observed
+    * cosine range (near-random vectors, max pairwise ≈ 0.4–0.6), so the
+    * clusters exercise the full machinery; production SemDeDup on real
+    * embeddings runs the same plan with the threshold near 0.95 — both
+    * knobs (nbits ≈ log₂(n/bucketSize), threshold) are parameters.
+    */
+  def ddEmbeddingClusters(spark: SparkSession, dir: String,
+      nbits: Int = 8, threshold: Double = 0.25): DataFrame = {
+    register(spark)
+    // same bucketed projection plan as dd_embedding_cosine → the scoped
+    // cache SHARES the CacheManager entry (plan-keyed) across both tags
+    val bucketed = graft.Caches.scoped("dd_embedding_clusters.bucketed",
+      Tables(spark, dir, "embeddings")
+        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val edges = a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b")
+    val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("component"), col("id").as("vec_id"))
+      .join(sizes, "component")
+      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+      .select(col("component"), col("vec_id"), col("label"), col("cluster_size"))
+      .orderBy("component", "vec_id")
+  }
+
   /** LSH-bucketed approximate nearest neighbour: each query vector only
     * scores candidates in its own hyperplane bucket (8 bits here so
     * buckets stay populated at test scale), then takes the top-5. The

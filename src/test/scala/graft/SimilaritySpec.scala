@@ -73,6 +73,17 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("max_cosine") < 0.9))
   }
 
+  test("embedding clusters are consistent components of the cosine edges") {
+    val rows = Similarity.ddEmbeddingClusters(spark, dir).collect()
+    assert(rows.nonEmpty, "0.25-threshold edges must produce clusters here")
+    rows.groupBy(_.getAs[Long]("component")).foreach { case (comp, members) =>
+      val ids = members.map(_.getAs[Long]("vec_id"))
+      assert(ids.min == comp, "component must be the min member vec_id")
+      assert(members.length >= 2)
+      assert(members.forall(_.getAs[Long]("cluster_size") == members.length))
+    }
+  }
+
   test("int8 scalar quantization preserves the exact top-k ranking closely") {
     val exact = Similarity.simCosineTopk(spark, dir).collect()
       .groupBy(_.getAs[Long]("qid"))
