@@ -113,6 +113,21 @@ object ConnectedComponents {
     if (!done) throw new IllegalStateException(
       s"connected components did not converge within $maxIter rounds " +
         s"(${fp._1} edges remain in motion)")
+    // Defense in depth: structurally validate the star forest before
+    // reading components off it. The loop's stop condition is a hash
+    // fingerprint — a collision (or a future edit to the contraction)
+    // would otherwise surface as silently wrong labels. A canonical edge
+    // set is a min-rooted star forest iff no node is both a root (u
+    // side) and a member (v side) AND every member appears exactly once.
+    // One small aggregate job over the final (already materialized) set.
+    val violations = cur.select(col("u").as("n"), lit(1).as("r"), lit(0).as("m"))
+      .union(cur.select(col("v").as("n"), lit(0).as("r"), lit(1).as("m")))
+      .groupBy("n").agg(max("r").as("isRoot"), sum("m").as("memberships"))
+      .filter((col("isRoot") === 1 && col("memberships") > 0) ||
+        col("memberships") > 1)
+    if (!violations.isEmpty) throw new IllegalStateException(
+      "converged edge set is not a min-rooted star forest — " +
+        "fingerprint collision or contraction defect")
     // converged: every edge is (component min) < (member), so one
     // symmetrized group-min reads the component off every node at once:
     // a member's only neighbor is its root; a root's neighbors are all
