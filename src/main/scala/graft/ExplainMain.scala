@@ -6,9 +6,16 @@ object ExplainMain {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // NOTE: builders with driver-side actions (dd_dup_clusters'
+    // contraction loop, sim_sq_int8's scale reduce) run real jobs even
+    // though only the plan is printed.
     args.drop(1).foreach { name =>
       println(s"===== $name =====")
-      SparkEntry.queries(name)(spark, args(0)).explain("formatted")
+      SparkEntry.queries.get(name) match {
+        case Some(fn) => fn(spark, args(0)).explain("formatted")
+        case None => println(
+          s"unknown query '$name' — known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
+      }
     }
     spark.stop()
   }

@@ -78,6 +78,35 @@ object Similarity {
       .orderBy("bucket")
   }
 
+  /** The LSH-bucketed embedding projection every blocking operator
+    * shares: (vec_id, label, embedding, bucket, norm). ONE cache tag per
+    * nbits — the plan is identical across consumers (cosine dedup,
+    * semantic clusters, bucketed ANN), and Spark's CacheManager is
+    * plan-keyed, so distinct per-query tags would let one query's
+    * re-invocation evict the entry the others still rely on
+    * (round-3 review).
+    */
+  private def bucketedEmbeddings(spark: SparkSession, dir: String,
+      nbits: Int): DataFrame =
+    graft.Caches.scoped(s"embeddings.bucketed.$nbits",
+      Tables(spark, dir, "embeddings")
+        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
+
+  /** Same-bucket cosine pairs (id_a < id_b) over [[bucketedEmbeddings]] —
+    * the shared candidate scaffold of [[ddEmbeddingCosine]] and
+    * [[ddEmbeddingClusters]]: both must see the SAME candidate set or
+    * their oracles diverge, so the blocking rule exists once.
+    */
+  private def cosinePairs(bucketed: DataFrame): DataFrame = {
+    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
+    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"), col("label").as("label_b"))
+    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+  }
+
   /** Embedding-cosine near-duplicate detection: pairs whose cosine
     * exceeds a threshold, restricted to the same LSH bucket — the
     * embedding-space member of the dedup family. Blocking first means the
@@ -90,18 +119,7 @@ object Similarity {
     */
   def ddEmbeddingCosine(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    // join key: evaluate once, not per join side / pushed filter; scoped
-    // so re-invocations release the previous cache (graft.Caches)
-    val bucketed = graft.Caches.scoped("dd_embedding_cosine.bucketed",
-      Tables(spark, dir, "embeddings")
-        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
-        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("norm").as("nb"), col("label").as("label_b"))
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+    cosinePairs(bucketedEmbeddings(spark, dir, nbits))
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"),
         sum(when(col("cosine") >= 0.9, 1L).otherwise(0L)).as("n_near_dups"),
@@ -125,29 +143,26 @@ object Similarity {
     * clusters exercise the full machinery; production SemDeDup on real
     * embeddings runs the same plan with the threshold near 0.95 — both
     * knobs (nbits ≈ log₂(n/bucketSize), threshold) are parameters.
+    *
+    * Reference behavioral anchor: keep=first dedup semantics
+    * (`wrds_ingestion.py:700-707`), extended across transitive semantic
+    * clusters exactly as [[graft.queries.Text.ddDupClusters]] extends it
+    * across token-space clusters.
     */
   def ddEmbeddingClusters(spark: SparkSession, dir: String,
       nbits: Int = 8, threshold: Double = 0.25): DataFrame = {
     register(spark)
-    // same bucketed projection plan as dd_embedding_cosine → the scoped
-    // cache SHARES the CacheManager entry (plan-keyed) across both tags
-    val bucketed = graft.Caches.scoped("dd_embedding_clusters.bucketed",
-      Tables(spark, dir, "embeddings")
-        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
-        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
-    val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
-      col("embedding").as("va"), col("norm").as("na"))
-    val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
-      col("embedding").as("vb"), col("norm").as("nb"))
-    val edges = a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
-      .withColumn("cosine", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+    val bucketed = bucketedEmbeddings(spark, dir, nbits)
+    val edges = cosinePairs(bucketed)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b")
     val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.select(col("component"), col("id").as("vec_id"))
       .join(sizes, "component")
-      .join(Tables(spark, dir, "embeddings").select("vec_id", "label"), Seq("vec_id"))
+      // labels come off the already-cached bucketed projection — a fresh
+      // Tables read here would add a second parquet scan per execution
+      .join(bucketed.select("vec_id", "label"), Seq("vec_id"))
       .select(col("component"), col("vec_id"), col("label"), col("cluster_size"))
       .orderBy("component", "vec_id")
   }
@@ -159,12 +174,9 @@ object Similarity {
     */
   def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
     register(spark)
-    // join key: evaluate once for q and corpus sides; scoped cache —
-    // re-invocations release the previous one (graft.Caches)
-    val bucketed = graft.Caches.scoped("sim_lsh_ann.bucketed",
-      Tables(spark, dir, "embeddings")
-        .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
-        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
+    // join key: evaluate once for q and corpus sides; the shared
+    // per-nbits scoped cache (see bucketedEmbeddings)
+    val bucketed = bucketedEmbeddings(spark, dir, nbits)
     val q = bucketed.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
         col("embedding").as("qvec"), col("norm").as("qnorm"))
