@@ -102,7 +102,9 @@ object SparkEntry {
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "u4_pivot" -> (Aggregates.u4Pivot _),
+    "u5_set_ops" -> (Relational.u5SetOps _),
     "a9_rollup" -> (Aggregates.a9Rollup _),
+    "a11_grouping_sets" -> (Aggregates.a11GroupingSets _),
     "o4_percentiles" -> (Aggregates.o4Percentiles _),
     "a8_approx_distinct" -> (Aggregates.a8ApproxDistinct _),
     "a10_approx_quantiles" -> (Aggregates.a10ApproxQuantiles _),
@@ -832,11 +834,31 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p4_not_specified,
         |  CAST(sum(CASE WHEN o_orderpriority = '5-LOW' THEN CAST(round(o_totalprice * 100) AS BIGINT) END) AS DOUBLE) / CAST(100 AS DOUBLE) AS p5_low
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "u5_set_ops" ->
+      """WITH h1 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1995-07-01'),
+        |h2 AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '1995-07-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |k AS (
+        |  SELECT 'both_halves' AS kind, o_custkey FROM (SELECT o_custkey FROM h1 INTERSECT SELECT o_custkey FROM h2)
+        |  UNION ALL
+        |  SELECT 'h1_only' AS kind, o_custkey FROM (SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2))
+        |SELECT kind, c_nationkey, count(*) AS n_customers, min(o_custkey) AS min_custkey
+        |FROM k JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "a9_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+    "a11_grouping_sets" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |  CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        |FROM documents GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY gid, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "o4_percentiles" ->
       """SELECT l_returnflag,
         |  quantile_cont(l_quantity, 0.25) AS q25,

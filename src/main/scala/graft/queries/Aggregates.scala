@@ -40,6 +40,26 @@ object Aggregates {
       .orderBy(col("l_returnflag").asc_nulls_first,
         col("l_linestatus").asc_nulls_first)
 
+  /** GROUPING SETS: independent (lang) and (source) marginals plus the
+    * grand total of the documents corpus in ONE pass — the generalized
+    * form of [[a9Rollup]]'s hierarchy, and the shape a corpus dashboard
+    * computes (per-language and per-source token mass are separate
+    * marginals, not nested levels). Spark expands the sets into a single
+    * Expand + hash aggregate: one scan, partial map-side combine, no
+    * self-union of scans. `grouping_id()` disambiguates the NULL rows
+    * exactly like DuckDB's GROUPING_ID().
+    */
+  def a11GroupingSets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .groupingSets(Seq(Seq(col("lang")), Seq(col("source")), Seq()),
+        col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens"),
+        expr("grouping_id(lang, source)").as("gid"))
+      .orderBy(col("gid"), col("lang").asc_nulls_first,
+        col("source").asc_nulls_first)
+
   /** Exact percentiles (25/50/75) of an integral-valued measure per group.
     * Spark's `percentile` and DuckDB's `quantile_cont` both use linear
     * interpolation over the sorted values; on integral quantities the

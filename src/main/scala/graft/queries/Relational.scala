@@ -223,6 +223,33 @@ object Relational {
           .as(Seq("metric", "value")))
       .orderBy("c_custkey", "metric")
 
+  /** U5 (set operations): customers ordering in BOTH halves of 1995
+    * (INTERSECT) and first-half-only customers (EXCEPT) — the remaining
+    * §2.8 set-algebra members beyond union. Both compile to key-shuffled
+    * semi/anti joins over pre-aggregated distinct sets (never row-level
+    * comparison of the fact table), so the 100 TB plan shuffles customer
+    * keys once per side. Summarized per nation for a compact,
+    * deterministic oracle row set.
+    */
+  def u5SetOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables(spark, dir, "orders")
+    def custs(from: String, until: String) = ord
+      .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$from'") &&
+        col("o_orderdate") < expr(s"TIMESTAMP '$until'"))
+      .select("o_custkey").distinct()
+    val h1 = custs("1995-01-01", "1995-07-01")
+    val h2 = custs("1995-07-01", "1996-01-01")
+    val both = h1.intersect(h2).withColumn("kind", lit("both_halves"))
+    val only1 = h1.except(h2).withColumn("kind", lit("h1_only"))
+    both.unionByName(only1)
+      .join(Tables(spark, dir, "customer")
+        .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
+      .groupBy("kind", "c_nationkey")
+      .agg(count(lit(1)).as("n_customers"),
+        min("o_custkey").as("min_custkey"))
+      .orderBy("kind", "c_nationkey")
+  }
+
   /** F5 (CUSIP normalization, `wrds_ingestion.py:554-555`): strip
     * non-alphanumerics, upper-case, take the first 8 chars.
     */
