@@ -79,31 +79,37 @@ object ConnectedComponents {
         .union(mins.select(col("u"), col("m").as("v")))
     }
 
-    // set fingerprint for convergence: count + order-free XOR of row
-    // hashes (bit_xor never overflows — ANSI sum of 2⁶³-scale hashes
-    // would throw)
-    def fingerprint(e: DataFrame): (Long, Long) = {
-      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v"))))
-        .head()
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
-    }
+    // Convergence = structural test, not change detection: a canonical
+    // (u < v) edge set is a min-rooted star forest iff no node is both a
+    // root (u side) and a member (v side) AND every member appears
+    // exactly once — and min-rooted star forests are exactly the fixed
+    // points of the alternating contraction (Kiveris et al. §3). Testing
+    // the SHAPE ends the loop one round earlier than change-detection
+    // (a clique contracts to a star in one round; a fingerprint needs a
+    // second round to observe "no change"), costs the same one job per
+    // round, and is immune to hash collisions — the extraction below can
+    // never run on a non-contracted set. Already-star inputs (disjoint
+    // duplicate pairs, the common near-dup case) skip the loop entirely.
+    def isStarForest(e: DataFrame): Boolean =
+      e.select(col("u").as("n"), lit(1).as("r"), lit(0).as("m"))
+        .union(e.select(col("v").as("n"), lit(0).as("r"), lit(1).as("m")))
+        .groupBy("n").agg(max("r").as("isRoot"), sum("m").as("memberships"))
+        .filter((col("isRoot") === 1 && col("memberships") > 0) ||
+          col("memberships") > 1)
+        .isEmpty
 
-    // lazy checkpoints: the fingerprint action triggers materialization,
+    // lazy checkpoints: the star-test action triggers materialization,
     // so each round costs ONE job (eager=true would schedule a separate
     // materialization job per round — pure scheduling latency on the
     // small iterated edge sets this loop converges through)
     var cur = canon(edges.select(
         col(srcCol).cast("long").as("u"), col(dstCol).cast("long").as("v")))
       .localCheckpoint(false)
-    var fp = fingerprint(cur)
+    var done = isStarForest(cur)
     var iter = 0
-    var done = fp._1 == 0L
     while (!done && iter < maxIter) {
-      val next = canon(smallStar(largeStar(cur))).localCheckpoint(false)
-      val nfp = fingerprint(next)
-      if (nfp == fp) done = true
-      cur = next
-      fp = nfp
+      cur = canon(smallStar(largeStar(cur))).localCheckpoint(false)
+      done = isStarForest(cur)
       iter += 1
     }
     // The extraction below is only sound at the fixed point — reading a
@@ -111,23 +117,7 @@ object ConnectedComponents {
     // maxIter exhaustion must fail loudly. (The paper's bound is
     // O(log² n) rounds; 50 covers any physical graph.)
     if (!done) throw new IllegalStateException(
-      s"connected components did not converge within $maxIter rounds " +
-        s"(${fp._1} edges remain in motion)")
-    // Defense in depth: structurally validate the star forest before
-    // reading components off it. The loop's stop condition is a hash
-    // fingerprint — a collision (or a future edit to the contraction)
-    // would otherwise surface as silently wrong labels. A canonical edge
-    // set is a min-rooted star forest iff no node is both a root (u
-    // side) and a member (v side) AND every member appears exactly once.
-    // One small aggregate job over the final (already materialized) set.
-    val violations = cur.select(col("u").as("n"), lit(1).as("r"), lit(0).as("m"))
-      .union(cur.select(col("v").as("n"), lit(0).as("r"), lit(1).as("m")))
-      .groupBy("n").agg(max("r").as("isRoot"), sum("m").as("memberships"))
-      .filter((col("isRoot") === 1 && col("memberships") > 0) ||
-        col("memberships") > 1)
-    if (!violations.isEmpty) throw new IllegalStateException(
-      "converged edge set is not a min-rooted star forest — " +
-        "fingerprint collision or contraction defect")
+      s"connected components did not converge within $maxIter rounds")
     // converged: every edge is (component min) < (member), so one
     // symmetrized group-min reads the component off every node at once:
     // a member's only neighbor is its root; a root's neighbors are all
