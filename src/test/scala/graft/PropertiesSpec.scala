@@ -112,6 +112,34 @@ class PropertiesSpec extends SparkSpec {
     assert(both.forall(r => r.getSeq[String](0) == r.getSeq[String](1)))
   }
 
+  test("ngram_stats matches a naive Scala count on arbitrary token arrays") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val genTok = Gen.chooseNum(1, 4).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf(Gen.alphaNumChar,
+        Gen.oneOf('é', '中', 'λ'))).map(_.mkString))
+    // small alphabet + short tokens → real collisions, so max_count > 1
+    // paths are exercised; lengths span the short edges around n
+    val genArr = Gen.chooseNum(0, 25).flatMap(n => Gen.listOfN(n, genTok))
+    val cases = samples(genArr, 80)
+    val rows = cases.zipWithIndex.map { case (toks, i) => Row(i.toLong, toks) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)))))
+    for (n <- Seq(1, 2, 3)) {
+      val got = df.withColumn("s", expr(s"ngram_stats(toks, $n)"))
+        .orderBy("id").select("s.n_total", "s.n_distinct", "s.max_count")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val want = cases.map { toks =>
+        val grams = toks.sliding(n).filter(_.length == n)
+          .map(_.mkString(" ")).toSeq
+        val counts = grams.groupBy(identity).view.mapValues(_.length)
+        (grams.length.toLong, counts.size.toLong,
+          if (counts.isEmpty) 0L else counts.values.max.toLong)
+      }
+      assert(got.toSeq == want, s"n=$n")
+    }
+  }
+
   test("minhash_xx_bands equals its HOF mirror on arbitrary token arrays") {
     graft.functions.TextFunctions.ensureRegistered(spark)
     val genTok = Gen.chooseNum(1, 8).flatMap(n =>

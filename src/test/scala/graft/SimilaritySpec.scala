@@ -73,6 +73,20 @@ class SimilaritySpec extends SparkSpec {
     assert(out.forall(_.getAs[Double]("max_cosine") < 0.9))
   }
 
+  test("the bucketed projection is one shared cache entry across consumers") {
+    // CacheManager is plan-keyed: after any bucketed consumer runs, the
+    // other consumers' plans must read the SAME InMemoryRelation instead
+    // of recomputing lsh_bucket + norm per query (round-3 review: the
+    // shared per-nbits tag exists so scoped eviction stays coherent).
+    Similarity.ddEmbeddingCosine(spark, dir).collect()
+    for (q <- Seq(Similarity.simLshAnn(spark, dir),
+        Similarity.ddEmbeddingClusters(spark, dir))) {
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("InMemoryTableScan") || plan.contains("TableCacheQueryStage"),
+        "bucketed consumer must read the shared cache entry")
+    }
+  }
+
   test("embedding clusters are consistent components of the cosine edges") {
     val rows = Similarity.ddEmbeddingClusters(spark, dir).collect()
     assert(rows.nonEmpty, "0.25-threshold edges must produce clusters here")
