@@ -32,6 +32,54 @@ object Text {
     s"array_distinct(transform(sequence(0, size(toks) - $width), i -> concat_ws(' ', $terms)))"
   }
 
+  /** Tokenized (doc_id, lang, toks) projection shared by the MinHash-band
+    * near-dup family. spread: the md5 minhash is the expensive narrow
+    * stage (16 digests per shingle) — see Tables.spread on why small
+    * scans must be re-bucketed before it.
+    */
+  private def tokenizedDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("toks"))
+
+  /** Jaccard-scored MinHash-band candidate pairs over a (doc_id, lang,
+    * toks) frame: band buckets → same-lang candidate pairs → exact
+    * shingle-Jaccard on candidates only. Returns
+    * (lang, id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * This is the ONE candidate scaffold behind [[ddNgramJaccard]],
+    * [[pipelineCleanCorpus]] and [[ddDupClusters]] — their DuckDB
+    * oracles replicate it bit-for-bit, so the blocking rule must not
+    * drift between them (same argument as Similarity's cosinePairs).
+    * No cache on the band projection: the self-join sides share the
+    * spread Exchange (ReusedExchange), and the signature recompute above
+    * it is ~cheap since the interleaved-digest rework. The per-pair
+    * intersect only runs on the few candidate rows the pair set selects.
+    */
+  private def jaccardScoredPairs(d: DataFrame,
+      numSlots: Int, bandSize: Int): DataFrame = {
+    val bands = d
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val pairs = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
+        col("y.doc_id").as("id_b"))
+      .distinct()
+    val sh = d
+      .withColumn("sh", expr(shingleExpr(3)))
+      .select(col("doc_id"), col("sh"))
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+  }
+
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * cheap heuristics a pretraining filter computes per document. Single
     * float division per ratio keeps every value bit-deterministic.
@@ -257,39 +305,7 @@ object Text {
   def ddNgramJaccard(spark: SparkSession, dir: String,
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    // spread: the md5 minhash is the expensive narrow stage (16 digests
-    // per shingle) — see Tables.spread on why small scans must be
-    // re-bucketed before it.
-    val d = Tables.spread(docs(spark, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("lang"), col("toks"))
-    // Small (doc_id, lang, band, key) projection. No cache: the self-join
-    // sides share the spread Exchange (ReusedExchange), and the signature
-    // recompute above it is ~cheap since the interleaved-digest rework.
-    val bands = d
-      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
-      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
-        col("y.doc_id").as("id_b"))
-      .distinct()
-    // Exact-Jaccard confirmation: the shingle projection is a narrow
-    // spread pass (the per-pair intersect only runs on the few candidate
-    // rows the tiny broadcast pair set selects).
-    val sh = d
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .select(col("doc_id"), col("sh"))
-    pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+    jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots, bandSize)
       .groupBy("lang")
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
@@ -334,27 +350,10 @@ object Text {
     val exactDeduped = graft.Caches.scoped("pipeline_clean_corpus.deduped",
       exactDeduped0
         .select(col("doc_id"), col("lang"), col("toks"), col("n_tokens")))
-    val bands = exactDeduped
-      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
-      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val sh = exactDeduped
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .select(col("doc_id"), col("sh"))
     // Keep the first occurrence: the higher doc_id of each confirmed pair
     // is dropped (same rule as round 1's formulation).
-    val dupIds = pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .filter(col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")) >= 0.5)
+    val dupIds = jaccardScoredPairs(exactDeduped, numSlots, bandSize)
+      .filter(col("jaccard") >= 0.5)
       .select(col("id_b").as("doc_id")).distinct()
     exactDeduped.join(dupIds, Seq("doc_id"), "left_anti")
       .groupBy("lang")
@@ -499,29 +498,8 @@ object Text {
   def ddDupClusters(spark: SparkSession, dir: String,
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val d = Tables.spread(docs(spark, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("lang"), col("toks"))
-    val bands = d
-      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
-      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-    val sh = d
-      .withColumn("sh", expr(
-        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
-      .select(col("doc_id"), col("sh"))
-    val edges = pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .filter(col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")) >= 0.5)
+    val edges = jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots, bandSize)
+      .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
     val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
