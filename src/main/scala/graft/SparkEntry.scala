@@ -92,6 +92,7 @@ object SparkEntry {
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_sq_int8" -> (Similarity.simSqInt8 _),
+    "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
@@ -686,6 +687,23 @@ object SparkEntry {
         |SELECT c.component, c.vec_id, e.label, sz.cluster_size
         |FROM comp c JOIN sz USING (component) JOIN embeddings e USING (vec_id)
         |ORDER BY component, vec_id""".stripMargin,
+    "sim_hybrid_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT d.doc_id, d.lang, e.embedding, e.norm
+        |  FROM documents d JOIN e ON e.vec_id = d.doc_id
+        |  WHERE list_contains(string_split(d.text, ' '), 'dup')),
+        |q AS (SELECT vec_id AS qid, embedding AS qv, norm AS qn FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, doc_id, lang,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qv[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qn * norm) AS cosine
+        |  FROM c, q WHERE doc_id <> qid)
+        |SELECT qid, doc_id, lang, cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id ASC) AS rnk FROM s)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "sim_sq_int8" ->
       """WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s

@@ -292,6 +292,44 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Hybrid retrieval: keyword prefilter + semantic rerank — the
+    * standard two-stage search shape (sparse recall, dense precision).
+    * Candidates are documents containing the keyword token, joined to
+    * their embeddings on doc_id = vec_id and cosine-ranked against the
+    * query vectors; the semantic scoring cost scales with the CANDIDATE
+    * count, not the corpus — at 100 TB the keyword stage is an inverted
+    * index or a pushed-down predicate, and only survivors ever touch
+    * vector math (the same filter-before-score layering as the
+    * reference handler's predicate-then-project contract,
+    * `parquet.py:95-100`, applied to retrieval).
+    *
+    * "dup" marks ~5% of this corpus (the planted near-duplicate docs),
+    * so the prefilter is genuinely selective at every scale factor.
+    */
+  def simHybridSearch(spark: SparkSession, dir: String,
+      keyword: String = "dup", k: Int = 10): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val cand = Tables(spark, dir, "documents")
+      .filter(array_contains(split(col("text"), " "), keyword))
+      .select(col("doc_id"), col("lang"))
+      .join(emb.select(col("vec_id").as("doc_id"), col("embedding"),
+        col("norm")), "doc_id")
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("norm").as("qnorm"))
+    val scored = cand.join(broadcast(q), col("doc_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("doc_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "doc_id", "lang", "cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** Scalar-quantized (int8) similarity scan: symmetric quantization
     * `q(x) = clamp(floor(x · 127 / max|x|), −127, 127)` with one global
     * scale, then cosine over the INTEGER vectors. The production point of
