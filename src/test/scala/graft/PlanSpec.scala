@@ -69,6 +69,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("decontamination pushes the source predicate into both scans") {
+    val plan = SparkEntry.queries("tx_decontaminate")(spark, dir)
+      .queryExecution.executedPlan.toString
+    // both the benchmark side and the train side must prune at the scan —
+    // at 100 TB these filters select partitions, not post-scan rows
+    assert(plan.contains("EqualTo(source,src0)"),
+      s"benchmark-source filter not pushed:\n$plan")
+    assert(plan.contains("Not(EqualTo(source,src0))"),
+      s"train-source filter not pushed:\n$plan")
+  }
+
+  test("repetition gate reads only the two columns it needs") {
+    val plan = SparkEntry.queries("tx_repetition")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"documents scan must prune to (text, lang):\n$plan")
+  }
+
   test("pack-chunks window is sharded, not single-partition") {
     val plan = SparkEntry.queries("tx_pack_chunks")(spark, dir)
       .queryExecution.executedPlan.toString
