@@ -73,6 +73,17 @@ class ConnectedComponentsSpec extends SparkSpec {
     check(edges)
   }
 
+  test("maxIter exhaustion fails loudly instead of returning wrong labels") {
+    // a chain needs at least one contraction round; maxIter = 0 must
+    // throw, never silently read components off the raw edge set
+    val chain = spark.createDataFrame((1L until 10L).map(i => (i, i + 1)))
+      .toDF("src", "dst")
+    val e = intercept[IllegalStateException] {
+      ConnectedComponents.run(chain, "src", "dst", maxIter = 0)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("high-degree hub (power-law shape) needs no per-node neighborhood buffer") {
     // star with 5,000 leaves — the shape that kills collect_list-based CC
     check((1L to 5000L).map(i => (0L, i)))
