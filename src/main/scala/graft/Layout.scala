@@ -21,8 +21,10 @@ object Layout {
     */
   // Reserved partition column names — prefixed so a dataset that already
   // carries its own `year`/`month` columns round-trips untouched.
-  private val PYear = "_p_year"
-  private val PMonth = "_p_month"
+  // Package-visible: LocalParquetDataHandler derives partition predicates
+  // from them when a panel was written through [[writeDatePartitioned]].
+  private[graft] val PYear = "_p_year"
+  private[graft] val PMonth = "_p_month"
 
   def writeDatePartitioned(df: DataFrame, path: String,
       dateCol: String = "date"): Unit = {

