@@ -231,7 +231,18 @@ class LocalParquetDataHandlerSpec extends SparkSpec {
     assert(part.columns.toSeq == flat.columns.toSeq,
       "partition columns must never leak into the API schema")
     assert(part.collect().toSeq == flat.collect().toSeq)
-    val plan = part.queryExecution.executedPlan.toString
+    // the scan's metadata string truncates at maxMetadataStringLength
+    // (default 100), which can cut the filter list mid-predicate when
+    // attribute ids grow long in a shared session — widen it for the
+    // probe, planning a FRESH frame inside the widened window (the conf
+    // is captured when a plan first materializes, so re-printing an
+    // already-executed frame keeps the old truncation)
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "4000")
+      ph.getPrices(None, Some("2020-01-02"), Some("2020-01-03"), None)
+        .queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert(plan.contains("PartitionFilters:") && plan.contains("_p_year"),
       s"date bounds must reach the scan as partition filters:\n$plan")
     assert(plan.contains("202001"),
