@@ -101,6 +101,7 @@ object SparkEntry {
     }),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
+    "dd_semdedup_banded" -> ((s, d) => Similarity.ddSemdedupBanded(s, d)),
     "sim_lsh_ann" -> ((s, d) => Similarity.simLshAnn(s, d)),
     "u4_pivot" -> (Aggregates.u4Pivot _),
     "u5_set_ops" -> (Relational.u5SetOps _),
@@ -677,6 +678,40 @@ object SparkEntry {
         |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
         |  WHERE list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b2.embedding[i] AS DOUBLE)), (x, y) -> x + y)
         |        / (a.norm * b2.norm) >= 0.25),
+        |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
+        |reach(u, lbl) AS (
+        |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+        |  UNION
+        |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
+        |comp AS (SELECT u AS vec_id, min(lbl) AS component FROM reach GROUP BY u),
+        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+        |SELECT c.component, c.vec_id, e.label, sz.cluster_size
+        |FROM comp c JOIN sz USING (component) JOIN embeddings e USING (vec_id)
+        |ORDER BY component, vec_id""".stripMargin,
+    // lsh_bands replication: 3 tables x 8 bits via the full-period integer
+    // plane family (idx*2654435761 % 1021 - 510)/510; candidates share ANY
+    // (t, band); then the same exact-cosine confirm + min-label closure.
+    "dd_semdedup_banded" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |bands AS (
+        |  SELECT vec_id, t,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((t * 8 + j) * 64 + d AS BIGINT) * 2654435761 % 1021 - 510) / 510.0)),
+        |             (x, y) -> x + y) > 0
+        |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS band
+        |  FROM b, range(0, 3) r(t)),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+        |  FROM bands a JOIN bands b2 ON a.t = b2.t AND a.band = b2.band AND a.vec_id < b2.vec_id),
+        |conf AS (
+        |  SELECT c.id_a, c.id_b FROM cand c
+        |  JOIN b x ON x.vec_id = c.id_a JOIN b y ON y.vec_id = c.id_b
+        |  WHERE list_reduce(list_transform(range(1, 65), i -> CAST(x.embedding[i] AS DOUBLE) * CAST(y.embedding[i] AS DOUBLE)), (x2, y2) -> x2 + y2)
+        |        / (x.norm * y.norm) >= 0.25),
         |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
         |reach(u, lbl) AS (
         |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)

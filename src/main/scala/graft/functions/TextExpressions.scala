@@ -386,6 +386,108 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `lsh_bands(embedding, nbits, ntables)` → `array<bigint>` of `ntables`
+  * independent hyperplane-LSH band keys, each `nbits` sign bits — the
+  * banding scheme of [[MinHashBands]] transplanted to embedding space:
+  * two vectors are candidates iff they share ANY band, so per-pair
+  * candidate probability is 1 − (1 − (1 − θ/π)^nbits)^ntables instead of
+  * the single-table (1 − θ/π)^nbits. That is the knob SemDeDup-style
+  * dedup needs at production thresholds (cosine ≥ 0.95): one 8-bit table
+  * keeps a θ ≈ 8° near-dup pair with probability ~0.7; three tables raise
+  * the any-band probability to ~0.97. SemDedupRecallSpec measures 0.975
+  * member recall vs exact all-pairs on planted clusters, vs 0.938
+  * single-table — below the production bar, which is why banding exists.
+  *
+  * Plane family: coef(t, j, d) = (((t·nbits + j)·64 + d)·2654435761 mod
+  * 1021 − 510) / 510 — integer-derived (bit-identical in DuckDB, same
+  * left-to-right accumulation as [[LshBucket]]) and FULL-PERIOD in the
+  * plane index, unlike [[LshBucket]]'s mod-19 family whose planes repeat
+  * at j ≥ 19 (fine for one ≤16-bit table, correlated and useless beyond
+  * it — the reason multi-table banding gets its own family rather than
+  * slicing a wider `lsh_bucket`). Sizing rule per table is LshBucket's:
+  * nbits ≈ log₂(n / targetBucketSize); ntables trades recall for
+  * candidate volume.
+  */
+case class LshBands(child: Expression, nbits: Int, ntables: Int)
+    extends UnaryExpression {
+
+  require(nbits >= 1 && nbits <= 63, "nbits must be in [1, 63]")
+  require(ntables >= 1 && ntables <= 64, "ntables must be in [1, 64]")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"lsh_bands requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "lsh_bands"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Long](ntables)
+    var t = 0
+    while (t < ntables) {
+      var band = 0L
+      var j = 0
+      while (j < nbits) {
+        var acc = 0.0
+        var d = 0
+        while (d < n) {
+          if (v.isNullAt(d)) return null
+          acc += v.getFloat(d).toDouble *
+            (((t * nbits + j).toLong * 64 + d) * 2654435761L % 1021L - 510L)
+              .toDouble / 510.0
+          d += 1
+        }
+        // same NaN-is-positive SQL ordering rule as LshBucket
+        if (acc > 0.0 || java.lang.Double.isNaN(acc)) band |= (1L << j)
+        j += 1
+      }
+      out(t) = band
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val acc = ctx.freshName("acc")
+      val band = ctx.freshName("band")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$ntables];
+         |for (int $t = 0; $t < $ntables && !${ev.isNull}; $t++) {
+         |  long $band = 0L;
+         |  for (int $j = 0; $j < $nbits && !${ev.isNull}; $j++) {
+         |    double $acc = 0.0;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
+         |      $acc += (double) $a.getFloat($d) *
+         |        (double) ((((long) ($t * $nbits + $j)) * 64L + $d) * 2654435761L % 1021L - 510L)
+         |          / 510.0;
+         |    }
+         |    if ($acc > 0.0 || Double.isNaN($acc)) $band |= (1L << $j);
+         |  }
+         |  $out[$t] = $band;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): LshBands =
+    copy(child = newChild)
+}
+
 /** `lexicon_hits(tokens)` → `array<int>`: element k counts how many tokens
   * are members of lexicon k. One pass over the token array with N set
   * probes per token, replacing N interpreted `filter(toks, t ->
@@ -578,6 +680,16 @@ object TextFunctions {
     LshBucket(exprs.head, intLit(exprs(1), "nbits")): Expression
   }
 
+  private[functions] val lshBandsFid = FunctionIdentifier("lsh_bands")
+  private[functions] val lshBandsInfo =
+    new ExpressionInfo(classOf[LshBands].getName, "lsh_bands")
+  private[functions] val lshBandsBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 3,
+      "lsh_bands(embedding, nbits, ntables) takes 3 arguments")
+    LshBands(exprs.head, intLit(exprs(1), "nbits"),
+      intLit(exprs(2), "ntables")): Expression
+  }
+
   /** Idempotent per-session registration (same pattern as
     * [[VectorFunctions.ensureRegistered]]).
     */
@@ -591,6 +703,9 @@ object TextFunctions {
     }
     if (!reg.functionExists(lshFid)) {
       reg.registerFunction(lshFid, lshInfo, lshBuilder)
+    }
+    if (!reg.functionExists(lshBandsFid)) {
+      reg.registerFunction(lshBandsFid, lshBandsInfo, lshBandsBuilder)
     }
     if (!reg.functionExists(ngramFid)) {
       reg.registerFunction(ngramFid, ngramInfo, ngramBuilder)

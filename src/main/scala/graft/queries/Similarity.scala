@@ -167,6 +167,63 @@ object Similarity {
       .orderBy("component", "vec_id")
   }
 
+  /** Multi-table (banded) SemDeDup: [[ddEmbeddingClusters]] with the
+    * single LSH table replaced by `ntables` independent hyperplane tables
+    * (codegen'd [[graft.functions.LshBands]]) — the recall knob the
+    * production regime needs. At cosine ≥ 0.95 (SemDeDup's published
+    * operating point, Abbas et al. 2023) a near-dup pair sits ~5° apart,
+    * so ONE 8-bit table keeps it with probability (1 − θ/π)⁸ ≈ 0.7 —
+    * single-table blocking silently drops ~30% of true duplicates.
+    * Banding is the standard fix (the minhash-LSH OR-construction):
+    * candidates are pairs sharing ANY of the `ntables` band keys,
+    * 1 − (1 − 0.7)³ ≈ 0.97 at the default 3 tables. SemDedupRecallSpec
+    * plants high-cosine clusters at exactly this operating point and
+    * measures 0.975 member recall vs exact all-pairs (single-table:
+    * 0.938 — below the production bar).
+    *
+    * Scale shape (100 TB): the explode emits `ntables` short (t, band,
+    * id) rows per vector — never the vector itself — so the candidate
+    * self-join shuffles 24-byte rows; `distinct` collapses multi-table
+    * hits BEFORE vectors are fetched, and only the ~candidate-count rows
+    * join back to the vector table for the exact-cosine confirm (the
+    * same confirm-after-block discipline as [[graft.queries.Text
+    * .ddMinhashLsh]]). Pair probability is over the DATA (planes are
+    * deterministic), so candidate volume still follows the
+    * nbits ≈ log₂(n/bucketSize) sizing rule per table, ×ntables.
+    *
+    * Reference behavioral anchor: keep=first dedup semantics
+    * (`wrds_ingestion.py:700-707`), as [[ddEmbeddingClusters]].
+    */
+  def ddSemdedupBanded(spark: SparkSession, dir: String, nbits: Int = 8,
+      ntables: Int = 3, threshold: Double = 0.25): DataFrame = {
+    register(spark)
+    val emb = graft.Caches.scoped(s"embeddings.banded.$nbits.$ntables",
+      Tables(spark, dir, "embeddings")
+        .withColumn("bands", expr(s"lsh_bands(embedding, $nbits, $ntables)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})")))
+    val exploded = emb.select(col("vec_id"),
+      posexplode(col("bands")).as(Seq("t", "band")))
+    val cand = exploded.as("a").join(exploded.as("b"),
+        col("a.t") === col("b.t") && col("a.band") === col("b.band") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val va = emb.select(col("vec_id").as("id_a"),
+      col("embedding").as("va"), col("norm").as("na"))
+    val vb = emb.select(col("vec_id").as("id_b"),
+      col("embedding").as("vb"), col("norm").as("nb"))
+    val edges = cand.join(va, "id_a").join(vb, "id_b")
+      .filter(expr(dotExpr("va", "vb")) / (col("na") * col("nb")) >= threshold)
+      .select("id_a", "id_b")
+    val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("component"), col("id").as("vec_id"))
+      .join(sizes, "component")
+      .join(emb.select("vec_id", "label"), Seq("vec_id"))
+      .select(col("component"), col("vec_id"), col("label"), col("cluster_size"))
+      .orderBy("component", "vec_id")
+  }
+
   /** LSH-bucketed approximate nearest neighbour: each query vector only
     * scores candidates in its own hyperplane bucket (8 bits here so
     * buckets stay populated at test scale), then takes the top-5. The
