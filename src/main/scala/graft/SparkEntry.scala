@@ -80,9 +80,12 @@ object SparkEntry {
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
+    "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
+    "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "dd_exact" -> (Text.ddExact _),
+    "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -501,6 +504,26 @@ object SparkEntry {
         |FROM g JOIN c USING (bigram)
         |WHERE doc_id < 300
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Same bigram scoring as tx_bigram_score, then per-lang ntile(3) on
+    // (score DESC, doc_id) — identical fill semantics in both engines.
+    "tx_ccnet_buckets" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
+        |    i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1])) AS bigram
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 2),
+        |c AS (SELECT bigram, count(*) AS freq FROM g GROUP BY 1),
+        |s AS (
+        |  SELECT doc_id, lang, count(*) AS n_bigrams,
+        |    CAST(CAST(sum(freq) AS BIGINT) AS DOUBLE) / count(*) AS score
+        |  FROM g JOIN c USING (bigram) GROUP BY 1, 2),
+        |b AS (SELECT lang, doc_id, score,
+        |    ntile(3) OVER (PARTITION BY lang ORDER BY score DESC, doc_id ASC) AS bucket
+        |  FROM s)
+        |SELECT lang, bucket,
+        |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 2 THEN 'middle' ELSE 'tail' END AS bucket_name,
+        |  count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score,
+        |  min(doc_id) AS min_doc_id
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "tx_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
@@ -520,6 +543,23 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
+    // equivalent to the Spark side's md5 grouping (md5 is injective on
+    // this data; the digest exists Spark-side so the shuffle never
+    // carries text). rn = 1 <=> (doc_id, pos) = min(struct) per group.
+    "dd_paragraph" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(0, (len(toks) - 1) // 20 + 1),
+        |    i -> {'pos': i, 'para': array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')})) AS u
+        |  FROM d),
+        |q AS (SELECT doc_id, lang, u.pos AS pos, u.para AS para,
+        |  len(string_split(u.para, ' ')) AS n_toks FROM p),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM q)
+        |SELECT doc_id, lang, count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
+        |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        |FROM r2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Same MinHashBands replication as pipeline_clean_corpus (see above).
     "dd_ngram_jaccard" ->
       """WITH d AS (
@@ -658,6 +698,44 @@ object SparkEntry {
         |  count(h.doc_id) AS n_contaminated,
         |  min(h.doc_id) AS first_contaminated
         |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The dd_ngram_jaccard MinHashBands replication made BIPARTITE:
+    // benchmark (src0) bands join train bands, exact Jaccard on the
+    // candidates, then the tx_decontaminate-style per-lang rollup.
+    "tx_fuzzy_decontaminate" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang, source,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, lang, source, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, source, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, lang, source, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT t.doc_id AS doc_id, b.doc_id AS bench_id
+        |  FROM e t JOIN e b ON t.band = b.band AND t.key = b.key AND t.lang = b.lang
+        |  WHERE t.source <> 'src0' AND b.source = 'src0'),
+        |f AS (
+        |  SELECT DISTINCT p.doc_id FROM p
+        |  JOIN s a ON p.doc_id = a.doc_id JOIN s b2 ON p.bench_id = b2.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b2.sh)) AS DOUBLE)
+        |        / (len(a.sh) + len(b2.sh) - len(list_intersect(a.sh, b2.sh))) >= 0.5)
+        |SELECT d2.lang, count(*) AS n_train_docs,
+        |  count(f.doc_id) AS n_flagged,
+        |  min(CASE WHEN f.doc_id IS NOT NULL THEN d2.doc_id END) AS first_flagged
+        |FROM documents d2 LEFT JOIN f ON d2.doc_id = f.doc_id
+        |WHERE d2.source <> 'src0'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // lsh_bucket replication (8-bit) + float_dot cosine + the same
     // recursive min-label closure as dd_dup_clusters — three proven

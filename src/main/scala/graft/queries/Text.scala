@@ -213,7 +213,19 @@ object Text {
     * shuffle join (AQE upgrades it to broadcast when, as here, the
     * distinct-bigram table is small).
     */
-  def txBigramScore(spark: SparkSession, dir: String): DataFrame = {
+  def txBigramScore(spark: SparkSession, dir: String): DataFrame =
+    bigramScored(spark, dir)
+      .filter(col("doc_id") < 300)
+      .orderBy("doc_id")
+
+  /** Per-document bigram familiarity (doc_id, lang, n_bigrams,
+    * total_freq, score) — the scoring stage shared by [[txBigramScore]]
+    * and [[txCcnetBuckets]]: corpus bigram counts joined back to each
+    * document's bigrams, score = mean corpus frequency. The score is ONE
+    * double division on exact integer sums, so both consumers stay
+    * hash-exact vs DuckDB.
+    */
+  private def bigramScored(spark: SparkSession, dir: String): DataFrame = {
     val grams = docs(spark, dir)
       .withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= 2)
@@ -225,10 +237,43 @@ object Text {
     grams.join(counts, "bigram")
       .groupBy("doc_id", "lang")
       .agg(count(lit(1)).as("n_bigrams"), sum("freq").as("total_freq"))
-      .filter(col("doc_id") < 300)
       .withColumn("score", col("total_freq").cast("double") / col("n_bigrams"))
       .select("doc_id", "lang", "n_bigrams", "total_freq", "score")
-      .orderBy("doc_id")
+  }
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020): per language,
+    * documents are split into head/middle/tail thirds by language-model
+    * score — CCNet ranks Common Crawl by KenLM perplexity and keeps the
+    * head as the cleanest slice. The stand-in LM is [[bigramScored]]'s
+    * corpus-bigram familiarity (higher = more typical text), ranked
+    * descending so bucket 1 = head, with doc_id as the deterministic
+    * tiebreak. `ntile(3)` has identical fill semantics in Spark and
+    * DuckDB (earlier buckets take the remainder), so bucket boundaries
+    * and every min/max agree bit-for-bit.
+    *
+    * Scale note: exact tertiles need a total order per language —
+    * parallel across languages but one sort per lang. At 100 TB the
+    * production form replaces ntile with per-lang approx-quantile
+    * THRESHOLDS (one pass, mergeable sketches — the a10 machinery) and
+    * buckets by comparison; exact ntile is kept here because the oracle
+    * then checks every boundary decision, not a sketch's.
+    */
+  def txCcnetBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("score").desc, col("doc_id").asc)
+    bigramScored(spark, dir)
+      .withColumn("bucket", ntile(3).over(w))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("score").as("min_score"),
+        max("score").as("max_score"),
+        min("doc_id").as("min_doc_id"))
+      .withColumn("bucket_name",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === 2, "middle").otherwise("tail"))
+      .select("lang", "bucket", "bucket_name", "n_docs",
+        "min_score", "max_score", "min_doc_id")
+      .orderBy("lang", "bucket")
   }
 
   /** Sequence packing (training-batch assembly): concatenate each shard's
@@ -263,6 +308,49 @@ object Text {
         sum("n_tokens").as("tokens"),
         min("doc_id").as("first_doc_id"))
       .orderBy("lang", "shard", "chunk_id")
+  }
+
+  /** Corpus-wide exact paragraph deduplication, keep-first (the
+    * MassiveText/C4 sub-document pass: Rae et al. 2021 remove repeated
+    * paragraphs across documents before any fuzzy dedup). This corpus
+    * has no newlines, so a "paragraph" is each consecutive `paraTokens`-
+    * token chunk; an occurrence survives iff its (doc_id, pos) is the
+    * corpus-wide minimum for that paragraph's md5 — the same keep=first
+    * rule as the reference's dedup (`wrds_ingestion.py:700-707`) applied
+    * at sub-document granularity. Output: per-document retention stats.
+    *
+    * Scale shape: the paragraph TEXT never reaches a shuffle — occurrences
+    * are projected to (digest, doc_id, pos, n_toks) before the first
+    * exchange. Keep-first is computed as groupBy(digest).min(struct(doc_id,
+    * pos)) + a digest-keyed join back, NOT a row_number window: the
+    * partial aggregation collapses a hot paragraph ("subscribe to our
+    * newsletter" × 10⁹ at web scale) to one row per map task, and the
+    * join-back skew is the AQE-skew-join-handled kind, whereas a window's
+    * hot hash partition has no map-side reduction at all.
+    */
+  def ddParagraph(spark: SparkSession, dir: String,
+      paraTokens: Int = 20): DataFrame = {
+    require(paraTokens > 0)
+    val paras = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
+             |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("lang"), col("pos"),
+        expr("md5(cast(col AS BINARY))").as("h"),
+        expr("size(split(col, ' '))").as("n_toks"))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    paras.join(firsts, "h")
+      .withColumn("kept",
+        col("doc_id") === col("first.doc_id") && col("pos") === col("first.pos"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_paras"),
+        sum(when(col("kept"), col("n_toks")).otherwise(0L)).as("n_tokens_kept"))
+      .orderBy("doc_id")
   }
 
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
@@ -586,6 +674,60 @@ object Text {
       .agg(count(lit(1)).as("n_train_docs"),
         count(col("hit")).as("n_contaminated"),
         min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
+      .orderBy("lang")
+  }
+
+  /** Fuzzy benchmark decontamination: [[txDecontaminate]] catches verbatim
+    * 8-gram overlap; this catches PARAPHRASED contamination — training
+    * documents that are near-duplicates (shingle-Jaccard ≥ `threshold`)
+    * of any benchmark document, the fuzzy pass production suites run
+    * alongside the exact one (GPT-3 appendix C's 13-gram dedup has
+    * exactly this blind spot; Llama-era suites add minhash). The
+    * candidate scaffold is the md5 [[graft.functions.MinHashBands]]
+    * family's, but BIPARTITE: benchmark bands join train bands — the
+    * benchmark side is tiny, so at 100 TB the band join is a broadcast
+    * against a corpus-wide narrow scan (AQE decides; no hint hard-coded,
+    * per the project join rule), and exact Jaccard runs only on the few
+    * candidates. Same-lang blocking as the whole near-dup family.
+    *
+    * Oracle: the DuckDB twin replicates bands, candidate pairs, every
+    * Jaccard and the final per-language rollup bit-for-bit.
+    */
+  def txFuzzyDecontaminate(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", numSlots: Int = 16,
+      bandSize: Int = 4, threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val d = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"))
+    val bands = d
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), col("source"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val bench = bands.filter(col("source") === benchmarkSource)
+      .select(col("band"), col("key"), col("lang"), col("doc_id").as("bench_id"))
+    val cand = bands.filter(col("source") =!= benchmarkSource)
+      .join(bench, Seq("band", "key", "lang"))
+      .select(col("doc_id"), col("bench_id")).distinct()
+    val sh = d.withColumn("sh", expr(shingleExpr(3)))
+      .select(col("doc_id"), col("sh"))
+    val flagged = cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_t")), "doc_id")
+      .join(sh.select(col("doc_id").as("bench_id"), col("sh").as("sh_b")),
+        "bench_id")
+      .withColumn("inter", expr("size(array_intersect(sh_t, sh_b))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(sh_t)") + expr("size(sh_b)") - col("inter")) >= threshold)
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    docs(spark, dir).filter(col("source") =!= benchmarkSource)
+      .select("doc_id", "lang")
+      .join(flagged, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train_docs"),
+        count(col("hit")).as("n_flagged"),
+        min(when(col("hit") === 1, col("doc_id"))).as("first_flagged"))
       .orderBy("lang")
   }
 

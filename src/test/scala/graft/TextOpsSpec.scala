@@ -385,4 +385,109 @@ class TextOpsSpec extends SparkSpec {
     assert(byComp.size <= confirmedPairs)
     assert(rows.length <= 2 * confirmedPairs)
   }
+
+  test("lsh_bands equals the interpreted full-period plane fold bit-for-bit") {
+    TextFunctions.ensureRegistered(spark)
+    val (nbits, ntables) = (8, 3)
+    // the HOF string mirrors the expression's arithmetic exactly,
+    // including left-associative (emb * coef) / 510.0
+    val fold =
+      s"""transform(sequence(0, ${ntables - 1}), t ->
+            aggregate(sequence(0, ${nbits - 1}), 0L, (b, j) ->
+              b + CASE WHEN aggregate(sequence(0, 63), 0D, (acc, d) ->
+                acc + CAST(embedding[d] AS DOUBLE) *
+                      CAST((CAST(t * $nbits + j AS BIGINT) * 64 + d) * 2654435761L % 1021L - 510L AS DOUBLE)
+                        / 510.0D) > 0D
+              THEN shiftleft(1L, j) ELSE 0L END))"""
+    val both = Tables(spark, sf001, "embeddings")
+      .select(
+        expr(s"lsh_bands(embedding, $nbits, $ntables)").as("fast"),
+        expr(fold).as("fold")).collect()
+    assert(both.length == 500)
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("lsh_bands null handling") {
+    TextFunctions.ensureRegistered(spark)
+    val out = spark.sql(
+      """SELECT lsh_bands(CAST(NULL AS ARRAY<FLOAT>), 8, 3) AS a,
+        |       lsh_bands(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), 8, 3) AS b
+        |""".stripMargin).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("dd_paragraph keep-first conserves paragraphs: kept = corpus-distinct") {
+    val rows = Text.ddParagraph(spark, sf001).collect()
+    // per-document chunk count is exactly ceil(tokens / 20)
+    val tokCounts = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), expr("size(split(text, ' '))").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { r =>
+      val expect = (tokCounts(r.getAs[Long]("doc_id")) + 19) / 20
+      assert(r.getAs[Long]("n_paras") == expect)
+    }
+    // kept occurrences across the corpus == distinct paragraph texts
+    // (keep-first keeps exactly one occurrence per distinct paragraph)
+    val kept = rows.map(r =>
+      r.getAs[Long]("n_paras") - r.getAs[Long]("n_dup_paras")).sum
+    val distinctParas = Tables(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .select(explode(expr(
+        """transform(sequence(0, (size(toks) - 1) div 20),
+          |  i -> concat_ws(' ', slice(toks, i * 20 + 1, 20)))""".stripMargin)))
+      .distinct().count()
+    assert(kept == distinctParas, s"kept $kept != distinct $distinctParas")
+    // this corpus plants full-document duplicates, so dups must exist
+    assert(rows.map(_.getAs[Long]("n_dup_paras")).sum > 0)
+  }
+
+  test("fuzzy decontamination: exact precision, banding-curve recall vs truth") {
+    val dir = "/root/testdata/sf0.001"
+    // brute-force truth (300 docs): train docs with a same-lang src0
+    // partner at shingle-Jaccard >= 0.5 / >= 0.8
+    val sh = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(
+        "array_distinct(transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+      .select(col("doc_id"), col("lang"), col("source"), col("sh"))
+    val j = sh.filter(col("source") =!= "src0").as("t")
+      .join(sh.filter(col("source") === "src0").as("b"),
+        col("t.lang") === col("b.lang"))
+      .withColumn("inter", expr("size(array_intersect(t.sh, b.sh))"))
+      .withColumn("jac", col("inter").cast("double") /
+        (expr("size(t.sh)") + expr("size(b.sh)") - col("inter")))
+    val truth05 = j.filter(col("jac") >= 0.5)
+      .select(col("t.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val truth08 = j.filter(col("jac") >= 0.8)
+      .select(col("t.doc_id")).distinct().collect().map(_.getLong(0)).toSet
+    val flaggedCount = Text.txFuzzyDecontaminate(spark, dir)
+      .agg(sum("n_flagged")).collect().head.getLong(0)
+    // precision is structural (exact-Jaccard confirm): flagged <= truth;
+    // recall: every j >= 0.8 doc sits near the top of the banding curve
+    // (P >= 0.88 per pair at 16/4), so at least 85% of those are found
+    assert(flaggedCount <= truth05.size.toLong,
+      s"flagged $flaggedCount exceeds truth ${truth05.size}")
+    assert(flaggedCount * 100 >= truth08.size.toLong * 85,
+      s"flagged $flaggedCount of ${truth08.size} high-sim contaminated docs")
+  }
+
+  test("ccnet buckets: per-lang thirds are balanced, ordered, and complete") {
+    val rows = Text.txCcnetBuckets(spark, sf001).collect()
+    val perLang = Tables(spark, sf001, "documents")
+      .filter(expr("size(split(text, ' ')) >= 2"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, bs) =>
+      assert(bs.map(_.getAs[Int]("bucket")).sorted.toSeq == Seq(1, 2, 3))
+      val sizes = bs.sortBy(_.getAs[Int]("bucket")).map(_.getAs[Long]("n_docs"))
+      assert(sizes.sum == perLang(lang), s"$lang: bucket sizes must cover docs")
+      assert(sizes.max - sizes.min <= 1, s"$lang: ntile thirds differ by > 1")
+      // head holds the highest scores: bucket k's min >= bucket k+1's max
+      val byB = bs.map(r => r.getAs[Int]("bucket") ->
+        (r.getAs[Double]("min_score"), r.getAs[Double]("max_score"))).toMap
+      assert(byB(1)._1 >= byB(2)._2 && byB(2)._1 >= byB(3)._2,
+        s"$lang: bucket score ranges out of order")
+    }
+  }
 }
