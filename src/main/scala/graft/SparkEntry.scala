@@ -83,6 +83,7 @@ object SparkEntry {
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
+    "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
@@ -669,6 +670,28 @@ object SparkEntry {
         |  CAST(tokens AS DOUBLE) / t_all AS token_share,
         |  CAST(t_all AS DOUBLE) / (k_sources * tokens) AS target_weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // Equalized-mixture downsample: budget = smallest source's token
+    // mass; keep docs whose exclusive running sum (per-source, ordered
+    // by md5(doc_id), doc_id) starts inside the budget — all integers.
+    "tx_mix_sample" ->
+      """WITH p AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |t AS (SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tokens
+        |  FROM p GROUP BY 1),
+        |tt AS (SELECT *, min(tokens) OVER () AS target FROM t),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS bef
+        |  FROM p)
+        |SELECT c.source, tt.n_docs, tt.tokens, tt.target,
+        |  CAST(sum(CASE WHEN c.bef < tt.target THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN c.bef < tt.target THEN c.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
+        |FROM c JOIN tt ON c.source = tt.source
+        |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
     "tx_topk_ngrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

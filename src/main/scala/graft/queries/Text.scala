@@ -766,6 +766,48 @@ object Text {
       .orderBy("source")
   }
 
+  /** Mixture resampling executor — the enforcement half of
+    * [[txSourceMix]]'s bookkeeping: downsample every source to the same
+    * token mass (the smallest source's total — equalized mixture with no
+    * upsampling, the conservative DoReMi/Pile-style rebalance). Document
+    * selection is deterministic: each source's docs are ranked by
+    * (md5(doc_id), doc_id) — the same keyed-hash order as
+    * [[txHashSample]], uncorrelated with any data attribute — and a doc
+    * is kept iff its tokens START inside the budget (exclusive running
+    * sum < target), so every arithmetic step is an integer and the
+    * oracle hash-matches.
+    *
+    * Scale shape: per-source totals are a ~20-row aggregate; the global
+    * min attaches as a window over those aggregated rows (the
+    * [[txSourceMix]] pattern — no constant-key join for Catalyst to fold
+    * into a BNLJ) and joins back on the `source` KEY. The running sum is
+    * a per-source window; at 100 TB the production form shards it like
+    * [[txPackChunks]] (hash shards with `target div shards` sub-budgets)
+    * — unsharded here so the oracle checks every cumulative decision.
+    */
+  def txMixSample(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = docs(spark, dir)
+      .select(col("source"), col("doc_id"),
+        expr("size(split(text, ' '))").cast("long").as("n_tokens"),
+        expr("md5(cast(cast(doc_id AS STRING) AS BINARY))").as("h"))
+    val totals = perDoc.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("tokens"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val withTarget = totals.withColumn("target", min("tokens").over(wAll))
+    val wSrc = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("h").asc, col("doc_id").asc)
+    perDoc
+      .withColumn("before", sum("n_tokens").over(wSrc) - col("n_tokens"))
+      .join(withTarget, "source")
+      .withColumn("kept", col("before") < col("target"))
+      .groupBy("source", "n_docs", "tokens", "target")
+      .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .select("source", "n_docs", "tokens", "target", "n_kept", "tokens_kept")
+      .orderBy("source")
+  }
+
   /** Corpus-level heavy hitters: the k most frequent token 3-grams.
     *
     * Hash-keyed (VERDICT r3 item 2): the counting pass never materializes

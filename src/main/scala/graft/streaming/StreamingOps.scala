@@ -158,6 +158,62 @@ object StreamingOps {
       .select(explode(expr(graft.queries.Text.shingleExpr(width))).as("g"))
       .distinct()
 
+  /** Streaming FUZZY decontamination (the stream twin of
+    * `graft.queries.Text.txFuzzyDecontaminate`, as [[contaminatedDocs]]
+    * twins the exact pass): each micro-batch's documents compute their
+    * minhash band keys and shingle sets in-stream, candidates come from
+    * an equality join against the STATIC benchmark band table, and the
+    * exact-Jaccard confirm joins the STATIC benchmark shingle sets — two
+    * stateless stream-static joins, no stream-stream self-join, no
+    * watermark (nothing is buffered). The shingle set rides along the
+    * band explode precisely to avoid re-joining the stream to itself.
+    * At-least-once like the exact twin: a doc sharing several bands with
+    * several benchmark docs emits once per confirmed (doc, bench) pair —
+    * the spec compares DISTINCT ids against the batch operator.
+    */
+  def fuzzyContaminatedDocs(docsStream: DataFrame, benchBands: DataFrame,
+      benchShingles: DataFrame, numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docsStream.sparkSession)
+    val d = docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(graft.queries.Text.shingleExpr(3)))
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), col("sh"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    d.join(benchBands, Seq("band", "key", "lang"))
+      .join(benchShingles, Seq("bench_id"))
+      .withColumn("inter", expr("size(array_intersect(sh, sh_b))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(sh)") + expr("size(sh_b)") - col("inter")) >= threshold)
+      .select("doc_id", "lang", "bench_id")
+  }
+
+  /** Static sides for [[fuzzyContaminatedDocs]]: the benchmark source's
+    * minhash band table (band, key, lang, bench_id) and shingle sets
+    * (bench_id, sh_b), both computed in batch — the same band family the
+    * whole near-dup suite shares, so the stream twin's candidates match
+    * `txFuzzyDecontaminate`'s bit-for-bit.
+    */
+  def fuzzyBenchmarkSides(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", numSlots: Int = 16,
+      bandSize: Int = 4): (DataFrame, DataFrame) = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val b = graft.Tables(spark, dir, "documents")
+      .filter(col("source") === benchmarkSource)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+    val bands = b
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id").as("bench_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val shingles = b
+      .withColumn("sh_b", expr(graft.queries.Text.shingleExpr(3)))
+      .select(col("doc_id").as("bench_id"), col("sh_b"))
+    (bands, shingles)
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

@@ -207,4 +207,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.size.toLong == batchTotal,
       s"streamed drop-list ${streamedIds.size} != batch $batchTotal")
   }
+
+  test("streaming fuzzy decontamination flags exactly the batch drop-list") {
+    // sf0.001, NOT sf0.01: the larger corpus has no same-lang train-vs-
+    // benchmark pair at Jaccard >= 0.5, so its drop-list is empty and the
+    // equality would pass vacuously; sf0.001 plants one (es doc 82).
+    val sf = "/root/testdata/sf0.001"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-fuzzy-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val (benchBands, benchShingles) = StreamingOps.fuzzyBenchmarkSides(spark, sf)
+    val stream = StreamingOps.readDocumentsStream(spark, docsDir.toString)
+      .filter(col("source") =!= "src0")
+    val q = StreamingOps.fuzzyContaminatedDocs(stream, benchBands, benchShingles)
+      .writeStream.format("memory").queryName("fuzzy_contaminated_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamedIds = spark.table("fuzzy_contaminated_stream")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val batchTotal = graft.queries.Text.txFuzzyDecontaminate(spark, sf)
+      .agg(sum("n_flagged")).collect().head.getLong(0)
+    assert(streamedIds.nonEmpty, "planted near-dup contamination must be flagged")
+    assert(streamedIds.size.toLong == batchTotal,
+      s"streamed fuzzy drop-list ${streamedIds.size} != batch $batchTotal")
+  }
 }

@@ -472,6 +472,30 @@ class TextOpsSpec extends SparkSpec {
       s"flagged $flaggedCount of ${truth08.size} high-sim contaminated docs")
   }
 
+  test("mix sampling fills every source budget exactly once, deterministically") {
+    val rows = Text.txMixSample(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val target = rows.head.getAs[Long]("target")
+    assert(rows.forall(_.getAs[Long]("target") == target))
+    // the budget is the smallest source's mass, and that source keeps all
+    assert(target == rows.map(_.getAs[Long]("tokens")).min)
+    assert(rows.exists(r => r.getAs[Long]("tokens") == target &&
+      r.getAs[Long]("n_kept") == r.getAs[Long]("n_docs") &&
+      r.getAs[Long]("tokens_kept") == target))
+    // every source fills its budget, overshooting by at most one document
+    val maxDoc = Tables(spark, sf001, "documents")
+      .groupBy("source").agg(expr("max(size(split(text, ' ')))").as("m"))
+      .collect().map(r => r.getString(0) -> r.getInt(1).toLong).toMap
+    rows.foreach { r =>
+      val kept = r.getAs[Long]("tokens_kept")
+      assert(kept >= target, s"${r.getString(0)}: budget unfilled: $kept")
+      assert(kept < target + maxDoc(r.getString(0)),
+        s"${r.getString(0)}: overshoot beyond one straddling doc")
+    }
+    // keyed-hash ranking is a pure function of doc_id — rerun equality
+    assert(Text.txMixSample(spark, sf001).collect().toSeq == rows.toSeq)
+  }
+
   test("ccnet buckets: per-lang thirds are balanced, ordered, and complete") {
     val rows = Text.txCcnetBuckets(spark, sf001).collect()
     val perLang = Tables(spark, sf001, "documents")
