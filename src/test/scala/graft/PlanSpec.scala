@@ -34,6 +34,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("dd_paragraph keep-first is a partial-aggregated min, not a window") {
+    // the skew argument in ddParagraph's scaladoc: a hot paragraph must be
+    // collapsed map-side (partial_min per partition), never funneled into
+    // one WindowExec hash partition with no pre-reduction
+    val plan = SparkEntry.queries("dd_paragraph")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_min"), "keep-first lost its map-side combine")
+    assert(!plan.contains("Window"), "keep-first fell back to a window")
+  }
+
   test("entry flagship plan: no cartesian, keeps partial aggregation") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
