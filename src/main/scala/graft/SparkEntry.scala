@@ -87,6 +87,7 @@ object SparkEntry {
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
+    "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -544,6 +545,44 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The composed corpus-prep flow, assembled from proven oracle blocks:
+    // the dd_paragraph keep-first rewrite (string_agg ORDER BY pos = the
+    // pos-sorted concat), md5 keep-first exact dedup, and the 8-shingle
+    // semi-join of tx_decontaminate — over REWRITTEN text.
+    "pipeline_prepare_corpus" ->
+      """WITH d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, source, unnest(list_transform(range(0, (len(toks) - 1) // 20 + 1),
+        |    i -> {'pos': i, 'para': array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')})) AS u
+        |  FROM d),
+        |q0 AS (SELECT doc_id, lang, source, u.pos AS pos, u.para AS para FROM p),
+        |r2 AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM q0),
+        |rw AS (SELECT doc_id, lang, source, string_agg(para, ' ' ORDER BY pos) AS text2
+        |       FROM r2 WHERE rn = 1 GROUP BY 1, 2, 3),
+        |q AS (SELECT *, CAST(len(string_split(text2, ' ')) AS BIGINT) AS n2 FROM rw
+        |      WHERE len(string_split(text2, ' ')) >= 10),
+        |k AS (SELECT md5(text2) AS h2, min(doc_id) AS keep_id FROM q GROUP BY 1),
+        |dd AS (SELECT q.* FROM q JOIN k ON md5(q.text2) = k.h2 AND q.doc_id = k.keep_id),
+        |ts AS (SELECT doc_id, source, n2, string_split(text2, ' ') AS t2 FROM dd),
+        |bsh AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(t2) - 6),
+        |    i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] || ' ' || t2[i+3] || ' ' || t2[i+4] || ' ' || t2[i+5] || ' ' || t2[i+6] || ' ' || t2[i+7])) AS g
+        |  FROM ts WHERE source = 'src0' AND len(t2) >= 8),
+        |fl AS (
+        |  SELECT DISTINCT doc_id FROM (
+        |    SELECT doc_id, unnest(list_transform(range(1, len(t2) - 6),
+        |      i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] || ' ' || t2[i+3] || ' ' || t2[i+4] || ' ' || t2[i+5] || ' ' || t2[i+6] || ' ' || t2[i+7])) AS g
+        |    FROM ts WHERE source <> 'src0' AND len(t2) >= 8) t
+        |  WHERE g IN (SELECT g FROM bsh)),
+        |outq AS (SELECT dd.* FROM dd WHERE source <> 'src0'
+        |         AND doc_id NOT IN (SELECT doc_id FROM fl)),
+        |inp AS (SELECT lang, count(*) AS n_docs_in FROM documents WHERE source <> 'src0' GROUP BY 1)
+        |SELECT inp.lang, inp.n_docs_in,
+        |  CAST(count(outq.doc_id) AS BIGINT) AS n_docs_out,
+        |  CAST(coalesce(sum(outq.n2), 0) AS BIGINT) AS tokens_out,
+        |  min(outq.doc_id) AS first_kept_doc_id
+        |FROM inp LEFT JOIN outq ON inp.lang = outq.lang
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never

@@ -353,6 +353,88 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** The full corpus-preparation flow as ONE declarative plan — what an
+    * LLM data job actually runs end-to-end, composing this module's
+    * stages in their production order (each also oracle-checked alone):
+    *
+    *  1. paragraph-level REWRITE: corpus-wide keep-first chunk dedup
+    *     ([[ddParagraph]]'s rule), then each document is re-assembled
+    *     from its surviving paragraphs (`concat_ws` over the
+    *     pos-sorted collect_list — array_sort pins the order, so the
+    *     rebuilt text is deterministic under any shuffle);
+    *  2. quality gate on the rewritten text (≥ `minTokens` tokens);
+    *  3. exact dedup of rewritten docs (min doc_id per md5 — keep
+    *     first, the reference rule `wrds_ingestion.py:700-707`);
+    *  4. 8-gram benchmark decontamination ([[txDecontaminate]]'s
+    *     semi-join, bench shingles from the rewritten benchmark split);
+    *  5. per-language survivor stats against the training input.
+    *
+    * Scale notes: the rewrite is the one stage that must move text (its
+    * OUTPUT is text) — one shuffle of (digest-keyed) paragraph rows and
+    * one per-doc reassembly, both bounded by document size; every other
+    * stage shuffles digests, shingle keys, or per-lang aggregates. The
+    * keep-first joins are the partial-aggregated min + key-join shape
+    * (AQE-skew-safe), not windows.
+    */
+  def pipelinePrepareCorpus(spark: SparkSession, dir: String,
+      paraTokens: Int = 20, minTokens: Int = 10,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
+    val paras = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
+             |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("lang"), col("source"), col("pos"),
+        col("col").as("para"), expr("md5(cast(col AS BINARY))").as("h"))
+    val firsts = paras.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
+    val rewritten = paras.join(firsts, "h")
+      .filter(col("doc_id") === col("first.doc_id") &&
+        col("pos") === col("first.pos"))
+      .groupBy("doc_id", "lang", "source")
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(struct(pos, para))), x -> x.para)"))
+        .as("text2"))
+    // the rewrite subtree (explode + digest shuffle + reassembly) feeds
+    // the dedup aggregate AND its join-back, and the deduped frame feeds
+    // three consumers (bench shingles, train shingles, survivors) —
+    // uncached, the rewrite would execute six times. Two scoped caches
+    // bound that to one rewrite + one dedup join (the documented
+    // expensive-projection-reused-across-join-sides rule).
+    val q = graft.Caches.scoped(s"prepare.rewritten.$paraTokens.$minTokens",
+      rewritten
+        .withColumn("toks", split(col("text2"), " "))
+        .withColumn("n2", size(col("toks")).cast("long"))
+        .filter(col("n2") >= minTokens)
+        .withColumn("h2", expr("md5(cast(text2 AS BINARY))")))
+    val keepIds = q.groupBy("h2").agg(min("doc_id").as("keep_id"))
+    val dd = graft.Caches.scoped(s"prepare.deduped.$paraTokens.$minTokens",
+      q.join(keepIds, "h2").filter(col("doc_id") === col("keep_id")))
+    val bench = dd.filter(col("source") === benchmarkSource)
+      .filter(size(col("toks")) >= width)
+      .select(explode(expr(shingleExpr(width))).as("g")).distinct()
+    val flagged = dd.filter(col("source") =!= benchmarkSource)
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), explode(expr(shingleExpr(width))).as("g"))
+      .join(bench, Seq("g"), "left_semi")
+      .select("doc_id").distinct()
+    val out = dd.filter(col("source") =!= benchmarkSource)
+      .join(flagged, Seq("doc_id"), "left_anti")
+    val outStats = out.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_out"), sum("n2").as("tokens_out"),
+        min("doc_id").as("first_kept_doc_id"))
+    docs(spark, dir).filter(col("source") =!= benchmarkSource)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs_in"))
+      .join(outStats, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs_in"),
+        coalesce(col("n_docs_out"), lit(0L)).as("n_docs_out"),
+        coalesce(col("tokens_out"), lit(0L)).as("tokens_out"),
+        col("first_kept_doc_id"))
+      .orderBy("lang")
+  }
+
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
     * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
     * shuffle on the 16-byte digest, never on the document text itself).

@@ -496,6 +496,27 @@ class TextOpsSpec extends SparkSpec {
     assert(Text.txMixSample(spark, sf001).collect().toSeq == rows.toSeq)
   }
 
+  test("prepare-corpus pipeline only ever drops docs and tokens, per stage") {
+    val rows = Text.pipelinePrepareCorpus(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    val rawTrainTokens = Tables(spark, sf001, "documents")
+      .filter(col("source") =!= "src0")
+      .groupBy("lang").agg(expr("sum(size(split(text, ' ')))").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (lang, in, out, toks) = (r.getString(0), r.getAs[Long]("n_docs_in"),
+        r.getAs[Long]("n_docs_out"), r.getAs[Long]("tokens_out"))
+      assert(out <= in, s"$lang: survivors exceed input")
+      assert(out > 0, s"$lang: pipeline must not empty a whole language here")
+      // the paragraph rewrite + dedup can only shrink the token mass
+      assert(toks <= rawTrainTokens(lang), s"$lang: tokens grew through prep")
+    }
+    // the corpus plants duplicates and contamination — something must drop
+    assert(rows.map(r => r.getAs[Long]("n_docs_in") - r.getAs[Long]("n_docs_out")).sum > 0)
+    // deterministic under re-execution (collect_list order is pinned)
+    assert(Text.pipelinePrepareCorpus(spark, sf001).collect().toSeq == rows.toSeq)
+  }
+
   test("ccnet buckets: per-lang thirds are balanced, ordered, and complete") {
     val rows = Text.txCcnetBuckets(spark, sf001).collect()
     val perLang = Tables(spark, sf001, "documents")
