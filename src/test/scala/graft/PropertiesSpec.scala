@@ -188,6 +188,65 @@ class PropertiesSpec extends SparkSpec {
     assert(both.forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("lsh_bands equals the fold on arbitrary float vectors incl. specials") {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // same generator family as the lsh_bucket property: finite range plus
+    // the IEEE specials (±0, extremes, infinities — NaN-producing via
+    // Inf × 0 plane terms is covered by the > 0D SQL semantics both sides
+    // share); lengths below/at/above the 64-dim corpus shape
+    val genF = Gen.oneOf(
+      Gen.chooseNum(-10.0f, 10.0f),
+      Gen.oneOf(0.0f, -0.0f, Float.MaxValue, Float.MinPositiveValue,
+        Float.PositiveInfinity, Float.NegativeInfinity))
+    val genVec = Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, genF))
+    val cases = samples(genVec, 60)
+    val rows = cases.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", ArrayType(FloatType)))))
+    val both = df
+      .withColumn("fast", expr("lsh_bands(v, 8, 3)"))
+      .withColumn("fold", expr(
+        """transform(sequence(0, 2), t ->
+             aggregate(sequence(0, 7), 0L, (b, j) ->
+               b + CASE WHEN aggregate(sequence(0, size(v) - 1), 0D, (acc, d) ->
+                 acc + CAST(v[d] AS DOUBLE) *
+                       CAST((CAST(t * 8 + j AS BIGINT) * 64 + d) * 2654435761L % 1021L - 510L AS DOUBLE)
+                         / 510.0D) > 0D
+               THEN shiftleft(1L, j) ELSE 0L END))"""))
+      .select("fast", "fold").collect()
+    assert(both.length == 60)
+    assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("paragraph chunking reassembles to the original token stream") {
+    // the dd_paragraph / pipeline_prepare_corpus chunk expression must
+    // partition the token stream exactly: concatenating the chunks in
+    // pos order reproduces the document, and chunk sizes sum to size(toks)
+    val genTok = Gen.chooseNum(1, 5).flatMap(n =>
+      Gen.listOfN(n, Gen.alphaNumChar).map(_.mkString))
+    val genArr = Gen.chooseNum(1, 67).flatMap(n => Gen.listOfN(n, genTok))
+    val cases = samples(genArr, 80)
+    val rows = cases.zipWithIndex.map { case (toks, i) => Row(i.toLong, toks) }
+    val df = spark.createDataFrame(rows.asJava,
+      StructType(Seq(StructField("id", LongType),
+        StructField("toks", ArrayType(StringType)))))
+    val out = df.withColumn("chunks", expr(
+        """transform(sequence(0, (size(toks) - 1) div 20),
+          |  i -> concat_ws(' ', slice(toks, i * 20 + 1, 20)))""".stripMargin))
+      .select(col("id"),
+        concat_ws(" ", col("chunks")).as("rebuilt"),
+        expr("aggregate(chunks, 0, (a, c) -> a + size(split(c, ' ')))").as("n"),
+        concat_ws(" ", col("toks")).as("orig"),
+        size(col("toks")).as("sz"))
+      .orderBy("id").collect()
+    assert(out.length == 80)
+    out.foreach { r =>
+      assert(r.getString(1) == r.getString(3), s"id=${r.getLong(0)} rebuilt != orig")
+      assert(r.getInt(2) == r.getInt(4), s"id=${r.getLong(0)} token count drift")
+    }
+  }
+
   test("conformTo always yields exactly the canonical schema") {
     val gen = Gen.someOf(Seq("date", "ret", "factor_name", "extra_col"))
     samples(gen, 20).foreach { cols =>
