@@ -6,11 +6,18 @@ import org.apache.spark.sql.SparkSession
   *
   * Methodology (round 4, per VERDICT r3 item 1): each query executes
   * `SPARK_GRAFT_BENCH_RUNS` times (default 3) and the reported per-query
-  * number is the MIN of its runs; `value` is the total-of-mins. Raw runs are
-  * kept under `"runs"` so the spread (shared-host noise) stays auditable.
-  * A single-run bench on this host has shown 7x spikes on unchanged
-  * single-scan plans (f5_string_normalize 1.9s -> 13.3s in r3); min-of-N
-  * measures the plan, not the neighbor's compile job.
+  * number is the MIN of its SUCCESSFUL runs (a failed run records near-zero
+  * elapsed; letting it win the min would resurrect round 1's "failed query
+  * scores ~0 s" bug under a different guise — an all-runs-failed query
+  * reports its max elapsed instead, and the errors map stays the loud
+  * signal). `value` is the total-of-mins; `value_first_runs` sums run 1 of
+  * every query — for the scoped-cache queries (pipeline_*, dd_embedding_*,
+  * dd_semdedup_banded) run 1 includes cache population where later runs
+  * read the cache, so both steady-state and cold-ish totals stay on record.
+  * Raw runs are kept under `"runs"` so the spread (shared-host noise) stays
+  * auditable. A single-run bench on this host has shown 7x spikes on
+  * unchanged single-scan plans (f5_string_normalize 1.9s -> 13.3s in r3);
+  * min-of-N measures the plan, not the neighbor's compile job.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -36,16 +43,22 @@ object Bench {
         // unlike count(), which lets Catalyst prune sorts and projections.
         // A failed query is recorded loudly instead of silently scoring ~0 s
         // (round 1 flagged the swallowed Throwable).
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-            errors(name) = msg
-            System.err.println(s"BENCH ERROR $name -> $msg")
-        }
-        (System.nanoTime() - t0) / 1e9
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch {
+            case e: Throwable =>
+              val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
+              errors(name) = msg
+              System.err.println(s"BENCH ERROR $name -> $msg")
+              false
+          }
+        ((System.nanoTime() - t0) / 1e9, ok)
       }
-      (name, runs.min, runs)
+      // min over SUCCESSFUL runs only: a fast failure must not undercut the
+      // real cost. All-failed -> max elapsed (never a flattering number).
+      val good = runs.filter(_._2).map(_._1)
+      val m = if (good.nonEmpty) good.min else runs.map(_._1).max
+      (name, m, runs.map(_._1))
     }
     val qs = results.map { case (k, m, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
@@ -56,7 +69,8 @@ object Bench {
       Verify.q(k) + ":" + Verify.q(v) // full control-char-safe JSON escape
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns","queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}""")
+    val firstRuns = if (results.nonEmpty) results.map(_._3.head).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns","value_first_runs":$firstRuns,"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
