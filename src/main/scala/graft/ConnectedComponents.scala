@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * is unbounded on chain-shaped clusters; this is the shape that scales.
   *
   * Reference behavioral anchor: the reference keeps "first occurrence
-  * wins" dedup semantics (`wrds_ingestion.py:700-707` drop_duplicates
+  * wins" dedup semantics (`wrds_ingestion.py:626` drop_duplicates
   * keep=first); this operator extends the same rule across transitive
   * near-dup clusters (component min = first occurrence).
   */

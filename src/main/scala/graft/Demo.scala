@@ -27,6 +27,7 @@ object Demo {
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .appName("graft-demo")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

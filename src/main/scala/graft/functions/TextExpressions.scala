@@ -398,9 +398,11 @@ case class LshBucket(child: Expression, nbits: Int) extends UnaryExpression {
   * member recall vs exact all-pairs on planted clusters, vs 0.938
   * single-table — below the production bar, which is why banding exists.
   *
-  * Plane family: coef(t, j, d) = (((t·nbits + j)·64 + d)·2654435761 mod
-  * 1021 − 510) / 510 — integer-derived (bit-identical in DuckDB, same
-  * left-to-right accumulation as [[LshBucket]]) and FULL-PERIOD in the
+  * Plane family: coef(t, j, d) = (((t·nbits + j)·stride + d)·2654435761
+  * mod 1021 − 510) / 510 with stride = max(64, dims) derived from the
+  * vector length at eval time — integer-derived (bit-identical in DuckDB
+  * as `GREATEST(64, len(v))`, same left-to-right accumulation as
+  * [[LshBucket]]) and FULL-PERIOD in the
   * plane index, unlike [[LshBucket]]'s mod-19 family whose planes repeat
   * at j ≥ 19 (fine for one ≤16-bit table, correlated and useless beyond
   * it — the reason multi-table banding gets its own family rather than
@@ -427,6 +429,10 @@ case class LshBands(child: Expression, nbits: Int, ntables: Int)
   override protected def nullSafeEval(a: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
     val n = v.numElements()
+    // stride >= dims keeps every (plane, dim) index distinct: with a fixed
+    // 64 stride, vectors wider than 64 dims would reuse plane p's tail
+    // coefficients as plane p+1's head, silently correlating band bits.
+    val stride = math.max(64, n).toLong
     val out = new Array[Long](ntables)
     var t = 0
     while (t < ntables) {
@@ -438,7 +444,7 @@ case class LshBands(child: Expression, nbits: Int, ntables: Int)
         while (d < n) {
           if (v.isNullAt(d)) return null
           acc += v.getFloat(d).toDouble *
-            (((t * nbits + j).toLong * 64 + d) * 2654435761L % 1021L - 510L)
+            (((t * nbits + j).toLong * stride + d) * 2654435761L % 1021L - 510L)
               .toDouble / 510.0
           d += 1
         }
@@ -461,8 +467,10 @@ case class LshBands(child: Expression, nbits: Int, ntables: Int)
       val acc = ctx.freshName("acc")
       val band = ctx.freshName("band")
       val out = ctx.freshName("out")
+      val stride = ctx.freshName("stride")
       s"""
          |int $n = $a.numElements();
+         |long $stride = $n > 64 ? (long) $n : 64L;
          |long[] $out = new long[$ntables];
          |for (int $t = 0; $t < $ntables && !${ev.isNull}; $t++) {
          |  long $band = 0L;
@@ -471,7 +479,7 @@ case class LshBands(child: Expression, nbits: Int, ntables: Int)
          |    for (int $d = 0; $d < $n; $d++) {
          |      if ($a.isNullAt($d)) { ${ev.isNull} = true; break; }
          |      $acc += (double) $a.getFloat($d) *
-         |        (double) ((((long) ($t * $nbits + $j)) * 64L + $d) * 2654435761L % 1021L - 510L)
+         |        (double) ((((long) ($t * $nbits + $j)) * $stride + $d) * 2654435761L % 1021L - 510L)
          |          / 510.0;
          |    }
          |    if ($acc > 0.0 || Double.isNaN($acc)) $band |= (1L << $j);

@@ -93,6 +93,57 @@ object Core {
       .orderBy("l_returnflag", "l_linestatus")
   }
 
+  // One bucketed build per (table, sfDir) per catalog: Verify/tests reuse
+  // the table across queries; Bench's fresh-session runs rebuild once and
+  // then measure the query alone (min-of-N drops the build run).
+  private val bucketedFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Materialize `src` as an 8-bucket table on `key` if this session
+    * doesn't have it yet (idempotent per sfDir — a dir switch rebuilds).
+    */
+  private def ensureBucketed(spark: SparkSession, dir: String, src: String,
+      key: String, table: String): Unit = synchronized {
+    if (!(bucketedFor.get(table).contains(dir) &&
+        spark.catalog.tableExists(table))) {
+      graft.Layout.saveBucketed(Tables(spark, dir, src), table, 8, Seq(key))
+      bucketedFor(table) = dir
+    }
+  }
+
+  /** [[q3TopOrders]]'s fact-fact join re-run over CO-BUCKETED tables —
+    * the layout lever that removes THE dominant cost of a 100 TB
+    * fact-fact join: both sides are 8-bucket tables on the order key
+    * ([[graft.Layout.saveBucketed]]), so the join consumes the buckets'
+    * hash partitioning directly and the aggregate (grouping keys ⊇ the
+    * bucket key) reuses it again — ZERO shuffle exchanges in the whole
+    * plan, where the flat twin shuffles both join inputs and the partial
+    * aggregate. PlanSpec pins the no-Exchange shape; Bench records the
+    * flat-vs-bucketed delta at sf0.1 (customer is deliberately absent:
+    * it joins on c_custkey, which would break bucket alignment — a real
+    * deployment buckets each join chain on its own key).
+    *
+    * Same arithmetic and determinism rules as every query ([[Exact]],
+    * unique-tiebreak ORDER BY); the oracle runs the identical query over
+    * the flat parquet — bucketing must change the layout, never the
+    * answer.
+    */
+  def q3Bucketed(spark: SparkSession, dir: String): DataFrame = {
+    ensureBucketed(spark, dir, "orders", "o_orderkey", "graft_orders_bq")
+    ensureBucketed(spark, dir, "lineitem", "l_orderkey", "graft_lineitem_bq")
+    val ord = spark.table("graft_orders_bq")
+      .filter(col("o_orderdate") < lit("1999-03-15"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = spark.table("graft_lineitem_bq")
+      .filter(col("l_shipdate") > lit("1995-03-15"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+  }
+
   /** TPC-H Q3-shaped top-k: selective dimension filter joined into the
     * fact tables, aggregate, global top-10. No explicit broadcasts:
     * customer and both fact sides grow with scale, so the plan declares

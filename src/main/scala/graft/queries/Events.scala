@@ -108,6 +108,31 @@ object Events {
       .orderBy("cohort_week", "active_week")
   }
 
+  /** Salted two-phase aggregation over the events hot key, through
+    * [[graft.Skew.saltedSum]] — the mitigation a 100 TB deployment reaches
+    * for when one key owns a disproportionate share of a shuffle and AQE
+    * can't split an *aggregation* the way it splits a skewed join. The
+    * hot key's rows spread over 16 synthetic sub-keys in phase 1, so no
+    * single reducer owns the key; phase 2 merges 16 partials.
+    *
+    * The sum is exact integer units ([[graft.Exact.units]], value carries
+    * 2 decimals), so the salted two-phase result is bit-identical to the
+    * plain one-phase GROUP BY the DuckDB oracle runs — the oracle gate
+    * itself proves salted ≡ plain, and PlanSpec pins the two-exchange
+    * shape so a regression that silently collapses the salt phase (or
+    * folds the whole thing to one shuffle) fails loudly.
+    *
+    * Reference behavioral anchor: plain per-key aggregation semantics
+    * (`wrds_ingestion.py:700-707` consensus summary GROUP BY); salting
+    * changes the carrier, never the answer.
+    */
+  def evSkewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    graft.Skew.saltedSum(events(spark, dir), Seq("event_type"),
+        Exact.units(col("value"), 2), factor = 16)
+      .select(col("event_type"),
+        (col("sum").cast("double") / lit(100.0)).as("sum_value"))
+      .orderBy("event_type")
+
   /** Top-N active users per event type: window rank over exact per-user
     * aggregates (rank ties broken by user_id for determinism).
     */

@@ -28,7 +28,8 @@ object StreamingOps {
 
   /** File-source stream over an events parquet directory. */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // requires spark.sql.legacy.parquet.nanosAsLong=true at session build
+    // (see Tables.apply) — the schema types ts as LongType over NANOS
     spark.readStream.schema(eventsRawSchema)
       .parquet(dir)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))

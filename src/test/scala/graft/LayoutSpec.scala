@@ -16,8 +16,16 @@ class LayoutSpec extends SparkSpec {
     val q = Layout.readDateRange(spark, dir, "o_orderdate",
       "1996-03-01", "1996-05-31")
       .select("o_orderkey", "o_totalprice")
-    // the physical proof: the scan carries non-empty PartitionFilters
-    val plan = q.queryExecution.executedPlan.toString
+    // the physical proof: the scan carries non-empty PartitionFilters.
+    // FileScan metadata strings truncate at 100 chars by default, and how
+    // far ">= 199603" sits into the PartitionFilters entry depends on the
+    // width of the session-global expression IDs — widen the cap so the
+    // assertion doesn't depend on how many plans earlier suites built.
+    val prev = spark.conf.get("spark.sql.maxMetadataStringLength")
+    val plan = try {
+      spark.conf.set("spark.sql.maxMetadataStringLength", "2000")
+      q.queryExecution.executedPlan.toString
+    } finally spark.conf.set("spark.sql.maxMetadataStringLength", prev)
     assert(plan.contains("PartitionFilters: [isnotnull(_p_year") &&
       plan.contains("+ _p_month") && plan.contains(">= 199603"),
       s"no partition filters in:\n$plan")

@@ -106,6 +106,47 @@ class PlanSpec extends SparkSpec {
       s"window must partition by (lang, shard):\n$plan")
   }
 
+  test("bucketed fact-fact join plans zero shuffle exchanges") {
+    // q3_bucketed's reason to exist: both join inputs are 8-bucket tables
+    // on the order key, so the join consumes the buckets' partitioning and
+    // the aggregate (grouping keys ⊇ bucket key) reuses it — no Exchange
+    // anywhere. The flat twin shuffles; at 100 TB that shuffle IS the job.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val df = SparkEntry.queries("q3_bucketed")(spark, dir)
+    df.collect() // let AQE finalize the plan it actually ran
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int = {
+      val self = p match { case _: ShuffleExchangeExec => 1; case _ => 0 }
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => shuffles(a.executedPlan)
+        case o => o.children.map(shuffles).sum
+      }
+      self + below
+    }
+    val n = shuffles(df.queryExecution.executedPlan)
+    assert(n == 0, s"bucketed join still shuffles ($n exchanges):\n" +
+      df.queryExecution.executedPlan.toString)
+  }
+
+  test("salted aggregation keeps its two-phase shape") {
+    // skew_salted_agg's whole point is TWO aggregation rounds — phase 1
+    // keyed (event_type, __salt) fanning the hot key over 16 reducers,
+    // phase 2 keyed event_type merging the partials. If an optimizer
+    // change ever collapses them (possible only if it decided the salt is
+    // deterministic — it isn't, and this pins that), the query silently
+    // degrades to the one-reducer-per-hot-key plan salting exists to
+    // avoid. The oracle gate can't see that: answers are identical.
+    val plan = SparkEntry.queries("skew_salted_agg")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("""hashpartitioning\(event_type#\d+, __salt#\d+L""".r
+      .findFirstIn(plan).isDefined,
+      s"phase-1 exchange must partition by (event_type, __salt):\n$plan")
+    val aggRounds = """keys=\[event_type#\d+\]""".r.findAllIn(plan).size
+    assert(aggRounds >= 2, // partial + final of the merge phase
+      s"phase-2 merge aggregate missing:\n$plan")
+    assert(plan.contains("partial_sum"), "phase 1 lost its map-side combine")
+  }
+
   test("handler plans push asset and date predicates into the scan") {
     // fixture via the ingest synthetic source is overkill here; the
     // sf0.001 lineitem scan through an equivalent read-filter-project

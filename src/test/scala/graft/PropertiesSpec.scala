@@ -198,7 +198,9 @@ class PropertiesSpec extends SparkSpec {
       Gen.chooseNum(-10.0f, 10.0f),
       Gen.oneOf(0.0f, -0.0f, Float.MaxValue, Float.MinPositiveValue,
         Float.PositiveInfinity, Float.NegativeInfinity))
-    val genVec = Gen.chooseNum(1, 80).flatMap(n => Gen.listOfN(n, genF))
+    // lengths straddle the 64-dim stride floor: above it the plane stride
+    // must widen to size(v) or adjacent planes would share coefficients
+    val genVec = Gen.chooseNum(1, 160).flatMap(n => Gen.listOfN(n, genF))
     val cases = samples(genVec, 60)
     val rows = cases.zipWithIndex.map { case (v, i) => Row(i.toLong, v) }
     val df = spark.createDataFrame(rows.asJava,
@@ -211,7 +213,7 @@ class PropertiesSpec extends SparkSpec {
              aggregate(sequence(0, 7), 0L, (b, j) ->
                b + CASE WHEN aggregate(sequence(0, size(v) - 1), 0D, (acc, d) ->
                  acc + CAST(v[d] AS DOUBLE) *
-                       CAST((CAST(t * 8 + j AS BIGINT) * 64 + d) * 2654435761L % 1021L - 510L AS DOUBLE)
+                       CAST((CAST(t * 8 + j AS BIGINT) * greatest(64L, CAST(size(v) AS BIGINT)) + d) * 2654435761L % 1021L - 510L AS DOUBLE)
                          / 510.0D) > 0D
                THEN shiftleft(1L, j) ELSE 0L END))"""))
       .select("fast", "fold").collect()

@@ -98,6 +98,64 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("k-means: inertia is non-increasing and assignments are stable at convergence") {
+    // Lloyd's invariant J(a_r, c_r) >= J(a_{r+1}, c_{r+1}): re-assignment
+    // can't raise distance to the centroids it selects against, and the
+    // mean minimizes within-cell squared L2. Iterate the exposed
+    // step API exactly as kmeansTrain does until the discrete assignment
+    // reaches a fixed point, tracking inertia the whole way.
+    def inertiaOf(state: org.apache.spark.sql.DataFrame): Double =
+      Similarity.simIvfStats(state).agg(sum("inertia")).head().getDouble(0)
+    var cents = Similarity.kmeansSeeds(spark, dir, 8).localCheckpoint(false)
+    var prev: Set[(Long, Long)] = null
+    var inertias = Vector.empty[Double]
+    var stableRounds = 0
+    var r = 0
+    while (stableRounds < 2 && r < 30) {
+      val assigned = Similarity.kmeansAssign(spark, dir, cents)
+      val cells = assigned.select("vec_id", "cid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+      val state = Similarity.kmeansUpdate(assigned).localCheckpoint(false)
+      inertias :+= inertiaOf(state)
+      if (prev != null && cells == prev) stableRounds += 1 else stableRounds = 0
+      prev = cells
+      cents = state.select("cid", "centroid")
+      r += 1
+    }
+    assert(stableRounds >= 2, s"k-means did not converge within $r rounds")
+    // non-increasing within 0 tolerance: the invariant is exact in real
+    // arithmetic; fp noise at convergence stays below 1e-9 relative
+    inertias.sliding(2).foreach { case Vector(a, b) =>
+      assert(b <= a * (1 + 1e-9), s"inertia rose: $a -> $b (history $inertias)")
+    }
+  }
+
+  test("k-means scale form (per-dim avg) produces the oracle form's assignments") {
+    // orderExact=true buffers each cell to fold it in vec_id order (the
+    // bit-exact oracle form); orderExact=false is the 100 TB shape —
+    // map-side-combinable per-(cid, dim) avg. Their means differ only in
+    // float summation order (~1e-12 relative), so the DISCRETE output —
+    // which vector lands in which cell on the next assignment — must agree.
+    val exact = Similarity.kmeansTrain(spark, dir, 8, 3, orderExact = true)
+    val scale = Similarity.kmeansTrain(spark, dir, 8, 3, orderExact = false)
+    def nextCells(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(spark, dir, cents.select("cid", "centroid"))
+        .select("vec_id", "cid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(nextCells(exact) == nextCells(scale))
+    // and the centroids themselves agree to fp-reorder tolerance
+    val e = exact.select("cid", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val s = scale.select("cid", "centroid").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(e.keySet == s.keySet)
+    e.foreach { case (cid, ce) =>
+      ce.zip(s(cid)).foreach { case (x, y) =>
+        assert(math.abs(x - y) <= 1e-9 * (1 + math.abs(x)), s"cid $cid: $x vs $y")
+      }
+    }
+  }
+
   test("int8 scalar quantization preserves the exact top-k ranking closely") {
     val exact = Similarity.simCosineTopk(spark, dir).collect()
       .groupBy(_.getAs[Long]("qid"))

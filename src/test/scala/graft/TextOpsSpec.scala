@@ -195,7 +195,9 @@ class TextOpsSpec extends SparkSpec {
     // The naive enumerated formulation (round 1's shape, within-lang):
     // quadratic in cluster sizes, but fine as a test oracle at sf0.01.
     val hashed = Tables(spark, sf001, "documents")
-      .withColumn("hs", expr("transform(array_distinct(split(text, ' ')), t -> xxhash64(t))"))
+      .withColumn("hd", expr(
+        "transform(array_distinct(split(text, ' ')), t -> md5(CAST(t AS BINARY)))"))
+      .withColumn("hs", expr(s"transform(hd, h -> ${Text.md5SignedHash64Expr("h")})"))
       .withColumn("simhash", expr("simhash64(hs)"))
       .select(col("doc_id"), col("lang"), col("simhash"),
         expr("shiftright(simhash, 48)").as("block"))
@@ -515,6 +517,78 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(r => r.getAs[Long]("n_docs_in") - r.getAs[Long]("n_docs_out")).sum > 0)
     // deterministic under re-execution (collect_list order is pinned)
     assert(Text.pipelinePrepareCorpus(spark, sf001).collect().toSeq == rows.toSeq)
+  }
+
+  test("hashed-shingle decontamination: same answer, smaller shuffle rows") {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // the uncompressed row bytes every shuffle in the query carried
+    // ("dataSize" — deterministic, unlike compressed write bytes)
+    def shuffledRowBytes(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      // AQE nests executed stages (ShuffleQueryStageExec) recursively;
+      // walk the tree through every adaptive/stage boundary
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+        val self = p match {
+          case s: ShuffleQueryStageExec => s.shuffle.metrics("dataSize").value
+          case e: ShuffleExchangeExec => e.metrics("dataSize").value
+          case _ => 0L
+        }
+        val below = p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: ShuffleQueryStageExec => walk(s.plan)
+          case other => other.children.map(walk).sum
+        }
+        self + below
+      }
+      walk(df.queryExecution.executedPlan)
+    }
+    val stringKeyed = Text.txDecontaminate(spark, sf001)
+    val hashKeyed = Text.txDecontaminateHashed(spark, sf001)
+    // identical rollup — the hashed key changes the carrier, not the set
+    assert(stringKeyed.collect().toSeq ==
+      hashKeyed.orderBy("lang").collect().toSeq)
+    val sBytes = shuffledRowBytes(Text.txDecontaminate(spark, sf001))
+    val hBytes = shuffledRowBytes(Text.txDecontaminateHashed(spark, sf001))
+    // the shingle distinct + semi-join dominate shuffle volume, so 8-byte
+    // keys vs ~46-byte mean grams must shrink the total by at least 2x
+    assert(hBytes * 2 <= sBytes,
+      s"hashed-key shuffle not smaller: $hBytes vs $sBytes row bytes")
+    info(s"shuffled row bytes: string-keyed $sBytes, hashed $hBytes")
+  }
+
+  test("materialized corpus: shard layout, contract schema, twin sinks agree") {
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-mat-spec").toString
+    val res = Text.pipelineMaterialize(spark, sf001, baseDir = Some(base))
+      .collect()
+    assert(res.nonEmpty)
+    // the oracle also proves this, but pin it locally: both sink legs
+    // (JSONL and bucketed parquet) round-trip to identical stats
+    res.foreach { r =>
+      Seq("n_docs", "sum_tokens", "sum_chars", "min_doc_id", "max_doc_id",
+        "text_xor").foreach { c =>
+        assert(r.getAs[Long](c) == r.getAs[Long](c + "_pq"),
+          s"sink legs diverged on $c for lang ${r.getAs[String]("lang")}")
+      }
+    }
+    // layout contract: exactly the requested 4 JSONL shards on disk
+    val shards = new java.io.File(s"$base/jsonl").listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".json"))
+    assert(shards.length == 4, s"expected 4 shards, got ${shards.length}")
+    // schema contract: the quarantining reader hands back exactly the
+    // canonical documents schema (conformTo re-asserts names AND types)
+    val (clean, corrupt) = graft.sources.CorpusSource.cleanAndCorrupt(
+      graft.sources.CorpusSource.readJsonl(spark, s"$base/jsonl"))
+    assert(clean.schema == graft.sources.CorpusSource.documentsSchema)
+    assert(corrupt.count() == 0)
+    // bucket contract: the parquet sink is an 8-bucket table on doc_id,
+    // so downstream per-doc joins between same-bucketed tables skip the
+    // exchange (the join-level proof is LayoutSpec's)
+    val desc = spark.sql("DESCRIBE TABLE EXTENDED prepared_corpus_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.get("Num Buckets").contains("8"), desc.toString)
+    assert(desc.get("Bucket Columns").exists(_.contains("doc_id")))
   }
 
   test("ccnet buckets: per-lang thirds are balanced, ordered, and complete") {
