@@ -271,20 +271,25 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
 
   /** Lloyd's assignment step: every corpus vector to its nearest centroid
-    * by squared L2, ties broken by lowest cid. One broadcast of the k
-    * centroids + one narrow corpus pass — the inverted-lists build; no
-    * shuffle carries a vector.
+    * by squared L2, ties broken by lowest cid — `min(struct(dist, cid))`
+    * orders by dist first then cid, exactly the argmin rule, and unlike a
+    * row_number window it partial-aggregates: the k-per-vector candidate
+    * rows collapse map-side, so the shuffle carries one 24-byte
+    * (vec_id, dist, cid) row per vector — never an embedding or a
+    * centroid. The join-back that re-attaches the vector for the update
+    * step shuffles the corpus once; at 100 TB the embeddings table is
+    * bucketed by vec_id and that exchange disappears too
+    * ([[graft.Layout.saveBucketed]]).
     */
   def kmeansAssign(spark: SparkSession, dir: String,
       cents: DataFrame): DataFrame = {
     val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist").asc, col("cid").asc)
-    emb.join(broadcast(cents.select("cid", "centroid")))
+    val best = emb.join(broadcast(cents.select("cid", "centroid")))
       .withColumn("dist", expr(l2Expr("embedding", "centroid")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select("vec_id", "embedding", "cid", "dist")
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("b.cid").as("cid"), col("b.dist").as("dist"))
+    emb.join(best, "vec_id").select("vec_id", "embedding", "cid", "dist")
   }
 
   /** Lloyd's update step over an assignment: per-cell counts, id range,
