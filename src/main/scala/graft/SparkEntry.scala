@@ -83,6 +83,8 @@ object SparkEntry {
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
     "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
+    "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
+    "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
@@ -946,6 +948,47 @@ object SparkEntry {
         |  min(h.doc_id) AS first_contaminated
         |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Per-doc overlap fractions over the same 60-bit hashed shingle keys;
+    // the fraction is one IEEE division of exact longs.
+    "tx_overlap_fraction" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+        |  FROM (
+        |    SELECT doc_id, lang, source,
+        |      unnest(list_transform(range(1, len(toks) - 6), i ->
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+        |        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7])) AS g
+        |    FROM d WHERE len(toks) >= 8)),
+        |bench AS (SELECT DISTINCT gk FROM sh WHERE source = 'src0'),
+        |per_doc AS (
+        |  SELECT doc_id, lang, count(*) AS n_grams FROM sh
+        |  WHERE source <> 'src0' GROUP BY 1, 2),
+        |m AS (
+        |  SELECT doc_id, count(*) AS n_matched FROM sh
+        |  WHERE source <> 'src0' AND gk IN (SELECT gk FROM bench)
+        |  GROUP BY 1)
+        |SELECT p.doc_id, p.lang, p.n_grams, m.n_matched,
+        |  CAST(m.n_matched AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS frac
+        |FROM per_doc p JOIN m ON p.doc_id = m.doc_id
+        |ORDER BY p.doc_id""".stripMargin,
+    // Seeded permutation: 60-bit md5(seed:doc_id) key, shard = key mod 8,
+    // within-shard order (key, doc_id); heads via ordered list prefix.
+    "tx_shuffle_shard" ->
+      """WITH k AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents),
+        |s AS (SELECT *, hk % 8 AS shard FROM k)
+        |SELECT shard, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  min(hk) AS min_key, max(hk) AS max_key,
+        |  (list(doc_id ORDER BY hk, doc_id))[1] AS head1,
+        |  (list(doc_id ORDER BY hk, doc_id))[2] AS head2,
+        |  (list(doc_id ORDER BY hk, doc_id))[3] AS head3
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     // The dd_ngram_jaccard MinHashBands replication made BIPARTITE:
     // benchmark (src0) bands join train bands, exact Jaccard on the
     // candidates, then the tx_decontaminate-style per-lang rollup.

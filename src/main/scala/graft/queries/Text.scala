@@ -809,6 +809,85 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Deterministic corpus shuffle + sharding — the global-permutation
+    * step every pretraining run needs before sequence packing: training
+    * order must be a reproducible pseudo-random permutation of the
+    * corpus, not storage order. Permutation key = 60-bit md5 of
+    * (seed, doc_id) ([[txDecontaminateHashed]]'s key form — both engines
+    * compute it); shard = key mod `nShards`; within-shard order =
+    * (key, doc_id). Nothing global anywhere: the key is a narrow
+    * projection, sharding is a hash partition, and within-shard order is
+    * what the shard writer sorts locally — the TeraSort shape, not a
+    * single-partition row_number (the round-1 anti-pattern).
+    *
+    * Output: per-shard stats + the first three doc_ids in shuffle order
+    * (a bounded CollectTopK buffer, never a whole-shard sort), so the
+    * oracle pins the permutation itself, the shard assignment, and the
+    * balance — any drift in the key, the mod, or a tie-break moves a
+    * head id or a count.
+    *
+    * Reference behavioral anchor: deterministic ordering contract of
+    * `interfaces.py:96-101` (sorted output), extended to the
+    * seeded-permutation semantics an LLM data job needs.
+    */
+  def txShuffleShard(spark: SparkSession, dir: String, nShards: Int = 8,
+      seed: String = "graft"): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val keyed = docs(spark, dir)
+      .withColumn("hk", expr(
+        s"CAST(conv(substring(md5(CAST(concat('$seed:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("shard", pmod(col("hk"), lit(nShards.toLong)))
+      .select(col("shard"), col("hk"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val head3 = ColumnBridge.collectTopK(
+      struct(col("hk"), col("doc_id")), 3, reverse = true)
+    keyed.groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("sum_tokens"),
+        min("hk").as("min_key"), max("hk").as("max_key"), head3.as("top"))
+      .select(col("shard"), col("n_docs"), col("sum_tokens"),
+        col("min_key"), col("max_key"),
+        expr("try_element_at(transform(top, x -> x.doc_id), 1)").as("head1"),
+        expr("try_element_at(transform(top, x -> x.doc_id), 2)").as("head2"),
+        expr("try_element_at(transform(top, x -> x.doc_id), 3)").as("head3"))
+      .orderBy("shard")
+  }
+
+  /** Per-document contamination STRENGTH — the report form of
+    * [[txDecontaminateHashed]]: for every flagged training document, the
+    * fraction of its distinct 8-gram shingles that appear in the
+    * benchmark source. The binary drop-list treats a one-shingle brush
+    * the same as a verbatim copy; the fraction is what a data curator
+    * actually reviews (drop ≥ x, keep < y, audit between). Same 60-bit
+    * md5-derived keys, so every shuffle carries 8-byte longs and the
+    * count is bit-replicable in DuckDB; the fraction is one IEEE
+    * division of exact longs.
+    */
+  def txOverlapFraction(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
+    val sh = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(expr(shingleExpr(width))).as("g"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .distinct()
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select("gk").distinct()
+    val perDoc = sh.filter(col("source") =!= benchmarkSource)
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_grams"))
+    val matched = sh.filter(col("source") =!= benchmarkSource)
+      .join(bench, "gk")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"))
+    perDoc.join(matched, "doc_id")
+      .withColumn("frac",
+        col("n_matched").cast("double") / col("n_grams").cast("double"))
+      .select("doc_id", "lang", "n_grams", "n_matched", "frac")
+      .orderBy("doc_id")
+  }
+
   /** Benchmark decontamination: drop-list of training docs sharing any
     * 8-token shingle with an evaluation suite (here: the docs of one
     * `source`). 8–13-gram overlap is the published standard (GPT-3

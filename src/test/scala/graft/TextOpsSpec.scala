@@ -557,6 +557,44 @@ class TextOpsSpec extends SparkSpec {
     info(s"shuffled row bytes: string-keyed $sBytes, hashed $hBytes")
   }
 
+  test("shuffle-shard partitions the whole corpus, balanced, seed-stable") {
+    val rows = Text.txShuffleShard(spark, sf001).collect()
+    val total = Tables(spark, sf001, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total,
+      "shards must partition the corpus exactly")
+    // hash sharding: every shard populated, none over 2x the fair share
+    val fair = total.toDouble / rows.length
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_docs")
+      assert(n > 0 && n <= 2 * fair, s"shard imbalance: $n vs fair $fair")
+    }
+    // the permutation is a pure function of (seed, doc_id): re-running
+    // returns identical heads; a different seed moves them
+    assert(Text.txShuffleShard(spark, sf001).collect().toSeq == rows.toSeq)
+    val other = Text.txShuffleShard(spark, sf001, seed = "other").collect()
+    assert(other.map(_.getAs[Long]("head1")).toSeq !=
+      rows.map(_.getAs[Long]("head1")).toSeq,
+      "different seed must produce a different permutation")
+  }
+
+  test("overlap fractions cover exactly the binary drop-list, in (0, 1]") {
+    val frac = Text.txOverlapFraction(spark, sf001).collect()
+    val binary = Text.txDecontaminate(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_contaminated"))
+      .toMap
+    val perLang = frac.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.length.toLong).toMap
+    binary.foreach { case (lang, n) =>
+      assert(perLang.getOrElse(lang, 0L) == n,
+        s"$lang: fraction rows ${perLang.getOrElse(lang, 0L)} vs binary $n")
+    }
+    frac.foreach { r =>
+      val f = r.getAs[Double]("frac")
+      assert(f > 0.0 && f <= 1.0, s"fraction out of range: $f")
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_grams"))
+    }
+  }
+
   test("materialized corpus: shard layout, contract schema, twin sinks agree") {
     val base = java.nio.file.Files
       .createTempDirectory("graft-mat-spec").toString
