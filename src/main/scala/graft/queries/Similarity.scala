@@ -86,7 +86,7 @@ object Similarity {
     * re-invocation evict the entry the others still rely on
     * (round-3 review).
     */
-  private def bucketedEmbeddings(spark: SparkSession, dir: String,
+  private[graft] def bucketedEmbeddings(spark: SparkSession, dir: String,
       nbits: Int): DataFrame =
     graft.Caches.scoped(s"embeddings.bucketed.$nbits",
       Tables(spark, dir, "embeddings")
@@ -98,7 +98,7 @@ object Similarity {
     * [[ddEmbeddingClusters]]: both must see the SAME candidate set or
     * their oracles diverge, so the blocking rule exists once.
     */
-  private def cosinePairs(bucketed: DataFrame): DataFrame = {
+  private[graft] def cosinePairs(bucketed: DataFrame): DataFrame = {
     val a = bucketed.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("va"), col("norm").as("na"), col("label").as("label_a"))
     val b = bucketed.select(col("bucket").as("bucket_b"), col("vec_id").as("id_b"),
