@@ -70,6 +70,7 @@ object SparkEntry {
     "ev_json_extract" -> (Events.evJsonExtract _),
     "ev_top_users" -> (Events.evTopUsers _),
     "skew_salted_agg" -> (Events.evSkewSaltedAgg _),
+    "ev_funnel" -> (Events.evFunnel _),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
@@ -490,6 +491,33 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY event_type ORDER BY count(*) DESC, user_id ASC) AS rnk
         |  FROM events GROUP BY 1, 2)
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
+    // Ordered funnel: each stage's first event at-or-after the user's
+    // previous-stage first event; conversion = one IEEE division of longs.
+    "ev_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS stage_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |c AS (
+        |  SELECT e.user_id, min(e.ts) AS stage_ts FROM events e
+        |  JOIN v ON e.user_id = v.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= v.stage_ts GROUP BY 1),
+        |p AS (
+        |  SELECT e.user_id, min(e.ts) AS stage_ts FROM events e
+        |  JOIN c ON e.user_id = c.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= c.stage_ts GROUP BY 1),
+        |staged AS (
+        |  SELECT 1 AS stage_idx, 'view' AS stage, count(*) AS n_users,
+        |    min(user_id) AS first_user_id FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click_after_view', count(*), min(user_id) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase_after_click', count(*), min(user_id) FROM p)
+        |SELECT stage_idx, stage, n_users,
+        |  CAST(n_users AS DOUBLE) /
+        |    CAST(max(CASE WHEN stage_idx = 1 THEN n_users END) OVER () AS DOUBLE)
+        |    AS conversion,
+        |  first_user_id
+        |FROM staged ORDER BY stage_idx""".stripMargin,
     // The salted two-phase aggregate vs DuckDB's PLAIN one-phase GROUP BY:
     // the gate itself is the salted ≡ plain proof (integer units make the
     // sum order-independent, so the 16-way fan-out can't drift a bit).

@@ -108,6 +108,52 @@ object Events {
       .orderBy("cohort_week", "active_week")
   }
 
+  /** Ordered funnel conversion view → click → purchase: a user converts a
+    * stage only with an event at-or-after their FIRST event of the
+    * previous stage (inclusive `>=`, identical in both engines; the
+    * reference's interval-containment joins use the same inclusive-bound
+    * convention, `wrds_ingestion.py:757-766`). Three narrow passes — each
+    * stage is a partial-aggregated min per user joined back for the next
+    * gate, the [[graft.queries.Text.ddParagraph]] keep-first shape rather
+    * than one user-partitioned window buffering whole event histories; at
+    * 100 TB each pass shuffles one (user_id, ts) row per user.
+    *
+    * Output: one row per funnel stage with its converted-user count, the
+    * conversion rate vs stage 1 (one IEEE division of exact longs), and
+    * the earliest-converting user (min user_id tiebreak via min(struct)).
+    */
+  def evFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select("user_id", "event_type", "ts")
+    def firstAtOrAfter(stage: String, gate: DataFrame): DataFrame =
+      ev.filter(col("event_type") === stage)
+        .join(gate, "user_id")
+        .filter(col("ts") >= col("gate_ts"))
+        .groupBy("user_id")
+        .agg(min(col("ts")).as("stage_ts"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("stage_ts"))
+    val c = firstAtOrAfter("click", v.select(col("user_id"), col("stage_ts").as("gate_ts")))
+    val p = firstAtOrAfter("purchase", c.select(col("user_id"), col("stage_ts").as("gate_ts")))
+    def row(stage: String, idx: Int, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_users"),
+          min(col("user_id")).as("first_user_id"))
+        .select(lit(idx).as("stage_idx"), lit(stage).as("stage"),
+          col("n_users"), col("first_user_id"))
+    val staged = row("view", 1, v)
+      .unionByName(row("click_after_view", 2, c))
+      .unionByName(row("purchase_after_click", 3, p))
+    // stage-1 total attached via an unpartitioned window over the 3-row
+    // aggregate (the project rule for corpus totals — no driver action,
+    // no constant-key join for Catalyst to fold into a BNLJ)
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    staged
+      .withColumn("conversion", col("n_users").cast("double") /
+        max(when(col("stage_idx") === 1, col("n_users"))).over(w).cast("double"))
+      .select("stage_idx", "stage", "n_users", "conversion", "first_user_id")
+      .orderBy("stage_idx")
+  }
+
   /** Salted two-phase aggregation over the events hot key, through
     * [[graft.Skew.saltedSum]] — the mitigation a 100 TB deployment reaches
     * for when one key owns a disproportionate share of a shuffle and AQE

@@ -60,6 +60,27 @@ class AggregatesSpec extends SparkSpec {
     assert(salted.toSeq == plain.toSeq)
   }
 
+  test("funnel stages are monotone and gated by event order, not just presence") {
+    val rows = queries.Events.evFunnel(spark, dir).collect()
+    assert(rows.length == 3)
+    // a later stage's converts are a subset of the earlier stage's
+    val ns = rows.map(_.getAs[Long]("n_users"))
+    assert(ns.sliding(2).forall { case Array(a, b) => b <= a })
+    assert(rows.head.getAs[Double]("conversion") == 1.0)
+    rows.foreach(r => assert(r.getAs[Double]("conversion") > 0.0 &&
+      r.getAs[Double]("conversion") <= 1.0))
+    // the ORDER gate must bite: strictly fewer ordered converts than users
+    // who merely have all three event types somewhere in their history
+    val unordered = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.collect_set("event_type").as("ts"))
+      .filter(org.apache.spark.sql.functions
+        .expr("array_contains(ts, 'view') AND array_contains(ts, 'click') AND array_contains(ts, 'purchase')"))
+      .count()
+    assert(ns.last <= unordered,
+      s"ordered funnel (${ns.last}) cannot exceed unordered presence ($unordered)")
+  }
+
   test("salted broadcast join equals plain join") {
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")
