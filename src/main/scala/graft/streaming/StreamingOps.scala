@@ -147,6 +147,32 @@ object StreamingOps {
       .join(benchShingles, Seq("g"), "left_semi")
       .select("doc_id", "lang")
 
+  /** [[contaminatedDocs]] over 60-bit md5-derived shingle keys — the
+    * stream twin of [[graft.queries.Text.txDecontaminateHashed]], as the
+    * string form twins `txDecontaminate`: the stream-static semi-join
+    * ships 8-byte longs instead of ~50-byte gram strings, the form whose
+    * state and shuffle survive a 100 TB backfill replay. Same
+    * at-least-once posture as the string variant.
+    */
+  def contaminatedDocsHashed(docsStream: DataFrame, benchKeys: DataFrame,
+      width: Int = 8): DataFrame =
+    docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("lang"),
+        explode(expr(graft.queries.Text.shingleExpr(width))).as("g"))
+      .select(col("doc_id"), col("lang"),
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .join(benchKeys, Seq("gk"), "left_semi")
+      .select("doc_id", "lang")
+
+  /** The static benchmark key set for [[contaminatedDocsHashed]]. */
+  def benchmarkShingleKeys(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame =
+    benchmarkShingles(spark, dir, benchmarkSource, width)
+      .select(expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .distinct()
+
   /** The static benchmark shingle set for [[contaminatedDocs]] — distinct
     * `width`-gram shingles of one source's documents, computed in batch.
     */

@@ -208,6 +208,28 @@ class StreamingSpec extends SparkSpec {
       s"streamed drop-list ${streamedIds.size} != batch $batchTotal")
   }
 
+  test("hashed-key streaming decontamination flags exactly the batch drop-list") {
+    val sf = "/root/testdata/sf0.01"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-hashed-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val benchKeys = StreamingOps.benchmarkShingleKeys(spark, sf)
+    val stream = StreamingOps.readDocumentsStream(spark, docsDir.toString)
+      .filter(col("source") =!= "src0")
+    val q = StreamingOps.contaminatedDocsHashed(stream, benchKeys)
+      .writeStream.format("memory").queryName("contaminated_hashed_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamedIds = spark.table("contaminated_hashed_stream")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    val batchTotal = graft.queries.Text.txDecontaminateHashed(spark, sf)
+      .agg(sum("n_contaminated")).collect().head.getLong(0)
+    assert(streamedIds.nonEmpty, "planted cross-source dups must be flagged")
+    assert(streamedIds.size.toLong == batchTotal,
+      s"hashed streamed drop-list ${streamedIds.size} != batch $batchTotal")
+  }
+
   test("streaming fuzzy decontamination flags exactly the batch drop-list") {
     // sf0.001, NOT sf0.01: the larger corpus has no same-lang train-vs-
     // benchmark pair at Jaccard >= 0.5, so its drop-list is empty and the
