@@ -106,6 +106,18 @@ class PlanSpec extends SparkSpec {
       s"window must partition by (lang, shard):\n$plan")
   }
 
+  test("shuffle-shard plans bounded aggregation, never a global window") {
+    // the permutation must stay distributed: per-shard heads come from a
+    // map-side-combined bounded CollectTopK buffer, not a row_number over
+    // a single-partition global sort (the round-1 anti-pattern this
+    // operator's scaladoc forswears)
+    val plan = SparkEntry.queries("tx_shuffle_shard")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"global window crept in:\n$plan")
+    assert(plan.toLowerCase.contains("partial_collect_top_k"),
+      s"heads lost their map-side bounded buffer:\n$plan")
+  }
+
   test("bucketed fact-fact join plans zero shuffle exchanges") {
     // q3_bucketed's reason to exist: both join inputs are 8-bucket tables
     // on the order key, so the join consumes the buckets' partitioning and

@@ -221,6 +221,33 @@ class PropertiesSpec extends SparkSpec {
     assert(both.forall(r => r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("md5-derived hash keys match an independent BigInteger reference") {
+    // the two digest-to-integer primitives every oracle-exact hashed
+    // operator leans on (decontamination keys, simhash token hashes,
+    // shuffle-shard permutation, round-trip checksums) vs a reference
+    // computed with MessageDigest + BigInteger — independent of both
+    // Spark's conv() and the hand-built sign-fold
+    val ss = samples(Gen.asciiPrintableStr.map(_.take(40)), 80)
+      .filter(_.nonEmpty).distinct
+    val df = spark.createDataFrame(
+      ss.zipWithIndex.map { case (s, i) => Row(i.toLong, s) }.asJava,
+      StructType(Seq(StructField("id", LongType), StructField("s", StringType))))
+    val got = df
+      .withColumn("hd", expr("md5(CAST(s AS BINARY))"))
+      .withColumn("k60", expr("CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("k64", expr(graft.queries.Text.md5SignedHash64Expr("hd")))
+      .orderBy("id").collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    ss.zip(got).foreach { case (s, r) =>
+      val hex = md.digest(s.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString
+      val want60 = new java.math.BigInteger(hex.take(15), 16).longValueExact()
+      val want64 = new java.math.BigInteger(hex.take(16), 16).longValue() // wraps to signed
+      assert(r.getAs[Long]("k60") == want60, s"k60 drift on '$s'")
+      assert(r.getAs[Long]("k64") == want64, s"k64 drift on '$s'")
+    }
+  }
+
   test("paragraph chunking reassembles to the original token stream") {
     // the dd_paragraph / pipeline_prepare_corpus chunk expression must
     // partition the token stream exactly: concatenating the chunks in
