@@ -363,6 +363,53 @@ object Similarity {
     state
   }
 
+  /** [[kmeansTrain]] with a CONVERGENCE stop instead of a fixed round
+    * count — the form a user actually trains with (fixed rounds exist so
+    * the oracle twin can unroll; a data-dependent round count cannot).
+    * Convergence = the discrete assignment reaches a fixed point: the
+    * count of vectors that changed cell this round is zero. That count is
+    * one key-join of two checkpointed (vec_id, cid) frames — 16-byte
+    * rows, never vectors — and doubles as the action that materializes
+    * the round's lazy checkpoint, so each round costs two bounded jobs
+    * (assignment-compare + centroid materialize) regardless of corpus
+    * size. Loop discipline is [[graft.ConnectedComponents]]'s:
+    * localCheckpoint per round keeps the plan O(1); exhaustion of
+    * `maxRounds` fails loudly (Lloyd's always converges on finite data —
+    * not converging means the distance or tie-break drifted).
+    *
+    * Returns the final full state (same columns as [[kmeansUpdate]]).
+    * Guarded by SimilaritySpec (fixed-point + inertia invariants); the
+    * shared step machinery is oracle-guarded through [[simIvfKmeans]].
+    */
+  def kmeansTrainConverged(spark: SparkSession, dir: String, k: Int = 8,
+      maxRounds: Int = 30, orderExact: Boolean = true): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    var cents = kmeansSeeds(spark, dir, k).localCheckpoint(false)
+    var prev: DataFrame = null
+    var converged = false
+    var r = 0
+    while (!converged && r < maxRounds) {
+      val cells = kmeansAssign(spark, dir, cents)
+        .select("vec_id", "cid").localCheckpoint(false)
+      val changed =
+        if (prev == null) -1L
+        else cells.join(prev.withColumnRenamed("cid", "prev_cid"), "vec_id")
+          .filter(col("cid") =!= col("prev_cid")).count()
+      if (changed == 0L) converged = true
+      else {
+        cents = kmeansUpdate(emb.join(cells, "vec_id"), orderExact)
+          .select("cid", "centroid").localCheckpoint(false)
+        cents.count() // one bounded job: k rows, lineage truncated
+        prev = cells
+        r += 1
+      }
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-means did not reach an assignment fixed point within $maxRounds rounds")
+    kmeansUpdate(emb.join(prev, "vec_id"), orderExact)
+  }
+
   /** The k-means training run as an oracle-checked query: per-cluster
     * member counts, id ranges, centroid norm and within-cluster inertia
     * (sum of squared L2 of members to their final centroid, folded in

@@ -130,6 +130,25 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("converged k-means is an assignment fixed point, at least as tight as 3 rounds") {
+    val state = Similarity.kmeansTrainConverged(spark, dir, 8)
+    def cellsOf(cents: org.apache.spark.sql.DataFrame) =
+      Similarity.kmeansAssign(spark, dir, cents.select("cid", "centroid"))
+        .select("vec_id", "cid").collect()
+        .map(x => (x.getLong(0), x.getLong(1))).toSet
+    // fixed point: assigning against the converged centroids, updating,
+    // and assigning again moves nothing
+    val a1 = cellsOf(state)
+    val assigned = Similarity.kmeansAssign(spark, dir, state.select("cid", "centroid"))
+    val a2 = cellsOf(Similarity.kmeansUpdate(assigned))
+    assert(a1 == a2, "converged state is not a fixed point")
+    // and its inertia is <= the fixed-3-round (oracle-form) run's
+    def inertia(s: org.apache.spark.sql.DataFrame): Double =
+      Similarity.simIvfStats(s).agg(sum("inertia")).head().getDouble(0)
+    assert(inertia(state) <= inertia(Similarity.kmeansTrain(spark, dir, 8, 3))
+      * (1 + 1e-9))
+  }
+
   test("k-means scale form (per-dim avg) produces the oracle form's assignments") {
     // orderExact=true buffers each cell to fold it in vec_id order (the
     // bit-exact oracle form); orderExact=false is the 100 TB shape —
