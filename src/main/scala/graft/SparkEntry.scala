@@ -86,6 +86,7 @@ object SparkEntry {
     "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
     "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
+    "tx_temperature_mix" -> (Text.txTemperatureMix _),
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
@@ -1002,6 +1003,23 @@ object SparkEntry {
         |  CAST(m.n_matched AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS frac
         |FROM per_doc p JOIN m ON p.doc_id = m.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+    // alpha = 0.5 temperature weights: sqrt is IEEE-correctly-rounded in
+    // both engines (pow/ln are not); floor(sqrt * 1e6) pins the weight to
+    // an integer so the normalizer is an exact long sum.
+    "tx_temperature_mix" ->
+      """WITH per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+        |  FROM documents GROUP BY 1),
+        |ww AS (
+        |  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_ppm
+        |  FROM per)
+        |SELECT source, n_docs, tokens, weight_ppm,
+        |  CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE) AS sampled_share,
+        |  CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS token_share,
+        |  (CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE)) /
+        |    (CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE)) AS boost
+        |FROM ww ORDER BY source""".stripMargin,
     // Seeded permutation: 60-bit md5(seed:doc_id) key, shard = key mod 8,
     // within-shard order (key, doc_id); heads via ordered list prefix.
     "tx_shuffle_shard" ->

@@ -1069,6 +1069,45 @@ object Text {
       .orderBy("source")
   }
 
+  /** Temperature-scaled source mixing — the standard sampling-weight rule
+    * for multi-source pretraining corpora (GPT-3 §2.2's non-proportional
+    * source weighting; the Pile's per-set epochs; multilingual models'
+    * p_i ∝ share_i^α): sampling weight w_i ∝ tokens_i^α with α = 0.5, so
+    * big sources are down-weighted and small ones up-weighted relative to
+    * their natural token share.
+    *
+    * Exactness: tokens^0.5 = sqrt, which IEEE-754 requires correctly
+    * rounded (unlike pow/ln, which libm-drift across engines — the reason
+    * α is fixed at 0.5 rather than a parameter); the weight is then
+    * pinned to an integer `floor(sqrt(tokens) · 10⁶)` (floor, not round:
+    * round's half-up vs half-even straddles engines) so the normalizing
+    * sum is an exact long sum and every share is one IEEE division.
+    * `boost` = sampled share ÷ natural share — the up/down-weighting a
+    * curator inspects. Corpus totals attach via the unpartitioned window
+    * over the ~20 aggregated rows ([[txSourceMix]]'s rule).
+    */
+  def txTemperatureMix(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens").cast("long")).as("tokens"))
+      .withColumn("weight_ppm",
+        floor(sqrt(col("tokens").cast("double")) * lit(1000000.0)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    per.withColumn("t_all", sum("tokens").over(w))
+      .withColumn("w_all", sum("weight_ppm").over(w))
+      .withColumn("sampled_share",
+        col("weight_ppm").cast("double") / col("w_all").cast("double"))
+      .withColumn("token_share",
+        col("tokens").cast("double") / col("t_all").cast("double"))
+      .withColumn("boost", col("sampled_share") / col("token_share"))
+      .select("source", "n_docs", "tokens", "weight_ppm", "sampled_share",
+        "token_share", "boost")
+      .orderBy("source")
+  }
+
   /** Mixture resampling executor — the enforcement half of
     * [[txSourceMix]]'s bookkeeping: downsample every source to the same
     * token mass (the smallest source's total — equalized mixture with no

@@ -557,6 +557,24 @@ class TextOpsSpec extends SparkSpec {
     info(s"shuffled row bytes: string-keyed $sBytes, hashed $hBytes")
   }
 
+  test("temperature mixing: shares sum to 1, α=0.5 flattens the mixture") {
+    val rows = Text.txTemperatureMix(spark, sf001).collect()
+    val sampled = rows.map(_.getAs[Double]("sampled_share"))
+    val natural = rows.map(_.getAs[Double]("token_share"))
+    assert(math.abs(sampled.sum - 1.0) < 1e-9)
+    assert(math.abs(natural.sum - 1.0) < 1e-9)
+    // temperature < 1 moves every share toward uniform: the biggest
+    // source is down-weighted, the smallest up-weighted
+    val byTokens = rows.sortBy(_.getAs[Long]("tokens"))
+    assert(byTokens.last.getAs[Double]("boost") < 1.0,
+      "largest source must be down-weighted")
+    assert(byTokens.head.getAs[Double]("boost") > 1.0,
+      "smallest source must be up-weighted")
+    // and the sampled distribution is strictly flatter than the natural
+    // one (smaller max share, larger min share)
+    assert(sampled.max < natural.max && sampled.min > natural.min)
+  }
+
   test("shuffle-shard partitions the whole corpus, balanced, seed-stable") {
     val rows = Text.txShuffleShard(spark, sf001).collect()
     val total = Tables(spark, sf001, "documents").count()
