@@ -1,8 +1,10 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
 
 /** Benchmark main: runs every `SparkEntry.queries` entry against
-  * `SPARK_GRAFT_SF_DIR` and prints ONE JSON line.
+  * `SPARK_GRAFT_SF_DIR` and prints a final summary JSON line, plus one
+  * self-contained JSON progress line per query as it completes.
   *
   * Methodology (round 6, per VERDICT r5 items 6 and ADVICE-3):
   *
@@ -25,6 +27,22 @@ import org.apache.spark.sql.SparkSession
   *     errors map stays the loud signal). `value` is the total-of-mins;
   *     raw per-session runs are kept under `"runs"` so the spread
   *     (shared-host noise) stays auditable.
+  *
+  * Survivability (round 7, per VERDICT r6 item 1 — BENCH_r06 was rc=124
+  * with NOTHING printed because the only println sat after all sessions):
+  *
+  *   - Every completed query immediately prints
+  *     `{"metric":"query","name":...,"min":...,"runs":[...]}` — a timeout
+  *     now leaves a usable per-query record in the captured tail.
+  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 480) is a wall-clock budget:
+  *     once exceeded, remaining queries drop to 1 run and later sessions
+  *     are skipped (a session is only started if under half the budget);
+  *     the summary then carries `"truncated":true`. The budget never skips
+  *     a query outright — session 1 always measures all of them at least
+  *     once, so the artifact keeps full query coverage.
+  *   - A JVM shutdown hook prints the summary-so-far (marked truncated) if
+  *     the process is killed before the normal summary line, so even a
+  *     driver-side SIGTERM yields a parseable final artifact.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -32,26 +50,83 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val nRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
     val nSessions = sys.env.getOrElse("SPARK_GRAFT_BENCH_SESSIONS", "2").toInt.max(1)
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "480").toDouble
+    val wall0 = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 
-    // sessionRuns(s)(name) = per-run (elapsed sec, succeeded) for session s
-    val sessionRuns: Seq[Map[String, Seq[(Double, Boolean)]]] =
-      (1 to nSessions).map { _ =>
-        val spark = SparkSession.builder()
-          .master(s"local[$cpus]")
-          .config("spark.sql.shuffle.partitions", cpus)
-          .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-          .config("spark.ui.enabled", "false")
-          .getOrCreate()
-        spark.sparkContext.setLogLevel("WARN")
-        // Warm up the JVM/codegen/file-index paths so the first measured
-        // query doesn't absorb ~3s of one-time cost.
-        spark.range(1000000L).selectExpr("sum(id)").collect()
-        Tables.names.foreach(n =>
-          scala.util.Try(Tables(spark, sfDir, n).selectExpr("count(*)").collect()))
-        val perQuery = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-          val runs = (1 to nRuns).map { _ =>
+    val errors = LinkedHashMap[String, String]()
+    val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+    // pooled(name) = all (elapsed sec, succeeded) runs across sessions so far
+    val pooled = LinkedHashMap[String, ArrayBuffer[(Double, Boolean)]]()
+    val rawPerSession = ArrayBuffer[LinkedHashMap[String, Seq[(Double, Boolean)]]]()
+    @volatile var truncated = false
+    @volatile var summaryPrinted = false
+
+    // min over SUCCESSFUL runs only, pooled across sessions: a fast failure
+    // must not undercut the real cost. All-failed -> max elapsed (never a
+    // flattering number).
+    def minOf(runs: Seq[(Double, Boolean)]): Double = {
+      val good = runs.filter(_._2).map(_._1)
+      if (good.nonEmpty) good.min else runs.map(_._1).max
+    }
+
+    def summaryJson(partial: Boolean): String = {
+      val measured = names.filter(pooled.contains)
+      val mins = measured.map(n => n -> minOf(pooled(n).toSeq))
+      val total = mins.map(_._2).sum
+      val sessionTotals = rawPerSession.map(sr =>
+        measured.filter(sr.contains).map(n => minOf(sr(n))).sum)
+      val sessionFirstRuns = rawPerSession.map(sr =>
+        measured.filter(n => sr.contains(n) && sr(n).nonEmpty).map(n => sr(n).head._1).sum)
+      val qs = mins.map { case (k, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
+      val raw = measured.map { n =>
+        val perSession = rawPerSession.filter(_.contains(n))
+          .map(_(n).map(_._1).mkString("[", ",", "]"))
+        "\"" + n + "\":" + perSession.mkString("[", ",", "]")
+      }.mkString("{", ",", "}")
+      val errJson = errors.map { case (k, v) =>
+        Verify.q(k) + ":" + Verify.q(v) // full control-char-safe JSON escape
+      }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
+    }
+
+    // Driver timeouts SIGTERM the JVM: still emit a parseable artifact from
+    // whatever completed (printing needs no Spark machinery).
+    val hook = new Thread(() => {
+      if (!summaryPrinted && pooled.nonEmpty) { println(summaryJson(partial = true)); Console.out.flush() }
+    })
+    Runtime.getRuntime.addShutdownHook(hook)
+
+    var s = 1
+    while (s <= nSessions && (s == 1 || {
+      val skip = elapsedS > budgetS * 0.5
+      if (skip) truncated = true
+      !skip
+    })) {
+      val spark = SparkSession.builder()
+        .master(s"local[$cpus]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+      spark.sparkContext.setLogLevel("WARN")
+      // Warm up the JVM/codegen/file-index paths so the first measured
+      // query doesn't absorb ~3s of one-time cost.
+      spark.range(1000000L).selectExpr("sum(id)").collect()
+      Tables.names.foreach(n =>
+        scala.util.Try(Tables(spark, sfDir, n).selectExpr("count(*)").collect()))
+      val perQuery = LinkedHashMap[String, Seq[(Double, Boolean)]]()
+      rawPerSession += perQuery
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+        val overBudget = elapsedS > budgetS
+        if (overBudget) truncated = true
+        val effRuns = if (overBudget) 1 else nRuns
+        val runs = ArrayBuffer[(Double, Boolean)]()
+        var r = 1
+        var stop = false
+        while (r <= effRuns && !stop) {
+          if (r > 1 && elapsedS > budgetS) { truncated = true; stop = true }
+          else {
             // every run pays scoped-cache population: warm cached reads in
             // runs 2..N are not the number a cold cluster would see
             spark.catalog.clearCache()
@@ -69,36 +144,23 @@ object Bench {
                   System.err.println(s"BENCH ERROR $name -> $msg")
                   false
               }
-            ((System.nanoTime() - t0) / 1e9, ok)
+            runs += (((System.nanoTime() - t0) / 1e9, ok))
+            r += 1
           }
-          name -> (runs: Seq[(Double, Boolean)])
-        }.toMap
-        spark.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
-        perQuery
+        }
+        perQuery(name) = runs.toSeq
+        pooled.getOrElseUpdate(name, ArrayBuffer()) ++= runs
+        println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"wall_s":$elapsedS}""")
+        Console.out.flush()
       }
-
-    // min over SUCCESSFUL runs only, pooled across sessions: a fast failure
-    // must not undercut the real cost. All-failed -> max elapsed (never a
-    // flattering number).
-    def minOf(runs: Seq[(Double, Boolean)]): Double = {
-      val good = runs.filter(_._2).map(_._1)
-      if (good.nonEmpty) good.min else runs.map(_._1).max
+      spark.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      s += 1
     }
-    val mins = names.map(n => n -> minOf(sessionRuns.flatMap(_(n))))
-    val total = mins.map(_._2).sum
-    val sessionTotals = sessionRuns.map(sr => names.map(n => minOf(sr(n))).sum)
-    val sessionFirstRuns = sessionRuns.map(sr => names.map(n => sr(n).head._1).sum)
-    val qs = mins.map { case (k, m) => s"\"" + k + "\":" + m }
-      .mkString("{", ",", "}")
-    val raw = names.map { n =>
-      val perSession = sessionRuns.map(_(n).map(_._1).mkString("[", ",", "]"))
-      s"\"" + n + "\":" + perSession.mkString("[", ",", "]")
-    }.mkString("{", ",", "}")
-    val errJson = errors.map { case (k, v) =>
-      Verify.q(k) + ":" + Verify.q(v) // full control-char-safe JSON escape
-    }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","value_first_runs":${sessionFirstRuns.head},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}""")
+    println(summaryJson(partial = false))
+    summaryPrinted = true
+    Console.out.flush()
+    scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
   }
 }

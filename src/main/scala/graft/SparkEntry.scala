@@ -86,7 +86,10 @@ object SparkEntry {
     "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
     "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
-    "tx_temperature_mix" -> (Text.txTemperatureMix _),
+    "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
+    // second oracle'd temperature: α = 3/4, the nearest bit-portable
+    // dyadic to UL2/PaLM's 0.7 (see Text.dyadicPowExpr)
+    "tx_temperature_mix_a75" -> ((s, d) => Text.txTemperatureMix(s, d, 3, 2)),
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
@@ -100,7 +103,7 @@ object SparkEntry {
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
-    "sim_cosine_topk" -> (Similarity.simCosineTopk _),
+    "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -150,8 +153,8 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY).
     *
-    * Three queries are deliberately absent (driver records a rows-only
-    * check), each because its values come from engine-internal algorithms
+    * Two queries are deliberately absent (driver records a rows-only
+    * check), each because its values come from engine-internal SKETCHES
     * DuckDB cannot reproduce; each carries a ScalaTest bound instead:
     *   - a8_approx_distinct: Spark's HLL++ sketch — DuckDB's
     *     approx_count_distinct uses its own HLL variant with different
@@ -160,12 +163,11 @@ object SparkEntry {
     *   - a10_approx_quantiles: Spark's Greenwald-Khanna sketch; DuckDB's
     *     approx_quantile is t-digest. AggregatesSpec bounds the rank error
     *     vs exact percentiles.
-    *   - dd_minhash_lsh: signatures/band hashes are Spark-native xxhash64
-    *     (no DuckDB equivalent). TextOpsSpec/planted-duplicate specs pin
-    *     recall; the md5-based minhash_bands family (dd_ngram_jaccard,
-    *     pipeline_clean_corpus) IS fully oracle-checked.
-    * (dd_simhash joined the oracle'd set in round 6: its token hashes are
-    * now md5-derived — see [[graft.queries.Text.md5SignedHash64Expr]].)
+    * (dd_simhash joined the oracle'd set in round 6 — md5-derived token
+    * hashes, [[graft.queries.Text.md5SignedHash64Expr]] — and
+    * dd_minhash_lsh in round 7 via the md5 minhash_bands chain, keeping
+    * the xxhash64 form as the spec-pinned engine-native twin
+    * [[graft.queries.Text.ddMinhashLshXx]].)
     */
   /** Unrolled DuckDB twin of [[graft.queries.Similarity.kmeansTrain]]:
     * `c0` = the k lowest vec_ids widened to double; round r = assignment
@@ -203,6 +205,27 @@ object SparkEntry {
     }
     (seed +: steps).mkString(",\n")
   }
+
+  /** DuckDB twin of [[graft.queries.Text.txTemperatureMix]] at
+    * α = num/2^denLog2 — the weight expression is the SAME generated
+    * sqrt-chain text the Spark projection evaluates
+    * ([[graft.queries.Text.temperatureWeightExpr]]), so oracle and engine
+    * share one definition of the temperature.
+    */
+  private def temperatureMixSql(num: Int, denLog2: Int): String =
+    s"""WITH per AS (
+       |  SELECT source, count(*) AS n_docs,
+       |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
+       |  FROM documents GROUP BY 1),
+       |ww AS (
+       |  SELECT *, ${Text.temperatureWeightExpr(num, denLog2)} AS weight_ppm
+       |  FROM per)
+       |SELECT source, n_docs, tokens, weight_ppm,
+       |  CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE) AS sampled_share,
+       |  CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS token_share,
+       |  (CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE)) /
+       |    (CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE)) AS boost
+       |FROM ww ORDER BY source""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -515,7 +538,7 @@ object SparkEntry {
         |  SELECT 3, 'purchase_after_click', count(*), min(user_id) FROM p)
         |SELECT stage_idx, stage, n_users,
         |  CAST(n_users AS DOUBLE) /
-        |    CAST(max(CASE WHEN stage_idx = 1 THEN n_users END) OVER () AS DOUBLE)
+        |    NULLIF(CAST(max(CASE WHEN stage_idx = 1 THEN n_users END) OVER () AS DOUBLE), 0)
         |    AS conversion,
         |  first_user_id
         |FROM staged ORDER BY stage_idx""".stripMargin,
@@ -822,6 +845,40 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
         |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The dd_ngram_jaccard MinHashBands replication WITHOUT the lang
+    // block (cross-language pairs) and with the 0.8 confirm threshold +
+    // corpus-wide rollup — the oracle'd md5 sibling of the xxhash64
+    // engine-native form (Text.ddMinhashLshXx, spec-pinned).
+    "dd_minhash_lsh" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |c AS (
+        |  SELECT len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id)
+        |SELECT count(*) AS n_candidate_pairs,
+        |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_confirmed_dups
+        |FROM c""".stripMargin,
     // Same MinHashBands replication as dd_ngram_jaccard, then the
     // confirmed pairs are closed under connectivity by a recursive
     // min-label CTE — an independent connectivity formulation checking
@@ -1004,30 +1061,23 @@ object SparkEntry {
         |FROM per_doc p JOIN m ON p.doc_id = m.doc_id
         |ORDER BY p.doc_id""".stripMargin,
     // alpha = 0.5 temperature weights: sqrt is IEEE-correctly-rounded in
-    // both engines (pow/ln are not); floor(sqrt * 1e6) pins the weight to
-    // an integer so the normalizer is an exact long sum.
-    "tx_temperature_mix" ->
-      """WITH per AS (
-        |  SELECT source, count(*) AS n_docs,
-        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens
-        |  FROM documents GROUP BY 1),
-        |ww AS (
-        |  SELECT *, CAST(floor(sqrt(CAST(tokens AS DOUBLE)) * 1000000.0) AS BIGINT) AS weight_ppm
-        |  FROM per)
-        |SELECT source, n_docs, tokens, weight_ppm,
-        |  CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE) AS sampled_share,
-        |  CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE) AS token_share,
-        |  (CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE)) /
-        |    (CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE)) AS boost
-        |FROM ww ORDER BY source""".stripMargin,
-    // Seeded permutation: 60-bit md5(seed:doc_id) key, shard = key mod 8,
+    // both engines (pow/ln are not); floor(tokens^α * 1e6) pins the weight
+    // to an integer so the normalizer is an exact long sum. The weight
+    // expression is GENERATED from the same dyadic sqrt-chain the Spark
+    // side evaluates (Text.temperatureWeightExpr — the kmeansCtes
+    // pattern), so the two temperatures can never drift.
+    "tx_temperature_mix" -> temperatureMixSql(1, 1),
+    "tx_temperature_mix_a75" -> temperatureMixSql(3, 2),
+    // Seeded permutation: 60-bit md5(seed:doc_id) key, shard = key mod n,
     // within-shard order (key, doc_id); heads via ordered list prefix.
+    // Seed and shard count come from the SAME constants as the Spark
+    // defaults (Text.shuffleShardSeed/Shards — ADVICE r6).
     "tx_shuffle_shard" ->
-      """WITH k AS (
+      s"""WITH k AS (
         |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
-        |    CAST(('0x' || substr(md5('graft:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |    CAST(('0x' || substr(md5('${Text.shuffleShardSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
         |  FROM documents),
-        |s AS (SELECT *, hk % 8 AS shard FROM k)
+        |s AS (SELECT *, hk % ${Text.shuffleShardShards} AS shard FROM k)
         |SELECT shard, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
         |  min(hk) AS min_key, max(hk) AS max_key,

@@ -119,8 +119,11 @@ object Events {
     * 100 TB each pass shuffles one (user_id, ts) row per user.
     *
     * Output: one row per funnel stage with its converted-user count, the
-    * conversion rate vs stage 1 (one IEEE division of exact longs), and
-    * the earliest-converting user (min user_id tiebreak via min(struct)).
+    * conversion rate vs stage 1 (one IEEE division of exact longs; NULL
+    * when stage 1 is empty — the oracle's NULLIF applies the same guard,
+    * so arbitrary event data can't degrade to NaN), and the
+    * lowest-numbered converting user (a plain min(user_id) — ADVICE r6:
+    * this is NOT an earliest-by-time tiebreak).
     */
   def evFunnel(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir).select("user_id", "event_type", "ts")
@@ -147,9 +150,12 @@ object Events {
     // no constant-key join for Catalyst to fold into a BNLJ)
     val w = org.apache.spark.sql.expressions.Window
       .rowsBetween(Long.MinValue, Long.MaxValue)
+    val total =
+      max(when(col("stage_idx") === 1, col("n_users"))).over(w).cast("double")
     staged
-      .withColumn("conversion", col("n_users").cast("double") /
-        max(when(col("stage_idx") === 1, col("n_users"))).over(w).cast("double"))
+      // empty stage 1 -> NULL, not 0/0 = NaN (same NULLIF guard as oracle)
+      .withColumn("conversion",
+        when(total =!= 0.0, col("n_users").cast("double") / total))
       .select("stage_idx", "stage", "n_users", "conversion", "first_user_id")
       .orderBy("stage_idx")
   }

@@ -34,17 +34,45 @@ object Similarity {
     graft.functions.TextFunctions.ensureRegistered(spark)
   }
 
-  /** Brute-force cosine top-k: the first 5 vectors query the whole table.
-    * One broadcast of the 5 query vectors, one narrow pass over the
-    * corpus, one small top-k per query — no all-pairs shuffle.
+  /** Default ANN query set: the first `n` corpus vectors. Every sim_*
+    * search takes its query set as an optional DataFrame argument with
+    * this literal form as the default (VERDICT r6 item 6 — the hard-coded
+    * `vec_id < 5` meant a user could not point the search at their own
+    * vectors without editing source). A custom set needs columns
+    * (vec_id, embedding) — vec_id is only used to exclude self-matches,
+    * so external query vectors can use any ids disjoint from the corpus.
     */
-  def simCosineTopk(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def defaultQueries(spark: SparkSession, dir: String,
+      n: Int = 5): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") < n)
+      .select("vec_id", "embedding")
+
+  /** IVF cell-count sizing rule: nlist ≈ √n (the standard IVF coarse-
+    * quantizer rule — cells scale so probe cost n/nlist and centroid
+    * broadcast nlist·dims balance at √n), floored at 8 so toy corpora
+    * still exercise multi-cell behavior. The oracle'd queries pin k = 8
+    * (the DuckDB twin unrolls a fixed k); SimilaritySpec exercises this
+    * rule on the test corpus — the analog of the LSH widths' log₂(n)
+    * rules ([[simLshBuckets]]).
+    */
+  def nCellsFor(n: Long): Int =
+    math.max(8, math.round(math.sqrt(n.toDouble)).toInt)
+
+  /** Brute-force cosine top-k: the query vectors (default: first 5 corpus
+    * vectors, [[defaultQueries]]) score the whole table. One broadcast of
+    * the few query vectors, one narrow pass over the corpus, one small
+    * top-k per query — no all-pairs shuffle.
+    */
+  def simCosineTopk(spark: SparkSession, dir: String,
+      querySet: Option[DataFrame] = None): DataFrame = {
     register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-    val q = emb.filter(col("vec_id") < 5)
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("norm").as("qnorm"))
+        col("qnorm"))
     val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
       .withColumn("cosine",
         expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
@@ -228,13 +256,19 @@ object Similarity {
     * scores candidates in its own hyperplane bucket (8 bits here so
     * buckets stay populated at test scale), then takes the top-5. The
     * ScalaTest spec measures recall against the brute-force baseline.
+    * Query set is an argument ([[defaultQueries]] when absent); a custom
+    * set gets its bucket/norm from the same expressions as the corpus, so
+    * external vectors probe the bucket they would hash to.
     */
-  def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8): DataFrame = {
+  def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8,
+      querySet: Option[DataFrame] = None): DataFrame = {
     register(spark)
     // join key: evaluate once for q and corpus sides; the shared
     // per-nbits scoped cache (see bucketedEmbeddings)
     val bucketed = bucketedEmbeddings(spark, dir, nbits)
-    val q = bucketed.filter(col("vec_id") < 5)
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .withColumn("bucket", expr(s"lsh_bucket(embedding, $nbits)"))
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
       .select(col("vec_id").as("qid"), col("bucket").as("qbucket"),
         col("embedding").as("qvec"), col("norm").as("qnorm"))
     val scored = bucketed.join(broadcast(q),
@@ -262,13 +296,23 @@ object Similarity {
 
   /** Deterministic k-means seeds: the k lowest vec_ids (ids are 0-based
     * and contiguous in this corpus), widened to double — no RNG, so the
-    * DuckDB twin is `WHERE vec_id < k`.
+    * DuckDB twin is `WHERE vec_id < k`. The contiguity assumption fails
+    * LOUDLY (ADVICE r6): on a corpus whose vec_ids are not 0-based the
+    * filter would silently yield fewer than k seeds — and the DuckDB twin
+    * degrades identically, so the oracle gate could never catch it. The
+    * check is a k-row count over a pushed-down filter, one bounded job.
     */
-  def kmeansSeeds(spark: SparkSession, dir: String, k: Int): DataFrame =
-    Tables(spark, dir, "embeddings")
+  def kmeansSeeds(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val seeds = Tables(spark, dir, "embeddings")
       .filter(col("vec_id") < k)
       .select(col("vec_id").as("cid"),
         expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid"))
+    val n = seeds.count()
+    require(n == k,
+      s"kmeansSeeds expects vec_ids 0..${k - 1} to exist (0-based contiguous " +
+        s"ids); got $n of $k seed rows — seed explicitly for this corpus")
+    seeds
+  }
 
   /** Lloyd's assignment step: every corpus vector to its nearest centroid
     * by squared L2, ties broken by lowest cid — `min(struct(dist, cid))`
@@ -377,9 +421,22 @@ object Similarity {
     * `maxRounds` fails loudly (Lloyd's always converges on finite data —
     * not converging means the distance or tie-break drifted).
     *
-    * Returns the final full state (same columns as [[kmeansUpdate]]).
-    * Guarded by SimilaritySpec (fixed-point + inertia invariants); the
-    * shared step machinery is oracle-guarded through [[simIvfKmeans]].
+    * Returns the final full state (same columns as [[kmeansUpdate]]) plus
+    * convergence METADATA columns (VERDICT r6 item 8 — the user-facing
+    * form must be observable, not just loud-on-failure):
+    * `rounds_to_converge` = Lloyd update rounds executed before the fixed
+    * point, and `last_changed` = the changed-assignment count of the final
+    * compare (0 by definition at the fixed point — recorded so a future
+    * tolerance-based stop, changed ≤ ε·n, stays observable in the same
+    * column). Guarded by SimilaritySpec (fixed-point + inertia +
+    * metadata); the shared step machinery is oracle-guarded through
+    * [[simIvfKmeans]].
+    *
+    * Cost vs [[kmeansTrain]]: the convergence probe makes each round TWO
+    * bounded jobs (the 16-byte-row assignment-compare join + the k-row
+    * centroid materialize) instead of fixed-rounds' one — the price of a
+    * data-dependent stop. Both scale with corpus size only through the
+    * assignment pass itself.
     */
   def kmeansTrainConverged(spark: SparkSession, dir: String, k: Int = 8,
       maxRounds: Int = 30, orderExact: Boolean = true): DataFrame = {
@@ -389,6 +446,7 @@ object Similarity {
     var prev: DataFrame = null
     var converged = false
     var r = 0
+    var lastChanged = -1L
     while (!converged && r < maxRounds) {
       val cells = kmeansAssign(spark, dir, cents)
         .select("vec_id", "cid").localCheckpoint(false)
@@ -396,7 +454,7 @@ object Similarity {
         if (prev == null) -1L
         else cells.join(prev.withColumnRenamed("cid", "prev_cid"), "vec_id")
           .filter(col("cid") =!= col("prev_cid")).count()
-      if (changed == 0L) converged = true
+      if (changed == 0L) { converged = true; lastChanged = 0L }
       else {
         cents = kmeansUpdate(emb.join(cells, "vec_id"), orderExact)
           .select("cid", "centroid").localCheckpoint(false)
@@ -408,6 +466,8 @@ object Similarity {
     if (!converged) throw new IllegalStateException(
       s"k-means did not reach an assignment fixed point within $maxRounds rounds")
     kmeansUpdate(emb.join(prev, "vec_id"), orderExact)
+      .withColumn("rounds_to_converge", lit(r))
+      .withColumn("last_changed", lit(lastChanged))
   }
 
   /** The k-means training run as an oracle-checked query: per-cluster
@@ -437,13 +497,22 @@ object Similarity {
 
   /** Shared IVF machinery: TRAINED centroids with norms (k-means,
     * [[kmeansTrain]] — order-fixed sequential sums, deterministic under
-    * any shuffle).
+    * any shuffle). The k-row result is localCheckpoint'd and materialized:
+    * the index BUILD runs as its own bounded jobs (the [[kmeansTrain]]
+    * loop discipline — training already checkpoints per round), so the
+    * search plan downstream starts from k in-memory rows and contains no
+    * training subtree — which is what lets [[simIvfAnn]]'s plan carry no
+    * vector through any shuffle (PlanSpec pins that).
     */
-  private def centroidsWithNorm(spark: SparkSession, dir: String): DataFrame =
-    kmeansTrain(spark, dir)
+  private def centroidsWithNorm(spark: SparkSession, dir: String): DataFrame = {
+    val cn = kmeansTrain(spark, dir)
       .select(col("cid").as("c_label"), col("centroid"))
       .withColumn("cnorm",
         expr(s"sqrt(aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + centroid[i] * centroid[i]))"))
+      .localCheckpoint(false)
+    cn.count() // materialize: one k-row job, lineage truncated
+    cn
+  }
 
   /** Full IVF approximate search — the 100 TB ANN path the brief asks
     * for, over a coarse quantizer TRAINED with unsupervised k-means
@@ -459,31 +528,81 @@ object Similarity {
     * the ordered double fold, candidate scoring via the codegen'd
     * `float_dot`), so the DuckDB oracle hash-matches the whole pipeline:
     * centroids, cell assignment, probes and final ranking.
+    *
+    * Shuffle discipline (VERDICT r6 item 2): cell assignment is a pure
+    * projection (scalar-subquery centroid array + array_min argmin —
+    * comments inline), the probe ranking drops vectors before its tiny
+    * window, and the only exchanges in the whole search carry
+    * (qid, id, cell, cosine) rows. Corpus vectors reach the scorer via
+    * the streamed side of a broadcast join, never an exchange — PlanSpec
+    * asserts no shuffle in this plan carries a float-vector attribute.
     */
   def simIvfAnn(spark: SparkSession, dir: String,
-      nprobe: Int = 2, k: Int = 5): DataFrame = {
+      nprobe: Int = 2, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
     register(spark)
-    val emb = Tables(spark, dir, "embeddings")
-      .withColumn("vnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
-    val cn = centroidsWithNorm(spark, dir)
-    // rank centroids per vector: cell 1 = nearest (ties broken by label)
-    val ranked = emb.join(broadcast(cn))
-      .withColumn("cos_c",
-        expr(s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * centroid[i])")
-          / (col("vnorm") * col("cnorm")))
-      .withColumn("crnk", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("vec_id")
-          .orderBy(col("cos_c").desc, col("c_label").asc)))
-    val cells = ranked.filter(col("crnk") === 1)
-      .select(col("vec_id").as("m_vec_id"), col("c_label").as("cell"),
-        col("embedding").as("m_vec"), col("vnorm").as("m_norm"))
-    val probes = ranked.filter(col("vec_id") < 5 && col("crnk") <= nprobe)
+    // Index build: trained centroids materialize as their own bounded jobs
+    // (see centroidsWithNorm) — the search plan below starts at k rows.
+    centroidsWithNorm(spark, dir).createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    graft.Catalog.registerAll(spark, dir)
+    def cosC(v: String, c: String) =
+      s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST($v[i] AS DOUBLE) * $c.centroid[i]) / (vnorm * $c.cnorm)"
+    // Corpus-side cell assignment is a PURE PROJECTION (VERDICT r6 item 2:
+    // the r6 row_number window shuffled k vector-carrying candidate rows
+    // per corpus vector — the exact anti-shape kmeansAssign's scaladoc
+    // names). The k trained centroids splice in as an uncorrelated scalar
+    // subquery over the checkpointed k-row view (the simSqInt8 pattern —
+    // one bounded subquery stage, no constant-key join for Catalyst to
+    // fold into the banned BNLJ), and argmin is array_min over
+    // (-cosine, label) structs — bit-identical to the oracle's
+    // `ORDER BY cos_c DESC, c_label ASC ... rn = 1` because negation is
+    // exact and the tie-break field order matches. Nothing shuffles here
+    // at all: scan → project, at any corpus size.
+    val members = spark.sql(
+      s"""SELECT vec_id AS m_vec_id, cell, embedding AS m_vec, vnorm AS m_norm
+         |FROM (
+         |  SELECT vec_id, embedding, vnorm,
+         |    array_min(transform(cents, c -> named_struct(
+         |      'neg_cos', -(${cosC("embedding", "c")}),
+         |      'c_label', c.c_label))).c_label AS cell
+         |  FROM (
+         |    SELECT vec_id, embedding,
+         |      sqrt(float_dot(embedding, embedding)) AS vnorm,
+         |      (SELECT collect_list(struct(c_label, centroid, cnorm))
+         |       FROM graft_ivf_centroids) AS cents
+         |    FROM embeddings))""".stripMargin)
+    // Query side: rank centroids to depth nprobe for the FEW query vectors
+    // only. The row_number window is fine here — its input is |queries|·k
+    // rows — and the projection drops the vectors BEFORE the window, so
+    // even that tiny exchange carries (vec_id, c_label, cos_c) triples.
+    val probeKeys = spark.sql(
+      s"""SELECT vec_id, c_label, cos_c FROM (
+         |  SELECT vec_id, c_label, cos_c, row_number() OVER (
+         |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+         |  FROM (
+         |    SELECT vec_id, c.c_label AS c_label, ${cosC("embedding", "c")} AS cos_c
+         |    FROM (
+         |      SELECT vec_id, embedding,
+         |        sqrt(float_dot(embedding, embedding)) AS vnorm,
+         |        (SELECT collect_list(struct(c_label, centroid, cnorm))
+         |         FROM graft_ivf_centroids) AS cents
+         |      FROM graft_ivf_queries)
+         |    LATERAL VIEW explode(cents) t AS c))
+         |WHERE crnk <= $nprobe""".stripMargin)
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .select(col("vec_id"), col("embedding").as("qvec"),
+        expr(s"sqrt(${dotExpr("embedding", "embedding")})").as("qnorm"))
+    val probes = probeKeys.join(broadcast(q), "vec_id")
       .select(col("vec_id").as("qid"), col("c_label").as("cell"),
-        col("embedding").as("qvec"), col("vnorm").as("qnorm"))
-    val scored = cells.join(broadcast(probes), Seq("cell"))
+        col("qvec"), col("qnorm"))
+    val scored = members.join(broadcast(probes), Seq("cell"))
       .filter(col("m_vec_id") =!= col("qid"))
       .withColumn("cosine",
         expr(dotExpr("qvec", "m_vec")) / (col("qnorm") * col("m_norm")))
+      // vectors end here: the top-k exchange carries (qid, id, cell, cos)
+      .select("qid", "m_vec_id", "cell", "cosine")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("m_vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -544,7 +663,8 @@ object Similarity {
     * so the prefilter is genuinely selective at every scale factor.
     */
   def simHybridSearch(spark: SparkSession, dir: String,
-      keyword: String = "dup", k: Int = 10): DataFrame = {
+      keyword: String = "dup", k: Int = 10,
+      querySet: Option[DataFrame] = None): DataFrame = {
     register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
@@ -553,9 +673,10 @@ object Similarity {
       .select(col("doc_id"), col("lang"))
       .join(emb.select(col("vec_id").as("doc_id"), col("embedding"),
         col("norm")), "doc_id")
-    val q = emb.filter(col("vec_id") < 5)
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
-        col("norm").as("qnorm"))
+        col("qnorm"))
     val scored = cand.join(broadcast(q), col("doc_id") =!= col("qid"))
       .withColumn("cosine",
         expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))

@@ -140,6 +140,37 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("sim_ivf_ann shuffles never carry an embedding") {
+    // VERDICT r6 item 2: the r6 plan ranked cells through a row_number
+    // window over the emb×centroids product, so the window's shuffle
+    // carried k vector-holding rows per corpus vector. The rework makes
+    // cell assignment a pure projection; corpus vectors may reach the
+    // scorer only through scans and the streamed side of broadcast joins.
+    // Broadcasts (few centroids / few query vectors) are the design and
+    // stay allowed — the ban is on float-vector attributes in SHUFFLES.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StructType}
+    def hasFloatVec(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et == FloatType || hasFloatVec(et)
+      case st: StructType => st.fields.exists(f => hasFloatVec(f.dataType))
+      case _ => false
+    }
+    // static plan probe: disable AQE so exchanges appear in one tree (the
+    // codegen test's pattern; suites run serialized, conf flip is safe)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("sim_ivf_ann")(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if e.output.exists(a => hasFloatVec(a.dataType)) => e
+      })
+      assert(offenders.isEmpty,
+        s"float-vector attributes in shuffle exchange(s):\n" +
+          offenders.map(_.toString).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("salted aggregation keeps its two-phase shape") {
     // skew_salted_agg's whole point is TWO aggregation rounds — phase 1
     // keyed (event_type, __salt) fanning the hot key over 16 reducers,

@@ -162,17 +162,26 @@ class TextOpsSpec extends SparkSpec {
     // steeply toward 1 for the near-identical planted dups — so >= 85%
     // found, and in practice all but the borderline-j pairs (measured:
     // 27 of 28 at sf0.001; the miss has j ≈ 0.8).
-    val got001 = Text.ddMinhashLsh(spark, "/root/testdata/sf0.001")
-      .collect().head.getAs[Long]("n_confirmed_dups")
-    assert(got001 <= truth, s"precision: confirmed $got001 exceeds truth $truth")
-    assert(got001 * 100 >= truth * 85, s"sf0.001 recall: found $got001 of $truth")
-    // sf0.01: ground truth 25 (all-pairs >= 0.8, measured offline in
-    // DuckDB over the fixed testdata; pairs are cross-language here,
-    // unlike ddNgramJaccard's within-language blocking).
-    val got01 = Text.ddMinhashLsh(spark, sf001)
-      .collect().head.getAs[Long]("n_confirmed_dups")
-    assert(got01 <= 25L && got01 * 100 >= 25L * 85,
-      s"sf0.01 recall: found $got01 of 25")
+    // both family members sit on the same curve: the oracle'd md5 form
+    // and the engine-native xxhash64 form (different hash families ->
+    // slightly different band keys, same banding probability)
+    for ((label, fn) <- Seq(
+        "md5" -> (Text.ddMinhashLsh _),
+        "xx" -> (Text.ddMinhashLshXx _))) {
+      val got001 = fn(spark, "/root/testdata/sf0.001", 16, 4)
+        .collect().head.getAs[Long]("n_confirmed_dups")
+      assert(got001 <= truth,
+        s"$label precision: confirmed $got001 exceeds truth $truth")
+      assert(got001 * 100 >= truth * 85,
+        s"$label sf0.001 recall: found $got001 of $truth")
+      // sf0.01: ground truth 25 (all-pairs >= 0.8, measured offline in
+      // DuckDB over the fixed testdata; pairs are cross-language here,
+      // unlike ddNgramJaccard's within-language blocking).
+      val got01 = fn(spark, sf001, 16, 4)
+        .collect().head.getAs[Long]("n_confirmed_dups")
+      assert(got01 <= 25L && got01 * 100 >= 25L * 85,
+        s"$label sf0.01 recall: found $got01 of 25")
+    }
   }
 
   test("embedding-cosine pairs stay ~linear when nbits follows the log2 rule") {
@@ -555,6 +564,46 @@ class TextOpsSpec extends SparkSpec {
     assert(hBytes * 2 <= sBytes,
       s"hashed-key shuffle not smaller: $hBytes vs $sBytes row bytes")
     info(s"shuffled row bytes: string-keyed $sBytes, hashed $hBytes")
+  }
+
+  test("hashed-shingle projection evaluates once per query (cache reuse)") {
+    // VERDICT r6 finding 3: both semi-join sides of the hashed
+    // decontamination fed from the same tokenize+explode+md5 subtree with
+    // no cache, so the corpus pass ran twice per query. With the scoped
+    // cache, every consumer must read an InMemoryRelation and NO visible
+    // file scan of documents may still read `text` (the one text-reading
+    // scan lives inside the cached relation, materialized once).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    def scanCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+      df.collect()
+      var textScans = 0
+      var memScans = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: FileSourceScanExec
+              if f.schema.fieldNames.contains("text") => textScans += 1
+          case _: InMemoryTableScanExec => memScans += 1
+          case _ => ()
+        }
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: ShuffleQueryStageExec => walk(s.plan)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      (textScans, memScans)
+    }
+    for (df <- Seq(Text.txDecontaminateHashed(spark, sf001),
+        Text.txOverlapFraction(spark, sf001))) {
+      val (textScans, memScans) = scanCounts(df)
+      assert(textScans == 0,
+        s"a text-reading documents scan escaped the shingle cache ($textScans)")
+      assert(memScans >= 2,
+        s"expected both join sides on the cached projection, saw $memScans")
+    }
   }
 
   test("temperature mixing: shares sum to 1, α=0.5 flattens the mixture") {
