@@ -130,8 +130,62 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("custom query sets drive the searches without editing source") {
+    // VERDICT r6 item 6: the query set is an argument now. Simulate
+    // EXTERNAL query vectors by remapping three corpus vectors to ids
+    // disjoint from the corpus — with foreign ids nothing is excluded as
+    // a self-match, so each query's top hit must be its own corpus copy
+    // at cosine ~1 (an end-to-end correctness probe of the plumbing).
+    val qs = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id").isin(10L, 11L, 12L))
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val brute = Similarity.simCosineTopk(spark, dir, Some(qs)).collect()
+    assert(brute.map(_.getAs[Long]("qid")).toSet ==
+      Set(1000010L, 1000011L, 1000012L))
+    brute.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("qid") - 1000000L)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // the IVF path: the query equals a corpus member, so its nearest
+    // trained cell is that member's cell — probed first, top-1 must match
+    val ivf = Similarity.simIvfAnn(spark, dir, querySet = Some(qs)).collect()
+    assert(ivf.map(_.getAs[Long]("qid")).toSet ==
+      Set(1000010L, 1000011L, 1000012L))
+    ivf.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("qid") - 1000000L)
+      assert(math.abs(r.getAs[Double]("cosine") - 1.0) < 1e-12)
+    }
+    // and the LSH path hashes external queries into their own bucket
+    val lsh = Similarity.simLshAnn(spark, dir, querySet = Some(qs)).collect()
+    lsh.filter(_.getAs[Int]("rnk") == 1).foreach { r =>
+      assert(r.getAs[Long]("vec_id") == r.getAs[Long]("qid") - 1000000L)
+    }
+  }
+
+  test("the IVF cell-count rule scales like sqrt(n) and trains cleanly") {
+    assert(Similarity.nCellsFor(100L) == 10)
+    assert(Similarity.nCellsFor(10L) == 8) // floor for toy corpora
+    assert(Similarity.nCellsFor(1000000L) == 1000)
+    val small = "/root/testdata/sf0.001"
+    val n = Tables(spark, small, "embeddings").count()
+    val k = Similarity.nCellsFor(n)
+    val state = Similarity.kmeansTrain(spark, small, k, 2)
+    val cells = state.select("cid").collect().map(_.getLong(0)).toSet
+    // cells may only SHRINK from k (empty cells disappear, both engines)
+    assert(cells.nonEmpty && cells.size <= k)
+    assert(state.agg(sum("n_members")).head().getLong(0) == n,
+      "every vector must land in exactly one cell")
+  }
+
   test("converged k-means is an assignment fixed point, at least as tight as 3 rounds") {
     val state = Similarity.kmeansTrainConverged(spark, dir, 8)
+    // convergence metadata is part of the user-facing contract: rounds
+    // executed, and a 0 changed-count at the fixed point
+    val meta = state.select("rounds_to_converge", "last_changed").distinct()
+      .collect()
+    assert(meta.length == 1, "metadata must be constant across cells")
+    assert(meta.head.getInt(0) >= 1)
+    assert(meta.head.getLong(1) == 0L)
     def cellsOf(cents: org.apache.spark.sql.DataFrame) =
       Similarity.kmeansAssign(spark, dir, cents.select("cid", "centroid"))
         .select("vec_id", "cid").collect()

@@ -574,7 +574,7 @@ class TextOpsSpec extends SparkSpec {
     // file scan of documents may still read `text` (the one text-reading
     // scan lives inside the cached relation, materialized once).
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     def scanCounts(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
       df.collect()
@@ -589,7 +589,9 @@ class TextOpsSpec extends SparkSpec {
         }
         p match {
           case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case s: ShuffleQueryStageExec => walk(s.plan)
+          // every AQE stage kind (shuffle, broadcast, table-cache) hides
+          // its subtree behind .plan, not .children
+          case s: QueryStageExec => walk(s.plan)
           case other => other.children.foreach(walk)
         }
       }
