@@ -108,7 +108,7 @@ object SparkEntry {
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
-    "sim_sq_int8" -> (Similarity.simSqInt8 _),
+    "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(

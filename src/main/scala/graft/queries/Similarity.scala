@@ -65,7 +65,7 @@ object Similarity {
     * top-k per query — no all-pairs shuffle.
     */
   def simCosineTopk(spark: SparkSession, dir: String,
-      querySet: Option[DataFrame] = None): DataFrame = {
+      querySet: Option[DataFrame] = None, k: Int = 10): DataFrame = {
     register(spark)
     val emb = Tables(spark, dir, "embeddings")
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
@@ -79,7 +79,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select("qid", "vec_id", "label", "cosine", "rnk")
       .orderBy("qid", "rnk")
   }
@@ -261,7 +261,7 @@ object Similarity {
     * external vectors probe the bucket they would hash to.
     */
   def simLshAnn(spark: SparkSession, dir: String, nbits: Int = 8,
-      querySet: Option[DataFrame] = None): DataFrame = {
+      querySet: Option[DataFrame] = None, k: Int = 5): DataFrame = {
     register(spark)
     // join key: evaluate once for q and corpus sides; the shared
     // per-nbits scoped cache (see bucketedEmbeddings)
@@ -278,7 +278,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 5)
+      .filter(col("rnk") <= k)
       .select("qid", "vec_id", "cosine", "rnk")
       .orderBy("qid", "rnk")
   }
@@ -714,7 +714,7 @@ object Similarity {
     * the scan shape (narrow projection, broadcast of 5 query vectors,
     * per-query top-k) is already the 100 TB plan.
     */
-  def simSqInt8(spark: SparkSession, dir: String): DataFrame = {
+  def simSqInt8(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
     register(spark)
     graft.Catalog.registerAll(spark, dir)
     val emb = spark.sql(
@@ -743,7 +743,7 @@ object Similarity {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("approx_cosine").desc, col("vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= 10)
+      .filter(col("rnk") <= k)
       .select("qid", "vec_id", "label", "approx_cosine", "rnk")
       .orderBy("qid", "rnk")
   }
