@@ -107,6 +107,10 @@ object SparkEntry {
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
+    // same search over the MATERIALIZED cell-partitioned index: the probe
+    // reads only its nprobe inverted-list directories (PlanSpec pins the
+    // PartitionFilters); results — and the oracle — are identical
+    "sim_ivf_ann_indexed" -> ((s, d) => Similarity.simIvfAnnIndexed(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
@@ -226,6 +230,41 @@ object SparkEntry {
        |  (CAST(weight_ppm AS DOUBLE) / CAST(sum(weight_ppm) OVER () AS DOUBLE)) /
        |    (CAST(tokens AS DOUBLE) / CAST(sum(tokens) OVER () AS DOUBLE)) AS boost
        |FROM ww ORDER BY source""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfAnn]] AND its
+    * materialized-index form [[graft.queries.Similarity.simIvfAnnIndexed]]
+    * — one algorithm, one oracle text: trained centroids (kmeansCtes),
+    * corpus-wide nearest-cell assignment (rn = 1 over cos DESC, label
+    * ASC — the Spark side's array_min over (-cos, label) structs resolves
+    * every tie identically because negation is exact), nprobe-deep probe
+    * ranking for the query vectors, probe-cell scoring, per-query top-k.
+    */
+  private def ivfAnnSql: String =
+    s"""WITH ${kmeansCtes()},
+      |e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+      |  FROM embeddings),
+      |cn AS (
+      |  SELECT cid AS c_label, centroid,
+      |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
+      |  FROM c3),
+      |rk AS (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+      |  FROM (
+      |    SELECT vec_id, embedding, vnorm, c_label,
+      |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+      |    FROM e, cn)),
+      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+      |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
+      |s AS (
+      |  SELECT qid, m_vec_id, cells.cell AS cell,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+      |  FROM cells JOIN probes ON cells.cell = probes.cell
+      |  WHERE m_vec_id <> qid)
+      |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
+      |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1274,32 +1313,10 @@ object SparkEntry {
         |SELECT vec_id, label, c_label AS nearest_label, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
-    "sim_ivf_ann" ->
-      s"""WITH ${kmeansCtes()},
-        |e AS (
-        |  SELECT vec_id, label, embedding,
-        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
-        |  FROM embeddings),
-        |cn AS (
-        |  SELECT cid AS c_label, centroid,
-        |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
-        |  FROM c3),
-        |rk AS (
-        |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
-        |  FROM (
-        |    SELECT vec_id, embedding, vnorm, c_label,
-        |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
-        |    FROM e, cn)),
-        |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
-        |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
-        |s AS (
-        |  SELECT qid, m_vec_id, cells.cell AS cell,
-        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
-        |  FROM cells JOIN probes ON cells.cell = probes.cell
-        |  WHERE m_vec_id <> qid)
-        |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
-        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+    "sim_ivf_ann" -> ivfAnnSql,
+    // the indexed form runs the identical algorithm over the materialized
+    // cell partitions — one oracle text, shared verbatim
+    "sim_ivf_ann_indexed" -> ivfAnnSql,
     // hash covers the WHOLE training loop: any drift in a seed, a distance
     // tie, or a mean in any round changes members -> counts/norms/inertia
     "sim_ivf_kmeans" ->

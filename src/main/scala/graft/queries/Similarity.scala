@@ -547,50 +547,71 @@ object Similarity {
     querySet.getOrElse(defaultQueries(spark, dir))
       .createOrReplaceTempView("graft_ivf_queries")
     graft.Catalog.registerAll(spark, dir)
-    def cosC(v: String, c: String) =
-      s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST($v[i] AS DOUBLE) * $c.centroid[i]) / (vnorm * $c.cnorm)"
-    // Corpus-side cell assignment is a PURE PROJECTION (VERDICT r6 item 2:
-    // the r6 row_number window shuffled k vector-carrying candidate rows
-    // per corpus vector — the exact anti-shape kmeansAssign's scaladoc
-    // names). The k trained centroids splice in as an uncorrelated scalar
-    // subquery over the checkpointed k-row view (the simSqInt8 pattern —
-    // one bounded subquery stage, no constant-key join for Catalyst to
-    // fold into the banned BNLJ), and argmin is array_min over
-    // (-cosine, label) structs — bit-identical to the oracle's
-    // `ORDER BY cos_c DESC, c_label ASC ... rn = 1` because negation is
-    // exact and the tie-break field order matches. Nothing shuffles here
-    // at all: scan → project, at any corpus size.
-    val members = spark.sql(
-      s"""SELECT vec_id AS m_vec_id, cell, embedding AS m_vec, vnorm AS m_norm
-         |FROM (
-         |  SELECT vec_id, embedding, vnorm,
-         |    array_min(transform(cents, c -> named_struct(
-         |      'neg_cos', -(${cosC("embedding", "c")}),
-         |      'c_label', c.c_label))).c_label AS cell
-         |  FROM (
-         |    SELECT vec_id, embedding,
-         |      sqrt(float_dot(embedding, embedding)) AS vnorm,
-         |      (SELECT collect_list(struct(c_label, centroid, cnorm))
-         |       FROM graft_ivf_centroids) AS cents
-         |    FROM embeddings))""".stripMargin)
-    // Query side: rank centroids to depth nprobe for the FEW query vectors
-    // only. The row_number window is fine here — its input is |queries|·k
-    // rows — and the projection drops the vectors BEFORE the window, so
-    // even that tiny exchange carries (vec_id, c_label, cos_c) triples.
-    val probeKeys = spark.sql(
-      s"""SELECT vec_id, c_label, cos_c FROM (
-         |  SELECT vec_id, c_label, cos_c, row_number() OVER (
-         |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
-         |  FROM (
-         |    SELECT vec_id, c.c_label AS c_label, ${cosC("embedding", "c")} AS cos_c
-         |    FROM (
-         |      SELECT vec_id, embedding,
-         |        sqrt(float_dot(embedding, embedding)) AS vnorm,
-         |        (SELECT collect_list(struct(c_label, centroid, cnorm))
-         |         FROM graft_ivf_centroids) AS cents
-         |      FROM graft_ivf_queries)
-         |    LATERAL VIEW explode(cents) t AS c))
-         |WHERE crnk <= $nprobe""".stripMargin)
+    val members = spark.sql(ivfMembersSql)
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe))
+    ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
+  }
+
+  /** The query·centroid cosine over an exploded/lambda centroid struct
+    * `c` — the ordered double fold, shared by assignment and probing.
+    */
+  private def ivfCosC(v: String, c: String): String =
+    s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST($v[i] AS DOUBLE) * $c.centroid[i]) / (vnorm * $c.cnorm)"
+
+  /** Corpus-side cell assignment as a PURE PROJECTION (VERDICT r6 item 2:
+    * the r6 row_number window shuffled k vector-carrying candidate rows
+    * per corpus vector — the exact anti-shape kmeansAssign's scaladoc
+    * names). The k trained centroids splice in as an uncorrelated scalar
+    * subquery over the k-row `graft_ivf_centroids` view (the simSqInt8
+    * pattern — one bounded subquery stage, no constant-key join for
+    * Catalyst to fold into the banned BNLJ), and argmin is array_min over
+    * (-cosine, label) structs — bit-identical to the oracle's
+    * `ORDER BY cos_c DESC, c_label ASC ... rn = 1` because negation is
+    * exact and the tie-break field order matches. Nothing shuffles here
+    * at all: scan → project, at any corpus size.
+    */
+  private def ivfMembersSql: String =
+    s"""SELECT vec_id AS m_vec_id, cell, embedding AS m_vec, vnorm AS m_norm
+       |FROM (
+       |  SELECT vec_id, embedding, vnorm,
+       |    array_min(transform(cents, c -> named_struct(
+       |      'neg_cos', -(${ivfCosC("embedding", "c")}),
+       |      'c_label', c.c_label))).c_label AS cell
+       |  FROM (
+       |    SELECT vec_id, embedding,
+       |      sqrt(float_dot(embedding, embedding)) AS vnorm,
+       |      (SELECT collect_list(struct(c_label, centroid, cnorm))
+       |       FROM graft_ivf_centroids) AS cents
+       |    FROM embeddings))""".stripMargin
+
+  /** Query side: rank centroids to depth nprobe for the FEW query vectors
+    * only. The row_number window is fine here — its input is |queries|·k
+    * rows — and the projection drops the vectors BEFORE the window, so
+    * even that tiny exchange carries (vec_id, c_label, cos_c) triples.
+    */
+  private def ivfProbeKeysSql(nprobe: Int): String =
+    s"""SELECT vec_id, c_label, cos_c FROM (
+       |  SELECT vec_id, c_label, cos_c, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c.c_label AS c_label, ${ivfCosC("embedding", "c")} AS cos_c
+       |    FROM (
+       |      SELECT vec_id, embedding,
+       |        sqrt(float_dot(embedding, embedding)) AS vnorm,
+       |        (SELECT collect_list(struct(c_label, centroid, cnorm))
+       |         FROM graft_ivf_centroids) AS cents
+       |      FROM graft_ivf_queries)
+       |    LATERAL VIEW explode(cents) t AS c))
+       |WHERE crnk <= $nprobe""".stripMargin
+
+  /** Shared probe scoring: attach query vectors to probe keys (broadcast),
+    * score each probed cell's members with the codegen'd float_dot, drop
+    * vectors, top-k per query. The only exchanges carry
+    * (qid, id, cell, cosine) rows.
+    */
+  private def ivfScoreTopK(spark: SparkSession, dir: String,
+      members: DataFrame, probeKeys: DataFrame,
+      querySet: Option[DataFrame], k: Int): DataFrame = {
     val q = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id"), col("embedding").as("qvec"),
         expr(s"sqrt(${dotExpr("embedding", "embedding")})").as("qnorm"))
@@ -610,6 +631,66 @@ object Similarity {
       .select(col("qid"), col("m_vec_id").as("vec_id"), col("cell"),
         col("cosine"), col("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** Build a MATERIALIZED IVF index under the warehouse dir: the trained
+    * centroids as a k-row parquet, and the corpus assignment written as a
+    * cell-PARTITIONED parquet table — one directory per inverted list.
+    * This is what an IVF index IS on a cluster: at 100 TB the inverted
+    * lists are partition directories, and a probe reads only its nprobe
+    * directories, so "scan nprobe of nlist cells" becomes a STORAGE-layer
+    * fact (PartitionFilters at the scan) rather than a runtime filter
+    * over a full corpus scan. Returns the index base path. Overwrites the
+    * previous build (the pipeline_materialize scratch rule — no
+    * accumulating copies).
+    */
+  def simIvfBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_index"
+    centroidsWithNorm(spark, dir)
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    spark.sql(ivfMembersSql)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    base
+  }
+
+  /** [[simIvfAnn]] over the MATERIALIZED index ([[simIvfBuildIndex]]):
+    * identical results (same training, assignment and scoring arithmetic
+    * — the oracle SQL is shared verbatim), but the probe reads the
+    * cell-partitioned table with an IN-list partition filter, so the scan
+    * touches only the probed inverted lists. The probe-cell list is a
+    * ≤ |queries|·nprobe-row driver collect — the reference's own
+    * bounded IN-list read semantics (`interfaces.py` filter contract), and
+    * exactly how every IVF implementation turns probe choice into I/O
+    * pruning. PlanSpec pins the PartitionFilters; SimilaritySpec pins
+    * row-for-row equality with the scan-side form.
+    */
+  def simIvfAnnIndexed(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val base = simIvfBuildIndex(spark, dir)
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe))
+      .localCheckpoint(false)
+    // ≤ |queries|·nprobe values: the bounded probe list every IVF search
+    // materializes before deciding which inverted lists to read
+    val cells = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    import org.apache.spark.sql.types._
+    // explicit schema pins the partition column to LongType (inference
+    // would narrow small cell ids to INT and the cast on the partition
+    // attribute could defeat pruning)
+    val idxSchema = StructType(Seq(
+      StructField("m_vec_id", LongType), StructField("m_vec",
+        ArrayType(FloatType)), StructField("m_norm", DoubleType),
+      StructField("cell", LongType)))
+    val members = spark.read.schema(idxSchema).parquet(s"$base/cells")
+      .filter(col("cell").isin(cells: _*))
+    ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
   }
 
   /** IVF-style coarse quantization: per-label centroids via an

@@ -171,6 +171,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("indexed IVF probe prunes to the probed cell partitions") {
+    // simIvfAnnIndexed's reason to exist: the inverted lists are partition
+    // DIRECTORIES, so the probe's IN-list on the cell column must surface
+    // as PartitionFilters at the scan and the scan must list fewer
+    // partitions than the index holds — at 100 TB this pruning IS the
+    // difference between reading nprobe lists and reading the corpus.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // static plan probe: AQE hides scans inside unexecuted stages
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      SparkEntry.queries("sim_ivf_ann_indexed")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+              if f.relation.partitionSchema.fieldNames.contains("cell") => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty, "no scan over the cell-partitioned index")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"probe IN-list not a partition filter:\n$f")
+      val selected = f.selectedPartitions.partitionCount
+      // default: 5 queries x nprobe 2 -> at most 10 probed cells, and the
+      // fixed corpus trains 8 cells of which the probes touch a strict
+      // subset (measured: 4)
+      assert(selected <= 8, s"selected $selected partitions")
+      val total = f.relation.location.listFiles(Nil, Nil).length
+      assert(selected < total,
+        s"no pruning: selected $selected of $total partitions")
+    }
+  }
+
   test("salted aggregation keeps its two-phase shape") {
     // skew_salted_agg's whole point is TWO aggregation rounds — phase 1
     // keyed (event_type, __salt) fanning the hot key over 16 reducers,

@@ -162,6 +162,15 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed IVF equals the scan-side IVF row for row") {
+    // one algorithm, two storage strategies: the materialized
+    // cell-partitioned index must return exactly what the scan-side form
+    // returns (training, assignment and scoring arithmetic are shared)
+    val scan = Similarity.simIvfAnn(spark, dir).collect().toSeq
+    val indexed = Similarity.simIvfAnnIndexed(spark, dir).collect().toSeq
+    assert(indexed == scan)
+  }
+
   test("the IVF cell-count rule scales like sqrt(n) and trains cleanly") {
     assert(Similarity.nCellsFor(100L) == 10)
     assert(Similarity.nCellsFor(10L) == 8) // floor for toy corpora
