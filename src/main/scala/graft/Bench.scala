@@ -59,6 +59,14 @@ object Bench {
     // pooled(name) = all (elapsed sec, succeeded) runs across sessions so far
     val pooled = LinkedHashMap[String, ArrayBuffer[(Double, Boolean)]]()
     val rawPerSession = ArrayBuffer[LinkedHashMap[String, Seq[(Double, Boolean)]]]()
+    // The shutdown hook reads these collections from ITS thread while the
+    // main thread may still be appending (a SIGTERM does not stop the main
+    // loop) — an unsynchronized LinkedHashMap iteration there can throw
+    // and kill the hook silently, losing the partial artifact in exactly
+    // the timeout scenario it exists for. All structure mutations and the
+    // hook's snapshot serialize on this lock; query execution itself stays
+    // outside it.
+    val stateLock = new Object
     @volatile var truncated = false
     @volatile var summaryPrinted = false
 
@@ -70,7 +78,7 @@ object Bench {
       if (good.nonEmpty) good.min else runs.map(_._1).max
     }
 
-    def summaryJson(partial: Boolean): String = {
+    def summaryJson(partial: Boolean): String = stateLock.synchronized {
       val measured = names.filter(pooled.contains)
       val mins = measured.map(n => n -> minOf(pooled(n).toSeq))
       val total = mins.map(_._2).sum
@@ -116,7 +124,7 @@ object Bench {
       Tables.names.foreach(n =>
         scala.util.Try(Tables(spark, sfDir, n).selectExpr("count(*)").collect()))
       val perQuery = LinkedHashMap[String, Seq[(Double, Boolean)]]()
-      rawPerSession += perQuery
+      stateLock.synchronized { rawPerSession += perQuery }
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         val overBudget = elapsedS > budgetS
         if (overBudget) truncated = true
@@ -140,7 +148,7 @@ object Bench {
               catch {
                 case e: Throwable =>
                   val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}"
-                  errors(name) = msg
+                  stateLock.synchronized { errors(name) = msg }
                   System.err.println(s"BENCH ERROR $name -> $msg")
                   false
               }
@@ -148,8 +156,10 @@ object Bench {
             r += 1
           }
         }
-        perQuery(name) = runs.toSeq
-        pooled.getOrElseUpdate(name, ArrayBuffer()) ++= runs
+        stateLock.synchronized {
+          perQuery(name) = runs.toSeq
+          pooled.getOrElseUpdate(name, ArrayBuffer()) ++= runs
+        }
         println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"wall_s":$elapsedS}""")
         Console.out.flush()
       }

@@ -87,9 +87,10 @@ object SparkEntry {
     "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
-    // second oracle'd temperature: α = 3/4, the nearest bit-portable
-    // dyadic to UL2/PaLM's 0.7 (see Text.dyadicPowExpr)
-    "tx_temperature_mix_a75" -> ((s, d) => Text.txTemperatureMix(s, d, 3, 2)),
+    // second oracle'd temperature: α = 45/64 = 0.703125, the nearest
+    // 6-bit dyadic to UL2/PaLM's 0.7 (see Text.dyadicPowExpr — every
+    // sqrt-chain factor is correctly rounded in both engines)
+    "tx_temperature_mix_a70" -> ((s, d) => Text.txTemperatureMix(s, d, 45, 6)),
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
@@ -1106,7 +1107,7 @@ object SparkEntry {
     // side evaluates (Text.temperatureWeightExpr — the kmeansCtes
     // pattern), so the two temperatures can never drift.
     "tx_temperature_mix" -> temperatureMixSql(1, 1),
-    "tx_temperature_mix_a75" -> temperatureMixSql(3, 2),
+    "tx_temperature_mix_a70" -> temperatureMixSql(45, 6),
     // Seeded permutation: 60-bit md5(seed:doc_id) key, shard = key mod n,
     // within-shard order (key, doc_id); heads via ordered list prefix.
     // Seed and shard count come from the SAME constants as the Spark

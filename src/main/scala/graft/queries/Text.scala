@@ -44,28 +44,32 @@ object Text {
       .select(col("doc_id"), col("lang"), col("toks"))
 
   /** Jaccard-scored MinHash-band candidate pairs over a (doc_id, lang,
-    * toks) frame: band buckets → same-lang candidate pairs → exact
+    * toks) frame: band buckets → candidate pairs (same-lang when
+    * `langBlocked`, the default; cross-language otherwise) → exact
     * shingle-Jaccard on candidates only. Returns
     * (lang, id_a, id_b, jaccard) with id_a < id_b.
     *
     * This is the ONE candidate scaffold behind [[ddNgramJaccard]],
-    * [[pipelineCleanCorpus]] and [[ddDupClusters]] — their DuckDB
-    * oracles replicate it bit-for-bit, so the blocking rule must not
-    * drift between them (same argument as Similarity's cosinePairs).
+    * [[pipelineCleanCorpus]], [[ddDupClusters]] and (unblocked)
+    * [[ddMinhashLsh]] — their DuckDB oracles replicate it bit-for-bit, so
+    * the blocking rule must not drift between them (same argument as
+    * Similarity's cosinePairs); a fix here reaches every family member.
     * No cache on the band projection: the self-join sides share the
     * spread Exchange (ReusedExchange), and the signature recompute above
     * it is ~cheap since the interleaved-digest rework. The per-pair
     * intersect only runs on the few candidate rows the pair set selects.
     */
   private def jaccardScoredPairs(d: DataFrame,
-      numSlots: Int, bandSize: Int): DataFrame = {
+      numSlots: Int, bandSize: Int, langBlocked: Boolean = true): DataFrame = {
     val bands = d
       .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
       .select(col("doc_id"), col("lang"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val bucketEq = col("x.band") === col("y.band") &&
+      col("x.key") === col("y.key") && col("x.doc_id") < col("y.doc_id")
     val pairs = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.lang") === col("y.lang") && col("x.doc_id") < col("y.doc_id"))
+        if (langBlocked) bucketEq && col("x.lang") === col("y.lang")
+        else bucketEq)
       .select(col("x.lang").as("lang"), col("x.doc_id").as("id_a"),
         col("y.doc_id").as("id_b"))
       .distinct()
@@ -468,6 +472,29 @@ object Text {
     * both round trips byte-lossless, not merely row-complete; the twin
     * `*_pq` columns prove the two sinks agree with each other.
     */
+  private def rmRecursive(f: java.io.File): Unit = {
+    val kids = f.listFiles()
+    if (kids != null) kids.foreach(rmRecursive)
+    f.delete(): Unit
+  }
+
+  /** [[pipelineMaterialize]]'s scratch: one PID-suffixed dir per JVM,
+    * cleared on every intra-JVM reuse, removed by a shutdown hook at JVM
+    * exit — bounded disk without the cross-process rm race a fixed
+    * per-host path would carry.
+    */
+  private lazy val materializeScratchDir: java.io.File = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-materialize-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmRecursive(p)))
+    p
+  }
+
+  private def materializeScratch: String = {
+    rmRecursive(materializeScratchDir)
+    materializeScratchDir.toString
+  }
+
   def pipelineMaterialize(spark: SparkSession, dir: String,
       paraTokens: Int = 20, minTokens: Int = 10,
       benchmarkSource: String = "src0", width: Int = 8,
@@ -476,22 +503,15 @@ object Text {
         benchmarkSource, width)
       .select(col("doc_id"), col("text2").as("text"), col("lang"),
         col("source"), length(col("text2")).cast("long").as("n_chars"))
-    // Fixed per-JVM scratch path, cleared on reuse (ADVICE r6: a fresh
-    // createTempDirectory per invocation was never deleted, so every
-    // bench run leaked a full JSONL corpus copy into /tmp). The returned
+    // Per-JVM scratch path, cleared on intra-JVM reuse and deleted at JVM
+    // exit (ADVICE r6: a fresh createTempDirectory per invocation was
+    // never deleted, so every bench run leaked a full JSONL corpus copy
+    // into /tmp). The PID suffix keeps concurrent JVMs (a Verify next to
+    // a Bench) from rm-ing each other's shards mid-read — a fixed
+    // per-host path would reintroduce exactly that race. The returned
     // frame reads the shards lazily, so the previous run's contents are
     // removed HERE — not after — and the path stays stable for re-reads.
-    val base = baseDir.getOrElse {
-      val p = new java.io.File(
-        sys.props("java.io.tmpdir"), "graft-materialize-scratch")
-      def rm(f: java.io.File): Unit = {
-        val kids = f.listFiles()
-        if (kids != null) kids.foreach(rm)
-        f.delete(): Unit
-      }
-      rm(p)
-      p.toString
-    }
+    val base = baseDir.getOrElse(Text.materializeScratch)
     graft.sources.CorpusSource.writeJsonl(contract, s"$base/jsonl", shards = 4)
     graft.Layout.saveBucketed(contract, "prepared_corpus_b", 8, Seq("doc_id"))
     val (clean, corrupt) = graft.sources.CorpusSource.cleanAndCorrupt(
@@ -634,26 +654,8 @@ object Text {
       numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
     require(numSlots % bandSize == 0, "numSlots must be a multiple of bandSize")
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val spark2 = spark
-    import spark2.implicits._
-    val src = Tables.spread(docs(spark, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= 3)
-    val bands = src.select(col("doc_id"),
-        posexplode(expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val pairs = bands.as("x").join(bands.as("y"),
-        $"x.band" === $"y.band" && $"x.key" === $"y.key" &&
-          $"x.doc_id" < $"y.doc_id")
-      .select($"x.doc_id".as("id_a"), $"y.doc_id".as("id_b")).distinct()
-    val sh = src.withColumn("sh", expr(shingleExpr(3)))
-      .select(col("doc_id"), col("sh"))
-    pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+    jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots, bandSize,
+        langBlocked = false)
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.8, 1L).otherwise(0L)).as("n_confirmed_dups"))
   }
@@ -1181,8 +1183,8 @@ object Text {
     * are down-weighted and small ones up-weighted relative to their
     * natural token share. α IS the knob (VERDICT r6 item 7), expressed as
     * a dyadic rational num/2^denLog2 — default 1/2 (the sqrt rule);
-    * 3/4 is the second oracle'd operating point (the nearest bit-portable
-    * temperature to UL2/PaLM's 0.7 — see [[dyadicPowExpr]] on why a free
+    * 45/64 = 0.703125 is the second oracle'd operating point (the nearest
+    * 6-bit dyadic to UL2/PaLM's 0.7 — see [[dyadicPowExpr]] on why a free
     * double α cannot be made bit-exact across engines).
     *
     * Exactness: each sqrt in the chain is correctly rounded by IEEE-754

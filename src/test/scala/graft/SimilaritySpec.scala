@@ -169,6 +169,15 @@ class SimilaritySpec extends SparkSpec {
     val scan = Similarity.simIvfAnn(spark, dir).collect().toSeq
     val indexed = Similarity.simIvfAnnIndexed(spark, dir).collect().toSeq
     assert(indexed == scan)
+    // the production shape: build ONCE, search repeatedly against the
+    // prebuilt path — no retrain, no corpus rewrite per query batch
+    val base = Similarity.simIvfBuildIndex(spark, dir)
+    val s1 = Similarity.simIvfAnnIndexed(spark, dir,
+      indexPath = Some(base)).collect().toSeq
+    assert(s1 == scan)
+    val s2 = Similarity.simIvfAnnIndexed(spark, dir, nprobe = 4,
+      indexPath = Some(base)).collect().toSeq
+    assert(s2.nonEmpty && s2.map(_.getAs[Long]("qid")).distinct.size == 5)
   }
 
   test("the IVF cell-count rule scales like sqrt(n) and trains cleanly") {
