@@ -80,6 +80,7 @@ object SparkEntry {
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_hash_sample" -> (Text.txHashSample _),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
+    "tx_token_budget" -> ((s, d) => Text.txTokenBudget(s, d)),
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
@@ -97,6 +98,7 @@ object SparkEntry {
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "dd_exact" -> (Text.ddExact _),
+    "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
@@ -729,12 +731,60 @@ object SparkEntry {
         |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS tokens,
         |  min(doc_id) AS first_doc_id
         |FROM c GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // The oracle is the NAIVE global running-sum spec (one window over the
+    // whole corpus) — the Spark plan decomposes it into bounded bucket
+    // prefixes + per-bucket windows (Text.txTokenBudget scaladoc); equal
+    // results prove the decomposition. Budget comes from the SAME
+    // constant as the Spark default (Text.tokenBudgetDefault, ADVICE r6).
+    "tx_token_budget" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 1000)
+        |      // length(text) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, n_tokens, q,
+        |    sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM d)
+        |SELECT lang, count(*) AS n_selected,
+        |  CAST(sum(n_tokens) AS BIGINT) AS tokens_selected,
+        |  min(q) AS min_q, max(q) AS max_q,
+        |  min(doc_id) AS first_doc_id
+        |FROM r WHERE running <= ${Text.tokenBudgetDefault}
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Snapshot-delta dedup over the same 60-bit md5-derived BIGINT keys
+    // as tx_decontaminate_hashed (exact across engines by construction);
+    // the delta modulus comes from the SAME constant as the Spark
+    // default (Text.incrementalDeltaMod, ADVICE r6).
+    "dd_incremental" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hk,
+        |    (doc_id % ${Text.incrementalDeltaMod} = 0) AS is_delta
+        |  FROM documents),
+        |basek AS (SELECT DISTINCT hk FROM d WHERE NOT is_delta),
+        |k AS (SELECT hk, min(doc_id) AS first_id FROM d WHERE is_delta GROUP BY 1),
+        |f AS (
+        |  SELECT dd.lang, dd.doc_id,
+        |    CASE WHEN dd.hk IN (SELECT hk FROM basek) THEN 'dup_vs_base'
+        |         WHEN dd.doc_id <> k.first_id THEN 'dup_in_delta'
+        |         ELSE 'admitted' END AS status
+        |  FROM d dd JOIN k ON dd.hk = k.hk
+        |  WHERE dd.is_delta)
+        |SELECT lang, count(*) AS n_delta_docs,
+        |  CAST(sum(CASE WHEN status = 'dup_vs_base' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_vs_base,
+        |  CAST(sum(CASE WHEN status = 'dup_in_delta' THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_in_delta,
+        |  CAST(sum(CASE WHEN status = 'admitted' THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  min(CASE WHEN status = 'admitted' THEN doc_id END) AS first_admitted
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
     // Full simhash replication: md5-derived signed 64-bit token hashes
     // (hi half sign-folded before the 2^32 multiply — stays in BIGINT),
     // per-bit majority votes (counter > 0 <=> 2*set > n, bit 63 lands as

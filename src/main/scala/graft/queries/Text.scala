@@ -314,6 +314,78 @@ object Text {
       .orderBy("lang", "shard", "chunk_id")
   }
 
+  /** Default token budget for [[txTokenBudget]] — the oracle SQL is
+    * generated from this same constant (the kmeansCtes /
+    * [[shuffleShardShards]] single-definition rule, ADVICE r6).
+    */
+  private[graft] val tokenBudgetDefault = 20000L
+
+  /** Quality-ranked data selection under a global token budget — the
+    * curation step that picks the best documents until the training-token
+    * budget is spent (the DoReMi/DsDm-style "select top quality mass"
+    * pass): rank every document by an integer quality score (per-mille
+    * alphanumeric ratio, exact in any engine), take documents in
+    * (quality DESC, doc_id) order while the running token total stays
+    * within `budgetTokens`, and report the per-language admission stats.
+    *
+    * Scale shape — a global running sum WITHOUT a global window: the
+    * naive form (one `sum() OVER (ORDER BY q DESC, doc_id)`) funnels the
+    * corpus through ONE reducer, the anti-pattern txHashSample's round-1
+    * version hit. Instead the prefix sum is split by the BOUNDED score
+    * domain (q ∈ [0, 1000]):
+    *   1. per-score token totals — one partial-aggregated groupBy over
+    *      ≤ 1001 groups;
+    *   2. exclusive prefix totals over those ≤ 1001 rows — the documented
+    *      unpartitioned-window-over-a-bounded-aggregate pattern
+    *      (CLAUDE.md; same as evFunnel / txTemperatureMix);
+    *   3. within-score running sums — a window PARTITIONED by q, parallel
+    *      across scores; running = bucket prefix + within-bucket sum.
+    * Every row's running total equals the naive global window's (all docs
+    * in a bucket share q, so the global order never interleaves buckets)
+    * — the DuckDB oracle IS the naive single-window spec, proving the
+    * decomposition. If one score value dominates the corpus, its
+    * within-bucket window is the residual skew; a finer integer score
+    * (per-10⁶ ratio) re-spreads it without changing the construction.
+    *
+    * Reference behavior rebuilt: the reference's filter→sort→take
+    * selection contract (`interfaces.py:96-101` sorted reads,
+    * `wrds_ingestion.py` quality ladders) extended to the budgeted
+    * corpus-selection form an LLM data pipeline runs.
+    */
+  def txTokenBudget(spark: SparkSession, dir: String,
+      budgetTokens: Long = tokenBudgetDefault): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    // Both the bucket-total aggregate and the join-back probe read this
+    // projection, and q is the join key — scoped-cache it so the heavy
+    // regexp (the spread-worthy narrow stage, as in txTokenCount) runs
+    // once per execution (the CLAUDE.md expensive-join-key rule).
+    val scored = graft.Caches.scoped("tx_token_budget.scored",
+      Tables.spread(docs(spark, dir))
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          expr("""(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)
+                   * 1000) div length(text)""").as("q")))
+    val wq = org.apache.spark.sql.expressions.Window
+      .orderBy(col("q").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val prefixes = scored.groupBy("q")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("prefix_before",
+        coalesce(sum("bucket_tokens").over(wq), lit(0L)))
+      .select("q", "prefix_before")
+    val wd = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy("doc_id")
+    scored.join(broadcast(prefixes), "q")
+      .withColumn("running", col("prefix_before") + sum("n_tokens").over(wd))
+      .filter(col("running") <= budgetTokens)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tokens").as("tokens_selected"),
+        min("q").as("min_q"), max("q").as("max_q"),
+        min("doc_id").as("first_doc_id"))
+      .orderBy("lang")
+  }
+
   /** Corpus-wide exact paragraph deduplication, keep-first (the
     * MassiveText/C4 sub-document pass: Rae et al. 2021 remove repeated
     * paragraphs across documents before any fuzzy dedup). This corpus
@@ -547,6 +619,74 @@ object Text {
         countDistinct(col("h")).as("n_distinct_md5"),
         (count(lit(1)) - countDistinct(col("h"))).as("n_dup_rows"))
       .orderBy("lang")
+
+  /** Default delta modulus for [[ddIncremental]] — the oracle SQL is
+    * generated from this same constant (the kmeansCtes /
+    * [[shuffleShardShards]] single-definition rule, ADVICE r6).
+    */
+  private[graft] val incrementalDeltaMod = 5L
+
+  /** Incremental (snapshot-delta) exact dedup — the production shape of
+    * [[ddExact]]: a NEW crawl snapshot (the delta) is admitted against an
+    * already-deduped corpus (the base) without ever re-processing the
+    * base's documents. A delta document is dropped if its content digest
+    * already exists in the base (`dup_vs_base`), dropped if an earlier
+    * delta document has the same digest (`dup_in_delta`, keep-first by
+    * doc_id), and `admitted` otherwise; reported per language. The
+    * base/delta split is deterministic (`doc_id % deltaMod = 0` is the
+    * delta) so every engine sees the same snapshots.
+    *
+    * Scale shape — at 100 TB the base is petabytes but its digest set is
+    * what ships: the base side collapses to DISTINCT 8-byte keys (the
+    * 60-bit md5-derived BIGINT of [[txDecontaminateHashed]], exact in
+    * DuckDB by construction) before the join, and the delta-side
+    * keep-first is a partial-aggregated `min(doc_id)` per digest + a
+    * digest-keyed join back ([[ddParagraph]]'s argument: map-side
+    * collapse of hot digests, no window). Document text never reaches a
+    * shuffle. In steady state the base digest set would persist as the
+    * index table this query derives on the fly — the delta pass reads
+    * the snapshot once and shuffles only digests.
+    *
+    * Reference behavior rebuilt: the keep-first dedup semantics of
+    * `wrds_ingestion.py:626` applied across snapshot boundaries, the
+    * incremental form every recurring ingest runs.
+    */
+  def ddIncremental(spark: SparkSession, dir: String,
+      deltaMod: Long = incrementalDeltaMod): DataFrame = {
+    require(deltaMod > 1, "deltaMod must leave both a base and a delta")
+    // Hash projection feeds the base digest set, the keep-first aggregate
+    // and the delta probe — scoped-cache it so the md5 pass over the
+    // corpus runs once per execution (the CLAUDE.md expensive-join-key
+    // rule; same treatment as txDecontaminateHashed's shingle keys).
+    val keyed = graft.Caches.scoped(s"dd_incremental.keyed.$deltaMod",
+      docs(spark, dir)
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+            .as("hk"),
+          (pmod(col("doc_id"), lit(deltaMod)) === 0).as("is_delta")))
+    val baseKeys = keyed.filter(!col("is_delta"))
+      .select("hk").distinct()
+    val delta = keyed.filter(col("is_delta"))
+    val keepers = delta.groupBy("hk").agg(min("doc_id").as("first_id"))
+    delta
+      .join(baseKeys.withColumn("in_base", lit(1)), Seq("hk"), "left")
+      .join(keepers, Seq("hk"))
+      .withColumn("status",
+        when(col("in_base") === 1, lit("dup_vs_base"))
+          .when(col("doc_id") =!= col("first_id"), lit("dup_in_delta"))
+          .otherwise(lit("admitted")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta_docs"),
+        sum(when(col("status") === "dup_vs_base", 1L).otherwise(0L))
+          .as("n_dup_vs_base"),
+        sum(when(col("status") === "dup_in_delta", 1L).otherwise(0L))
+          .as("n_dup_in_delta"),
+        sum(when(col("status") === "admitted", 1L).otherwise(0L))
+          .as("n_admitted"),
+        min(when(col("status") === "admitted", col("doc_id")))
+          .as("first_admitted"))
+      .orderBy("lang")
+  }
 
   /** N-gram (3-token-shingle) Jaccard near-dedup with MinHash-band
     * candidate generation — the 100 TB blocking shape (round 1's top fix,

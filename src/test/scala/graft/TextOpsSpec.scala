@@ -716,4 +716,59 @@ class TextOpsSpec extends SparkSpec {
         s"$lang: bucket score ranges out of order")
     }
   }
+
+  test("incremental dedup: all three admission categories, planted corpus") {
+    // The testdata's dup pairs rarely straddle the %5 split (one
+    // dup_vs_base hit at sf0.1, none smaller), so the category logic is
+    // pinned on a planted corpus: doc 0 duplicates base doc 1
+    // (dup_vs_base), docs 5/10 duplicate each other with no base copy
+    // (keep-first: 5 admitted, 10 dup_in_delta), doc 15 is new.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddinc").toString
+    Seq(
+      (0L, "dup A", "en", "src1"), (1L, "dup A", "en", "src1"),
+      (2L, "unique D", "en", "src1"), (3L, "unique E", "en", "src1"),
+      (5L, "dup B", "en", "src1"), (10L, "dup B", "en", "src1"),
+      (15L, "unique C", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.ddIncremental(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_delta_docs") == 4)
+    assert(row.getAs[Long]("n_dup_vs_base") == 1)
+    assert(row.getAs[Long]("n_dup_in_delta") == 1)
+    assert(row.getAs[Long]("n_admitted") == 2)
+    assert(row.getAs[Long]("first_admitted") == 5L)
+  }
+
+  test("token budget: two-phase running sum equals the naive global window") {
+    // The oracle already proves this vs DuckDB's single window; this pins
+    // the same equivalence inside Spark (per-doc, not just aggregates),
+    // so a refactor of the bucket-prefix decomposition can't drift.
+    val d = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        expr("""(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)
+                 * 1000) div length(text)""").as("q"))
+    val naive = d.withColumn("running", sum("n_tokens").over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("q").desc, col("doc_id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .filter(col("running") <= Text.tokenBudgetDefault)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tokens").as("tokens_selected"),
+        min("q").as("min_q"), max("q").as("max_q"),
+        min("doc_id").as("first_doc_id"))
+      .orderBy("lang")
+    val fast = Text.txTokenBudget(spark, sf001)
+    assert(fast.collect().toSeq == naive.collect().toSeq)
+    // the selection is a real subset: something selected, something cut
+    val total = Tables(spark, sf001, "documents").count()
+    val sel = fast.agg(sum("n_selected")).collect().head.getLong(0)
+    assert(sel > 0 && sel < total, s"selected $sel of $total")
+  }
 }
