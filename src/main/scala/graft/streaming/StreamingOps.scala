@@ -241,6 +241,50 @@ object StreamingOps {
     (bands, shingles)
   }
 
+  /** The static base digest set for [[admittedDeltaDocs]] — the distinct
+    * 60-bit md5-derived content digests of the already-deduped corpus,
+    * computed in batch (`graft.queries.Text.ddIncremental`'s base side).
+    * In production this is the persisted digest index the batch operator's
+    * scaladoc describes, refreshed by compaction between stream restarts.
+    */
+  def baseDigestKeys(spark: SparkSession, dir: String,
+      deltaMod: Long = graft.queries.Text.incrementalDeltaMod): DataFrame =
+    graft.Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+      .select(expr(
+        "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+        .as("hk"))
+      .distinct()
+
+  /** Streaming incremental dedup (the stream twin of
+    * `graft.queries.Text.ddIncremental`, as [[contaminatedDocsHashed]]
+    * twins the batch decontamination): newly-landing documents are
+    * admitted iff their content digest is absent from the STATIC base
+    * digest set (a stateless stream-static LEFT ANTI join shipping 8-byte
+    * longs) and no earlier micro-batch admitted the same digest
+    * (streaming `dropDuplicates` on the digest — keyed state, one 8-byte
+    * key per distinct NEW digest). Emits one admitted row per new digest.
+    *
+    * The admitted digest SET and per-language counts are deterministic
+    * and equal the batch operator's (StreamingSpec asserts both on the
+    * planted corpus); WHICH document represents a within-stream duplicate
+    * cluster follows arrival order, not the batch keep-first-by-doc_id —
+    * the same arrival-order caveat as every streaming twin here. Content
+    * digests carry no event time, so the dedup state has no watermark to
+    * evict by; production bounds it by periodically compacting admitted
+    * digests into the base set and restarting the stream on the enlarged
+    * static side — state then spans one compaction interval, not the
+    * stream's lifetime.
+    */
+  def admittedDeltaDocs(deltaStream: DataFrame, baseKeys: DataFrame): DataFrame =
+    deltaStream
+      .select(col("doc_id"), col("lang"),
+        expr(
+          "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+          .as("hk"))
+      .join(baseKeys, Seq("hk"), "left_anti")
+      .dropDuplicates("hk")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

@@ -254,4 +254,41 @@ class StreamingSpec extends SparkSpec {
     assert(streamedIds.size.toLong == batchTotal,
       s"streamed fuzzy drop-list ${streamedIds.size} != batch $batchTotal")
   }
+
+  test("streaming incremental dedup admits exactly the batch digest set") {
+    // Planted corpus (the TextOpsSpec fixture): delta docs 0/5/10/15 where
+    // 0 duplicates base doc 1, 5 and 10 duplicate each other with no base
+    // copy, 15 is new — expected admitted digests: {dup B, unique C}.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddinc-stream").toString
+    Seq(
+      (0L, "dup A", "en", "src1"), (1L, "dup A", "en", "src1"),
+      (2L, "unique D", "en", "src1"), (3L, "unique E", "en", "src1"),
+      (5L, "dup B", "en", "src1"), (10L, "dup B", "en", "src1"),
+      (15L, "unique C", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val baseKeys = StreamingOps.baseDigestKeys(spark, dir)
+    val stream = StreamingOps.readDocumentsStream(spark, s"$dir/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val q = StreamingOps.admittedDeltaDocs(stream, baseKeys)
+      .writeStream.format("memory").queryName("admitted_delta_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val admitted = spark.table("admitted_delta_stream")
+    // one admitted row per NEW digest, matching the batch count...
+    val batchAdmitted = graft.queries.Text.ddIncremental(spark, dir)
+      .agg(sum("n_admitted")).collect().head.getLong(0)
+    assert(admitted.count() == batchAdmitted,
+      s"streamed admitted ${admitted.count()} != batch $batchAdmitted")
+    // ...and the digest SET equals delta-digests minus base-digests
+    val streamedHks = admitted.select("hk").collect().map(_.getLong(0)).toSet
+    val expectedHks = Seq("dup B", "unique C").map { t =>
+      spark.sql(s"SELECT CAST(conv(substring(md5(cast('$t' AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
+        .collect().head.getLong(0)
+    }.toSet
+    assert(streamedHks == expectedHks)
+  }
 }
