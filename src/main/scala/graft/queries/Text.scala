@@ -688,6 +688,66 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Incremental NEAR-dup admission — the fuzzy companion of
+    * [[ddIncremental]], together the pass a recurring crawl ingest runs
+    * (RefinedWeb/CCNet-style: exact digests first, MinHash near-dup
+    * second): a delta document (`doc_id % deltaMod = 0`) is dropped if
+    * it is a shingle-Jaccard ≥ `threshold` near-duplicate of ANY base
+    * document (`near_dup_vs_base` — the base is the standing corpus, so
+    * id order is irrelevant), or of a LOWER-ID delta document
+    * (`near_dup_in_delta` — the keep-first rule of
+    * [[pipelineCleanCorpus]] applied within the snapshot); `vs_base`
+    * wins the label when both hold, mirroring the exact operator's CASE
+    * priority. Reported per language with admission counts.
+    *
+    * Candidates come from [[jaccardScoredPairs]] — the ONE md5
+    * MinHash-band scaffold the whole near-dup family shares (same
+    * blocking, same recall curve, same DuckDB bit-replication), so at
+    * 100 TB the candidate set grows with true near-dup clusters, not
+    * O(n·delta): band keys meet only inside buckets, the delta side of
+    * every bucket is ~deltaMod× smaller than the corpus, and exact
+    * Jaccard runs on candidates only. In steady state the base band
+    * table is the persisted index (the [[ddIncremental]] digest-set
+    * argument applied to bands) — the delta pass computes bands for the
+    * snapshot alone and joins the standing table.
+    */
+  def ddIncrementalFuzzy(spark: SparkSession, dir: String,
+      deltaMod: Long = incrementalDeltaMod, numSlots: Int = 16,
+      bandSize: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(deltaMod > 1, "deltaMod must leave both a base and a delta")
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    def isDelta(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(deltaMod)) === 0
+    val confirmed = jaccardScoredPairs(tokenizedDocs(spark, dir),
+        numSlots, bandSize)
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b")
+    // a delta doc's drop partners: any base doc (either pair side), or a
+    // lower-id delta doc (id_a < id_b by construction, so only id_a)
+    val dropsLow = confirmed
+      .filter(isDelta(col("id_a")) && !isDelta(col("id_b")))
+      .select(col("id_a").as("doc_id"), lit(true).as("vs_base"))
+    val dropsHigh = confirmed
+      .filter(isDelta(col("id_b")))
+      .select(col("id_b").as("doc_id"), (!isDelta(col("id_a"))).as("vs_base"))
+    val dropped = dropsLow.union(dropsHigh)
+      .groupBy("doc_id").agg(max("vs_base").as("vs_base"))
+    docs(spark, dir).filter(isDelta(col("doc_id")))
+      .select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta_docs"),
+        sum(when(col("vs_base") === true, 1L).otherwise(0L))
+          .as("n_near_dup_vs_base"),
+        sum(when(col("vs_base") === false, 1L).otherwise(0L))
+          .as("n_near_dup_in_delta"),
+        sum(when(col("vs_base").isNull, 1L).otherwise(0L))
+          .as("n_admitted"),
+        min(when(col("vs_base").isNull, col("doc_id")))
+          .as("first_admitted"))
+      .orderBy("lang")
+  }
+
   /** N-gram (3-token-shingle) Jaccard near-dedup with MinHash-band
     * candidate generation — the 100 TB blocking shape (round 1's top fix,
     * VERDICT.md "Next round" #1): candidates meet only inside a

@@ -231,4 +231,50 @@ class PlanSpec extends SparkSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [In(l_orderkey"))
   }
+
+  test("dd_incremental shuffles never carry document text") {
+    // The scaladoc's scale claim made an assertion: at 100 TB the base is
+    // petabytes of text but only 8-byte digests may cross an exchange —
+    // the projection to (doc_id, lang, hk) must happen below EVERY
+    // shuffle, on both the digest-set side and the keep-first side.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("dd_incremental")(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if e.output.exists(_.name == "text") => e
+      })
+      assert(offenders.isEmpty,
+        s"document text in shuffle exchange(s):\n${offenders.mkString("\n")}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("tx_token_budget's only global window runs over the bounded aggregate") {
+    // The decomposition claim: the corpus-sized running sum must be a
+    // window PARTITIONED by the score; the single unpartitioned window
+    // (the documented bounded-aggregate prefix pattern) may only see the
+    // <= 1001 per-score totals, i.e. an aggregate must sit below it.
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("tx_token_budget")(spark, dir)
+        .queryExecution.executedPlan
+      val windows = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case w: WindowExec => w
+      })
+      assert(windows.nonEmpty, "no window in the token-budget plan")
+      val (global, perScore) = windows.partition(_.partitionSpec.isEmpty)
+      assert(global.size == 1,
+        s"expected exactly one unpartitioned window, got ${global.size}")
+      assert(global.head.child.collectFirst {
+        case a: BaseAggregateExec => a
+      }.nonEmpty, "the global window must run over the bucket aggregate")
+      assert(perScore.nonEmpty &&
+        perScore.forall(_.partitionSpec.nonEmpty),
+        "the corpus-side running sum lost its score partitioning")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

@@ -744,6 +744,34 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("first_admitted") == 5L)
   }
 
+  test("incremental fuzzy dedup: all three admission categories, planted corpus") {
+    // Near-dup twins of the exact-test fixture, with >= 3 tokens so the
+    // shingle machinery sees them: delta doc 0 duplicates base doc 1
+    // (near_dup_vs_base), delta docs 5/10 duplicate each other only
+    // (keep-first: 5 admitted, 10 near_dup_in_delta), delta 15 is new.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddincf").toString
+    Seq(
+      (0L, "a b c d e f g h", "en", "src1"),
+      (1L, "a b c d e f g h", "en", "src1"),
+      (2L, "k l m n o p q r", "en", "src1"),
+      (5L, "s t u v w x y z", "en", "src1"),
+      (10L, "s t u v w x y z", "en", "src1"),
+      (15L, "aa bb cc dd ee ff gg hh", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.ddIncrementalFuzzy(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_delta_docs") == 4)
+    assert(row.getAs[Long]("n_near_dup_vs_base") == 1)
+    assert(row.getAs[Long]("n_near_dup_in_delta") == 1)
+    assert(row.getAs[Long]("n_admitted") == 2)
+    assert(row.getAs[Long]("first_admitted") == 5L)
+  }
+
   test("token budget: two-phase running sum equals the naive global window") {
     // The oracle already proves this vs DuckDB's single window; this pins
     // the same equivalence inside Spark (per-doc, not just aggregates),
