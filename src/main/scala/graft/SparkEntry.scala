@@ -117,6 +117,8 @@ object SparkEntry {
     "sim_ivf_ann_indexed" -> ((s, d) => Similarity.simIvfAnnIndexed(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
+    "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
+    "sim_pq_rerank" -> ((s, d) => Similarity.simPqRerank(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -243,6 +245,99 @@ object SparkEntry {
     * every tie identically because negation is exact), nprobe-deep probe
     * ranking for the query vectors, probe-cell scoring, per-query top-k.
     */
+  /** DuckDB twin of [[graft.queries.Similarity.simPqAdc]] — generated
+    * from the SAME pq geometry constants as the Spark side (the
+    * kmeansCtes rule): per-subspace codebook training unrolled (the
+    * kmeansCtes chain restricted to a dim slice), one-pass encode as
+    * rn = 1 per (vector, subspace), exact query distance tables, the
+    * s-ordered ADC fold, per-query top-k.
+    */
+  private def pqAdcCtes: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val k = Similarity.pqCodebookK
+    val rounds = Similarity.pqTrainRounds
+    def slicedL2(v: String, c: String, lo: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${sub + 1}), i ->
+         |          (CAST($v[i + $lo] AS DOUBLE) - $c[i]) * (CAST($v[i + $lo] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
+    val chains = (0 until m).map { s =>
+      val lo = s * sub
+      val seed =
+        s"""pq${s}_c0 AS (
+           |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS centroid
+           |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""pq${s}_a$r AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT e.vec_id, e.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${slicedL2("e.embedding", "c.centroid", lo.toString)} ASC,
+           |        c.cid ASC) AS rn
+           |    FROM embeddings e, pq${s}_c${r - 1} c)
+           |  WHERE rn = 1),
+           |pq${s}_c$r AS (
+           |  SELECT cid,
+           |    list_transform(range(1, ${sub + 1}), d ->
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+           |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+           |        FROM pq${s}_a$r GROUP BY cid))""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+    val books = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, centroid FROM pq${s}_c$rounds")
+      .mkString(" UNION ALL ")
+    s"""WITH ${chains.mkString(",\n")},
+       |books AS ($books),
+       |codes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT e.vec_id, b.s, b.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        ${slicedL2("e.embedding", "b.centroid", s"b.s * $sub")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM embeddings e, books b)
+       |  WHERE rn = 1),
+       |qdt AS (
+       |  SELECT q.vec_id AS qid, b.s, b.cid,
+       |    ${slicedL2("q.embedding", "b.centroid", s"b.s * $sub")} AS qdist
+       |  FROM embeddings q, books b WHERE q.vec_id < 5),
+       |adist AS (
+       |  SELECT qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM codes c JOIN qdt ON c.s = qdt.s AND c.code = qdt.cid AND c.vec_id <> qdt.qid
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM adist)""".stripMargin
+  }
+
+  private def pqAdcSql: String =
+    s"""$pqAdcCtes
+       |SELECT qid, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simPqRerank]]: the shared
+    * ADC chain cut at the shortlist depth, exact full-dim squared L2 on
+    * the fetched pairs, per-query top-k of the refined order.
+    */
+  private def pqRerankSql: String =
+    s"""$pqAdcCtes,
+       |short AS (SELECT qid, vec_id FROM ranked WHERE rnk <= ${Similarity.pqShortlist}),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+       |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |ranked2 AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rr)
+       |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
   private def ivfAnnSql: String =
     s"""WITH ${kmeansCtes()},
       |e AS (
@@ -1413,6 +1508,8 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, c_label ASC) AS rnk FROM s)
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "sim_ivf_ann" -> ivfAnnSql,
+    "sim_pq_adc" -> pqAdcSql,
+    "sim_pq_rerank" -> pqRerankSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,
