@@ -118,6 +118,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
+    // same ADC over the MATERIALIZED codebook+code tables: steady-state
+    // searches never read the embeddings table (results — and the
+    // oracle — are identical; the sim_ivf_ann_indexed treatment)
+    "sim_pq_adc_indexed" -> ((s, d) => Similarity.simPqAdcIndexed(s, d)),
     "sim_pq_rerank" -> ((s, d) => Similarity.simPqRerank(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
@@ -1509,6 +1513,7 @@ object SparkEntry {
         |WHERE rnk = 1 ORDER BY vec_id""".stripMargin,
     "sim_ivf_ann" -> ivfAnnSql,
     "sim_pq_adc" -> pqAdcSql,
+    "sim_pq_adc_indexed" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim

@@ -851,7 +851,16 @@ object Similarity {
       querySet: Option[DataFrame] = None): DataFrame = {
     register(spark)
     val books = pqCodebooks(spark, dir)
-    val codes = pqEncode(spark, dir, books)
+    pqAdcScore(spark, dir, books, pqEncode(spark, dir, books), k, querySet)
+  }
+
+  /** Shared ADC scoring over a (books, codes) pair — one definition for
+    * the train-per-call form ([[simPqAdc]]) and the materialized-index
+    * form ([[simPqAdcIndexed]]), the ivfScoreTopK pattern: identical
+    * arithmetic, so the two queries share one oracle text verbatim.
+    */
+  private def pqAdcScore(spark: SparkSession, dir: String, books: DataFrame,
+      codes: DataFrame, k: Int, querySet: Option[DataFrame]): DataFrame = {
     val qd = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .join(broadcast(books))
@@ -908,12 +917,72 @@ object Similarity {
         s"""aggregate(sequence(0, ${dims - 1}), 0D, (a2, i2) ->
               a2 + (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE))
                  * (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE)))"""))
+      // vectors end here: the top-k window's exchange carries only
+      // (qid, vec_id, dist) — the sim_* no-vectors-in-shuffles rule
+      .select("qid", "vec_id", "dist")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
     exact.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "vec_id", "dist", "rnk")
       .orderBy("qid", "rnk")
+  }
+
+  /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k
+    * codebook rows and the per-vector code table as parquet — what a PQ
+    * deployment persists ([[simIvfBuildIndex]]'s argument applied to
+    * codes): at 100 TB the code table IS the index, ~2 B per vector, and
+    * every search reads codes + codebooks, never the embeddings.
+    * Overwrites the previous build (the scratch rule — no accumulating
+    * copies). Returns the index base path.
+    */
+  def pqBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_index"
+    val books = pqCodebooks(spark, dir)
+    books.write.mode("overwrite").parquet(s"$base/codebooks")
+    pqEncode(spark, dir, spark.read.parquet(s"$base/codebooks"))
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  // index base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val pqIndexFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the PQ index — the [[ensureIvfIndex]]
+    * treatment: training and encoding are deterministic, so reuse is a
+    * pure layout-cost saving; the first search per (JVM, warehouse, dir)
+    * pays the build, steady-state searches price table reads + ADC alone.
+    */
+  def ensurePqIndex(spark: SparkSession, dir: String): String = synchronized {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_index"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(pqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      pqBuildIndex(spark, dir)
+      pqIndexFor(base) = dir
+    }
+    base
+  }
+
+  /** [[simPqAdc]] over the MATERIALIZED index ([[pqBuildIndex]]):
+    * identical scoring arithmetic ([[pqAdcScore]] — the oracle text is
+    * shared verbatim), but books and codes come from the persisted
+    * parquet tables, so a steady-state search never touches the
+    * embeddings table at all: the corpus-sized input is the ~2 B/vector
+    * code table — the deployment form of PQ. Default path goes through
+    * [[ensurePqIndex]] (build once per JVM/warehouse/dir; the
+    * q3_bucketed pricing treatment); pass `indexPath` to search a
+    * specific prebuilt index.
+    */
+  def simPqAdcIndexed(spark: SparkSession, dir: String, k: Int = 5,
+      querySet: Option[DataFrame] = None,
+      indexPath: Option[String] = None): DataFrame = {
+    register(spark)
+    val base = indexPath.getOrElse(ensurePqIndex(spark, dir))
+    pqAdcScore(spark, dir,
+      spark.read.parquet(s"$base/codebooks"),
+      spark.read.parquet(s"$base/codes"), k, querySet)
   }
 
   /** IVF-style coarse quantization: per-label centroids via an

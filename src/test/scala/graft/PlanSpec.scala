@@ -171,6 +171,33 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("PQ search shuffles never carry a vector, ADC or re-ranked") {
+    // The PQ story IS the byte budget: the corpus moves as (vec_id, s,
+    // code) / (qid, vec_id, dist) rows; embeddings reach the plans only
+    // through scans and broadcasts (codebooks, shortlist, query set).
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StructType}
+    def hasFloatVec(dt: DataType): Boolean = dt match {
+      case ArrayType(et, _) => et == FloatType || hasFloatVec(et)
+      case st: StructType => st.fields.exists(f => hasFloatVec(f.dataType))
+      case _ => false
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("sim_pq_adc", "sim_pq_rerank").foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, dir)
+          .queryExecution.executedPlan
+        val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+          case e: ShuffleExchangeLike
+              if e.output.exists(a => hasFloatVec(a.dataType)) => e
+        })
+        assert(offenders.isEmpty,
+          s"$name: float-vector attributes in shuffle exchange(s):\n" +
+            offenders.map(_.toString).mkString("\n"))
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("indexed IVF probe prunes to the probed cell partitions") {
     // simIvfAnnIndexed's reason to exist: the inverted lists are partition
     // DIRECTORIES, so the probe's IN-list on the cell column must surface

@@ -180,6 +180,23 @@ class SimilaritySpec extends SparkSpec {
     assert(s2.nonEmpty && s2.map(_.getAs[Long]("qid")).distinct.size == 5)
   }
 
+  test("indexed PQ equals the train-per-call PQ row for row") {
+    // one scoring arithmetic, two storage strategies (the IVF pairing):
+    // the persisted codebook+code tables must return exactly what the
+    // in-session form returns, and a prebuilt index must search without
+    // rebuilding — including at a different k (the codes don't change)
+    val scan = Similarity.simPqAdc(spark, dir).collect().toSeq
+    val indexed = Similarity.simPqAdcIndexed(spark, dir).collect().toSeq
+    assert(indexed == scan)
+    val base = Similarity.pqBuildIndex(spark, dir)
+    val s1 = Similarity.simPqAdcIndexed(spark, dir,
+      indexPath = Some(base)).collect().toSeq
+    assert(s1 == scan)
+    val s2 = Similarity.simPqAdcIndexed(spark, dir, k = 8,
+      indexPath = Some(base)).collect().toSeq
+    assert(s2.size == 40 && s2.map(_.getAs[Long]("qid")).distinct.size == 5)
+  }
+
   test("the IVF cell-count rule scales like sqrt(n) and trains cleanly") {
     assert(Similarity.nCellsFor(100L) == 10)
     assert(Similarity.nCellsFor(10L) == 8) // floor for toy corpora
