@@ -118,9 +118,10 @@ object SparkEntry {
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
-    // same ADC over the MATERIALIZED codebook+code tables: steady-state
-    // searches never read the embeddings table (results — and the
-    // oracle — are identical; the sim_ivf_ann_indexed treatment)
+    // same ADC over the MATERIALIZED codebook+code tables: the
+    // corpus-sized input of a steady-state search is the code table, not
+    // the embeddings (results — and the oracle — are identical; the
+    // sim_ivf_ann_indexed treatment)
     "sim_pq_adc_indexed" -> ((s, d) => Similarity.simPqAdcIndexed(s, d)),
     "sim_pq_rerank" -> ((s, d) => Similarity.simPqRerank(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
@@ -841,7 +842,7 @@ object SparkEntry {
         |  SELECT doc_id, lang,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    (CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) * 1000)
-        |      // length(text) AS q
+        |      // greatest(length(text), 1) AS q
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id, n_tokens, q,

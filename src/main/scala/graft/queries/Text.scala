@@ -359,12 +359,15 @@ object Text {
     // projection, and q is the join key — scoped-cache it so the heavy
     // regexp (the spread-worthy narrow stage, as in txTokenCount) runs
     // once per execution (the CLAUDE.md expensive-join-key rule).
+    // greatest(len, 1): an empty document scores 0 instead of throwing
+    // ANSI DIVIDE_BY_ZERO (review r7 — 100 TB corpora contain empty
+    // docs); the oracle guards identically
     val scored = graft.Caches.scoped("tx_token_budget.scored",
       Tables.spread(docs(spark, dir))
         .select(col("doc_id"), col("lang"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"),
           expr("""(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)
-                   * 1000) div length(text)""").as("q")))
+                   * 1000) div greatest(length(text), 1)""").as("q")))
     val wq = org.apache.spark.sql.expressions.Window
       .orderBy(col("q").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
@@ -626,6 +629,16 @@ object Text {
     */
   private[graft] val incrementalDeltaMod = 5L
 
+  /** 60-bit md5-derived BIGINT digest of the full document text — the
+    * content key of [[ddIncremental]] and its streaming twin
+    * (`StreamingOps.baseDigestKeys` / `admittedDeltaDocs`). ONE
+    * definition (the [[shingleExpr]] rule): batch/stream/oracle
+    * agreement depends on the three sites computing the identical
+    * expression, so it exists exactly once.
+    */
+  private[graft] val textDigestExpr: String =
+    "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)"
+
   /** Incremental (snapshot-delta) exact dedup — the production shape of
     * [[ddExact]]: a NEW crawl snapshot (the delta) is admitted against an
     * already-deduped corpus (the base) without ever re-processing the
@@ -661,8 +674,7 @@ object Text {
     val keyed = graft.Caches.scoped(s"dd_incremental.keyed.$deltaMod",
       docs(spark, dir)
         .select(col("doc_id"), col("lang"),
-          expr("CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-            .as("hk"),
+          expr(textDigestExpr).as("hk"),
           (pmod(col("doc_id"), lit(deltaMod)) === 0).as("is_delta")))
     val baseKeys = keyed.filter(!col("is_delta"))
       .select("hk").distinct()

@@ -251,9 +251,7 @@ object StreamingOps {
       deltaMod: Long = graft.queries.Text.incrementalDeltaMod): DataFrame =
     graft.Tables(spark, dir, "documents")
       .filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
-      .select(expr(
-        "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-        .as("hk"))
+      .select(expr(graft.queries.Text.textDigestExpr).as("hk"))
       .distinct()
 
   /** Streaming incremental dedup (the stream twin of
@@ -279,9 +277,7 @@ object StreamingOps {
   def admittedDeltaDocs(deltaStream: DataFrame, baseKeys: DataFrame): DataFrame =
     deltaStream
       .select(col("doc_id"), col("lang"),
-        expr(
-          "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 15), 16, 10) AS BIGINT)")
-          .as("hk"))
+        expr(graft.queries.Text.textDigestExpr).as("hk"))
       .join(baseKeys, Seq("hk"), "left_anti")
       .dropDuplicates("hk")
 

@@ -71,9 +71,13 @@ class PqRecallSpec extends SparkSpec {
   }
 
   test("re-ranked recall@5: floor at the shipped L=50, monotone in L") {
+    // build the index ONCE and sweep L against it (training is
+    // deterministic, so this pins the same numbers as train-per-call
+    // while cutting four redundant codebook/encode rebuilds)
+    val base = Similarity.pqBuildIndex(spark, dir)
     val curve = Seq(25, 50, 100, 150).map { l =>
-      l -> recallOf(Similarity.simPqRerank(spark, dir, k = k, shortlist = l)
-        .collect())
+      l -> recallOf(Similarity.simPqRerank(spark, dir, k = k, shortlist = l,
+        indexPath = Some(base)).collect())
     }
     info(curve.map { case (l, r) => s"L=$l recall=$r" }.mkString(", "))
     curve.sliding(2).foreach {

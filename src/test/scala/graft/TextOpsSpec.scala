@@ -780,7 +780,7 @@ class TextOpsSpec extends SparkSpec {
       .select(col("doc_id"), col("lang"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"),
         expr("""(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)
-                 * 1000) div length(text)""").as("q"))
+                 * 1000) div greatest(length(text), 1)""").as("q"))
     val naive = d.withColumn("running", sum("n_tokens").over(
         org.apache.spark.sql.expressions.Window
           .orderBy(col("q").desc, col("doc_id"))
