@@ -81,6 +81,7 @@ object SparkEntry {
     "tx_hash_sample" -> (Text.txHashSample _),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
     "tx_token_budget" -> ((s, d) => Text.txTokenBudget(s, d)),
+    "tx_split_leakage" -> (Text.txSplitLeakage _),
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
@@ -855,6 +856,40 @@ object SparkEntry {
         |  min(doc_id) AS first_doc_id
         |FROM r WHERE running <= ${Text.tokenBudgetDefault}
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Both split schemes from the first md5 byte (train < 204 ~ 80%,
+    // val < 230 ~ 10%, test otherwise); leakage from distinct
+    // (digest, split) pairs — same CASE, same digests, both engines.
+    "tx_split_leakage" ->
+      """WITH keyed AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hk,
+        |    CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 204 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS BIGINT) < 230 THEN 'val'
+        |         ELSE 'test' END AS id_split,
+        |    CASE WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) < 204 THEN 'train'
+        |         WHEN CAST(('0x' || substr(md5(text), 1, 2)) AS BIGINT) < 230 THEN 'val'
+        |         ELSE 'test' END AS content_split
+        |  FROM documents),
+        |schemes AS (
+        |  SELECT doc_id, hk, 'by_content' AS scheme, content_split AS split FROM keyed
+        |  UNION ALL
+        |  SELECT doc_id, hk, 'by_doc_id', id_split FROM keyed),
+        |per_split AS (
+        |  SELECT scheme, split, count(*) AS n_docs,
+        |    min(doc_id) AS min_doc_id, max(doc_id) AS max_doc_id
+        |  FROM schemes GROUP BY 1, 2),
+        |per_text AS (
+        |  SELECT scheme, hk, count(*) AS copies, count(DISTINCT split) AS n_splits
+        |  FROM schemes GROUP BY 1, 2),
+        |leak AS (
+        |  SELECT scheme,
+        |    CAST(sum(CASE WHEN copies > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_texts,
+        |    CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_texts
+        |  FROM per_text GROUP BY 1)
+        |SELECT s.scheme, s.split, s.n_docs, s.min_doc_id, s.max_doc_id,
+        |  l.n_dup_texts, l.n_leaked_texts
+        |FROM per_split s JOIN leak l ON s.scheme = l.scheme
+        |ORDER BY 1, 2""".stripMargin,
     "dd_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |  count(DISTINCT text) AS n_distinct_texts,

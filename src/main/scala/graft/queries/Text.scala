@@ -700,6 +700,65 @@ object Text {
       .orderBy("lang")
   }
 
+  /** Deterministic train/val/test split with LEAKAGE accounting — the
+    * split every training pipeline runs, with the property that decides
+    * whether it is sound: duplicate documents must not straddle the
+    * train/eval boundary (a test doc whose copy was trained on is a
+    * leaked benchmark). Two keyed schemes computed side by side from the
+    * first md5 byte (train < 204 ≈ 80%, val < 230 ≈ 10%, test ≈ 10%):
+    *   - `by_doc_id` — the id-keyed split most pipelines ship; exact
+    *     duplicates carry DIFFERENT ids, so copies scatter across splits
+    *     and the leakage count is whatever the corpus's dup structure
+    *     makes it;
+    *   - `by_content` — keyed on the text digest itself, so every copy
+    *     of a text lands in the SAME split and leakage is ZERO by
+    *     construction (spec-pinned on a planted corpus, and the CASE is
+    *     a function of the digest in both engines).
+    * Reported per (scheme, split): doc counts and id range, plus the
+    * scheme's corpus-wide duplicate-text and leaked-text counts.
+    *
+    * Scale shape: two narrow md5 projections, one groupBy on the 8-byte
+    * content digest ([[textDigestExpr]] — text never shuffles), one
+    * bounded 6-row rollup; leakage is counted from distinct
+    * (digest, split) pairs — partial-aggregated, never pairwise.
+    *
+    * Reference behavior rebuilt: the deterministic hash-sampling
+    * semantics of [[txHashSample]] (`interfaces.py` reproducible-subset
+    * contract) applied to the split step, with the dedup family's
+    * content addressing closing the leak.
+    */
+  def txSplitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    def splitOf(c: org.apache.spark.sql.Column) =
+      when(c < 204, "train").when(c < 230, "val").otherwise("test")
+    val keyed = graft.Caches.scoped("tx_split_leakage.keyed",
+      docs(spark, dir).select(col("doc_id"),
+        expr(textDigestExpr).as("hk"),
+        splitOf(expr(
+          "CAST(conv(substring(md5(cast(cast(doc_id AS STRING) AS BINARY)), 1, 2), 16, 10) AS BIGINT)"))
+          .as("id_split"),
+        splitOf(expr(
+          "CAST(conv(substring(md5(cast(text AS BINARY)), 1, 2), 16, 10) AS BIGINT)"))
+          .as("content_split")))
+    val schemes = keyed
+      .select(col("doc_id"), col("hk"), lit("by_content").as("scheme"),
+        col("content_split").as("split"))
+      .unionByName(keyed.select(col("doc_id"), col("hk"),
+        lit("by_doc_id").as("scheme"), col("id_split").as("split")))
+    val perSplit = schemes.groupBy("scheme", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("min_doc_id"), max("doc_id").as("max_doc_id"))
+    val perText = schemes.groupBy("scheme", "hk")
+      .agg(count(lit(1)).as("copies"),
+        countDistinct(col("split")).as("n_splits"))
+    val leakage = perText.groupBy("scheme")
+      .agg(sum(when(col("copies") > 1, 1L).otherwise(0L)).as("n_dup_texts"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_leaked_texts"))
+    perSplit.join(leakage, "scheme")
+      .select("scheme", "split", "n_docs", "min_doc_id", "max_doc_id",
+        "n_dup_texts", "n_leaked_texts")
+      .orderBy("scheme", "split")
+  }
+
   /** Incremental NEAR-dup admission — the fuzzy companion of
     * [[ddIncremental]], together the pass a recurring crawl ingest runs
     * (RefinedWeb/CCNet-style: exact digests first, MinHash near-dup

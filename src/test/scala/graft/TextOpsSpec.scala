@@ -772,6 +772,41 @@ class TextOpsSpec extends SparkSpec {
     assert(row.getAs[Long]("first_admitted") == 5L)
   }
 
+  test("split leakage: content addressing closes the leak, id keying does not") {
+    // Planted corpus: find two doc_ids whose id-hash splits DIFFER, give
+    // them identical text — the id-keyed scheme must leak that text
+    // across splits, the content-keyed scheme must not (every copy of a
+    // text shares its content hash, hence its split, by construction).
+    val spark2 = spark
+    import spark2.implicits._
+    def idSplit(id: Long): String = {
+      val b = java.lang.Long.parseLong(
+        org.apache.commons.codec.digest.DigestUtils.md5Hex(id.toString)
+          .substring(0, 2), 16)
+      if (b < 204) "train" else if (b < 230) "val" else "test"
+    }
+    val (idA, idB) = (0L to 200L).flatMap(a => (a + 1 to 200L).map(b => (a, b)))
+      .find { case (a, b) => idSplit(a) != idSplit(b) }.get
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    ((0L to 20L).filterNot(i => i == idA || i == idB)
+      .map(i => (i, s"unique text $i", "en", "src1")) ++
+      Seq((idA, "the leaked duplicate", "en", "src1"),
+        (idB, "the leaked duplicate", "en", "src1")))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txSplitLeakage(spark, dir).collect()
+    val byScheme = rows.groupBy(_.getAs[String]("scheme"))
+    assert(byScheme("by_doc_id").head.getAs[Long]("n_dup_texts") == 1)
+    assert(byScheme("by_doc_id").head.getAs[Long]("n_leaked_texts") == 1)
+    assert(byScheme("by_content").head.getAs[Long]("n_dup_texts") == 1)
+    assert(byScheme("by_content").head.getAs[Long]("n_leaked_texts") == 0)
+    // both schemes partition the corpus: per-scheme doc counts sum to n
+    byScheme.values.foreach { rs =>
+      assert(rs.map(_.getAs[Long]("n_docs")).sum == 21)
+    }
+  }
+
   test("token budget: two-phase running sum equals the naive global window") {
     // The oracle already proves this vs DuckDB's single window; this pins
     // the same equivalence inside Spark (per-doc, not just aggregates),
