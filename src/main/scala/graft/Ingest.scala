@@ -208,7 +208,7 @@ object Ingest {
         // equal divamt but different distcd must not tie
         Transforms.cleanDividends(
           withClose.withColumn("ord",
-            xxhash64(struct(withClose.columns.map(col): _*))),
+            xxhash64(struct(withClose.columns.toIndexedSeq.map(col): _*))),
           prices, "ord")
       }
     }
@@ -338,7 +338,7 @@ object Ingest {
       .na.drop(Seq("date", "asset_id"))
     Transforms.dedupeConsensus(
       conformed.withColumn("ord",
-        xxhash64(struct(conformed.columns.map(col): _*))), "ord")
+        xxhash64(struct(conformed.columns.toIndexedSeq.map(col): _*))), "ord")
       .select(expected.map(col): _*)
   }
 
@@ -376,7 +376,7 @@ object Ingest {
       .na.drop(Seq("date", "asset_id"))
     Transforms.dedupeRatingsHistory(
       canonical.withColumn("ord",
-        xxhash64(struct(canonical.columns.map(col): _*))), "ord")
+        xxhash64(struct(canonical.columns.toIndexedSeq.map(col): _*))), "ord")
       .select("date", "asset_id", "analyst_id", "ticker", "rating",
         "action_code", "rating_text", "statistic_date")
   }

@@ -161,6 +161,6 @@ object Schemas {
     schema.fields.foldLeft(df) { (d, f) =>
       if (present.contains(f.name)) d
       else d.withColumn(f.name, lit(null).cast(f.dataType))
-    }.select(schema.fields.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
+    }.select(schema.fields.toIndexedSeq.map(f => col(f.name).cast(f.dataType).as(f.name)): _*)
   }
 }

@@ -747,7 +747,7 @@ object Similarity {
         ArrayType(FloatType)), StructField("m_norm", DoubleType),
       StructField("cell", LongType)))
     val members = spark.read.schema(idxSchema).parquet(s"$base/cells")
-      .filter(col("cell").isin(cells: _*))
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
     ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
   }
 
