@@ -86,6 +86,11 @@ object SparkEntry {
     "tx_repetition" -> (Text.txRepetition _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
     "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
+    // hashed decontamination behind a broadcast Bloom prefilter: corpus
+    // grams are dropped map-side before any exchange; the exact confirm
+    // join removes Bloom false positives, so the result — and the oracle
+    // text — are identical to tx_decontaminate_hashed
+    "tx_bloom_decontaminate" -> ((s, d) => Text.txDecontaminateBloom(s, d)),
     "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
@@ -343,6 +348,34 @@ object SparkEntry {
        |  FROM rr)
        |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** One oracle text for tx_decontaminate_hashed AND
+    * tx_bloom_decontaminate: the Bloom variant's prefilter only discards
+    * rows the exact confirm semi-join would discard anyway, so both
+    * physical strategies compute this same specification.
+    */
+  private def hashedDecontaminateSql: String =
+    """WITH d AS (
+      |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (
+      |  SELECT doc_id, source,
+      |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+      |  FROM (
+      |    SELECT doc_id, source,
+      |      unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
+      |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
+      |        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
+      |    FROM d WHERE len(toks) >= 8)),
+      |bench AS (SELECT DISTINCT gk FROM sh WHERE source = 'src0'),
+      |hits AS (
+      |  SELECT DISTINCT doc_id FROM sh
+      |  WHERE source <> 'src0' AND gk IN (SELECT gk FROM bench)),
+      |t AS (SELECT doc_id, lang FROM d WHERE source <> 'src0')
+      |SELECT t.lang, count(*) AS n_train_docs,
+      |  count(h.doc_id) AS n_contaminated,
+      |  min(h.doc_id) AS first_contaminated
+      |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   private def ivfAnnSql: String =
     s"""WITH ${kmeansCtes()},
@@ -1284,29 +1317,11 @@ object SparkEntry {
     // tx_decontaminate with the semi-join keyed on the first 15 hex chars
     // of md5(gram) as a 60-bit BIGINT — same digest both engines, so the
     // hashed key matches by construction (Spark conv(,16,10) == DuckDB
-    // '0x'||hex cast).
-    "tx_decontaminate_hashed" ->
-      """WITH d AS (
-        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
-        |sh AS (
-        |  SELECT doc_id, source,
-        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
-        |  FROM (
-        |    SELECT doc_id, source,
-        |      unnest(list_distinct(list_transform(range(1, len(toks) - 6), i ->
-        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' ||
-        |        toks[i+4] || ' ' || toks[i+5] || ' ' || toks[i+6] || ' ' || toks[i+7]))) AS g
-        |    FROM d WHERE len(toks) >= 8)),
-        |bench AS (SELECT DISTINCT gk FROM sh WHERE source = 'src0'),
-        |hits AS (
-        |  SELECT DISTINCT doc_id FROM sh
-        |  WHERE source <> 'src0' AND gk IN (SELECT gk FROM bench)),
-        |t AS (SELECT doc_id, lang FROM d WHERE source <> 'src0')
-        |SELECT t.lang, count(*) AS n_train_docs,
-        |  count(h.doc_id) AS n_contaminated,
-        |  min(h.doc_id) AS first_contaminated
-        |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // '0x'||hex cast). ONE text for both physical strategies: the Bloom
+    // prefilter variant confirms every survivor with the same exact
+    // semi-join, so its answer is bit-identical by construction.
+    "tx_decontaminate_hashed" -> hashedDecontaminateSql,
+    "tx_bloom_decontaminate" -> hashedDecontaminateSql,
     // Per-doc overlap fractions over the same 60-bit hashed shingle keys;
     // the fraction is one IEEE division of exact longs.
     "tx_overlap_fraction" ->

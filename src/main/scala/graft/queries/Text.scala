@@ -1330,6 +1330,74 @@ object Text {
       .orderBy("lang")
   }
 
+  /** [[txDecontaminateHashed]] with a broadcast BLOOM PREFILTER on the
+    * corpus side — the runtime-row-filter shape that makes benchmark
+    * decontamination cheap at 100 TB. The hashed variant still shuffles
+    * EVERY distinct training-side gram key into the semi-join exchange;
+    * here a Bloom filter built over the (small) benchmark digest set is
+    * broadcast to the scan tasks and drops the overwhelming majority of
+    * corpus grams MAP-SIDE, before any exchange — the corpus-side shuffle
+    * then carries only the Bloom survivors (~fpp of the non-matching
+    * grams plus the true hits). The exact semi-join still runs on the
+    * survivors, so Bloom false positives are eliminated and the answer is
+    * bit-identical to [[txDecontaminateHashed]] — which is why the two
+    * queries share one oracle text verbatim (the sim_ivf_ann_indexed
+    * treatment: same algorithm, two physical strategies).
+    *
+    * This is the same plan shape Spark's own runtime row-level filtering
+    * (`spark.sql.optimizer.runtime.bloomFilter.enabled`) injects for
+    * selective shuffle joins; building it explicitly keeps the filter on
+    * the 8-byte digest key (where the planner would see an opaque
+    * conv(md5) expression) and makes the prefilter a testable part of the
+    * operator: TextOpsSpec measures the corpus-side shuffle-row drop vs
+    * the unfiltered hashed twin and pins result equality.
+    *
+    * The benchmark side is tiny by construction (benchmark suites vs a
+    * 100 TB corpus), so the two extra bounded actions (count + Bloom
+    * aggregation) read the scoped-cached shingle projection, not the raw
+    * corpus. Reference behavior rebuilt: the corpus-hygiene role of
+    * `wrds_ingestion.py:626` keep-first semantics applied to benchmark
+    * overlap; prefilter shape from the GPT-3/Gopher decontamination
+    * appendices plus Spark's InjectRuntimeFilter design.
+    */
+  def txDecontaminateBloom(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8,
+      fpp: Double = 0.01): DataFrame = {
+    val all = docs(spark, dir)
+    val sh = graft.Caches.scoped(s"tx_bloom_decontaminate.sh.$width",
+      Tables.spread(all)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= width)
+        .select(col("doc_id"), col("source"),
+          explode(expr(shingleExpr(width))).as("g"))
+        .select(col("doc_id"), col("source"),
+          expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk")))
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select("gk").distinct()
+    // Two bounded jobs over the cached projection: exact benchmark-key
+    // count (sizes the filter — a wrong expectedNumItems only moves fpp),
+    // then the Bloom aggregation itself.
+    val nBench = bench.count()
+    val bloom = bench.stat.bloomFilter("gk", math.max(nBench, 64L), fpp)
+    val bloomB = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    val contaminated = sh.filter(col("source") =!= benchmarkSource)
+      // map-side prefilter: runs in the scan/cache-read stage, BEFORE the
+      // distinct + semi-join exchanges — only Bloom survivors shuffle
+      .filter(mightContain(col("gk")))
+      .join(bench, Seq("gk"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    all.filter(col("source") =!= benchmarkSource)
+      .select("doc_id", "lang")
+      .join(contaminated, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_train_docs"),
+        count(col("hit")).as("n_contaminated"),
+        min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
+      .orderBy("lang")
+  }
+
   /** Fuzzy benchmark decontamination: [[txDecontaminate]] catches verbatim
     * 8-gram overlap; this catches PARAPHRASED contamination — training
     * documents that are near-duplicates (shingle-Jaccard ≥ `threshold`)

@@ -528,30 +528,33 @@ class TextOpsSpec extends SparkSpec {
     assert(Text.pipelinePrepareCorpus(spark, sf001).collect().toSeq == rows.toSeq)
   }
 
-  test("hashed-shingle decontamination: same answer, smaller shuffle rows") {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, ShuffleQueryStageExec}
+  // the uncompressed row bytes every shuffle in a query carried
+  // ("dataSize" — deterministic, unlike compressed write bytes)
+  private def shuffledRowBytes(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
-    // the uncompressed row bytes every shuffle in the query carried
-    // ("dataSize" — deterministic, unlike compressed write bytes)
-    def shuffledRowBytes(df: org.apache.spark.sql.DataFrame): Long = {
-      df.collect()
-      // AQE nests executed stages (ShuffleQueryStageExec) recursively;
-      // walk the tree through every adaptive/stage boundary
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
-        val self = p match {
-          case s: ShuffleQueryStageExec => s.shuffle.metrics("dataSize").value
-          case e: ShuffleExchangeExec => e.metrics("dataSize").value
-          case _ => 0L
-        }
-        val below = p match {
-          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-          case s: ShuffleQueryStageExec => walk(s.plan)
-          case other => other.children.map(walk).sum
-        }
-        self + below
+    df.collect()
+    // AQE nests executed stages recursively, and EVERY stage kind
+    // (shuffle, broadcast, table-cache) hides its subtree behind a
+    // leaf-like QueryStageExec — walk through all of them, or shuffles
+    // that ended up inside a broadcast/cache stage are silently missed
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
+      val self = p match {
+        case s: ShuffleQueryStageExec => s.shuffle.metrics("dataSize").value
+        case e: ShuffleExchangeExec => e.metrics("dataSize").value
+        case _ => 0L
       }
-      walk(df.queryExecution.executedPlan)
+      val below = p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case other => other.children.map(walk).sum
+      }
+      self + below
     }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  test("hashed-shingle decontamination: same answer, smaller shuffle rows") {
     val stringKeyed = Text.txDecontaminate(spark, sf001)
     val hashKeyed = Text.txDecontaminateHashed(spark, sf001)
     // identical rollup — the hashed key changes the carrier, not the set
@@ -564,6 +567,35 @@ class TextOpsSpec extends SparkSpec {
     assert(hBytes * 2 <= sBytes,
       s"hashed-key shuffle not smaller: $hBytes vs $sBytes row bytes")
     info(s"shuffled row bytes: string-keyed $sBytes, hashed $hBytes")
+  }
+
+  test("bloom-prefiltered decontamination: same answer, corpus shuffle shrinks") {
+    // the Bloom prefilter may only change the PHYSICAL cost: the exact
+    // confirm semi-join removes every false positive, so the rollup must
+    // be bit-identical to the unfiltered hashed twin
+    val hashKeyed = Text.txDecontaminateHashed(spark, sf001)
+    val bloomed = Text.txDecontaminateBloom(spark, sf001)
+    assert(hashKeyed.collect().toSeq == bloomed.collect().toSeq)
+    // The prefilter's shuffle claim only bites in the regime it exists
+    // for: a benchmark digest set too big to broadcast, where the confirm
+    // semi-join goes shuffle-side and every corpus gram key rides the
+    // exchange. Force that regime (as the 100 TB plan would see it) and
+    // the map-side Bloom drop must shrink the shuffled row bytes — on the
+    // planted corpus most training grams are not benchmark grams.
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    try {
+      val hBytes = shuffledRowBytes(Text.txDecontaminateHashed(spark, sf001))
+      val bBytes = shuffledRowBytes(Text.txDecontaminateBloom(spark, sf001))
+      assert(bBytes < hBytes,
+        s"bloom prefilter did not shrink the shuffle: $bBytes vs $hBytes row bytes")
+      info(s"shuffled row bytes (no broadcast): hashed $hBytes, bloom-prefiltered $bBytes")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
   }
 
   test("hashed-shingle projection evaluates once per query (cache reuse)") {
