@@ -109,6 +109,7 @@ object SparkEntry {
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
+    "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -1102,6 +1103,33 @@ object SparkEntry {
         |  sum_chars AS sum_chars_pq, min_doc_id AS min_doc_id_pq,
         |  max_doc_id AS max_doc_id_pq, text_xor AS text_xor_pq
         |FROM s ORDER BY lang""".stripMargin,
+    // Snapshot MERGE audit: the updates batch is carved deterministically
+    // from the corpus (revisions % 3, inserts % 13 under reserved
+    // negative keys, tombstones % 17 minus the revised), classified by
+    // one full-outer join; the per-action 60-bit md5 XOR checks merged
+    // CONTENT. The tombstone group's payload is gone — bit_xor over all
+    // NULLs is NULL in both engines.
+    "pipeline_merge_snapshot" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |upd AS (
+        |  SELECT doc_id AS k, text || ' [rev2]' AS new_text, 'upsert' AS op
+        |  FROM base WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % 17 = 3 AND doc_id % 3 <> 0),
+        |m AS (
+        |  SELECT coalesce(b.doc_id, u.k) AS k,
+        |    CASE WHEN u.op = 'delete' THEN 'delete'
+        |         WHEN u.op = 'upsert' AND b.doc_id IS NOT NULL THEN 'update'
+        |         WHEN u.op = 'upsert' THEN 'insert'
+        |         ELSE 'unchanged' END AS action,
+        |    CASE WHEN u.op = 'delete' THEN NULL
+        |         ELSE coalesce(u.new_text, b.text) END AS final_text
+        |  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.k)
+        |SELECT action, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+        |  bit_xor(CAST(('0x' || substr(md5(final_text), 1, 15)) AS BIGINT)) AS text_xor
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never

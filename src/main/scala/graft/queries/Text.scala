@@ -1652,4 +1652,60 @@ object Text {
       .orderBy(col("n_occurrences").desc, col("gram").asc)
       .limit(k)
   }
+
+  /** Snapshot MERGE (upsert): apply an updates batch — row updates, new
+    * rows, tombstone deletes — to a keyed base snapshot in ONE pass and
+    * account for every row. The reference refreshes its warehouse by
+    * REWRITING each table per ingest run (`wrds_ingestion.py:1004-1125`
+    * write_parquet over full frames); at 100 TB the rewrite is the
+    * bottleneck and the standard replacement is this merge-on-read
+    * classify (the Delta/Iceberg MERGE shape): ONE full-outer shuffle
+    * join on the key — base and updates co-partition, nothing is
+    * broadcast (the updates batch may be arbitrarily large), no second
+    * pass over the base.
+    *
+    * The updates batch is carved deterministically from the corpus so
+    * both engines construct the identical batch: every `doc_id % 3 = 0`
+    * document gets a revised payload, every `doc_id % 13 = 0` document
+    * spawns a NEW row under the reserved negative key `-doc_id - 1`
+    * (disjoint from all base keys by construction), and every
+    * `doc_id % 17 = 3` document not already revised gets a tombstone —
+    * all four MERGE actions (update / insert / delete / unchanged) fire
+    * on every scale factor. The per-action audit carries an exact key
+    * sum and a 60-bit md5 XOR over the MERGED payloads ([[textDigestExpr]]
+    * discipline), so the oracle checks the merge's CONTENT, not just its
+    * row counts — the tombstone group hashes nothing by design (its
+    * payload is gone) and XORs to NULL in both engines.
+    */
+  def pipelineMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val updates = base.filter(col("doc_id") % 3 === 0)
+      .select(col("doc_id").as("k"),
+        concat(col("text"), lit(" [rev2]")).as("new_text"),
+        lit("upsert").as("op"))
+      .unionAll(base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") * -1 - 1).as("k"),
+          concat(lit("new: "), col("text")).as("new_text"),
+          lit("upsert").as("op")))
+      .unionAll(base.filter(col("doc_id") % 17 === 3 && col("doc_id") % 3 =!= 0)
+        .select(col("doc_id").as("k"),
+          lit(null).cast("string").as("new_text"),
+          lit("delete").as("op")))
+    base.select(col("doc_id").as("k"), col("text"), lit(1).as("in_base"))
+      .join(updates, Seq("k"), "full_outer")
+      .withColumn("action",
+        when(col("op") === "delete", lit("delete"))
+          .when(col("op") === "upsert" && col("in_base").isNotNull, lit("update"))
+          .when(col("op") === "upsert", lit("insert"))
+          .otherwise(lit("unchanged")))
+      .withColumn("final_text",
+        when(col("action") === "delete", lit(null).cast("string"))
+          .otherwise(coalesce(col("new_text"), col("text"))))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_rows"),
+        sum("k").as("id_sum"),
+        expr("bit_xor(CAST(conv(substring(md5(cast(final_text AS BINARY)), 1, 15), 16, 10) AS BIGINT))")
+          .as("text_xor"))
+      .orderBy("action")
+  }
 }

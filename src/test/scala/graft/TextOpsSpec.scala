@@ -866,4 +866,30 @@ class TextOpsSpec extends SparkSpec {
     val sel = fast.agg(sum("n_selected")).collect().head.getLong(0)
     assert(sel > 0 && sel < total, s"selected $sel of $total")
   }
+
+  test("snapshot merge: all four actions fire, audit is row- and content-exact") {
+    val rows = Text.pipelineMergeSnapshot(spark, sf001).collect()
+    val byAction = rows.map(r => r.getAs[String]("action") -> r).toMap
+    assert(byAction.keySet == Set("delete", "insert", "unchanged", "update"))
+    val base = Tables(spark, sf001, "documents")
+    val n = base.count()
+    // every base row lands in exactly one of update/delete/unchanged;
+    // inserts are on top of the base
+    val nOf = (a: String) => byAction(a).getAs[Long]("n_rows")
+    assert(nOf("update") + nOf("delete") + nOf("unchanged") == n)
+    assert(nOf("insert") ==
+      base.filter(col("doc_id") % 13 === 0).count())
+    assert(nOf("update") ==
+      base.filter(col("doc_id") % 3 === 0).count())
+    // insert keys are the reserved negative range: their sum must be < 0
+    assert(byAction("insert").getAs[Long]("id_sum") < 0L)
+    // the tombstone group's payload is gone — its content XOR is NULL;
+    // every surviving group hashes real text
+    assert(byAction("delete").isNullAt(byAction("delete").fieldIndex("text_xor")))
+    Seq("insert", "unchanged", "update").foreach { a =>
+      assert(!byAction(a).isNullAt(byAction(a).fieldIndex("text_xor")), a)
+    }
+    // deterministic under re-execution
+    assert(Text.pipelineMergeSnapshot(spark, sf001).collect().toSeq == rows.toSeq)
+  }
 }
