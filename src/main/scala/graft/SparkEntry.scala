@@ -70,6 +70,9 @@ object SparkEntry {
     "ev_json_extract" -> (Events.evJsonExtract _),
     "ev_top_users" -> (Events.evTopUsers _),
     "skew_salted_agg" -> (Events.evSkewSaltedAgg _),
+    // the join-side salting companion: fact salt × 8-way exploded dim,
+    // oracle'd against the PLAIN join — salting may never change the answer
+    "skew_salted_join" -> (Relational.skewSaltedJoin _),
     "ev_funnel" -> (Events.evFunnel _),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -727,6 +730,14 @@ object SparkEntry {
       """SELECT event_type,
         |  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // The PLAIN join is the specification — the salted replicate form may
+    // only change the physical carrier, so the oracle gate itself proves
+    // salted ≡ plain (the skew_salted_agg argument, join-side).
+    "skew_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS DOUBLE) / CAST(10000 AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // Replicates graft.functions.MinHashBands bit-for-bit: shingle_i =
     // toks[i]||' '||..., hh = md5(sg)||md5(sg||'#')||md5(sg||'##')||
     // md5(sg||'###'), slot_j = min over shingles of hh[8j+1..8j+8] (hex

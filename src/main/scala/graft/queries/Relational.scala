@@ -298,4 +298,33 @@ object Relational {
         Exact.sumFixed(col("p4"), 2).as("sum_p4"))
       .orderBy("o_orderstatus")
   }
+
+  /** Salted replicated join of the lineitem fact against the supplier
+    * dimension, through [[graft.Skew.saltedBroadcastJoin]] — the join-side
+    * companion of [[graft.queries.Events.evSkewSaltedAgg]]: when one join
+    * key owns a disproportionate share of the fact and the dimension is
+    * broadcast-sized, the fact side takes a synthetic salt in [0, 8) and
+    * the dimension is exploded 8× so every (key, salt) pair still matches
+    * — no reducer (and, under a broadcast, no single probe task's hash
+    * bucket chain) owns the hot key alone. The salt changes the CARRIER,
+    * never the answer: the revenue rollup is exact integer units, and the
+    * DuckDB oracle runs the PLAIN join — the oracle gate itself proves
+    * salted ≡ plain, while PlanSpec pins the salted shape so a regression
+    * that silently drops the salt column cannot hide behind the identical
+    * answers. Reference behavioral anchor: plain key-join semantics
+    * (`wrds_ingestion.py:452-477` delist join); salting is the 100 TB
+    * carrier for the same join.
+    */
+  def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
+    val supp = Tables(spark, dir, "supplier")
+      .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+    graft.Skew.saltedBroadcastJoin(li, supp, "l_suppkey", 8)
+      .groupBy("s_nationkey")
+      .agg(count(lit(1)).as("n_items"),
+        Exact.sumFixed(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"))
+      .orderBy("s_nationkey")
+  }
 }

@@ -248,6 +248,21 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "phase 1 lost its map-side combine")
   }
 
+  test("salted join keeps its replicate shape") {
+    // skew_salted_join must actually join on (key, __salt) against the
+    // 8-way exploded dimension — if a refactor drops the salt from the
+    // join keys, the query degrades to the plain hot-key join and the
+    // oracle gate cannot see it (answers are identical by design).
+    val plan = SparkEntry.queries("skew_salted_join")(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert("""l_suppkey#\d+L?, __salt#\d+L""".r.findFirstIn(plan).isDefined,
+      s"join must key on (l_suppkey, __salt):\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"exploded dimension must stay broadcast:\n$plan")
+    assert(plan.toLowerCase.contains("explode"),
+      s"dimension replicate (explode over the salt range) missing:\n$plan")
+  }
+
   test("handler plans push asset and date predicates into the scan") {
     // fixture via the ingest synthetic source is overkill here; the
     // sf0.001 lineitem scan through an equivalent read-filter-project
