@@ -174,6 +174,19 @@ object SparkEntry {
         .select("media_id", "byte_len", "header")
         .orderBy("media_id")
     }),
+    // resize plumbing: payload truncation to w*h bytes with rewritten
+    // typed metadata (the codec itself stays the documented stub); the
+    // md5 proves the payload bytes, not just their length
+    "mm_resize" -> ((s, dir) => {
+      graft.multimodal.Multimodal.resizeStub(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents").filter(col("doc_id") < 100)), 64, 48)
+        .select(col("media_id"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          length(col("media")).as("byte_len"),
+          md5(col("media")).as("payload_md5"))
+        .orderBy("media_id")
+    }),
   )
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY).
@@ -1723,6 +1736,14 @@ object SparkEntry {
       """SELECT doc_id AS media_id,
         |  length(text) AS byte_len,
         |  upper(hex(encode(substring(text, 1, 4)))) AS header
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      // ASCII corpus: the Spark side truncates the BINARY payload to
+      // 64*48 = 3072 bytes; character truncation of the text coincides.
+      """SELECT doc_id AS media_id, 64 AS width, 48 AS height,
+        |  length(substring(text, 1, 3072)) AS byte_len,
+        |  md5(substring(text, 1, 3072)) AS payload_md5
         |FROM documents WHERE doc_id < 100
         |ORDER BY media_id""".stripMargin,
   )
