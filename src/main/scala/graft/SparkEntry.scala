@@ -134,6 +134,9 @@ object SparkEntry {
     // sim_ivf_ann_indexed treatment)
     "sim_pq_adc_indexed" -> ((s, d) => Similarity.simPqAdcIndexed(s, d)),
     "sim_pq_rerank" -> ((s, d) => Similarity.simPqRerank(s, d)),
+    // the FAISS IndexIVFPQ composition: IVF cell pruning -> ADC over
+    // probed-cell codes only -> exact re-rank of the bounded shortlist
+    "sim_ivfpq" -> ((s, d) => Similarity.simIvfPq(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -394,9 +397,13 @@ object SparkEntry {
       |FROM t LEFT JOIN hits h ON t.doc_id = h.doc_id
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  private def ivfAnnSql: String =
-    s"""WITH ${kmeansCtes()},
-      |e AS (
+  /** The shared IVF coarse-stage CTE block (corpus-wide centroid ranking
+    * `rk` over the trained `c3` centroids) — one text for [[ivfAnnSql]]
+    * and [[ivfPqSql]] so the cell-assignment rule cannot drift between
+    * the cosine probe search and the composed IVFPQ search.
+    */
+  private def ivfRankCtes: String =
+    """e AS (
       |  SELECT vec_id, label, embedding,
       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
       |  FROM embeddings),
@@ -409,7 +416,11 @@ object SparkEntry {
       |  FROM (
       |    SELECT vec_id, embedding, vnorm, c_label,
       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
-      |    FROM e, cn)),
+      |    FROM e, cn))""".stripMargin
+
+  private def ivfAnnSql: String =
+    s"""WITH ${kmeansCtes()},
+      |$ivfRankCtes,
       |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
       |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
       |s AS (
@@ -420,6 +431,42 @@ object SparkEntry {
       |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfPq]]: the kmeansCtes
+    * coarse chain + the pqAdcCtes fine chain composed in ONE statement —
+    * probed-cell candidate pairs filter the ADC ranking, then the
+    * pqRerankSql exact-refine tail runs on the bounded shortlist. Every
+    * sub-chain is the verbatim generator its standalone oracle uses, so
+    * the composition cannot drift from the parts.
+    */
+  private def ivfPqSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cellsq AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |probesq AS (SELECT vec_id AS qid, c_label AS cell FROM rk WHERE vec_id < 5 AND crnk <= 2),
+       |cand AS (
+       |  SELECT probesq.qid, cellsq.m_vec_id AS vec_id
+       |  FROM cellsq JOIN probesq ON cellsq.cell = probesq.cell
+       |  WHERE cellsq.m_vec_id <> probesq.qid),
+       |${pqAdcCtes.stripPrefix("WITH ")},
+       |iadc AS (
+       |  SELECT a.qid, a.vec_id, a.adc,
+       |    row_number() OVER (PARTITION BY a.qid ORDER BY a.adc ASC, a.vec_id ASC) AS rnk
+       |  FROM adist a JOIN cand ON a.qid = cand.qid AND a.vec_id = cand.vec_id),
+       |short2 AS (SELECT qid, vec_id FROM iadc WHERE rnk <= ${Similarity.pqShortlist}),
+       |rr2 AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+       |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e2.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e2.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+       |  FROM short2 s
+       |  JOIN embeddings e2 ON e2.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |ranked3 AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rr2)
+       |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1618,6 +1665,7 @@ object SparkEntry {
     "sim_pq_adc" -> pqAdcSql,
     "sim_pq_adc_indexed" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
+    "sim_ivfpq" -> ivfPqSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,

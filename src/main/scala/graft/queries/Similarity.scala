@@ -925,6 +925,17 @@ object Similarity {
       case Some(_) => simPqAdcIndexed(spark, dir, shortlist, querySet, indexPath)
       case None => simPqAdc(spark, dir, shortlist, querySet)
     }).select("qid", "vec_id")
+    exactRerank(spark, dir, short, querySet, k)
+  }
+
+  /** Exact squared-L2 re-rank of a (qid, vec_id) shortlist — the shared
+    * tail of [[simPqRerank]] and [[simIvfPq]]: fetch exact vectors for
+    * the bounded shortlist (broadcast — the scan side stays put), refine,
+    * per-query top-k. Vectors end at the dist projection; the top-k
+    * window's exchange carries only (qid, vec_id, dist).
+    */
+  private def exactRerank(spark: SparkSession, dir: String,
+      short: DataFrame, querySet: Option[DataFrame], k: Int): DataFrame = {
     val q = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
     val exact = Tables(spark, dir, "embeddings")
@@ -935,8 +946,6 @@ object Similarity {
         s"""aggregate(sequence(0, ${dims - 1}), 0D, (a2, i2) ->
               a2 + (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE))
                  * (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE)))"""))
-      // vectors end here: the top-k window's exchange carries only
-      // (qid, vec_id, dist) — the sim_* no-vectors-in-shuffles rule
       .select("qid", "vec_id", "dist")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
@@ -944,6 +953,75 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("qid", "vec_id", "dist", "rnk")
       .orderBy("qid", "rnk")
+  }
+
+  /** IVF + PQ composed search — the FAISS `IndexIVFPQ` architecture (with
+    * `by_residual=false`: codes quantize raw vectors, the
+    * [[simPqAdc]] discipline), which is how billion-vector deployments
+    * actually search: the coarse quantizer (the [[kmeansTrain]] IVF)
+    * prunes the corpus to the members of `nprobe` probed cells, ADC
+    * scores ONLY those members from the broadcast distance tables, and
+    * the exact re-rank refines the bounded shortlist. Every stage is the
+    * already-proven machinery — trained cells as a pure projection
+    * ([[ivfMembersSql]] via SparkEntry's view contract is not needed
+    * here; the cell map comes from the same SQL), codes from
+    * [[pqEncode]], the s-ordered ADC fold, [[exactRerank]] — so at
+    * 100 TB the cost is: one narrow pass over the code table restricted
+    * by the probed-cell semi-join, then a constant-size exact fetch.
+    * Shuffles carry (qid, vec_id, …) scalars, never vectors (PlanSpec
+    * pins this for every PQ search form).
+    *
+    * The oracle composes the kmeansCtes + pqAdcCtes chains and filters
+    * the ADC ranking to the probed-cell candidate pairs — recall loss
+    * from unprobed cells is the documented ANN trade, identical in both
+    * engines by construction.
+    */
+  def simIvfPq(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    centroidsWithNorm(spark, dir).createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    // coarse stage: corpus cell map (pure projection) + query probe keys
+    val cellOf = spark.sql(ivfMembersSql)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val probes = spark.sql(ivfProbeKeysSql(nprobe))
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"))
+    // fine stage: PQ codes restricted to cells ANY query probes (tiny
+    // broadcast of probed cell ids — at scale this is the partition
+    // pruning the materialized IVF index makes a storage fact)
+    val books = pqCodebooks(spark, dir)
+    val candCodes = pqEncode(spark, dir, books)
+      .join(cellOf, "vec_id")
+      .join(broadcast(probes.select("cell").distinct()), Seq("cell"),
+        "left_semi")
+    val qd = querySet.getOrElse(defaultQueries(spark, dir))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .join(broadcast(books))
+      .withColumn("qdist",
+        expr(l2SubExpr("qvec", "centroid", s"s * $pqSubDims")))
+      .select(col("qid"), col("s").as("qs"), col("cid").as("qcid"),
+        col("qdist"))
+    val adc = candCodes
+      .join(broadcast(qd), col("s") === col("qs") &&
+        col("code") === col("qcid") && col("vec_id") =!= col("qid"))
+      // per-query confirm: vector v is a candidate for q only if q
+      // probes v's cell (the broadcast probe set is |q|·nprobe rows)
+      .join(broadcast(probes), Seq("qid", "cell"), "left_semi")
+      .groupBy("qid", "vec_id")
+      .agg(sort_array(collect_list(struct(col("s"), col("qdist").as("sq"))))
+        .as("terms"))
+      .withColumn("adc",
+        expr("aggregate(terms, 0D, (acc, t) -> acc + t.sq)"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("adc").asc, col("vec_id").asc)
+    val short = adc.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select("qid", "vec_id")
+    exactRerank(spark, dir, short, querySet, k)
   }
 
   /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k

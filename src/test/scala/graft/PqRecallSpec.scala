@@ -91,4 +91,30 @@ class PqRecallSpec extends SparkSpec {
     assert(curve.last._2 >= 0.99,
       s"L=150 must recover the exact top-$k here, got ${curve.last._2}")
   }
+
+  test("composed IVFPQ: identical to all-cells PQ at nprobe=nlist; shipped floor") {
+    // At nprobe = nlist (8 trained cells here) the probe stage prunes
+    // nothing, so sim_ivfpq must reproduce the all-cells ADC + re-rank
+    // ROW FOR ROW — same codes, same s-ordered fold, same refine.
+    val allCells = Similarity.simPqRerank(spark, dir, k = k).collect()
+    val fullProbe = Similarity.simIvfPq(spark, dir, nprobe = 8, k = k).collect()
+    assert(fullProbe.toSeq == allCells.toSeq,
+      "nprobe=nlist IVFPQ must equal the unpruned PQ re-rank exactly")
+    // At smaller nprobe, recall vs the unpruned search is NOT monotone
+    // and can even EXCEED it at fixed shortlist L: the top-L is drawn
+    // from the REDUCED candidate pool, so pruning junk cells pushes true
+    // neighbors into the shortlist that corpus-wide ADC noise had ranked
+    // below L (measured: 0.88 at nprobe=2 vs 0.80 unpruned, L=50) —
+    // the depth-vs-breadth trade IVFPQ users tune. Pin the measured
+    // points just below their values.
+    val curve = Seq(1, 2).map { p =>
+      p -> recallOf(Similarity.simIvfPq(spark, dir, nprobe = p, k = k).collect())
+    }
+    info(s"all-cells re-rank=${recallOf(allCells)}; " +
+      curve.map { case (p, r) => s"nprobe=$p recall=$r" }.mkString(", "))
+    assert(curve.find(_._1 == 1).get._2 >= 0.7,
+      "nprobe=1 IVFPQ recall fell below the 0.7 floor (measured 0.76)")
+    assert(curve.find(_._1 == 2).get._2 >= 0.85,
+      "shipped (nprobe=2) IVFPQ recall fell below the 0.85 floor (measured 0.88)")
+  }
 }
