@@ -1677,9 +1677,14 @@ object Text {
     * row counts — the tombstone group hashes nothing by design (its
     * payload is gone) and XORs to NULL in both engines.
     */
-  def pipelineMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
-    val base = docs(spark, dir).select(col("doc_id"), col("text"))
-    val updates = base.filter(col("doc_id") % 3 === 0)
+  /** The deterministic updates batch both engines (and the streaming
+    * twin) carve from a (doc_id, text) snapshot — revisions, reserved-key
+    * inserts, tombstones. Works unchanged on a STREAMING frame: three
+    * narrow filters under a union. One definition, three consumers
+    * (the shingleExpr rule).
+    */
+  private[graft] def mergeUpdates(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % 3 === 0)
       .select(col("doc_id").as("k"),
         concat(col("text"), lit(" [rev2]")).as("new_text"),
         lit("upsert").as("op"))
@@ -1691,6 +1696,10 @@ object Text {
         .select(col("doc_id").as("k"),
           lit(null).cast("string").as("new_text"),
           lit("delete").as("op")))
+
+  def pipelineMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val updates = mergeUpdates(base)
     base.select(col("doc_id").as("k"), col("text"), lit(1).as("in_base"))
       .join(updates, Seq("k"), "full_outer")
       .withColumn("action",

@@ -281,6 +281,27 @@ object StreamingOps {
       .join(baseKeys, Seq("hk"), "left_anti")
       .dropDuplicates("hk")
 
+  /** Streaming twin of `graft.queries.Text.pipelineMergeSnapshot`'s
+    * classify stage: updates ARRIVE as a stream (the production merge
+    * shape — a CDC/ingest feed against a static snapshot) and each row is
+    * classified update / insert / delete by a STATELESS stream-static
+    * left join against the base key set (8-byte keys; the marker column
+    * beats a null-probe on payloads). `unchanged` is inherently a batch
+    * notion — it needs the full base sweep, which the batch operator's
+    * full-outer join provides — so the stream emits one classified row
+    * per UPDATE-SIDE row and nothing for untouched base rows;
+    * StreamingSpec asserts the emitted classes equal the batch audit's
+    * update/insert/delete partitions exactly.
+    */
+  def classifiedUpdates(updateStream: DataFrame, baseKeys: DataFrame): DataFrame =
+    updateStream
+      .join(baseKeys.withColumn("in_base", lit(1)), Seq("k"), "left")
+      .withColumn("action",
+        when(col("op") === "delete", lit("delete"))
+          .when(col("in_base") === 1, lit("update"))
+          .otherwise(lit("insert")))
+      .select("k", "action", "new_text")
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

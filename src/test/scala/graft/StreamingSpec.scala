@@ -291,4 +291,41 @@ class StreamingSpec extends SparkSpec {
     }.toSet
     assert(streamedHks == expectedHks)
   }
+
+  test("streaming merge classify equals the batch audit's changed partitions") {
+    // Updates arrive as a stream against the static sf0.001 snapshot; the
+    // per-action row counts and key sums must equal the batch MERGE
+    // audit's update/insert/delete rows ('unchanged' is batch-only — it
+    // needs the full base sweep).
+    val dir = "/root/testdata/sf0.001"
+    val baseKeys = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("k"))
+    // the testdata table is a single parquet FILE; the file-source
+    // stream wants a landing DIRECTORY — stage a copy
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-merge-stream").toString
+    Tables(spark, dir, "documents")
+      .write.mode("overwrite").parquet(s"$landing/documents.parquet")
+    val docStream = StreamingOps
+      .readDocumentsStream(spark, s"$landing/documents.parquet")
+      .select("doc_id", "text")
+    val q = StreamingOps
+      .classifiedUpdates(graft.queries.Text.mergeUpdates(docStream), baseKeys)
+      .writeStream.format("memory").queryName("merge_classify_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val got = spark.table("merge_classify_stream")
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"))
+      .collect()
+      .map(r => (r.getAs[String]("action"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("id_sum"))).toSet
+    val batch = graft.queries.Text.pipelineMergeSnapshot(spark, dir)
+      .filter(col("action") =!= "unchanged")
+      .select("action", "n_rows", "id_sum")
+      .collect()
+      .map(r => (r.getAs[String]("action"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("id_sum"))).toSet
+    assert(got == batch, s"streamed $got != batch $batch")
+  }
 }
