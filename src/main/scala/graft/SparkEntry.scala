@@ -106,6 +106,7 @@ object SparkEntry {
     "tx_source_mix" -> (Text.txSourceMix _),
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
+    "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
@@ -1394,6 +1395,26 @@ object SparkEntry {
         |SELECT gram, count(*) AS n_occurrences
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+    // Global top-100 tokens selected by COUNT VALUE (every token tying
+    // at the 100th count is in — deterministic under ties, same trick as
+    // tx_topk_ngrams); coverage is one IEEE division of exact longs.
+    "tx_vocab_coverage" ->
+      """WITH t AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |gc AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
+        |tv AS (SELECT DISTINCT c FROM (SELECT c FROM gc ORDER BY c DESC LIMIT 100)),
+        |win AS (SELECT tok FROM gc WHERE c IN (SELECT c FROM tv)),
+        |per AS (
+        |  SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+        |  FROM t GROUP BY 1),
+        |cov AS (
+        |  SELECT lang, count(*) AS n_top_tokens FROM t
+        |  WHERE tok IN (SELECT tok FROM win) GROUP BY 1)
+        |SELECT p.lang, p.n_tokens, p.n_distinct,
+        |  coalesce(c2.n_top_tokens, 0) AS n_top_tokens,
+        |  CAST(coalesce(c2.n_top_tokens, 0) AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS top_coverage
+        |FROM per p LEFT JOIN cov c2 ON p.lang = c2.lang
+        |ORDER BY p.lang""".stripMargin,
     "tx_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),

@@ -1653,6 +1653,45 @@ object Text {
       .limit(k)
   }
 
+  /** Vocabulary coverage profile — the corpus statistic tokenizer
+    * training starts from: per language, total token occurrences,
+    * distinct token count, and the fraction of all occurrences covered
+    * by the GLOBAL top-`topK` tokens (the head of the Zipf curve a
+    * byte-pair vocabulary absorbs first). Same corpus-profiling role as
+    * the reference's schema/manifest introspection (S5,
+    * `wrds_ingestion.py:1008-1016` field manifest), applied to token
+    * space.
+    *
+    * Scale shape: classic wordcount — one narrow tokenize pass
+    * (scope-cached: three consumers, one corpus read), partial-agg token
+    * counts, and the top set selected by COUNT VALUE (the
+    * [[txTopkNgrams]] threshold trick: every token tying at the k-th
+    * count is in, so the set is deterministic under ties with no
+    * driver-side collect); the winner set is tiny and semi-joins
+    * broadcast. The coverage fraction is one IEEE division of exact
+    * longs.
+    */
+  def txVocabCoverage(spark: SparkSession, dir: String,
+      topK: Int = 100): DataFrame = {
+    val toks = graft.Caches.scoped("tx_vocab_coverage.toks",
+      Tables.spread(docs(spark, dir))
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok")))
+    val gc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val tv = gc.orderBy(col("c").desc).limit(topK).select("c").distinct()
+    val winners = gc.join(tv, Seq("c"), "left_semi").select("tok")
+    val per = toks.groupBy("lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct("tok").as("n_distinct"))
+    val cov = toks.join(winners, Seq("tok"), "left_semi")
+      .groupBy("lang").agg(count(lit(1)).as("n_top_tokens"))
+    per.join(cov, Seq("lang"), "left")
+      .select(col("lang"), col("n_tokens"), col("n_distinct"),
+        coalesce(col("n_top_tokens"), lit(0L)).as("n_top_tokens"))
+      .withColumn("top_coverage",
+        col("n_top_tokens").cast("double") / col("n_tokens").cast("double"))
+      .orderBy("lang")
+  }
+
   /** Snapshot MERGE (upsert): apply an updates batch — row updates, new
     * rows, tombstone deletes — to a keyed base snapshot in ONE pass and
     * account for every row. The reference refreshes its warehouse by
