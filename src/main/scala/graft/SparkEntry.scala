@@ -138,6 +138,9 @@ object SparkEntry {
     // the FAISS IndexIVFPQ composition: IVF cell pruning -> ADC over
     // probed-cell codes only -> exact re-rank of the bounded shortlist
     "sim_ivfpq" -> ((s, d) => Similarity.simIvfPq(s, d)),
+    // standing-index maintenance: a frozen quantizer admits a delta batch
+    // with no retrain; per-cell base/new/total occupancy audit
+    "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -468,6 +471,39 @@ object SparkEntry {
        |  FROM rr2)
        |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfUpsert]]: the frozen
+    * c3 centroids assign both the corpus (rk, crnk = 1) and the reversed
+    * negative-key delta batch; per-cell occupancy audit in exact
+    * integers. The delta's assignment replicates the corpus-rank CTE on
+    * the delta source — the one assignment rule, two inputs.
+    */
+  private def ivfUpsertSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |delta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |de AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+       |  FROM delta),
+       |drk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c_label,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+       |    FROM de, cn)),
+       |bc AS (SELECT c_label AS cell, count(*) AS n_base FROM rk WHERE crnk = 1 GROUP BY 1),
+       |dc AS (
+       |  SELECT c_label AS cell, count(*) AS n_new, min(vec_id) AS first_new_id
+       |  FROM drk WHERE crnk = 1 GROUP BY 1)
+       |SELECT coalesce(bc.cell, dc.cell) AS cell,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
+       |FROM bc FULL OUTER JOIN dc ON bc.cell = dc.cell
+       |ORDER BY cell""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1687,6 +1723,7 @@ object SparkEntry {
     "sim_pq_adc_indexed" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq" -> ivfPqSql,
+    "sim_ivf_upsert" -> ivfUpsertSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,

@@ -570,7 +570,15 @@ object Similarity {
     * exact and the tie-break field order matches. Nothing shuffles here
     * at all: scan → project, at any corpus size.
     */
-  private def ivfMembersSql: String =
+  private def ivfMembersSql: String = ivfMembersSqlFrom("embeddings")
+
+  /** [[ivfMembersSql]] over an arbitrary (vec_id, embedding) source —
+    * the same pure-projection assignment applied to a DELTA batch by
+    * [[simIvfUpsert]]: a standing quantizer admits new vectors with no
+    * retrain, so the assignment text must be the one the index was built
+    * with.
+    */
+  private def ivfMembersSqlFrom(src: String): String =
     s"""SELECT vec_id AS m_vec_id, cell, embedding AS m_vec, vnorm AS m_norm
        |FROM (
        |  SELECT vec_id, embedding, vnorm,
@@ -582,7 +590,7 @@ object Similarity {
        |      sqrt(float_dot(embedding, embedding)) AS vnorm,
        |      (SELECT collect_list(struct(c_label, centroid, cnorm))
        |       FROM graft_ivf_centroids) AS cents
-       |    FROM embeddings))""".stripMargin
+       |    FROM $src))""".stripMargin
 
   /** Query side: rank centroids to depth nprobe for the FEW query vectors
     * only. The row_number window is fine here — its input is |queries|·k
@@ -1022,6 +1030,51 @@ object Similarity {
       .filter(col("rnk") <= shortlist)
       .select("qid", "vec_id")
     exactRerank(spark, dir, short, querySet, k)
+  }
+
+  /** IVF index UPSERT — the maintenance operation a standing vector index
+    * lives by (FAISS `IndexIVF.add`): NEW vectors are admitted by
+    * assigning them to the nearest cell of the FROZEN quantizer — no
+    * retrain, no touch of existing members — and the audit reports every
+    * inverted list's base/new/total occupancy. At 100 TB this is the
+    * whole point of the cell-partitioned index ([[simIvfBuildIndex]]):
+    * an upsert appends to its nprobe-readable partition directories
+    * while the corpus-sized base stays where it is; retraining (and the
+    * drift threshold that triggers it) is a separate, deliberate event.
+    *
+    * The delta batch is carved deterministically so both engines build
+    * the identical one (the pipelineMergeSnapshot discipline): every
+    * `vec_id % 5 = 0` corpus vector spawns a NEW vector under the
+    * reserved negative key `-vec_id - 1` with its embedding REVERSED
+    * (an explicit index transform both engines evaluate identically —
+    * a payload that is new geometry, not a copy). Assignment reuses
+    * [[ivfMembersSqlFrom]] verbatim — the text the index was built
+    * with — so upsert placement can never drift from build placement.
+    * All audit columns are exact integers.
+    */
+  def simIvfUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    centroidsWithNorm(spark, dir).createOrReplaceTempView("graft_ivf_centroids")
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+      .createOrReplaceTempView("graft_ivf_delta")
+    val base = spark.sql(ivfMembersSql)
+      .groupBy("cell").agg(count(lit(1)).as("n_base"))
+    val delta = spark.sql(ivfMembersSqlFrom("graft_ivf_delta"))
+      .groupBy("cell").agg(count(lit(1)).as("n_new"),
+        min("m_vec_id").as("first_new_id"))
+    base.join(delta, Seq("cell"), "full_outer")
+      .select(col("cell"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        col("first_new_id"))
+      .orderBy("cell")
   }
 
   /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k
