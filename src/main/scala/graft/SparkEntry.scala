@@ -484,7 +484,7 @@ object SparkEntry {
        |delta AS (
        |  SELECT -vec_id - 1 AS vec_id,
        |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
-       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
        |de AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
@@ -1218,14 +1218,14 @@ object SparkEntry {
     // CONTENT. The tombstone group's payload is gone — bit_xor over all
     // NULLs is NULL in both engines.
     "pipeline_merge_snapshot" ->
-      """WITH base AS (SELECT doc_id, text FROM documents),
+      s"""WITH base AS (SELECT doc_id, text FROM documents),
         |upd AS (
         |  SELECT doc_id AS k, text || ' [rev2]' AS new_text, 'upsert' AS op
-        |  FROM base WHERE doc_id % 3 = 0
+        |  FROM base WHERE doc_id % ${Text.mergeRevMod} = 0
         |  UNION ALL
-        |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % 13 = 0
+        |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
         |  UNION ALL
-        |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % 17 = 3 AND doc_id % 3 <> 0),
+        |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0),
         |m AS (
         |  SELECT coalesce(b.doc_id, u.k) AS k,
         |    CASE WHEN u.op = 'delete' THEN 'delete'
@@ -1435,10 +1435,10 @@ object SparkEntry {
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.
     "tx_vocab_coverage" ->
-      """WITH t AS (
+      s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
         |gc AS (SELECT tok, count(*) AS c FROM t GROUP BY 1),
-        |tv AS (SELECT DISTINCT c FROM (SELECT c FROM gc ORDER BY c DESC LIMIT 100)),
+        |tv AS (SELECT DISTINCT c FROM (SELECT c FROM gc ORDER BY c DESC LIMIT ${Text.vocabTopK})),
         |win AS (SELECT tok FROM gc WHERE c IN (SELECT c FROM tv)),
         |per AS (
         |  SELECT lang, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct

@@ -1032,6 +1032,11 @@ object Similarity {
     exactRerank(spark, dir, short, querySet, k)
   }
 
+  /** Delta-batch carving modulus for [[simIvfUpsert]] — shared with the
+    * generated oracle SQL (the kmeansCtes discipline: mirrored literals
+    * desync silently; shared constants cannot). */
+  private[graft] val upsertDeltaMod = 5
+
   /** IVF index UPSERT — the maintenance operation a standing vector index
     * lives by (FAISS `IndexIVF.add`): NEW vectors are admitted by
     * assigning them to the nearest cell of the FROZEN quantizer — no
@@ -1057,7 +1062,7 @@ object Similarity {
     graft.Catalog.registerAll(spark, dir)
     centroidsWithNorm(spark, dir).createOrReplaceTempView("graft_ivf_centroids")
     Tables(spark, dir, "embeddings")
-      .filter(col("vec_id") % 5 === 0)
+      .filter(col("vec_id") % upsertDeltaMod === 0)
       .select((col("vec_id") * -1 - 1).as("vec_id"),
         expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
           .as("embedding"))

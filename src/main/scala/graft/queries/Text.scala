@@ -1299,27 +1299,33 @@ object Text {
     * benchmark overlap), shape from the GPT-3/Gopher n-gram
     * decontamination appendices.
     */
-  def txDecontaminateHashed(spark: SparkSession, dir: String,
-      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
-    val all = docs(spark, dir)
-    // Both semi-join sides read this projection — scoped-cache it so the
-    // tokenize+explode+md5 subtree is ONE corpus pass per execution
-    // (VERDICT r6 finding 3), mirroring the minhash family's rule.
-    val sh = graft.Caches.scoped(s"tx_decontaminate_hashed.sh.$width",
-      Tables.spread(all)
+  /** The scope-cached (doc_id, source, gk) hashed-shingle projection both
+    * semi-join sides of a hashed decontamination read — ONE tokenize +
+    * explode + md5 corpus pass per execution (VERDICT r6 finding 3),
+    * mirroring the minhash family's rule. One definition for the plain
+    * and the Bloom-prefiltered variant: they must stay bit-identical
+    * (they share one oracle text verbatim), so the projection exists
+    * exactly once. The 8-byte key replaces the gram string BEFORE
+    * anything shuffles.
+    */
+  private def hashedShingleKeys(spark: SparkSession, dir: String,
+      cacheTag: String, width: Int): DataFrame =
+    graft.Caches.scoped(s"$cacheTag.sh.$width",
+      Tables.spread(docs(spark, dir))
         .withColumn("toks", split(col("text"), " "))
         .filter(size(col("toks")) >= width)
         .select(col("doc_id"), col("source"),
           explode(expr(shingleExpr(width))).as("g"))
-        // 8-byte key replaces the gram string BEFORE anything shuffles
         .select(col("doc_id"), col("source"),
           expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk")))
-    val bench = sh.filter(col("source") === benchmarkSource)
-      .select("gk").distinct()
-    val contaminated = sh.filter(col("source") =!= benchmarkSource)
-      .join(bench, Seq("gk"), "left_semi")
-      .select("doc_id").distinct()
-      .withColumn("hit", lit(1))
+
+  /** The shared per-language contamination rollup (train-doc counts,
+    * contaminated counts, first hit) over a (doc_id, hit) flag frame —
+    * the other half both hashed-decontamination variants must compute
+    * identically.
+    */
+  private def contaminationRollup(all: DataFrame,
+      contaminated: DataFrame, benchmarkSource: String): DataFrame =
     all.filter(col("source") =!= benchmarkSource)
       .select("doc_id", "lang")
       .join(contaminated, Seq("doc_id"), "left")
@@ -1328,6 +1334,17 @@ object Text {
         count(col("hit")).as("n_contaminated"),
         min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
       .orderBy("lang")
+
+  def txDecontaminateHashed(spark: SparkSession, dir: String,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
+    val sh = hashedShingleKeys(spark, dir, "tx_decontaminate_hashed", width)
+    val bench = sh.filter(col("source") === benchmarkSource)
+      .select("gk").distinct()
+    val contaminated = sh.filter(col("source") =!= benchmarkSource)
+      .join(bench, Seq("gk"), "left_semi")
+      .select("doc_id").distinct()
+      .withColumn("hit", lit(1))
+    contaminationRollup(docs(spark, dir), contaminated, benchmarkSource)
   }
 
   /** [[txDecontaminateHashed]] with a broadcast BLOOM PREFILTER on the
@@ -1363,15 +1380,7 @@ object Text {
   def txDecontaminateBloom(spark: SparkSession, dir: String,
       benchmarkSource: String = "src0", width: Int = 8,
       fpp: Double = 0.01): DataFrame = {
-    val all = docs(spark, dir)
-    val sh = graft.Caches.scoped(s"tx_bloom_decontaminate.sh.$width",
-      Tables.spread(all)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= width)
-        .select(col("doc_id"), col("source"),
-          explode(expr(shingleExpr(width))).as("g"))
-        .select(col("doc_id"), col("source"),
-          expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk")))
+    val sh = hashedShingleKeys(spark, dir, "tx_bloom_decontaminate", width)
     val bench = sh.filter(col("source") === benchmarkSource)
       .select("gk").distinct()
     // Two bounded jobs over the cached projection: exact benchmark-key
@@ -1379,23 +1388,26 @@ object Text {
     // then the Bloom aggregation itself.
     val nBench = bench.count()
     val bloom = bench.stat.bloomFilter("gk", math.max(nBench, 64L), fpp)
-    val bloomB = spark.sparkContext.broadcast(bloom)
-    val mightContain = udf((k: Long) => bloomB.value.mightContain(k))
+    // the codegen'd probe Spark's own runtime row-filter rule injects
+    // (BloomFilterMightContain on the serialized sketch) — not a boxed
+    // Scala UDF on the hottest per-gram path (the graft.functions rule)
+    val serialized = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(serialized),
+        org.apache.spark.sql.graft.ColumnBridge.expression(col("gk"))))
     val contaminated = sh.filter(col("source") =!= benchmarkSource)
       // map-side prefilter: runs in the scan/cache-read stage, BEFORE the
       // distinct + semi-join exchanges — only Bloom survivors shuffle
-      .filter(mightContain(col("gk")))
+      .filter(mightContain)
       .join(bench, Seq("gk"), "left_semi")
       .select("doc_id").distinct()
       .withColumn("hit", lit(1))
-    all.filter(col("source") =!= benchmarkSource)
-      .select("doc_id", "lang")
-      .join(contaminated, Seq("doc_id"), "left")
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_train_docs"),
-        count(col("hit")).as("n_contaminated"),
-        min(when(col("hit") === 1, col("doc_id"))).as("first_contaminated"))
-      .orderBy("lang")
+    contaminationRollup(docs(spark, dir), contaminated, benchmarkSource)
   }
 
   /** Fuzzy benchmark decontamination: [[txDecontaminate]] catches verbatim
@@ -1653,6 +1665,10 @@ object Text {
       .limit(k)
   }
 
+  /** Default head size for [[txVocabCoverage]] — shared with the
+    * generated oracle SQL (the mergeRevMod discipline). */
+  private[graft] val vocabTopK = 100
+
   /** Vocabulary coverage profile — the corpus statistic tokenizer
     * training starts from: per language, total token occurrences,
     * distinct token count, and the fraction of all occurrences covered
@@ -1672,11 +1688,14 @@ object Text {
     * longs.
     */
   def txVocabCoverage(spark: SparkSession, dir: String,
-      topK: Int = 100): DataFrame = {
+      topK: Int = vocabTopK): DataFrame = {
     val toks = graft.Caches.scoped("tx_vocab_coverage.toks",
       Tables.spread(docs(spark, dir))
         .select(col("lang"), explode(split(col("text"), " ")).as("tok")))
-    val gc = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // the widest aggregation in the query feeds BOTH the top-value
+    // threshold and the winner semi-join — one shuffle agg, not two
+    val gc = graft.Caches.scoped(s"tx_vocab_coverage.gc.$topK",
+      toks.groupBy("tok").agg(count(lit(1)).as("c")))
     val tv = gc.orderBy(col("c").desc).limit(topK).select("c").distinct()
     val winners = gc.join(tv, Seq("c"), "left_semi").select("tok")
     val per = toks.groupBy("lang")
@@ -1692,6 +1711,37 @@ object Text {
       .orderBy("lang")
   }
 
+  /** The MERGE updates-batch carving rule — ONE set of constants for the
+    * Spark batch operator, the streaming twin, and the generated oracle
+    * SQL (the shuffleShardSeed/kmeansCtes discipline: mirrored literals
+    * desync silently; shared constants cannot).
+    */
+  private[graft] val mergeRevMod = 3
+  private[graft] val mergeInsMod = 13
+  private[graft] val mergeDelMod = 17
+  private[graft] val mergeDelRem = 3
+
+  /** The deterministic updates batch both engines (and the streaming
+    * twin) carve from a (doc_id, text) snapshot — revisions, reserved-key
+    * inserts, tombstones. Works unchanged on a STREAMING frame: three
+    * narrow filters under a union. One definition, three consumers
+    * (the shingleExpr rule).
+    */
+  private[graft] def mergeUpdates(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % mergeRevMod === 0)
+      .select(col("doc_id").as("k"),
+        concat(col("text"), lit(" [rev2]")).as("new_text"),
+        lit("upsert").as("op"))
+      .unionAll(base.filter(col("doc_id") % mergeInsMod === 0)
+        .select((col("doc_id") * -1 - 1).as("k"),
+          concat(lit("new: "), col("text")).as("new_text"),
+          lit("upsert").as("op")))
+      .unionAll(base.filter(col("doc_id") % mergeDelMod === mergeDelRem &&
+          col("doc_id") % mergeRevMod =!= 0)
+        .select(col("doc_id").as("k"),
+          lit(null).cast("string").as("new_text"),
+          lit("delete").as("op")))
+
   /** Snapshot MERGE (upsert): apply an updates batch — row updates, new
     * rows, tombstone deletes — to a keyed base snapshot in ONE pass and
     * account for every row. The reference refreshes its warehouse by
@@ -1703,39 +1753,20 @@ object Text {
     * broadcast (the updates batch may be arbitrarily large), no second
     * pass over the base.
     *
-    * The updates batch is carved deterministically from the corpus so
-    * both engines construct the identical batch: every `doc_id % 3 = 0`
-    * document gets a revised payload, every `doc_id % 13 = 0` document
-    * spawns a NEW row under the reserved negative key `-doc_id - 1`
-    * (disjoint from all base keys by construction), and every
-    * `doc_id % 17 = 3` document not already revised gets a tombstone —
-    * all four MERGE actions (update / insert / delete / unchanged) fire
-    * on every scale factor. The per-action audit carries an exact key
-    * sum and a 60-bit md5 XOR over the MERGED payloads ([[textDigestExpr]]
+    * The updates batch ([[mergeUpdates]]) is carved deterministically
+    * from the corpus so both engines construct the identical batch:
+    * every `doc_id % mergeRevMod = 0` document gets a revised payload,
+    * every `doc_id % mergeInsMod = 0` document spawns a NEW row under
+    * the reserved negative key `-doc_id - 1` (disjoint from all base
+    * keys by construction), and every `doc_id % mergeDelMod =
+    * mergeDelRem` document not already revised gets a tombstone — all
+    * four MERGE actions (update / insert / delete / unchanged) fire on
+    * every scale factor. The per-action audit carries an exact key sum
+    * and a 60-bit md5 XOR over the MERGED payloads ([[textDigestExpr]]
     * discipline), so the oracle checks the merge's CONTENT, not just its
     * row counts — the tombstone group hashes nothing by design (its
     * payload is gone) and XORs to NULL in both engines.
     */
-  /** The deterministic updates batch both engines (and the streaming
-    * twin) carve from a (doc_id, text) snapshot — revisions, reserved-key
-    * inserts, tombstones. Works unchanged on a STREAMING frame: three
-    * narrow filters under a union. One definition, three consumers
-    * (the shingleExpr rule).
-    */
-  private[graft] def mergeUpdates(base: DataFrame): DataFrame =
-    base.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id").as("k"),
-        concat(col("text"), lit(" [rev2]")).as("new_text"),
-        lit("upsert").as("op"))
-      .unionAll(base.filter(col("doc_id") % 13 === 0)
-        .select((col("doc_id") * -1 - 1).as("k"),
-          concat(lit("new: "), col("text")).as("new_text"),
-          lit("upsert").as("op")))
-      .unionAll(base.filter(col("doc_id") % 17 === 3 && col("doc_id") % 3 =!= 0)
-        .select(col("doc_id").as("k"),
-          lit(null).cast("string").as("new_text"),
-          lit("delete").as("op")))
-
   def pipelineMergeSnapshot(spark: SparkSession, dir: String): DataFrame = {
     val base = docs(spark, dir).select(col("doc_id"), col("text"))
     val updates = mergeUpdates(base)

@@ -531,16 +531,19 @@ class TextOpsSpec extends SparkSpec {
   // the uncompressed row bytes every shuffle in a query carried
   // ("dataSize" — deterministic, unlike compressed write bytes)
   private def shuffledRowBytes(df: org.apache.spark.sql.DataFrame): Long = {
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec, ShuffleQueryStageExec}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     df.collect()
     // AQE nests executed stages recursively, and EVERY stage kind
     // (shuffle, broadcast, table-cache) hides its subtree behind a
     // leaf-like QueryStageExec — walk through all of them, or shuffles
-    // that ended up inside a broadcast/cache stage are silently missed
+    // that ended up inside a broadcast/cache stage are silently missed.
+    // Count the EXCHANGE nodes only: a ShuffleQueryStageExec's metric is
+    // the same accumulator as the ShuffleExchangeExec inside its plan,
+    // so counting both would double every materialized stage (and a
+    // reused exchange correctly counts once — the data shuffled once).
     def walk(p: org.apache.spark.sql.execution.SparkPlan): Long = {
       val self = p match {
-        case s: ShuffleQueryStageExec => s.shuffle.metrics("dataSize").value
         case e: ShuffleExchangeExec => e.metrics("dataSize").value
         case _ => 0L
       }
