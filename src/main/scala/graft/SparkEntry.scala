@@ -138,6 +138,10 @@ object SparkEntry {
     // the FAISS IndexIVFPQ composition: IVF cell pruning -> ADC over
     // probed-cell codes only -> exact re-rank of the bounded shortlist
     "sim_ivfpq" -> ((s, d) => Similarity.simIvfPq(s, d)),
+    // the same composition over BOTH materialized indexes: partition-
+    // pruned inverted lists + the persisted code table (results — and
+    // the oracle — identical; the sim_ivf_ann_indexed treatment)
+    "sim_ivfpq_indexed" -> ((s, d) => Similarity.simIvfPqIndexed(s, d)),
     // standing-index maintenance: a frozen quantizer admits a delta batch
     // with no retrain; per-cell base/new/total occupancy audit
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
@@ -1723,6 +1727,7 @@ object SparkEntry {
     "sim_pq_adc_indexed" -> pqAdcSql,
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq" -> ivfPqSql,
+    "sim_ivfpq_indexed" -> ivfPqSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim

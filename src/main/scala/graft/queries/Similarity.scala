@@ -1006,6 +1006,19 @@ object Similarity {
       .join(cellOf, "vec_id")
       .join(broadcast(probes.select("cell").distinct()), Seq("cell"),
         "left_semi")
+    ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
+  }
+
+  /** The shared IVFPQ fine stage — one definition for the train-per-call
+    * form ([[simIvfPq]]) and the materialized-index form
+    * ([[simIvfPqIndexed]]), the pqAdcScore pattern: ADC over the
+    * probed-cell candidate codes (per-query cell confirm via the tiny
+    * broadcast probe set), bounded shortlist, [[exactRerank]]. Identical
+    * arithmetic, so the two queries share one oracle text verbatim.
+    */
+  private def ivfPqScore(spark: SparkSession, dir: String,
+      books: DataFrame, candCodes: DataFrame, probes: DataFrame,
+      shortlist: Int, k: Int, querySet: Option[DataFrame]): DataFrame = {
     val qd = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .join(broadcast(books))
@@ -1030,6 +1043,52 @@ object Similarity {
       .filter(col("rnk") <= shortlist)
       .select("qid", "vec_id")
     exactRerank(spark, dir, short, querySet, k)
+  }
+
+  /** [[simIvfPq]] over BOTH materialized indexes — the steady-state
+    * deployment form of IVFPQ and the cost a production search actually
+    * pays per query batch: probe keys rank against the persisted
+    * centroids, the probed inverted lists are read by PARTITION PRUNING
+    * from the cell-partitioned IVF index ([[simIvfAnnIndexed]]'s
+    * storage-layer fact — only the (vec_id, cell) map is read, vectors
+    * stay untouched), candidate codes come from the persisted ~2 B/vector
+    * PQ code table, and only the final exact re-rank fetches real
+    * vectors for the bounded shortlist. Train-per-call [[simIvfPq]]
+    * prices the build; this prices the search — both ends recorded, the
+    * sim_ivf_ann / sim_pq_adc pairing applied to the composition.
+    * Results — and the oracle text — are identical by construction.
+    */
+  def simIvfPqIndexed(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    val ivfBase = ensureIvfIndex(spark, dir)
+    val pqBase = ensurePqIndex(spark, dir)
+    spark.read.parquet(s"$ivfBase/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probes = probeKeys
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"))
+    val probedCells = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    import org.apache.spark.sql.types._
+    // explicit schema pins the partition column to LongType (the
+    // simIvfAnnIndexed rule: inference would narrow small cell ids and
+    // the cast could defeat pruning)
+    val idxSchema = StructType(Seq(
+      StructField("m_vec_id", LongType), StructField("m_vec",
+        ArrayType(FloatType)), StructField("m_norm", DoubleType),
+      StructField("cell", LongType)))
+    val cellOf = spark.read.schema(idxSchema).parquet(s"$ivfBase/cells")
+      .filter(col("cell").isin(probedCells.toIndexedSeq: _*))
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val books = spark.read.parquet(s"$pqBase/codebooks")
+    val candCodes = spark.read.parquet(s"$pqBase/codes")
+      .join(cellOf, "vec_id")
+    ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
   }
 
   /** Delta-batch carving modulus for [[simIvfUpsert]] — shared with the

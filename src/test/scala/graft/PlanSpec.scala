@@ -185,7 +185,7 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq("sim_pq_adc", "sim_pq_adc_indexed", "sim_pq_rerank",
-          "sim_ivfpq").foreach { name =>
+          "sim_ivfpq", "sim_ivfpq_indexed").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan
         val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {

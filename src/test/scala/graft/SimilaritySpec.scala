@@ -197,6 +197,18 @@ class SimilaritySpec extends SparkSpec {
     assert(s2.size == 40 && s2.map(_.getAs[Long]("qid")).distinct.size == 5)
   }
 
+  test("indexed IVFPQ equals the train-per-call composition row for row") {
+    // the composed search under both storage strategies (the IVF and PQ
+    // pairings applied together): partition-pruned inverted lists + the
+    // persisted code table must return exactly what the train-per-call
+    // composition returns, at the default and a non-default nprobe
+    val scan = Similarity.simIvfPq(spark, dir).collect().toSeq
+    val indexed = Similarity.simIvfPqIndexed(spark, dir).collect().toSeq
+    assert(indexed == scan)
+    val wide = Similarity.simIvfPqIndexed(spark, dir, nprobe = 8).collect().toSeq
+    assert(wide == Similarity.simIvfPq(spark, dir, nprobe = 8).collect().toSeq)
+  }
+
   test("the IVF cell-count rule scales like sqrt(n) and trains cleanly") {
     assert(Similarity.nCellsFor(100L) == 10)
     assert(Similarity.nCellsFor(10L) == 8) // floor for toy corpora
