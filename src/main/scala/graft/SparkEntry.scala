@@ -107,6 +107,7 @@ object SparkEntry {
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
+    "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
@@ -191,7 +192,9 @@ object SparkEntry {
     "mm_resize" -> ((s, dir) => {
       graft.multimodal.Multimodal.resizeStub(
         graft.multimodal.Multimodal.fromDocuments(
-          Tables(s, dir, "documents").filter(col("doc_id") < 100)), 64, 48)
+          Tables(s, dir, "documents").filter(col("doc_id") < 100)),
+        graft.multimodal.Multimodal.resizeW,
+        graft.multimodal.Multimodal.resizeH)
         .select(col("media_id"),
           col("meta.width").as("width"), col("meta.height").as("height"),
           length(col("media")).as("byte_len"),
@@ -1455,6 +1458,25 @@ object SparkEntry {
         |  CAST(coalesce(c2.n_top_tokens, 0) AS DOUBLE) / CAST(p.n_tokens AS DOUBLE) AS top_coverage
         |FROM per p LEFT JOIN cov c2 ON p.lang = c2.lang
         |ORDER BY p.lang""".stripMargin,
+    // Exact per-language quota (n div denom) by seeded md5 order; seed
+    // and denominator come from the SAME constants as the Spark side.
+    "tx_stratified_sample" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(('0x' || substr(md5('${Text.stratifiedSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hk
+        |  FROM documents),
+        |c AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY 1),
+        |r AS (
+        |  SELECT d.*, row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) AS rn
+        |  FROM d),
+        |s AS (
+        |  SELECT r.lang, count(*) AS n_sampled,
+        |    CAST(sum(r.doc_id) AS BIGINT) AS id_sum, bit_xor(r.doc_id) AS id_xor
+        |  FROM r JOIN c ON r.lang = c.lang
+        |  WHERE r.rn <= c.n_docs // ${Text.stratifiedDenom} GROUP BY 1)
+        |SELECT c.lang, c.n_docs, c.n_docs // ${Text.stratifiedDenom} AS quota,
+        |  coalesce(s.n_sampled, 0) AS n_sampled, s.id_sum, s.id_xor
+        |FROM c LEFT JOIN s ON c.lang = s.lang ORDER BY c.lang""".stripMargin,
     "tx_decontaminate" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
@@ -1851,10 +1873,13 @@ object SparkEntry {
         |ORDER BY media_id""".stripMargin,
     "mm_resize" ->
       // ASCII corpus: the Spark side truncates the BINARY payload to
-      // 64*48 = 3072 bytes; character truncation of the text coincides.
-      """SELECT doc_id AS media_id, 64 AS width, 48 AS height,
-        |  length(substring(text, 1, 3072)) AS byte_len,
-        |  md5(substring(text, 1, 3072)) AS payload_md5
+      // w*h bytes; character truncation of the text coincides. Geometry
+      // comes from the SAME constants as the Spark call (ADVICE r6).
+      s"""SELECT doc_id AS media_id,
+        |  ${graft.multimodal.Multimodal.resizeW} AS width,
+        |  ${graft.multimodal.Multimodal.resizeH} AS height,
+        |  length(substring(text, 1, ${graft.multimodal.Multimodal.resizeW * graft.multimodal.Multimodal.resizeH})) AS byte_len,
+        |  md5(substring(text, 1, ${graft.multimodal.Multimodal.resizeW * graft.multimodal.Multimodal.resizeH})) AS payload_md5
         |FROM documents WHERE doc_id < 100
         |ORDER BY media_id""".stripMargin,
   )

@@ -73,6 +73,13 @@ object Multimodal {
         length(col("frame")).as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
 
+  /** Default resize geometry for the `mm_resize` query — ONE definition
+    * for the Spark call and the generated oracle SQL (the shared-constant
+    * discipline: mirrored literals desync silently).
+    */
+  val resizeW = 64
+  val resizeH = 48
+
   /** Resize stub: truncate the payload to `w*h` bytes (a real resize would
     * decode → scale → re-encode; the byte-level truncation keeps the
     * schema/partition shape identical).

@@ -1669,6 +1669,55 @@ object Text {
     * generated oracle SQL (the mergeRevMod discipline). */
   private[graft] val vocabTopK = 100
 
+  /** Stratified-sampling defaults — shared with the generated oracle SQL
+    * (the shuffleShardSeed discipline). */
+  private[graft] val stratifiedDenom = 5
+  private[graft] val stratifiedSeed = "graft-strat"
+
+  /** Exact proportional stratified sampling: every language keeps
+    * `n_lang div denom` documents (floor — the exact per-stratum quota a
+    * train-set spec states), chosen by seeded content-addressed order
+    * (60-bit md5 of seed:doc_id, the [[txShuffleShard]] key) so the
+    * sample is deterministic, reproducible from the seed, and unbiased
+    * w.r.t. any corpus ordering. Complements [[txHashSample]] (global
+    * threshold sampling — approximately proportional, no per-stratum
+    * rank) and [[txMixSample]] (cross-source token-mass equalization):
+    * this is the exact-quota per-stratum form.
+    *
+    * Scale shape: one hash projection, a per-language rank (the w3
+    * row_number discipline — partitioned by the stratum key), quota from
+    * a broadcast per-language count. A pathologically hot stratum makes
+    * the rank's partition hot; at that point either relax exactness to
+    * the [[txHashSample]] threshold form or decompose the rank by score
+    * buckets (the [[txTokenBudget]] prefix trick). The audit returns
+    * per-language quota accounting plus exact id sums/XORs — bounded
+    * output at every scale factor.
+    */
+  def txStratifiedSample(spark: SparkSession, dir: String,
+      denom: Int = stratifiedDenom, seed: String = stratifiedSeed): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"))
+      .withColumn("hk", expr(
+        s"CAST(conv(substring(md5(concat('$seed:', CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT)"))
+    val counts = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("hk"), col("doc_id"))
+    val sampled = d.withColumn("rn", row_number().over(w))
+      .join(counts, "lang")
+      .filter(col("rn") <= expr(s"n_docs div $denom"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum("doc_id").as("id_sum"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+    counts
+      .withColumn("quota", expr(s"n_docs div $denom"))
+      .join(sampled, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("quota"),
+        coalesce(col("n_sampled"), lit(0L)).as("n_sampled"),
+        col("id_sum"), col("id_xor"))
+      .orderBy("lang")
+  }
+
   /** Vocabulary coverage profile — the corpus statistic tokenizer
     * training starts from: per language, total token occurrences,
     * distinct token count, and the fraction of all occurrences covered
