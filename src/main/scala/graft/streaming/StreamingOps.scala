@@ -17,22 +17,28 @@ import org.apache.spark.sql.types._
   */
 object StreamingOps {
 
-  /** events schema for readStream (files need it declared up front).
-    * `ts` arrives as parquet TIMESTAMP(NANOS) → read as long, truncated
-    * to µs exactly like the batch loader (graft.Tables).
+  /** events schema for readStream with `ts` declared as `tsType` (files
+    * need the schema up front; the physical encoding varies by testdata
+    * generation — see graft.Tables.apply).
     */
-  val eventsRawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
-    StructField("user_id", LongType), StructField("event_type", StringType),
-    StructField("value", DoubleType), StructField("props", StringType)))
+  private def eventsRawSchema(tsType: org.apache.spark.sql.types.DataType): StructType =
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
 
-  /** File-source stream over an events parquet directory. */
+  /** File-source stream over an events parquet directory.
+    *
+    * The declared `ts` type is probed from the files' footers with a batch
+    * schema read (no job runs), so the stream handles both events
+    * encodings — legacy TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS)
+    * NTZ — and normalizes exactly like the batch loader
+    * (graft.Tables.normalizeEventsTs), keeping stream/batch twins aligned.
+    */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    // requires spark.sql.legacy.parquet.nanosAsLong=true at session build
-    // (see Tables.apply) — the schema types ts as LongType over NANOS
-    spark.readStream.schema(eventsRawSchema)
-      .parquet(dir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    graft.Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
   }
 
   /** Watermarked tumbling 1-hour aggregate per event type. On a stream the
