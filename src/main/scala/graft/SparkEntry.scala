@@ -57,6 +57,7 @@ object SparkEntry {
     "a2_argmax_dedup" -> (Relational.a2ArgmaxDedup _),
     "w3_rownumber_dedup" -> (Relational.w3RownumberDedup _),
     "w2_pct_change" -> (Relational.w2PctChange _),
+    "w4_ewma" -> (Relational.w4Ewma _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -689,6 +690,25 @@ object SparkEntry {
         |SELECT nationkey, date, rev,
         |  rev / lag(rev) OVER (PARTITION BY nationkey ORDER BY date) - 1.0 AS ret
         |FROM daily ORDER BY nationkey, date""".stripMargin,
+    "w4_ewma" -> {
+      // weights VALUES list generated from the SAME integer constants the
+      // Spark side explodes (Relational.ewmaWeights — the kmeansCtes rule)
+      val tapRows = Relational.ewmaWeights.zipWithIndex
+        .map { case (wt, j) => s"($j, CAST($wt AS BIGINT))" }.mkString(", ")
+      s"""WITH daily AS (
+         |  SELECT l_returnflag AS flag, CAST(l_shipdate AS DATE) AS date,
+         |    sum(CAST(round(l_quantity) AS BIGINT)) AS qty
+         |  FROM lineitem GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT *, row_number() OVER (PARTITION BY flag ORDER BY date) AS t FROM daily),
+         |w AS (SELECT * FROM (VALUES $tapRows) AS v(j, wt))
+         |SELECT cur.flag, cur.date,
+         |  CAST(sum(lagd.qty * w.wt) AS DOUBLE) / CAST(sum(w.wt) AS DOUBLE) AS ewma_qty,
+         |  count(*) AS n_taps
+         |FROM idx cur CROSS JOIN w
+         |JOIN idx lagd ON lagd.flag = cur.flag AND lagd.t = cur.t - w.j
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce

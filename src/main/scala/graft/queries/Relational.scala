@@ -315,6 +315,64 @@ object Relational {
     * (`wrds_ingestion.py:452-477` delist join); salting is the 100 TB
     * carrier for the same join.
     */
+  /** Number of taps in [[w4Ewma]]'s truncated EWMA window. */
+  val ewmaTaps: Int = 11
+
+  /** Integer EWMA weights for λ = 15/16 over [[ewmaTaps]] taps:
+    * `weight_j = 15^j · 16^(taps-1-j)` — the common-denominator form of
+    * λ^j, so every weight is an exact BIGINT and the weighted sum needs no
+    * floating point at all. Shared verbatim with the generated oracle SQL
+    * (the kmeansCtes rule: one set of constants, two engines).
+    */
+  def ewmaWeights: Seq[Long] =
+    (0 until ewmaTaps).map { j =>
+      (BigInt(15).pow(j) * BigInt(16).pow(ewmaTaps - 1 - j)).toLong
+    }
+
+  /** W4 (exponentially weighted moving average): RiskMetrics-style EWMA of
+    * daily shipped quantity per return flag, λ = 15/16, truncated to the
+    * trailing [[ewmaTaps]] observations with adaptive head normalization —
+    * pandas' `ewm(alpha=1/16, adjust=True)` restricted to a bounded
+    * window, the form a distributed engine can compute exactly.
+    * Behavioral anchor: the reference's momentum/returns window family
+    * (`wrds_ingestion.py:984-996` cumulative index; W1/W2 here).
+    *
+    * Exactness: the numerator `Σ qty_{t-j} · 15^j · 16^(W-1-j)` and the
+    * denominator `Σ_{present taps} 15^j · 16^(W-1-j)` are both exact
+    * BIGINT sums (order-independent, shuffle-safe — the [[graft.Exact]]
+    * argument), and the single final division of two identical int64s is
+    * bit-identical IEEE on both engines. Headroom: max term ≈ daily_qty ·
+    * 16^10 ≈ qty · 1.1e12, fine through ~8e6 units/day before int64
+    * overflow — a per-series daily aggregate far above this corpus.
+    *
+    * Scale shape: the corpus pass is the partial-aggregated daily rollup;
+    * the 11× tap expansion and self-join run on the bounded (flag, day)
+    * aggregate, never on raw lineitem. The per-flag row_number window is
+    * partitioned (3 series), not global.
+    */
+  def w4Ewma(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag").as("flag"), to_date(col("l_shipdate")).as("date"))
+      .agg(sum(Exact.units(col("l_quantity"), 0)).as("qty"))
+    val idx = daily.withColumn("t",
+      row_number().over(Window.partitionBy("flag").orderBy("date")))
+    val taps = ewmaWeights.zipWithIndex.map { case (wt, j) => (j, wt) }
+    val terms = idx.select(col("flag"), col("date"), col("t"),
+        explode(typedLit(taps)).as("w"))
+      .select(col("flag"), col("date"), col("t"),
+        col("w._1").as("j"), col("w._2").as("wt"))
+    val lagd = idx.select(col("flag").as("lflag"), col("t").as("lt"),
+      col("qty").as("lqty"))
+    terms
+      .join(lagd, col("lflag") === col("flag") && col("lt") === col("t") - col("j"))
+      .groupBy("flag", "date")
+      .agg(
+        (sum(col("lqty") * col("wt")).cast("double") /
+          sum(col("wt")).cast("double")).as("ewma_qty"),
+        count(lit(1)).as("n_taps"))
+      .orderBy("flag", "date")
+  }
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))
