@@ -78,6 +78,19 @@ object Bench {
       if (good.nonEmpty) good.min else runs.map(_._1).max
     }
 
+    // VERDICT r7 item 8: per-query peak heap so memory-pressure growth
+    // (tx_vocab_coverage's 4.6→16.2 s) self-diagnoses in the artifact.
+    // local[n] means executor == driver JVM, so heap-pool peaks ARE the
+    // executor figure; reset before each query's runs, read the max after.
+    import java.lang.management.{ManagementFactory, MemoryType}
+    import scala.jdk.CollectionConverters._
+    def heapPools = ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getType == MemoryType.HEAP && p.isValid)
+    def resetHeapPeaks(): Unit =
+      heapPools.foreach(p => scala.util.Try(p.resetPeakUsage()))
+    def peakHeapMb: Long =
+      heapPools.map(p => scala.util.Try(p.getPeakUsage.getUsed).getOrElse(0L)).sum >> 20
+
     def summaryJson(partial: Boolean): String = stateLock.synchronized {
       val measured = names.filter(pooled.contains)
       val mins = measured.map(n => n -> minOf(pooled(n).toSeq))
@@ -98,10 +111,27 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
     }
 
+    // VERDICT r7 item 1: the driver keeps only the LAST 2000 chars of
+    // stdout, and the full summary line above is far longer than that — two
+    // rounds running, the headline "value" survived only in BASELINE.md.
+    // This compact line (no per-query maps, a few hundred bytes) is printed
+    // AFTER the big one, so the gate number survives any tail capture.
+    def compactJson(partial: Boolean): String = stateLock.synchronized {
+      val measured = names.filter(pooled.contains)
+      val total = measured.map(n => minOf(pooled(n).toSeq)).sum
+      val sessionTotals = rawPerSession.map(sr =>
+        measured.filter(sr.contains).map(n => minOf(sr(n))).sum)
+      s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_totals":${sessionTotals.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+    }
+
     // Driver timeouts SIGTERM the JVM: still emit a parseable artifact from
     // whatever completed (printing needs no Spark machinery).
     val hook = new Thread(() => {
-      if (!summaryPrinted && pooled.nonEmpty) { println(summaryJson(partial = true)); Console.out.flush() }
+      if (!summaryPrinted && pooled.nonEmpty) {
+        println(summaryJson(partial = true))
+        println(compactJson(partial = true))
+        Console.out.flush()
+      }
     })
     Runtime.getRuntime.addShutdownHook(hook)
 
@@ -115,6 +145,10 @@ object Bench {
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // Tables.normalizeEventsTs's NTZ→TIMESTAMP cast is session-tz
+        // dependent; every entry point that can read events must pin UTC
+        // (ADVICE r7-1) or a non-UTC host reads shifted instants.
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
       spark.sparkContext.setLogLevel("WARN")
@@ -130,6 +164,7 @@ object Bench {
         if (overBudget) truncated = true
         val effRuns = if (overBudget) 1 else nRuns
         val runs = ArrayBuffer[(Double, Boolean)]()
+        resetHeapPeaks()
         var r = 1
         var stop = false
         while (r <= effRuns && !stop) {
@@ -160,7 +195,7 @@ object Bench {
           perQuery(name) = runs.toSeq
           pooled.getOrElseUpdate(name, ArrayBuffer()) ++= runs
         }
-        println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"wall_s":$elapsedS}""")
+        println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"mem_mb":$peakHeapMb,"wall_s":$elapsedS}""")
         Console.out.flush()
       }
       spark.stop()
@@ -169,6 +204,7 @@ object Bench {
       s += 1
     }
     println(summaryJson(partial = false))
+    println(compactJson(partial = false))
     summaryPrinted = true
     Console.out.flush()
     scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))

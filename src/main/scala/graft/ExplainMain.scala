@@ -5,6 +5,7 @@ object ExplainMain {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC") // ADVICE r7-1: events NTZ semantics
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // NOTE: builders with driver-side actions (dd_dup_clusters'

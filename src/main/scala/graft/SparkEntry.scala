@@ -116,6 +116,7 @@ object SparkEntry {
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
+    "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -147,6 +148,8 @@ object SparkEntry {
     // standing-index maintenance: a frozen quantizer admits a delta batch
     // with no retrain; per-cell base/new/total occupancy audit
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
+    "sim_ivf_delete" -> ((s, d) => Similarity.simIvfDelete(s, d)),
+    "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -206,16 +209,13 @@ object SparkEntry {
 
   /** DuckDB-equivalent SQL per query (same column names + ORDER BY).
     *
-    * Two queries are deliberately absent (driver records a rows-only
-    * check), each because its values come from engine-internal SKETCHES
-    * DuckDB cannot reproduce; each carries a ScalaTest bound instead:
-    *   - a8_approx_distinct: Spark's HLL++ sketch — DuckDB's
-    *     approx_count_distinct uses its own HLL variant with different
-    *     estimates. AggregatesSpec bounds the relative error vs the exact
-    *     count.
-    *   - a10_approx_quantiles: Spark's Greenwald-Khanna sketch; DuckDB's
-    *     approx_quantile is t-digest. AggregatesSpec bounds the rank error
-    *     vs exact percentiles.
+    * Every query is oracle'd. The two engine-internal sketch queries
+    * (a8_approx_distinct HLL++, a10_approx_quantiles Greenwald-Khanna —
+    * DuckDB's own HLL variant / t-digest produce different estimates)
+    * joined the set in round 8 via the bound-as-output scheme: the Spark
+    * side emits `abs(approx − exact) ≤ bound` booleans with the exact side
+    * in the same plan, and the oracle emits TRUE from its own exact values
+    * (see [[graft.queries.Aggregates.a8ApproxDistinct]]).
     * (dd_simhash joined the oracle'd set in round 6 — md5-derived token
     * hashes, [[graft.queries.Text.md5SignedHash64Expr]] — and
     * dd_minhash_lsh in round 7 via the md5 minhash_bands chain, keeping
@@ -430,10 +430,16 @@ object SparkEntry {
       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
       |    FROM e, cn))""".stripMargin
 
-  private def ivfAnnSql: String =
+  /** IVF cosine search over a member filter — `TRUE` is the full-corpus
+    * search ([[ivfAnnSql]]); the delete twin substitutes the live-member
+    * predicate so the post-delete search oracle is the SAME text over the
+    * SAME coarse chain (one generator, two member sets — the kmeansCtes
+    * rule).
+    */
+  private def ivfAnnSqlOver(memberFilter: String): String =
     s"""WITH ${kmeansCtes()},
       |$ivfRankCtes,
-      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1 AND ($memberFilter)),
       |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
       |s AS (
       |  SELECT qid, m_vec_id, cells.cell AS cell,
@@ -443,6 +449,41 @@ object SparkEntry {
       |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM s)
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+
+  private def ivfAnnSql: String = ivfAnnSqlOver("TRUE")
+
+  /** The live-member predicate of [[graft.queries.Similarity.simIvfDelete]]
+    * in DuckDB terms (over the rk columns c_label/vec_id) — constants
+    * referenced from the ONE Scala definition.
+    */
+  private def ivfLivePred: String =
+    s"NOT (c_label % 2 = 0 AND vec_id % ${Similarity.ivfDelMod} = ${Similarity.ivfDelRem})"
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfAnnDeleted]]: live
+    * members from first principles (assignment + delete rule), scored by
+    * the verbatim [[ivfAnnSqlOver]] chain. A hash match proves the
+    * overlay/tombstone machinery returns EXACTLY the live search results —
+    * no dead member surfaced, no live member lost to compaction.
+    */
+  private def ivfAnnDeletedSql: String = ivfAnnSqlOver(ivfLivePred)
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfDelete]]: per-cell
+    * lifecycle audit from first principles — base occupancy from the
+    * assignment chain, dead counts from the delete rule, compaction from
+    * the exact-integer threshold. The Spark side measures the same
+    * numbers from the PHYSICAL tombstone/overlay/manifest state.
+    */
+  private def ivfDeleteSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |agg AS (
+       |  SELECT cell, count(*) AS n_base,
+       |    CAST(sum(CASE WHEN cell % 2 = 0 AND m_vec_id % ${Similarity.ivfDelMod} = ${Similarity.ivfDelRem} THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+       |  FROM cells GROUP BY 1)
+       |SELECT cell, n_base, n_dead, n_base - n_dead AS n_live,
+       |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
+       |FROM agg ORDER BY cell""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPq]]: the kmeansCtes
     * coarse chain + the pqAdcCtes fine chain composed in ONE statement —
@@ -512,6 +553,22 @@ object SparkEntry {
        |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
        |FROM bc FULL OUTER JOIN dc ON bc.cell = dc.cell
        |ORDER BY cell""".stripMargin
+
+  /** The shared MERGE carving CTEs (base snapshot + deterministic updates
+    * batch) — ONE text for the pipeline_merge_snapshot classify oracle
+    * and the pipeline_merge_apply sink oracle, constants referenced from
+    * [[graft.queries.Text.mergeRevMod]] etc. so neither can drift from
+    * the Spark-side [[graft.queries.Text.mergeUpdates]].
+    */
+  private def mergeBaseUpdCtes: String =
+    s"""base AS (SELECT doc_id, text FROM documents),
+      |upd AS (
+      |  SELECT doc_id AS k, text || ' [rev2]' AS new_text, 'upsert' AS op
+      |  FROM base WHERE doc_id % ${Text.mergeRevMod} = 0
+      |  UNION ALL
+      |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
+      |  UNION ALL
+      |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0)""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1245,14 +1302,7 @@ object SparkEntry {
     // CONTENT. The tombstone group's payload is gone — bit_xor over all
     // NULLs is NULL in both engines.
     "pipeline_merge_snapshot" ->
-      s"""WITH base AS (SELECT doc_id, text FROM documents),
-        |upd AS (
-        |  SELECT doc_id AS k, text || ' [rev2]' AS new_text, 'upsert' AS op
-        |  FROM base WHERE doc_id % ${Text.mergeRevMod} = 0
-        |  UNION ALL
-        |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
-        |  UNION ALL
-        |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0),
+      s"""WITH $mergeBaseUpdCtes,
         |m AS (
         |  SELECT coalesce(b.doc_id, u.k) AS k,
         |    CASE WHEN u.op = 'delete' THEN 'delete'
@@ -1265,6 +1315,29 @@ object SparkEntry {
         |SELECT action, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
         |  bit_xor(CAST(('0x' || substr(md5(final_text), 1, 15)) AS BIGINT)) AS text_xor
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // MERGE as a sink: the same base/upd carving, survivor rows only,
+    // audited by reserved-key sign. The Spark side computes this audit
+    // from a parquet ROUND TRIP of the merged snapshot; the oracle never
+    // sees the parquet, so a hash match proves the sink leg byte-lossless
+    // (the pipeline_materialize treatment — VERDICT r7 item 7).
+    "pipeline_merge_apply" ->
+      s"""WITH $mergeBaseUpdCtes,
+        |m AS (
+        |  SELECT coalesce(b.doc_id, u.k) AS k,
+        |    CASE WHEN u.op = 'delete' THEN NULL
+        |         ELSE coalesce(u.new_text, b.text) END AS text,
+        |    u.op AS op
+        |  FROM base b FULL OUTER JOIN upd u ON b.doc_id = u.k),
+        |alive AS (SELECT k, text FROM m WHERE op IS NULL OR op <> 'delete')
+        |SELECT CASE WHEN k < 0 THEN 'inserted' ELSE 'carried' END AS grp,
+        |  count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+        |  min(k) AS min_k, max(k) AS max_k,
+        |  bit_xor(
+        |    (CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) >= 2147483648
+        |          THEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) - 4294967296
+        |          ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) END) * 4294967296
+        |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)) AS text_xor
+        |FROM alive GROUP BY 1 ORDER BY 1""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never
@@ -1771,6 +1844,8 @@ object SparkEntry {
     "sim_ivfpq" -> ivfPqSql,
     "sim_ivfpq_indexed" -> ivfPqSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
+    "sim_ivf_delete" -> ivfDeleteSql,
+    "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,
@@ -1862,6 +1937,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS q75,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // a8/a10 use the bound-as-output scheme (VERDICT r7 item 5): the Spark
+    // side emits `abs(approx − exact)/exact ≤ 0.05` booleans with the exact
+    // side computed in the same plan; the oracle computes the same exact
+    // values and emits TRUE — a hash match proves the sketch met its bound
+    // on every group AND the exact columns agree.
+    "a8_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(*) AS n_rows,
+        |  TRUE AS orders_in_bound,
+        |  TRUE AS parts_in_bound
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "a10_approx_quantiles" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  TRUE AS q25_in_bound, TRUE AS q50_in_bound, TRUE AS q75_in_bound
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "sql_semi_join" ->
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders

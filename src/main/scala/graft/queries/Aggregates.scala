@@ -77,32 +77,57 @@ object Aggregates {
 
   /** HyperLogLog++ approximate distinct — the sketch that replaces exact
     * count-distinct at 100 TB (mergeable partial sketches, no giant
-    * shuffle of raw keys). No SQL oracle: sketch estimates are
-    * implementation-specific; the spec bounds the relative error against
-    * the exact count instead.
+    * shuffle of raw keys).
+    *
+    * Oracle'd via the bound-as-output scheme (VERDICT r7 item 5): sketch
+    * ESTIMATES are engine-internal (DuckDB's HLL variant differs), so the
+    * query emits `abs(approx − exact)/exact ≤ 0.05` per group as a BOOLEAN
+    * column — the exact side computed in the same plan — plus the exact
+    * counts. The oracle recomputes the exact counts and emits literal TRUE
+    * for the bound columns: the hash match then PROVES the sketch met its
+    * documented bound (rsd 0.02; 0.05 is the 2.5σ margin AggregatesSpec
+    * validated at sf0.01) on every group, not just that rows existed.
     */
   def a8ApproxDistinct(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("ao"),
+        countDistinct(col("l_orderkey")).as("exact_orders"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("ap"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("exact_orders"), col("exact_parts"),
+        col("n_rows"),
+        (abs(col("ao") - col("exact_orders")).cast("double") /
+          col("exact_orders") <= 0.05).as("orders_in_bound"),
+        (abs(col("ap") - col("exact_parts")).cast("double") /
+          col("exact_parts") <= 0.05).as("parts_in_bound"))
       .orderBy("l_returnflag")
 
   /** Approximate quantiles via the Greenwald-Khanna sketch
     * (`percentile_approx`) — mergeable partials like HLL, the scale
-    * replacement for exact sort-based percentiles. No SQL oracle (sketch
-    * internals are engine-specific); the spec bounds the rank error
-    * against the exact values.
+    * replacement for exact sort-based percentiles.
+    *
+    * Oracle'd like [[a8ApproxDistinct]]: DuckDB's approx_quantile is a
+    * t-digest, so the estimates can never hash-match; instead the query
+    * emits `abs(approx − exact)/exact ≤ 0.05` per (group, quantile) with
+    * the exact percentile computed in the same plan, and the oracle emits
+    * TRUE from its own exact values. The exact percentile VALUES stay out
+    * of the output on purpose: o_totalprice interpolation is an IEEE
+    * midpoint whose last ulp may differ between engines (the o4 exactness
+    * rule — o4 sticks to integral quantities for that reason).
     */
   def a10ApproxQuantiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "orders")
       .groupBy("o_orderstatus")
       .agg(
         expr("percentile_approx(o_totalprice, array(0.25, 0.5, 0.75), 1000)")
-          .as("approx_q"),
+          .as("aq"),
+        expr("percentile(o_totalprice, array(0.25, 0.5, 0.75))").as("eq"),
         count(lit(1)).as("n_rows"))
-      .selectExpr("o_orderstatus", "approx_q[0] AS q25", "approx_q[1] AS q50",
-        "approx_q[2] AS q75", "n_rows")
+      .select(col("o_orderstatus"), col("n_rows"),
+        (abs(expr("aq[0] - eq[0]")) / expr("eq[0]") <= 0.05).as("q25_in_bound"),
+        (abs(expr("aq[1] - eq[1]")) / expr("eq[1]") <= 0.05).as("q50_in_bound"),
+        (abs(expr("aq[2] - eq[2]")) / expr("eq[2]") <= 0.05).as("q75_in_bound"))
       .orderBy("o_orderstatus")
 }

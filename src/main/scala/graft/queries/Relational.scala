@@ -224,24 +224,30 @@ object Relational {
       .orderBy("c_custkey", "metric")
 
   /** U5 (set operations): customers ordering in BOTH halves of 1995
-    * (INTERSECT) and first-half-only customers (EXCEPT) — the remaining
-    * §2.8 set-algebra members beyond union. Both compile to key-shuffled
-    * semi/anti joins over pre-aggregated distinct sets (never row-level
-    * comparison of the fact table), so the 100 TB plan shuffles customer
-    * keys once per side. Summarized per nation for a compact,
-    * deterministic oracle row set.
+    * (INTERSECT semantics) and first-half-only customers (EXCEPT
+    * semantics), summarized per nation for a compact, deterministic
+    * oracle row set. The oracle SQL stays literal INTERSECT/EXCEPT; the
+    * Spark plan computes both memberships in ONE orders scan
+    * (VERDICT r7 item 6): a single filtered pass aggregates per-customer
+    * half-membership flags (`max(when(date < mid, 1))` — all partial-agg,
+    * map-side combined), then a projection classifies each customer. The
+    * previous INTERSECT/EXCEPT form scanned orders twice and planned two
+    * aggregate pairs; this shape shuffles the fact table's customer keys
+    * exactly once at any scale.
     */
   def u5SetOps(spark: SparkSession, dir: String): DataFrame = {
-    val ord = Tables(spark, dir, "orders")
-    def custs(from: String, until: String) = ord
-      .filter(col("o_orderdate") >= expr(s"TIMESTAMP '$from'") &&
-        col("o_orderdate") < expr(s"TIMESTAMP '$until'"))
-      .select("o_custkey").distinct()
-    val h1 = custs("1995-01-01", "1995-07-01")
-    val h2 = custs("1995-07-01", "1996-01-01")
-    val both = h1.intersect(h2).withColumn("kind", lit("both_halves"))
-    val only1 = h1.except(h2).withColumn("kind", lit("h1_only"))
-    both.unionByName(only1)
+    val mid = expr("TIMESTAMP '1995-07-01'")
+    val membership = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= expr("TIMESTAMP '1995-01-01'") &&
+        col("o_orderdate") < expr("TIMESTAMP '1996-01-01'"))
+      .groupBy("o_custkey")
+      .agg(max(when(col("o_orderdate") < mid, 1).otherwise(0)).as("in_h1"),
+        max(when(col("o_orderdate") >= mid, 1).otherwise(0)).as("in_h2"))
+    membership
+      .withColumn("kind",
+        when(col("in_h1") === 1 && col("in_h2") === 1, "both_halves")
+          .when(col("in_h1") === 1, "h1_only")) // h2-only → null, dropped
+      .filter(col("kind").isNotNull)
       .join(Tables(spark, dir, "customer")
         .select(col("c_custkey").as("o_custkey"), col("c_nationkey")), "o_custkey")
       .groupBy("kind", "c_nationkey")

@@ -746,15 +746,9 @@ object Similarity {
     // materializes before deciding which inverted lists to read
     val cells = probeKeys.select("c_label").distinct()
       .collect().map(_.getLong(0)).sorted
-    import org.apache.spark.sql.types._
-    // explicit schema pins the partition column to LongType (inference
-    // would narrow small cell ids to INT and the cast on the partition
-    // attribute could defeat pruning)
-    val idxSchema = StructType(Seq(
-      StructField("m_vec_id", LongType), StructField("m_vec",
-        ArrayType(FloatType)), StructField("m_norm", DoubleType),
-      StructField("cell", LongType)))
-    val members = spark.read.schema(idxSchema).parquet(s"$base/cells")
+    // readIvfCells pins the schema (partition column stays LongType so
+    // the IN-list prunes partitions instead of casting the attribute)
+    val members = readIvfCells(spark, base)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
   }
@@ -1139,6 +1133,185 @@ object Similarity {
           .as("n_total"),
         col("first_new_id"))
       .orderBy("cell")
+  }
+
+  // ---- IVF index delete + compaction (VERDICT r7 item 3) ---------------
+
+  /** Delete-slice carving constants for [[simIvfDelete]] — shared with the
+    * generated oracle SQL (the kmeansCtes discipline). The slice is
+    * CELL-correlated on purpose: even cells lose every
+    * `vec_id % ivfDelMod = ivfDelRem` member (~1/3, dropping their live
+    * fraction below the compaction threshold), odd cells lose nothing — so
+    * the index deterministically carries BOTH lifecycle states and every
+    * read path (compacted overlay, tombstone-masked base) is exercised.
+    */
+  private[graft] val ivfDelMod = 3
+  private[graft] val ivfDelRem = 1
+
+  /** Compaction rule in EXACT integers (no IEEE live-fraction): rewrite a
+    * cell when `n_live * 100 < n_base * ivfCompactLivePct` — live fraction
+    * below 0.75.
+    */
+  private[graft] val ivfCompactLivePct = 75
+
+  private def ivfDeadCond(cell: org.apache.spark.sql.Column,
+      vecId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (cell % 2 === 0) && (vecId % ivfDelMod === ivfDelRem)
+
+  /** Explicit cells-table schema shared by every reader of a materialized
+    * IVF members table: pins the partition column to LongType (inference
+    * would narrow small cell ids to INT and the cast on the partition
+    * attribute could defeat pruning).
+    */
+  private val ivfCellsSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("m_vec_id", LongType),
+      StructField("m_vec", ArrayType(FloatType)),
+      StructField("m_norm", DoubleType),
+      StructField("cell", LongType)))
+  }
+
+  private def readIvfCells(spark: SparkSession, base: String): DataFrame =
+    spark.read.schema(ivfCellsSchema).parquet(s"$base/cells")
+
+  /** Apply the deterministic delete slice to the standing materialized IVF
+    * index — the FAISS `remove_ids` analog and the missing third of the
+    * index lifecycle (build / upsert / DELETE), what a standing 100 TB
+    * index needs after a GDPR request or a re-crawl. Merge-on-read with
+    * threshold compaction, the Delta/Iceberg deletion-vector shape:
+    *
+    *   1. `tombstones/` — the deleted (m_vec_id, cell) pairs, carved from
+    *      the standing index by [[ivfDeadCond]]. Tiny (ids only); searches
+    *      anti-join it for cells that were NOT compacted.
+    *   2. `compacted/` — the manifest of cells whose live fraction dropped
+    *      below [[ivfCompactLivePct]] (exact integer comparison). Index
+    *      METADATA: ≤ nlist rows.
+    *   3. `cells/` — ONLY the compacted cells physically rewritten without
+    *      their tombstoned members (cell-partitioned like the base index).
+    *      Uncompacted cells are never rewritten — their dead members stay
+    *      in the base table, masked by the tombstone anti-join until
+    *      enough deletes accumulate to justify the rewrite.
+    *
+    * The base index is NEVER mutated ([[ensureIvfIndex]]'s other
+    * consumers keep their full-corpus semantics); the deleted view is the
+    * overlay. Returns the overlay base path.
+    */
+  def ivfBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    val main = ensureIvfIndex(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_del"
+    val cells = readIvfCells(spark, main)
+    cells.filter(ivfDeadCond(col("cell"), col("m_vec_id")))
+      .select("m_vec_id", "cell")
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    val tombs = spark.read.parquet(s"$base/tombstones")
+    cells.groupBy("cell").agg(count(lit(1)).as("n_base"))
+      .join(tombs.groupBy("cell").agg(count(lit(1)).as("n_dead")),
+        Seq("cell"), "left")
+      .filter((col("n_base") - coalesce(col("n_dead"), lit(0L))) * 100 <
+        col("n_base") * ivfCompactLivePct)
+      .select("cell")
+      .write.mode("overwrite").parquet(s"$base/compacted")
+    val compacted = spark.read.parquet(s"$base/compacted")
+    cells.join(compacted, Seq("cell"), "left_semi")
+      .join(tombs.select("m_vec_id"), Seq("m_vec_id"), "left_anti")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    base
+  }
+
+  // overlay base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val delIndexFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the delete overlay — the [[ensureIvfIndex]]
+    * treatment including its partial-failure discipline: marker and memo
+    * are cleared BEFORE rebuilding so a kill between the three writes
+    * cannot leave a mixed overlay that later calls trust. Same
+    * immutable-corpus assumption (memo keys on the dir string).
+    */
+  def ensureIvfDeleteIndex(spark: SparkSession, dir: String): String = synchronized {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_del"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(delIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      delIndexFor.remove(base)
+      fs.delete(marker, false)
+      ivfBuildDeleteIndex(spark, dir)
+      delIndexFor(base) = dir
+    }
+    base
+  }
+
+  /** Per-cell lifecycle audit of the post-delete index, in exact
+    * integers — the oracle'd `sim_ivf_delete` entry. Every column is
+    * measured from the PHYSICAL state, not recomputed from the rule:
+    * `n_dead` counts the tombstone table, `n_live` counts the rows a
+    * search would actually read (overlay partitions for compacted cells,
+    * base-minus-tombstones for the rest), `compacted` reads the manifest.
+    * The oracle derives the same numbers from first principles (corpus
+    * assignment + delete rule + threshold arithmetic), so a hash match
+    * proves the physical layout implements the specification exactly —
+    * no lost live row, no surviving dead row, threshold applied to the
+    * right cells.
+    */
+  def simIvfDelete(spark: SparkSession, dir: String): DataFrame = {
+    val main = ensureIvfIndex(spark, dir)
+    val base = ensureIvfDeleteIndex(spark, dir)
+    val cells = readIvfCells(spark, main)
+    val tombs = spark.read.parquet(s"$base/tombstones")
+    val compacted = spark.read.parquet(s"$base/compacted")
+      .withColumn("is_compacted", lit(true))
+    val liveRead = readIvfCells(spark, base).select("cell", "m_vec_id")
+      .unionByName(cells
+        .join(compacted.select("cell"), Seq("cell"), "left_anti")
+        .join(tombs.select("m_vec_id"), Seq("m_vec_id"), "left_anti")
+        .select("cell", "m_vec_id"))
+    cells.groupBy("cell").agg(count(lit(1)).as("n_base"))
+      .join(tombs.groupBy("cell").agg(count(lit(1)).as("n_dead_t")),
+        Seq("cell"), "left")
+      .join(liveRead.groupBy("cell").agg(count(lit(1)).as("n_live_r")),
+        Seq("cell"), "left")
+      .join(compacted, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"),
+        coalesce(col("is_compacted"), lit(false)).as("compacted"))
+      .orderBy("cell")
+  }
+
+  /** [[simIvfAnnIndexed]] over the post-delete index: probed cells split
+    * by the compaction manifest — compacted cells read their rewritten
+    * overlay partitions (no mask needed), uncompacted cells read the base
+    * index partitions behind the tombstone anti-join (merge-on-read).
+    * Scoring/ranking arithmetic is [[ivfScoreTopK]] verbatim, so the
+    * DuckDB oracle (live members from first principles) hash-matches the
+    * whole search — which also proves compaction lost no LIVE member.
+    * The manifest collect is ≤ nlist rows of index metadata; the probe
+    * list is the same bounded collect every IVF search materializes.
+    */
+  def simIvfAnnDeleted(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val main = ensureIvfIndex(spark, dir)
+    val base = ensureIvfDeleteIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$main/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probed = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val compactedSet = spark.read.parquet(s"$base/compacted")
+      .collect().map(_.getLong(0)).toSet
+    val (oCells, pCells) = probed.partition(compactedSet)
+    val overlayPart = readIvfCells(spark, base)
+      .filter(col("cell").isin(oCells.toIndexedSeq: _*))
+    val plainPart = readIvfCells(spark, main)
+      .filter(col("cell").isin(pCells.toIndexedSeq: _*))
+      .join(spark.read.parquet(s"$base/tombstones").select("m_vec_id"),
+        Seq("m_vec_id"), "left_anti")
+    ivfScoreTopK(spark, dir, overlayPart.unionByName(plainPart),
+      probeKeys, querySet, k)
   }
 
   /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k

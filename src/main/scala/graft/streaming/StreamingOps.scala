@@ -36,7 +36,14 @@ object StreamingOps {
     * (graft.Tables.normalizeEventsTs), keeping stream/batch twins aligned.
     */
   def readEventsStream(spark: SparkSession, dir: String): DataFrame = {
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // ADVICE r7-2: the batch probe throws "Unable to infer schema" when the
+    // source directory is empty / has no parquet yet — a normal starting
+    // state for a file stream. Fall back to the legacy nanos-as-long
+    // encoding (what the static-schema version of this reader assumed);
+    // files arriving later with the other encoding would be a mid-stream
+    // schema change no file source supports anyway.
+    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
+      .getOrElse(LongType)
     graft.Tables.normalizeEventsTs(
       spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
   }

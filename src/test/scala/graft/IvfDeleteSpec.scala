@@ -1,0 +1,68 @@
+package graft
+
+import graft.queries.Similarity
+
+/** IVF delete/compaction lifecycle pins (VERDICT r7 item 3): the physical
+  * overlay implements the delete rule exactly, searches never surface a
+  * tombstoned id at either nprobe operating point, and the index
+  * deterministically carries BOTH lifecycle states (compacted overlay and
+  * tombstone-masked base) so each read path is actually exercised.
+  * Completeness (no live member lost to compaction) is proven by the
+  * sim_ivf_ann_deleted ORACLE row — DuckDB computes the live search from
+  * first principles and the hash must match.
+  */
+class IvfDeleteSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def isDead(cell: Long, id: Long): Boolean =
+    cell % 2 == 0 && id % Similarity.ivfDelMod == Similarity.ivfDelRem
+
+  test("audit: physical state implements the delete + compaction rule") {
+    val rows = Similarity.simIvfDelete(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (base, dead, live) = (r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_dead"), r.getAs[Long]("n_live"))
+      assert(live == base - dead,
+        s"cell ${r.getAs[Long]("cell")}: live $live != base $base - dead $dead")
+      assert(r.getAs[Boolean]("compacted") ==
+        (live * 100 < base * Similarity.ivfCompactLivePct),
+        s"cell ${r.getAs[Long]("cell")}: threshold misapplied")
+    }
+    // both lifecycle branches must exist, or one read path went untested
+    assert(rows.exists(_.getAs[Boolean]("compacted")),
+      "no cell crossed the compaction threshold")
+    assert(rows.exists(!_.getAs[Boolean]("compacted")),
+      "every cell compacted — the tombstone-masked path is untested")
+  }
+
+  test("searches never return a tombstoned id, at both nprobe points") {
+    val nlist = 8 // the oracle-pinned trained-centroid count (kmeansTrain k)
+    for (np <- Seq(2, nlist)) {
+      val res = Similarity.simIvfAnnDeleted(spark, dir, nprobe = np).collect()
+      assert(res.nonEmpty, s"empty result at nprobe=$np")
+      res.foreach { r =>
+        assert(!isDead(r.getAs[Long]("cell"), r.getAs[Long]("vec_id")),
+          s"tombstoned id ${r.getAs[Long]("vec_id")} returned at nprobe=$np")
+      }
+    }
+  }
+
+  test("full-probe deleted search differs from the full-corpus search only by dead members") {
+    val nlist = 8
+    val full = Similarity.simIvfAnnIndexed(spark, dir, nprobe = nlist, k = 5)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("cell")))
+    val deleted = Similarity.simIvfAnnDeleted(spark, dir, nprobe = nlist, k = 5)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"))).toSet
+    // every LIVE id the full-corpus search surfaced must survive the
+    // delete search (scores are identical arithmetic; removing members
+    // can only ADMIT new ids into the top-k, never evict a survivor)
+    val lostLive = full.filter { case (qid, id, cell) =>
+      !isDead(cell, id) && !deleted((qid, id))
+    }
+    assert(lostLive.isEmpty, s"live ids lost by the delete machinery: $lostLive")
+  }
+}

@@ -2,10 +2,11 @@ package graft
 
 import graft.queries.Similarity
 
-/** Trained-IVF ANN recall (VERDICT r6 item 3): the one number an ANN user
-  * asks first — how much of the exact top-k does the probe-limited search
+/** Trained-IVF ANN recall (VERDICT r6 item 3, widened to every testdata
+  * scale in r8 per VERDICT r7 item 4): the one number an ANN user asks
+  * first — how much of the exact top-k does the probe-limited search
   * return — measured against [[graft.queries.Similarity.simCosineTopk]]'s
-  * exact baseline on the same fixed corpus, at the shipped operating
+  * exact baseline on the same fixed corpora, at the shipped operating
   * point and across the recall-vs-nprobe curve.
   *
   * Both engines rank by the same codegen'd float_dot cosine with the same
@@ -15,46 +16,56 @@ import graft.queries.Similarity
   * it anywhere), recall equals |exact ∩ probed|/k and is monotone in
   * nprobe — asserted below — and at nprobe = #cells the candidate set is
   * the whole corpus, so recall must be exactly 1.0.
+  *
+  * The corpora differ (sf0.001 and sf0.01 are disjoint 500-vector draws,
+  * sf0.1 is 2000 vectors), so the shipped-point floor is pinned PER
+  * CORPUS from measurement — r7's numbers were measured at one size only,
+  * leaving the operating point unpinned at the gate scale.
   */
 class IvfRecallSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
+  // measured shipped-point (nprobe=2 of 8 trained cells) recall per
+  // corpus; floors sit just below so a quantizer/assignment regression
+  // trips the spec
+  private val shippedFloor = Map(
+    "/root/testdata/sf0.001" -> 0.9, // measured 0.92
+    "/root/testdata/sf0.01" -> 0.9, // measured 0.92
+    "/root/testdata/sf0.1" -> 0.99) // measured 1.0 (2000 vectors, 8 cells)
 
-  test("IVF ANN recall: floor at the shipped (k=5, nprobe=2), monotone nprobe curve") {
-    val k = 5
-    val exact = Similarity.simCosineTopk(spark, dir).collect()
-      .filter(_.getAs[Int]("rnk") <= k)
-      .groupBy(_.getAs[Long]("qid"))
-      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
-    assert(exact.nonEmpty && exact.values.forall(_.size == k))
-
-    def recallAt(nprobe: Int): Double = {
-      val got = Similarity.simIvfAnn(spark, dir, nprobe = nprobe, k = k)
-        .collect()
+  for ((dir, floor) <- shippedFloor)
+    test(s"IVF ANN recall at $dir: shipped floor, monotone nprobe curve") {
+      val k = 5
+      val exact = Similarity.simCosineTopk(spark, dir).collect()
+        .filter(_.getAs[Int]("rnk") <= k)
         .groupBy(_.getAs[Long]("qid"))
         .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
-      val per = exact.map { case (q, t) =>
-        (got.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
-      per.sum / per.size
-    }
+      assert(exact.nonEmpty && exact.values.forall(_.size == k))
 
-    // 8 trained cells (kmeansTrain default): probe 1, 2 (shipped), half,
-    // and all — the curve a user consults to trade probes for recall
-    val curve = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
-    info(curve.map { case (np, r) => s"nprobe=$np recall=$r" }.mkString(", "))
-    curve.sliding(2).foreach {
-      case Seq((npA, a), (npB, b)) =>
-        assert(b >= a - 1e-12,
-          s"recall dropped from $a (nprobe=$npA) to $b (nprobe=$npB)")
-      case _ => ()
+      def recallAt(nprobe: Int): Double = {
+        val got = Similarity.simIvfAnn(spark, dir, nprobe = nprobe, k = k)
+          .collect()
+          .groupBy(_.getAs[Long]("qid"))
+          .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+        val per = exact.map { case (q, t) =>
+          (got.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
+        per.sum / per.size
+      }
+
+      // 8 trained cells (kmeansTrain default): probe 1, 2 (shipped), half,
+      // and all — the curve a user consults to trade probes for recall
+      val curve = Seq(1, 2, 4, 8).map(np => np -> recallAt(np))
+      info(s"$dir: " +
+        curve.map { case (np, r) => s"nprobe=$np recall=$r" }.mkString(", "))
+      curve.sliding(2).foreach {
+        case Seq((npA, a), (npB, b)) =>
+          assert(b >= a - 1e-12,
+            s"recall dropped from $a (nprobe=$npA) to $b (nprobe=$npB)")
+        case _ => ()
+      }
+      assert(curve.last._2 == 1.0,
+        s"probing every cell must recover the exact top-$k, got ${curve.last._2}")
+      val shipped = curve.find(_._1 == 2).get._2
+      assert(shipped >= floor,
+        s"shipped-point (nprobe=2) recall $shipped below the pinned $floor floor at $dir")
     }
-    assert(curve.last._2 == 1.0,
-      s"probing every cell must recover the exact top-$k, got ${curve.last._2}")
-    // measured 0.92 on the fixed sf0.001 corpus (deterministic: corpus,
-    // training and tiebreaks are all pinned) — floor just below it so any
-    // quantizer/assignment regression trips the spec
-    val shipped = curve.find(_._1 == 2).get._2
-    assert(shipped >= 0.9,
-      s"shipped-point (nprobe=2) recall $shipped below the pinned 0.9 floor")
-  }
 }

@@ -50,6 +50,30 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"))
   }
 
+  test("u5_set_ops computes both memberships from one orders scan") {
+    // VERDICT r7 item 6: the INTERSECT/EXCEPT form planned two filtered
+    // orders scans and two aggregate pairs; the membership-flag form must
+    // read orders exactly once (customer is the only other scan).
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = SparkEntry.queries("u5_set_ops")(spark, dir).queryExecution.executedPlan
+    var ordersScans = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case f: FileSourceScanExec
+            if f.schema.fieldNames.contains("o_orderdate") => ordersScans += 1
+        case _ => ()
+      }
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          walk(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => walk(s.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(plan)
+    assert(ordersScans == 1, s"expected one orders scan, saw $ordersScans")
+  }
+
   test("q1 aggregate keeps its map-side partial phase") {
     val plan = SparkEntry.queries("q1_pricing_summary")(spark, dir)
       .queryExecution.executedPlan.toString
