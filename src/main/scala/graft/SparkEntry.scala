@@ -150,6 +150,7 @@ object SparkEntry {
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
     "sim_ivf_delete" -> ((s, d) => Similarity.simIvfDelete(s, d)),
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
+    "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -295,14 +296,23 @@ object SparkEntry {
     * rn = 1 per (vector, subspace), exact query distance tables, the
     * s-ordered ADC fold, per-query top-k.
     */
+  /** The subvector squared-L2 fold shared by every PQ oracle chain
+    * (training, encode, query distance tables, delta encode) — one text
+    * so the assignment arithmetic cannot drift between them.
+    */
+  private def pqSlicedL2(v: String, c: String, lo: String): String = {
+    val sub = Similarity.pqSubDims
+    s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${sub + 1}), i ->
+       |          (CAST($v[i + $lo] AS DOUBLE) - $c[i]) * (CAST($v[i + $lo] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
+  }
+
   private def pqAdcCtes: String = {
     val m = Similarity.pqM
     val sub = Similarity.pqSubDims
     val k = Similarity.pqCodebookK
     val rounds = Similarity.pqTrainRounds
     def slicedL2(v: String, c: String, lo: String): String =
-      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${sub + 1}), i ->
-         |          (CAST($v[i + $lo] AS DOUBLE) - $c[i]) * (CAST($v[i + $lo] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
+      pqSlicedL2(v, c, lo)
     val chains = (0 until m).map { s =>
       val lo = s * sub
       val seed =
@@ -359,6 +369,35 @@ object SparkEntry {
     s"""$pqAdcCtes
        |SELECT qid, vec_id, adc, rnk FROM ranked WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simPqUpsert]]: the frozen
+    * trained codebooks encode both the corpus (the chain's own `codes`
+    * CTE) and the reversed negative-key delta batch; per-(subspace,
+    * codeword) occupancy audit in exact integers — the ivfUpsertSql
+    * discipline applied to the code table.
+    */
+  private def pqUpsertSql: String =
+    s"""$pqAdcCtes,
+       |pqdelta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |dcodes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT d.vec_id, b.s, b.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("d.embedding", "b.centroid", s"b.s * ${Similarity.pqSubDims}")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM pqdelta d, books b)
+       |  WHERE rn = 1),
+       |bc AS (SELECT s, code, count(*) AS n_base FROM codes GROUP BY 1, 2),
+       |dc AS (SELECT s, code, count(*) AS n_new, min(vec_id) AS first_new_id
+       |       FROM dcodes GROUP BY 1, 2)
+       |SELECT coalesce(bc.s, dc.s) AS s, coalesce(bc.code, dc.code) AS code,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
+       |FROM bc FULL OUTER JOIN dc ON bc.s = dc.s AND bc.code = dc.code
+       |ORDER BY s, code""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqRerank]]: the shared
     * ADC chain cut at the shortlist depth, exact full-dim squared L2 on
@@ -1846,6 +1885,7 @@ object SparkEntry {
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
+    "sim_pq_upsert" -> pqUpsertSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,

@@ -840,13 +840,63 @@ object Similarity {
     */
   def pqEncode(spark: SparkSession, dir: String,
       codebooks: DataFrame): DataFrame =
-    Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    pqEncodeFrom(
+      Tables(spark, dir, "embeddings").select("vec_id", "embedding"),
+      codebooks)
+
+  /** [[pqEncode]] over an arbitrary (vec_id, embedding) source — the same
+    * frozen-codebook assignment applied to a DELTA batch by
+    * [[simPqUpsert]] (the ivfMembersSqlFrom discipline: one assignment
+    * rule, two inputs).
+    */
+  private def pqEncodeFrom(source: DataFrame,
+      codebooks: DataFrame): DataFrame =
+    source
       .join(broadcast(codebooks))
       .withColumn("dist",
         expr(l2SubExpr("embedding", "centroid", s"s * $pqSubDims")))
       .groupBy("vec_id", "s")
       .agg(min(struct(col("dist"), col("cid"))).as("b"))
       .select(col("vec_id"), col("s"), col("b.cid").as("code"))
+
+  /** PQ index UPSERT — [[simIvfUpsert]]'s frozen-quantizer admission
+    * applied to the code table (FAISS `IndexPQ.add`): the delta batch
+    * (same reserved-negative-key reversed-embedding carving, shared
+    * [[upsertDeltaMod]]) is encoded with the FROZEN codebooks — no
+    * retrain, no touch of existing codes — and the audit reports every
+    * (subspace, codeword) occupancy in exact integers. At 100 TB this is
+    * how a standing PQ deployment grows: append ~2 B/vector codes,
+    * retraining is a separate deliberate event (codebook drift shows up
+    * as skewed codeword occupancy — exactly what this audit measures).
+    */
+  def simPqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    // admit against the STANDING index: frozen codebooks and base codes
+    // come from the persisted tables ([[ensurePqIndex]]) — the upsert
+    // never re-trains or re-encodes the base, which is the whole point
+    // of delta admission (and what sim_ivf_upsert's train-per-call twin
+    // prices on the other end)
+    val base0 = ensurePqIndex(spark, dir)
+    val books = spark.read.parquet(s"$base0/codebooks")
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    val base = spark.read.parquet(s"$base0/codes")
+      .groupBy("s", "code").agg(count(lit(1)).as("n_base"))
+    val fresh = pqEncodeFrom(delta, books)
+      .groupBy("s", "code").agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_new_id"))
+    base.join(fresh, Seq("s", "code"), "full_outer")
+      .select(col("s"), col("code"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        col("first_new_id"))
+      .orderBy("s", "code")
+  }
 
   /** Asymmetric-distance (ADC) top-k search over the PQ codes (Jégou et
     * al. 2011, the standard PQ search): each query computes its EXACT

@@ -195,10 +195,12 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("PQ search shuffles never carry a vector, ADC or re-ranked") {
+  test("indexed/PQ/deleted search shuffles never carry a vector") {
     // The PQ story IS the byte budget: the corpus moves as (vec_id, s,
     // code) / (qid, vec_id, dist) rows; embeddings reach the plans only
     // through scans and broadcasts (codebooks, shortlist, query set).
+    // The indexed and post-delete IVF searches are held to the same ban —
+    // overlay/tombstone machinery must not reintroduce a vector shuffle.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, StructType}
     def hasFloatVec(dt: DataType): Boolean = dt match {
@@ -209,7 +211,8 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       Seq("sim_pq_adc", "sim_pq_adc_indexed", "sim_pq_rerank",
-          "sim_ivfpq", "sim_ivfpq_indexed").foreach { name =>
+          "sim_ivfpq", "sim_ivfpq_indexed", "sim_ivf_ann_indexed",
+          "sim_ivf_ann_deleted", "sim_pq_upsert").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan
         val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
@@ -251,6 +254,31 @@ class PlanSpec extends SparkSpec {
       val total = f.relation.location.listFiles(Nil, Nil).length
       assert(selected < total,
         s"no pruning: selected $selected of $total partitions")
+    }
+  }
+
+  test("deleted-search probes prune overlay and base index partitions") {
+    // simIvfAnnDeleted reads TWO cell-partitioned tables (the compacted
+    // overlay and the base index); both reads must keep the probe IN-list
+    // as a PartitionFilter — merge-on-read must not cost a full-index
+    // scan. (No strict selected<total here: the overlay holds ONLY
+    // compacted cells, so a probe can legitimately touch all of them.)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      SparkEntry.queries("sim_ivf_ann_deleted")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+              if f.relation.partitionSchema.fieldNames.contains("cell") => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.size >= 2,
+      s"expected overlay + base cell-partitioned scans, saw ${scans.size}")
+    scans.foreach { f =>
+      assert(f.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"probe IN-list not a partition filter:\n$f")
+      assert(f.selectedPartitions.partitionCount <= 8,
+        s"selected ${f.selectedPartitions.partitionCount} partitions")
     }
   }
 
