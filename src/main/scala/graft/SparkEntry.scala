@@ -151,6 +151,7 @@ object SparkEntry {
     "sim_ivf_delete" -> ((s, d) => Similarity.simIvfDelete(s, d)),
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
+    "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -608,6 +609,57 @@ object SparkEntry {
       |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
       |  UNION ALL
       |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0)""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfDrift]]: base and
+    * delta assignments from the shared coarse chains (rk / the upsert
+    * delta chain verbatim), per-member squared L2 to the frozen centroid
+    * via the ordered 64-dim fold, per-cell mean as the vec_id-ordered
+    * sequential sum divided once, and the integer-scaled retrain ratio.
+    */
+  private def ivfDriftSql: String = {
+    def l2Fold(v: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |      (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |delta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |de AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+       |  FROM delta),
+       |drk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c_label,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+       |    FROM de, cn)),
+       |bd AS (
+       |  SELECT rk.vec_id, rk.c_label AS cell,
+       |    ${l2Fold("rk.embedding", "cn.centroid")} AS d2
+       |  FROM rk JOIN cn ON rk.c_label = cn.c_label WHERE rk.crnk = 1),
+       |bagg AS (
+       |  SELECT cell, count(*) AS n_base,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) / count(*) AS base_msd
+       |  FROM bd GROUP BY 1),
+       |dd2 AS (
+       |  SELECT de.vec_id, drk.c_label AS cell,
+       |    ${l2Fold("de.embedding", "cn.centroid")} AS d2
+       |  FROM drk JOIN de ON de.vec_id = drk.vec_id
+       |  JOIN cn ON drk.c_label = cn.c_label
+       |  WHERE drk.crnk = 1),
+       |dagg AS (
+       |  SELECT cell, count(*) AS n_new,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) / count(*) AS new_msd
+       |  FROM dd2 GROUP BY 1)
+       |SELECT bagg.cell AS cell, n_base, coalesce(n_new, 0) AS n_new,
+       |  base_msd, new_msd,
+       |  coalesce(new_msd * 100 > base_msd * ${Similarity.ivfDriftPct}, FALSE) AS retrain
+       |FROM bagg LEFT JOIN dagg ON bagg.cell = dagg.cell
+       |ORDER BY cell""".stripMargin
+  }
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1886,6 +1938,7 @@ object SparkEntry {
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     "sim_pq_upsert" -> pqUpsertSql,
+    "sim_ivf_drift" -> ivfDriftSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,

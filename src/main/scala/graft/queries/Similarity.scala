@@ -1364,6 +1364,72 @@ object Similarity {
       probeKeys, querySet, k)
   }
 
+  /** Retrain-trigger threshold for [[simIvfDrift]] in integer-scaled
+    * form: a cell flags retrain when `new_msd * 100 > base_msd * 150`
+    * (delta members quantize ≥1.5× worse than the base — the frozen
+    * quantizer is stale for the incoming distribution). Shared with the
+    * generated oracle (the kmeansCtes discipline).
+    */
+  private[graft] val ivfDriftPct = 150
+
+  /** Quantizer DRIFT audit — the measurement that turns "retraining is a
+    * separate, deliberate event" ([[simIvfUpsert]]) into a decidable one
+    * (FAISS users watch the same statistic as reconstruction error):
+    * per cell, the mean squared distance to the frozen centroid of the
+    * BASE members vs the newly-admitted DELTA members (the
+    * [[simIvfUpsert]] batch). A delta that quantizes much worse than the
+    * base is the signal that the frozen quantizer no longer fits the
+    * incoming distribution and the deliberate retrain is due — flagged
+    * per cell by the exact integer-scaled ratio test [[ivfDriftPct]].
+    *
+    * Bit-exactness: distances are the ordered 64-dim double fold, the
+    * per-cell mean is a vec_id-ordered sequential sum over the collected
+    * members divided once (the kmeansTrain centroid discipline), so both
+    * engines materialize identical doubles and the ratio comparison can
+    * never disagree. Scale shape: assignment is the pure projection, the
+    * per-cell collect is the same bounded-inverted-list aggregate the
+    * trainer runs, and nothing shuffles a vector beyond those aggregates.
+    */
+  def simIvfDrift(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    // a maintenance audit runs against the STANDING index: frozen
+    // centroids and base members come from the persisted tables
+    // ([[ensureIvfIndex]]) — no retrain, no corpus re-assignment; only
+    // the delta batch is assigned fresh (with the index's own rule text)
+    val main = ensureIvfIndex(spark, dir)
+    spark.read.parquet(s"$main/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+      .createOrReplaceTempView("graft_ivf_delta")
+    val cents = spark.sql(
+      "SELECT c_label AS cell, centroid FROM graft_ivf_centroids")
+    def msdPerCell(members: DataFrame, n: String, msd: String): DataFrame =
+      members.join(broadcast(cents), Seq("cell"))
+        .withColumn("d2", expr(l2Expr("m_vec", "centroid")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as(n),
+          sort_array(collect_list(struct(col("m_vec_id"), col("d2"))))
+            .as("ds"))
+        .withColumn(msd,
+          expr(s"aggregate(ds, 0D, (acc, t) -> acc + t.d2) / $n"))
+        .drop("ds")
+    val base = msdPerCell(readIvfCells(spark, main), "n_base", "base_msd")
+    val fresh = msdPerCell(spark.sql(ivfMembersSqlFrom("graft_ivf_delta")),
+      "n_new", "new_msd")
+    base.join(fresh, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("base_msd"), col("new_msd"),
+        coalesce(col("new_msd") * 100 > col("base_msd") * ivfDriftPct,
+          lit(false)).as("retrain"))
+      .orderBy("cell")
+  }
+
   /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k
     * codebook rows and the per-vector code table as parquet — what a PQ
     * deployment persists ([[simIvfBuildIndex]]'s argument applied to

@@ -13,12 +13,18 @@ import graft.queries.Similarity
   */
 class IvfDeleteSpec extends SparkSpec {
 
-  private val dir = "/root/testdata/sf0.001"
-
   private def isDead(cell: Long, id: Long): Boolean =
     cell % 2 == 0 && id % Similarity.ivfDelMod == Similarity.ivfDelRem
 
-  test("audit: physical state implements the delete + compaction rule") {
+  // both 500-vector corpora (disjoint draws — sf0.01 is the driver's
+  // gate scale); the ensure* accessors rebuild when the dir changes, so
+  // each dir's three tests run against its own freshly-built overlay
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    ivfDeleteTests(dir)
+
+  private def ivfDeleteTests(dir: String): Unit = {
+
+  test(s"audit at $dir: physical state implements the delete + compaction rule") {
     val rows = Similarity.simIvfDelete(spark, dir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -37,7 +43,7 @@ class IvfDeleteSpec extends SparkSpec {
       "every cell compacted — the tombstone-masked path is untested")
   }
 
-  test("searches never return a tombstoned id, at both nprobe points") {
+  test(s"searches at $dir never return a tombstoned id, at both nprobe points") {
     val nlist = 8 // the oracle-pinned trained-centroid count (kmeansTrain k)
     for (np <- Seq(2, nlist)) {
       val res = Similarity.simIvfAnnDeleted(spark, dir, nprobe = np).collect()
@@ -49,7 +55,7 @@ class IvfDeleteSpec extends SparkSpec {
     }
   }
 
-  test("full-probe deleted search differs from the full-corpus search only by dead members") {
+  test(s"full-probe deleted search at $dir differs from the full search only by dead members") {
     val nlist = 8
     val full = Similarity.simIvfAnnIndexed(spark, dir, nprobe = nlist, k = 5)
       .collect()
@@ -64,5 +70,6 @@ class IvfDeleteSpec extends SparkSpec {
       !isDead(cell, id) && !deleted((qid, id))
     }
     assert(lostLive.isEmpty, s"live ids lost by the delete machinery: $lostLive")
+  }
   }
 }
