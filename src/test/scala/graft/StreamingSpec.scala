@@ -39,6 +39,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.zip(batch).forall { case (a, b) => a == b })
   }
 
+  test("readEventsStream tolerates an empty source directory (ADVICE r7-2)") {
+    // A file stream's normal starting state is an empty directory; the
+    // schema probe must fall back to the legacy long-ts encoding instead
+    // of throwing "Unable to infer schema", and data arriving later in
+    // that encoding must flow. Stage nothing first, then drop in a
+    // nanos-as-long file and drain.
+    val dir = java.nio.file.Files.createTempDirectory("events-empty-stream")
+    val stream = StreamingOps.readEventsStream(spark, dir.toString)
+    assert(stream.isStreaming, "empty-dir probe must still build a stream")
+    assert(stream.schema.fieldNames.contains("ts"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      dir.resolve("late.parquet"))
+    val q = stream.groupBy("event_type").agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("empty_start_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val n = spark.table("empty_start_stream")
+      .agg(sum("n")).collect().head.getLong(0)
+    val expected = Tables(spark, "/root/testdata/sf0.001", "events").count()
+    assert(n == expected, s"late-arriving file rows lost: $n != $expected")
+  }
+
   test("session windows: batch twin of the streaming transform matches Events query") {
     val viaStreamingOps = StreamingOps.sessionCounts(
       Tables(spark, "/root/testdata/sf0.001", "events"))
