@@ -112,6 +112,7 @@ object SparkEntry {
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
+    "dd_incremental_fuzzy_indexed" -> ((s, d) => Text.ddIncrementalFuzzyIndexed(s, d)),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
@@ -695,6 +696,54 @@ object SparkEntry {
       |outq AS (SELECT dd.* FROM dd WHERE source <> 'src0'
       |         AND doc_id NOT IN (SELECT doc_id FROM fl))""".stripMargin
 
+  /** DuckDB twin of [[graft.queries.Text.ddIncrementalFuzzy]] AND its
+    * standing-index form [[graft.queries.Text.ddIncrementalFuzzyIndexed]]
+    * — one text, two physical plans (the ivfAnnSql sharing rule).
+    */
+  private def incrementalFuzzySql: String =
+    s"""WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, lang, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
+        |conf AS (
+        |  SELECT p.id_a, p.id_b
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
+        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |drops AS (
+        |  SELECT id_a AS doc_id, TRUE AS vs_base FROM conf
+        |  WHERE id_a % ${Text.incrementalDeltaMod} = 0 AND id_b % ${Text.incrementalDeltaMod} <> 0
+        |  UNION ALL
+        |  SELECT id_b AS doc_id, (id_a % ${Text.incrementalDeltaMod} <> 0) AS vs_base FROM conf
+        |  WHERE id_b % ${Text.incrementalDeltaMod} = 0),
+        |dr AS (SELECT doc_id, max(vs_base) AS vs_base FROM drops GROUP BY 1),
+        |t AS (SELECT doc_id, lang FROM documents WHERE doc_id % ${Text.incrementalDeltaMod} = 0)
+        |SELECT t.lang, count(*) AS n_delta_docs,
+        |  CAST(sum(CASE WHEN dr.vs_base THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_vs_base,
+        |  CAST(sum(CASE WHEN dr.vs_base = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_in_delta,
+        |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |  min(CASE WHEN dr.doc_id IS NULL THEN t.doc_id END) AS first_admitted
+        |FROM t LEFT JOIN dr ON t.doc_id = dr.doc_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
@@ -1242,49 +1291,11 @@ object SparkEntry {
     // pairs re-read as an admission rule: a delta doc (% mod = 0) drops
     // on any base partner, or a lower-id delta partner (id_a < id_b by
     // construction). Modulus from the SAME constant as the Spark default.
-    "dd_incremental_fuzzy" ->
-      s"""WITH d AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
-        |  FROM d),
-        |hh AS (
-        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
-        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
-        |  FROM g),
-        |s AS (
-        |  SELECT doc_id, lang, sh,
-        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
-        |  FROM hh),
-        |e AS (
-        |  SELECT doc_id, lang, b.band,
-        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
-        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-        |p AS (
-        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
-        |conf AS (
-        |  SELECT p.id_a, p.id_b
-        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |drops AS (
-        |  SELECT id_a AS doc_id, TRUE AS vs_base FROM conf
-        |  WHERE id_a % ${Text.incrementalDeltaMod} = 0 AND id_b % ${Text.incrementalDeltaMod} <> 0
-        |  UNION ALL
-        |  SELECT id_b AS doc_id, (id_a % ${Text.incrementalDeltaMod} <> 0) AS vs_base FROM conf
-        |  WHERE id_b % ${Text.incrementalDeltaMod} = 0),
-        |dr AS (SELECT doc_id, max(vs_base) AS vs_base FROM drops GROUP BY 1),
-        |t AS (SELECT doc_id, lang FROM documents WHERE doc_id % ${Text.incrementalDeltaMod} = 0)
-        |SELECT t.lang, count(*) AS n_delta_docs,
-        |  CAST(sum(CASE WHEN dr.vs_base THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_vs_base,
-        |  CAST(sum(CASE WHEN dr.vs_base = FALSE THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup_in_delta,
-        |  CAST(sum(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
-        |  min(CASE WHEN dr.doc_id IS NULL THEN t.doc_id END) AS first_admitted
-        |FROM t LEFT JOIN dr ON t.doc_id = dr.doc_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "dd_incremental_fuzzy" -> incrementalFuzzySql,
+    // the standing-index twin computes the IDENTICAL admission audit
+    // (different physics only), so the oracle text is shared verbatim —
+    // the sim_ivf_ann_indexed treatment
+    "dd_incremental_fuzzy_indexed" -> incrementalFuzzySql,
     // Full simhash replication: md5-derived signed 64-bit token hashes
     // (hi half sign-folded before the 2^32 multiply — stays in BIGINT),
     // per-bit majority votes (counter > 0 <=> 2*set > n, bit 63 lands as

@@ -819,6 +819,129 @@ object Text {
       .orderBy("lang")
   }
 
+  // table -> sfDir the standing fuzzy index was built from (the
+  // ensureBucketed memo shape, Core.scala)
+  private val fuzzyIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Materialize the STANDING fuzzy-dedup index — the band table and the
+    * shingle table of the base partition, saved as BUCKETED tables (the
+    * q3_bucketed layout lever): bands bucketed on the band key so the
+    * candidate join consumes the standing side's bucket partitioning
+    * without re-shuffling it, shingles bucketed on doc_id so the confirm
+    * join's standing side is likewise pre-shuffled. This is what
+    * [[ddIncrementalFuzzy]]'s scaladoc calls "the base band table is the
+    * standing index", made physical — the sim_ivf_ann_indexed treatment
+    * applied to dedup: at 100 TB the base corpus is banded/shingled ONCE,
+    * and each delta admission reads the standing tables instead of
+    * re-banding the base.
+    */
+  def fuzzyBuildIndex(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      deltaMod: Long = incrementalDeltaMod): Unit = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val base = tokenizedDocs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(deltaMod)) =!= 0)
+    val bands = base
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    graft.Layout.saveBucketed(bands, "graft_fuzzy_bands_bq", 8, Seq("key"))
+    graft.Layout.saveBucketed(
+      base.withColumn("sh", expr(shingleExpr(3))).select("doc_id", "sh"),
+      "graft_fuzzy_sh_bq", 8, Seq("doc_id"))
+  }
+
+  /** Build-once accessor for the standing fuzzy index (the ensureBucketed
+    * memo: rebuilt when the sfDir changes or the catalog lost the
+    * tables). Index geometry is the shipped (numSlots, bandSize,
+    * deltaMod) defaults — parameter changes are a rebuild, as with any
+    * index.
+    */
+  private def ensureFuzzyIndex(spark: SparkSession, dir: String): Unit =
+    synchronized {
+      if (!(fuzzyIndexFor.get("graft_fuzzy_bands_bq").contains(dir) &&
+          spark.catalog.tableExists("graft_fuzzy_bands_bq") &&
+          spark.catalog.tableExists("graft_fuzzy_sh_bq"))) {
+        fuzzyBuildIndex(spark, dir)
+        fuzzyIndexFor("graft_fuzzy_bands_bq") = dir
+      }
+    }
+
+  /** [[ddIncrementalFuzzy]] against the STANDING index
+    * ([[fuzzyBuildIndex]]) — identical admission semantics and audit
+    * (the oracle text is shared verbatim), different physics: the base
+    * corpus is never touched. Delta docs band and shingle themselves
+    * (a narrow pass over the delta only), candidates come from the delta
+    * bands joined against the bucketed standing band table (delta-vs-
+    * base, both id orders) plus the delta self-join (delta-vs-delta,
+    * id_a < id_b), and the Jaccard confirm reads base shingles from the
+    * bucketed standing shingle table. Base-base pairs — the quadratic
+    * bulk the train-per-call twin generates and discards — are never
+    * formed at all. Steady-state cost scales with |delta| and the
+    * number of colliding bands, not with the base corpus.
+    */
+  def ddIncrementalFuzzyIndexed(spark: SparkSession, dir: String,
+      deltaMod: Long = incrementalDeltaMod, numSlots: Int = 16,
+      bandSize: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(deltaMod > 1, "deltaMod must leave both a base and a delta")
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir)
+    def isDelta(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(deltaMod)) === 0
+    val deltaDocs = tokenizedDocs(spark, dir).filter(isDelta(col("doc_id")))
+    val dBands = deltaDocs
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val dSh = deltaDocs
+      .withColumn("sh", expr(shingleExpr(3))).select("doc_id", "sh")
+    val bBands = spark.table("graft_fuzzy_bands_bq")
+    val bSh = spark.table("graft_fuzzy_sh_bq")
+    def jaccard(df: DataFrame): DataFrame = df
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+    // delta-vs-base: either id order makes the DELTA doc the duplicate
+    val vb = jaccard(dBands.as("d").join(bBands.as("b"),
+        col("d.band") === col("b.band") && col("d.key") === col("b.key") &&
+          col("d.lang") === col("b.lang"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+      .join(dSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a")),
+        "delta_id")
+      .join(bSh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
+        "base_id"))
+      .select(col("delta_id").as("doc_id"), lit(true).as("vs_base"))
+    // delta-vs-delta: keep-first — only the HIGHER id is the duplicate
+    val vd = jaccard(dBands.as("x").join(dBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .join(dSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(dSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"))
+      .select(col("id_b").as("doc_id"), lit(false).as("vs_base"))
+    val dropped = vb.unionByName(vd)
+      .groupBy("doc_id").agg(max("vs_base").as("vs_base"))
+    docs(spark, dir).filter(isDelta(col("doc_id")))
+      .select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta_docs"),
+        sum(when(col("vs_base") === true, 1L).otherwise(0L))
+          .as("n_near_dup_vs_base"),
+        sum(when(col("vs_base") === false, 1L).otherwise(0L))
+          .as("n_near_dup_in_delta"),
+        sum(when(col("vs_base").isNull, 1L).otherwise(0L))
+          .as("n_admitted"),
+        min(when(col("vs_base").isNull, col("doc_id")))
+          .as("first_admitted"))
+      .orderBy("lang")
+  }
+
   /** N-gram (3-token-shingle) Jaccard near-dedup with MinHash-band
     * candidate generation — the 100 TB blocking shape (round 1's top fix,
     * VERDICT.md "Next round" #1): candidates meet only inside a

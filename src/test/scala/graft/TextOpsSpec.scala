@@ -683,6 +683,28 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("indexed incremental fuzzy equals the train-per-call twin and reads the standing tables") {
+    val plain = Text.ddIncrementalFuzzy(spark, sf001).collect()
+    val indexed = Text.ddIncrementalFuzzyIndexed(spark, sf001).collect()
+    assert(indexed.toSeq == plain.toSeq,
+      "standing-index admission must reproduce the full-recompute audit")
+    // and the physics: the plan must actually read the bucketed standing
+    // band/shingle tables (re-banding the base corpus would pass the
+    // equality above while scaling with the base at 100 TB)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val locs = try {
+      Text.ddIncrementalFuzzyIndexed(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec => f.relation.location.rootPaths.mkString
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(locs.exists(_.contains("graft_fuzzy_bands_bq")),
+      "standing band table not read")
+    assert(locs.exists(_.contains("graft_fuzzy_sh_bq")),
+      "standing shingle table not read")
+  }
+
   test("temperature mixing: shares sum to 1, α=0.5 flattens the mixture") {
     val rows = Text.txTemperatureMix(spark, sf001).collect()
     val sampled = rows.map(_.getAs[Double]("sampled_share"))
