@@ -858,7 +858,7 @@ object Text {
     * deltaMod) defaults — parameter changes are a rebuild, as with any
     * index.
     */
-  private def ensureFuzzyIndex(spark: SparkSession, dir: String): Unit =
+  private[graft] def ensureFuzzyIndex(spark: SparkSession, dir: String): Unit =
     synchronized {
       if (!(fuzzyIndexFor.get("graft_fuzzy_bands_bq").contains(dir) &&
           spark.catalog.tableExists("graft_fuzzy_bands_bq") &&

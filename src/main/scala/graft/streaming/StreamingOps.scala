@@ -315,6 +315,65 @@ object StreamingOps {
           .otherwise(lit("insert")))
       .select("k", "action", "new_text")
 
+  /** The standing fuzzy-dedup index tables for [[fuzzyAdmittedDocs]] —
+    * ensures `graft.queries.Text.fuzzyBuildIndex`'s bucketed band and
+    * shingle tables exist and returns them. The static side of the
+    * stream, refreshed by compaction between stream restarts (the
+    * [[baseDigestKeys]] production note applied to the fuzzy index).
+    */
+  def fuzzyIndexTables(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.queries.Text.ensureFuzzyIndex(spark, dir)
+    (spark.table("graft_fuzzy_bands_bq"), spark.table("graft_fuzzy_sh_bq"))
+  }
+
+  /** Streaming fuzzy dedup at ingest — the stream twin of
+    * `graft.queries.Text.ddIncrementalFuzzyIndexed`'s vs-base leg:
+    * newly-landing documents band and shingle themselves, probe the
+    * STANDING band table (stream-static left-outer join — stateless),
+    * confirm candidates by exact shingle Jaccard against the standing
+    * shingle table, and aggregate to one (doc_id, lang,
+    * near_dup_vs_base) decision per document. Within-stream (delta-delta)
+    * duplicates are the exact-digest stage's job upstream
+    * ([[admittedDeltaDocs]]) — the production layering: cheap exact dedup
+    * in-stream, fuzzy only against the compacted standing index.
+    *
+    * Docs with fewer than 3 tokens can't band (and can't near-dup); they
+    * are dropped before the probe, as in the batch twin's band path.
+    * The per-doc aggregation state is one boolean per streamed doc_id —
+    * bounded by the same compaction-interval restart discipline as the
+    * digest-dedup state ([[admittedDeltaDocs]]'s scaladoc).
+    */
+  def fuzzyAdmittedDocs(deltaStream: DataFrame, baseBands: DataFrame,
+      baseShingles: DataFrame, numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(deltaStream.sparkSession)
+    val banded = deltaStream
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh_a", expr(graft.queries.Text.shingleExpr(3)))
+      .withColumn("bands",
+        expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), col("sh_a"),
+        posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded
+      .join(baseBands
+          .select(col("band"), col("key"), col("lang"),
+            col("doc_id").as("base_id")),
+        Seq("band", "key", "lang"), "left_outer")
+      .join(baseShingles
+          .select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
+        Seq("base_id"), "left_outer")
+      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+      .withColumn("hit", coalesce(
+        col("inter").cast("double") /
+          (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")) >=
+          threshold,
+        lit(false)))
+      .groupBy("doc_id", "lang")
+      .agg(max("hit").as("near_dup_vs_base"))
+  }
+
   case class UserEvent(user_id: Long, event_type: String, value: Double)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 

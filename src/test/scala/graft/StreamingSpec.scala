@@ -315,6 +315,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamedHks == expectedHks)
   }
 
+  test("streaming fuzzy admission against the standing index equals the batch audit") {
+    // Delta docs arrive as a stream and probe the MATERIALIZED fuzzy
+    // index (stream-static joins against the bucketed band + shingle
+    // tables); the per-language vs-base near-dup counts must equal
+    // ddIncrementalFuzzyIndexed's audit exactly. (Delta-delta dups are
+    // the upstream exact-digest stage's job — the vs-base leg is what
+    // the standing index serves.)
+    val dir = "/root/testdata/sf0.001"
+    val (bands, shingles) = StreamingOps.fuzzyIndexTables(spark, dir)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-fuzzy-admit-stream").toString
+    Tables(spark, dir, "documents")
+      .write.mode("overwrite").parquet(s"$landing/documents.parquet")
+    val deltaStream = StreamingOps
+      .readDocumentsStream(spark, s"$landing/documents.parquet")
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+    val q = StreamingOps.fuzzyAdmittedDocs(deltaStream, bands, shingles)
+      .writeStream.format("memory").queryName("fuzzy_admit_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("fuzzy_admit_stream")
+    val streamedDups = streamed.filter(col("near_dup_vs_base"))
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    val audit = graft.queries.Text.ddIncrementalFuzzyIndexed(spark, dir)
+      .collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_near_dup_vs_base"))
+      .filter(_._2 > 0).toMap
+    assert(streamedDups == audit,
+      s"streamed vs-base dups $streamedDups != batch audit $audit")
+    // every band-able delta doc got exactly one decision row
+    val expectedDocs = Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(5L)) === 0 &&
+        size(split(col("text"), " ")) >= 3).count()
+    assert(streamed.count() == expectedDocs)
+  }
+
   test("streaming merge classify equals the batch audit's changed partitions") {
     // Updates arrive as a stream against the static sf0.001 snapshot; the
     // per-action row counts and key sums must equal the batch MERGE
