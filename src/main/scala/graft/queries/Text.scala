@@ -826,10 +826,11 @@ object Text {
 
   /** Materialize the STANDING fuzzy-dedup index — the band table and the
     * shingle table of the base partition, saved as BUCKETED tables (the
-    * q3_bucketed layout lever): bands bucketed on the band key so the
-    * candidate join consumes the standing side's bucket partitioning
-    * without re-shuffling it, shingles bucketed on doc_id so the confirm
-    * join's standing side is likewise pre-shuffled. This is what
+    * q3_bucketed layout lever): bands bucketed on the full candidate-join
+    * key set (band, key, lang) and shingles on doc_id, so both standing
+    * scans read `Bucketed: true` and the joins consume the bucket
+    * partitioning without re-shuffling the standing side
+    * (TextOpsSpec pins this in the no-broadcast regime). This is what
     * [[ddIncrementalFuzzy]]'s scaladoc calls "the base band table is the
     * standing index", made physical — the sim_ivf_ann_indexed treatment
     * applied to dedup: at 100 TB the base corpus is banded/shingled ONCE,
@@ -846,7 +847,12 @@ object Text {
       .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
       .select(col("doc_id"), col("lang"), posexplode(col("bands")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    graft.Layout.saveBucketed(bands, "graft_fuzzy_bands_bq", 8, Seq("key"))
+    // bucketed on ALL the candidate-join keys: V1 bucketed reads are only
+    // consumed when the join keys cover every bucket column — bucketing
+    // on `key` alone left the scan "Bucketed: false (disabled by query
+    // planner)" and re-shuffled the standing side (measured, r8 probe)
+    graft.Layout.saveBucketed(bands, "graft_fuzzy_bands_bq", 8,
+      Seq("band", "key", "lang"))
     graft.Layout.saveBucketed(
       base.withColumn("sh", expr(shingleExpr(3))).select("doc_id", "sh"),
       "graft_fuzzy_sh_bq", 8, Seq("doc_id"))

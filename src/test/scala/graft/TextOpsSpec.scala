@@ -690,19 +690,38 @@ class TextOpsSpec extends SparkSpec {
       "standing-index admission must reproduce the full-recompute audit")
     // and the physics: the plan must actually read the bucketed standing
     // band/shingle tables (re-banding the base corpus would pass the
-    // equality above while scaling with the base at 100 TB)
+    // equality above while scaling with the base at 100 TB), and in the
+    // no-broadcast regime — the 100 TB shape — BOTH standing scans must
+    // consume their bucketing (r8 probe: bucketed on `key` alone the
+    // planner disabled the bucketed read and re-shuffled the standing
+    // side; bucketing on the full join key set fixed it)
     import org.apache.spark.sql.execution.FileSourceScanExec
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    val locs = try {
+    val scans = try {
       Text.ddIncrementalFuzzyIndexed(spark, sf001)
         .queryExecution.executedPlan.collect {
-          case f: FileSourceScanExec => f.relation.location.rootPaths.mkString
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.mkString.contains("graft_fuzzy") =>
+            (f.relation.location.rootPaths.mkString, f.bucketedScan)
         }
-    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
-    assert(locs.exists(_.contains("graft_fuzzy_bands_bq")),
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    assert(scans.exists(_._1.contains("graft_fuzzy_bands_bq")),
       "standing band table not read")
-    assert(locs.exists(_.contains("graft_fuzzy_sh_bq")),
+    assert(scans.exists(_._1.contains("graft_fuzzy_sh_bq")),
       "standing shingle table not read")
+    scans.foreach { case (loc, bucketed) =>
+      assert(bucketed, s"standing scan not bucket-consumed: $loc")
+    }
   }
 
   test("temperature mixing: shares sum to 1, α=0.5 flattens the mixture") {
