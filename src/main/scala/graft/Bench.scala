@@ -36,13 +36,35 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *     now leaves a usable per-query record in the captured tail.
   *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 480) is a wall-clock budget:
   *     once exceeded, remaining queries drop to 1 run and later sessions
-  *     are skipped (a session is only started if under half the budget);
-  *     the summary then carries `"truncated":true`. The budget never skips
-  *     a query outright — session 1 always measures all of them at least
-  *     once, so the artifact keeps full query coverage.
+  *     are skipped; the summary then carries `"truncated":true`. The
+  *     budget never skips a query outright — session 1 always measures
+  *     all of them at least once, so the artifact keeps full coverage.
   *   - A JVM shutdown hook prints the summary-so-far (marked truncated) if
   *     the process is killed before the normal summary line, so even a
   *     driver-side SIGTERM yields a parseable final artifact.
+  *
+  * Two-session survivability + regression tripwire (round 9, per VERDICT
+  * r8 items 1 and 6 — BENCH_r07/r08 both ran ONE session, so the
+  * diverging-`session_totals` noise test could not fire):
+  *
+  *   - A later session that would previously have been SKIPPED (start
+  *     past half the budget) now runs DEGRADED at 1 run/query instead:
+  *     two `session_totals` entries beat three runs of one session,
+  *     because the noise-vs-regression discrimination needs two windows.
+  *     Only a start past the FULL budget skips the session (truncated).
+  *     `"session_runs"` records each session's runs-per-query.
+  *   - Deterministic train-per-call twins (full index build inside every
+  *     measured run — same work every time by construction) price at
+  *     `SPARK_GRAFT_BENCH_HEAVY_RUNS` (default 1) runs/session: min-of-3
+  *     on a fixed build wastes ~20 s/session that the second session
+  *     needs.
+  *   - Every completed run writes `tools/bench_last_<sf>.json` (pooled
+  *     min per query); the next run reads it, prints `"prev_min"` on each
+  *     per-query line, and the summaries carry `"regressed":[...]` —
+  *     queries whose pooled min exceeds 2x the previous recorded min
+  *     (and 0.2 s absolute, so sub-second scheduling jitter can't spam
+  *     the list). The driver artifact keeps only a 2000-char stdout
+  *     tail, so cross-round per-query history has to ride in the repo.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -54,11 +76,39 @@ object Bench {
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 
+    val heavyRuns = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_RUNS", "1").toInt.max(1)
+    // Train-per-call twins: the full quantizer/codebook build runs inside
+    // every measured run with deterministic seeds, so repeat runs price
+    // the identical work — min-of-N buys nothing but wall clock (VERDICT
+    // r8 item 1). Their steady-state *_indexed twins keep the full run
+    // count.
+    val trainPerCall = Set("sim_ivfpq", "sim_pq_rerank", "sim_pq_adc",
+      "sim_ivf_kmeans", "sim_ivf_upsert", "sim_ivf_retrain")
+
     val errors = LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+
+    // VERDICT r8 item 6: cross-round per-query history lives in the repo
+    // (the driver artifact keeps only a stdout tail). Keyed by sf dir so a
+    // local sf0.01 iteration never pollutes the sf0.1 gate history.
+    val prevPath = java.nio.file.Paths.get("tools",
+      "bench_last_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
+    val prevMins: Map[String, Double] = {
+      val re = """"([^"]+)":([0-9.Ee+-]+)""".r
+      scala.util.Try {
+        val s = new String(java.nio.file.Files.readAllBytes(prevPath), "UTF-8")
+        re.findAllMatchIn(s).map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }.getOrElse(Map.empty)
+    }
+    def regressedJson(mins: Seq[(String, Double)]): String =
+      mins.collect { case (n, m)
+        if prevMins.get(n).exists(p => m > 2 * p && m > 0.2) =>
+          "\"" + n + "\""
+      }.mkString("[", ",", "]")
     // pooled(name) = all (elapsed sec, succeeded) runs across sessions so far
     val pooled = LinkedHashMap[String, ArrayBuffer[(Double, Boolean)]]()
     val rawPerSession = ArrayBuffer[LinkedHashMap[String, Seq[(Double, Boolean)]]]()
+    val sessionRuns = ArrayBuffer[Int]() // nominal runs/query per session
     // The shutdown hook reads these collections from ITS thread while the
     // main thread may still be appending (a SIGTERM does not stop the main
     // loop) — an unsynchronized LinkedHashMap iteration there can throw
@@ -108,7 +158,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         Verify.q(k) + ":" + Verify.q(v) // full control-char-safe JSON escape
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"session_runs":${sessionRuns.mkString("[", ",", "]")},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
     }
 
     // VERDICT r7 item 1: the driver keeps only the LAST 2000 chars of
@@ -118,10 +168,11 @@ object Bench {
     // AFTER the big one, so the gate number survives any tail capture.
     def compactJson(partial: Boolean): String = stateLock.synchronized {
       val measured = names.filter(pooled.contains)
-      val total = measured.map(n => minOf(pooled(n).toSeq)).sum
+      val mins = measured.map(n => n -> minOf(pooled(n).toSeq))
+      val total = mins.map(_._2).sum
       val sessionTotals = rawPerSession.map(sr =>
         measured.filter(sr.contains).map(n => minOf(sr(n))).sum)
-      s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_totals":${sessionTotals.mkString("[", ",", "]")},"sf":"$sfDir"}"""
+      s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_runs":${sessionRuns.mkString("[", ",", "]")},"session_totals":${sessionTotals.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"sf":"$sfDir"}"""
     }
 
     // Driver timeouts SIGTERM the JVM: still emit a parseable artifact from
@@ -136,11 +187,16 @@ object Bench {
     Runtime.getRuntime.addShutdownHook(hook)
 
     var s = 1
+    var sessionDegraded = false
     while (s <= nSessions && (s == 1 || {
-      val skip = elapsedS > budgetS * 0.5
+      // VERDICT r8 item 1: past HALF the budget a later session DEGRADES
+      // to 1 run/query (two session_totals entries are the point of the
+      // methodology); only past the FULL budget is it skipped outright.
+      val skip = elapsedS > budgetS
       if (skip) truncated = true
       !skip
     })) {
+      sessionDegraded = s > 1 && elapsedS > budgetS * 0.5
       val spark = SparkSession.builder()
         .master(s"local[$cpus]")
         .config("spark.sql.shuffle.partitions", cpus)
@@ -158,11 +214,17 @@ object Bench {
       Tables.names.foreach(n =>
         scala.util.Try(Tables(spark, sfDir, n).selectExpr("count(*)").collect()))
       val perQuery = LinkedHashMap[String, Seq[(Double, Boolean)]]()
-      stateLock.synchronized { rawPerSession += perQuery }
+      stateLock.synchronized {
+        rawPerSession += perQuery
+        sessionRuns += (if (sessionDegraded) 1 else nRuns)
+      }
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         val overBudget = elapsedS > budgetS
         if (overBudget) truncated = true
-        val effRuns = if (overBudget) 1 else nRuns
+        val effRuns =
+          if (overBudget || sessionDegraded) 1
+          else if (trainPerCall(name)) heavyRuns.min(nRuns)
+          else nRuns
         val runs = ArrayBuffer[(Double, Boolean)]()
         resetHeapPeaks()
         var r = 1
@@ -195,7 +257,8 @@ object Bench {
           perQuery(name) = runs.toSeq
           pooled.getOrElseUpdate(name, ArrayBuffer()) ++= runs
         }
-        println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"mem_mb":$peakHeapMb,"wall_s":$elapsedS}""")
+        val prevPart = prevMins.get(name).map(p => s""","prev_min":$p""").getOrElse("")
+        println(s"""{"metric":"query","session":$s,"name":"$name","min":${minOf(runs.toSeq)},"runs":${runs.map(_._1).mkString("[", ",", "]")},"ok":${runs.forall(_._2)},"mem_mb":$peakHeapMb,"wall_s":$elapsedS$prevPart}""")
         Console.out.flush()
       }
       spark.stop()
@@ -208,5 +271,16 @@ object Bench {
     summaryPrinted = true
     Console.out.flush()
     scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
+    // Record pooled mins for the next run's prev_min/regressed tripwire
+    // (normal completion only — the shutdown hook never writes history).
+    scala.util.Try {
+      val mins = stateLock.synchronized {
+        names.filter(pooled.contains).map(n => n -> minOf(pooled(n).toSeq))
+      }
+      val body = mins.map { case (n, m) => "\"" + n + "\":" + m }
+        .mkString("{", ",", "}")
+      Option(prevPath.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(prevPath, body.getBytes("UTF-8"))
+    }
   }
 }

@@ -84,7 +84,9 @@ case class FloatVectorDot(left: Expression, right: Expression)
   * `long_dot(array<bigint>, array<bigint>) → bigint`, a tight codegen'd
   * multiply-accumulate replacing the interpreted `aggregate(zip_with(…))`
   * fold in the int8 similarity hot loop (per-pair work in
-  * `graft.queries.Similarity.simSqInt8` — CLAUDE.md's hot-loop rule).
+  * `graft.queries.Similarity.simSqInt8`; higher-order functions run
+  * interpreted — CodegenFallback — so hot loops get codegen'd
+  * expressions).
   * Exact long arithmetic end to end; int8-quantized 64-dim inputs peak at
   * |acc| ≤ 127²·64 ≈ 10⁶, astronomically under overflow (callers with
   * wider inputs inherit Java wrap-around, same as the SQL fold under

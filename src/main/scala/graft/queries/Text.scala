@@ -337,7 +337,9 @@ object Text {
     *      ≤ 1001 groups;
     *   2. exclusive prefix totals over those ≤ 1001 rows — the documented
     *      unpartitioned-window-over-a-bounded-aggregate pattern
-    *      (CLAUDE.md; same as evFunnel / txTemperatureMix);
+    *      (constant-key joins fold to BNLJ, so corpus totals attach via an
+    *      unpartitioned window over the bounded prefix instead; same as
+    *      evFunnel / txTemperatureMix);
     *   3. within-score running sums — a window PARTITIONED by q, parallel
     *      across scores; running = bucket prefix + within-bucket sum.
     * Every row's running total equals the naive global window's (all docs
@@ -358,7 +360,9 @@ object Text {
     // Both the bucket-total aggregate and the join-back probe read this
     // projection, and q is the join key — scoped-cache it so the heavy
     // regexp (the spread-worthy narrow stage, as in txTokenCount) runs
-    // once per execution (the CLAUDE.md expensive-join-key rule).
+    // once per execution (expensive expressions used as join keys are
+    // re-evaluated per join side and in pushed-down filters — cache the
+    // projection).
     // greatest(len, 1): an empty document scores 0 instead of throwing
     // ANSI DIVIDE_BY_ZERO (review r7 — 100 TB corpora contain empty
     // docs); the oracle guards identically
@@ -669,8 +673,9 @@ object Text {
     require(deltaMod > 1, "deltaMod must leave both a base and a delta")
     // Hash projection feeds the base digest set, the keep-first aggregate
     // and the delta probe — scoped-cache it so the md5 pass over the
-    // corpus runs once per execution (the CLAUDE.md expensive-join-key
-    // rule; same treatment as txDecontaminateHashed's shingle keys).
+    // corpus runs once per execution (expensive join-key expressions are
+    // re-evaluated per join side and in pushed-down filters; same
+    // treatment as txDecontaminateHashed's shingle keys).
     val keyed = graft.Caches.scoped(s"dd_incremental.keyed.$deltaMod",
       docs(spark, dir)
         .select(col("doc_id"), col("lang"),
@@ -819,10 +824,13 @@ object Text {
       .orderBy("lang")
   }
 
-  // table -> sfDir the standing fuzzy index was built from (the
-  // ensureBucketed memo shape, Core.scala)
+  // table -> (sfDir, numSlots, bandSize, deltaMod) the standing fuzzy
+  // index was built from (the ensureBucketed memo shape, Core.scala).
+  // ADVICE r8-1: the memo keys on the FULL geometry tuple, not the dir
+  // alone — a caller probing with non-default geometry must not silently
+  // read an index whose base partition was carved differently.
   private val fuzzyIndexFor =
-    scala.collection.concurrent.TrieMap[String, String]()
+    scala.collection.concurrent.TrieMap[String, (String, Int, Int, Long)]()
 
   /** Materialize the STANDING fuzzy-dedup index — the band table and the
     * shingle table of the base partition, saved as BUCKETED tables (the
@@ -859,18 +867,23 @@ object Text {
   }
 
   /** Build-once accessor for the standing fuzzy index (the ensureBucketed
-    * memo: rebuilt when the sfDir changes or the catalog lost the
-    * tables). Index geometry is the shipped (numSlots, bandSize,
-    * deltaMod) defaults — parameter changes are a rebuild, as with any
-    * index.
+    * memo: rebuilt when the sfDir OR the index geometry changes, or the
+    * catalog lost the tables). A geometry change is a rebuild, as with
+    * any index — the memo carries (dir, numSlots, bandSize, deltaMod) so
+    * a non-default probe can never silently read an index whose base
+    * partition was carved with different parameters (ADVICE r8-1).
     */
-  private[graft] def ensureFuzzyIndex(spark: SparkSession, dir: String): Unit =
+  private[graft] def ensureFuzzyIndex(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      deltaMod: Long = incrementalDeltaMod): Unit =
     synchronized {
-      if (!(fuzzyIndexFor.get("graft_fuzzy_bands_bq").contains(dir) &&
+      val want = (dir, numSlots, bandSize, deltaMod)
+      if (!(fuzzyIndexFor.get("graft_fuzzy_bands_bq").contains(want) &&
           spark.catalog.tableExists("graft_fuzzy_bands_bq") &&
           spark.catalog.tableExists("graft_fuzzy_sh_bq"))) {
-        fuzzyBuildIndex(spark, dir)
-        fuzzyIndexFor("graft_fuzzy_bands_bq") = dir
+        fuzzyIndexFor.remove("graft_fuzzy_bands_bq")
+        fuzzyBuildIndex(spark, dir, numSlots, bandSize, deltaMod)
+        fuzzyIndexFor("graft_fuzzy_bands_bq") = want
       }
     }
 
@@ -892,7 +905,7 @@ object Text {
       bandSize: Int = 4, threshold: Double = 0.5): DataFrame = {
     require(deltaMod > 1, "deltaMod must leave both a base and a delta")
     graft.functions.TextFunctions.ensureRegistered(spark)
-    ensureFuzzyIndex(spark, dir)
+    ensureFuzzyIndex(spark, dir, numSlots, bandSize, deltaMod)
     def isDelta(c: org.apache.spark.sql.Column) =
       pmod(c, lit(deltaMod)) === 0
     val deltaDocs = tokenizedDocs(spark, dir).filter(isDelta(col("doc_id")))
@@ -1336,8 +1349,8 @@ object Text {
     // Consumed by the benchmark side AND both train-side aggregates of the
     // semi-join below — scoped-cache it, or the tokenize+explode+md5
     // subtree runs once per consumer (VERDICT r6 finding 3: two full
-    // corpus passes instead of one at scale; the CLAUDE.md rule on
-    // expensive projections feeding several join sides).
+    // corpus passes instead of one at scale; expensive projections feeding
+    // several join sides get a scoped cache).
     val sh = graft.Caches.scoped(s"tx_overlap_fraction.sh.$width",
       Tables.spread(docs(spark, dir))
         .withColumn("toks", split(col("text"), " "))
@@ -2012,8 +2025,10 @@ object Text {
     * same reference anchor: the warehouse refresh in
     * `wrds_ingestion.py:1004-1125`). Groups split on the reserved-key
     * sign — `inserted` rows are exactly the negative keys, `carried` the
-    * surviving base keys — with exact key sums/extrema and the 60-bit
-    * md5 XOR over payloads, so a hash match proves the round trip
+    * surviving base keys — with exact key sums/extrema and the
+    * full-64-bit md5 hi/lo-fold XOR over payloads (md5SignedHash64Expr,
+    * NOT the 60-bit substr convention — the oracle mirrors the same
+    * fold), so a hash match proves the round trip
     * byte-lossless AND the merge semantics (tombstones absent, revisions
     * in place) in one row set. The oracle computes the same audit from
     * the merged relation it derives from first principles — it never

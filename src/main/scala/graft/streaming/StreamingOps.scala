@@ -41,9 +41,21 @@ object StreamingOps {
     // state for a file stream. Fall back to the legacy nanos-as-long
     // encoding (what the static-schema version of this reader assumed);
     // files arriving later with the other encoding would be a mid-stream
-    // schema change no file source supports anyway.
-    val tsType = scala.util.Try(spark.read.parquet(dir).schema("ts").dataType)
-      .getOrElse(LongType)
+    // schema change no file source supports anyway. ADVICE r8-3: only the
+    // schema-inference AnalysisException selects the fallback — any other
+    // probe failure (permissions, corrupt footer, IO) must surface, not
+    // silently pick an encoding.
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch {
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage != null &&
+              (e.getMessage.contains("Unable to infer schema") ||
+                e.getMessage.contains("Path does not exist") ||
+                e.getMessage.contains("PATH_NOT_FOUND") ||
+                e.getMessage.contains("UNABLE_TO_INFER_SCHEMA")) =>
+          LongType
+      }
     graft.Tables.normalizeEventsTs(
       spark.readStream.schema(eventsRawSchema(tsType)).parquet(dir))
   }
