@@ -153,6 +153,8 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
+    "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
+    "sim_ivf_ann_retrained" -> ((s, d) => Similarity.simIvfAnnRetrained(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
@@ -661,6 +663,169 @@ object SparkEntry {
        |FROM bagg LEFT JOIN dagg ON bagg.cell = dagg.cell
        |ORDER BY cell""".stripMargin
   }
+
+  /** The shared retrain CTE chain — one generator for the
+    * [[graft.queries.Similarity.simIvfRetrain]] audit oracle and the
+    * [[graft.queries.Similarity.simIvfAnnRetrained]] search oracle (the
+    * ivfAnnSqlOver sharing rule). Unrolls, from first principles:
+    * the frozen quantizer (kmeansCtes c3), the admitted delta + union
+    * corpus, [[graft.queries.Similarity.ivfRetrainRounds]] warm-start
+    * Lloyd rounds (assignment = squared-L2 argmin with the d2-then-cid
+    * tiebreak, update = the vec_id-ordered mean fold), the pre/post
+    * quantization-error folds, and the cosine memberships under the
+    * frozen (`rk`/`drk`) and retrained (`nrk`) centroids. Ends with:
+    * `om` (old logical membership), `nm` (new membership), `bp`
+    * (standing physical lists), `ossd`/`nssd` (quantization error),
+    * `ue` (union vectors with norms), `cn2` (retrained centroids with
+    * norms).
+    */
+  private def ivfRetrainCtes: String = {
+    def l2Fold(v: String, c: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |      (CAST($v[i] AS DOUBLE) - $c[i]) * (CAST($v[i] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
+    val rounds = Similarity.ivfRetrainRounds
+    require(rounds == 2, "ivfRetrainCtes unrolls exactly 2 warm rounds")
+    s"""delta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |uni AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM delta),
+       |wa1 AS (
+       |  SELECT vec_id, embedding, cid, d2 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM (SELECT u.vec_id, u.embedding, c.cid,
+       |            ${l2Fold("u.embedding", "c.centroid")} AS d2
+       |          FROM uni u, c3 c))
+       |  WHERE rn = 1),
+       |wc1 AS (
+       |  SELECT cid, list_transform(range(1, 65), d ->
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+       |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+       |        FROM wa1 GROUP BY cid)),
+       |wa2 AS (
+       |  SELECT vec_id, embedding, cid FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+       |    FROM (SELECT u.vec_id, u.embedding, c.cid,
+       |            ${l2Fold("u.embedding", "c.centroid")} AS d2
+       |          FROM uni u, wc1 c))
+       |  WHERE rn = 1),
+       |wc2 AS (
+       |  SELECT cid, list_transform(range(1, 65), d ->
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+       |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+       |        FROM wa2 GROUP BY cid)),
+       |ossd AS (
+       |  SELECT cid AS cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) AS old_ssd
+       |  FROM wa1 GROUP BY cid),
+       |nssd AS (
+       |  SELECT cid AS cell,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2n ORDER BY vec_id)), (x, y) -> x + y) AS new_ssd
+       |  FROM (SELECT wa2.vec_id, wa2.cid,
+       |          ${l2Fold("wa2.embedding", "wc2.centroid")} AS d2n
+       |        FROM wa2 JOIN wc2 ON wa2.cid = wc2.cid)
+       |  GROUP BY cid),
+       |cn2 AS (
+       |  SELECT cid AS c_label, centroid,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
+       |  FROM wc2),
+       |ue AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+       |  FROM uni),
+       |drk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c_label,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+       |    FROM (SELECT * FROM ue WHERE vec_id < 0), cn)),
+       |nrk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c_label,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+       |    FROM ue, cn2)),
+       |bp AS (SELECT vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |om AS (
+       |  SELECT vec_id, c_label AS cell FROM rk WHERE crnk = 1
+       |  UNION ALL SELECT vec_id, c_label FROM drk WHERE crnk = 1),
+       |nm AS (SELECT vec_id, c_label AS cell FROM nrk WHERE crnk = 1)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfRetrain]]: the full
+    * retrain derived from first principles ([[ivfRetrainCtes]]), then the
+    * per-cell audit over a distinct-cell spine — logical occupancy before
+    * (standing lists + frozen-admitted delta) and after, stayed/moved
+    * counts, the logical `remapped` and physical `rewritten` flags, and
+    * the pre/post quantization-error folds. The Spark side measures
+    * `n_new` and the rewrite set from the PHYSICAL overlay, so a hash
+    * match proves the overlay serves exactly the retrained assignment.
+    */
+  private def ivfRetrainSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |$ivfRetrainCtes,
+       |no2 AS (SELECT cell, count(*) AS n_old FROM om GROUP BY 1),
+       |nn2 AS (SELECT cell, count(*) AS n_new FROM nm GROUP BY 1),
+       |st AS (SELECT nm.cell AS cell, count(*) AS stayed
+       |       FROM nm JOIN om ON nm.vec_id = om.vec_id AND nm.cell = om.cell
+       |       GROUP BY 1),
+       |np AS (SELECT cell, count(*) AS n_phys FROM bp GROUP BY 1),
+       |sp2 AS (SELECT nm.cell AS cell, count(*) AS n_stay_phys
+       |        FROM nm JOIN bp ON nm.vec_id = bp.vec_id AND nm.cell = bp.cell
+       |        GROUP BY 1),
+       |spine AS (SELECT DISTINCT cell FROM (
+       |  SELECT cell FROM om UNION ALL SELECT cell FROM nm
+       |  UNION ALL SELECT cell FROM ossd UNION ALL SELECT cell FROM nssd))
+       |SELECT s.cell AS cell,
+       |  coalesce(n_old, 0) AS n_old,
+       |  coalesce(n_new, 0) AS n_new,
+       |  coalesce(stayed, 0) AS stayed,
+       |  coalesce(n_new, 0) - coalesce(stayed, 0) AS moved_in,
+       |  coalesce(n_old, 0) - coalesce(stayed, 0) AS moved_out,
+       |  (coalesce(n_new, 0) - coalesce(stayed, 0)
+       |    + coalesce(n_old, 0) - coalesce(stayed, 0)) > 0 AS remapped,
+       |  NOT (coalesce(n_new, 0) = coalesce(n_phys, 0)
+       |    AND coalesce(n_stay_phys, 0) = coalesce(n_new, 0)) AS rewritten,
+       |  old_ssd, new_ssd
+       |FROM spine s
+       |LEFT JOIN no2 USING (cell) LEFT JOIN nn2 USING (cell)
+       |LEFT JOIN st USING (cell) LEFT JOIN np USING (cell)
+       |LEFT JOIN sp2 USING (cell) LEFT JOIN ossd USING (cell)
+       |LEFT JOIN nssd USING (cell)
+       |ORDER BY cell""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfAnnRetrained]]: the
+    * post-retrain search from first principles — retrained membership
+    * (`nm`, over base + delta) scored against probes ranked on the
+    * RETRAINED centroids, the verbatim ivfAnnSqlOver scoring/ranking
+    * shape. A hash match proves the merge-on-read overlay (manifest
+    * cells from the rewrite, the rest from the standing index) serves
+    * exactly the retrained lists.
+    */
+  private def ivfAnnRetrainedSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |$ivfRetrainCtes,
+       |cellsR AS (
+       |  SELECT ue.vec_id AS m_vec_id, nm.cell AS cell,
+       |    ue.embedding AS m_vec, ue.vnorm AS m_norm
+       |  FROM nm JOIN ue ON nm.vec_id = ue.vec_id),
+       |probesR AS (
+       |  SELECT nrk.vec_id AS qid, nrk.c_label AS cell,
+       |    ue.embedding AS qvec, ue.vnorm AS qnorm
+       |  FROM nrk JOIN ue ON nrk.vec_id = ue.vec_id
+       |  WHERE nrk.vec_id >= 0 AND nrk.vec_id < 5 AND nrk.crnk <= 2),
+       |sR AS (
+       |  SELECT qid, m_vec_id, cellsR.cell AS cell,
+       |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+       |  FROM cellsR JOIN probesR ON cellsR.cell = probesR.cell
+       |  WHERE m_vec_id <> qid)
+       |SELECT qid, m_vec_id AS vec_id, cell, cosine, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM sR)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   /** The pipeline_prepare_corpus survivor-set CTE chain (paragraph
     * keep-first rewrite -> quality gate -> exact dedup -> 8-gram
@@ -1950,6 +2115,8 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_ivf_drift" -> ivfDriftSql,
+    "sim_ivf_retrain" -> ivfRetrainSql,
+    "sim_ivf_ann_retrained" -> ivfAnnRetrainedSql,
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,

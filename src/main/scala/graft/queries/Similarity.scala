@@ -326,8 +326,17 @@ object Similarity {
     * ([[graft.Layout.saveBucketed]]).
     */
   def kmeansAssign(spark: SparkSession, dir: String,
+      cents: DataFrame): DataFrame =
+    assignFrame(Tables(spark, dir, "embeddings").select("vec_id", "embedding"),
+      cents)
+
+  /** [[kmeansAssign]] over an arbitrary (vec_id, embedding) frame — the
+    * assignment step shared by corpus training and the retrain loop,
+    * which trains over base+delta ([[kmeansWarmState]]). One rule text,
+    * any input.
+    */
+  private[graft] def assignFrame(emb: DataFrame,
       cents: DataFrame): DataFrame = {
-    val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     val best = emb.join(broadcast(cents.select("cid", "centroid")))
       .withColumn("dist", expr(l2Expr("embedding", "centroid")))
       .groupBy("vec_id")
@@ -1428,6 +1437,309 @@ object Similarity {
         coalesce(col("new_msd") * 100 > col("base_msd") * ivfDriftPct,
           lit(false)).as("retrain"))
       .orderBy("cell")
+  }
+
+  // ---- IVF quantizer retrain (VERDICT r8 item 2) -----------------------
+
+  /** Warm-start retrain round count — fixed so the DuckDB twin unrolls
+    * (the kmeansTrain rule). Shared with the generated oracle.
+    */
+  private[graft] val ivfRetrainRounds = 2
+
+  /** The deterministic admitted-delta batch shared by [[simIvfUpsert]],
+    * [[simIvfDrift]] and the retrain machinery: every
+    * `vec_id % upsertDeltaMod = 0` corpus vector spawns a new vector
+    * under the reserved negative key with its embedding reversed — one
+    * carve text, every consumer.
+    */
+  private[graft] def upsertDeltaFrame(spark: SparkSession,
+      dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+
+  /** [[kmeansTrain]] warm-started from GIVEN centroids over a GIVEN
+    * corpus frame — the retrain form of the Lloyd loop (FAISS retrains
+    * a drifted coarse quantizer from the current one, not from scratch).
+    * Same loop discipline (localCheckpoint per round, one bounded
+    * materialize) and the same orderExact update, so the DuckDB twin
+    * unrolls round for round. Warm start is what makes the post-retrain
+    * quantization-error bound PROVABLE: starting from the frozen
+    * centroids, every Lloyd half-step is non-increasing in total squared
+    * distance, so `sum(new_ssd) <= sum(old_ssd)` is a theorem, not an
+    * empirical observation (RetrainSpec pins it anyway).
+    */
+  private[graft] def kmeansWarmState(spark: SparkSession, emb: DataFrame,
+      cents0: DataFrame, rounds: Int = ivfRetrainRounds,
+      orderExact: Boolean = true): DataFrame = {
+    require(rounds >= 1, "warm retrain needs at least one Lloyd round")
+    var cents = cents0.select("cid", "centroid").localCheckpoint(false)
+    var state: DataFrame = null
+    for (r <- 1 to rounds) {
+      state = kmeansUpdate(assignFrame(emb, cents), orderExact)
+      if (r < rounds) {
+        cents = state.select("cid", "centroid").localCheckpoint(false)
+        cents.count() // materialize: one k-row job per round
+      }
+    }
+    state
+  }
+
+  /** Build the retrain OVERLAY — the ACTION half of the FAISS
+    * maintenance loop whose trigger [[simIvfDrift]] emits: the frozen
+    * quantizer is warm-retrained over base + admitted delta
+    * ([[kmeansWarmState]], deterministic — no RNG anywhere), members are
+    * remapped under the retrained centroids with the index's own cosine
+    * assignment text ([[ivfMembersSqlFrom]]), and ONLY cells whose
+    * physical member set changed are rewritten (the [[ivfBuildDeleteIndex]]
+    * overlay discipline — the standing index is never mutated). Written
+    * under `ivf_retrain/`:
+    *
+    *   1. `centroids/` — the retrained k-row quantizer (with norms).
+    *   2. `manifest/`  — cells whose new member set differs from the
+    *      standing index's physical list (every cell that gains a delta
+    *      member is here by construction; ≤ nlist rows of metadata).
+    *   3. `cells/`     — the remapped member lists for manifest cells
+    *      only, cell-partitioned like the base index. Unchanged cells
+    *      keep serving their standing partitions merge-on-read.
+    *   4. `stats/`     — the per-cell retrain audit [[simIvfRetrain]]
+    *      reports: old/new logical occupancy, stayed/moved counts, the
+    *      rewrite flags, and the pre/post quantization error (vec_id-
+    *      ordered squared-L2 folds, bit-exact vs the oracle).
+    *
+    * "Old" occupancy is the post-upsert logical state (standing physical
+    * lists + the delta admitted under the FROZEN quantizer — what a
+    * deployment serves between upsert and retrain); the rewrite rule
+    * compares against the standing PHYSICAL lists, which is what decides
+    * actual I/O. Both comparisons ride in `stats` as `remapped` (logical)
+    * and `rewritten` (physical).
+    */
+  def ivfBuildRetrainIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val main = ensureIvfIndex(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_retrain"
+    val delta = upsertDeltaFrame(spark, dir)
+    val union = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .unionByName(delta)
+    val cn0 = spark.read.parquet(s"$main/centroids")
+
+    // Pre-retrain quantization error: L2-argmin assignment of the union
+    // corpus under the FROZEN centroids, per-cell vec_id-ordered fold of
+    // the squared distance to the assigned centroid — Q(frozen), the
+    // reconstruction-error statistic FAISS users watch.
+    val a0 = assignFrame(union, cn0.select(col("c_label").as("cid"),
+      col("centroid")))
+    val oldSsd = a0.groupBy("cid")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("dist"))))
+        .as("ds"))
+      .select(col("cid").as("cell"),
+        expr("aggregate(ds, 0D, (acc, t) -> acc + t.dist)").as("old_ssd"))
+
+    // Warm-start Lloyd over the union; final state carries members +
+    // retrained centroid, so the post-retrain per-cell inertia is one
+    // ordered fold over the state (the simIvfStats shape).
+    val state = kmeansWarmState(spark, union,
+      cn0.select(col("c_label").as("cid"), col("centroid")))
+    val newSsd = state
+      .withColumn("new_ssd",
+        expr(s"""aggregate(members, 0D, (acc, m) ->
+                   acc + ${l2Expr("m.embedding", "centroid")})"""))
+      .select(col("cid").as("cell"), col("new_ssd"))
+    val cn2 = state.select(col("cid").as("c_label"), col("centroid"))
+      .withColumn("cnorm",
+        expr(s"sqrt(aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + centroid[i] * centroid[i]))"))
+      .localCheckpoint(false)
+    cn2.count() // materialize: the search plans downstream start at k rows
+    cn2.write.mode("overwrite").parquet(s"$base/centroids")
+
+    // Logical OLD membership (cosine convention): standing physical lists
+    // + the delta admitted under the frozen quantizer — simIvfUpsert's
+    // post-upsert state, from the index's own assignment text.
+    delta.createOrReplaceTempView("graft_ivf_delta")
+    union.createOrReplaceTempView("graft_ivf_union")
+    cn0.createOrReplaceTempView("graft_ivf_centroids")
+    val oldDelta = spark.sql(ivfMembersSqlFrom("graft_ivf_delta"))
+      .select("m_vec_id", "cell")
+    val basePhys = readIvfCells(spark, main).select("m_vec_id", "cell")
+    val oldM = basePhys.unionByName(oldDelta)
+
+    // NEW membership: the same cosine assignment text under the RETRAINED
+    // centroids, over the union corpus.
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    val newM = spark.sql(ivfMembersSqlFrom("graft_ivf_union"))
+      .localCheckpoint(false)
+    val newIds = newM.select("m_vec_id", "cell")
+
+    val nOld = oldM.groupBy("cell").agg(count(lit(1)).as("n_old"))
+    val nNewB = newIds.groupBy("cell").agg(count(lit(1)).as("n_new_built"))
+    val stayed = newIds.join(oldM.withColumnRenamed("cell", "cell_o"),
+        "m_vec_id")
+      .filter(col("cell") === col("cell_o"))
+      .groupBy("cell").agg(count(lit(1)).as("stayed"))
+    val nPhys = basePhys.groupBy("cell").agg(count(lit(1)).as("n_phys"))
+    val stayPhys = newIds.join(basePhys.withColumnRenamed("cell", "cell_b"),
+        "m_vec_id")
+      .filter(col("cell") === col("cell_b"))
+      .groupBy("cell").agg(count(lit(1)).as("n_stay_phys"))
+
+    // Distinct-cell spine + left joins (no nested full-outer key
+    // coalescing); the oracle builds the identical spine.
+    val spine = nOld.select("cell")
+      .unionByName(nNewB.select("cell"))
+      .unionByName(oldSsd.select("cell"))
+      .unionByName(newSsd.select("cell"))
+      .distinct()
+    val stats = spine
+      .join(nOld, Seq("cell"), "left")
+      .join(nNewB, Seq("cell"), "left")
+      .join(stayed, Seq("cell"), "left")
+      .join(nPhys, Seq("cell"), "left")
+      .join(stayPhys, Seq("cell"), "left")
+      .join(oldSsd, Seq("cell"), "left")
+      .join(newSsd, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_new_built"), lit(0L)).as("n_new_built"),
+        coalesce(col("stayed"), lit(0L)).as("stayed"),
+        (!(coalesce(col("n_new_built"), lit(0L)) ===
+            coalesce(col("n_phys"), lit(0L)) &&
+          coalesce(col("n_stay_phys"), lit(0L)) ===
+            coalesce(col("n_new_built"), lit(0L)))).as("rewritten"),
+        col("old_ssd"), col("new_ssd"))
+    stats.write.mode("overwrite").parquet(s"$base/stats")
+
+    val manifest = spark.read.parquet(s"$base/stats")
+      .filter(col("rewritten")).select("cell")
+    manifest.write.mode("overwrite").parquet(s"$base/manifest")
+    newM.join(spark.read.parquet(s"$base/manifest"), Seq("cell"),
+        "left_semi")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    base
+  }
+
+  // overlay base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val retrainIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the retrain overlay — the [[ensureIvfIndex]]
+    * treatment including its partial-failure discipline: marker and memo
+    * cleared BEFORE rebuilding so a kill between the four writes cannot
+    * leave a mixed overlay later calls trust. Same immutable-corpus
+    * assumption (memo keys on the dir string).
+    */
+  def ensureIvfRetrainIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_retrain"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(retrainIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        retrainIndexFor.remove(base)
+        fs.delete(marker, false)
+        ivfBuildRetrainIndex(spark, dir)
+        retrainIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** The post-retrain SERVING member view: manifest cells read their
+    * rewritten overlay partitions, unchanged cells keep reading the
+    * standing index partitions — merge-on-read, the
+    * [[simIvfAnnDeleted]] shape. `cellFilter` narrows BOTH reads (probed
+    * cells at search time; everything for the audit recount).
+    */
+  private def retrainServing(spark: SparkSession, main: String,
+      base: String, manifestCells: Set[Long],
+      probed: Option[Seq[Long]]): DataFrame = {
+    val (oCells, pCells) = probed match {
+      case Some(cells) => cells.partition(manifestCells)
+      case None => (manifestCells.toSeq.sorted, Seq.empty[Long])
+    }
+    val overlay0 = readIvfCells(spark, base)
+    val overlayPart = probed match {
+      case Some(_) => overlay0.filter(col("cell").isin(oCells: _*))
+      case None => overlay0
+    }
+    val plain0 = readIvfCells(spark, main)
+    val plainPart = probed match {
+      case Some(_) => plain0.filter(col("cell").isin(pCells: _*))
+      case None => plain0.filter(
+        !col("cell").isin(manifestCells.toSeq.sorted: _*))
+    }
+    overlayPart.unionByName(plainPart)
+  }
+
+  /** Per-cell retrain audit — the oracle'd `sim_ivf_retrain` entry, the
+    * ACTION half of the drift/retrain maintenance loop. Occupancy is
+    * measured from the PHYSICAL serving view (`n_new` recounts overlay
+    * partitions for manifest cells and standing partitions for the rest
+    * — the sim_ivf_delete treatment), so a hash match against the
+    * oracle's first-principles derivation proves the overlay serves
+    * EXACTLY the retrained assignment: no member lost in the rewrite, no
+    * stale list left behind, the rewrite flag applied to precisely the
+    * changed cells. Columns:
+    *
+    *   - `n_old` / `n_new`: logical occupancy before (post-upsert state)
+    *     and after the retrain, cosine convention.
+    *   - `stayed` / `moved_in` / `moved_out`: the remap audit in exact
+    *     integers; `remapped` = any logical movement.
+    *   - `rewritten`: the cell's physical list was rewritten (new member
+    *     set differs from the STANDING index's list — the I/O decision).
+    *   - `old_ssd` / `new_ssd`: pre/post quantization error (vec_id-
+    *     ordered squared-L2 folds; warm start makes
+    *     `sum(new_ssd) <= sum(old_ssd)` a theorem — RetrainSpec pins it).
+    */
+  def simIvfRetrain(spark: SparkSession, dir: String): DataFrame = {
+    val main = ensureIvfIndex(spark, dir)
+    val base = ensureIvfRetrainIndex(spark, dir)
+    val stats = spark.read.parquet(s"$base/stats")
+    val manifestCells = spark.read.parquet(s"$base/manifest")
+      .collect().map(_.getLong(0)).toSet // ≤ nlist rows of index metadata
+    val nNew = retrainServing(spark, main, base, manifestCells, None)
+      .groupBy("cell").agg(count(lit(1)).as("n_new"))
+    stats.join(nNew, Seq("cell"), "left")
+      .select(col("cell"), col("n_old"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("stayed"),
+        (coalesce(col("n_new"), lit(0L)) - col("stayed")).as("moved_in"),
+        (col("n_old") - col("stayed")).as("moved_out"),
+        (coalesce(col("n_new"), lit(0L)) - col("stayed") +
+          col("n_old") - col("stayed") > 0).as("remapped"),
+        col("rewritten"), col("old_ssd"), col("new_ssd"))
+      .orderBy("cell")
+  }
+
+  /** [[simIvfAnnIndexed]] over the POST-RETRAIN index: probes rank
+    * against the RETRAINED centroids, manifest cells read overlay
+    * partitions, unchanged cells read the standing index (merge-on-read,
+    * both partition-pruned). The searchable corpus is base + admitted
+    * delta — the first search form where the delta is physically
+    * servable. Scoring/ranking arithmetic is [[ivfScoreTopK]] verbatim,
+    * so the DuckDB oracle (retrained assignment from first principles)
+    * hash-matches the whole search — proving the rewrite lost no member
+    * and the unchanged cells really are unchanged.
+    */
+  def simIvfAnnRetrained(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val main = ensureIvfIndex(spark, dir)
+    val base = ensureIvfRetrainIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probed = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded probe list
+    val manifestCells = spark.read.parquet(s"$base/manifest")
+      .collect().map(_.getLong(0)).toSet // ≤ nlist manifest rows
+    val members = retrainServing(spark, main, base, manifestCells,
+      Some(probed.toIndexedSeq))
+    ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
   }
 
   /** Build the MATERIALIZED PQ index under the warehouse dir: the m·k
