@@ -113,6 +113,7 @@ object SparkEntry {
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
     "dd_incremental_fuzzy_indexed" -> ((s, d) => Text.ddIncrementalFuzzyIndexed(s, d)),
+    "dd_incremental_fuzzy_upsert" -> ((s, d) => Text.ddIncrementalFuzzyUpsert(s, d)),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
@@ -865,8 +866,13 @@ object SparkEntry {
     * standing-index form [[graft.queries.Text.ddIncrementalFuzzyIndexed]]
     * — one text, two physical plans (the ivfAnnSql sharing rule).
     */
-  private def incrementalFuzzySql: String =
-    s"""WITH d AS (
+  /** The corpus-wide band/shingle/candidate/confirm chain (through
+    * `conf` = confirmed near-dup pairs, id_a < id_b) — ONE text for the
+    * incremental-fuzzy oracle and the upsert-lifecycle oracle, so the
+    * band geometry and Jaccard confirm cannot drift between them.
+    */
+  private def fuzzyPairCtes: String =
+    """d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks
         |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
         |g AS (
@@ -892,7 +898,10 @@ object SparkEntry {
         |  SELECT p.id_a, p.id_b
         |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
         |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+        |    / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5)""".stripMargin
+
+  private def incrementalFuzzySql: String =
+    s"""WITH $fuzzyPairCtes,
         |drops AS (
         |  SELECT id_a AS doc_id, TRUE AS vs_base FROM conf
         |  WHERE id_a % ${Text.incrementalDeltaMod} = 0 AND id_b % ${Text.incrementalDeltaMod} <> 0
@@ -908,6 +917,70 @@ object SparkEntry {
         |  min(CASE WHEN dr.doc_id IS NULL THEN t.doc_id END) AS first_admitted
         |FROM t LEFT JOIN dr ON t.doc_id = dr.doc_id
         |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.ddIncrementalFuzzyUpsert]]: the
+    * two-batch standing-index lifecycle from first principles over the
+    * shared [[fuzzyPairCtes]] — batch-1 admission vs base (either pair
+    * order) plus within-batch keep-first, the admitted set (`adm1` = the
+    * upserted overlay's logical content), then batch-2 admission where a
+    * partner in `adm1` drops at the `vs_upserted` priority. The Spark
+    * side recounts `n_b1_admitted` from the physical overlay band table,
+    * so a hash match proves the overlay holds exactly the admitted
+    * batch-1 docs and serves them to the next batch.
+    */
+  private def incrementalFuzzyUpsertSql: String = {
+    val m = Text.incrementalDeltaMod
+    val m2 = 2 * m
+    s"""WITH $fuzzyPairCtes,
+        |b1d AS (
+        |  SELECT id_a AS doc_id FROM conf
+        |    WHERE id_a % $m2 = 0 AND id_b % $m <> 0
+        |  UNION ALL
+        |  SELECT id_b FROM conf
+        |    WHERE id_b % $m2 = 0 AND (id_a % $m <> 0 OR id_a % $m2 = 0)),
+        |b1dr AS (SELECT DISTINCT doc_id FROM b1d),
+        |adm1 AS (SELECT doc_id FROM documents WHERE doc_id % $m2 = 0
+        |         AND doc_id NOT IN (SELECT doc_id FROM b1dr)),
+        |b2d AS (
+        |  SELECT id_a AS doc_id,
+        |    CASE WHEN id_b % $m <> 0 THEN 3 ELSE 2 END AS prio
+        |  FROM conf WHERE id_a % $m = 0 AND id_a % $m2 <> 0
+        |    AND (id_b % $m <> 0 OR id_b IN (SELECT doc_id FROM adm1))
+        |  UNION ALL
+        |  SELECT id_b AS doc_id,
+        |    CASE WHEN id_a % $m <> 0 THEN 3
+        |         WHEN id_a IN (SELECT doc_id FROM adm1) THEN 2
+        |         ELSE 1 END AS prio
+        |  FROM conf WHERE id_b % $m = 0 AND id_b % $m2 <> 0
+        |    AND (id_a % $m <> 0 OR id_a IN (SELECT doc_id FROM adm1)
+        |         OR (id_a % $m = 0 AND id_a % $m2 <> 0))),
+        |b2dr AS (SELECT doc_id, max(prio) AS prio FROM b2d GROUP BY 1),
+        |t1 AS (SELECT doc_id, lang FROM documents WHERE doc_id % $m2 = 0),
+        |t2 AS (SELECT doc_id, lang FROM documents
+        |       WHERE doc_id % $m = 0 AND doc_id % $m2 <> 0),
+        |a1 AS (
+        |  SELECT t1.lang AS lang, count(*) AS n_batch1,
+        |    CAST(sum(CASE WHEN t1.doc_id IN (SELECT doc_id FROM adm1) THEN 1 ELSE 0 END) AS BIGINT) AS n_b1_admitted
+        |  FROM t1 GROUP BY 1),
+        |a2 AS (
+        |  SELECT t2.lang AS lang, count(*) AS n_batch2,
+        |    CAST(sum(CASE WHEN prio = 3 THEN 1 ELSE 0 END) AS BIGINT) AS b2_vs_base,
+        |    CAST(sum(CASE WHEN prio = 2 THEN 1 ELSE 0 END) AS BIGINT) AS b2_vs_upserted,
+        |    CAST(sum(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT) AS b2_in_batch,
+        |    CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b2_admitted,
+        |    min(CASE WHEN prio IS NULL THEN t2.doc_id END) AS first_admitted
+        |  FROM t2 LEFT JOIN b2dr ON t2.doc_id = b2dr.doc_id GROUP BY 1)
+        |SELECT coalesce(a1.lang, a2.lang) AS lang,
+        |  coalesce(n_batch1, 0) AS n_batch1,
+        |  coalesce(n_b1_admitted, 0) AS n_b1_admitted,
+        |  coalesce(n_batch2, 0) AS n_batch2,
+        |  coalesce(b2_vs_base, 0) AS b2_vs_base,
+        |  coalesce(b2_vs_upserted, 0) AS b2_vs_upserted,
+        |  coalesce(b2_in_batch, 0) AS b2_in_batch,
+        |  coalesce(b2_admitted, 0) AS b2_admitted, first_admitted
+        |FROM a1 FULL OUTER JOIN a2 ON a1.lang = a2.lang
+        |ORDER BY lang""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
@@ -1461,6 +1534,7 @@ object SparkEntry {
     // (different physics only), so the oracle text is shared verbatim —
     // the sim_ivf_ann_indexed treatment
     "dd_incremental_fuzzy_indexed" -> incrementalFuzzySql,
+    "dd_incremental_fuzzy_upsert" -> incrementalFuzzyUpsertSql,
     // Full simhash replication: md5-derived signed 64-bit token hashes
     // (hi half sign-folded before the 2^32 multiply — stays in BIGINT),
     // per-bit majority votes (counter > 0 <=> 2*set > n, bit 63 lands as

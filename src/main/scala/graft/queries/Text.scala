@@ -909,40 +909,15 @@ object Text {
     def isDelta(c: org.apache.spark.sql.Column) =
       pmod(c, lit(deltaMod)) === 0
     val deltaDocs = tokenizedDocs(spark, dir).filter(isDelta(col("doc_id")))
-    val dBands = deltaDocs
-      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
-      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    val dSh = deltaDocs
-      .withColumn("sh", expr(shingleExpr(3))).select("doc_id", "sh")
-    val bBands = spark.table("graft_fuzzy_bands_bq")
-    val bSh = spark.table("graft_fuzzy_sh_bq")
-    def jaccard(df: DataFrame): DataFrame = df
-      .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
-      .withColumn("jaccard", col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
-      .filter(col("jaccard") >= threshold)
+    val (dBands, dSh) = fuzzyBandsAndShingles(deltaDocs, numSlots, bandSize)
     // delta-vs-base: either id order makes the DELTA doc the duplicate
-    val vb = jaccard(dBands.as("d").join(bBands.as("b"),
-        col("d.band") === col("b.band") && col("d.key") === col("b.key") &&
-          col("d.lang") === col("b.lang"))
-      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
-      .distinct()
-      .join(dSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a")),
-        "delta_id")
-      .join(bSh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
-        "base_id"))
-      .select(col("delta_id").as("doc_id"), lit(true).as("vs_base"))
+    val vb = fuzzyVsIndexDrops(dBands, dSh,
+        spark.table("graft_fuzzy_bands_bq"), spark.table("graft_fuzzy_sh_bq"),
+        threshold)
+      .withColumn("vs_base", lit(true))
     // delta-vs-delta: keep-first — only the HIGHER id is the duplicate
-    val vd = jaccard(dBands.as("x").join(dBands.as("y"),
-        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
-          col("x.lang") === col("y.lang") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
-      .join(dSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
-      .join(dSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"))
-      .select(col("id_b").as("doc_id"), lit(false).as("vs_base"))
+    val vd = fuzzySelfDrops(dBands, dSh, threshold)
+      .withColumn("vs_base", lit(false))
     val dropped = vb.unionByName(vd)
       .groupBy("doc_id").agg(max("vs_base").as("vs_base"))
     docs(spark, dir).filter(isDelta(col("doc_id")))
@@ -958,6 +933,201 @@ object Text {
           .as("n_admitted"),
         min(when(col("vs_base").isNull, col("doc_id")))
           .as("first_admitted"))
+      .orderBy("lang")
+  }
+
+  /** Band + shingle projections of a tokenized docs frame — the one
+    * carve every standing-index consumer shares (build, delta admission,
+    * overlay upsert), so the band geometry cannot drift between them.
+    */
+  private def fuzzyBandsAndShingles(toks: DataFrame, numSlots: Int,
+      bandSize: Int): (DataFrame, DataFrame) = {
+    val bands = toks
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val sh = toks.withColumn("sh", expr(shingleExpr(3))).select("doc_id", "sh")
+    (bands, sh)
+  }
+
+  private def fuzzyJaccardConfirm(df: DataFrame,
+      threshold: Double): DataFrame = df
+    .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
+    .withColumn("jaccard", col("inter").cast("double") /
+      (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+    .filter(col("jaccard") >= threshold)
+
+  /** Delta doc_ids that near-dup-match ANY doc of an indexed side (band
+    * tables bucketed on the full candidate-join key set): either id
+    * order makes the DELTA doc the duplicate — the indexed side is
+    * already in the corpus.
+    */
+  private def fuzzyVsIndexDrops(dBands: DataFrame, dSh: DataFrame,
+      bBands: DataFrame, bSh: DataFrame, threshold: Double): DataFrame =
+    fuzzyJaccardConfirm(dBands.as("d").join(bBands.as("b"),
+        col("d.band") === col("b.band") && col("d.key") === col("b.key") &&
+          col("d.lang") === col("b.lang"))
+      .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
+      .distinct()
+      .join(dSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a")),
+        "delta_id")
+      .join(bSh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
+        "base_id"), threshold)
+      .select(col("delta_id").as("doc_id")).distinct()
+
+  /** Within-batch keep-first drops: only the HIGHER id of a confirmed
+    * pair is the duplicate.
+    */
+  private def fuzzySelfDrops(dBands: DataFrame, dSh: DataFrame,
+      threshold: Double): DataFrame =
+    fuzzyJaccardConfirm(dBands.as("x").join(dBands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .join(dSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(dSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
+      threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+
+  // overlay tables -> (sfDir, numSlots, bandSize) that built them
+  private val fuzzyUpsFor =
+    scala.collection.concurrent.TrieMap[String, (String, Int, Int)]()
+
+  /** UPSERT the standing fuzzy index (VERDICT r8 item 3 — the
+    * sim_ivf_upsert treatment for dedup): batch 1 of the delta
+    * (`doc_id % ${2·deltaMod} = 0`) is admitted against the standing
+    * index, and the ADMITTED docs' bands and shingles are written to
+    * OVERLAY bucketed tables (`graft_fuzzy_bands_ups` / `_sh_ups`,
+    * bucketed on the same full candidate-join key sets as the standing
+    * tables — the Text.scala bucket rule), so the NEXT batch sees them
+    * as base merge-on-read. The shared standing tables are never
+    * mutated (the ivf_del overlay discipline — other queries' semantics
+    * depend on them).
+    */
+  def fuzzyBuildUpsertOverlay(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): Unit = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir)
+    val m2 = 2 * incrementalDeltaMod
+    val b1 = tokenizedDocs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(m2)) === 0)
+    val (b1Bands0, b1Sh0) = fuzzyBandsAndShingles(b1, numSlots, bandSize)
+    // both admission legs and the overlay write consume these — scoped-
+    // cache so the shingle/minhash pass over batch 1 runs once
+    val b1Bands = graft.Caches.scoped("fuzzy_ups.b1bands", b1Bands0)
+    val b1Sh = graft.Caches.scoped("fuzzy_ups.b1sh", b1Sh0)
+    val droppedIds = fuzzyVsIndexDrops(b1Bands, b1Sh,
+        spark.table("graft_fuzzy_bands_bq"), spark.table("graft_fuzzy_sh_bq"),
+        threshold)
+      .unionByName(fuzzySelfDrops(b1Bands, b1Sh, threshold))
+      .distinct()
+    graft.Layout.saveBucketed(
+      b1Bands.join(droppedIds, Seq("doc_id"), "left_anti"),
+      "graft_fuzzy_bands_ups", 8, Seq("band", "key", "lang"))
+    graft.Layout.saveBucketed(
+      b1Sh.join(droppedIds, Seq("doc_id"), "left_anti"),
+      "graft_fuzzy_sh_ups", 8, Seq("doc_id"))
+  }
+
+  /** Build-once accessor for the upsert overlay (the ensureFuzzyIndex
+    * memo discipline, keyed on the full geometry).
+    */
+  private[graft] def ensureFuzzyUpsertOverlay(spark: SparkSession,
+      dir: String, numSlots: Int = 16, bandSize: Int = 4): Unit =
+    synchronized {
+      val want = (dir, numSlots, bandSize)
+      if (!(fuzzyUpsFor.get("graft_fuzzy_bands_ups").contains(want) &&
+          spark.catalog.tableExists("graft_fuzzy_bands_ups") &&
+          spark.catalog.tableExists("graft_fuzzy_sh_ups"))) {
+        fuzzyUpsFor.remove("graft_fuzzy_bands_ups")
+        fuzzyBuildUpsertOverlay(spark, dir, numSlots, bandSize)
+        fuzzyUpsFor("graft_fuzzy_bands_ups") = want
+      }
+    }
+
+  /** Two-batch standing-index lifecycle — the oracle'd
+    * `dd_incremental_fuzzy_upsert` entry (VERDICT r8 item 3): batch 1
+    * (`doc_id % ${2m} = 0`) admits against the standing index and its
+    * ADMITTED docs are upserted into the overlay
+    * ([[fuzzyBuildUpsertOverlay]]); batch 2 (`doc_id % m = 0` and not
+    * batch 1) then admits against standing ∪ overlay merge-on-read —
+    * so batch-2 candidates INCLUDE the admitted batch-1 docs, which is
+    * the whole point of an index upsert. Per language, in drop-priority
+    * order (base > upserted > within-batch, mirroring the exact
+    * operator's CASE priority):
+    *
+    *   - `n_batch1` / `n_b1_admitted`: batch-1 occupancy, the admitted
+    *     count RECOUNTED from the physical overlay band table (distinct
+    *     doc_id — the sim_ivf_delete physical-measurement treatment);
+    *   - `n_batch2`, `b2_vs_base` / `b2_vs_upserted` / `b2_in_batch` /
+    *     `b2_admitted`, `first_admitted`: the batch-2 admission audit,
+    *     where `b2_vs_upserted` counts docs dropped ONLY because an
+    *     admitted batch-1 doc is already in the index — zero if the
+    *     upsert were a no-op (TextOpsSpec pins it positive on a planted
+    *     corpus, and pins that the standing tables are read, never
+    *     rebuilt).
+    *
+    * Batch-1 docs that were themselves DROPPED are not in the overlay,
+    * so a batch-2 doc matching only those is admitted — exactly the
+    * semantics of admitting against the post-upsert index state.
+    */
+  def ddIncrementalFuzzyUpsert(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir)
+    ensureFuzzyUpsertOverlay(spark, dir, numSlots, bandSize)
+    val m = incrementalDeltaMod
+    val m2 = 2 * m
+    def isB1(c: org.apache.spark.sql.Column) = pmod(c, lit(m2)) === 0
+    def isB2(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(m)) === 0 && pmod(c, lit(m2)) =!= 0
+    val b2 = tokenizedDocs(spark, dir).filter(isB2(col("doc_id")))
+    val (b2Bands0, b2Sh0) = fuzzyBandsAndShingles(b2, numSlots, bandSize)
+    // three admission legs share these — scoped-cache (the expensive-
+    // join-key rule)
+    val b2Bands = graft.Caches.scoped("fuzzy_ups.b2bands", b2Bands0)
+    val b2Sh = graft.Caches.scoped("fuzzy_ups.b2sh", b2Sh0)
+    val vsBase = fuzzyVsIndexDrops(b2Bands, b2Sh,
+        spark.table("graft_fuzzy_bands_bq"), spark.table("graft_fuzzy_sh_bq"),
+        threshold)
+      .withColumn("prio", lit(3))
+    val vsUps = fuzzyVsIndexDrops(b2Bands, b2Sh,
+        spark.table("graft_fuzzy_bands_ups"), spark.table("graft_fuzzy_sh_ups"),
+        threshold)
+      .withColumn("prio", lit(2))
+    val inBatch = fuzzySelfDrops(b2Bands, b2Sh, threshold)
+      .withColumn("prio", lit(1))
+    val dropped = vsBase.unionByName(vsUps).unionByName(inBatch)
+      .groupBy("doc_id").agg(max("prio").as("prio"))
+    val audit2 = docs(spark, dir).filter(isB2(col("doc_id")))
+      .select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_batch2"),
+        sum(when(col("prio") === 3, 1L).otherwise(0L)).as("b2_vs_base"),
+        sum(when(col("prio") === 2, 1L).otherwise(0L)).as("b2_vs_upserted"),
+        sum(when(col("prio") === 1, 1L).otherwise(0L)).as("b2_in_batch"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("b2_admitted"),
+        min(when(col("prio").isNull, col("doc_id"))).as("first_admitted"))
+    val audit1 = docs(spark, dir).filter(isB1(col("doc_id")))
+      .groupBy("lang").agg(count(lit(1)).as("n_batch1"))
+      .join(spark.table("graft_fuzzy_bands_ups")
+        .groupBy("lang").agg(countDistinct(col("doc_id")).as("n_b1_admitted")),
+        Seq("lang"), "left")
+    audit1.join(audit2, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_batch1"), lit(0L)).as("n_batch1"),
+        coalesce(col("n_b1_admitted"), lit(0L)).as("n_b1_admitted"),
+        coalesce(col("n_batch2"), lit(0L)).as("n_batch2"),
+        coalesce(col("b2_vs_base"), lit(0L)).as("b2_vs_base"),
+        coalesce(col("b2_vs_upserted"), lit(0L)).as("b2_vs_upserted"),
+        coalesce(col("b2_in_batch"), lit(0L)).as("b2_in_batch"),
+        coalesce(col("b2_admitted"), lit(0L)).as("b2_admitted"),
+        col("first_admitted"))
       .orderBy("lang")
   }
 

@@ -724,6 +724,85 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("fuzzy upsert: batch-2 admission sees admitted batch-1 docs, planted corpus") {
+    // The natural corpora have no batch1-batch2 near-dup pairs (measured:
+    // b2_vs_upserted = 0 at every sf), so the upsert mechanism is pinned
+    // on a planted corpus. base doc 1; batch 1 (%10=0): doc 0 dups base
+    // (dropped), docs 10/20 dup each other (keep-first: 10 admitted, 20
+    // dropped — and NOT upserted), doc 30 unique (admitted). batch 2
+    // (%10=5): doc 5 dups ADMITTED batch-1 doc 10 → vs_upserted (the
+    // point of the upsert — and doc 20's copy being absent from the
+    // overlay is exercised by the same match), doc 15 dups base →
+    // vs_base, docs 25/35 dup each other → keep-first within batch.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddups").toString
+    Seq(
+      (1L, "a b c d e f g h", "en", "src1"),
+      (2L, "k l m n o p q r", "en", "src1"),
+      (0L, "a b c d e f g h", "en", "src1"),
+      (10L, "s t u v w x y z", "en", "src1"),
+      (20L, "s t u v w x y z", "en", "src1"),
+      (30L, "ka kb kc kd ke kf kg kh", "en", "src1"),
+      (5L, "s t u v w x y z", "en", "src1"),
+      (15L, "a b c d e f g h", "en", "src1"),
+      (25L, "ha hb hc hd he hf hg hh", "en", "src1"),
+      (35L, "ha hb hc hd he hf hg hh", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.ddIncrementalFuzzyUpsert(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_batch1") == 4)
+    assert(row.getAs[Long]("n_b1_admitted") == 2,
+      "docs 10 and 30 admitted; 0 (vs base) and 20 (keep-first) dropped")
+    assert(row.getAs[Long]("n_batch2") == 4)
+    assert(row.getAs[Long]("b2_vs_base") == 1, "doc 15 matches base doc 1")
+    assert(row.getAs[Long]("b2_vs_upserted") == 1,
+      "doc 5 matches the UPSERTED batch-1 doc 10 — the index grew")
+    assert(row.getAs[Long]("b2_in_batch") == 1, "doc 35 keep-first behind 25")
+    assert(row.getAs[Long]("b2_admitted") == 1)
+    assert(row.getAs[Long]("first_admitted") == 25L)
+  }
+
+  test("fuzzy upsert: reads standing + overlay tables bucket-consumed, never rebuilds") {
+    // The r8 physics pin extended to the overlay: in the no-broadcast
+    // regime every standing/overlay scan must consume its bucketing, and
+    // all four tables (base bands/shingles, upserted bands/shingles) must
+    // appear as file scans — batch 2 never re-bands the base or batch 1.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    Text.ddIncrementalFuzzyUpsert(spark, sf001).collect() // ensure builds
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(k => k -> spark.conf.getOption(k))
+    thresholds.foreach(k => spark.conf.set(k, "-1"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Text.ddIncrementalFuzzyUpsert(spark, sf001)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec
+              if f.relation.location.rootPaths.mkString.contains("graft_fuzzy") =>
+            (f.relation.location.rootPaths.mkString, f.bucketedScan)
+        }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    // each table's CANDIDATE-JOIN scan must consume its bucketing; the
+    // audit recount leg also scans bands_ups for (doc_id, lang) only —
+    // no bucket column read there, so that scan is legitimately
+    // unbucketed and per-table existence is the right pin
+    for (t <- Seq("graft_fuzzy_bands_bq", "graft_fuzzy_sh_bq",
+        "graft_fuzzy_bands_ups", "graft_fuzzy_sh_ups"))
+      assert(scans.exists { case (loc, bucketed) =>
+        loc.contains(t) && bucketed
+      }, s"$t has no bucket-consumed scan")
+  }
+
   test("temperature mixing: shares sum to 1, α=0.5 flattens the mixture") {
     val rows = Text.txTemperatureMix(spark, sf001).collect()
     val sampled = rows.map(_.getAs[Double]("sampled_share"))
