@@ -108,6 +108,7 @@ object SparkEntry {
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
+    "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
@@ -980,6 +981,52 @@ object SparkEntry {
         |  coalesce(b2_admitted, 0) AS b2_admitted, first_admitted
         |FROM a1 FULL OUTER JOIN a2 ON a1.lang = a2.lang
         |ORDER BY lang""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Text.txBpeMerges]]: the
+    * [[graft.queries.Text.bpeMergeRounds]] merge rounds unrolled
+    * per-CTE (the kmeansCtes discipline) — w{r} = the vocabulary's
+    * symbol sequences after round r, p{r} = the weighted adjacent-pair
+    * counts, b{r} = the argmax pair under the (count DESC, left ASC,
+    * right ASC) tiebreak, and the rewrite is the same greedy
+    * left-to-right list fold (list-of-lists accumulator, merged tail
+    * blocks overlapping re-merges exactly like the Spark aggregate).
+    */
+  private def bpeMergesSql: String = {
+    val rounds = Text.bpeMergeRounds
+    val prefix =
+      """tok0 AS (
+        |  SELECT tok, count(*) AS c FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  WHERE len(tok) >= 1 GROUP BY 1),
+        |w0 AS (
+        |  SELECT tok, c, list_transform(range(1, len(tok) + 1), i -> tok[i:i]) AS syms
+        |  FROM tok0)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS (
+         |  SELECT pr.l AS l, pr.r AS r, CAST(sum(c) AS BIGINT) AS cnt FROM (
+         |    SELECT c, unnest(list_transform(range(1, len(syms)),
+         |      i -> {'l': syms[i], 'r': syms[i + 1]})) AS pr
+         |    FROM w${r - 1} WHERE len(syms) >= 2)
+         |  GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, cnt FROM p$r ORDER BY cnt DESC, l ASC, r ASC LIMIT 1),
+         |w$r AS (
+         |  SELECT tok, c, list_reduce(
+         |    list_prepend(CAST([] AS VARCHAR[]), list_transform(syms, x -> [x])),
+         |    (acc, xs) -> CASE WHEN len(acc) = 0 THEN list_append(acc, xs[1])
+         |      WHEN acc[-1] = b.l AND xs[1] = b.r
+         |        THEN list_append(list_slice(acc, 1, len(acc) - 1), b.l || b.r)
+         |      ELSE list_append(acc, xs[1]) END) AS syms
+         |  FROM w${r - 1}, b$r b)""".stripMargin
+    }
+    val out = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+         |  l || r AS merged, cnt AS pair_count FROM b$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $prefix,
+       |${steps.mkString(",\n")}
+       |$out
+       |ORDER BY round""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1875,6 +1922,7 @@ object SparkEntry {
     // Global top-100 tokens selected by COUNT VALUE (every token tying
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.
+    "tx_bpe_merges" -> bpeMergesSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -2082,6 +2082,96 @@ object Text {
       .orderBy("lang")
   }
 
+  /** BPE merge-round count — fixed so the DuckDB twin unrolls (the
+    * kmeansTrain rule). Shared with the generated oracle.
+    */
+  private[graft] val bpeMergeRounds = 6
+
+  /** Distributed BPE vocabulary induction (VERDICT r8 item 4) — the
+    * natural next operator on [[txVocabCoverage]]'s (tok, c) rollup: the
+    * merge-pair iteration tokenizer training runs (Sennrich 2016,
+    * "Neural Machine Translation of Rare Words with Subword Units"),
+    * re-expressed as the kmeansTrain bounded-loop shape. Each round,
+    * over the VOCABULARY (never the corpus — the token stream is
+    * aggregated away before the loop starts, the r7 vocab-coverage
+    * lesson):
+    *
+    *   1. count adjacent symbol pairs weighted by token frequency (the
+    *     paper's get_stats: every adjacent position counts) — a bounded
+    *     vocabulary-sized aggregate;
+    *   2. pick the argmax pair with the deterministic
+    *     (count DESC, left ASC, right ASC) tiebreak — a 1-row frame,
+    *     attached to the rewrite via an uncorrelated scalar subquery
+    *     (the simSqInt8 pattern; a 1-row cross join would plan the
+    *     banned BNLJ);
+    *   3. rewrite every affected token's symbol sequence with the
+    *     greedy left-to-right non-overlapping merge fold (the classic
+    *     BPE apply; chained merges like "a a a a" → "aa aa" come out
+    *     right because the fold's accumulator tail IS the merged
+    *     symbol).
+    *
+    * Loop discipline is [[graft.queries.Similarity.kmeansTrain]]'s:
+    * localCheckpoint + one bounded materialize per round keeps the plan
+    * flat. Output is the merge TABLE — (round, left_sym, right_sym,
+    * merged, pair_count) — the artifact a tokenizer ships; the oracle
+    * unrolls the same rounds per-CTE from the shared
+    * [[bpeMergeRounds]] constant (the kmeansCtes discipline).
+    *
+    * Scale shape: after the one corpus pass that builds the rollup,
+    * every round's cost is bounded by the vocabulary size — pairs,
+    * argmax and rewrite all run over |vocab| rows, and the corpus is
+    * never re-read. BpeSpec pins the merge sequence on a planted corpus.
+    */
+  def txBpeMerges(spark: SparkSession, dir: String,
+      rounds: Int = bpeMergeRounds): DataFrame = {
+    require(rounds >= 1, "BPE needs at least one merge round")
+    val gc = Tables.spread(docs(spark, dir))
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    var state = gc
+      .withColumn("syms",
+        expr("transform(sequence(1, length(tok)), i -> substring(tok, i, 1))"))
+      .select("tok", "c", "syms")
+      .localCheckpoint(false)
+    state.count() // materialize: the corpus pass runs ONCE, before the loop
+    val merges = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    for (r <- 1 to rounds) {
+      val best = state
+        .filter(size(col("syms")) >= 2)
+        .select(col("c"), explode(expr(
+          """transform(sequence(0, size(syms) - 2),
+               i -> named_struct('l', syms[i], 'r', syms[i + 1]))""")).as("p"))
+        .groupBy(col("p.l").as("left_sym"), col("p.r").as("right_sym"))
+        .agg(sum("c").as("pair_count"))
+        .orderBy(col("pair_count").desc, col("left_sym").asc,
+          col("right_sym").asc)
+        .limit(1)
+        .localCheckpoint(false)
+      best.count() // one bounded job: the round's argmax row
+      merges += best.withColumn("round", lit(r))
+      best.createOrReplaceTempView("graft_bpe_best")
+      state = state
+        .withColumn("mp", expr(
+          "(SELECT named_struct('l', left_sym, 'r', right_sym) FROM graft_bpe_best)"))
+        .withColumn("syms", expr(
+          """aggregate(syms, CAST(array() AS ARRAY<STRING>), (acc, x) ->
+               CASE WHEN size(acc) = 0 THEN concat(acc, array(x))
+                    WHEN element_at(acc, -1) = mp.l AND x = mp.r
+                      THEN concat(slice(acc, 1, size(acc) - 1),
+                                  array(concat(mp.l, mp.r)))
+                    ELSE concat(acc, array(x)) END)"""))
+        .select("tok", "c", "syms")
+        .localCheckpoint(false)
+      state.count() // materialize: plan stays flat, view capture retired
+    }
+    merges.reduce(_ unionByName _)
+      .select(col("round"), col("left_sym"), col("right_sym"),
+        concat(col("left_sym"), col("right_sym")).as("merged"),
+        col("pair_count"))
+      .orderBy("round")
+  }
+
   /** The MERGE updates-batch carving rule — ONE set of constants for the
     * Spark batch operator, the streaming twin, and the generated oracle
     * SQL (the shuffleShardSeed/kmeansCtes discipline: mirrored literals
