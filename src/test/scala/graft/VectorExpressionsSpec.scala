@@ -26,6 +26,37 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
   }
 
+  test("float_l2 equals the interpreted squared-L2 fold bit-for-bit") {
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    // centroid side is array<double> — the actual call shape (frozen/
+    // retrained centroids are double arrays)
+    val a = emb.as("a").filter("vec_id < 20")
+    val b = emb.filter("vec_id >= 20 AND vec_id < 40").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid")).as("b")
+    val both = a.crossJoin(b).select(
+      expr("float_l2(a.embedding, b.centroid)").as("fast"),
+      expr("""aggregate(sequence(0, 63), 0D, (a2, i2) ->
+          a2 + (CAST(a.embedding[i2] AS DOUBLE) - b.centroid[i2]) * (CAST(a.embedding[i2] AS DOUBLE) - b.centroid[i2]))""")
+        .as("fold")).collect()
+    assert(both.length == 400)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+  }
+
+  test("float_l2 yields null on length mismatch and null elements, never a partial sum") {
+    VectorFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  float_l2(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS mismatch,
+        |  float_l2(array(CAST(1.0 AS FLOAT), NULL), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS nullelem,
+        |  float_l2(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS DOUBLE))) AS nullinput,
+        |  float_l2(array(CAST(3.0 AS FLOAT), CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS good
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2))
+    assert(rows.getDouble(3) == 5.0)
+  }
+
   test("float_dot is null-intolerant: null input gives null, not garbage") {
     VectorFunctions.ensureRegistered(spark)
     val out = spark.sql(
