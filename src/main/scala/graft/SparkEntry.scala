@@ -109,6 +109,7 @@ object SparkEntry {
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
+    "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
@@ -1029,6 +1030,62 @@ object SparkEntry {
        |ORDER BY round""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Text.txModelQuality]]: hashed-ngram
+    * features from first principles (same md5-16-bit bucket rule via the
+    * '0x'||hex cast, same normalized counts), the [[graft.queries.Text.mqRounds]]
+    * gradient rounds unrolled per-CTE (the kmeansCtes discipline) with
+    * the j-ascending dot fold and the doc_id-ordered gradient fold, and
+    * the corpus-wide scoring pass with the same 0.5 gate. Every
+    * operation is +,·,/ on doubles in a pinned order, so weights and
+    * scores are bit-identical.
+    */
+  private def modelQualitySql: String = {
+    val d = Text.mqBuckets
+    val rounds = Text.mqRounds
+    val prefix =
+      s"""fx AS (
+         |  SELECT doc_id, lang, source,
+         |    CASE WHEN source = 'src0' THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END AS y,
+         |    list_transform(range(0, $d), j ->
+         |      CAST(len(list_filter(bks, b -> b = j)) AS DOUBLE) / CAST(len(grams) AS DOUBLE)) AS x
+         |  FROM (
+         |    SELECT doc_id, lang, source, grams,
+         |      list_transform(grams, g -> CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % $d) AS bks
+         |    FROM (
+         |      SELECT doc_id, lang, source,
+         |        toks || CASE WHEN len(toks) >= 2
+         |          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+         |          ELSE CAST([] AS VARCHAR[]) END AS grams
+         |      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+         |      WHERE len(toks) >= 1))),
+         |tr AS (SELECT * FROM fx WHERE doc_id % ${Text.mqTrainMod} = 0),
+         |tw0 AS (SELECT list_transform(range(0, $d), j -> CAST(0 AS DOUBLE)) AS w)""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""e$r AS (
+         |  SELECT t.doc_id, t.x,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) - y AS err
+         |  FROM tr t, tw${r - 1}),
+         |a$r AS (
+         |  SELECT list(struct_pack(doc_id := doc_id, err := err, x := x) ORDER BY doc_id) AS ds,
+         |    count(*) AS n
+         |  FROM e$r),
+         |tw$r AS (
+         |  SELECT list_transform(range(1, ${d + 1}), j ->
+         |    w[j] - CAST(${Text.mqLr} AS DOUBLE) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ds, t -> CAST(2 AS DOUBLE) * t.err * t.x[j])), (a, b2) -> a + b2) / CAST(n AS DOUBLE)) AS w
+         |  FROM a$r, tw${r - 1})""".stripMargin
+    }
+    s"""WITH $prefix,
+       |${steps.mkString(",\n")},
+       |sc AS (
+       |  SELECT f.doc_id, f.lang, f.source,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) AS score
+       |  FROM fx f, tw$rounds)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY doc_id)), (a, b2) -> a + b2) / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "s1_scan_project" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
@@ -1923,6 +1980,7 @@ object SparkEntry {
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.
     "tx_bpe_merges" -> bpeMergesSql,
+    "tx_model_quality" -> modelQualitySql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

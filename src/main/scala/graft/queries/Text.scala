@@ -2172,6 +2172,128 @@ object Text {
       .orderBy("round")
   }
 
+  /** Model-quality-filter geometry — shared with the generated oracle
+    * (the kmeansCtes discipline): `mqBuckets` hashed feature buckets,
+    * `mqRounds` full-batch gradient rounds, labeled slice =
+    * `doc_id % mqTrainMod = 0`, learning rate 1/2 (an exact binary
+    * fraction, so the update arithmetic is IEEE-identical in both
+    * engines).
+    */
+  private[graft] val mqBuckets = 32
+  private[graft] val mqRounds = 4
+  private[graft] val mqTrainMod = 3
+  // exact power of two; chosen from the offline numpy model of the GD
+  // dynamics (the ANN-params rule: sanity-check against numpy first) —
+  // eta=8 separates a separable corpus in 4 rounds, eta=16 oscillates
+  private[graft] val mqLr = 8
+
+  /** Model-based quality filter (VERDICT r8 item 8) — the last CCNet
+    * pipeline stage (their LM quality filter), rebuilt from public
+    * knowledge with no external library: a hashed-ngram LINEAR scorer
+    * (the fastText shape: bag of unigrams+bigrams hashed into
+    * [[mqBuckets]] buckets, a linear model over the normalized counts)
+    * trained against a deterministic labeled slice — `source = 'src0'`
+    * (the corpus's curated/benchmark source, the same role Wikipedia
+    * plays for CCNet) is the quality class, and only
+    * `doc_id % mqTrainMod = 0` docs are "labeled" (a bounded sample: a
+    * real deployment labels thousands of docs, not the corpus).
+    *
+    * Training is [[mqRounds]] full-batch gradient rounds on SQUARED loss
+    * (fastText's softmax needs exp(), whose last-ulp behavior differs
+    * between libm implementations — squared loss keeps every operation
+    * in +,·,/ so the DuckDB twin is bit-identical; for a linear probe
+    * thresholded at 0.5 the ranking this produces is the same shape).
+    * The [[mqLr]] = 8 step (exact binary, numpy-checked offline) crosses
+    * the 0.5 gate in [[mqRounds]] rounds when the classes are separable;
+    * on a corpus whose sources share one token distribution no linear
+    * model can separate and scores settle at the class prior — the
+    * planted-corpus spec proves the learning, the oracle proves the
+    * arithmetic either way.
+    * Each round: per-doc error = w·x − y (the j-ascending dot fold),
+    * per-bucket gradient = the doc_id-ordered fold of 2·err·x_j over the
+    * slice, update w_j ← w_j − ½·grad_j/n — the kmeansTrain loop
+    * discipline (localCheckpoint + one bounded job per round; the
+    * weights frame is ONE row). The trained w then scores the WHOLE
+    * corpus in one narrow pass, gated at 0.5 like [[txQualityScore]].
+    *
+    * Reported per (lang, source): doc count, pass count, and the
+    * doc_id-ordered mean score (the orderExact caveat: the per-group
+    * collect is the oracle-exact form; the scale form is a plain avg
+    * whose result differs only below ~1e-12 relative).
+    *
+    * Scale shape: the labeled slice is bounded by construction (the
+    * collect_list in the gradient is the kmeans-members discipline over
+    * a sample, never the corpus); the corpus-wide work is one
+    * tokenize+hash projection and one partial-aggregated groupBy; the
+    * weights attach via an uncorrelated scalar subquery (the simSqInt8
+    * pattern — no constant-key join, no BNLJ).
+    */
+  def txModelQuality(spark: SparkSession, dir: String,
+      rounds: Int = mqRounds): DataFrame = {
+    val d = mqBuckets
+    // per-doc hashed feature vector x (normalized bucket counts) + label
+    val feat = graft.Caches.scoped("tx_model_quality.feat",
+      Tables.spread(docs(spark, dir))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("grams", expr(
+          """concat(toks, CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> concat_ws(' ', toks[i], toks[i + 1]))
+               ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+        .withColumn("n_grams", size(col("grams")))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
+          explode(col("grams")).as("g"))
+        .withColumn("b", expr(
+          s"CAST(conv(substring(md5(cast(g AS BINARY)), 1, 4), 16, 10) AS BIGINT) % $d"))
+        .groupBy("doc_id", "lang", "source", "n_grams", "b")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id", "lang", "source", "n_grams")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
+          .as("m"))
+        .withColumn("x", expr(
+          s"""transform(sequence(0, ${d - 1}), j ->
+                CAST(coalesce(try_element_at(m, CAST(j AS BIGINT)), 0L) AS DOUBLE)
+                  / CAST(n_grams AS DOUBLE))"""))
+        .withColumn("y",
+          when(col("source") === "src0", 1.0d).otherwise(0.0d))
+        .select("doc_id", "lang", "source", "x", "y"))
+    val train = feat.filter(pmod(col("doc_id"), lit(mqTrainMod)) === 0)
+    var w = spark.range(1)
+      .select(expr(s"array_repeat(0D, $d)").as("w")).localCheckpoint(false)
+    for (_ <- 1 to rounds) {
+      w.createOrReplaceTempView("graft_mq_w")
+      val scored = train
+        .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+        .withColumn("err", expr(
+          s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j]) - y"))
+      w = scored
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("err"),
+            col("x")))).as("ds"),
+          count(lit(1)).as("n"), first(col("wv")).as("wv"))
+        .select(expr(
+          s"""transform(sequence(0, ${d - 1}), j ->
+                wv[j] - CAST($mqLr AS DOUBLE) * aggregate(ds, 0D, (acc, t) -> acc + 2D * t.err * t.x[j])
+                  / CAST(n AS DOUBLE))""").as("w"))
+        .localCheckpoint(false)
+      w.count() // materialize: one 1-row job per round, lineage truncated
+    }
+    w.createOrReplaceTempView("graft_mq_w")
+    feat
+      .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0.5d, 1L).otherwise(0L)).as("n_pass"),
+        sort_array(collect_list(struct(col("doc_id"), col("score"))))
+          .as("ss"))
+      .withColumn("mean_score", expr(
+        "aggregate(ss, 0D, (acc, t) -> acc + t.score) / CAST(n_docs AS DOUBLE)"))
+      .drop("ss")
+      .orderBy("lang", "source")
+  }
+
   /** The MERGE updates-batch carving rule — ONE set of constants for the
     * Spark batch operator, the streaming twin, and the generated oracle
     * SQL (the shuffleShardSeed/kmeansCtes discipline: mirrored literals
