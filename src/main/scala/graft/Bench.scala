@@ -83,7 +83,8 @@ object Bench {
     // r8 item 1). Their steady-state *_indexed twins keep the full run
     // count.
     val trainPerCall = Set("sim_ivfpq", "sim_pq_rerank", "sim_pq_adc",
-      "sim_ivf_kmeans", "sim_ivf_upsert", "sim_ivf_retrain")
+      "sim_ivf_kmeans", "sim_ivf_upsert", "sim_ivf_retrain",
+      "tx_bpe_merges", "tx_bpe_apply", "tx_model_quality")
 
     val errors = LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)

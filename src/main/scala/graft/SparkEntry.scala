@@ -109,6 +109,7 @@ object SparkEntry {
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
+    "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
     "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -993,7 +994,38 @@ object SparkEntry {
     * left-to-right list fold (list-of-lists accumulator, merged tail
     * blocks overlapping re-merges exactly like the Spark aggregate).
     */
-  private def bpeMergesSql: String = {
+  private def bpeMergesSql: String =
+    s"""WITH $bpeCtes
+       |${(1 to Text.bpeMergeRounds).map { r =>
+          s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
+             |  l || r AS merged, cnt AS pair_count FROM b$r""".stripMargin
+        }.mkString("\nUNION ALL\n")}
+       |ORDER BY round""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.txBpeApply]]: the shared
+    * [[bpeCtes]] training chain, then the per-language rollup joined to
+    * the final vocabulary state's symbol counts — exact integer sums +
+    * one IEEE division.
+    */
+  private def bpeApplySql: String =
+    s"""WITH $bpeCtes,
+       |lt AS (
+       |  SELECT lang, tok, count(*) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) >= 1 GROUP BY 1, 2)
+       |SELECT lang, CAST(sum(lt.c) AS BIGINT) AS n_tokens,
+       |  CAST(sum(lt.c * len(tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(lt.c * len(syms)) AS BIGINT) AS n_symbols,
+       |  CAST(CAST(sum(lt.c * len(tok)) AS BIGINT) AS DOUBLE)
+       |    / CAST(CAST(sum(lt.c * len(syms)) AS BIGINT) AS DOUBLE) AS compression
+       |FROM lt JOIN w${Text.bpeMergeRounds} USING (tok)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** The shared BPE CTE chain through w{rounds}/b{rounds} (trailing
+    * comma included) — one generator for the merge-table oracle and the
+    * apply oracle.
+    */
+  private def bpeCtes: String = {
     val rounds = Text.bpeMergeRounds
     val prefix =
       """tok0 AS (
@@ -1020,14 +1052,8 @@ object SparkEntry {
          |      ELSE list_append(acc, xs[1]) END) AS syms
          |  FROM w${r - 1}, b$r b)""".stripMargin
     }
-    val out = (1 to rounds).map { r =>
-      s"""SELECT $r AS round, l AS left_sym, r AS right_sym,
-         |  l || r AS merged, cnt AS pair_count FROM b$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH $prefix,
-       |${steps.mkString(",\n")}
-       |$out
-       |ORDER BY round""".stripMargin
+    s"""$prefix,
+       |${steps.mkString(",\n")}""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Text.txModelQuality]]: hashed-ngram
@@ -1980,6 +2006,7 @@ object SparkEntry {
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.
     "tx_bpe_merges" -> bpeMergesSql,
+    "tx_bpe_apply" -> bpeApplySql,
     "tx_model_quality" -> modelQualitySql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (

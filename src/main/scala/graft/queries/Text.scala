@@ -2123,7 +2123,16 @@ object Text {
     * never re-read. BpeSpec pins the merge sequence on a planted corpus.
     */
   def txBpeMerges(spark: SparkSession, dir: String,
-      rounds: Int = bpeMergeRounds): DataFrame = {
+      rounds: Int = bpeMergeRounds): DataFrame =
+    bpeTrain(spark, dir, rounds)._1
+
+  /** The shared BPE training loop — returns (merge table, final
+    * vocabulary state (tok, c, syms)). One loop for [[txBpeMerges]]
+    * (ships the merge table) and [[txBpeApply]] (encodes the corpus with
+    * the final state).
+    */
+  private def bpeTrain(spark: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
     require(rounds >= 1, "BPE needs at least one merge round")
     val gc = Tables.spread(docs(spark, dir))
       .select(explode(split(col("text"), " ")).as("tok"))
@@ -2165,11 +2174,40 @@ object Text {
         .localCheckpoint(false)
       state.count() // materialize: plan stays flat, view capture retired
     }
-    merges.reduce(_ unionByName _)
+    (merges.reduce(_ unionByName _)
       .select(col("round"), col("left_sym"), col("right_sym"),
         concat(col("left_sym"), col("right_sym")).as("merged"),
         col("pair_count"))
-      .orderBy("round")
+      .orderBy("round"), state)
+  }
+
+  /** APPLY the learned BPE vocabulary to the corpus — the encode half a
+    * tokenizer deployment runs, as per-language compression accounting:
+    * every token's final symbol-sequence length (from the trained
+    * state, [[bpeTrain]]) weighted by its per-language count. Exact
+    * integers end to end (`n_chars` = character count before any merge,
+    * `n_symbols` = after [[bpeMergeRounds]] merges) and ONE IEEE
+    * division for the compression ratio — the txQualityScore exactness
+    * shape. The corpus is read twice (the global training rollup and
+    * the per-language rollup), both partial-aggregated to vocabulary
+    * size before any join; the encode itself joins vocab-to-vocab,
+    * never touching the token stream again.
+    */
+  def txBpeApply(spark: SparkSession, dir: String,
+      rounds: Int = bpeMergeRounds): DataFrame = {
+    val state = bpeTrain(spark, dir, rounds)._2
+    val lt = Tables.spread(docs(spark, dir))
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .filter(length(col("tok")) >= 1)
+      .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+    lt.join(state.select(col("tok"), size(col("syms")).as("n_syms")), "tok")
+      .groupBy("lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * length(col("tok")).cast("long")).as("n_chars"),
+        sum(col("c") * col("n_syms").cast("long")).as("n_symbols"))
+      .withColumn("compression",
+        col("n_chars").cast("double") / col("n_symbols").cast("double"))
+      .orderBy("lang")
   }
 
   /** Model-quality-filter geometry — shared with the generated oracle

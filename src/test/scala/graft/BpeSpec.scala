@@ -58,6 +58,26 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, "aa", 9L), (2, "aaaa", 3L)))
   }
 
+  test("apply on the Sennrich corpus: hand-computed symbol counts and compression") {
+    // After the 3 merges (es, est, lo): low -> [lo, w] (2 syms),
+    // lower -> [lo, w, e, r] (4), newest -> [n, e, w, est] (4),
+    // widest -> [w, i, d, est] (4). Weighted: n_tokens = 16,
+    // n_chars = 5*3 + 2*5 + 6*6 + 3*6 = 79,
+    // n_symbols = 5*2 + 2*4 + 6*4 + 3*4 = 54.
+    val dir = plant(Seq(
+      Seq.fill(5)("low").mkString(" "),
+      Seq.fill(2)("lower").mkString(" "),
+      Seq.fill(6)("newest").mkString(" "),
+      Seq.fill(3)("widest").mkString(" ")))
+    val rows = Text.txBpeApply(spark, dir, rounds = 3).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_tokens") == 16L)
+    assert(r.getAs[Long]("n_chars") == 79L)
+    assert(r.getAs[Long]("n_symbols") == 54L)
+    assert(r.getAs[Double]("compression") == 79.0 / 54.0)
+  }
+
   test("full-corpus run: six rounds, positive weighted counts, merged = left||right") {
     val rows = Text.txBpeMerges(spark, "/root/testdata/sf0.001").collect()
     assert(rows.map(_.getAs[Int]("round")).toSeq == (1 to 6))
