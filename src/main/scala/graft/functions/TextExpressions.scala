@@ -643,6 +643,68 @@ case class NgramStats(child: Expression, n: Int) extends UnaryExpression {
   * its lexicons are a Scala constructor argument, exposed via
   * [[TextFunctions.lexiconHits]]).
   */
+/** `hashed_bucket_counts(grams, d)` → `array<bigint>` of length d: the
+  * hashed-feature histogram of the model-quality scorer
+  * (`graft.queries.Text.txModelQuality`) as ONE codegen'd pass — bucket
+  * `j = conv(substring(md5(g), 1, 4), 16, 10) % d` (the first two md5
+  * bytes as an unsigned 16-bit value, exactly the SQL formulation the
+  * DuckDB oracle replicates) counted per gram. Replaces an
+  * explode → groupBy(doc, bucket) → groupBy(doc) chain: the histogram
+  * becomes a pure projection, so the corpus-wide feature build carries
+  * NO shuffle at all. Null element → NULL, never a partial histogram.
+  */
+case class HashedBucketCounts(child: Expression, d: Int)
+    extends UnaryExpression {
+
+  require(d >= 1, "bucket count must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hashed_bucket_counts requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "hashed_bucket_counts"
+
+  def compute(gramsData: ArrayData): ArrayData = {
+    val n = gramsData.numElements()
+    val counts = new Array[Long](d)
+    val md = TextDigest.md5()
+    var i = 0
+    while (i < n) {
+      if (gramsData.isNullAt(i)) return null
+      md.reset()
+      md.update(gramsData.getUTF8String(i).getBytes)
+      val dig = md.digest()
+      // first 4 hex chars == first 2 digest bytes as an unsigned 16-bit
+      // value; % d stays non-negative
+      val v = ((dig(0) & 0xff) << 8) | (dig(1) & 0xff)
+      counts(v % d) += 1L
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("hashedBucketCounts", this,
+      classOf[HashedBucketCounts].getName)
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = $self.compute($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): HashedBucketCounts = copy(child = newChild)
+}
+
 object TextFunctions {
 
   private def intLit(e: Expression, what: String): Int = e match {
@@ -688,6 +750,14 @@ object TextFunctions {
     LshBucket(exprs.head, intLit(exprs(1), "nbits")): Expression
   }
 
+  private[functions] val bucketCountsFid = FunctionIdentifier("hashed_bucket_counts")
+  private[functions] val bucketCountsInfo =
+    new ExpressionInfo(classOf[HashedBucketCounts].getName, "hashed_bucket_counts")
+  private[functions] val bucketCountsBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "hashed_bucket_counts(grams, d) takes 2 arguments")
+    HashedBucketCounts(exprs.head, intLit(exprs(1), "d")): Expression
+  }
+
   private[functions] val lshBandsFid = FunctionIdentifier("lsh_bands")
   private[functions] val lshBandsInfo =
     new ExpressionInfo(classOf[LshBands].getName, "lsh_bands")
@@ -717,6 +787,10 @@ object TextFunctions {
     }
     if (!reg.functionExists(ngramFid)) {
       reg.registerFunction(ngramFid, ngramInfo, ngramBuilder)
+    }
+    if (!reg.functionExists(bucketCountsFid)) {
+      reg.registerFunction(bucketCountsFid, bucketCountsInfo,
+        bucketCountsBuilder)
     }
   }
 

