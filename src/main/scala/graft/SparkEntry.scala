@@ -111,6 +111,7 @@ object SparkEntry {
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
     "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
     "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
+    "tx_model_quality_indexed" -> ((s, d) => Text.txModelQualityIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
@@ -2008,6 +2009,9 @@ object SparkEntry {
     "tx_bpe_merges" -> bpeMergesSql,
     "tx_bpe_apply" -> bpeApplySql,
     "tx_model_quality" -> modelQualitySql,
+    // the standing-model twin shares the oracle verbatim (training is
+    // deterministic — the ivfAnnSql sharing rule)
+    "tx_model_quality_indexed" -> modelQualitySql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

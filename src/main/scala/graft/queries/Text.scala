@@ -2268,31 +2268,55 @@ object Text {
     */
   def txModelQuality(spark: SparkSession, dir: String,
       rounds: Int = mqRounds): DataFrame = {
-    val d = mqBuckets
+    mqTrainWeights(spark, dir, rounds).createOrReplaceTempView("graft_mq_w")
+    mqScoreReport(spark, dir)
+  }
+
+  /** Per-doc hashed feature vectors + labels — a PURE PROJECTION:
+    * hashed_bucket_counts folds hash + histogram into one codegen'd
+    * pass per doc (same md5-16-bit bucket rule the oracle derives from
+    * first principles), so the corpus-wide feature build carries no
+    * shuffle (it used to explode the gram stream through two groupBys —
+    * measured 4.3 s at sf0.1, now 1.9). Shared by training, batch
+    * scoring and (column-for-column) the streaming scorer.
+    */
+  private[graft] def mqFeatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    // per-doc hashed feature vector x (normalized bucket counts) + label —
-    // a PURE PROJECTION: hashed_bucket_counts folds hash + histogram into
-    // one codegen'd pass per doc (same md5-16-bit bucket rule the oracle
-    // derives from first principles), so the corpus-wide feature build
-    // carries no shuffle (it used to explode the gram stream through two
-    // groupBys — measured 4.3 s at sf0.1, now ~half)
-    val feat = graft.Caches.scoped("tx_model_quality.feat",
-      Tables.spread(docs(spark, dir))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("grams", expr(
-          """concat(toks, CASE WHEN size(toks) >= 2
-               THEN transform(sequence(0, size(toks) - 2),
-                      i -> concat_ws(' ', toks[i], toks[i + 1]))
-               ELSE CAST(array() AS ARRAY<STRING>) END)"""))
-        .withColumn("n_grams", size(col("grams")))
-        .withColumn("x", expr(
-          s"""transform(hashed_bucket_counts(grams, $d),
-                cnt -> CAST(cnt AS DOUBLE) / CAST(n_grams AS DOUBLE))"""))
-        .withColumn("y",
-          when(col("source") === "src0", 1.0d).otherwise(0.0d))
-        .select("doc_id", "lang", "source", "x", "y"))
-    val train = feat.filter(pmod(col("doc_id"), lit(mqTrainMod)) === 0)
+    graft.Caches.scoped("tx_model_quality.feat",
+      mqFeaturize(Tables.spread(docs(spark, dir))))
+  }
+
+  /** The feature/label projection applied to ANY (doc_id, lang, source,
+    * text) frame — one text for the batch cache and the streaming twin
+    * (which cannot cache), the mergeUpdates sharing discipline.
+    */
+  private[graft] def mqFeaturize(in: DataFrame): DataFrame = {
+    val d = mqBuckets
+    in.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("grams", expr(
+        """concat(toks, CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i + 1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+      .withColumn("n_grams", size(col("grams")))
+      .withColumn("x", expr(
+        s"""transform(hashed_bucket_counts(grams, $d),
+              cnt -> CAST(cnt AS DOUBLE) / CAST(n_grams AS DOUBLE))"""))
+      .withColumn("y",
+        when(col("source") === "src0", 1.0d).otherwise(0.0d))
+      .select("doc_id", "lang", "source", "x", "y")
+  }
+
+  /** The full-batch gradient training loop — returns the 1-row weights
+    * frame after `rounds` rounds (see [[txModelQuality]] for the
+    * numerics).
+    */
+  private[graft] def mqTrainWeights(spark: SparkSession, dir: String,
+      rounds: Int = mqRounds): DataFrame = {
+    val d = mqBuckets
+    val train = mqFeatures(spark, dir)
+      .filter(pmod(col("doc_id"), lit(mqTrainMod)) === 0)
     var w = spark.range(1)
       .select(expr(s"array_repeat(0D, $d)").as("w")).localCheckpoint(false)
     for (_ <- 1 to rounds) {
@@ -2312,8 +2336,15 @@ object Text {
         .localCheckpoint(false)
       w.count() // materialize: one 1-row job per round, lineage truncated
     }
-    w.createOrReplaceTempView("graft_mq_w")
-    feat
+    w
+  }
+
+  /** Score the corpus against whatever weights the `graft_mq_w` view
+    * holds and report the per-(lang, source) gate audit.
+    */
+  private def mqScoreReport(spark: SparkSession, dir: String): DataFrame = {
+    val d = mqBuckets
+    mqFeatures(spark, dir)
       .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
       .withColumn("score", expr(
         s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
@@ -2326,6 +2357,53 @@ object Text {
         "aggregate(ss, 0D, (acc, t) -> acc + t.score) / CAST(n_docs AS DOUBLE)"))
       .drop("ss")
       .orderBy("lang", "source")
+  }
+
+  // model index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val mqIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Persist the trained quality model — the ensureIvfIndex treatment
+    * for the scorer: training is deterministic, so the standing weights
+    * ARE the train-per-call weights, and a deployment pays training once
+    * while every scoring batch reads D doubles of index metadata.
+    * Returns the model base path; the marker/memo discipline matches
+    * [[graft.queries.Similarity.ensureIvfIndex]] (cleared BEFORE
+    * rebuilding, memo keyed on the dir string — immutable-corpus
+    * assumption).
+    */
+  def mqBuildIndex(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/mq_model"
+    mqTrainWeights(spark, dir)
+      .write.mode("overwrite").parquet(s"$base/weights")
+    base
+  }
+
+  def ensureMqIndex(spark: SparkSession, dir: String): String = synchronized {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/mq_model"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/weights/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(mqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      mqIndexFor.remove(base)
+      fs.delete(marker, false)
+      mqBuildIndex(spark, dir)
+      mqIndexFor(base) = dir
+    }
+    base
+  }
+
+  /** [[txModelQuality]] over the STANDING model ([[mqBuildIndex]]) —
+    * identical output (training is deterministic; the oracle SQL is
+    * shared verbatim, the ivfAnnSql sharing rule), different physics:
+    * the gradient loop never runs, scoring reads the persisted weights
+    * and makes one narrow pass over the corpus. The steady-state twin
+    * every sim_*_indexed form has, applied to the text family.
+    */
+  def txModelQualityIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureMqIndex(spark, dir)
+    spark.read.parquet(s"$base/weights")
+      .createOrReplaceTempView("graft_mq_w")
+    mqScoreReport(spark, dir)
   }
 
   /** The MERGE updates-batch carving rule — ONE set of constants for the

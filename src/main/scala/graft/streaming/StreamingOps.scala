@@ -395,6 +395,36 @@ object StreamingOps {
     * express (SURVEY.md build brief). Value math is integer cents so the
     * running state is exact.
     */
+  /** Score a DOCUMENT STREAM with the standing quality model
+    * (`graft.queries.Text.ensureMqIndex`) — the streaming serve of the
+    * model-based filter: the feature projection is the shared
+    * `mqFeaturize` text (pure stateless projection — codegen'd
+    * histogram, no shuffle, so it runs unchanged under the streaming
+    * planner), and the D persisted weights are index METADATA embedded
+    * as a literal array (the bounded-collect rule: D doubles, the
+    * probe-list treatment — a stream-static join for one constant row
+    * would be pure overhead). Emits per-doc (doc_id, lang, source,
+    * score, pass); batch/stream equality is StreamingSpec-pinned.
+    */
+  def qualityScoredDocs(docsStream: DataFrame, weights: Seq[Double]): DataFrame = {
+    val scored = graft.queries.Text.mqFeaturize(docsStream)
+      .withColumn("wv", array(weights.map(lit(_)): _*))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${weights.size - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
+    scored.select(col("doc_id"), col("lang"), col("source"), col("score"),
+      (col("score") > 0.5d).as("pass"))
+  }
+
+  /** The standing model's weight vector for [[qualityScoredDocs]] —
+    * ensures the index, then collects the 1-row weights table (D
+    * doubles of index metadata).
+    */
+  def qualityModelWeights(spark: SparkSession, dir: String): Seq[Double] = {
+    val base = graft.queries.Text.ensureMqIndex(spark, dir)
+    spark.read.parquet(s"$base/weights")
+      .collect().head.getSeq[Double](0)
+  }
+
   def runningUserTotals(events: DataFrame): Dataset[UserRunning] = {
     val spark = events.sparkSession
     import spark.implicits._

@@ -48,6 +48,40 @@ class ModelQualitySpec extends SparkSpec {
       "no noise-class doc may pass")
   }
 
+  test("standing-model twin equals the train-per-call report") {
+    val dir = "/root/testdata/sf0.001"
+    val perCall = Text.txModelQuality(spark, dir).collect()
+    val indexed = Text.txModelQualityIndexed(spark, dir).collect()
+    assert(indexed.toSeq == perCall.toSeq,
+      "deterministic training: the persisted weights must reproduce the " +
+        "train-per-call report row for row")
+  }
+
+  test("streaming scorer equals batch scoring with the standing weights") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val sfDir = "/root/testdata/sf0.001"
+    val w = StreamingOps.qualityModelWeights(spark, sfDir)
+    assert(w.length == 32 && w.exists(_ != 0.0))
+    // stream the same corpus file through the scorer
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-mq-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = StreamingOps.qualityScoredDocs(
+        StreamingOps.readDocumentsStream(spark, streamDir.toString), w)
+      .writeStream.format("memory").queryName("mq_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("mq_stream").orderBy("doc_id").collect()
+    val batch = StreamingOps.qualityScoredDocs(
+        Tables(spark, sfDir, "documents"), w)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b },
+      "per-doc streamed scores must equal the batch scores bit for bit")
+  }
+
   test("natural corpus: scores settle at the class prior, gate stays shut") {
     val rows = Text.txModelQuality(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
