@@ -79,6 +79,7 @@ object SparkEntry {
     "ev_cohort_retention" -> (Events.evCohortRetention _),
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
     "tx_quality_score" -> (Text.txQualityScore _),
+    "tx_pii_redact" -> (Text.txPiiRedact _),
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
@@ -118,7 +119,9 @@ object SparkEntry {
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
     "dd_incremental_fuzzy_indexed" -> ((s, d) => Text.ddIncrementalFuzzyIndexed(s, d)),
     "dd_incremental_fuzzy_upsert" -> ((s, d) => Text.ddIncrementalFuzzyUpsert(s, d)),
+    "dd_incremental_fuzzy_delete" -> ((s, d) => Text.ddIncrementalFuzzyDelete(s, d)),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
+    "dd_substring" -> ((s, d) => Text.ddSubstring(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
@@ -986,6 +989,65 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Text.ddIncrementalFuzzyDelete]]:
+    * the post-delete admission from first principles over the shared
+    * [[fuzzyPairCtes]] — the deterministic dead carve, live drops (a
+    * base partner survives only if not tombstoned), within-batch
+    * keep-first, and the rescue audit (admitted docs with a confirmed
+    * DELETED partner). The `compacted` flag is the same exact-integer
+    * live-percentage arithmetic as the Spark side; the oracle never
+    * sees the overlay/tombstone tables, so a hash match proves the
+    * merge-on-read serving view equals delete-then-search semantics.
+    */
+  private def incrementalFuzzyDeleteSql: String = {
+    val m = Text.incrementalDeltaMod
+    val deadCond =
+      "((lang = 'zh' AND doc_id % 2 = 1) OR (lang <> 'zh' AND doc_id % 17 = 3))"
+    s"""WITH $fuzzyPairCtes,
+        |dead AS (SELECT doc_id FROM d
+        |  WHERE doc_id % $m <> 0 AND $deadCond),
+        |bs AS (SELECT lang, count(*) AS n_base,
+        |  CAST(sum(CASE WHEN $deadCond THEN 1 ELSE 0 END) AS BIGINT) AS n_dead
+        |  FROM d WHERE doc_id % $m <> 0 GROUP BY 1),
+        |drops AS (
+        |  SELECT id_a AS doc_id, 3 AS prio FROM conf
+        |    WHERE id_a % $m = 0 AND id_b % $m <> 0
+        |      AND id_b NOT IN (SELECT doc_id FROM dead)
+        |  UNION ALL
+        |  SELECT id_b AS doc_id, CASE WHEN id_a % $m <> 0 THEN 3 ELSE 1 END AS prio
+        |  FROM conf
+        |    WHERE id_b % $m = 0
+        |      AND (id_a % $m = 0 OR id_a NOT IN (SELECT doc_id FROM dead))),
+        |dr AS (SELECT doc_id, max(prio) AS prio FROM drops GROUP BY 1),
+        |resc AS (
+        |  SELECT id_a AS doc_id FROM conf
+        |    WHERE id_a % $m = 0 AND id_b IN (SELECT doc_id FROM dead)
+        |  UNION
+        |  SELECT id_b FROM conf
+        |    WHERE id_b % $m = 0 AND id_a IN (SELECT doc_id FROM dead)),
+        |t AS (SELECT doc_id, lang FROM documents WHERE doc_id % $m = 0),
+        |a AS (
+        |  SELECT t.lang AS lang, count(*) AS n_delta_docs,
+        |    CAST(sum(CASE WHEN prio = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_vs_base,
+        |    CAST(sum(CASE WHEN prio = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped_in_delta,
+        |    CAST(sum(CASE WHEN prio IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted,
+        |    CAST(sum(CASE WHEN prio IS NULL AND t.doc_id IN (SELECT doc_id FROM resc) THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued,
+        |    min(CASE WHEN prio IS NULL THEN t.doc_id END) AS first_admitted
+        |  FROM t LEFT JOIN dr ON t.doc_id = dr.doc_id GROUP BY 1)
+        |SELECT coalesce(bs.lang, a.lang) AS lang,
+        |  coalesce(n_base, 0) AS n_base,
+        |  coalesce(n_dead, 0) AS n_dead,
+        |  coalesce((n_base - n_dead) * 100 < n_base * ${Text.fuzzyCompactLivePct}, FALSE) AS compacted,
+        |  coalesce(n_delta_docs, 0) AS n_delta_docs,
+        |  coalesce(n_dropped_vs_base, 0) AS n_dropped_vs_base,
+        |  coalesce(n_dropped_in_delta, 0) AS n_dropped_in_delta,
+        |  coalesce(n_admitted, 0) AS n_admitted,
+        |  coalesce(n_rescued, 0) AS n_rescued,
+        |  first_admitted
+        |FROM bs FULL OUTER JOIN a ON bs.lang = a.lang
+        |ORDER BY lang""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.queries.Text.txBpeMerges]]: the
     * [[graft.queries.Text.bpeMergeRounds]] merge rounds unrolled
     * per-CTE (the kmeansCtes discipline) — w{r} = the vocabulary's
@@ -1484,6 +1546,36 @@ object SparkEntry {
         |        t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS n_stop
         |  FROM documents WHERE doc_id < 300)
         |ORDER BY doc_id""".stripMargin,
+    // PII scrub: the planted corpus is carved with the same doc_id
+    // moduli as the Spark side; counts measure the planted text, the
+    // redacted_xor folds the post-redaction text through the full
+    // 64-bit md5 hi/lo convention (the merge_apply fold).
+    "tx_pii_redact" ->
+      """WITH pl AS (SELECT doc_id, lang,
+        |  text ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END ||
+        |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
+        |  FROM documents),
+        |r AS (SELECT lang,
+        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+        |  len(regexp_extract_all(text, '\d{3}-\d{4}')) AS n_phones,
+        |  len(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+')) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\d{3}-\d{4}', '<PHONE>', 'g'),
+        |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g')) AS hd
+        |  FROM pl)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+        |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
+        |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
+        |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
+        |  bit_xor((CASE WHEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) >= 2147483648
+        |        THEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) - 4294967296
+        |        ELSE CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) END) * 4294967296
+        |    + CAST(('0x' || substr(hd, 9, 8)) AS BIGINT)) AS redacted_xor
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_token_count" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
@@ -1666,6 +1758,7 @@ object SparkEntry {
     // the sim_ivf_ann_indexed treatment
     "dd_incremental_fuzzy_indexed" -> incrementalFuzzySql,
     "dd_incremental_fuzzy_upsert" -> incrementalFuzzyUpsertSql,
+    "dd_incremental_fuzzy_delete" -> incrementalFuzzyDeleteSql,
     // Full simhash replication: md5-derived signed 64-bit token hashes
     // (hi half sign-folded before the 2^32 multiply — stays in BIGINT),
     // per-bit majority votes (counter > 0 <=> 2*set > n, bit 63 lands as
@@ -1827,6 +1920,39 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras,
         |  CAST(sum(CASE WHEN rn = 1 THEN n_toks ELSE 0 END) AS BIGINT) AS n_tokens_kept
         |FROM r2 GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // Stride-1 duplicated-span stats: grouping by the shingle TEXT is
+    // equivalent to the Spark side's md5 grouping (digest exists Spark-
+    // side so the shuffle never carries text). Longest repeated span =
+    // longest consecutive-dup-position run + width - 1; covered tokens
+    // = interval union via the min(gap, width) telescoping sum.
+    "dd_substring" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 8),
+        |o AS (
+        |  SELECT doc_id, lang, unnest(list_transform(range(0, len(toks) - 8 + 1),
+        |    i -> {'pos': i, 'sg': array_to_string(toks[i + 1 : i + 8], ' ')})) AS u
+        |  FROM d),
+        |q AS (SELECT doc_id, lang, u.pos AS pos, u.sg AS sg FROM o),
+        |c AS (SELECT sg, count(*) AS c FROM q GROUP BY 1),
+        |m AS (SELECT q.doc_id, q.lang, q.pos, c.c > 1 AS dup FROM q JOIN c USING (sg)),
+        |dp AS (
+        |  SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp,
+        |    pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS gap
+        |  FROM m WHERE dup),
+        |rl AS (SELECT doc_id, max(run) AS maxrun FROM (
+        |  SELECT doc_id, grp, count(*) AS run FROM dp GROUP BY 1, 2) GROUP BY 1),
+        |cv AS (SELECT doc_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap >= 8 THEN 8 ELSE gap END) AS BIGINT) AS covered
+        |  FROM dp GROUP BY 1),
+        |b AS (SELECT doc_id, lang, count(*) AS n_pos,
+        |  CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pos
+        |  FROM m GROUP BY 1, 2)
+        |SELECT b.doc_id, b.lang, b.n_pos, b.n_dup_pos,
+        |  CASE WHEN rl.maxrun IS NULL THEN 0 ELSE rl.maxrun + 7 END AS max_dup_span_tokens,
+        |  coalesce(cv.covered, 0) AS dup_covered_tokens
+        |FROM b LEFT JOIN rl USING (doc_id) LEFT JOIN cv USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
     // Same MinHashBands replication as pipeline_clean_corpus (see above).
     "dd_ngram_jaccard" ->
       """WITH d AS (

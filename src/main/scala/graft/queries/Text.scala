@@ -436,6 +436,143 @@ object Text {
       .orderBy("doc_id")
   }
 
+  /** Duplicated-SPAN statistics — the stride-1 companion of
+    * [[ddParagraph]] (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better": their ExactSubstr pass finds every
+    * repeated span, not just repeated disjoint chunks). A position is
+    * "duplicated" when its `width`-token shingle occurs more than once
+    * in the WHOLE corpus (including twice within one document — the
+    * paper's rule). Per document:
+    *
+    *   - `n_pos` / `n_dup_pos`: stride-1 shingle positions and how many
+    *     are duplicated;
+    *   - `max_dup_span_tokens`: the longest repeated substring in
+    *     tokens — a run of R consecutive duplicated positions is one
+    *     repeated span of R + width − 1 tokens (0 when none);
+    *   - `dup_covered_tokens`: tokens covered by the UNION of the
+    *     duplicated spans — the interval-union length computed without
+    *     materializing intervals: a duplicated position at gap g from
+    *     its predecessor contributes min(g, width) new tokens (width
+    *     for the first). This is what the ExactSubstr pass would CUT.
+    *
+    * Scale shape: the shingle TEXT never reaches a shuffle — each
+    * stride-1 occurrence is projected to (md5 digest, doc_id, pos)
+    * before the first exchange; the corpus-wide occurrence count is a
+    * partial-aggregated groupBy(digest) (a web-scale hot span collapses
+    * to one row per map task), and the join-back is digest-keyed
+    * (AQE-skew-handled). The run/coverage windows partition by doc_id —
+    * bounded by document length, never corpus-wide.
+    */
+  def ddSubstring(spark: SparkSession, dir: String,
+      width: Int = 8): DataFrame = {
+    require(width > 0)
+    val occ = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), col("lang"),
+        posexplode(expr(
+          s"""transform(sequence(0, size(toks) - $width),
+             |  i -> md5(cast(concat_ws(' ', slice(toks, i + 1, $width)) AS BINARY)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("lang"), col("pos"), col("col").as("h"))
+    val counts = occ.groupBy("h").agg(count(lit(1)).as("c"))
+    val marked = occ.join(counts, "h")
+      .withColumn("dup", col("c") > 1)
+      .select("doc_id", "lang", "pos", "dup")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    val dupPos = marked.filter(col("dup"))
+      .select(col("doc_id"), col("pos"))
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .withColumn("gap", col("pos") - lag("pos", 1).over(w))
+    val runlen = dupPos.groupBy("doc_id", "grp")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("doc_id").agg(max("run").as("maxrun"))
+    val cover = dupPos.groupBy("doc_id")
+      .agg(sum(when(col("gap").isNull || col("gap") >= width, lit(width.toLong))
+        .otherwise(col("gap"))).as("covered"))
+    marked.groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_pos"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_pos"))
+      .join(runlen, Seq("doc_id"), "left")
+      .join(cover, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"), col("n_pos"), col("n_dup_pos"),
+        when(col("maxrun").isNull, 0L)
+          .otherwise(col("maxrun") + lit(width - 1).cast("long"))
+          .as("max_dup_span_tokens"),
+        coalesce(col("covered"), lit(0L)).as("dup_covered_tokens"))
+      .orderBy("doc_id")
+  }
+
+  /** PII detection + redaction — the scrubbing stage every public
+    * pretraining pipeline runs before training (C4 strips lines by
+    * pattern, Raffel et al. 2020; RefinedWeb and BigCode's StarCoder
+    * pipeline redact emails / phone numbers / IP addresses with exactly
+    * this replace-with-token shape, Penedo et al. 2023, Kocetkov et al.
+    * 2022). Three conservative patterns that parse identically under
+    * Java regex (Spark) and RE2 (the DuckDB oracle) — ASCII classes
+    * only, no word boundaries, no backrefs:
+    *
+    *   - email `[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}` → `<EMAIL>`
+    *   - phone `\d{3}-\d{4}`                           → `<PHONE>`
+    *   - IPv4  `\d+\.\d+\.\d+\.\d+`                    → `<IP>`
+    *
+    * The natural corpus contains no digits or `@` (measured — so the op
+    * would be vacuous on it); PII is PLANTED in-plan by deterministic
+    * doc_id carving (the [[mergeUpdates]] discipline: both engines
+    * construct the identical corpus, so the oracle checks detection AND
+    * redaction, not fixture luck): `doc_id % 5 = 0` appends an email
+    * derived from the id, `% 7 = 0` a phone, `% 11 = 0` an IP — the
+    * moduli interleave so some docs carry two or three PII kinds.
+    * Counts are measured on the planted text; redaction applies
+    * email → phone → IP (disjoint matches here, so order is cosmetic
+    * but pinned); the audit's `redacted_xor` folds the REDACTED text
+    * through the full-64-bit md5 hi/lo XOR ([[md5SignedHash64Expr]]),
+    * so the oracle verifies the exact post-redaction bytes.
+    *
+    * Scale shape: one narrow codegen'd projection per document (regex
+    * count + replace are native string expressions — no UDF, no
+    * shuffle until the tiny per-language rollup).
+    */
+  def txPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+    val phone = "\\d{3}-\\d{4}"
+    val ip = "\\d+\\.\\d+\\.\\d+\\.\\d+"
+    val planted = docs(spark, dir).select(col("doc_id"), col("lang"),
+      concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" call 555-"),
+            lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+            lit(" now"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".1"))).otherwise(lit(""))).as("text"))
+    planted
+      .withColumn("n_emails", regexp_count(col("text"), lit(email)))
+      .withColumn("n_phones", regexp_count(col("text"), lit(phone)))
+      .withColumn("n_ips", regexp_count(col("text"), lit(ip)))
+      .withColumn("red",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), email, "<EMAIL>"),
+            phone, "<PHONE>"),
+          ip, "<IP>"))
+      .withColumn("hd", expr("md5(cast(red AS BINARY))"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_emails").cast("long")).as("n_emails"),
+        sum(col("n_phones").cast("long")).as("n_phones"),
+        sum(col("n_ips").cast("long")).as("n_ips"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("redacted_xor"))
+      .orderBy("lang")
+  }
+
   /** The full corpus-preparation flow as ONE declarative plan — what an
     * LLM data job actually runs end-to-end, composing this module's
     * stages in their production order (each also oracle-checked alone):
@@ -960,20 +1097,31 @@ object Text {
   /** Delta doc_ids that near-dup-match ANY doc of an indexed side (band
     * tables bucketed on the full candidate-join key set): either id
     * order makes the DELTA doc the duplicate — the indexed side is
-    * already in the corpus.
+    * already in the corpus. `excludeBase` (a doc_id frame) drops
+    * candidate pairs whose BASE partner is excluded BEFORE the Jaccard
+    * confirm — the merge-on-read tombstone filter of
+    * [[ddIncrementalFuzzyDelete]], applied at candidate level where the
+    * pair set is already small (the FAISS IDSelector shape: filter the
+    * probe results, never rewrite the index on the search path).
     */
   private def fuzzyVsIndexDrops(dBands: DataFrame, dSh: DataFrame,
-      bBands: DataFrame, bSh: DataFrame, threshold: Double): DataFrame =
-    fuzzyJaccardConfirm(dBands.as("d").join(bBands.as("b"),
+      bBands: DataFrame, bSh: DataFrame, threshold: Double,
+      excludeBase: Option[DataFrame] = None): DataFrame = {
+    val pairs0 = dBands.as("d").join(bBands.as("b"),
         col("d.band") === col("b.band") && col("d.key") === col("b.key") &&
           col("d.lang") === col("b.lang"))
       .select(col("d.doc_id").as("delta_id"), col("b.doc_id").as("base_id"))
       .distinct()
+    val pairs = excludeBase.fold(pairs0)(ex =>
+      pairs0.join(ex.select(col("doc_id").as("base_id")),
+        Seq("base_id"), "left_anti"))
+    fuzzyJaccardConfirm(pairs
       .join(dSh.select(col("doc_id").as("delta_id"), col("sh").as("sh_a")),
         "delta_id")
       .join(bSh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
         "base_id"), threshold)
       .select(col("delta_id").as("doc_id")).distinct()
+  }
 
   /** Within-batch keep-first drops: only the HIGHER id of a confirmed
     * pair is the duplicate.
@@ -1127,6 +1275,188 @@ object Text {
         coalesce(col("b2_vs_upserted"), lit(0L)).as("b2_vs_upserted"),
         coalesce(col("b2_in_batch"), lit(0L)).as("b2_in_batch"),
         coalesce(col("b2_admitted"), lit(0L)).as("b2_admitted"),
+        col("first_admitted"))
+      .orderBy("lang")
+  }
+
+  /** Live fraction (×100, exact integers) below which a language's
+    * standing rows are physically compacted by
+    * [[fuzzyBuildDeleteOverlay]] — the ivfCompactLivePct analog.
+    */
+  private[graft] val fuzzyCompactLivePct = 75
+
+  /** Deterministic carve of DELETED base docs: half of zh (so zh falls
+    * under [[fuzzyCompactLivePct]] and exercises the physical-compaction
+    * path) and 1/17 of every other language (which stays above it and
+    * exercises the tombstone merge-on-read path) — both branches run on
+    * every corpus, the ivfDeadCond discipline.
+    */
+  private def fuzzyDeadCond(id: org.apache.spark.sql.Column,
+      lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (lang === "zh" && pmod(id, lit(2)) === 1) ||
+      (lang =!= "zh" && pmod(id, lit(17)) === 3)
+
+  // overlay tables -> (sfDir, numSlots, bandSize) that built them
+  private val fuzzyDelFor =
+    scala.collection.concurrent.TrieMap[String, (String, Int, Int)]()
+
+  /** DELETE from the standing fuzzy index (the `remove_ids` half of the
+    * index lifecycle, completing build / upsert / delete — the
+    * ivfBuildDeleteIndex treatment for dedup). Tombstoned base docs
+    * ([[fuzzyDeadCond]]) are written to a bucketed tombstone table; a
+    * language whose live fraction falls below [[fuzzyCompactLivePct]]
+    * (exact integer comparison) has its LIVE band/shingle rows
+    * physically rewritten into overlay bucketed tables and is served
+    * from those, while languages above the threshold keep the standing
+    * tables and filter tombstoned partners at candidate level (the
+    * FAISS IDSelector shape). The shared standing tables are never
+    * mutated — other queries' semantics depend on them (the ivf_del
+    * overlay discipline).
+    */
+  def fuzzyBuildDeleteOverlay(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): Unit = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir)
+    val m = incrementalDeltaMod
+    val base = tokenizedDocs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(m)) =!= 0)
+      .select("doc_id", "lang")
+    graft.Layout.saveBucketed(
+      base.filter(fuzzyDeadCond(col("doc_id"), col("lang"))),
+      "graft_fuzzy_tomb", 8, Seq("doc_id"))
+    val tombs = spark.table("graft_fuzzy_tomb")
+    val compLangs = base.groupBy("lang")
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(fuzzyDeadCond(col("doc_id"), col("lang")), 1L).otherwise(0L))
+          .as("n_dead"))
+      .filter((col("n_base") - col("n_dead")) * 100 <
+        col("n_base") * fuzzyCompactLivePct)
+      .select("lang")
+    graft.Layout.saveBucketed(
+      spark.table("graft_fuzzy_bands_bq")
+        .join(compLangs, Seq("lang"), "left_semi")
+        .join(tombs.select("doc_id"), Seq("doc_id"), "left_anti"),
+      "graft_fuzzy_bands_del", 8, Seq("band", "key", "lang"))
+    graft.Layout.saveBucketed(
+      spark.table("graft_fuzzy_sh_bq")
+        .join(spark.table("graft_fuzzy_bands_del").select("doc_id"),
+          Seq("doc_id"), "left_semi"),
+      "graft_fuzzy_sh_del", 8, Seq("doc_id"))
+  }
+
+  /** Build-once accessor for the delete overlay (the ensureFuzzyIndex
+    * memo discipline).
+    */
+  private[graft] def ensureFuzzyDeleteOverlay(spark: SparkSession,
+      dir: String, numSlots: Int = 16, bandSize: Int = 4): Unit =
+    synchronized {
+      val want = (dir, numSlots, bandSize)
+      if (!(fuzzyDelFor.get("graft_fuzzy_bands_del").contains(want) &&
+          spark.catalog.tableExists("graft_fuzzy_bands_del") &&
+          spark.catalog.tableExists("graft_fuzzy_sh_del") &&
+          spark.catalog.tableExists("graft_fuzzy_tomb"))) {
+        fuzzyDelFor.remove("graft_fuzzy_bands_del")
+        fuzzyBuildDeleteOverlay(spark, dir, numSlots, bandSize)
+        fuzzyDelFor("graft_fuzzy_bands_del") = want
+      }
+    }
+
+  /** Delta admission against the POST-DELETE index state — the oracle'd
+    * `dd_incremental_fuzzy_delete` entry. Per language:
+    *
+    *   - `n_base` / `n_dead` / `compacted`: base occupancy, tombstone
+    *     count, and whether this language crossed the
+    *     [[fuzzyCompactLivePct]] compaction threshold (pure integer
+    *     arithmetic — the oracle recomputes it without seeing the
+    *     physical layout);
+    *   - `n_dropped_vs_base`: delta docs dropped against a LIVE base
+    *     partner — compacted languages read the overlay tables (which
+    *     hold only live rows), the rest read the standing tables with
+    *     tombstoned partners dropped at candidate level;
+    *   - `n_dropped_in_delta` / `n_admitted` / `first_admitted`: the
+    *     usual within-batch keep-first and admission audit;
+    *   - `n_rescued`: ADMITTED delta docs that have a confirmed
+    *     near-dup match among the DELETED docs — docs the pre-delete
+    *     index would have dropped. Nonzero `n_rescued` is the
+    *     observable proof the delete changed admission semantics
+    *     (spec-pinned on a planted corpus). The rescue leg reads the
+    *     standing tables semi-joined to the tombstones; it exists for
+    *     the audit/oracle — a production serve runs only the live legs.
+    *
+    * Scale shape: everything is the standing-index probe cost plus a
+    * tombstone anti/semi join on the (already small) candidate pair
+    * set; the compaction rewrite is bounded by the compacted languages'
+    * row share and happens once at build, not per search.
+    */
+  def ddIncrementalFuzzyDelete(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir)
+    ensureFuzzyDeleteOverlay(spark, dir, numSlots, bandSize)
+    val m = incrementalDeltaMod
+    def isDelta(c: org.apache.spark.sql.Column) = pmod(c, lit(m)) === 0
+    val delta = tokenizedDocs(spark, dir).filter(isDelta(col("doc_id")))
+    val (dBands0, dSh0) = fuzzyBandsAndShingles(delta, numSlots, bandSize)
+    // four admission legs share these — scoped-cache (the expensive-
+    // join-key rule)
+    val dBands = graft.Caches.scoped("fuzzy_del.dbands", dBands0)
+    val dSh = graft.Caches.scoped("fuzzy_del.dsh", dSh0)
+    val tombs = spark.table("graft_fuzzy_tomb")
+    val stat = tokenizedDocs(spark, dir)
+      .filter(!isDelta(col("doc_id")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_base"),
+        sum(when(fuzzyDeadCond(col("doc_id"), col("lang")), 1L).otherwise(0L))
+          .as("n_dead"))
+      .withColumn("compacted", (col("n_base") - col("n_dead")) * 100 <
+        col("n_base") * fuzzyCompactLivePct)
+    val statC = graft.Caches.scoped("fuzzy_del.stat", stat)
+    val compLangs = statC.filter(col("compacted")).select("lang")
+    // live drops: overlay for compacted langs, standing minus tombstoned
+    // partners for the rest
+    val vsLiveStanding = fuzzyVsIndexDrops(dBands, dSh,
+      spark.table("graft_fuzzy_bands_bq")
+        .join(compLangs, Seq("lang"), "left_anti"),
+      spark.table("graft_fuzzy_sh_bq"), threshold,
+      excludeBase = Some(tombs.select("doc_id")))
+    val vsLiveOverlay = fuzzyVsIndexDrops(dBands, dSh,
+      spark.table("graft_fuzzy_bands_del"),
+      spark.table("graft_fuzzy_sh_del"), threshold)
+    val vsLive = vsLiveStanding.unionByName(vsLiveOverlay).distinct()
+      .withColumn("prio", lit(3))
+    val inBatch = fuzzySelfDrops(dBands, dSh, threshold)
+      .withColumn("prio", lit(1))
+    val dropped = vsLive.unionByName(inBatch)
+      .groupBy("doc_id").agg(max("prio").as("prio"))
+    // rescue audit: confirmed matches against the DELETED docs only
+    val vsDead = fuzzyVsIndexDrops(dBands, dSh,
+      spark.table("graft_fuzzy_bands_bq")
+        .join(tombs.select("doc_id"), Seq("doc_id"), "left_semi"),
+      spark.table("graft_fuzzy_sh_bq"), threshold)
+      .withColumn("dead_match", lit(true))
+    val audit = docs(spark, dir).filter(isDelta(col("doc_id")))
+      .select("doc_id", "lang")
+      .join(dropped, Seq("doc_id"), "left")
+      .join(vsDead, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_delta_docs"),
+        sum(when(col("prio") === 3, 1L).otherwise(0L)).as("n_dropped_vs_base"),
+        sum(when(col("prio") === 1, 1L).otherwise(0L)).as("n_dropped_in_delta"),
+        sum(when(col("prio").isNull, 1L).otherwise(0L)).as("n_admitted"),
+        sum(when(col("prio").isNull && col("dead_match") === true, 1L)
+          .otherwise(0L)).as("n_rescued"),
+        min(when(col("prio").isNull, col("doc_id"))).as("first_admitted"))
+    statC.join(audit, Seq("lang"), "full_outer")
+      .select(col("lang"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_dead"), lit(0L)).as("n_dead"),
+        coalesce(col("compacted"), lit(false)).as("compacted"),
+        coalesce(col("n_delta_docs"), lit(0L)).as("n_delta_docs"),
+        coalesce(col("n_dropped_vs_base"), lit(0L)).as("n_dropped_vs_base"),
+        coalesce(col("n_dropped_in_delta"), lit(0L)).as("n_dropped_in_delta"),
+        coalesce(col("n_admitted"), lit(0L)).as("n_admitted"),
+        coalesce(col("n_rescued"), lit(0L)).as("n_rescued"),
         col("first_admitted"))
       .orderBy("lang")
   }

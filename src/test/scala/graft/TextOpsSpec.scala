@@ -1072,4 +1072,170 @@ class TextOpsSpec extends SparkSpec {
     // deterministic under re-execution
     assert(Text.pipelineMergeSnapshot(spark, sf001).collect().toSeq == rows.toSeq)
   }
+
+  test("fuzzy delete: deleted partners stop blocking admission, planted corpus") {
+    // The natural corpora have no delta docs whose ONLY near-dup partner
+    // is tombstoned (measured: n_rescued = 0 at every sf), so the rescue
+    // mechanism is pinned on a planted corpus. zh base: doc 1 (odd ->
+    // dead), doc 2 (live) -> 1 live of 2 = 50% < 75% -> compacted. en
+    // base: doc 3 (%17=3 -> dead), docs 4/6/7 live -> 75% not< 75% ->
+    // tombstone path. zh delta: doc 5 dups DEAD doc 1 (rescued), doc 10
+    // dups LIVE doc 2 (dropped). en delta: doc 15 dups DEAD doc 3
+    // (rescued), doc 20 dups live doc 4 (dropped), docs 25/30 dup each
+    // other (keep-first). Both compaction branches and the rescue fire
+    // in one corpus.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-dddel").toString
+    Seq(
+      (1L, "a b c d e f g h", "zh", "src1"),
+      (2L, "k l m n o p q r", "zh", "src1"),
+      (5L, "a b c d e f g h", "zh", "src1"),
+      (10L, "k l m n o p q r", "zh", "src1"),
+      (3L, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "src1"),
+      (4L, "r1 r2 r3 r4 r5 r6 r7 r8", "en", "src1"),
+      (6L, "s1 s2 s3 s4 s5 s6 s7 s8", "en", "src1"),
+      (7L, "t1 t2 t3 t4 t5 t6 t7 t8", "en", "src1"),
+      (15L, "q1 q2 q3 q4 q5 q6 q7 q8", "en", "src1"),
+      (20L, "r1 r2 r3 r4 r5 r6 r7 r8", "en", "src1"),
+      (25L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "src1"),
+      (30L, "u1 u2 u3 u4 u5 u6 u7 u8", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.ddIncrementalFuzzyDelete(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val zh = rows("zh")
+    assert(zh.getAs[Long]("n_base") == 2 && zh.getAs[Long]("n_dead") == 1)
+    assert(zh.getAs[Boolean]("compacted"), "zh at 50% live must compact")
+    assert(zh.getAs[Long]("n_dropped_vs_base") == 1, "doc 10 vs live doc 2")
+    assert(zh.getAs[Long]("n_admitted") == 1 && zh.getAs[Long]("n_rescued") == 1,
+      "doc 5's only partner (doc 1) is deleted - it must be admitted")
+    assert(zh.getAs[Long]("first_admitted") == 5L)
+    val en = rows("en")
+    assert(en.getAs[Long]("n_base") == 4 && en.getAs[Long]("n_dead") == 1)
+    assert(!en.getAs[Boolean]("compacted"), "en at 75% live must NOT compact")
+    assert(en.getAs[Long]("n_dropped_vs_base") == 1, "doc 20 vs live doc 4")
+    assert(en.getAs[Long]("n_dropped_in_delta") == 1, "doc 30 keep-first behind 25")
+    assert(en.getAs[Long]("n_admitted") == 2 && en.getAs[Long]("n_rescued") == 1,
+      "doc 15's only partner (doc 3) is deleted - rescued; doc 25 plain-admitted")
+    assert(en.getAs[Long]("first_admitted") == 15L)
+  }
+
+  test("fuzzy delete: overlay holds only live compacted-lang rows; standing tables untouched") {
+    Text.ddIncrementalFuzzyDelete(spark, sf001).collect() // ensure builds
+    val tombs = spark.table("graft_fuzzy_tomb")
+    val overlay = spark.table("graft_fuzzy_bands_del")
+    // the overlay is exactly the compacted languages' live rows
+    assert(overlay.select("lang").distinct().collect().map(_.getString(0)).toSet
+      == Set("zh"), "only zh crosses the 75% live threshold at sf0.01")
+    assert(overlay.join(tombs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .count() == 0, "no tombstoned doc may appear in the overlay")
+    // the SHARED standing tables still hold every tombstoned doc - the
+    // delete must never mutate them (other queries' semantics depend on
+    // the full corpus)
+    val deadInStanding = spark.table("graft_fuzzy_bands_bq")
+      .join(tombs.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select("doc_id").distinct().count()
+    assert(deadInStanding == tombs.count(),
+      "standing band table must still hold all tombstoned docs")
+  }
+
+  test("dd_substring: run length, span and coverage hand-computed on a planted corpus") {
+    // width 8. doc 0 and doc 1 share the 9-token span "a..i": doc 0 has
+    // dup positions {0,1} (one run of 2 -> span 2+7=9, coverage 8+1=9),
+    // doc 1 has {1,2} (same). doc 2 repeats its own 8-token prefix at
+    // the end: dup positions {0,8}, two runs of 1 (span 8), gap 8 means
+    // both spans contribute fully (coverage 16). doc 3 is unique filler
+    // with exactly one position.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddsub").toString
+    Seq(
+      (0L, "a b c d e f g h i j", "en", "src1"),
+      (1L, "x a b c d e f g h i y", "en", "src1"),
+      (2L, "p q r s t u v w p q r s t u v w", "en", "src1"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.ddSubstring(spark, dir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Long]("n_pos"), x.getAs[Long]("n_dup_pos"),
+          x.getAs[Long]("max_dup_span_tokens"),
+          x.getAs[Long]("dup_covered_tokens"))).toMap
+    assert(r(0L) == ((3L, 2L, 9L, 9L)))
+    assert(r(1L) == ((4L, 2L, 9L, 9L)))
+    assert(r(2L) == ((9L, 2L, 8L, 16L)))
+    assert(r(3L) == ((1L, 0L, 0L, 0L)))
+  }
+
+  test("dd_substring finds spans on the natural corpus; coverage bounds hold") {
+    val rows = Text.ddSubstring(spark, sf001).collect()
+    assert(rows.exists(_.getAs[Long]("n_dup_pos") > 0),
+      "the corpus plants near-duplicate docs - spans must be found")
+    rows.foreach { r =>
+      val (nPos, nDup) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_dup_pos"))
+      val (span, cov) = (r.getAs[Long]("max_dup_span_tokens"),
+        r.getAs[Long]("dup_covered_tokens"))
+      assert(nDup <= nPos)
+      // a doc with D dup positions covers between max(span, D) and D*width
+      // tokens; the longest span is at most the doc's token count
+      if (nDup == 0) assert(span == 0 && cov == 0)
+      else {
+        assert(span >= 8 && cov >= span, r.toString)
+        assert(cov <= nDup * 8, r.toString)
+        assert(span <= nPos + 7, r.toString)
+      }
+    }
+  }
+
+  test("tx_pii_redact: planted PII is counted per kind and redacted byte-exactly") {
+    // doc 0 hits all three moduli (email+phone+ip), doc 35 hits %5 and
+    // %7 (email+phone), doc 3 hits none. The expected redacted strings
+    // are written out literally and folded through the same 64-bit
+    // convention - so this pins detection, replacement text and the
+    // audit fold in one shot.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pii").toString
+    Seq(
+      (0L, "w1 w2", "en", "src1"),
+      (3L, "w3 w4", "en", "src1"),
+      (35L, "w5 w6", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txPiiRedact(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") == 3)
+    assert(r.getAs[Long]("n_docs_with_pii") == 2)
+    assert(r.getAs[Long]("n_emails") == 2)
+    assert(r.getAs[Long]("n_phones") == 2)
+    assert(r.getAs[Long]("n_ips") == 1)
+    val expected = Seq(
+      "w1 w2 contact <EMAIL> call <PHONE> now from <IP>",
+      "w3 w4",
+      "w5 w6 contact <EMAIL> call <PHONE> now")
+      .toDF("red")
+      .withColumn("hd", expr("md5(cast(red AS BINARY))"))
+      .agg(expr(
+        """bit_xor((CASE WHEN CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) >= 2147483648
+          |  THEN CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) - 4294967296
+          |  ELSE CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) END) * 4294967296
+          |  + CAST(conv(substring(hd, 9, 8), 16, 10) AS BIGINT))""".stripMargin))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("redacted_xor") == expected)
+  }
+
+  test("tx_pii_redact on the natural corpus: every planted modulus fires") {
+    val rows = Text.txPiiRedact(spark, sf001)
+    val t = rows.agg(sum("n_docs").as("n"), sum("n_emails").as("e"),
+      sum("n_phones").as("p"), sum("n_ips").as("i")).collect().head
+    val docs = Tables(spark, sf001, "documents")
+    assert(t.getAs[Long]("e") == docs.filter(col("doc_id") % 5 === 0).count())
+    assert(t.getAs[Long]("p") == docs.filter(col("doc_id") % 7 === 0).count())
+    assert(t.getAs[Long]("i") == docs.filter(col("doc_id") % 11 === 0).count())
+  }
 }
