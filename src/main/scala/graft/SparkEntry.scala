@@ -160,6 +160,8 @@ object SparkEntry {
     "sim_ivf_delete" -> ((s, d) => Similarity.simIvfDelete(s, d)),
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
+    "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
+    "sim_pq_adc_deleted" -> ((s, d) => Similarity.simPqAdcDeleted(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
     "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
     "sim_ivf_ann_retrained" -> ((s, d) => Similarity.simIvfAnnRetrained(s, d)),
@@ -410,6 +412,44 @@ object SparkEntry {
        |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
        |FROM bc FULL OUTER JOIN dc ON bc.s = dc.s AND bc.code = dc.code
        |ORDER BY s, code""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simPqDelete]]: the shared
+    * training/encode chain, then per-(subspace, codeword) base / dead /
+    * live occupancy with the dead set derived purely from the carve
+    * arithmetic — the Spark side recounts `n_live` from the physically
+    * rewritten overlay, so a hash match proves the rewrite's content.
+    */
+  private def pqDeleteSql: String =
+    s"""$pqAdcCtes,
+       |bc AS (SELECT s, code, count(*) AS n_base FROM codes GROUP BY 1, 2),
+       |dd AS (SELECT s, code, count(*) AS n_dead FROM codes
+       |       WHERE vec_id % ${Similarity.pqDelMod} = ${Similarity.pqDelRem} GROUP BY 1, 2),
+       |lv AS (SELECT s, code, count(*) AS n_live FROM codes
+       |       WHERE vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem} GROUP BY 1, 2)
+       |SELECT bc.s, bc.code, n_base,
+       |  coalesce(n_dead, 0) AS n_dead, coalesce(n_live, 0) AS n_live
+       |FROM bc LEFT JOIN dd ON bc.s = dd.s AND bc.code = dd.code
+       |LEFT JOIN lv ON bc.s = lv.s AND bc.code = lv.code
+       |ORDER BY bc.s, bc.code""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simPqAdcDeleted]]: the
+    * shared chain's ADC re-derived over the LIVE codes only (the carve
+    * arithmetic replaces the physical overlay), same ranking text.
+    */
+  private def pqAdcDeletedSql: String =
+    s"""$pqAdcCtes,
+       |dadist AS (
+       |  SELECT qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM codes c JOIN qdt ON c.s = qdt.s AND c.code = qdt.cid AND c.vec_id <> qdt.qid
+       |  WHERE c.vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem}
+       |  GROUP BY 1, 2),
+       |dranked AS (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM dadist)
+       |SELECT qid, vec_id, adc, rnk FROM dranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqRerank]]: the shared
     * ADC chain cut at the shortlist depth, exact full-dim squared L2 on
@@ -2451,6 +2491,8 @@ object SparkEntry {
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     "sim_pq_upsert" -> pqUpsertSql,
+    "sim_pq_delete" -> pqDeleteSql,
+    "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "sim_ivf_ann_retrained" -> ivfAnnRetrainedSql,

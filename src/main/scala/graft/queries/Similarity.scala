@@ -907,6 +907,104 @@ object Similarity {
       .orderBy("s", "code")
   }
 
+  /** Deterministic carve of DELETED vectors for the PQ lifecycle
+    * (~1/4 of the corpus — enough that the post-delete search visibly
+    * differs from the base search at every scale factor). A vector is
+    * deleted WHOLE (all m subspace codes), matching FAISS `remove_ids`
+    * on `IndexPQ` — there is no per-subspace deletion. Shared with the
+    * generated oracle SQL (the kmeansCtes discipline).
+    */
+  private[graft] val pqDelMod = 4
+  private[graft] val pqDelRem = 2
+
+  // pq_del overlay path -> sfDir that built it (the ensureIvfIndex shape)
+  private val pqDelIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Physically rewrite the PQ code table minus the tombstoned vectors
+    * — FAISS `IndexPQ.remove_ids`. Unlike the IVF delete (tombstones +
+    * per-cell threshold compaction), a FLAT code table has no pruning
+    * unit to mask behind: every search scans all codes, so serving a
+    * tombstone anti-join forever would tax every query for rows that
+    * can never match. The honest analog of `remove_ids` is the one-time
+    * physical rewrite — a single narrow pass over the ~2 B/vector code
+    * table (cheap at any scale) into an overlay dir; the shared
+    * standing index is never mutated (the ivf_del discipline).
+    */
+  def pqBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    val main = ensurePqIndex(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_del"
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.filter(col("vec_id") % pqDelMod === pqDelRem)
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    codes.join(spark.read.parquet(s"$base/tombstones")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  /** Build-once accessor for the post-delete PQ overlay (the
+    * ensureIvfDeleteIndex discipline: marker + memo invalidated BEFORE
+    * rebuilding, so a partial failure can never leave a mixed overlay
+    * later calls trust).
+    */
+  def ensurePqDeleteIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_del"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(pqDelIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        pqDelIndexFor.remove(base)
+        fs.delete(marker, false)
+        pqBuildDeleteIndex(spark, dir)
+        pqDelIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** PQ delete audit — per (subspace, codeword): base occupancy, dead
+    * rows (from the physical tombstone table), and LIVE rows recounted
+    * from the rewritten overlay code table (the sim_ivf_delete
+    * physical-measurement treatment). The oracle derives all three from
+    * the training chain plus the dead-carve arithmetic — a hash match
+    * proves the overlay holds exactly the base codes minus the deleted
+    * vectors, per codeword.
+    */
+  def simPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensurePqIndex(spark, dir)
+    val del = ensurePqDeleteIndex(spark, dir)
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.groupBy("s", "code").agg(count(lit(1)).as("n_base"))
+      .join(spark.read.parquet(s"$del/tombstones")
+        .groupBy("s", "code").agg(count(lit(1)).as("n_dead_t")),
+        Seq("s", "code"), "left")
+      .join(spark.read.parquet(s"$del/codes")
+        .groupBy("s", "code").agg(count(lit(1)).as("n_live_r")),
+        Seq("s", "code"), "left")
+      .select(col("s"), col("code"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"))
+      .orderBy("s", "code")
+  }
+
+  /** [[simPqAdcIndexed]] over the post-delete overlay: the frozen
+    * codebooks with the REWRITTEN code table — scoring arithmetic is
+    * [[pqAdcScore]] verbatim, so the DuckDB oracle (ADC over live codes
+    * from first principles) hash-matches the whole search, which also
+    * proves the rewrite lost no live code and no deleted vector can
+    * ever surface (it has no codes to score).
+    */
+  def simPqAdcDeleted(spark: SparkSession, dir: String, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    register(spark)
+    val main = ensurePqIndex(spark, dir)
+    val del = ensurePqDeleteIndex(spark, dir)
+    pqAdcScore(spark, dir,
+      spark.read.parquet(s"$main/codebooks"),
+      spark.read.parquet(s"$del/codes"), k, querySet)
+  }
+
   /** Asymmetric-distance (ADC) top-k search over the PQ codes (Jégou et
     * al. 2011, the standard PQ search): each query computes its EXACT
     * distance table to every subspace centroid (m·k tiny rows,

@@ -534,11 +534,31 @@ object Text {
     * count + replace are native string expressions — no UDF, no
     * shuffle until the tiny per-language rollup).
     */
-  def txPiiRedact(spark: SparkSession, dir: String): DataFrame = {
+  def txPiiRedact(spark: SparkSession, dir: String): DataFrame =
+    piiScrub(docs(spark, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
+          .otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_emails").cast("long")).as("n_emails"),
+        sum(col("n_phones").cast("long")).as("n_phones"),
+        sum(col("n_ips").cast("long")).as("n_ips"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("redacted_xor"))
+      .orderBy("lang")
+
+  /** The per-document PII scrub projection [[txPiiRedact]] aggregates —
+    * ONE definition shared with the streaming twin
+    * ([[graft.streaming.StreamingOps.piiScrubbedDocs]]): a pure
+    * stateless narrow projection (plant → count → replace → digest), so
+    * it runs unchanged under the streaming planner, and batch/stream
+    * per-document equality is spec-pinned. Emits the input columns plus
+    * (n_emails, n_phones, n_ips, red, hd).
+    */
+  private[graft] def piiScrub(d: DataFrame): DataFrame = {
     val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
     val phone = "\\d{3}-\\d{4}"
     val ip = "\\d+\\.\\d+\\.\\d+\\.\\d+"
-    val planted = docs(spark, dir).select(col("doc_id"), col("lang"),
+    d.select(col("doc_id"), col("lang"),
       concat(
         col("text"),
         when(pmod(col("doc_id"), lit(5)) === 0,
@@ -551,7 +571,6 @@ object Text {
         when(pmod(col("doc_id"), lit(11)) === 0,
           concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
             lit(".1"))).otherwise(lit(""))).as("text"))
-    planted
       .withColumn("n_emails", regexp_count(col("text"), lit(email)))
       .withColumn("n_phones", regexp_count(col("text"), lit(phone)))
       .withColumn("n_ips", regexp_count(col("text"), lit(ip)))
@@ -562,15 +581,6 @@ object Text {
             phone, "<PHONE>"),
           ip, "<IP>"))
       .withColumn("hd", expr("md5(cast(red AS BINARY))"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_emails") + col("n_phones") + col("n_ips") > 0, 1L)
-          .otherwise(0L)).as("n_docs_with_pii"),
-        sum(col("n_emails").cast("long")).as("n_emails"),
-        sum(col("n_phones").cast("long")).as("n_phones"),
-        sum(col("n_ips").cast("long")).as("n_ips"),
-        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("redacted_xor"))
-      .orderBy("lang")
   }
 
   /** The full corpus-preparation flow as ONE declarative plan — what an

@@ -415,6 +415,20 @@ object StreamingOps {
       (col("score") > 0.5d).as("pass"))
   }
 
+  /** Streaming twin of [[graft.queries.Text.txPiiRedact]]'s scrub: the
+    * SAME shared per-document projection (`Text.piiScrub` — plant →
+    * regex count → replace → digest, a pure stateless narrow stage, so
+    * the streaming planner runs it unchanged and no watermark or state
+    * is needed) applied to a landing document stream — scrub-at-ingest,
+    * the shape every PII pipeline wants so raw text never reaches the
+    * lake. Emits per-doc (doc_id, lang, counts, redacted digest);
+    * batch/stream equality is StreamingSpec-pinned.
+    */
+  def piiScrubbedDocs(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.piiScrub(docsStream)
+      .select(col("doc_id"), col("lang"), col("n_emails"), col("n_phones"),
+        col("n_ips"), col("hd"))
+
   /** The standing model's weight vector for [[qualityScoredDocs]] —
     * ensures the index, then collects the 1-row weights table (D
     * doubles of index metadata).

@@ -72,4 +72,50 @@ class IvfDeleteSpec extends SparkSpec {
     assert(lostLive.isEmpty, s"live ids lost by the delete machinery: $lostLive")
   }
   }
+
+  // ---- PQ delete (the flat-index remove_ids analog: physical rewrite) ----
+
+  private val pqDir = "/root/testdata/sf0.01"
+
+  private def pqIsDead(id: Long): Boolean =
+    id % Similarity.pqDelMod == Similarity.pqDelRem
+
+  test("pq delete audit: overlay content is exactly base minus the carve") {
+    val rows = Similarity.simPqDelete(spark, pqDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (base, dead, live) = (r.getAs[Long]("n_base"),
+        r.getAs[Long]("n_dead"), r.getAs[Long]("n_live"))
+      assert(live == base - dead,
+        s"(s=${r.getAs[Int]("s")}, code=${r.getAs[Long]("code")}): " +
+          s"live $live != base $base - dead $dead")
+    }
+    assert(rows.exists(_.getAs[Long]("n_dead") > 0),
+      "the carve must tombstone something")
+    // the physically rewritten overlay holds no deleted vector's codes
+    val del = spark.conf.get("spark.sql.warehouse.dir") + "/pq_del"
+    import org.apache.spark.sql.functions.col
+    assert(spark.read.parquet(s"$del/codes")
+      .filter(col("vec_id") % Similarity.pqDelMod === Similarity.pqDelRem)
+      .count() == 0, "overlay code table must hold no dead vec_id")
+  }
+
+  test("pq deleted search never surfaces a deleted id and loses no live id") {
+    val full = Similarity.simPqAdcIndexed(spark, pqDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    val deleted = Similarity.simPqAdcDeleted(spark, pqDir, k = 5).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    assert(deleted.nonEmpty)
+    deleted.foreach { case (_, id) =>
+      assert(!pqIsDead(id), s"deleted id $id surfaced in the ADC search")
+    }
+    // ADC scores are per-(query, vector) and independent of other
+    // vectors: removing members can only admit new ids, never evict a
+    // live survivor
+    val deletedSet = deleted.toSet
+    val lostLive = full.filter { case (qid, id) =>
+      !pqIsDead(id) && !deletedSet((qid, id))
+    }
+    assert(lostLive.isEmpty, s"live ids lost by the PQ delete: $lostLive")
+  }
 }

@@ -388,4 +388,28 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("id_sum"))).toSet
     assert(got == batch, s"streamed $got != batch $batch")
   }
+
+  test("streaming PII scrub equals the batch projection per document") {
+    val sf = "/root/testdata/sf0.01"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-pii-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val q = StreamingOps
+      .piiScrubbedDocs(StreamingOps.readDocumentsStream(spark, docsDir.toString))
+      .writeStream.format("memory").queryName("pii_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_emails"),
+        r.getAs[Int]("n_phones"), r.getAs[Int]("n_ips"),
+        r.getAs[String]("hd"))).toSet
+    val streamed = asSet(spark.table("pii_stream"))
+    val batch = asSet(graft.queries.Text.piiScrub(Tables(spark, sf, "documents"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "hd"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed scrub (${streamed.size} docs) must equal batch")
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0) &&
+      streamed.exists(_._4 > 0), "every planted PII kind must fire")
+  }
 }
