@@ -35,10 +35,17 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *     `{"metric":"query","name":...,"min":...,"runs":[...]}` — a timeout
   *     now leaves a usable per-query record in the captured tail.
   *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 480) is a wall-clock budget:
-  *     once exceeded, remaining queries drop to 1 run and later sessions
-  *     are skipped; the summary then carries `"truncated":true`. The
-  *     budget never skips a query outright — session 1 always measures
-  *     all of them at least once, so the artifact keeps full coverage.
+  *     sessions starting past half of it run 1 run/query (degrade, never
+  *     skip — two `session_totals` entries always survive); only past the
+  *     FULL budget do remaining queries drop to 1 run and the summary
+  *     carry `"truncated":true`. Session 1 always measures every query at
+  *     least once, so the artifact keeps full coverage. Repeat runs also
+  *     stop early once they CONVERGE (run N not >10% under run N-1):
+  *     warm-up repeats exist to reach the steady min, and holding the
+  *     full count after convergence was pure wall (measured: a flat
+  *     run-count cut instead inflated pooled mins ~14% — cold single
+  *     runs are not comparable to warmed mins, so the ladder idea was
+  *     reverted for this).
   *   - A JVM shutdown hook prints the summary-so-far (marked truncated) if
   *     the process is killed before the normal summary line, so even a
   *     driver-side SIGTERM yields a parseable final artifact.
@@ -232,6 +239,18 @@ object Bench {
         var stop = false
         while (r <= effRuns && !stop) {
           if (r > 1 && elapsedS > budgetS) { truncated = true; stop = true }
+          // convergence early-stop: a further repeat only pays off while
+          // the runs are still descending (JIT/codegen warm-up). Once
+          // run N stops beating run N-1 by >10%, the min is as warm as
+          // it gets — skip the remaining repeats. Cuts ~1 run/query of
+          // wall (the r9 suite outgrew the budget) WITHOUT the cold-min
+          // inflation a flat run-count cut causes: mins keep warm-run
+          // fidelity, so cross-round comparisons and the regression
+          // tripwire stay meaningful.
+          else if (r > 2 && runs.length >= 2 && runs(runs.length - 1)._1 >
+              runs(runs.length - 2)._1 * 0.9) {
+            stop = true
+          }
           else {
             // every run pays scoped-cache population: warm cached reads in
             // runs 2..N are not the number a cold cluster would see

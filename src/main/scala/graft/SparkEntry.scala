@@ -113,6 +113,7 @@ object SparkEntry {
     "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
     "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
     "tx_model_quality_indexed" -> ((s, d) => Text.txModelQualityIndexed(s, d)),
+    "tx_model_quality_eval" -> ((s, d) => Text.txModelQualityEval(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
@@ -122,6 +123,7 @@ object SparkEntry {
     "dd_incremental_fuzzy_delete" -> ((s, d) => Text.ddIncrementalFuzzyDelete(s, d)),
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "dd_substring" -> ((s, d) => Text.ddSubstring(s, d)),
+    "dd_substring_cut" -> ((s, d) => Text.ddSubstringCut(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
@@ -1171,6 +1173,47 @@ object SparkEntry {
   private def modelQualitySql: String = {
     val d = Text.mqBuckets
     val rounds = Text.mqRounds
+    s"""WITH $mqCtes,
+       |sc AS (
+       |  SELECT f.doc_id, f.lang, f.source,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) AS score
+       |  FROM fx f, tw$rounds)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY doc_id)), (a, b2) -> a + b2) / CAST(count(*) AS DOUBLE) AS mean_score
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Text.txModelQualityEval]]: the same
+    * unrolled training chain ([[mqCtes]] — shared verbatim with the
+    * train-per-call and indexed oracles), then the held-out slice's
+    * exact-integer confusion matrix against the source-derived label.
+    */
+  private def modelQualityEvalSql: String = {
+    val d = Text.mqBuckets
+    val rounds = Text.mqRounds
+    s"""WITH $mqCtes,
+       |sc AS (
+       |  SELECT f.doc_id, f.lang, f.y,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) AS score
+       |  FROM fx f, tw$rounds
+       |  WHERE f.doc_id % ${Text.mqTrainMod} <> 0)
+       |SELECT lang, count(*) AS n_eval,
+       |  CAST(sum(CASE WHEN score > 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN score > 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN score <= 0.5 AND y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+       |  CAST(sum(CASE WHEN score <= 0.5 AND y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** The shared unrolled training chain (features → train slice →
+    * gradient rounds to `tw{rounds}`) — one generator for the
+    * train-per-call, indexed and eval oracles (the kmeansCtes
+    * discipline).
+    */
+  private def mqCtes: String = {
+    val d = Text.mqBuckets
+    val rounds = Text.mqRounds
     val prefix =
       s"""fx AS (
          |  SELECT doc_id, lang, source,
@@ -1203,16 +1246,8 @@ object SparkEntry {
          |    w[j] - CAST(${Text.mqLr} AS DOUBLE) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ds, t -> CAST(2 AS DOUBLE) * t.err * t.x[j])), (a, b2) -> a + b2) / CAST(n AS DOUBLE)) AS w
          |  FROM a$r, tw${r - 1})""".stripMargin
     }
-    s"""WITH $prefix,
-       |${steps.mkString(",\n")},
-       |sc AS (
-       |  SELECT f.doc_id, f.lang, f.source,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) AS score
-       |  FROM fx f, tw$rounds)
-       |SELECT lang, source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY doc_id)), (a, b2) -> a + b2) / CAST(count(*) AS DOUBLE) AS mean_score
-       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    s"""$prefix,
+       |${steps.mkString(",\n")}""".stripMargin
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -1993,6 +2028,45 @@ object SparkEntry {
         |  coalesce(cv.covered, 0) AS dup_covered_tokens
         |FROM b LEFT JOIN rl USING (doc_id) LEFT JOIN cv USING (doc_id)
         |ORDER BY doc_id""".stripMargin,
+    // ExactSubstr CUT: keep-first via the same rn = 1 rule as
+    // dd_paragraph; covered token indexes from the removable positions'
+    // flattened ranges; the rebuilt text's 64-bit fold proves the cut
+    // byte-for-byte.
+    "dd_substring_cut" ->
+      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+        |o AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 8 + 1),
+        |    i -> {'pos': i, 'sg': array_to_string(toks[i + 1 : i + 8], ' ')})) AS u
+        |  FROM d WHERE len(toks) >= 8),
+        |q AS (SELECT doc_id, u.pos AS pos, u.sg AS sg FROM o),
+        |r2 AS (SELECT doc_id, pos,
+        |    count(*) OVER (PARTITION BY sg) AS c,
+        |    row_number() OVER (PARTITION BY sg ORDER BY doc_id, pos) AS rn
+        |  FROM q),
+        |rp AS (SELECT doc_id, list(pos ORDER BY pos) AS rpos
+        |  FROM r2 WHERE c > 1 AND rn > 1 GROUP BY 1),
+        |f AS (SELECT d.doc_id, d.lang, d.toks,
+        |    coalesce(rp.rpos, CAST([] AS BIGINT[])) AS rpos
+        |  FROM d LEFT JOIN rp USING (doc_id)),
+        |g AS (SELECT doc_id, lang, toks,
+        |    list_distinct(flatten(list_transform(rpos, p -> range(p, p + 8)))) AS cov
+        |  FROM f),
+        |k AS (SELECT doc_id, lang, len(toks) AS n_in, len(cov) AS n_cut,
+        |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+        |    -- concat_ws of an empty array is '' - an ALL-cut document
+        |    -- (a full duplicate) must hash md5('') in both engines
+        |    md5(coalesce(array_to_string(list_filter(list_transform(range(0, len(toks)), i ->
+        |      CASE WHEN list_contains(cov, i) THEN NULL ELSE toks[i + 1] END),
+        |      t -> t IS NOT NULL), ' '), '')) AS hd
+        |  FROM g)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+        |  CAST(sum(n_in) AS BIGINT) AS tokens_in,
+        |  CAST(sum(n_cut) AS BIGINT) AS tokens_cut,
+        |  bit_xor((CASE WHEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) >= 2147483648
+        |        THEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) - 4294967296
+        |        ELSE CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) END) * 4294967296
+        |    + CAST(('0x' || substr(hd, 9, 8)) AS BIGINT)) AS rebuilt_xor
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // Same MinHashBands replication as pipeline_clean_corpus (see above).
     "dd_ngram_jaccard" ->
       """WITH d AS (
@@ -2178,6 +2252,7 @@ object SparkEntry {
     // the standing-model twin shares the oracle verbatim (training is
     // deterministic — the ivfAnnSql sharing rule)
     "tx_model_quality_indexed" -> modelQualitySql,
+    "tx_model_quality_eval" -> modelQualityEvalSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -583,6 +583,66 @@ object Text {
       .withColumn("hd", expr("md5(cast(red AS BINARY))"))
   }
 
+  /** The REWRITE half of the ExactSubstr pass — [[ddSubstring]] measures
+    * duplicated spans; this CUTS them, which is what Lee et al. 2021
+    * actually do to the corpus ("remove all but one occurrence"): an
+    * occurrence of a `width`-token shingle is REMOVABLE when the shingle
+    * occurs more than once corpus-wide and this occurrence is not the
+    * corpus-wide first (min (doc_id, pos) — the keep-first rule of
+    * [[ddParagraph]] at stride 1). Every token covered by a removable
+    * span is cut; each document is rebuilt from its surviving tokens in
+    * order. Per language: documents touched, exact token in/cut
+    * totals, and the full-64-bit md5 XOR of the REBUILT texts
+    * ([[md5SignedHash64Expr]]) — the oracle reconstructs the same texts
+    * from first principles, so a hash match proves the cut's bytes.
+    *
+    * Scale shape: occurrences are digested before the first exchange
+    * (text never shuffles); keep-first is the partial-aggregated
+    * min-struct + digest-keyed join-back (hot spans collapse map-side,
+    * never a corpus window); removable positions collect per document
+    * (bounded by doc length) and the rebuild is per-doc array
+    * arithmetic — interpreted HOFs, but over one document's tokens at a
+    * time, the [[pipelinePrepareCorpus]] rewrite's cost shape.
+    */
+  def ddSubstringCut(spark: SparkSession, dir: String,
+      width: Int = 8): DataFrame = {
+    require(width > 0)
+    val base = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+    val occ = base
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(0, size(toks) - $width),
+           |  i -> md5(cast(concat_ws(' ', slice(toks, i + 1, $width)) AS BINARY)))"""
+          .stripMargin)))
+      .select(col("doc_id"), col("pos"), col("col").as("h"))
+    val stats = occ.groupBy("h")
+      .agg(count(lit(1)).as("c"),
+        min(struct(col("doc_id"), col("pos"))).as("first"))
+    val removable = occ.join(stats, "h")
+      .filter(col("c") > 1 &&
+        !(col("doc_id") === col("first.doc_id") &&
+          col("pos") === col("first.pos")))
+      .groupBy("doc_id").agg(collect_list(col("pos")).as("rpos"))
+    base.select(col("doc_id"), col("lang"), col("toks"))
+      .join(removable, Seq("doc_id"), "left")
+      .withColumn("cov", expr(
+        s"""array_distinct(flatten(transform(coalesce(rpos, array()),
+           |  p -> sequence(p, p + ${width - 1}))))""".stripMargin))
+      .withColumn("kept", expr(
+        """filter(transform(sequence(0, size(toks) - 1),
+          |  i -> IF(array_contains(cov, i), CAST(NULL AS STRING), toks[i])),
+          |  t -> t IS NOT NULL)""".stripMargin))
+      .withColumn("hd", expr("md5(cast(concat_ws(' ', kept) AS BINARY))"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(size(col("cov")) > 0, 1L).otherwise(0L)).as("n_docs_cut"),
+        sum(size(col("toks")).cast("long")).as("tokens_in"),
+        sum(size(col("cov")).cast("long")).as("tokens_cut"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("rebuilt_xor"))
+      .orderBy("lang")
+  }
+
   /** The full corpus-preparation flow as ONE declarative plan — what an
     * LLM data job actually runs end-to-end, composing this module's
     * stages in their production order (each also oracle-checked alone):
@@ -2744,6 +2804,44 @@ object Text {
     spark.read.parquet(s"$base/weights")
       .createOrReplaceTempView("graft_mq_w")
     mqScoreReport(spark, dir)
+  }
+
+  /** HELD-OUT evaluation of the standing quality model — the other half
+    * of owning a trained filter (fastText/CCNet practice: report the
+    * classifier's confusion on data the gradient never saw, or the
+    * gate's behavior is an article of faith). The eval slice is the
+    * complement of the training carve (`doc_id % mqTrainMod != 0` —
+    * disjoint by construction), scored with the PERSISTED weights
+    * ([[ensureMqIndex]] — so this also exercises the model-serving
+    * path), gated at 0.5 against the source-derived label, and rolled
+    * up per language as an exact-integer confusion matrix (tp/fp/tn/fn
+    * — ratios are the reader's one division away; emitting none keeps
+    * every output value integer-exact). The oracle retrains the
+    * identical rounds in unrolled CTEs and derives the same matrix from
+    * first principles — a hash match proves persisted-weights serving
+    * equals train-then-eval semantics on held-out data.
+    */
+  def txModelQualityEval(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureMqIndex(spark, dir)
+    spark.read.parquet(s"$base/weights")
+      .createOrReplaceTempView("graft_mq_w")
+    val d = mqBuckets
+    mqFeatures(spark, dir)
+      .filter(pmod(col("doc_id"), lit(mqTrainMod)) =!= 0)
+      .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+      .withColumn("score", expr(
+        s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score") > 0.5d && col("y") === 1.0d, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("score") > 0.5d && col("y") === 0.0d, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("score") <= 0.5d && col("y") === 0.0d, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("score") <= 0.5d && col("y") === 1.0d, 1L).otherwise(0L))
+          .as("fn"))
+      .orderBy("lang")
   }
 
   /** The MERGE updates-batch carving rule — ONE set of constants for the

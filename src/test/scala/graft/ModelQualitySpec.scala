@@ -82,6 +82,63 @@ class ModelQualitySpec extends SparkSpec {
       "per-doc streamed scores must equal the batch scores bit for bit")
   }
 
+  test("held-out eval: matrix is consistent, slice disjoint from training") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Text.txModelQualityEval(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the matrix partitions the eval slice, and the eval slice is the
+    // exact complement of the training carve
+    val docs = Tables(spark, dir, "documents")
+    val heldOut = docs.filter(col("doc_id") % 3 =!= 0).count()
+    assert(rows.map(r => r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+      r.getAs[Long]("tn") + r.getAs[Long]("fn")).sum ==
+      rows.map(_.getAs[Long]("n_eval")).sum)
+    assert(rows.map(_.getAs[Long]("n_eval")).sum == heldOut,
+      "eval slice must be the complement of the doc_id % 3 = 0 carve")
+    // label identity: tp + fn = held-out src0 docs per lang
+    val srcByLang = docs.filter(col("doc_id") % 3 =!= 0 &&
+        col("source") === "src0")
+      .groupBy("lang").count().collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("tp") + r.getAs[Long]("fn") ==
+        srcByLang.getOrElse(r.getAs[String]("lang"), 0L),
+        s"positives mismatch for ${r.getAs[String]("lang")}")
+    }
+  }
+
+  test("held-out eval on the planted separable corpus: perfect matrix") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mq-eval").toString
+    // same corpus as the learning pin: only docs 1 (quality) and 2
+    // (noise) fall outside the % 3 = 0 training carve — the
+    // offline-simulated scores put 1 at 0.55 (> 0.5, true positive)
+    // and 2 at 0.21 (<= 0.5, true negative), so the held-out matrix
+    // is perfect: n_eval=2, tp=1, tn=1, fp=fn=0
+    Seq(
+      (0L, "q1 q2 q3 quality text h1", "en", "src0"),
+      (3L, "q2 q3 q4 quality text h2", "en", "src0"),
+      (6L, "q3 q4 q5 quality text h3", "en", "src0"),
+      (9L, "q4 q5 q6 quality text h4", "en", "src0"),
+      (1L, "q5 q6 q1 quality text h5", "en", "src0"),
+      (30L, "n1 n2 n3 noisy data z1", "en", "src1"),
+      (33L, "n2 n3 n4 noisy data z2", "en", "src1"),
+      (36L, "n3 n4 n5 noisy data z3", "en", "src1"),
+      (39L, "n4 n5 n6 noisy data z4", "en", "src1"),
+      (2L, "n5 n6 n1 noisy data z5", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.txModelQualityEval(spark, dir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("n_eval") == 2)
+    assert(row.getAs[Long]("tp") == 1 && row.getAs[Long]("tn") == 1 &&
+      row.getAs[Long]("fp") == 0 && row.getAs[Long]("fn") == 0,
+      s"planted separable corpus must evaluate perfectly: $row")
+  }
+
   test("natural corpus: scores settle at the class prior, gate stays shut") {
     val rows = Text.txModelQuality(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)

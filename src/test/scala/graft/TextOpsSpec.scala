@@ -1170,6 +1170,65 @@ class TextOpsSpec extends SparkSpec {
     assert(r(3L) == ((1L, 0L, 0L, 0L)))
   }
 
+  test("dd_substring_cut: keep-first rewrite hand-computed on the planted corpus") {
+    // Same corpus as the dd_substring pin. Keep-first by (doc_id, pos):
+    // doc 0 owns the first occurrence of both shared spans, so it loses
+    // NOTHING; doc 1's positions {1,2} are removable -> covered token
+    // indexes 1..9 -> rebuilt "x y"; doc 2's repeated prefix at pos 8 is
+    // removable -> covered 8..15 -> rebuilt "p q r s t u v w"; doc 3
+    // untouched. tokens_cut = 9 + 8 = 17 of 45.
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-ddcut").toString
+    Seq(
+      (0L, "a b c d e f g h i j", "en", "src1"),
+      (1L, "x a b c d e f g h i y", "en", "src1"),
+      (2L, "p q r s t u v w p q r s t u v w", "en", "src1"),
+      (3L, "f1 f2 f3 f4 f5 f6 f7 f8", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.ddSubstringCut(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_docs") == 4)
+    assert(r.getAs[Long]("n_docs_cut") == 2, "docs 1 and 2 lose spans; 0 and 3 do not")
+    assert(r.getAs[Long]("tokens_in") == 45)
+    assert(r.getAs[Long]("tokens_cut") == 17)
+    val expected = Seq(
+      "a b c d e f g h i j",
+      "x y",
+      "p q r s t u v w",
+      "f1 f2 f3 f4 f5 f6 f7 f8")
+      .toDF("red")
+      .withColumn("hd", expr("md5(cast(red AS BINARY))"))
+      .agg(expr(
+        """bit_xor((CASE WHEN CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) >= 2147483648
+          |  THEN CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) - 4294967296
+          |  ELSE CAST(conv(substring(hd, 1, 8), 16, 10) AS BIGINT) END) * 4294967296
+          |  + CAST(conv(substring(hd, 9, 8), 16, 10) AS BIGINT))""".stripMargin))
+      .collect().head.getLong(0)
+    assert(r.getAs[Long]("rebuilt_xor") == expected,
+      "the rebuilt texts must be byte-identical to the hand cut")
+  }
+
+  test("dd_substring_cut conserves tokens against dd_substring's coverage") {
+    // the cut and the measurement share the dup-span definition: every
+    // document's token count minus what the cut removes must stay
+    // consistent with the measured corpus totals (the cut removes AT
+    // MOST the measured union coverage, because the keep-first occurrence
+    // of each span is retained)
+    val cut = Text.ddSubstringCut(spark, sf001)
+      .agg(sum("tokens_in").as("in"), sum("tokens_cut").as("cut"))
+      .collect().head
+    val measured = Text.ddSubstring(spark, sf001)
+      .agg(sum("dup_covered_tokens").as("cov")).collect().head
+    assert(cut.getAs[Long]("cut") > 0, "planted dups must be cut")
+    assert(cut.getAs[Long]("cut") <= measured.getAs[Long]("cov"),
+      "cut tokens cannot exceed the measured dup coverage")
+    assert(cut.getAs[Long]("cut") < cut.getAs[Long]("in"))
+  }
+
   test("dd_substring finds spans on the natural corpus; coverage bounds hold") {
     val rows = Text.ddSubstring(spark, sf001).collect()
     assert(rows.exists(_.getAs[Long]("n_dup_pos") > 0),
