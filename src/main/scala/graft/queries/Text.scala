@@ -466,19 +466,26 @@ object Text {
   def ddSubstring(spark: SparkSession, dir: String,
       width: Int = 8): DataFrame = {
     require(width > 0)
-    val occ = Tables.spread(docs(spark, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .filter(size(col("toks")) >= width)
-      .select(col("doc_id"), col("lang"),
-        posexplode(expr(
-          s"""transform(sequence(0, size(toks) - $width),
-             |  i -> md5(cast(concat_ws(' ', slice(toks, i + 1, $width)) AS BINARY)))"""
-            .stripMargin)))
-      .select(col("doc_id"), col("lang"), col("pos"), col("col").as("h"))
+    // the digest stream is a join key consumed by the count AND the
+    // join-back (and `marked` by the stats AND window legs) — scoped
+    // caches keep the stride-1 md5 pass at ONE corpus scan (the
+    // expensive-join-key rule; without them the plan re-hashes the
+    // corpus once per leg)
+    val occ = graft.Caches.scoped("dd_substring.occ",
+      Tables.spread(docs(spark, dir))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= width)
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr(
+            s"""transform(sequence(0, size(toks) - $width),
+               |  i -> md5(cast(concat_ws(' ', slice(toks, i + 1, $width)) AS BINARY)))"""
+              .stripMargin)))
+        .select(col("doc_id"), col("lang"), col("pos"), col("col").as("h")))
     val counts = occ.groupBy("h").agg(count(lit(1)).as("c"))
-    val marked = occ.join(counts, "h")
-      .withColumn("dup", col("c") > 1)
-      .select("doc_id", "lang", "pos", "dup")
+    val marked = graft.Caches.scoped("dd_substring.marked",
+      occ.join(counts, "h")
+        .withColumn("dup", col("c") > 1)
+        .select("doc_id", "lang", "pos", "dup"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy("pos")
     val dupPos = marked.filter(col("dup"))
@@ -609,13 +616,15 @@ object Text {
     require(width > 0)
     val base = Tables.spread(docs(spark, dir))
       .withColumn("toks", split(col("text"), " "))
-    val occ = base
+    // the expensive-join-key rule (see ddSubstring): one md5 pass feeds
+    // both the keep-first stats and the occurrence join-back
+    val occ = graft.Caches.scoped("dd_substring_cut.occ", base
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $width),
            |  i -> md5(cast(concat_ws(' ', slice(toks, i + 1, $width)) AS BINARY)))"""
           .stripMargin)))
-      .select(col("doc_id"), col("pos"), col("col").as("h"))
+      .select(col("doc_id"), col("pos"), col("col").as("h")))
     val stats = occ.groupBy("h")
       .agg(count(lit(1)).as("c"),
         min(struct(col("doc_id"), col("pos"))).as("first"))

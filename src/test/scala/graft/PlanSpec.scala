@@ -44,6 +44,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), "keep-first fell back to a window")
   }
 
+  test("dd_substring shuffles carry digests, never text or token arrays") {
+    // the scaladoc's scale claim made physical: stride-1 occurrences are
+    // projected to (digest, doc_id, pos) BEFORE the first exchange, the
+    // corpus count keeps its map-side partial phase, and the run/cover
+    // windows partition per doc — no shuffle may move the text or toks
+    // attribute
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("dd_substring")(spark, dir)
+        .queryExecution.executedPlan
+      // Tables.spread's RoundRobin re-bucketing legitimately moves raw
+      // text (it exists to spread the single-row-group scan BEFORE the
+      // CPU-heavy stride-1 hashing); the ban is on KEY-partitioned
+      // exchanges — the digest/count/window shuffles above the carve.
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if e.output.exists(a => a.name == "text" || a.name == "toks") &&
+              !e.outputPartitioning.toString.contains("RoundRobin") => e
+      })
+      assert(offenders.isEmpty,
+        "text/toks attribute reached a key-partitioned shuffle:\n" +
+          offenders.map(_.toString).mkString("\n"))
+      assert(plan.toString.contains("partial_count"),
+        "shingle occurrence count lost its map-side combine")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("entry flagship plan: no cartesian, keeps partial aggregation") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
@@ -212,7 +240,8 @@ class PlanSpec extends SparkSpec {
     try {
       Seq("sim_pq_adc", "sim_pq_adc_indexed", "sim_pq_rerank",
           "sim_ivfpq", "sim_ivfpq_indexed", "sim_ivf_ann_indexed",
-          "sim_ivf_ann_deleted", "sim_pq_upsert").foreach { name =>
+          "sim_ivf_ann_deleted", "sim_pq_upsert",
+          "sim_pq_adc_deleted").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan
         val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
