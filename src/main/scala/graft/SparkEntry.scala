@@ -133,6 +133,7 @@ object SparkEntry {
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
+    "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -2521,6 +2522,27 @@ object SparkEntry {
         |SELECT qid, vec_id, label, cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    // FAISS range_search: same cosine text as sim_cosine_topk, bounded
+    // per-query aggregates instead of a k-cap (a range result has no k).
+    "sim_range_search" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, vec_id,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+        |  FROM e, q WHERE vec_id <> qid),
+        |h AS (
+        |  SELECT qid, count(*) AS n_hits, min(vec_id) AS min_hit_id,
+        |    max(vec_id) AS max_hit_id, CAST(sum(vec_id) AS BIGINT) AS hit_id_sum,
+        |    min(cosine) AS min_cosine, max(cosine) AS max_cosine
+        |  FROM s WHERE cosine >= 0.25 GROUP BY 1)
+        |SELECT q.qid, coalesce(n_hits, 0) AS n_hits, min_hit_id, max_hit_id,
+        |  coalesce(hit_id_sum, 0) AS hit_id_sum, min_cosine, max_cosine
+        |FROM q LEFT JOIN h ON q.qid = h.qid
+        |ORDER BY q.qid""".stripMargin,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

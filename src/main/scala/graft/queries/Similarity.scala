@@ -84,6 +84,52 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** RANGE search — FAISS `range_search` (the other first-class search
+    * API next to top-k): for each query, EVERY corpus vector with
+    * cosine ≥ `tau`, reported as bounded per-query statistics (hit
+    * count, id extremes/sum, cosine extremes) rather than unbounded hit
+    * lists — the aggregate IS the scalable output shape, since a range
+    * result has no k to cap it. τ defaults to 0.25, inside this
+    * synthetic corpus's observed cosine range (its global pairwise max
+    * is ~0.48 — the [[ddEmbeddingClusters]] note; production embeddings
+    * run the same plan with τ ≈ 0.9). Queries with no neighbor in range
+    * still report (n_hits = 0) — a dropped query row is
+    * indistinguishable from a lost one. max/min over doubles are
+    * order-independent, so every output value is shuffle-deterministic
+    * (no double SUM of cosines crosses the agg). Scale shape: one
+    * corpus scan against the broadcast query set, codegen'd
+    * [[graft.functions.FloatDot]] per pair, shuffle carries only the
+    * per-(query) partial aggregates.
+    */
+  def simRangeSearch(spark: SparkSession, dir: String, tau: Double = 0.25,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("qnorm"))
+    val hits = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+      .filter(col("cosine") >= tau)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        min("vec_id").as("min_hit_id"),
+        max("vec_id").as("max_hit_id"),
+        sum("vec_id").as("hit_id_sum"),
+        min("cosine").as("min_cosine"),
+        max("cosine").as("max_cosine"))
+    q.select("qid").join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("min_hit_id"), col("max_hit_id"),
+        coalesce(col("hit_id_sum"), lit(0L)).as("hit_id_sum"),
+        col("min_cosine"), col("max_cosine"))
+      .orderBy("qid")
+  }
+
   /** Random-hyperplane LSH bucketing: `nbits` sign bits from deterministic
     * rational hyperplanes → bucket id, via the codegen'd
     * [[graft.functions.LshBucket]] (plane(j, d) = (((j·73 + d·37) % 19) −

@@ -292,4 +292,31 @@ class SimilaritySpec extends SparkSpec {
         s"query $q: quantized top-10 diverged: ${(ids & exact(q)).size}/10")
     }
   }
+
+  test("range search agrees with brute-force top-k at the same threshold") {
+    // range(tau) and top-k share the cosine arithmetic, so: every top-k
+    // hit at cosine >= tau must be inside the range count, the range
+    // max_cosine must equal the rank-1 cosine when that clears tau, and
+    // every query row survives even with zero hits
+    val tau = 0.25
+    val topk = Similarity.simCosineTopk(spark, dir, k = 10).collect()
+      .groupBy(_.getAs[Long]("qid"))
+    val range = Similarity.simRangeSearch(spark, dir, tau).collect()
+      .map(r => r.getAs[Long]("qid") -> r).toMap
+    assert(range.size == 5, "one row per default query, hits or not")
+    topk.foreach { case (qid, rows) =>
+      val inRange = rows.filter(_.getAs[Double]("cosine") >= tau)
+      val r = range(qid)
+      assert(r.getAs[Long]("n_hits") >= inRange.length,
+        s"query $qid: range count below the top-k hits clearing tau")
+      if (r.getAs[Long]("n_hits") > 0) {
+        val best = rows.minBy(_.getAs[Int]("rnk")).getAs[Double]("cosine")
+        if (best >= tau)
+          assert(r.getAs[Double]("max_cosine") == best,
+            s"query $qid: range max_cosine must be the rank-1 cosine")
+        assert(r.getAs[Double]("min_cosine") >= tau)
+        assert(r.getAs[Long]("min_hit_id") <= r.getAs[Long]("max_hit_id"))
+      }
+    }
+  }
 }
