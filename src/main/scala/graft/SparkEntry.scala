@@ -164,6 +164,7 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
+    "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
     "sim_pq_adc_deleted" -> ((s, d) => Similarity.simPqAdcDeleted(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
     "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
@@ -614,6 +615,57 @@ object SparkEntry {
        |  FROM rr2)
        |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfPqUpsert]]: the
+    * kmeans coarse chain assigns cells to corpus and delta (the
+    * ivfUpsertSql CTEs verbatim), the pqAdcCtes fine chain trains the
+    * codebooks and encodes the corpus, the delta encodes against the
+    * same frozen books (the pqUpsertSql rule), and the audit joins the
+    * two per (cell, subspace) with codeword-diversity counts.
+    */
+  private def ivfPqUpsertSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |delta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |de AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS vnorm
+       |  FROM delta),
+       |drk AS (
+       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c_label,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
+       |    FROM de, cn)),
+       |${pqAdcCtes.stripPrefix("WITH ")},
+       |dcodes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT d.vec_id, b.s, b.cid,
+       |      row_number() OVER (PARTITION BY d.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("d.embedding", "b.centroid", s"b.s * ${Similarity.pqSubDims}")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM delta d, books b)
+       |  WHERE rn = 1),
+       |bcell AS (SELECT vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |dcell AS (SELECT vec_id, c_label AS cell FROM drk WHERE crnk = 1),
+       |bst AS (
+       |  SELECT bcell.cell, c.s, count(*) AS n_base,
+       |    count(DISTINCT c.code) AS n_base_codes
+       |  FROM bcell JOIN codes c ON bcell.vec_id = c.vec_id GROUP BY 1, 2),
+       |dst AS (
+       |  SELECT dcell.cell, c.s, count(*) AS n_new,
+       |    count(DISTINCT c.code) AS n_new_codes, min(c.vec_id) AS first_new_id
+       |  FROM dcell JOIN dcodes c ON dcell.vec_id = c.vec_id GROUP BY 1, 2)
+       |SELECT coalesce(bst.cell, dst.cell) AS cell, coalesce(bst.s, dst.s) AS s,
+       |  coalesce(n_base, 0) AS n_base,
+       |  coalesce(n_base_codes, 0) AS n_base_codes,
+       |  coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_new_codes, 0) AS n_new_codes, first_new_id
+       |FROM bst FULL OUTER JOIN dst ON bst.cell = dst.cell AND bst.s = dst.s
+       |ORDER BY cell, s""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfUpsert]]: the frozen
     * c3 centroids assign both the corpus (rk, crnk = 1) and the reversed
@@ -2589,6 +2641,7 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_pq_delete" -> pqDeleteSql,
+    "sim_ivfpq_upsert" -> ivfPqUpsertSql,
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,
     "sim_ivf_retrain" -> ivfRetrainSql,

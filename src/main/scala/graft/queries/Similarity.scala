@@ -1288,6 +1288,60 @@ object Similarity {
     ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
   }
 
+  /** IVFPQ upsert — FAISS `IndexIVFPQ.add`, completing the composed
+    * index's lifecycle: the delta batch (the [[simIvfUpsert]] reserved-
+    * negative-key reversed-embedding carve, shared [[upsertDeltaMod]])
+    * is assigned a CELL by the standing coarse quantizer
+    * ([[ivfMembersSqlFrom]] over the persisted centroids — the text the
+    * index was built with) AND encoded with the standing index's FROZEN
+    * PQ codebooks ([[pqEncodeFrom]] — the [[simPqUpsert]] rule). Nothing
+    * retrains; base cell membership is read from the PHYSICAL cells
+    * table. The audit reports every (cell, subspace) inverted-list
+    * entry: base/new row occupancy plus the distinct codewords each side
+    * uses — the codeword-diversity-per-cell statistic whose skew is the
+    * IVFPQ drift signal (the [[simIvfDrift]] argument applied to the
+    * fine quantizer). All exact integers; the oracle composes the
+    * verbatim kmeans + PQ CTE generators, so composed placement can
+    * never drift from the standalone upserts.
+    */
+  def simIvfPqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val ivfBase = ensureIvfIndex(spark, dir)
+    val pqBase = ensurePqIndex(spark, dir)
+    spark.read.parquet(s"$ivfBase/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    delta.createOrReplaceTempView("graft_ivfpq_delta")
+    val bCell = readIvfCells(spark, ivfBase)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val dCell = spark.sql(ivfMembersSqlFrom("graft_ivfpq_delta"))
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val books = spark.read.parquet(s"$pqBase/codebooks")
+    val bStats = spark.read.parquet(s"$pqBase/codes")
+      .join(bCell, "vec_id")
+      .groupBy("cell", "s")
+      .agg(count(lit(1)).as("n_base"),
+        countDistinct(col("code")).as("n_base_codes"))
+    val dStats = pqEncodeFrom(delta, books)
+      .join(dCell, "vec_id")
+      .groupBy("cell", "s")
+      .agg(count(lit(1)).as("n_new"),
+        countDistinct(col("code")).as("n_new_codes"),
+        min("vec_id").as("first_new_id"))
+    bStats.join(dStats, Seq("cell", "s"), "full_outer")
+      .select(col("cell"), col("s"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_base_codes"), lit(0L)).as("n_base_codes"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        coalesce(col("n_new_codes"), lit(0L)).as("n_new_codes"),
+        col("first_new_id"))
+      .orderBy("cell", "s")
+  }
+
   /** Delta-batch carving modulus for [[simIvfUpsert]] — shared with the
     * generated oracle SQL (the kmeansCtes discipline: mirrored literals
     * desync silently; shared constants cannot). */

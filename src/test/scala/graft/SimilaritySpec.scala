@@ -293,6 +293,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpq upsert agrees with the standalone IVF and PQ upserts") {
+    // composition soundness: the composed audit's cell occupancy must be
+    // exactly the IVF upsert's (same frozen quantizer, same delta), and
+    // every (cell, s) slice must partition the corpus/delta — one cell
+    // and one code per vector per subspace
+    val composed = Similarity.simIvfPqUpsert(spark, dir).collect()
+    val ivf = Similarity.simIvfUpsert(spark, dir).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_new"))).toMap
+    val s0 = composed.filter(_.getAs[Int]("s") == 0)
+    assert(s0.nonEmpty)
+    s0.foreach { r =>
+      val (nb, nn) = ivf(r.getAs[Long]("cell"))
+      assert(r.getAs[Long]("n_base") == nb && r.getAs[Long]("n_new") == nn,
+        s"cell ${r.getAs[Long]("cell")}: composed occupancy diverged from IVF upsert")
+    }
+    val nVecs = Tables(spark, dir, "embeddings").count()
+    val nDelta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0).count()
+    composed.groupBy(_.getAs[Int]("s")).foreach { case (s, rows) =>
+      assert(rows.map(_.getAs[Long]("n_base")).sum == nVecs,
+        s"subspace $s: base rows must partition the corpus")
+      assert(rows.map(_.getAs[Long]("n_new")).sum == nDelta,
+        s"subspace $s: new rows must partition the delta")
+    }
+  }
+
   test("range search agrees with brute-force top-k at the same threshold") {
     // range(tau) and top-k share the cosine arithmetic, so: every top-k
     // hit at cosine >= tau must be inside the range count, the range
