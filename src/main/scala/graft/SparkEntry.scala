@@ -176,6 +176,11 @@ object SparkEntry {
           Tables(s, dir, "documents").filter(col("doc_id") < 100)))
         .orderBy("media_id", "frame_idx")
     }),
+    "mm_frame_dedup" -> ((s, dir) => {
+      graft.multimodal.Multimodal.frameDedup(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents")))
+    }),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "dd_semdedup_banded" -> ((s, d) => Similarity.ddSemdedupBanded(s, d)),
@@ -2774,6 +2779,23 @@ object SparkEntry {
         |FROM documents, generate_series(0, 3) t(i)
         |WHERE doc_id < 100
         |ORDER BY media_id, frame_idx""".stripMargin,
+    // Frame-level keep-first dedup across ALL media: group by the frame
+    // TEXT (the corpus is ASCII, so char slices coincide with the Spark
+    // side's byte slices and md5 inputs — the mm_frame_features note);
+    // rn = 1 <=> (media_id, frame_idx) = min(struct) per digest.
+    "mm_frame_dedup" ->
+      """WITH fr AS (
+        |  SELECT doc_id AS media_id, i AS frame_idx,
+        |    substring(text, CAST(i * greatest(ceil(length(text) / 4.0), 1) AS BIGINT) + 1,
+        |              CAST(greatest(ceil(length(text) / 4.0), 1) AS BIGINT)) AS frame
+        |  FROM documents, generate_series(0, 3) t(i)),
+        |m AS (SELECT media_id, frame_idx, length(frame) AS fb,
+        |    row_number() OVER (PARTITION BY frame ORDER BY media_id, frame_idx) AS rn
+        |  FROM fr)
+        |SELECT media_id, count(*) AS n_frames,
+        |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
+        |  CAST(sum(CASE WHEN rn > 1 THEN fb ELSE 0 END) AS BIGINT) AS dup_bytes
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "mm_decode_features" ->
       // ASCII corpus: char length == byte length, and the first 4 chars'
       // bytes are the binary header the Spark side hexes (hex() is

@@ -73,6 +73,35 @@ object Multimodal {
         length(col("frame")).as("frame_bytes"),
         md5(col("frame")).as("frame_md5"))
 
+  /** Cross-media frame-level exact dedup — the multimodal face of the
+    * [[graft.queries.Text.ddParagraph]] keep-first rule: a frame
+    * occurrence survives iff its (media_id, frame_idx) is the
+    * corpus-wide minimum for that frame's digest (video pipelines dedup
+    * repeated frames/intros/outros across assets exactly this way —
+    * frame hashes stand in for perceptual hashes, which would slot into
+    * the same digest column). Per media: frame count, duplicate frames,
+    * and the bytes a dedup pass would reclaim. Scale shape: frames are
+    * digested in the narrow [[frameSample]] pass (payload bytes never
+    * reach a shuffle), keep-first is the partial-aggregated min-struct +
+    * digest-keyed join-back — a corpus-wide hot frame (a standard intro)
+    * collapses map-side.
+    */
+  def frameDedup(media: DataFrame): DataFrame = {
+    val frames = frameSample(media)
+    val firsts = frames.groupBy("frame_md5")
+      .agg(min(struct(col("media_id"), col("frame_idx"))).as("first"))
+    frames.join(firsts, "frame_md5")
+      .withColumn("kept",
+        col("media_id") === col("first.media_id") &&
+          col("frame_idx") === col("first.frame_idx"))
+      .groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("kept"), 0L).otherwise(1L)).as("n_dup_frames"),
+        sum(when(col("kept"), 0L).otherwise(col("frame_bytes").cast("long")))
+          .as("dup_bytes"))
+      .orderBy("media_id")
+  }
+
   /** Default resize geometry for the `mm_resize` query — ONE definition
     * for the Spark call and the generated oracle SQL (the shared-constant
     * discipline: mirrored literals desync silently).

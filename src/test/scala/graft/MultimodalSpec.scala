@@ -70,4 +70,43 @@ class MultimodalSpec extends SparkSpec {
     assert(r.forall(_.getAs[Int]("len") <= 64))
     assert(r.forall(x => x.getAs[Int]("width") == 8 && x.getAs[Int]("height") == 8))
   }
+
+  test("frameDedup: a byte-identical later media loses every frame, keep-first") {
+    val spark2 = spark
+    import spark2.implicits._
+    // media 1 and 5 share identical payloads -> media 5's 4 frames are
+    // all duplicates; media 9 is unique and keeps everything
+    val planted = Seq(
+      (1L, "aaaa bbbb cccc dddd"),
+      (5L, "aaaa bbbb cccc dddd"),
+      (9L, "eeee ffff gggg hhhh"))
+      .toDF("doc_id", "text")
+    val r = Multimodal.frameDedup(Multimodal.fromDocuments(planted)).collect()
+      .map(x => x.getAs[Long]("media_id") ->
+        (x.getAs[Long]("n_frames"), x.getAs[Long]("n_dup_frames"),
+          x.getAs[Long]("dup_bytes"))).toMap
+    assert(r(1L) == ((4L, 0L, 0L)), "first occurrence keeps all frames")
+    assert(r(5L)._1 == 4L && r(5L)._2 == 4L, "identical later media loses all")
+    assert(r(5L)._3 == 19L, "reclaimed bytes = the full payload")
+    assert(r(9L) == ((4L, 0L, 0L)))
+  }
+
+  test("frameDedup on the natural corpus: invariants hold; near-dups do NOT collide") {
+    // the corpus's planted document duplicates are NEAR-duplicates, so
+    // their quarter-payload byte slices never coincide exactly — exact
+    // frame dedup correctly reports zero (which is WHY video pipelines
+    // hash frames perceptually; a perceptual digest slots into the same
+    // frame_md5 column). The mechanism is pinned by the planted
+    // byte-identical test above; here the invariants and the
+    // deliberate near-dup blindness are what must hold.
+    val r = Multimodal.frameDedup(Multimodal.fromDocuments(
+      Tables(spark, "/root/testdata/sf0.001", "documents"))).collect()
+    assert(r.length == 500)
+    r.foreach { x =>
+      assert(x.getAs[Long]("n_frames") == 4L)
+      assert(x.getAs[Long]("n_dup_frames") <= x.getAs[Long]("n_frames"))
+      if (x.getAs[Long]("n_dup_frames") == 0)
+        assert(x.getAs[Long]("dup_bytes") == 0)
+    }
+  }
 }
