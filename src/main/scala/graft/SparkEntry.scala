@@ -134,6 +134,7 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
+    "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -551,6 +552,32 @@ object SparkEntry {
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def ivfAnnSql: String = ivfAnnSqlOver("TRUE")
+
+  /** DuckDB twin of [[graft.queries.Similarity.simRangeSearchIndexed]]:
+    * the ivfAnnSqlOver probe/score chain with the range-aggregate tail
+    * of the brute range oracle — candidates restricted to the probed
+    * cells, same τ, same bounded per-query statistics.
+    */
+  private def ivfRangeSql: String =
+    s"""WITH ${kmeansCtes()},
+      |$ivfRankCtes,
+      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+      |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
+      |s AS (
+      |  SELECT qid, m_vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+      |  FROM cells JOIN probes ON cells.cell = probes.cell
+      |  WHERE m_vec_id <> qid),
+      |h AS (
+      |  SELECT qid, count(*) AS n_hits, min(m_vec_id) AS min_hit_id,
+      |    max(m_vec_id) AS max_hit_id, CAST(sum(m_vec_id) AS BIGINT) AS hit_id_sum,
+      |    min(cosine) AS min_cosine, max(cosine) AS max_cosine
+      |  FROM s WHERE cosine >= 0.25 GROUP BY 1),
+      |qs AS (SELECT DISTINCT qid FROM probes)
+      |SELECT qs.qid, coalesce(n_hits, 0) AS n_hits, min_hit_id, max_hit_id,
+      |  coalesce(hit_id_sum, 0) AS hit_id_sum, min_cosine, max_cosine
+      |FROM qs LEFT JOIN h ON qs.qid = h.qid
+      |ORDER BY qs.qid""".stripMargin
 
   /** The live-member predicate of [[graft.queries.Similarity.simIvfDelete]]
     * in DuckDB terms (over the rk columns c_label/vec_id) — constants
@@ -2600,6 +2627,7 @@ object SparkEntry {
         |  coalesce(hit_id_sum, 0) AS hit_id_sum, min_cosine, max_cosine
         |FROM q LEFT JOIN h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin,
+    "sim_range_search_indexed" -> ivfRangeSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

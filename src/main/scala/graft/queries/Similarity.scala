@@ -672,21 +672,31 @@ object Similarity {
     * vectors, top-k per query. The only exchanges carry
     * (qid, id, cell, cosine) rows.
     */
-  private def ivfScoreTopK(spark: SparkSession, dir: String,
+  /** The probed-cell candidate scoring shared by the top-k search
+    * ([[ivfScoreTopK]]) and the indexed range search
+    * ([[simRangeSearchIndexed]]) — one cosine text, two result shapes.
+    */
+  private def ivfScoredCandidates(spark: SparkSession, dir: String,
       members: DataFrame, probeKeys: DataFrame,
-      querySet: Option[DataFrame], k: Int): DataFrame = {
+      querySet: Option[DataFrame]): DataFrame = {
     val q = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id"), col("embedding").as("qvec"),
         expr(s"sqrt(${dotExpr("embedding", "embedding")})").as("qnorm"))
     val probes = probeKeys.join(broadcast(q), "vec_id")
       .select(col("vec_id").as("qid"), col("c_label").as("cell"),
         col("qvec"), col("qnorm"))
-    val scored = members.join(broadcast(probes), Seq("cell"))
+    members.join(broadcast(probes), Seq("cell"))
       .filter(col("m_vec_id") =!= col("qid"))
       .withColumn("cosine",
         expr(dotExpr("qvec", "m_vec")) / (col("qnorm") * col("m_norm")))
-      // vectors end here: the top-k exchange carries (qid, id, cell, cos)
+      // vectors end here: downstream exchanges carry (qid, id, cell, cos)
       .select("qid", "m_vec_id", "cell", "cosine")
+  }
+
+  private def ivfScoreTopK(spark: SparkSession, dir: String,
+      members: DataFrame, probeKeys: DataFrame,
+      querySet: Option[DataFrame], k: Int): DataFrame = {
+    val scored = ivfScoredCandidates(spark, dir, members, probeKeys, querySet)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("m_vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -694,6 +704,48 @@ object Similarity {
       .select(col("qid"), col("m_vec_id").as("vec_id"), col("cell"),
         col("cosine"), col("rnk"))
       .orderBy("qid", "rnk")
+  }
+
+  /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
+    * `IndexIVF.range_search`: candidates come from the nprobe probed
+    * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]
+    * storage fact), scored by the shared [[ivfScoredCandidates]] text,
+    * then the same bounded per-query range aggregates as the brute
+    * form. Range recall tracks the IVF probe recall: a neighbor outside
+    * the probed cells is not in range output — the tradeoff the nprobe
+    * knob prices, identical to the top-k path.
+    */
+  def simRangeSearchIndexed(spark: SparkSession, dir: String,
+      tau: Double = 0.25, nprobe: Int = 2,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    register(spark)
+    val main = ensureIvfIndex(spark, dir)
+    spark.read.parquet(s"$main/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probed = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = readIvfCells(spark, main)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+    val hits = ivfScoredCandidates(spark, dir, members, probeKeys, querySet)
+      .filter(col("cosine") >= tau)
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_hits"),
+        min("m_vec_id").as("min_hit_id"),
+        max("m_vec_id").as("max_hit_id"),
+        sum("m_vec_id").as("hit_id_sum"),
+        min("cosine").as("min_cosine"),
+        max("cosine").as("max_cosine"))
+    probeKeys.select(col("vec_id").as("qid")).distinct()
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        col("min_hit_id"), col("max_hit_id"),
+        coalesce(col("hit_id_sum"), lit(0L)).as("hit_id_sum"),
+        col("min_cosine"), col("max_cosine"))
+      .orderBy("qid")
   }
 
   /** Build a MATERIALIZED IVF index under the warehouse dir: the trained

@@ -320,6 +320,30 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("indexed range search: subset of brute at nprobe=2, identical at nprobe=nlist") {
+    // probing fewer cells can only LOSE in-range neighbors, and probing
+    // every cell must reproduce the brute range search exactly (modulo
+    // the brute form scoring with `embedding` vs the index's m_vec copy
+    // - same values by construction)
+    val brute = Similarity.simRangeSearch(spark, dir).collect()
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("n_hits")).toMap
+    val pruned = Similarity.simRangeSearchIndexed(spark, dir, nprobe = 2)
+      .collect()
+    pruned.foreach { r =>
+      assert(r.getAs[Long]("n_hits") <= brute(r.getAs[Long]("qid")),
+        s"query ${r.getAs[Long]("qid")}: pruned range found MORE than brute")
+    }
+    val full = Similarity.simRangeSearchIndexed(spark, dir, nprobe = 8)
+      .collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("hit_id_sum"))).toSet
+    val bruteFull = Similarity.simRangeSearch(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("n_hits"),
+        r.getAs[Long]("hit_id_sum"))).toSet
+    assert(full == bruteFull,
+      "all-cells probe must equal the brute range search")
+  }
+
   test("range search agrees with brute-force top-k at the same threshold") {
     // range(tau) and top-k share the cosine arithmetic, so: every top-k
     // hit at cosine >= tau must be inside the range count, the range
