@@ -429,6 +429,34 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_emails"), col("n_phones"),
         col("n_ips"), col("hd"))
 
+  /** Static side of the streaming media-frame dedup: the standing
+    * corpus's distinct frame digests (the base partition of the
+    * [[graft.multimodal.Multimodal.frameDedup]] rule — media landing
+    * later dedup against what the lake already holds).
+    */
+  def baseFrameKeys(spark: SparkSession, dir: String,
+      deltaMod: Long = 5L): DataFrame =
+    graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.fromDocuments(
+        graft.Tables(spark, dir, "documents")
+          .filter(col("doc_id") % deltaMod =!= 0)))
+      .select("frame_md5").distinct()
+
+  /** Streaming twin of the frame dedup's admission half — dedup media at
+    * INGEST: each landing media's frames ([[graft.multimodal.Multimodal
+    * .frameSample]] runs unchanged under the streaming planner — pure
+    * stateless slicing) semi-join the standing frame-digest set, so a
+    * frame already in the lake is flagged before the payload lands. The
+    * same stream-static semi-join shape as [[contaminatedDocs]]; emits
+    * (media_id, frame_idx, frame_md5) per duplicate frame.
+    */
+  def dupMediaFrames(docsStream: DataFrame,
+      baseKeys: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.fromDocuments(docsStream))
+      .join(baseKeys, Seq("frame_md5"), "left_semi")
+      .select(col("media_id"), col("frame_idx"), col("frame_md5"))
+
   /** The standing model's weight vector for [[qualityScoredDocs]] —
     * ensures the index, then collects the 1-row weights table (D
     * doubles of index metadata).

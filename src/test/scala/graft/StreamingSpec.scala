@@ -389,6 +389,41 @@ class StreamingSpec extends SparkSpec {
     assert(got == batch, s"streamed $got != batch $batch")
   }
 
+  test("streaming media-frame dedup flags exactly the batch duplicate frames") {
+    // no natural cross-carve byte-identical media exist (measured), so
+    // the landing batch is planted: doc 100 copies base doc 3's text
+    // (all 4 frames duplicate), doc 105 is new (no frame matches)
+    val sf = "/root/testdata/sf0.001"
+    val spark2 = spark
+    import spark2.implicits._
+    val base3 = Tables(spark, sf, "documents")
+      .filter(col("doc_id") === 3).select("text").collect().head.getString(0)
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-media-stream").toString
+    Seq((100L, base3, "en", "src1"),
+        (105L, "zz1 zz2 zz3 zz4 zz5 zz6 zz7 zz8", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$landing/documents.parquet")
+    val baseKeys = StreamingOps.baseFrameKeys(spark, sf)
+    val q = StreamingOps.dupMediaFrames(
+        StreamingOps.readDocumentsStream(spark, s"$landing/documents.parquet"),
+        baseKeys)
+      .writeStream.format("memory").queryName("media_dedup_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("media_dedup_stream").collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))).toSet
+    assert(streamed == Set((100L, 0), (100L, 1), (100L, 2), (100L, 3)),
+      s"the copied media's 4 frames and nothing else must flag: $streamed")
+    // batch twin over the same landing batch agrees row for row
+    val batch = StreamingOps.dupMediaFrames(
+        spark.read.parquet(s"$landing/documents.parquet"), baseKeys)
+      .collect()
+      .map(r => (r.getAs[Long]("media_id"), r.getAs[Int]("frame_idx"))).toSet
+    assert(batch == streamed)
+  }
+
   test("streaming PII scrub equals the batch projection per document") {
     val sf = "/root/testdata/sf0.01"
     val docsDir = java.nio.file.Files.createTempDirectory("docs-pii-stream")
