@@ -135,6 +135,7 @@ object SparkEntry {
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
+    "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -552,6 +553,22 @@ object SparkEntry {
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def ivfAnnSql: String = ivfAnnSqlOver("TRUE")
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKnnGraph]]: the coarse
+    * chain's cell assignment, the per-cell self-join, the same
+    * (cosine DESC, nbr_id ASC) ranking cut at k = 3.
+    */
+  private def knnGraphSql: String =
+    s"""WITH ${kmeansCtes()},
+      |$ivfRankCtes,
+      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+      |edges AS (
+      |  SELECT a.m_vec_id AS vec_id, a.cell AS cell, b.m_vec_id AS nbr_id,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(a.m_vec[i] AS DOUBLE) * CAST(b.m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (a.m_norm * b.m_norm) AS cosine
+      |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.m_vec_id <> b.m_vec_id)
+      |SELECT vec_id, cell, nbr_id, cosine, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, nbr_id ASC) AS rnk FROM edges)
+      |WHERE rnk <= 3 ORDER BY vec_id, rnk""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simRangeSearchIndexed]]:
     * the ivfAnnSqlOver probe/score chain with the range-aggregate tail
@@ -2628,6 +2645,7 @@ object SparkEntry {
         |FROM q LEFT JOIN h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin,
     "sim_range_search_indexed" -> ivfRangeSql,
+    "sim_knn_graph" -> knnGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

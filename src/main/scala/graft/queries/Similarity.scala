@@ -706,6 +706,41 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Cell-local kNN GRAPH construction — the building block of
+    * graph-based ANN (NN-descent's initialization and the layer-0
+    * neighborhood HNSW refines start exactly here: k nearest neighbors
+    * within a coarse partition, improved by exploration later): for
+    * every corpus vector, its `k` nearest same-cell neighbors from the
+    * standing IVF index, ties broken by neighbor id. Singleton cells
+    * contribute no edges (nothing to link to — the oracle agrees by
+    * construction).
+    *
+    * Scale shape: the quadratic work is PER CELL (|cell|² cosines, not
+    * corpus²) and the cells table is partitioned by cell, so on a
+    * cluster the self-join is storage-partition-local; the ranking
+    * window partitions per vector. This is a BUILD cost — the graph is
+    * what a serving layer then walks — and the one place vectors
+    * legitimately co-locate by cell key (the index's own layout).
+    */
+  def simKnnGraph(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    register(spark)
+    val main = ensureIvfIndex(spark, dir)
+    val cells = readIvfCells(spark, main)
+    val edges = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") &&
+          col("a.m_vec_id") =!= col("b.m_vec_id"))
+      .select(col("a.m_vec_id").as("vec_id"), col("a.cell").as("cell"),
+        col("b.m_vec_id").as("nbr_id"),
+        (expr(dotExpr("a.m_vec", "b.m_vec")) /
+          (col("a.m_norm") * col("b.m_norm"))).as("cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cosine").desc, col("nbr_id").asc)
+    edges.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("vec_id", "cell", "nbr_id", "cosine", "rnk")
+      .orderBy("vec_id", "rnk")
+  }
+
   /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
     * `IndexIVF.range_search`: candidates come from the nprobe probed
     * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]

@@ -320,6 +320,34 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knn graph: per-vector degree = min(k, |cell|-1), edges stay in-cell, ranks ordered") {
+    val edges = Similarity.simKnnGraph(spark, dir).collect()
+    assert(edges.nonEmpty)
+    val cellOf = edges.map(r =>
+      r.getAs[Long]("vec_id") -> r.getAs[Long]("cell")).toMap
+    val cellSizes = cellOf.values.groupBy(identity).map { case (c, v) => c -> v.size }
+    edges.groupBy(_.getAs[Long]("vec_id")).foreach { case (vid, rows) =>
+      val cell = rows.head.getAs[Long]("cell")
+      assert(rows.forall(_.getAs[Long]("cell") == cell))
+      // every neighbor must itself live in the same cell (when it has
+      // edges of its own, its recorded cell must agree)
+      rows.foreach { r =>
+        cellOf.get(r.getAs[Long]("nbr_id")).foreach(c => assert(c == cell,
+          s"vector $vid linked across cells"))
+      }
+      // degree: exactly min(3, cell population - 1). cellSizes counts
+      // vectors with edges, which is the full population of any cell
+      // with >= 2 members (every member then has at least one edge)
+      assert(rows.length == math.min(3, cellSizes(cell) - 1),
+        s"vector $vid: unexpected degree ${rows.length}")
+      val byRank = rows.sortBy(_.getAs[Int]("rnk"))
+      byRank.sliding(2).filter(_.length == 2).foreach { pair =>
+        assert(pair(0).getAs[Double]("cosine") >= pair(1).getAs[Double]("cosine"),
+          s"vector $vid: ranks out of cosine order")
+      }
+    }
+  }
+
   test("indexed range search: subset of brute at nprobe=2, identical at nprobe=nlist") {
     // probing fewer cells can only LOSE in-range neighbors, and probing
     // every cell must reproduce the brute range search exactly (modulo
