@@ -43,12 +43,17 @@ object CorpusSource {
     * `j._corrupt` with all data fields null.
     */
   def readJsonl(spark: SparkSession, path: String): DataFrame =
-    spark.read.textFile(path).toDF("raw_line")
-      .select(col("raw_line"),
-        from_json(col("raw_line"),
-          documentsSchema.add(StructField(corruptCol, StringType)),
-          Map("mode" -> "PERMISSIVE",
-            "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+    parseLines(spark.read.textFile(path).toDF("raw_line"))
+
+  /** The ONE parse projection shared by the batch and streaming readers
+    * (the shingleExpr rule: a shared definition cannot drift).
+    */
+  private def parseLines(lines: DataFrame): DataFrame =
+    lines.select(col("raw_line"),
+      from_json(col("raw_line"),
+        documentsSchema.add(StructField(corruptCol, StringType)),
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
 
   /** Split a [[readJsonl]] frame into (clean rows conformed to the
     * canonical documents schema, quarantined corrupt raw lines).
@@ -64,4 +69,16 @@ object CorpusSource {
   /** Write a documents frame as JSONL shards (one line per doc). */
   def writeJsonl(df: DataFrame, path: String, shards: Int = 1): Unit =
     df.repartition(shards).write.mode("overwrite").json(path)
+
+  /** STREAMING JSONL reader — the continuously-landing-crawl form of
+    * [[readJsonl]]: a file-source text stream over the landing
+    * directory with the SAME parse expression (one definition, so the
+    * batch and stream parses cannot drift), feeding the same
+    * [[cleanAndCorrupt]] split. New shards dropped into the directory
+    * become micro-batches; quarantine keeps malformed lines flowing to
+    * their own sink instead of failing the query — the posture a 24/7
+    * ingest needs.
+    */
+  def readJsonlStream(spark: SparkSession, path: String): DataFrame =
+    parseLines(spark.readStream.text(path).toDF("raw_line"))
 }

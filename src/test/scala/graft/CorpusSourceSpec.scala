@@ -59,4 +59,37 @@ class CorpusSourceSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
   }
+
+  test("streaming JSONL reader parses and quarantines exactly like batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = java.nio.file.Files.createTempDirectory("jsonl-stream").toString
+    try {
+      val lines = Seq(
+        """{"doc_id": 7, "text": "x y z", "lang": "de", "source": "s1", "n_chars": 5}""",
+        """{"doc_id": 8, "text": "w v", "lang": "es", "source": "s2", "n_chars": 3}""",
+        """broken { line""")
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$tmp/shard.jsonl"),
+        String.join("\n", lines: _*).getBytes("UTF-8"))
+      val (clean, corrupt) = CorpusSource.cleanAndCorrupt(
+        CorpusSource.readJsonlStream(spark, tmp))
+      val q1 = clean.writeStream.format("memory").queryName("jsonl_clean")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q1.awaitTermination(120000))
+      val q2 = corrupt.writeStream.format("memory").queryName("jsonl_bad")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      assert(q2.awaitTermination(120000))
+      val streamedClean = spark.table("jsonl_clean").orderBy("doc_id").collect()
+      val (bClean, bBad) = CorpusSource.cleanAndCorrupt(
+        CorpusSource.readJsonl(spark, tmp))
+      assert(streamedClean.toSeq == bClean.orderBy("doc_id").collect().toSeq,
+        "streamed clean rows must equal the batch parse row for row")
+      assert(spark.table("jsonl_bad").collect().map(_.getString(0)).toSet ==
+        bBad.collect().map(_.getString(0)).toSet)
+      assert(streamedClean.length == 2 &&
+        spark.table("jsonl_bad").count() == 1)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }
