@@ -124,6 +124,7 @@ object SparkEntry {
     "dd_paragraph" -> ((s, d) => Text.ddParagraph(s, d)),
     "dd_substring" -> ((s, d) => Text.ddSubstring(s, d)),
     "dd_substring_cut" -> ((s, d) => Text.ddSubstringCut(s, d)),
+    "pipeline_scrub_cut" -> ((s, d) => Text.pipelineScrubCut(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
@@ -1133,6 +1134,78 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin
   }
 
+  /** The full-64-bit signed md5 hi/lo XOR fold in DuckDB terms (the
+    * merge_apply convention) over a hex expression — one generator so
+    * the fold text cannot drift between oracles.
+    */
+  private def signed64Xor(h: String): String =
+    s"""bit_xor((CASE WHEN CAST(('0x' || substr($h, 1, 8)) AS BIGINT) >= 2147483648
+       |        THEN CAST(('0x' || substr($h, 1, 8)) AS BIGINT) - 4294967296
+       |        ELSE CAST(('0x' || substr($h, 1, 8)) AS BIGINT) END) * 4294967296
+       |    + CAST(('0x' || substr($h, 9, 8)) AS BIGINT))""".stripMargin
+
+  /** The shared PII plant + scrub CTEs (`pl` = planted text, `rr` =
+    * per-doc counts + redacted text) — one generator for the
+    * tx_pii_redact oracle and the pipeline_scrub_cut composition.
+    */
+  private def piiScrubCtes: String =
+    """pl AS (SELECT doc_id, lang,
+      |  text ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
+      |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END ||
+      |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
+      |  FROM documents),
+      |rr AS (SELECT doc_id, lang,
+      |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
+      |  len(regexp_extract_all(text, '\d{3}-\d{4}')) AS n_phones,
+      |  len(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+')) AS n_ips,
+      |  regexp_replace(regexp_replace(regexp_replace(text,
+      |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{3}-\d{4}', '<PHONE>', 'g'),
+      |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g') AS red
+      |  FROM pl)""".stripMargin
+
+  /** The ExactSubstr-cut CTE chain over a (doc_id, lang, text) relation
+    * `src`, ending at `k` (per-doc in/cut counts + rebuilt-text md5) —
+    * one generator for the dd_substring_cut oracle and the
+    * pipeline_scrub_cut composition.
+    */
+  private def substringCutCtes(src: String): String =
+    s"""d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM $src),
+      |o AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 8 + 1),
+      |    i -> {'pos': i, 'sg': array_to_string(toks[i + 1 : i + 8], ' ')})) AS u
+      |  FROM d WHERE len(toks) >= 8),
+      |q AS (SELECT doc_id, u.pos AS pos, u.sg AS sg FROM o),
+      |r2 AS (SELECT doc_id, pos,
+      |    count(*) OVER (PARTITION BY sg) AS c,
+      |    row_number() OVER (PARTITION BY sg ORDER BY doc_id, pos) AS rn
+      |  FROM q),
+      |rp AS (SELECT doc_id, list(pos ORDER BY pos) AS rpos
+      |  FROM r2 WHERE c > 1 AND rn > 1 GROUP BY 1),
+      |f AS (SELECT d.doc_id, d.lang, d.toks,
+      |    coalesce(rp.rpos, CAST([] AS BIGINT[])) AS rpos
+      |  FROM d LEFT JOIN rp USING (doc_id)),
+      |g AS (SELECT doc_id, lang, toks,
+      |    list_distinct(flatten(list_transform(rpos, p -> range(p, p + 8)))) AS cov
+      |  FROM f),
+      |k AS (SELECT doc_id, lang, len(toks) AS n_in, len(cov) AS n_cut,
+      |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+      |    -- concat_ws of an empty array is '' - an ALL-cut document
+      |    -- (a full duplicate) must hash md5('') in both engines
+      |    md5(coalesce(array_to_string(list_filter(list_transform(range(0, len(toks)), i ->
+      |      CASE WHEN list_contains(cov, i) THEN NULL ELSE toks[i + 1] END),
+      |      t -> t IS NOT NULL), ' '), '')) AS hd
+      |  FROM g)""".stripMargin
+
+  /** The shared cut-report tail over the [[substringCutCtes]] chain. */
+  private def substringCutReport: String =
+    s"""SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
+      |  CAST(sum(n_in) AS BIGINT) AS tokens_in,
+      |  CAST(sum(n_cut) AS BIGINT) AS tokens_cut,
+      |  ${signed64Xor("hd")} AS rebuilt_xor
+      |FROM k GROUP BY 1""".stripMargin
+
   /** DuckDB twin of [[graft.queries.Text.ddIncrementalFuzzyDelete]]:
     * the post-delete admission from first principles over the shared
     * [[fuzzyPairCtes]] — the deterministic dead carve, live drops (a
@@ -1728,31 +1801,14 @@ object SparkEntry {
     // redacted_xor folds the post-redaction text through the full
     // 64-bit md5 hi/lo convention (the merge_apply fold).
     "tx_pii_redact" ->
-      """WITH pl AS (SELECT doc_id, lang,
-        |  text ||
-        |  CASE WHEN doc_id % 5 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END ||
-        |  CASE WHEN doc_id % 7 = 0 THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' now' ELSE '' END ||
-        |  CASE WHEN doc_id % 11 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1' ELSE '' END AS text
-        |  FROM documents),
-        |r AS (SELECT lang,
-        |  len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_emails,
-        |  len(regexp_extract_all(text, '\d{3}-\d{4}')) AS n_phones,
-        |  len(regexp_extract_all(text, '\d+\.\d+\.\d+\.\d+')) AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\d{3}-\d{4}', '<PHONE>', 'g'),
-        |    '\d+\.\d+\.\d+\.\d+', '<IP>', 'g')) AS hd
-        |  FROM pl)
+      s"""WITH $piiScrubCtes
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
         |  CAST(sum(n_emails) AS BIGINT) AS n_emails,
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
-        |  bit_xor((CASE WHEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) >= 2147483648
-        |        THEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) - 4294967296
-        |        ELSE CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) END) * 4294967296
-        |    + CAST(('0x' || substr(hd, 9, 8)) AS BIGINT)) AS redacted_xor
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  ${signed64Xor("md5(red)")} AS redacted_xor
+        |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_token_count" ->
       """SELECT source, count(*) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
@@ -2135,40 +2191,24 @@ object SparkEntry {
     // flattened ranges; the rebuilt text's 64-bit fold proves the cut
     // byte-for-byte.
     "dd_substring_cut" ->
-      """WITH d AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
-        |o AS (SELECT doc_id, unnest(list_transform(range(0, len(toks) - 8 + 1),
-        |    i -> {'pos': i, 'sg': array_to_string(toks[i + 1 : i + 8], ' ')})) AS u
-        |  FROM d WHERE len(toks) >= 8),
-        |q AS (SELECT doc_id, u.pos AS pos, u.sg AS sg FROM o),
-        |r2 AS (SELECT doc_id, pos,
-        |    count(*) OVER (PARTITION BY sg) AS c,
-        |    row_number() OVER (PARTITION BY sg ORDER BY doc_id, pos) AS rn
-        |  FROM q),
-        |rp AS (SELECT doc_id, list(pos ORDER BY pos) AS rpos
-        |  FROM r2 WHERE c > 1 AND rn > 1 GROUP BY 1),
-        |f AS (SELECT d.doc_id, d.lang, d.toks,
-        |    coalesce(rp.rpos, CAST([] AS BIGINT[])) AS rpos
-        |  FROM d LEFT JOIN rp USING (doc_id)),
-        |g AS (SELECT doc_id, lang, toks,
-        |    list_distinct(flatten(list_transform(rpos, p -> range(p, p + 8)))) AS cov
-        |  FROM f),
-        |k AS (SELECT doc_id, lang, len(toks) AS n_in, len(cov) AS n_cut,
-        |    -- coalesce: DuckDB array_to_string([]) is NULL, Spark
-        |    -- concat_ws of an empty array is '' - an ALL-cut document
-        |    -- (a full duplicate) must hash md5('') in both engines
-        |    md5(coalesce(array_to_string(list_filter(list_transform(range(0, len(toks)), i ->
-        |      CASE WHEN list_contains(cov, i) THEN NULL ELSE toks[i + 1] END),
-        |      t -> t IS NOT NULL), ' '), '')) AS hd
-        |  FROM g)
-        |SELECT lang, count(*) AS n_docs,
-        |  CAST(sum(CASE WHEN n_cut > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_cut,
-        |  CAST(sum(n_in) AS BIGINT) AS tokens_in,
-        |  CAST(sum(n_cut) AS BIGINT) AS tokens_cut,
-        |  bit_xor((CASE WHEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) >= 2147483648
-        |        THEN CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) - 4294967296
-        |        ELSE CAST(('0x' || substr(hd, 1, 8)) AS BIGINT) END) * 4294967296
-        |    + CAST(('0x' || substr(hd, 9, 8)) AS BIGINT)) AS rebuilt_xor
-        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+      s"""WITH ${substringCutCtes("documents")}
+        |$substringCutReport ORDER BY 1""".stripMargin,
+    // The scrub -> cut composition: the verbatim piiScrubCtes feed the
+    // verbatim substringCutCtes (one generator each - the composition
+    // cannot drift from the parts), joined with the per-lang scrub
+    // counts.
+    "pipeline_scrub_cut" ->
+      s"""WITH $piiScrubCtes,
+        |sc AS (SELECT doc_id, lang, red AS text FROM rr),
+        |${substringCutCtes("sc")},
+        |cut AS ($substringCutReport),
+        |scrub AS (SELECT lang,
+        |  CAST(sum(CASE WHEN n_emails + n_phones + n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_scrubbed
+        |  FROM rr GROUP BY 1)
+        |SELECT cut.lang, n_docs, n_docs_scrubbed, n_docs_cut,
+        |  tokens_in, tokens_cut, rebuilt_xor
+        |FROM cut JOIN scrub ON cut.lang = scrub.lang
+        |ORDER BY cut.lang""".stripMargin,
     // Same MinHashBands replication as pipeline_clean_corpus (see above).
     "dd_ngram_jaccard" ->
       """WITH d AS (

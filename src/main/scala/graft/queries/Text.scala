@@ -612,13 +612,51 @@ object Text {
     * time, the [[pipelinePrepareCorpus]] rewrite's cost shape.
     */
   def ddSubstringCut(spark: SparkSession, dir: String,
+      width: Int = 8): DataFrame =
+    substringCutStats(docs(spark, dir), width, "dd_substring_cut")
+
+  /** Scrub → cut as ONE declarative plan — the privacy-then-dedup prefix
+    * of a production prep flow (scrub FIRST, so no duplicated span of
+    * raw PII survives into the cut decision; the cut then runs on
+    * exactly what would be retained): [[piiScrub]]'s redacted corpus
+    * feeds [[substringCutStats]] verbatim, and the per-language report
+    * carries both stages' counts plus the rebuilt-text 64-bit fold. The
+    * oracle composes the two stages' CTE generators, so the composition
+    * cannot drift from the standalone operators (the
+    * pipelinePrepareCorpus discipline).
+    */
+  def pipelineScrubCut(spark: SparkSession, dir: String,
       width: Int = 8): DataFrame = {
+    val scrubbed = graft.Caches.scoped("pipeline_scrub_cut.scrubbed",
+      piiScrub(docs(spark, dir))
+        .select(col("doc_id"), col("lang"), col("red").as("text"),
+          (col("n_emails") + col("n_phones") + col("n_ips") > 0)
+            .as("had_pii")))
+    val scrubStats = scrubbed.groupBy("lang")
+      .agg(sum(when(col("had_pii"), 1L).otherwise(0L)).as("n_docs_scrubbed"))
+    substringCutStats(scrubbed.select("doc_id", "lang", "text"), width,
+        "pipeline_scrub_cut")
+      .join(scrubStats, "lang")
+      .select(col("lang"), col("n_docs"), col("n_docs_scrubbed"),
+        col("n_docs_cut"), col("tokens_in"), col("tokens_cut"),
+        col("rebuilt_xor"))
+      .orderBy("lang")
+  }
+
+  /** [[ddSubstringCut]]'s body over an arbitrary (doc_id, lang, text)
+    * frame — shared with [[pipelineScrubCut]], which feeds it the
+    * SCRUBBED corpus (the mergeUpdates sharing discipline: one cut
+    * definition, two inputs). `cacheTag` keeps the two consumers'
+    * scoped digest caches from evicting each other.
+    */
+  private def substringCutStats(input: DataFrame, width: Int,
+      cacheTag: String): DataFrame = {
     require(width > 0)
-    val base = Tables.spread(docs(spark, dir))
+    val base = Tables.spread(input)
       .withColumn("toks", split(col("text"), " "))
     // the expensive-join-key rule (see ddSubstring): one md5 pass feeds
     // both the keep-first stats and the occurrence join-back
-    val occ = graft.Caches.scoped("dd_substring_cut.occ", base
+    val occ = graft.Caches.scoped(s"$cacheTag.occ", base
       .filter(size(col("toks")) >= width)
       .select(col("doc_id"), posexplode(expr(
         s"""transform(sequence(0, size(toks) - $width),

@@ -1229,6 +1229,33 @@ class TextOpsSpec extends SparkSpec {
     assert(cut.getAs[Long]("cut") < cut.getAs[Long]("in"))
   }
 
+  test("pipeline_scrub_cut composes the standalone scrub and cut consistently") {
+    val pipe = Text.pipelineScrubCut(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val scrub = Text.txPiiRedact(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n_docs_with_pii"))
+      .toMap
+    assert(pipe.nonEmpty && pipe.keySet == scrub.keySet)
+    pipe.foreach { case (lang, r) =>
+      assert(r.getAs[Long]("n_docs_scrubbed") == scrub(lang),
+        s"$lang: composed scrub count must equal the standalone operator")
+      // the scrub appends tokens to carved docs, so the cut stage sees
+      // AT LEAST the raw corpus's tokens
+      assert(r.getAs[Long]("tokens_in") > 0 &&
+        r.getAs[Long]("tokens_cut") < r.getAs[Long]("tokens_in"))
+    }
+    // scrubbed-token accounting: tokens_in equals the scrubbed corpus's
+    // exact whitespace-token total per language
+    val scrubbedToks = Text.piiScrub(Tables(spark, sf001, "documents"))
+      .select(col("lang"), expr("size(split(red, ' '))").as("n"))
+      .groupBy("lang").agg(sum("n").as("n")).collect()
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("n")).toMap
+    pipe.foreach { case (lang, r) =>
+      assert(r.getAs[Long]("tokens_in") == scrubbedToks(lang),
+        s"$lang: cut-stage input tokens must equal the scrubbed corpus")
+    }
+  }
+
   test("dd_substring finds spans on the natural corpus; coverage bounds hold") {
     val rows = Text.ddSubstring(spark, sf001).collect()
     assert(rows.exists(_.getAs[Long]("n_dup_pos") > 0),
