@@ -114,6 +114,7 @@ object SparkEntry {
     "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
     "tx_model_quality_indexed" -> ((s, d) => Text.txModelQualityIndexed(s, d)),
     "tx_model_quality_eval" -> ((s, d) => Text.txModelQualityEval(s, d)),
+    "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
@@ -2390,6 +2391,7 @@ object SparkEntry {
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.
     "tx_bpe_merges" -> bpeMergesSql,
     "tx_bpe_apply" -> bpeApplySql,
+    "tx_bpe_apply_indexed" -> bpeApplySql,
     "tx_model_quality" -> modelQualitySql,
     // the standing-model twin shares the oracle verbatim (training is
     // deterministic — the ivfAnnSql sharing rule)

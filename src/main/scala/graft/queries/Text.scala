@@ -2641,8 +2641,16 @@ object Text {
     * never touching the token stream again.
     */
   def txBpeApply(spark: SparkSession, dir: String,
-      rounds: Int = bpeMergeRounds): DataFrame = {
-    val state = bpeTrain(spark, dir, rounds)._2
+      rounds: Int = bpeMergeRounds): DataFrame =
+    bpeApplyReport(spark, dir, bpeTrain(spark, dir, rounds)._2)
+
+  /** The per-language encode report over a trained vocabulary state —
+    * shared by the train-per-call form ([[txBpeApply]]) and the
+    * standing-index form ([[txBpeApplyIndexed]]): one report text, so
+    * the two (and their shared oracle) cannot drift.
+    */
+  private def bpeApplyReport(spark: SparkSession, dir: String,
+      state: DataFrame): DataFrame = {
     val lt = Tables.spread(docs(spark, dir))
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
@@ -2655,6 +2663,63 @@ object Text {
       .withColumn("compression",
         col("n_chars").cast("double") / col("n_symbols").cast("double"))
       .orderBy("lang")
+  }
+
+  // tokenizer index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val bpeIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Persist the trained BPE tokenizer — the merge table and the final
+    * vocabulary state — completing the train-once/serve-many story for
+    * the LAST trained artifact without a standing form (quality model,
+    * quantizers and dedup index all have one): a tokenizer is trained
+    * once and then encodes every batch and stream for months. Marker +
+    * memo discipline matches [[graft.queries.Similarity.ensureIvfIndex]].
+    */
+  def bpeBuildIndex(spark: SparkSession, dir: String): String = {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/bpe_index"
+    val (merges, state) = bpeTrain(spark, dir, bpeMergeRounds)
+    merges.write.mode("overwrite").parquet(s"$base/merges")
+    state.write.mode("overwrite").parquet(s"$base/vocab")
+    base
+  }
+
+  def ensureBpeIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/bpe_index"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/vocab/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(bpeIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        bpeIndexFor.remove(base)
+        fs.delete(marker, false)
+        bpeBuildIndex(spark, dir)
+        bpeIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** [[txBpeApply]] over the STANDING tokenizer ([[bpeBuildIndex]]) —
+    * identical output (training is deterministic; the oracle SQL is
+    * shared verbatim, the ivfAnnSql sharing rule), different physics:
+    * the merge loop never runs, the encode reads the persisted
+    * vocabulary and the corpus once.
+    */
+  def txBpeApplyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureBpeIndex(spark, dir)
+    bpeApplyReport(spark, dir, spark.read.parquet(s"$base/vocab"))
+  }
+
+  /** The standing tokenizer's (token → encoded length) table as bounded
+    * index metadata for the streaming encoder — |vocab| rows (the
+    * probe-list collect rule; this corpus's whitespace vocabulary is a
+    * few dozen tokens, and a production BPE vocab is ≤ a few hundred
+    * thousand — broadcast-sized by construction).
+    */
+  def bpeVocabSymCounts(spark: SparkSession, dir: String): Seq[(String, Int)] = {
+    val base = ensureBpeIndex(spark, dir)
+    spark.read.parquet(s"$base/vocab")
+      .select(col("tok"), size(col("syms")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toSeq.sortBy(_._1)
   }
 
   /** Model-quality-filter geometry — shared with the generated oracle

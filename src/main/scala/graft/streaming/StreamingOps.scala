@@ -429,6 +429,30 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_emails"), col("n_phones"),
         col("n_ips"), col("hd"))
 
+  /** Streaming twin of the BPE encode — tokenize-at-ingest with the
+    * STANDING tokenizer: the persisted vocabulary's (token → encoded
+    * length) table rides along as a literal map (bounded index
+    * metadata, the qualityScoredDocs weights treatment), and each
+    * landing document reports its exact char/symbol accounting in one
+    * stateless projection. Unseen tokens fall back to character length
+    * (an untrained token encodes symbol-per-character — BPE's own
+    * base-case). `try_element_at`: ANSI `element_at` throws on missing
+    * keys (the sparse-vector rule).
+    */
+  def bpeEncodedDocs(docsStream: DataFrame,
+      vocab: Seq[(String, Int)]): DataFrame = {
+    val entries = vocab.flatMap { case (t, n) => Seq(lit(t), lit(n)) }
+    docsStream
+      .withColumn("vm", map(entries: _*))
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_chars_toks", expr(
+        "aggregate(toks, 0L, (acc, t) -> acc + length(t))"))
+      .withColumn("n_symbols", expr(
+        "aggregate(toks, 0L, (acc, t) -> acc + coalesce(try_element_at(vm, t), length(t)))"))
+      .select(col("doc_id"), col("lang"), size(col("toks")).as("n_tokens"),
+        col("n_chars_toks").as("n_chars"), col("n_symbols"))
+  }
+
   /** Static side of the streaming media-frame dedup: the standing
     * corpus's distinct frame digests (the base partition of the
     * [[graft.multimodal.Multimodal.frameDedup]] rule — media landing

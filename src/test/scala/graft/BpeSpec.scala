@@ -87,4 +87,54 @@ class BpeSpec extends SparkSpec {
         r.getAs[String]("left_sym") + r.getAs[String]("right_sym"))
     }
   }
+
+  test("standing tokenizer equals the train-per-call encode report") {
+    val dir = "/root/testdata/sf0.001"
+    val perCall = Text.txBpeApply(spark, dir).collect()
+    val indexed = Text.txBpeApplyIndexed(spark, dir).collect()
+    assert(indexed.toSeq == perCall.toSeq,
+      "deterministic training: the persisted vocabulary must reproduce " +
+        "the train-per-call report row for row")
+  }
+
+  test("streaming encode with the standing vocabulary equals batch per doc") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val dir = "/root/testdata/sf0.001"
+    val vocab = Text.bpeVocabSymCounts(spark, dir)
+    assert(vocab.nonEmpty, "vocab collected from the standing index")
+    assert(vocab.exists { case (t, n) => n < t.length },
+      "at least one vocab token must have merged below its char length")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-bpe-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = StreamingOps.bpeEncodedDocs(
+        StreamingOps.readDocumentsStream(spark, streamDir.toString), vocab)
+      .writeStream.format("memory").queryName("bpe_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("bpe_stream").orderBy("doc_id").collect()
+    val batch = StreamingOps.bpeEncodedDocs(
+        Tables(spark, dir, "documents"), vocab)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b },
+      "per-doc streamed encode must equal the batch encode")
+    // the encode is real: merges happened, so some doc's symbol count is
+    // strictly under its char count
+    assert(streamed.exists(r =>
+      r.getAs[Long]("n_symbols") < r.getAs[Long]("n_chars")),
+      "trained merges must compress at least one document")
+    // per-language totals agree with the oracle'd corpus report
+    val streamedByLang = spark.table("bpe_stream").groupBy("lang")
+      .agg(sum("n_chars").as("c"), sum("n_symbols").as("s")).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("c"), r.getAs[Long]("s"))).toMap
+    Text.txBpeApplyIndexed(spark, dir).collect().foreach { r =>
+      val (c, s2) = streamedByLang(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_chars") == c && r.getAs[Long]("n_symbols") == s2,
+        s"${r.getAs[String]("lang")}: streamed totals diverge from the report")
+    }
+  }
 }
