@@ -169,6 +169,7 @@ object SparkEntry {
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
     "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
+    "sim_pq_retrain" -> ((s, d) => Similarity.simPqRetrain(s, d)),
     "sim_pq_adc_deleted" -> ((s, d) => Similarity.simPqAdcDeleted(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
     "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
@@ -444,6 +445,83 @@ object SparkEntry {
        |FROM bc LEFT JOIN dd ON bc.s = dd.s AND bc.code = dd.code
        |LEFT JOIN lv ON bc.s = lv.s AND bc.code = lv.code
        |ORDER BY bc.s, bc.code""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simPqRetrain]]: the
+    * trained chain's final codebooks seed per-subspace warm Lloyd
+    * rounds over base + delta (the pqAdcCtes step text with the union
+    * source), then before/after assignments with their winning
+    * sub-distances feed the per-(subspace, codeword) occupancy,
+    * movement and vec_id-ordered SSE audit.
+    */
+  private def pqRetrainSql: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val r0 = Similarity.pqTrainRounds
+    val rw = Similarity.pqRetrainRounds
+    val warmChains = (0 until m).map { s =>
+      val lo = s * sub
+      val seed = s"pqw${s}_c0 AS (SELECT cid, centroid FROM pq${s}_c$r0)"
+      val steps = (1 to rw).map { r =>
+        s"""pqw${s}_a$r AS (
+           |  SELECT vec_id, embedding, cid FROM (
+           |    SELECT uu.vec_id, uu.embedding, c.cid,
+           |      row_number() OVER (PARTITION BY uu.vec_id ORDER BY
+           |        ${pqSlicedL2("uu.embedding", "c.centroid", lo.toString)} ASC,
+           |        c.cid ASC) AS rn
+           |    FROM u uu, pqw${s}_c${r - 1} c)
+           |  WHERE rn = 1),
+           |pqw${s}_c$r AS (
+           |  SELECT cid,
+           |    list_transform(range(1, ${sub + 1}), d ->
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
+           |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
+           |        FROM pqw${s}_a$r GROUP BY cid))""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+    val wbooks = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, centroid FROM pqw${s}_c$rw")
+      .mkString(" UNION ALL ")
+    def assign(name: String, booksRel: String): String =
+      s"""$name AS (
+         |  SELECT vec_id, s, cid AS code,
+         |    ${pqSlicedL2("embedding", "centroid", s"s * $sub")} AS dist
+         |  FROM (
+         |    SELECT uu.vec_id, uu.embedding, b.s, b.cid, b.centroid,
+         |      row_number() OVER (PARTITION BY uu.vec_id, b.s ORDER BY
+         |        ${pqSlicedL2("uu.embedding", "b.centroid", s"b.s * $sub")} ASC,
+         |        b.cid ASC) AS rn
+         |    FROM u uu, $booksRel b)
+         |  WHERE rn = 1)""".stripMargin
+    s"""$pqAdcCtes,
+       |u AS (SELECT vec_id, embedding FROM embeddings
+       |      UNION ALL
+       |      SELECT -vec_id - 1, list_transform(range(1, 65), i -> embedding[65 - i])
+       |      FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |${warmChains.mkString(",\n")},
+       |wbooks AS ($wbooks),
+       |${assign("bfr", "books")},
+       |${assign("aft", "wbooks")},
+       |bo AS (SELECT s, code, count(*) AS n_before,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS old_sse
+       |  FROM bfr GROUP BY 1, 2),
+       |ao AS (SELECT s, code, count(*) AS n_after,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS new_sse
+       |  FROM aft GROUP BY 1, 2),
+       |mv AS (SELECT b.s, b.code AS cb, a.code AS ca
+       |  FROM bfr b JOIN aft a ON b.vec_id = a.vec_id AND b.s = a.s
+       |  WHERE b.code <> a.code),
+       |en AS (SELECT s, ca AS code, count(*) AS n_entered FROM mv GROUP BY 1, 2),
+       |lf AS (SELECT s, cb AS code, count(*) AS n_left FROM mv GROUP BY 1, 2)
+       |SELECT coalesce(bo.s, ao.s) AS s, coalesce(bo.code, ao.code) AS code,
+       |  coalesce(n_before, 0) AS n_before, coalesce(n_after, 0) AS n_after,
+       |  coalesce(n_entered, 0) AS n_entered, coalesce(n_left, 0) AS n_left,
+       |  old_sse, new_sse
+       |FROM bo FULL OUTER JOIN ao ON bo.s = ao.s AND bo.code = ao.code
+       |LEFT JOIN en ON coalesce(bo.s, ao.s) = en.s AND coalesce(bo.code, ao.code) = en.code
+       |LEFT JOIN lf ON coalesce(bo.s, ao.s) = lf.s AND coalesce(bo.code, ao.code) = lf.code
+       |ORDER BY s, code""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqAdcDeleted]]: the
     * shared chain's ADC re-derived over the LIVE codes only (the carve
@@ -2735,6 +2813,7 @@ object SparkEntry {
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_pq_delete" -> pqDeleteSql,
     "sim_ivfpq_upsert" -> ivfPqUpsertSql,
+    "sim_pq_retrain" -> pqRetrainSql,
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,
     "sim_ivf_retrain" -> ivfRetrainSql,

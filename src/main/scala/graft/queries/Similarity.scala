@@ -993,13 +993,21 @@ object Similarity {
     */
   private def pqEncodeFrom(source: DataFrame,
       codebooks: DataFrame): DataFrame =
+    pqAssignWithDist(source, codebooks).drop("dist")
+
+  /** The one PQ assignment text, with the winning sub-distance kept —
+    * [[pqEncodeFrom]] drops it; the retrain audit's SSE folds need it.
+    */
+  private def pqAssignWithDist(source: DataFrame,
+      codebooks: DataFrame): DataFrame =
     source
       .join(broadcast(codebooks))
       .withColumn("dist",
         expr(l2SubExpr("embedding", "centroid", s"s * $pqSubDims")))
       .groupBy("vec_id", "s")
       .agg(min(struct(col("dist"), col("cid"))).as("b"))
-      .select(col("vec_id"), col("s"), col("b.cid").as("code"))
+      .select(col("vec_id"), col("s"), col("b.cid").as("code"),
+        col("b.dist").as("dist"))
 
   /** PQ index UPSERT — [[simIvfUpsert]]'s frozen-quantizer admission
     * applied to the code table (FAISS `IndexPQ.add`): the delta batch
@@ -1136,6 +1144,101 @@ object Similarity {
     pqAdcScore(spark, dir,
       spark.read.parquet(s"$main/codebooks"),
       spark.read.parquet(s"$del/codes"), k, querySet)
+  }
+
+  private[graft] val pqRetrainRounds = 2
+
+  /** Warm-start Lloyd over the PQ codebooks — [[kmeansWarmState]]'s
+    * argument applied to the fine quantizer (FAISS retrains drifted
+    * codebooks from the current ones, not from scratch): all m
+    * subspaces advance together (the codebook rows carry `s`), each
+    * round assigns by the shared sliced-L2 text and updates every
+    * (subspace, codeword) as the vec_id-ordered mean of its members'
+    * sub-slices — the [[pqCodebooks]] update discipline, so the DuckDB
+    * twin unrolls round for round. A codeword that loses all members
+    * drops out (plain Lloyd empty-cluster behavior, identical in both
+    * engines). Warm start makes per-subspace
+    * `sum(new_sse) <= sum(old_sse)` a theorem (the kmeansWarmState
+    * argument), which the spec pins.
+    */
+  private[graft] def pqWarmBooks(spark: SparkSession, union: DataFrame,
+      books0: DataFrame, rounds: Int = pqRetrainRounds): DataFrame = {
+    require(rounds >= 1, "warm retrain needs at least one Lloyd round")
+    var cents = books0.select("s", "cid", "centroid").localCheckpoint(false)
+    for (r <- 1 to rounds) {
+      val assigned = pqAssignWithDist(union, cents)
+        .select(col("vec_id"), col("s"), col("code").as("cid"))
+      cents = union.join(assigned, "vec_id")
+        .groupBy("s", "cid")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+          .as("members"))
+        .withColumn("centroid", expr(
+          s"""transform(sequence(0, ${pqSubDims - 1}), d ->
+               aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d + s * $pqSubDims] AS DOUBLE))
+               / size(members))"""))
+        .select("s", "cid", "centroid")
+        .localCheckpoint(false)
+      cents.count() // one bounded m·k-row job per round, lineage truncated
+    }
+    cents
+  }
+
+  /** PQ retrain — the ACTION half of fine-quantizer maintenance,
+    * completing the retrain symmetry with [[simIvfRetrain]] (the coarse
+    * quantizer had drift → retrain; the codebooks now do too): the
+    * standing codebooks warm-retrain over base + admitted delta
+    * ([[pqWarmBooks]], deterministic — no RNG anywhere), the union
+    * re-encodes under the retrained books, and the audit reports every
+    * (subspace, codeword):
+    *
+    *   - `n_before` / `n_after`: occupancy under the FROZEN books (the
+    *     post-upsert logical state — base codes plus the delta encoded
+    *     frozen, exactly what [[simPqUpsert]] serves) vs under the
+    *     retrained books;
+    *   - `n_entered` / `n_left`: vectors whose code changed, counted on
+    *     the gaining and losing codeword — the code-movement cost a
+    *     deployment pays to rewrite its ~2 B/vector table;
+    *   - `old_sse` / `new_sse`: the per-codeword sub-quantization error
+    *     (vec_id-ordered squared-L2 folds, bit-exact vs the oracle);
+    *     per subspace, warm start makes `sum(new) <= sum(old)` provable.
+    */
+  def simPqRetrain(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensurePqIndex(spark, dir)
+    val books0 = spark.read.parquet(s"$main/codebooks")
+    val union = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+      .unionByName(upsertDeltaFrame(spark, dir))
+    val before = graft.Caches.scoped("pq_retrain.before",
+      pqAssignWithDist(union, books0))
+    val after = graft.Caches.scoped("pq_retrain.after",
+      pqAssignWithDist(union,
+        pqWarmBooks(spark, union, books0, pqRetrainRounds)))
+    def occ(df: DataFrame, n: String, sse: String): DataFrame = df
+      .groupBy("s", "code")
+      .agg(count(lit(1)).as(n),
+        sort_array(collect_list(struct(col("vec_id"), col("dist"))))
+          .as("ds"))
+      .withColumn(sse, expr("aggregate(ds, 0D, (acc, t) -> acc + t.dist)"))
+      .drop("ds")
+    val moves = before.select(col("vec_id"), col("s"), col("code").as("cb"))
+      .join(after.select(col("vec_id"), col("s"), col("code").as("ca")),
+        Seq("vec_id", "s"))
+      .filter(col("cb") =!= col("ca"))
+    val entered = moves.groupBy(col("s"), col("ca").as("code"))
+      .agg(count(lit(1)).as("n_entered"))
+    val left = moves.groupBy(col("s"), col("cb").as("code"))
+      .agg(count(lit(1)).as("n_left"))
+    occ(before, "n_before", "old_sse")
+      .join(occ(after, "n_after", "new_sse"), Seq("s", "code"), "full_outer")
+      .join(entered, Seq("s", "code"), "left")
+      .join(left, Seq("s", "code"), "left")
+      .select(col("s"), col("code"),
+        coalesce(col("n_before"), lit(0L)).as("n_before"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"),
+        coalesce(col("n_entered"), lit(0L)).as("n_entered"),
+        coalesce(col("n_left"), lit(0L)).as("n_left"),
+        col("old_sse"), col("new_sse"))
+      .orderBy("s", "code")
   }
 
   /** Asymmetric-distance (ADC) top-k search over the PQ codes (Jégou et

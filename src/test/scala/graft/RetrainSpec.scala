@@ -92,5 +92,34 @@ class RetrainSpec extends SparkSpec {
         s"all-cells retrained search must equal brute force over " +
           s"base + delta at $dir")
     }
+
+    test(s"pq retrain at $dir: warm-start bound + movement identities") {
+      val audit = Similarity.simPqRetrain(spark, dir).collect()
+      assert(audit.nonEmpty)
+      val union = Tables(spark, dir, "embeddings").count() +
+        Tables(spark, dir, "embeddings")
+          .filter(col("vec_id") % 5 === 0).count()
+      audit.groupBy(_.getAs[Int]("s")).foreach { case (s, rows) =>
+        // occupancy partitions the union corpus on both sides
+        assert(rows.map(_.getAs[Long]("n_before")).sum == union,
+          s"subspace $s: before-occupancy must partition base + delta")
+        assert(rows.map(_.getAs[Long]("n_after")).sum == union,
+          s"subspace $s: after-occupancy must partition base + delta")
+        // every vector that entered a codeword left another
+        assert(rows.map(_.getAs[Long]("n_entered")).sum ==
+          rows.map(_.getAs[Long]("n_left")).sum,
+          s"subspace $s: entered/left must balance")
+        // the warm-start theorem: per-subspace total SSE is non-increasing
+        val oldSse = rows.flatMap(r =>
+          Option(r.getAs[java.lang.Double]("old_sse")).map(_.toDouble)).sum
+        val newSse = rows.flatMap(r =>
+          Option(r.getAs[java.lang.Double]("new_sse")).map(_.toDouble)).sum
+        assert(newSse <= oldSse,
+          s"subspace $s: warm Lloyd must not increase total SSE ($newSse > $oldSse)")
+        // the retrain did real work on this drifted union
+        assert(rows.map(_.getAs[Long]("n_entered")).sum > 0,
+          s"subspace $s: the reversed-embedding delta must move codes")
+      }
+    }
   }
 }
