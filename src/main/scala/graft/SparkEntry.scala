@@ -58,6 +58,8 @@ object SparkEntry {
     "w3_rownumber_dedup" -> (Relational.w3RownumberDedup _),
     "w2_pct_change" -> (Relational.w2PctChange _),
     "w4_ewma" -> (Relational.w4Ewma _),
+    "w5_rolling_median" -> (Relational.w5RollingMedian _),
+    "w6_drawdown" -> (Relational.w6Drawdown _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -1666,6 +1668,47 @@ object SparkEntry {
          |JOIN idx lagd ON lagd.flag = cur.flag AND lagd.t = cur.t - w.j
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+    "w5_rolling_median" ->
+      // Same selection formula as the Spark side — never DuckDB's median(),
+      // whose even-count interpolation lo + (hi-lo)/2 can drift a ulp from
+      // the explicit (lo+hi)/2 both engines compute here.
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |fr AS (
+        |  SELECT nationkey, date, rev,
+        |    list_sort(list(rev) OVER (PARTITION BY nationkey ORDER BY date
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS s
+        |  FROM daily)
+        |SELECT nationkey, date, rev,
+        |  (s[CAST((len(s) + 1) // 2 AS BIGINT)] + s[CAST(len(s) // 2 + 1 AS BIGINT)]) / 2.0 AS med5
+        |FROM fr ORDER BY nationkey, date""".stripMargin,
+    "w6_drawdown" ->
+      // Per-nation W1: list_reduce over the ordered prefix forces the
+      // sequential multiply order Spark's running-frame product uses
+      // (DuckDB's windowed product() merges partials segment-tree style).
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nationkey, date,
+        |    COALESCE(rev / lag(rev) OVER (PARTITION BY nationkey ORDER BY date) - 1.0, 0.0) AS ret
+        |  FROM daily),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY nationkey ORDER BY date) AS i FROM r),
+        |lst AS (SELECT nationkey, list(1.0 + ret ORDER BY date) AS arr FROM r GROUP BY 1),
+        |lv AS (
+        |  SELECT rn.nationkey, rn.date,
+        |    list_reduce(arr[1:rn.i], (a, b) -> a * b) * 100.0 AS level
+        |  FROM rn JOIN lst ON rn.nationkey = lst.nationkey),
+        |pk AS (
+        |  SELECT nationkey, date, level,
+        |    max(level) OVER (PARTITION BY nationkey ORDER BY date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM lv)
+        |SELECT nationkey, date, level, peak, level / peak - 1.0 AS drawdown
+        |FROM pk ORDER BY nationkey, date""".stripMargin,
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce

@@ -165,12 +165,8 @@ object Relational {
     * division of two bit-identical exact sums is itself bit-identical.
     */
   def w2PctChange(spark: SparkSession, dir: String): DataFrame = {
-    val daily = Tables(spark, dir, "orders")
-      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
-      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
-      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("rev"))
     val w = Window.partitionBy("nationkey").orderBy("date")
-    daily
+    nationDailyRevenue(spark, dir)
       .withColumn("ret", col("rev") / lag("rev", 1).over(w) - lit(1.0))
       .orderBy("nationkey", "date")
   }
@@ -377,6 +373,80 @@ object Relational {
           sum(col("wt")).cast("double")).as("ewma_qty"),
         count(lit(1)).as("n_taps"))
       .orderBy("flag", "date")
+  }
+
+  /** Per-nation daily revenue rollup shared by the rolling-window family
+    * (W2/W5/W6): orders joined to customer for the nation key, revenue
+    * summed in exact integer cents ([[graft.Exact]]) so every downstream
+    * window sees bit-identical inputs on both engines.
+    */
+  private def nationDailyRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
+      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("rev"))
+
+  /** W5 (rolling median): 5-observation trailing median of per-nation daily
+    * revenue — the robust-smoothing complement of the mean-family windows
+    * (W4 EWMA), the shape pandas users write as
+    * `rolling(5, min_periods=1).median()` over the reference's daily panel
+    * (behavioral anchor: the returns window family,
+    * `wrds_ingestion.py:984-996`).
+    *
+    * Exactness: the frame's values are collected in frame order, sorted,
+    * and the median is computed by explicit selection — odd frames pick the
+    * middle element exactly; even frames average the two middle elements
+    * with a single IEEE add + divide, identical on both engines. No
+    * engine-specific quantile interpolation is ever invoked (DuckDB's
+    * `median()` interpolates as lo + (hi-lo)/2, which can differ from
+    * (lo+hi)/2 in the last ulp — both engines run the SAME selection
+    * formula instead). Head rows use the available prefix (min_periods=1
+    * semantics, matching W4's adaptive head).
+    *
+    * Scale shape: the corpus pass is the partial-aggregated daily rollup;
+    * the collect_list frame is bounded at 5 elements on the (nation, day)
+    * aggregate, never on raw orders, and the window is partitioned by
+    * nation — no global window over unbounded input.
+    */
+  def w5RollingMedian(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("nationkey").orderBy("date").rowsBetween(-4, 0)
+    nationDailyRevenue(spark, dir)
+      .withColumn("s", sort_array(collect_list(col("rev")).over(w)))
+      .withColumn("n", size(col("s")))
+      .withColumn("med5",
+        (element_at(col("s"), expr("CAST((n + 1) DIV 2 AS INT)")) +
+          element_at(col("s"), expr("CAST(n DIV 2 + 1 AS INT)"))) / lit(2.0))
+      .select(col("nationkey"), col("date"), col("rev"), col("med5"))
+      .orderBy("nationkey", "date")
+  }
+
+  /** W6 (drawdown curve): per-nation cumulative revenue index (the W1
+    * compounding, `wrds_ingestion.py:984-996`), its running peak, and the
+    * drawdown `level/peak - 1` — the standard quant risk series computed
+    * from the reference's benchmark-index construction.
+    *
+    * Exactness: returns divide bit-identical exact sums (the W2 argument);
+    * the index level is a sequential running-frame product (Spark's
+    * `product` window evaluates the frame in order; the oracle forces the
+    * same left-to-right order with `list_reduce` over the ordered prefix —
+    * the W1 rule, since DuckDB's windowed product merges partials in
+    * segment-tree order and drifts in the last ulps); the running peak is
+    * pure comparison; the final drawdown is one IEEE divide + subtract.
+    *
+    * Scale shape: windows are nation-partitioned over the bounded daily
+    * aggregate — the corpus is read once for the rollup; nothing global.
+    */
+  def w6Drawdown(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("nationkey").orderBy("date")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nationDailyRevenue(spark, dir)
+      .withColumn("ret",
+        coalesce(col("rev") / lag("rev", 1).over(wOrd) - lit(1.0), lit(0.0)))
+      .withColumn("level", product(lit(1.0) + col("ret")).over(wRun) * lit(100.0))
+      .withColumn("peak", max("level").over(wRun))
+      .withColumn("drawdown", col("level") / col("peak") - lit(1.0))
+      .select(col("nationkey"), col("date"), col("level"), col("peak"), col("drawdown"))
+      .orderBy("nationkey", "date")
   }
 
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {

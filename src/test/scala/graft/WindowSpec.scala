@@ -46,4 +46,63 @@ class WindowSpec extends SparkSpec {
       }
     }
   }
+
+  /** The shared per-nation daily revenue series, recomputed driver-side in
+    * exact cents — the reference input for the W5/W6 hand checks.
+    */
+  private def nationSeries(): Map[Int, Array[(java.sql.Timestamp, Double)]] = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
+      .agg((sum(Exact.units(col("o_totalprice"), 2)) / lit(100.0)).as("rev"))
+      .orderBy("nationkey", "date")
+      .collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date"),
+        r.getAs[Double]("rev")))
+    daily.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
+  }
+
+  test("w5 rolling median: equals the sorted-frame selection recomputed by hand") {
+    val series = nationSeries()
+    val out = Relational.w5RollingMedian(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date")) ->
+        r.getAs[Double]("med5")).toMap
+    assert(out.size == series.valuesIterator.map(_.length).sum)
+    series.foreach { case (nk, s) =>
+      s.indices.foreach { t =>
+        val frame = s.slice(math.max(0, t - 4), t + 1).map(_._2).sorted
+        val n = frame.length
+        val expected = (frame((n + 1) / 2 - 1) + frame(n / 2)) / 2.0
+        val got = out((nk, s(t)._1))
+        assert(got == expected, s"nation $nk t=$t: $got vs $expected")
+      }
+    }
+  }
+
+  test("w6 drawdown: sequential compounding, monotone peak, trough recovered by hand") {
+    val series = nationSeries()
+    val out = Relational.w6Drawdown(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date")) ->
+        (r.getAs[Double]("level"), r.getAs[Double]("peak"), r.getAs[Double]("drawdown")))
+      .toMap
+    series.foreach { case (nk, s) =>
+      var prod = 1.0
+      var prevRev = Double.NaN
+      var peak = Double.MinValue
+      s.indices.foreach { t =>
+        val rev = s(t)._2
+        val ret = if (t == 0) 0.0 else rev / prevRev - 1.0
+        // left-to-right sequential product, the order both engines commit
+        // to, with the *100 scaling applied LAST (as both plans do)
+        prod = prod * (1.0 + ret)
+        val level = prod * 100.0
+        peak = math.max(peak, level)
+        prevRev = rev
+        val (gl, gp, gd) = out((nk, s(t)._1))
+        assert(gl == level, s"nation $nk t=$t level: $gl vs $level")
+        assert(gp == peak && gp >= gl, s"nation $nk t=$t peak: $gp vs $peak")
+        assert(gd == gl / gp - 1.0 && gd <= 0.0, s"nation $nk t=$t dd: $gd")
+      }
+    }
+  }
 }
