@@ -171,6 +171,8 @@ object SparkEntry {
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
     "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
+    "sim_ivfpq_delete" -> ((s, d) => Similarity.simIvfPqDelete(s, d)),
+    "sim_ivfpq_deleted" -> ((s, d) => Similarity.simIvfPqDeleted(s, d)),
     "sim_pq_retrain" -> ((s, d) => Similarity.simPqRetrain(s, d)),
     "sim_pq_adc_deleted" -> ((s, d) => Similarity.simPqAdcDeleted(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
@@ -711,6 +713,31 @@ object SparkEntry {
        |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
        |FROM agg ORDER BY cell""".stripMargin
 
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfPqDelete]]: coarse
+    * assignment (kmeans chain) and PQ encode (pqAdcCtes chain) composed,
+    * then the delete rule + compaction threshold applied per (cell,
+    * subspace) in exact integers. The Spark side measures the same
+    * numbers from the physical tombstone/overlay/manifest/code tables.
+    */
+  private def ivfPqDeleteSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cellsq AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |${pqAdcCtes.stripPrefix("WITH ")},
+       |cc AS (
+       |  SELECT c.cell, k.s, k.code,
+       |    (c.cell % 2 = 0 AND c.m_vec_id % ${Similarity.ivfDelMod} = ${Similarity.ivfDelRem}) AS dead
+       |  FROM cellsq c JOIN codes k ON k.vec_id = c.m_vec_id),
+       |agg AS (
+       |  SELECT cell, s, count(*) AS n_base,
+       |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+       |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS n_live,
+       |    CAST(count(DISTINCT CASE WHEN dead THEN NULL ELSE code END) AS BIGINT) AS n_live_codes
+       |  FROM cc GROUP BY 1, 2)
+       |SELECT cell, s, n_base, n_dead, n_live, n_live_codes,
+       |  n_live * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
+       |FROM agg ORDER BY cell, s""".stripMargin
+
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPq]]: the kmeansCtes
     * coarse chain + the pqAdcCtes fine chain composed in ONE statement —
     * probed-cell candidate pairs filter the ADC ranking, then the
@@ -718,10 +745,18 @@ object SparkEntry {
     * sub-chain is the verbatim generator its standalone oracle uses, so
     * the composition cannot drift from the parts.
     */
-  private def ivfPqSql: String =
+  private def ivfPqSql: String = ivfPqSqlOver("TRUE")
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfPqDeleted]]: the
+    * verbatim composed chain over the live-member predicate — the
+    * ivfAnnSqlOver one-generator-two-member-sets rule applied to IVFPQ.
+    */
+  private def ivfPqDeletedSql: String = ivfPqSqlOver(ivfLivePred)
+
+  private def ivfPqSqlOver(memberFilter: String): String =
     s"""WITH ${kmeansCtes()},
        |$ivfRankCtes,
-       |cellsq AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |cellsq AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1 AND ($memberFilter)),
        |probesq AS (SELECT vec_id AS qid, c_label AS cell FROM rk WHERE vec_id < 5 AND crnk <= 2),
        |cand AS (
        |  SELECT probesq.qid, cellsq.m_vec_id AS vec_id
@@ -2856,6 +2891,8 @@ object SparkEntry {
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_pq_delete" -> pqDeleteSql,
     "sim_ivfpq_upsert" -> ivfPqUpsertSql,
+    "sim_ivfpq_delete" -> ivfPqDeleteSql,
+    "sim_ivfpq_deleted" -> ivfPqDeletedSql,
     "sim_pq_retrain" -> pqRetrainSql,
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,

@@ -1700,6 +1700,22 @@ object Similarity {
     * no lost live row, no surviving dead row, threshold applied to the
     * right cells.
     */
+  /** The live (cell, m_vec_id) serving view of the post-delete IVF index —
+    * overlay partitions for compacted cells, base-minus-tombstones for the
+    * rest. ONE definition consumed by the per-cell audit ([[simIvfDelete]])
+    * and the composed IVFPQ audit ([[simIvfPqDelete]]), so "what a search
+    * would read" cannot drift between the two lifecycle reports.
+    */
+  private def ivfLiveView(spark: SparkSession, main: String,
+      del: String): DataFrame =
+    readIvfCells(spark, del).select("cell", "m_vec_id")
+      .unionByName(readIvfCells(spark, main)
+        .join(spark.read.parquet(s"$del/compacted").select("cell"),
+          Seq("cell"), "left_anti")
+        .join(spark.read.parquet(s"$del/tombstones").select("m_vec_id"),
+          Seq("m_vec_id"), "left_anti")
+        .select("cell", "m_vec_id"))
+
   def simIvfDelete(spark: SparkSession, dir: String): DataFrame = {
     val main = ensureIvfIndex(spark, dir)
     val base = ensureIvfDeleteIndex(spark, dir)
@@ -1707,11 +1723,7 @@ object Similarity {
     val tombs = spark.read.parquet(s"$base/tombstones")
     val compacted = spark.read.parquet(s"$base/compacted")
       .withColumn("is_compacted", lit(true))
-    val liveRead = readIvfCells(spark, base).select("cell", "m_vec_id")
-      .unionByName(cells
-        .join(compacted.select("cell"), Seq("cell"), "left_anti")
-        .join(tombs.select("m_vec_id"), Seq("m_vec_id"), "left_anti")
-        .select("cell", "m_vec_id"))
+    val liveRead = ivfLiveView(spark, main, base)
     cells.groupBy("cell").agg(count(lit(1)).as("n_base"))
       .join(tombs.groupBy("cell").agg(count(lit(1)).as("n_dead_t")),
         Seq("cell"), "left")
@@ -1759,6 +1771,108 @@ object Similarity {
         Seq("m_vec_id"), "left_anti")
     ivfScoreTopK(spark, dir, overlayPart.unionByName(plainPart),
       probeKeys, querySet, k)
+  }
+
+  /** IVFPQ delete audit — FAISS `IndexIVFPQ.remove_ids`, completing the
+    * composed index's lifecycle (build / upsert / DELETE, matching the
+    * standalone IVF and PQ): the inverted lists hold ~2 B/vector codes,
+    * so deletion is the IVF discipline (tombstones + threshold-compacted
+    * overlay — the codes' pruning unit is the cell, unlike flat PQ whose
+    * honest analog was the physical rewrite) applied to the code table.
+    * The delete carve, tombstones, manifest and overlay are SHARED with
+    * [[simIvfDelete]] ([[ensureIvfDeleteIndex]]) — one deletion event,
+    * two indexes serving it, exactly how a deployment handles a GDPR
+    * erasure across every index holding the vector.
+    *
+    * Per (cell, subspace) inverted-list entry: base code occupancy,
+    * dead codes (tombstoned members, measured from the physical
+    * tombstone table), LIVE codes recounted from the physical serving
+    * view ([[ivfLiveView]] — overlay partitions for compacted cells,
+    * base-minus-tombstones for the rest) joined to the persisted code
+    * table, the distinct codewords the live rows still use (the
+    * codeword-diversity drift signal of [[simIvfPqUpsert]], now tracked
+    * through deletion), and the compaction flag read from the manifest.
+    * The oracle derives all of it from first principles (coarse
+    * assignment + PQ encode chains + delete-rule + threshold
+    * arithmetic), so a hash match proves the physical overlay serves
+    * exactly the specified live codes per codeword.
+    */
+  def simIvfPqDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureIvfIndex(spark, dir)
+    val del = ensureIvfDeleteIndex(spark, dir)
+    val pqBase = ensurePqIndex(spark, dir)
+    val codes = spark.read.parquet(s"$pqBase/codes")
+    val bCell = readIvfCells(spark, main)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val tombs = spark.read.parquet(s"$del/tombstones")
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val live = ivfLiveView(spark, main, del)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val compacted = spark.read.parquet(s"$del/compacted")
+      .withColumn("is_compacted", lit(true))
+    val base = codes.join(bCell, "vec_id")
+      .groupBy("cell", "s").agg(count(lit(1)).as("n_base"))
+    val dead = codes.join(tombs, "vec_id")
+      .groupBy("cell", "s").agg(count(lit(1)).as("n_dead_t"))
+    val liveC = codes.join(live, "vec_id")
+      .groupBy("cell", "s").agg(count(lit(1)).as("n_live_r"),
+        countDistinct(col("code")).as("n_live_codes_r"))
+    base
+      .join(dead, Seq("cell", "s"), "left")
+      .join(liveC, Seq("cell", "s"), "left")
+      .join(compacted, Seq("cell"), "left")
+      .select(col("cell"), col("s"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"),
+        coalesce(col("n_live_codes_r"), lit(0L)).as("n_live_codes"),
+        coalesce(col("is_compacted"), lit(false)).as("compacted"))
+      .orderBy("cell", "s")
+  }
+
+  /** [[simIvfPqIndexed]] over the post-delete serving view — the composed
+    * search a deployment runs after `remove_ids`: probed cells split by
+    * the compaction manifest exactly as [[simIvfAnnDeleted]] (overlay
+    * partitions for compacted cells, base partitions behind the tombstone
+    * anti-join for the rest — both reads partition-pruned to the probed
+    * cells), and the surviving membership restricts the persisted code
+    * table. ADC + shortlist + exact re-rank are [[ivfPqScore]] verbatim,
+    * so the DuckDB oracle (live members from first principles through the
+    * composed kmeans + PQ chains) hash-matches the whole search — no dead
+    * vector can surface (its codes are never candidates), no live one is
+    * lost.
+    */
+  def simIvfPqDeleted(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    val ivfBase = ensureIvfIndex(spark, dir)
+    val del = ensureIvfDeleteIndex(spark, dir)
+    val pqBase = ensurePqIndex(spark, dir)
+    spark.read.parquet(s"$ivfBase/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probes = probeKeys
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"))
+    val probed = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val compactedSet = spark.read.parquet(s"$del/compacted")
+      .collect().map(_.getLong(0)).toSet
+    val (oCells, pCells) = probed.partition(compactedSet)
+    val overlayPart = readIvfCells(spark, del)
+      .filter(col("cell").isin(oCells.toIndexedSeq: _*))
+    val plainPart = readIvfCells(spark, ivfBase)
+      .filter(col("cell").isin(pCells.toIndexedSeq: _*))
+      .join(spark.read.parquet(s"$del/tombstones").select("m_vec_id"),
+        Seq("m_vec_id"), "left_anti")
+    val cellOf = overlayPart.unionByName(plainPart)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val books = spark.read.parquet(s"$pqBase/codebooks")
+    val candCodes = spark.read.parquet(s"$pqBase/codes").join(cellOf, "vec_id")
+    ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
   }
 
   /** Retrain-trigger threshold for [[simIvfDrift]] in integer-scaled

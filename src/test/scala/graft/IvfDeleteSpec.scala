@@ -118,4 +118,48 @@ class IvfDeleteSpec extends SparkSpec {
     }
     assert(lostLive.isEmpty, s"live ids lost by the PQ delete: $lostLive")
   }
+
+  // ---- IVFPQ delete (the composed remove_ids: shared deletion event) ----
+
+  test("ivfpq delete audit agrees with the IVF per-cell audit on every subspace") {
+    val ivf = Similarity.simIvfDelete(spark, pqDir).collect()
+      .map(r => r.getAs[Long]("cell") ->
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_dead"),
+          r.getAs[Long]("n_live"), r.getAs[Boolean]("compacted"))).toMap
+    val rows = Similarity.simIvfPqDelete(spark, pqDir).collect()
+    assert(rows.nonEmpty)
+    val m = Similarity.pqM
+    assert(rows.length == ivf.size * m,
+      s"expected ${ivf.size} cells x $m subspaces, got ${rows.length}")
+    rows.foreach { r =>
+      val cell = r.getAs[Long]("cell")
+      val (base, dead, live, compacted) = ivf(cell)
+      // every vector carries exactly one code per subspace, so the
+      // composed inverted-list occupancy must equal the vector counts
+      assert(r.getAs[Long]("n_base") == base && r.getAs[Long]("n_dead") == dead
+        && r.getAs[Long]("n_live") == live,
+        s"cell $cell s=${r.getAs[Int]("s")} disagrees with the IVF audit")
+      assert(r.getAs[Boolean]("compacted") == compacted,
+        s"cell $cell: compaction flag diverged between the two audits")
+      val liveCodes = r.getAs[Long]("n_live_codes")
+      assert(liveCodes <= live && (live == 0) == (liveCodes == 0),
+        s"cell $cell s=${r.getAs[Int]("s")}: $liveCodes codewords, $live live")
+    }
+  }
+
+  test("ivfpq deleted search never surfaces a tombstoned id, at both nprobe points") {
+    val cellOf = spark.read
+      .parquet(Similarity.ensureIvfIndex(spark, pqDir) + "/cells")
+      .selectExpr("m_vec_id", "CAST(cell AS BIGINT)").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (np <- Seq(2, 8)) {
+      val res = Similarity.simIvfPqDeleted(spark, pqDir, nprobe = np).collect()
+      assert(res.nonEmpty, s"empty composed result at nprobe=$np")
+      res.foreach { r =>
+        val id = r.getAs[Long]("vec_id")
+        assert(!isDead(cellOf(id), id),
+          s"tombstoned id $id surfaced in the composed search at nprobe=$np")
+      }
+    }
+  }
 }
