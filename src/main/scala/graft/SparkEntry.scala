@@ -140,6 +140,7 @@ object SparkEntry {
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
+    "sim_knn_descent" -> ((s, d) => Similarity.simKnnDescent(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -679,6 +680,64 @@ object SparkEntry {
       |  coalesce(hit_id_sum, 0) AS hit_id_sum, min_cosine, max_cosine
       |FROM qs LEFT JOIN h ON qs.qid = h.qid
       |ORDER BY qs.qid""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKnnDescent]]: the
+    * lsh_bucket replica + ring-stride init pair set, then every descent
+    * round unrolled verbatim (capped reverse neighbors, local join,
+    * union with the current graph, exact rescore, per-vertex top-k) —
+    * the kmeansCtes round-unrolling discipline applied to NN-descent.
+    * Constants (k, rounds, strides, nbits) come from the ONE Scala
+    * definition.
+    */
+  private def knnDescentSql: String = {
+    val k = Similarity.knnDescentK
+    val rounds = Similarity.knnDescentRounds
+    require(Similarity.knnDescentNbits == 8,
+      "the oracle's lsh_bucket replica is generated for 8 bits")
+    def scored(pairs: String): String =
+      s"""SELECT p.src, p.dst,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+         |  FROM $pairs p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst""".stripMargin
+    val ringSelects = Similarity.knnDescentStrides.map(s =>
+      s"SELECT vec_id AS src, (vec_id + $s) % n AS dst FROM e, cnt")
+    val roundCtes = (1 to rounds).map { r =>
+      s"""rev$r AS (
+         |  SELECT w, x FROM (
+         |    SELECT dst AS w, src AS x,
+         |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src ASC) AS rrnk
+         |    FROM g${r - 1})
+         |  WHERE rrnk <= $k),
+         |nb$r AS (SELECT src AS w, dst AS x FROM g${r - 1} UNION SELECT w, x FROM rev$r),
+         |pr$r AS (
+         |  SELECT a.x AS src, b.x AS dst FROM nb$r a JOIN nb$r b ON a.w = b.w AND a.x <> b.x
+         |  UNION SELECT src, dst FROM g${r - 1}),
+         |g$r AS (
+         |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+         |  FROM (${scored(s"pr$r")})
+         |  QUALIFY rnk <= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
+       |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
+       |             CAST(embedding[d + 1] AS DOUBLE) * (CAST((j * 73 + d * 37) % 19 - 9 AS DOUBLE) / 9.0))),
+       |             (x, y) -> x + y) > 0
+       |      THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y) AS bucket,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+       |  FROM embeddings),
+       |cnt AS (SELECT count(*) AS n FROM embeddings),
+       |p0 AS (
+       |  SELECT a.vec_id AS src, b.vec_id AS dst FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |  UNION
+       |  ${ringSelects.mkString("\n  UNION\n  ")}),
+       |g0 AS (
+       |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+       |  FROM (${scored("p0")})
+       |  QUALIFY rnk <= $k),
+       |$roundCtes
+       |SELECT src AS vec_id, dst AS nbr_id, cosine, rnk FROM g$rounds
+       |ORDER BY vec_id, rnk""".stripMargin
+  }
 
   /** The live-member predicate of [[graft.queries.Similarity.simIvfDelete]]
     * in DuckDB terms (over the rk columns c_label/vec_id) — constants
@@ -2844,6 +2903,7 @@ object SparkEntry {
         |ORDER BY q.qid""".stripMargin,
     "sim_range_search_indexed" -> ivfRangeSql,
     "sim_knn_graph" -> knnGraphSql,
+    "sim_knn_descent" -> knnDescentSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

@@ -741,6 +741,103 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** NN-descent geometry — shared with the generated oracle SQL (the
+    * kmeansCtes discipline). Init is LSH buckets (the [[simLshBuckets]]
+    * plane family) plus two deterministic ring strides so no vertex
+    * starts isolated; the local-join rounds refine. k = 12 / 4 rounds
+    * chosen from the offline numpy model of the descent dynamics on
+    * this distance-concentrated corpus (recall@3 vs exact:
+    * init 0.049 → 0.74; k = 3 plateaus at 0.08 — neighbor-of-neighbor
+    * needs breadth when top-k cosines sit in the bulk's first
+    * percentile, the same concentration that forces PQ re-rank).
+    */
+  private[graft] val knnDescentK = 12
+  private[graft] val knnDescentRounds = 4
+  private[graft] val knnDescentNbits = 8
+  private[graft] val knnDescentStrides = Seq(1L, 2L)
+
+  /** Approximate GLOBAL kNN-graph construction by NN-descent (Dong,
+    * Moses, Li, WWW'11 — the standard graph-ANN builder; HNSW layer-0
+    * neighborhoods and kgraph both descend this way), the cross-cell
+    * complement of the cell-local [[simKnnGraph]]: the init graph is
+    * deliberately approximate (exact kNN inside each LSH bucket — the
+    * [[bucketedEmbeddings]] blocking — union two id-ring strides so
+    * every vertex starts connected), and each round runs the paper's
+    * LOCAL JOIN: every vertex introduces its neighbors to each other
+    * (B(w) = out-neighbors ∪ k-capped reverse neighbors; all pairs
+    * inside B(w) become candidates), candidates are scored exactly, and
+    * each vertex keeps the best k of old ∪ new. Keeping the union makes
+    * per-vertex neighbor quality monotone non-decreasing per round — a
+    * theorem the spec pins alongside measured recall-vs-exact improving
+    * from the init to the descended graph.
+    *
+    * Determinism: no RNG anywhere — the init "randomness" is the LSH
+    * plane family plus fixed ring strides over the dense id space, ties
+    * break (cosine DESC, nbr ASC), and rounds unroll verbatim in the
+    * oracle. The ring modulus n is the corpus count (one bounded
+    * 1-row aggregate, collected like every IVF manifest).
+    *
+    * Scale shape: the shuffled rows are (src, dst) id pairs and the
+    * bounded per-round candidate set is ≤ n·(2k)² — vectors are fetched
+    * only to score candidate ids (id-keyed joins, the confirm-after-
+    * block discipline); the per-vertex rank windows partition by
+    * vertex; each round's graph is lineage-truncated (the iterative-
+    * loop rule). Quadratic work never exceeds bucket² at init — corpus²
+    * appears nowhere.
+    */
+  def simKnnDescent(spark: SparkSession, dir: String,
+      k: Int = knnDescentK, rounds: Int = knnDescentRounds,
+      nbits: Int = knnDescentNbits): DataFrame = {
+    register(spark)
+    val emb = bucketedEmbeddings(spark, dir, nbits)
+    val n = Tables(spark, dir, "embeddings").count()
+    val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
+    def score(pairs: DataFrame): DataFrame =
+      pairs
+        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
+          col("norm").as("sn")), "src")
+        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          col("norm").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    def topK(scored: DataFrame): DataFrame =
+      scored.withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= k)
+    val inBucket = emb.select(col("bucket"), col("vec_id").as("src"))
+      .join(emb.select(col("bucket"), col("vec_id").as("dst")), Seq("bucket"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
+    val ring = knnDescentStrides
+      .map(s => v.select(col("vec_id").as("src"),
+        ((col("vec_id") + s) % n).as("dst")))
+      .reduce(_ unionByName _)
+    var graph = topK(score(inBucket.unionByName(ring).distinct()))
+      .localCheckpoint(false)
+    graph.count() // materialize the lazy checkpoint (one job per round)
+    val wRev = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)
+    for (_ <- 1 to rounds) {
+      val rev = graph.withColumn("rrnk", row_number().over(wRev))
+        .filter(col("rrnk") <= k)
+        .select(col("dst").as("w"), col("src").as("x"))
+      val nbrs = graph.select(col("src").as("w"), col("dst").as("x"))
+        .unionByName(rev).distinct()
+      val pairs = nbrs.as("a")
+        .join(nbrs.as("b"),
+          col("a.w") === col("b.w") && col("a.x") =!= col("b.x"))
+        .select(col("a.x").as("src"), col("b.x").as("dst"))
+      val cand = pairs.unionByName(graph.select("src", "dst")).distinct()
+      graph = topK(score(cand)).localCheckpoint(false)
+      graph.count()
+    }
+    graph
+      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+        col("cosine"), col("rnk"))
+      .orderBy("vec_id", "rnk")
+  }
+
   /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
     * `IndexIVF.range_search`: candidates come from the nprobe probed
     * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]
