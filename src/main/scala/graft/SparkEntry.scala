@@ -141,6 +141,7 @@ object SparkEntry {
     "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_descent" -> ((s, d) => Similarity.simKnnDescent(s, d)),
+    "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -689,7 +690,17 @@ object SparkEntry {
     * Constants (k, rounds, strides, nbits) come from the ONE Scala
     * definition.
     */
-  private def knnDescentSql: String = {
+  private def knnDescentSql: String =
+    s"""WITH $knnDescentCtes
+       |SELECT src AS vec_id, dst AS nbr_id, cosine, rnk FROM g${Similarity.knnDescentRounds}
+       |ORDER BY vec_id, rnk""".stripMargin
+
+  /** The descent chain as a reusable CTE body (e / cnt / p0 / g0 /
+    * rounds…), shared verbatim by [[knnDescentSql]] and the graph-search
+    * twin — the ivfRankCtes rule: build and search must agree on the
+    * graph or the walk oracle proves nothing.
+    */
+  private def knnDescentCtes: String = {
     val k = Similarity.knnDescentK
     val rounds = Similarity.knnDescentRounds
     require(Similarity.knnDescentNbits == 8,
@@ -716,7 +727,10 @@ object SparkEntry {
          |  FROM (${scored(s"pr$r")})
          |  QUALIFY rnk <= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    // e is MATERIALIZED: DuckDB inlines plain CTEs, so the dozens of
+    // references across the unrolled rounds (and the search twin's hops)
+    // would each open the parquet file — past the fd limit at hop depth
+    s"""WITH e AS MATERIALIZED (
        |  SELECT vec_id, embedding,
        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j ->
        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(0, 64), d ->
@@ -734,9 +748,41 @@ object SparkEntry {
        |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
        |  FROM (${scored("p0")})
        |  QUALIFY rnk <= $k),
-       |$roundCtes
-       |SELECT src AS vec_id, dst AS nbr_id, cosine, rnk FROM g$rounds
-       |ORDER BY vec_id, rnk""".stripMargin
+       |$roundCtes""".stripMargin.stripPrefix("WITH ")
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphSearch]]: the
+    * verbatim descent chain rebuilds the graph from first principles,
+    * then every beam hop unrolls (frontier ∪ neighbors, minus the query,
+    * exact rescore, keep best `beam`), and the final frontier cuts to
+    * top-k. A hash match proves the persisted edges table serves exactly
+    * the declared walk.
+    */
+  private def graphSearchSql: String = {
+    val beam = Similarity.graphSearchBeam
+    val hops = Similarity.graphSearchHops
+    val hopCtes = (1 to hops).map { h =>
+      s"""x$h AS (
+         |  SELECT DISTINCT qid, vid FROM (
+         |    SELECT qid, vid FROM f${h - 1}
+         |    UNION ALL
+         |    SELECT f.qid, g.u AS vid FROM f${h - 1} f JOIN graph g ON g.v = f.vid)
+         |  WHERE vid <> qid),
+         |f$h AS (
+         |  SELECT qid, vid,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) DESC, vid ASC) AS rnk
+         |  FROM x$h x JOIN e a ON a.vec_id = x.vid JOIN e qq ON qq.vec_id = x.qid
+         |  QUALIFY rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnDescentCtes,
+       |graph AS MATERIALIZED (SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}),
+       |ent AS (SELECT min(vec_id) AS ev FROM embeddings),
+       |f0 AS (SELECT vec_id AS qid, ev AS vid FROM embeddings, ent WHERE vec_id < 5),
+       |$hopCtes
+       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** The live-member predicate of [[graft.queries.Similarity.simIvfDelete]]
@@ -2904,6 +2950,7 @@ object SparkEntry {
     "sim_range_search_indexed" -> ivfRangeSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_descent" -> knnDescentSql,
+    "sim_graph_search" -> graphSearchSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

