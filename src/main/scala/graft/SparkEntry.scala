@@ -142,6 +142,7 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_descent" -> ((s, d) => Similarity.simKnnDescent(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
+    "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -758,7 +759,29 @@ object SparkEntry {
     * top-k. A hash match proves the persisted edges table serves exactly
     * the declared walk.
     */
-  private def graphSearchSql: String = {
+  private def graphSearchSql: String = graphSearchSqlOver(
+    "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)", 5)
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphUpsert]]: the
+    * same walk with the reversed negative-key delta batch as the query
+    * source (the upsertDeltaMod carve shared with every index upsert) and
+    * the cut at the graph degree — the HNSW insertion's neighbor
+    * discovery from first principles.
+    */
+  private def graphUpsertSql: String = graphSearchSqlOver(
+    s"""qsrc AS MATERIALIZED (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0)""".stripMargin,
+    Similarity.knnDescentK)
+
+  /** The shared beam-walk oracle generator — one hop-unrolled text over a
+    * pluggable query-source CTE (corpus head for the search, the delta
+    * carve for the upsert), so serve and insert can never walk different
+    * graphs.
+    */
+  private def graphSearchSqlOver(querySrcCte: String, k: Int): String = {
     val beam = Similarity.graphSearchBeam
     val hops = Similarity.graphSearchHops
     val hopCtes = (1 to hops).map { h =>
@@ -773,15 +796,16 @@ object SparkEntry {
          |    list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) AS cosine,
          |    row_number() OVER (PARTITION BY qid ORDER BY
          |      list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) DESC, vid ASC) AS rnk
-         |  FROM x$h x JOIN e a ON a.vec_id = x.vid JOIN e qq ON qq.vec_id = x.qid
+         |  FROM x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
          |  QUALIFY rnk <= $beam)""".stripMargin
     }.mkString(",\n")
     s"""WITH $knnDescentCtes,
        |graph AS MATERIALIZED (SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}),
+       |$querySrcCte,
        |ent AS (SELECT min(vec_id) AS ev FROM embeddings),
-       |f0 AS (SELECT vec_id AS qid, ev AS vid FROM embeddings, ent WHERE vec_id < 5),
+       |f0 AS (SELECT vec_id AS qid, ev AS vid FROM qsrc, ent),
        |$hopCtes
-       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= 5
+       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
   }
 
@@ -2951,6 +2975,7 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_descent" -> knnDescentSql,
     "sim_graph_search" -> graphSearchSql,
+    "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

@@ -937,6 +937,34 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** Graph-index UPSERT — the HNSW insertion primitive (Malkov &
+    * Yashunin 2016 §4: a new element's neighbors ARE the result of the
+    * beam search run with it as the query): the standard reversed
+    * negative-key delta batch ([[upsertDeltaMod]], the carve every index
+    * upsert shares) walks the STANDING descent graph via
+    * [[simGraphSearch]] verbatim and reports, per delta vector, the
+    * [[knnDescentK]] forward links an insert would create. The standing
+    * edges table is never mutated (the overlay discipline); reverse-link
+    * pressure (how many inserts chose each existing vertex) is exactly
+    * the in-degree of this result, which the spec audits. Completes the
+    * graph family's lifecycle: build ([[simKnnDescent]]), serve
+    * ([[simGraphSearch]]), insert — alongside the IVF / PQ / IVFPQ /
+    * fuzzy-dedup lifecycles.
+    *
+    * Bit-exactness note: the delta norm folds the REVERSED element
+    * order on both engines (float addition is order-dependent — the
+    * oracle's transform list and the codegen'd float_dot walk the same
+    * sequence), the md5-free analog of the two-convention rule.
+    */
+  def simKnnGraphUpsert(spark: SparkSession, dir: String): DataFrame = {
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    simGraphSearch(spark, dir, k = knnDescentK, querySet = Some(delta))
+  }
+
   /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
     * `IndexIVF.range_search`: candidates come from the nprobe probed
     * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]

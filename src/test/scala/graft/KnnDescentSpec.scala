@@ -99,6 +99,44 @@ class KnnDescentSpec extends SparkSpec {
       assert(recall >= 0.85, s"recall $recall under the modeled 0.88 floor")
     }
 
+  test("graph upsert: delta carve covered, corpus-only links, measured walk recall") {
+    val dir = "/root/testdata/sf0.01"
+    val kg = Similarity.knnDescentK
+    val rows = Similarity.simKnnGraphUpsert(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cosine")))
+    val byQ = rows.groupBy(_._1)
+    // the reversed negative-key carve, each with exactly the graph degree
+    val vecs = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val expectQids = vecs.map(_._1).filter(_ % 5 == 0).map(-_ - 1).toSet
+    assert(byQ.keySet == expectQids, "upsert queries are not the delta carve")
+    byQ.values.foreach(es => assert(es.length == kg, "degree != knnDescentK"))
+    rows.foreach { case (_, nbr, _) =>
+      assert(nbr >= 0, s"insert linked to non-corpus id $nbr")
+    }
+    // walk recall vs driver-side brute force of the reversed delta
+    val norms = vecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }.toMap
+    val hits = byQ.map { case (qid, es) =>
+      val src = -(qid + 1)
+      val dv = vecs.find(_._1 == src).get._2.reverse
+      val dn = math.sqrt(dv.map(x => x.toDouble * x.toDouble).sum)
+      val want = vecs.map { case (jd, u) =>
+        var dot = 0.0
+        var i = 0
+        while (i < dv.length) { dot += dv(i).toDouble * u(i).toDouble; i += 1 }
+        (jd, dot / (dn * norms(jd)))
+      }.sortBy { case (jd, c) => (-c, jd) }.take(kg).map(_._1).toSet
+      es.count(e => want(e._2))
+    }.sum
+    val recall = hits.toDouble / (byQ.size * kg)
+    info(f"graph-upsert walk recall@$kg: $recall%.3f")
+    assert(recall >= 0.78, s"insert-walk recall $recall under the measured 0.824")
+  }
+
   /** exactTopK generalized to an arbitrary k for the search pins. */
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
