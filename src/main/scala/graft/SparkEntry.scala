@@ -82,6 +82,7 @@ object SparkEntry {
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
     "tx_quality_score" -> (Text.txQualityScore _),
     "tx_pii_redact" -> (Text.txPiiRedact _),
+    "tx_clean_normalize" -> (Text.txCleanNormalize _),
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
@@ -1393,6 +1394,31 @@ object SparkEntry {
     * per-doc counts + redacted text) — one generator for the
     * tx_pii_redact oracle and the pipeline_scrub_cut composition.
     */
+  /** The normalize chain over the planted-dirt corpus — a PLAIN raw
+    * string (the piiScrubCtes rule: s-interpolated triple-quoted strings
+    * process escapes, which mangles regex backslashes).
+    */
+  private def cleanNormalizeCtes: String =
+    """pl AS (SELECT doc_id, lang,
+      |  CASE WHEN doc_id % 6 = 0 THEN '  ' || chr(10) || chr(10) || chr(10) || chr(9) ELSE '' END ||
+      |  text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' x' || chr(7) || 'y' || chr(1) || 'z' ELSE '' END ||
+      |  CASE WHEN doc_id % 4 = 0 THEN '  double  spaced' || chr(9) || 'end' ELSE '' END ||
+      |  CASE WHEN doc_id % 6 = 0 THEN ' ' || chr(10) || ' ' ELSE '' END AS text
+      |  FROM documents),
+      |rr AS (SELECT doc_id, lang, text,
+      |  len(regexp_extract_all(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]')) AS n_ctrl,
+      |  len(regexp_extract_all(text, '[ \t]{2,}')) AS n_space_runs,
+      |  len(regexp_extract_all(text, '\n{3,}')) AS n_nl_runs,
+      |  trim(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(text, '[\x00-\x08\x0b\x0c\x0e-\x1f]', '', 'g'),
+      |        '[ \t]{2,}', ' ', 'g'),
+      |      '\n{3,}', chr(10) || chr(10), 'g'),
+      |    ' ' || chr(9) || chr(10)) AS cleaned
+      |  FROM pl)""".stripMargin
+
   private def piiScrubCtes: String =
     """pl AS (SELECT doc_id, lang,
       |  text ||
@@ -2094,6 +2120,21 @@ object SparkEntry {
         |  CAST(sum(n_phones) AS BIGINT) AS n_phones,
         |  CAST(sum(n_ips) AS BIGINT) AS n_ips,
         |  ${signed64Xor("md5(red)")} AS redacted_xor
+        |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Normalize: the planted dirt uses the same doc_id moduli as the
+    // Spark side; the trim step is char-set trim in BOTH engines (the
+    // Java-vs-RE2 final-newline '$' divergence), and cleaned_xor folds
+    // the post-normalization text through the 64-bit md5 convention.
+    "tx_clean_normalize" ->
+      s"""WITH $cleanNormalizeCtes
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_dirty,
+        |  CAST(sum(n_ctrl) AS BIGINT) AS n_ctrl,
+        |  CAST(sum(n_space_runs) AS BIGINT) AS n_space_runs,
+        |  CAST(sum(n_nl_runs) AS BIGINT) AS n_nl_runs,
+        |  CAST(sum(len(text)) AS BIGINT) AS chars_in,
+        |  CAST(sum(len(cleaned)) AS BIGINT) AS chars_out,
+        |  ${signed64Xor("md5(cleaned)")} AS cleaned_xor
         |FROM rr GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_token_count" ->
       """SELECT source, count(*) AS n_docs,

@@ -590,6 +590,78 @@ object Text {
       .withColumn("hd", expr("md5(cast(red AS BINARY))"))
   }
 
+  /** Text normalization — the C4/ftfy-shape cleanup stage every web-crawl
+    * pipeline runs BEFORE tokenization (C4 strips pages by bad
+    * characters; RefinedWeb normalizes whitespace): strip control
+    * characters, collapse space/tab runs to one space, collapse 3+
+    * newline runs to a paragraph break, trim outer whitespace. Patterns
+    * live in the RE2 ∩ Java dialect (ASCII classes, no \b, no $ — the
+    * final-newline `$` semantics DIVERGE between Java and RE2, so the
+    * trim step is the engines' char-set `trim`, not a regex). The
+    * natural corpus carries no control characters or whitespace runs
+    * (measured — the op would be vacuous), so dirt is PLANTED in-plan by
+    * deterministic doc_id carving (the [[piiScrub]] discipline):
+    * `% 3 = 0` embeds BEL/SOH control bytes, `% 4 = 0` space/tab runs,
+    * `% 6 = 0` leading/trailing whitespace with a 3-newline run. The
+    * audit folds the CLEANED corpus through the full-64-bit md5 XOR
+    * ([[md5SignedHash64Expr]]), so the oracle proves the exact
+    * post-normalization bytes.
+    *
+    * Reference behavioral anchor: defensive input conformance before
+    * storage (`wrds_ingestion.py:539-541` rename/normalize layer)
+    * applied to text payloads. Scale shape: one narrow codegen'd
+    * projection per document — no shuffle until the per-language rollup.
+    */
+  def txCleanNormalize(spark: SparkSession, dir: String): DataFrame =
+    cleanNormalize(docs(spark, dir))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("cleaned") =!= col("text"), 1L).otherwise(0L))
+          .as("n_docs_dirty"),
+        sum(col("n_ctrl").cast("long")).as("n_ctrl"),
+        sum(col("n_space_runs").cast("long")).as("n_space_runs"),
+        sum(col("n_nl_runs").cast("long")).as("n_nl_runs"),
+        sum(length(col("text")).cast("long")).as("chars_in"),
+        sum(length(col("cleaned")).cast("long")).as("chars_out"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("cleaned_xor"))
+      .orderBy("lang")
+
+  /** The per-document normalize projection [[txCleanNormalize]]
+    * aggregates — ONE definition shared with the streaming twin
+    * ([[graft.streaming.StreamingOps.cleanedDocs]]), the [[piiScrub]]
+    * shape: a pure stateless narrow projection (plant → count → clean →
+    * digest). Emits the input columns plus (n_ctrl, n_space_runs,
+    * n_nl_runs, cleaned, hd).
+    */
+  private[graft] def cleanNormalize(d: DataFrame): DataFrame = {
+    val ctrl = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+    val spaceRun = "[ \\t]{2,}"
+    val nlRun = "\\n{3,}"
+    d.select(col("doc_id"), col("lang"),
+      concat(
+        when(pmod(col("doc_id"), lit(6)) === 0, lit("  \n\n\n\t"))
+          .otherwise(lit("")),
+        col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" x\u0007y\u0001z"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(4)) === 0, lit("  double  spaced\tend"))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(6)) === 0, lit(" \n "))
+          .otherwise(lit(""))).as("text"))
+      .withColumn("n_ctrl", regexp_count(col("text"), lit(ctrl)))
+      .withColumn("n_space_runs", regexp_count(col("text"), lit(spaceRun)))
+      .withColumn("n_nl_runs", regexp_count(col("text"), lit(nlRun)))
+      .withColumn("cleaned",
+        trim(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("text"), ctrl, ""),
+              spaceRun, " "),
+            nlRun, "\n\n"),
+          " \t\n"))
+      .withColumn("hd", expr("md5(cast(cleaned AS BINARY))"))
+  }
+
   /** The REWRITE half of the ExactSubstr pass — [[ddSubstring]] measures
     * duplicated spans; this CUTS them, which is what Lee et al. 2021
     * actually do to the corpus ("remove all but one occurrence"): an

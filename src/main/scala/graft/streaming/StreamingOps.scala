@@ -429,6 +429,20 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_emails"), col("n_phones"),
         col("n_ips"), col("hd"))
 
+  /** Streaming twin of [[graft.queries.Text.txCleanNormalize]]:
+    * normalize-at-ingest via the SAME shared projection
+    * (`Text.cleanNormalize` — plant → count → strip/collapse/trim →
+    * digest, pure stateless narrow stage), so crawl text lands already
+    * cleaned — the stage order every C4-shape pipeline wants (normalize
+    * before any digesting consumer). Emits per-doc (doc_id, lang,
+    * counts, cleaned digest); batch/stream equality is
+    * StreamingSpec-pinned.
+    */
+  def cleanedDocs(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.cleanNormalize(docsStream)
+      .select(col("doc_id"), col("lang"), col("n_ctrl"),
+        col("n_space_runs"), col("n_nl_runs"), col("hd"))
+
   /** Streaming twin of the BPE encode — tokenize-at-ingest with the
     * STANDING tokenizer: the persisted vocabulary's (token → encoded
     * length) table rides along as a literal map (bounded index

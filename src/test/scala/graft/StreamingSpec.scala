@@ -447,4 +447,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0) &&
       streamed.exists(_._4 > 0), "every planted PII kind must fire")
   }
+
+  test("streaming normalize equals the batch projection per document") {
+    val sf = "/root/testdata/sf0.01"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-clean-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val q = StreamingOps
+      .cleanedDocs(StreamingOps.readDocumentsStream(spark, docsDir.toString))
+      .writeStream.format("memory").queryName("clean_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_ctrl"),
+        r.getAs[Int]("n_space_runs"), r.getAs[Int]("n_nl_runs"),
+        r.getAs[String]("hd"))).toSet
+    val streamed = asSet(spark.table("clean_stream"))
+    val batch = asSet(
+      graft.queries.Text.cleanNormalize(Tables(spark, sf, "documents"))
+        .select("doc_id", "n_ctrl", "n_space_runs", "n_nl_runs", "hd"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed normalize (${streamed.size} docs) must equal batch")
+    assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0) &&
+      streamed.exists(_._4 > 0), "every planted dirt kind must fire")
+  }
 }
