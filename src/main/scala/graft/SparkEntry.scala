@@ -60,6 +60,7 @@ object SparkEntry {
     "w4_ewma" -> (Relational.w4Ewma _),
     "w5_rolling_median" -> (Relational.w5RollingMedian _),
     "w6_drawdown" -> (Relational.w6Drawdown _),
+    "w7_rolling_corr" -> (Relational.w7RollingCorr _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -1899,6 +1900,35 @@ object SparkEntry {
         |  FROM lv)
         |SELECT nationkey, date, level, peak, level / peak - 1.0 AS drawdown
         |FROM pk ORDER BY nationkey, date""".stripMargin,
+    "w7_rolling_corr" ->
+      // moment sums are left-to-right folds over the frame list in frame
+      // order — the same sequence Spark's aggregate() runs, so the five
+      // double sums (and hence the closed form) are bit-identical
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |mk AS (
+        |  SELECT o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS mkt
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT nationkey, daily.date AS date, rev, mkt FROM daily JOIN mk ON daily.date = mk.date),
+        |fw AS (SELECT nationkey, date, rev, mkt,
+        |  list(struct_pack(x := rev, y := mkt)) OVER (PARTITION BY nationkey ORDER BY date
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM j),
+        |m AS (SELECT nationkey, date, rev, mkt,
+        |  CAST(len(fr) AS DOUBLE) AS n,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x)), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.y)), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x * s.y)), (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x * s.x)), (a, b) -> a + b) AS sxx,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.y * s.y)), (a, b) -> a + b) AS syy
+        |  FROM fw)
+        |SELECT nationkey, date, rev, mkt,
+        |  CASE WHEN n * sxx - sx * sx <= 0.0 OR n * syy - sy * sy <= 0.0 THEN NULL
+        |       ELSE (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS corr30
+        |FROM m ORDER BY nationkey, date""".stripMargin,
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce

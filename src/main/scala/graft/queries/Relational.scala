@@ -449,6 +449,58 @@ object Relational {
       .orderBy("nationkey", "date")
   }
 
+  /** W7 (rolling correlation): trailing-30-observation Pearson
+    * correlation of each nation's daily revenue against the all-nation
+    * market total — the rolling-beta/correlation window every quant
+    * stack computes from the reference's returns panel (behavioral
+    * anchor: the factor-momentum join family, `wrds_ingestion.py:895-943`
+    * pairs asset series with factor series the same way).
+    *
+    * Exactness: the inputs are exact integer-cent sums descaled once
+    * (bit-identical on both engines); the five moment sums (Σx, Σy, Σxy,
+    * Σx², Σy²) are LEFT-TO-RIGHT folds over the frame collected in
+    * frame order — float addition is order-dependent, and both engines'
+    * windowed list aggregates accumulate in frame order over the unique
+    * (nation, date) key, so every fold runs the identical sequence (the
+    * EWMA/W1 ordering discipline, without integer weights because Σxy
+    * would overflow int64 at scale). The closed form then applies fixed
+    * IEEE ops; zero-variance frames (n = 1, or a constant series) yield
+    * NULL by exact comparison, never a NaN that engines may hash apart.
+    *
+    * Scale shape: two partial-aggregated daily rollups (corpus read
+    * once per side), a date-keyed join of bounded aggregates, and a
+    * nation-partitioned window whose frame is capped at 30 structs —
+    * the interpreted fold runs on ≤ 30 elements per row, never on raw
+    * orders.
+    */
+  def w7RollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    val global = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("date"))
+      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("mkt"))
+    val w = Window.partitionBy("nationkey").orderBy("date")
+      .rowsBetween(-29, 0)
+    nationDailyRevenue(spark, dir)
+      .join(global, "date")
+      .withColumn("fr",
+        collect_list(struct(col("rev").as("x"), col("mkt").as("y"))).over(w))
+      .withColumn("n", size(col("fr")).cast("double"))
+      .withColumn("sx", expr("aggregate(fr, 0D, (a, s) -> a + s.x)"))
+      .withColumn("sy", expr("aggregate(fr, 0D, (a, s) -> a + s.y)"))
+      .withColumn("sxy", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)"))
+      .withColumn("sxx", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.x)"))
+      .withColumn("syy", expr("aggregate(fr, 0D, (a, s) -> a + s.y * s.y)"))
+      .withColumn("corr30",
+        when(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0 ||
+             col("n") * col("syy") - col("sy") * col("sy") <= 0.0, lit(null))
+          .otherwise(
+            (col("n") * col("sxy") - col("sx") * col("sy")) /
+              (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+                sqrt(col("n") * col("syy") - col("sy") * col("sy")))))
+      .select(col("nationkey"), col("date"), col("rev"), col("mkt"),
+        col("corr30"))
+      .orderBy("nationkey", "date")
+  }
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))

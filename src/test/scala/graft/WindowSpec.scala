@@ -50,14 +50,14 @@ class WindowSpec extends SparkSpec {
   /** The shared per-nation daily revenue series, recomputed driver-side in
     * exact cents — the reference input for the W5/W6 hand checks.
     */
-  private def nationSeries(): Map[Int, Array[(java.sql.Timestamp, Double)]] = {
+  private def nationSeries(): Map[Int, Array[(java.time.LocalDateTime, Double)]] = {
     val daily = Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
       .agg((sum(Exact.units(col("o_totalprice"), 2)) / lit(100.0)).as("rev"))
       .orderBy("nationkey", "date")
       .collect()
-      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date"),
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date"),
         r.getAs[Double]("rev")))
     daily.groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3))).toMap
   }
@@ -65,7 +65,7 @@ class WindowSpec extends SparkSpec {
   test("w5 rolling median: equals the sorted-frame selection recomputed by hand") {
     val series = nationSeries()
     val out = Relational.w5RollingMedian(spark, dir).collect()
-      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date")) ->
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
         r.getAs[Double]("med5")).toMap
     assert(out.size == series.valuesIterator.map(_.length).sum)
     series.foreach { case (nk, s) =>
@@ -82,7 +82,7 @@ class WindowSpec extends SparkSpec {
   test("w6 drawdown: sequential compounding, monotone peak, trough recovered by hand") {
     val series = nationSeries()
     val out = Relational.w6Drawdown(spark, dir).collect()
-      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.sql.Timestamp]("date")) ->
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
         (r.getAs[Double]("level"), r.getAs[Double]("peak"), r.getAs[Double]("drawdown")))
       .toMap
     series.foreach { case (nk, s) =>
@@ -103,6 +103,40 @@ class WindowSpec extends SparkSpec {
         assert(gp == peak && gp >= gl, s"nation $nk t=$t peak: $gp vs $peak")
         assert(gd == gl / gp - 1.0 && gd <= 0.0, s"nation $nk t=$t dd: $gd")
       }
+    }
+  }
+
+  test("w7 rolling corr: frame-ordered moment folds recomputed by hand; degenerate head is NULL") {
+    val mkt = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("date"))
+      .agg((sum(Exact.units(col("o_totalprice"), 2)) / lit(100.0)).as("mkt"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("date") -> r.getAs[Double]("mkt"))
+      .toMap
+    val series = nationSeries()
+    val out = Relational.w7RollingCorr(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
+        Option(r.get(r.fieldIndex("corr30"))).map(_.asInstanceOf[Double])).toMap
+    series.foreach { case (nk, s) =>
+      s.indices.foreach { t =>
+        val frame = s.slice(math.max(0, t - 29), t + 1)
+          .map { case (d, x) => (x, mkt(d)) }
+        // the exact left-to-right folds both engines commit to
+        var (sx, sy, sxy, sxx, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+        frame.foreach { case (x, y) =>
+          sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+        }
+        val n = frame.length.toDouble
+        val (vx, vy) = (n * sxx - sx * sx, n * syy - sy * sy)
+        val expected =
+          if (vx <= 0.0 || vy <= 0.0) None
+          else Some((n * sxy - sx * sy) / (math.sqrt(vx) * math.sqrt(vy)))
+        val got = out((nk, s(t)._1))
+        assert(got == expected, s"nation $nk t=$t: $got vs $expected")
+        got.foreach(c => assert(c >= -1.0000000001 && c <= 1.0000000001))
+      }
+      // a 1-observation frame has exactly zero variance -> NULL, not NaN
+      assert(out((nk, s.head._1)).isEmpty, s"nation $nk head must be NULL")
     }
   }
 }
