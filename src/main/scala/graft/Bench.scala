@@ -91,7 +91,10 @@ object Bench {
     // count.
     val trainPerCall = Set("sim_ivfpq", "sim_pq_rerank", "sim_pq_adc",
       "sim_ivf_kmeans", "sim_ivf_upsert", "sim_ivf_retrain",
-      "tx_bpe_merges", "tx_bpe_apply", "tx_model_quality")
+      "tx_bpe_merges", "tx_bpe_apply", "tx_model_quality",
+      // NN-descent rebuilds the whole graph per call (build pricing;
+      // sim_graph_search is its steady-state indexed twin)
+      "sim_knn_descent")
 
     val errors = LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)

@@ -484,6 +484,9 @@ object Relational {
       .withColumn("fr",
         collect_list(struct(col("rev").as("x"), col("mkt").as("y"))).over(w))
       .withColumn("n", size(col("fr")).cast("double"))
+      // five scalar folds, NOT one struct-accumulator pass: a
+      // named_struct accumulator allocates per element and measured
+      // SLOWER (3.5 vs 2.8 s at sf0.1) than five primitive-double folds
       .withColumn("sx", expr("aggregate(fr, 0D, (a, s) -> a + s.x)"))
       .withColumn("sy", expr("aggregate(fr, 0D, (a, s) -> a + s.y)"))
       .withColumn("sxy", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)"))

@@ -913,7 +913,7 @@ object Similarity {
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
     var frontier = q.select(col("qid"), lit(entry).as("vid"))
-    for (_ <- 1 to hops) {
+    for (h <- 1 to hops) {
       val expanded = frontier.select("qid", "vid")
         .unionByName(frontier.join(edges, col("vid") === col("v"))
           .select(col("qid"), col("u").as("vid")))
@@ -927,8 +927,13 @@ object Similarity {
         .withColumn("rnk", row_number().over(wBeam))
         .filter(col("rnk") <= beam)
         .select("qid", "vid", "cosine")
-        .localCheckpoint(false)
-      frontier.count() // one bounded |Q|·beam-row job per hop
+      // a hop references its predecessor twice, so an unchecked chain
+      // doubles per hop — truncate every SECOND hop (4 subtree copies
+      // max) to halve the bounded |Q|·beam materialization jobs
+      if (h % 2 == 0 || h == hops) {
+        frontier = frontier.localCheckpoint(false)
+        frontier.count()
+      }
     }
     frontier
       .withColumn("rnk", row_number().over(wBeam))
