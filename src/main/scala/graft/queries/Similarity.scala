@@ -19,7 +19,28 @@ import graft.Tables
   */
 object Similarity {
 
-  private val dims = 64
+  private[graft] val dims = 64
+
+  /** The standing IVF centroids as a bounded driver-side literal
+    * (nlist rows — the probe-manifest collect discipline): the form a
+    * STREAMING consumer needs, because the scalar-subquery splice the
+    * batch assignment uses ([[ivfMembersSqlFrom]]) is not available to
+    * the streaming planner. Consumed by
+    * [[graft.streaming.StreamingOps.novelVectors]].
+    */
+  def ivfCentroidLiterals(spark: SparkSession,
+      dir: String): Seq[(Long, Seq[Double], Double)] = {
+    val base = ensureIvfIndex(spark, dir)
+    spark.read.parquet(s"$base/centroids").collect()
+      .map(r => (r.getAs[Long]("c_label"),
+        r.getSeq[Double](r.fieldIndex("centroid")),
+        r.getAs[Double]("cnorm"))).toSeq
+  }
+
+  /** The standing IVF members table in its pinned schema — the serving
+    * view streaming admission anti-joins against. */
+  def ivfMembers(spark: SparkSession, dir: String): DataFrame =
+    readIvfCells(spark, ensureIvfIndex(spark, dir))
 
   /** Sequential double-precision dot product of two float-array columns,
     * via the codegen'd [[graft.functions.FloatVectorDot]] expression

@@ -134,6 +134,58 @@ object StreamingOps {
   def readDocumentsStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(documentsSchema).parquet(dir)
 
+  /** embeddings schema for readStream (file sources need it declared). */
+  val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** File-source stream over an embeddings parquet directory — landing
+    * vectors from an upstream encoder, the vector-lake half of the
+    * continuously-landing crawl.
+    */
+  def readEmbeddingsStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(embeddingsSchema).parquet(dir)
+
+  /** Streaming vector admission — SemDeDup-at-ingest over the STANDING
+    * IVF index: each landing vector is cell-assigned by the index's own
+    * frozen-quantizer argmin rule (the [[graft.queries.Similarity]]
+    * assignment text, with the bounded centroid set riding along as a
+    * LITERAL — the qualityScoredDocs weights treatment, because the
+    * scalar-subquery splice the batch assignment uses is not available
+    * to the streaming planner), then admitted only when NO standing
+    * member of its cell lies within cosine `tau` — ONE stateless
+    * stream-static LEFT ANTI join. No watermark, no state store; the
+    * blocking key is the index's own cell layout, so at scale the anti
+    * join touches nlist-th of the corpus per landing vector, exactly
+    * like every other probe of the standing index. Batch/stream
+    * equality is StreamingSpec-pinned (shared definition — this method
+    * runs unchanged on a batch frame).
+    */
+  def novelVectors(landing: DataFrame,
+      cents: Seq[(Long, Seq[Double], Double)], members: DataFrame,
+      tau: Double): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(landing.sparkSession)
+    val d = graft.queries.Similarity.dims
+    val assigned = landing
+      .withColumn("vnorm", expr("sqrt(float_dot(embedding, embedding))"))
+      .withColumn("cents", typedLit(cents))
+      .withColumn("cell", expr(
+        s"""array_min(transform(cents, c -> named_struct(
+              'neg_cos', -(aggregate(sequence(0, ${d - 1}), 0D,
+                (acc, i) -> acc + CAST(embedding[i] AS DOUBLE) * c._2[i]) / (vnorm * c._3)),
+              'c_label', c._1))).c_label"""))
+      .drop("cents")
+    val mem = members.select(col("cell").as("m_cell"), col("m_vec"),
+      col("m_norm"))
+    assigned.join(mem,
+        col("cell") === col("m_cell") &&
+          expr("float_dot(embedding, m_vec)") /
+            (col("vnorm") * col("m_norm")) >= tau,
+        "left_anti")
+      .select("vec_id", "cell")
+  }
+
   /** Stream-STATIC enrichment join: a stream joined to a bounded
     * dimension on an equality key — the remaining §2.10 join shape
     * (stream-stream interval join is [[purchaseViewJoin]]). The static

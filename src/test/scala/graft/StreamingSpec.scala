@@ -472,4 +472,45 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exists(_._2 > 0) && streamed.exists(_._3 > 0) &&
       streamed.exists(_._4 > 0), "every planted dirt kind must fire")
   }
+
+  test("streaming vector admission: exact copies rejected, novel vectors admitted, stream equals batch") {
+    import graft.queries.Similarity
+    val sf = "/root/testdata/sf0.01"
+    val cents = Similarity.ivfCentroidLiterals(spark, sf)
+    val members = Similarity.ivfMembers(spark, sf)
+    // landing batch: exact COPIES of standing vectors under fresh ids
+    // (cosine 1 in their own cell -> must be rejected at tau = 0.95) and
+    // REVERSED vectors (new geometry in this concentrated corpus, far
+    // from every member -> must be admitted)
+    val base = Tables(spark, sf, "embeddings")
+    val copies = base.filter(col("vec_id") % 50 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+        col("label"))
+    val novel = base.filter(col("vec_id") % 50 === 1)
+      .select((col("vec_id") + 2000000L).as("vec_id"),
+        expr("transform(sequence(1, 64), i -> embedding[64 - i])")
+          .as("embedding"), col("label"))
+    val landing = copies.unionByName(novel)
+    val landingDir = java.nio.file.Files.createTempDirectory("vec-landing")
+    landing.coalesce(1).write.mode("overwrite")
+      .parquet(landingDir.toString + "/batch1")
+    val q = StreamingOps.novelVectors(
+        StreamingOps.readEmbeddingsStream(spark, landingDir.toString + "/batch1"),
+        cents, members, tau = 0.95)
+      .writeStream.format("memory").queryName("vec_admission")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("vec_admission").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    val batch = StreamingOps.novelVectors(
+        spark.read.schema(StreamingOps.embeddingsSchema)
+          .parquet(landingDir.toString + "/batch1"),
+        cents, members, tau = 0.95)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"))).toSet
+    assert(streamed == batch, "streamed admission must equal batch")
+    assert(streamed.forall(_._1 >= 2000000L), "an exact copy was admitted")
+    val nNovel = novel.count()
+    assert(streamed.size == nNovel,
+      s"expected all $nNovel novel vectors admitted, got ${streamed.size}")
+  }
 }
