@@ -61,6 +61,7 @@ object SparkEntry {
     "w5_rolling_median" -> (Relational.w5RollingMedian _),
     "w6_drawdown" -> (Relational.w6Drawdown _),
     "w7_rolling_corr" -> (Relational.w7RollingCorr _),
+    "w8_cross_section" -> (Relational.w8CrossSection _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -1929,6 +1930,34 @@ object SparkEntry {
         |  CASE WHEN n * sxx - sx * sx <= 0.0 OR n * syy - sy * sy <= 0.0 THEN NULL
         |       ELSE (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS corr30
         |FROM m ORDER BY nationkey, date""".stripMargin,
+    "w8_cross_section" ->
+      // selection cut points (k = n DIV 10 per side), clamp by
+      // comparison, moment folds over the value-sorted cross-section —
+      // the same sequences the Spark side runs
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |sec AS (SELECT date, list_sort(list(rev)) AS s FROM daily GROUP BY 1),
+        |mm AS (SELECT date, s, len(s) AS n, len(s) // 10 AS k FROM sec),
+        |cut AS (SELECT date, s, n,
+        |  s[CAST(k + 1 AS BIGINT)] AS lo, s[CAST(n - k AS BIGINT)] AS hi FROM mm),
+        |fold AS (SELECT date, n, lo, hi,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(s, x -> least(greatest(x, lo), hi))), (a, b) -> a + b) AS sw,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |    list_transform(s, x -> least(greatest(x, lo), hi) * least(greatest(x, lo), hi))), (a, b) -> a + b) AS sww
+        |  FROM cut),
+        |r AS (SELECT nationkey, date, rev,
+        |  row_number() OVER (PARTITION BY date ORDER BY rev DESC, nationkey ASC) AS xrank
+        |  FROM daily)
+        |SELECT r.date, r.nationkey, r.rev, r.xrank, f.lo, f.hi,
+        |  least(greatest(r.rev, f.lo), f.hi) AS wr,
+        |  CASE WHEN CAST(f.n AS DOUBLE) * f.sww - f.sw * f.sw <= 0.0 THEN NULL
+        |       ELSE (least(greatest(r.rev, f.lo), f.hi) - f.sw / CAST(f.n AS DOUBLE)) /
+        |            sqrt((CAST(f.n AS DOUBLE) * f.sww - f.sw * f.sw) / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE))) END AS z
+        |FROM r JOIN fold f ON r.date = f.date
+        |ORDER BY r.date, r.nationkey""".stripMargin,
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce

@@ -504,6 +504,57 @@ object Relational {
       .orderBy("nationkey", "date")
   }
 
+  /** W8 (cross-sectional factor prep): per DATE, the standard quant
+    * factor-conditioning ladder over the nation cross-section — rank,
+    * winsorize at the 10% tails, z-score — the transformation every
+    * factor library applies to the reference's style-factor panel before
+    * regression (behavioral anchor: the style-factor melt family,
+    * `wrds_ingestion.py:895-943`).
+    *
+    * Exactness: rank is row_number under a total order; the winsorize
+    * cut points are SELECTION (k = n DIV 10 values trimmed per side —
+    * exact integer indexes into the sorted cross-section, no quantile
+    * interpolation); clamping is comparison; the z-score's moment sums
+    * fold the cross-section in nationkey order (the W7 ordering
+    * discipline), and a zero-variance section yields NULL by exact
+    * comparison. The moment folds run over the VALUE-SORTED
+    * cross-section list (a total order both engines share — an
+    * unordered collect would be shuffle-nondeterministic).
+    *
+    * Scale shape: the corpus pass is the daily rollup; all windows
+    * partition by date over the bounded (≤ nations) cross-section.
+    */
+  def w8CrossSection(spark: SparkSession, dir: String): DataFrame = {
+    val wFull = Window.partitionBy("date").orderBy("nationkey")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val wRank = Window.partitionBy("date")
+      .orderBy(col("rev").desc, col("nationkey").asc)
+    nationDailyRevenue(spark, dir)
+      .withColumn("xrank", row_number().over(wRank))
+      .withColumn("s", sort_array(collect_list(col("rev")).over(wFull)))
+      .withColumn("n", size(col("s")))
+      .withColumn("k", expr("n DIV 10"))
+      .withColumn("lo", expr("element_at(s, CAST(k + 1 AS INT))"))
+      .withColumn("hi", expr("element_at(s, CAST(n - k AS INT))"))
+      .withColumn("wr", least(greatest(col("rev"), col("lo")), col("hi")))
+      // winsorized moments fold the VALUE-sorted cross-section (already
+      // materialized for selection — a well-defined order both engines
+      // share): clamp it, then two left-to-right sums
+      .withColumn("cw", expr(
+        "transform(s, x -> least(greatest(x, lo), hi))"))
+      .withColumn("sw", expr("aggregate(cw, 0D, (a, x) -> a + x)"))
+      .withColumn("sww", expr("aggregate(cw, 0D, (a, x) -> a + x * x)"))
+      .withColumn("nd", col("n").cast("double"))
+      .withColumn("z",
+        when(col("nd") * col("sww") - col("sw") * col("sw") <= 0.0, lit(null))
+          .otherwise((col("wr") - col("sw") / col("nd")) /
+            sqrt((col("nd") * col("sww") - col("sw") * col("sw")) /
+              (col("nd") * col("nd")))))
+      .select(col("date"), col("nationkey"), col("rev"), col("xrank"),
+        col("lo"), col("hi"), col("wr"), col("z"))
+      .orderBy("date", "nationkey")
+  }
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))

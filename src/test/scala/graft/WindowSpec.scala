@@ -139,4 +139,39 @@ class WindowSpec extends SparkSpec {
       assert(out((nk, s.head._1)).isEmpty, s"nation $nk head must be NULL")
     }
   }
+
+  test("w8 cross-section: selection cuts, clamping, and z-scores recomputed by hand") {
+    // reshape the nation series into per-date cross-sections
+    val byDate = nationSeries().toSeq
+      .flatMap { case (nk, s) => s.map { case (d, x) => (d, nk, x) } }
+      .groupBy(_._1)
+    val out = Relational.w8CrossSection(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
+        (r.getAs[Int]("xrank"), r.getAs[Double]("lo"), r.getAs[Double]("hi"),
+          r.getAs[Double]("wr"),
+          Option(r.get(r.fieldIndex("z"))).map(_.asInstanceOf[Double]))).toMap
+    assert(out.size == byDate.valuesIterator.map(_.size).sum)
+    byDate.foreach { case (d, rows) =>
+      val sorted = rows.map(_._3).sorted
+      val n = sorted.length
+      val k = n / 10
+      val (lo, hi) = (sorted(k), sorted(n - k - 1))
+      val cw = sorted.map(x => math.min(math.max(x, lo), hi))
+      var (sw, sww) = (0.0, 0.0)
+      cw.foreach { x => sw += x; sww += x * x }
+      val nd = n.toDouble
+      val v = nd * sww - sw * sw
+      val ranked = rows.sortBy { case (_, nk, x) => (-x, nk) }
+        .zipWithIndex.map { case ((_, nk, _), i) => nk -> (i + 1) }.toMap
+      rows.foreach { case (_, nk, x) =>
+        val (grank, glo, ghi, gwr, gz) = out((nk, d))
+        val wr = math.min(math.max(x, lo), hi)
+        assert(grank == ranked(nk) && glo == lo && ghi == hi && gwr == wr,
+          s"date $d nation $nk: rank/cuts/clamp mismatch")
+        val ez = if (v <= 0.0) None
+          else Some((wr - sw / nd) / math.sqrt(v / (nd * nd)))
+        assert(gz == ez, s"date $d nation $nk z: $gz vs $ez")
+      }
+    }
+  }
 }
