@@ -154,6 +154,7 @@ object SparkEntry {
     // PartitionFilters); results — and the oracle — are identical
     "sim_ivf_ann_indexed" -> ((s, d) => Similarity.simIvfAnnIndexed(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
+    "sim_kmeans_pp" -> ((s, d) => Similarity.simKmeansPp(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
@@ -1020,6 +1021,49 @@ object SparkEntry {
     * via the ordered 64-dim fold, per-cell mean as the vec_id-ordered
     * sequential sum divided once, and the integer-scaled retrain ratio.
     */
+  /** DuckDB twin of [[graft.queries.Similarity.simKmeansPp]]: the
+    * farthest-first traversal unrolled seed by seed (running min-distance
+    * CTE + ORDER BY md DESC, vec_id ASC LIMIT 1 — the argmax with the
+    * Spark side's exact tie-break), then the one-pass assignment and the
+    * vec_id-ordered per-seed SSD folds.
+    */
+  private def kmeansPpSql: String = {
+    val k = Similarity.kppK
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    val steps = (2 to k).map { i =>
+      s"""s$i AS (SELECT $i AS rank, vec_id, embedding, md AS spread
+         |  FROM d${i - 1} ORDER BY md DESC, vec_id ASC LIMIT 1),
+         |d$i AS (SELECT d.vec_id, d.embedding,
+         |  least(d.md, ${l2("d.embedding", "s.embedding")}) AS md
+         |  FROM d${i - 1} d, s$i s)""".stripMargin
+    }.mkString(",\n")
+    val seedUnion = (1 to k)
+      .map(i => s"SELECT rank, vec_id, embedding, spread FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |s1 AS (SELECT 1 AS rank, vec_id, embedding, CAST(NULL AS DOUBLE) AS spread
+       |  FROM e ORDER BY vec_id ASC LIMIT 1),
+       |d1 AS (SELECT e.vec_id, e.embedding, ${l2("e.embedding", "s.embedding")} AS md
+       |  FROM e, s1 s),
+       |$steps,
+       |seeds AS ($seedUnion),
+       |asg AS (
+       |  SELECT vec_id, rank, d FROM (
+       |    SELECT e.vec_id, s.rank, ${l2("e.embedding", "s.embedding")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${l2("e.embedding", "s.embedding")} ASC, s.rank ASC) AS rn
+       |    FROM e, seeds s)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT rank, count(*) AS n_members,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY vec_id)), (x, y) -> x + y) AS cell_ssd
+       |  FROM asg GROUP BY 1)
+       |SELECT s.rank, s.vec_id AS seed_id, s.spread, c.n_members, c.cell_ssd
+       |FROM seeds s JOIN cells c USING (rank) ORDER BY s.rank""".stripMargin
+  }
+
   private def ivfDriftSql: String = {
     def l2Fold(v: String, c: String): String =
       s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
@@ -3128,6 +3172,7 @@ object SparkEntry {
     "sim_pq_retrain" -> pqRetrainSql,
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,
+    "sim_kmeans_pp" -> kmeansPpSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "sim_ivf_ann_retrained" -> ivfAnnRetrainedSql,
     // the indexed form runs the identical algorithm over the materialized

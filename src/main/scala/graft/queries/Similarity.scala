@@ -859,6 +859,73 @@ object Similarity {
       .orderBy("vec_id", "rnk")
   }
 
+  private[graft] val kppK = 8
+
+  /** Farthest-first quantizer seeding — Gonzalez 1985's k-center
+    * traversal, the deterministic member of the k-means++ init family
+    * (Arthur & Vassilvitskii 2007 sample seeds ∝ D²; the farthest-point
+    * rule replaces the sample with the argmax, which is what a
+    * reproducible distributed build wants — no RNG, the
+    * kmeansTrain seeding discipline): seed 1 is the min-vec_id anchor,
+    * and each next seed is the corpus vector FARTHEST (squared-L2, the
+    * codegen'd float_l2) from its nearest chosen seed, ties to the
+    * lowest id. The audit reports, per seed: its selection `spread`
+    * (the D² that chose it — the k-center coverage radius sequence,
+    * non-increasing by construction, spec-pinned), plus the occupancy
+    * and vec_id-ordered SSD of a one-pass assignment of the corpus to
+    * the chosen seeds — the quantization the init alone achieves,
+    * before any Lloyd round ([[simIvfKmeans]] prices the rounds).
+    *
+    * Scale shape: each of the k−1 selection steps is one corpus pass
+    * (running min-distance projection + a TakeOrdered(1) — the bounded
+    * probe-collect discipline at 1 row); assignment is a pure
+    * projection against the k-seed literal; per-seed SSD folds the
+    * bounded inverted list. Nothing quadratic, no RNG, no shuffle
+    * beyond the final k-row rollup.
+    */
+  def simKmeansPp(spark: SparkSession, dir: String, k: Int = kppK): DataFrame = {
+    register(spark)
+    val emb = graft.Caches.scoped("embeddings.kpp",
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    // float_l2 is (member: array<float>, centroid: array<double>) — the
+    // seed literal widens exactly, so the arithmetic matches the oracle's
+    // CAST(x AS DOUBLE) subtraction bit for bit
+    def l2To(vec: Seq[Float]) =
+      call_function("float_l2", col("embedding"),
+        typedLit(vec.map(_.toDouble)))
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    var seeds = Vector((1, first.getLong(0),
+      first.getSeq[Float](1), Option.empty[Double]))
+    var minD = emb.withColumn("md", l2To(seeds.head._3))
+    for (i <- 2 to k) {
+      val next = minD.orderBy(col("md").desc, col("vec_id").asc)
+        .limit(1).collect()(0)
+      seeds = seeds :+ ((i, next.getLong(0),
+        next.getSeq[Float](next.fieldIndex("embedding")),
+        Some(next.getDouble(next.fieldIndex("md")))))
+      minD = minD.withColumn("md",
+        least(col("md"), l2To(next.getSeq[Float](next.fieldIndex("embedding")))))
+    }
+    val seedLit = typedLit(seeds.map(s => (s._1, s._3.map(_.toDouble))))
+    val stats = emb.withColumn("sl", seedLit)
+      .withColumn("best", expr(
+        """array_min(transform(sl, s -> named_struct(
+             'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
+      .groupBy(col("best.rank").as("rank"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id"), col("best.d").as("d"))))
+          .as("ds"))
+      .withColumn("cell_ssd", expr("aggregate(ds, 0D, (a, s) -> a + s.d)"))
+      .select("rank", "n_members", "cell_ssd")
+    import spark.implicits._
+    val seedRows = seeds.map(s => (s._1, s._2, s._4))
+      .toDF("rank", "seed_id", "spread")
+    seedRows.join(stats, "rank")
+      .select(col("rank"), col("seed_id"), col("spread"),
+        col("n_members"), col("cell_ssd"))
+      .orderBy("rank")
+  }
+
   /** Beam geometry for [[simGraphSearch]] — shared with the generated
     * oracle (the kmeansCtes discipline). beam = 16 / hops = 6 chosen
     * from the offline numpy model of the walk on the descended graph

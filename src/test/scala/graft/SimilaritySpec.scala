@@ -398,4 +398,26 @@ class SimilaritySpec extends SparkSpec {
       }
     }
   }
+
+  test("farthest-first seeding: non-increasing coverage radii, full coverage, distinct seeds") {
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val rows = Similarity.simKmeansPp(spark, dir).collect().sortBy(_.getAs[Int]("rank"))
+      assert(rows.length == Similarity.kppK)
+      val seedIds = rows.map(_.getAs[Long]("seed_id"))
+      assert(seedIds.distinct.length == seedIds.length, "duplicate seed chosen")
+      assert(rows.head.isNullAt(rows.head.fieldIndex("spread")),
+        "seed 1 is the anchor — it has no selection distance")
+      // k-center theorem: each selected farthest distance is the current
+      // coverage radius, and the sequence never increases
+      val spreads = rows.tail.map(_.getAs[Double]("spread"))
+      assert(spreads.forall(_ > 0.0))
+      spreads.sliding(2).foreach { case Array(a, b) =>
+        assert(b <= a, s"coverage radius increased: $a -> $b")
+      }
+      val n = Tables(spark, dir, "embeddings").count()
+      assert(rows.map(_.getAs[Long]("n_members")).sum == n,
+        "assignment must cover the whole corpus")
+      rows.foreach(r => assert(r.getAs[Double]("cell_ssd") >= 0.0))
+    }
+  }
 }
