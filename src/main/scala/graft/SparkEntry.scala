@@ -119,6 +119,7 @@ object SparkEntry {
     "tx_model_quality" -> ((s, d) => Text.txModelQuality(s, d)),
     "tx_model_quality_indexed" -> ((s, d) => Text.txModelQualityIndexed(s, d)),
     "tx_model_quality_eval" -> ((s, d) => Text.txModelQualityEval(s, d)),
+    "tx_dsir_select" -> ((s, d) => Text.txDsirSelect(s, d)),
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -137,6 +138,7 @@ object SparkEntry {
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
+    "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
@@ -1698,6 +1700,93 @@ object SparkEntry {
        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** The dd_ngram_jaccard MinHashBands replication + confirmed pairs +
+    * recursive min-label closure through `comp`/`sz` (no trailing comma)
+    * — ONE generator for the dd_dup_clusters and
+    * dd_cluster_representative oracles (the bpeCtes discipline). Callers
+    * must open with `WITH RECURSIVE`.
+    */
+  private def dupClusterCtes: String =
+    """d AS (
+      |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |g AS (
+      |  SELECT doc_id, lang,
+      |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+      |  FROM d),
+      |hh AS (
+      |  SELECT doc_id, lang, list_distinct(shg) AS sh,
+      |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+      |  FROM g),
+      |s AS (
+      |  SELECT doc_id, lang, sh,
+      |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+      |  FROM hh),
+      |e AS (
+      |  SELECT doc_id, lang, b.band,
+      |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+      |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+      |p AS (
+      |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+      |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
+      |conf AS (
+      |  SELECT p.id_a, p.id_b
+      |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
+      |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
+      |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
+      |reach(u, lbl) AS (
+      |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+      |  UNION
+      |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
+      |comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
+      |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.txDsirSelect]]: the hashed
+    * bucket-count features from first principles (the [[mqCtes]]
+    * md5-16-bit rule at B = [[graft.queries.Text.dsirBuckets]], integer
+    * counts instead of normalized), the two distributions as a cross
+    * join with the unnested bucket range, and the exact-integer
+    * probability-difference score folded left-to-right — every operation
+    * BIGINT, so the report is bit-identical.
+    */
+  private def dsirSelectSql: String = {
+    val b = Text.dsirBuckets
+    s"""WITH hx AS (
+       |  SELECT doc_id, lang, source, source = 'src0' AS is_t,
+       |    list_transform(range(0, $b), j -> CAST(len(list_filter(bks, bk -> bk = j)) AS BIGINT)) AS x
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      list_transform(grams, g -> CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % $b) AS bks
+       |    FROM (
+       |      SELECT doc_id, lang, source,
+       |        toks || CASE WHEN len(toks) >= 2
+       |          THEN list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])
+       |          ELSE CAST([] AS VARCHAR[]) END AS grams
+       |      FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+       |      WHERE len(toks) >= 1))),
+       |hist AS (
+       |  SELECT j, CAST(sum(CASE WHEN is_t THEN x[j + 1] ELSE 0 END) AS BIGINT) AS nt_j,
+       |    CAST(sum(CASE WHEN NOT is_t THEN x[j + 1] ELSE 0 END) AS BIGINT) AS nr_j
+       |  FROM hx, (SELECT unnest(range(0, $b)) AS j) GROUP BY j),
+       |st AS (
+       |  SELECT list(nt_j ORDER BY j) AS nt, list(nr_j ORDER BY j) AS nr,
+       |    CAST(sum(nt_j) AS BIGINT) AS t_n, CAST(sum(nr_j) AS BIGINT) AS r_n
+       |  FROM hist),
+       |sc AS (
+       |  SELECT doc_id, lang, source,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${b + 1}), j ->
+       |        x[j] * ((nt[j] + 1) * (r_n + $b) - (nr[j] + 1) * (t_n + $b)))),
+       |      (a, b2) -> a + b2) AS score
+       |  FROM hx, st)
+       |SELECT lang, source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN score > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+       |  min(score) AS min_score, max(score) AS max_score,
+       |  CAST(sum(CASE WHEN score > 0 THEN doc_id END) AS BIGINT) AS sel_id_sum
+       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The shared unrolled training chain (features → train slice →
     * gradient rounds to `tw{rounds}`) — one generator for the
     * train-per-call, indexed and eval oracles (the kmeansCtes
@@ -2710,43 +2799,29 @@ object SparkEntry {
     // min-label CTE — an independent connectivity formulation checking
     // the large-star/small-star contraction row-for-row.
     "dd_dup_clusters" ->
-      """WITH RECURSIVE d AS (
-        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
-        |g AS (
-        |  SELECT doc_id, lang,
-        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
-        |  FROM d),
-        |hh AS (
-        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
-        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
-        |  FROM g),
-        |s AS (
-        |  SELECT doc_id, lang, sh,
-        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
-        |  FROM hh),
-        |e AS (
-        |  SELECT doc_id, lang, b.band,
-        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
-        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
-        |p AS (
-        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
-        |conf AS (
-        |  SELECT p.id_a, p.id_b
-        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id
-        |  WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-        |        / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5),
-        |ed AS (SELECT id_a AS u, id_b AS v FROM conf UNION SELECT id_b, id_a FROM conf),
-        |reach(u, lbl) AS (
-        |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
-        |  UNION
-        |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
-        |comp AS (SELECT u AS doc_id, min(lbl) AS component FROM reach GROUP BY u),
-        |sz AS (SELECT component, count(*) AS cluster_size FROM comp GROUP BY component)
+      s"""WITH RECURSIVE $dupClusterCtes
         |SELECT c.component, c.doc_id, dd.lang, sz.cluster_size
         |FROM comp c JOIN sz USING (component) JOIN documents dd USING (doc_id)
         |ORDER BY component, doc_id""".stripMargin,
+    // The shared cluster closure, then the quality-argmax representative
+    // per component via an ordered-aggregate first() — the independent
+    // formulation of the engine's max(struct(q, -doc_id)) fold.
+    "dd_cluster_representative" ->
+      s"""WITH RECURSIVE $dupClusterCtes,
+        |q AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT)
+        |     * 1000) // greatest(len(text), 1) AS q
+        |  FROM documents),
+        |r AS (
+        |  SELECT component, count(*) AS cluster_size,
+        |    CAST(sum(doc_id) AS BIGINT) AS member_id_sum,
+        |    first(doc_id ORDER BY q.q DESC, doc_id ASC) AS rep_doc_id
+        |  FROM comp JOIN q USING (doc_id) GROUP BY component)
+        |SELECT r.component, r.rep_doc_id, q2.lang AS rep_lang, q2.q AS rep_q,
+        |  r.cluster_size, r.cluster_size - 1 AS n_dropped, r.member_id_sum
+        |FROM r JOIN q q2 ON r.rep_doc_id = q2.doc_id
+        |ORDER BY component""".stripMargin,
     "tx_repetition" ->
       """WITH d AS (
         |  SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
@@ -2826,6 +2901,7 @@ object SparkEntry {
     // deterministic — the ivfAnnSql sharing rule)
     "tx_model_quality_indexed" -> modelQualitySql,
     "tx_model_quality_eval" -> modelQualityEvalSql,
+    "tx_dsir_select" -> dsirSelectSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -1932,6 +1932,53 @@ object Text {
       .orderBy("component", "doc_id")
   }
 
+  /** Quality-aware canonical selection per duplicate cluster — the step
+    * after [[ddDupClusters]]'s connectivity: production dedup keeps the
+    * BEST document of each near-dup cluster, not the arbitrary
+    * lowest-id one (the RefinedWeb/FineWeb practice of resolving dup
+    * groups by a quality signal). Representative = argmax of
+    * (quality, −doc_id) over the cluster — the integer per-mille
+    * alphanumeric quality from [[txTokenBudget]] (exact in both
+    * engines), lowest doc_id breaking quality ties, computed with the
+    * one-pass max(struct) idiom (the A2 argmax-dedup rule:
+    * `Transforms.scala` min_by/max_by struct fold — partial-aggregated,
+    * never a per-cluster window, so a web-scale hot cluster collapses
+    * map-side).
+    *
+    * Output: one row per cluster with the representative's id / quality
+    * / lang, the cluster size, how many docs a keep-best pass drops,
+    * and the member-id sum (the id-fold audit). The oracle recomputes
+    * the SAME confirmed pairs and closes them with the recursive
+    * min-label CTE (the dd_dup_clusters twin — one shared generator),
+    * then picks representatives with an ordered-aggregate `first`, so
+    * two independent argmax formulations must agree row-for-row.
+    */
+  def ddClusterRepresentative(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val edges = jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots, bandSize)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+    val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+    val q = docs(spark, dir).select(col("doc_id"), col("lang"),
+      expr("""(CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)
+               * 1000) div greatest(length(text), 1)""").as("q"))
+    comp.select(col("component"), col("id").as("doc_id"))
+      .join(q, "doc_id")
+      .groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"),
+        max(struct(col("q"), (-col("doc_id")).as("nid"))).as("best"),
+        sum("doc_id").as("member_id_sum"))
+      .select(col("component"), (-col("best.nid")).as("rep_doc_id"),
+        col("best.q").as("rep_q"), col("cluster_size"),
+        (col("cluster_size") - 1L).as("n_dropped"), col("member_id_sum"))
+      .join(q.select(col("doc_id").as("rep_doc_id"),
+        col("lang").as("rep_lang")), "rep_doc_id")
+      .select("component", "rep_doc_id", "rep_lang", "rep_q",
+        "cluster_size", "n_dropped", "member_id_sum")
+      .orderBy("component")
+  }
+
   /** Repetition quality signals (Gopher, Rae et al. 2021 §A1.1): fraction
     * of tokens covered by the most common 2-gram and fraction of tokens
     * in repeated 3-gram occurrences. Repetitious generated text scores
@@ -3026,6 +3073,95 @@ object Text {
         sum(when(col("score") <= 0.5d && col("y") === 1.0d, 1L).otherwise(0L))
           .as("fn"))
       .orderBy("lang")
+  }
+
+  /** DSIR feature geometry — shared with the generated oracle (the
+    * kmeansCtes discipline): hashed uni+bigram buckets, target slice =
+    * `source = 'src0'` (the same curated-slice role it plays for
+    * [[txModelQuality]]), Laplace +1 smoothing.
+    */
+  private[graft] val dsirBuckets = 64
+
+  /** Importance-weighted data selection — the DSIR shape (Xie et al.
+    * 2023, "Data Selection for Language Models via Importance
+    * Resampling"): estimate the target and raw hashed-n-gram
+    * distributions by counting, score every raw document by how much
+    * more target-like than raw-like its n-gram bag is, and keep the
+    * documents the target distribution favors. The GENERATIVE sibling of
+    * [[txModelQuality]]'s discriminative scorer: no gradient loop — two
+    * bounded counting passes are the whole "training".
+    *
+    * Exactness mechanism: DSIR's log-likelihood-ratio
+    * `Σ c_g · (log p̂_t(g) − log p̂_r(g))` lives in libm (the exp/sigmoid
+    * rule — last-ulp log differences break a bit-exact cross-engine
+    * oracle), so the score here is the same comparison with the logs
+    * removed: `Σ_j x_j · ((n_t[j]+1)·(N_r+B) − (n_r[j]+1)·(N_t+B))` —
+    * the Laplace-smoothed probability DIFFERENCE `p̂_t − p̂_r` lifted to
+    * integers by the common denominator `(N_t+B)(N_r+B)`. Same sign
+    * semantics (selected ⇔ the doc's gram mass sits where the target
+    * distribution exceeds the raw one), every operation integer — the
+    * oracle reproduces it to the bit. The log-ratio form slots into the
+    * identical plan where cross-engine bit-exactness isn't demanded.
+    * Magnitudes: |score| ≤ n_grams · max_j(n[j]·N) — BIGINT-safe through
+    * ~1e9-gram corpora; past that, rescale both distributions by a
+    * common power of two (exact) or lift the fold to DECIMAL(38,0).
+    *
+    * Scale shape: the feature build is ONE codegen'd
+    * `hashed_bucket_counts` projection (no gram explode, the mqFeatures
+    * lesson); the distributions are a posexplode over B=[[dsirBuckets]]
+    * positions partial-aggregated to B rows; the bounded 1-row stats
+    * attach via an uncorrelated scalar subquery (the simSqInt8 pattern —
+    * no constant-key join, no BNLJ); scoring is a second narrow pass.
+    * Selection is the threshold `score > 0`, so no global ranking
+    * anywhere; a token-budgeted DSIR composes this score with
+    * [[txTokenBudget]]'s bounded-domain prefix discipline.
+    *
+    * Reported per (lang, source): doc/selected counts, exact score
+    * extrema, and the selected-id sum (the id-fold audit), all integers.
+    */
+  def txDsirSelect(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val b = dsirBuckets
+    // both the histogram pass and the scoring pass read this projection —
+    // scoped-cache so the md5 gram hashing runs once per execution
+    val feats = graft.Caches.scoped("tx_dsir.feat",
+      Tables.spread(docs(spark, dir))
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 1)
+        .withColumn("grams", expr(
+          """concat(toks, CASE WHEN size(toks) >= 2
+               THEN transform(sequence(0, size(toks) - 2),
+                      i -> concat_ws(' ', toks[i], toks[i + 1]))
+               ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+        .select(col("doc_id"), col("lang"), col("source"),
+          (col("source") === "src0").as("is_t"),
+          expr(s"hashed_bucket_counts(grams, $b)").as("x")))
+    val hist = feats
+      .select(col("is_t"), posexplode(col("x")))
+      .groupBy("pos")
+      .agg(sum(when(col("is_t"), col("col")).otherwise(0L)).as("nt_j"),
+        sum(when(!col("is_t"), col("col")).otherwise(0L)).as("nr_j"))
+    hist.agg(
+        expr("transform(sort_array(collect_list(struct(pos, nt_j))), t -> t.nt_j)")
+          .as("nt"),
+        expr("transform(sort_array(collect_list(struct(pos, nr_j))), t -> t.nr_j)")
+          .as("nr"),
+        sum("nt_j").as("t_n"), sum("nr_j").as("r_n"))
+      .createOrReplaceTempView("graft_dsir_stats")
+    feats
+      .withColumn("st",
+        expr("(SELECT struct(nt, nr, t_n, r_n) FROM graft_dsir_stats)"))
+      .withColumn("score", expr(
+        s"""aggregate(sequence(0, ${b - 1}), CAST(0 AS BIGINT), (acc, j) ->
+              acc + x[j] * ((st.nt[j] + 1L) * (st.r_n + $b)
+                          - (st.nr[j] + 1L) * (st.t_n + $b)))"""))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("score") > 0L, 1L).otherwise(0L)).as("n_selected"),
+        min("score").as("min_score"),
+        max("score").as("max_score"),
+        sum(when(col("score") > 0L, col("doc_id"))).as("sel_id_sum"))
+      .orderBy("lang", "source")
   }
 
   /** The MERGE updates-batch carving rule — ONE set of constants for the
