@@ -72,6 +72,17 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *     (and 0.2 s absolute, so sub-second scheduling jitter can't spam
   *     the list). The driver artifact keeps only a 2000-char stdout
   *     tail, so cross-round per-query history has to ride in the repo.
+  *
+  * Suite-growth headroom (round 9b — the suite passed 140 queries):
+  *
+  *   - Past 35% of the budget, session-1 queries cap at 2 runs (one cold
+  *     + one warm — warm-min fidelity preserved, unlike the banned
+  *     1-cold-run flat cut), so the two-session artifact stays inside the
+  *     budget without tripping the late-wall `truncated` flag.
+  *   - The 1-run train-per-call list extends to the PQ warm retrain
+  *     (build-dominated). Extending it to 1-2 s lifecycle demos was
+  *     measured and REVERTED: their cold single runs tripped the 2x
+  *     regression tripwire — the cold-min trap all over again.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -94,7 +105,16 @@ object Bench {
       "tx_bpe_merges", "tx_bpe_apply", "tx_model_quality",
       // NN-descent rebuilds the whole graph per call (build pricing;
       // sim_graph_search is its steady-state indexed twin)
-      "sim_knn_descent")
+      "sim_knn_descent",
+      // same argument, same determinism: the PQ warm retrain runs the
+      // full per-subspace Lloyd chain inside every measured run (its
+      // cost is build-dominated, so the cold/warm gap is small). The
+      // moderate fuzzy lifecycle demos and the graph-insert walk were
+      // TRIED here and reverted: at 1-2 s their JIT warm-up is a large
+      // fraction of the run, and the single cold run inflated pooled
+      // mins past the 2x regression tripwire (measured r9b) — the exact
+      // cold-single-run trap the convergence-stop note documents.
+      "sim_pq_retrain")
 
     val errors = LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
@@ -232,10 +252,21 @@ object Bench {
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
         val overBudget = elapsedS > budgetS
         if (overBudget) truncated = true
+        // Progressive in-session degrade: past 40% of the budget the
+        // remaining session-1 queries cap at TWO runs — run 1 absorbs the
+        // cold JIT/codegen cost, so run 2 is already the warm min within
+        // the convergence stop's own 10% band. This is NOT the flat
+        // run-count cut the convergence note bans (that one dropped to a
+        // single COLD run, inflating pooled mins ~14%); a 2-run cap keeps
+        // one warm run on record. Without it a ~140-query suite walks the
+        // wall past the full budget and flags `truncated` even though
+        // every query ran.
+        val lateCap =
+          if (!sessionDegraded && elapsedS > budgetS * 0.35) 2 else Int.MaxValue
         val effRuns =
           if (overBudget || sessionDegraded) 1
           else if (trainPerCall(name)) heavyRuns.min(nRuns)
-          else nRuns
+          else nRuns.min(lateCap)
         val runs = ArrayBuffer[(Double, Boolean)]()
         resetHeapPeaks()
         var r = 1

@@ -62,6 +62,7 @@ object SparkEntry {
     "w6_drawdown" -> (Relational.w6Drawdown _),
     "w7_rolling_corr" -> (Relational.w7RollingCorr _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
+    "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -136,6 +137,7 @@ object SparkEntry {
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
+    "pipeline_agg_refresh" -> ((s, d) => Text.pipelineAggRefresh(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
@@ -148,6 +150,7 @@ object SparkEntry {
     "sim_knn_descent" -> ((s, d) => Similarity.simKnnDescent(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
+    "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
     "sim_ivf_ann" -> ((s, d) => Similarity.simIvfAnn(s, d)),
@@ -814,6 +817,41 @@ object SparkEntry {
        |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.queries.Similarity.ddSemdedupGraph]]: the
+    * verbatim descent chain rebuilds the graph, the same τ filters its
+    * edges, and the recursive min-label CTE (the dd_dup_clusters closure
+    * formulation) clusters them — agreement proves the standing edges
+    * table + large-star/small-star contraction serve exactly the declared
+    * semantic-dedup clusters.
+    */
+  private def semdedupGraphSql: String =
+    // the descent chain lives in its OWN nested WITH scope: putting it
+    // directly under the outer WITH RECURSIVE perturbs its results in
+    // DuckDB 1.0 (measured: 670 vs the correct 404 in-threshold edges
+    // at sf0.001 — the engine- and numpy-verified figure), so RECURSIVE
+    // scopes only the closure
+    s"""WITH RECURSIVE ge AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    WITH $knnDescentCtes
+       |    SELECT src, dst, cosine FROM g${Similarity.knnDescentRounds}) t
+       |  WHERE cosine >= ${Similarity.knnGraphDupTau}),
+       |ed AS (SELECT src AS u, dst AS v FROM ge UNION SELECT dst, src FROM ge),
+       |reach(u, lbl) AS (
+       |  SELECT u, u FROM (SELECT DISTINCT u FROM ed)
+       |  UNION
+       |  SELECT e2.v, r.lbl FROM reach r JOIN ed e2 ON e2.u = r.u),
+       |comp AS (SELECT u AS id, min(lbl) AS component FROM reach GROUP BY u),
+       |agg AS (
+       |  SELECT component, count(*) AS n_members, min(id) AS keep_vec_id,
+       |    CAST(sum(id) AS BIGINT) AS member_id_sum
+       |  FROM comp GROUP BY 1),
+       |ec AS (
+       |  SELECT c.component, count(*) AS n_edges
+       |  FROM ge JOIN comp c ON ge.src = c.id GROUP BY 1)
+       |SELECT a.component, a.n_members, a.keep_vec_id,
+       |  a.n_members - 1 AS n_dropped, a.member_id_sum, ec.n_edges
+       |FROM agg a JOIN ec USING (component) ORDER BY component""".stripMargin
 
   /** The live-member predicate of [[graft.queries.Similarity.simIvfDelete]]
     * in DuckDB terms (over the rk columns c_label/vec_id) — constants
@@ -2091,6 +2129,27 @@ object SparkEntry {
         |            sqrt((CAST(f.n AS DOUBLE) * f.sww - f.sw * f.sw) / (CAST(f.n AS DOUBLE) * CAST(f.n AS DOUBLE))) END AS z
         |FROM r JOIN fold f ON r.date = f.date
         |ORDER BY r.date, r.nationkey""".stripMargin,
+    "w9_resample_ohlc" ->
+      // bar values by SELECTION (min_by/max_by on the unique date key) or
+      // exact integer-cent sums descaled once; the week anchor Monday
+      // 1990-01-01 predates the corpus so `div` (truncating) and `//`
+      // (flooring) agree — see the Scala side's anchor note
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents,
+        |    count(*) AS n_orders
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |wkd AS (
+        |  SELECT *, date_diff('day', DATE '1990-01-01', CAST(date AS DATE)) // 7 AS wk
+        |  FROM daily)
+        |SELECT nationkey, wk, min(date) AS week_start, count(*) AS n_days,
+        |  CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        |  CAST(min_by(cents, date) AS DOUBLE) / 100.0 AS open,
+        |  CAST(max(cents) AS DOUBLE) / 100.0 AS high,
+        |  CAST(min(cents) AS DOUBLE) / 100.0 AS low,
+        |  CAST(max_by(cents, date) AS DOUBLE) / 100.0 AS close,
+        |  CAST(sum(cents) AS BIGINT) / 100.0 AS week_rev
+        |FROM wkd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce
@@ -2655,6 +2714,21 @@ object SparkEntry {
         |          ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) END) * 4294967296
         |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)) AS text_xor
         |FROM alive GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Incremental MV refresh: the oracle aggregates the FULL corpus in
+    // one pass (base + delta carve arithmetic inline) and never sees the
+    // standing table — agreement proves partial-aggregate merging
+    // (counts add, 64-bit md5 XOR folds compose) equals recompute.
+    "pipeline_agg_refresh" ->
+      s"""SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  bit_xor(
+        |    (CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) >= 2147483648
+        |          THEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) - 4294967296
+        |          ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) END) * 4294967296
+        |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)) AS text_xor,
+        |  CAST(sum(CASE WHEN doc_id % ${Text.incrementalDeltaMod} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base_docs,
+        |  CAST(sum(CASE WHEN doc_id % ${Text.incrementalDeltaMod} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_docs
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never
@@ -3196,6 +3270,7 @@ object SparkEntry {
     "sim_knn_descent" -> knnDescentSql,
     "sim_graph_search" -> graphSearchSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
+    "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
         |FROM (

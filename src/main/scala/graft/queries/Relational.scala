@@ -555,6 +555,46 @@ object Relational {
       .orderBy("date", "nationkey")
   }
 
+  /** W9 (time-series resample): per-nation weekly OHLC bars from the
+    * daily revenue series — the downsampling step every quant stack runs
+    * before weekly-frequency models (`df.resample('W').ohlc()` over the
+    * reference's daily panel; behavioral anchor: the returns window
+    * family, `wrds_ingestion.py:984-996`).
+    *
+    * Exactness: every bar value is SELECTION (open/close = min_by/max_by
+    * on the unique date key, high/low = extrema) or an exact integer-cent
+    * sum ([[graft.Exact]]) descaled once — no interpolation, no float
+    * accumulation. The week key is pure integer arithmetic — days since
+    * Monday 1990-01-01 `div` 7 — with the anchor BEFORE every corpus
+    * date on purpose: Spark's `div` truncates toward zero while DuckDB's
+    * `//` floors, so a mid-corpus anchor would split the anchor week's
+    * negative diffs differently (the sequence/range divergence family).
+    *
+    * Scale shape: one partial-aggregated daily rollup (corpus read
+    * once), then a second bounded aggregate over (nation, week) — both
+    * plain groupBys, no window at all.
+    */
+  def w9ResampleOhlc(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
+      .agg(sum(Exact.units(col("o_totalprice"), 2)).as("cents"),
+        count(lit(1)).as("n_orders"))
+    daily
+      .withColumn("wk",
+        expr("datediff(CAST(date AS DATE), DATE '1990-01-01') div 7"))
+      .groupBy("nationkey", "wk")
+      .agg(min("date").as("week_start"),
+        count(lit(1)).as("n_days"),
+        sum("n_orders").as("n_orders"),
+        (min_by(col("cents"), col("date")) / lit(100.0)).as("open"),
+        (max("cents") / lit(100.0)).as("high"),
+        (min("cents") / lit(100.0)).as("low"),
+        (max_by(col("cents"), col("date")) / lit(100.0)).as("close"),
+        (sum("cents") / lit(100.0)).as("week_rev"))
+      .orderBy("nationkey", "wk")
+  }
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))

@@ -1058,6 +1058,67 @@ object Similarity {
     simGraphSearch(spark, dir, k = knnDescentK, querySet = Some(delta))
   }
 
+  /** Cosine threshold for [[ddSemdedupGraph]]'s near-dup edges — shared
+    * with the generated oracle (the kmeansCtes discipline). 0.35 sits
+    * inside this concentrated corpus's observed pairwise range (global
+    * max ~0.48): the offline model measures 64/79 clusters with max size
+    * 17/24 at sf0.001/sf0.01 — real cluster structure without collapsing
+    * into one giant component (τ = 0.25 connects 100% of the corpus).
+    * Production embeddings run τ ≈ 0.95 on the same plan.
+    */
+  private[graft] val knnGraphDupTau = 0.35
+
+  /** SemDeDup over the STANDING kNN graph (Abbas et al. 2023 semantics,
+    * graph-candidate generation): near-duplicate candidate pairs are the
+    * persisted NN-descent graph's edges at cosine ≥ [[knnGraphDupTau]],
+    * closed under connectivity by [[graft.ConnectedComponents]], with the
+    * keep-first (min vec_id) survivor per cluster — the
+    * [[graft.queries.Text.ddDupClusters]] construction with the MinHash
+    * band scaffold swapped for the ANN graph. This is how semantic dedup
+    * actually runs at scale once a graph index exists: candidate
+    * generation is a FILTER over standing k·n edges (zero new pairwise
+    * work — compare [[ddEmbeddingClusters]], which re-buckets per call),
+    * and the quadratic work was paid once at graph build. Honest
+    * coverage note: candidates are bounded by the graph's k =
+    * [[knnDescentK]] nearest neighbors per vector, so a vector with more
+    * than k in-threshold neighbors still reaches them transitively
+    * through the closure or not at all — the recall knob is the graph
+    * degree, exactly as in the published SemDeDup/ANN pipelines.
+    *
+    * Output: one row per duplicate cluster (component, sizes, keep-first
+    * survivor, member-id sum, in-threshold directed edge count). The
+    * oracle rebuilds the descent graph from first principles (the
+    * verbatim knnDescent chain), filters the same τ, and closes with the
+    * recursive min-label CTE — two connectivity formulations agree
+    * row-for-row.
+    *
+    * Scale shape: one partition-local filter over the edges table, CC
+    * over (id, id) pairs (digests/ids only — the large-star/small-star
+    * 100 TB argument in [[graft.ConnectedComponents]]), two bounded
+    * aggregates. No vector is ever read — the graph already paid for
+    * the cosines.
+    */
+  def ddSemdedupGraph(spark: SparkSession, dir: String,
+      tau: Double = knnGraphDupTau): DataFrame = {
+    val base = ensureKnnGraphIndex(spark, dir)
+    val ge = spark.read.parquet(s"$base/edges")
+      .filter(col("cosine") >= tau)
+      .select(col("vec_id").as("id_a"), col("nbr_id").as("id_b"))
+    val comp = graft.ConnectedComponents.run(ge, "id_a", "id_b")
+    val agg = comp.groupBy("component")
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("keep_vec_id"),
+        sum("id").as("member_id_sum"))
+    val ecnt = ge.join(comp.select(col("id").as("id_a"), col("component")),
+        "id_a")
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    agg.join(ecnt, "component")
+      .select(col("component"), col("n_members"), col("keep_vec_id"),
+        (col("n_members") - 1L).as("n_dropped"), col("member_id_sum"),
+        col("n_edges"))
+      .orderBy("component")
+  }
+
   /** [[simRangeSearch]] over the MATERIALIZED IVF index — FAISS
     * `IndexIVF.range_search`: candidates come from the nprobe probed
     * cells only (partition-pruned reads, the [[simIvfAnnIndexed]]

@@ -3302,4 +3302,88 @@ object Text {
         expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
       .orderBy("grp")
   }
+
+  /** The (lang, source) partial-aggregate projection shared by the
+    * standing materialized aggregate ([[ensureAggMv]]) and the delta
+    * refresh pass — one definition (the mergeUpdates rule), so the
+    * standing table and the refresh can never aggregate different
+    * columns. Folds: counts and token sums (exact integers) and the
+    * full-64-bit md5 hi/lo XOR ([[md5SignedHash64Expr]] — XOR is
+    * associative, commutative and self-inverse, which is exactly what
+    * makes the aggregate MERGEABLE: base ⊕ delta = full corpus, and a
+    * future delete refresh XORs the removed payloads back out).
+    */
+  private[graft] def aggMvPartials(in: DataFrame): DataFrame =
+    in.withColumn("hd", expr("md5(cast(text AS BINARY))"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("n_tokens"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+
+  // agg_mv path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val aggMvFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing materialized aggregate over the BASE carve
+    * (`doc_id % incrementalDeltaMod != 0` — the complement of the
+    * established delta convention), built once under the warehouse with
+    * the marker/memo discipline (cleared BEFORE rebuilding).
+    */
+  def ensureAggMv(spark: SparkSession, dir: String): String = synchronized {
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/agg_mv"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/aggs/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(aggMvFor.get(base).contains(dir) && fs.exists(marker))) {
+      aggMvFor.remove(base)
+      fs.delete(marker, false)
+      aggMvPartials(docs(spark, dir)
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(s"$base/aggs")
+      aggMvFor(base) = dir
+    }
+    base
+  }
+
+  /** Incremental materialized-view REFRESH — the lakehouse maintenance
+    * pattern the reference's full-rewrite warehouse refresh
+    * (`wrds_ingestion.py:1004-1125`) becomes at 100 TB: a standing
+    * per-(lang, source) aggregate table absorbs a delta batch by MERGING
+    * partial aggregates instead of recomputing the corpus. The delta
+    * pass reads ONLY the delta carve (`doc_id % incrementalDeltaMod = 0`
+    * — the [[ddIncremental]] convention), computes the same partials the
+    * standing table holds ([[aggMvPartials]] — one shared definition),
+    * and one bounded full-outer join on the group key adds counts and
+    * XORs the hash folds (identity 0 for a side with no rows). Because
+    * the folds are associative/commutative/self-inverse, the refreshed
+    * row equals the full-corpus aggregate BIT-FOR-BIT — which is exactly
+    * what the oracle checks: it aggregates base+delta in one pass from
+    * first principles and never sees the standing table.
+    *
+    * Output per (lang, source): merged n_docs / n_tokens / text_xor plus
+    * the base/delta doc split (the refresh's own audit columns).
+    *
+    * Scale shape: the standing table is |groups| rows; the refresh reads
+    * O(|delta|) corpus bytes + |groups| standing rows — never the base
+    * corpus. The merge join is bounded-by-groups on both sides.
+    */
+  def pipelineAggRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureAggMv(spark, dir)
+    val standing = spark.read.parquet(s"$base/aggs")
+      .select(col("lang"), col("source"), col("n_docs").as("b_docs"),
+        col("n_tokens").as("b_tokens"), col("text_xor").as("b_xor"))
+    val delta = aggMvPartials(docs(spark, dir)
+        .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
+      .select(col("lang"), col("source"), col("n_docs").as("d_docs"),
+        col("n_tokens").as("d_tokens"), col("text_xor").as("d_xor"))
+    standing.join(delta, Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_tokens"), lit(0L)) + coalesce(col("d_tokens"), lit(0L)))
+          .as("n_tokens"),
+        expr("coalesce(b_xor, 0L) ^ coalesce(d_xor, 0L)").as("text_xor"),
+        coalesce(col("b_docs"), lit(0L)).as("n_base_docs"),
+        coalesce(col("d_docs"), lit(0L)).as("n_delta_docs"))
+      .orderBy("lang", "source")
+  }
 }

@@ -174,4 +174,38 @@ class WindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("w9 weekly OHLC: bars recomputed by hand from the daily series") {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"), col("o_orderdate").as("date"))
+      .agg(sum(Exact.units(col("o_totalprice"), 2)).as("cents"))
+      .withColumn("wk",
+        expr("datediff(CAST(date AS DATE), DATE '1990-01-01') div 7"))
+      .withColumn("date", col("date").cast("string"))
+      .collect()
+      .map(r => (r.getAs[Number]("nationkey").longValue(),
+        r.getAs[Number]("wk").longValue(),
+        r.getAs[String]("date"), r.getAs[Long]("cents")))
+    val byBar = daily.groupBy(t => (t._1, t._2))
+    val out = Relational.w9ResampleOhlc(spark, dir).collect()
+    assert(out.length == byBar.size, "one bar per (nation, week)")
+    out.foreach { r =>
+      val key = (r.getAs[Number]("nationkey").longValue(),
+        r.getAs[Number]("wk").longValue())
+      val mem = byBar(key).sortBy(_._3)
+      assert(r.getAs[Long]("n_days") == mem.length)
+      assert(r.getAs[Double]("open") == mem.head._4 / 100.0, s"open $key")
+      assert(r.getAs[Double]("close") == mem.last._4 / 100.0, s"close $key")
+      assert(r.getAs[Double]("high") == mem.map(_._4).max / 100.0)
+      assert(r.getAs[Double]("low") == mem.map(_._4).min / 100.0)
+      assert(r.getAs[Double]("week_rev") == mem.map(_._4).sum / 100.0)
+      assert(r.getAs[Long]("n_days") >= 1 && r.getAs[Long]("n_days") <= 7)
+      // OHLC sanity: extremes bracket the endpoints
+      assert(r.getAs[Double]("high") >=
+        math.max(r.getAs[Double]("open"), r.getAs[Double]("close")))
+      assert(r.getAs[Double]("low") <=
+        math.min(r.getAs[Double]("open"), r.getAs[Double]("close")))
+    }
+  }
 }
