@@ -3125,17 +3125,7 @@ object Text {
     // both the histogram pass and the scoring pass read this projection —
     // scoped-cache so the md5 gram hashing runs once per execution
     val feats = graft.Caches.scoped("tx_dsir.feat",
-      Tables.spread(docs(spark, dir))
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 1)
-        .withColumn("grams", expr(
-          """concat(toks, CASE WHEN size(toks) >= 2
-               THEN transform(sequence(0, size(toks) - 2),
-                      i -> concat_ws(' ', toks[i], toks[i + 1]))
-               ELSE CAST(array() AS ARRAY<STRING>) END)"""))
-        .select(col("doc_id"), col("lang"), col("source"),
-          (col("source") === "src0").as("is_t"),
-          expr(s"hashed_bucket_counts(grams, $b)").as("x")))
+      dsirFeaturize(Tables.spread(docs(spark, dir))))
     val hist = feats
       .select(col("is_t"), posexplode(col("x")))
       .groupBy("pos")
@@ -3151,10 +3141,8 @@ object Text {
     feats
       .withColumn("st",
         expr("(SELECT struct(nt, nr, t_n, r_n) FROM graft_dsir_stats)"))
-      .withColumn("score", expr(
-        s"""aggregate(sequence(0, ${b - 1}), CAST(0 AS BIGINT), (acc, j) ->
-              acc + x[j] * ((st.nt[j] + 1L) * (st.r_n + $b)
-                          - (st.nr[j] + 1L) * (st.t_n + $b)))"""))
+      .withColumn("score",
+        expr(dsirScoreExpr("st.nt", "st.nr", "st.t_n", "st.r_n")))
       .groupBy("lang", "source")
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("score") > 0L, 1L).otherwise(0L)).as("n_selected"),
@@ -3162,6 +3150,59 @@ object Text {
         max("score").as("max_score"),
         sum(when(col("score") > 0L, col("doc_id"))).as("sel_id_sum"))
       .orderBy("lang", "source")
+  }
+
+  /** The DSIR feature projection applied to ANY (doc_id, lang, source,
+    * text) frame — one text for the batch cache and the streaming
+    * scorer (the mqFeaturize sharing discipline).
+    */
+  private[graft] def dsirFeaturize(in: DataFrame): DataFrame = {
+    val b = dsirBuckets
+    in.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .withColumn("grams", expr(
+        """concat(toks, CASE WHEN size(toks) >= 2
+             THEN transform(sequence(0, size(toks) - 2),
+                    i -> concat_ws(' ', toks[i], toks[i + 1]))
+             ELSE CAST(array() AS ARRAY<STRING>) END)"""))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("source") === "src0").as("is_t"),
+        expr(s"hashed_bucket_counts(grams, $b)").as("x"))
+  }
+
+  /** The exact-integer DSIR score fold over a row's `x` counts, with
+    * the distribution bindings pluggable (the ivfCosC one-text rule):
+    * the batch path binds the in-plan scalar-subquery struct, the
+    * streaming path binds literal arrays — same fold either way.
+    */
+  private[graft] def dsirScoreExpr(nt: String, nr: String,
+      tN: String, rN: String): String = {
+    val b = dsirBuckets
+    s"""aggregate(sequence(0, ${b - 1}), CAST(0 AS BIGINT), (acc, j) ->
+          acc + x[j] * (($nt[j] + 1L) * ($rN + $b)
+                      - ($nr[j] + 1L) * ($tN + $b)))"""
+  }
+
+  /** The trained DSIR distributions as bounded index metadata for the
+    * streaming scorer — 2·[[dsirBuckets]] longs + two totals (the
+    * qualityModelWeights / probe-list collect rule).
+    */
+  def dsirStats(spark: SparkSession, dir: String):
+      (Seq[Long], Seq[Long], Long, Long) = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val hist = dsirFeaturize(docs(spark, dir))
+      .select(col("is_t"), posexplode(col("x")))
+      .groupBy("pos")
+      .agg(sum(when(col("is_t"), col("col")).otherwise(0L)).as("nt_j"),
+        sum(when(!col("is_t"), col("col")).otherwise(0L)).as("nr_j"))
+    val r = hist.agg(
+        expr("transform(sort_array(collect_list(struct(pos, nt_j))), t -> t.nt_j)")
+          .as("nt"),
+        expr("transform(sort_array(collect_list(struct(pos, nr_j))), t -> t.nr_j)")
+          .as("nr"),
+        sum("nt_j").as("t_n"), sum("nr_j").as("r_n"))
+      .head()
+    (r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2), r.getLong(3))
   }
 
   /** The MERGE updates-batch carving rule — ONE set of constants for the

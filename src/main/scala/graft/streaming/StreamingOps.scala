@@ -467,6 +467,35 @@ object StreamingOps {
       (col("score") > 0.5d).as("pass"))
   }
 
+  /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
+    * landing documents against the STANDING target/raw n-gram
+    * distributions — filter-at-ingest, the deployment shape DSIR's
+    * paper targets (score the crawl as it lands, admit the target-like
+    * part). The distributions ride along as literal arrays
+    * (2·dsirBuckets longs + two totals — bounded index metadata, the
+    * [[qualityScoredDocs]] weights treatment; scalar subqueries don't
+    * exist under the streaming planner), and the score is the SAME
+    * exact-integer fold text the batch side runs
+    * ([[graft.queries.Text.dsirScoreExpr]] — one definition, two
+    * bindings), over the SAME feature projection
+    * ([[graft.queries.Text.dsirFeaturize]]). Pure stateless narrow
+    * stage: no watermark, no state. Per-doc batch/stream equality is
+    * spec-pinned.
+    */
+  def dsirSelectedDocs(docsStream: DataFrame, nt: Seq[Long], nr: Seq[Long],
+      tN: Long, rN: Long): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docsStream.sparkSession)
+    graft.queries.Text.dsirFeaturize(docsStream)
+      .withColumn("ntv", array(nt.map(lit(_)): _*))
+      .withColumn("nrv", array(nr.map(lit(_)): _*))
+      .withColumn("tnv", lit(tN))
+      .withColumn("rnv", lit(rN))
+      .withColumn("score",
+        expr(graft.queries.Text.dsirScoreExpr("ntv", "nrv", "tnv", "rnv")))
+      .select(col("doc_id"), col("lang"), col("source"), col("score"),
+        (col("score") > 0L).as("selected"))
+  }
+
   /** Streaming twin of [[graft.queries.Text.txPiiRedact]]'s scrub: the
     * SAME shared per-document projection (`Text.piiScrub` — plant →
     * regex count → replace → digest, a pure stateless narrow stage, so

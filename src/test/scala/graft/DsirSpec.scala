@@ -49,6 +49,42 @@ class DsirSpec extends SparkSpec {
       s"offline-modeled raw score extrema: $r")
   }
 
+  test("streaming scorer equals batch scoring with the standing distributions") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val sfDir = "/root/testdata/sf0.001"
+    val (nt, nr, tN, rN) = Text.dsirStats(spark, sfDir)
+    assert(nt.size == 64 && nr.size == 64 && tN > 0 && rN > 0)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dsir-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = StreamingOps.dsirSelectedDocs(
+        StreamingOps.readDocumentsStream(spark, streamDir.toString),
+        nt, nr, tN, rN)
+      .writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("dsir_stream").orderBy("doc_id").collect()
+    val batch = StreamingOps.dsirSelectedDocs(
+        Tables(spark, sfDir, "documents"), nt, nr, tN, rN)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b },
+      "per-doc streamed scores must equal the batch scores bit for bit")
+    // the admitted set agrees with the batch report's per-group counts
+    val report = Text.txDsirSelect(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("source")) ->
+        r.getAs[Long]("n_selected")).toMap
+    val fromStream = streamed.filter(_.getAs[Boolean]("selected"))
+      .groupBy(r => (r.getAs[String]("lang"), r.getAs[String]("source")))
+      .view.mapValues(_.length.toLong).toMap
+    report.foreach { case (k, v) =>
+      assert(fromStream.getOrElse(k, 0L) == v,
+        s"selected count mismatch for $k: stream ${fromStream.get(k)} vs batch $v")
+    }
+  }
+
   test("natural corpus: report is internally consistent") {
     val rows = Text.txDsirSelect(spark, "/root/testdata/sf0.001").collect()
     assert(rows.nonEmpty)
