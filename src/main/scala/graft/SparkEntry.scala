@@ -81,6 +81,7 @@ object SparkEntry {
     "skew_salted_join" -> (Relational.skewSaltedJoin _),
     "ev_funnel" -> (Events.evFunnel _),
     "ev_asof_join" -> (Events.evAsofJoin _),
+    "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
     "tx_quality_score" -> (Text.txQualityScore _),
@@ -2239,6 +2240,34 @@ object SparkEntry {
         |SELECT p.event_id, p.user_id, p.ts, p.value, v.view_ts, v.view_value
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts
         |ORDER BY event_id""".stripMargin,
+    // Both directions via DuckDB's native ASOF (>= backward, <= forward),
+    // tolerance as an exact integer-microsecond post-filter, nearest by
+    // delta comparison with ties resolving backward — the independent
+    // formulation of the engine's negated-time forward walk.
+    "ev_asof_tolerance" ->
+      s"""WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT user_id, ts, arg_max(value, event_id) AS vv
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id, ts),
+        |b AS (
+        |  SELECT p.event_id, p.user_id, p.ts, p.value, v.ts AS bts, v.vv AS bvv
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts),
+        |f AS (
+        |  SELECT p.event_id, v.ts AS fts, v.vv AS fvv
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts),
+        |j AS (
+        |  SELECT b.*, f.fts, f.fvv,
+        |    bts IS NOT NULL AND date_diff('microsecond', bts, ts) <= ${Events.asofToleranceS * 1000000L} AS b_ok,
+        |    fts IS NOT NULL AND date_diff('microsecond', ts, fts) <= ${Events.asofToleranceS * 1000000L} AS f_ok
+        |  FROM b JOIN f USING (event_id))
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN b_ok THEN bts END AS bview_ts,
+        |  CASE WHEN b_ok THEN bvv END AS bview_value,
+        |  CASE WHEN f_ok THEN fts END AS fview_ts,
+        |  CASE WHEN f_ok THEN fvv END AS fview_value,
+        |  CASE WHEN b_ok AND (NOT f_ok OR date_diff('microsecond', bts, ts) <= date_diff('microsecond', ts, fts)) THEN 'backward'
+        |       WHEN f_ok THEN 'forward' ELSE 'none' END AS nearest
+        |FROM j ORDER BY event_id""".stripMargin,
     "ev_cohort_retention" ->
       """WITH cohort AS (
         |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week

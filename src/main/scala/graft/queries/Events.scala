@@ -92,6 +92,75 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Tolerance for [[evAsofTolerance]] — shared with the generated
+    * oracle (the kmeansCtes discipline). One day splits this corpus's
+    * backward-delta distribution (median ≈ 34 h, measured): 709 of 1981
+    * purchases keep a backward match at sf0.01, 804 keep neither side.
+    */
+  private[graft] val asofToleranceS = 86400L
+
+  /** As-of join with DIRECTION and TOLERANCE — the rest of the pandas
+    * `merge_asof` surface ([[evAsofJoin]] is `direction='backward'` with
+    * no bound): each purchase reports its latest preceding view AND its
+    * earliest following view, each nullified when farther than
+    * [[asofToleranceS]], plus the `nearest` resolution (smaller delta;
+    * exact ties resolve backward — the deterministic rule the oracle
+    * mirrors).
+    *
+    * The forward direction is the SAME union+running-window machinery
+    * run on NEGATED epoch time (backward on −t ≡ forward on t, equal
+    * times still matching inclusively) — one asofJoin implementation,
+    * two directions, so the forward path cannot drift from the
+    * oracle-proven backward one. Tolerance is a post-filter on the
+    * carried match time in exact integer microseconds (both engines
+    * compare µs — the events column is µs-precision in both). The
+    * oracle runs DuckDB's native ASOF LEFT JOIN in both directions, so
+    * two independent formulations must agree row-for-row.
+    *
+    * Scale shape: two key-partitioned windows over the union frame and
+    * one event_id-keyed join of the two direction results — no range
+    * probe, no per-row subquery, same single-shuffle-per-direction plan
+    * as [[evAsofJoin]].
+    */
+  def evAsofTolerance(spark: SparkSession, dir: String,
+      tolSeconds: Long = asofToleranceS): DataFrame = {
+    val ev = events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    def viewsAgg(tsName: String, valName: String): DataFrame =
+      ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts")
+        .agg(max_by(col("value"), col("event_id")).as(valName))
+        .withColumn(tsName, col("ts"))
+    val backward = graft.Transforms.asofJoin(purchases,
+      viewsAgg("bview_ts", "bview_value"), Seq("user_id"),
+      leftTime = "ts", rightTime = "ts",
+      valueCols = Seq("bview_ts", "bview_value"))
+    val forward = graft.Transforms.asofJoin(
+      purchases.withColumn("tsn", -unix_micros(col("ts"))),
+      viewsAgg("fview_ts", "fview_value")
+        .withColumn("tsn", -unix_micros(col("ts"))).drop("ts"),
+      Seq("user_id"), leftTime = "tsn", rightTime = "tsn",
+      valueCols = Seq("fview_ts", "fview_value"))
+      .select("event_id", "fview_ts", "fview_value")
+    val tolUs = tolSeconds * 1000000L
+    val bDelta = unix_micros(col("ts")) - unix_micros(col("bview_ts"))
+    val fDelta = unix_micros(col("fview_ts")) - unix_micros(col("ts"))
+    backward.join(forward, "event_id")
+      .withColumn("b_ok", col("bview_ts").isNotNull && bDelta <= tolUs)
+      .withColumn("f_ok", col("fview_ts").isNotNull && fDelta <= tolUs)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+        when(col("b_ok"), col("bview_ts")).as("bview_ts"),
+        when(col("b_ok"), col("bview_value")).as("bview_value"),
+        when(col("f_ok"), col("fview_ts")).as("fview_ts"),
+        when(col("f_ok"), col("fview_value")).as("fview_value"),
+        when(col("b_ok") && (!col("f_ok") || bDelta <= fDelta),
+            lit("backward"))
+          .when(col("f_ok"), lit("forward"))
+          .otherwise(lit("none")).as("nearest"))
+      .orderBy("event_id")
+  }
+
   /** Cohort retention: users bucketed by first-seen week × weeks they were
     * active, distinct-user counts per cell — the activation/retention
     * matrix of a product-analytics warehouse.
