@@ -63,6 +63,7 @@ object SparkEntry {
     "w7_rolling_corr" -> (Relational.w7RollingCorr _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
+    "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
     "w1_cumulative_product" -> (Relational.w1CumulativeProduct _),
     "u1_union_by_name" -> (Relational.u1UnionByName _),
     "u2_melt" -> (Relational.u2Melt _),
@@ -212,6 +213,7 @@ object SparkEntry {
     "a9_rollup" -> (Aggregates.a9Rollup _),
     "a11_grouping_sets" -> (Aggregates.a11GroupingSets _),
     "o4_percentiles" -> (Aggregates.o4Percentiles _),
+    "o5_range_partition" -> ((s, d) => Aggregates.o5RangePartition(s, d)),
     "a8_approx_distinct" -> (Aggregates.a8ApproxDistinct _),
     "a10_approx_quantiles" -> (Aggregates.a10ApproxQuantiles _),
     // SQL front-end: a correlated-EXISTS (semi-join) query submitted as
@@ -2151,6 +2153,24 @@ object SparkEntry {
         |  CAST(max_by(cents, date) AS DOUBLE) / 100.0 AS close,
         |  CAST(sum(cents) AS BIGINT) / 100.0 AS week_rev
         |FROM wkd GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "w10_ffill_calendar" ->
+      // the same grid (nation × distinct order dates), the same running
+      // last_value IGNORE NULLS fill — leading gaps stay NULL in both
+      """WITH cal AS (SELECT DISTINCT o_orderdate AS date FROM orders),
+        |nat AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+        |daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |grid AS (SELECT nationkey, date FROM nat, cal),
+        |j AS (
+        |  SELECT g.nationkey, g.date, d.rev
+        |  FROM grid g LEFT JOIN daily d USING (nationkey, date))
+        |SELECT nationkey, date, rev,
+        |  last_value(rev IGNORE NULLS) OVER (PARTITION BY nationkey ORDER BY date
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_ffill,
+        |  rev IS NULL AS was_gap
+        |FROM j ORDER BY nationkey, date""".stripMargin,
     "w1_cumulative_product" ->
       // DuckDB's windowed product() merges partials in segment-tree order,
       // which drifts from a sequential scan in the last ulps. list_reduce
@@ -3446,6 +3466,23 @@ object SparkEntry {
         |  quantile_cont(l_quantity, 0.75) AS q75,
         |  count(*) AS n_rows
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Exact range-partition planning: the same bounded-grid histogram,
+    // CDF window, and integer partition/skew arithmetic as the engine.
+    "o5_range_partition" ->
+      """WITH h AS (
+        |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
+        |    count(*) AS n
+        |  FROM orders GROUP BY 1),
+        |c AS (
+        |  SELECT bucket, n,
+        |    sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(n) OVER () AS total
+        |  FROM h),
+        |p AS (SELECT *, ((cum - 1) * 8) // total AS pid FROM c)
+        |SELECT CAST(pid AS BIGINT) AS pid, min(bucket) AS lo_bucket,
+        |  max(bucket) AS hi_bucket, CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(CAST(sum(n) AS BIGINT) * 8 * 1000 // max(total) AS BIGINT) AS skew_pm
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // a8/a10 use the bound-as-output scheme (VERDICT r7 item 5): the Spark
     // side emits `abs(approx − exact)/exact ≤ 0.05` booleans with the exact
     // side computed in the same plan; the oracle computes the same exact

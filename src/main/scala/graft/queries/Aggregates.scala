@@ -75,6 +75,41 @@ object Aggregates {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag")
 
+  /** O5 (range-partition planning): exact equal-count range boundaries
+    * for `repartitionByRange` / the TeraSort shape — what Spark's
+    * RangePartitioner estimates by reservoir sampling, computed EXACTLY
+    * from a bounded-domain histogram: order values bucket to a $100
+    * integer grid (one partial-aggregated groupBy — the corpus pass),
+    * the CDF runs over the ≤ few-thousand-row bucket aggregate (the
+    * documented unpartitioned-window-over-a-bounded-aggregate pattern,
+    * NOT over rows), and each bucket lands in partition
+    * `((cum − 1)·k) div total`. Equal keys cannot split across range
+    * partitions, so a hot bucket swallows its ideal boundary — exactly
+    * what the per-partition `skew_pm` audit (per-mille of the ideal
+    * share; 1000 = perfectly balanced) measures; a planner reading it
+    * decides between finer buckets and a salted sort. All arithmetic is
+    * integer, so the oracle is bit-exact.
+    */
+  def o5RangePartition(spark: SparkSession, dir: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "need at least two range partitions")
+    val hist = Tables(spark, dir, "orders")
+      .select(Exact.units(col("o_totalprice"), 2).as("cents"))
+      .withColumn("bucket", expr("cents div 10000"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+    hist
+      .withColumn("cum", expr(
+        "sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+      .withColumn("total", expr("sum(n) OVER ()"))
+      .withColumn("pid", expr(s"((cum - 1) * CAST($k AS BIGINT)) div total"))
+      .groupBy("pid")
+      .agg(min("bucket").as("lo_bucket"), max("bucket").as("hi_bucket"),
+        sum("n").as("n_rows"), max("total").as("total"))
+      .select(col("pid"), col("lo_bucket"), col("hi_bucket"), col("n_rows"),
+        expr(s"n_rows * CAST($k AS BIGINT) * 1000 div total").as("skew_pm"))
+      .orderBy("pid")
+  }
+
   /** HyperLogLog++ approximate distinct — the sketch that replaces exact
     * count-distinct at 100 TB (mergeable partial sketches, no giant
     * shuffle of raw keys).

@@ -595,6 +595,41 @@ object Relational {
       .orderBy("nationkey", "wk")
   }
 
+  /** W10 (calendar conform + forward-fill): reindex each nation's daily
+    * revenue series onto the full trading calendar and forward-fill the
+    * gaps — pandas `reindex(calendar).ffill()`, the step the reference
+    * runs before any same-length panel math (behavioral anchor: the
+    * trading-calendar alignment family, `wrds_ingestion.py:883-893` /
+    * [[graft.Transforms.tradingCalendar]]). Leading gaps (before a
+    * nation's first observation) stay NULL — exactly pandas' ffill.
+    *
+    * Scale shape: the (nation × calendar) grid attaches the BOUNDED
+    * calendar as a collected array via an uncorrelated scalar subquery +
+    * explode (the simSqInt8 rule — a plain cross join folds to the
+    * banned CartesianProduct; the calendar is ~250 rows/year of bounded
+    * metadata, never corpus-sized); the fill is one nation-partitioned
+    * running `last(ignoreNulls)` window over the bounded daily grid.
+    * Both engines fill with the same window text, so values are
+    * bit-identical (the revenue is the exact integer-cent sum descaled
+    * once).
+    */
+  def w10FfillCalendar(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "orders").select(col("o_orderdate").as("date"))
+      .distinct().createOrReplaceTempView("graft_w10_cal")
+    val nations = Tables(spark, dir, "customer")
+      .select(col("c_nationkey").as("nationkey")).distinct()
+    val w = Window.partitionBy("nationkey").orderBy("date")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nations
+      .withColumn("dates", expr("(SELECT collect_list(date) FROM graft_w10_cal)"))
+      .select(col("nationkey"), explode(col("dates")).as("date"))
+      .join(nationDailyRevenue(spark, dir), Seq("nationkey", "date"), "left")
+      .withColumn("rev_ffill", last(col("rev"), ignoreNulls = true).over(w))
+      .withColumn("was_gap", col("rev").isNull)
+      .select("nationkey", "date", "rev", "rev_ffill", "was_gap")
+      .orderBy("nationkey", "date")
+  }
+
   def skewSaltedJoin(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_suppkey"), col("l_extendedprice"), col("l_discount"))

@@ -78,6 +78,28 @@ class AggregatesSpec extends SparkSpec {
       s"ordered funnel (${ns.last}) cannot exceed unordered presence ($unordered)")
   }
 
+  test("o5 range-partition plan: tiling, conservation, and balance") {
+    val rows = graft.queries.Aggregates.o5RangePartition(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    // partitions tile the bucket domain in order without overlap
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("hi_bucket") < b.getAs[Long]("lo_bucket"),
+          s"ranges must not overlap: $a / $b")
+      case _ =>
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("lo_bucket") <= r.getAs[Long]("hi_bucket"))
+      // equal-count planning on a smooth distribution stays near the
+      // ideal share; a hot key would show here
+      val skew = r.getAs[Long]("skew_pm")
+      assert(skew > 200 && skew < 3000, s"implausible balance: $r")
+    }
+    val total = rows.map(_.getAs[Long]("n_rows")).sum
+    assert(total == Tables(spark, dir, "orders").count(),
+      "every order lands in exactly one partition")
+  }
+
   test("salted broadcast join equals plain join") {
     val li = Tables(spark, dir, "lineitem").select("l_orderkey", "l_suppkey")
     val supp = Tables(spark, dir, "supplier").select("s_suppkey", "s_nationkey")

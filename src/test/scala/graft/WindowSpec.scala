@@ -175,6 +175,36 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("w10 calendar ffill: hand-recomputed fill, leading gaps stay null") {
+    val out = Relational.w10FfillCalendar(spark, dir).collect()
+    val nDates = Tables(spark, dir, "orders")
+      .select("o_orderdate").distinct().count()
+    val nNations = Tables(spark, dir, "customer")
+      .select("c_nationkey").distinct().count()
+    assert(out.length.toLong == nDates * nNations,
+      "the grid must be nations x calendar")
+    var sawLeadingGap = false
+    var sawFilledGap = false
+    out.groupBy(_.getAs[Number]("nationkey").longValue()).values.foreach { rows =>
+      val sorted = rows.sortBy(_.getAs[java.time.LocalDateTime]("date")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      var lastSeen: Option[Double] = None
+      sorted.foreach { r =>
+        val rev = if (r.isNullAt(r.fieldIndex("rev"))) None
+          else Some(r.getAs[Double]("rev"))
+        if (rev.isDefined) lastSeen = rev
+        val got = if (r.isNullAt(r.fieldIndex("rev_ffill"))) None
+          else Some(r.getAs[Double]("rev_ffill"))
+        assert(got == lastSeen, s"ffill drifted at $r")
+        assert(r.getAs[Boolean]("was_gap") == rev.isEmpty)
+        if (rev.isEmpty && lastSeen.isEmpty) sawLeadingGap = true
+        if (rev.isEmpty && lastSeen.isDefined) sawFilledGap = true
+      }
+    }
+    assert(sawFilledGap, "corpus must exercise actual fills")
+    assert(sawLeadingGap, "corpus must exercise the leading-gap NULL rule")
+  }
+
   test("w9 weekly OHLC: bars recomputed by hand from the daily series") {
     val daily = Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "customer"), col("o_custkey") === col("c_custkey"))
