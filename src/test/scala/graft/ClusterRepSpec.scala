@@ -45,6 +45,16 @@ class ClusterRepSpec extends SparkSpec {
       s"quality must beat id order: $b")
   }
 
+  test("argmax keeps its map-side partial phase, never a per-cluster window") {
+    // the A2/dd_paragraph skew rule made physical: a web-scale hot
+    // cluster must collapse map-side (partial_max of the (q, -id)
+    // struct), not funnel into one window hash partition
+    val plan = SparkEntry.queries("dd_cluster_representative")(
+      spark, "/root/testdata/sf0.001").queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      "cluster-representative argmax lost its map-side combine")
+  }
+
   test("natural corpus: one representative per cluster, q is the member max") {
     val dir = "/root/testdata/sf0.001"
     val reps = Text.ddClusterRepresentative(spark, dir).collect()
