@@ -3409,14 +3409,25 @@ object Text {
     */
   def pipelineAggRefresh(spark: SparkSession, dir: String): DataFrame = {
     val base = ensureAggMv(spark, dir)
-    val standing = spark.read.parquet(s"$base/aggs")
+    aggMvMerge(spark.read.parquet(s"$base/aggs"),
+        aggMvPartials(docs(spark, dir)
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)))
+      .orderBy("lang", "source")
+  }
+
+  /** The partial-aggregate MERGE itself, factored over any (standing,
+    * delta) pair of [[aggMvPartials]]-shaped frames — one definition for
+    * the batch refresh and the streaming twin's merge (counts add, XOR
+    * folds compose, a side with no rows contributes the identity).
+    */
+  private[graft] def aggMvMerge(standing: DataFrame,
+      delta: DataFrame): DataFrame =
+    standing
       .select(col("lang"), col("source"), col("n_docs").as("b_docs"),
         col("n_tokens").as("b_tokens"), col("text_xor").as("b_xor"))
-    val delta = aggMvPartials(docs(spark, dir)
-        .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
-      .select(col("lang"), col("source"), col("n_docs").as("d_docs"),
-        col("n_tokens").as("d_tokens"), col("text_xor").as("d_xor"))
-    standing.join(delta, Seq("lang", "source"), "full_outer")
+      .join(delta.select(col("lang"), col("source"),
+        col("n_docs").as("d_docs"), col("n_tokens").as("d_tokens"),
+        col("text_xor").as("d_xor")), Seq("lang", "source"), "full_outer")
       .select(col("lang"), col("source"),
         (coalesce(col("b_docs"), lit(0L)) + coalesce(col("d_docs"), lit(0L)))
           .as("n_docs"),
@@ -3425,6 +3436,4 @@ object Text {
         expr("coalesce(b_xor, 0L) ^ coalesce(d_xor, 0L)").as("text_xor"),
         coalesce(col("b_docs"), lit(0L)).as("n_base_docs"),
         coalesce(col("d_docs"), lit(0L)).as("n_delta_docs"))
-      .orderBy("lang", "source")
-  }
 }

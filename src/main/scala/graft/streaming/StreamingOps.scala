@@ -467,6 +467,20 @@ object StreamingOps {
       (col("score") > 0.5d).as("pass"))
   }
 
+  /** Streaming half of [[graft.queries.Text.pipelineAggRefresh]]: the
+    * delta partials as a STREAMING AGGREGATION over the landing
+    * documents — the same [[graft.queries.Text.aggMvPartials]]
+    * projection+groupBy text (counts, token sums, the 64-bit md5 XOR
+    * fold; every aggregate is associative/commutative, which is what
+    * makes it both shuffle-mergeable AND streaming-state-mergeable).
+    * Run with `outputMode("complete")`, the sink holds exactly the
+    * delta partial table; [[graft.queries.Text.aggMvMerge]] then folds
+    * it into the standing aggregates — the spec pins streamed-partials
+    * + merge ≡ the batch refresh row for row.
+    */
+  def aggDeltaPartials(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.aggMvPartials(docsStream)
+
   /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
     * landing documents against the STANDING target/raw n-gram
     * distributions — filter-at-ingest, the deployment shape DSIR's

@@ -45,6 +45,30 @@ class AggRefreshSpec extends SparkSpec {
       s"the refresh plan must scan the corpus exactly once, saw $corpusScans")
   }
 
+  test("streamed delta partials merge to the exact batch refresh") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    // land ONLY the delta carve, as a streaming source
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-aggmv-stream").toString
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .write.mode("overwrite").parquet(s"$streamDir/delta")
+    val q = StreamingOps.aggDeltaPartials(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"))
+      .writeStream.format("memory").queryName("aggmv_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureAggMv(spark, dir)
+    val merged = Text.aggMvMerge(spark.read.parquet(s"$base/aggs"),
+        spark.table("aggmv_stream"))
+      .orderBy("lang", "source").collect()
+    val batch = Text.pipelineAggRefresh(spark, dir).collect()
+    assert(merged.length == batch.length && merged.nonEmpty)
+    assert(merged.toSeq == batch.toSeq,
+      "streamed partials + merge must equal the batch refresh bit for bit")
+  }
+
   test("the standing table is served, not rebuilt per refresh") {
     val base = Text.ensureAggMv(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/aggs/_SUCCESS")
