@@ -258,7 +258,7 @@ object Bench {
         // cut (the r8/r9 "truncated:true with all queries run" reads).
         // Session-start skips and mid-run cuts still set the flag.
         if (overBudget && !sessionDegraded) truncated = true
-        // Progressive in-session degrade: past 40% of the budget the
+        // Progressive in-session degrade: past 35% of the budget the
         // remaining session-1 queries cap at TWO runs — run 1 absorbs the
         // cold JIT/codegen cost, so run 2 is already the warm min within
         // the convergence stop's own 10% band. This is NOT the flat

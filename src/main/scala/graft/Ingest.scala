@@ -310,8 +310,16 @@ object Ingest {
     * whose statpers falls inside the mapping validity window, rename to
     * friendly names, conform, drop rows without (date, asset_id), dedup
     * first-non-null per (date, asset_id).
+    *
+    * `orderCol`: optional name of a column already on `recdsum` giving the
+    * deterministic dedup order. Production ingestion omits it (the
+    * reference's frame order is meaningless after a shuffle, so the
+    * default derives a content hash); the DuckDB-oracle'd
+    * `j6_mapping_validity` query passes an explicit unique sequence the
+    * oracle can mirror (xxhash64 has no DuckDB analog).
     */
-  def buildConsensus(recdsum: DataFrame, idxref: DataFrame): DataFrame = {
+  def buildConsensus(recdsum: DataFrame, idxref: DataFrame,
+      orderCol: Option[String] = None): DataFrame = {
     val renames = Seq("statpers" -> "date", "meanrec" -> "mean_rating",
       "medrec" -> "median_rating", "stdev" -> "stdev_rating",
       "numrec" -> "num_analysts", "buypct" -> "buy_percent",
@@ -332,13 +340,17 @@ object Ingest {
       if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
     }
     val present = renamed.columns.toSet
+    val keep = expected ++ orderCol.filter(present.contains)
     val conformed = expected.foldLeft(renamed)((d, c) =>
       if (present.contains(c)) d else d.withColumn(c, lit(null)))
-      .select(expected.map(col): _*)
+      .select(keep.map(col): _*)
       .na.drop(Seq("date", "asset_id"))
-    Transforms.dedupeConsensus(
-      conformed.withColumn("ord",
-        xxhash64(struct(conformed.columns.toIndexedSeq.map(col): _*))), "ord")
+    val (ordName, withOrd) = orderCol.filter(present.contains) match {
+      case Some(c) => (c, conformed)
+      case None => ("ord", conformed.withColumn("ord",
+        xxhash64(struct(expected.toIndexedSeq.map(col): _*))))
+    }
+    Transforms.dedupeConsensus(withOrd, ordName)
       .select(expected.map(col): _*)
   }
 
@@ -347,8 +359,12 @@ object Ingest {
     * the first present column for each canonical field (analys/amaskcd,
     * ireccd/rec, ereccd/actioncode, itext/recdef, statpers/anndats),
     * drop unmapped rows, dedup per (date, asset_id, analyst_id).
+    *
+    * `orderCol`: optional pre-existing deterministic dedup-order column on
+    * `detail` (see [[buildConsensus]] — same contract, same reason).
     */
-  def buildRatingsHistory(detail: DataFrame, idxref: DataFrame): DataFrame = {
+  def buildRatingsHistory(detail: DataFrame, idxref: DataFrame,
+      orderCol: Option[String] = None): DataFrame = {
     val cols = detail.columns.toSet
     val mapped = detail
       .join(idxref.select("ticker", "asset_id", "start_date", "end_date"),
@@ -364,7 +380,7 @@ object Ingest {
       cands.find(cols.contains).map(col).getOrElse(lit(null))
     val dateCol = Seq("anndats_act", "anndats", "statpers", "actdats", "revdats")
       .find(cols.contains).map(col).getOrElse(lit(null))
-    val canonical = mapped.select(
+    val canonicalCols = Seq(
       dateCol.as("date"),
       col("asset_id"),
       col("ticker"),
@@ -373,10 +389,16 @@ object Ingest {
       firstPresent(Seq("ereccd", "actioncode")).cast("string").as("action_code"),
       firstPresent(Seq("itext", "recdef")).cast("string").as("rating_text"),
       firstPresent(Seq("statpers", "anndats")).cast("timestamp").as("statistic_date"))
+    val ordOpt = orderCol.filter(cols.contains)
+    val canonical = mapped
+      .select(canonicalCols ++ ordOpt.map(col): _*)
       .na.drop(Seq("date", "asset_id"))
-    Transforms.dedupeRatingsHistory(
-      canonical.withColumn("ord",
-        xxhash64(struct(canonical.columns.toIndexedSeq.map(col): _*))), "ord")
+    val (ordName, withOrd) = ordOpt match {
+      case Some(c) => (c, canonical)
+      case None => ("ord", canonical.withColumn("ord",
+        xxhash64(struct(canonical.columns.toIndexedSeq.map(col): _*))))
+    }
+    Transforms.dedupeRatingsHistory(withOrd, ordName)
       .select("date", "asset_id", "analyst_id", "ticker", "rating",
         "action_code", "rating_text", "statistic_date")
   }

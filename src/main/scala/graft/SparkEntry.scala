@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.queries.{Aggregates, Core, Events, Relational, Similarity, Text}
+import graft.queries.{Aggregates, Core, Events, Ingestion, Relational, Similarity, Text}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -55,6 +55,15 @@ object SparkEntry {
     "j9_coalesce_preference" -> (Relational.j9CoalescePreference _),
     "j11_range_expansion" -> (Relational.j11RangeExpansion _),
     "a2_argmax_dedup" -> (Relational.a2ArgmaxDedup _),
+    // ingestion-interior §2 ops, each driving the production transform
+    // (Transforms.* / Ingest.build*) under an oracle-mirrorable dedup order
+    "a3_consensus_dedup" -> (Ingestion.a3ConsensusDedup _),
+    "a4_ratings_dedup" -> (Ingestion.a4RatingsDedup _),
+    "a5_dividends_agg" -> (Ingestion.a5DividendsAgg _),
+    "j4_ipo_enrichment" -> (Ingestion.j4IpoEnrichment _),
+    "j6_mapping_validity" -> (Ingestion.j6MappingValidity _),
+    "j7_detail_mapping" -> (Ingestion.j7DetailMapping _),
+    "j10_factor_join" -> (Ingestion.j10FactorJoin _),
     "w3_rownumber_dedup" -> (Relational.w3RownumberDedup _),
     "w2_pct_change" -> (Relational.w2PctChange _),
     "w4_ewma" -> (Relational.w4Ewma _),
@@ -177,6 +186,9 @@ object SparkEntry {
     // pruned inverted lists + the persisted code table (results — and
     // the oracle — identical; the sim_ivf_ann_indexed treatment)
     "sim_ivfpq_indexed" -> ((s, d) => Similarity.simIvfPqIndexed(s, d)),
+    // FAISS's by_residual=true default: codes quantize x − c(x), queries
+    // build per-probed-cell residual distance tables
+    "sim_ivfpq_residual" -> ((s, d) => Similarity.simIvfPqResidual(s, d)),
     // standing-index maintenance: a frozen quantizer admits a delta batch
     // with no retrain; per-cell base/new/total occupancy audit
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
@@ -957,6 +969,100 @@ object SparkEntry {
        |  FROM rr2)
        |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfPqResidual]] —
+    * FAISS's default `by_residual=true` IVFPQ: the kmeansCtes coarse
+    * chain, a residual projection (`x − c(x)` per assigned cell, the
+    * same exact double subtraction the Spark side projects), the
+    * pqAdcCtes training/encode chains RE-GENERATED over the residual
+    * CTE (`rpq*` — one slicedL2 text, so residual training cannot drift
+    * from raw training), per-(query, probed-cell) residual distance
+    * tables, the s-ordered ADC fold keyed on (s, code, cell), and the
+    * verbatim exact-rerank tail.
+    */
+  private def ivfPqResidualSql: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val kb = Similarity.pqCodebookK
+    val rounds = Similarity.pqTrainRounds
+    val chains = (0 until m).map { s =>
+      val lo = s * sub
+      val seed =
+        s"""rpq${s}_c0 AS (
+           |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> rvec[i]) AS centroid
+           |  FROM resid WHERE vec_id < $kb)""".stripMargin
+      val steps = (1 to rounds).map { r =>
+        s"""rpq${s}_a$r AS (
+           |  SELECT vec_id, rvec, cid FROM (
+           |    SELECT e.vec_id, e.rvec, c.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+           |        ${pqSlicedL2("e.rvec", "c.centroid", lo.toString)} ASC,
+           |        c.cid ASC) AS rn
+           |    FROM resid e, rpq${s}_c${r - 1} c)
+           |  WHERE rn = 1),
+           |rpq${s}_c$r AS (
+           |  SELECT cid,
+           |    list_transform(range(1, ${sub + 1}), d ->
+           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> mm[d + $lo])), (x, y) -> x + y) / n) AS centroid
+           |  FROM (SELECT cid, count(*) AS n, list(rvec ORDER BY vec_id) AS members
+           |        FROM rpq${s}_a$r GROUP BY cid))""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+    val rbooks = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, centroid FROM rpq${s}_c$rounds")
+      .mkString(" UNION ALL ")
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |resid AS (
+       |  SELECT rk.vec_id, rk.c_label AS cell,
+       |    list_transform(range(1, 65), i -> CAST(rk.embedding[i] AS DOUBLE) - cn.centroid[i]) AS rvec
+       |  FROM rk JOIN cn ON rk.c_label = cn.c_label
+       |  WHERE rk.crnk = 1),
+       |${chains.mkString(",\n")},
+       |rbooks AS ($rbooks),
+       |rcodes AS (
+       |  SELECT vec_id, cell, s, cid AS code FROM (
+       |    SELECT e.vec_id, e.cell, b.s, b.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("e.rvec", "b.centroid", s"b.s * $sub")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM resid e, rbooks b)
+       |  WHERE rn = 1),
+       |qres AS (
+       |  SELECT rk.vec_id AS qid, rk.c_label AS cell,
+       |    list_transform(range(1, 65), i -> CAST(rk.embedding[i] AS DOUBLE) - cn.centroid[i]) AS qrvec
+       |  FROM rk JOIN cn ON rk.c_label = cn.c_label
+       |  WHERE rk.vec_id < 5 AND rk.crnk <= 2),
+       |rqdt AS (
+       |  SELECT q.qid, q.cell, b.s, b.cid,
+       |    ${pqSlicedL2("q.qrvec", "b.centroid", s"b.s * $sub")} AS qdist
+       |  FROM qres q, rbooks b),
+       |radist AS (
+       |  SELECT qd.qid, c.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qd.qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM rcodes c JOIN rqdt qd
+       |    ON c.s = qd.s AND c.code = qd.cid AND c.cell = qd.cell AND c.vec_id <> qd.qid
+       |  GROUP BY 1, 2),
+       |rshort AS (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |    FROM radist) WHERE rnk <= ${Similarity.pqShortlist}),
+       |rr2 AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+       |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e2.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e2.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+       |  FROM rshort s
+       |  JOIN embeddings e2 ON e2.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |ranked3 AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rr2)
+       |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPqUpsert]]: the
     * kmeans coarse chain assigns cells to corpus and delta (the
@@ -2002,6 +2108,167 @@ object SparkEntry {
       """SELECT o_custkey AS custkey, arg_max(o_orderpriority, o_orderkey) AS latest_priority,
         |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date, count(*) AS n_orders
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    // A3-A5/J4/J6/J7/J10 mirror the production ingestion transforms; the
+    // null-masked arg_min is DuckDB's exact analog of Spark min_by over a
+    // when(isNotNull, seq) ordering key (both ignore NULL ordering values,
+    // both return NULL when every candidate is null).
+    "a3_consensus_dedup" ->
+      s"""WITH est AS (
+        |  SELECT l_shipdate AS date, l_orderkey AS asset_id,
+        |    ${Ingestion.liSeqDuck} AS seq,
+        |    CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END AS est_eps,
+        |    CASE WHEN l_discount > 0.02 THEN l_extendedprice END AS est_rev
+        |  FROM lineitem)
+        |SELECT date, asset_id,
+        |  arg_min(est_eps, CASE WHEN est_eps IS NOT NULL THEN seq END) AS est_eps,
+        |  arg_min(est_rev, CASE WHEN est_rev IS NOT NULL THEN seq END) AS est_rev
+        |FROM est GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "a4_ratings_dedup" ->
+      s"""WITH r AS (
+        |  SELECT l_shipdate AS date, l_orderkey AS asset_id, l_suppkey AS analyst_id,
+        |    ${Ingestion.liSeqDuck} AS seq,
+        |    CASE WHEN l_tax > 0.03 THEN l_quantity END AS rating,
+        |    CASE WHEN l_returnflag <> 'N' THEN l_linestatus END AS action
+        |  FROM lineitem)
+        |SELECT date, asset_id, analyst_id,
+        |  arg_min(rating, CASE WHEN rating IS NOT NULL THEN seq END) AS rating,
+        |  arg_min(action, CASE WHEN action IS NOT NULL THEN seq END) AS action
+        |FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "a5_dividends_agg" ->
+      s"""WITH px AS (
+        |  SELECT l_orderkey AS asset_id, l_shipdate AS date,
+        |    min(l_extendedprice) AS close_daily
+        |  FROM lineitem WHERE l_quantity > 25 GROUP BY 1, 2),
+        |dv AS (
+        |  SELECT l_orderkey AS asset_id, l_shipdate AS date,
+        |    ${Ingestion.liSeqDuck} AS seq,
+        |    CASE WHEN l_tax > 0.04 THEN l_quantity END AS divamt,
+        |    CASE WHEN l_returnflag = 'R' THEN CAST(l_linenumber AS DOUBLE) END AS distcd,
+        |    CASE WHEN l_linestatus = 'F' THEN l_discount END AS facpr,
+        |    CASE WHEN l_linenumber = 1 THEN l_extendedprice END AS close
+        |  FROM lineitem),
+        |wc AS (
+        |  SELECT d.asset_id, d.date, d.seq, d.divamt, d.distcd, d.facpr,
+        |    COALESCE(p.close_daily, d.close) AS close
+        |  FROM dv d LEFT JOIN px p ON d.asset_id = p.asset_id AND d.date = p.date),
+        |ag AS (
+        |  SELECT asset_id, date, COALESCE(sum(divamt), 0.0) AS divamt,
+        |    arg_min(distcd, CASE WHEN distcd IS NOT NULL THEN seq END) AS distcd,
+        |    arg_min(facpr, CASE WHEN facpr IS NOT NULL THEN seq END) AS facpr,
+        |    arg_min(close, CASE WHEN close IS NOT NULL THEN seq END) AS close
+        |  FROM wc GROUP BY 1, 2)
+        |SELECT asset_id, date, divamt, distcd, facpr, close,
+        |  divamt / close AS dividend_yield
+        |FROM ag ORDER BY asset_id, date""".stripMargin,
+    "j4_ipo_enrichment" ->
+      """WITH names AS (
+        |  SELECT o_custkey AS asset_id,
+        |    CASE WHEN o_orderstatus <> 'F' THEN o_orderpriority END AS ticker,
+        |    o_orderdate AS first_date, o_orderdate AS last_date
+        |  FROM orders),
+        |ipo AS (
+        |  SELECT o_custkey AS asset_id, min(o_orderdate) AS ipodate
+        |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1),
+        |enr AS (
+        |  SELECT n.asset_id, n.ticker, n.first_date, n.last_date, i.ipodate
+        |  FROM names n LEFT JOIN ipo i ON n.asset_id = i.asset_id),
+        |tick AS (
+        |  SELECT asset_id, ticker FROM (
+        |    SELECT asset_id, ticker,
+        |      row_number() OVER (PARTITION BY asset_id
+        |        ORDER BY last_date DESC NULLS FIRST, ticker ASC) AS rn
+        |    FROM enr WHERE ticker IS NOT NULL) t WHERE rn = 1),
+        |agg AS (
+        |  SELECT asset_id, min(first_date) AS first_date,
+        |    max(last_date) AS last_date, min(ipodate) AS ipodate
+        |  FROM enr GROUP BY 1)
+        |SELECT a.asset_id, t.ticker, a.first_date, a.last_date, a.ipodate
+        |FROM agg a LEFT JOIN tick t ON a.asset_id = t.asset_id
+        |ORDER BY a.asset_id""".stripMargin,
+    "j6_mapping_validity" ->
+      s"""WITH fact AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS ticker, l_shipdate AS statpers,
+        |    CASE WHEN l_linenumber % 2 = 1 THEN l_quantity END AS meanrec,
+        |    CASE WHEN l_tax > 0.03 THEN l_quantity + 1.0 END AS medrec,
+        |    CASE WHEN l_discount > 0.05 THEN l_extendedprice END AS stdev,
+        |    CAST(l_linenumber AS BIGINT) AS numrec,
+        |    l_quantity * 2.0 AS buypct,
+        |    CASE WHEN l_returnflag = 'A' THEN l_quantity * 3.0 END AS holdpct,
+        |    CASE WHEN l_returnflag = 'R' THEN l_quantity * 4.0 END AS sellpct,
+        |    CASE WHEN l_linestatus = 'O' THEN CAST(l_linenumber AS DOUBLE) END AS numup,
+        |    CASE WHEN l_linestatus = 'F' THEN CAST(l_linenumber AS DOUBLE) END AS numdown,
+        |    l_suppkey % 2 AS usfirm,
+        |    CASE WHEN l_returnflag = 'N' THEN 'OF' || CAST(l_partkey AS VARCHAR) END AS oftic,
+        |    lpad(CAST(l_partkey AS VARCHAR), 8, '0') AS cusip,
+        |    'CO' || CAST(l_suppkey AS VARCHAR) AS cname,
+        |    ${Ingestion.liSeqDuck} AS seq
+        |  FROM lineitem),
+        |map AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS ticker, min(l_partkey) AS asset_id,
+        |    min(l_shipdate) AS start_date, max(l_shipdate) AS end_date
+        |  FROM lineitem GROUP BY l_suppkey, l_linestatus),
+        |j AS (
+        |  SELECT f.*, m.asset_id
+        |  FROM fact f LEFT JOIN map m ON f.ticker = m.ticker
+        |  WHERE f.statpers >= m.start_date AND f.statpers <= m.end_date)
+        |SELECT statpers AS date, asset_id,
+        |  arg_min(ticker, CASE WHEN ticker IS NOT NULL THEN seq END) AS ticker,
+        |  arg_min(meanrec, CASE WHEN meanrec IS NOT NULL THEN seq END) AS mean_rating,
+        |  arg_min(medrec, CASE WHEN medrec IS NOT NULL THEN seq END) AS median_rating,
+        |  arg_min(stdev, CASE WHEN stdev IS NOT NULL THEN seq END) AS stdev_rating,
+        |  arg_min(numrec, CASE WHEN numrec IS NOT NULL THEN seq END) AS num_analysts,
+        |  arg_min(buypct, CASE WHEN buypct IS NOT NULL THEN seq END) AS buy_percent,
+        |  arg_min(holdpct, CASE WHEN holdpct IS NOT NULL THEN seq END) AS hold_percent,
+        |  arg_min(sellpct, CASE WHEN sellpct IS NOT NULL THEN seq END) AS sell_percent,
+        |  arg_min(numup, CASE WHEN numup IS NOT NULL THEN seq END) AS num_up,
+        |  arg_min(numdown, CASE WHEN numdown IS NOT NULL THEN seq END) AS num_down,
+        |  arg_min(usfirm, CASE WHEN usfirm IS NOT NULL THEN seq END) AS usfirm,
+        |  arg_min(oftic, CASE WHEN oftic IS NOT NULL THEN seq END) AS ibes_official_ticker,
+        |  arg_min(cusip, CASE WHEN cusip IS NOT NULL THEN seq END) AS ibes_cusip,
+        |  arg_min(cname, CASE WHEN cname IS NOT NULL THEN seq END) AS company_name
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "j7_detail_mapping" ->
+      s"""WITH det AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS ticker, l_shipdate AS anndats,
+        |    l_partkey AS analys,
+        |    CASE WHEN l_linenumber % 2 = 0 THEN l_quantity END AS rec,
+        |    CASE WHEN l_returnflag = 'R' THEN l_linestatus END AS actioncode,
+        |    l_linestatus AS recdef,
+        |    ${Ingestion.liSeqDuck} AS seq
+        |  FROM lineitem),
+        |map AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS ticker, min(l_partkey) AS asset_id,
+        |    min(l_shipdate) AS start_date, max(l_shipdate) AS end_date
+        |  FROM lineitem GROUP BY l_suppkey, l_linestatus),
+        |j AS (
+        |  SELECT d.anndats AS date, m.asset_id, d.ticker,
+        |    CAST(d.analys AS BIGINT) AS analyst_id,
+        |    CAST(d.rec AS DOUBLE) AS rating,
+        |    d.actioncode AS action_code, d.recdef AS rating_text,
+        |    CAST(d.anndats AS TIMESTAMP) AS statistic_date, d.seq
+        |  FROM det d LEFT JOIN map m ON d.ticker = m.ticker
+        |  WHERE d.anndats >= m.start_date AND d.anndats <= m.end_date)
+        |SELECT date, asset_id, analyst_id,
+        |  arg_min(ticker, CASE WHEN ticker IS NOT NULL THEN seq END) AS ticker,
+        |  arg_min(rating, CASE WHEN rating IS NOT NULL THEN seq END) AS rating,
+        |  arg_min(action_code, CASE WHEN action_code IS NOT NULL THEN seq END) AS action_code,
+        |  arg_min(rating_text, CASE WHEN rating_text IS NOT NULL THEN seq END) AS rating_text,
+        |  arg_min(statistic_date, CASE WHEN statistic_date IS NOT NULL THEN seq END) AS statistic_date
+        |FROM j GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "j10_factor_join" ->
+      """WITH f AS (
+        |  SELECT o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS mkt,
+        |    count(*) AS n_orders
+        |  FROM orders
+        |  WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31 23:59:59'
+        |  GROUP BY 1),
+        |m AS (
+        |  SELECT l_shipdate AS date, sum(l_quantity) AS umd
+        |  FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1)
+        |SELECT f.date, f.mkt, f.n_orders, m.umd
+        |FROM f LEFT JOIN m ON f.date = m.date
+        |ORDER BY f.date""".stripMargin,
     "w3_rownumber_dedup" ->
       """SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_totalprice
         |FROM orders
@@ -3361,6 +3628,7 @@ object SparkEntry {
     "sim_pq_rerank" -> pqRerankSql,
     "sim_ivfpq" -> ivfPqSql,
     "sim_ivfpq_indexed" -> ivfPqSql,
+    "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
@@ -3469,7 +3737,7 @@ object SparkEntry {
     // Exact range-partition planning: the same bounded-grid histogram,
     // CDF window, and integer partition/skew arithmetic as the engine.
     "o5_range_partition" ->
-      """WITH h AS (
+      s"""WITH h AS (
         |  SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 10000 AS bucket,
         |    count(*) AS n
         |  FROM orders GROUP BY 1),
@@ -3478,10 +3746,10 @@ object SparkEntry {
         |    sum(n) OVER (ORDER BY bucket ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
         |    sum(n) OVER () AS total
         |  FROM h),
-        |p AS (SELECT *, ((cum - 1) * 8) // total AS pid FROM c)
+        |p AS (SELECT *, ((cum - 1) * ${Aggregates.rangePartitionK}) // total AS pid FROM c)
         |SELECT CAST(pid AS BIGINT) AS pid, min(bucket) AS lo_bucket,
         |  max(bucket) AS hi_bucket, CAST(sum(n) AS BIGINT) AS n_rows,
-        |  CAST(CAST(sum(n) AS BIGINT) * 8 * 1000 // max(total) AS BIGINT) AS skew_pm
+        |  CAST(CAST(sum(n) AS BIGINT) * ${Aggregates.rangePartitionK} * 1000 // max(total) AS BIGINT) AS skew_pm
         |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     // a8/a10 use the bound-as-output scheme (VERDICT r7 item 5): the Spark
     // side emits `abs(approx − exact)/exact ≤ 0.05` booleans with the exact

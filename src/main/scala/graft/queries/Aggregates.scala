@@ -12,6 +12,12 @@ import graft.{Exact, Tables}
   */
 object Aggregates {
 
+  /** Partition count o5_range_partition plans for — interpolated into the
+    * oracle SQL (the kmeansCtes mirrored-literal discipline) so engine and
+    * oracle can never diverge on k.
+    */
+  private[graft] val rangePartitionK = 8
+
   /** Long→wide pivot (the inverse of U2 melt): revenue per orderstatus
     * pivoted into columns per priority class. The pivot values are
     * declared explicitly so the plan is a single pass (no extra job to
@@ -91,7 +97,7 @@ object Aggregates {
     * integer, so the oracle is bit-exact.
     */
   def o5RangePartition(spark: SparkSession, dir: String,
-      k: Int = 8): DataFrame = {
+      k: Int = rangePartitionK): DataFrame = {
     require(k >= 2, "need at least two range partitions")
     val hist = Tables(spark, dir, "orders")
       .select(Exact.units(col("o_totalprice"), 2).as("cents"))

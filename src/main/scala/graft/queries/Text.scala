@@ -3121,7 +3121,6 @@ object Text {
     */
   def txDsirSelect(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val b = dsirBuckets
     // both the histogram pass and the scoring pass read this projection —
     // scoped-cache so the md5 gram hashing runs once per execution
     val feats = graft.Caches.scoped("tx_dsir.feat",

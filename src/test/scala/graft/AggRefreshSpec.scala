@@ -52,7 +52,7 @@ class AggRefreshSpec extends SparkSpec {
     val streamDir = java.nio.file.Files
       .createTempDirectory("graft-aggmv-stream").toString
     Tables(spark, dir, "documents")
-      .filter(col("doc_id") % 5 === 0)
+      .filter(pmod(col("doc_id"), lit(Text.incrementalDeltaMod)) === 0)
       .write.mode("overwrite").parquet(s"$streamDir/delta")
     val q = StreamingOps.aggDeltaPartials(
         StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"))
