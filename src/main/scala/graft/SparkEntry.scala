@@ -171,6 +171,9 @@ object SparkEntry {
     "sim_ivf_ann_indexed" -> ((s, d) => Similarity.simIvfAnnIndexed(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_kmeans_pp" -> ((s, d) => Similarity.simKmeansPp(s, d)),
+    // k-means‖ (Bahmani et al.): batch oversampling passes + weighted
+    // driver refine — R+2 corpus passes total instead of Gonzalez's k−1
+    "sim_kmeans_parallel" -> ((s, d) => Similarity.simKmeansParallel(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
@@ -1210,6 +1213,94 @@ object SparkEntry {
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY vec_id)), (x, y) -> x + y) AS cell_ssd
        |  FROM asg GROUP BY 1)
        |SELECT s.rank, s.vec_id AS seed_id, s.spread, c.n_members, c.cell_ssd
+       |FROM seeds s JOIN cells c USING (rank) ORDER BY s.rank""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKmeansParallel]] —
+    * deterministic k-means‖: the anchor + `kparRounds` unrolled
+    * oversampling batches (top-ℓ by min-distance DESC, the NOT-IN guard
+    * matching the Spark batch filter), the nearest-candidate weight
+    * pass, the weighted farthest-first refine unrolled k−1 steps over
+    * the bounded candidate set, and the kmeansPpSql audit tail plus the
+    * cell radius. Every distance is the shared l2 fold text.
+    */
+  private def kmeansParallelSql: String = {
+    val k = Similarity.kppK
+    val ell = Similarity.kparEll
+    val rounds = Similarity.kparRounds
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      s"""s$r AS (
+         |  SELECT vec_id, embedding FROM (
+         |    SELECT vec_id, embedding,
+         |      row_number() OVER (ORDER BY md DESC, vec_id ASC) AS rn
+         |    FROM d${r - 1})
+         |  WHERE rn <= $ell AND vec_id NOT IN (SELECT vec_id FROM c${r - 1})),
+         |c$r AS MATERIALIZED (SELECT vec_id, embedding FROM c${r - 1}
+         |  UNION ALL SELECT vec_id, embedding FROM s$r),
+         |d$r AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding, min(${l2("e.embedding", "c.embedding")}) AS md
+         |  FROM e, c$r c GROUP BY e.vec_id, e.embedding)""".stripMargin
+    }.mkString(",\n")
+    val refineCtes = (2 to k).map { i =>
+      s"""st$i AS (
+         |  SELECT r.vec_id, min(${l2("r.embedding", "c.embedding")}) AS mind
+         |  FROM wt r, chs${i - 1} c
+         |  WHERE r.vec_id NOT IN (SELECT vec_id FROM chs${i - 1})
+         |  GROUP BY r.vec_id),
+         |ch$i AS MATERIALIZED (
+         |  SELECT $i AS rank, w.vec_id, w.embedding, w.w FROM (
+         |    SELECT w.vec_id, w.embedding, w.w,
+         |      row_number() OVER (ORDER BY w.w * s.mind DESC, w.vec_id ASC) AS rn
+         |    FROM st$i s JOIN wt w ON w.vec_id = s.vec_id)
+         |  w WHERE rn = 1),
+         |chs$i AS MATERIALIZED (SELECT vec_id, embedding FROM chs${i - 1}
+         |  UNION ALL SELECT vec_id, embedding FROM ch$i)""".stripMargin
+    }.mkString(",\n")
+    val seedUnion = (1 to k)
+      .map(i => s"SELECT rank, vec_id, embedding, w FROM ch$i")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings),
+       |c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id ASC LIMIT 1),
+       |d0 AS (SELECT e.vec_id, e.embedding, ${l2("e.embedding", "c.embedding")} AS md
+       |  FROM e, c0 c),
+       |$roundCtes,
+       |asgc AS (
+       |  SELECT pid, cid FROM (
+       |    SELECT e.vec_id AS pid, c.vec_id AS cid,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${l2("e.embedding", "c.embedding")} ASC, c.vec_id ASC) AS rn
+       |    FROM e, c$rounds c)
+       |  WHERE rn = 1),
+       |wt AS MATERIALIZED (
+       |  SELECT c.vec_id, c.embedding, COALESCE(n.w, CAST(0 AS BIGINT)) AS w
+       |  FROM c$rounds c LEFT JOIN
+       |    (SELECT cid, count(*) AS w FROM asgc GROUP BY 1) n
+       |    ON c.vec_id = n.cid),
+       |ch1 AS MATERIALIZED (
+       |  SELECT 1 AS rank, vec_id, embedding, w FROM (
+       |    SELECT vec_id, embedding, w,
+       |      row_number() OVER (ORDER BY w DESC, vec_id ASC) AS rn FROM wt)
+       |  WHERE rn = 1),
+       |chs1 AS MATERIALIZED (SELECT vec_id, embedding FROM ch1),
+       |$refineCtes,
+       |seeds AS ($seedUnion),
+       |asg AS (
+       |  SELECT vec_id, rank, d FROM (
+       |    SELECT e.vec_id, s.rank, ${l2("e.embedding", "s.embedding")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+       |        ${l2("e.embedding", "s.embedding")} ASC, s.rank ASC) AS rn
+       |    FROM e, seeds s)
+       |  WHERE rn = 1),
+       |cells AS (
+       |  SELECT rank, count(*) AS n_members,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY vec_id)), (x, y) -> x + y) AS cell_ssd,
+       |    max(d) AS cell_radius
+       |  FROM asg GROUP BY 1)
+       |SELECT s.rank, s.vec_id AS seed_id, s.w AS weight, c.n_members,
+       |  c.cell_ssd, c.cell_radius
        |FROM seeds s JOIN cells c USING (rank) ORDER BY s.rank""".stripMargin
   }
 
@@ -3641,6 +3732,7 @@ object SparkEntry {
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,
     "sim_kmeans_pp" -> kmeansPpSql,
+    "sim_kmeans_parallel" -> kmeansParallelSql,
     "sim_ivf_retrain" -> ivfRetrainSql,
     "sim_ivf_ann_retrained" -> ivfAnnRetrainedSql,
     // the indexed form runs the identical algorithm over the materialized

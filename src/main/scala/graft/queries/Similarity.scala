@@ -926,6 +926,119 @@ object Similarity {
       .orderBy("rank")
   }
 
+  /** k-means‖ geometry (Bahmani et al. 2012, VLDB — "Scalable
+    * k-means++"): `kparRounds` oversampling passes each admit the
+    * `kparEll` farthest corpus points IN ONE TakeOrdered pass, so seeding
+    * costs 1 + kparRounds + 2 driver round-trips instead of
+    * [[simKmeansPp]]'s k − 1 sequential argmax passes — the scale-shape
+    * fix for the Gonzalez traversal's driver-gated loop. ℓ = k and R = 2
+    * chosen from the offline numpy model: coverage radius within 2% of
+    * Gonzalez at every SF (ratios 1.019 / 1.020 / 1.006), SSD within
+    * 0.2%. Shared with the generated oracle (the kmeansCtes discipline).
+    */
+  private[graft] val kparEll = 8
+  private[graft] val kparRounds = 2
+
+  /** Deterministic k-means‖ seeding + audit — the [[simKmeansPp]] audit
+    * over seeds chosen the scalable way (Bahmani et al. 2012): the
+    * min-vec_id anchor, then `kparRounds` rounds each taking the
+    * `kparEll` FARTHEST points from the current candidate set in one
+    * distributed TakeOrdered (deterministic argmax batch replacing the
+    * paper's ∝ℓ·d²/φ sample — the farthest-point rule, no RNG, the
+    * simKmeansPp discipline), then ONE pass weighting each candidate by
+    * its nearest-candidate occupancy, then the weighted farthest-first
+    * refine over the ≤ 1 + R·ℓ candidates ON THE DRIVER (Bahmani's
+    * recluster step; 17 rows here — driver arithmetic over a bounded
+    * set, the probe-collect discipline). Audit per final seed: selection
+    * rank, candidate weight, one-pass occupancy, vec_id-ordered SSD and
+    * the cell radius (max member D² — the k-center coverage the spec
+    * compares against the Gonzalez baseline).
+    *
+    * Scale shape: R + 2 corpus passes TOTAL (each a projection against a
+    * broadcast candidate literal + a bounded TakeOrdered/rollup),
+    * independent of k — vs Gonzalez's k − 1 serial passes. The driver
+    * refine touches only the candidate set. All arithmetic is the
+    * codegen'd float_l2 / ordered folds, so the DuckDB oracle
+    * hash-matches seeds, weights, and every audit column.
+    */
+  def simKmeansParallel(spark: SparkSession, dir: String,
+      k: Int = kppK): DataFrame = {
+    register(spark)
+    val emb = graft.Caches.scoped("embeddings.kpar",
+      Tables(spark, dir, "embeddings").select(col("vec_id"), col("embedding")))
+    def l2To(vec: Seq[Float]) =
+      call_function("float_l2", col("embedding"),
+        typedLit(vec.map(_.toDouble)))
+    val first = emb.orderBy("vec_id").limit(1).collect()(0)
+    var cand = Vector((first.getLong(0), first.getSeq[Float](1)))
+    var minD = emb.withColumn("md", l2To(cand.head._2))
+    for (_ <- 1 to kparRounds) {
+      // ONE TakeOrdered(ell) pass admits a whole seed batch (candidates
+      // rank last at md = 0, the NOT-IN guard mirrors the oracle text)
+      val batch = minD.orderBy(col("md").desc, col("vec_id").asc)
+        .limit(kparEll).collect()
+        .filter(r => !cand.exists(_._1 == r.getLong(0)))
+        .map(r => (r.getLong(0), r.getSeq[Float](r.fieldIndex("embedding"))))
+      cand = cand ++ batch
+      minD = batch.foldLeft(minD)((d, c) =>
+        d.withColumn("md", least(col("md"), l2To(c._2))))
+    }
+    // weight pass: nearest candidate per corpus point, ties lowest id
+    val candSorted = cand.sortBy(_._1)
+    val candLit = typedLit(candSorted.map(c => (c._1, c._2.map(_.toDouble))))
+    val wByCid = emb.withColumn("cl", candLit)
+      .withColumn("best", expr(
+        """array_min(transform(cl, c -> named_struct(
+             'd', float_l2(embedding, c._2), 'cid', c._1)))"""))
+      .groupBy(col("best.cid").as("cid"))
+      .agg(count(lit(1)).as("w"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val weighted = candSorted.map(c => (c._1, c._2, wByCid.getOrElse(c._1, 0L)))
+    // driver refine: weighted farthest-first over the bounded candidate
+    // set — same left-to-right double fold as float_l2 / the oracle
+    def l2d(a: Seq[Float], b: Seq[Float]): Double = {
+      var acc = 0.0
+      var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    var chosen = Vector(weighted.minBy(c => (-c._3, c._1)))
+    var remaining = weighted.filterNot(_._1 == chosen.head._1)
+    while (chosen.size < k && remaining.nonEmpty) {
+      val next = remaining.minBy { c =>
+        val mind = chosen.map(s => l2d(c._2, s._2)).min
+        (-(c._3.toDouble * mind), c._1)
+      }
+      chosen = chosen :+ next
+      remaining = remaining.filterNot(_._1 == next._1)
+    }
+    // final audit pass: one-pass assignment to the k chosen seeds
+    val seedLit = typedLit(chosen.zipWithIndex.map {
+      case (c, i) => (i + 1, c._2.map(_.toDouble))
+    })
+    val stats = emb.withColumn("sl", seedLit)
+      .withColumn("best", expr(
+        """array_min(transform(sl, s -> named_struct(
+             'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
+      .groupBy(col("best.rank").as("rank"))
+      .agg(count(lit(1)).as("n_members"),
+        sort_array(collect_list(struct(col("vec_id"), col("best.d").as("d"))))
+          .as("ds"),
+        max(col("best.d")).as("cell_radius"))
+      .withColumn("cell_ssd", expr("aggregate(ds, 0D, (a, s) -> a + s.d)"))
+      .select("rank", "n_members", "cell_ssd", "cell_radius")
+    import spark.implicits._
+    val seedRows = chosen.zipWithIndex.map {
+      case (c, i) => (i + 1, c._1, c._3)
+    }.toDF("rank", "seed_id", "weight")
+    seedRows.join(stats, "rank")
+      .select(col("rank"), col("seed_id"), col("weight"),
+        col("n_members"), col("cell_ssd"), col("cell_radius"))
+      .orderBy("rank")
+  }
+
   /** Beam geometry for [[simGraphSearch]] — shared with the generated
     * oracle (the kmeansCtes discipline). beam = 16 / hops = 6 chosen
     * from the offline numpy model of the walk on the descended graph

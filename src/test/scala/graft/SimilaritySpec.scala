@@ -420,4 +420,52 @@ class SimilaritySpec extends SparkSpec {
       rows.foreach(r => assert(r.getAs[Double]("cell_ssd") >= 0.0))
     }
   }
+
+  test("k-means-parallel seeding: coverage within 5% of Gonzalez, full coverage, distinct seeds") {
+    // k-means‖ trades Gonzalez's k−1 serial corpus passes for R+2 batch
+    // passes; the price is a slightly looser k-center radius. Measured
+    // ratios (numpy model == Spark): 1.019 / 1.020 / 1.006 at the three
+    // SFs — pin the 1.05 envelope, plus the structural invariants.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val par = Similarity.simKmeansParallel(spark, dir).collect()
+        .sortBy(_.getAs[Int]("rank"))
+      assert(par.length == Similarity.kppK)
+      val seedIds = par.map(_.getAs[Long]("seed_id"))
+      assert(seedIds.distinct.length == seedIds.length, "duplicate seed chosen")
+      val n = Tables(spark, dir, "embeddings").count()
+      assert(par.map(_.getAs[Long]("n_members")).sum == n,
+        "assignment must cover the whole corpus")
+      // candidate weights partition the corpus across the oversampled set,
+      // so the chosen seeds' weights can sum to at most n
+      val wSum = par.map(_.getAs[Long]("weight")).sum
+      assert(wSum > 0 && wSum <= n, s"weights $wSum outside (0, $n]")
+      val covPar = par.map(_.getAs[Double]("cell_radius")).max
+      val gon = Similarity.simKmeansPp(spark, dir).collect()
+      // Gonzalez coverage radius = the would-be (k+1)th spread: the max
+      // min-distance AFTER all k seeds = max cell radius of its audit —
+      // recompute it the same way from the shared audit columns
+      val covGon = {
+        val parCols = Similarity.simKmeansPp(spark, dir).columns
+        assert(!parCols.contains("cell_radius"),
+          "kmeansPp audit gained cell_radius — compare directly instead")
+        // derive via a one-pass assignment against the Gonzalez seeds
+        val ids = gon.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("seed_id"))
+        val emb = Tables(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")).collect()
+          .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+        def l2d(a: Seq[Float], b: Seq[Float]): Double = {
+          var acc = 0.0; var i = 0
+          while (i < a.length) {
+            val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+          acc
+        }
+        val seeds = ids.map(emb)
+        emb.valuesIterator.map(v => seeds.map(s => l2d(v, s)).min).max
+      }
+      info(s"$dir: coverage radius parallel=$covPar gonzalez=$covGon " +
+        f"ratio=${covPar / covGon}%.4f")
+      assert(covPar <= covGon * 1.05,
+        s"k-means-parallel coverage $covPar worse than 1.05x Gonzalez $covGon")
+    }
+  }
 }
