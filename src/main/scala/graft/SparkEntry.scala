@@ -192,6 +192,9 @@ object SparkEntry {
     // FAISS's by_residual=true default: codes quantize x − c(x), queries
     // build per-probed-cell residual distance tables
     "sim_ivfpq_residual" -> ((s, d) => Similarity.simIvfPqResidual(s, d)),
+    // OPQ rotation audit: Hadamard-rotated vs raw PQ on the anisotropic
+    // carve — per-subspace SSE balance, exact folds
+    "sim_opq_rotate" -> ((s, d) => Similarity.simOpqRotate(s, d)),
     // standing-index maintenance: a frozen quantizer admits a delta batch
     // with no retrain; per-cell base/new/total occupancy audit
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
@@ -1065,6 +1068,77 @@ object SparkEntry {
        |  FROM rr2)
        |SELECT qid, vec_id, dist, rnk FROM ranked3 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqRotate]]: the
+    * anisotropic carve, the exact Hadamard sign-fold rotation
+    * (`(−1)^popcount((i−1)&(j−1)) / 8` over 1-indexed lists), and TWO
+    * re-generated PQ training/encode chains (raw carve vs rotated) each
+    * ending in a per-subspace vec_id-ordered SSE fold. One slicedL2
+    * text throughout, so the audit cannot drift from the searchable PQ
+    * operators.
+    */
+  private def opqRotateSql: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val kb = Similarity.pqCodebookK
+    val rounds = Similarity.pqTrainRounds
+    def chain(prefix: String, srcCte: String): String = {
+      val chains = (0 until m).map { s =>
+        val lo = s * sub
+        val seed =
+          s"""${prefix}${s}_c0 AS (
+             |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> vec[i]) AS centroid
+             |  FROM $srcCte WHERE vec_id < $kb)""".stripMargin
+        val steps = (1 to rounds).map { r =>
+          s"""${prefix}${s}_a$r AS (
+             |  SELECT vec_id, vec, cid FROM (
+             |    SELECT e.vec_id, e.vec, c.cid,
+             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             |        ${pqSlicedL2("e.vec", "c.centroid", lo.toString)} ASC,
+             |        c.cid ASC) AS rn
+             |    FROM $srcCte e, ${prefix}${s}_c${r - 1} c)
+             |  WHERE rn = 1),
+             |${prefix}${s}_c$r AS (
+             |  SELECT cid,
+             |    list_transform(range(1, ${sub + 1}), d ->
+             |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> mm[d + $lo])), (x, y) -> x + y) / n) AS centroid
+             |  FROM (SELECT cid, count(*) AS n, list(vec ORDER BY vec_id) AS members
+             |        FROM ${prefix}${s}_a$r GROUP BY cid))""".stripMargin
+        }
+        (seed +: steps).mkString(",\n")
+      }.mkString(",\n")
+      val books = (0 until m)
+        .map(s => s"SELECT $s AS s, cid, centroid FROM ${prefix}${s}_c$rounds")
+        .mkString(" UNION ALL ")
+      s"""$chains,
+         |${prefix}books AS ($books),
+         |${prefix}assign AS (
+         |  SELECT vec_id, s, dist FROM (
+         |    SELECT e.vec_id, b.s, ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} AS dist,
+         |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+         |        ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} ASC,
+         |        b.cid ASC) AS rn
+         |    FROM $srcCte e, ${prefix}books b)
+         |  WHERE rn = 1),
+         |${prefix}sse AS (
+         |  SELECT s, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS sse
+         |  FROM ${prefix}assign GROUP BY s)""".stripMargin
+    }
+    s"""WITH aniso AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), j ->
+       |    CAST(embedding[j] AS DOUBLE) * (CASE WHEN j <= ${Similarity.opqScaleDims} THEN ${Similarity.opqScale} ELSE 1.0 END)) AS vec
+       |  FROM embeddings),
+       |rotv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j ->
+       |      CASE WHEN bit_count(CAST((i - 1) & (j - 1) AS BIGINT)) % 2 = 0 THEN vec[j] ELSE -vec[j] END)), (x, y) -> x + y) / 8.0) AS vec
+       |  FROM aniso),
+       |${chain("oa", "aniso")},
+       |${chain("ob", "rotv")}
+       |SELECT 0 AS rotated, s, sse FROM oasse
+       |UNION ALL SELECT 1 AS rotated, s, sse FROM obsse
+       |ORDER BY rotated, s""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPqUpsert]]: the
@@ -3720,6 +3794,7 @@ object SparkEntry {
     "sim_ivfpq" -> ivfPqSql,
     "sim_ivfpq_indexed" -> ivfPqSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
+    "sim_opq_rotate" -> opqRotateSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
