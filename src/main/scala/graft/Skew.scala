@@ -32,6 +32,28 @@ object Skew {
       .agg(sum(col("__partial")).as("sum"))
   }
 
+  /** Salted SHUFFLE join for hot low-cardinality keys where NEITHER side
+    * fits a broadcast (the J5/J11 interval-join shape: per-entity frames
+    * meeting on a ~25-value nation key, so at 100 TB every key is a hot
+    * key and AQE's skew splitting cannot split a single in-flight
+    * many-to-many key block finer than its join group). The left side
+    * derives a DETERMINISTIC salt from `saltExpr` (an entity id — never
+    * RNG, so plans replay identically), the right side replicates
+    * `factor` ways, and the equi-join runs on `keys :+ __salt`: each hot
+    * key's pair block spreads over `factor` reducers while the row
+    * multiset stays exactly the plain join's (every left row holds ONE
+    * salt; the right copy with that salt supplies every original match).
+    * The right side's shuffle grows by `factor` — the classic trade, so
+    * size factor to the reducer imbalance, not higher.
+    */
+  def saltedShuffleJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      saltExpr: Column, factor: Int): DataFrame = {
+    val sl = left.withColumn("__salt", pmod(saltExpr, lit(factor.toLong)))
+    val sr = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(factor.toLong - 1))))
+    sl.join(sr, keys :+ "__salt").drop("__salt")
+  }
+
   /** Salted join of a skewed fact against a small dimension: the fact side
     * gets a random-ish salt in [0, factor); the dimension is exploded
     * `factor` times so every (key, salt) pair still matches. The

@@ -52,6 +52,9 @@ object SparkEntry {
     "j1_delist_adjust" -> (Relational.j1DelistAdjust _),
     "j3_interval_containment" -> (Relational.j3IntervalContainment _),
     "j5_interval_overlap" -> (Relational.j5IntervalOverlap _),
+    // the salted twin: identical answer, skew-spread plan (PlanSpec pins
+    // the (nationkey, __salt) join keys under broadcast thresholds −1)
+    "j5_salted_overlap" -> ((s, d) => Relational.j5SaltedOverlap(s, d)),
     "j9_coalesce_preference" -> (Relational.j9CoalescePreference _),
     "j11_range_expansion" -> (Relational.j11RangeExpansion _),
     "a2_argmax_dedup" -> (Relational.a2ArgmaxDedup _),
@@ -599,6 +602,24 @@ object SparkEntry {
        |  FROM rr)
        |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** One oracle text for j5_interval_overlap AND j5_salted_overlap: the
+    * salted variant spreads the hot nation key over 8 reducers without
+    * changing the row multiset, so both queries compute this same
+    * specification.
+    */
+  private def j5OverlapSql: String =
+    """WITH custitv AS (
+      |  SELECT c_custkey, c_nationkey, min(o_orderdate) AS c_start, max(o_orderdate) AS c_end
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |suppitv AS (
+      |  SELECT s_suppkey, s_nationkey, min(l_shipdate) AS s_start, max(l_shipdate) AS s_end
+      |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)
+      |SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
+      |  CAST(sum(date_diff('day', greatest(c_start, s_start), least(c_end, s_end))) AS BIGINT) AS total_overlap_days
+      |FROM custitv JOIN suppitv ON c_nationkey = s_nationkey
+      |WHERE greatest(c_start, s_start) <= least(c_end, s_end)
+      |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** One oracle text for tx_decontaminate_hashed AND
     * tx_bloom_decontaminate: the Bloom variant's prefilter only discards
@@ -2238,18 +2259,11 @@ object SparkEntry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 90 DAY
         |GROUP BY 1 ORDER BY 1""".stripMargin,
-    "j5_interval_overlap" ->
-      """WITH custitv AS (
-        |  SELECT c_custkey, c_nationkey, min(o_orderdate) AS c_start, max(o_orderdate) AS c_end
-        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
-        |suppitv AS (
-        |  SELECT s_suppkey, s_nationkey, min(l_shipdate) AS s_start, max(l_shipdate) AS s_end
-        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2)
-        |SELECT c_nationkey AS nationkey, count(*) AS n_pairs,
-        |  CAST(sum(date_diff('day', greatest(c_start, s_start), least(c_end, s_end))) AS BIGINT) AS total_overlap_days
-        |FROM custitv JOIN suppitv ON c_nationkey = s_nationkey
-        |WHERE greatest(c_start, s_start) <= least(c_end, s_end)
-        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // ONE text for the plain and the salted interval-overlap join:
+    // salting may never change the answer (the skew_salted_join rule);
+    // the salted plan's shape is pinned by PlanSpec instead.
+    "j5_interval_overlap" -> j5OverlapSql,
+    "j5_salted_overlap" -> j5OverlapSql,
     "j9_coalesce_preference" ->
       """SELECT o_orderstatus, count(*) AS n_orders, count(p2) AS n_p2, count(p3) AS n_p3,
         |  count(close) AS n_close,

@@ -67,18 +67,35 @@ object Relational {
     * pre-aggregation that keeps this viable at 100 TB.
     */
   def j5IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val (custItv, suppItv) = j5Intervals(spark, dir)
+    j5OverlapTail(
+      custItv.join(suppItv, Seq("nationkey")))
+  }
+
+  /** The per-entity interval sides of J5, both keyed `nationkey` so the
+    * plain and salted pair joins share one build text.
+    */
+  private def j5Intervals(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     val custItv = Tables(spark, dir, "orders")
       .join(Tables(spark, dir, "customer"),
         col("o_custkey") === col("c_custkey"))
       .groupBy("c_custkey", "c_nationkey")
       .agg(min("o_orderdate").as("c_start"), max("o_orderdate").as("c_end"))
+      .withColumnRenamed("c_nationkey", "nationkey")
     val suppItv = Tables(spark, dir, "lineitem")
       .join(Tables(spark, dir, "supplier"),
         col("l_suppkey") === col("s_suppkey"))
       .groupBy("s_suppkey", "s_nationkey")
       .agg(min("l_shipdate").as("s_start"), max("l_shipdate").as("s_end"))
-    custItv.join(suppItv, col("c_nationkey") === col("s_nationkey"))
-      .select(col("c_nationkey").as("nationkey"),
+      .withColumnRenamed("s_nationkey", "nationkey")
+    (custItv, suppItv)
+  }
+
+  /** The shared J5 tail: intersect intervals, drop empties, measure. */
+  private def j5OverlapTail(pairs: DataFrame): DataFrame =
+    pairs
+      .select(col("nationkey"),
         greatest(col("c_start"), col("s_start")).as("o_start"),
         least(col("c_end"), col("s_end")).as("o_end"))
       .filter(col("o_start") <= col("o_end"))
@@ -86,6 +103,24 @@ object Relational {
       .agg(count(lit(1)).as("n_pairs"),
         sum(datediff(col("o_end"), col("o_start"))).as("total_overlap_days"))
       .orderBy("nationkey")
+
+  /** J5 with the pair join SALTED (SURVEY §7.4.3 risk: the nation key has
+    * ~25 values, so at 100 TB every key is hot and the many-to-many pair
+    * block for one nation lands on ONE reducer — a shape AQE's skew
+    * splitting cannot fix because a single join key group can't split).
+    * [[graft.Skew.saltedShuffleJoin]] salts the customer side by
+    * c_custkey (deterministic) and replicates the supplier side 8 ways,
+    * spreading each nation over 8 reducers. Same intervals, same tail,
+    * SAME ORACLE TEXT as j5_interval_overlap — salting may never change
+    * the answer (the skew_salted_join rule); PlanSpec pins the
+    * (nationkey, __salt) join keys under broadcast thresholds −1, the
+    * regime the salt exists for.
+    */
+  def j5SaltedOverlap(spark: SparkSession, dir: String,
+      factor: Int = 8): DataFrame = {
+    val (custItv, suppItv) = j5Intervals(spark, dir)
+    j5OverlapTail(graft.Skew.saltedShuffleJoin(
+      custItv, suppItv, Seq("nationkey"), col("c_custkey"), factor))
   }
 
   /** J9 + F7 (dividend price-attach, `wrds_ingestion.py:297-308,1113`): two

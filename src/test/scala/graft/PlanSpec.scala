@@ -345,6 +345,33 @@ class PlanSpec extends SparkSpec {
       s"dimension replicate (explode over the salt range) missing:\n$plan")
   }
 
+  test("salted interval join spreads the hot nation key with no broadcast escape") {
+    // j5_salted_overlap exists for the regime where NEITHER interval side
+    // broadcasts (at 100 TB both are entity-sized) and the ~25-value
+    // nation key makes every join group a hot key AQE cannot split. Pin
+    // it in that regime: thresholds −1, the pair join must key on
+    // (nationkey, __salt) with the 8-way supplier replicate, plan no
+    // broadcast join — and the answer must equal the plain join's
+    // row for row (the shared-oracle contract).
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    thresholds.foreach(spark.conf.set(_, "-1"))
+    try {
+      val salted = SparkEntry.queries("j5_salted_overlap")(spark, dir)
+      val plan = salted.queryExecution.executedPlan.toString
+      assert("""nationkey#\d+, __salt#\d+L""".r.findFirstIn(plan).isDefined,
+        s"pair join must key on (nationkey, __salt):\n$plan")
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"no broadcast escape allowed in the pinned regime:\n$plan")
+      assert(plan.toLowerCase.contains("explode"),
+        s"supplier-side replicate (explode over the salt range) missing:\n$plan")
+      val plain = SparkEntry.queries("j5_interval_overlap")(spark, dir)
+        .collect().toSeq
+      assert(salted.collect().toSeq == plain,
+        "salting changed the interval-overlap answer")
+    } finally thresholds.foreach(spark.conf.unset)
+  }
+
   test("handler plans push asset and date predicates into the scan") {
     // fixture via the ingest synthetic source is overkill here; the
     // sf0.001 lineitem scan through an equivalent read-filter-project
