@@ -65,6 +65,10 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *     `SPARK_GRAFT_BENCH_HEAVY_RUNS` (default 1) runs/session: min-of-3
   *     on a fixed build wastes ~20 s/session that the second session
   *     needs.
+  *   - Every summary emission (normal AND the SIGTERM partial) writes the
+  *     FULL summary line to `tools/bench_full_<sf>.json` — the driver's
+  *     BENCH_rN artifact keeps only a stdout tail, so the complete
+  *     per-query map survives each round in the repo (VERDICT r9 item 6).
   *   - Every completed run writes `tools/bench_last_<sf>.json` (pooled
   *     min per query); the next run reads it, prints `"prev_min"` on each
   *     per-query line, and the summaries carry `"regressed":[...]` —
@@ -206,6 +210,21 @@ object Bench {
       s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_runs":${sessionRuns.mkString("[", ",", "]")},"session_totals":${sessionTotals.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"sf":"$sfDir"}"""
     }
 
+    // VERDICT r9 item 6: the driver's BENCH_rN artifact keeps a stdout
+    // TAIL, so the full per-query history only survives a round if it
+    // also lands in a repo file. Write the complete summary line (per-
+    // query mins + raw runs + errors) unconditionally on every summary
+    // emission — normal completion AND the SIGTERM partial — so the next
+    // round's judge can diff all queries even when stdout truncates.
+    val fullPath = java.nio.file.Paths.get("tools",
+      "bench_full_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
+    def writeFullArtifact(partial: Boolean): Unit = scala.util.Try {
+      Option(fullPath.getParent)
+        .foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(fullPath,
+        (summaryJson(partial) + "\n").getBytes("UTF-8"))
+    }
+
     // Driver timeouts SIGTERM the JVM: still emit a parseable artifact from
     // whatever completed (printing needs no Spark machinery).
     val hook = new Thread(() => {
@@ -213,6 +232,7 @@ object Bench {
         println(summaryJson(partial = true))
         println(compactJson(partial = true))
         Console.out.flush()
+        writeFullArtifact(partial = true)
       }
     })
     Runtime.getRuntime.addShutdownHook(hook)
@@ -330,6 +350,7 @@ object Bench {
     println(compactJson(partial = false))
     summaryPrinted = true
     Console.out.flush()
+    writeFullArtifact(partial = false)
     scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
     // Record pooled mins for the next run's prev_min/regressed tripwire
     // (normal completion only — the shutdown hook never writes history).

@@ -152,6 +152,9 @@ object SparkEntry {
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
     "pipeline_agg_refresh" -> ((s, d) => Text.pipelineAggRefresh(s, d)),
+    // the delete half: XOR self-inverse retracts the CDC delete carve
+    // from the refreshed view; oracle recomputes the survivors one-pass
+    "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
@@ -3224,6 +3227,29 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN doc_id % ${Text.incrementalDeltaMod} <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_base_docs,
         |  CAST(sum(CASE WHEN doc_id % ${Text.incrementalDeltaMod} = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_delta_docs
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // The retract oracle aggregates ONLY the surviving corpus from first
+    // principles — a hash match proves the standing view minus the
+    // XOR-retracted delete payloads equals the survivors bit-for-bit.
+    "pipeline_agg_retract" ->
+      s"""WITH surv AS (
+        |  SELECT lang, source, count(*) AS n_docs,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |    bit_xor(
+        |      (CASE WHEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) >= 2147483648
+        |            THEN CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) - 4294967296
+        |            ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) END) * 4294967296
+        |      + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)) AS text_xor
+        |  FROM documents
+        |  WHERE doc_id % ${Text.retractMod} <> ${Text.retractRem}
+        |  GROUP BY 1, 2),
+        |cnt AS (
+        |  SELECT lang, source, count(*) AS n_standing_docs,
+        |    CAST(sum(CASE WHEN doc_id % ${Text.retractMod} = ${Text.retractRem} THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted_docs
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT s.lang, s.source, s.n_docs, s.n_tokens, s.text_xor,
+        |  c.n_standing_docs, c.n_deleted_docs
+        |FROM surv s JOIN cnt c USING (lang, source)
+        |ORDER BY 1, 2""".stripMargin,
     // Keep-first paragraph dedup: grouping by the paragraph TEXT here is
     // equivalent to the Spark side's md5 grouping (md5 is injective on
     // this data; the digest exists Spark-side so the shuffle never

@@ -3414,6 +3414,68 @@ object Text {
       .orderBy("lang", "source")
   }
 
+  /** The CDC delete carve for the MV retract path — shared with the
+    * generated oracle (the kmeansCtes rule). Deliberately NOT the delta
+    * carve: deletes cut across both the base and the refreshed delta, so
+    * the retraction exercises XOR self-inverse on rows that arrived via
+    * BOTH merge paths.
+    */
+  private[graft] val retractMod = 7L
+  private[graft] val retractRem = 3L
+
+  /** Incremental MV RETRACT — the delete half of the refresh lifecycle
+    * (CDC retraction; Delta/Iceberg MERGE DELETE at the aggregate
+    * layer): the refreshed standing aggregate drops a delete batch by
+    * MERGING NEGATED partials — counts subtract, token sums subtract,
+    * and the text XOR fold composes UNCHANGED because XOR is its own
+    * inverse (base ⊕ delete-payloads removes exactly the deleted docs'
+    * contribution). The retracted row equals the one-pass aggregate of
+    * the surviving corpus BIT-FOR-BIT, which is what the oracle checks
+    * from first principles (it never sees the standing table). Groups
+    * whose docs are all deleted drop from the view (the n_docs > 0
+    * filter — a served MV has no empty-group rows).
+    *
+    * Scale shape: reads the delete batch + two bounded |groups| tables;
+    * never the base corpus — the same O(|delta|) refresh economics as
+    * [[pipelineAggRefresh]], applied to deletes.
+    */
+  def pipelineAggRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureAggMv(spark, dir)
+    // the refreshed standing view (base ⊕ delta), |groups| rows
+    val standingFull = aggMvMerge(
+      spark.read.parquet(s"$base/aggs"),
+      aggMvPartials(docs(spark, dir)
+        .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)))
+      .select("lang", "source", "n_docs", "n_tokens", "text_xor")
+    val deleted = aggMvPartials(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(retractMod)) === lit(retractRem)))
+    aggMvRetract(standingFull, deleted).orderBy("lang", "source")
+  }
+
+  /** The retract MERGE, factored over any (standing, deleted) pair of
+    * [[aggMvPartials]]-shaped frames — one definition for the batch
+    * retract and the streaming CDC twin's merge: counts/token sums
+    * subtract, the XOR folds compose (self-inverse), and the audit
+    * columns record the split.
+    */
+  private[graft] def aggMvRetract(standing: DataFrame,
+      deleted: DataFrame): DataFrame =
+    standing
+      .select(col("lang"), col("source"), col("n_docs").as("b_docs"),
+        col("n_tokens").as("b_tokens"), col("text_xor").as("b_xor"))
+      .join(deleted.select(col("lang"), col("source"),
+        col("n_docs").as("x_docs"), col("n_tokens").as("x_tokens"),
+        col("text_xor").as("x_xor")), Seq("lang", "source"), "full_outer")
+      .select(col("lang"), col("source"),
+        (coalesce(col("b_docs"), lit(0L)) - coalesce(col("x_docs"), lit(0L)))
+          .as("n_docs"),
+        (coalesce(col("b_tokens"), lit(0L)) - coalesce(col("x_tokens"), lit(0L)))
+          .as("n_tokens"),
+        expr("coalesce(b_xor, 0L) ^ coalesce(x_xor, 0L)").as("text_xor"),
+        coalesce(col("b_docs"), lit(0L)).as("n_standing_docs"),
+        coalesce(col("x_docs"), lit(0L)).as("n_deleted_docs"))
+      .filter(col("n_docs") > 0)
+
   /** The partial-aggregate MERGE itself, factored over any (standing,
     * delta) pair of [[aggMvPartials]]-shaped frames — one definition for
     * the batch refresh and the streaming twin's merge (counts add, XOR

@@ -481,6 +481,18 @@ object StreamingOps {
   def aggDeltaPartials(docsStream: DataFrame): DataFrame =
     graft.queries.Text.aggMvPartials(docsStream)
 
+  /** Streaming half of [[graft.queries.Text.pipelineAggRetract]] — the
+    * CDC DELETE twin: tombstoned documents land as a stream (the shape a
+    * change feed delivers), the same [[aggDeltaPartials]] streaming
+    * aggregation folds their payloads, and
+    * [[graft.queries.Text.aggMvRetract]] XORs them back OUT of the
+    * standing view (self-inverse — the one fold text serves insert and
+    * delete). AggRefreshSpec pins streamed-retract ≡ the batch retract ≡
+    * the one-pass recompute of the surviving corpus, row for row.
+    */
+  def aggRetractPartials(deletedDocsStream: DataFrame): DataFrame =
+    graft.queries.Text.aggMvPartials(deletedDocsStream)
+
   /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
     * landing documents against the STANDING target/raw n-gram
     * distributions — filter-at-ingest, the deployment shape DSIR's

@@ -69,6 +69,52 @@ class AggRefreshSpec extends SparkSpec {
       "streamed partials + merge must equal the batch refresh bit for bit")
   }
 
+  test("batch retract equals the one-pass survivor recompute bit-for-bit") {
+    val got = Text.pipelineAggRetract(spark, dir).collect()
+    val surv = Text.aggMvPartials(Tables(spark, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(Text.retractMod)) =!= lit(Text.retractRem)))
+      .orderBy("lang", "source").collect()
+    assert(got.length == surv.length && got.nonEmpty)
+    got.zip(surv).foreach { case (g, f) =>
+      assert(g.getAs[String]("lang") == f.getAs[String]("lang"))
+      assert(g.getAs[String]("source") == f.getAs[String]("source"))
+      assert(g.getAs[Long]("n_docs") == f.getAs[Long]("n_docs"))
+      assert(g.getAs[Long]("n_tokens") == f.getAs[Long]("n_tokens"))
+      assert(g.getAs[Long]("text_xor") == f.getAs[Long]("text_xor"),
+        s"XOR self-inverse retraction must compose exactly: $g vs $f")
+      assert(g.getAs[Long]("n_standing_docs") - g.getAs[Long]("n_deleted_docs")
+        == g.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("streamed CDC delete partials retract to the exact batch retract") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    // land ONLY the tombstoned docs, as a change-feed stream
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-aggmv-retract").toString
+    Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(Text.retractMod)) === lit(Text.retractRem))
+      .write.mode("overwrite").parquet(s"$streamDir/deleted")
+    val q = StreamingOps.aggRetractPartials(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/deleted"))
+      .writeStream.format("memory").queryName("aggmv_retract_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureAggMv(spark, dir)
+    val standingFull = Text.aggMvMerge(spark.read.parquet(s"$base/aggs"),
+        Text.aggMvPartials(Tables(spark, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(Text.incrementalDeltaMod)) === 0)))
+      .select("lang", "source", "n_docs", "n_tokens", "text_xor")
+    val retracted = Text.aggMvRetract(standingFull,
+        spark.table("aggmv_retract_stream"))
+      .orderBy("lang", "source").collect()
+    val batch = Text.pipelineAggRetract(spark, dir).collect()
+    assert(retracted.length == batch.length && retracted.nonEmpty)
+    assert(retracted.toSeq == batch.toSeq,
+      "streamed delete partials + retract must equal the batch retract bit for bit")
+  }
+
   test("the standing table is served, not rebuilt per refresh") {
     val base = Text.ensureAggMv(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/aggs/_SUCCESS")
