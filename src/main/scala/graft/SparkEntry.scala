@@ -135,6 +135,9 @@ object SparkEntry {
     "tx_model_quality_indexed" -> ((s, d) => Text.txModelQualityIndexed(s, d)),
     "tx_model_quality_eval" -> ((s, d) => Text.txModelQualityEval(s, d)),
     "tx_dsir_select" -> ((s, d) => Text.txDsirSelect(s, d)),
+    // CCNet's LM stage: hashed-bigram LM on the reference carve,
+    // whole-bit integer perplexity surrogate, per-lang terciles
+    "tx_lm_perplexity" -> ((s, d) => Text.txLmPerplexity(s, d)),
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -2123,6 +2126,54 @@ object SparkEntry {
        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Text.txLmPerplexity]]: the dsir
+    * hashing text applied to bigrams AND context tokens, the reference
+    * histograms, the whole-bit `len(bin(x)) − 1` cost fold (both engines
+    * render binary without leading zeros), the shifted integer ppm, and
+    * the per-language tercile rank arithmetic.
+    */
+  private def lmPerplexitySql: String = {
+    val b = Text.lmBuckets
+    s"""WITH fx AS (
+       |  SELECT doc_id, lang, source, source = 'src0' AS is_ref,
+       |    CAST(len(toks) - 1 AS BIGINT) AS n_bi,
+       |    list_transform(range(0, $b), j -> CAST(len(list_filter(bg, bk -> bk = j)) AS BIGINT)) AS xg,
+       |    list_transform(range(0, $b), j -> CAST(len(list_filter(bc, bk -> bk = j)) AS BIGINT)) AS xc
+       |  FROM (
+       |    SELECT doc_id, lang, source, toks,
+       |      list_transform(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1]),
+       |        g -> CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % $b) AS bg,
+       |      list_transform(toks[1 : len(toks) - 1],
+       |        g -> CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % $b) AS bc
+       |    FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
+       |    WHERE len(toks) >= 2)),
+       |hist AS (
+       |  SELECT j, CAST(sum(CASE WHEN is_ref THEN xg[j + 1] ELSE 0 END) AS BIGINT) AS nb_j,
+       |    CAST(sum(CASE WHEN is_ref THEN xc[j + 1] ELSE 0 END) AS BIGINT) AS nc_j
+       |  FROM fx, (SELECT unnest(range(0, $b)) AS j) GROUP BY j),
+       |st AS (SELECT list(nb_j ORDER BY j) AS nb, list(nc_j ORDER BY j) AS nc FROM hist),
+       |sc AS (
+       |  SELECT doc_id, lang, n_bi,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(range(1, ${b + 1}), j ->
+       |        xc[j] * CAST(len(bin(nc[j] + $b)) - 1 AS BIGINT)
+       |        - xg[j] * CAST(len(bin(nb[j] + 1)) - 1 AS BIGINT))),
+       |      (a, b2) -> a + b2) AS bits
+       |  FROM fx, st WHERE NOT is_ref),
+       |pp AS (SELECT doc_id, lang, (bits + 64 * n_bi) * 1000 // n_bi AS ppm FROM sc),
+       |bk AS (
+       |  SELECT lang, doc_id, ppm,
+       |    row_number() OVER (PARTITION BY lang ORDER BY ppm, doc_id) AS rn,
+       |    count(*) OVER (PARTITION BY lang) AS n
+       |  FROM pp)
+       |SELECT lang,
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, min(ppm) AS min_ppm, max(ppm) AS max_ppm,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   /** The shared unrolled training chain (features → train slice →
     * gradient rounds to `tw{rounds}`) — one generator for the
     * train-per-call, indexed and eval oracles (the kmeansCtes
@@ -3497,6 +3548,7 @@ object SparkEntry {
     "tx_model_quality_indexed" -> modelQualitySql,
     "tx_model_quality_eval" -> modelQualityEvalSql,
     "tx_dsir_select" -> dsirSelectSql,
+    "tx_lm_perplexity" -> lmPerplexitySql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

@@ -3204,6 +3204,116 @@ object Text {
     (r.getSeq[Long](0), r.getSeq[Long](1), r.getLong(2), r.getLong(3))
   }
 
+  /** Hashed-bigram LM geometry for the perplexity-bucket filter — shared
+    * with the generated oracle (the kmeansCtes discipline).
+    */
+  private[graft] val lmBuckets = 128
+
+  /** CCNet's LM stage (Wenzek et al. 2020, "CCNet: Extracting High
+    * Quality Monolingual Datasets from Web Crawl Data"): score every
+    * crawl document by its perplexity under a language model trained on
+    * the REFERENCE corpus (CCNet: a Wikipedia KenLM; here: a hashed
+    * bigram LM counted over the `src0` carve — the [[txDsirSelect]]
+    * target convention), then bucket each language's crawl into
+    * head / middle / tail perplexity terciles — completing the quality
+    * family: discriminative ([[txModelQuality]]), generative
+    * ([[txDsirSelect]]), and now LM-based.
+    *
+    * Exactness mechanism: true per-token neg-log-likelihood lives in
+    * libm (the exp/sigmoid rule), so the surrogate is the WHOLE-BIT
+    * integer log — `ilog2(x) = length(bin(x)) − 1`, exact in both
+    * engines — applied to the Laplace-smoothed conditional
+    * `P(w'|w) ≈ (nb+1)/(nc+B)`: per bigram instance the cost is
+    * `ilog2(nc[bucket(ctx)]+B) − ilog2(nb[bucket(bigram)]+1)` bits, and
+    * a document's total folds from its TWO hashed-bucket-count vectors
+    * (bigram buckets and context buckets — no gram explode, one
+    * codegen'd projection each). The per-bigram rate is lifted to
+    * integers as `ppm = (bits + 64·n_bi)·1000 div n_bi` (the +64·n_bi
+    * shift keeps the dividend positive, sidestepping the trunc-vs-floor
+    * division split between engines); terciles are integer row-rank
+    * arithmetic per language, ties by doc_id.
+    *
+    * Scale shape: training is one posexplode of the reference carve
+    * partial-aggregated to B rows; the bounded 2·B-long stats attach via
+    * an uncorrelated scalar subquery (the simSqInt8 rule); scoring is a
+    * second narrow pass; the tercile window partitions by language over
+    * (doc_id, ppm) pairs — vectors and text never shuffle.
+    */
+  def txLmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    lmPerplexityOver(spark, Tables.spread(docs(spark, dir)))
+  }
+
+  /** [[txLmPerplexity]] over an arbitrary (doc_id, lang, source, text)
+    * frame — the planted-corpus spec drives this directly.
+    */
+  private[graft] def lmPerplexityOver(spark: SparkSession,
+      in: DataFrame): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val feats = graft.Caches.scoped("tx_lm.feat", lmFeaturize(in))
+    feats.filter(col("is_ref"))
+      .select(posexplode(arrays_zip(col("xg"), col("xc"))))
+      .groupBy("pos")
+      .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
+          .as("nb"),
+        expr("transform(sort_array(collect_list(struct(pos, nc_j))), t -> t.nc_j)")
+          .as("nc"))
+      .createOrReplaceTempView("graft_lm_stats")
+    val scored = feats.filter(!col("is_ref"))
+      .withColumn("st", expr("(SELECT struct(nb, nc) FROM graft_lm_stats)"))
+      .withColumn("bits", expr(lmBitsExpr("st.nb", "st.nc")))
+      .withColumn("ppm",
+        expr("(bits + 64L * n_bi) * 1000L div n_bi"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("ppm").asc, col("doc_id").asc)
+    val cnt = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+    scored
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(cnt))
+      .withColumn("bucket",
+        when(col("rn") * 3 <= col("n"), "head")
+          .when(col("rn") * 3 <= col("n") * 2, "middle")
+          .otherwise("tail"))
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ppm").as("min_ppm"),
+        max("ppm").as("max_ppm"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "bucket")
+  }
+
+  /** The LM feature projection: per doc, the hashed-bucket-count vector
+    * of its bigrams AND of its context tokens (each bigram's first
+    * token) — both through the one codegen'd `hashed_bucket_counts`.
+    * Docs need ≥ 2 tokens (≥ 1 bigram); the guard also keeps the
+    * descending-`sequence` ANSI trap out.
+    */
+  private[graft] def lmFeaturize(in: DataFrame): DataFrame = {
+    val b = lmBuckets
+    in.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .withColumn("bigrams", expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i + 1]))"))
+      .withColumn("ctxs", expr("slice(toks, 1, size(toks) - 1)"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        (col("source") === "src0").as("is_ref"),
+        (size(col("toks")) - 1).cast("long").as("n_bi"),
+        expr(s"hashed_bucket_counts(bigrams, $b)").as("xg"),
+        expr(s"hashed_bucket_counts(ctxs, $b)").as("xc"))
+  }
+
+  /** The exact whole-bit LM cost fold — one text for the batch scorer
+    * and any future streaming twin (the dsirScoreExpr rule).
+    */
+  private[graft] def lmBitsExpr(nb: String, nc: String): String = {
+    val b = lmBuckets
+    s"""aggregate(sequence(0, ${b - 1}), CAST(0 AS BIGINT), (acc, j) ->
+          acc + xc[j] * CAST(length(bin($nc[j] + ${b}L)) - 1 AS BIGINT)
+              - xg[j] * CAST(length(bin($nb[j] + 1L)) - 1 AS BIGINT))"""
+  }
+
   /** The MERGE updates-batch carving rule — ONE set of constants for the
     * Spark batch operator, the streaming twin, and the generated oracle
     * SQL (the shuffleShardSeed/kmeansCtes discipline: mirrored literals

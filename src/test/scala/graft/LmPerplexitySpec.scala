@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Text
+
+/** Planted-corpus physics for the CCNet-style LM perplexity buckets
+  * ([[graft.queries.Text.txLmPerplexity]]): documents built from the
+  * reference corpus's own bigrams must score LOW surrogate perplexity
+  * and land in the head tercile; documents of never-seen tokens must
+  * score HIGH and land in the tail — the separation the whole-bit
+  * integer log surrogate has to preserve for the filter to mean
+  * anything.
+  */
+class LmPerplexitySpec extends SparkSpec {
+
+  test("in-domain docs land head, out-of-domain docs land tail") {
+    import spark.implicits._
+    val refPhrase = "the cat sat on the mat and the dog sat on the rug"
+    // reference carve (src0): many repetitions of one phrase family — a
+    // tight LM with heavy bigram counts
+    val ref = (0L until 30L).map(i => (1000L + i, "en", "src0", refPhrase))
+    // crawl: 3 in-domain docs (the reference phrase), 3 mixed, 3 of
+    // never-seen tokens (uniform garbage — every bigram unseen)
+    val inDomain = (0L until 3L).map(i => (i, "en", "src1", refPhrase))
+    val mixed = (10L until 13L).map(i =>
+      (i, "en", "src1", "the cat sat on zzz qqq www eee rrr ttt yyy uuu"))
+    val garbage = (20L until 23L).map(i =>
+      (i, "en", "src1", s"xx$i yy$i zz$i aa$i bb$i cc$i dd$i ee$i ff$i gg$i hh$i ii$i"))
+    val docs = (ref ++ inDomain ++ mixed ++ garbage)
+      .toDF("doc_id", "lang", "source", "text")
+    val buckets = Text.lmPerplexityOver(spark, docs).collect()
+    val byBucket = buckets.map(r =>
+      r.getAs[String]("bucket") -> r).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"),
+      s"expected all three terciles, got ${byBucket.keySet}")
+    // 9 crawl docs → 3 per tercile; id_sum separates the plants exactly
+    assert(byBucket("head").getAs[Long]("n_docs") == 3)
+    assert(byBucket("head").getAs[Long]("id_sum") == 0L + 1L + 2L,
+      "the in-domain docs must fill the head tercile")
+    assert(byBucket("tail").getAs[Long]("id_sum") == 20L + 21L + 22L,
+      "the never-seen-token docs must fill the tail tercile")
+    // and the surrogate itself must order the groups strictly
+    assert(byBucket("head").getAs[Long]("max_ppm") <
+      byBucket("middle").getAs[Long]("min_ppm"))
+    assert(byBucket("middle").getAs[Long]("max_ppm") <
+      byBucket("tail").getAs[Long]("min_ppm"))
+  }
+
+  test("tercile sizes and coverage on the driver corpus") {
+    val rows = Text.txLmPerplexity(spark, "/root/testdata/sf0.001").collect()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+    assert(perLang.nonEmpty)
+    perLang.foreach { case (lang, rs) =>
+      val n = rs.map(_.getAs[Long]("n_docs")).sum
+      val byB = rs.map(r => r.getAs[String]("bucket") ->
+        r.getAs[Long]("n_docs")).toMap
+      // integer tercile arithmetic: sizes differ by at most 1
+      assert(byB.values.max - byB.values.min <= 1,
+        s"$lang terciles unbalanced: $byB over $n docs")
+      // head is the LOW-perplexity (most reference-like) end
+      val head = rs.find(_.getAs[String]("bucket") == "head").get
+      val tail = rs.find(_.getAs[String]("bucket") == "tail").get
+      assert(head.getAs[Long]("min_ppm") <= tail.getAs[Long]("min_ppm"))
+      assert(head.getAs[Long]("max_ppm") <= tail.getAs[Long]("max_ppm"))
+    }
+  }
+}
