@@ -3304,6 +3304,24 @@ object Text {
         expr(s"hashed_bucket_counts(ctxs, $b)").as("xc"))
   }
 
+  /** The trained LM histograms as bounded index metadata for the
+    * streaming scorer — 2·[[lmBuckets]] longs (the dsirStats rule).
+    */
+  def lmStats(spark: SparkSession, dir: String): (Seq[Long], Seq[Long]) = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val r = lmFeaturize(docs(spark, dir)).filter(col("is_ref"))
+      .select(posexplode(arrays_zip(col("xg"), col("xc"))))
+      .groupBy("pos")
+      .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
+      .agg(
+        expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
+          .as("nb"),
+        expr("transform(sort_array(collect_list(struct(pos, nc_j))), t -> t.nc_j)")
+          .as("nc"))
+      .head()
+    (r.getSeq[Long](0), r.getSeq[Long](1))
+  }
+
   /** The exact whole-bit LM cost fold — one text for the batch scorer
     * and any future streaming twin (the dsirScoreExpr rule).
     */

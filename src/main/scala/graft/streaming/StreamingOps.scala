@@ -522,6 +522,31 @@ object StreamingOps {
         (col("score") > 0L).as("selected"))
   }
 
+  /** Streaming twin of [[graft.queries.Text.txLmPerplexity]]'s scorer:
+    * landing documents score against the STANDING reference-LM
+    * histograms — perplexity-filter-at-ingest, CCNet's deployment shape
+    * (the KenLM scores the crawl as it lands; bucket thresholds come
+    * from the standing corpus). The histograms ride along as literal
+    * arrays (2·lmBuckets longs — the [[dsirSelectedDocs]] rule), the
+    * cost is the SAME whole-bit fold text
+    * ([[graft.queries.Text.lmBitsExpr]]) over the SAME feature
+    * projection ([[graft.queries.Text.lmFeaturize]]). Pure stateless
+    * narrow stage; per-doc batch/stream equality is spec-pinned, and
+    * re-bucketing the streamed scores reproduces the batch tercile
+    * report.
+    */
+  def lmScoredDocs(docsStream: DataFrame, nb: Seq[Long],
+      nc: Seq[Long]): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docsStream.sparkSession)
+    graft.queries.Text.lmFeaturize(docsStream)
+      .filter(!col("is_ref"))
+      .withColumn("nbv", array(nb.map(lit(_)): _*))
+      .withColumn("ncv", array(nc.map(lit(_)): _*))
+      .withColumn("bits", expr(graft.queries.Text.lmBitsExpr("nbv", "ncv")))
+      .withColumn("ppm", expr("(bits + 64L * n_bi) * 1000L div n_bi"))
+      .select("doc_id", "lang", "source", "n_bi", "bits", "ppm")
+  }
+
   /** Streaming twin of [[graft.queries.Text.txPiiRedact]]'s scrub: the
     * SAME shared per-document projection (`Text.piiScrub` — plant →
     * regex count → replace → digest, a pure stateless narrow stage, so

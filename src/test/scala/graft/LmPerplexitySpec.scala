@@ -47,6 +47,54 @@ class LmPerplexitySpec extends SparkSpec {
       byBucket("tail").getAs[Long]("min_ppm"))
   }
 
+  test("streaming scorer equals batch, and re-bucketing reproduces the report") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val sfDir = "/root/testdata/sf0.001"
+    val (nb, nc) = Text.lmStats(spark, sfDir)
+    assert(nb.size == Text.lmBuckets && nc.size == Text.lmBuckets)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-lm-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val q = StreamingOps.lmScoredDocs(
+        StreamingOps.readDocumentsStream(spark, streamDir.toString), nb, nc)
+      .writeStream.format("memory").queryName("lm_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("lm_stream").orderBy("doc_id").collect()
+    val batch = StreamingOps.lmScoredDocs(
+        Tables(spark, sfDir, "documents"), nb, nc)
+      .orderBy("doc_id").collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.zip(batch).forall { case (a, b) => a == b },
+      "per-doc streamed LM scores must equal the batch scores bit for bit")
+    // the serving-side tercile assignment over the streamed scores must
+    // reproduce the batch report's bucket counts exactly
+    val report = Text.txLmPerplexity(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("bucket")) ->
+        r.getAs[Long]("n_docs")).toMap
+    val rebucketed = streamed
+      .groupBy(_.getAs[String]("lang"))
+      .toSeq
+      .flatMap { case (lang, rows) =>
+        val sorted = rows.toSeq
+          .sortBy(r => (r.getAs[Long]("ppm"), r.getAs[Long]("doc_id")))
+        val n = sorted.length
+        sorted.zipWithIndex.map { case (_, i) =>
+          val rn = i + 1L
+          val b = if (rn * 3 <= n) "head"
+            else if (rn * 3 <= n * 2L) "middle" else "tail"
+          (lang, b)
+        }
+      }
+      .groupBy(x => x).view.mapValues(_.size.toLong).toMap
+    report.foreach { case (k, v) =>
+      assert(rebucketed.getOrElse(k, 0L) == v,
+        s"bucket count mismatch for $k: stream ${rebucketed.get(k)} vs batch $v")
+    }
+  }
+
   test("tercile sizes and coverage on the driver corpus") {
     val rows = Text.txLmPerplexity(spark, "/root/testdata/sf0.001").collect()
     val perLang = rows.groupBy(_.getAs[String]("lang"))
