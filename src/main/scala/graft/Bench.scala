@@ -107,6 +107,10 @@ object Bench {
     val trainPerCall = Set("sim_ivfpq", "sim_pq_rerank", "sim_pq_adc",
       "sim_ivf_kmeans", "sim_ivf_upsert", "sim_ivf_retrain",
       "tx_bpe_merges", "tx_bpe_apply", "tx_model_quality",
+      // r10 build twins: residual IVFPQ trains coarse + residual
+      // codebooks per call; the OPQ audit trains TWO full codebook sets
+      // (raw + rotated) per call — both build-dominated by construction
+      "sim_ivfpq_residual", "sim_opq_rotate",
       // NN-descent rebuilds the whole graph per call (build pricing;
       // sim_graph_search is its steady-state indexed twin)
       "sim_knn_descent",

@@ -138,6 +138,9 @@ object SparkEntry {
     // CCNet's LM stage: hashed-bigram LM on the reference carve,
     // whole-bit integer perplexity surrogate, per-lang terciles
     "tx_lm_perplexity" -> ((s, d) => Text.txLmPerplexity(s, d)),
+    // the composed CCNet pipeline: exact dedup -> langid -> LM terciles
+    // in one plan, built from the standalone operators' shared pieces
+    "pipeline_ccnet" -> ((s, d) => Text.pipelineCcnet(s, d)),
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -2132,9 +2135,23 @@ object SparkEntry {
     * render binary without leading zeros), the shifted integer ppm, and
     * the per-language tercile rank arithmetic.
     */
-  private def lmPerplexitySql: String = {
+  private def lmPerplexitySql: String =
+    s"""WITH $lmCtes
+       |SELECT lang,
+       |  CASE WHEN rn * 3 <= n THEN 'head'
+       |       WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |  count(*) AS n_docs, min(ppm) AS min_ppm, max(ppm) AS max_ppm,
+       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+       |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The LM chain as a reusable CTE body (fx → hist → st → sc → pp →
+    * bk, per-doc rank+count rows in `bk`) — one text for
+    * [[lmPerplexitySql]] and the composed ccnet oracle (the
+    * knnDescentCtes sharing rule).
+    */
+  private def lmCtes: String = {
     val b = Text.lmBuckets
-    s"""WITH fx AS (
+    s"""fx AS (
        |  SELECT doc_id, lang, source, source = 'src0' AS is_ref,
        |    CAST(len(toks) - 1 AS BIGINT) AS n_bi,
        |    list_transform(range(0, $b), j -> CAST(len(list_filter(bg, bk -> bk = j)) AS BIGINT)) AS xg,
@@ -2165,14 +2182,49 @@ object SparkEntry {
        |  SELECT lang, doc_id, ppm,
        |    row_number() OVER (PARTITION BY lang ORDER BY ppm, doc_id) AS rn,
        |    count(*) OVER (PARTITION BY lang) AS n
-       |  FROM pp)
-       |SELECT lang,
-       |  CASE WHEN rn * 3 <= n THEN 'head'
-       |       WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
-       |  count(*) AS n_docs, min(ppm) AS min_ppm, max(ppm) AS max_ppm,
-       |  CAST(sum(doc_id) AS BIGINT) AS id_sum
-       |FROM bk GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |  FROM pp)""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.queries.Text.pipelineCcnet]]: the verbatim
+    * [[lmCtes]] chain, the keep-first dup rank over the same crawl
+    * domain, the langid CASE, joined per doc and rolled up per
+    * (predicted, bucket) — the composition of the standalone oracles.
+    */
+  private def ccnetSql: String =
+    s"""WITH $lmCtes,
+       |dd AS (
+       |  SELECT doc_id,
+       |    row_number() OVER (PARTITION BY text ORDER BY doc_id) AS drn
+       |  FROM documents
+       |  WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 2),
+       |li AS (
+       |  SELECT doc_id,
+       |    CASE WHEN cjk > 0 THEN 'zh'
+       |         WHEN en_h >= es_h AND en_h >= de_h AND en_h >= fr_h THEN 'en'
+       |         WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
+       |         WHEN de_h >= fr_h THEN 'de'
+       |         ELSE 'fr' END AS predicted
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(list_filter(string_split(lower(text), ' '), t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS en_h,
+       |      len(list_filter(string_split(lower(text), ' '), t -> list_contains(['el','la','de','los','las','y','en','que','un','una'], t))) AS es_h,
+       |      len(list_filter(string_split(lower(text), ' '), t -> list_contains(['der','die','das','und','ist','ein','eine','zu','den','von'], t))) AS de_h,
+       |      len(list_filter(string_split(lower(text), ' '), t -> list_contains(['le','la','les','de','et','un','une','est','en','que'], t))) AS fr_h,
+       |      length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk
+       |    FROM documents
+       |    WHERE source <> 'src0' AND len(string_split(text, ' ')) >= 2)),
+       |j AS (
+       |  SELECT li.predicted,
+       |    CASE WHEN bk.rn * 3 <= bk.n THEN 'head'
+       |         WHEN bk.rn * 3 <= bk.n * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |    dd.drn > 1 AS is_dup, bk.doc_id
+       |  FROM bk JOIN dd ON bk.doc_id = dd.doc_id
+       |  JOIN li ON bk.doc_id = li.doc_id)
+       |SELECT predicted, bucket, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN NOT is_dup AND bucket <> 'tail' THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(sum(CASE WHEN NOT is_dup AND bucket <> 'tail' THEN doc_id END) AS BIGINT) AS kept_id_sum
+       |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** The shared unrolled training chain (features → train slice →
     * gradient rounds to `tw{rounds}`) — one generator for the
@@ -3549,6 +3601,7 @@ object SparkEntry {
     "tx_model_quality_eval" -> modelQualityEvalSql,
     "tx_dsir_select" -> dsirSelectSql,
     "tx_lm_perplexity" -> lmPerplexitySql,
+    "pipeline_ccnet" -> ccnetSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (
         |  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),

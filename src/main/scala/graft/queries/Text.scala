@@ -129,13 +129,24 @@ object Text {
     * `filter(toks, …)` passes — round 1's #2 bench cost (VERDICT.md).
     * The counts are integers, so the split has no effect on values.
     */
-  def txLangId(spark: SparkSession, dir: String): DataFrame = {
+  def txLangId(spark: SparkSession, dir: String): DataFrame =
+    langIdPredicted(Tables.spread(docs(spark, dir)))
+      .groupBy("lang", "predicted")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "predicted")
+
+  /** The langid projection (one codegen'd lexicon pass + the CJK check +
+    * the argmax CASE) applied to ANY text frame — one definition for
+    * [[txLangId]]'s confusion matrix and the composed
+    * [[pipelineCcnet]]'s per-doc prediction.
+    */
+  private[graft] def langIdPredicted(in: DataFrame): DataFrame = {
     val lexicons = Seq(
       Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
       Seq("el", "la", "de", "los", "las", "y", "en", "que", "un", "una"),
       Seq("der", "die", "das", "und", "ist", "ein", "eine", "zu", "den", "von"),
       Seq("le", "la", "les", "de", "et", "un", "une", "est", "en", "que"))
-    val scored = Tables.spread(docs(spark, dir))
+    in
       .withColumn("hits", graft.functions.TextFunctions.lexiconHits(
         expr("split(lower(text), ' ')"), lexicons))
       .withColumn("en_h", col("hits")(0))
@@ -149,9 +160,6 @@ object Text {
                      WHEN es_h >= de_h AND es_h >= fr_h THEN 'es'
                      WHEN de_h >= fr_h THEN 'de'
                      ELSE 'fr' END"""))
-    scored.groupBy("lang", "predicted")
-      .agg(count(lit(1)).as("n_docs"))
-      .orderBy("lang", "predicted")
   }
 
   /** Document fingerprinting: polynomial rolling hash over the codepoint
@@ -3248,6 +3256,21 @@ object Text {
     * frame — the planted-corpus spec drives this directly.
     */
   private[graft] def lmPerplexityOver(spark: SparkSession,
+      in: DataFrame): DataFrame =
+    lmBucketedDocs(spark, in)
+      .groupBy("lang", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        min("ppm").as("min_ppm"),
+        max("ppm").as("max_ppm"),
+        sum("doc_id").as("id_sum"))
+      .orderBy("lang", "bucket")
+
+  /** The per-document LM score + tercile assignment — the shared middle
+    * of [[txLmPerplexity]] and the composed [[pipelineCcnet]] (one
+    * definition, the lmFeaturize sharing discipline). Emits one row per
+    * scored crawl doc: (doc_id, lang, source, n_bi, bits, ppm, bucket).
+    */
+  private[graft] def lmBucketedDocs(spark: SparkSession,
       in: DataFrame): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
     val feats = graft.Caches.scoped("tx_lm.feat", lmFeaturize(in))
@@ -3276,12 +3299,7 @@ object Text {
         when(col("rn") * 3 <= col("n"), "head")
           .when(col("rn") * 3 <= col("n") * 2, "middle")
           .otherwise("tail"))
-      .groupBy("lang", "bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        min("ppm").as("min_ppm"),
-        max("ppm").as("max_ppm"),
-        sum("doc_id").as("id_sum"))
-      .orderBy("lang", "bucket")
+      .select("doc_id", "lang", "source", "n_bi", "bits", "ppm", "bucket")
   }
 
   /** The LM feature projection: per doc, the hashed-bucket-count vector
@@ -3330,6 +3348,46 @@ object Text {
     s"""aggregate(sequence(0, ${b - 1}), CAST(0 AS BIGINT), (acc, j) ->
           acc + xc[j] * CAST(length(bin($nc[j] + ${b}L)) - 1 AS BIGINT)
               - xg[j] * CAST(length(bin($nb[j] + 1L)) - 1 AS BIGINT))"""
+  }
+
+  /** The composed CCNet pipeline (Wenzek et al. 2020 Fig. 1): exact
+    * dedup → language id → LM perplexity terciles, as ONE declarative
+    * plan over the crawl carve — the paper's deduplicate/lid/lm stages
+    * composed from this library's standalone operators (the
+    * pipeline_scrub_cut composition rule: both engines compose the
+    * verbatim standalone pieces, so the composition cannot drift from
+    * the parts). Keep rule: first occurrence of its text AND not in the
+    * tail tercile (CCNet retains head+middle by default).
+    *
+    * Scale shape: the dup flag is digest-only (md5 keep-first via the
+    * partial-agg min — text never shuffles, the ddExact discipline);
+    * langid is a pure projection; the LM stage is [[lmBucketedDocs]]'s
+    * bounded-histogram machinery; the three per-doc scalar frames meet
+    * on doc_id and aggregate to a bounded (predicted, bucket) report.
+    */
+  def pipelineCcnet(spark: SparkSession, dir: String): DataFrame = {
+    val crawl = docs(spark, dir)
+    // dup flag over the SAME domain the LM stage scores: crawl docs with
+    // >= 2 tokens (the lmFeaturize guard)
+    val scoreDomain = crawl
+      .filter(col("source") =!= "src0" && size(split(col("text"), " ")) >= 2)
+    val withDigest = scoreDomain
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("hd"))
+    val keepers = withDigest.groupBy("hd").agg(min("doc_id").as("keeper"))
+    val flags = withDigest.join(keepers, "hd")
+      .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
+    val predicted = langIdPredicted(Tables.spread(scoreDomain))
+      .select("doc_id", "predicted")
+    val bucketed = lmBucketedDocs(spark, crawl)
+      .select("doc_id", "bucket")
+    bucketed.join(flags, "doc_id").join(predicted, "doc_id")
+      .withColumn("kept", !col("is_dup") && col("bucket") =!= "tail")
+      .groupBy("predicted", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_dup"), 1L).otherwise(0L)).as("n_dup"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("kept"), col("doc_id"))).as("kept_id_sum"))
+      .orderBy("predicted", "bucket")
   }
 
   /** The MERGE updates-batch carving rule — ONE set of constants for the

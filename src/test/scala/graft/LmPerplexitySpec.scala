@@ -95,6 +95,32 @@ class LmPerplexitySpec extends SparkSpec {
     }
   }
 
+  test("ccnet composition ties back to the standalone operators") {
+    val sfDir = "/root/testdata/sf0.001"
+    val ccnet = Text.pipelineCcnet(spark, sfDir).collect()
+    assert(ccnet.nonEmpty)
+    // stage totals must conserve the LM stage's scored-doc count
+    val lmTotal = Text.txLmPerplexity(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_docs")).sum
+    assert(ccnet.map(_.getAs[Long]("n_docs")).sum == lmTotal,
+      "composition must cover exactly the LM-scored crawl domain")
+    // the dup count equals the domain's direct over-count of distinct texts
+    val domain = Tables(spark, sfDir, "documents")
+      .filter(col("source") =!= "src0" &&
+        size(split(col("text"), " ")) >= 2)
+    val nDocs = domain.count()
+    val nTexts = domain.select("text").distinct().count()
+    assert(ccnet.map(_.getAs[Long]("n_dup")).sum == nDocs - nTexts,
+      "keep-first dup count must equal docs minus distinct texts")
+    // keep rule internal consistency: kept <= non-dup, tail keeps none
+    ccnet.foreach { r =>
+      val kept = r.getAs[Long]("n_kept")
+      assert(kept <= r.getAs[Long]("n_docs") - r.getAs[Long]("n_dup"))
+      if (r.getAs[String]("bucket") == "tail")
+        assert(kept == 0L, "CCNet's default drops the tail tercile")
+    }
+  }
+
   test("tercile sizes and coverage on the driver corpus") {
     val rows = Text.txLmPerplexity(spark, "/root/testdata/sf0.001").collect()
     val perLang = rows.groupBy(_.getAs[String]("lang"))
