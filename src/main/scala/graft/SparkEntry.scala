@@ -172,6 +172,9 @@ object SparkEntry {
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
     "sim_knn_descent" -> ((s, d) => Similarity.simKnnDescent(s, d)),
     "sim_graph_search" -> ((s, d) => Similarity.simGraphSearch(s, d)),
+    // integer PageRank over the standing kNN graph (crawl-curation
+    // centrality): exact ppm arithmetic, bounded top-25 report
+    "sim_graph_pagerank" -> ((s, d) => Similarity.simGraphPagerank(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
@@ -819,6 +822,40 @@ object SparkEntry {
     * top-k. A hash match proves the persisted edges table serves exactly
     * the declared walk.
     */
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphPagerank]]: the
+    * verbatim descent chain rebuilds the graph (the graphSearchSql
+    * rule — a hash match proves the persisted edges serve exactly this
+    * graph), then the unrolled integer PageRank rounds and the bounded
+    * top-25 rank tail. Round CTEs are MATERIALIZED (each is referenced
+    * by the next round's join AND the left-join node scan — plain CTEs
+    * would re-expand the whole descent chain per reference).
+    */
+  private def graphPagerankSql: String = {
+    val rounds = Similarity.pagerankRounds
+    val g = s"g${Similarity.knnDescentRounds}"
+    val roundCtes = (1 to rounds).map { r =>
+      s"""pgin$r AS MATERIALIZED (
+         |  SELECT e.dst, CAST(sum(p.rank // d.deg) AS BIGINT) AS inflow
+         |  FROM pedges e JOIN pdeg d ON e.src = d.src
+         |  JOIN pg${r - 1} p ON p.vec_id = e.src
+         |  GROUP BY e.dst),
+         |pg$r AS MATERIALIZED (
+         |  SELECT n.vec_id, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  FROM pnodes n LEFT JOIN pgin$r i ON n.vec_id = i.dst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnDescentCtes,
+       |pedges AS MATERIALIZED (SELECT src, dst FROM $g),
+       |pdeg AS MATERIALIZED (SELECT src, count(*) AS deg FROM pedges GROUP BY 1),
+       |pnodes AS MATERIALIZED (SELECT DISTINCT src AS vec_id FROM pedges),
+       |pg0 AS MATERIALIZED (SELECT vec_id, CAST(1000000 AS BIGINT) AS rank FROM pnodes),
+       |$roundCtes
+       |SELECT vec_id, rank AS rank_ppm, rnk FROM (
+       |  SELECT vec_id, rank,
+       |    row_number() OVER (ORDER BY rank DESC, vec_id ASC) AS rnk
+       |  FROM pg$rounds)
+       |WHERE rnk <= 25 ORDER BY rnk""".stripMargin
+  }
+
   private def graphSearchSql: String = graphSearchSqlOver(
     "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)", 5)
 
@@ -3895,6 +3932,7 @@ object SparkEntry {
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_descent" -> knnDescentSql,
     "sim_graph_search" -> graphSearchSql,
+    "sim_graph_pagerank" -> graphPagerankSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
