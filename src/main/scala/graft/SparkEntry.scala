@@ -840,7 +840,7 @@ object SparkEntry {
          |  JOIN pg${r - 1} p ON p.vec_id = e.src
          |  GROUP BY e.dst),
          |pg$r AS MATERIALIZED (
-         |  SELECT n.vec_id, CAST(150000 + (85 * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
+         |  SELECT n.vec_id, CAST(${Similarity.pagerankBasePpm} + (${Similarity.pagerankDampNum} * COALESCE(i.inflow, 0)) // 100 AS BIGINT) AS rank
          |  FROM pnodes n LEFT JOIN pgin$r i ON n.vec_id = i.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $knnDescentCtes,
@@ -2214,7 +2214,7 @@ object SparkEntry {
        |        - xg[j] * CAST(len(bin(nb[j] + 1)) - 1 AS BIGINT))),
        |      (a, b2) -> a + b2) AS bits
        |  FROM fx, st WHERE NOT is_ref),
-       |pp AS (SELECT doc_id, lang, (bits + 64 * n_bi) * 1000 // n_bi AS ppm FROM sc),
+       |pp AS (SELECT doc_id, lang, (bits + ${Text.lmShiftBits} * n_bi) * ${Text.lmPpmScale} // n_bi AS ppm FROM sc),
        |bk AS (
        |  SELECT lang, doc_id, ppm,
        |    row_number() OVER (PARTITION BY lang ORDER BY ppm, doc_id) AS rn,

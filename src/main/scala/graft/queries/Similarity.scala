@@ -1101,6 +1101,13 @@ object Similarity {
     */
   private[graft] val pagerankRounds = 5
 
+  /** PageRank ppm arithmetic constants — interpolated into BOTH the
+    * Spark expressions and the generated oracle (the o5 shared-constant
+    * rule): base = (1−α)·1e6, damping α = dampNum/100.
+    */
+  private[graft] val pagerankBasePpm = 150000L
+  private[graft] val pagerankDampNum = 85L
+
   /** Integer PageRank over the standing kNN graph — the web-graph
     * quality signal crawl-curation pipelines rank pages by (Brin & Page
     * 1998; Common-Crawl-derived corpora carry harmonic/PageRank
@@ -1139,7 +1146,8 @@ object Similarity {
       ranks = nodes
         .join(contrib, nodes("vec_id") === contrib("dst"), "left")
         .select(nodes("vec_id"),
-          (lit(150000L) + expr("85L * coalesce(inflow, 0L) div 100"))
+          (lit(pagerankBasePpm) +
+            expr(s"${pagerankDampNum}L * coalesce(inflow, 0L) div 100"))
             .as("rank"))
         .localCheckpoint(false)
       ranks.count() // one bounded job per round, lineage truncated

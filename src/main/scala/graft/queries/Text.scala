@@ -3217,6 +3217,21 @@ object Text {
     */
   private[graft] val lmBuckets = 128
 
+  /** LM ppm-rate constants — the positivity shift (64 bits/bigram is the
+    * per-instance cost ceiling, so `bits + lmShiftBits·n_bi ≥ 0` and the
+    * integer division is trunc==floor in both engines) and the milli
+    * scale; interpolated into the Spark expressions AND the oracle (the
+    * o5 shared-constant rule).
+    */
+  private[graft] val lmShiftBits = 64L
+  private[graft] val lmPpmScale = 1000L
+
+  /** The shifted integer perplexity rate over (bits, n_bi) — one text
+    * for the batch scorer and the streaming twin.
+    */
+  private[graft] def lmPpmSparkExpr: String =
+    s"(bits + ${lmShiftBits}L * n_bi) * ${lmPpmScale}L div n_bi"
+
   /** CCNet's LM stage (Wenzek et al. 2020, "CCNet: Extracting High
     * Quality Monolingual Datasets from Web Crawl Data"): score every
     * crawl document by its perplexity under a language model trained on
@@ -3288,7 +3303,7 @@ object Text {
       .withColumn("st", expr("(SELECT struct(nb, nc) FROM graft_lm_stats)"))
       .withColumn("bits", expr(lmBitsExpr("st.nb", "st.nc")))
       .withColumn("ppm",
-        expr("(bits + 64L * n_bi) * 1000L div n_bi"))
+        expr(lmPpmSparkExpr))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("lang").orderBy(col("ppm").asc, col("doc_id").asc)
     val cnt = org.apache.spark.sql.expressions.Window.partitionBy("lang")

@@ -543,7 +543,7 @@ object StreamingOps {
       .withColumn("nbv", array(nb.map(lit(_)): _*))
       .withColumn("ncv", array(nc.map(lit(_)): _*))
       .withColumn("bits", expr(graft.queries.Text.lmBitsExpr("nbv", "ncv")))
-      .withColumn("ppm", expr("(bits + 64L * n_bi) * 1000L div n_bi"))
+      .withColumn("ppm", expr(graft.queries.Text.lmPpmSparkExpr))
       .select("doc_id", "lang", "source", "n_bi", "bits", "ppm")
   }
 
