@@ -3391,7 +3391,11 @@ object Text {
     val keepers = withDigest.groupBy("hd").agg(min("doc_id").as("keeper"))
     val flags = withDigest.join(keepers, "hd")
       .select(col("doc_id"), (col("doc_id") =!= col("keeper")).as("is_dup"))
-    val predicted = langIdPredicted(Tables.spread(scoreDomain))
+    // NO Tables.spread here (unlike standalone txLangId): the spread is
+    // the small-SF single-row-group workaround and it repartitions TEXT —
+    // the composed plan keeps the no-text-shuffle contract instead
+    // (PlanSpec-pinned); at real scale the scan is already partitioned
+    val predicted = langIdPredicted(scoreDomain)
       .select("doc_id", "predicted")
     val bucketed = lmBucketedDocs(spark, crawl)
       .select("doc_id", "bucket")

@@ -383,6 +383,44 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("PushedFilters: [In(l_orderkey"))
   }
 
+  test("ccnet composition shuffles never carry document text") {
+    // the dup flag is digest-only and langid/LM are projections, so the
+    // composed plan's exchanges must carry only (doc_id, scalar) rows —
+    // at 100 TB the crawl text stays on the scan side everywhere
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("pipeline_ccnet")(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if e.output.exists(_.name == "text") => e
+      })
+      assert(offenders.isEmpty,
+        s"text crossed an exchange in pipeline_ccnet:\n${offenders.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("pagerank round shuffles carry only id/long pairs") {
+    // every exchange in the iteration is (id, long) rows — no vectors,
+    // no text, no wide structs; the Pregel contract that makes the
+    // iteration bandwidth-bounded at any graph size
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.types.{LongType, IntegerType}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("sim_graph_pagerank")(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if !e.output.forall(a =>
+              a.dataType == LongType || a.dataType == IntegerType) => e
+      })
+      assert(offenders.isEmpty,
+        s"non-scalar attribute crossed a pagerank exchange:\n${offenders.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
   test("dd_incremental shuffles never carry document text") {
     // The scaladoc's scale claim made an assertion: at 100 TB the base is
     // petabytes of text but only 8-byte digests may cross an exchange —
