@@ -141,6 +141,9 @@ object SparkEntry {
     // the composed CCNet pipeline: exact dedup -> langid -> LM terciles
     // in one plan, built from the standalone operators' shared pieces
     "pipeline_ccnet" -> ((s, d) => Text.pipelineCcnet(s, d)),
+    // the standing-model form: scores against the PERSISTED reference-LM
+    // histograms (results — and the oracle — identical by construction)
+    "tx_lm_perplexity_indexed" -> ((s, d) => Text.txLmPerplexityIndexed(s, d)),
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -3638,6 +3641,7 @@ object SparkEntry {
     "tx_model_quality_eval" -> modelQualityEvalSql,
     "tx_dsir_select" -> dsirSelectSql,
     "tx_lm_perplexity" -> lmPerplexitySql,
+    "tx_lm_perplexity_indexed" -> lmPerplexitySql,
     "pipeline_ccnet" -> ccnetSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (

@@ -3272,7 +3272,13 @@ object Text {
     */
   private[graft] def lmPerplexityOver(spark: SparkSession,
       in: DataFrame): DataFrame =
-    lmBucketedDocs(spark, in)
+    lmReport(lmBucketedDocs(spark, in))
+
+  /** The per-(lang, bucket) tercile rollup shared by the train-per-call
+    * and indexed forms.
+    */
+  private def lmReport(bucketed: DataFrame): DataFrame =
+    bucketed
       .groupBy("lang", "bucket")
       .agg(count(lit(1)).as("n_docs"),
         min("ppm").as("min_ppm"),
@@ -3280,19 +3286,54 @@ object Text {
         sum("doc_id").as("id_sum"))
       .orderBy("lang", "bucket")
 
+  // lm_model path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val lmIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the persisted reference-LM histograms — the
+    * standing-model form of the perplexity filter (CCNet ships the
+    * trained KenLM binaries; here the model IS the B-row count table).
+    * Marker/memo discipline incl. clearing both BEFORE rebuilding (the
+    * ensureIvfIndex rule).
+    */
+  def ensureLmIndex(spark: SparkSession, dir: String): String = synchronized {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/lm_model"
+    val marker = new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(lmIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      lmIndexFor.remove(base)
+      fs.delete(marker, false)
+      lmHistogram(lmFeaturize(docs(spark, dir)))
+        .write.mode("overwrite").parquet(s"$base/stats")
+      lmIndexFor(base) = dir
+    }
+    base
+  }
+
+  /** [[txLmPerplexity]] over the PERSISTED histograms — train-once/
+    * serve-many, the deployment form (the tx_model_quality_indexed /
+    * tx_bpe_apply_indexed treatment; the LM was the last trained
+    * artifact without a standing form). Results — and the oracle text —
+    * are identical to the train-per-call query by construction.
+    */
+  def txLmPerplexityIndexed(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val base = ensureLmIndex(spark, dir)
+    lmReport(lmBucketedDocs(spark, Tables.spread(docs(spark, dir)),
+      Some(spark.read.parquet(s"$base/stats"))))
+  }
+
   /** The per-document LM score + tercile assignment — the shared middle
     * of [[txLmPerplexity]] and the composed [[pipelineCcnet]] (one
     * definition, the lmFeaturize sharing discipline). Emits one row per
     * scored crawl doc: (doc_id, lang, source, n_bi, bits, ppm, bucket).
     */
   private[graft] def lmBucketedDocs(spark: SparkSession,
-      in: DataFrame): DataFrame = {
+      in: DataFrame, histSrc: Option[DataFrame] = None): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
     val feats = graft.Caches.scoped("tx_lm.feat", lmFeaturize(in))
-    feats.filter(col("is_ref"))
-      .select(posexplode(arrays_zip(col("xg"), col("xc"))))
-      .groupBy("pos")
-      .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
+    histSrc.getOrElse(lmHistogram(feats))
       .agg(
         expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
           .as("nb"),
@@ -3316,6 +3357,16 @@ object Text {
           .otherwise("tail"))
       .select("doc_id", "lang", "source", "n_bi", "bits", "ppm", "bucket")
   }
+
+  /** The reference-corpus histogram pass — (pos, nb_j, nc_j), B rows;
+    * one definition for the in-plan training, the persisted model
+    * ([[ensureLmIndex]]) and [[lmStats]].
+    */
+  private[graft] def lmHistogram(feats: DataFrame): DataFrame =
+    feats.filter(col("is_ref"))
+      .select(posexplode(arrays_zip(col("xg"), col("xc"))))
+      .groupBy("pos")
+      .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
 
   /** The LM feature projection: per doc, the hashed-bucket-count vector
     * of its bigrams AND of its context tokens (each bigram's first
@@ -3342,10 +3393,7 @@ object Text {
     */
   def lmStats(spark: SparkSession, dir: String): (Seq[Long], Seq[Long]) = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val r = lmFeaturize(docs(spark, dir)).filter(col("is_ref"))
-      .select(posexplode(arrays_zip(col("xg"), col("xc"))))
-      .groupBy("pos")
-      .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
+    val r = lmHistogram(lmFeaturize(docs(spark, dir)))
       .agg(
         expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
           .as("nb"),

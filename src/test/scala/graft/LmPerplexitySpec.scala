@@ -121,6 +121,23 @@ class LmPerplexitySpec extends SparkSpec {
     }
   }
 
+  test("indexed form serves the persisted model and equals train-per-call") {
+    val sfDir = "/root/testdata/sf0.001"
+    val indexed = Text.txLmPerplexityIndexed(spark, sfDir).collect()
+    val trained = Text.txLmPerplexity(spark, sfDir).collect()
+    assert(indexed.toSeq == trained.toSeq,
+      "persisted-histogram scoring must equal train-per-call row for row")
+    // served, not rebuilt (the AggRefreshSpec mtime discipline)
+    val base = Text.ensureLmIndex(spark, sfDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.txLmPerplexityIndexed(spark, sfDir).collect()
+    Text.txLmPerplexityIndexed(spark, sfDir).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "two indexed scores must not rewrite the standing model")
+  }
+
   test("tercile sizes and coverage on the driver corpus") {
     val rows = Text.txLmPerplexity(spark, "/root/testdata/sf0.001").collect()
     val perLang = rows.groupBy(_.getAs[String]("lang"))
