@@ -213,6 +213,9 @@ object SparkEntry {
     // OPQ rotation audit: Hadamard-rotated vs raw PQ on the anisotropic
     // carve — per-subspace SSE balance, exact folds
     "sim_opq_rotate" -> ((s, d) => Similarity.simOpqRotate(s, d)),
+    // by-residual IVFPQ over the persisted residual index (build/serve
+    // split; results — and the oracle — identical by construction)
+    "sim_ivfpq_residual_indexed" -> ((s, d) => Similarity.simIvfPqResidualIndexed(s, d)),
     // standing-index maintenance: a frozen quantizer admits a delta batch
     // with no retrain; per-cell base/new/total occupancy audit
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
@@ -3981,6 +3984,7 @@ object SparkEntry {
     "sim_ivfpq" -> ivfPqSql,
     "sim_ivfpq_indexed" -> ivfPqSql,
     "sim_ivfpq_residual" -> ivfPqResidualSql,
+    "sim_ivfpq_residual_indexed" -> ivfPqResidualSql,
     "sim_opq_rotate" -> opqRotateSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,

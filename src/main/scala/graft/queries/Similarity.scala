@@ -2168,15 +2168,35 @@ object Similarity {
     val books = pqCodebooksFrom(res.select("vec_id", "embedding"))
     val codes = pqEncodeFrom(res.select("vec_id", "embedding"), books)
       .join(cellOf, "vec_id")
-    // per-(query, probed-cell) residual distance tables — |q|·nprobe·m·k
-    // tiny rows, broadcast
-    val qres = querySet.getOrElse(defaultQueries(spark, dir))
+    residualPqScore(spark, dir, books, codes,
+      residualQueries(spark, dir, probes, centArr, querySet),
+      shortlist, k, querySet)
+  }
+
+  /** Per-(query, probed-cell) residual projection — |q|·nprobe tiny
+    * rows; shared by the train-per-call and indexed residual searches.
+    */
+  private def residualQueries(spark: SparkSession, dir: String,
+      probes: DataFrame, centArr: DataFrame,
+      querySet: Option[DataFrame]): DataFrame =
+    querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
       .join(probes, "qid")
       .join(broadcast(centArr), "cell")
       .select(col("qid"), col("cell"),
         expr(s"transform(sequence(0, ${dims - 1}), i -> CAST(qvec[i] AS DOUBLE) - centroid[i])")
           .as("qrvec"))
+
+  /** The shared residual-ADC fine stage — one definition for the
+    * train-per-call form ([[simIvfPqResidual]]) and the materialized-
+    * index form ([[simIvfPqResidualIndexed]]), the ivfPqScore pattern:
+    * per-(query, cell) residual distance tables, the cell-equality join
+    * as the probe confirm, the s-ordered fold, bounded shortlist,
+    * [[exactRerank]]. Identical arithmetic, one oracle text.
+    */
+  private def residualPqScore(spark: SparkSession, dir: String,
+      books: DataFrame, codes: DataFrame, qres: DataFrame,
+      shortlist: Int, k: Int, querySet: Option[DataFrame]): DataFrame = {
     val qd = qres.join(broadcast(books))
       .withColumn("qdist",
         expr(l2SubExpr("qrvec", "centroid", s"s * $pqSubDims")))
@@ -2199,6 +2219,78 @@ object Similarity {
       .filter(col("rnk") <= shortlist)
       .select("qid", "vec_id")
     exactRerank(spark, dir, short, querySet, k)
+  }
+
+  // residual-pq index path -> sfDir that built it (the ensurePqIndex shape)
+  private val rpqIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the persisted RESIDUAL PQ index: residual
+    * codebooks + cell-tagged residual codes, built against the standing
+    * IVF index's own centroids/cells (the one coarse assignment rule).
+    * Marker/memo discipline incl. clearing both BEFORE rebuilding.
+    */
+  def ensureResidualPqIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val ivfBase = ensureIvfIndex(spark, dir)
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/rpq_index"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(rpqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        rpqIndexFor.remove(base)
+        fs.delete(marker, false)
+        val cellOf = readIvfCells(spark, ivfBase)
+          .select(col("m_vec_id").as("vec_id"), col("cell"))
+        val centArr = spark.read.parquet(s"$ivfBase/centroids")
+          .select(col("c_label").as("cell"), col("centroid"))
+        val res = (Tables(spark, dir, "embeddings")
+          .select("vec_id", "embedding")
+          .join(cellOf, "vec_id")
+          .join(broadcast(centArr), "cell")
+          .select(col("vec_id"), col("cell"),
+            expr(s"transform(sequence(0, ${dims - 1}), i -> CAST(embedding[i] AS DOUBLE) - centroid[i])")
+              .as("embedding")))
+          .localCheckpoint(false)
+        val books = pqCodebooksFrom(res.select("vec_id", "embedding"))
+        books.write.mode("overwrite").parquet(s"$base/codebooks")
+        pqEncodeFrom(res.select("vec_id", "embedding"), books)
+          .join(cellOf, "vec_id")
+          .write.mode("overwrite").parquet(s"$base/codes")
+        rpqIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** [[simIvfPqResidual]] over BOTH materialized indexes — the
+    * steady-state deployment form of by-residual IVFPQ (the
+    * simIvfPqIndexed treatment): probes rank against the persisted
+    * centroids, candidate codes come from the persisted cell-tagged
+    * residual code table, query residuals are the only per-call
+    * arithmetic before the bounded re-rank. Results — and the oracle
+    * text — are identical to the train-per-call form by construction
+    * (the persisted coarse stage is the same deterministic kmeansTrain,
+    * the residual books the same deterministic Lloyd chains).
+    */
+  def simIvfPqResidualIndexed(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    val ivfBase = ensureIvfIndex(spark, dir)
+    val rpqBase = ensureResidualPqIndex(spark, dir)
+    spark.read.parquet(s"$ivfBase/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probes = spark.sql(ivfProbeKeysSql(nprobe))
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"))
+    val centArr = spark.read.parquet(s"$ivfBase/centroids")
+      .select(col("c_label").as("cell"), col("centroid"))
+    val books = spark.read.parquet(s"$rpqBase/codebooks")
+    val codes = spark.read.parquet(s"$rpqBase/codes")
+    residualPqScore(spark, dir, books, codes,
+      residualQueries(spark, dir, probes, centArr, querySet),
+      shortlist, k, querySet)
   }
 
   /** IVFPQ upsert — FAISS `IndexIVFPQ.add`, completing the composed

@@ -165,6 +165,12 @@ class PqRecallSpec extends SparkSpec {
       assert(resid >= residFloors(dir),
         s"by-residual IVFPQ recall $resid fell below the pinned " +
           s"${residFloors(dir)} floor at $dir")
+      // the persisted residual index serves the identical search
+      val indexed = Similarity.simIvfPqResidualIndexed(spark, dir, k = k)
+        .collect()
+      val perCall = Similarity.simIvfPqResidual(spark, dir, k = k).collect()
+      assert(indexed.toSeq == perCall.toSeq,
+        "indexed residual search must equal train-per-call row for row")
     }
   }
 }
