@@ -243,6 +243,12 @@ object SparkEntry {
         graft.multimodal.Multimodal.fromDocuments(
           Tables(s, dir, "documents")))
     }),
+    // pHash-slot near-dup media: simhash over payload shingles, blocked
+    // cluster-arithmetic pair accounting (never per-pair enumeration)
+    "mm_simhash_dedup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.simhashDedup(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents")))),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "dd_semdedup_banded" -> ((s, d) => Similarity.ddSemdedupBanded(s, d)),
@@ -3255,6 +3261,47 @@ object SparkEntry {
         |FROM intra i LEFT JOIN crx c2 ON i.lang = c2.lang
         |WHERE i.p0 + COALESCE(c2.cross_pairs, 0) > 0
         |ORDER BY i.lang""".stripMargin,
+    // mm_simhash_dedup: the dd_simhash vote/cluster machinery over 8-byte
+    // payload shingles (payload = utf8 bytes, so DuckDB shingles
+    // lower(hex(text)); Spark hex is uppercase — lower() both sides).
+    "mm_simhash_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
+        |  WHERE strlen(text) >= 8),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(0, len(hx) // 16), i -> substr(hx, i * 16 + 1, 16))) AS toks
+        |  FROM m),
+        |h AS (
+        |  SELECT doc_id,
+        |    list_transform(toks, t ->
+        |      (CASE WHEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) >= 2147483648
+        |            THEN CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) - 4294967296
+        |            ELSE CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) END) * 4294967296
+        |      + CAST(('0x' || substr(md5(t), 9, 8)) AS BIGINT)) AS hs
+        |  FROM sh),
+        |sig AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63), b ->
+        |      CASE WHEN 2 * len(list_filter(hs, v -> ((v >> b) & 1) = 1)) > len(hs)
+        |           THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)), (x, y) -> x + y)
+        |    + CASE WHEN 2 * len(list_filter(hs, v -> ((v >> 63) & 1) = 1)) > len(hs)
+        |           THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS simhash
+        |  FROM h),
+        |u AS (
+        |  SELECT simhash >> 48 AS block, simhash, count(*) AS c
+        |  FROM sig GROUP BY 1, 2),
+        |intra AS (SELECT CAST(sum(c) AS BIGINT) AS n_media,
+        |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p0 FROM u),
+        |crx AS (
+        |  SELECT CAST(sum(x.c * y.c) AS BIGINT) AS cross_pairs,
+        |    CAST(sum(CASE WHEN bit_count(xor(x.simhash, y.simhash)) <= 16 THEN x.c * y.c ELSE 0 END) AS BIGINT) AS cross_close,
+        |    min(bit_count(xor(x.simhash, y.simhash))) AS min_cross
+        |  FROM u x JOIN u y ON x.block = y.block AND x.simhash < y.simhash)
+        |SELECT i.n_media, i.p0 + COALESCE(c2.cross_pairs, 0) AS n_block_pairs,
+        |  i.p0 + COALESCE(c2.cross_close, 0) AS n_close_pairs,
+        |  CASE WHEN i.p0 > 0 THEN 0 ELSE c2.min_cross END AS min_hamming
+        |FROM intra i, crx c2""".stripMargin,
     // The composed corpus-prep flow, assembled from proven oracle blocks:
     // the dd_paragraph keep-first rewrite (string_agg ORDER BY pos = the
     // pos-sorted concat), md5 keep-first exact dedup, and the 8-shingle

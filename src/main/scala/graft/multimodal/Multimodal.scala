@@ -102,6 +102,61 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** NEAR-dup media detection — the perceptual-hash slot
+    * [[frameDedup]]'s scaladoc names (exact frame hashing is correctly
+    * blind to near-dup media; LAION-style image pipelines close that gap
+    * with pHash + hamming banding): a 64-bit signature per media from a
+    * simhash vote over its 8-byte payload shingles (the pHash STUB — a
+    * real pipeline swaps the shingle front for codec-domain features,
+    * exactly like [[decodeStub]]; the signature/banding/cluster
+    * machinery downstream is the production shape and is shared with
+    * [[graft.queries.Text.ddSimhash]]), then the established
+    * cluster-arithmetic pair accounting: media collapse to distinct
+    * (block, simhash) signatures with counts, intra-cluster pairs are
+    * c·(c−1)/2, cross-cluster pairs come from the blocked signature
+    * self-join — pair counts are never enumerated per media pair, so
+    * the join scales with signature diversity, not corpus size.
+    *
+    * Output (one audit row): media count, same-block pair count, pairs
+    * within Hamming 16, minimum observed distance. The two bounded
+    * 1-row aggregates meet via a scalar subquery (the simSqInt8 rule —
+    * a constant-key join folds to the banned BNLJ).
+    */
+  def simhashDedup(media: DataFrame, prefixBits: Int = 16): DataFrame = {
+    val spark = media.sparkSession
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    val uniq = graft.Caches.scoped("mm_simhash.clusters",
+      media.filter(length(col("media")) >= 8)
+        .withColumn("hx", lower(hex(col("media"))))
+        .withColumn("sh", expr(
+          "array_distinct(transform(sequence(0, length(hx) div 16 - 1), i -> substring(hx, i * 16 + 1, 16)))"))
+        .withColumn("hd", expr("transform(sh, t -> md5(CAST(t AS BINARY)))"))
+        .withColumn("hs", expr(
+          s"transform(hd, h -> ${graft.queries.Text.md5SignedHash64Expr("h")})"))
+        .withColumn("simhash", expr("simhash64(hs)"))
+        .select(col("simhash"),
+          expr(s"shiftright(simhash, ${64 - prefixBits})").as("block"))
+        .groupBy("block", "simhash")
+        .agg(count(lit(1)).as("c")))
+    val cross = uniq.as("x").join(uniq.as("y"),
+        col("x.block") === col("y.block") &&
+          col("x.simhash") < col("y.simhash"))
+      .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
+      .withColumn("w", col("x.c") * col("y.c"))
+      .agg(sum("w").as("cross_pairs"),
+        sum(when(col("hamming") <= 16, col("w")).otherwise(0L)).as("cross_close"),
+        min("hamming").as("min_cross"))
+    cross.createOrReplaceTempView("graft_mm_simhash_cross")
+    uniq
+      .agg(sum("c").as("n_media"), sum(expr("c * (c - 1) div 2")).as("p0"))
+      .withColumn("cx", expr(
+        "(SELECT struct(cross_pairs, cross_close, min_cross) FROM graft_mm_simhash_cross)"))
+      .select(col("n_media"),
+        (col("p0") + coalesce(col("cx.cross_pairs"), lit(0L))).as("n_block_pairs"),
+        (col("p0") + coalesce(col("cx.cross_close"), lit(0L))).as("n_close_pairs"),
+        when(col("p0") > 0, lit(0)).otherwise(col("cx.min_cross")).as("min_hamming"))
+  }
+
   /** Default resize geometry for the `mm_resize` query — ONE definition
     * for the Spark call and the generated oracle SQL (the shared-constant
     * discipline: mirrored literals desync silently).

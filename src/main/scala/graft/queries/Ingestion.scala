@@ -139,6 +139,13 @@ object Ingestion {
     * validity-window filter on statpers, friendly-name rename, conform
     * to the 16-column canonical frame, first-non-null dedup per
     * (date, asset_id).
+    *
+    * Cost note (profiled at sf0.1): ~9 s warm = ~2 s for the 60-bit md5
+    * seq projection + ~0.5 s/column of SortAggregate min_by compare work
+    * over the ~1.2M joined rows (string-valued argmin buffers force the
+    * sort-based aggregate). That is the reference semantics' honest
+    * per-row price — the plan itself is one fact scan, a broadcast map
+    * join and a partial-aggregated dedup, the right 100 TB shape.
     */
   def j6MappingValidity(spark: SparkSession, dir: String): DataFrame = {
     val recdsum = Tables(spark, dir, "lineitem").select(

@@ -91,6 +91,30 @@ class MultimodalSpec extends SparkSpec {
     assert(r(9L) == ((4L, 0L, 0L)))
   }
 
+  test("simhashDedup: exact dups hit hamming 0, near-dups stay close, distinct media far") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = "aaaa bbbb cccc dddd eeee ffff gggg hhhh iiii jjjj kkkk llll"
+    val planted = Seq(
+      (1L, base),
+      (2L, base),                              // exact dup -> p0 pair
+      (3L, base.replace("llll", "lxll")),      // near dup -> low hamming
+      (9L, "zz11 yy22 xx33 ww44 vv55 uu66 tt77 ss88 rr99 qq00 pp12 oo34"))
+      .toDF("doc_id", "text")
+    val r = Multimodal.simhashDedup(Multimodal.fromDocuments(planted))
+      .collect().head
+    assert(r.getAs[Long]("n_media") == 4L)
+    // the exact pair shares a signature: intra-cluster arithmetic fires
+    assert(r.getAs[Long]("n_block_pairs") >= 1L)
+    assert(r.getAs[Long]("n_close_pairs") >= 1L)
+    assert(r.getAs[Int]("min_hamming") == 0,
+      "byte-identical payloads must collide at hamming 0")
+    // the near-dup lands in the same block as the base (one shingle of
+    // twelve changed -> few vote flips) and within the close threshold
+    assert(r.getAs[Long]("n_close_pairs") >= 3L,
+      s"near-dup payloads should clear the hamming threshold: $r")
+  }
+
   test("frameDedup on the natural corpus: invariants hold; near-dups do NOT collide") {
     // the corpus's planted document duplicates are NEAR-duplicates, so
     // their quarter-payload byte slices never coincide exactly — exact
