@@ -48,7 +48,13 @@ object Skew {
     */
   def saltedShuffleJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       saltExpr: Column, factor: Int): DataFrame = {
-    val sl = left.withColumn("__salt", pmod(saltExpr, lit(factor.toLong)))
+    require(factor >= 1, "salt factor must be >= 1 " +
+      "(0 would hit the descending-sequence replicate trap)")
+    // NULL salt would never equi-join and silently DROP left rows —
+    // breaking the row-multiset contract. Null entity ids land in salt 0
+    // and keep every original match.
+    val sl = left.withColumn("__salt",
+      pmod(coalesce(saltExpr, lit(0L)), lit(factor.toLong)))
     val sr = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(factor.toLong - 1))))
     sl.join(sr, keys :+ "__salt").drop("__salt")

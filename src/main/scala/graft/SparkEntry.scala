@@ -398,41 +398,59 @@ object SparkEntry {
        |          (CAST($v[i + $lo] AS DOUBLE) - $c[i]) * (CAST($v[i + $lo] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
   }
 
-  private def pqAdcCtes: String = {
+  /** The per-subspace PQ Lloyd training chain, parameterized over CTE
+    * prefix, source CTE and vector column — ONE generator for the raw
+    * chain (pqAdcCtes: prefix "pq" over `embeddings.embedding`), the
+    * residual chain (ivfPqResidualSql: "rpq" over `resid.rvec`) and
+    * both OPQ-audit chains (opqRotateSql: "oa"/"ob" over the carve) —
+    * r10 review finding: three near-identical copies could drift the
+    * "one training rule" into three. The CAST-to-double reads are
+    * no-ops on already-double sources, so one text serves float and
+    * double vectors identically.
+    */
+  private def pqTrainChains(prefix: String, srcCte: String,
+      vecCol: String): String = {
     val m = Similarity.pqM
     val sub = Similarity.pqSubDims
-    val k = Similarity.pqCodebookK
+    val kb = Similarity.pqCodebookK
     val rounds = Similarity.pqTrainRounds
-    def slicedL2(v: String, c: String, lo: String): String =
-      pqSlicedL2(v, c, lo)
-    val chains = (0 until m).map { s =>
+    (0 until m).map { s =>
       val lo = s * sub
       val seed =
-        s"""pq${s}_c0 AS (
-           |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> CAST(embedding[i] AS DOUBLE)) AS centroid
-           |  FROM embeddings WHERE vec_id < $k)""".stripMargin
+        s"""${prefix}${s}_c0 AS (
+           |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> CAST($vecCol[i] AS DOUBLE)) AS centroid
+           |  FROM $srcCte WHERE vec_id < $kb)""".stripMargin
       val steps = (1 to rounds).map { r =>
-        s"""pq${s}_a$r AS (
-           |  SELECT vec_id, embedding, cid FROM (
-           |    SELECT e.vec_id, e.embedding, c.cid,
+        s"""${prefix}${s}_a$r AS (
+           |  SELECT vec_id, $vecCol, cid FROM (
+           |    SELECT e.vec_id, e.$vecCol, c.cid,
            |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        ${slicedL2("e.embedding", "c.centroid", lo.toString)} ASC,
+           |        ${pqSlicedL2(s"e.$vecCol", "c.centroid", lo.toString)} ASC,
            |        c.cid ASC) AS rn
-           |    FROM embeddings e, pq${s}_c${r - 1} c)
+           |    FROM $srcCte e, ${prefix}${s}_c${r - 1} c)
            |  WHERE rn = 1),
-           |pq${s}_c$r AS (
+           |${prefix}${s}_c$r AS (
            |  SELECT cid,
            |    list_transform(range(1, ${sub + 1}), d ->
            |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-           |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-           |        FROM pq${s}_a$r GROUP BY cid))""".stripMargin
+           |  FROM (SELECT cid, count(*) AS n, list($vecCol ORDER BY vec_id) AS members
+           |        FROM ${prefix}${s}_a$r GROUP BY cid))""".stripMargin
       }
       (seed +: steps).mkString(",\n")
-    }
+    }.mkString(",\n")
+  }
+
+  private def pqAdcCtes: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val rounds = Similarity.pqTrainRounds
+    def slicedL2(v: String, c: String, lo: String): String =
+      pqSlicedL2(v, c, lo)
+    val chains = pqTrainChains("pq", "embeddings", "embedding")
     val books = (0 until m)
       .map(s => s"SELECT $s AS s, cid, centroid FROM pq${s}_c$rounds")
       .mkString(" UNION ALL ")
-    s"""WITH ${chains.mkString(",\n")},
+    s"""WITH $chains,
        |books AS ($books),
        |codes AS (
        |  SELECT vec_id, s, cid AS code FROM (
@@ -1070,30 +1088,7 @@ object SparkEntry {
     val sub = Similarity.pqSubDims
     val kb = Similarity.pqCodebookK
     val rounds = Similarity.pqTrainRounds
-    val chains = (0 until m).map { s =>
-      val lo = s * sub
-      val seed =
-        s"""rpq${s}_c0 AS (
-           |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> rvec[i]) AS centroid
-           |  FROM resid WHERE vec_id < $kb)""".stripMargin
-      val steps = (1 to rounds).map { r =>
-        s"""rpq${s}_a$r AS (
-           |  SELECT vec_id, rvec, cid FROM (
-           |    SELECT e.vec_id, e.rvec, c.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-           |        ${pqSlicedL2("e.rvec", "c.centroid", lo.toString)} ASC,
-           |        c.cid ASC) AS rn
-           |    FROM resid e, rpq${s}_c${r - 1} c)
-           |  WHERE rn = 1),
-           |rpq${s}_c$r AS (
-           |  SELECT cid,
-           |    list_transform(range(1, ${sub + 1}), d ->
-           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> mm[d + $lo])), (x, y) -> x + y) / n) AS centroid
-           |  FROM (SELECT cid, count(*) AS n, list(rvec ORDER BY vec_id) AS members
-           |        FROM rpq${s}_a$r GROUP BY cid))""".stripMargin
-      }
-      (seed +: steps).mkString(",\n")
-    }
+    val chains = pqTrainChains("rpq", "resid", "rvec")
     val rbooks = (0 until m)
       .map(s => s"SELECT $s AS s, cid, centroid FROM rpq${s}_c$rounds")
       .mkString(" UNION ALL ")
@@ -1104,7 +1099,7 @@ object SparkEntry {
        |    list_transform(range(1, 65), i -> CAST(rk.embedding[i] AS DOUBLE) - cn.centroid[i]) AS rvec
        |  FROM rk JOIN cn ON rk.c_label = cn.c_label
        |  WHERE rk.crnk = 1),
-       |${chains.mkString(",\n")},
+       |$chains,
        |rbooks AS ($rbooks),
        |rcodes AS (
        |  SELECT vec_id, cell, s, cid AS code FROM (
@@ -1163,30 +1158,7 @@ object SparkEntry {
     val kb = Similarity.pqCodebookK
     val rounds = Similarity.pqTrainRounds
     def chain(prefix: String, srcCte: String): String = {
-      val chains = (0 until m).map { s =>
-        val lo = s * sub
-        val seed =
-          s"""${prefix}${s}_c0 AS (
-             |  SELECT vec_id AS cid, list_transform(range(${lo + 1}, ${lo + sub + 1}), i -> vec[i]) AS centroid
-             |  FROM $srcCte WHERE vec_id < $kb)""".stripMargin
-        val steps = (1 to rounds).map { r =>
-          s"""${prefix}${s}_a$r AS (
-             |  SELECT vec_id, vec, cid FROM (
-             |    SELECT e.vec_id, e.vec, c.cid,
-             |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
-             |        ${pqSlicedL2("e.vec", "c.centroid", lo.toString)} ASC,
-             |        c.cid ASC) AS rn
-             |    FROM $srcCte e, ${prefix}${s}_c${r - 1} c)
-             |  WHERE rn = 1),
-             |${prefix}${s}_c$r AS (
-             |  SELECT cid,
-             |    list_transform(range(1, ${sub + 1}), d ->
-             |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> mm[d + $lo])), (x, y) -> x + y) / n) AS centroid
-             |  FROM (SELECT cid, count(*) AS n, list(vec ORDER BY vec_id) AS members
-             |        FROM ${prefix}${s}_a$r GROUP BY cid))""".stripMargin
-        }
-        (seed +: steps).mkString(",\n")
-      }.mkString(",\n")
+      val chains = pqTrainChains(prefix, srcCte, "vec")
       val books = (0 until m)
         .map(s => s"SELECT $s AS s, cid, centroid FROM ${prefix}${s}_c$rounds")
         .mkString(" UNION ALL ")
@@ -3265,7 +3237,7 @@ object SparkEntry {
     // payload shingles (payload = utf8 bytes, so DuckDB shingles
     // lower(hex(text)); Spark hex is uppercase — lower() both sides).
     "mm_simhash_dedup" ->
-      """WITH m AS (
+      s"""WITH m AS (
         |  SELECT doc_id, lower(hex(text)) AS hx FROM documents
         |  WHERE strlen(text) >= 8),
         |sh AS (
@@ -3289,13 +3261,13 @@ object SparkEntry {
         |           THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS simhash
         |  FROM h),
         |u AS (
-        |  SELECT simhash >> 48 AS block, simhash, count(*) AS c
+        |  SELECT simhash >> ${64 - graft.multimodal.Multimodal.simhashPrefixBits} AS block, simhash, count(*) AS c
         |  FROM sig GROUP BY 1, 2),
         |intra AS (SELECT CAST(sum(c) AS BIGINT) AS n_media,
         |  CAST(sum(c * (c - 1) // 2) AS BIGINT) AS p0 FROM u),
         |crx AS (
         |  SELECT CAST(sum(x.c * y.c) AS BIGINT) AS cross_pairs,
-        |    CAST(sum(CASE WHEN bit_count(xor(x.simhash, y.simhash)) <= 16 THEN x.c * y.c ELSE 0 END) AS BIGINT) AS cross_close,
+        |    CAST(sum(CASE WHEN bit_count(xor(x.simhash, y.simhash)) <= ${graft.multimodal.Multimodal.simhashHammingClose} THEN x.c * y.c ELSE 0 END) AS BIGINT) AS cross_close,
         |    min(bit_count(xor(x.simhash, y.simhash))) AS min_cross
         |  FROM u x JOIN u y ON x.block = y.block AND x.simhash < y.simhash)
         |SELECT i.n_media, i.p0 + COALESCE(c2.cross_pairs, 0) AS n_block_pairs,

@@ -102,6 +102,15 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** Banding/threshold geometry for [[simhashDedup]] — shared with the
+    * generated oracle (the kmeansCtes discipline: the Spark side derives
+    * its shift from THESE constants and the oracle interpolates them, so
+    * there is no parameter whose non-default value could silently desync
+    * engine and oracle — r10 review finding).
+    */
+  val simhashPrefixBits = 16
+  val simhashHammingClose = 16
+
   /** NEAR-dup media detection — the perceptual-hash slot
     * [[frameDedup]]'s scaladoc names (exact frame hashing is correctly
     * blind to near-dup media; LAION-style image pipelines close that gap
@@ -122,7 +131,8 @@ object Multimodal {
     * 1-row aggregates meet via a scalar subquery (the simSqInt8 rule —
     * a constant-key join folds to the banned BNLJ).
     */
-  def simhashDedup(media: DataFrame, prefixBits: Int = 16): DataFrame = {
+  def simhashDedup(media: DataFrame): DataFrame = {
+    val prefixBits = simhashPrefixBits
     val spark = media.sparkSession
     graft.functions.VectorFunctions.ensureRegistered(spark)
     val uniq = graft.Caches.scoped("mm_simhash.clusters",
@@ -144,7 +154,8 @@ object Multimodal {
       .withColumn("hamming", expr("bit_count(x.simhash ^ y.simhash)"))
       .withColumn("w", col("x.c") * col("y.c"))
       .agg(sum("w").as("cross_pairs"),
-        sum(when(col("hamming") <= 16, col("w")).otherwise(0L)).as("cross_close"),
+        sum(when(col("hamming") <= simhashHammingClose, col("w"))
+          .otherwise(0L)).as("cross_close"),
         min("hamming").as("min_cross"))
     cross.createOrReplaceTempView("graft_mm_simhash_cross")
     uniq

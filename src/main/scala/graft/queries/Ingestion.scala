@@ -25,12 +25,16 @@ object Ingestion {
   /** Deterministic per-lineitem dedup order: 60-bit md5 of the full row
     * content rendered through exact integer units (the
     * tx_decontaminate_hashed convention — Spark `conv(,16,10)` ==
-    * DuckDB `'0x'||hex` cast, see [[liSeqDuck]]). Rows identical in every
-    * column collide, but then carry identical values, so any min_by tie
-    * is value-indifferent in both engines.
+    * DuckDB `'0x'||hex` cast, see [[liSeqDuck]]). The hash covers EVERY
+    * lineitem column the derived queries read — including l_partkey and
+    * l_suppkey, which several value columns derive from — so rows that
+    * collide are identical in every consumed column and any min_by tie
+    * is value-indifferent in both engines (r10 review finding: the
+    * original hash omitted the two key columns, leaving a latent
+    * data-content assumption).
     */
   private def liSeq: org.apache.spark.sql.Column =
-    expr("CAST(conv(substring(md5(CAST(concat_ws('|', l_orderkey, l_linenumber, " +
+    expr("CAST(conv(substring(md5(CAST(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
       "CAST(round(l_quantity) AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT), " +
       "CAST(round(l_discount * 100) AS BIGINT), CAST(round(l_tax * 100) AS BIGINT), " +
       "l_returnflag, l_linestatus) AS BINARY)), 1, 15), 16, 10) AS BIGINT)").as("seq")
@@ -40,7 +44,7 @@ object Ingestion {
     * drift.
     */
   private[graft] val liSeqDuck: String =
-    "CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, " +
+    "CAST(('0x' || substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, " +
       "CAST(round(l_quantity) AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT), " +
       "CAST(round(l_discount * 100) AS BIGINT), CAST(round(l_tax * 100) AS BIGINT), " +
       "l_returnflag, l_linestatus)), 1, 15)) AS BIGINT)"

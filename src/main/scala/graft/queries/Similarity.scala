@@ -1127,28 +1127,10 @@ object Similarity {
     * DataFrame ops.
     */
   def simGraphPagerank(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureKnnGraphIndex(spark, dir)
-    val edges = spark.read.parquet(s"$base/edges")
-      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
-      .localCheckpoint(false)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    // every vertex has out-edges by construction (descent keeps top-k
-    // per src), so the src set IS the node set
-    val nodes = edges.select(col("src").as("vec_id")).distinct()
-      .localCheckpoint(false)
+    val (edges, outdeg, nodes) = pagerankInputs(spark, dir)
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (_ <- 1 to pagerankRounds) {
-      val contrib = edges
-        .join(outdeg, "src")
-        .join(ranks.select(col("vec_id").as("src"), col("rank")), "src")
-        .select(col("dst"), expr("rank div deg").as("c"))
-        .groupBy("dst").agg(sum("c").as("inflow"))
-      ranks = nodes
-        .join(contrib, nodes("vec_id") === contrib("dst"), "left")
-        .select(nodes("vec_id"),
-          (lit(pagerankBasePpm) +
-            expr(s"${pagerankDampNum}L * coalesce(inflow, 0L) div 100"))
-            .as("rank"))
+      ranks = pagerankRound(edges, outdeg, nodes, ranks)
         .localCheckpoint(false)
       ranks.count() // one bounded job per round, lineage truncated
     }
@@ -1159,6 +1141,43 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .select(col("vec_id"), col("rank").as("rank_ppm"), col("rnk"))
       .orderBy("rnk")
+  }
+
+  /** The standing graph's (edges, out-degrees, nodes) triple — shared by
+    * the rank loop and the PlanSpec round-shape pin.
+    */
+  private[graft] def pagerankInputs(spark: SparkSession,
+      dir: String): (DataFrame, DataFrame, DataFrame) = {
+    val base = ensureKnnGraphIndex(spark, dir)
+    val edges = spark.read.parquet(s"$base/edges")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+      .localCheckpoint(false)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    // every vertex has out-edges by construction (descent keeps top-k
+    // per src), so the src set IS the node set
+    val nodes = edges.select(col("src").as("vec_id")).distinct()
+      .localCheckpoint(false)
+    (edges, outdeg, nodes)
+  }
+
+  /** ONE PageRank round as a pure plan (no checkpoint) — factored so the
+    * Pregel shuffle contract stays plan-testable: the checkpointed loop
+    * hides every round's exchanges from the served plan, so PlanSpec
+    * pins this un-checkpointed round instead (r10 review finding).
+    */
+  private[graft] def pagerankRound(edges: DataFrame, outdeg: DataFrame,
+      nodes: DataFrame, ranks: DataFrame): DataFrame = {
+    val contrib = edges
+      .join(outdeg, "src")
+      .join(ranks.select(col("vec_id").as("src"), col("rank")), "src")
+      .select(col("dst"), expr("rank div deg").as("c"))
+      .groupBy("dst").agg(sum("c").as("inflow"))
+    nodes
+      .join(contrib, nodes("vec_id") === contrib("dst"), "left")
+      .select(nodes("vec_id"),
+        (lit(pagerankBasePpm) +
+          expr(s"${pagerankDampNum}L * coalesce(inflow, 0L) div 100"))
+          .as("rank"))
   }
 
   def simGraphSearch(spark: SparkSession, dir: String, k: Int = 5,

@@ -3332,13 +3332,15 @@ object Text {
   private[graft] def lmBucketedDocs(spark: SparkSession,
       in: DataFrame, histSrc: Option[DataFrame] = None): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val feats = graft.Caches.scoped("tx_lm.feat", lmFeaturize(in))
-    histSrc.getOrElse(lmHistogram(feats))
-      .agg(
-        expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
-          .as("nb"),
-        expr("transform(sort_array(collect_list(struct(pos, nc_j))), t -> t.nc_j)")
-          .as("nc"))
+    // persisted-histogram path never reads the reference rows: filter
+    // them BEFORE the cached featurize so a steady-state indexed call
+    // skips the training-carve hashing entirely (r10 review finding)
+    val (src, cacheKey) = histSrc match {
+      case Some(_) => (in.filter(col("source") =!= "src0"), "tx_lm.feat.scored")
+      case None => (in, "tx_lm.feat")
+    }
+    val feats = graft.Caches.scoped(cacheKey, lmFeaturize(src))
+    lmStatsAgg(histSrc.getOrElse(lmHistogram(feats)))
       .createOrReplaceTempView("graft_lm_stats")
     val scored = feats.filter(!col("is_ref"))
       .withColumn("st", expr("(SELECT struct(nb, nc) FROM graft_lm_stats)"))
@@ -3393,15 +3395,22 @@ object Text {
     */
   def lmStats(spark: SparkSession, dir: String): (Seq[Long], Seq[Long]) = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val r = lmHistogram(lmFeaturize(docs(spark, dir)))
-      .agg(
-        expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
-          .as("nb"),
-        expr("transform(sort_array(collect_list(struct(pos, nc_j))), t -> t.nc_j)")
-          .as("nc"))
-      .head()
+    val r = lmStatsAgg(lmHistogram(lmFeaturize(docs(spark, dir)))).head()
     (r.getSeq[Long](0), r.getSeq[Long](1))
   }
+
+  /** The B-row histogram folded to ONE (nb, nc) array row — a single
+    * definition for the in-plan stats attachment and [[lmStats]]'s
+    * driver collection (r10 review finding: the paired agg expressions
+    * were duplicated and could desync the batch scorer from the
+    * streaming twin's literal arrays).
+    */
+  private def lmStatsAgg(hist: DataFrame): DataFrame =
+    hist.agg(
+      expr("transform(sort_array(collect_list(struct(pos, nb_j))), t -> t.nb_j)")
+        .as("nb"),
+      expr("transform(sort_array(collect_list(struct(pos, nc_j))), t -> t.nc_j)")
+        .as("nc"))
 
   /** The exact whole-bit LM cost fold — one text for the batch scorer
     * and any future streaming twin (the dsirScoreExpr rule).

@@ -402,20 +402,28 @@ class PlanSpec extends SparkSpec {
   }
 
   test("pagerank round shuffles carry only id/long pairs") {
-    // every exchange in the iteration is (id, long) rows — no vectors,
-    // no text, no wide structs; the Pregel contract that makes the
-    // iteration bandwidth-bounded at any graph size
+    // every exchange in an ITERATION ROUND is (id, long) rows — no
+    // vectors, no text, no wide structs; the Pregel contract that makes
+    // the iteration bandwidth-bounded at any graph size. The served
+    // query's checkpointed loop hides round exchanges from its own plan
+    // (r10 review finding), so the pin runs on the factored
+    // un-checkpointed round — the exact plan each iteration executes.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.types.{LongType, IntegerType}
+    import org.apache.spark.sql.functions.lit
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      val plan = SparkEntry.queries("sim_graph_pagerank")(spark, dir)
-        .queryExecution.executedPlan
-      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
-        case e: ShuffleExchangeLike
-            if !e.output.forall(a =>
-              a.dataType == LongType || a.dataType == IntegerType) => e
+      val (edges, outdeg, nodes) =
+        graft.queries.Similarity.pagerankInputs(spark, dir)
+      val round = graft.queries.Similarity.pagerankRound(
+        edges, outdeg, nodes, nodes.withColumn("rank", lit(1000000L)))
+      val plan = round.queryExecution.executedPlan
+      val shuffles = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike => e
       })
+      assert(shuffles.nonEmpty, "a round must actually exchange partials")
+      val offenders = shuffles.filter(!_.output.forall(a =>
+        a.dataType == LongType || a.dataType == IntegerType))
       assert(offenders.isEmpty,
         s"non-scalar attribute crossed a pagerank exchange:\n${offenders.mkString("\n")}")
     } finally spark.conf.unset("spark.sql.adaptive.enabled")
