@@ -144,6 +144,9 @@ object SparkEntry {
     // the standing-model form: scores against the PERSISTED reference-LM
     // histograms (results — and the oracle — identical by construction)
     "tx_lm_perplexity_indexed" -> ((s, d) => Text.txLmPerplexityIndexed(s, d)),
+    // model lifecycle's update half: base+delta histogram merge must
+    // equal the full retrain bit-for-bit (integer partials compose)
+    "tx_lm_refresh" -> ((s, d) => Text.txLmRefresh(s, d)),
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
@@ -2170,7 +2173,10 @@ object SparkEntry {
     * [[lmPerplexitySql]] and the composed ccnet oracle (the
     * knnDescentCtes sharing rule).
     */
-  private def lmCtes: String = {
+  /** The per-doc LM feature CTE (`fx`) alone — shared by [[lmCtes]] and
+    * the histogram-refresh oracle.
+    */
+  private def lmFxCte: String = {
     val b = Text.lmBuckets
     s"""fx AS (
        |  SELECT doc_id, lang, source, source = 'src0' AS is_ref,
@@ -2184,7 +2190,12 @@ object SparkEntry {
        |      list_transform(toks[1 : len(toks) - 1],
        |        g -> CAST(('0x' || substr(md5(g), 1, 4)) AS BIGINT) % $b) AS bc
        |    FROM (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents)
-       |    WHERE len(toks) >= 2)),
+       |    WHERE len(toks) >= 2))""".stripMargin
+  }
+
+  private def lmCtes: String = {
+    val b = Text.lmBuckets
+    s"""$lmFxCte,
        |hist AS (
        |  SELECT j, CAST(sum(CASE WHEN is_ref THEN xg[j + 1] ELSE 0 END) AS BIGINT) AS nb_j,
        |    CAST(sum(CASE WHEN is_ref THEN xc[j + 1] ELSE 0 END) AS BIGINT) AS nc_j
@@ -3664,6 +3675,22 @@ object SparkEntry {
     "tx_dsir_select" -> dsirSelectSql,
     "tx_lm_perplexity" -> lmPerplexitySql,
     "tx_lm_perplexity_indexed" -> lmPerplexitySql,
+    // the refresh oracle is the FULL retrain from first principles with
+    // the base/delta split derived arithmetically — a hash match proves
+    // the merged standing model equals the retrain bit-for-bit
+    "tx_lm_refresh" -> {
+      val b = Text.lmBuckets
+      s"""WITH $lmFxCte,
+         |hist AS (
+         |  SELECT j,
+         |    CAST(sum(CASE WHEN is_ref AND doc_id % ${Text.incrementalDeltaMod} <> 0 THEN xg[j + 1] ELSE 0 END) AS BIGINT) AS nb_base,
+         |    CAST(sum(CASE WHEN is_ref AND doc_id % ${Text.incrementalDeltaMod} = 0 THEN xg[j + 1] ELSE 0 END) AS BIGINT) AS nb_delta,
+         |    CAST(sum(CASE WHEN is_ref THEN xg[j + 1] ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN is_ref THEN xc[j + 1] ELSE 0 END) AS BIGINT) AS nc
+         |  FROM fx, (SELECT unnest(range(0, $b)) AS j) GROUP BY j)
+         |SELECT j, nb, nc, nb_base, nb_delta
+         |FROM hist ORDER BY j""".stripMargin
+    },
     "pipeline_ccnet" -> ccnetSql,
     "tx_vocab_coverage" ->
       s"""WITH t AS (

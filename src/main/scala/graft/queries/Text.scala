@@ -3370,6 +3370,36 @@ object Text {
       .groupBy("pos")
       .agg(sum("col.xg").as("nb_j"), sum("col.xc").as("nc_j"))
 
+  /** Incremental LM REFRESH — the [[pipelineAggRefresh]] merge
+    * discipline applied to the MODEL: the standing reference histograms
+    * absorb a delta batch of newly landed reference documents by ADDING
+    * per-bucket partials (counts are associative/commutative integers,
+    * so base + delta equals the full retrain BIT-FOR-BIT — what the
+    * oracle checks from first principles with one conditional-split
+    * pass). This is how a standing perplexity filter tracks a growing
+    * reference corpus without retraining: O(|delta|) featurize + a
+    * B-row merge, never the base corpus. Output per bucket: merged
+    * nb/nc plus the base/delta split audit.
+    */
+  def txLmRefresh(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val ref = docs(spark, dir).filter(col("source") === "src0")
+    val baseH = lmHistogram(lmFeaturize(
+      ref.filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0)))
+    val deltaH = lmHistogram(lmFeaturize(
+      ref.filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)))
+    baseH
+      .select(col("pos").as("j"), col("nb_j").as("b_nb"), col("nc_j").as("b_nc"))
+      .join(deltaH.select(col("pos").as("j"),
+        col("nb_j").as("d_nb"), col("nc_j").as("d_nc")), Seq("j"), "full_outer")
+      .select(col("j"),
+        (coalesce(col("b_nb"), lit(0L)) + coalesce(col("d_nb"), lit(0L))).as("nb"),
+        (coalesce(col("b_nc"), lit(0L)) + coalesce(col("d_nc"), lit(0L))).as("nc"),
+        coalesce(col("b_nb"), lit(0L)).as("nb_base"),
+        coalesce(col("d_nb"), lit(0L)).as("nb_delta"))
+      .orderBy("j")
+  }
+
   /** The LM feature projection: per doc, the hashed-bucket-count vector
     * of its bigrams AND of its context tokens (each bigram's first
     * token) — both through the one codegen'd `hashed_bucket_counts`.

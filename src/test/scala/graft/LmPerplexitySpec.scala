@@ -138,6 +138,22 @@ class LmPerplexitySpec extends SparkSpec {
       "two indexed scores must not rewrite the standing model")
   }
 
+  test("histogram refresh equals the full retrain bit-for-bit") {
+    val sfDir = "/root/testdata/sf0.001"
+    val merged = Text.txLmRefresh(spark, sfDir).collect()
+    assert(merged.length == Text.lmBuckets)
+    val (nb, nc) = Text.lmStats(spark, sfDir) // the full retrain
+    merged.foreach { r =>
+      val j = r.getAs[Int]("j")
+      assert(r.getAs[Long]("nb") == nb(j) && r.getAs[Long]("nc") == nc(j),
+        s"bucket $j: merged histogram diverged from the retrain")
+      assert(r.getAs[Long]("nb_base") + r.getAs[Long]("nb_delta") ==
+        r.getAs[Long]("nb"))
+    }
+    assert(merged.map(_.getAs[Long]("nb_delta")).sum > 0,
+      "the delta carve must contribute real counts")
+  }
+
   test("tercile sizes and coverage on the driver corpus") {
     val rows = Text.txLmPerplexity(spark, "/root/testdata/sf0.001").collect()
     val perLang = rows.groupBy(_.getAs[String]("lang"))
