@@ -73,6 +73,9 @@ object SparkEntry {
     "w5_rolling_median" -> (Relational.w5RollingMedian _),
     "w6_drawdown" -> (Relational.w6Drawdown _),
     "w7_rolling_corr" -> (Relational.w7RollingCorr _),
+    // CAPM regression primitive: trailing-30 OLS beta/alpha vs the
+    // market series, the W7 exact-fold machinery
+    "w11_rolling_beta" -> (Relational.w11RollingBeta _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
@@ -2688,6 +2691,37 @@ object SparkEntry {
         |  CASE WHEN n * sxx - sx * sx <= 0.0 OR n * syy - sy * sy <= 0.0 THEN NULL
         |       ELSE (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) END AS corr30
         |FROM m ORDER BY nationkey, date""".stripMargin,
+    "w11_rolling_beta" ->
+      // the W7 fold machinery with x = the market series; beta and alpha
+      // are single IEEE expressions over the bit-identical moment sums
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |mk AS (
+        |  SELECT o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS mkt
+        |  FROM orders GROUP BY 1),
+        |j AS (SELECT nationkey, daily.date AS date, rev, mkt FROM daily JOIN mk ON daily.date = mk.date),
+        |fw AS (SELECT nationkey, date, rev, mkt,
+        |  list(struct_pack(x := mkt, y := rev)) OVER (PARTITION BY nationkey ORDER BY date
+        |    ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS fr
+        |  FROM j),
+        |m AS (SELECT nationkey, date, rev, mkt,
+        |  CAST(len(fr) AS DOUBLE) AS n,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x)), (a, b) -> a + b) AS sx,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.y)), (a, b) -> a + b) AS sy,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x * s.y)), (a, b) -> a + b) AS sxy,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(fr, s -> s.x * s.x)), (a, b) -> a + b) AS sxx
+        |  FROM fw),
+        |b AS (SELECT nationkey, date, rev, mkt, n, sx, sy,
+        |  CASE WHEN n * sxx - sx * sx <= 0.0 THEN NULL
+        |       ELSE (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS beta30
+        |  FROM m)
+        |SELECT nationkey, date, rev, mkt, beta30,
+        |  CASE WHEN beta30 IS NULL THEN NULL
+        |       ELSE (sy - beta30 * sx) / n END AS alpha30
+        |FROM b ORDER BY nationkey, date""".stripMargin,
     "w8_cross_section" ->
       // selection cut points (k = n DIV 10 per side), clamp by
       // comparison, moment folds over the value-sorted cross-section —

@@ -539,6 +539,44 @@ object Relational {
       .orderBy("nationkey", "date")
   }
 
+  /** W11 (rolling regression beta + alpha, the CAPM primitive next to
+    * [[w7RollingCorr]]'s correlation — the per-asset `ret ~ mkt` OLS
+    * every factor model runs): over the same trailing-30 frame,
+    * `beta = (n·Σxy − Σx·Σy) / (n·Σxx − Σx²)` with x = the market
+    * series and y = the nation's series, and
+    * `alpha = (Σy − beta·Σx) / n`. Same exactness mechanism as W7: the
+    * five moment sums are LEFT-TO-RIGHT folds over the frame list in
+    * frame order, so the closed forms are single IEEE expressions over
+    * bit-identical operands in both engines; a zero-variance market
+    * window yields NULL by exact comparison.
+    */
+  def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    val global = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("date"))
+      .agg(Exact.sumFixed(col("o_totalprice"), 2).as("mkt"))
+    val w = Window.partitionBy("nationkey").orderBy("date")
+      .rowsBetween(-29, 0)
+    nationDailyRevenue(spark, dir)
+      .join(global, "date")
+      .withColumn("fr",
+        collect_list(struct(col("mkt").as("x"), col("rev").as("y"))).over(w))
+      .withColumn("n", size(col("fr")).cast("double"))
+      .withColumn("sx", expr("aggregate(fr, 0D, (a, s) -> a + s.x)"))
+      .withColumn("sy", expr("aggregate(fr, 0D, (a, s) -> a + s.y)"))
+      .withColumn("sxy", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)"))
+      .withColumn("sxx", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.x)"))
+      .withColumn("beta30",
+        when(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0, lit(null))
+          .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /
+            (col("n") * col("sxx") - col("sx") * col("sx"))))
+      .withColumn("alpha30",
+        when(col("beta30").isNull, lit(null))
+          .otherwise((col("sy") - col("beta30") * col("sx")) / col("n")))
+      .select(col("nationkey"), col("date"), col("rev"), col("mkt"),
+        col("beta30"), col("alpha30"))
+      .orderBy("nationkey", "date")
+  }
+
   /** W8 (cross-sectional factor prep): per DATE, the standard quant
     * factor-conditioning ladder over the nation cross-section — rank,
     * winsorize at the 10% tails, z-score — the transformation every

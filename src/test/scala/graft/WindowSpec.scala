@@ -140,6 +140,52 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("w11 rolling beta: OLS closed form recomputed by hand; ties to w7's corr") {
+    val mkt = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("date"))
+      .agg((sum(Exact.units(col("o_totalprice"), 2)) / lit(100.0)).as("mkt"))
+      .collect()
+      .map(r => r.getAs[java.time.LocalDateTime]("date") -> r.getAs[Double]("mkt"))
+      .toMap
+    val series = nationSeries()
+    val out = Relational.w11RollingBeta(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
+        ((Option(r.get(r.fieldIndex("beta30"))).map(_.asInstanceOf[Double]),
+          Option(r.get(r.fieldIndex("alpha30"))).map(_.asInstanceOf[Double])))).toMap
+    val corr = Relational.w7RollingCorr(spark, dir).collect()
+      .map(r => (r.getAs[Int]("nationkey"), r.getAs[java.time.LocalDateTime]("date")) ->
+        Option(r.get(r.fieldIndex("corr30"))).map(_.asInstanceOf[Double])).toMap
+    series.foreach { case (nk, s) =>
+      s.indices.foreach { t =>
+        // x = market, y = the nation's series (the regression direction)
+        val frame = s.slice(math.max(0, t - 29), t + 1)
+          .map { case (d, y) => (mkt(d), y) }
+        var (sx, sy, sxy, sxx, syy) = (0.0, 0.0, 0.0, 0.0, 0.0)
+        frame.foreach { case (x, y) =>
+          sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+        }
+        val n = frame.length.toDouble
+        val vx = n * sxx - sx * sx
+        val expectedBeta =
+          if (vx <= 0.0) None else Some((n * sxy - sx * sy) / vx)
+        val expectedAlpha = expectedBeta.map(b => (sy - b * sx) / n)
+        val (gb, ga) = out((nk, s(t)._1))
+        assert(gb == expectedBeta && ga == expectedAlpha,
+          s"nation $nk t=$t: ($gb, $ga) vs ($expectedBeta, $expectedAlpha)")
+        // physics tie: corr = beta * sqrt(var_x / var_y) where both exist
+        val vy = n * syy - sy * sy
+        (gb, corr((nk, s(t)._1))) match {
+          case (Some(b), Some(c)) if vy > 0.0 =>
+            val tied = b * math.sqrt(vx / vy)
+            assert(math.abs(tied - c) < 1e-9,
+              s"nation $nk t=$t: beta-corr identity broke ($tied vs $c)")
+          case _ => ()
+        }
+      }
+      assert(out((nk, s.head._1))._1.isEmpty, s"nation $nk head must be NULL")
+    }
+  }
+
   test("w8 cross-section: selection cuts, clamping, and z-scores recomputed by hand") {
     // reshape the nation series into per-date cross-sections
     val byDate = nationSeries().toSeq
