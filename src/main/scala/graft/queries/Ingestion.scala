@@ -55,7 +55,7 @@ object Ingestion {
     * ordering key — shuffle-order independent).
     */
   def a3ConsensusDedup(spark: SparkSession, dir: String): DataFrame = {
-    val est = Tables(spark, dir, "lineitem").select(
+    val est = Tables.spread(Tables(spark, dir, "lineitem")).select(
       col("l_shipdate").as("date"),
       col("l_orderkey").as("asset_id"),
       liSeq,
@@ -70,7 +70,7 @@ object Ingestion {
     * [[Transforms.dedupeRatingsHistory]].
     */
   def a4RatingsDedup(spark: SparkSession, dir: String): DataFrame = {
-    val ratings = Tables(spark, dir, "lineitem").select(
+    val ratings = Tables.spread(Tables(spark, dir, "lineitem")).select(
       col("l_shipdate").as("date"),
       col("l_orderkey").as("asset_id"),
       col("l_suppkey").as("analyst_id"),
@@ -90,7 +90,7 @@ object Ingestion {
     */
   def a5DividendsAgg(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
-    val dividends = li.select(
+    val dividends = Tables.spread(li).select(
       col("l_orderkey").as("asset_id"),
       col("l_shipdate").as("date"),
       liSeq,
@@ -144,15 +144,19 @@ object Ingestion {
     * to the 16-column canonical frame, first-non-null dedup per
     * (date, asset_id).
     *
-    * Cost note (profiled at sf0.1): ~9 s warm = ~2 s for the 60-bit md5
-    * seq projection + ~0.5 s/column of SortAggregate min_by compare work
-    * over the ~1.2M joined rows (string-valued argmin buffers force the
-    * sort-based aggregate). That is the reference semantics' honest
-    * per-row price — the plan itself is one fact scan, a broadcast map
-    * join and a partial-aggregated dedup, the right 100 TB shape.
+    * Cost note (re-profiled r11): 2.9 s warm at sf0.1, down from ~9-10 s
+    * in r10. The r10 cost was NOT the SortAggregate strategy (the two
+    * hash-friendly rewrites measured equal-or-slower at equal
+    * parallelism — see [[Transforms.firstNonNullBy]]): it was the
+    * single-row-group testdata parquet pinning the md5-seq projection and
+    * the partial min_by aggregate to ONE core. `Tables.spread` moves that
+    * narrow CPU-heavy stage to cluster width; at 100 TB inputs arrive
+    * many-split and the spread is an identity. The plan shape is
+    * unchanged: one fact scan, a broadcast map join, a map-side-combined
+    * dedup aggregate.
     */
   def j6MappingValidity(spark: SparkSession, dir: String): DataFrame = {
-    val recdsum = Tables(spark, dir, "lineitem").select(
+    val recdsum = Tables.spread(Tables(spark, dir, "lineitem")).select(
       col("l_suppkey").cast("string").as("ticker"),
       col("l_shipdate").as("statpers"),
       when(col("l_linenumber") % 2 === 1, col("l_quantity")).as("meanrec"),
@@ -180,7 +184,7 @@ object Ingestion {
     * recdef, anndats), dedup per (date, asset_id, analyst_id).
     */
   def j7DetailMapping(spark: SparkSession, dir: String): DataFrame = {
-    val detail = Tables(spark, dir, "lineitem").select(
+    val detail = Tables.spread(Tables(spark, dir, "lineitem")).select(
       col("l_suppkey").cast("string").as("ticker"),
       col("l_shipdate").as("anndats"),
       col("l_partkey").as("analys"),
