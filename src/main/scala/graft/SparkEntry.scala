@@ -185,6 +185,8 @@ object SparkEntry {
     // centrality): exact ppm arithmetic, bounded top-25 report
     "sim_graph_pagerank" -> ((s, d) => Similarity.simGraphPagerank(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
+    "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
+    "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
     "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
@@ -255,6 +257,10 @@ object SparkEntry {
       graft.multimodal.Multimodal.simhashDedup(
         graft.multimodal.Multimodal.fromDocuments(
           Tables(s, dir, "documents")))),
+    // CLIP-style cross-modal near-dup media: frame -> embedding carve ->
+    // standing-IVF probe -> media-pair rollup + digest-blindness audit
+    "mm_crossmodal_dedup" -> ((s, dir) =>
+      graft.multimodal.Multimodal.crossModalDedup(s, dir)),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "dd_semdedup_banded" -> ((s, d) => Similarity.ddSemdedupBanded(s, d)),
@@ -740,6 +746,55 @@ object SparkEntry {
 
   private def ivfAnnSql: String = ivfAnnSqlOver("TRUE")
 
+  /** DuckDB twin of [[graft.multimodal.Multimodal.crossModalDedup]]: the
+    * verbatim ivfAnnSqlOver probe/score chain with the frame-carve query
+    * set (`vec_id < media·frames`), hits inverted to owning media, the
+    * pair rollup, and the shared-exact-digest audit (the mm_frame_dedup
+    * slicing text — ASCII corpus, so char slices = the Spark side's byte
+    * slices). Constants (media subset, n_frames, the semantic-dup tau)
+    * interpolate from the ONE Scala definition each.
+    */
+  private def crossModalSql: String = {
+    val nF = 4
+    val carve = graft.multimodal.Multimodal.crossModalMediaCount * nF
+    val tau = Similarity.knnGraphDupTau
+    s"""WITH ${kmeansCtes()},
+      |$ivfRankCtes,
+      |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+      |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < $carve AND crnk <= 2),
+      |s AS (
+      |  SELECT qid, m_vec_id,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+      |  FROM cells JOIN probes ON cells.cell = probes.cell
+      |  WHERE m_vec_id <> qid),
+      |topk AS (
+      |  SELECT qid, m_vec_id, cosine,
+      |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk
+      |  FROM s QUALIFY rnk <= 5),
+      |links AS (
+      |  SELECT least(qid // $nF, m_vec_id // $nF) AS media_a,
+      |    greatest(qid // $nF, m_vec_id // $nF) AS media_b, cosine
+      |  FROM topk WHERE m_vec_id < $carve AND qid // $nF <> m_vec_id // $nF),
+      |pairs AS (
+      |  SELECT media_a, media_b, count(*) AS n_frame_links, max(cosine) AS best_cosine,
+      |    CAST(sum(CASE WHEN cosine >= $tau THEN 1 ELSE 0 END) AS BIGINT) AS n_close_links
+      |  FROM links GROUP BY 1, 2),
+      |fr AS (
+      |  SELECT doc_id AS media_id,
+      |    md5(substring(text, CAST(i * greatest(ceil(length(text) / $nF.0), 1) AS BIGINT) + 1,
+      |                  CAST(greatest(ceil(length(text) / $nF.0), 1) AS BIGINT))) AS frame_md5
+      |  FROM documents, generate_series(0, ${nF - 1}) t(i)
+      |  WHERE doc_id < ${graft.multimodal.Multimodal.crossModalMediaCount}),
+      |shared AS (
+      |  SELECT x.media_id AS media_a, y.media_id AS media_b, count(*) AS n_shared_digests
+      |  FROM fr x JOIN fr y ON x.frame_md5 = y.frame_md5 AND x.media_id < y.media_id
+      |  GROUP BY 1, 2)
+      |SELECT p.media_a, p.media_b, p.n_frame_links, p.best_cosine, p.n_close_links,
+      |  CAST(COALESCE(sh.n_shared_digests, 0) AS BIGINT) AS n_shared_digests
+      |FROM pairs p LEFT JOIN shared sh USING (media_a, media_b)
+      |ORDER BY media_a, media_b""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.queries.Similarity.simKnnGraph]]: the coarse
     * chain's cell assignment, the per-cell self-join, the same
     * (cosine DESC, nbr_id ASC) ranking cut at k = 3.
@@ -895,6 +950,85 @@ object SparkEntry {
   private def graphSearchSql: String = graphSearchSqlOver(
     "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)", 5)
 
+  /** The graph-delete repair chain as a reusable CTE body (tombstones →
+    * surviving edges → FreshDiskANN bridge pairs → rescored top-k
+    * repaired adjacency) — shared verbatim by the audit oracle
+    * ([[knnGraphDeleteSql]]) and the post-delete walk oracle
+    * ([[graphSearchDeletedSql]]), the knnDescentCtes rule: lifecycle and
+    * serve must agree on the repaired graph or the walk oracle proves
+    * nothing. Constants (delete rule, k) from the ONE Scala definition.
+    */
+  private def graphDeleteCtes: String = {
+    val g = s"g${Similarity.knnDescentRounds}"
+    val k = Similarity.knnDescentK
+    // gedges is MATERIALIZED once: the delete chain references the
+    // standing graph 4+ times (live filter, bridge self-join, the
+    // audit's before-side) and DuckDB would re-expand the whole plain
+    // descent chain per reference (the knn-descent `e` / k-means‖ rule —
+    // measured: OOM at sf0.001 without this)
+    s"""gedges AS MATERIALIZED (SELECT src, dst FROM $g),
+       |gdead AS MATERIALIZED (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE vec_id % ${Similarity.graphDelMod} = ${Similarity.graphDelRem}),
+       |gslive AS MATERIALIZED (
+       |  SELECT src, dst FROM gedges
+       |  WHERE src NOT IN (SELECT vec_id FROM gdead)
+       |    AND dst NOT IN (SELECT vec_id FROM gdead)),
+       |gbridge AS MATERIALIZED (
+       |  SELECT DISTINCT i.src AS src, o.dst AS dst
+       |  FROM gedges i JOIN gedges o ON i.dst = o.src
+       |  WHERE i.dst IN (SELECT vec_id FROM gdead)
+       |    AND i.src NOT IN (SELECT vec_id FROM gdead)
+       |    AND o.dst NOT IN (SELECT vec_id FROM gdead)
+       |    AND i.src <> o.dst),
+       |gcand AS (SELECT src, dst FROM gslive UNION SELECT src, dst FROM gbridge),
+       |grep AS MATERIALIZED (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
+       |  FROM (SELECT p.src, p.dst,
+       |      list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+       |    FROM gcand p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst)
+       |  QUALIFY rnk <= $k)""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphDelete]]: the
+    * per-vertex degree/liveness audit from first principles — the Spark
+    * side measures the PHYSICAL tombstone/overlay state, this derives
+    * the same integers from the descent chain + delete rule + bridge
+    * repair, so a hash match proves no dead id survives in any adjacency
+    * list and no live vertex was lost.
+    */
+  private def knnGraphDeleteSql: String =
+    s"""WITH $knnDescentCtes,
+       |$graphDeleteCtes,
+       |bef AS (
+       |  SELECT src AS vec_id, count(*) AS deg_before,
+       |    CAST(sum(CASE WHEN dst IN (SELECT vec_id FROM gdead) THEN 1 ELSE 0 END) AS BIGINT) AS n_dead_nbrs
+       |  FROM gedges WHERE src NOT IN (SELECT vec_id FROM gdead) GROUP BY 1),
+       |aft AS (
+       |  SELECT r.src AS vec_id, count(*) AS deg_after,
+       |    CAST(sum(CASE WHEN l.src IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_new_links,
+       |    CAST(sum(r.dst) AS BIGINT) AS nbr_id_sum
+       |  FROM grep r LEFT JOIN gslive l ON l.src = r.src AND l.dst = r.dst
+       |  GROUP BY 1)
+       |SELECT b.vec_id, b.deg_before, b.n_dead_nbrs,
+       |  COALESCE(a.deg_after, 0) AS deg_after,
+       |  COALESCE(a.n_new_links, 0) AS n_new_links,
+       |  COALESCE(a.nbr_id_sum, 0) AS nbr_id_sum
+       |FROM bef b LEFT JOIN aft a USING (vec_id)
+       |ORDER BY vec_id""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphSearchDeleted]]:
+    * the verbatim walk unrolling over the repaired graph with the min
+    * LIVE entry vertex.
+    */
+  private def graphSearchDeletedSql: String = graphSearchSqlOver(
+    "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)", 5,
+    extraCtes = graphDeleteCtes + ",",
+    graphSel = "SELECT src AS v, dst AS u FROM grep",
+    entSel = "SELECT min(vec_id) AS ev FROM embeddings " +
+      s"WHERE vec_id % ${Similarity.graphDelMod} <> ${Similarity.graphDelRem}")
+
   /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphUpsert]]: the
     * same walk with the reversed negative-key delta batch as the query
     * source (the upsertDeltaMod carve shared with every index upsert) and
@@ -914,7 +1048,11 @@ object SparkEntry {
     * carve for the upsert), so serve and insert can never walk different
     * graphs.
     */
-  private def graphSearchSqlOver(querySrcCte: String, k: Int): String = {
+  private def graphSearchSqlOver(querySrcCte: String, k: Int,
+      extraCtes: String = "",
+      graphSel: String =
+        s"SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}",
+      entSel: String = "SELECT min(vec_id) AS ev FROM embeddings"): String = {
     val beam = Similarity.graphSearchBeam
     val hops = Similarity.graphSearchHops
     val hopCtes = (1 to hops).map { h =>
@@ -933,9 +1071,10 @@ object SparkEntry {
          |  QUALIFY rnk <= $beam)""".stripMargin
     }.mkString(",\n")
     s"""WITH $knnDescentCtes,
-       |graph AS MATERIALIZED (SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}),
+       |$extraCtes
+       |graph AS MATERIALIZED ($graphSel),
        |$querySrcCte,
-       |ent AS (SELECT min(vec_id) AS ev FROM embeddings),
+       |ent AS ($entSel),
        |f0 AS (SELECT vec_id AS qid, ev AS vid FROM qsrc, ent),
        |$hopCtes
        |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
@@ -4021,6 +4160,8 @@ object SparkEntry {
     "sim_graph_search" -> graphSearchSql,
     "sim_graph_pagerank" -> graphPagerankSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
+    "sim_knn_graph_delete" -> knnGraphDeleteSql,
+    "sim_graph_search_deleted" -> graphSearchDeletedSql,
     "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
@@ -4215,6 +4356,7 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "mm_crossmodal_dedup" -> crossModalSql,
     "mm_frame_features" ->
       // The Spark side slices UTF-8 *bytes*; the oracle slices characters.
       // The corpus is ASCII, so offsets and md5 inputs coincide.

@@ -1183,18 +1183,31 @@ object Similarity {
   def simGraphSearch(spark: SparkSession, dir: String, k: Int = 5,
       beam: Int = graphSearchBeam, hops: Int = graphSearchHops,
       querySet: Option[DataFrame] = None): DataFrame = {
-    register(spark)
     val base = ensureKnnGraphIndex(spark, dir)
-    val edges = spark.read.parquet(s"$base/edges")
-      .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+    val entry = Tables(spark, dir, "embeddings")
+      .agg(min("vec_id")).head.getLong(0)
+    graphBeamWalk(spark, dir,
+      spark.read.parquet(s"$base/edges")
+        .select(col("vec_id").as("v"), col("nbr_id").as("u")),
+      entry, k, beam, hops, querySet)
+  }
+
+  /** The greedy beam walk over an arbitrary adjacency frame — factored
+    * from [[simGraphSearch]] so the post-delete serve
+    * ([[simGraphSearchDeleted]]) runs the IDENTICAL walk over the
+    * repaired overlay (serve-and-lifecycle-share-the-walk, the
+    * graphSearchSqlOver discipline on the Spark side).
+    */
+  private def graphBeamWalk(spark: SparkSession, dir: String,
+      edges: DataFrame, entry: Long, k: Int, beam: Int, hops: Int,
+      querySet: Option[DataFrame]): DataFrame = {
+    register(spark)
     val emb = bucketedEmbeddings(spark, dir, knnDescentNbits)
       .select(col("vec_id").as("vid"), col("embedding").as("mv"),
         col("norm").as("mn"))
     val q = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", expr(s"sqrt(${dotExpr("qv", "qv")})"))
-    val entry = Tables(spark, dir, "embeddings")
-      .agg(min("vec_id")).head.getLong(0)
     val wBeam = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
     var frontier = q.select(col("qid"), lit(entry).as("vid"))
@@ -1253,6 +1266,170 @@ object Similarity {
         expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
           .as("embedding"))
     simGraphSearch(spark, dir, k = knnDescentK, querySet = Some(delta))
+  }
+
+  /** Vertex delete rule for the kNN-graph lifecycle — ~1/7 of the corpus,
+    * deliberately distinct from the IVF member rule so the two families'
+    * lifecycle demos exercise different vectors. Shared with the
+    * generated oracle (the o5 shared-constant rule).
+    */
+  private[graft] val graphDelMod = 7L
+  private[graft] val graphDelRem = 3L
+
+  /** Graph-index DELETE — the missing quarter of the fourth index
+    * family's lifecycle (VERDICT r10 item 1 of "What's missing"; IVF,
+    * PQ and IVFPQ already carry build/serve/upsert/delete). The repair
+    * is FreshDiskANN's delete consolidation (Singh et al. 2021 §3.3 —
+    * the standard graph-index deletion): tombstoned vertices drop from
+    * every adjacency list, and each dead vertex's live in-neighbors are
+    * introduced to its live out-neighbors (one bridge local-join — the
+    * NN-descent local-join machinery pointed at the deletion holes), so
+    * a walk can still route AROUND the hole instead of stalling at a
+    * truncated neighborhood. Candidates = surviving edges ∪ bridge
+    * pairs, rescored exactly, keep best [[knnDescentK]] per vertex —
+    * keep-best-of-union again, so surviving neighborhoods only improve.
+    *
+    * Overlay discipline ([[ensureIvfDeleteIndex]]'s contract): the
+    * standing edges table is NEVER mutated — other queries' semantics
+    * (pagerank, semdedup-graph, the upsert walk) depend on the full
+    * corpus; tombstones + repaired adjacency live in their own
+    * `knn_graph_del` dir read merge-on-read style.
+    *
+    * Scale shape: every join is id-keyed over (src, dst) pairs; the
+    * bridge candidate set is bounded by Σ_dead indeg·outdeg ≤ dead·k²
+    * (k = [[knnDescentK]] both ways — in-neighbors of a vertex are
+    * unbounded in general, but bridge sources come from the standing
+    * edge list, k per live vertex); vectors are fetched only to score
+    * candidate ids. No corpus² anywhere.
+    */
+  def graphBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val main = ensureKnnGraphIndex(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph_del"
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % graphDelMod === graphDelRem)
+      .select("vec_id")
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    val dead = spark.read.parquet(s"$base/tombstones")
+    val edges = spark.read.parquet(s"$main/edges")
+    val liveEdges = edges
+      .join(dead, Seq("vec_id"), "left_anti")
+      .join(dead.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val inNbrs = edges
+      .join(dead.select(col("vec_id").as("nbr_id")), Seq("nbr_id"))
+      .join(dead, Seq("vec_id"), "left_anti")
+      .select(col("nbr_id").as("d"), col("vec_id").as("u"))
+    val outNbrs = edges
+      .join(dead, Seq("vec_id"))
+      .join(dead.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
+      .select(col("vec_id").as("d"), col("nbr_id").as("v"))
+    val bridges = inNbrs.join(outNbrs, "d")
+      .filter(col("u") =!= col("v"))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val cand = liveEdges.unionByName(bridges).distinct()
+    val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    cand
+      .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("norm").as("sn")), "src")
+      .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("norm").as("dn")), "dst")
+      .select(col("src"), col("dst"),
+        (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= knnDescentK)
+      .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
+        col("cosine"), col("rnk"))
+      .write.mode("overwrite").parquet(s"$base/edges")
+    base
+  }
+
+  // graph delete overlay path -> sfDir that built it (ensureIvfIndex shape)
+  private val knnGraphDelFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the graph delete overlay — the
+    * [[ensureIvfDeleteIndex]] treatment verbatim: marker and memo cleared
+    * BEFORE rebuilding so a kill between the two writes cannot leave a
+    * mixed overlay later calls trust; memo keys on the dir string
+    * (immutable-corpus assumption).
+    */
+  def ensureKnnGraphDeleteIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph_del"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/edges/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(knnGraphDelFor.get(base).contains(dir) && fs.exists(marker))) {
+        knnGraphDelFor.remove(base)
+        fs.delete(marker, false)
+        graphBuildDeleteIndex(spark, dir)
+        knnGraphDelFor(base) = dir
+      }
+      base
+    }
+
+  /** Per-vertex degree/liveness audit of the post-delete graph, in exact
+    * integers — the oracle'd `sim_knn_graph_delete` entry (the
+    * [[simIvfDelete]] treatment): every column is measured from the
+    * PHYSICAL tombstone/overlay state, while the oracle derives the same
+    * numbers from first principles (descent chain + delete rule + bridge
+    * repair + top-k), so a hash match proves the overlay implements the
+    * repair specification exactly — no dead id surviving in any adjacency
+    * list, no live vertex lost, bridges exactly where the rule puts them.
+    */
+  def simKnnGraphDelete(spark: SparkSession, dir: String): DataFrame = {
+    val main = ensureKnnGraphIndex(spark, dir)
+    val base = ensureKnnGraphDeleteIndex(spark, dir)
+    val dead = spark.read.parquet(s"$base/tombstones")
+    val standing = spark.read.parquet(s"$main/edges")
+    val repaired = spark.read.parquet(s"$base/edges")
+    val bef = standing
+      .join(dead, Seq("vec_id"), "left_anti")
+      .join(dead.select(col("vec_id").as("nbr_id"))
+        .withColumn("is_dead", lit(1L)), Seq("nbr_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("deg_before"),
+        sum(coalesce(col("is_dead"), lit(0L))).as("n_dead_nbrs"))
+    val liveSet = standing
+      .join(dead, Seq("vec_id"), "left_anti")
+      .join(dead.select(col("vec_id").as("nbr_id")), Seq("nbr_id"), "left_anti")
+      .select("vec_id", "nbr_id")
+      .withColumn("was_edge", lit(1L))
+    val aft = repaired.select("vec_id", "nbr_id")
+      .join(liveSet, Seq("vec_id", "nbr_id"), "left")
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("deg_after"),
+        sum(when(col("was_edge").isNull, 1L).otherwise(0L)).as("n_new_links"),
+        sum("nbr_id").as("nbr_id_sum"))
+    bef.join(aft, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("deg_before"), col("n_dead_nbrs"),
+        coalesce(col("deg_after"), lit(0L)).as("deg_after"),
+        coalesce(col("n_new_links"), lit(0L)).as("n_new_links"),
+        coalesce(col("nbr_id_sum"), lit(0L)).as("nbr_id_sum"))
+      .orderBy("vec_id")
+  }
+
+  /** [[simGraphSearch]] over the post-delete repaired graph — the
+    * IDENTICAL beam walk ([[graphBeamWalk]]) with the overlay adjacency
+    * and the min LIVE vertex as the entry point. The oracle rebuilds the
+    * repaired graph from first principles and unrolls the same hops, so
+    * a hash match proves serving reads no dead vertex and the bridge
+    * repair actually routes around the deletion holes.
+    */
+  def simGraphSearchDeleted(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = graphSearchBeam, hops: Int = graphSearchHops,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val base = ensureKnnGraphDeleteIndex(spark, dir)
+    val entry = Tables(spark, dir, "embeddings")
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .agg(min("vec_id")).head.getLong(0)
+    graphBeamWalk(spark, dir,
+      spark.read.parquet(s"$base/edges")
+        .select(col("vec_id").as("v"), col("nbr_id").as("u")),
+      entry, k, beam, hops, querySet)
   }
 
   /** Cosine threshold for [[ddSemdedupGraph]]'s near-dup edges — shared

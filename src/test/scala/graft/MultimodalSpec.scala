@@ -115,6 +115,32 @@ class MultimodalSpec extends SparkSpec {
       s"near-dup payloads should clear the hamming threshold: $r")
   }
 
+  test("crossModalDedup: the vector path finds near-dup media BOTH digest paths miss") {
+    val dir = "/root/testdata/sf0.001"
+    val r = Multimodal.crossModalDedup(spark, dir).collect()
+    assert(r.nonEmpty, "cross-modal probe returned no media pairs")
+    // the catch: semantic near-dup pairs (cosine over the semdedup tau)
+    // that share ZERO exact frame digests — the exact path is blind
+    val caught = r.filter(x => x.getAs[Long]("n_close_links") > 0 &&
+      x.getAs[Long]("n_shared_digests") == 0)
+    info(s"vector-only near-dup media pairs: ${caught.length} of ${r.length}")
+    assert(caught.nonEmpty,
+      "no vector-found pair was invisible to exact frame digests")
+    // and the simhash path misses them too: the best-cosine caught pair's
+    // signatures are FAR apart (payloads are unrelated byte strings even
+    // though their frame embeddings are neighbors — the re-encode model)
+    val best = caught.maxBy(_.getAs[Double]("best_cosine"))
+    val (ma, mb) = (best.getAs[Long]("media_a"), best.getAs[Long]("media_b"))
+    val sigs = Multimodal.simhashSignatures(Multimodal.fromDocuments(
+        Tables(spark, dir, "documents").filter(col("doc_id").isin(ma, mb))))
+      .collect().map(x => x.getAs[Long]("media_id") -> x.getAs[Long]("simhash"))
+      .toMap
+    val hamming = java.lang.Long.bitCount(sigs(ma) ^ sigs(mb))
+    info(s"pair ($ma,$mb) best_cosine=${best.getAs[Double]("best_cosine")} simhash hamming=$hamming")
+    assert(hamming > Multimodal.simhashHammingClose,
+      s"pair ($ma,$mb) would have been caught by simhash (hamming $hamming)")
+  }
+
   test("frameDedup on the natural corpus: invariants hold; near-dups do NOT collide") {
     // the corpus's planted document duplicates are NEAR-duplicates, so
     // their quarter-payload byte slices never coincide exactly — exact
