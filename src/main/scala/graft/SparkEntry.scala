@@ -112,6 +112,8 @@ object SparkEntry {
     "tx_split_leakage" -> (Text.txSplitLeakage _),
     "tx_bigram_score" -> (Text.txBigramScore _),
     "tx_repetition" -> (Text.txRepetition _),
+    // Gopher word-level quality rules (Rae et al. §A1.1), exact integers
+    "tx_gopher_rules" -> (Text.txGopherRules _),
     "tx_decontaminate" -> ((s, d) => Text.txDecontaminate(s, d)),
     "tx_decontaminate_hashed" -> ((s, d) => Text.txDecontaminateHashed(s, d)),
     // hashed decontamination behind a broadcast Bloom prefilter: corpus
@@ -3823,6 +3825,38 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c.bef < tt.target THEN c.n_tokens ELSE 0 END) AS BIGINT) AS tokens_kept
         |FROM c JOIN tt ON c.source = tt.source
         |GROUP BY 1, 2, 3, 4 ORDER BY 1""".stripMargin,
+    // Gopher word-level rules: every rule an exact-integer comparison
+    // (cross-multiplied bands), symbol counts via replace-and-measure —
+    // both engines replace ALL occurrences, removed chars = 3·hits.
+    "tx_gopher_rules" ->
+      """WITH d AS (
+        |  SELECT lang, text, string_split(text, ' ') AS toks FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |    CAST(len(toks) AS BIGINT) AS n_words,
+        |    CAST(strlen(text) - (len(toks) - 1) AS BIGINT) AS sum_len,
+        |    CAST((strlen(text) - strlen(replace(text, '#', ''))) +
+        |      ((strlen(text) - strlen(replace(text, '...', ''))) // 3) AS BIGINT) AS n_sym,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+        |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |      s -> list_contains(list_transform(toks, t -> lower(t)), s))) AS BIGINT) AS n_stop
+        |  FROM d),
+        |g AS (
+        |  SELECT lang,
+        |    CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS fw,
+        |    CASE WHEN sum_len < 3 * n_words OR sum_len > 10 * n_words THEN 1 ELSE 0 END AS fm,
+        |    CASE WHEN 10 * n_sym > n_words THEN 1 ELSE 0 END AS fs,
+        |    CASE WHEN 5 * n_alpha < 4 * n_words THEN 1 ELSE 0 END AS fa,
+        |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fp
+        |  FROM f)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(fw) AS BIGINT) AS n_fail_word_count,
+        |  CAST(sum(fm) AS BIGINT) AS n_fail_mean_len,
+        |  CAST(sum(fs) AS BIGINT) AS n_fail_symbol,
+        |  CAST(sum(fa) AS BIGINT) AS n_fail_alpha,
+        |  CAST(sum(fp) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(CASE WHEN fw + fm + fs + fa + fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_topk_ngrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

@@ -334,6 +334,41 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: every rule fires on its planted violator and passes the clean doc") {
+    val spark2 = spark
+    import spark2.implicits._
+    val stop8 = "the be to of and that have with"
+    val filler = Seq.fill(52)("word").mkString(" ")
+    val planted = Seq(
+      (1L, s"$stop8 $filler"),                                   // clean: 60 words
+      (2L, s"$stop8 ${Seq.fill(4)("word").mkString(" ")}"),      // 12 words: word-count fail
+      (3L, s"$stop8 ${Seq.fill(52)("supercalifragilistic").mkString(" ")}"), // mean len > 10
+      (4L, s"$stop8 ${Seq.fill(42)("word").mkString(" ")} ${Seq.fill(10)("#").mkString(" ")}"), // 10 '#' in 60
+      (5L, s"$stop8 ${Seq.fill(28)("word").mkString(" ")} ${Seq.fill(24)("1234").mkString(" ")}"), // 24/60 numeric
+      (6L, Seq.fill(60)("word").mkString(" ")))                  // no stopwords
+      .toDF("doc_id", "text")
+    val f = Text.gopherFlags(planted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("fail_word_count"), r.getAs[Long]("fail_mean_len"),
+          r.getAs[Long]("fail_symbol"), r.getAs[Long]("fail_alpha"),
+          r.getAs[Long]("fail_stop"))).toMap
+    assert(f(1L) == ((0L, 0L, 0L, 0L, 0L)), s"clean doc flagged: ${f(1L)}")
+    assert(f(2L)._1 == 1L, "short doc must fail the word-count band")
+    assert(f(3L)._2 == 1L, "long-word doc must fail the mean-length band")
+    assert(f(4L)._3 == 1L, s"symbol-heavy doc must fail the symbol ratio: ${f(4L)}")
+    assert(f(5L)._4 == 1L, "numeric-heavy doc must fail the alpha-word ratio")
+    assert(f(6L)._5 == 1L, "stopword-free doc must fail stopword presence")
+    // the rollup agrees with the flags and pass_all is conjunctive
+    val roll = Text.txGopherRules(spark, sf001).collect()
+    assert(roll.nonEmpty)
+    roll.foreach { r =>
+      assert(r.getAs[Long]("n_pass_all") <=
+        r.getAs[Long]("n_docs") - Seq("n_fail_word_count", "n_fail_mean_len",
+          "n_fail_symbol", "n_fail_alpha", "n_fail_stop")
+          .map(r.getAs[Long](_)).max)
+    }
+  }
+
   test("tx_decontaminate finds the planted cross-source duplicates, 8-grams only") {
     val rows = Text.txDecontaminate(spark, sf001).collect()
     val contaminated = rows.map(_.getAs[Long]("n_contaminated")).sum
