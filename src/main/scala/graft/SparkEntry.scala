@@ -189,6 +189,9 @@ object SparkEntry {
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
+    // HNSW: id-stratified upper layers over the standing graph route
+    // each query to a per-query layer-0 entry (greedy per-level walks)
+    "sim_hnsw_search" -> ((s, d) => Similarity.simHnswSearch(s, d)),
     "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
@@ -1031,6 +1034,70 @@ object SparkEntry {
     entSel = "SELECT min(vec_id) AS ev FROM embeddings " +
       s"WHERE vec_id % ${Similarity.graphDelMod} <> ${Similarity.graphDelRem}")
 
+  /** DuckDB twin of [[graft.queries.Similarity.simHnswSearch]]: the
+    * descent chain rebuilds layer 0, the stratification rules + 2-hop
+    * closure/complete-rescore rebuild the upper layers from first
+    * principles, the greedy per-level routing walks unroll inside the
+    * (MATERIALIZED) f0 entry CTE, and the standard layer-0 hop chain
+    * follows — one generator ([[graphSearchSqlOver]]) for all four walk
+    * twins, so serve, insert, delete and hierarchy can never walk
+    * different graphs. Constants interpolate from the ONE Scala
+    * definition each.
+    */
+  private def hnswSearchSql: String = {
+    val m1 = Similarity.hnswL1Mod
+    val m2 = Similarity.hnswL2Mod
+    val uh = Similarity.hnswUpperHops
+    val g = s"g${Similarity.knnDescentRounds}"
+    val qcos =
+      "list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm)"
+    def scoredPairs(pairs: String): String =
+      s"""SELECT p.src, p.dst,
+         |      list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+         |    FROM $pairs p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst""".stripMargin
+    def greedy(prefix: String, graph: String): String =
+      (1 to uh).map { h =>
+        s"""${prefix}x$h AS (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM $prefix${h - 1}
+           |    UNION ALL
+           |    SELECT f.qid, g2.dst AS vid FROM $prefix${h - 1} f JOIN $graph g2 ON g2.src = f.vid)
+           |  WHERE vid <> qid),
+           |$prefix$h AS (
+           |  SELECT qid, vid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $qcos DESC, vid ASC) AS rnk
+           |  FROM ${prefix}x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
+           |  QUALIFY rnk <= 1)""".stripMargin
+      }.mkString(",\n")
+    val extra =
+      s"""hl2 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % $m2 = 0),
+         |hl2e AS MATERIALIZED (
+         |  SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+         |  FROM (${scoredPairs("(SELECT x.vec_id AS src, y.vec_id AS dst FROM hl2 x JOIN hl2 y ON x.vec_id <> y.vec_id)")})
+         |  QUALIFY rn <= ${Similarity.hnswL2K}),
+         |hedges AS MATERIALIZED (SELECT src, dst FROM $g),
+         |hl1cand AS (
+         |  SELECT src, dst FROM hedges WHERE src % $m1 = 0 AND dst % $m1 = 0
+         |  UNION
+         |  SELECT i.src AS src, o.dst AS dst FROM hedges i JOIN hedges o ON i.dst = o.src
+         |  WHERE i.src % $m1 = 0 AND o.dst % $m1 = 0 AND i.src <> o.dst),
+         |hl1e AS MATERIALIZED (
+         |  SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+         |  FROM (${scoredPairs("hl1cand")})
+         |  QUALIFY rn <= ${Similarity.hnswL1K}),""".stripMargin
+    val route =
+      s"""WITH hu0 AS (SELECT vec_id AS qid, ev2 AS vid FROM qsrc, (SELECT min(vec_id) AS ev2 FROM hl2) e2),
+         |${greedy("hu", "hl2e")},
+         |hm0 AS (SELECT qid, vid FROM hu$uh),
+         |${greedy("hm", "hl1e")}
+         |SELECT qid, vid FROM hm$uh""".stripMargin
+    graphSearchSqlOver(
+      "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)",
+      5, extraCtes = extra, f0Sel = route)
+  }
+
   /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphUpsert]]: the
     * same walk with the reversed negative-key delta batch as the query
     * source (the upsertDeltaMod carve shared with every index upsert) and
@@ -1054,7 +1121,8 @@ object SparkEntry {
       extraCtes: String = "",
       graphSel: String =
         s"SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}",
-      entSel: String = "SELECT min(vec_id) AS ev FROM embeddings"): String = {
+      entSel: String = "SELECT min(vec_id) AS ev FROM embeddings",
+      f0Sel: String = "SELECT vec_id AS qid, ev AS vid FROM qsrc, ent"): String = {
     val beam = Similarity.graphSearchBeam
     val hops = Similarity.graphSearchHops
     val hopCtes = (1 to hops).map { h =>
@@ -1077,7 +1145,7 @@ object SparkEntry {
        |graph AS MATERIALIZED ($graphSel),
        |$querySrcCte,
        |ent AS ($entSel),
-       |f0 AS (SELECT vec_id AS qid, ev AS vid FROM qsrc, ent),
+       |f0 AS MATERIALIZED ($f0Sel),
        |$hopCtes
        |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
        |ORDER BY qid, rnk""".stripMargin
@@ -4196,6 +4264,7 @@ object SparkEntry {
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,
+    "sim_hnsw_search" -> hnswSearchSql,
     "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id

@@ -1201,6 +1201,17 @@ object Similarity {
   private def graphBeamWalk(spark: SparkSession, dir: String,
       edges: DataFrame, entry: Long, k: Int, beam: Int, hops: Int,
       querySet: Option[DataFrame]): DataFrame = {
+    val (q, _) = walkQueryFrames(spark, dir, querySet)
+    val frontier = walkFrontier(spark, dir, edges,
+      q.select(col("qid"), lit(entry).as("vid")), beam, hops, q)
+    walkReport(frontier, k)
+  }
+
+  /** The per-query (qid, qv, qn) frame + embedding lookup side every walk
+    * phase shares.
+    */
+  private def walkQueryFrames(spark: SparkSession, dir: String,
+      querySet: Option[DataFrame]): (DataFrame, DataFrame) = {
     register(spark)
     val emb = bucketedEmbeddings(spark, dir, knnDescentNbits)
       .select(col("vec_id").as("vid"), col("embedding").as("mv"),
@@ -1208,12 +1219,30 @@ object Similarity {
     val q = querySet.getOrElse(defaultQueries(spark, dir))
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       .withColumn("qn", expr(s"sqrt(${dotExpr("qv", "qv")})"))
-    val wBeam = org.apache.spark.sql.expressions.Window
-      .partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
-    var frontier = q.select(col("qid"), lit(entry).as("vid"))
+    (q, emb)
+  }
+
+  private def walkWindow = org.apache.spark.sql.expressions.Window
+    .partitionBy("qid").orderBy(col("cosine").desc, col("vid").asc)
+
+  /** `hops` beam-walk rounds over `edges` from an arbitrary per-query
+    * entry frontier — the core loop of [[graphBeamWalk]], factored so
+    * the HNSW serve ([[simHnswSearch]]) chains it per LEVEL (greedy
+    * beam-1 walks on the sparse upper layers routing into the standard
+    * layer-0 walk). Returns the final scored frontier (qid, vid,
+    * cosine).
+    */
+  private def walkFrontier(spark: SparkSession, dir: String,
+      edges: DataFrame, frontier0: DataFrame, beam: Int, hops: Int,
+      q: DataFrame): DataFrame = {
+    val emb = bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .select(col("vec_id").as("vid"), col("embedding").as("mv"),
+        col("norm").as("mn"))
+    var frontier = frontier0
     for (h <- 1 to hops) {
       val expanded = frontier.select("qid", "vid")
-        .unionByName(frontier.join(edges, col("vid") === col("v"))
+        .unionByName(frontier.select("qid", "vid")
+          .join(edges, col("vid") === col("v"))
           .select(col("qid"), col("u").as("vid")))
         .distinct()
         .filter(col("vid") =!= col("qid"))
@@ -1222,7 +1251,7 @@ object Similarity {
         .join(broadcast(q), "qid")
         .select(col("qid"), col("vid"),
           (expr(dotExpr("qv", "mv")) / (col("qn") * col("mn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(wBeam))
+        .withColumn("rnk", row_number().over(walkWindow))
         .filter(col("rnk") <= beam)
         .select("qid", "vid", "cosine")
       // a hop references its predecessor twice, so an unchecked chain
@@ -1234,11 +1263,14 @@ object Similarity {
       }
     }
     frontier
-      .withColumn("rnk", row_number().over(wBeam))
+  }
+
+  private def walkReport(frontier: DataFrame, k: Int): DataFrame =
+    frontier
+      .withColumn("rnk", row_number().over(walkWindow))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vid").as("vec_id"), col("cosine"), col("rnk"))
       .orderBy("qid", "rnk")
-  }
 
   /** Graph-index UPSERT — the HNSW insertion primitive (Malkov &
     * Yashunin 2016 §4: a new element's neighbors ARE the result of the
@@ -1430,6 +1462,151 @@ object Similarity {
       spark.read.parquet(s"$base/edges")
         .select(col("vec_id").as("v"), col("nbr_id").as("u")),
       entry, k, beam, hops, querySet)
+  }
+
+  /** HNSW level geometry (VERDICT r10 queue item 6): deterministic
+    * id-stratified sparse levels over the standing descent graph — the
+    * published level assignment is an exponential random draw (Malkov &
+    * Yashunin 2016 §4.2, mL = 1/ln M); the id-stratified analog keeps the
+    * SAME expected level populations (1/M per level) while staying
+    * bit-replicable in the oracle: level ≥ 1 iff `id % hnswL1Mod = 0`,
+    * level ≥ 2 iff `id % hnswL2Mod = 0`. Upper-layer adjacency derives
+    * from the standing graph (level 1 = 2-hop closure of layer 0
+    * restricted to level-1 members, rescored top-[[hnswL1K]] — per-vertex
+    * k² bounded local joins, never corpus²); the top layer is tiny by
+    * construction (n/64 — levels are added until the top is O(1), so its
+    * complete rescored graph is the bounded nlist²-style coarse cost).
+    * All constants shared with the generated oracle (kmeansCtes rule).
+    */
+  private[graft] val hnswL1Mod = 8L
+  private[graft] val hnswL2Mod = 64L
+  private[graft] val hnswL1K = 6
+  private[graft] val hnswL2K = 3
+  private[graft] val hnswUpperHops = 2
+
+  /** Build the HNSW upper layers over the standing NN-descent graph —
+    * persisted next to it, never mutating it (the overlay discipline).
+    * Level 2: complete rescored top-[[hnswL2K]] over the ~n/64 members.
+    * Level 1: candidates = direct layer-0 edges between level-1 members
+    * ∪ 2-hop paths through any middle vertex (the graph-delete bridge
+    * construction pointed at stratification holes instead of deletion
+    * holes), rescored exactly, top-[[hnswL1K]] per member.
+    */
+  def hnswBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val main = ensureKnnGraphIndex(spark, dir)
+    val base = spark.conf.get("spark.sql.warehouse.dir") + "/hnsw_index"
+    val edges = spark.read.parquet(s"$main/edges")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+      cand
+        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
+          col("norm").as("sn")), "src")
+        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          col("norm").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= k)
+    }
+    val l2m = v.filter(col("vec_id") % hnswL2Mod === 0).select("vec_id")
+    rescoreTopK(
+      l2m.select(col("vec_id").as("src"))
+        .join(l2m.select(col("vec_id").as("dst")),
+          col("src") =!= col("dst")),
+      hnswL2K)
+      .write.mode("overwrite").parquet(s"$base/l2_edges")
+    val direct = edges
+      .filter(col("src") % hnswL1Mod === 0 && col("dst") % hnswL1Mod === 0)
+    val twoHop = edges.select(col("src"), col("dst").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("dst")), "mid")
+      .filter(col("src") % hnswL1Mod === 0 && col("dst") % hnswL1Mod === 0 &&
+        col("src") =!= col("dst"))
+      .select("src", "dst")
+    rescoreTopK(direct.unionByName(twoHop).distinct(), hnswL1K)
+      .write.mode("overwrite").parquet(s"$base/l1_edges")
+    base
+  }
+
+  // hnsw index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val hnswIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the HNSW upper layers — marker and memo
+    * cleared BEFORE rebuilding (the ensureIvfIndex discipline); the
+    * marker sits on the LAST table written so a kill mid-build cannot
+    * leave a trusted half-index.
+    */
+  def ensureHnswIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = spark.conf.get("spark.sql.warehouse.dir") + "/hnsw_index"
+      val marker = new org.apache.hadoop.fs.Path(s"$base/l1_edges/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(hnswIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        hnswIndexFor.remove(base)
+        fs.delete(marker, false)
+        hnswBuildIndex(spark, dir)
+        hnswIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** The per-query layer-0 entry the upper layers route each query to:
+    * a greedy (beam-1) walk on the top layer from its min member, then a
+    * greedy walk on level 1 from the top layer's answer — HNSW's
+    * coarse-to-fine descent with [[hnswUpperHops]] hops per level.
+    * Factored from [[simHnswSearch]] so the spec can audit the routed
+    * entries' brute-force ranks directly (the mechanism pin).
+    */
+  private[graft] def hnswRouteEntries(spark: SparkSession, dir: String,
+      querySet: Option[DataFrame]): DataFrame = {
+    val base = ensureHnswIndex(spark, dir)
+    val (q, _) = walkQueryFrames(spark, dir, querySet)
+    val l2 = spark.read.parquet(s"$base/l2_edges")
+      .select(col("src").as("v"), col("dst").as("u"))
+    val l1 = spark.read.parquet(s"$base/l1_edges")
+      .select(col("src").as("v"), col("dst").as("u"))
+    val entry2 = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % hnswL2Mod === 0)
+      .agg(min("vec_id")).head.getLong(0)
+    val top = walkFrontier(spark, dir, l2,
+      q.select(col("qid"), lit(entry2).as("vid")), 1, hnswUpperHops, q)
+    walkFrontier(spark, dir, l1, top.select("qid", "vid"), 1,
+      hnswUpperHops, q)
+      .select("qid", "vid")
+  }
+
+  /** HNSW SEARCH — [[simGraphSearch]]'s layer-0 beam walk entered
+    * through the upper-layer route ([[hnswRouteEntries]]) instead of the
+    * fixed min-vec_id vertex. Honest measurement on the 0.88-point
+    * corpora (KnnDescentSpec, mirroring the offline numpy model): the
+    * routed entries are dramatically CLOSER to the queries (brute-force
+    * ranks 2–146 vs 0–407 for the fixed entry — the mechanism works),
+    * but end recall at the same layer-0 budget does NOT improve on this
+    * distance-concentrated corpus — measured 0.84 (sf0.001) / 0.80
+    * (sf0.01) vs the fixed entry's 0.88 at both (the r9 routed-entry
+    * result again: entry quality is not the binding constraint when
+    * distances concentrate, and the recall-at-fixed-L non-monotonicity
+    * note applies — a closer entry draws the beam from a different
+    * candidate pool). The operator's value is the scale shape — at real
+    * corpus sizes the fixed entry pays O(diameter) hops to reach a
+    * query's region while the hierarchy pays O(log n) — and the spec
+    * pins both the mechanism and the measured recall point.
+    */
+  def simHnswSearch(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = graphSearchBeam, hops: Int = graphSearchHops,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val g0base = ensureKnnGraphIndex(spark, dir)
+    val (q, _) = walkQueryFrames(spark, dir, querySet)
+    val f0 = hnswRouteEntries(spark, dir, querySet)
+    walkReport(walkFrontier(spark, dir,
+      spark.read.parquet(s"$g0base/edges")
+        .select(col("vec_id").as("v"), col("nbr_id").as("u")),
+      f0, beam, hops, q), k)
   }
 
   /** Cosine threshold for [[ddSemdedupGraph]]'s near-dup edges — shared
