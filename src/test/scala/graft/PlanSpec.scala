@@ -34,6 +34,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("first-non-null dedups keep the round-robin spread before the partial aggregate") {
+    // the r10->r11 j6/j7 fix: the md5-seq projection + partial min_by
+    // run at cluster width, not pinned to the single-row-group scan's one
+    // partition — removing Tables.spread regresses these 3-4x silently
+    // (the SortAggregate strategy itself is the measured winner and
+    // stays; see Transforms.firstNonNullBy's scaladoc)
+    for (name <- Seq("j6_mapping_validity", "j7_detail_mapping",
+        "a3_consensus_dedup", "a4_ratings_dedup", "a5_dividends_agg")) {
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("RoundRobinPartitioning"),
+        s"$name lost its Tables.spread exchange")
+    }
+  }
+
   test("dd_paragraph keep-first is a partial-aggregated min, not a window") {
     // the skew argument in ddParagraph's scaladoc: a hot paragraph must be
     // collapsed map-side (partial_min per partition), never funneled into
