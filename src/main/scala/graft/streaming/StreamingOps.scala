@@ -575,6 +575,20 @@ object StreamingOps {
       .select(col("doc_id"), col("lang"), col("n_ctrl"),
         col("n_space_runs"), col("n_nl_runs"), col("hd"))
 
+  /** Streaming twin of [[graft.queries.Text.gopherFlags]]: the Gopher
+    * word-level quality gate at ingest — crawl documents carry their
+    * five rule flags (word-count band, mean-length band, symbol ratio,
+    * alpha-word ratio, stopword presence) the moment they land, so a
+    * downstream writer can route pass/fail without a second corpus
+    * pass. Pure stateless narrow stage over exact integers;
+    * batch/stream equality is StreamingSpec-pinned.
+    */
+  def gopherFlaggedDocs(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.gopherFlags(docsStream)
+      .select(col("doc_id"), col("lang"), col("n_words"),
+        col("fail_word_count"), col("fail_mean_len"), col("fail_symbol"),
+        col("fail_alpha"), col("fail_stop"))
+
   /** Streaming twin of the BPE encode — tokenize-at-ingest with the
     * STANDING tokenizer: the persisted vocabulary's (token → encoded
     * length) table rides along as a literal map (bounded index

@@ -448,6 +448,31 @@ class StreamingSpec extends SparkSpec {
       streamed.exists(_._4 > 0), "every planted PII kind must fire")
   }
 
+  test("streaming gopher quality gate equals the batch flags per document") {
+    val sf = "/root/testdata/sf0.01"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-gopher-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val q = StreamingOps
+      .gopherFlaggedDocs(StreamingOps.readDocumentsStream(spark, docsDir.toString))
+      .writeStream.format("memory").queryName("gopher_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("fail_word_count"), r.getAs[Long]("fail_mean_len"),
+        r.getAs[Long]("fail_symbol"), r.getAs[Long]("fail_alpha"),
+        r.getAs[Long]("fail_stop"))).toSet
+    val streamed = asSet(spark.table("gopher_stream"))
+    val batch = asSet(
+      graft.queries.Text.gopherFlags(Tables(spark, sf, "documents"))
+        .select("doc_id", "n_words", "fail_word_count", "fail_mean_len",
+          "fail_symbol", "fail_alpha", "fail_stop"))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed gopher flags (${streamed.size} docs) must equal batch")
+  }
+
   test("streaming normalize equals the batch projection per document") {
     val sf = "/root/testdata/sf0.01"
     val docsDir = java.nio.file.Files.createTempDirectory("docs-clean-stream")
