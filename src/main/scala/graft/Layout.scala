@@ -26,6 +26,20 @@ object Layout {
   private[graft] val PYear = "_p_year"
   private[graft] val PMonth = "_p_month"
 
+  /** Corpus-scoped root for a standing index/model table:
+    * `<warehouse>/<name>_<slug(sfDir)>`. The slug keys the PATH on the
+    * corpus, so two JVMs (or one JVM switching SFs) can never serve an
+    * index built from a different corpus — the r11 sweep found exactly
+    * that: a concurrently running test JVM rebuilt `/ivf_index` from
+    * sf0.001 under a Verify run's feet because both processes shared the
+    * un-scoped path while each trusted its own in-memory memo. The
+    * memo's immutable-corpus assumption (CLAUDE.md) now holds per path
+    * by construction.
+    */
+  def indexBase(spark: SparkSession, sfDir: String, name: String): String =
+    spark.conf.get("spark.sql.warehouse.dir") + "/" + name + "_" +
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
+
   def writeDatePartitioned(df: DataFrame, path: String,
       dateCol: String = "date"): Unit = {
     require(!df.columns.contains(PYear) && !df.columns.contains(PMonth),

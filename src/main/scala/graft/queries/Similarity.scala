@@ -1061,7 +1061,7 @@ object Similarity {
     */
   def ensureKnnGraphIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph"
+      val base = graft.Layout.indexBase(spark, dir, "knn_graph")
       val marker = new org.apache.hadoop.fs.Path(s"$base/edges/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(knnGraphIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -1337,7 +1337,7 @@ object Similarity {
   def graphBuildDeleteIndex(spark: SparkSession, dir: String): String = {
     register(spark)
     val main = ensureKnnGraphIndex(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph_del"
+    val base = graft.Layout.indexBase(spark, dir, "knn_graph_del")
     Tables(spark, dir, "embeddings")
       .filter(col("vec_id") % graphDelMod === graphDelRem)
       .select("vec_id")
@@ -1391,7 +1391,7 @@ object Similarity {
     */
   def ensureKnnGraphDeleteIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/knn_graph_del"
+      val base = graft.Layout.indexBase(spark, dir, "knn_graph_del")
       val marker = new org.apache.hadoop.fs.Path(s"$base/edges/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(knnGraphDelFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -1495,7 +1495,7 @@ object Similarity {
   def hnswBuildIndex(spark: SparkSession, dir: String): String = {
     register(spark)
     val main = ensureKnnGraphIndex(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/hnsw_index"
+    val base = graft.Layout.indexBase(spark, dir, "hnsw_index")
     val edges = spark.read.parquet(s"$main/edges")
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
@@ -1543,7 +1543,7 @@ object Similarity {
     */
   def ensureHnswIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/hnsw_index"
+      val base = graft.Layout.indexBase(spark, dir, "hnsw_index")
       val marker = new org.apache.hadoop.fs.Path(s"$base/l1_edges/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(hnswIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -1726,7 +1726,7 @@ object Similarity {
   def simIvfBuildIndex(spark: SparkSession, dir: String): String = {
     register(spark)
     graft.Catalog.registerAll(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_index"
+    val base = graft.Layout.indexBase(spark, dir, "ivf_index")
     centroidsWithNorm(spark, dir)
       .write.mode("overwrite").parquet(s"$base/centroids")
     spark.read.parquet(s"$base/centroids")
@@ -1758,7 +1758,7 @@ object Similarity {
     * requires).
     */
   def ensureIvfIndex(spark: SparkSession, dir: String): String = synchronized {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_index"
+    val base = graft.Layout.indexBase(spark, dir, "ivf_index")
     val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(indexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -2078,7 +2078,7 @@ object Similarity {
     */
   def pqBuildDeleteIndex(spark: SparkSession, dir: String): String = {
     val main = ensurePqIndex(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_del"
+    val base = graft.Layout.indexBase(spark, dir, "pq_del")
     val codes = spark.read.parquet(s"$main/codes")
     codes.filter(col("vec_id") % pqDelMod === pqDelRem)
       .write.mode("overwrite").parquet(s"$base/tombstones")
@@ -2095,7 +2095,7 @@ object Similarity {
     */
   def ensurePqDeleteIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_del"
+      val base = graft.Layout.indexBase(spark, dir, "pq_del")
       val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(pqDelIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -2606,7 +2606,7 @@ object Similarity {
   def ensureResidualPqIndex(spark: SparkSession, dir: String): String =
     synchronized {
       val ivfBase = ensureIvfIndex(spark, dir)
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/rpq_index"
+      val base = graft.Layout.indexBase(spark, dir, "rpq_index")
       val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(rpqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -2834,7 +2834,7 @@ object Similarity {
     */
   def ivfBuildDeleteIndex(spark: SparkSession, dir: String): String = {
     val main = ensureIvfIndex(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_del"
+    val base = graft.Layout.indexBase(spark, dir, "ivf_del")
     val cells = readIvfCells(spark, main)
     cells.filter(ivfDeadCond(col("cell"), col("m_vec_id")))
       .select("m_vec_id", "cell")
@@ -2864,7 +2864,7 @@ object Similarity {
     * immutable-corpus assumption (memo keys on the dir string).
     */
   def ensureIvfDeleteIndex(spark: SparkSession, dir: String): String = synchronized {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_del"
+    val base = graft.Layout.indexBase(spark, dir, "ivf_del")
     val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(delIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -3214,7 +3214,7 @@ object Similarity {
     register(spark)
     graft.Catalog.registerAll(spark, dir)
     val main = ensureIvfIndex(spark, dir)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_retrain"
+    val base = graft.Layout.indexBase(spark, dir, "ivf_retrain")
     val delta = upsertDeltaFrame(spark, dir)
     val union = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .unionByName(delta)
@@ -3327,7 +3327,7 @@ object Similarity {
     */
   def ensureIvfRetrainIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/ivf_retrain"
+      val base = graft.Layout.indexBase(spark, dir, "ivf_retrain")
       val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(retrainIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -3446,7 +3446,7 @@ object Similarity {
     */
   def pqBuildIndex(spark: SparkSession, dir: String): String = {
     register(spark)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_index"
+    val base = graft.Layout.indexBase(spark, dir, "pq_index")
     val books = pqCodebooks(spark, dir)
     books.write.mode("overwrite").parquet(s"$base/codebooks")
     pqEncode(spark, dir, spark.read.parquet(s"$base/codebooks"))
@@ -3465,7 +3465,7 @@ object Similarity {
     * on the dir string — mutable corpora rebuild via [[pqBuildIndex]].
     */
   def ensurePqIndex(spark: SparkSession, dir: String): String = synchronized {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/pq_index"
+    val base = graft.Layout.indexBase(spark, dir, "pq_index")
     val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(pqIndexFor.get(base).contains(dir) && fs.exists(marker))) {

@@ -2872,7 +2872,7 @@ object Text {
     * memo discipline matches [[graft.queries.Similarity.ensureIvfIndex]].
     */
   def bpeBuildIndex(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/bpe_index"
+    val base = graft.Layout.indexBase(spark, dir, "bpe_index")
     val (merges, state) = bpeTrain(spark, dir, bpeMergeRounds)
     merges.write.mode("overwrite").parquet(s"$base/merges")
     state.write.mode("overwrite").parquet(s"$base/vocab")
@@ -2881,7 +2881,7 @@ object Text {
 
   def ensureBpeIndex(spark: SparkSession, dir: String): String =
     synchronized {
-      val base = spark.conf.get("spark.sql.warehouse.dir") + "/bpe_index"
+      val base = graft.Layout.indexBase(spark, dir, "bpe_index")
       val marker = new org.apache.hadoop.fs.Path(s"$base/vocab/_SUCCESS")
       val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
       if (!(bpeIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -3080,14 +3080,14 @@ object Text {
     * assumption).
     */
   def mqBuildIndex(spark: SparkSession, dir: String): String = {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/mq_model"
+    val base = graft.Layout.indexBase(spark, dir, "mq_model")
     mqTrainWeights(spark, dir)
       .write.mode("overwrite").parquet(s"$base/weights")
     base
   }
 
   def ensureMqIndex(spark: SparkSession, dir: String): String = synchronized {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/mq_model"
+    val base = graft.Layout.indexBase(spark, dir, "mq_model")
     val marker = new org.apache.hadoop.fs.Path(s"$base/weights/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(mqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -3366,7 +3366,7 @@ object Text {
     */
   def ensureLmIndex(spark: SparkSession, dir: String): String = synchronized {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/lm_model"
+    val base = graft.Layout.indexBase(spark, dir, "lm_model")
     val marker = new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(lmIndexFor.get(base).contains(dir) && fs.exists(marker))) {
@@ -3730,7 +3730,7 @@ object Text {
     * the marker/memo discipline (cleared BEFORE rebuilding).
     */
   def ensureAggMv(spark: SparkSession, dir: String): String = synchronized {
-    val base = spark.conf.get("spark.sql.warehouse.dir") + "/agg_mv"
+    val base = graft.Layout.indexBase(spark, dir, "agg_mv")
     val marker = new org.apache.hadoop.fs.Path(s"$base/aggs/_SUCCESS")
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!(aggMvFor.get(base).contains(dir) && fs.exists(marker))) {
