@@ -93,7 +93,7 @@ class IvfDeleteSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Long]("n_dead") > 0),
       "the carve must tombstone something")
     // the physically rewritten overlay holds no deleted vector's codes
-    val del = Layout.indexBase(spark, dir, "pq_del")
+    val del = Layout.indexBase(spark, pqDir, "pq_del")
     import org.apache.spark.sql.functions.col
     assert(spark.read.parquet(s"$del/codes")
       .filter(col("vec_id") % Similarity.pqDelMod === Similarity.pqDelRem)
