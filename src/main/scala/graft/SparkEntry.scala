@@ -107,6 +107,9 @@ object SparkEntry {
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_hash_sample" -> (Text.txHashSample _),
+    // integer-exact A-ES: priority = floor(md5_60(seed:id) / token count),
+    // global bottom-n via TakeOrderedAndProject (bounded per-partition heap)
+    "tx_weighted_sample" -> ((s, d) => Text.txWeightedSample(s, d)),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
     "tx_token_budget" -> ((s, d) => Text.txTokenBudget(s, d)),
     "tx_split_leakage" -> (Text.txSplitLeakage _),
@@ -122,6 +125,11 @@ object SparkEntry {
     // text — are identical to tx_decontaminate_hashed
     "tx_bloom_decontaminate" -> ((s, d) => Text.txDecontaminateBloom(s, d)),
     "tx_overlap_fraction" -> ((s, d) => Text.txOverlapFraction(s, d)),
+    // KMV (bottom-k) sketches: per-source + merged-from-sketches distinct
+    // cardinality, and the pairwise Jaccard/union matrix over the same
+    // sketches (no join — one bounded collect_list row unfolds the pairs)
+    "tx_kmv_distinct" -> ((s, d) => Text.txKmvDistinct(s, d)),
+    "tx_kmv_overlap" -> ((s, d) => Text.txKmvOverlap(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
     // second oracle'd temperature: α = 45/64 = 0.703125, the nearest
@@ -367,6 +375,39 @@ object SparkEntry {
          |        FROM a$r GROUP BY cid))""".stripMargin
     }
     (seed +: steps).mkString(",\n")
+  }
+
+  /** Numerator of the KMV estimator, (k−1)·2^60 — one definition for
+    * both oracle strings, derived from the same Text.KmvK the Spark
+    * estimator uses.
+    */
+  private val kmvNumerator: String =
+    ((BigInt(1) << 60) * (Text.KmvK - 1)).toString
+
+  /** Shared CTE chain of the KMV pair: distinct 60-bit shingle keys per
+    * source (the txDecontaminateHashed key convention at
+    * width = Text.KmvWidth) and the per-source bottom-k sketch rows —
+    * the DuckDB twin of [[graft.queries.Text.kmvSketches]].
+    */
+  private def kmvCtes: String = {
+    val w = Text.KmvWidth
+    val terms = (1 to w).map(i =>
+      if (i == 1) "toks[i]" else s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH d AS (
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |sh AS (
+       |  SELECT DISTINCT source,
+       |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+       |  FROM (
+       |    SELECT source,
+       |      unnest(list_transform(range(1, len(toks) - ${w - 2}), i ->
+       |        $terms)) AS g
+       |    FROM d WHERE len(toks) >= $w)),
+       |r AS (SELECT source, gk,
+       |        row_number() OVER (PARTITION BY source ORDER BY gk) AS rn
+       |      FROM sh),
+       |sk AS (SELECT source, list(gk ORDER BY gk) AS sketch
+       |       FROM r WHERE rn <= ${Text.KmvK} GROUP BY source)""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Text.txTemperatureMix]] at
@@ -3302,6 +3343,17 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_stratified,
         |  min(CASE WHEN rn <= 10 THEN doc_id END) AS min_sampled_id
         |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+    // weighted priority sample: same seed/keyspace constants as the Spark
+    // side (Text.WeightedSampleSeed/N); // is floor division on
+    // nonnegative BIGINTs in both engines
+    "tx_weighted_sample" ->
+      s"""WITH k AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(('0x' || substr(md5('${Text.WeightedSampleSeed}:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT doc_id, lang, source, n_tokens, h // n_tokens AS priority
+        |FROM k ORDER BY priority, doc_id LIMIT ${Text.WeightedSampleN}""".stripMargin,
     "tx_bigram_score" ->
       """WITH g AS (
         |  SELECT doc_id, lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
@@ -4056,6 +4108,40 @@ object SparkEntry {
         |  CAST(m.n_matched AS DOUBLE) / CAST(p.n_grams AS DOUBLE) AS frac
         |FROM per_doc p JOIN m ON p.doc_id = m.doc_id
         |ORDER BY p.doc_id""".stripMargin,
+    // KMV sketches: k/width/numerator come from the SAME constants the
+    // Spark side evaluates (Text.KmvK/KmvWidth); the estimator is HUGEINT
+    // floor division replicating Spark's decimal remainder-subtraction
+    // exactly (both are floor((k-1)*2^60 / kth) on exact integers).
+    "tx_kmv_distinct" ->
+      s"""$kmvCtes,
+        |mu AS (SELECT DISTINCT gk FROM r WHERE rn <= ${Text.KmvK}),
+        |mr AS (SELECT gk, row_number() OVER (ORDER BY gk) AS rn FROM mu),
+        |msk AS (SELECT 'ALL' AS source, list(gk ORDER BY gk) AS sketch
+        |        FROM mr WHERE rn <= ${Text.KmvK}),
+        |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk)
+        |SELECT source,
+        |  CAST(len(sketch) AS BIGINT) AS k_used,
+        |  sketch[${Text.KmvK}] AS kth_key,
+        |  CASE WHEN len(sketch) < ${Text.KmvK} THEN CAST(len(sketch) AS BIGINT)
+        |       ELSE CAST(($kmvNumerator::HUGEINT // CAST(sketch[${Text.KmvK}] AS HUGEINT)) AS BIGINT) END AS est_distinct
+        |FROM allsk ORDER BY source""".stripMargin,
+    "tx_kmv_overlap" ->
+      s"""$kmvCtes,
+        |p AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |         a.sketch AS ska, b.sketch AS skb
+        |  FROM sk a JOIN sk b ON a.source < b.source),
+        |m AS (
+        |  SELECT source_a, source_b, ska, skb,
+        |    (list_sort(list_distinct(list_concat(ska, skb))))[1:${Text.KmvK}] AS merged
+        |  FROM p)
+        |SELECT source_a, source_b,
+        |  CAST(len(merged) AS BIGINT) AS k_used,
+        |  CAST(len(list_filter(merged, x -> list_contains(ska, x) AND list_contains(skb, x))) AS BIGINT) AS n_both,
+        |  CASE WHEN len(merged) < ${Text.KmvK} THEN CAST(len(merged) AS BIGINT)
+        |       ELSE CAST(($kmvNumerator::HUGEINT // CAST(merged[${Text.KmvK}] AS HUGEINT)) AS BIGINT) END AS est_union,
+        |  CAST(len(list_filter(merged, x -> list_contains(ska, x) AND list_contains(skb, x))) AS DOUBLE) / CAST(len(merged) AS DOUBLE) AS jaccard_est
+        |FROM m ORDER BY source_a, source_b""".stripMargin,
     // alpha = 0.5 temperature weights: sqrt is IEEE-correctly-rounded in
     // both engines (pow/ln are not); floor(tokens^α * 1e6) pins the weight
     // to an integer so the normalizer is an exact long sum. The weight

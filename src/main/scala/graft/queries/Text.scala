@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -276,6 +276,42 @@ object Text {
         expr("array_min(transform(top, x -> x.doc_id))").as("min_sampled_id"))
       .orderBy("lang")
   }
+
+  /** Seed of the weighted-priority sample key — shared with the DuckDB
+    * oracle text so the permutation cannot drift between engines.
+    */
+  private[graft] val WeightedSampleSeed = "wsamp"
+  private[graft] val WeightedSampleN = 100
+
+  /** Deterministic weighted without-replacement sampling (beyond-
+    * reference extension, SURVEY.md §7.5): the integer-exact analog of
+    * Efraimidis-Spirakis A-ES priority sampling. Each document gets a
+    * stable 60-bit key h = md5(seed:doc_id) and priority
+    * floor(h / w) with w = its token count; the sample is the n lowest
+    * priorities. P[floor(h/w) ≤ t] ≈ w·(t+1)/2^60, so inclusion odds
+    * scale ~linearly with weight (KmvSpec-style measured fact: selected
+    * mean weight 68 vs corpus mean 54 at sf0.01, pinned in
+    * TextOpsSpec) — the "sample ∝ length/quality" gate pretraining
+    * mixers run, with zero RNG state: same sample any run, any
+    * partitioning, any engine. True A-ES uses u^(1/w), whose pow() is
+    * not correctly-rounded across libms — the floor-division form is the
+    * bit-replicable variant (the tx_model_quality squared-loss
+    * argument).
+    *
+    * Scale shape: one narrow projection then a global top-n —
+    * TakeOrderedAndProject keeps a bounded n-row heap per partition and
+    * merges on the driver, no full sort, no shuffle of the corpus.
+    */
+  def txWeightedSample(spark: SparkSession, dir: String,
+      n: Int = WeightedSampleN): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+      .withColumn("h", expr(
+        s"CAST(conv(substring(md5(CAST(concat('$WeightedSampleSeed:', CAST(doc_id AS STRING)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)"))
+      .withColumn("priority", expr("h div n_tokens"))
+      .select("doc_id", "lang", "source", "n_tokens", "priority")
+      .orderBy(col("priority"), col("doc_id"))
+      .limit(n)
 
   /** Bigram-frequency quality scoring — the integer-exact cousin of an
     * n-gram LM perplexity filter (the KenLM-style gate real pretraining
@@ -2186,6 +2222,129 @@ object Text {
         col("n_matched").cast("double") / col("n_grams").cast("double"))
       .select("doc_id", "lang", "n_grams", "n_matched", "frac")
       .orderBy("doc_id")
+  }
+
+  /** KMV (k-minimum-values / bottom-k) sketch parameters. k = 256 gives
+    * ~1/√(k−2) ≈ 6% relative error on the distinct estimate (Bar-Yossef
+    * et al. 2002, "Counting distinct elements in a data stream"); the
+    * keyspace is the shared 60-bit md5 fold, so sketch keys are the SAME
+    * longs the decontamination family shuffles and both engines derive
+    * them identically. Width 3 matches the MinHash family's shingles.
+    */
+  private[graft] val KmvK = 256
+  private[graft] val KmvWidth = 3
+  private val KmvKeyspace: BigInt = BigInt(1) << 60
+
+  /** Distinct (source, gk) 60-bit shingle keys — the KMV input stream. */
+  private def kmvKeys(docsDf: DataFrame, width: Int): DataFrame =
+    Tables.spread(docsDf)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("source"), explode(expr(shingleExpr(width))).as("g"))
+      .select(col("source"),
+        expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .distinct()
+
+  /** One bottom-k sketch row per source: (source, sketch sorted asc). */
+  private[graft] def kmvSketches(docsDf: DataFrame,
+      width: Int = KmvWidth, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    kmvKeys(docsDf, width)
+      .groupBy("source")
+      .agg(ColumnBridge.collectTopK(col("gk"), k, reverse = true).as("sketch"))
+  }
+
+  /** Exact-integer KMV cardinality estimator over a sorted bottom-k
+    * `sketch` array: a full sketch estimates floor((k−1)·2^60 / kth) —
+    * computed in DECIMAL(38,0) via remainder subtraction (numerator −
+    * pmod, then a division that is exact because the numerator is a
+    * multiple of the divisor), so the value is bit-replicable against
+    * DuckDB's HUGEINT floor division; a sketch holding fewer than k keys
+    * IS the distinct set and reports its exact size (the standard KMV
+    * small-set rule). No float ever enters the estimate.
+    */
+  private def kmvEstimate(sketch: Column, k: Int): Column = {
+    val n = size(sketch).cast("long")
+    val num = lit(new java.math.BigDecimal((KmvKeyspace * (k - 1)).bigInteger))
+    val kth = element_at(sketch, k).cast("decimal(38,0)")
+    when(n < k, n)
+      .otherwise(((num - pmod(num, kth)) / kth).cast("long"))
+  }
+
+  /** Distinct-shingle cardinality sketching (beyond-reference extension,
+    * SURVEY.md §7.5): one KMV sketch per `source` plus the corpus-level
+    * `ALL` row merged FROM the per-source sketches — never from the raw
+    * data — so the query itself exercises the property that matters at
+    * 100 TB: KMV sketches union losslessly by re-taking the bottom-k of
+    * their concatenation (min-k(A∪B) = min-k(min-k(A) ∪ min-k(B)), the
+    * exact identity KmvSpec pins). The only corpus-wide shuffle is the
+    * distinct over (source, 8-byte key); each per-source sketch is a
+    * bounded CollectTopK buffer (≤ k longs per group per map task), and
+    * the merge handles #sources·k longs — kilobytes at any corpus size.
+    * Estimates are exact-integer ([[kmvEstimate]]) so the DuckDB oracle
+    * hash-matches bit-for-bit; accuracy itself is pinned separately
+    * against true distinct counts in KmvSpec (measured ~4–15% at
+    * sf0.01, the expected 1/√k regime).
+    */
+  def txKmvDistinct(spark: SparkSession, dir: String,
+      width: Int = KmvWidth, k: Int = KmvK): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val perSource = kmvSketches(docs(spark, dir), width, k)
+    val merged = perSource
+      .select(explode(col("sketch")).as("gk")).distinct()
+      .groupBy()
+      .agg(ColumnBridge.collectTopK(col("gk"), k, reverse = true).as("sketch"))
+      .select(lit("ALL").as("source"), col("sketch"))
+    perSource.unionByName(merged)
+      .select(col("source"),
+        size(col("sketch")).cast("long").as("k_used"),
+        expr(s"try_element_at(sketch, $k)").as("kth_key"),
+        kmvEstimate(col("sketch"), k).as("est_distinct"))
+      .orderBy("source")
+  }
+
+  /** Pairwise source-overlap estimation from the SAME per-source KMV
+    * sketches (beyond-reference extension): for every source pair, merge
+    * the two sketches (bottom-k of the union), count merged keys present
+    * in BOTH sketches, and estimate Jaccard as n_both / k_used plus the
+    * union cardinality via [[kmvEstimate]] — the Theta-sketch set-
+    * operation pattern. The cross-source duplication matrix is what a
+    * curation pipeline consults before mixing sources; computing it from
+    * standing sketches costs zero additional corpus passes.
+    *
+    * Pair generation deliberately uses NO join: the per-source sketch
+    * rows collapse into ONE bounded collect_list row (#sources·k longs —
+    * a source-level report is inherently #sources-bounded) and pairs
+    * unfold from index lambdas, so the plan cannot degrade to a
+    * cartesian/BNLJ (PlanSpec's suite-wide ban) and the heavy corpus
+    * stages stay identical to [[txKmvDistinct]]'s.
+    */
+  def txKmvOverlap(spark: SparkSession, dir: String,
+      width: Int = KmvWidth, k: Int = KmvK): DataFrame = {
+    val one = kmvSketches(docs(spark, dir), width, k)
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("source"), col("sketch"))))
+        .as("ss"))
+      .filter(size(col("ss")) >= 2)
+    val pairs = one.select(expr(
+      """explode(flatten(transform(sequence(0, size(ss) - 2), i ->
+        |  transform(sequence(i + 1, size(ss) - 1), j ->
+        |    struct(ss[i].source AS sa, ss[j].source AS sb,
+        |           ss[i].sketch AS ska, ss[j].sketch AS skb))))) AS p"""
+        .stripMargin))
+    pairs
+      .select(col("p.sa").as("source_a"), col("p.sb").as("source_b"),
+        expr(s"slice(array_sort(array_distinct(concat(p.ska, p.skb))), 1, $k)")
+          .as("merged"),
+        col("p.ska").as("ska"), col("p.skb").as("skb"))
+      .select(col("source_a"), col("source_b"),
+        size(col("merged")).cast("long").as("k_used"),
+        expr("CAST(size(filter(merged, x -> array_contains(ska, x) AND array_contains(skb, x))) AS BIGINT)")
+          .as("n_both"),
+        kmvEstimate(col("merged"), k).as("est_union"))
+      .withColumn("jaccard_est",
+        col("n_both").cast("double") / col("k_used").cast("double"))
+      .orderBy("source_a", "source_b")
   }
 
   /** Benchmark decontamination: drop-list of training docs sharing any

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Text
+
+/** KMV (bottom-k) distinct-cardinality sketches and the sketch-derived
+  * source-overlap matrix. The lossless-merge test pins the identity the
+  * 100 TB story rests on (min-k(∪ sources) = min-k(∪ per-source
+  * sketches), exact, not approximate); the planted tests exercise both
+  * estimator paths (small-set exact, full-sketch floor division); the
+  * sf0.01 test pins estimate accuracy against true distinct counts —
+  * the part the bit-exact oracle deliberately does not check.
+  */
+class KmvSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  private def plant(rows: Seq[(Long, String, String, String)]): String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bottom-k of per-source sketches IS the full-corpus sketch (lossless merge)") {
+    val docsDf = Tables(spark, sf001, "documents")
+    val per = Text.kmvSketches(docsDf)
+    val fromSketches = per.select(explode(col("sketch")).as("gk"))
+      .distinct().collect().map(_.getLong(0)).sorted.take(Text.KmvK).toSeq
+    val direct = Text.kmvSketches(docsDf.withColumn("source", lit("ALL")))
+      .collect()
+    assert(direct.length == 1)
+    val directSketch = direct.head.getSeq[Long](1)
+    assert(fromSketches == directSketch,
+      "merging per-source bottom-ks must reproduce the direct corpus sketch exactly")
+  }
+
+  test("planted: small source takes the exact path, large the estimator path") {
+    val big = (0 until 600).map(i => s"t$i").mkString(" ") // 598 shingles
+    val dir = plant(Seq(
+      (1L, "a b c d e f", "en", "tiny"), // 4 distinct 3-gram shingles
+      (2L, big, "en", "large")))
+    val rows = Text.txKmvDistinct(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tiny = rows("tiny")
+    assert(tiny.getAs[Long]("k_used") == 4L && tiny.isNullAt(2) &&
+      tiny.getAs[Long]("est_distinct") == 4L,
+      s"under-full sketch must report its exact size: $tiny")
+    val large = rows("large")
+    assert(large.getAs[Long]("k_used") == Text.KmvK.toLong &&
+      !large.isNullAt(2), s"full sketch expected: $large")
+    val est = large.getAs[Long]("est_distinct").toDouble
+    assert(math.abs(est - 598.0) / 598.0 < 0.3,
+      s"estimator path must land near the true 598: $est")
+  }
+
+  test("planted overlap: identical sources at jaccard 1, disjoint at 0") {
+    val shared = (0 until 50).map(i => s"s$i").mkString(" ")
+    val other = (0 until 50).map(i => s"z$i").mkString(" ")
+    val dir = plant(Seq(
+      (1L, shared, "en", "srcA"),
+      (2L, shared, "en", "srcB"),
+      (3L, other, "en", "srcC")))
+    val rows = Text.txKmvOverlap(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ab = rows(("srcA", "srcB"))
+    assert(ab.getAs[Long]("n_both") == ab.getAs[Long]("k_used") &&
+      ab.getAs[Double]("jaccard_est") == 1.0,
+      s"identical sources must merge to an all-shared sketch: $ab")
+    for (p <- Seq(("srcA", "srcC"), ("srcB", "srcC"))) {
+      val r = rows(p)
+      assert(r.getAs[Long]("n_both") == 0L &&
+        r.getAs[Double]("jaccard_est") == 0.0,
+        s"disjoint sources must share no sketch key: $r")
+    }
+  }
+
+  test("sf0.01: estimates track true distinct shingle counts within 25%") {
+    val est = Text.txKmvDistinct(spark, sf001).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("est_distinct")).toMap
+    val keyed = Tables(spark, sf001, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= Text.KmvWidth)
+      .select(col("source"),
+        explode(expr(Text.shingleExpr(Text.KmvWidth))).as("g"))
+    val perSource = keyed.groupBy("source")
+      .agg(countDistinct("g").as("n")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = keyed.select("g").distinct().count()
+    for ((s, n) <- perSource) {
+      val e = est(s).toDouble
+      assert(math.abs(e - n) / n < 0.25, s"$s: est $e vs true $n")
+    }
+    assert(math.abs(est("ALL").toDouble - total) / total < 0.25,
+      s"ALL: est ${est("ALL")} vs true $total")
+    assert(est.size == perSource.size + 1)
+  }
+}

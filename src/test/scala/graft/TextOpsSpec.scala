@@ -1359,4 +1359,32 @@ class TextOpsSpec extends SparkSpec {
     assert(t.getAs[Long]("p") == docs.filter(col("doc_id") % 7 === 0).count())
     assert(t.getAs[Long]("i") == docs.filter(col("doc_id") % 11 === 0).count())
   }
+
+  test("tx_weighted_sample: driver-recomputed priorities and weight bias") {
+    val sample = Text.txWeightedSample(spark, sf001).collect()
+    assert(sample.length == Text.WeightedSampleN)
+    // independent recompute: JDK MessageDigest md5, 15-hex-char fold,
+    // floor division by the whitespace token count — the whole selection
+    // re-derived outside Spark and DuckDB
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(id: Long): Long = {
+      val hex = md.digest(s"${Text.WeightedSampleSeed}:$id"
+        .getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val corpus = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("w"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = corpus.map { case (id, w) => (h60(id) / w, id, w) }
+      .sorted.take(Text.WeightedSampleN)
+    assert(sample.map(_.getAs[Long]("doc_id")).toSeq ==
+      expected.map(_._2).toSeq, "selection or order drifted from the formula")
+    assert(sample.map(_.getAs[Long]("priority")).toSeq ==
+      expected.map(_._1).toSeq)
+    // the point of weighting: heavier (longer) docs are over-selected
+    val meanSel = expected.map(_._3).sum.toDouble / expected.length
+    val meanAll = corpus.map(_._2).sum.toDouble / corpus.length
+    assert(meanSel > meanAll * 1.1,
+      s"selected mean weight $meanSel must exceed corpus mean $meanAll")
+  }
 }
