@@ -130,6 +130,9 @@ object SparkEntry {
     // sketches (no join — one bounded collect_list row unfolds the pairs)
     "tx_kmv_distinct" -> ((s, d) => Text.txKmvDistinct(s, d)),
     "tx_kmv_overlap" -> ((s, d) => Text.txKmvOverlap(s, d)),
+    // standing base-carve sketches + delta carve, merged losslessly —
+    // must equal the rebuild bit-for-bit (shares its oracle text)
+    "tx_kmv_refresh" -> ((s, d) => Text.txKmvRefresh(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
     // second oracle'd temperature: α = 45/64 = 0.703125, the nearest
@@ -409,6 +412,24 @@ object SparkEntry {
        |sk AS (SELECT source, list(gk ORDER BY gk) AS sketch
        |       FROM r WHERE rn <= ${Text.KmvK} GROUP BY source)""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.queries.Text.txKmvDistinct]] AND
+    * [[graft.queries.Text.txKmvRefresh]] — one text for both because the
+    * bottom-k union is lossless (refresh ≡ rebuild).
+    */
+  private def kmvDistinctSql: String =
+    s"""$kmvCtes,
+      |mu AS (SELECT DISTINCT gk FROM r WHERE rn <= ${Text.KmvK}),
+      |mr AS (SELECT gk, row_number() OVER (ORDER BY gk) AS rn FROM mu),
+      |msk AS (SELECT 'ALL' AS source, list(gk ORDER BY gk) AS sketch
+      |        FROM mr WHERE rn <= ${Text.KmvK}),
+      |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk)
+      |SELECT source,
+      |  CAST(len(sketch) AS BIGINT) AS k_used,
+      |  sketch[${Text.KmvK}] AS kth_key,
+      |  CASE WHEN len(sketch) < ${Text.KmvK} THEN CAST(len(sketch) AS BIGINT)
+      |       ELSE CAST(($kmvNumerator::HUGEINT // CAST(sketch[${Text.KmvK}] AS HUGEINT)) AS BIGINT) END AS est_distinct
+      |FROM allsk ORDER BY source""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Text.txTemperatureMix]] at
     * α = num/2^denLog2 — the weight expression is the SAME generated
@@ -4112,19 +4133,12 @@ object SparkEntry {
     // Spark side evaluates (Text.KmvK/KmvWidth); the estimator is HUGEINT
     // floor division replicating Spark's decimal remainder-subtraction
     // exactly (both are floor((k-1)*2^60 / kth) on exact integers).
-    "tx_kmv_distinct" ->
-      s"""$kmvCtes,
-        |mu AS (SELECT DISTINCT gk FROM r WHERE rn <= ${Text.KmvK}),
-        |mr AS (SELECT gk, row_number() OVER (ORDER BY gk) AS rn FROM mu),
-        |msk AS (SELECT 'ALL' AS source, list(gk ORDER BY gk) AS sketch
-        |        FROM mr WHERE rn <= ${Text.KmvK}),
-        |allsk AS (SELECT * FROM sk UNION ALL SELECT * FROM msk)
-        |SELECT source,
-        |  CAST(len(sketch) AS BIGINT) AS k_used,
-        |  sketch[${Text.KmvK}] AS kth_key,
-        |  CASE WHEN len(sketch) < ${Text.KmvK} THEN CAST(len(sketch) AS BIGINT)
-        |       ELSE CAST(($kmvNumerator::HUGEINT // CAST(sketch[${Text.KmvK}] AS HUGEINT)) AS BIGINT) END AS est_distinct
-        |FROM allsk ORDER BY source""".stripMargin,
+    "tx_kmv_distinct" -> kmvDistinctSql,
+    // the refresh's oracle IS the rebuild: the bottom-k union is
+    // lossless, so standing-base + delta must reproduce the full-corpus
+    // report bit-for-bit (the pipelineAggRefresh oracle discipline —
+    // the oracle never sees the standing table)
+    "tx_kmv_refresh" -> kmvDistinctSql,
     "tx_kmv_overlap" ->
       s"""$kmvCtes,
         |p AS (

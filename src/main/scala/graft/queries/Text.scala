@@ -2235,15 +2235,25 @@ object Text {
   private[graft] val KmvWidth = 3
   private val KmvKeyspace: BigInt = BigInt(1) << 60
 
-  /** Distinct (source, gk) 60-bit shingle keys — the KMV input stream. */
-  private def kmvKeys(docsDf: DataFrame, width: Int): DataFrame =
-    Tables.spread(docsDf)
-      .withColumn("toks", split(col("text"), " "))
+  /** The narrow (source, gk) shingle-key projection — stream-safe (no
+    * repartition, no distinct), shared by the batch sketches and the
+    * streaming delta twin ([[graft.streaming.StreamingOps.kmvDeltaKeys]]).
+    */
+  private[graft] def kmvKeyProjection(in: DataFrame,
+      width: Int = KmvWidth): DataFrame =
+    in.withColumn("toks", split(col("text"), " "))
       .filter(size(col("toks")) >= width)
       .select(col("source"), explode(expr(shingleExpr(width))).as("g"))
       .select(col("source"),
         expr("CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
-      .distinct()
+
+  /** Distinct (source, gk) 60-bit shingle keys — the KMV input stream.
+    * The distinct matters for correctness, not just bytes: CollectTopK
+    * buffers a MULTISET, so without it a duplicated small key would
+    * displace a real k-th minimum.
+    */
+  private def kmvKeys(docsDf: DataFrame, width: Int): DataFrame =
+    kmvKeyProjection(Tables.spread(docsDf), width).distinct()
 
   /** One bottom-k sketch row per source: (source, sketch sorted asc). */
   private[graft] def kmvSketches(docsDf: DataFrame,
@@ -2287,20 +2297,82 @@ object Text {
     * sf0.01, the expected 1/√k regime).
     */
   def txKmvDistinct(spark: SparkSession, dir: String,
-      width: Int = KmvWidth, k: Int = KmvK): DataFrame = {
+      width: Int = KmvWidth, k: Int = KmvK): DataFrame =
+    kmvReport(kmvSketches(docs(spark, dir), width, k), k)
+
+  /** Per-source sketch rows → the served report: the merged `ALL` row
+    * (bottom-k of the union of the per-source sketches) plus the
+    * exact-integer estimates. One definition for the full rebuild
+    * ([[txKmvDistinct]]) and the incremental refresh ([[txKmvRefresh]])
+    * — which is why the two share one oracle text.
+    */
+  private[graft] def kmvReport(perSource: DataFrame, k: Int): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val perSource = kmvSketches(docs(spark, dir), width, k)
-    val merged = perSource
-      .select(explode(col("sketch")).as("gk")).distinct()
-      .groupBy()
+    // every sketch key fans out to its own source AND the corpus-level
+    // ALL row in ONE explode, so the sketch frame — and therefore the
+    // corpus shingle pass behind it — has exactly one consumer (KmvSpec
+    // pins the single corpus scan on the refresh plan). Re-bottom-k-ing
+    // the per-source rows is a no-op (min-k of a sketch is itself); the
+    // ALL group is the lossless bottom-k union. ≤ 2·#sources·k longs
+    // shuffle — kilobytes. ('ALL' is reserved: sources are srcN.)
+    perSource
+      .select(col("source"), explode(col("sketch")).as("gk"))
+      .select(explode(array(col("source"), lit("ALL"))).as("source"),
+        col("gk"))
+      .distinct()
+      .groupBy("source")
       .agg(ColumnBridge.collectTopK(col("gk"), k, reverse = true).as("sketch"))
-      .select(lit("ALL").as("source"), col("sketch"))
-    perSource.unionByName(merged)
       .select(col("source"),
         size(col("sketch")).cast("long").as("k_used"),
         expr(s"try_element_at(sketch, $k)").as("kth_key"),
         kmvEstimate(col("sketch"), k).as("est_distinct"))
       .orderBy("source")
+  }
+
+  // kmv_sketches path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val kmvMvFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing per-source KMV sketches over the BASE carve
+    * (`doc_id % incrementalDeltaMod != 0`, the [[ensureAggMv]]
+    * convention), built once under the warehouse with the marker/memo
+    * discipline (both cleared BEFORE rebuilding). #sources·k longs —
+    * kilobytes at any corpus size.
+    */
+  def ensureKmvSketches(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "kmv_sketches")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/sketches/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(kmvMvFor.get(base).contains(dir) && fs.exists(marker))) {
+      kmvMvFor.remove(base)
+      fs.delete(marker, false)
+      kmvSketches(docs(spark, dir)
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(s"$base/sketches")
+      kmvMvFor(base) = dir
+    }
+    base
+  }
+
+  /** Incremental KMV REFRESH — the [[pipelineAggRefresh]] maintenance
+    * pattern applied to the cardinality sketches, with a stronger
+    * property than the usual approximate-sketch merge: the bottom-k
+    * union is LOSSLESS (KmvSpec's identity), so the standing base-carve
+    * sketches absorbing the delta carve reproduce the full-corpus
+    * [[txKmvDistinct]] BIT-FOR-BIT — the oracle is literally the same
+    * generated SQL text and never sees the standing table. Reads
+    * O(|delta|) corpus bytes plus #sources·k standing longs; the base
+    * corpus is never rescanned.
+    */
+  def txKmvRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureKmvSketches(spark, dir)
+    val delta = kmvSketches(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
+    // kmvReport's distinct + per-source bottom-k IS the sketch merge:
+    // standing and delta sketch rows for one source collapse to the
+    // bottom-k of their union (lossless), so no pre-aggregation needed
+    kmvReport(spark.read.parquet(s"$base/sketches").unionByName(delta),
+      KmvK)
   }
 
   /** Pairwise source-overlap estimation from the SAME per-source KMV

@@ -493,6 +493,19 @@ object StreamingOps {
   def aggRetractPartials(deletedDocsStream: DataFrame): DataFrame =
     graft.queries.Text.aggMvPartials(deletedDocsStream)
 
+  /** Streaming half of [[graft.queries.Text.txKmvRefresh]]: landing
+    * delta documents run the SAME 60-bit shingle-key projection
+    * ([[graft.queries.Text.kmvKeyProjection]] — one definition), deduped
+    * as a streaming aggregation; run with `outputMode("complete")`, the
+    * sink holds the distinct delta (source, gk) keys, and bottom-k-ing
+    * them into the standing sketches is the lossless KMV union — the
+    * spec pins streamed-refresh ≡ batch refresh ≡ full rebuild.
+    */
+  def kmvDeltaKeys(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.kmvKeyProjection(docsStream)
+      .groupBy("source", "gk")
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
     * landing documents against the STANDING target/raw n-gram
     * distributions — filter-at-ingest, the deployment shape DSIR's

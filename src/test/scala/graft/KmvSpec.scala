@@ -98,4 +98,66 @@ class KmvSpec extends SparkSpec {
       s"ALL: est ${est("ALL")} vs true $total")
     assert(est.size == perSource.size + 1)
   }
+
+  test("refresh (standing base + delta) equals the full rebuild bit-for-bit") {
+    val refreshed = Text.txKmvRefresh(spark, sf001).collect()
+    val rebuilt = Text.txKmvDistinct(spark, sf001).collect()
+    assert(refreshed.length == rebuilt.length && refreshed.nonEmpty)
+    assert(refreshed.toSeq == rebuilt.toSeq,
+      "the lossless bottom-k union must make refresh ≡ rebuild exactly")
+  }
+
+  test("refresh scans the corpus once — the delta carve, never the base") {
+    Text.ensureKmvSketches(spark, sf001) // standing table before planning
+    val df = Text.txKmvRefresh(spark, sf001)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val corpusScans = df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case f: HadoopFsRelation => f.location.rootPaths.mkString(",")
+        case _ => ""
+      }
+    }.count(_.contains("documents"))
+    assert(corpusScans == 1,
+      s"the refresh plan must scan the corpus exactly once, saw $corpusScans")
+  }
+
+  test("standing sketches are served, not rebuilt per refresh") {
+    val base = Text.ensureKmvSketches(spark, sf001)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/sketches/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.txKmvRefresh(spark, sf001).collect()
+    Text.txKmvRefresh(spark, sf001).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "two refreshes must not rewrite the standing sketch table")
+  }
+
+  test("streamed delta keys + standing sketches equal the batch refresh") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.graft.ColumnBridge
+    import graft.streaming.StreamingOps
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-kmv-stream").toString
+    Tables(spark, sf001, "documents")
+      .filter(pmod(col("doc_id"), lit(Text.incrementalDeltaMod)) === 0)
+      .write.mode("overwrite").parquet(s"$streamDir/delta")
+    val q = StreamingOps.kmvDeltaKeys(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"))
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureKmvSketches(spark, sf001)
+    val merged = spark.read.parquet(s"$base/sketches")
+      .select(col("source"), explode(col("sketch")).as("gk"))
+      .unionByName(spark.table("kmv_stream").select("source", "gk"))
+      .distinct()
+      .groupBy("source")
+      .agg(ColumnBridge.collectTopK(col("gk"), Text.KmvK, reverse = true)
+        .as("sketch"))
+    val streamed = Text.kmvReport(merged, Text.KmvK).collect()
+    val batch = Text.txKmvRefresh(spark, sf001).collect()
+    assert(streamed.length == batch.length && streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "streamed delta keys + lossless union must equal the batch refresh")
+  }
 }
