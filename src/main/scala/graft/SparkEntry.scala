@@ -133,6 +133,9 @@ object SparkEntry {
     // standing base-carve sketches + delta carve, merged losslessly —
     // must equal the rebuild bit-for-bit (shares its oracle text)
     "tx_kmv_refresh" -> ((s, d) => Text.txKmvRefresh(s, d)),
+    // count-min sketch: benchmark-gram corpus frequencies from the
+    // bounded cell table (shuffle <= depth*width rows/task), exact audit
+    "tx_cms_frequency" -> ((s, d) => Text.txCmsFrequency(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
     // second oracle'd temperature: α = 45/64 = 0.703125, the nearest
@@ -4139,6 +4142,32 @@ object SparkEntry {
     // report bit-for-bit (the pipelineAggRefresh oracle discipline —
     // the oracle never sees the standing table)
     "tx_kmv_refresh" -> kmvDistinctSql,
+    // CMS: depth/width/probe-limit come from the Text constants; cells
+    // are md5-derived so both engines build the identical sketch
+    "tx_cms_frequency" ->
+      s"""WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_transform(range(1, len(toks)), i ->
+        |    toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM d WHERE len(toks) >= 2),
+        |probes AS (SELECT DISTINCT g FROM g WHERE source = 'src0'
+        |           ORDER BY g LIMIT ${Text.CmsProbeLimit}),
+        |jj AS (SELECT unnest(range(0, ${Text.CmsDepth})) AS j),
+        |cells AS (
+        |  SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell,
+        |    count(*) AS cnt
+        |  FROM g CROSS JOIN jj GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT p.g, jj.j,
+        |    CAST(('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':' || p.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell
+        |  FROM probes p CROSS JOIN jj),
+        |est AS (SELECT pe.g, min(c.cnt) AS est_count
+        |        FROM pe JOIN cells c ON pe.j = c.j AND pe.cell = c.cell GROUP BY 1),
+        |ex AS (SELECT g.g, count(*) AS exact_count FROM g JOIN probes p ON g.g = p.g GROUP BY 1)
+        |SELECT est.g, est.est_count, ex.exact_count,
+        |  est.est_count - ex.exact_count AS overestimate
+        |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin,
     "tx_kmv_overlap" ->
       s"""$kmvCtes,
         |p AS (

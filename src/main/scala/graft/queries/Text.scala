@@ -2375,6 +2375,83 @@ object Text {
       KmvK)
   }
 
+  /** Count-min sketch parameters: depth 4 (independent md5-derived rows)
+    * × width 4096 cells. Estimates overestimate by ≤ the collision mass
+    * of the lightest row — the classic Cormode-Muthukrishnan bound; both
+    * engines derive every cell from the same digests so the sketch is
+    * bit-replicable.
+    */
+  private[graft] val CmsDepth = 4
+  private[graft] val CmsWidth = 4096
+  private[graft] val CmsProbeLimit = 50
+
+  /** The raw (source, bigram) occurrence stream — NOT per-doc-distinct
+    * (frequency semantics), unlike [[shingleExpr]]'s deduped shingles.
+    */
+  private[graft] def cmsGrams(in: DataFrame): DataFrame =
+    in.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("source"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> concat_ws(' ', toks[i], toks[i+1]))"))
+        .as("g"))
+
+  /** The bounded CMS cell table over a gram stream: each occurrence fans
+    * out to [[CmsDepth]] (row, cell) pairs and aggregates. Map-side
+    * partials collapse to ≤ depth·width rows per task, so the shuffle is
+    * bounded by the sketch size regardless of corpus size — the property
+    * that makes this the 100 TB substitute for a full-cardinality
+    * `GROUP BY gram`. Cells are md5-derived (`pmod(md5_60(j:g), width)`),
+    * so the sketch — like every hash in this repo — is engine-portable.
+    */
+  /** ONE definition of the (row j, gram g) → cell hash, shared by the
+    * build and the probe side (they must collide or nothing works).
+    */
+  private def cmsCellExpr: String =
+    s"pmod(CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', g)), 1, 15), 16, 10) AS BIGINT), $CmsWidth)"
+
+  private[graft] def cmsCells(grams: DataFrame): DataFrame =
+    grams
+      .select(col("g"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cmsCellExpr))
+      .groupBy("j", "cell")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Count-min-sketch frequency estimation (beyond-reference extension,
+    * SURVEY.md §7.5; Cormode & Muthukrishnan 2005): estimate the corpus
+    * frequency of a bounded probe set — here the benchmark source's
+    * first [[CmsProbeLimit]] distinct bigrams, the "how common is this
+    * benchmark phrasing in the crawl?" contamination-triage question —
+    * from the bounded sketch instead of a full-cardinality gram GROUP BY.
+    * est = min over the depth rows of the probed cell; the exact count
+    * rides along as the audit column (the sim_opq_rotate self-audit
+    * pattern), so the result shows the overestimate ≥ 0 guarantee live.
+    * CMS is LINEAR (cell tables sum), which is what makes it mergeable
+    * across shards/days — CmsSpec pins per-source partials summing to
+    * the direct corpus sketch bit-for-bit.
+    */
+  def txCmsFrequency(spark: SparkSession, dir: String): DataFrame = {
+    // probe set, cell build and exact audit all consume the gram stream —
+    // scoped-cache it or the tokenize+explode subtree runs per consumer
+    // (the tx_overlap_fraction rule)
+    val grams = graft.Caches.scoped("tx_cms.grams",
+      cmsGrams(Tables.spread(docs(spark, dir))))
+    val probes = grams.filter(col("source") === "src0")
+      .select("g").distinct().orderBy("g").limit(CmsProbeLimit)
+    val cells = cmsCells(grams)
+    val est = probes
+      .select(col("g"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cmsCellExpr))
+      .join(cells, Seq("j", "cell"))
+      .groupBy("g")
+      .agg(min("cnt").as("est_count"))
+    val exact = grams.join(probes, Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("g"))
+      .withColumn("overestimate", col("est_count") - col("exact_count"))
+      .orderBy("g")
+  }
+
   /** Pairwise source-overlap estimation from the SAME per-source KMV
     * sketches (beyond-reference extension): for every source pair, merge
     * the two sketches (bottom-k of the union), count merged keys present

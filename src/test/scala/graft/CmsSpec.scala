@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Text
+
+/** Count-min sketch: linearity (the merge law — cell tables SUM, which
+  * is what makes per-shard/per-day sketches combinable at 100 TB), the
+  * planted hand-count exactness of the probe path, and the CMS
+  * overestimate-only guarantee on the natural corpus.
+  */
+class CmsSpec extends SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.01"
+
+  test("CMS is linear: per-carve cell partials sum to the direct sketch") {
+    val grams = Text.cmsGrams(Tables(spark, sf001, "documents"))
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val direct = toMap(Text.cmsCells(grams).collect())
+    val lo = Text.cmsCells(grams.filter(col("source") < "src5")).collect()
+    val hi = Text.cmsCells(grams.filter(col("source") >= "src5")).collect()
+    val summed = (toMap(lo).toSeq ++ toMap(hi).toSeq)
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).sum }
+    assert(summed == direct,
+      "cell-wise sum of carve sketches must equal the one-pass sketch")
+    assert(direct.nonEmpty && direct.values.sum == grams.count() * Text.CmsDepth)
+  }
+
+  test("planted corpus: probe estimates equal hand counts, zero overestimate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    Seq(
+      (1L, "x y x y z", "en", "src0"),
+      (2L, "x y q", "en", "src1"),
+      (3L, "q r q r", "en", "src1"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txCmsFrequency(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("est_count"), r.getAs[Long]("exact_count"),
+          r.getAs[Long]("overestimate"))).toMap
+    // probes = distinct src0 bigrams {"x y", "y x", "y z"}; "x y" occurs
+    // twice in doc 1 and once in doc 2 — corpus-wide frequency semantics
+    assert(rows.keySet == Set("x y", "y x", "y z"))
+    assert(rows("x y") == ((3L, 3L, 0L)), s"got ${rows("x y")}")
+    assert(rows("y x") == ((1L, 1L, 0L)))
+    assert(rows("y z") == ((1L, 1L, 0L)))
+  }
+
+  test("natural corpus: estimates never undercount (CMS guarantee)") {
+    val rows = Text.txCmsFrequency(spark, sf001).collect()
+    assert(rows.length == Text.CmsProbeLimit)
+    assert(rows.forall(_.getAs[Long]("overestimate") >= 0L),
+      "a count-min estimate below the true count is impossible by construction")
+    assert(rows.forall(r =>
+      r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count")))
+  }
+}
