@@ -136,6 +136,9 @@ object SparkEntry {
     // count-min sketch: benchmark-gram corpus frequencies from the
     // bounded cell table (shuffle <= depth*width rows/task), exact audit
     "tx_cms_frequency" -> ((s, d) => Text.txCmsFrequency(s, d)),
+    // per-source paragraph document-frequency strip rule (C4/CCNet
+    // boilerplate); shuffles carry only (source, 8-byte block key, id)
+    "tx_boilerplate" -> ((s, d) => Text.txBoilerplate(s, d)),
     "tx_shuffle_shard" -> ((s, d) => Text.txShuffleShard(s, d)),
     "tx_temperature_mix" -> ((s, d) => Text.txTemperatureMix(s, d)),
     // second oracle'd temperature: α = 45/64 = 0.703125, the nearest
@@ -4142,6 +4145,31 @@ object SparkEntry {
     // report bit-for-bit (the pipelineAggRefresh oracle discipline —
     // the oracle never sees the standing table)
     "tx_kmv_refresh" -> kmvDistinctSql,
+    // boilerplate: the ddParagraph 20-token block carve, per-source
+    // distinct-doc frequency, threshold from Text.BoilerplateDf
+    "tx_boilerplate" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+        |p AS (
+        |  SELECT doc_id, lang, source,
+        |    unnest(list_transform(range(0, ((len(toks) - 1) // ${Text.BoilerplateBlockTokens}) + 1),
+        |      i -> array_to_string(toks[i*${Text.BoilerplateBlockTokens}+1 : i*${Text.BoilerplateBlockTokens}+${Text.BoilerplateBlockTokens}], ' '))) AS blk
+        |  FROM d),
+        |b AS (
+        |  SELECT doc_id, lang, source,
+        |    CAST(('0x' || substr(md5(blk), 1, 15)) AS BIGINT) AS bh,
+        |    CAST(len(string_split(blk, ' ')) AS BIGINT) AS n_toks
+        |  FROM p),
+        |f AS (SELECT source, bh, count(DISTINCT doc_id) AS df FROM b GROUP BY 1, 2)
+        |SELECT b.doc_id, b.lang, b.source,
+        |  count(*) AS n_paras,
+        |  CAST(sum(CASE WHEN f.df >= ${Text.BoilerplateDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler_paras,
+        |  CAST(sum(CASE WHEN f.df >= ${Text.BoilerplateDf} THEN 0 ELSE b.n_toks END) AS BIGINT) AS n_tokens_kept,
+        |  CAST(sum(CASE WHEN f.df >= ${Text.BoilerplateDf} THEN b.n_toks ELSE 0 END) AS BIGINT) AS n_tokens_stripped
+        |FROM b JOIN f ON b.source = f.source AND b.bh = f.bh
+        |GROUP BY 1, 2, 3
+        |HAVING sum(CASE WHEN f.df >= ${Text.BoilerplateDf} THEN 1 ELSE 0 END) > 0
+        |ORDER BY b.doc_id""".stripMargin,
     // CMS: depth/width/probe-limit come from the Text constants; cells
     // are md5-derived so both engines build the identical sketch
     "tx_cms_frequency" ->

@@ -2375,6 +2375,74 @@ object Text {
       KmvK)
   }
 
+  /** Boilerplate document-frequency threshold: a block shared by at
+    * least this many DISTINCT documents of one source is boilerplate
+    * (headers, navigation, license banners — the C4/CCNet strip rule).
+    * Real pipelines use a fraction of the domain's docs; ≥ 2 is the
+    * smallest honest threshold at this corpus's size.
+    */
+  private[graft] val BoilerplateDf = 2L
+  private[graft] val BoilerplateBlockTokens = 20
+
+  /** Per-SOURCE boilerplate detection and strip accounting (beyond-
+    * reference extension, SURVEY.md §7.5; C4 §2.1 / CCNet's per-domain
+    * paragraph rule): carve each document into the [[ddParagraph]]
+    * 20-token blocks, count each block's document frequency WITHIN its
+    * source, and mark blocks at df ≥ [[BoilerplateDf]] as boilerplate.
+    * Deliberately per-source: the same text duplicated ACROSS sources is
+    * contamination ([[txDecontaminate]]'s job), not boilerplate — the
+    * planted spec pins that a cross-source duplicate does NOT fire.
+    * Output: one row per affected document with its block/token strip
+    * accounting (docs with nothing to strip don't report).
+    *
+    * Scale shape: blocks shuffle as (source, 8-byte md5 block key,
+    * doc_id) for the distinct-doc frequency count, then one key join
+    * back — no shuffle carries text (the dd_* digest-only rule).
+    */
+  def txBoilerplate(spark: SparkSession, dir: String,
+      blockTokens: Int = BoilerplateBlockTokens): DataFrame = {
+    val blocks = boilerBlocksOver(Tables.spread(docs(spark, dir)), blockTokens)
+    val df = blocks.groupBy("source", "bh")
+      .agg(countDistinct("doc_id").as("df"))
+    blocks.join(df, Seq("source", "bh"))
+      .withColumn("boiler", col("df") >= BoilerplateDf)
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_paras"),
+        sum(when(col("boiler"), 0L).otherwise(col("n_toks"))).as("n_tokens_kept"),
+        sum(when(col("boiler"), col("n_toks")).otherwise(0L)).as("n_tokens_stripped"))
+      .filter(col("n_boiler_paras") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** The (doc_id, lang, source, bh, n_toks) block projection — the
+    * [[ddParagraph]] 20-token carve hashed to 60-bit keys. Stream-safe
+    * (narrow, no repartition); ONE definition for the batch strip query,
+    * the standing-block builder and the streaming twin.
+    */
+  private[graft] def boilerBlocksOver(in: DataFrame,
+      blockTokens: Int = BoilerplateBlockTokens): DataFrame =
+    in.withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"), col("lang"), col("source"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(toks) - 1) div $blockTokens),
+             |  i -> concat_ws(' ', slice(toks, i * $blockTokens + 1, $blockTokens)))"""
+            .stripMargin)))
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("CAST(conv(substring(md5(col), 1, 15), 16, 10) AS BIGINT)").as("bh"),
+        expr("size(split(col, ' '))").cast("long").as("n_toks"))
+
+  /** The standing (source, bh) boilerplate-block table the streaming
+    * twin joins landing documents against — df ≥ [[BoilerplateDf]]
+    * within the source, computed once over the base corpus.
+    */
+  def boilerplateBlocks(spark: SparkSession, dir: String): DataFrame =
+    boilerBlocksOver(Tables.spread(docs(spark, dir)))
+      .groupBy("source", "bh")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= BoilerplateDf)
+      .select("source", "bh")
+
   /** Count-min sketch parameters: depth 4 (independent md5-derived rows)
     * × width 4096 cells. Estimates overestimate by ≤ the collision mass
     * of the lightest row — the classic Cormode-Muthukrishnan bound; both

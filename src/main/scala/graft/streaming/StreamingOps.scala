@@ -506,6 +506,25 @@ object StreamingOps {
       .groupBy("source", "gk")
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming twin of [[graft.queries.Text.txBoilerplate]]: landing
+    * documents carve into the SAME 20-token block keys
+    * ([[graft.queries.Text.boilerBlocksOver]] — one definition) and
+    * stream-static left-join the standing per-source boilerplate table
+    * ([[graft.queries.Text.boilerplateBlocks]]); each doc emits its
+    * strip accounting at ingest — the filter-at-landing shape of the C4
+    * rule. Spec pins per-doc batch/stream equality on a planted delta.
+    */
+  def boilerplateFlaggedDocs(docsStream: DataFrame,
+      boilerBlocks: DataFrame): DataFrame =
+    graft.queries.Text.boilerBlocksOver(docsStream)
+      .join(boilerBlocks.withColumn("boiler", lit(true)),
+        Seq("source", "bh"), "left")
+      .groupBy("doc_id", "lang", "source")
+      .agg(count(lit(1)).as("n_paras"),
+        sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boiler_paras"),
+        sum(when(col("boiler"), 0L).otherwise(col("n_toks"))).as("n_tokens_kept"),
+        sum(when(col("boiler"), col("n_toks")).otherwise(0L)).as("n_tokens_stripped"))
+
   /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
     * landing documents against the STANDING target/raw n-gram
     * distributions — filter-at-ingest, the deployment shape DSIR's

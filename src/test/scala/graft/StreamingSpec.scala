@@ -498,6 +498,46 @@ class StreamingSpec extends SparkSpec {
       streamed.exists(_._4 > 0), "every planted dirt kind must fire")
   }
 
+  test("streaming boilerplate strip accounting equals the batch join per document") {
+    val spark2 = spark
+    import spark2.implicits._
+    val base = java.nio.file.Files.createTempDirectory("graft-boiler-base").toString
+    val landing = java.nio.file.Files.createTempDirectory("graft-boiler-land").toString
+    val header = (1 to 20).map(i => s"h$i").mkString(" ")
+    def body(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    def write(rows: Seq[(Long, String, String, String)], dir: String) =
+      rows.toDF("doc_id", "text", "lang", "source")
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // base corpus establishes the srcA header as boilerplate (df = 2)
+    write(Seq(
+      (1L, s"$header ${body("a")}", "en", "srcA"),
+      (2L, s"$header ${body("b")}", "en", "srcA")), base)
+    // landing delta: one doc repeating the header, one clean
+    write(Seq(
+      (10L, s"$header ${body("x")}", "en", "srcA"),
+      (11L, s"${body("y")} ${body("z")}", "en", "srcA")), landing)
+    val blocks = graft.queries.Text.boilerplateBlocks(spark, base)
+    val q = StreamingOps.boilerplateFlaggedDocs(
+        StreamingOps.readDocumentsStream(spark, s"$landing/documents.parquet"),
+        blocks)
+      .writeStream.format("memory").queryName("boiler_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_paras"),
+        r.getAs[Long]("n_boiler_paras"), r.getAs[Long]("n_tokens_kept"),
+        r.getAs[Long]("n_tokens_stripped"))).toSet
+    val streamed = asSet(spark.table("boiler_stream"))
+    val batch = asSet(StreamingOps.boilerplateFlaggedDocs(
+      spark.read.parquet(s"$landing/documents.parquet"), blocks))
+    assert(streamed == batch && streamed.size == 2, s"stream $streamed vs batch $batch")
+    assert(streamed.contains((10L, 2L, 1L, 20L, 20L)),
+      "the landing header doc must strip its boilerplate block")
+    assert(streamed.contains((11L, 2L, 0L, 40L, 0L)),
+      "the clean landing doc must pass untouched")
+  }
+
   test("streaming vector admission: exact copies rejected, novel vectors admitted, stream equals batch") {
     import graft.queries.Similarity
     val sf = "/root/testdata/sf0.01"

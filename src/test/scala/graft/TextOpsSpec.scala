@@ -1387,4 +1387,32 @@ class TextOpsSpec extends SparkSpec {
     assert(meanSel > meanAll * 1.1,
       s"selected mean weight $meanSel must exceed corpus mean $meanAll")
   }
+
+  test("tx_boilerplate: per-source header fires, cross-source copy does not") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-boiler").toString
+    val header = (1 to 20).map(i => s"h$i").mkString(" ")
+    def body(tag: String) = (1 to 20).map(i => s"$tag$i").mkString(" ")
+    Seq(
+      (1L, s"$header ${body("a")}", "en", "srcA"),
+      (2L, s"$header ${body("b")}", "en", "srcA"),
+      (3L, s"$header ${body("c")}", "en", "srcA"),
+      // the SAME header in another source: df within srcB is 1 — the
+      // per-source rule must not strip it (that's contamination's job)
+      (4L, s"$header ${body("d")}", "en", "srcB"),
+      (5L, s"${body("e")} ${body("f")}", "en", "srcA"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txBoilerplate(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(1L, 2L, 3L),
+      s"exactly the srcA header docs strip: ${rows.toSeq}")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_paras") == 2L &&
+        r.getAs[Long]("n_boiler_paras") == 1L &&
+        r.getAs[Long]("n_tokens_kept") == 20L &&
+        r.getAs[Long]("n_tokens_stripped") == 20L, s"strip accounting: $r")
+    }
+  }
 }
