@@ -190,6 +190,9 @@ object SparkEntry {
     // from the refreshed view; oracle recomputes the survivors one-pass
     "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
     "dd_ngram_jaccard" -> ((s, d) => Text.ddNgramJaccard(s, d)),
+    // asymmetric containment (|A∩B|/min) over the same banded candidates:
+    // catches embedded copies the symmetric Jaccard bar misses
+    "dd_containment" -> ((s, d) => Text.ddContainment(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -3853,6 +3856,44 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN CAST(inter AS DOUBLE) / (la + lb - inter) >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dups,
         |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the dd_ngram_jaccard chain with the containment coefficient
+    // (inter / min side) beside the symmetric Jaccard
+    "dd_containment" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id, lang,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, lang, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, lang, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, lang, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |p AS (
+        |  SELECT DISTINCT x.lang AS lang, x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.lang = y.lang AND x.doc_id < y.doc_id),
+        |c AS (
+        |  SELECT p.lang, len(list_intersect(a.sh, b.sh)) AS inter,
+        |    len(a.sh) AS la, len(b.sh) AS lb
+        |  FROM p JOIN s a ON p.id_a = a.doc_id JOIN s b ON p.id_b = b.doc_id),
+        |m AS (
+        |  SELECT lang, CAST(inter AS DOUBLE) / (la + lb - inter) AS jaccard,
+        |    CAST(inter AS DOUBLE) / least(la, lb) AS cmax
+        |  FROM c)
+        |SELECT lang, count(*) AS n_candidate_pairs,
+        |  CAST(sum(CASE WHEN jaccard >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_jaccard_dups,
+        |  CAST(sum(CASE WHEN cmax >= 0.8 AND jaccard < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_containment_only,
+        |  max(cmax) AS max_containment
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     // The dd_ngram_jaccard MinHashBands replication WITHOUT the lang
     // block (cross-language pairs) and with the 0.8 confirm threshold +
     // corpus-wide rollup — the oracle'd md5 sibling of the xxhash64

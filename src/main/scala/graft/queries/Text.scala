@@ -79,9 +79,11 @@ object Text {
     pairs
       .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .withColumn("n_a", expr("size(sh_a)").cast("long"))
+      .withColumn("n_b", expr("size(sh_b)").cast("long"))
       .withColumn("inter", expr("size(array_intersect(sh_a, sh_b))"))
       .withColumn("jaccard", col("inter").cast("double") /
-        (expr("size(sh_a)") + expr("size(sh_b)") - col("inter")))
+        (col("n_a") + col("n_b") - col("inter")))
   }
 
   /** Quality scoring (length / punctuation / stopword ratios): the standard
@@ -1793,6 +1795,35 @@ object Text {
       .agg(count(lit(1)).as("n_candidate_pairs"),
         sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_near_dups"),
         max("jaccard").as("max_jaccard"))
+      .orderBy("lang")
+  }
+
+  /** Asymmetric containment near-dup detection (beyond-reference
+    * extension; the containment coefficient of Broder 1997 §2): for the
+    * SAME banded candidate pairs as [[ddNgramJaccard]] (one scaffold —
+    * [[jaccardScoredPairs]]), score c = |A∩B| / min(|A|,|B|) and flag
+    * EMBEDDED copies: pairs whose smaller side is ≥ 80% contained in
+    * the larger while symmetric Jaccard stays under the 0.5 near-dup
+    * bar — a short doc wrapped in boilerplate, a quote inside a longer
+    * article, the duplication mode a Jaccard-gated dedup ships straight
+    * to training. Banding note: MinHash bands are tuned for Jaccard, so
+    * high-containment/low-Jaccard pairs collide less often — the
+    * candidate set is the honest recall limit and the planted spec
+    * models band collision before pinning (the ClusterRepSpec
+    * discipline).
+    */
+  def ddContainment(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots, bandSize)
+      .withColumn("cmax",
+        col("inter").cast("double") / least(col("n_a"), col("n_b")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_candidate_pairs"),
+        sum(when(col("jaccard") >= 0.5, 1L).otherwise(0L)).as("n_jaccard_dups"),
+        sum(when(col("cmax") >= 0.8 && col("jaccard") < 0.5, 1L)
+          .otherwise(0L)).as("n_containment_only"),
+        max("cmax").as("max_containment"))
       .orderBy("lang")
   }
 

@@ -1388,6 +1388,36 @@ class TextOpsSpec extends SparkSpec {
       s"selected mean weight $meanSel must exceed corpus mean $meanAll")
   }
 
+  test("dd_containment: embedded copy caught by containment, missed by jaccard") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-contain").toString
+    // offline-modeled with the exact md5 minhash-band rule (the
+    // ClusterRepSpec discipline): A = core0..core9; B = A ++
+    // pad565_0..pad565_29 — band 1 collides (verified, not hoped for),
+    // inter = 8 = |A|'s shingles, |B| = 38 → jaccard 8/38 ≈ 0.21 < 0.5
+    // but containment 8/8 = 1.0: the embedded-copy signature
+    val a = (0 until 10).map(i => s"core$i").mkString(" ")
+    val b = a + " " + (0 until 30).map(i => s"pad565_$i").mkString(" ")
+    Seq(
+      (1L, a, "en", "src0"),
+      (2L, b, "en", "src0"),
+      // an identical pair: jaccard-flagged, NOT containment-only
+      (3L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "src0"),
+      (4L, "z1 z2 z3 z4 z5 z6 z7 z8", "en", "src0"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = Text.ddContainment(spark, dir).collect()
+    assert(r.length == 1)
+    val en = r.head
+    assert(en.getAs[Long]("n_candidate_pairs") == 2L, s"$en")
+    assert(en.getAs[Long]("n_jaccard_dups") == 1L, s"$en")
+    assert(en.getAs[Long]("n_containment_only") == 1L,
+      s"the embedded copy must be a containment-only catch: $en")
+    assert(en.getAs[Double]("max_containment") == 1.0)
+  }
+
   test("tx_boilerplate: per-source header fires, cross-source copy does not") {
     val spark2 = spark
     import spark2.implicits._
