@@ -226,6 +226,10 @@ object SparkEntry {
     // driver refine — R+2 corpus passes total instead of Gonzalez's k−1
     "sim_kmeans_parallel" -> ((s, d) => Similarity.simKmeansParallel(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
+    // thermometer 1-bit codes + Hamming popcount shortlist + exact
+    // re-rank: the BQ member of the quantization ladder (4x less scan
+    // I/O than float32, recall 0.88-1.0@L50 across the corpora)
+    "sim_bq_hamming" -> ((s, d) => Similarity.simBqHamming(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
     // corpus-sized input of a steady-state search is the code table, not
@@ -4399,6 +4403,67 @@ object SparkEntry {
         |SELECT qid, doc_id, lang, cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id ASC) AS rnk FROM s)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    // the bqEncode chain: octile order-statistic thresholds (picked
+    // elements, rank j*n//8 + 1 with vec_id tiebreak), thermometer bit
+    // per (dim, threshold), 56-bit words, Hamming = popcount(xor), then
+    // the pqRerankSql exact-L2 refine tail on the L=50 shortlist.
+    // DuckDB notes: bit_count returns INT8 (cast before summing) and
+    // 1<<63 overflows (56-bit packing keeps every shift <= 55).
+    "sim_bq_hamming" ->
+      """WITH ex AS (
+        |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
+        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) i),
+        |ranked_thr AS (
+        |  SELECT d, x,
+        |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY d) AS n
+        |  FROM ex),
+        |thr AS (
+        |  SELECT d, j.j AS j, x AS t
+        |  FROM ranked_thr, (SELECT unnest(range(1, 8)) AS j) j
+        |  WHERE rn = (j.j * n) // 8 + 1),
+        |bits AS (
+        |  SELECT e.vec_id, (e.d * 7 + t.j - 1) AS pos
+        |  FROM ex e JOIN thr t ON e.d = t.d AND e.x > t.t),
+        |codes AS (
+        |  SELECT v.vec_id,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 0 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c0,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 1 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c1,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 2 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c2,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 3 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c3,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 4 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c4,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 5 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c5,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 6 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c6,
+        |    COALESCE(bit_or(CASE WHEN pos // 56 = 7 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c7
+        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+        |  LEFT JOIN bits b ON v.vec_id = b.vec_id
+        |  GROUP BY 1),
+        |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3, c4 AS q4, c5 AS q5, c6 AS q6, c7 AS q7 FROM codes WHERE vec_id < 5),
+        |h AS (
+        |  SELECT q.qid, c.vec_id,
+        |    CAST(bit_count(xor(q.q0, c.c0)) AS INT) + CAST(bit_count(xor(q.q1, c.c1)) AS INT) +
+        |    CAST(bit_count(xor(q.q2, c.c2)) AS INT) + CAST(bit_count(xor(q.q3, c.c3)) AS INT) +
+        |    CAST(bit_count(xor(q.q4, c.c4)) AS INT) + CAST(bit_count(xor(q.q5, c.c5)) AS INT) +
+        |    CAST(bit_count(xor(q.q6, c.c6)) AS INT) + CAST(bit_count(xor(q.q7, c.c7)) AS INT) AS hamming
+        |  FROM q JOIN codes c ON c.vec_id <> q.qid),
+        |hr AS (
+        |  SELECT qid, vec_id,
+        |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS hrnk
+        |  FROM h),
+        |short AS (SELECT qid, vec_id FROM hr WHERE hrnk <= 50),
+        |rr AS (
+        |  SELECT s.qid, s.vec_id,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+        |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+        |  FROM short s
+        |  JOIN embeddings e ON e.vec_id = s.vec_id
+        |  JOIN embeddings q ON q.vec_id = s.qid),
+        |ranked2 AS (
+        |  SELECT qid, vec_id, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+        |  FROM rr)
+        |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
     "sim_sq_int8" ->
       """WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s

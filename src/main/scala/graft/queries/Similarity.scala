@@ -3636,4 +3636,99 @@ object Similarity {
       .select("qid", "vec_id", "label", "approx_cosine", "rnk")
       .orderBy("qid", "rnk")
   }
+
+  /** Thermometer binary quantization: 7 per-dimension thresholds (the
+    * octile ORDER STATISTICS of the corpus — rank `j·n/8 + 1` with
+    * vec_id tiebreak, so the threshold is a picked element, never
+    * computed arithmetic, and both engines hold the identical double),
+    * one bit per (dim, threshold) set iff `x > t_j`. Thermometer codes
+    * make Hamming distance EQUAL the L1 distance on the 8-level
+    * quantized values (adjacent levels differ in exactly one bit —
+    * unary/thermometer coding), which is what lets a popcount scan rank
+    * candidates: 448 bits pack 56-per-word into 8 longs, so one
+    * candidate costs 8 codegen'd `bit_count(q ^ c)` ops instead of 64
+    * float multiply-adds.
+    */
+  private[graft] def bqEncode(spark: SparkSession, dir: String,
+      inputView: String): DataFrame = {
+    // thresholds come from the CORPUS (embeddings); the input view is
+    // whatever vector set needs encoding under those corpus thresholds
+    val words = (0 until 8).map { w =>
+      s"""aggregate(sequence(${w * 56}, ${w * 56 + 55}), CAST(0 AS BIGINT),
+         |  (acc, p) -> acc | IF(
+         |    CAST(embedding[CAST(p DIV 7 AS INT)] AS DOUBLE) > ts[CAST(p AS INT)],
+         |    shiftleft(CAST(1 AS BIGINT), CAST(p % 56 AS INT)),
+         |    CAST(0 AS BIGINT))) AS c$w""".stripMargin
+    }.mkString(",\n")
+    spark.sql(
+      s"""WITH ex AS (
+         |  SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
+         |  FROM embeddings LATERAL VIEW posexplode(embedding) pe AS pos, x),
+         |ranked AS (
+         |  SELECT d, x,
+         |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
+         |    count(*) OVER (PARTITION BY d) AS n
+         |  FROM ex),
+         |thr AS (
+         |  SELECT d, j, x AS t
+         |  FROM (SELECT d, x, rn, n, explode(sequence(1, 7)) AS j FROM ranked)
+         |  WHERE rn = (j * n) DIV 8 + 1),
+         |ta AS (
+         |  SELECT transform(sort_array(collect_list(struct(d * 7 + j - 1 AS pos, t))),
+         |    s -> s.t) AS ts
+         |  FROM thr),
+         |embt AS (SELECT vec_id, embedding, (SELECT ts FROM ta) AS ts
+         |  FROM $inputView)
+         |SELECT vec_id,
+         |$words
+         |FROM embt""".stripMargin)
+  }
+
+  /** Binary-quantized similarity search with exact re-rank — the
+    * 1-bit-family member completing the quantization ladder (PQ
+    * [[simPqRerank]], int8 SQ [[simSqInt8]], and now thermometer BQ;
+    * the binary-code + rerank architecture of modern BQ deployments,
+    * after Norouzi et al.'s multi-index Hamming search and the
+    * rerank-refinement discipline of Jégou et al.): the whole corpus is
+    * ranked by Hamming distance over 448-bit thermometer codes (=
+    * exact L1 on the 8-level per-dim quantization, [[bqEncode]]), the
+    * top-`shortlist` per query fetch exact vectors, and the final
+    * top-k is the exact squared-L2 order of that bounded set
+    * ([[exactRerank]] — the simPqRerank tail, shared verbatim).
+    *
+    * Scale shape: codes are 64 B/vector vs 256 B float32 — a 100 TB
+    * embedding store scans 4× less I/O — and the per-candidate cost is
+    * 8 codegen'd xor+popcounts (builtin `^`/`bit_count`, whole-stage
+    * codegen) instead of a 64-wide float dot; encode is a once-per-row
+    * interpreted projection (the simSqInt8 precedent) off a
+    * once-per-corpus 64-partition threshold window. Only (qid, vec_id,
+    * hamming) scalars shuffle; vectors never do. Recall@5 vs exact L2,
+    * offline-modeled then Spark-measured (BqRecallSpec): 1.0 / 0.92 /
+    * 0.88 at sf0.001/0.01/0.1 with L=50 — above the PQ re-rank point
+    * (0.80@L50) at one quarter the float I/O.
+    */
+  def simBqHamming(spark: SparkSession, dir: String, k: Int = 5,
+      shortlist: Int = 50, querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    querySet.foreach(_.createOrReplaceTempView("graft_bq_queries"))
+    val queryView = querySet.map(_ => "graft_bq_queries").getOrElse(
+      "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)")
+    val codes = bqEncode(spark, dir, "embeddings")
+    val qCodes = bqEncode(spark, dir, queryView)
+      .select(col("vec_id").as("qid"), col("c0").as("q0"), col("c1").as("q1"),
+        col("c2").as("q2"), col("c3").as("q3"), col("c4").as("q4"),
+        col("c5").as("q5"), col("c6").as("q6"), col("c7").as("q7"))
+    val hamming = (0 until 8)
+      .map(i => s"CAST(bit_count(q$i ^ c$i) AS INT)").mkString(" + ")
+    val scored = codes.join(broadcast(qCodes), col("vec_id") =!= col("qid"))
+      .withColumn("hamming", expr(hamming))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("hamming").asc, col("vec_id").asc)
+    val short = scored.withColumn("hrnk", row_number().over(w))
+      .filter(col("hrnk") <= shortlist)
+      .select("qid", "vec_id")
+    exactRerank(spark, dir, short, querySet, k)
+  }
 }
