@@ -230,6 +230,17 @@ object SparkEntry {
     // re-rank: the BQ member of the quantization ladder (4x less scan
     // I/O than float32, recall 0.88-1.0@L50 across the corpora)
     "sim_bq_hamming" -> ((s, d) => Similarity.simBqHamming(s, d)),
+    // the same search over the MATERIALIZED 64 B/vector code table
+    // (results — and the oracle — identical; the sim_pq_adc_indexed
+    // treatment): steady-state scans codes, never re-derives thresholds
+    "sim_bq_hamming_indexed" -> ((s, d) => Similarity.simBqHammingIndexed(s, d)),
+    // BQ lifecycle (the IVF/PQ/graph symmetry): delta admission under
+    // the PERSISTED frozen thresholds, per-(word, popcount) occupancy
+    "sim_bq_upsert" -> ((s, d) => Similarity.simBqUpsert(s, d)),
+    // tombstones + rewritten live overlay, physically recounted
+    "sim_bq_delete" -> ((s, d) => Similarity.simBqDelete(s, d)),
+    // post-delete search: candidates from the live overlay only
+    "sim_bq_hamming_deleted" -> ((s, d) => Similarity.simBqHammingDeleted(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
     // corpus-sized input of a steady-state search is the code table, not
@@ -714,6 +725,175 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
        |  FROM dadist)
        |SELECT qid, vec_id, adc, rnk FROM dranked WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** One DuckDB twin for [[graft.queries.Similarity.simBqHamming]] AND
+    * [[graft.queries.Similarity.simBqHammingIndexed]] (the materialized
+    * code table holds the exact integers bqEncode derives, so both
+    * strategies compute this specification): octile order-statistic
+    * thresholds (picked elements, rank j*n//8 + 1 with vec_id tiebreak),
+    * thermometer bit per (dim, threshold), 56-bit words, Hamming =
+    * popcount(xor), then the [[pqRerankSql]] exact-L2 refine tail on the
+    * L=50 shortlist. DuckDB notes: bit_count returns INT8 (cast before
+    * summing) and 1<<63 overflows (56-bit packing keeps every shift
+    * <= 55).
+    */
+  private def bqCtes: String =
+    """WITH ex AS (
+      |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
+      |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) i),
+      |ranked_thr AS (
+      |  SELECT d, x,
+      |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
+      |    count(*) OVER (PARTITION BY d) AS n
+      |  FROM ex),
+      |thr AS (
+      |  SELECT d, j.j AS j, x AS t
+      |  FROM ranked_thr, (SELECT unnest(range(1, 8)) AS j) j
+      |  WHERE rn = (j.j * n) // 8 + 1),
+      |bits AS (
+      |  SELECT e.vec_id, (e.d * 7 + t.j - 1) AS pos
+      |  FROM ex e JOIN thr t ON e.d = t.d AND e.x > t.t),
+      |codes AS (
+      |  SELECT v.vec_id,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 0 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c0,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 1 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c1,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 2 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c2,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 3 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c3,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 4 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c4,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 5 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c5,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 6 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c6,
+      |    COALESCE(bit_or(CASE WHEN pos // 56 = 7 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c7
+      |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+      |  LEFT JOIN bits b ON v.vec_id = b.vec_id
+      |  GROUP BY 1)""".stripMargin
+
+  /** The (vec_id, w, word) melt of the code table — shared by the
+    * occupancy audits ([[bqUpsertSql]], [[bqDeleteSql]]).
+    */
+  private def bqMeltCte(src: String): String =
+    s"""  SELECT vec_id, CAST(w.w AS INT) AS w,
+       |    CASE w.w WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+       |             WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6 ELSE c7 END AS word
+       |  FROM $src, (SELECT unnest(range(0, 8)) AS w) w""".stripMargin
+
+  private def bqHammingSql: String =
+    s"""$bqCtes,
+      |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3, c4 AS q4, c5 AS q5, c6 AS q6, c7 AS q7 FROM codes WHERE vec_id < 5),
+      |h AS (
+      |  SELECT q.qid, c.vec_id,
+      |    CAST(bit_count(xor(q.q0, c.c0)) AS INT) + CAST(bit_count(xor(q.q1, c.c1)) AS INT) +
+      |    CAST(bit_count(xor(q.q2, c.c2)) AS INT) + CAST(bit_count(xor(q.q3, c.c3)) AS INT) +
+      |    CAST(bit_count(xor(q.q4, c.c4)) AS INT) + CAST(bit_count(xor(q.q5, c.c5)) AS INT) +
+      |    CAST(bit_count(xor(q.q6, c.c6)) AS INT) + CAST(bit_count(xor(q.q7, c.c7)) AS INT) AS hamming
+      |  FROM q JOIN codes c ON c.vec_id <> q.qid),
+      |hr AS (
+      |  SELECT qid, vec_id,
+      |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS hrnk
+      |  FROM h),
+      |short AS (SELECT qid, vec_id FROM hr WHERE hrnk <= 50),
+      |rr AS (
+      |  SELECT s.qid, s.vec_id,
+      |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+      |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+      |  FROM short s
+      |  JOIN embeddings e ON e.vec_id = s.vec_id
+      |  JOIN embeddings q ON q.vec_id = s.qid),
+      |ranked2 AS (
+      |  SELECT qid, vec_id, dist,
+      |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+      |  FROM rr)
+      |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
+      |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simBqUpsert]]: the shared
+    * encode chain, the standard reversed negative-key delta encoded
+    * under the SAME thresholds (frozen quantizer), per-(word, popcount)
+    * base/new occupancy — the [[pqUpsertSql]] audit for binary codes.
+    */
+  private def bqUpsertSql: String =
+    s"""$bqCtes,
+       |bqdelta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |dex AS (
+       |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
+       |  FROM bqdelta, (SELECT unnest(range(0, 64)) AS d) i),
+       |dbits AS (
+       |  SELECT e.vec_id, (e.d * 7 + t.j - 1) AS pos
+       |  FROM dex e JOIN thr t ON e.d = t.d AND e.x > t.t),
+       |dcodes AS (
+       |  SELECT v.vec_id,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 0 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c0,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 1 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c1,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 2 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c2,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 3 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c3,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 4 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c4,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 5 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c5,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 6 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c6,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 7 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c7
+       |  FROM (SELECT DISTINCT vec_id FROM bqdelta) v
+       |  LEFT JOIN dbits b ON v.vec_id = b.vec_id
+       |  GROUP BY 1),
+       |bw AS (
+       |${bqMeltCte("codes")}),
+       |dw AS (
+       |${bqMeltCte("dcodes")}),
+       |bo AS (SELECT w, CAST(bit_count(word) AS INT) AS pc, count(*) AS n_base FROM bw GROUP BY 1, 2),
+       |dn AS (SELECT w, CAST(bit_count(word) AS INT) AS pc, count(*) AS n_new,
+       |         min(vec_id) AS first_new_id FROM dw GROUP BY 1, 2)
+       |SELECT coalesce(bo.w, dn.w) AS w, coalesce(bo.pc, dn.pc) AS pc,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
+       |FROM bo FULL OUTER JOIN dn ON bo.w = dn.w AND bo.pc = dn.pc
+       |ORDER BY w, pc""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simBqDelete]]: encode
+    * chain + carve arithmetic; the Spark side recounts n_live from the
+    * physically rewritten overlay, so a hash match proves the rewrite.
+    */
+  private def bqDeleteSql: String =
+    s"""$bqCtes,
+       |bw AS (
+       |${bqMeltCte("codes")})
+       |SELECT w, CAST(bit_count(word) AS INT) AS pc, count(*) AS n_base,
+       |  CAST(sum(CASE WHEN vec_id % ${Similarity.pqDelMod} = ${Similarity.pqDelRem} THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+       |  CAST(sum(CASE WHEN vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem} THEN 1 ELSE 0 END) AS BIGINT) AS n_live
+       |FROM bw GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simBqHammingDeleted]]:
+    * the [[bqHammingSql]] chain with candidates restricted to live
+    * vectors (the carve arithmetic) — queries still come from the base
+    * table, deleted vectors may query but can never surface.
+    */
+  private def bqHammingDeletedSql: String =
+    s"""$bqCtes,
+       |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3, c4 AS q4, c5 AS q5, c6 AS q6, c7 AS q7 FROM codes WHERE vec_id < 5),
+       |h AS (
+       |  SELECT q.qid, c.vec_id,
+       |    CAST(bit_count(xor(q.q0, c.c0)) AS INT) + CAST(bit_count(xor(q.q1, c.c1)) AS INT) +
+       |    CAST(bit_count(xor(q.q2, c.c2)) AS INT) + CAST(bit_count(xor(q.q3, c.c3)) AS INT) +
+       |    CAST(bit_count(xor(q.q4, c.c4)) AS INT) + CAST(bit_count(xor(q.q5, c.c5)) AS INT) +
+       |    CAST(bit_count(xor(q.q6, c.c6)) AS INT) + CAST(bit_count(xor(q.q7, c.c7)) AS INT) AS hamming
+       |  FROM q JOIN codes c ON c.vec_id <> q.qid AND c.vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem}),
+       |hr AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS hrnk
+       |  FROM h),
+       |short AS (SELECT qid, vec_id FROM hr WHERE hrnk <= 50),
+       |rr AS (
+       |  SELECT s.qid, s.vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+       |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
+       |  FROM short s
+       |  JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN embeddings q ON q.vec_id = s.qid),
+       |ranked2 AS (
+       |  SELECT qid, vec_id, dist,
+       |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
+       |  FROM rr)
+       |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqRerank]]: the shared
@@ -4403,67 +4583,14 @@ object SparkEntry {
         |SELECT qid, doc_id, lang, cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, doc_id ASC) AS rnk FROM s)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
-    // the bqEncode chain: octile order-statistic thresholds (picked
-    // elements, rank j*n//8 + 1 with vec_id tiebreak), thermometer bit
-    // per (dim, threshold), 56-bit words, Hamming = popcount(xor), then
-    // the pqRerankSql exact-L2 refine tail on the L=50 shortlist.
-    // DuckDB notes: bit_count returns INT8 (cast before summing) and
-    // 1<<63 overflows (56-bit packing keeps every shift <= 55).
-    "sim_bq_hamming" ->
-      """WITH ex AS (
-        |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
-        |  FROM embeddings, (SELECT unnest(range(0, 64)) AS d) i),
-        |ranked_thr AS (
-        |  SELECT d, x,
-        |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
-        |    count(*) OVER (PARTITION BY d) AS n
-        |  FROM ex),
-        |thr AS (
-        |  SELECT d, j.j AS j, x AS t
-        |  FROM ranked_thr, (SELECT unnest(range(1, 8)) AS j) j
-        |  WHERE rn = (j.j * n) // 8 + 1),
-        |bits AS (
-        |  SELECT e.vec_id, (e.d * 7 + t.j - 1) AS pos
-        |  FROM ex e JOIN thr t ON e.d = t.d AND e.x > t.t),
-        |codes AS (
-        |  SELECT v.vec_id,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 0 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c0,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 1 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c1,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 2 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c2,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 3 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c3,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 4 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c4,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 5 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c5,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 6 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c6,
-        |    COALESCE(bit_or(CASE WHEN pos // 56 = 7 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c7
-        |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
-        |  LEFT JOIN bits b ON v.vec_id = b.vec_id
-        |  GROUP BY 1),
-        |q AS (SELECT vec_id AS qid, c0 AS q0, c1 AS q1, c2 AS q2, c3 AS q3, c4 AS q4, c5 AS q5, c6 AS q6, c7 AS q7 FROM codes WHERE vec_id < 5),
-        |h AS (
-        |  SELECT q.qid, c.vec_id,
-        |    CAST(bit_count(xor(q.q0, c.c0)) AS INT) + CAST(bit_count(xor(q.q1, c.c1)) AS INT) +
-        |    CAST(bit_count(xor(q.q2, c.c2)) AS INT) + CAST(bit_count(xor(q.q3, c.c3)) AS INT) +
-        |    CAST(bit_count(xor(q.q4, c.c4)) AS INT) + CAST(bit_count(xor(q.q5, c.c5)) AS INT) +
-        |    CAST(bit_count(xor(q.q6, c.c6)) AS INT) + CAST(bit_count(xor(q.q7, c.c7)) AS INT) AS hamming
-        |  FROM q JOIN codes c ON c.vec_id <> q.qid),
-        |hr AS (
-        |  SELECT qid, vec_id,
-        |    row_number() OVER (PARTITION BY qid ORDER BY hamming ASC, vec_id ASC) AS hrnk
-        |  FROM h),
-        |short AS (SELECT qid, vec_id FROM hr WHERE hrnk <= 50),
-        |rr AS (
-        |  SELECT s.qid, s.vec_id,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
-        |      (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)) * (CAST(q.embedding[i] AS DOUBLE) - CAST(e.embedding[i] AS DOUBLE)))), (x, y) -> x + y) AS dist
-        |  FROM short s
-        |  JOIN embeddings e ON e.vec_id = s.vec_id
-        |  JOIN embeddings q ON q.vec_id = s.qid),
-        |ranked2 AS (
-        |  SELECT qid, vec_id, dist,
-        |    row_number() OVER (PARTITION BY qid ORDER BY dist ASC, vec_id ASC) AS rnk
-        |  FROM rr)
-        |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+    // One oracle text for sim_bq_hamming AND sim_bq_hamming_indexed:
+    // the materialized code table holds the exact integers bqEncode
+    // derives, so both physical strategies compute this specification
+    "sim_bq_hamming" -> bqHammingSql,
+    "sim_bq_hamming_indexed" -> bqHammingSql,
+    "sim_bq_upsert" -> bqUpsertSql,
+    "sim_bq_delete" -> bqDeleteSql,
+    "sim_bq_hamming_deleted" -> bqHammingDeletedSql,
     "sim_sq_int8" ->
       """WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s

@@ -3715,8 +3715,20 @@ object Similarity {
     querySet.foreach(_.createOrReplaceTempView("graft_bq_queries"))
     val queryView = querySet.map(_ => "graft_bq_queries").getOrElse(
       "(SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5)")
-    val codes = bqEncode(spark, dir, "embeddings")
-    val qCodes = bqEncode(spark, dir, queryView)
+    bqSearch(spark, dir, bqEncode(spark, dir, "embeddings"),
+      bqEncode(spark, dir, queryView), shortlist, k, querySet)
+  }
+
+  /** Shared Hamming-shortlist + exact-rerank tail of [[simBqHamming]]
+    * and [[simBqHammingIndexed]]: 8 codegen'd xor+popcounts per
+    * candidate, per-query top-`shortlist` (only (qid, vec_id, hamming)
+    * scalars cross the window exchange), then the [[exactRerank]]
+    * bounded refine.
+    */
+  private def bqSearch(spark: SparkSession, dir: String, codes: DataFrame,
+      qCodesRaw: DataFrame, shortlist: Int, k: Int,
+      querySet: Option[DataFrame]): DataFrame = {
+    val qCodes = qCodesRaw
       .select(col("vec_id").as("qid"), col("c0").as("q0"), col("c1").as("q1"),
         col("c2").as("q2"), col("c3").as("q3"), col("c4").as("q4"),
         col("c5").as("q5"), col("c6").as("q6"), col("c7").as("q7"))
@@ -3730,5 +3742,250 @@ object Similarity {
       .filter(col("hrnk") <= shortlist)
       .select("qid", "vec_id")
     exactRerank(spark, dir, short, querySet, k)
+  }
+
+  /** The corpus octile thresholds as a one-row (ts array<double>) frame
+    * — the train half of [[bqEncode]], split out so the standing index
+    * can PERSIST it: a frozen quantizer is a stored artifact, and delta
+    * admission ([[simBqUpsert]]) must encode against the thresholds the
+    * base was encoded with, not re-derive them from a drifted corpus.
+    */
+  private[graft] def bqThresholds(spark: SparkSession, dir: String): DataFrame = {
+    graft.Catalog.registerAll(spark, dir)
+    spark.sql(
+      """WITH ex AS (
+        |  SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
+        |  FROM embeddings LATERAL VIEW posexplode(embedding) pe AS pos, x),
+        |ranked AS (
+        |  SELECT d, x,
+        |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY d) AS n
+        |  FROM ex),
+        |thr AS (
+        |  SELECT d, j, x AS t
+        |  FROM (SELECT d, x, rn, n, explode(sequence(1, 7)) AS j FROM ranked)
+        |  WHERE rn = (j * n) DIV 8 + 1)
+        |SELECT transform(sort_array(collect_list(struct(d * 7 + j - 1 AS pos, t))),
+        |  s -> s.t) AS ts
+        |FROM thr""".stripMargin)
+  }
+
+  /** Encode an arbitrary (vec_id, embedding) frame under a GIVEN
+    * thresholds frame ([[bqThresholds]] shape) — the frozen-quantizer
+    * encode the upsert path uses. Same word layout as [[bqEncode]].
+    */
+  private[graft] def bqEncodeFrom(spark: SparkSession, thresholds: DataFrame,
+      input: DataFrame): DataFrame = {
+    thresholds.createOrReplaceTempView("graft_bq_thr")
+    input.createOrReplaceTempView("graft_bq_enc_in")
+    val words = (0 until 8).map { w =>
+      s"""aggregate(sequence(${w * 56}, ${w * 56 + 55}), CAST(0 AS BIGINT),
+         |  (acc, p) -> acc | IF(
+         |    CAST(embedding[CAST(p DIV 7 AS INT)] AS DOUBLE) > ts[CAST(p AS INT)],
+         |    shiftleft(CAST(1 AS BIGINT), CAST(p % 56 AS INT)),
+         |    CAST(0 AS BIGINT))) AS c$w""".stripMargin
+    }.mkString(",\n")
+    spark.sql(
+      s"""WITH embt AS (SELECT vec_id, embedding,
+         |  (SELECT ts FROM graft_bq_thr) AS ts FROM graft_bq_enc_in)
+         |SELECT vec_id,
+         |$words
+         |FROM embt""".stripMargin)
+  }
+
+  /** Materialize the BQ index — the [[pqBuildIndex]] treatment for
+    * binary codes: train once (octile thresholds, PERSISTED — the
+    * frozen quantizer artifact), encode once (8 longs per vector), and
+    * steady-state searches scan the 64 B/vector code table instead of
+    * re-deriving thresholds from a full corpus window per call.
+    * Thresholds write before codes so the codes `_SUCCESS` marker
+    * vouches for both. Overwrites the previous build (the scratch
+    * rule). Returns the index base path.
+    */
+  def bqBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "bq_index")
+    bqThresholds(spark, dir)
+      .write.mode("overwrite").parquet(s"$base/thresholds")
+    bqEncode(spark, dir, "embeddings")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  // index base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val bqIndexFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the BQ code table — the [[ensurePqIndex]]
+    * discipline verbatim: marker + memo invalidated BEFORE any rebuild
+    * so a partial failure cannot leave a trusted mixed table; memo keys
+    * on the dir string (immutable-corpus assumption).
+    */
+  def ensureBqIndex(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "bq_index")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(bqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      bqIndexFor.remove(base)
+      fs.delete(marker, false)
+      bqBuildIndex(spark, dir)
+      bqIndexFor(base) = dir
+    }
+    base
+  }
+
+  /** [[simBqHamming]] over the MATERIALIZED code table — the deployment
+    * form (the [[simPqAdcIndexed]] treatment): identical codes, identical
+    * results, same oracle text, but the corpus-sized input is the
+    * 64 B/vector parquet code table; the default query codes are READ
+    * from the index too (vec_id < 5 rows), so the embeddings are scanned
+    * only by the bounded exact-rerank fetch. An external `querySet` is
+    * encoded under the corpus thresholds via [[bqEncode]].
+    */
+  def simBqHammingIndexed(spark: SparkSession, dir: String, k: Int = 5,
+      shortlist: Int = 50, querySet: Option[DataFrame] = None,
+      indexPath: Option[String] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val base = indexPath.getOrElse(ensureBqIndex(spark, dir))
+    val codes = spark.read.parquet(s"$base/codes")
+    val qCodes = querySet match {
+      case Some(qs) =>
+        bqEncodeFrom(spark, spark.read.parquet(s"$base/thresholds"), qs)
+      case None => codes.filter(col("vec_id") < 5)
+    }
+    bqSearch(spark, dir, codes, qCodes, shortlist, k, querySet)
+  }
+
+  /** Melt a BQ code frame to (vec_id, w, word) rows — the per-word view
+    * the occupancy audits aggregate over.
+    */
+  private def bqMeltWords(codes: DataFrame): DataFrame =
+    codes.selectExpr("vec_id",
+      "stack(8, 0, c0, 1, c1, 2, c2, 3, c3, 4, c4, 5, c5, 6, c6, 7, c7) AS (w, word)")
+
+  /** BQ index UPSERT — [[simPqUpsert]]'s delta admission for binary
+    * codes: the standard reversed negative-key delta batch
+    * ([[upsertDeltaMod]], the carve every index upsert shares) is
+    * encoded under the STANDING index's persisted thresholds
+    * ([[bqEncodeFrom]] — the quantizer stays frozen, the whole point of
+    * delta admission), and the audit reports per (word, popcount)
+    * occupancy of base vs admitted codes. Popcount-per-word is the BQ
+    * analog of PQ's per-(subspace, codeword) occupancy: 448-bit codes
+    * are near-unique so exact-code occupancy is vacuous, but the word
+    * popcount histogram (8 words × 57 counts, bounded) pins every
+    * admitted bit — a threshold drift, a packing slip, or a lost delta
+    * row all move it. The standing tables are never mutated.
+    */
+  def simBqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val base0 = ensureBqIndex(spark, dir)
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    val baseOcc = bqMeltWords(spark.read.parquet(s"$base0/codes"))
+      .withColumn("pc", expr("CAST(bit_count(word) AS INT)"))
+      .groupBy("w", "pc").agg(count(lit(1)).as("n_base"))
+    val freshOcc = bqMeltWords(
+        bqEncodeFrom(spark, spark.read.parquet(s"$base0/thresholds"), delta))
+      .withColumn("pc", expr("CAST(bit_count(word) AS INT)"))
+      .groupBy("w", "pc").agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_new_id"))
+    baseOcc.join(freshOcc, Seq("w", "pc"), "full_outer")
+      .select(col("w"), col("pc"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        col("first_new_id"))
+      .orderBy("w", "pc")
+  }
+
+  /** Physically rewrite the BQ code table minus the tombstoned vectors
+    * — [[pqBuildDeleteIndex]] verbatim for binary codes (same carve, so
+    * the two flat-table deletes stay comparable): tombstones persist,
+    * the overlay holds the anti-joined live codes, the standing table
+    * never mutates.
+    */
+  def bqBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    val main = ensureBqIndex(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "bq_del")
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.filter(col("vec_id") % pqDelMod === pqDelRem)
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    codes.join(spark.read.parquet(s"$base/tombstones")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  // bq_del overlay path -> sfDir that built it (the ensureIvfIndex shape)
+  private val bqDelIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the post-delete BQ overlay (the
+    * ensurePqDeleteIndex discipline: marker + memo invalidated BEFORE
+    * rebuilding).
+    */
+  def ensureBqDeleteIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "bq_del")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(bqDelIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        bqDelIndexFor.remove(base)
+        fs.delete(marker, false)
+        bqBuildDeleteIndex(spark, dir)
+        bqDelIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** BQ delete audit — per (word, popcount): base occupancy, dead rows
+    * from the physical tombstone table, live rows recounted from the
+    * rewritten overlay (the [[simPqDelete]] physical-measurement
+    * treatment). The oracle derives all three from the encode chain plus
+    * the carve arithmetic — a hash match proves the overlay holds
+    * exactly the base codes minus the deleted vectors, bit for bit.
+    */
+  def simBqDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureBqIndex(spark, dir)
+    val del = ensureBqDeleteIndex(spark, dir)
+    def occ(df: DataFrame, name: String): DataFrame =
+      bqMeltWords(df).withColumn("pc", expr("CAST(bit_count(word) AS INT)"))
+        .groupBy("w", "pc").agg(count(lit(1)).as(name))
+    occ(spark.read.parquet(s"$main/codes"), "n_base")
+      .join(occ(spark.read.parquet(s"$del/tombstones"), "n_dead_t"),
+        Seq("w", "pc"), "left")
+      .join(occ(spark.read.parquet(s"$del/codes"), "n_live_r"),
+        Seq("w", "pc"), "left")
+      .select(col("w"), col("pc"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"))
+      .orderBy("w", "pc")
+  }
+
+  /** [[simBqHammingIndexed]] over the post-delete overlay: candidates
+    * come from the rewritten live code table, so no deleted vector can
+    * surface (it has no code to score) — the [[simPqAdcDeleted]]
+    * treatment. Query codes still read from the BASE table (a deleted
+    * vector may still query, exactly as a PQ query may be external),
+    * and the exact re-rank fetches only shortlisted (live) vectors.
+    */
+  def simBqHammingDeleted(spark: SparkSession, dir: String, k: Int = 5,
+      shortlist: Int = 50): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val main = ensureBqIndex(spark, dir)
+    val del = ensureBqDeleteIndex(spark, dir)
+    bqSearch(spark, dir, spark.read.parquet(s"$del/codes"),
+      spark.read.parquet(s"$main/codes").filter(col("vec_id") < 5),
+      shortlist, k, None)
   }
 }

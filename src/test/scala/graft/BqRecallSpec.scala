@@ -87,6 +87,57 @@ class BqRecallSpec extends SparkSpec {
     }
   }
 
+  test("indexed BQ equals train-per-call and is served from the code table") {
+    val dir = "/root/testdata/sf0.001"
+    val direct = Similarity.simBqHamming(spark, dir).collect().toSeq
+    val indexed = Similarity.simBqHammingIndexed(spark, dir).collect().toSeq
+    assert(indexed == direct,
+      "materialized-code search must reproduce the train-per-call rows")
+    // plan pin: the indexed search physically reads the standing code
+    // table (the sim_ivf_ann_indexed discipline — AQE off so the scan
+    // is visible in the static plan)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Similarity.simBqHammingIndexed(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("bq_index")) => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty,
+      "indexed BQ search does not read the standing code table")
+  }
+
+  test("BQ lifecycle: frozen-threshold upsert audit, dead-free deleted search") {
+    val dir = "/root/testdata/sf0.001"
+    // upsert: every admitted word lands in the audit — 8 words per
+    // delta vector, and the base side partitions the corpus likewise
+    val up = Similarity.simBqUpsert(spark, dir).collect()
+    val nVec = Tables(spark, dir, "embeddings").count()
+    val nDelta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % 5 === 0).count()
+    assert(up.map(_.getAs[Long]("n_new")).sum == 8 * nDelta)
+    assert(up.map(_.getAs[Long]("n_base")).sum == 8 * nVec)
+    assert(up.forall(r => r.getAs[Long]("n_total") ==
+      r.getAs[Long]("n_base") + r.getAs[Long]("n_new")))
+    // delete: the physically recounted overlay loses no live word and
+    // keeps no dead one
+    val delAudit = Similarity.simBqDelete(spark, dir).collect()
+    assert(delAudit.forall(r => r.getAs[Long]("n_base") ==
+      r.getAs[Long]("n_dead") + r.getAs[Long]("n_live")),
+      "overlay recount disagrees with base minus tombstones")
+    // post-delete search: no tombstoned id can surface; result visibly
+    // differs from the base search (the carve removes known neighbors)
+    val deleted = Similarity.simBqHammingDeleted(spark, dir).collect()
+    assert(deleted.length == 25)
+    assert(deleted.forall(_.getAs[Long]("vec_id") % 4 != 2),
+      "tombstoned vector surfaced in the post-delete search")
+    val base = Similarity.simBqHamming(spark, dir).collect()
+    assert(deleted.toSeq != base.toSeq,
+      "delete carve had no visible effect — the demo proves nothing")
+  }
+
   for ((dir, floor) <- floors) {
     test(s"BQ re-ranked recall@5 vs exact L2 at $dir") {
       val exact = exactTop(dir)
