@@ -96,6 +96,9 @@ object SparkEntry {
     // oracle'd against the PLAIN join — salting may never change the answer
     "skew_salted_join" -> (Relational.skewSaltedJoin _),
     "ev_funnel" -> (Events.evFunnel _),
+    // MATCH_RECOGNIZE-lite: contiguous view->click->purchase trigrams
+    // within 24h, per user — adjacency is what the funnel doesn't require
+    "ev_sequence_detect" -> ((s, d) => Events.evSequenceDetect(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -3394,6 +3397,25 @@ object SparkEntry {
         |WHERE rnk <= 5 ORDER BY event_type, rnk""".stripMargin,
     // Ordered funnel: each stage's first event at-or-after the user's
     // previous-stage first event; conversion = one IEEE division of longs.
+    // two leads in one per-user window; the time bound compares
+    // epoch_us integers (Spark's unix_micros), purchase values sum as
+    // exact cents — adjacency via stream order (ts, event_id)
+    "ev_sequence_detect" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2,
+        |    lead(ts, 2) OVER w AS ts2,
+        |    lead(value, 2) OVER w AS v2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+        |m AS (
+        |  SELECT * FROM s
+        |  WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+        |    AND epoch_us(ts2) - epoch_us(ts) <= 86400000000)
+        |SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts,
+        |  CAST(sum(CAST(round(v2 * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS purchase_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS stage_ts FROM events

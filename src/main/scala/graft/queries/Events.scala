@@ -254,6 +254,44 @@ object Events {
         (col("sum").cast("double") / lit(100.0)).as("sum_value"))
       .orderBy("event_type")
 
+  /** Contiguous event-sequence detection — the MATCH_RECOGNIZE-lite
+    * pattern primitive (SQL:2016 row pattern matching's simplest useful
+    * case, expressed with the window functions every engine shares):
+    * per user, in (ts, event_id) stream order, find every CONTIGUOUS
+    * `view → click → purchase` trigram completing within 24 hours.
+    * Contiguity is what [[evFunnel]] does NOT require (the funnel admits
+    * any intervening events and counts users; this counts occurrences
+    * and demands adjacency — the "clean conversion" pattern), and the
+    * three distinct pattern symbols make matches provably non-
+    * overlapping, so greedy = exhaustive and no after-match-skip policy
+    * is needed. Two `lead`s per row in one per-user window — no
+    * self-joins, no iteration; state is one user's frame, so the 100 TB
+    * shape is a single keyed shuffle (and the same window runs under
+    * `flatMapGroupsWithState` in a streaming deployment). The time
+    * bound compares `unix_micros` integers (exactly DuckDB's
+    * `epoch_us`), and matched purchase values sum as exact cents.
+    */
+  def evSequenceDetect(spark: SparkSession, dir: String,
+      maxSpanHours: Long = 24): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val matches = events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .withColumn("ts2", lead(col("ts"), 2).over(w))
+      .withColumn("v2", lead(col("value"), 2).over(w))
+      .filter(col("event_type") === "view" && col("t1") === "click" &&
+        col("t2") === "purchase" &&
+        expr("unix_micros(ts2) - unix_micros(ts)") <=
+          lit(maxSpanHours * 3600L * 1000000L))
+    matches.groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        min("ts").as("first_match_ts"),
+        Exact.sumFixed(col("v2"), 2).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
   /** Top-N active users per event type: window rank over exact per-user
     * aggregates (rank ties broken by user_id for determinism).
     */

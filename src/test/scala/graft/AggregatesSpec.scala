@@ -112,4 +112,39 @@ class AggregatesSpec extends SparkSpec {
       .map(r => (r.getAs[Int]("s_nationkey"), r.getAs[Long]("count")))
     assert(salted.toSeq == plain.toSeq)
   }
+
+  test("ev_sequence_detect: adjacency and the time bound both gate") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-seq").toString
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    Seq(
+      // user 1: clean contiguous match inside the bound
+      (10L, ts(1), 1L, "view", 1.00, "{}"),
+      (11L, ts(2), 1L, "click", 2.00, "{}"),
+      (12L, ts(3), 1L, "purchase", 30.25, "{}"),
+      // user 2: same trigram but an intervening error — adjacency gates
+      (20L, ts(1), 2L, "view", 1.00, "{}"),
+      (21L, ts(2), 2L, "error", 0.00, "{}"),
+      (22L, ts(3), 2L, "click", 2.00, "{}"),
+      (23L, ts(4), 2L, "purchase", 99.00, "{}"),
+      // user 3: contiguous but the purchase lands 25h after the view
+      (30L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 3L, "view", 1.00, "{}"),
+      (31L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 3L, "click", 2.00, "{}"),
+      (32L, java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 3L, "purchase", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = queries.Events.evSequenceDetect(spark, tmp).collect()
+    assert(out.length == 1, s"exactly user 1 matches: ${out.toSeq}")
+    val r = out.head
+    assert(r.getAs[Long]("user_id") == 1L)
+    assert(r.getAs[Long]("n_matches") == 1L)
+    assert(r.getAs[java.sql.Timestamp]("first_match_ts") == ts(1))
+    assert(r.getAs[Double]("purchase_value") == 30.25)
+    // user 3 matches once the bound is lifted — the time gate is real
+    val wide = queries.Events.evSequenceDetect(spark, tmp, maxSpanHours = 48)
+      .collect()
+    assert(wide.map(_.getAs[Long]("user_id")).toSet == Set(1L, 3L))
+  }
 }
