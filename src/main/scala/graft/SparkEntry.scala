@@ -1130,17 +1130,21 @@ object SparkEntry {
     val ringSelects = Similarity.knnDescentStrides.map(s =>
       s"SELECT vec_id AS src, (vec_id + $s) % n AS dst FROM e, cnt")
     val roundCtes = (1 to rounds).map { r =>
+      // every per-round CTE MATERIALIZED (the unrolled-iterative-chain
+      // rule): g$r is referenced 3x by round r+1 and nb$r self-joins, so
+      // the inlined chain re-expanded ~3^rounds — ~48 s and an OOM past
+      // 16 GiB at sf0.1 for g4 alone, linear (~4 s, bounded) materialized
       s"""rev$r AS (
          |  SELECT w, x FROM (
          |    SELECT dst AS w, src AS x,
          |      row_number() OVER (PARTITION BY dst ORDER BY cosine DESC, src ASC) AS rrnk
          |    FROM g${r - 1})
          |  WHERE rrnk <= $k),
-         |nb$r AS (SELECT src AS w, dst AS x FROM g${r - 1} UNION SELECT w, x FROM rev$r),
+         |nb$r AS MATERIALIZED (SELECT src AS w, dst AS x FROM g${r - 1} UNION SELECT w, x FROM rev$r),
          |pr$r AS (
          |  SELECT a.x AS src, b.x AS dst FROM nb$r a JOIN nb$r b ON a.w = b.w AND a.x <> b.x
          |  UNION SELECT src, dst FROM g${r - 1}),
-         |g$r AS (
+         |g$r AS MATERIALIZED (
          |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
          |  FROM (${scored(s"pr$r")})
          |  QUALIFY rnk <= $k)""".stripMargin
@@ -1162,7 +1166,7 @@ object SparkEntry {
        |  SELECT a.vec_id AS src, b.vec_id AS dst FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |  UNION
        |  ${ringSelects.mkString("\n  UNION\n  ")}),
-       |g0 AS (
+       |g0 AS MATERIALIZED (
        |  SELECT src, dst, cosine, row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rnk
        |  FROM (${scored("p0")})
        |  QUALIFY rnk <= $k),
@@ -1313,15 +1317,19 @@ object SparkEntry {
       s"""SELECT p.src, p.dst,
          |      list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
          |    FROM $pairs p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst""".stripMargin
+    // every per-hop CTE MATERIALIZED: each hop references its
+    // predecessor twice, so the inlined chain re-expands ~2^hops and —
+    // stacked twice (hu + hm) over the descent CTEs — OOM'd DuckDB at
+    // sf0.1 (the knn-descent `e`-chain rule, hit again here)
     def greedy(prefix: String, graph: String): String =
       (1 to uh).map { h =>
-        s"""${prefix}x$h AS (
+        s"""${prefix}x$h AS MATERIALIZED (
            |  SELECT DISTINCT qid, vid FROM (
            |    SELECT qid, vid FROM $prefix${h - 1}
            |    UNION ALL
            |    SELECT f.qid, g2.dst AS vid FROM $prefix${h - 1} f JOIN $graph g2 ON g2.src = f.vid)
            |  WHERE vid <> qid),
-           |$prefix$h AS (
+           |$prefix$h AS MATERIALIZED (
            |  SELECT qid, vid,
            |    row_number() OVER (PARTITION BY qid ORDER BY $qcos DESC, vid ASC) AS rnk
            |  FROM ${prefix}x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
@@ -1348,7 +1356,7 @@ object SparkEntry {
     val route =
       s"""WITH hu0 AS (SELECT vec_id AS qid, ev2 AS vid FROM qsrc, (SELECT min(vec_id) AS ev2 FROM hl2) e2),
          |${greedy("hu", "hl2e")},
-         |hm0 AS (SELECT qid, vid FROM hu$uh),
+         |hm0 AS MATERIALIZED (SELECT qid, vid FROM hu$uh),
          |${greedy("hm", "hl1e")}
          |SELECT qid, vid FROM hm$uh""".stripMargin
     graphSearchSqlOver(
