@@ -114,6 +114,10 @@ object SparkEntry {
     // global bottom-n via TakeOrderedAndProject (bounded per-partition heap)
     "tx_weighted_sample" -> ((s, d) => Text.txWeightedSample(s, d)),
     "tx_pack_chunks" -> ((s, d) => Text.txPackChunks(s, d)),
+    // strided chunk-with-overlap (the RAG/context-window splitter):
+    // 64-token windows every 48, contained-tail drop, content pinned
+    // by a per-chunk md5 xor — packing's inverse-shaped sibling
+    "tx_chunk_overlap" -> ((s, d) => Text.txChunkOverlap(s, d)),
     "tx_token_budget" -> ((s, d) => Text.txTokenBudget(s, d)),
     "tx_split_leakage" -> (Text.txSplitLeakage _),
     "tx_bigram_score" -> (Text.txBigramScore _),
@@ -3630,6 +3634,32 @@ object SparkEntry {
         |  count(*) AS n_docs, min(score) AS min_score, max(score) AS max_score,
         |  min(doc_id) AS min_doc_id
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // strided chunking: starts every 48 tokens (range end-exclusive =
+    // Spark's sequence(0, n-1, 48) point set), contained-tail drop at
+    // n - start <= 16, per-chunk md5 over the SLICED text xor-folded
+    // with the signed hi/lo convention — content, not just lengths
+    "tx_chunk_overlap" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS toks,
+        |    len(string_split(text, ' ')) AS n
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 1),
+        |c AS (
+        |  SELECT doc_id, lang, n, t.start AS start,
+        |    least(64, n - t.start) AS clen,
+        |    array_to_string(list_slice(toks, t.start + 1, t.start + least(64, n - t.start)), ' ') AS chunk_text
+        |  FROM d, UNNEST(range(0, n, 48)) AS t(start)
+        |  WHERE t.start = 0 OR n - t.start > 16),
+        |pd AS (
+        |  SELECT doc_id, lang, n, count(*) AS doc_chunks,
+        |    CAST(sum(clen) AS BIGINT) AS doc_chunk_tokens,
+        |    ${signed64Xor("md5(chunk_text)")} AS doc_xor
+        |  FROM c GROUP BY 1, 2, 3)
+        |SELECT lang, count(*) AS n_docs, CAST(sum(doc_chunks) AS BIGINT) AS n_chunks,
+        |  CAST(sum(doc_chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+        |  CAST(sum(doc_chunk_tokens) - sum(n) AS BIGINT) AS overlap_tokens,
+        |  CAST(max(doc_chunks) AS BIGINT) AS max_chunks_per_doc,
+        |  bit_xor(doc_xor) AS chunk_xor
+        |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
     "tx_pack_chunks" ->
       """WITH t AS (
         |  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,

@@ -428,6 +428,55 @@ object Text {
       .orderBy("lang", "shard", "chunk_id")
   }
 
+  /** Strided chunk-with-overlap — the retrieval/context-window chunking
+    * primitive ([[txPackChunks]] packs documents INTO fixed budgets;
+    * this SPLITS each document into overlapping windows, the shape a
+    * RAG index or long-document encoder consumes): chunks of
+    * `chunkSize` tokens start every `stride` tokens, the short tail
+    * chunk keeps the remainder, and a final start whose chunk would add
+    * no token beyond the previous chunk's coverage is dropped
+    * (`n − start ≤ chunkSize − stride` — the fully-contained-chunk
+    * rule, so no chunk is a subset of its predecessor). Per language:
+    * doc/chunk counts, token totals, the exact overlap-token count
+    * (`Σ chunk tokens − Σ doc tokens` — the conservation identity the
+    * spec pins), and a 64-bit md5 XOR over every chunk's TEXT (the
+    * merge_apply signed hi/lo convention) so the oracle pins chunk
+    * CONTENT, not just lengths — an off-by-one slice moves the xor.
+    *
+    * Scale shape: explode-by-stride is a narrow per-doc projection
+    * (≈ n/stride rows per doc), both aggregations are ordinary keyed
+    * hash-aggs, and nothing iterates — at 100 TB this is one pass over
+    * the corpus with map-side partials.
+    */
+  def txChunkOverlap(spark: SparkSession, dir: String,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
+    val keepTail = chunkSize - stride
+    val chunks = docs(spark, dir)
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, n - 1, $stride)")).as("start"))
+      .filter(col("start") === 0L || (col("n") - col("start")) > keepTail)
+      .withColumn("clen", least(lit(chunkSize.toLong), col("n") - col("start")))
+      .withColumn("hd", md5(
+        expr("array_join(slice(toks, CAST(start + 1 AS INT), CAST(clen AS INT)), ' ')")
+          .cast("binary")))
+    val perDoc = chunks.groupBy("doc_id", "lang", "n")
+      .agg(count(lit(1)).as("doc_chunks"),
+        sum("clen").as("doc_chunk_tokens"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("doc_xor"))
+    perDoc.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("doc_chunks").as("n_chunks"),
+        sum("doc_chunk_tokens").as("total_chunk_tokens"),
+        (sum("doc_chunk_tokens") - sum("n")).as("overlap_tokens"),
+        max("doc_chunks").as("max_chunks_per_doc"),
+        expr("bit_xor(doc_xor)").as("chunk_xor"))
+      .orderBy("lang")
+  }
+
   /** Default token budget for [[txTokenBudget]] — the oracle SQL is
     * generated from this same constant (the kmeansCtes /
     * [[shuffleShardShards]] single-definition rule, ADVICE r6).

@@ -1418,6 +1418,37 @@ class TextOpsSpec extends SparkSpec {
     assert(en.getAs[Double]("max_containment") == 1.0)
   }
 
+  test("tx_chunk_overlap: stride boundaries, contained-tail drop, conservation") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-chunk").toString
+    def doc(n: Int) = (0 until n).map(i => s"t$i").mkString(" ")
+    Seq(
+      (1L, doc(10), "en", "s"),   // 1 short chunk (len 10)
+      (2L, doc(70), "en", "s"),   // starts 0 (64) + 48 (22)
+      (3L, doc(49), "en", "s"),   // start 48 DROPPED: n-48 = 1 <= 16 (contained)
+      (4L, doc(65), "en", "s"),   // start 48 kept: n-48 = 17 > 16
+      (5L, doc(160), "de", "s"))  // starts 0, 48, 96 (64) + 144 (16 <= 16 dropped)
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Text.txChunkOverlap(spark, dir).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val en = out("en")
+    // en: doc1 1 chunk/10 tok; doc2 2 chunks/86; doc3 1 chunk/49; doc4 2 chunks/81
+    assert(en.getAs[Long]("n_docs") == 4L)
+    assert(en.getAs[Long]("n_chunks") == 6L, s"$en")
+    assert(en.getAs[Long]("total_chunk_tokens") == 10L + 86L + 49L + 81L)
+    assert(en.getAs[Long]("overlap_tokens") ==
+      en.getAs[Long]("total_chunk_tokens") - (10L + 70L + 49L + 65L))
+    assert(en.getAs[Long]("max_chunks_per_doc") == 2L)
+    // de: 160 tokens -> starts 0/48/96 all len 64 (start 144 contained)
+    val de = out("de")
+    assert(de.getAs[Long]("n_chunks") == 3L, s"$de")
+    assert(de.getAs[Long]("total_chunk_tokens") == 192L)
+    assert(de.getAs[Long]("overlap_tokens") == 32L)
+  }
+
   test("tx_boilerplate: per-source header fires, cross-source copy does not") {
     val spark2 = spark
     import spark2.implicits._
