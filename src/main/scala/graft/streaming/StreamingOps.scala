@@ -439,6 +439,10 @@ object StreamingOps {
   }
 
   case class UserEvent(user_id: Long, event_type: String, value: Double)
+  case class SeqEvent(user_id: Long, event_id: Long, ts_us: Long,
+      event_type: String, value: Double)
+  case class SeqCarry(t1: String, ts1: Long, t2: String, ts2: Long)
+  case class SeqMatch(user_id: Long, start_ts_us: Long, purchase_cents: Long)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
 
   /** Custom stateful accumulation via flatMapGroupsWithState: per-user
@@ -697,6 +701,48 @@ object StreamingOps {
               acc.total_cents + math.round(e.value * 100)))
           state.update(next)
           Iterator.single(next)
+        })
+  }
+
+  /** Streaming twin of [[graft.queries.Events.evSequenceDetect]] — the
+    * MATCH_RECOGNIZE-lite contiguous `view → click → purchase` trigram
+    * detector as a `flatMapGroupsWithState` over the live event stream,
+    * substantiating the batch scaladoc's claim that the same semantics
+    * run stateful-streaming: per-user state is exactly the LAST TWO
+    * event (type, ts) pairs — O(1), never the history — carried across
+    * micro-batches, so a trigram that STRADDLES a batch boundary still
+    * fires (StreamingSpec plants one). Within a batch the group's rows
+    * sort by (ts, event_id) — the batch operator's stream order; across
+    * batches the file source's in-order delivery is the documented
+    * assumption (same contract as every watermarkless twin here).
+    * Emits one row per match (user, trigram-start micros, purchase
+    * cents — exact integers); the spec folds emissions to the batch
+    * operator's per-user aggregate and pins equality on sf0.001.
+    */
+  def sequenceMatches(events: DataFrame,
+      maxSpanHours: Long = 24): Dataset[SeqMatch] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val spanUs = maxSpanHours * 3600L * 1000000L
+    events.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"), col("value"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[SeqCarry]) => {
+          val carry = state.getOption.getOrElse(SeqCarry("", 0L, "", 0L))
+          var t1 = carry.t1; var ts1 = carry.ts1
+          var t2 = carry.t2; var ts2 = carry.ts2
+          val out = scala.collection.mutable.ArrayBuffer.empty[SeqMatch]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (t1 == "view" && t2 == "click" && e.event_type == "purchase" &&
+                e.ts_us - ts1 <= spanUs)
+              out += SeqMatch(uid, ts1, math.round(e.value * 100))
+            t1 = t2; ts1 = ts2
+            t2 = e.event_type; ts2 = e.ts_us
+          }
+          state.update(SeqCarry(t1, ts1, t2, ts2))
+          out.iterator
         })
   }
 }

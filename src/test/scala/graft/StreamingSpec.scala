@@ -578,4 +578,64 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.size == nNovel,
       s"expected all $nNovel novel vectors admitted, got ${streamed.size}")
   }
+
+  test("sequence detection fires across a micro-batch boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val q = StreamingOps.sequenceMatches(events)
+      .writeStream.format("memory").queryName("seq_stream")
+      .outputMode("append").start()
+    // batch 1: view + click for user 1 — no emission yet
+    input.addData(
+      (1L, 10L, ts("2024-01-01 01:00:00"), "view", 1.0),
+      (1L, 11L, ts("2024-01-01 02:00:00"), "click", 2.0),
+      // user 2: trigram broken by an interleaved error
+      (2L, 20L, ts("2024-01-01 01:00:00"), "view", 1.0),
+      (2L, 21L, ts("2024-01-01 01:30:00"), "error", 0.0))
+    q.processAllAvailable()
+    assert(spark.table("seq_stream").count() == 0L,
+      "no trigram is complete after batch 1")
+    // batch 2: the purchase lands — the straddling trigram must fire
+    // from state; user 2's click+purchase must not (view was displaced)
+    input.addData(
+      (1L, 12L, ts("2024-01-01 03:00:00"), "purchase", 30.25),
+      (2L, 22L, ts("2024-01-01 02:00:00"), "click", 2.0),
+      (2L, 23L, ts("2024-01-01 02:30:00"), "purchase", 99.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("seq_stream").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_ts_us"),
+        r.getAs[Long]("purchase_cents"))).toSeq
+    assert(rows == Seq((1L,
+      ts("2024-01-01 01:00:00").getTime * 1000L, 3025L)), s"$rows")
+  }
+
+  test("streamed sequence matches fold to the batch ev_sequence_detect rows") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.sequenceMatches(stream)
+      .writeStream.format("memory").queryName("seq_equality")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("seq_equality")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        expr("timestamp_micros(min(start_ts_us))").as("first_match_ts"),
+        (sum("purchase_cents").cast("double") / 100.0d).as("purchase_value"))
+      .orderBy("user_id").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_matches"),
+        r.getAs[java.sql.Timestamp]("first_match_ts"),
+        r.getAs[Double]("purchase_value")))
+    val batch = graft.queries.Events.evSequenceDetect(spark, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_matches"),
+        r.getAs[java.sql.Timestamp]("first_match_ts"),
+        r.getAs[Double]("purchase_value")))
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
 }
