@@ -213,6 +213,9 @@ object SparkEntry {
     // integer PageRank over the standing kNN graph (crawl-curation
     // centrality): exact ppm arithmetic, bounded top-25 report
     "sim_graph_pagerank" -> ((s, d) => Similarity.simGraphPagerank(s, d)),
+    // deterministic LPA communities over the standing kNN graph — the
+    // density lens beside PageRank and the CC closure
+    "sim_graph_communities" -> ((s, d) => Similarity.simGraphCommunities(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
@@ -1220,6 +1223,41 @@ object SparkEntry {
 
   private def graphSearchSql: String = graphSearchSqlOver(
     "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)", 5)
+
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphCommunities]]:
+    * the verbatim descent chain rebuilds the graph (the graphSearchSql
+    * rule), undirected dedup, then every deterministic LPA round
+    * unrolls MATERIALIZED (count → per-vertex argmax with min-label
+    * tiebreak), and the final labels roll up per community.
+    */
+  private def graphCommunitiesSql: String = {
+    val g = s"g${Similarity.knnDescentRounds}"
+    val roundCtes = (1 to Similarity.lpRounds).map { r =>
+      s"""lc$r AS (
+         |  SELECT v, lbl, CAST(sum(c) AS BIGINT) AS c FROM (
+         |    SELECT e.v, l.lbl, 2 * count(*) AS c
+         |    FROM und e JOIN l${r - 1} l ON l.v = e.u GROUP BY 1, 2
+         |    UNION ALL
+         |    SELECT v, lbl, 1 AS c FROM l${r - 1})
+         |  GROUP BY 1, 2),
+         |l$r AS MATERIALIZED (
+         |  SELECT v, lbl FROM (
+         |    SELECT v, lbl,
+         |      row_number() OVER (PARTITION BY v ORDER BY c DESC, lbl ASC) AS rn
+         |    FROM lc$r)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $knnDescentCtes,
+       |und AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM $g
+       |  UNION
+       |  SELECT dst AS v, src AS u FROM $g),
+       |l0 AS MATERIALIZED (SELECT DISTINCT v, v AS lbl FROM und),
+       |$roundCtes
+       |SELECT lbl AS community, count(*) AS n_members,
+       |  min(v) AS first_member, max(v) AS last_member
+       |FROM l${Similarity.lpRounds} GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** The graph-delete repair chain as a reusable CTE body (tombstones →
     * surviving edges → FreshDiskANN bridge pairs → rescored top-k
@@ -4711,6 +4749,7 @@ object SparkEntry {
     "sim_knn_descent" -> knnDescentSql,
     "sim_graph_search" -> graphSearchSql,
     "sim_graph_pagerank" -> graphPagerankSql,
+    "sim_graph_communities" -> graphCommunitiesSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,

@@ -1143,6 +1143,79 @@ object Similarity {
       .orderBy("rnk")
   }
 
+  private[graft] val lpRounds = 3
+
+  /** Label-propagation communities over the standing kNN graph — the
+    * Raghavan et al. 2007 LPA made fully deterministic (synchronous
+    * rounds, label counts argmax with a min-label tiebreak, labels
+    * initialized to vertex ids), completing the graph family's analytic
+    * surface beside PageRank ([[simGraphPagerank]]) and the
+    * connected-components closure (dd_dup_clusters): communities are
+    * DENSITY structure — a bridge edge keeps two dense clusters in one
+    * connected component but LPA splits them, which is what makes it
+    * the semantic-clustering lens (a near-dup cluster linked to another
+    * by one borderline pair stays two communities). The graph is the
+    * PERSISTED descent edges table undirected (edges ∪ reverses,
+    * deduped); each round is one keyed join + count + per-vertex argmax
+    * — pure integer ops, bit-exact in both engines, and the DuckDB twin
+    * unrolls round for round over the same first-principles graph (the
+    * graphSearchSql rule). [[lpRound]] is factored un-checkpointed (the
+    * pagerankRound discipline) so the round's shuffle shape stays
+    * plan-testable; the loop truncates lineage per round.
+    *
+    * Scale shape: each round shuffles (v, lbl) scalar pairs keyed by
+    * vertex — Pregel's carrier — and the round count is a constant, so
+    * 100 TB cost is lpRounds × one keyed aggregate over the edge table.
+    */
+  def simGraphCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureKnnGraphIndex(spark, dir)
+    val directed = spark.read.parquet(s"$base/edges")
+      .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+    val und = directed
+      .unionByName(directed.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint(false)
+    communitiesOver(und)
+  }
+
+  /** The LPA loop + community rollup over a given undirected edge frame
+    * — factored so the planted-graph spec can drive it directly.
+    */
+  private[graft] def communitiesOver(und: DataFrame): DataFrame = {
+    var labels = und.select(col("v")).distinct()
+      .withColumn("lbl", col("v")).localCheckpoint(false)
+    for (_ <- 1 to lpRounds) {
+      labels = lpRound(und, labels).localCheckpoint(false)
+      labels.count() // one bounded job per round, lineage truncated
+    }
+    labels.groupBy("lbl")
+      .agg(count(lit(1)).as("n_members"),
+        min("v").as("first_member"), max("v").as("last_member"))
+      .select(col("lbl").as("community"), col("n_members"),
+        col("first_member"), col("last_member"))
+      .orderBy("community")
+  }
+
+  /** ONE synchronous LPA round as a pure plan (no checkpoint — the
+    * pagerankRound factoring): neighbor labels vote with weight 2, the
+    * vertex's own current label votes 1 (the deterministic
+    * tie-stabilizer — without it a min-label tiebreak floods both sides
+    * of a bridge to the smallest id and merges communities CC-style;
+    * hand-traced on the planted bridge-of-triangles in KnnDescentSpec),
+    * remaining exact ties break to the smallest label. All integer.
+    */
+  private[graft] def lpRound(und: DataFrame, labels: DataFrame): DataFrame = {
+    val nbr = und
+      .join(labels.select(col("v").as("u"), col("lbl")), "u")
+      .groupBy("v", "lbl").agg((count(lit(1)) * 2).as("c"))
+    val self = labels.select(col("v"), col("lbl"), lit(1L).as("c"))
+    val cnt = nbr.unionByName(self).groupBy("v", "lbl").agg(sum("c").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("v").orderBy(col("c").desc, col("lbl").asc)
+    cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("v", "lbl")
+  }
+
   /** The standing graph's (edges, out-degrees, nodes) triple — shared by
     * the rank loop and the PlanSpec round-shape pin.
     */

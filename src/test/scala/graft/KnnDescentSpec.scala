@@ -262,6 +262,31 @@ class KnnDescentSpec extends SparkSpec {
       assert(recall >= 0.80, s"hnsw recall $recall under the pinned floor")
     }
 
+  test("LPA communities: cliques converge to min-label, a bridge does not merge them") {
+    val spark2 = spark
+    import spark2.implicits._
+    // two triangles joined by ONE bridge edge (0-10): connected as a
+    // single component, but LPA keeps two communities — the density
+    // lens the scaladoc claims vs the CC closure
+    val cl1 = Seq((0L, 1L), (0L, 2L), (1L, 2L))
+    val cl2 = Seq((10L, 11L), (10L, 12L), (11L, 12L))
+    val bridge = Seq((0L, 10L))
+    import org.apache.spark.sql.functions.col
+    val directed = (cl1 ++ cl2 ++ bridge).toDF("v", "u")
+    val und = directed
+      .unionByName(directed.select(col("u").as("v"), col("v").as("u")))
+      .distinct()
+    val out = Similarity.communitiesOver(und).collect()
+      .map(r => (r.getAs[Long]("community"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("first_member"), r.getAs[Long]("last_member")))
+    // hand-traced (3 synchronous rounds, 2x neighbor + 1x self votes,
+    // min-label ties): l1 = [1,0,0,0,10,10], l2 = [0,0,0,10,10,10],
+    // l3 = l2 stable — each triangle is one community; the bridge does
+    // NOT merge them (a CC closure would return one component)
+    assert(out.toSeq == Seq((0L, 3L, 0L, 2L), (10L, 3L, 10L, 12L)),
+      s"LPA must keep the two bridged triangles apart: ${out.toSeq}")
+  }
+
   /** exactTopK generalized to an arbitrary k for the search pins. */
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
