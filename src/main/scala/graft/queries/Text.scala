@@ -450,19 +450,7 @@ object Text {
     */
   def txChunkOverlap(spark: SparkSession, dir: String,
       chunkSize: Int = 64, stride: Int = 48): DataFrame = {
-    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
-    val keepTail = chunkSize - stride
-    val chunks = docs(spark, dir)
-      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
-      .withColumn("n", size(col("toks")).cast("long"))
-      .filter(col("n") >= 1)
-      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
-        explode(expr(s"sequence(0L, n - 1, $stride)")).as("start"))
-      .filter(col("start") === 0L || (col("n") - col("start")) > keepTail)
-      .withColumn("clen", least(lit(chunkSize.toLong), col("n") - col("start")))
-      .withColumn("hd", md5(
-        expr("array_join(slice(toks, CAST(start + 1 AS INT), CAST(clen AS INT)), ' ')")
-          .cast("binary")))
+    val chunks = chunkRows(docs(spark, dir), chunkSize, stride)
     val perDoc = chunks.groupBy("doc_id", "lang", "n")
       .agg(count(lit(1)).as("doc_chunks"),
         sum("clen").as("doc_chunk_tokens"),
@@ -475,6 +463,29 @@ object Text {
         max("doc_chunks").as("max_chunks_per_doc"),
         expr("bit_xor(doc_xor)").as("chunk_xor"))
       .orderBy("lang")
+  }
+
+  /** The per-chunk projection of [[txChunkOverlap]] — a pure stateless
+    * explode+slice (no window, no aggregate), factored so the STREAMING
+    * twin can run the identical text over a landing document stream
+    * ([[graft.streaming.StreamingOps.chunkedDocs]]): chunking at ingest
+    * is how a RAG pipeline actually deploys this.
+    */
+  private[graft] def chunkRows(input: DataFrame,
+      chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
+    val keepTail = chunkSize - stride
+    input
+      .select(col("doc_id"), col("lang"), split(col("text"), " ").as("toks"))
+      .withColumn("n", size(col("toks")).cast("long"))
+      .filter(col("n") >= 1)
+      .select(col("doc_id"), col("lang"), col("toks"), col("n"),
+        explode(expr(s"sequence(0L, n - 1, $stride)")).as("start"))
+      .filter(col("start") === 0L || (col("n") - col("start")) > keepTail)
+      .withColumn("clen", least(lit(chunkSize.toLong), col("n") - col("start")))
+      .withColumn("hd", md5(
+        expr("array_join(slice(toks, CAST(start + 1 AS INT), CAST(clen AS INT)), ' ')")
+          .cast("binary")))
   }
 
   /** Default token budget for [[txTokenBudget]] — the oracle SQL is

@@ -704,6 +704,21 @@ object StreamingOps {
         })
   }
 
+  /** Streaming twin of [[graft.queries.Text.txChunkOverlap]]'s chunk
+    * projection — strided chunk-with-overlap AT INGEST (the shape a
+    * RAG indexing pipeline consumes: each landing document splits into
+    * its overlapping windows before embedding/indexing): the identical
+    * [[graft.queries.Text.chunkRows]] text, a pure stateless
+    * explode+slice, so it runs unchanged under the streaming planner —
+    * no state, no watermark, no shuffle. Emits (doc_id, lang, chunk
+    * start, length, md5); StreamingSpec pins row-for-row equality with
+    * the batch projection on the natural corpus.
+    */
+  def chunkedDocs(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.chunkRows(docsStream)
+      .select(col("doc_id"), col("lang"), col("start"), col("clen"),
+        col("hd").as("chunk_md5"))
+
   /** Streaming twin of [[graft.queries.Events.evSequenceDetect]] — the
     * MATCH_RECOGNIZE-lite contiguous `view → click → purchase` trigram
     * detector as a `flatMapGroupsWithState` over the live event stream,

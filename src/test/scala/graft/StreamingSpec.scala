@@ -579,6 +579,26 @@ class StreamingSpec extends SparkSpec {
       s"expected all $nNovel novel vectors admitted, got ${streamed.size}")
   }
 
+  test("streamed chunking equals the batch chunk projection") {
+    val sf = "/root/testdata/sf0.001"
+    val docsDir = java.nio.file.Files.createTempDirectory("docs-chunk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/documents.parquet"),
+      docsDir.resolve("documents.parquet"))
+    val stream = StreamingOps.readDocumentsStream(spark, docsDir.toString)
+    val q = StreamingOps.chunkedDocs(stream)
+      .writeStream.format("memory").queryName("chunk_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val key = Seq("doc_id", "start")
+    val streamed = spark.table("chunk_stream")
+      .orderBy(key.map(col): _*).collect().toSeq
+    val batch = StreamingOps.chunkedDocs(Tables(spark, sf, "documents"))
+      .orderBy(key.map(col): _*).collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed chunks diverge from batch (${streamed.length} vs ${batch.length})")
+  }
+
   test("sequence detection fires across a micro-batch boundary") {
     val spark2 = spark
     import spark2.implicits._
