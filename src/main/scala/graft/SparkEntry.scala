@@ -99,6 +99,9 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: contiguous view->click->purchase trigrams
     // within 24h, per user — adjacency is what the funnel doesn't require
     "ev_sequence_detect" -> ((s, d) => Events.evSequenceDetect(s, d)),
+    // the B+ quantifier case: view -> click+ -> purchase via anchor
+    // groups (running non-click count), one lead over anchors
+    "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -3528,6 +3531,41 @@ object SparkEntry {
         |    AND epoch_us(ts2) - epoch_us(ts) <= 86400000000)
         |SELECT user_id, count(*) AS n_matches, min(ts) AS first_match_ts,
         |  CAST(sum(CAST(round(v2 * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS purchase_value
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Kleene-plus (view -> click+ -> purchase): the running count of
+    // non-click events groups each contiguous click-run with its unique
+    // preceding anchor row; consecutive anchors are stream-adjacent, so
+    // lead() over anchors reads the event right after the run's last
+    // click. Same epoch_us bound and exact-cents sum as the trigram.
+    "ev_sequence_kleene" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, event_type, value,
+        |    count(CASE WHEN event_type <> 'click' THEN 1 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM events),
+        |g AS (
+        |  SELECT user_id, grp,
+        |    max(CASE WHEN event_type <> 'click' THEN event_type END) AS anchor_type,
+        |    max(CASE WHEN event_type <> 'click' THEN ts END) AS anchor_ts,
+        |    max(CASE WHEN event_type <> 'click'
+        |        THEN CAST(round(value * 100) AS BIGINT) END) AS anchor_cents,
+        |    count(CASE WHEN event_type = 'click' THEN 1 END) AS n_clicks
+        |  FROM s GROUP BY user_id, grp),
+        |a AS (
+        |  SELECT user_id, grp, anchor_type, anchor_ts, anchor_cents, n_clicks,
+        |    lead(anchor_type) OVER w AS next_type,
+        |    lead(anchor_ts) OVER w AS next_ts,
+        |    lead(anchor_cents) OVER w AS next_cents
+        |  FROM g WINDOW w AS (PARTITION BY user_id ORDER BY grp ASC)),
+        |m AS (
+        |  SELECT * FROM a
+        |  WHERE anchor_type = 'view' AND n_clicks >= 1
+        |    AND next_type = 'purchase'
+        |    AND epoch_us(next_ts) - epoch_us(anchor_ts) <= 86400000000)
+        |SELECT user_id, count(*) AS n_matches, max(n_clicks) AS max_clicks,
+        |  min(anchor_ts) AS first_match_ts,
+        |  CAST(sum(next_cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS purchase_value
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (

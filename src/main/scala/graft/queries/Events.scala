@@ -292,6 +292,67 @@ object Events {
       .orderBy("user_id")
   }
 
+  /** Kleene-plus event-sequence detection — `view → click+ → purchase`
+    * contiguous per user: a run of ONE OR MORE consecutive clicks
+    * immediately preceded by a view and immediately followed by a
+    * purchase, the quantifier case [[evSequenceDetect]]'s fixed trigram
+    * cannot express (a `view, click, click, purchase` stream has NO
+    * contiguous exact trigram and the two-`lead` detector misses it).
+    *
+    * Gaps-and-islands without self-joins: a running count of non-click
+    * events per user assigns every contiguous click-run the group id of
+    * the non-click row that precedes it (that row is the group's unique
+    * anchor, so `max(CASE non-click)` recovers it without an arg_min);
+    * consecutive anchors are adjacent in group order, so ONE `lead` over
+    * the per-user anchor sequence reads the event that directly follows
+    * the run's last click. Match ⇔ anchor = view, ≥1 click in the
+    * group, next anchor = purchase, and purchase−view within the bound
+    * (epoch-microsecond integers, exactly DuckDB `epoch_us`). Matches
+    * share no rows (each consumes its own anchor group), so greedy =
+    * exhaustive, like the trigram case. 100 TB shape: one keyed shuffle
+    * on user_id reused by both windows and the group-by — the window
+    * partitioning carries through, no second exchange of event rows.
+    *
+    * Reference behavioral anchor: per-entity ordered-stream semantics
+    * (`wrds_ingestion.py:256-290` first-in-order selection); the
+    * pattern family itself is beyond-reference (SQL:2016
+    * MATCH_RECOGNIZE `B+` quantifier, expressed in shared windows).
+    */
+  def evSequenceKleene(spark: SparkSession, dir: String,
+      maxSpanHours: Long = 24): DataFrame = {
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Long.MinValue, 0)
+    val grouped = events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .withColumn("grp",
+        sum(when(col("event_type") =!= "click", 1L).otherwise(0L)).over(wOrd))
+    val anchors = grouped.groupBy("user_id", "grp")
+      .agg(
+        max(when(col("event_type") =!= "click", col("event_type")))
+          .as("anchor_type"),
+        max(when(col("event_type") =!= "click", col("ts"))).as("anchor_ts"),
+        max(when(col("event_type") =!= "click", Exact.units(col("value"), 2)))
+          .as("anchor_cents"),
+        count(when(col("event_type") === "click", 1)).as("n_clicks"))
+    val wGrp = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("grp").asc)
+    val matches = anchors
+      .withColumn("next_type", lead(col("anchor_type"), 1).over(wGrp))
+      .withColumn("next_ts", lead(col("anchor_ts"), 1).over(wGrp))
+      .withColumn("next_cents", lead(col("anchor_cents"), 1).over(wGrp))
+      .filter(col("anchor_type") === "view" && col("n_clicks") >= 1L &&
+        col("next_type") === "purchase" &&
+        expr("unix_micros(next_ts) - unix_micros(anchor_ts)") <=
+          lit(maxSpanHours * 3600L * 1000000L))
+    matches.groupBy("user_id")
+      .agg(count(lit(1)).as("n_matches"),
+        max("n_clicks").as("max_clicks"),
+        min("anchor_ts").as("first_match_ts"),
+        (sum("next_cents").cast("double") / lit(100.0)).as("purchase_value"))
+      .orderBy("user_id")
+  }
+
   /** Top-N active users per event type: window rank over exact per-user
     * aggregates (rank ties broken by user_id for determinism).
     */

@@ -147,4 +147,67 @@ class AggregatesSpec extends SparkSpec {
       .collect()
     assert(wide.map(_.getAs[Long]("user_id")).toSet == Set(1L, 3L))
   }
+
+  test("ev_sequence_kleene: click+ quantifier, plus-not-star, run purity") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-kleene").toString
+    def ts(h: Int, m: Int = 0) =
+      java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    Seq(
+      // user 1: view, click, click, purchase — the exact-trigram
+      // detector has NO contiguous (view,click,purchase) here; the
+      // quantifier is the only way to match it
+      (10L, ts(1), 1L, "view", 1.00, "{}"),
+      (11L, ts(2), 1L, "click", 2.00, "{}"),
+      (12L, ts(3), 1L, "click", 2.00, "{}"),
+      (13L, ts(4), 1L, "purchase", 40.50, "{}"),
+      // user 2: view then purchase with ZERO clicks — Kleene PLUS, not
+      // star: must not match
+      (20L, ts(1), 2L, "view", 1.00, "{}"),
+      (21L, ts(2), 2L, "purchase", 99.00, "{}"),
+      // user 3: click run broken by an error — run purity gates
+      (30L, ts(1), 3L, "view", 1.00, "{}"),
+      (31L, ts(2), 3L, "click", 2.00, "{}"),
+      (32L, ts(3), 3L, "error", 0.00, "{}"),
+      (33L, ts(4), 3L, "click", 2.00, "{}"),
+      (34L, ts(5), 3L, "purchase", 7.00, "{}"),
+      // user 4: single-click run (the trigram case) — both detectors
+      // agree here; also a SECOND match later in the same stream
+      (40L, ts(1), 4L, "view", 1.00, "{}"),
+      (41L, ts(2), 4L, "click", 2.00, "{}"),
+      (42L, ts(3), 4L, "purchase", 10.00, "{}"),
+      (43L, ts(4), 4L, "view", 1.00, "{}"),
+      (44L, ts(5), 4L, "click", 2.00, "{}"),
+      (45L, ts(6), 4L, "click", 2.00, "{}"),
+      (46L, ts(7), 4L, "purchase", 5.25, "{}"),
+      // user 5: long click run but the purchase lands past the bound
+      (50L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 5L, "view", 1.00, "{}"),
+      (51L, java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 5L, "click", 2.00, "{}"),
+      (52L, java.sql.Timestamp.valueOf("2024-01-02 01:00:00"), 5L, "purchase", 5.00, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = queries.Events.evSequenceKleene(spark, tmp).collect()
+    assert(out.map(_.getAs[Long]("user_id")).toSeq == Seq(1L, 4L),
+      s"users 1 and 4 match: ${out.toSeq}")
+    val u1 = out.find(_.getAs[Long]("user_id") == 1L).get
+    assert(u1.getAs[Long]("n_matches") == 1L &&
+      u1.getAs[Long]("max_clicks") == 2L &&
+      u1.getAs[Double]("purchase_value") == 40.50, s"u1: $u1")
+    val u4 = out.find(_.getAs[Long]("user_id") == 4L).get
+    assert(u4.getAs[Long]("n_matches") == 2L &&
+      u4.getAs[Long]("max_clicks") == 2L &&
+      u4.getAs[Double]("purchase_value") == 15.25, s"u4: $u4")
+    assert(u4.getAs[java.sql.Timestamp]("first_match_ts") == ts(1))
+    // the exact trigram agrees on its own territory (single-click runs)
+    // and is blind to the multi-click ones — the quantifier strictly
+    // widens the match set
+    val tri = queries.Events.evSequenceDetect(spark, tmp).collect()
+    assert(tri.map(_.getAs[Long]("user_id")).toSeq == Seq(4L) &&
+      tri.head.getAs[Long]("n_matches") == 1L)
+    // user 5 matches once the bound is lifted
+    val wide = queries.Events.evSequenceKleene(spark, tmp, maxSpanHours = 48)
+      .collect()
+    assert(wide.map(_.getAs[Long]("user_id")).toSet == Set(1L, 4L, 5L))
+  }
 }

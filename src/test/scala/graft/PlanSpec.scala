@@ -207,6 +207,33 @@ class PlanSpec extends SparkSpec {
       df.queryExecution.executedPlan.toString)
   }
 
+  test("ev_sequence_kleene reuses one keyed shuffle end-to-end") {
+    // The scaladoc's scale claim, pinned: the stream window (user_id),
+    // the anchor group-by (user_id, grp — a superset of the clustering,
+    // so HashPartitioning(user_id) satisfies it), the anchor window
+    // (user_id) and the final per-user rollup all consume the SAME
+    // hash exchange. Event rows cross the wire exactly once; the only
+    // other exchange is the deterministic ORDER BY's range partition.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.catalyst.plans.physical.{HashPartitioning, RangePartitioning}
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("ev_sequence_kleene")(spark, dir)
+        .queryExecution.executedPlan
+      val ex = plan.collect { case e: ShuffleExchangeExec => e }
+      val hash = ex.filter(_.outputPartitioning.isInstanceOf[HashPartitioning])
+      assert(hash.length == 1,
+        s"expected ONE keyed shuffle, got ${hash.length}:\n$plan")
+      val keys = hash.head.outputPartitioning
+        .asInstanceOf[HashPartitioning].expressions.map(_.sql.toLowerCase)
+      assert(keys.exists(_.contains("user_id")) && keys.length == 1,
+        s"keyed shuffle must cluster on user_id alone: $keys")
+      assert(ex.filterNot(hash.contains)
+          .forall(_.outputPartitioning.isInstanceOf[RangePartitioning]),
+        s"unexpected non-range extra exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("sim_ivf_ann shuffles never carry an embedding") {
     // VERDICT r6 item 2: the r6 plan ranked cells through a row_number
     // window over the emb×centroids product, so the window's shuffle
