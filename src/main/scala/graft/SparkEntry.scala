@@ -160,6 +160,7 @@ object SparkEntry {
     "tx_source_mix" -> (Text.txSourceMix _),
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
+    "tx_bm25_topk" -> ((s, d) => Text.txBm25TopK(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
     "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
@@ -2536,6 +2537,43 @@ object SparkEntry {
         |ORDER BY lang""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Text.txBm25TopK]]: same exact-integer
+    * corpus stats (N, T, per-term df over ALL docs), the per-term score
+    * from the SHARED [[graft.queries.Text.bm25TermScoreExpr]] text, and
+    * the per-doc sum as a CASE-chain in the same fixed
+    * [[graft.queries.Text.bm25Terms]] order as the Spark side's
+    * coalesce fold — identical IEEE operations in identical order, so
+    * the double hashes match bit-for-bit.
+    */
+  private def bm25TopkSql: String = {
+    val terms = Text.bm25Terms
+    val tfDefs = terms.zipWithIndex.map { case (q, i) =>
+      s"len(list_filter(toks, x -> x = '$q')) AS tf$i" }.mkString(",\n       |    ")
+    val dfDefs = terms.indices.map(i =>
+      s"sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS df$i").mkString(", ")
+    val sSum = terms.indices.map(i =>
+      s"(CASE WHEN tf$i = 0 THEN 0.0 ELSE ${Text.bm25TermScoreExpr(s"tf$i", s"df$i", "dl", "n", "t")} END)")
+      .mkString("\n       |    + ")
+    val tfOut = terms.zipWithIndex.map { case (q, i) => s"tf$i AS tf_$q" }
+      .mkString(", ")
+    val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |base AS (
+       |  SELECT doc_id, len(toks) AS dl,
+       |    $tfDefs
+       |  FROM d),
+       |c AS (
+       |  SELECT count(*) AS n, sum(dl) AS t, $dfDefs FROM base),
+       |scored AS (
+       |  SELECT doc_id, dl, $tfOut,
+       |    $sSum AS score
+       |  FROM base, c WHERE $anyTf > 0)
+       |SELECT doc_id, dl, ${terms.map(q => s"tf_$q").mkString(", ")}, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.queries.Text.txBpeMerges]]: the
     * [[graft.queries.Text.bpeMergeRounds]] merge rounds unrolled
     * per-CTE (the kmeansCtes discipline) — w{r} = the vocabulary's
@@ -4439,6 +4477,12 @@ object SparkEntry {
         |SELECT gram, count(*) AS n_occurrences
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+    // Rational-BM25 lexical top-k: per-term score text shared verbatim
+    // with the Spark column (Text.bm25TermScoreExpr — exact-integer
+    // cross-multiplication, one double division, no ln), per-doc sum in
+    // the fixed bm25Terms order on both engines (IEEE addition is not
+    // associative).
+    "tx_bm25_topk" -> bm25TopkSql,
     // Global top-100 tokens selected by COUNT VALUE (every token tying
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.

@@ -4303,6 +4303,116 @@ object Text {
         coalesce(col("x_docs"), lit(0L)).as("n_deleted_docs"))
       .filter(col("n_docs") > 0)
 
+  /** Fixed lexical query-term set for [[txBm25TopK]] — one rare
+    * high-IDF term (`dup`, df ≈ 5% of docs: the near-dup marker) and two
+    * common ones, shared with the generated oracle SQL (the
+    * shuffleShardSeed discipline). Order matters: per-term partial
+    * scores are summed in THIS textual order on both engines (IEEE
+    * addition is not associative; a re-ordered sum hash-mismatches).
+    */
+  private[graft] val bm25Terms: Seq[String] = Seq("dup", "query", "scan")
+
+  /** SQL text of the per-term rational-BM25 partial score — ONE text for
+    * the Spark column and the DuckDB oracle (the kmeansCtes pattern).
+    *
+    * Classic BM25 is `idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl))`
+    * with `idf = ln(1 + (N−df+0.5)/(df+0.5))` — but `ln` is libm
+    * (engine-drifting in the last ulp, the tx_model_quality rule), so
+    * the idf keeps the exact RATIONAL `(N−df+0.5)/(df+0.5)` =
+    * `(2N−2df+1)/(2df+1)` instead of its log: a strictly monotone
+    * per-term transform (rare terms still dominate; absolute scores are
+    * hotter-scaled than Robertson's, which is fine for ranking and
+    * documented here). With k1 = 6/5, b = 3/4 and avgdl = T/N, the TF
+    * factor cross-multiplied by 20·T is `44·tf·T / (20·tf·T + 6·T +
+    * 18·dl·N)` — every operand an exact integer, so the score is ONE
+    * double division of two exactly-representable integers (both
+    * < 2⁵³ for this corpus family; at ≳10⁹-doc corpora fold df/N to a
+    * reduced fraction first or lift to DECIMAL — same plan shape).
+    */
+  private[graft] def bm25TermScoreExpr(tf: String, df: String, dl: String,
+      n: String, t: String): String =
+    s"CAST((2*$n - 2*$df + 1) * 44 * $tf * $t AS DOUBLE) / " +
+      s"CAST((2*$df + 1) * (20*$tf*$t + 6*$t + 18*$dl*$n) AS DOUBLE)"
+
+  /** BM25 lexical top-k — the missing half of hybrid retrieval (the
+    * `sim_*` family ranks by dense cosine; a production RAG/search stack
+    * fuses that with a lexical BM25 ranker, which until now the suite
+    * could only fake with [[Similarity.simHybridSearch]]'s boolean
+    * keyword containment). Scores the fixed [[bm25Terms]] query against
+    * every document; returns the top-k docs with per-term tf and the
+    * exact score (see [[bm25TermScoreExpr]] for the bit-exactness
+    * design).
+    *
+    * Shape is the distributed inverted-index scatter-gather, not a
+    * document-at-a-time loop: one codegen'd [[graft.functions.LexiconHits]]
+    * pass computes all per-term tfs per doc (no per-term scans); corpus
+    * stats (N, total tokens T, per-term df) aggregate to ONE row and
+    * unpivot to a 3-row term dimension that BROADCASTS onto the posting
+    * rows (a real equi-key join on `term` — no constant-key BNLJ); only
+    * docs matching ≥1 term become postings (≤ |terms| rows/doc, tf > 0);
+    * the per-doc gather is a pivot-style groupBy whose fixed-order
+    * coalesce sum keeps IEEE addition deterministic; winners via
+    * TakeOrderedAndProject (the O3 top-k discipline). At 100 TB the
+    * stats pass is the honest full-scan cost of corpus-calibrated
+    * scoring — a standing postings/stats index amortizes it exactly like
+    * ensureBqIndex does for codes (same two-table layout, postings
+    * bucketed by term).
+    */
+  def txBm25TopK(spark: SparkSession, dir: String, k: Int = 20): DataFrame =
+    bm25TopK(Tables.spread(docs(spark, dir)), k)
+
+  /** [[txBm25TopK]]'s core over any (doc_id, text) frame — factored so
+    * the planted-corpus spec drives the exact operator the oracle'd
+    * query serves (the gopherFlags discipline).
+    */
+  private[graft] def bm25TopK(docFrame: DataFrame, k: Int): DataFrame = {
+    val terms = bm25Terms
+    val base = docFrame
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("tfs", graft.functions.TextFunctions.lexiconHits(
+        col("toks"), terms.map(Seq(_))))
+      .select(Seq(col("doc_id"), size(col("toks")).cast("long").as("dl")) ++
+        terms.indices.map(i => col("tfs").getItem(i).cast("long").as(s"tf$i")): _*)
+    val statAggs = Seq(sum("dl").as("t")) ++ terms.indices.map(i =>
+      sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val stats = base
+      .agg(count(lit(1)).as("n"), statAggs: _*)
+      .selectExpr(
+        s"stack(${terms.size}, " + terms.zipWithIndex
+          .map { case (q, i) => s"'$q', df$i" }.mkString(", ") +
+          ") as (term, df)",
+        "n", "t")
+    val postingStructs = terms.zipWithIndex
+      .map { case (q, i) => s"named_struct('term', '$q', 'tf', tf$i)" }
+      .mkString(", ")
+    val postings = base
+      .select(col("doc_id"), col("dl"),
+        explode(expr(s"filter(array($postingStructs), p -> p.tf > 0)")).as("p"))
+      .select(col("doc_id"), col("dl"),
+        col("p.term").as("term"), col("p.tf").as("tf"))
+    val scoredTerms = postings.join(broadcast(stats), "term")
+      .withColumn("s", expr(bm25TermScoreExpr("tf", "df", "dl", "n", "t")))
+    val gatherAggs = terms.map { q =>
+      max(when(col("term") === q, col("tf"))).as(s"tf_$q")
+    } ++ terms.zipWithIndex.map { case (q, i) =>
+      max(when(col("term") === q, col("s"))).as(s"s$i")
+    }
+    val gathered = scoredTerms.groupBy("doc_id", "dl")
+      .agg(gatherAggs.head, gatherAggs.tail: _*)
+      .withColumn("score", terms.indices
+        .map(i => coalesce(col(s"s$i"), lit(0.0)))
+        .reduceLeft(_ + _))
+    val top = gathered
+      .orderBy(col("score").desc, col("doc_id").asc).limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("score").desc, col("doc_id").asc)
+    top.withColumn("rnk", row_number().over(w))
+      .select(Seq(col("doc_id"), col("dl")) ++
+        terms.map(q => coalesce(col(s"tf_$q"), lit(0L)).as(s"tf_$q")) ++
+        Seq(col("score"), col("rnk")): _*)
+      .orderBy("rnk")
+  }
+
   /** The partial-aggregate MERGE itself, factored over any (standing,
     * delta) pair of [[aggMvPartials]]-shaped frames — one definition for
     * the batch refresh and the streaming twin's merge (counts add, XOR

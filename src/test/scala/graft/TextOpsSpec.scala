@@ -334,6 +334,33 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("bm25: rare-term dominance, length normalization, tf saturation, exact score") {
+    val spark2 = spark
+    import spark2.implicits._
+    // N=6, T=32; df_dup=1, df_query=3, df_scan=1
+    val planted = Seq(
+      (1L, "dup alpha beta gamma"),          // rare term, dl=4
+      (2L, "query query query query"),       // tf=4 of a common term
+      (3L, "query alpha beta gamma"),        // tf=1, dl=4
+      (4L, "query alpha beta gamma delta eps zeta eta theta iota kappa lambda"), // tf=1, dl=12
+      (5L, "alpha beta gamma delta"),        // no query terms
+      (6L, "scan scan alpha beta"))
+      .toDF("doc_id", "text")
+    val rows = Text.bm25TopK(planted, 10).collect()
+    val score = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(!score.contains(5L), "termless doc must not surface")
+    assert(score(1L) > score(3L), "rare 'dup' must outrank common 'query' at equal tf/dl")
+    assert(score(3L) > score(4L), "longer doc must score lower at equal tf")
+    assert(score(2L) < 4.0 * score(3L), "tf must saturate (k1), not scale linearly")
+    // hand-recompute d1 with the same IEEE ops in the same order:
+    // idf = (2N-2df+1)/(2df+1) = 11/3, tf factor = 44·1·T/(20·1·T+6T+18·dl·N)
+    val expected = ((2 * 6 - 2 * 1 + 1) * 44 * 1 * 32).toDouble /
+      ((2 * 1 + 1) * (20 * 1 * 32 + 6 * 32 + 18 * 4 * 6)).toDouble
+    assert(score(1L) == expected, s"d1 score ${score(1L)} != hand-traced $expected")
+    // ranks are dense from 1 in score order
+    assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
+  }
+
   test("gopher rules: every rule fires on its planted violator and passes the clean doc") {
     val spark2 = spark
     import spark2.implicits._
