@@ -297,6 +297,7 @@ object SparkEntry {
     "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
     "sim_ivf_ann_retrained" -> ((s, d) => Similarity.simIvfAnnRetrained(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
+    "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
@@ -2545,7 +2546,11 @@ object SparkEntry {
     * coalesce fold — identical IEEE operations in identical order, so
     * the double hashes match bit-for-bit.
     */
-  private def bm25TopkSql: String = {
+  /** The shared lexical-scoring CTE chain (`bm_d → bm_base → bm_c →
+    * bm_scored`) behind [[bm25TopkSql]] AND the RRF fusion oracle — one
+    * text so the two cannot drift.
+    */
+  private def bm25Ctes: String = {
     val terms = Text.bm25Terms
     val tfDefs = terms.zipWithIndex.map { case (q, i) =>
       s"len(list_filter(toks, x -> x = '$q')) AS tf$i" }.mkString(",\n       |    ")
@@ -2557,22 +2562,25 @@ object SparkEntry {
     val tfOut = terms.zipWithIndex.map { case (q, i) => s"tf$i AS tf_$q" }
       .mkString(", ")
     val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
-    s"""WITH d AS (
+    s"""bm_d AS (
        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-       |base AS (
+       |bm_base AS (
        |  SELECT doc_id, len(toks) AS dl,
        |    $tfDefs
-       |  FROM d),
-       |c AS (
-       |  SELECT count(*) AS n, sum(dl) AS t, $dfDefs FROM base),
-       |scored AS (
+       |  FROM bm_d),
+       |bm_c AS (
+       |  SELECT count(*) AS n, sum(dl) AS t, $dfDefs FROM bm_base),
+       |bm_scored AS (
        |  SELECT doc_id, dl, $tfOut,
        |    $sSum AS score
-       |  FROM base, c WHERE $anyTf > 0)
-       |SELECT doc_id, dl, ${terms.map(q => s"tf_$q").mkString(", ")}, score,
-       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
-       |FROM scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+       |  FROM bm_base, bm_c WHERE $anyTf > 0)""".stripMargin
   }
+
+  private def bm25TopkSql: String =
+    s"""WITH $bm25Ctes
+       |SELECT doc_id, dl, ${Text.bm25Terms.map(q => s"tf_$q").mkString(", ")}, score,
+       |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
+       |FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Text.txBpeMerges]]: the
     * [[graft.queries.Text.bpeMergeRounds]] merge rounds unrolled
@@ -4809,6 +4817,48 @@ object SparkEntry {
         |SELECT c.component, c.vec_id, e.label, sz.cluster_size
         |FROM comp c JOIN sz USING (component) JOIN embeddings e USING (vec_id)
         |ORDER BY component, vec_id""".stripMargin,
+    // Reciprocal-rank fusion: the lexical leg is the SHARED bm25Ctes
+    // text, the dense leg the sim_cosine_topk cosine text; each rrf
+    // contribution is one double division of exact small integers and
+    // the two add in fixed order (dense first) on both engines.
+    "sim_rrf_fusion" ->
+      s"""WITH $bm25Ctes,
+         |lx AS (
+         |  SELECT vec_id, lex_rnk FROM (
+         |    SELECT doc_id AS vec_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rnk
+         |    FROM bm_scored)
+         |  WHERE lex_rnk <= 20),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, vec_id,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+         |  FROM e, q WHERE vec_id <> qid),
+         |dn AS (
+         |  SELECT qid, vec_id, dense_rnk FROM (
+         |    SELECT qid, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS dense_rnk
+         |    FROM s)
+         |  WHERE dense_rnk <= 20),
+         |lxq AS (SELECT q.qid, lx.vec_id, lx.lex_rnk FROM q, lx),
+         |f AS (
+         |  SELECT coalesce(dn.qid, lxq.qid) AS qid,
+         |    coalesce(dn.vec_id, lxq.vec_id) AS vec_id,
+         |    dn.dense_rnk, lxq.lex_rnk
+         |  FROM dn FULL OUTER JOIN lxq
+         |    ON dn.qid = lxq.qid AND dn.vec_id = lxq.vec_id),
+         |g AS (
+         |  SELECT qid, vec_id, dense_rnk, lex_rnk,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rnk), CAST(0.0 AS DOUBLE))
+         |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rnk), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM f WHERE vec_id <> qid)
+         |SELECT qid, vec_id, dense_rnk, lex_rnk, rrf, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id ASC) AS INT) AS rnk FROM g)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
     "sim_hybrid_search" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,

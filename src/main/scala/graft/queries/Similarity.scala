@@ -3610,6 +3610,50 @@ object Similarity {
       .orderBy("vec_id")
   }
 
+  /** Reciprocal-rank fusion — the OTHER standard hybrid-retrieval shape
+    * next to [[simHybridSearch]]'s filter-then-rerank: run the lexical
+    * ranker ([[Text.bm25TopK]], the fixed [[Text.bm25Terms]] query) and
+    * the dense ranker ([[simCosineTopk]]) INDEPENDENTLY to top-`l`, then
+    * fuse by rank only: `rrf = 1/(60 + dense_rnk) + 1/(60 + lex_rnk)`
+    * (Cormack et al. 2009's k = 60), missing-side contribution 0. Rank
+    * fusion needs no score calibration between the two engines — exactly
+    * why production search uses it — and it is trivially bit-exact:
+    * each contribution is ONE double division of small exact integers,
+    * summed in fixed textual order (dense first, lexical second, both
+    * engines).
+    *
+    * Scale shape: each leg is its own already-scale-shaped operator; the
+    * fusion is a full-outer join on (qid, vec_id) over ≤ l rows per leg
+    * per query — never corpus-sized. The lexical leg is query-set
+    * independent here (one fixed term set), so it broadcasts onto the
+    * query ids; with per-query term sets it would carry its own qid and
+    * the join is unchanged. The query's own document is excluded AFTER
+    * fusion (ranks are computed over the full candidate lists, then the
+    * self row drops — same contract as the dense leg's `vec_id ≠ qid`).
+    */
+  def simRrfFusion(spark: SparkSession, dir: String, l: Int = 20,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    register(spark)
+    val dense = simCosineTopk(spark, dir, None, l)
+      .select(col("qid"), col("vec_id"), col("rnk").as("dense_rnk"))
+    val lex = Text.bm25TopK(
+      Tables.spread(Tables(spark, dir, "documents")), l)
+      .select(col("doc_id").as("vec_id"), col("rnk").as("lex_rnk"))
+    val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
+    val lexPerQ = lex.crossJoin(broadcast(qids))
+    val fused = dense.join(lexPerQ, Seq("qid", "vec_id"), "full_outer")
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(rrfK) + col("dense_rnk")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("lex_rnk")), lit(0.0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rrf").desc, col("vec_id").asc)
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id", "dense_rnk", "lex_rnk", "rrf", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** Hybrid retrieval: keyword prefilter + semantic rerank — the
     * standard two-stage search shape (sparse recall, dense precision).
     * Candidates are documents containing the keyword token, joined to

@@ -468,4 +468,39 @@ class SimilaritySpec extends SparkSpec {
         s"k-means-parallel coverage $covPar worse than 1.05x Gonzalez $covGon")
     }
   }
+
+  test("rrf fusion: score recomputes from the ranks, both legs contribute, no self hit") {
+    val rows = Similarity.simRrfFusion(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("vec_id") != r.getAs[Long]("qid"),
+        "query's own document surfaced")
+      val d = Option(r.getAs[Any]("dense_rnk")).map(_.asInstanceOf[Int])
+      val l = Option(r.getAs[Any]("lex_rnk")).map(_.asInstanceOf[Int])
+      assert(d.isDefined || l.isDefined, "row in neither leg's top list")
+      val expected = d.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        l.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(r.getAs[Double]("rrf") == expected,
+        s"rrf ${r.getAs[Double]("rrf")} != recomputed $expected")
+    }
+    // fusion is only interesting if single-leg rows actually occur —
+    // lexical ranks are corpus-wide (one term set) while dense ranks are
+    // per-query, so both single-leg kinds must appear on this corpus
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("dense_rnk"))),
+      "no lexical-only candidate fused")
+    assert(rows.exists(r => r.isNullAt(r.fieldIndex("lex_rnk"))),
+      "no dense-only candidate fused")
+    // per-qid ranks are dense from 1 in (rrf desc, vec_id) order
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length))
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) =>
+          val (ra, rb) = (a.getAs[Double]("rrf"), b.getAs[Double]("rrf"))
+          ra > rb || (ra == rb &&
+            a.getAs[Long]("vec_id") < b.getAs[Long]("vec_id"))
+        case _ => true
+      })
+    }
+  }
 }
