@@ -102,6 +102,7 @@ object SparkEntry {
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
+    "pipeline_zorder" -> ((s, d) => Events.pipelineZorder(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -3613,6 +3614,41 @@ object SparkEntry {
         |  min(anchor_ts) AS first_match_ts,
         |  CAST(sum(next_cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS purchase_value
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Z-order clustering audit: the z-value comes from the SHARED
+    // zInterleaveExpr structure (DuckDB shift-operator rendering), the
+    // oracle ranks with one global window (no scale duty here) — equal
+    // to the engine's bucket-prefix + intra-bucket rank because the
+    // coarse bucket is a monotone prefix of the sort key.
+    "pipeline_zorder" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+         |  FROM events),
+         |k AS (
+         |  SELECT event_id, user_id, day, 'zorder' AS layout,
+         |    ${Events.zDuckExpr("user_id", "day")} AS key
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT event_id, user_id, day, 'linear', day * 2048 + user_id FROM ev),
+         |r AS (
+         |  SELECT layout, user_id, day,
+         |    row_number() OVER (PARTITION BY layout ORDER BY key ASC, event_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY layout) AS n
+         |  FROM k),
+         |f AS (
+         |  SELECT layout, user_id, day,
+         |    ((rnk - 1) * ${Events.zFiles}) // n AS file_id
+         |  FROM r)
+         |SELECT layout, file_id, count(*) AS n_rows,
+         |  min(user_id) AS min_user, max(user_id) AS max_user,
+         |  min(day) AS min_day, max(day) AS max_day,
+         |  CAST(CASE WHEN min(user_id) <= ${Events.zUserHi} AND max(user_id) >= ${Events.zUserLo}
+         |    AND min(day) <= ${Events.zDayHi} AND max(day) >= ${Events.zDayLo}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS file_hit,
+         |  CAST(sum(CASE WHEN user_id BETWEEN ${Events.zUserLo} AND ${Events.zUserHi}
+         |    AND day BETWEEN ${Events.zDayLo} AND ${Events.zDayHi}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS stage_ts FROM events

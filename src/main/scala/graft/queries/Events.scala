@@ -368,4 +368,102 @@ object Events {
       .filter(col("rnk") <= 5)
       .orderBy("event_type", "rnk")
   }
+
+  /** Z-order layout constants, shared with the generated oracle SQL and
+    * the spec (the bm25Terms discipline): 11 interleave bits per dim
+    * (user_id ≤ 2047, day ≤ 2047 across this corpus family — a wider
+    * domain just grows `zBits`), 16 target files, and an 8×8 ALIGNED
+    * predicate box (users 0–7 × days 8–15) so the box is an exact
+    * z-octant at every scale factor.
+    */
+  private[graft] val zBits = 11
+  private[graft] val zFiles = 16
+  private[graft] val zUserLo = 0L; private[graft] val zUserHi = 7L
+  private[graft] val zDayLo = 8L; private[graft] val zDayHi = 15L
+
+  /** Bit-interleave text for the z-value, parameterized over the
+    * engine's shift syntax — ONE structure generating both the Spark
+    * column (`shiftleft`/`shiftright` functions) and the DuckDB oracle
+    * (`<<`/`>>` operators), so the curves cannot drift. User bits land
+    * on odd positions, day bits on even.
+    */
+  private[graft] def zInterleaveExpr(u: String, d: String,
+      shl: (String, Int) => String,
+      shr: (String, Int) => String): String =
+    ((0 until zBits).map(i => shl(s"(${shr(u, i)} & 1)", 2 * i + 1)) ++
+      (0 until zBits).map(i => shl(s"(${shr(d, i)} & 1)", 2 * i)))
+      .mkString(" | ")
+
+  private[graft] def zSparkExpr(u: String, d: String): String =
+    zInterleaveExpr(u, d, (e, n) => s"shiftleft($e, $n)",
+      (e, n) => s"shiftright($e, $n)")
+
+  private[graft] def zDuckExpr(u: String, d: String): String =
+    zInterleaveExpr(u, d, (e, n) => s"(($e) << $n)", (e, n) => s"(($e) >> $n)")
+
+  /** Z-order clustering + data-skipping audit — the lakehouse OPTIMIZE
+    * ZORDER primitive (Delta/Iceberg file clustering): rows sort on the
+    * interleaved-bit curve over (user_id, event day) and range-split
+    * into [[zFiles]] equal files; the audit derives each file's
+    * per-column min/max footer stats and counts how many files a
+    * 2-dimensional predicate box must read, against the SAME machinery
+    * run on the time-linear layout (day-major order — the natural
+    * ingestion layout a table has before clustering). The z layout
+    * prunes on BOTH dimensions where the linear layout prunes only on
+    * time — the file_hit columns ARE the measured benefit, and the row
+    * counts pin that clustering never changes query RESULTS (equal
+    * n_match totals per layout).
+    *
+    * Exact global ranks without a global window: rows bucket by the
+    * coarse key prefix `key >> 10` (≤ 2¹² buckets — bounded), bucket
+    * counts prefix-sum on the AGGREGATED rows (the txSourceMix bounded-
+    * window rule), and broadcast back on the real (layout, bucket) key;
+    * rank = bucket prefix + intra-bucket row_number, a partitioned
+    * window. `file = (rank−1)·F div N` is exact integer arithmetic. At
+    * 100 TB this is exactly how a clustering job computes balanced
+    * range splits (sample-free, deterministic, no single-reducer
+    * stage); the rewrite itself would be a write shuffled on file_id.
+    */
+  def pipelineZorder(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir).select(
+      col("event_id"), col("user_id"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .as("day"))
+    val keyed = ev.select(col("event_id"), col("user_id"), col("day"),
+      explode(expr(
+        s"array(named_struct('layout', 'zorder', 'key', ${zSparkExpr("user_id", "day")}), " +
+          s"named_struct('layout', 'linear', 'key', day * 2048 + user_id))"))
+        .as("lk"))
+      .select(col("event_id"), col("user_id"), col("day"),
+        col("lk.layout").as("layout"), col("lk.key").as("key"))
+      .withColumn("g", expr("key DIV 1024"))
+    val wPrefix = org.apache.spark.sql.expressions.Window
+      .partitionBy("layout").orderBy("g")
+      .rowsBetween(Long.MinValue, -1)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("layout").rowsBetween(Long.MinValue, Long.MaxValue)
+    val gstats = keyed.groupBy("layout", "g")
+      .agg(count(lit(1)).as("g_rows"))
+      .withColumn("before_g", coalesce(sum("g_rows").over(wPrefix), lit(0L)))
+      .withColumn("n_total", sum("g_rows").over(wAll))
+      .select("layout", "g", "before_g", "n_total")
+    val wIntra = org.apache.spark.sql.expressions.Window
+      .partitionBy("layout", "g").orderBy(col("key").asc, col("event_id").asc)
+    val filed = keyed.join(broadcast(gstats), Seq("layout", "g"))
+      .withColumn("rnk", col("before_g") + row_number().over(wIntra))
+      .withColumn("file_id", expr(s"((rnk - 1) * $zFiles) DIV n_total"))
+    filed.groupBy("layout", "file_id")
+      .agg(count(lit(1)).as("n_rows"),
+        min("user_id").as("min_user"), max("user_id").as("max_user"),
+        min("day").as("min_day"), max("day").as("max_day"),
+        sum(when(col("user_id").between(zUserLo, zUserHi) &&
+          col("day").between(zDayLo, zDayHi), 1L).otherwise(0L)).as("n_match"))
+      .withColumn("file_hit",
+        when(col("min_user") <= zUserHi && col("max_user") >= zUserLo &&
+          col("min_day") <= zDayHi && col("max_day") >= zDayLo, 1L)
+          .otherwise(0L))
+      .select("layout", "file_id", "n_rows", "min_user", "max_user",
+        "min_day", "max_day", "file_hit", "n_match")
+      .orderBy("layout", "file_id")
+  }
 }

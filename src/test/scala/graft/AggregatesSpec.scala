@@ -210,4 +210,32 @@ class AggregatesSpec extends SparkSpec {
       .collect()
     assert(wide.map(_.getAs[Long]("user_id")).toSet == Set(1L, 4L, 5L))
   }
+
+  test("pipeline_zorder: balanced files, exact tiling, z prunes at least as well as linear") {
+    val rows = graft.queries.Events.pipelineZorder(spark, dir).collect()
+    val byLayout = rows.groupBy(_.getAs[String]("layout"))
+    assert(byLayout.keySet == Set("zorder", "linear"))
+    val total = byLayout("zorder").map(_.getAs[Long]("n_rows")).sum
+    byLayout.foreach { case (layout, fs) =>
+      // every row lands in exactly one of 16 files, balanced to ±1 row
+      assert(fs.map(_.getAs[Long]("file_id")).sorted.toSeq == (0L until 16L))
+      assert(fs.map(_.getAs[Long]("n_rows")).sum == total, s"$layout loses rows")
+      val sizes = fs.map(_.getAs[Long]("n_rows"))
+      assert(sizes.max - sizes.min <= 1, s"$layout files unbalanced: $sizes")
+      // min/max boxes are honest: a file with matches must be flagged hit
+      fs.foreach { f =>
+        if (f.getAs[Long]("n_match") > 0)
+          assert(f.getAs[Long]("file_hit") == 1L, s"$layout file with matches not hit")
+      }
+    }
+    def hits(l: String) = byLayout(l).map(_.getAs[Long]("file_hit")).sum
+    def matches(l: String) = byLayout(l).map(_.getAs[Long]("n_match")).sum
+    // clustering changes layout, never results
+    assert(matches("zorder") == matches("linear"))
+    assert(matches("zorder") > 0, "predicate box empty — audit vacuous")
+    // the operator's point: the 2-dim box prunes at least as well under z
+    // (strictly better at sf0.01: measured 2 vs 5 of 16 files)
+    assert(hits("zorder") < hits("linear"),
+      s"z-order read ${hits("zorder")} files vs linear ${hits("linear")}")
+  }
 }
