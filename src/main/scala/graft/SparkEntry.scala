@@ -162,6 +162,7 @@ object SparkEntry {
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_bm25_topk" -> ((s, d) => Text.txBm25TopK(s, d)),
+    "tx_bm25_indexed" -> ((s, d) => Text.txBm25Indexed(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
     "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
@@ -4527,6 +4528,9 @@ object SparkEntry {
     // the fixed bm25Terms order on both engines (IEEE addition is not
     // associative).
     "tx_bm25_topk" -> bm25TopkSql,
+    // The standing-index serve returns identical rows by construction
+    // (shared bm25Gather; df/n/t provably equal) — same oracle text.
+    "tx_bm25_indexed" -> bm25TopkSql,
     // Global top-100 tokens selected by COUNT VALUE (every token tying
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.

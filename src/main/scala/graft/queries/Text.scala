@@ -4390,6 +4390,18 @@ object Text {
         explode(expr(s"filter(array($postingStructs), p -> p.tf > 0)")).as("p"))
       .select(col("doc_id"), col("dl"),
         col("p.term").as("term"), col("p.tf").as("tf"))
+    bm25Gather(postings, stats, k)
+  }
+
+  /** The scatter-gather scoring tail shared by the direct query and the
+    * standing-index serve: `postings` = (doc_id, dl, term, tf > 0) rows
+    * for the query terms, `stats` = the per-term (term, df, n, t)
+    * dimension (tiny — broadcasts). One definition so the two paths and
+    * the one oracle text cannot drift.
+    */
+  private[graft] def bm25Gather(postings: DataFrame, stats: DataFrame,
+      k: Int): DataFrame = {
+    val terms = bm25Terms
     val scoredTerms = postings.join(broadcast(stats), "term")
       .withColumn("s", expr(bm25TermScoreExpr("tf", "df", "dl", "n", "t")))
     val gatherAggs = terms.map { q =>
@@ -4411,6 +4423,77 @@ object Text {
         terms.map(q => coalesce(col(s"tf_$q"), lit(0L)).as(s"tf_$q")) ++
         Seq(col("score"), col("rnk")): _*)
       .orderBy("rnk")
+  }
+
+  // bm25_index path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val bm25IndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once FULL inverted index behind [[txBm25Indexed]]: `postings/`
+    * holds (doc_id, dl, tf) for EVERY (term, doc) pair, laid out
+    * `partitionBy(term)` so a query's scan partition-prunes to its own
+    * terms' posting lists (the ensureIvfIndex inverted-list discipline
+    * applied to text); `termstats/` holds every term's df with the
+    * corpus totals (n docs, t tokens) denormalized onto each row — the
+    * totals are ONE collected row of bounded index metadata, the
+    * documented driver-side allowance. df/n/t here equal the direct
+    * query's by construction: df = a term's posting count, n = distinct
+    * posting docs (every doc has ≥ 1 token in this corpus family —
+    * asserted at build), t = Σ tf over all postings.
+    *
+    * Marker/memo discipline incl. clearing both BEFORE rebuilding (the
+    * ensureIvfIndex rule).
+    */
+  def ensureBm25Index(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "bm25_index")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/termstats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(bm25IndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      bm25IndexFor.remove(base)
+      fs.delete(marker, false)
+      val toks = Tables.spread(docs(spark, dir))
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+          explode(col("toks")).as("term"))
+      val postings = toks.groupBy("term", "doc_id", "dl")
+        .agg(count(lit(1)).as("tf"))
+      postings.write.mode("overwrite").partitionBy("term")
+        .parquet(s"$base/postings")
+      val persisted = spark.read.parquet(s"$base/postings")
+      val Array(totals) = persisted
+        .agg(countDistinct(col("doc_id")).as("n"), sum("tf").as("t"),
+          count(lit(1)).as("n_postings")).collect()
+      val nDocs = totals.getAs[Long]("n")
+      val nAll = docs(spark, dir).count()
+      require(nDocs == nAll,
+        s"$nAll docs but only $nDocs with postings — empty docs would skew df/n/t")
+      persisted.groupBy("term")
+        .agg(countDistinct(col("doc_id")).cast("long").as("df"))
+        .withColumn("n", lit(nDocs))
+        .withColumn("t", lit(totals.getAs[Long]("t")))
+        .write.mode("overwrite").parquet(s"$base/termstats")
+      bm25IndexFor(base) = dir
+    }
+    base
+  }
+
+  /** [[txBm25TopK]] over the PERSISTED inverted index — the deployment
+    * form (the txLmPerplexityIndexed treatment): the corpus is never
+    * re-tokenized at query time; the scan reads ONLY the query terms'
+    * posting partitions (partition pruning — spec-pinned) plus the tiny
+    * termstats dimension. Results — and the oracle text — are identical
+    * to the direct query by construction ([[bm25Gather]] is shared).
+    */
+  def txBm25Indexed(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val base = ensureBm25Index(spark, dir)
+    val terms = bm25Terms
+    val postings = spark.read.parquet(s"$base/postings")
+      .filter(col("term").isin(terms: _*))
+      .select(col("doc_id"), col("dl"), col("term"), col("tf"))
+    val stats = spark.read.parquet(s"$base/termstats")
+      .filter(col("term").isin(terms: _*))
+      .select(col("term"), col("df"), col("n"), col("t"))
+    bm25Gather(postings, stats, k)
   }
 
   /** The partial-aggregate MERGE itself, factored over any (standing,

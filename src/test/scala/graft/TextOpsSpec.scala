@@ -361,6 +361,27 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
   }
 
+  test("bm25 index: serve equals direct, partition-prunes to query terms, never rebuilds") {
+    val sfDir = "/root/testdata/sf0.001"
+    val indexed = Text.txBm25Indexed(spark, sfDir)
+    assert(indexed.collect().toSeq ==
+      Text.txBm25TopK(spark, sfDir).collect().toSeq,
+      "standing-index serve must equal the direct query row for row")
+    // the postings scan reads ONLY the query terms' partitions
+    val plan = indexed.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters:") && plan.contains("term#"),
+      "postings scan must carry a term partition filter")
+    // served, not rebuilt (the AggRefreshSpec mtime discipline)
+    val base = Text.ensureBm25Index(spark, sfDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/termstats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.txBm25Indexed(spark, sfDir).collect()
+    Text.txBm25Indexed(spark, sfDir).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "two indexed serves must not rewrite the standing index")
+  }
+
   test("gopher rules: every rule fires on its planted violator and passes the clean doc") {
     val spark2 = spark
     import spark2.implicits._
