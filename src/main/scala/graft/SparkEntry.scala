@@ -103,6 +103,7 @@ object SparkEntry {
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
     "pipeline_zorder" -> ((s, d) => Events.pipelineZorder(s, d)),
+    "ev_anomaly_days" -> ((s, d) => Events.evAnomalyDays(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -3615,6 +3616,28 @@ object SparkEntry {
         |  min(anchor_ts) AS first_match_ts,
         |  CAST(sum(next_cents) AS DOUBLE) / CAST(100 AS DOUBLE) AS purchase_value
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cross-multiplied σ-band test: (d·x−S)² > k²·(d·S2−S²) — exact
+    // integers end to end, no division, so the flags cannot disagree.
+    "ev_anomaly_days" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT event_type, count(*) AS d,
+        |    CAST(sum(n_events) AS BIGINT) AS s,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM daily GROUP BY 1)
+        |SELECT daily.event_type, day, n_events,
+        |  (d*n_events - s)*(d*n_events - s) AS dev2,
+        |  d*s2 - s*s AS var_scaled,
+        |  CAST(CASE WHEN (d*n_events - s)*(d*n_events - s) > 4*(d*s2 - s*s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_out_2s,
+        |  CAST(CASE WHEN (d*n_events - s)*(d*n_events - s) > 9*(d*s2 - s*s)
+        |    THEN 1 ELSE 0 END AS BIGINT) AS is_out_3s
+        |FROM daily JOIN tot ON daily.event_type = tot.event_type
+        |ORDER BY 1, 2""".stripMargin,
     // Z-order clustering audit: the z-value comes from the SHARED
     // zInterleaveExpr structure (DuckDB shift-operator rendering), the
     // oracle ranks with one global window (no scale duty here) — equal

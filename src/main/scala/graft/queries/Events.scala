@@ -369,6 +369,50 @@ object Events {
       .orderBy("event_type", "rnk")
   }
 
+  /** Daily-volume anomaly detection — the ops-monitoring primitive over
+    * an event stream (volume spike/drop days per event type), expressed
+    * so the σ-band test is EXACT integer arithmetic: with d days, daily
+    * counts x, S = Σx and S2 = Σx², the test `(x−μ)² > k²σ²` cross-
+    * multiplies to `(d·x − S)² > k²·(d·S2 − S²)` — the d² denominators
+    * cancel, no division ever happens, and both engines agree bit-for-
+    * bit (the tx_model_quality squared-loss rule). Both the 2σ and 3σ
+    * bands are reported; on a well-behaved corpus the 3σ column is
+    * mostly zero — that IS the honest reading, and the planted spec
+    * shows a real spike firing it.
+    *
+    * Scale shape: one partial-aggregated groupBy to (type, day) —
+    * bounded rows from then on — a bounded per-type aggregate, and a
+    * broadcast join back on the REAL event_type key (never a constant
+    * key). At 100 TB only the first aggregate sees corpus-sized data,
+    * and it map-side combines to |types|·|days| rows.
+    */
+  def evAnomalyDays(spark: SparkSession, dir: String): DataFrame =
+    anomalyDays(events(spark, dir))
+
+  /** [[evAnomalyDays]]'s core over any (event_type, ts) frame — factored
+    * for the planted-spike spec (the gopherFlags discipline).
+    */
+  private[graft] def anomalyDays(ev: DataFrame): DataFrame = {
+    val daily = ev.select(col("event_type"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val tot = daily.groupBy("event_type")
+      .agg(count(lit(1)).as("d"), sum("n_events").as("s"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    daily.join(broadcast(tot), "event_type")
+      .withColumn("dev2", expr("(d*n_events - s)*(d*n_events - s)"))
+      .withColumn("var_scaled", expr("d*s2 - s*s"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("dev2"), col("var_scaled"),
+        when(col("dev2") > lit(4L) * col("var_scaled"), 1L).otherwise(0L)
+          .as("is_out_2s"),
+        when(col("dev2") > lit(9L) * col("var_scaled"), 1L).otherwise(0L)
+          .as("is_out_3s"))
+      .orderBy("event_type", "day")
+  }
+
   /** Z-order layout constants, shared with the generated oracle SQL and
     * the spec (the bm25Terms discipline): 11 interleave bits per dim
     * (user_id ≤ 2047, day ≤ 2047 across this corpus family — a wider

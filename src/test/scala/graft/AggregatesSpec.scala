@@ -211,6 +211,33 @@ class AggregatesSpec extends SparkSpec {
     assert(wide.map(_.getAs[Long]("user_id")).toSet == Set(1L, 4L, 5L))
   }
 
+  test("ev_anomaly_days: planted spikes fire the exact bands, steady series stays clean") {
+    val spark2 = spark
+    import spark2.implicits._
+    // single spike among constants has z² = d−1 EXACTLY (hand-derived:
+    // dev2 = (d−1)²Δ², var_scaled = (d−1)Δ²), so day-count d places the
+    // spike decisively: d=12 → 11 > 9 (3σ fires), d=6 → 5 ∈ (4, 9]
+    // (2σ only), and a constant series has dev2 = var = 0 (no fire).
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    val rows =
+      (0 until 12).flatMap(d => Seq.fill(if (d == 5) 50 else 10)(("hard", ts(d)))) ++
+      (0 until 6).flatMap(d => Seq.fill(if (d == 2) 50 else 10)(("soft", ts(d)))) ++
+      (0 until 12).flatMap(d => Seq.fill(10)(("steady", ts(d))))
+    val out = graft.queries.Events.anomalyDays(rows.toDF("event_type", "ts"))
+      .collect()
+    def flags(t: String) = out.filter(_.getAs[String]("event_type") == t)
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("is_out_2s"),
+        r.getAs[Long]("is_out_3s")))
+    assert(flags("hard").forall { case (d, o2, o3) =>
+      if (d == 5L) o2 == 1L && o3 == 1L else o2 == 0L && o3 == 0L },
+      s"hard spike must fire both bands, others none: ${flags("hard").toSeq}")
+    assert(flags("soft").forall { case (d, o2, o3) =>
+      if (d == 2L) o2 == 1L && o3 == 0L else o2 == 0L && o3 == 0L },
+      s"soft spike must fire 2σ only: ${flags("soft").toSeq}")
+    assert(flags("steady").forall { case (_, o2, o3) => o2 == 0L && o3 == 0L },
+      "steady series must stay clean")
+  }
+
   test("pipeline_zorder: balanced files, exact tiling, z prunes at least as well as linear") {
     val rows = graft.queries.Events.pipelineZorder(spark, dir).collect()
     val byLayout = rows.groupBy(_.getAs[String]("layout"))
