@@ -223,6 +223,7 @@ object SparkEntry {
     // deterministic LPA communities over the standing kNN graph — the
     // density lens beside PageRank and the CC closure
     "sim_graph_communities" -> ((s, d) => Similarity.simGraphCommunities(s, d)),
+    "sim_graph_triangles" -> ((s, d) => Similarity.simGraphTriangles(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
@@ -1328,6 +1329,44 @@ object SparkEntry {
        |SELECT lbl AS community, count(*) AS n_members,
        |  min(v) AS first_member, max(v) AS last_member
        |FROM l${Similarity.lpRounds} GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphTriangles]]: the
+    * same degree-ordered node-iterator over the unrolled descent graph
+    * (und/deg/oriented each referenced 2-3× → MATERIALIZED per the
+    * knn-descent rounds rule).
+    */
+  private def graphTrianglesSql: String = {
+    val g = s"g${Similarity.knnDescentRounds}"
+    s"""WITH $knnDescentCtes,
+       |und AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM $g
+       |  UNION
+       |  SELECT dst AS v, src AS u FROM $g),
+       |deg AS MATERIALIZED (SELECT v, count(*) AS deg FROM und GROUP BY 1),
+       |ored AS MATERIALIZED (
+       |  SELECT e.v AS src, e.u AS dst, du.deg AS ddeg
+       |  FROM und e
+       |  JOIN deg dv ON dv.v = e.v
+       |  JOIN deg du ON du.v = e.u
+       |  WHERE dv.deg < du.deg OR (dv.deg = du.deg AND e.v < e.u)),
+       |tri AS MATERIALIZED (
+       |  SELECT w1.src AS a, w1.dst AS b, w2.dst AS c
+       |  FROM ored w1 JOIN ored w2 ON w1.src = w2.src
+       |    AND (w1.ddeg < w2.ddeg OR (w1.ddeg = w2.ddeg AND w1.dst < w2.dst))
+       |  WHERE EXISTS (SELECT 1 FROM ored e WHERE e.src = w1.dst AND e.dst = w2.dst)),
+       |corners AS (
+       |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri),
+       |pv AS (SELECT v, count(*) AS n_triangles FROM corners GROUP BY 1)
+       |SELECT d.v AS vec_id, d.deg AS degree,
+       |  CAST(coalesce(pv.n_triangles, 0) AS BIGINT) AS n_triangles,
+       |  (d.deg * (d.deg - 1)) // 2 AS n_wedges,
+       |  CASE WHEN d.deg >= 2 THEN
+       |    CAST(coalesce(pv.n_triangles, 0) AS DOUBLE)
+       |      / CAST((d.deg * (d.deg - 1)) // 2 AS DOUBLE)
+       |  ELSE CAST(0.0 AS DOUBLE) END AS lcc
+       |FROM deg d LEFT JOIN pv ON pv.v = d.v
+       |ORDER BY vec_id""".stripMargin
   }
 
   /** The graph-delete repair chain as a reusable CTE body (tombstones →
@@ -5009,6 +5048,7 @@ object SparkEntry {
     "sim_graph_search" -> graphSearchSql,
     "sim_graph_pagerank" -> graphPagerankSql,
     "sim_graph_communities" -> graphCommunitiesSql,
+    "sim_graph_triangles" -> graphTrianglesSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,

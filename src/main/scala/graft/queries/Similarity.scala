@@ -1216,6 +1216,68 @@ object Similarity {
       .select("v", "lbl")
   }
 
+  /** Exact triangle census + local clustering coefficients over the
+    * standing kNN graph — the density lens that completes the graph-
+    * analytics family (PageRank = importance, LPA = communities, CC =
+    * reachability, triangles = cohesion). The count is EXACT via the
+    * degree-ordered node-iterator (Schank & Wagner 2005; the
+    * MapReduce/GraphX standard): every edge orients from its
+    * (degree, id)-smaller endpoint, so each triangle has exactly ONE
+    * vertex with two out-edges and is found exactly once as an ordered
+    * wedge closed by an oriented edge — no division by 3, no duplicate
+    * pairs. lcc = triangles / C(deg, 2) is one double division of exact
+    * integers.
+    *
+    * Scale shape: degree ordering bounds every wedge center's out-degree
+    * by O(√m) on any graph (and by k here), so the wedge join cannot
+    * blow up on hubs — THE reason this formulation survives skewed
+    * degree distributions at 100 TB where a naive neighbor self-join
+    * dies; the closure check is a semi-join on the (src, dst) edge key.
+    */
+  def simGraphTriangles(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureKnnGraphIndex(spark, dir)
+    val directed = spark.read.parquet(s"$base/edges")
+      .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+    val und = directed
+      .unionByName(directed.select(col("u").as("v"), col("v").as("u")))
+      .distinct().localCheckpoint(false)
+    trianglesOver(und)
+  }
+
+  /** [[simGraphTriangles]]'s core over any undirected edge frame —
+    * factored for the planted-graph spec (the communitiesOver rule).
+    */
+  private[graft] def trianglesOver(und: DataFrame): DataFrame = {
+    val deg = und.groupBy("v").agg(count(lit(1)).as("deg"))
+    val oriented = und
+      .join(deg, "v")
+      .join(deg.select(col("v").as("u"), col("deg").as("ddeg")), "u")
+      .filter(col("deg") < col("ddeg") ||
+        (col("deg") === col("ddeg") && col("v") < col("u")))
+      .select(col("v").as("src"), col("u").as("dst"), col("ddeg"))
+    val wedges = oriented.select(col("src"), col("dst").as("b"),
+      col("ddeg").as("bdeg"))
+      .join(oriented.select(col("src"), col("dst").as("c"),
+        col("ddeg").as("cdeg")), "src")
+      .filter(col("bdeg") < col("cdeg") ||
+        (col("bdeg") === col("cdeg") && col("b") < col("c")))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")),
+      Seq("b", "c"), "left_semi")
+    val corners = tri.select(explode(array(col("src"), col("b"), col("c")))
+      .as("v"))
+      .groupBy("v").agg(count(lit(1)).as("n_triangles"))
+    deg.join(corners, Seq("v"), "left")
+      .select(col("v").as("vec_id"), col("deg").as("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"),
+        expr("(deg * (deg - 1)) DIV 2").as("n_wedges"),
+        when(col("deg") >= 2,
+          coalesce(col("n_triangles"), lit(0L)).cast("double") /
+            expr("CAST((deg * (deg - 1)) DIV 2 AS DOUBLE)"))
+          .otherwise(lit(0.0)).as("lcc"))
+      .orderBy("vec_id")
+  }
+
   /** The standing graph's (edges, out-degrees, nodes) triple — shared by
     * the rank loop and the PlanSpec round-shape pin.
     */

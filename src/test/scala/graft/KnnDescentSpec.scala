@@ -287,6 +287,37 @@ class KnnDescentSpec extends SparkSpec {
       s"LPA must keep the two bridged triangles apart: ${out.toSeq}")
   }
 
+  test("triangle census: bridged triangles count once each, the square counts none") {
+    val spark2 = spark
+    import spark2.implicits._
+    // the LPA fixture (two triangles + bridge 0-10) plus a 4-cycle
+    // 20-21-22-23: cycles have wedges but NO triangles — the census
+    // must not confuse the two (a pair-count heuristic would)
+    val tri2 = Seq((0L, 1L), (0L, 2L), (1L, 2L),
+      (10L, 11L), (10L, 12L), (11L, 12L), (0L, 10L))
+    val square = Seq((20L, 21L), (21L, 22L), (22L, 23L), (23L, 20L))
+    import org.apache.spark.sql.functions.col
+    val directed = (tri2 ++ square).toDF("v", "u")
+    val und = directed
+      .unionByName(directed.select(col("u").as("v"), col("v").as("u")))
+      .distinct()
+    val out = Similarity.trianglesOver(und).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("n_wedges"), r.getAs[Double]("lcc"))).toMap
+    // hand-counted: 1,2,11,12 sit in 1 triangle with deg 2 (lcc 1);
+    // 0 and 10 carry the bridge (deg 3, wedges 3, still 1 triangle);
+    // the square's vertices have deg 2, one wedge each, zero triangles
+    for (v <- Seq(1L, 2L, 11L, 12L))
+      assert(out(v) == ((2L, 1L, 1L, 1.0)), s"vertex $v: ${out(v)}")
+    for (v <- Seq(0L, 10L))
+      assert(out(v) == ((3L, 1L, 3L, 1.0 / 3.0)), s"vertex $v: ${out(v)}")
+    for (v <- Seq(20L, 21L, 22L, 23L))
+      assert(out(v) == ((2L, 0L, 1L, 0.0)), s"vertex $v: ${out(v)}")
+    // global count: each triangle found exactly once (sum of corners = 3T)
+    assert(out.values.map(_._2).sum == 6L, "corner sum must be 3 x 2 triangles")
+  }
+
   /** exactTopK generalized to an arbitrary k for the search pins. */
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
