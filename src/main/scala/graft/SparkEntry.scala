@@ -207,6 +207,7 @@ object SparkEntry {
     // asymmetric containment (|A∩B|/min) over the same banded candidates:
     // catches embedded copies the symmetric Jaccard bar misses
     "dd_containment" -> ((s, d) => Text.ddContainment(s, d)),
+    "dd_ppjoin" -> ((s, d) => Text.ddPpjoin(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -4385,6 +4386,30 @@ object SparkEntry {
         |  max(CAST(inter AS DOUBLE) / (la + lb - inter)) AS max_jaccard
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // the dd_ngram_jaccard chain with the containment coefficient
+    // Exact τ=1/2 set-similarity join. DELIBERATELY a different
+    // algorithm from the engine's prefix filter: the unfiltered
+    // inverted-index join over the same md5-60-bit shingle keys — the
+    // two agreeing bit-for-bit at every SF proves the prefix filter
+    // complete (its pruning lemma never drops a qualifying pair).
+    "dd_ppjoin" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |d AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+        |    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS sh FROM t)),
+        |m AS (SELECT doc_id, count(*) AS m FROM d GROUP BY 1),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM d a JOIN d b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+        |  CAST(ma.m + mb.m - inter AS BIGINT) AS uni,
+        |  CAST(inter AS DOUBLE) / CAST(ma.m + mb.m - inter AS DOUBLE) AS jaccard
+        |FROM p JOIN m ma ON ma.doc_id = id_a JOIN m mb ON mb.doc_id = id_b
+        |WHERE 2 * inter >= ma.m + mb.m - inter
+        |ORDER BY id_a, id_b""".stripMargin,
     // (inter / min side) beside the symmetric Jaccard
     "dd_containment" ->
       """WITH d AS (

@@ -86,6 +86,70 @@ object Text {
         (col("n_a") + col("n_b") - col("inter")))
   }
 
+  /** EXACT set-similarity join via frequency-ordered prefix filtering —
+    * the deterministic complement to [[ddNgramJaccard]]'s MinHash-LSH
+    * scaffold: LSH banding is probabilistic (pairs near the threshold
+    * fall off the banding S-curve), while the prefix filter (Chaudhuri
+    * et al. 2006; Xiao et al.'s PPJoin) finds EVERY pair with
+    * J ≥ τ = 1/2, guaranteed: under a global (df asc, hash asc) shingle
+    * order, a qualifying pair must share a shingle in its
+    * `⌊m/2⌋ + 1`-length prefixes (if x's prefix missed y entirely, the
+    * overlap would fit in x's `⌈m/2⌉ − 1` suffix — below the
+    * `o ≥ τ·m` bound J ≥ τ forces), so candidates = prefix-shared pairs
+    * only, verified exactly. The τ test is integer cross-multiplied
+    * (`2·|∩| ≥ |∪|` — no float compare gates a row).
+    *
+    * Shingles travel as the md5-60-bit keys (the minhash_bands/DuckDB
+    * convention — no shuffle carries shingle text; the ~n²/2⁶⁰ collision
+    * odds argument of txTopkNgrams applies). Rarest-first ordering makes
+    * prefix keys the LEAST shared shingles — measured 855 candidate
+    * pairs vs ~125k shared-shingle pairs at sf0.001 (the pruning that
+    * keeps this subquadratic at 100 TB); the length filter
+    * (`2·m_a ≥ m_b` both ways) prunes cross-size pairs before the
+    * verify. The DuckDB oracle deliberately runs the UNFILTERED
+    * inverted-index join — a different algorithm agreeing bit-for-bit
+    * is the completeness proof, re-run at every scale factor.
+    */
+  def ddPpjoin(spark: SparkSession, dir: String): DataFrame =
+    ppjoinPairs(tokenizedDocs(spark, dir))
+
+  /** [[ddPpjoin]]'s core over any (doc_id, toks) frame — factored for
+    * the planted-pair spec (the gopherFlags discipline).
+    */
+  private[graft] def ppjoinPairs(d: DataFrame): DataFrame = {
+    val sh = d
+      .withColumn("shs", expr(
+        s"transform(${shingleExpr(3)}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), col("shs"),
+        expr("size(shs)").cast("long").as("m"))
+    val ds = sh.select(col("doc_id"), col("m"), explode(col("shs")).as("h"))
+    val dfreq = ds.groupBy("h").agg(count(lit(1)).as("df"))
+    val wD = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
+    val prefixes = ds.join(dfreq, "h")
+      .withColumn("rn", row_number().over(wD))
+      .filter(col("rn") <= expr("m DIV 2 + 1"))
+      .select(col("h"), col("doc_id"), col("m"))
+    val cands = prefixes.as("x").join(prefixes.as("y"),
+      col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
+        col("x.m") * 2 >= col("y.m") && col("y.m") * 2 >= col("x.m"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    cands
+      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("sh_a"),
+        col("m").as("n_a")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("sh_b"),
+        col("m").as("n_b")), "id_b")
+      .withColumn("inter",
+        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        (col("inter").cast("double") / col("uni").cast("double"))
+          .as("jaccard"))
+      .orderBy("id_a", "id_b")
+  }
+
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * cheap heuristics a pretraining filter computes per document. Single
     * float division per ratio keeps every value bit-deterministic.

@@ -361,6 +361,31 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
   }
 
+  test("ppjoin: exact pairs with inclusive tau boundary, planted sub-threshold pair dropped") {
+    val spark2 = spark
+    import spark2.implicits._
+    // docs 1/2 share an 8-token run (6 of 9 shingles): J = 6/12 = τ
+    // EXACTLY (inclusive boundary); doc 3 shares only a 4-token run
+    // with doc 1 (2 shingles, J = 2/16 = 0.125 — dropped); doc 4 = doc 1
+    val w = (1 to 8).map(i => s"w$i").mkString(" ")
+    val planted = Seq(
+      (1L, s"$w x1 x2 x3"),
+      (2L, s"$w y1 y2 y3"),
+      (3L, "w1 w2 w3 w4 z1 z2 z3 z4 z5 z6 z7"),
+      (4L, s"$w x1 x2 x3"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val out = Text.ppjoinPairs(planted).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        (r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+          r.getAs[Double]("jaccard"))).toMap
+    assert(out.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)),
+      s"expected exactly the three qualifying pairs: ${out.keySet}")
+    assert(out((1L, 2L)) == ((6L, 12L, 0.5)), "boundary J = τ must be KEPT")
+    assert(out((1L, 4L)) == ((9L, 9L, 1.0)))
+    assert(out((2L, 4L)) == ((6L, 12L, 0.5)))
+  }
+
   test("bm25 index: serve equals direct, partition-prunes to query terms, never rebuilds") {
     val sfDir = "/root/testdata/sf0.001"
     val indexed = Text.txBm25Indexed(spark, sfDir)
