@@ -208,6 +208,7 @@ object SparkEntry {
     // catches embedded copies the symmetric Jaccard bar misses
     "dd_containment" -> ((s, d) => Text.ddContainment(s, d)),
     "dd_ppjoin" -> ((s, d) => Text.ddPpjoin(s, d)),
+    "tx_length_percentiles" -> ((s, d) => Text.txLengthPercentiles(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
@@ -4609,6 +4610,26 @@ object SparkEntry {
         |SELECT gram, count(*) AS n_occurrences
         |FROM g GROUP BY gram
         |ORDER BY n_occurrences DESC, gram ASC LIMIT 20""".stripMargin,
+    // Nearest-rank percentiles from the exact value histogram: the
+    // `cum·100 >= tot·p` pick is all-integer, so no quantile estimator
+    // semantics can drift between engines.
+    "tx_length_percentiles" ->
+      """WITH d AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |  FROM documents),
+        |h AS (SELECT source, n_toks, count(*) AS c FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, n_toks, c,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_toks) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM h)
+        |SELECT source, CAST(max(tot) AS BIGINT) AS n_docs,
+        |  min(CASE WHEN cum*100 >= tot*25 THEN n_toks END) AS p25,
+        |  min(CASE WHEN cum*100 >= tot*50 THEN n_toks END) AS p50,
+        |  min(CASE WHEN cum*100 >= tot*90 THEN n_toks END) AS p90,
+        |  min(CASE WHEN cum*100 >= tot*99 THEN n_toks END) AS p99,
+        |  min(n_toks) AS min_toks, max(n_toks) AS max_toks
+        |FROM cum GROUP BY 1 ORDER BY 1""".stripMargin,
     // Rational-BM25 lexical top-k: per-term score text shared verbatim
     // with the Spark column (Text.bm25TermScoreExpr — exact-integer
     // cross-multiplication, one double division, no ln), per-doc sum in

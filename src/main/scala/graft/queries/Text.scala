@@ -150,6 +150,45 @@ object Text {
       .orderBy("id_a", "id_b")
   }
 
+  /** EXACT per-source token-length percentiles (p25/p50/p90/p99,
+    * nearest-rank definition: the smallest value whose cumulative count
+    * reaches ⌈p·n/100⌉ — `cum·100 ≥ tot·p` in exact integers, never a
+    * float quantile estimate). The corpus-monitoring primitive a
+    * curation dashboard reports per source; approx_percentile gives no
+    * cross-engine guarantee, so this is the value-histogram formulation
+    * instead: lengths are LOW-CARDINALITY (≤ a few thousand distinct
+    * values no matter the corpus size), so the exact distribution fits
+    * in a (source × length) histogram that map-side combines — the
+    * honest way to get EXACT percentiles of an integer measure at
+    * 100 TB (one corpus-wide partial agg to bounded rows, then
+    * partitioned windows over the bounded histogram; a global sort
+    * never happens).
+    */
+  def txLengthPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val h = docs(spark, dir)
+      .select(col("source"),
+        expr("size(split(text, ' '))").cast("long").as("n_toks"))
+      .groupBy("source", "n_toks").agg(count(lit(1)).as("c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_toks")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").rowsBetween(Long.MinValue, Long.MaxValue)
+    val cum = h.withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(wAll))
+    cum.groupBy("source")
+      .agg(max("tot").as("n_docs"),
+        min(when(col("cum") * 100 >= col("tot") * 25, col("n_toks")))
+          .as("p25"),
+        min(when(col("cum") * 100 >= col("tot") * 50, col("n_toks")))
+          .as("p50"),
+        min(when(col("cum") * 100 >= col("tot") * 90, col("n_toks")))
+          .as("p90"),
+        min(when(col("cum") * 100 >= col("tot") * 99, col("n_toks")))
+          .as("p99"),
+        min("n_toks").as("min_toks"), max("n_toks").as("max_toks"))
+      .orderBy("source")
+  }
+
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * cheap heuristics a pretraining filter computes per document. Single
     * float division per ratio keeps every value bit-deterministic.
