@@ -137,8 +137,17 @@ object Bench {
       // cold-single-run trap the convergence-stop note documents.
       "sim_pq_retrain")
 
+    // Iteration aid (r12): SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset.
+    // History files (bench_last/bench_full) are NOT written in subset
+    // mode — a one-query run must never overwrite the full-suite
+    // prev_min history the regression tripwire reads.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def selected(n: String): Boolean = only.forall(_.contains(n))
+
     val errors = LinkedHashMap[String, String]()
     val names = SparkEntry.queries.toSeq.sortBy(_._1).map(_._1)
+      .filter(selected)
 
     // VERDICT r8 item 6: cross-round per-query history lives in the repo
     // (the driver artifact keeps only a stdout tail). Keyed by sf dir so a
@@ -235,7 +244,7 @@ object Bench {
     // round's judge can diff all queries even when stdout truncates.
     val fullPath = java.nio.file.Paths.get("tools",
       "bench_full_" + sfDir.replaceAll("[^A-Za-z0-9.]+", "_") + ".json")
-    def writeFullArtifact(partial: Boolean): Unit = scala.util.Try {
+    def writeFullArtifact(partial: Boolean): Unit = if (only.isEmpty) scala.util.Try {
       Option(fullPath.getParent)
         .foreach(java.nio.file.Files.createDirectories(_))
       java.nio.file.Files.write(fullPath,
@@ -286,7 +295,8 @@ object Bench {
         rawPerSession += perQuery
         sessionRuns += (if (sessionDegraded) 1 else nRuns)
       }
-      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+           if selected(name)) {
         val overBudget = elapsedS > budgetS
         // `truncated` tracks ACTUAL degradation, not the clock: in a
         // degraded session every query's nominal plan is already 1 run,
@@ -371,7 +381,7 @@ object Bench {
     scala.util.Try(Runtime.getRuntime.removeShutdownHook(hook))
     // Record pooled mins for the next run's prev_min/regressed tripwire
     // (normal completion only — the shutdown hook never writes history).
-    scala.util.Try {
+    if (only.isEmpty) scala.util.Try {
       val mins = stateLock.synchronized {
         names.filter(pooled.contains).map(n => n -> minOf(pooled(n).toSeq))
       }

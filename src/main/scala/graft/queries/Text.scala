@@ -109,6 +109,23 @@ object Text {
     * verify. The DuckDB oracle deliberately runs the UNFILTERED
     * inverted-index join — a different algorithm agreeing bit-for-bit
     * is the completeness proof, re-run at every scale factor.
+    *
+    * Physical shape (r12): the hashed shingle arrays `(doc_id, m, shs)`
+    * are computed ONCE behind `Caches.scoped` (the expensive-join-key
+    * rule — the r11 verdict measured the uncached triple evaluation at
+    * 8.35 s warm) and feed all three consumers: the df-ordered prefix
+    * path and BOTH sides of the verify. The cache sits BEFORE the
+    * explode deliberately: InferFiltersFromGenerate + predicate
+    * pushdown otherwise inline the whole interpreted transform chain
+    * (with `toks` re-substituted as `split(text)` PER ELEMENT) into a
+    * per-row filter — profiled at ~4 s of the 8.8 s warm cost at sf0.1,
+    * vs ~0.4 s cached-then-exploded; the Generate's inferred filter
+    * over a cached attribute is free. Verification is ARRAY-FREE: |∩|
+    * is a count over the exploded postings join — exactly the oracle's
+    * own `count(*)` on `a.h = b.h` — so no join or aggregation shuffle
+    * carries a shingle array, only (id, hash) pairs. Shingles are
+    * array_distinct per doc, so the exploded count equals the set
+    * intersection size.
     */
   def ddPpjoin(spark: SparkSession, dir: String): DataFrame =
     ppjoinPairs(tokenizedDocs(spark, dir))
@@ -117,31 +134,49 @@ object Text {
     * the planted-pair spec (the gopherFlags discipline).
     */
   private[graft] def ppjoinPairs(d: DataFrame): DataFrame = {
-    val sh = d
+    val sh0 = d
       .withColumn("shs", expr(
         s"transform(${shingleExpr(3)}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
-      .select(col("doc_id"), col("shs"),
-        expr("size(shs)").cast("long").as("m"))
-    val ds = sh.select(col("doc_id"), col("m"), explode(col("shs")).as("h"))
+      .select(col("doc_id"), expr("size(shs)").cast("long").as("m"),
+        col("shs"))
+    val shC = graft.Caches.scoped("dd_ppjoin.sh", sh0)
+    val ds = shC.select(col("doc_id"), col("m"), explode(col("shs")).as("h"))
     val dfreq = ds.groupBy("h").agg(count(lit(1)).as("df"))
     val wD = org.apache.spark.sql.expressions.Window
       .partitionBy("doc_id").orderBy(col("df").asc, col("h").asc)
     val prefixes = ds.join(dfreq, "h")
       .withColumn("rn", row_number().over(wD))
       .filter(col("rn") <= expr("m DIV 2 + 1"))
-      .select(col("h"), col("doc_id"), col("m"))
+      .select(col("h"), col("doc_id"), col("m"), col("rn"))
+    // PPJoin positional filter (Xiao et al. §3.2), exact-safe: let s* be
+    // the pair's globally-least shared PREFIX shingle. Any shared
+    // shingle ordered before s* would sit before s* inside BOTH docs'
+    // (df,h)-ordered lists — hence inside both prefixes — contradicting
+    // s*'s minimality; so no shared shingle precedes s* and
+    // o ≤ 1 + min(m_a − rn_a, m_b − rn_b) at s*. J ≥ 1/2 ⟺ 3o ≥ m_a+m_b,
+    // so pairs whose bound-at-s* misses that are provably below τ and
+    // never reach the verify (measured at sf0.1: 310k → 125k candidate
+    // pairs, the verify expansion 21M → 8.8M rows). min(struct(rn_a, …))
+    // picks s* because rn_a within a doc IS the global (df,h) rank.
     val cands = prefixes.as("x").join(prefixes.as("y"),
       col("x.h") === col("y.h") && col("x.doc_id") < col("y.doc_id") &&
         col("x.m") * 2 >= col("y.m") && col("y.m") * 2 >= col("x.m"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.rn").as("rna"),
+        (lit(3) * (lit(1) + least(col("x.m") - col("x.rn"),
+          col("y.m") - col("y.rn"))) - (col("x.m") + col("y.m")))
+          .as("margin"))
+      .groupBy("id_a", "id_b")
+      .agg(min(struct(col("rna"), col("margin"))).as("s"))
+      .filter(col("s.margin") >= 0)
+      .select(col("id_a"), col("id_b"))
     cands
-      .join(sh.select(col("doc_id").as("id_a"), col("shs").as("sh_a"),
-        col("m").as("n_a")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("shs").as("sh_b"),
-        col("m").as("n_b")), "id_b")
-      .withColumn("inter",
-        expr("size(array_intersect(sh_a, sh_b))").cast("long"))
+      .join(ds.select(col("doc_id").as("id_a"), col("m").as("n_a"),
+        col("h")), "id_a")
+      .join(ds.select(col("doc_id").as("id_b"), col("m").as("n_b"),
+        col("h")), Seq("id_b", "h"))
+      .groupBy("id_a", "id_b", "n_a", "n_b")
+      .agg(count(lit(1)).as("inter"))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
