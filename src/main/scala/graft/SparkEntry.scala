@@ -164,6 +164,9 @@ object SparkEntry {
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_bm25_topk" -> ((s, d) => Text.txBm25TopK(s, d)),
     "tx_bm25_indexed" -> ((s, d) => Text.txBm25Indexed(s, d)),
+    "tx_bm25_upsert" -> ((s, d) => Text.txBm25Upsert(s, d)),
+    "tx_bm25_delete" -> ((s, d) => Text.txBm25Delete(s, d)),
+    "tx_bm25_refresh" -> ((s, d) => Text.txBm25Refresh(s, d)),
     "tx_vocab_coverage" -> ((s, d) => Text.txVocabCoverage(s, d)),
     "tx_bpe_merges" -> ((s, d) => Text.txBpeMerges(s, d)),
     "tx_bpe_apply" -> ((s, d) => Text.txBpeApply(s, d)),
@@ -2594,7 +2597,14 @@ object SparkEntry {
     * bm_scored`) behind [[bm25TopkSql]] AND the RRF fusion oracle — one
     * text so the two cannot drift.
     */
-  private def bm25Ctes: String = {
+  private def bm25Ctes: String = bm25CtesWhere("")
+
+  /** [[bm25Ctes]] with an optional corpus carve (the delete-lifecycle
+    * oracle scores the surviving docs only) — stats AND scores both
+    * derive from the carved corpus, exactly what a physical delete
+    * leaves behind.
+    */
+  private def bm25CtesWhere(where: String): String = {
     val terms = Text.bm25Terms
     val tfDefs = terms.zipWithIndex.map { case (q, i) =>
       s"len(list_filter(toks, x -> x = '$q')) AS tf$i" }.mkString(",\n       |    ")
@@ -2607,7 +2617,7 @@ object SparkEntry {
       .mkString(", ")
     val anyTf = terms.indices.map(i => s"tf$i").mkString(" + ")
     s"""bm_d AS (
-       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents $where),
        |bm_base AS (
        |  SELECT doc_id, len(toks) AS dl,
        |    $tfDefs
@@ -2620,11 +2630,38 @@ object SparkEntry {
        |  FROM bm_base, bm_c WHERE $anyTf > 0)""".stripMargin
   }
 
-  private def bm25TopkSql: String =
-    s"""WITH $bm25Ctes
+  private def bm25TopkSql: String = bm25TopkSqlWhere("")
+
+  private def bm25TopkSqlWhere(where: String): String =
+    s"""WITH ${bm25CtesWhere(where)}
        |SELECT doc_id, dl, ${Text.bm25Terms.map(q => s"tf_$q").mkString(", ")}, score,
        |  CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS rnk
        |FROM bm_scored ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.txBm25Refresh]]: full recompute
+    * of every term's df and the corpus totals from raw text, with the
+    * base/delta carve contributions (`doc_id % 5`) laid beside them —
+    * bit-equality proves the standing index's partial-merge refresh
+    * (df/n/t are sums) lossless against a from-scratch rebuild.
+    */
+  private def bm25RefreshSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |tt AS (
+       |  SELECT doc_id, doc_id % ${Text.incrementalDeltaMod} = 0 AS is_delta,
+       |    unnest(list_distinct(toks)) AS term
+       |  FROM t),
+       |df AS (
+       |  SELECT term,
+       |    CAST(count(*) AS BIGINT) AS df,
+       |    CAST(sum(CASE WHEN is_delta THEN 0 ELSE 1 END) AS BIGINT) AS df_base,
+       |    CAST(sum(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS df_delta
+       |  FROM tt GROUP BY 1),
+       |tot AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(len(toks)) AS BIGINT) AS t FROM t)
+       |SELECT term, df, df_base, df_delta, tot.n, tot.t
+       |FROM df, tot ORDER BY term""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Text.txBpeMerges]]: the
     * [[graft.queries.Text.bpeMergeRounds]] merge rounds unrolled
@@ -4639,6 +4676,15 @@ object SparkEntry {
     // The standing-index serve returns identical rows by construction
     // (shared bm25Gather; df/n/t provably equal) — same oracle text.
     "tx_bm25_indexed" -> bm25TopkSql,
+    // Upsert serve = base-carve index + delta overlay, merged stats:
+    // bit-equality against the FULL-corpus direct oracle is the
+    // strongest refresh ≡ rebuild proof (same text as tx_bm25_topk).
+    "tx_bm25_upsert" -> bm25TopkSql,
+    // Delete serve = tombstoned docs anti-joined, stats decremented;
+    // the oracle re-derives scores from the surviving corpus only.
+    "tx_bm25_delete" ->
+      bm25TopkSqlWhere(s"WHERE doc_id % ${Text.incrementalDeltaMod} <> 0"),
+    "tx_bm25_refresh" -> bm25RefreshSql,
     // Global top-100 tokens selected by COUNT VALUE (every token tying
     // at the 100th count is in — deterministic under ties, same trick as
     // tx_topk_ngrams); coverage is one IEEE division of exact longs.

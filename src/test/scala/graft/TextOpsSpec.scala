@@ -439,10 +439,15 @@ class TextOpsSpec extends SparkSpec {
     assert(indexed.collect().toSeq ==
       Text.txBm25TopK(spark, sfDir).collect().toSeq,
       "standing-index serve must equal the direct query row for row")
-    // the postings scan reads ONLY the query terms' partitions
+    // r12 layout (VERDICT r11 weak #2): the postings scan prunes to the
+    // query terms' HASHED buckets (bounded dir count — one-dir-per-term
+    // was the 100 TB scale-killer) and pushes term IN (…) into the
+    // row-group scan within each bucket
     val plan = indexed.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters:") && plan.contains("term#"),
-      "postings scan must carry a term partition filter")
+    assert(plan.contains("PartitionFilters:") && plan.contains("tb#"),
+      "postings scan must carry a tb bucket partition filter")
+    assert(plan.contains("PushedFilters:") && plan.contains("In(term"),
+      "term IN (…) must be pushed into the postings parquet scan")
     // served, not rebuilt (the AggRefreshSpec mtime discipline)
     val base = Text.ensureBm25Index(spark, sfDir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/termstats/_SUCCESS")
@@ -452,6 +457,63 @@ class TextOpsSpec extends SparkSpec {
     Text.txBm25Indexed(spark, sfDir).collect()
     assert(fs.getFileStatus(marker).getModificationTime == t0,
       "two indexed serves must not rewrite the standing index")
+  }
+
+  test("bm25 lifecycle: upsert/delete serve from standing indexes, never re-tokenize or rebuild") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val sfDir = "/root/testdata/sf0.001"
+    // upsert over base+delta standing indexes ≡ the full-corpus direct
+    // query (the strongest refresh ≡ rebuild form); delete ≡ the direct
+    // query over the surviving carve
+    val up = Text.txBm25Upsert(spark, sfDir)
+    assert(up.collect().toSeq == Text.txBm25TopK(spark, sfDir).collect().toSeq,
+      "merged upsert serve must equal the full-corpus direct query")
+    val surviving = Tables(spark, sfDir, "documents")
+      .filter(expr(s"pmod(doc_id, 5) != 0"))
+    val del = Text.txBm25Delete(spark, sfDir)
+    assert(del.collect().toSeq == Text.bm25TopK(surviving, 20).collect().toSeq,
+      "tombstoned serve must equal the direct query over survivors")
+    // serve plans read ONLY standing parquet — no text-carrying scan
+    // (the corpus is never re-tokenized at serve time)
+    for ((name, df) <- Seq("upsert" -> Text.txBm25Upsert(spark, sfDir),
+        "delete" -> Text.txBm25Delete(spark, sfDir))) {
+      df.collect()
+      var textScans = 0
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case f: FileSourceScanExec
+              if f.schema.fieldNames.contains("text") => textScans += 1
+          case _ => ()
+        }
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case s: QueryStageExec => walk(s.plan)
+          case other => other.children.foreach(walk)
+        }
+      }
+      walk(df.queryExecution.executedPlan)
+      assert(textScans == 0,
+        s"$name serve re-tokenized the corpus ($textScans text scans)")
+    }
+    // served, not rebuilt: neither lifecycle serve may touch the shared
+    // full index, the base/delta carve indexes, or the tombstones
+    val fsConf = spark.sparkContext.hadoopConfiguration
+    val markers = Seq(
+      s"${Text.ensureBm25Index(spark, sfDir)}/termstats/_SUCCESS",
+      s"${Text.ensureBm25Index(spark, sfDir, "bm25_base", excludeDeltaMod = Some(5L))}/termstats/_SUCCESS",
+      s"${Text.ensureBm25Index(spark, sfDir, "bm25_delta", onlyDeltaMod = Some(5L))}/termstats/_SUCCESS",
+      s"${Text.ensureBm25Tombstones(spark, sfDir)}/ids/_SUCCESS")
+      .map(new org.apache.hadoop.fs.Path(_))
+    val mtimes = markers.map(m =>
+      m.getFileSystem(fsConf).getFileStatus(m).getModificationTime)
+    Text.txBm25Upsert(spark, sfDir).collect()
+    Text.txBm25Delete(spark, sfDir).collect()
+    Text.txBm25Refresh(spark, sfDir).collect()
+    val after = markers.map(m =>
+      m.getFileSystem(fsConf).getFileStatus(m).getModificationTime)
+    assert(mtimes == after,
+      "a lifecycle serve rewrote a standing artifact")
   }
 
   test("gopher rules: every rule fires on its planted violator and passes the clean doc") {
