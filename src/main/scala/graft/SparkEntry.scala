@@ -103,6 +103,8 @@ object SparkEntry {
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
     "pipeline_zorder" -> ((s, d) => Events.pipelineZorder(s, d)),
+    // the PHYSICAL rewrite: standing clustered tables re-read + audited
+    "pipeline_zorder_materialize" -> ((s, d) => Events.pipelineZorderMaterialize(s, d)),
     "ev_anomaly_days" -> ((s, d) => Events.evAnomalyDays(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
@@ -3750,6 +3752,41 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN user_id BETWEEN ${Events.zUserLo} AND ${Events.zUserHi}
          |    AND day BETWEEN ${Events.zDayLo} AND ${Events.zDayHi}
          |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Same derivation as pipeline_zorder plus the per-file event-id XOR:
+    // the Spark side reads the MATERIALIZED tables back, so agreement
+    // proves the physical files hold exactly the planned assignment
+    // with no row lost or duplicated by the rewrite.
+    "pipeline_zorder_materialize" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id,
+         |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+         |  FROM events),
+         |k AS (
+         |  SELECT event_id, user_id, day, 'zorder' AS layout,
+         |    ${Events.zDuckExpr("user_id", "day")} AS key
+         |  FROM ev
+         |  UNION ALL
+         |  SELECT event_id, user_id, day, 'linear', day * 2048 + user_id FROM ev),
+         |r AS (
+         |  SELECT layout, event_id, user_id, day,
+         |    row_number() OVER (PARTITION BY layout ORDER BY key ASC, event_id ASC) AS rnk,
+         |    count(*) OVER (PARTITION BY layout) AS n
+         |  FROM k),
+         |f AS (
+         |  SELECT layout, event_id, user_id, day,
+         |    ((rnk - 1) * ${Events.zFiles}) // n AS file_id
+         |  FROM r)
+         |SELECT layout, file_id, count(*) AS n_rows,
+         |  min(user_id) AS min_user, max(user_id) AS max_user,
+         |  min(day) AS min_day, max(day) AS max_day,
+         |  CAST(CASE WHEN min(user_id) <= ${Events.zUserHi} AND max(user_id) >= ${Events.zUserLo}
+         |    AND min(day) <= ${Events.zDayHi} AND max(day) >= ${Events.zDayLo}
+         |    THEN 1 ELSE 0 END AS BIGINT) AS file_hit,
+         |  CAST(sum(CASE WHEN user_id BETWEEN ${Events.zUserLo} AND ${Events.zUserHi}
+         |    AND day BETWEEN ${Events.zDayLo} AND ${Events.zDayHi}
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  bit_xor(event_id) AS id_xor
          |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_funnel" ->
       """WITH v AS (
