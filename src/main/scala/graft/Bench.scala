@@ -107,7 +107,13 @@ object Bench {
     // r11: the suite grew 167 -> 186 queries (BQ lifecycle, containment,
     // sequence detect, chunking, KMV/CMS) and the r11 two-session run
     // already walled at 737 s — the same pre-growth margin again.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "850").toDouble
+    // 850 -> 920 at round 12 (the CLAUDE.md budget-floor rule — grow the
+    // budget BEFORE the suite, not after the first truncated artifact):
+    // +6 queries (bm25 lifecycle x3, zorder materialize, cms refresh,
+    // sq indexed) add ~15 s of unavoidable cold first runs; the r12
+    // cross-session bucketed-table re-attach ALSO removes ~15 s of
+    // session-2 rebuild cost, so two sessions fit with margin.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "920").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 

@@ -36,9 +36,18 @@ object Layout {
     * memo's immutable-corpus assumption (CLAUDE.md) now holds per path
     * by construction.
     */
-  def indexBase(spark: SparkSession, sfDir: String, name: String): String =
+  def indexBase(spark: SparkSession, sfDir: String, name: String): String = {
+    // the readable slug is lossy (distinct dirs differing only in
+    // non-alphanumerics collide — ADVICE r11-3); the appended 8-hex
+    // MD5 prefix of the RAW dir string makes the path injective, so
+    // two such dirs can never thrash rebuilds against one warehouse
+    // location
+    val raw = sfDir.getBytes("UTF-8")
+    val h = java.security.MessageDigest.getInstance("MD5").digest(raw)
+      .take(4).map(b => f"$b%02x").mkString
     spark.conf.get("spark.sql.warehouse.dir") + "/" + name + "_" +
-      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_")
+      sfDir.replaceAll("[^A-Za-z0-9.]+", "_").stripPrefix("_") + "_" + h
+  }
 
   def writeDatePartitioned(df: DataFrame, path: String,
       dateCol: String = "date"): Unit = {
@@ -86,18 +95,55 @@ object Layout {
       keys: Seq[String]): Unit = {
     val spark = df.sparkSession
     // idempotent across JVMs: with the in-memory catalog, a previous
-    // process's managed-table DIRECTORY survives in the warehouse while
-    // the catalog entry does not — CREATE then refuses the non-empty
+    // process's table DIRECTORY survives in the warehouse while the
+    // catalog entry does not — CREATE then refuses the non-empty
     // location. Drop the entry if known, and clear the stale location.
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    // explicit-path (external) table: a fresh SparkSession in the same
+    // JVM can re-ATTACH the surviving files via [[ensureBucketedAttached]]
+    // instead of rebuilding — the r11 bench leak where every Bench
+    // session silently re-materialized the fuzzy lifecycle tables
     df.write.mode("overwrite")
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
+      .option("path", loc.toString)
       .format("parquet")
       .saveAsTable(table)
+    bucketedMeta(table) = (df.schema.toDDL, numBuckets, keys, loc.toString)
   }
+
+  // table -> (schema DDL, buckets, keys, location) of this JVM's last
+  // saveBucketed write — what ensureBucketedAttached re-declares from.
+  // JVM-wide on purpose: it must outlive the SparkSession.
+  private val bucketedMeta = scala.collection.concurrent.TrieMap[
+    String, (String, Int, Seq[String], String)]()
+
+  /** True when `table` is available in THIS session — already in the
+    * catalog, or re-attached by declaring the surviving warehouse files
+    * of a previous session's [[saveBucketed]] write as an external
+    * bucketed table (bucket ids live in the file names, so the declared
+    * CLUSTERED BY spec is honored by the reader). A fresh SparkSession
+    * loses the in-memory catalog while the files persist; rebuilding per
+    * session was the r11 fuzzy-delete bench leak (11.2 s cold vs 3.7 s
+    * warm serve). Callers still own corpus-consistency via their
+    * (dir, params) memos — this only restores the catalog entry.
+    */
+  def ensureBucketedAttached(spark: SparkSession, table: String): Boolean =
+    spark.catalog.tableExists(table) || (bucketedMeta.get(table) match {
+      case Some((ddl, n, keys, loc)) =>
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.exists(p) && {
+          val ks = keys.map(k => s"`$k`").mkString(", ")
+          spark.sql(s"CREATE TABLE `$table` ($ddl) USING parquet " +
+            s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $n BUCKETS " +
+            s"LOCATION '$loc'")
+          true
+        }
+      case None => false
+    })
 }

@@ -150,6 +150,10 @@ object SparkEntry {
     // count-min sketch: benchmark-gram corpus frequencies from the
     // bounded cell table (shuffle <= depth*width rows/task), exact audit
     "tx_cms_frequency" -> ((s, d) => Text.txCmsFrequency(s, d)),
+    // standing base-carve cells + delta counters, merged by addition
+    // (CMS linearity); same oracle text as the direct query — the
+    // lossless-merge proof (the tx_kmv_refresh treatment)
+    "tx_cms_refresh" -> ((s, d) => Text.txCmsRefresh(s, d)),
     // per-source paragraph document-frequency strip rule (C4/CCNet
     // boilerplate); shuffles carry only (source, 8-byte block key, id)
     "tx_boilerplate" -> ((s, d) => Text.txBoilerplate(s, d)),
@@ -251,6 +255,9 @@ object SparkEntry {
     // driver refine — R+2 corpus passes total instead of Gonzalez's k−1
     "sim_kmeans_parallel" -> ((s, d) => Similarity.simKmeansParallel(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
+    // standing int8 code table (frozen scale), bit-identical serve —
+    // same oracle text as the per-call form (the simBqHammingIndexed rule)
+    "sim_sq_int8_indexed" -> ((s, d) => Similarity.simSqInt8Indexed(s, d)),
     // thermometer 1-bit codes + Hamming popcount shortlist + exact
     // re-rank: the BQ member of the quantization ladder (4x less scan
     // I/O than float32, recall 0.88-1.0@L50 across the corpora)
@@ -936,7 +943,7 @@ object SparkEntry {
        |bqdelta AS (
        |  SELECT -vec_id - 1 AS vec_id,
        |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding
-       |  FROM embeddings WHERE vec_id % 5 = 0),
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
        |eex AS (
        |  SELECT vec_id, i.d AS d, CAST(embedding[i.d + 1] AS DOUBLE) AS x
        |  FROM (SELECT vec_id, embedding FROM embeddings
@@ -2631,6 +2638,63 @@ object SparkEntry {
        |    $sSum AS score
        |  FROM bm_base, bm_c WHERE $anyTf > 0)""".stripMargin
   }
+  /** DuckDB twin of [[graft.queries.Similarity.simSqInt8]] AND its
+    * standing-index serve (bit-identical by the shared sqSearch tail
+    * and frozen persisted scale/codes — one text, the bm25TopkSql rule).
+    */
+  private def sqInt8Sql: String =
+      """WITH sc AS (
+        |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+        |  FROM embeddings),
+        |qn AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * sc.s))) AS BIGINT)) AS qe
+        |  FROM embeddings, sc),
+        |n AS (
+        |  SELECT vec_id, label, qe,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qe[i] * qe[i])), (x, y) -> x + y) AS qnorm2
+        |  FROM qn),
+        |q AS (SELECT vec_id AS qid, qe AS qq, qnorm2 AS qn2 FROM n WHERE vec_id < 5),
+        |s2 AS (
+        |  SELECT qid, vec_id, label,
+        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qq[i] * qe[i])), (x, y) -> x + y) AS DOUBLE)
+        |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) AS approx_cosine
+        |  FROM n, q WHERE vec_id <> qid)
+        |SELECT qid, vec_id, label, approx_cosine, rnk FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM s2)
+        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+
+
+  /** DuckDB twin of [[graft.queries.Text.txCmsFrequency]] AND the
+    * standing-cells [[graft.queries.Text.txCmsRefresh]] (identical output
+    * by the lossless counter merge — one text, the kmvDistinctSql rule).
+    */
+  private def cmsFrequencySql: String =
+      s"""WITH d AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |g AS (
+        |  SELECT source, unnest(list_transform(range(1, len(toks)), i ->
+        |    toks[i] || ' ' || toks[i+1])) AS g
+        |  FROM d WHERE len(toks) >= 2),
+        |probes AS (SELECT DISTINCT g FROM g WHERE source = 'src0'
+        |           ORDER BY g LIMIT ${Text.CmsProbeLimit}),
+        |jj AS (SELECT unnest(range(0, ${Text.CmsDepth})) AS j),
+        |cells AS (
+        |  SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell,
+        |    count(*) AS cnt
+        |  FROM g CROSS JOIN jj GROUP BY 1, 2),
+        |pe AS (
+        |  SELECT p.g, jj.j,
+        |    CAST(('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':' || p.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell
+        |  FROM probes p CROSS JOIN jj),
+        |est AS (SELECT pe.g, min(c.cnt) AS est_count
+        |        FROM pe JOIN cells c ON pe.j = c.j AND pe.cell = c.cell GROUP BY 1),
+        |ex AS (SELECT g.g, count(*) AS exact_count FROM g JOIN probes p ON g.g = p.g GROUP BY 1)
+        |SELECT est.g, est.est_count, ex.exact_count,
+        |  est.est_count - ex.exact_count AS overestimate
+        |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin
+
 
   private def bm25TopkSql: String = bm25TopkSqlWhere("")
 
@@ -4879,30 +4943,8 @@ object SparkEntry {
         |ORDER BY b.doc_id""".stripMargin,
     // CMS: depth/width/probe-limit come from the Text constants; cells
     // are md5-derived so both engines build the identical sketch
-    "tx_cms_frequency" ->
-      s"""WITH d AS (
-        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
-        |g AS (
-        |  SELECT source, unnest(list_transform(range(1, len(toks)), i ->
-        |    toks[i] || ' ' || toks[i+1])) AS g
-        |  FROM d WHERE len(toks) >= 2),
-        |probes AS (SELECT DISTINCT g FROM g WHERE source = 'src0'
-        |           ORDER BY g LIMIT ${Text.CmsProbeLimit}),
-        |jj AS (SELECT unnest(range(0, ${Text.CmsDepth})) AS j),
-        |cells AS (
-        |  SELECT j, CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || g.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell,
-        |    count(*) AS cnt
-        |  FROM g CROSS JOIN jj GROUP BY 1, 2),
-        |pe AS (
-        |  SELECT p.g, jj.j,
-        |    CAST(('0x' || substr(md5(CAST(jj.j AS VARCHAR) || ':' || p.g), 1, 15)) AS BIGINT) % ${Text.CmsWidth} AS cell
-        |  FROM probes p CROSS JOIN jj),
-        |est AS (SELECT pe.g, min(c.cnt) AS est_count
-        |        FROM pe JOIN cells c ON pe.j = c.j AND pe.cell = c.cell GROUP BY 1),
-        |ex AS (SELECT g.g, count(*) AS exact_count FROM g JOIN probes p ON g.g = p.g GROUP BY 1)
-        |SELECT est.g, est.est_count, ex.exact_count,
-        |  est.est_count - ex.exact_count AS overestimate
-        |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin,
+    "tx_cms_frequency" -> cmsFrequencySql,
+    "tx_cms_refresh" -> cmsFrequencySql,
     "tx_kmv_overlap" ->
       s"""$kmvCtes,
         |p AS (
@@ -5116,27 +5158,8 @@ object SparkEntry {
     "sim_bq_delete" -> bqDeleteSql,
     "sim_bq_hamming_deleted" -> bqHammingDeletedSql,
     "sim_bq_drift" -> bqDriftSql,
-    "sim_sq_int8" ->
-      """WITH sc AS (
-        |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
-        |  FROM embeddings),
-        |qn AS (
-        |  SELECT vec_id, label,
-        |    list_transform(embedding, x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * sc.s))) AS BIGINT)) AS qe
-        |  FROM embeddings, sc),
-        |n AS (
-        |  SELECT vec_id, label, qe,
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qe[i] * qe[i])), (x, y) -> x + y) AS qnorm2
-        |  FROM qn),
-        |q AS (SELECT vec_id AS qid, qe AS qq, qnorm2 AS qn2 FROM n WHERE vec_id < 5),
-        |s2 AS (
-        |  SELECT qid, vec_id, label,
-        |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qq[i] * qe[i])), (x, y) -> x + y) AS DOUBLE)
-        |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) AS approx_cosine
-        |  FROM n, q WHERE vec_id <> qid)
-        |SELECT qid, vec_id, label, approx_cosine, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM s2)
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "sim_sq_int8" -> sqInt8Sql,
+    "sim_sq_int8_indexed" -> sqInt8Sql,
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

@@ -104,7 +104,7 @@ object Core {
   private def ensureBucketed(spark: SparkSession, dir: String, src: String,
       key: String, table: String): Unit = synchronized {
     if (!(bucketedFor.get(table).contains(dir) &&
-        spark.catalog.tableExists(table))) {
+        graft.Layout.ensureBucketedAttached(spark, table))) {
       graft.Layout.saveBucketed(Tables(spark, dir, src), table, 8, Seq(key))
       bucketedFor(table) = dir
     }

@@ -1517,8 +1517,8 @@ object Text {
     synchronized {
       val want = (dir, numSlots, bandSize, deltaMod)
       if (!(fuzzyIndexFor.get("graft_fuzzy_bands_bq").contains(want) &&
-          spark.catalog.tableExists("graft_fuzzy_bands_bq") &&
-          spark.catalog.tableExists("graft_fuzzy_sh_bq"))) {
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_bands_bq") &&
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_sh_bq"))) {
         fuzzyIndexFor.remove("graft_fuzzy_bands_bq")
         fuzzyBuildIndex(spark, dir, numSlots, bandSize, deltaMod)
         fuzzyIndexFor("graft_fuzzy_bands_bq") = want
@@ -1689,8 +1689,8 @@ object Text {
     synchronized {
       val want = (dir, numSlots, bandSize)
       if (!(fuzzyUpsFor.get("graft_fuzzy_bands_ups").contains(want) &&
-          spark.catalog.tableExists("graft_fuzzy_bands_ups") &&
-          spark.catalog.tableExists("graft_fuzzy_sh_ups"))) {
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_bands_ups") &&
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_sh_ups"))) {
         fuzzyUpsFor.remove("graft_fuzzy_bands_ups")
         fuzzyBuildUpsertOverlay(spark, dir, numSlots, bandSize)
         fuzzyUpsFor("graft_fuzzy_bands_ups") = want
@@ -1853,9 +1853,9 @@ object Text {
     synchronized {
       val want = (dir, numSlots, bandSize)
       if (!(fuzzyDelFor.get("graft_fuzzy_bands_del").contains(want) &&
-          spark.catalog.tableExists("graft_fuzzy_bands_del") &&
-          spark.catalog.tableExists("graft_fuzzy_sh_del") &&
-          spark.catalog.tableExists("graft_fuzzy_tomb"))) {
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_bands_del") &&
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_sh_del") &&
+          graft.Layout.ensureBucketedAttached(spark, "graft_fuzzy_tomb"))) {
         fuzzyDelFor.remove("graft_fuzzy_bands_del")
         fuzzyBuildDeleteOverlay(spark, dir, numSlots, bandSize)
         fuzzyDelFor("graft_fuzzy_bands_del") = want
@@ -2735,6 +2735,86 @@ object Text {
     val probes = grams.filter(col("source") === "src0")
       .select("g").distinct().orderBy("g").limit(CmsProbeLimit)
     val cells = cmsCells(grams)
+    val est = probes
+      .select(col("g"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cmsCellExpr))
+      .join(cells, Seq("j", "cell"))
+      .groupBy("g")
+      .agg(min("cnt").as("est_count"))
+    val exact = grams.join(probes, Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("g"))
+      .withColumn("overestimate", col("est_count") - col("exact_count"))
+      .orderBy("g")
+  }
+
+  /** The PER-SOURCE CMS cell table — [[cmsCells]] keyed by source, the
+    * standing/mergeable form (a per-source counter table sums to the
+    * corpus sketch because CMS is linear; CmsSpec pins that identity).
+    * ONE definition for the standing builder, the refresh's delta leg
+    * and the streaming twin.
+    */
+  private[graft] def cmsCellsBySource(grams: DataFrame): DataFrame =
+    grams
+      .select(col("source"), col("g"),
+        explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cmsCellExpr))
+      .groupBy("source", "j", "cell")
+      .agg(count(lit(1)).as("cnt"))
+
+  // cms_cells path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val cmsMvFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing per-source count-min cell tables over the BASE carve
+    * (`doc_id % incrementalDeltaMod != 0`, the [[ensureKmvSketches]]
+    * convention) — the sketch lifecycle the r11 verdict queued (KMV got
+    * it first; CMS counters are exactly mergeable too). ≤ #sources ·
+    * depth · width rows — bounded no matter the corpus size.
+    * Marker/memo discipline incl. clearing both BEFORE rebuilding.
+    */
+  def ensureCmsCells(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "cms_cells")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(cmsMvFor.get(base).contains(dir) && fs.exists(marker))) {
+      cmsMvFor.remove(base)
+      fs.delete(marker, false)
+      cmsCellsBySource(cmsGrams(Tables.spread(docs(spark, dir)
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0))))
+        .write.mode("overwrite").parquet(s"$base/cells")
+      cmsMvFor(base) = dir
+    }
+    base
+  }
+
+  /** Incremental CMS REFRESH — the [[txKmvRefresh]] treatment for the
+    * frequency sketch: the standing base-carve cell tables absorb the
+    * delta carve's counters by ADDITION (count-min is linear — the
+    * merge is lossless by construction, not approximately so), and the
+    * merged sketch serves the same probe estimation as
+    * [[txCmsFrequency]] — output bit-identical to the full-corpus
+    * direct query, so the oracle is literally the same generated SQL
+    * text and never sees the standing table. The unbounded-cardinality
+    * work (the gram → cell fan-out) reads O(|delta|) corpus bytes plus
+    * the bounded standing cells; the probe/exact legs re-scan the
+    * corpus because the EXACT audit column inherently needs it — that
+    * is the audit's cost, not the sketch's.
+    */
+  def txCmsRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureCmsCells(spark, dir)
+    val deltaCells = cmsCellsBySource(cmsGrams(Tables.spread(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))))
+    // per-source base+delta merge AND the cross-source corpus fold are
+    // the same counter addition — one sum does both
+    val cells = spark.read.parquet(s"$base/cells")
+      .unionByName(deltaCells)
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+    val grams = graft.Caches.scoped("tx_cms_refresh.grams",
+      cmsGrams(Tables.spread(docs(spark, dir))))
+    val probes = grams.filter(col("source") === "src0")
+      .select("g").distinct().orderBy("g").limit(CmsProbeLimit)
     val est = probes
       .select(col("g"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
       .withColumn("cell", expr(cmsCellExpr))

@@ -510,6 +510,18 @@ object StreamingOps {
       .groupBy("source", "gk")
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming half of [[graft.queries.Text.txCmsRefresh]]: landing
+    * delta documents fan out to the SAME (source, row, cell) counter
+    * increments ([[graft.queries.Text.cmsCellsBySource]] — one
+    * definition); run with `outputMode("complete")`, the sink holds the
+    * delta cell table, and ADDING it to the standing cells IS the
+    * lossless CMS merge (count-min is linear) — the spec pins
+    * streamed-refresh ≡ batch refresh ≡ full recompute.
+    */
+  def cmsDeltaCells(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.cmsCellsBySource(
+      graft.queries.Text.cmsGrams(docsStream))
+
   /** Streaming twin of [[graft.queries.Text.txBoilerplate]]: landing
     * documents carve into the SAME 20-token block keys
     * ([[graft.queries.Text.boilerBlocksOver]] — one definition) and

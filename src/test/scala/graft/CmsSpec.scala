@@ -57,4 +57,41 @@ class CmsSpec extends SparkSpec {
     assert(rows.forall(r =>
       r.getAs[Long]("est_count") >= r.getAs[Long]("exact_count")))
   }
+
+  test("standing cells are served, not rebuilt per refresh") {
+    val base = Text.ensureCmsCells(spark, sf001)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.txCmsRefresh(spark, sf001).collect()
+    Text.txCmsRefresh(spark, sf001).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "two refreshes must not rewrite the standing cell table")
+  }
+
+  test("streamed delta cells + standing cells equal the direct corpus sketch") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-cms-stream").toString
+    Tables(spark, sf001, "documents")
+      .filter(pmod(col("doc_id"), lit(Text.incrementalDeltaMod)) === 0)
+      .write.mode("overwrite").parquet(s"$streamDir/delta")
+    val q = StreamingOps.cmsDeltaCells(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"))
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureCmsCells(spark, sf001)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Int]("j"), r.getAs[Long]("cell")) ->
+        r.getAs[Long]("cnt")).toMap
+    val merged = toMap(spark.read.parquet(s"$base/cells")
+      .unionByName(spark.table("cms_stream"))
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt")).collect())
+    val direct = toMap(Text.cmsCells(
+      Text.cmsGrams(Tables(spark, sf001, "documents"))).collect())
+    assert(merged == direct,
+      "streamed delta counters + standing cells must equal the one-pass sketch")
+  }
 }
