@@ -219,6 +219,8 @@ object SparkEntry {
     "dd_ppjoin" -> ((s, d) => Text.ddPpjoin(s, d)),
     "tx_length_percentiles" -> ((s, d) => Text.txLengthPercentiles(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
+    // standing base labels + delta-only edges; oracle = full recompute
+    "dd_cc_incremental" -> ((s, d) => Text.ddCcIncremental(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
@@ -255,6 +257,8 @@ object SparkEntry {
     // driver refine — R+2 corpus passes total instead of Gonzalez's k−1
     "sim_kmeans_parallel" -> ((s, d) => Similarity.simKmeansParallel(s, d)),
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
+    // MRL prefix-truncation recall ladder vs the full-width top-k
+    "sim_matryoshka_recall" -> ((s, d) => Similarity.simMatryoshka(s, d)),
     // standing int8 code table (frozen scale), bit-identical serve —
     // same oracle text as the per-call form (the simBqHammingIndexed rule)
     "sim_sq_int8_indexed" -> ((s, d) => Similarity.simSqInt8Indexed(s, d)),
@@ -337,6 +341,13 @@ object SparkEntry {
     // standing-IVF probe -> media-pair rollup + digest-blindness audit
     "mm_crossmodal_dedup" -> ((s, dir) =>
       graft.multimodal.Multimodal.crossModalDedup(s, dir)),
+    // trimmed/shifted re-cut detection: 3-frame shingle blocking,
+    // per-offset gaps-and-islands longest aligned run
+    "mm_temporal_align" -> ((s, dir) =>
+      graft.multimodal.Multimodal.temporalAlign(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents"),
+          graft.multimodal.Multimodal.alignFrames))),
     "dd_embedding_cosine" -> ((s, d) => Similarity.ddEmbeddingCosine(s, d)),
     "dd_embedding_clusters" -> ((s, d) => Similarity.ddEmbeddingClusters(s, d)),
     "dd_semdedup_banded" -> ((s, d) => Similarity.ddSemdedupBanded(s, d)),
@@ -2696,6 +2707,16 @@ object SparkEntry {
         |FROM est JOIN ex ON est.g = ex.g ORDER BY est.g""".stripMargin
 
 
+  /** DuckDB twin of [[graft.queries.Text.ddDupClusters]] AND the
+    * incremental [[graft.queries.Text.ddCcIncremental]] (bit-identical
+    * by the star-contraction homomorphism — one text).
+    */
+  private def dupClustersSql: String =
+    s"""WITH RECURSIVE $dupClusterCtes
+      |SELECT c.component, c.doc_id, dd.lang, sz.cluster_size
+      |FROM comp c JOIN sz USING (component) JOIN documents dd USING (doc_id)
+      |ORDER BY component, doc_id""".stripMargin
+
   private def bm25TopkSql: String = bm25TopkSqlWhere("")
 
   private def bm25TopkSqlWhere(where: String): String =
@@ -4624,11 +4645,11 @@ object SparkEntry {
     // confirmed pairs are closed under connectivity by a recursive
     // min-label CTE — an independent connectivity formulation checking
     // the large-star/small-star contraction row-for-row.
-    "dd_dup_clusters" ->
-      s"""WITH RECURSIVE $dupClusterCtes
-        |SELECT c.component, c.doc_id, dd.lang, sz.cluster_size
-        |FROM comp c JOIN sz USING (component) JOIN documents dd USING (doc_id)
-        |ORDER BY component, doc_id""".stripMargin,
+    "dd_dup_clusters" -> dupClustersSql,
+    // Incremental CC over star(base) + delta edges must equal the FULL
+    // recompute over every confirmed pair — same text, the strongest
+    // incremental ≡ rebuild proof (the tx_bm25_upsert form).
+    "dd_cc_incremental" -> dupClustersSql,
     // The shared cluster closure, then the quality-argmax representative
     // per component via an ordered-aggregate first() — the independent
     // formulation of the engine's max(struct(q, -doc_id)) fold.
@@ -5160,6 +5181,45 @@ object SparkEntry {
     "sim_bq_drift" -> bqDriftSql,
     "sim_sq_int8" -> sqInt8Sql,
     "sim_sq_int8_indexed" -> sqInt8Sql,
+    // Same prefix slice, the same list_reduce left-fold dot (matching
+    // float_dot's accumulation order), the same (cosine DESC, vec_id)
+    // top-k, and the rung-vs-full-width recall rollup — the dims ladder
+    // interpolated from the ONE Scala constant.
+    "sim_matryoshka_recall" -> {
+      val dims = Similarity.matryoshkaDims
+      s"""WITH dims AS (SELECT unnest([${dims.mkString(", ")}]) AS dim),
+        |e AS (
+        |  SELECT dim, vec_id, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, dim + 1),
+        |      i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y)) AS norm
+        |  FROM embeddings, dims),
+        |q AS (SELECT dim, vec_id AS qid, embedding AS qvec, norm AS qnorm
+        |      FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT e.dim, q.qid, e.vec_id,
+        |    list_reduce(list_transform(range(1, e.dim + 1),
+        |      i -> CAST(q.qvec[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)),
+        |      (x, y) -> x + y) / (q.qnorm * e.norm) AS cosine
+        |  FROM e JOIN q ON e.dim = q.dim AND e.vec_id <> q.qid),
+        |t AS (
+        |  SELECT dim, qid, vec_id FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY dim, qid
+        |      ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
+        |  WHERE rnk <= 10),
+        |ref AS (SELECT qid, vec_id FROM t WHERE dim = ${dims.max}),
+        |pq AS (
+        |  SELECT t.dim, t.qid, count(*) AS n,
+        |    CAST(sum(CASE WHEN ref.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS kept
+        |  FROM t LEFT JOIN ref ON t.qid = ref.qid AND t.vec_id = ref.vec_id
+        |  GROUP BY 1, 2)
+        |SELECT dim, CAST(sum(n) AS BIGINT) AS n_pairs,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(min(kept) AS BIGINT) AS worst_query_kept,
+        |  CAST(CAST(sum(kept) AS BIGINT) AS DOUBLE)
+        |    / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS recall
+        |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "sim_cosine_topk" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,
@@ -5428,6 +5488,59 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
         |  CAST(sum(CASE WHEN rn > 1 THEN fb ELSE 0 END) AS BIGINT) AS dup_bytes
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Same 16-frame char-slice grid (ASCII corpus: char == byte), the
+    // same order-sensitive shingle blocking, per-offset gaps-and-islands
+    // runs, and the same (longest_run, n_aligned, smallest offset)
+    // arg-max as the Spark max-struct — geometry interpolated from the
+    // ONE constant pair (the kmeansCtes discipline).
+    "mm_temporal_align" -> {
+      val nF = graft.multimodal.Multimodal.alignFrames
+      s"""WITH fr0 AS (
+        |  SELECT doc_id AS media_id, i AS idx,
+        |    substring(text, CAST(i * fs AS BIGINT) + 1, CAST(fs AS BIGINT)) AS frame
+        |  FROM (SELECT doc_id, text,
+        |          greatest(ceil(length(text) / $nF.0), 1) AS fs FROM documents),
+        |       generate_series(0, ${nF - 1}) t(i)),
+        |fr AS (SELECT media_id, idx, md5(frame) AS h FROM fr0
+        |       WHERE length(frame) > 0),
+        |s0 AS (
+        |  SELECT media_id,
+        |    h,
+        |    lead(h, 1) OVER (PARTITION BY media_id ORDER BY idx) AS f1,
+        |    lead(h, 2) OVER (PARTITION BY media_id ORDER BY idx) AS f2
+        |  FROM fr),
+        |sh AS (SELECT DISTINCT media_id, md5(h || ':' || f1 || ':' || f2) AS g
+        |       FROM s0 WHERE f2 IS NOT NULL),
+        |c AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
+        |      FROM sh x JOIN sh y ON x.g = y.g AND x.media_id < y.media_id),
+        |m AS (
+        |  SELECT c.media_a, c.media_b, a.idx - b.idx AS off, b.idx AS ib
+        |  FROM c JOIN fr a ON a.media_id = c.media_a
+        |         JOIN fr b ON b.media_id = c.media_b AND b.h = a.h),
+        |runs AS (
+        |  SELECT media_a, media_b, off, isl, count(*) AS run
+        |  FROM (SELECT media_a, media_b, off, ib,
+        |          ib - row_number() OVER (PARTITION BY media_a, media_b, off
+        |                                  ORDER BY ib) AS isl
+        |        FROM m)
+        |  GROUP BY 1, 2, 3, 4),
+        |po AS (
+        |  SELECT media_a, media_b, off,
+        |    max(run) AS longest_run, sum(run) AS n_aligned
+        |  FROM runs GROUP BY 1, 2, 3),
+        |best AS (
+        |  SELECT media_a, media_b, off, n_aligned, longest_run,
+        |    row_number() OVER (PARTITION BY media_a, media_b
+        |      ORDER BY longest_run DESC, n_aligned DESC, off ASC) AS rn
+        |  FROM po)
+        |SELECT media_a, media_b, off AS offset,
+        |  CAST(n_aligned AS BIGINT) AS n_aligned,
+        |  CAST(longest_run AS BIGINT) AS longest_run,
+        |  CAST(longest_run AS DOUBLE) / CAST($nF AS DOUBLE) AS aligned_frac
+        |FROM best
+        |WHERE rn = 1 AND longest_run >= ${graft.multimodal.Multimodal.alignMinRun}
+        |ORDER BY media_a, media_b""".stripMargin
+    },
     "mm_decode_features" ->
       // ASCII corpus: char length == byte length, and the first 4 chars'
       // bytes are the binary header the Spark side hexes (hex() is

@@ -102,6 +102,88 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** [[temporalAlign]] geometry, shared with the generated oracle (the
+    * kmeansCtes discipline): 16 frames per media and a minimum aligned
+    * run of 3 consecutive frames — one shared scene is not a duplicate
+    * claim, three consecutive ones at a consistent offset are.
+    */
+  val alignFrames = 16
+  val alignMinRun = 3L
+
+  /** TEMPORAL-ALIGNMENT near-dup for video — the duplicate class both
+    * digest paths miss: a re-cut of the same asset (trimmed intro,
+    * shifted splice) shares most of its frame SEQUENCE at a constant
+    * index offset, while whole-payload digests ([[simhashDedup]]) and
+    * per-frame keep-first ([[frameDedup]]) see only unordered content.
+    * Shape (the video-dedup standard, frame hashes standing in for
+    * perceptual hashes exactly as in [[frameDedup]]):
+    *
+    *   1. candidates BLOCK on order-sensitive 3-frame shingles
+    *      (md5 of three consecutive frame digests) — a pair meets only
+    *      if three consecutive frames match somewhere, so candidate
+    *      count scales with true shared-scene pairs, never O(n²);
+    *   2. per candidate pair, every frame-digest match yields an
+    *      (offset = idx_a − idx_b) vote; per offset, the LONGEST
+    *      CONTIGUOUS aligned run is the gaps-and-islands fold
+    *      (ib − row_number is constant exactly on consecutive matches);
+    *   3. a pair reports at its best offset (longest run, then most
+    *      matches, then smallest offset — a deterministic max-struct,
+    *      never a window over pairs) and survives at
+    *      run ≥ [[alignMinRun]].
+    *
+    * Empty trailing frames (payload shorter than the frame grid) are
+    * dropped BEFORE shingling — their shared empty digest would align
+    * every pair of short assets. Scale: frames/shingles are narrow
+    * per-media projections; the only corpus-wide shuffles key on 16-byte
+    * digests (the dd_* digest-only rule) and the per-pair state is a
+    * bounded (offset, island) rollup — no shuffle carries media bytes.
+    */
+  def temporalAlign(media: DataFrame, minRun: Long = alignMinRun): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val frames = graft.Caches.scoped("mm_align.frames",
+      frameSample(media).filter(col("frame_bytes") > 0)
+        .select(col("media_id"), col("frame_idx"), col("frame_md5")))
+    val sh = frames
+      .withColumn("f1", lead("frame_md5", 1).over(w))
+      .withColumn("f2", lead("frame_md5", 2).over(w))
+      .filter(col("f2").isNotNull)
+      .select(col("media_id"),
+        md5(concat_ws(":", col("frame_md5"), col("f1"), col("f2"))).as("g"))
+      .distinct()
+    val cands = sh.as("x").join(sh.as("y"),
+        col("x.g") === col("y.g") && col("x.media_id") < col("y.media_id"))
+      .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
+      .distinct()
+    val fa = frames.select(col("media_id").as("media_a"),
+      col("frame_idx").as("ia"), col("frame_md5").as("h"))
+    val fb = frames.select(col("media_id").as("media_b"),
+      col("frame_idx").as("ib"), col("frame_md5").as("h"))
+    val m = cands.join(fa, "media_a").join(fb, Seq("media_b", "h"))
+      .select(col("media_a"), col("media_b"),
+        (col("ia") - col("ib")).cast("long").as("off"), col("ib"))
+    val wRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_a", "media_b", "off").orderBy("ib")
+    val perOff = m
+      .withColumn("isl", col("ib") - row_number().over(wRun))
+      .groupBy("media_a", "media_b", "off", "isl")
+      .agg(count(lit(1)).as("run"))
+      .groupBy("media_a", "media_b", "off")
+      .agg(max("run").as("longest_run"), sum("run").as("n_aligned"))
+    perOff
+      .groupBy("media_a", "media_b")
+      .agg(max(struct(col("longest_run"), col("n_aligned"),
+        (-col("off")).as("noff"))).as("best"))
+      .filter(col("best.longest_run") >= minRun)
+      .select(col("media_a"), col("media_b"),
+        (-col("best.noff")).as("offset"),
+        col("best.n_aligned").as("n_aligned"),
+        col("best.longest_run").as("longest_run"),
+        (col("best.longest_run").cast("double") / lit(alignFrames.toDouble))
+          .as("aligned_frac"))
+      .orderBy("media_a", "media_b")
+  }
+
   /** Banding/threshold geometry for [[simhashDedup]] — shared with the
     * generated oracle (the kmeansCtes discipline: the Spark side derives
     * its shift from THESE constants and the oracle interpolates them, so

@@ -3825,6 +3825,77 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** [[simMatryoshka]] truncation ladder — shared with the generated
+    * oracle (the kmeansCtes discipline). 64 is the full width; it MUST
+    * be last-listed nowhere in particular but MUST be present (it is
+    * the recall reference).
+    */
+  private[graft] val matryoshkaDims = Seq(8, 16, 32, 64)
+
+  /** Matryoshka truncated-dimension retrieval audit (Kusupati et al.
+    * 2022): exact cosine top-k using only the first d dims of every
+    * embedding (prefix re-normalized — the MRL serving convention), for
+    * d on the [[matryoshkaDims]] ladder, scored against the full-width
+    * top-k as recall. THE embedding-cost question at 100 TB: a 4×
+    * narrower prefix is 4× less scan I/O and 4× more corpus per
+    * executor — this audit is the decidable basis for taking that trade
+    * (the simBqDrift decision-rule pattern applied to dimensionality).
+    * Per rung: pair counts, kept pairs, the WORST single query's kept
+    * count (an average hides a dead query), and recall — counts exact
+    * integers, recall one double division.
+    *
+    * Scale shape: the prefix slice + norm is a narrow per-row
+    * projection; each rung's scan joins the 5 broadcast query rows and
+    * top-k's through one per-qid window — the simCosineTopk plan, 4×.
+    * The codegen'd float_dot left-fold matches the oracle's
+    * list_reduce fold order, so the doubles agree bit-for-bit.
+    *
+    * Measured verdict on THIS corpus (recorded, the honest-negative
+    * rule): recall@10 at d=32 is only 0.24 / 0.32 / 0.22 across the
+    * three SFs (d=16 ≤ 0.22, d=8 ≤ 0.08) — these embeddings are not
+    * MRL-trained (no information concentration in the prefix) and the
+    * corpus concentrates distances (the PqRecallSpec note), so the
+    * audit's answer here is DON'T truncate. On a real MRL encoder the
+    * same audit justifies the 2-4× scan saving; the operator is the
+    * decision procedure either way.
+    */
+  def simMatryoshka(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    def topkAt(d: Int): DataFrame = {
+      val e = emb
+        .withColumn("ed", expr(s"slice(embedding, 1, $d)"))
+        .withColumn("norm", expr(s"sqrt(${dotExpr("ed", "ed")})"))
+        .select(col("vec_id"), col("ed"), col("norm"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("ed").as("qq"),
+          col("norm").as("qnorm"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+      e.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("cosine",
+          expr(dotExpr("qq", "ed")) / (col("qnorm") * col("norm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(lit(d).as("dim"), col("qid"), col("vec_id"))
+    }
+    val legs = matryoshkaDims.map(topkAt).reduce(_ unionByName _)
+    val ref = legs.filter(col("dim") === matryoshkaDims.max)
+      .select(col("qid"), col("vec_id"), lit(1L).as("hit"))
+    val perQuery = legs
+      .join(ref, Seq("qid", "vec_id"), "left_outer")
+      .groupBy("dim", "qid")
+      .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0L))).as("kept"))
+    perQuery.groupBy("dim")
+      .agg(sum("n").as("n_pairs"), sum("kept").as("n_kept"),
+        min("kept").as("worst_query_kept"))
+      .withColumn("recall",
+        col("n_kept").cast("double") / col("n_pairs").cast("double"))
+      .select("dim", "n_pairs", "n_kept", "worst_query_kept", "recall")
+      .orderBy("dim")
+  }
+
   /** Materialize the SQ-int8 index — the [[bqBuildIndex]] treatment for
     * scalar quantization, closing the last index family without a
     * build-once form (VERDICT r11 missing #4): the corpus scale (ONE

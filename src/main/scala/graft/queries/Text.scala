@@ -1607,6 +1607,16 @@ object Text {
     */
   private def fuzzyVsIndexDrops(dBands: DataFrame, dSh: DataFrame,
       bBands: DataFrame, bSh: DataFrame, threshold: Double,
+      excludeBase: Option[DataFrame] = None): DataFrame =
+    fuzzyVsIndexPairs(dBands, dSh, bBands, bSh, threshold, excludeBase)
+      .select(col("delta_id").as("doc_id")).distinct()
+
+  /** Confirmed (delta_id, base_id) near-dup PAIRS of a delta batch
+    * against an indexed side — the pair-level core behind
+    * [[fuzzyVsIndexDrops]] and the incremental-CC delta edges.
+    */
+  private def fuzzyVsIndexPairs(dBands: DataFrame, dSh: DataFrame,
+      bBands: DataFrame, bSh: DataFrame, threshold: Double,
       excludeBase: Option[DataFrame] = None): DataFrame = {
     val pairs0 = dBands.as("d").join(bBands.as("b"),
         col("d.band") === col("b.band") && col("d.key") === col("b.key") &&
@@ -1621,13 +1631,22 @@ object Text {
         "delta_id")
       .join(bSh.select(col("doc_id").as("base_id"), col("sh").as("sh_b")),
         "base_id"), threshold)
-      .select(col("delta_id").as("doc_id")).distinct()
+      .select(col("delta_id"), col("base_id"))
   }
 
   /** Within-batch keep-first drops: only the HIGHER id of a confirmed
     * pair is the duplicate.
     */
   private def fuzzySelfDrops(dBands: DataFrame, dSh: DataFrame,
+      threshold: Double): DataFrame =
+    fuzzySelfPairs(dBands, dSh, threshold)
+      .select(col("id_b").as("doc_id")).distinct()
+
+  /** Confirmed within-batch near-dup PAIRS (id_a < id_b) — the
+    * pair-level core behind [[fuzzySelfDrops]] and the incremental-CC
+    * delta edges.
+    */
+  private def fuzzySelfPairs(dBands: DataFrame, dSh: DataFrame,
       threshold: Double): DataFrame =
     fuzzyJaccardConfirm(dBands.as("x").join(dBands.as("y"),
         col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
@@ -1638,7 +1657,7 @@ object Text {
       .join(dSh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(dSh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b"),
       threshold)
-      .select(col("id_b").as("doc_id")).distinct()
+      .select(col("id_a"), col("id_b"))
 
   // overlay tables -> (sfDir, numSlots, bandSize) that built them
   private val fuzzyUpsFor =
@@ -2265,6 +2284,94 @@ object Text {
       .filter(col("jaccard") >= 0.5)
       .select(col("id_a"), col("id_b"))
     val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    comp.select(col("component"), col("id").as("doc_id"))
+      .join(sizes, "component")
+      .join(docs(spark, dir).select("doc_id", "lang"), Seq("doc_id"))
+      .select(col("component"), col("doc_id"), col("lang"), col("cluster_size"))
+      .orderBy("component", "doc_id")
+  }
+
+  // cc_base labels path -> sfDir that built them (the ensureIvfIndex memo)
+  private val ccBaseFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing connected-component labels over the BASE carve's confirmed
+    * near-dup pairs (`doc_id % incrementalDeltaMod != 0` — the carve
+    * every incremental demo shares): one (id, component) row per
+    * clustered base doc, built once by the full
+    * [[graft.ConnectedComponents]] contraction and persisted with the
+    * marker/memo discipline (both cleared BEFORE rebuilding).
+    */
+  def ensureCcBase(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): String = synchronized {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val base = graft.Layout.indexBase(spark, dir, "cc_base")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/labels/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(ccBaseFor.get(base).contains(dir) && fs.exists(marker))) {
+      ccBaseFor.remove(base)
+      fs.delete(marker, false)
+      val baseToks = tokenizedDocs(spark, dir)
+        .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0)
+      val edges = jaccardScoredPairs(baseToks, numSlots, bandSize)
+        .filter(col("jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.ConnectedComponents.run(edges, "id_a", "id_b")
+        .write.mode("overwrite").parquet(s"$base/labels")
+      ccBaseFor(base) = dir
+    }
+    base
+  }
+
+  /** INCREMENTAL connected components — the maintenance form of
+    * [[ddDupClusters]], completing the incremental family (exact
+    * [[ddIncremental]], fuzzy [[ddIncrementalFuzzy]], and now the
+    * cluster closure): a landing delta batch must merge into the
+    * standing duplicate clusters without re-running the full-corpus
+    * contraction, let alone re-SCORING the base-base pairs (the
+    * expensive shingle verify a 100 TB dedup cannot repeat per batch).
+    *
+    * The algebra that makes it exact: star contraction is a
+    * connectivity-preserving homomorphism, so
+    * `CC(base_edges ∪ delta_edges) = CC(star(base) ∪ delta_edges)` —
+    * the standing labels ARE `star(base)` (one id→component edge per
+    * clustered base doc), and the delta edges are the confirmed pairs
+    * touching a delta doc: delta-vs-base through the STANDING fuzzy
+    * band/shingle tables (built over the same base carve — the
+    * [[fuzzyVsIndexPairs]] probe, identical banding/blocking/threshold
+    * to [[jaccardScoredPairs]], so connectivity cannot drift) plus
+    * within-batch [[fuzzySelfPairs]]. The recompute input is
+    * O(|clustered base docs| + |delta candidates|) edges — delta-sized,
+    * never corpus-sized; base singletons absent from the labels enter
+    * through their delta pair edge exactly when one exists.
+    *
+    * Output is the [[ddDupClusters]] shape and the oracle is LITERALLY
+    * the full-recompute dd_dup_clusters text (recursive min-label over
+    * ALL confirmed pairs of the whole corpus) — incremental ≡ full
+    * rebuild bit-for-bit, the bm25-upsert proof form.
+    */
+  def ddCcIncremental(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    ensureFuzzyIndex(spark, dir, numSlots, bandSize)
+    val base = ensureCcBase(spark, dir, numSlots, bandSize)
+    val labels = spark.read.parquet(s"$base/labels")
+    val delta = tokenizedDocs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)
+    val (dBands0, dSh0) = fuzzyBandsAndShingles(delta, numSlots, bandSize)
+    val dBands = graft.Caches.scoped("cc_inc.dbands", dBands0)
+    val dSh = graft.Caches.scoped("cc_inc.dsh", dSh0)
+    val vsBase = fuzzyVsIndexPairs(dBands, dSh,
+      spark.table("graft_fuzzy_bands_bq"), spark.table("graft_fuzzy_sh_bq"),
+      threshold)
+      .select(col("delta_id").as("id_a"), col("base_id").as("id_b"))
+    val inDelta = fuzzySelfPairs(dBands, dSh, threshold)
+    val starEdges = labels
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    val comp = graft.ConnectedComponents.run(
+      starEdges.unionByName(vsBase).unionByName(inDelta), "id_a", "id_b")
     val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
     comp.select(col("component"), col("id").as("doc_id"))
       .join(sizes, "component")

@@ -88,4 +88,50 @@ class ConnectedComponentsSpec extends SparkSpec {
     // star with 5,000 leaves — the shape that kills collect_list-based CC
     check((1L to 5000L).map(i => (0L, i)))
   }
+
+  test("incremental CC: planted delta merges, joins, creates and skips clusters correctly") {
+    val spark2 = spark
+    import spark2.implicits._
+    def toks(p: String) = (1 to 20).map(i => s"$p$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ccinc").toString
+    // base (doc_id % 5 != 0): {1,2} cluster, 3 and 4 singletons
+    // delta (doc_id % 5 == 0): 10 joins {1,2}; 5 pairs with base
+    // singleton 3; 15 unique (absent); {20,30} a delta-only cluster
+    Seq(
+      (1L, toks("a")), (2L, toks("a") + " b1"), (3L, toks("u")),
+      (4L, toks("v")),
+      (10L, toks("a") + " c1"), (5L, toks("u") + " d1"),
+      (15L, toks("w")), (20L, toks("x")), (30L, toks("x") + " e1"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("src1"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Text.ddCcIncremental(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component"), r.getAs[Long]("cluster_size"))).toMap
+    assert(rows.keySet == Set(1L, 2L, 10L, 3L, 5L, 20L, 30L),
+      s"singletons 4/15 must be absent, everyone else labeled: ${rows.keySet}")
+    assert(Seq(1L, 2L, 10L).forall(rows(_) == ((1L, 3L))),
+      s"delta doc 10 must merge into the base {1,2} cluster: $rows")
+    assert(Seq(3L, 5L).forall(rows(_) == ((3L, 2L))),
+      s"delta doc 5 must pull base singleton 3 into a new cluster: $rows")
+    assert(Seq(20L, 30L).forall(rows(_) == ((20L, 2L))),
+      s"the delta-only pair must form its own cluster: $rows")
+  }
+
+  test("incremental CC equals the full recompute and never rewrites the standing labels") {
+    val dir = "/root/testdata/sf0.001"
+    val inc = graft.queries.Text.ddCcIncremental(spark, dir)
+    assert(inc.collect().toSeq ==
+      graft.queries.Text.ddDupClusters(spark, dir).collect().toSeq,
+      "star(base) + delta edges must reproduce the full contraction row for row")
+    val base = graft.queries.Text.ensureCcBase(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/labels/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    graft.queries.Text.ddCcIncremental(spark, dir).collect()
+    graft.queries.Text.ddCcIncremental(spark, dir).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "two incremental serves must not rewrite the standing labels")
+  }
 }

@@ -159,4 +159,34 @@ class MultimodalSpec extends SparkSpec {
         assert(x.getAs[Long]("dup_bytes") == 0)
     }
   }
+
+  test("temporalAlign: a trimmed re-cut aligns at its shift, scattered shared frames do not") {
+    val spark2 = spark
+    import spark2.implicits._
+    // 16 frames of 8 chars each (128-char payloads, fs = 8).
+    // Media 1 = blocks B0..B15. Media 2 = a re-cut dropping the first
+    // two blocks and appending two new ones: its frame j holds B(j+2)
+    // for j = 0..13 — matches at offset ia−ib = +2, contiguous run 14.
+    // Media 3 shares only B0 and B9 at scattered positions (runs of 1,
+    // below the minimum run — must NOT pair with anyone).
+    def b(i: Int) = f"block$i%03d" // 8 chars
+    val m1 = (0 to 15).map(b).mkString
+    val m2 = ((2 to 15).map(b) ++ Seq("newblk01", "newblk02")).mkString
+    val m3 = (Seq(b(0)) ++ (100 to 107).map(b) ++ Seq(b(9)) ++
+      (108 to 113).map(b)).mkString
+    assert(Seq(m1, m2, m3).forall(_.length == 128))
+    val media = graft.multimodal.Multimodal.fromDocuments(
+      Seq((1L, m1), (2L, m2), (3L, m3)).toDF("doc_id", "text"),
+      graft.multimodal.Multimodal.alignFrames)
+    val rows = graft.multimodal.Multimodal.temporalAlign(media).collect()
+    assert(rows.length == 1,
+      s"exactly the re-cut pair must survive: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("media_a") == 1L && r.getAs[Long]("media_b") == 2L)
+    assert(r.getAs[Long]("offset") == 2L,
+      s"the two-block trim must align at offset 2: $r")
+    assert(r.getAs[Long]("longest_run") == 14L &&
+      r.getAs[Long]("n_aligned") == 14L, s"run must span the shared cut: $r")
+    assert(r.getAs[Double]("aligned_frac") == 14.0 / 16.0)
+  }
 }

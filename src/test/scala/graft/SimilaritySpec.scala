@@ -337,6 +337,30 @@ class SimilaritySpec extends SparkSpec {
       s"codes must persist as ARRAY<TINYINT>: ${codes.schema("qe").dataType}")
   }
 
+  test("matryoshka ladder: full width is the identity, counts exact, untrained prefixes stay weak") {
+    val rows = Similarity.simMatryoshka(spark, dir).collect()
+      .map(r => r.getAs[Int]("dim") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
+          r.getAs[Long]("worst_query_kept"), r.getAs[Double]("recall"))).toMap
+    assert(rows.keySet == Set(8, 16, 32, 64))
+    // the reference rung IS the reference: recall exactly 1, every query
+    val (np, nk, wq, rc) = rows(64)
+    assert(np == 50L && nk == 50L && wq == 10L && rc == 1.0,
+      s"full-width rung must be the identity: ${rows(64)}")
+    rows.foreach { case (d, (n, kept, worst, recall)) =>
+      assert(n == 50L, s"dim $d: 5 queries x k=10 pairs expected, got $n")
+      assert(kept >= 0L && kept <= n && worst >= 0L && worst <= 10L)
+      assert(recall == kept.toDouble / n.toDouble, s"dim $d recall drifted")
+    }
+    // honest-negative pin (don't assert monotonicity — recall at fixed k
+    // is not monotone in dim, the IVF-pruning lesson): these synthetic
+    // embeddings are NOT MRL-trained, so truncation must stay WEAK —
+    // if this ever jumps, the corpus changed and the scaladoc's recorded
+    // verdict needs re-measuring
+    assert(rows(32)._4 < 0.6,
+      s"untrained prefix recall unexpectedly strong: ${rows(32)}")
+  }
+
   test("ivfpq upsert agrees with the standalone IVF and PQ upserts") {
     // composition soundness: the composed audit's cell occupancy must be
     // exactly the IVF upsert's (same frozen quantizer, same delta), and
