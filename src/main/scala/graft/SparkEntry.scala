@@ -259,6 +259,9 @@ object SparkEntry {
     "sim_sq_int8" -> ((s, d) => Similarity.simSqInt8(s, d)),
     // MRL prefix-truncation recall ladder vs the full-width top-k
     "sim_matryoshka_recall" -> ((s, d) => Similarity.simMatryoshka(s, d)),
+    // contrastive-training batch: per anchor, top-k different-label
+    // neighbors beside the nearest same-label positive + triplet margin
+    "sim_hard_negatives" -> ((s, d) => Similarity.simHardNegatives(s, d)),
     // standing int8 code table (frozen scale), bit-identical serve —
     // same oracle text as the per-call form (the simBqHammingIndexed rule)
     "sim_sq_int8_indexed" -> ((s, d) => Similarity.simSqInt8Indexed(s, d)),
@@ -320,6 +323,8 @@ object SparkEntry {
     "sim_ivf_ann_retrained" -> ((s, d) => Similarity.simIvfAnnRetrained(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
+    // hybrid deployment form: lexical leg off the standing BM25 index
+    "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
     "mm_frame_features" -> ((s, dir) => {
       graft.multimodal.Multimodal.frameSample(
         graft.multimodal.Multimodal.fromDocuments(
@@ -2649,6 +2654,49 @@ object SparkEntry {
        |    $sSum AS score
        |  FROM bm_base, bm_c WHERE $anyTf > 0)""".stripMargin
   }
+  /** DuckDB twin of [[graft.queries.Similarity.simRrfFusion]] AND its
+    * standing-BM25-leg indexed form (bit-identical fusion — one text).
+    */
+  private def rrfFusionSql: String =
+      s"""WITH $bm25Ctes,
+         |lx AS (
+         |  SELECT vec_id, lex_rnk FROM (
+         |    SELECT doc_id AS vec_id,
+         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rnk
+         |    FROM bm_scored)
+         |  WHERE lex_rnk <= 20),
+         |e AS (
+         |  SELECT vec_id, embedding,
+         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |  FROM embeddings),
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, vec_id,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+         |  FROM e, q WHERE vec_id <> qid),
+         |dn AS (
+         |  SELECT qid, vec_id, dense_rnk FROM (
+         |    SELECT qid, vec_id,
+         |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS dense_rnk
+         |    FROM s)
+         |  WHERE dense_rnk <= 20),
+         |lxq AS (SELECT q.qid, lx.vec_id, lx.lex_rnk FROM q, lx),
+         |f AS (
+         |  SELECT coalesce(dn.qid, lxq.qid) AS qid,
+         |    coalesce(dn.vec_id, lxq.vec_id) AS vec_id,
+         |    dn.dense_rnk, lxq.lex_rnk
+         |  FROM dn FULL OUTER JOIN lxq
+         |    ON dn.qid = lxq.qid AND dn.vec_id = lxq.vec_id),
+         |g AS (
+         |  SELECT qid, vec_id, dense_rnk, lex_rnk,
+         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rnk), CAST(0.0 AS DOUBLE))
+         |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rnk), CAST(0.0 AS DOUBLE)) AS rrf
+         |  FROM f WHERE vec_id <> qid)
+         |SELECT qid, vec_id, dense_rnk, lex_rnk, rrf, rnk FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id ASC) AS INT) AS rnk FROM g)
+         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+
   /** DuckDB twin of [[graft.queries.Similarity.simSqInt8]] AND its
     * standing-index serve (bit-identical by the shared sqSearch tail
     * and frozen persisted scale/codes — one text, the bm25TopkSql rule).
@@ -5115,44 +5163,10 @@ object SparkEntry {
     // text, the dense leg the sim_cosine_topk cosine text; each rrf
     // contribution is one double division of exact small integers and
     // the two add in fixed order (dense first) on both engines.
-    "sim_rrf_fusion" ->
-      s"""WITH $bm25Ctes,
-         |lx AS (
-         |  SELECT vec_id, lex_rnk FROM (
-         |    SELECT doc_id AS vec_id,
-         |      CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INT) AS lex_rnk
-         |    FROM bm_scored)
-         |  WHERE lex_rnk <= 20),
-         |e AS (
-         |  SELECT vec_id, embedding,
-         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
-         |  FROM embeddings),
-         |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
-         |s AS (
-         |  SELECT qid, vec_id,
-         |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
-         |  FROM e, q WHERE vec_id <> qid),
-         |dn AS (
-         |  SELECT qid, vec_id, dense_rnk FROM (
-         |    SELECT qid, vec_id,
-         |      CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS dense_rnk
-         |    FROM s)
-         |  WHERE dense_rnk <= 20),
-         |lxq AS (SELECT q.qid, lx.vec_id, lx.lex_rnk FROM q, lx),
-         |f AS (
-         |  SELECT coalesce(dn.qid, lxq.qid) AS qid,
-         |    coalesce(dn.vec_id, lxq.vec_id) AS vec_id,
-         |    dn.dense_rnk, lxq.lex_rnk
-         |  FROM dn FULL OUTER JOIN lxq
-         |    ON dn.qid = lxq.qid AND dn.vec_id = lxq.vec_id),
-         |g AS (
-         |  SELECT qid, vec_id, dense_rnk, lex_rnk,
-         |    coalesce(CAST(1.0 AS DOUBLE) / (60 + dense_rnk), CAST(0.0 AS DOUBLE))
-         |    + coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rnk), CAST(0.0 AS DOUBLE)) AS rrf
-         |  FROM f WHERE vec_id <> qid)
-         |SELECT qid, vec_id, dense_rnk, lex_rnk, rrf, rnk FROM (
-         |  SELECT *, CAST(row_number() OVER (PARTITION BY qid ORDER BY rrf DESC, vec_id ASC) AS INT) AS rnk FROM g)
-         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "sim_rrf_fusion" -> rrfFusionSql,
+    // the standing-index lexical leg is bit-identical by construction —
+    // same text (the sqInt8Sql rule)
+    "sim_rrf_fusion_indexed" -> rrfFusionSql,
     "sim_hybrid_search" ->
       """WITH e AS (
         |  SELECT vec_id, embedding,
@@ -5181,6 +5195,36 @@ object SparkEntry {
     "sim_bq_drift" -> bqDriftSql,
     "sim_sq_int8" -> sqInt8Sql,
     "sim_sq_int8_indexed" -> sqInt8Sql,
+    // Same cosine text as sim_cosine_topk; positive = arg-max over the
+    // same-label rows (first() ordered by cosine DESC, vec_id ASC — the
+    // independent formulation of the engine's max-struct), negatives a
+    // per-anchor row_number over the different-label rows.
+    "sim_hard_negatives" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding,
+        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qvec, norm AS qnorm
+        |      FROM e WHERE vec_id < 5),
+        |s AS (
+        |  SELECT qid, qlabel, vec_id, label,
+        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+        |  FROM e, q WHERE vec_id <> qid),
+        |p AS (
+        |  SELECT qid, first(vec_id ORDER BY cosine DESC, vec_id ASC) AS pos_id,
+        |    first(cosine ORDER BY cosine DESC, vec_id ASC) AS pos_cosine
+        |  FROM s WHERE label = qlabel GROUP BY qid),
+        |n AS (
+        |  SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, cosine AS neg_cosine,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+        |  FROM s WHERE label <> qlabel)
+        |SELECT n.qid, n.qlabel, n.rnk, n.neg_id, n.neg_label, n.neg_cosine,
+        |  p.pos_id, p.pos_cosine,
+        |  p.pos_cosine - n.neg_cosine AS margin,
+        |  n.neg_cosine > p.pos_cosine AS violating
+        |FROM n LEFT JOIN p ON n.qid = p.qid
+        |WHERE n.rnk <= 5
+        |ORDER BY n.qid, n.rnk""".stripMargin,
     // Same prefix slice, the same list_reduce left-fold dot (matching
     // float_dot's accumulation order), the same (cosine DESC, vec_id)
     // top-k, and the rung-vs-full-width recall rollup — the dims ladder

@@ -3696,10 +3696,33 @@ object Similarity {
   def simRrfFusion(spark: SparkSession, dir: String, l: Int = 20,
       k: Int = 10, rrfK: Int = 60): DataFrame = {
     register(spark)
+    rrfFuse(spark, dir,
+      Text.bm25TopK(Tables.spread(Tables(spark, dir, "documents")), l),
+      l, k, rrfK)
+  }
+
+  /** [[simRrfFusion]] with the lexical leg served from the STANDING
+    * BM25 inverted index ([[graft.queries.Text.txBm25Indexed]] — the
+    * corpus is never re-tokenized at query time; the postings scan
+    * bucket-prunes to the query terms): the hybrid-search deployment
+    * form. The indexed lexical leg is bit-identical to the direct one
+    * by construction, so the fused output — and the oracle text — are
+    * the per-call query's verbatim (the sqInt8Sql rule).
+    */
+  def simRrfFusionIndexed(spark: SparkSession, dir: String, l: Int = 20,
+      k: Int = 10, rrfK: Int = 60): DataFrame = {
+    register(spark)
+    rrfFuse(spark, dir, Text.txBm25Indexed(spark, dir, l), l, k, rrfK)
+  }
+
+  /** The fusion tail shared by the per-call and indexed forms — one
+    * definition so the two paths and the one oracle text cannot drift.
+    */
+  private def rrfFuse(spark: SparkSession, dir: String, lexTopK: DataFrame,
+      l: Int, k: Int, rrfK: Int): DataFrame = {
     val dense = simCosineTopk(spark, dir, None, l)
       .select(col("qid"), col("vec_id"), col("rnk").as("dense_rnk"))
-    val lex = Text.bm25TopK(
-      Tables.spread(Tables(spark, dir, "documents")), l)
+    val lex = lexTopK
       .select(col("doc_id").as("vec_id"), col("rnk").as("lex_rnk"))
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
     val lexPerQ = lex.crossJoin(broadcast(qids))
@@ -3822,6 +3845,59 @@ object Similarity {
     scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "vec_id", "label", "approx_cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
+  /** HARD-NEGATIVE mining for contrastive training (the batch a
+    * retrieval/embedding trainer actually consumes): for each anchor
+    * query, the top-k highest-cosine vectors with a DIFFERENT label
+    * (hard negatives — the informative ones; random negatives are
+    * trivially separated), each laid beside the anchor's nearest
+    * SAME-label positive and the triplet margin
+    * `cos(positive) − cos(negative)`. `violating` marks negatives
+    * closer than the positive — the rows a triplet/InfoNCE loss
+    * actually moves, and the count a curation pass uses to size the
+    * mining batch. Exact cosine end to end (the simCosineTopk
+    * conventions: codegen'd float_dot left-fold, (cosine DESC, vec_id)
+    * determinism, argmax as a partial-aggregated max-struct — never a
+    * per-anchor sort of the corpus).
+    *
+    * Scale shape: one corpus scan against the broadcast anchor set;
+    * negatives via one per-anchor window, the positive via one
+    * max-struct aggregate — at 100 TB the scan side swaps for the
+    * standing IVF/BQ shortlist exactly like every sim_* serve
+    * (filter-before-score), with this exact form as the recall oracle.
+    */
+  def simHardNegatives(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+        col("embedding").as("qvec"), col("norm").as("qnorm"))
+    val scored = emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+      .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
+        col("cosine"))
+    val pos = scored.filter(col("label") === col("qlabel"))
+      .groupBy("qid")
+      .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("p"))
+      .select(col("qid"), (-col("p.nid")).as("pos_id"),
+        col("p.cosine").as("pos_cosine"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    scored.filter(col("label") =!= col("qlabel"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .join(pos, Seq("qid"), "left_outer")
+      .select(col("qid"), col("qlabel"), col("rnk"),
+        col("vec_id").as("neg_id"), col("label").as("neg_label"),
+        col("cosine").as("neg_cosine"),
+        col("pos_id"), col("pos_cosine"),
+        (col("pos_cosine") - col("cosine")).as("margin"),
+        (col("cosine") > col("pos_cosine")).as("violating"))
       .orderBy("qid", "rnk")
   }
 

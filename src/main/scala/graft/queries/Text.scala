@@ -2380,6 +2380,21 @@ object Text {
       .orderBy("component", "doc_id")
   }
 
+  /** The within-batch confirmed delta pairs — factored for the
+    * streaming-twin spec, which merges the STREAMED delta-vs-base edges
+    * with these (a compaction-time batch job in deployment) and must
+    * reproduce [[ddCcIncremental]] through the same contraction.
+    */
+  private[graft] def ccWithinDeltaEdges(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val delta = tokenizedDocs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)
+    val (dBands, dSh) = fuzzyBandsAndShingles(delta, numSlots, bandSize)
+    fuzzySelfPairs(dBands, dSh, threshold)
+  }
+
   /** Quality-aware canonical selection per duplicate cluster — the step
     * after [[ddDupClusters]]'s connectivity: production dedup keeps the
     * BEST document of each near-dup cluster, not the arbitrary

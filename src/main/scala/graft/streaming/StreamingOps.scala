@@ -294,6 +294,51 @@ object StreamingOps {
       .select("doc_id", "lang", "bench_id")
   }
 
+  /** Streaming half of [[graft.queries.Text.ddCcIncremental]]: landing
+    * delta documents probe the STANDING fuzzy band/shingle tables
+    * (stream-static joins — the [[fuzzyContaminatedDocs]] shape) and
+    * emit confirmed (delta_id, base_id) near-dup EDGES at ingest.
+    * Folding the distinct streamed edges — plus the within-batch pairs,
+    * a compaction-time batch job — into the standing star(base) labels
+    * through the CC contraction IS the incremental relabel; the spec
+    * pins streamed edges + contraction ≡ the batch incremental. A doc
+    * matching through several bands emits once per (band, base) hit —
+    * consumers take DISTINCT pairs, exactly like the decontamination
+    * twin.
+    */
+  def ccDeltaBaseEdges(docsStream: DataFrame, baseBands: DataFrame,
+      baseShingles: DataFrame, numSlots: Int = 16, bandSize: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(docsStream.sparkSession)
+    val d = docsStream
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh", expr(graft.queries.Text.shingleExpr(3)))
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), col("lang"), col("sh"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    d.join(baseBands, Seq("band", "key", "lang"))
+      .join(baseShingles, Seq("base_id"))
+      .withColumn("inter", expr("size(array_intersect(sh, sh_b))"))
+      .filter(col("inter").cast("double") /
+        (expr("size(sh)") + expr("size(sh_b)") - col("inter")) >= threshold)
+      .select(col("doc_id").as("delta_id"), col("base_id"))
+  }
+
+  /** Static sides for [[ccDeltaBaseEdges]]: the standing fuzzy index's
+    * base band and shingle tables (the SAME tables the batch incremental
+    * probes — one band family, so streamed candidates match the batch
+    * edges bit-for-bit).
+    */
+  def ccBaseSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    graft.queries.Text.ensureFuzzyIndex(spark, dir)
+    (spark.table("graft_fuzzy_bands_bq")
+      .select(col("band"), col("key"), col("lang"),
+        col("doc_id").as("base_id")),
+      spark.table("graft_fuzzy_sh_bq")
+        .select(col("doc_id").as("base_id"), col("sh").as("sh_b")))
+  }
+
   /** Static sides for [[fuzzyContaminatedDocs]]: the benchmark source's
     * minhash band table (band, key, lang, bench_id) and shingle sets
     * (bench_id, sh_b), both computed in batch — the same band family the

@@ -119,6 +119,43 @@ class ConnectedComponentsSpec extends SparkSpec {
       s"the delta-only pair must form its own cluster: $rows")
   }
 
+  test("streamed delta edges + standing labels reproduce the batch incremental relabel") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    import graft.queries.Text
+    val dir = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-cc-stream").toString
+    Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(Text.incrementalDeltaMod)) === 0)
+      .write.mode("overwrite").parquet(s"$streamDir/delta")
+    val (bands, shingles) = StreamingOps.ccBaseSides(spark, dir)
+    val q = StreamingOps.ccDeltaBaseEdges(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"),
+        bands, shingles)
+      .writeStream.format("memory").queryName("cc_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureCcBase(spark, dir)
+    val star = spark.read.parquet(s"$base/labels")
+      .select(col("id").as("id_a"), col("component").as("id_b"))
+    val streamed = spark.table("cc_stream").distinct()
+      .select(col("delta_id").as("id_a"), col("base_id").as("id_b"))
+    val within = Text.ccWithinDeltaEdges(spark, dir)
+    val comp = ConnectedComponents.run(
+      star.unionByName(streamed).unionByName(within), "id_a", "id_b")
+    val sizes = comp.groupBy("component").agg(count(lit(1)).as("cluster_size"))
+    val fromStream = comp.select(col("component"), col("id").as("doc_id"))
+      .join(sizes, "component")
+      .join(Tables(spark, dir, "documents").select("doc_id", "lang"),
+        Seq("doc_id"))
+      .select("component", "doc_id", "lang", "cluster_size")
+      .orderBy("component", "doc_id").collect()
+    assert(fromStream.toSeq ==
+      Text.ddCcIncremental(spark, dir).collect().toSeq,
+      "streamed edges + contraction must equal the batch incremental row for row")
+  }
+
   test("incremental CC equals the full recompute and never rewrites the standing labels") {
     val dir = "/root/testdata/sf0.001"
     val inc = graft.queries.Text.ddCcIncremental(spark, dir)

@@ -337,6 +337,79 @@ class SimilaritySpec extends SparkSpec {
       s"codes must persist as ARRAY<TINYINT>: ${codes.schema("qe").dataType}")
   }
 
+  test("hard negatives: planted geometry — violating negative flagged, labels respected") {
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-hardneg").toString
+    def v(x: Double, y: Double): Array[Float] =
+      (Array(x, y) ++ Array.fill(62)(0.0)).map(_.toFloat)
+    // anchor 0 (label 1, pointing at +x): nearest positive is 5
+    // (cos ≈ .994); negative 6 (label 2) is CLOSER (cos ≈ .999) —
+    // a violating rank-1 negative; negative 7 sits at cos ≈ .707
+    // (margin positive); 8 is a farther positive that must NOT be
+    // picked over 5. Anchors 1-4 are spectators with no same-label
+    // partner (labels 90+) — their pos columns must be null.
+    (Seq(
+      (0L, v(1, 0), 1), (1L, v(0, 1), 91), (2L, v(0, 1), 92),
+      (3L, v(0, 1), 93), (4L, v(0, 1), 94),
+      (5L, v(0.9, 0.1), 1), (6L, v(0.95, 0.05), 2),
+      (7L, v(0.5, 0.5), 2), (8L, v(0.2, 0.8), 1)))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = Similarity.simHardNegatives(spark, tmp).collect()
+    // global invariants: negatives never share the anchor's label,
+    // ranks descend by cosine with vec_id tiebreak
+    rows.foreach { r =>
+      assert(r.getAs[Int]("neg_label") != r.getAs[Int]("qlabel"))
+    }
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (_, rs) =>
+      val byRnk = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(byRnk.map(_.getAs[Double]("neg_cosine")).toSeq ==
+        byRnk.map(_.getAs[Double]("neg_cosine")).sortBy(-_).toSeq)
+    }
+    val a0 = rows.filter(_.getAs[Long]("qid") == 0L)
+      .sortBy(_.getAs[Int]("rnk"))
+    assert(a0.forall(_.getAs[Long]("pos_id") == 5L),
+      s"anchor 0's nearest positive must be 5, not the farther 8: ${a0.toSeq}")
+    assert(a0.head.getAs[Long]("neg_id") == 6L &&
+      a0.head.getAs[Boolean]("violating"),
+      s"the closer different-label vector must be the violating rank-1 negative: ${a0.head}")
+    assert(a0(1).getAs[Long]("neg_id") == 7L &&
+      !a0(1).getAs[Boolean]("violating") &&
+      a0(1).getAs[Double]("margin") > 0,
+      s"the distant negative must carry a positive margin: ${a0(1)}")
+    // spectator anchors have no positive — null columns, never a fake 0
+    val a1 = rows.filter(_.getAs[Long]("qid") == 1L)
+    assert(a1.nonEmpty && a1.forall(r => r.isNullAt(r.fieldIndex("pos_id")) &&
+      r.isNullAt(r.fieldIndex("margin"))),
+      "an anchor without a same-label partner must report null positive/margin")
+  }
+
+  test("rrf fusion indexed: equals the per-call fusion, lexical leg never re-tokenizes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    val indexed = Similarity.simRrfFusionIndexed(spark, dir)
+    assert(indexed.collect().toSeq ==
+      Similarity.simRrfFusion(spark, dir).collect().toSeq,
+      "standing-BM25-leg fusion must equal the per-call fusion row for row")
+    var textScans = 0
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+      p match {
+        case f: FileSourceScanExec
+            if f.schema.fieldNames.contains("text") => textScans += 1
+        case _ => ()
+      }
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case s: QueryStageExec => walk(s.plan)
+        case other => other.children.foreach(walk)
+      }
+    }
+    walk(indexed.queryExecution.executedPlan)
+    assert(textScans == 0,
+      s"the indexed lexical leg re-tokenized the corpus ($textScans text scans)")
+  }
+
   test("matryoshka ladder: full width is the identity, counts exact, untrained prefixes stay weak") {
     val rows = Similarity.simMatryoshka(spark, dir).collect()
       .map(r => r.getAs[Int]("dim") ->
