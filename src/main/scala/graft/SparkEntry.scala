@@ -111,6 +111,8 @@ object SparkEntry {
     "ev_cohort_retention" -> (Events.evCohortRetention _),
     "pipeline_clean_corpus" -> ((s, d) => Text.pipelineCleanCorpus(s, d)),
     "tx_quality_score" -> (Text.txQualityScore _),
+    // the per-source release card: every headline signal in one report
+    "tx_dataset_card" -> ((s, d) => Text.txDatasetCard(s, d)),
     "tx_pii_redact" -> (Text.txPiiRedact _),
     "tx_clean_normalize" -> (Text.txCleanNormalize _),
     "tx_token_count" -> (Text.txTokenCount _),
@@ -4742,6 +4744,39 @@ object SparkEntry {
         |  max(top2_frac) AS max_top2_frac,
         |  max(dup3_frac) AS max_dup3_frac
         |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+    // One corpus pass in DuckDB too: per-source aggregates + the exact
+    // nearest-rank median over the value histogram, token share last.
+    "tx_dataset_card" ->
+      """WITH d AS (
+        |  SELECT source, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+        |    CAST(len(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS BIGINT) AS n_alnum,
+        |    CAST(len(text) AS BIGINT) AS n_chars,
+        |    md5(text) AS h
+        |  FROM documents),
+        |per AS (
+        |  SELECT source, count(*) AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+        |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |    CAST(count(*) - count(DISTINCT h) AS BIGINT) AS n_exact_dup_rows,
+        |    (CAST(sum(n_alnum) AS BIGINT) * 1000)
+        |      // greatest(CAST(sum(n_chars) AS BIGINT), 1) AS alnum_permille
+        |  FROM d GROUP BY 1),
+        |hist AS (
+        |  SELECT source, n_toks, count(*) AS c FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, n_toks,
+        |    sum(c) OVER (PARTITION BY source ORDER BY n_toks) AS cum,
+        |    sum(c) OVER (PARTITION BY source) AS tot
+        |  FROM hist),
+        |med AS (
+        |  SELECT source, min(CASE WHEN cum * 2 >= tot THEN n_toks END) AS p50_tokens
+        |  FROM cum GROUP BY 1)
+        |SELECT per.source, per.n_docs, per.n_tokens, per.n_langs,
+        |  per.n_exact_dup_rows, per.alnum_permille, med.p50_tokens,
+        |  CAST(per.n_tokens AS DOUBLE) / CAST(sum(per.n_tokens) OVER () AS DOUBLE) AS token_share
+        |FROM per JOIN med USING (source)
+        |ORDER BY per.source""".stripMargin,
     "tx_source_mix" ->
       """WITH per AS (
         |  SELECT source, count(*) AS n_docs,

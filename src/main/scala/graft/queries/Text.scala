@@ -224,6 +224,57 @@ object Text {
       .orderBy("source")
   }
 
+  /** Per-source DATASET CARD — the curation deliverable that accompanies
+    * every released training mix (Datasheets for Datasets, Gebru et al.;
+    * the Pile/Dolma card tables): size (docs, tokens, token share),
+    * language spread, exact duplicate rate, the corpus-level
+    * alphanumeric quality per-mille, and the nearest-rank median
+    * document length — every existing single-signal operator's headline
+    * number in ONE bounded report, computed from ONE corpus scan.
+    * All-integer until the final share division ([[Exact]] rules):
+    * the median reuses [[txLengthPercentiles]]'s value-histogram trick
+    * (lengths are low-cardinality, so the exact distribution fits a
+    * bounded (source × length) rollup — never a global sort), the
+    * corpus total attaches through an unpartitioned window over the
+    * BOUNDED per-source rows (the CLAUDE.md constant-key-join ban).
+    */
+  def txDatasetCard(spark: SparkSession, dir: String): DataFrame = {
+    val d = graft.Caches.scoped("tx_card.d", docs(spark, dir)
+      .select(col("source"), col("lang"),
+        expr("size(split(text, ' '))").cast("long").as("n_toks"),
+        expr("CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '')) AS BIGINT)")
+          .as("n_alnum"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("md5(cast(text AS BINARY))").as("h")))
+    val per = d.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        (count(lit(1)) - countDistinct(col("h"))).as("n_exact_dup_rows"),
+        sum("n_alnum").as("sum_alnum"),
+        sum("n_chars").as("sum_chars"))
+      .withColumn("alnum_permille",
+        expr("(sum_alnum * 1000) DIV greatest(sum_chars, 1)"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("n_toks")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").rowsBetween(Long.MinValue, Long.MaxValue)
+    val med = d.groupBy("source", "n_toks").agg(count(lit(1)).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("tot", sum("c").over(wAll))
+      .groupBy("source")
+      .agg(min(when(col("cum") * 2 >= col("tot"), col("n_toks")))
+        .as("p50_tokens"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    per.join(med, Seq("source"))
+      .withColumn("token_share", col("n_tokens").cast("double") /
+        sum("n_tokens").over(wTot).cast("double"))
+      .select("source", "n_docs", "n_tokens", "n_langs",
+        "n_exact_dup_rows", "alnum_permille", "p50_tokens", "token_share")
+      .orderBy("source")
+  }
+
   /** Quality scoring (length / punctuation / stopword ratios): the standard
     * cheap heuristics a pretraining filter computes per document. Single
     * float division per ratio keeps every value bit-deterministic.

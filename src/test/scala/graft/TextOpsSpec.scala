@@ -361,6 +361,34 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
   }
 
+  test("dataset card agrees with the single-signal operators it composes") {
+    val card = Text.txDatasetCard(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    // median must equal txLengthPercentiles' p50 per source (same
+    // nearest-rank definition, independent plan)
+    val p50 = Text.txLengthPercentiles(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("p50")).toMap
+    assert(card.keySet == p50.keySet && card.nonEmpty)
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("p50_tokens") == p50(src),
+        s"$src median drifted from txLengthPercentiles")
+      assert(r.getAs[Long]("n_exact_dup_rows") >= 0L &&
+        r.getAs[Long]("n_exact_dup_rows") < r.getAs[Long]("n_docs"))
+      val pm = r.getAs[Long]("alnum_permille")
+      assert(pm >= 0L && pm <= 1000L, s"$src alnum per-mille out of range: $pm")
+    }
+    // token shares partition the corpus
+    val shareSum = card.values.map(_.getAs[Double]("token_share")).sum
+    assert(math.abs(shareSum - 1.0) < 1e-9, s"shares sum to $shareSum")
+    // token masses match the mixing operator's
+    val mix = Text.txSourceMix(spark, sf001).collect()
+      .map(r => r.getAs[String]("source") -> r.getAs[Long]("tokens")).toMap
+    card.foreach { case (src, r) =>
+      assert(r.getAs[Long]("n_tokens") == mix(src),
+        s"$src token mass drifted from txSourceMix")
+    }
+  }
+
   test("ppjoin: exact pairs with inclusive tau boundary, planted sub-threshold pair dropped") {
     val spark2 = spark
     import spark2.implicits._
