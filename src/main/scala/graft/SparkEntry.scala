@@ -168,6 +168,8 @@ object SparkEntry {
     "tx_fuzzy_decontaminate" -> ((s, d) => Text.txFuzzyDecontaminate(s, d)),
     "tx_ccnet_buckets" -> (Text.txCcnetBuckets _),
     "tx_source_mix" -> (Text.txSourceMix _),
+    // exact water-filling quota solve under per-source availability caps
+    "tx_mix_waterfill" -> ((s, d) => Text.txMixWaterfill(s, d)),
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
     "tx_bm25_topk" -> ((s, d) => Text.txBm25TopK(s, d)),
@@ -4787,6 +4789,40 @@ object SparkEntry {
         |  CAST(tokens AS DOUBLE) / t_all AS token_share,
         |  CAST(t_all AS DOUBLE) / (k_sources * tokens) AS target_weight
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+    // Same closed-form solve: ascending-cap prefix saturation test,
+    // integer base + alphabetical remainder, allocations sum to the
+    // budget exactly on both engines.
+    "tx_mix_waterfill" ->
+      """WITH per AS (
+        |  SELECT source, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap
+        |  FROM documents GROUP BY 1),
+        |r AS (
+        |  SELECT source, cap,
+        |    count(*) OVER () AS n,
+        |    CAST(sum(cap) OVER () AS BIGINT) // 2 AS t,
+        |    row_number() OVER (ORDER BY cap ASC, source ASC) AS rn,
+        |    coalesce(CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+        |  FROM per),
+        |s AS (SELECT *, cap * (n - rn + 1) + prefix <= t AS saturated FROM r),
+        |g AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS BIGINT) AS sat_sum,
+        |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS BIGINT) AS m,
+        |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+        |      OVER (ORDER BY source ASC) AS BIGINT) AS uns_rank
+        |  FROM s),
+        |a AS (
+        |  SELECT *,
+        |    CAST(CASE WHEN saturated THEN cap
+        |      ELSE (t - sat_sum) // m +
+        |        CASE WHEN uns_rank <= (t - sat_sum) % m THEN 1 ELSE 0 END
+        |      END AS BIGINT) AS allocated
+        |  FROM g)
+        |SELECT source, cap AS cap_tokens, t AS budget_tokens,
+        |  allocated AS allocated_tokens, saturated,
+        |  CAST(allocated AS DOUBLE) / CAST(cap AS DOUBLE) AS fill_fraction
+        |FROM a ORDER BY source""".stripMargin,
     // Equalized-mixture downsample: budget = smallest source's token
     // mass; keep docs whose exclusive running sum (per-source, ordered
     // by md5(doc_id), doc_id) starts inside the budget — all integers.

@@ -3311,6 +3311,68 @@ object Text {
       .orderBy("source")
   }
 
+  /** WATER-FILLING mixture allocator — the quota solver behind an
+    * equal-shares training mix under AVAILABILITY CAPS (each source can
+    * contribute at most its own token mass): spend a token budget
+    * `T = ⌊total/2⌋` giving every source an equal share λ, except that
+    * a source smaller than λ contributes everything it has and its
+    * shortfall redistributes over the rest — the classic water-filling
+    * closed form, solved EXACTLY in one bounded pass (never an
+    * iterative fixpoint): with caps sorted ascending and exclusive
+    * prefix sums, source at rank r saturates iff
+    * `c_r·(n−r+1) + prefix_r ≤ T` (pouring its own cap into every
+    * remaining source still fits the budget), the unsaturated m sources
+    * split the residue as `⌊(T−sat)/m⌋` each, and the integer remainder
+    * goes +1 apiece to the alphabetically-first unsaturated sources —
+    * allocations SUM TO T EXACTLY (spec-pinned), no float share ever
+    * rounds the budget away. Safety of the +1: an unsaturated cap
+    * exceeds the real λ strictly, hence ≥ base+1 by integrality.
+    * Everything after the per-source token masses is a window pass
+    * over ≤ #sources rows — bounded at any corpus size (the
+    * txSourceMix corpus-totals rule).
+    */
+  def txMixWaterfill(spark: SparkSession, dir: String): DataFrame = {
+    val per = docs(spark, dir)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .groupBy("source")
+      .agg(sum(col("n_tokens").cast("long")).as("cap"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val wOrd = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("cap").asc, col("source").asc)
+    val wPre = wOrd.rowsBetween(Long.MinValue, -1)
+    val ranked = per
+      .withColumn("n", count(lit(1)).over(wAll))
+      .withColumn("t", expr("sum(cap) OVER () DIV 2"))
+      .withColumn("rn", row_number().over(wOrd))
+      .withColumn("prefix", coalesce(sum("cap").over(wPre), lit(0L)))
+      .withColumn("saturated",
+        col("cap") * (col("n") - col("rn") + 1) + col("prefix") <= col("t"))
+    val wSat = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val wUns = org.apache.spark.sql.expressions.Window
+      .partitionBy().orderBy(col("source").asc)
+    val solved = ranked
+      .withColumn("sat_sum",
+        sum(when(col("saturated"), col("cap")).otherwise(0L)).over(wSat))
+      .withColumn("m",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(wSat))
+      .withColumn("base", expr("(t - sat_sum) DIV m"))
+      .withColumn("rem", expr("(t - sat_sum) % m"))
+      .withColumn("uns_rank",
+        sum(when(col("saturated"), 0L).otherwise(1L)).over(wUns))
+      .withColumn("allocated",
+        when(col("saturated"), col("cap"))
+          .otherwise(col("base") +
+            when(col("uns_rank") <= col("rem"), 1L).otherwise(0L)))
+    solved.select(col("source"), col("cap").as("cap_tokens"),
+        col("t").as("budget_tokens"), col("allocated").as("allocated_tokens"),
+        col("saturated"),
+        (col("allocated").cast("double") / col("cap").cast("double"))
+          .as("fill_fraction"))
+      .orderBy("source")
+  }
+
   /** SQL text of `x^(num / 2^denLog2)` for 0 < α < 1 as a product of
     * nested square roots — the binary expansion of the exponent:
     * α = Σ bᵢ·2⁻ⁱ ⇒ x^α = Π over set bits of sqrt^(i)(x). Every factor is

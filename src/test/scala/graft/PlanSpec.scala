@@ -87,6 +87,28 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("mm_temporal_align shuffles carry digests, never media bytes or text") {
+    // the scaladoc's scale claim made physical: frames are digested in
+    // the narrow frameSample pass, so every key-partitioned exchange
+    // (the per-media shingle window, the candidate join, the per-pair
+    // island rollup) moves only (ids, 16-byte digests, offsets)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("mm_temporal_align")(spark, dir)
+        .queryExecution.executedPlan
+      val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {
+        case e: ShuffleExchangeLike
+            if e.output.exists(a => a.name == "media" || a.name == "text" ||
+              a.name == "frame") &&
+              !e.outputPartitioning.toString.contains("RoundRobin") => e
+      })
+      assert(offenders.isEmpty,
+        "media/text/frame bytes reached a key-partitioned shuffle:\n" +
+          offenders.map(_.toString).mkString("\n"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("entry flagship plan: no cartesian, keeps partial aggregation") {
     val plan = SparkEntry.entry(spark).queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))

@@ -361,6 +361,44 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
   }
 
+  test("waterfill: planted caps — small source saturates, residue splits with exact remainder") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-wf").toString
+    def doc(id: Long, src: String, nToks: Int) =
+      (id, (1 to nToks).map(i => s"w$i").mkString(" "), "en", src)
+    // caps: s1=10, s2=100, s3=101; total 211, budget T=105.
+    // s1 saturates (10·3 ≤ 105); residue 95 over m=2 → base 47, rem 1 →
+    // s2 (alphabetically first unsaturated) gets 48, s3 gets 47.
+    Seq(doc(1, "s1", 10), doc(2, "s2", 50), doc(3, "s2", 50),
+      doc(4, "s3", 101))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txMixWaterfill(spark, dir).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("cap_tokens"), r.getAs[Long]("allocated_tokens"),
+          r.getAs[Boolean]("saturated"))).toMap
+    assert(rows == Map(
+      "s1" -> ((10L, 10L, true)),
+      "s2" -> ((100L, 48L, false)),
+      "s3" -> ((101L, 47L, false))), s"waterfill solve wrong: $rows")
+    // the exactness law on the natural corpus: allocations sum to the
+    // budget TO THE TOKEN, saturated iff allocated == cap, unsaturated
+    // allocations within 1 of each other
+    val nat = Text.txMixWaterfill(spark, sf001).collect()
+    val budget = nat.head.getAs[Long]("budget_tokens")
+    assert(nat.map(_.getAs[Long]("allocated_tokens")).sum == budget)
+    nat.foreach { r =>
+      assert(r.getAs[Boolean]("saturated") ==
+        (r.getAs[Long]("allocated_tokens") == r.getAs[Long]("cap_tokens")))
+    }
+    val uns = nat.filter(!_.getAs[Boolean]("saturated"))
+      .map(_.getAs[Long]("allocated_tokens"))
+    if (uns.nonEmpty) assert(uns.max - uns.min <= 1L,
+      s"equal-shares violated: ${uns.toSeq}")
+  }
+
   test("dataset card agrees with the single-signal operators it composes") {
     val card = Text.txDatasetCard(spark, sf001).collect()
       .map(r => r.getAs[String]("source") -> r).toMap
