@@ -227,6 +227,9 @@ object SparkEntry {
     "dd_cc_incremental" -> ((s, d) => Text.ddCcIncremental(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
+    // banding-geometry calibration: measured band-collision rate vs the
+    // analytic S-curve per exact-Jaccard bucket
+    "dd_lsh_scurve" -> ((s, d) => Text.ddLshScurve(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
@@ -4663,6 +4666,54 @@ object SparkEntry {
     // block (cross-language pairs) and with the 0.8 confirm threshold +
     // corpus-wide rollup — the oracle'd md5 sibling of the xxhash64
     // engine-native form (Text.ddMinhashLshXx, spec-pinned).
+    // The dd_minhash_lsh band CTEs (no lang block), the dd_ppjoin
+    // inverted-index exact-J pairs, and the SAME scurveExpr text at the
+    // bucket midpoint — integer buckets, one division per rate.
+    "dd_lsh_scurve" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |g AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
+        |  FROM d),
+        |hh AS (
+        |  SELECT doc_id, list_distinct(shg) AS sh,
+        |    list_transform(shg, sg -> md5(sg) || md5(sg || '#') || md5(sg || '##') || md5(sg || '###')) AS hx
+        |  FROM g),
+        |s AS (
+        |  SELECT doc_id, sh,
+        |    list_transform(range(0, 16), j -> list_min(list_transform(hx, x -> substring(x, 8*j + 1, 8)))) AS slots
+        |  FROM hh),
+        |e AS (
+        |  SELECT doc_id, b.band,
+        |    md5(slots[4*b.band + 1] || slots[4*b.band + 2] || slots[4*b.band + 3] || slots[4*b.band + 4]) AS key
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
+        |dd AS (
+        |  SELECT doc_id, CAST(('0x' || substr(md5(sh1), 1, 15)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, unnest(list_distinct(shg)) AS sh1 FROM g)),
+        |mm AS (SELECT doc_id, count(*) AS m FROM dd GROUP BY 1),
+        |pp AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM dd a JOIN dd b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jb AS (
+        |  SELECT pp.id_a, pp.id_b,
+        |    (10 * inter) // (ma.m + mb.m - inter) AS bucket
+        |  FROM pp JOIN mm ma ON ma.doc_id = pp.id_a
+        |          JOIN mm mb ON mb.doc_id = pp.id_b),
+        |r AS (
+        |  SELECT jb.bucket,
+        |    CASE WHEN cand.id_a IS NOT NULL THEN 1 ELSE 0 END AS coll
+        |  FROM jb LEFT JOIN cand ON jb.id_a = cand.id_a AND jb.id_b = cand.id_b)
+        |SELECT bucket, count(*) AS n_pairs,
+        |  CAST(sum(coll) AS BIGINT) AS n_collided,
+        |  CAST(CAST(sum(coll) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS measured_rate,
+        |  ${Text.scurveExpr("least((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0)", 4, 4)} AS analytic_rate
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks

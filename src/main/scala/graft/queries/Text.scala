@@ -2032,6 +2032,83 @@ object Text {
       .orderBy("lang")
   }
 
+  /** SQL text of the analytic LSH S-curve `1 − (1 − s^r)^b` with the
+    * integer powers unrolled to LEFT-ASSOCIATIVE multiplication — no
+    * libm `pow` (engine-drifting), so Spark and DuckDB hold the
+    * identical double. ONE text for the operator and its oracle.
+    */
+  private[graft] def scurveExpr(s: String, r: Int, b: Int): String = {
+    val sr = Seq.fill(r)(s).mkString("(", " * ", ")")
+    val qb = Seq.fill(b)(s"(1.0 - $sr)").mkString("(", " * ", ")")
+    s"(1.0 - $qb)"
+  }
+
+  /** LSH S-CURVE calibration audit — the measurement that justifies the
+    * suite's banding geometry (numSlots = 16, bandSize = 4 ⇒ b = 4
+    * bands of r = 4 rows): for every co-occurring pair (shares ≥ 1
+    * distinct 3-shingle), the EXACT Jaccard buckets to
+    * `⌊10·J⌋` (pure integers — `(10·inter) DIV union`), and per bucket
+    * the audit reports how many pairs actually collided in ≥ 1 minhash
+    * band against the analytic collision probability
+    * `1 − (1 − s^r)^b` at the bucket midpoint ([[scurveExpr]] — no
+    * float `pow`). Identical shingle sets collide with probability 1
+    * (identical minhashes — the bucket-10 row is spec-pinned at
+    * measured rate exactly 1.0); the curve's inflection sitting at the
+    * suite's τ = 0.5 is the design claim made inspectable. Candidate
+    * collision here is deliberately UNBLOCKED by language — the curve
+    * is a property of the banding alone.
+    *
+    * Scale note: pair-complete by construction (every co-occurring
+    * pair is enumerated through the inverted index), which is the
+    * OFFLINE CALIBRATION cost — a geometry audit runs once on a
+    * bounded sample, never inside the serving path; the shuffles carry
+    * only ids, 60-bit keys and band digests.
+    */
+  def ddLshScurve(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val toks = tokenizedDocs(spark, dir)
+    val sh0 = toks
+      .withColumn("shs", expr(
+        s"transform(${shingleExpr(3)}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
+      .select(col("doc_id"), expr("size(shs)").cast("long").as("m"),
+        col("shs"))
+    // cache BEFORE the explode (the dd_ppjoin InferFiltersFromGenerate
+    // lesson) — the hashed projection feeds the pair enumeration once
+    val shC = graft.Caches.scoped("dd_scurve.sh", sh0)
+    val ds = shC.select(col("doc_id"), col("m"), explode(col("shs")).as("h"))
+    val pairs = ds.as("a").join(ds.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.m").as("ma"), col("b.m").as("mb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("bucket",
+        expr("(10 * inter) DIV (ma + mb - inter)"))
+      .select("id_a", "id_b", "bucket")
+    val bands = toks
+      .withColumn("bands", expr(s"minhash_bands(toks, 3, $numSlots, $bandSize)"))
+      .select(col("doc_id"), posexplode(col("bands")))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+      .withColumn("coll", lit(1L))
+    val b = numSlots / bandSize
+    pairs.join(cands, Seq("id_a", "id_b"), "left_outer")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(coalesce(col("coll"), lit(0L))).as("n_collided"))
+      .withColumn("measured_rate",
+        col("n_collided").cast("double") / col("n_pairs").cast("double"))
+      .withColumn("analytic_rate", expr(scurveExpr(
+        s"least((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0)", bandSize, b)))
+      .select("bucket", "n_pairs", "n_collided", "measured_rate",
+        "analytic_rate")
+      .orderBy("bucket")
+  }
+
   /** N-gram (3-token-shingle) Jaccard near-dedup with MinHash-band
     * candidate generation — the 100 TB blocking shape (round 1's top fix,
     * VERDICT.md "Next round" #1): candidates meet only inside a

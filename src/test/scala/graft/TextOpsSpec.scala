@@ -361,6 +361,38 @@ class TextOpsSpec extends SparkSpec {
     assert(rows.map(_.getAs[Int]("rnk")).toSeq == (1 to rows.length))
   }
 
+  test("lsh s-curve: identical sets always collide, analytic column matches the closed form") {
+    val rows = Text.ddLshScurve(spark, sf001).collect()
+      .map(r => r.getAs[Long]("bucket") ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_collided"),
+          r.getAs[Double]("measured_rate"), r.getAs[Double]("analytic_rate")))
+      .toMap
+    assert(rows.nonEmpty && rows.keySet.forall(b => b >= 0 && b <= 10))
+    rows.values.foreach { case (n, c, m, a) =>
+      assert(c >= 0 && c <= n && m >= 0.0 && m <= 1.0 && a >= 0.0 && a <= 1.0)
+      assert(m == c.toDouble / n.toDouble)
+    }
+    // identical shingle sets have identical minhashes — deterministic
+    // collision, not just probability 1 in the limit
+    rows.get(10L).foreach { case (_, _, m, a) =>
+      assert(m == 1.0 && a == 1.0, s"J=1 bucket must collide always: $m, $a")
+    }
+    // the analytic column IS the closed form at the bucket midpoint,
+    // with the same left-associated IEEE ops (no libm pow)
+    rows.foreach { case (b, (_, _, _, a)) =>
+      val s = math.min((b.toDouble + 0.5) / 10.0, 1.0)
+      val s4 = ((s * s) * s) * s
+      val q = 1.0 - s4
+      val expected = 1.0 - (((q * q) * q) * q)
+      assert(a == expected, s"bucket $b analytic $a != hand $expected")
+    }
+    // the curve discriminates: sub-threshold buckets (J < 0.2) must
+    // measure far below the confirm threshold's collision regime
+    rows.filter(_._1 <= 1L).values.foreach { case (_, _, m, _) =>
+      assert(m < 0.05, s"low-J pairs colliding at $m — banding broken")
+    }
+  }
+
   test("waterfill: planted caps — small source saturates, residue splits with exact remainder") {
     val spark2 = spark
     import spark2.implicits._
