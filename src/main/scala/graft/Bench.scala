@@ -149,6 +149,14 @@ object Bench {
     // prev_min history the regression tripwire reads.
     val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    // fail loudly on typos: an empty/mismatched filter would otherwise
+    // "complete" a bench that measured nothing (ADVICE r12-2)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_BENCH_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     def selected(n: String): Boolean = only.forall(_.contains(n))
 
     val errors = LinkedHashMap[String, String]()

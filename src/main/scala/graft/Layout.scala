@@ -98,6 +98,10 @@ object Layout {
     // process's table DIRECTORY survives in the warehouse while the
     // catalog entry does not — CREATE then refuses the non-empty
     // location. Drop the entry if known, and clear the stale location.
+    // The meta entry goes FIRST (clear-memo-BEFORE-rebuild): a crash
+    // between the delete below and saveAsTable must leave nothing that
+    // ensureBucketedAttached could re-declare over partial files.
+    bucketedMeta.remove(table)
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
@@ -137,7 +141,9 @@ object Layout {
       case Some((ddl, n, keys, loc)) =>
         val p = new org.apache.hadoop.fs.Path(loc)
         val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        fs.exists(p) && {
+        // _SUCCESS is the completeness witness: a bare-dir check would
+        // re-attach a partially (re)written location (ADVICE r12-1)
+        fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS")) && {
           val ks = keys.map(k => s"`$k`").mkString(", ")
           spark.sql(s"CREATE TABLE `$table` ($ddl) USING parquet " +
             s"CLUSTERED BY ($ks) SORTED BY ($ks) INTO $n BUCKETS " +

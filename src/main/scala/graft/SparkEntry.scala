@@ -4672,7 +4672,8 @@ object SparkEntry {
     "dd_lsh_scurve" ->
       s"""WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks
-        |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+        |  FROM documents WHERE len(string_split(text, ' ')) >= 3
+        |    AND substring(md5(CAST(text AS VARCHAR)), 1, 1) < '8'),
         |g AS (
         |  SELECT doc_id,
         |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
@@ -4692,9 +4693,17 @@ object SparkEntry {
         |cand AS (
         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |  FROM e x JOIN e y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id),
-        |dd AS (
+        |dd0 AS (
         |  SELECT doc_id, CAST(('0x' || substr(md5(sh1), 1, 15)) AS BIGINT) AS h
         |  FROM (SELECT doc_id, unnest(list_distinct(shg)) AS sh1 FROM g)),
+        |fdf AS (SELECT h, count(*) AS df FROM dd0 GROUP BY 1),
+        |drp AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS capped_shingles,
+        |    coalesce(CAST(sum(df * (df - 1) // 2) AS BIGINT), 0) AS capped_pairs_bound
+        |  FROM fdf WHERE df > 64),
+        |dd AS (
+        |  SELECT dd0.doc_id, dd0.h FROM dd0 JOIN fdf ON dd0.h = fdf.h
+        |  WHERE fdf.df <= 64),
         |mm AS (SELECT doc_id, count(*) AS m FROM dd GROUP BY 1),
         |pp AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
@@ -4712,8 +4721,11 @@ object SparkEntry {
         |SELECT bucket, count(*) AS n_pairs,
         |  CAST(sum(coll) AS BIGINT) AS n_collided,
         |  CAST(CAST(sum(coll) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS measured_rate,
-        |  ${Text.scurveExpr("least((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0)", 4, 4)} AS analytic_rate
-        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
+        |  ${Text.scurveExpr("least((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0)", 4, 4)} AS analytic_rate,
+        |  drp.capped_shingles, drp.capped_pairs_bound
+        |FROM r CROSS JOIN drp
+        |GROUP BY bucket, drp.capped_shingles, drp.capped_pairs_bound
+        |ORDER BY bucket""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH d AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks

@@ -34,6 +34,12 @@ object Verify {
     // iteration aid: SPARK_GRAFT_ONLY=q1,q2 dumps (and oracles) a subset
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach { names =>
+      val unknown = names -- SparkEntry.queries.keySet
+      require(names.nonEmpty && unknown.isEmpty,
+        s"SPARK_GRAFT_ONLY names unknown queries: " +
+          unknown.toSeq.sorted.mkString(", "))
+    }
     def selected(name: String): Boolean = only.forall(_.contains(name))
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {

@@ -105,6 +105,9 @@ object Core {
       key: String, table: String): Unit = synchronized {
     if (!(bucketedFor.get(table).contains(dir) &&
         graft.Layout.ensureBucketedAttached(spark, table))) {
+      // clear-memo-BEFORE-rebuild: a crash mid-save must not leave a memo
+      // pointing a later call at partial files (ADVICE r12-1)
+      bucketedFor.remove(table)
       graft.Layout.saveBucketed(Tables(spark, dir, src), table, 8, Seq(key))
       bucketedFor(table) = dir
     }

@@ -2046,7 +2046,9 @@ object Text {
   /** LSH S-CURVE calibration audit — the measurement that justifies the
     * suite's banding geometry (numSlots = 16, bandSize = 4 ⇒ b = 4
     * bands of r = 4 rows): for every co-occurring pair (shares ≥ 1
-    * distinct 3-shingle), the EXACT Jaccard buckets to
+    * distinct 3-shingle with df ≤ `dfCap`, both docs inside the
+    * deterministic sample — see the scale note), the EXACT Jaccard
+    * over the capped shingle universe buckets to
     * `⌊10·J⌋` (pure integers — `(10·inter) DIV union`), and per bucket
     * the audit reports how many pairs actually collided in ≥ 1 minhash
     * band against the analytic collision probability
@@ -2058,30 +2060,62 @@ object Text {
     * collision here is deliberately UNBLOCKED by language — the curve
     * is a property of the banding alone.
     *
-    * Scale note: pair-complete by construction (every co-occurring
-    * pair is enumerated through the inverted index), which is the
-    * OFFLINE CALIBRATION cost — a geometry audit runs once on a
-    * bounded sample, never inside the serving path; the shuffles carry
-    * only ids, 60-bit keys and band digests.
+    * Scale note (the bound is IN THE CODE, not just prose — r12 weak
+    * #1): the audit runs over (1) a deterministic content-keyed 50%
+    * document sample (`md5(text)` hex prefix < '8' — content-addressed
+    * like [[ddExact]], so an exact-duplicate cluster is selected or
+    * dropped WHOLE and the J=1 stratum the audit exists to pin
+    * survives sampling), and (2) a shingle-df cap: postings whose
+    * document frequency exceeds `dfCap` leave the audit's shingle
+    * universe entirely — both the intersection AND the set sizes are
+    * computed over the capped universe, so the bucketed value stays a
+    * true Jaccard (of boilerplate-discounted sets: a corpus-wide hot
+    * shingle carries no discriminative signal, which is exactly why it
+    * may not make one inverted-index join group quadratic in its df).
+    * Per the no-silent-caps rule the drop is REPORTED, not silent:
+    * every output row carries `capped_shingles` (distinct shingles
+    * over the cap) and `capped_pairs_bound` (Σ df·(df−1)/2 over them —
+    * the enumeration work the cap refused), attached via an
+    * unpartitioned window over the ≤12-row bucket aggregate (the
+    * project rule — no constant-key join for Catalyst to fold into a
+    * BNLJ). Remaining work is Σ_{df≤cap} df² ≤ dfCap · |postings| —
+    * linear in the sampled corpus with a constant bound per shingle.
+    * Shuffles carry only ids, 60-bit keys and band digests.
     */
   def ddLshScurve(spark: SparkSession, dir: String,
-      numSlots: Int = 16, bandSize: Int = 4): DataFrame = {
+      numSlots: Int = 16, bandSize: Int = 4, dfCap: Int = 64): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
-    val toks = tokenizedDocs(spark, dir)
+    val toks = Tables.spread(docs(spark, dir))
+      .filter(expr("substring(md5(cast(text AS BINARY)), 1, 1) < '8'"))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("toks"))
     val sh0 = toks
       .withColumn("shs", expr(
         s"transform(${shingleExpr(3)}, s -> CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT))"))
-      .select(col("doc_id"), expr("size(shs)").cast("long").as("m"),
-        col("shs"))
+      .select(col("doc_id"), col("shs"))
     // cache BEFORE the explode (the dd_ppjoin InferFiltersFromGenerate
     // lesson) — the hashed projection feeds the pair enumeration once
     val shC = graft.Caches.scoped("dd_scurve.sh", sh0)
-    val ds = shC.select(col("doc_id"), col("m"), explode(col("shs")).as("h"))
-    val pairs = ds.as("a").join(ds.as("b"),
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
+    val postsDf = shC.select(col("doc_id"), explode(col("shs")).as("h"))
+      .withColumn("df", count(lit(1)).over(wH))
+    // postings over the cap leave the universe; the pair enumeration,
+    // set sizes and the drop accounting all derive from this one frame
+    val posts = graft.Caches.scoped("dd_scurve.posts",
+      postsDf.filter(col("df") <= lit(dfCap.toLong)).select("doc_id", "h"))
+    val dropStats = postsDf.filter(col("df") > lit(dfCap.toLong))
+      .select("h", "df").distinct()
+      .agg(count(lit(1)).as("capped_shingles"),
+        coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L))
+          .as("capped_pairs_bound"))
+    val mm = posts.groupBy("doc_id").agg(count(lit(1)).as("m"))
+    val pairs = posts.as("a").join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.m").as("ma"), col("b.m").as("mb"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"))
+      .join(mm.select(col("doc_id").as("id_a"), col("m").as("ma")), "id_a")
+      .join(mm.select(col("doc_id").as("id_b"), col("m").as("mb")), "id_b")
       .withColumn("bucket",
         expr("(10 * inter) DIV (ma + mb - inter)"))
       .select("id_a", "id_b", "bucket")
@@ -2096,7 +2130,7 @@ object Text {
       .distinct()
       .withColumn("coll", lit(1L))
     val b = numSlots / bandSize
-    pairs.join(cands, Seq("id_a", "id_b"), "left_outer")
+    val buckets = pairs.join(cands, Seq("id_a", "id_b"), "left_outer")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_pairs"),
         sum(coalesce(col("coll"), lit(0L))).as("n_collided"))
@@ -2106,6 +2140,23 @@ object Text {
         s"least((CAST(bucket AS DOUBLE) + 0.5) / 10.0, 1.0)", bandSize, b)))
       .select("bucket", "n_pairs", "n_collided", "measured_rate",
         "analytic_rate")
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    buckets
+      .withColumn("capped_shingles", lit(null).cast("long"))
+      .withColumn("capped_pairs_bound", lit(null).cast("long"))
+      .unionByName(dropStats.select(
+        lit(null).cast("long").as("bucket"),
+        lit(null).cast("long").as("n_pairs"),
+        lit(null).cast("long").as("n_collided"),
+        lit(null).cast("double").as("measured_rate"),
+        lit(null).cast("double").as("analytic_rate"),
+        col("capped_shingles"), col("capped_pairs_bound")))
+      .withColumn("capped_shingles", max("capped_shingles").over(wAll))
+      .withColumn("capped_pairs_bound", max("capped_pairs_bound").over(wAll))
+      .filter(col("bucket").isNotNull)
+      .select("bucket", "n_pairs", "n_collided", "measured_rate",
+        "analytic_rate", "capped_shingles", "capped_pairs_bound")
       .orderBy("bucket")
   }
 

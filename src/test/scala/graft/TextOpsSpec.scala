@@ -391,6 +391,51 @@ class TextOpsSpec extends SparkSpec {
     rows.filter(_._1 <= 1L).values.foreach { case (_, _, m, _) =>
       assert(m < 0.05, s"low-J pairs colliding at $m — banding broken")
     }
+    // no shingle in this corpus exceeds the df cap (measured max df = 9
+    // at sf0.001) — the accounting columns must report exactly zero,
+    // never null (the drop aggregate runs even when nothing is dropped)
+    val raw = Text.ddLshScurve(spark, sf001).collect()
+    raw.foreach { r =>
+      assert(r.getAs[Long]("capped_shingles") == 0L)
+      assert(r.getAs[Long]("capped_pairs_bound") == 0L)
+    }
+  }
+
+  test("lsh s-curve df cap: a planted hot shingle is dropped and its mass reported") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scv").toString
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // every planted doc must pass the audit's deterministic content
+    // sample (md5(text) hex prefix < '8') — search a salt token so the
+    // TEST controls sampling, not luck
+    def sampled(base: String): String =
+      Iterator.from(0).map(k => s"$base z$k").find { t =>
+        val h = md.digest(t.getBytes("UTF-8"))
+        ((h(0) >> 4) & 0xf) < 8
+      }.get
+    // 70 docs sharing exactly one shingle ("hot hot hot", df = 70 > 64);
+    // every other shingle is unique to its doc, so with the cap active
+    // these docs form NO audited pairs at all
+    val hot = (1 to 70).map(i => (i.toLong, sampled(s"hot hot hot u$i")))
+    // one exact-duplicate pair with all-cold shingles (df = 2): survives
+    // the cap, lands in bucket 10, and must still always collide
+    val cleanText = sampled("alpha beta gamma delta epsilon")
+    val clean = Seq((101L, cleanText), (102L, cleanText))
+    (hot ++ clean).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.ddLshScurve(spark, dir).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(10L),
+      s"only the clean pair may survive the cap: ${rows.toSeq}")
+    val r = rows.head
+    assert(r.getAs[Long]("n_pairs") == 1L && r.getAs[Long]("n_collided") == 1L)
+    assert(r.getAs[Double]("measured_rate") == 1.0)
+    // the no-silent-caps accounting: 1 dropped shingle, 70·69/2 pair
+    // slots of enumeration work refused
+    assert(r.getAs[Long]("capped_shingles") == 1L)
+    assert(r.getAs[Long]("capped_pairs_bound") == 70L * 69L / 2L)
   }
 
   test("waterfill: planted caps — small source saturates, residue splits with exact remainder") {
