@@ -225,6 +225,10 @@ object SparkEntry {
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     // standing base labels + delta-only edges; oracle = full recompute
     "dd_cc_incremental" -> ((s, d) => Text.ddCcIncremental(s, d)),
+    // write-back: serve from the persisted refreshed labels only
+    "dd_cc_refresh" -> ((s, d) => Text.ddCcRefresh(s, d)),
+    // component-local delete: untouched components keep labels verbatim
+    "dd_cc_delete" -> ((s, d) => Text.ddCcDelete(s, d)),
     "dd_cluster_representative" -> ((s, d) => Text.ddClusterRepresentative(s, d)),
     "dd_minhash_lsh" -> ((s, d) => Text.ddMinhashLsh(s, d)),
     // banding-geometry calibration: measured band-collision rate vs the
@@ -2927,10 +2931,16 @@ object SparkEntry {
     * dd_cluster_representative oracles (the bpeCtes discipline). Callers
     * must open with `WITH RECURSIVE`.
     */
-  private def dupClusterCtes: String =
-    """d AS (
+  private def dupClusterCtes: String = dupClusterCtesWhere("")
+
+  /** The dd_dup_clusters CTE chain with an extra `d`-level filter —
+    * dd_cc_delete's oracle is the SAME full recompute restricted to the
+    * base carve minus tombstones (component-local ≡ global rebuild).
+    */
+  private def dupClusterCtesWhere(extra: String): String =
+    s"""d AS (
       |  SELECT doc_id, lang, string_split(text, ' ') AS toks
-      |  FROM documents WHERE len(string_split(text, ' ')) >= 3),
+      |  FROM documents WHERE len(string_split(text, ' ')) >= 3$extra),
       |g AS (
       |  SELECT doc_id, lang,
       |    list_transform(range(1, len(toks) - 1), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]) AS shg
@@ -4765,6 +4775,19 @@ object SparkEntry {
     // recompute over every confirmed pair — same text, the strongest
     // incremental ≡ rebuild proof (the tx_bm25_upsert form).
     "dd_cc_incremental" -> dupClustersSql,
+    // Serving the PERSISTED write-back must still equal the full
+    // recompute text — refresh ≡ rebuild.
+    "dd_cc_refresh" -> dupClustersSql,
+    // Component-local re-closure after tombstoning must equal the full
+    // recompute over survivors (base carve minus the fuzzy dead carve).
+    "dd_cc_delete" ->
+      s"""WITH RECURSIVE ${dupClusterCtesWhere(
+           s" AND doc_id % ${Text.incrementalDeltaMod} <> 0" +
+           " AND NOT ((lang = 'zh' AND doc_id % 2 = 1)" +
+           " OR (lang <> 'zh' AND doc_id % 17 = 3))")}
+        |SELECT c.component, c.doc_id, dd.lang, sz.cluster_size
+        |FROM comp c JOIN sz USING (component) JOIN documents dd USING (doc_id)
+        |ORDER BY component, doc_id""".stripMargin,
     // The shared cluster closure, then the quality-argmax representative
     // per component via an ordered-aggregate first() — the independent
     // formulation of the engine's max(struct(q, -doc_id)) fold.
