@@ -294,6 +294,13 @@ object SparkEntry {
     // the decidable retrain trigger: thresholds re-derived over
     // base+delta, base re-encoded, bit flips counted per word
     "sim_bq_drift" -> ((s, d) => Similarity.simBqDrift(s, d)),
+    // SQ lifecycle symmetry (the one family that was build/serve only):
+    // delta admission under the PERSISTED frozen scale, per-code-value
+    // occupancy; tombstones + rewritten live overlay, recounted; scale
+    // re-derived over the amplitude-drifted delta, integer retrain rule
+    "sim_sq_upsert" -> ((s, d) => Similarity.simSqUpsert(s, d)),
+    "sim_sq_delete" -> ((s, d) => Similarity.simSqDelete(s, d)),
+    "sim_sq_drift" -> ((s, d) => Similarity.simSqDrift(s, d)),
     "sim_pq_adc" -> ((s, d) => Similarity.simPqAdc(s, d)),
     // same ADC over the MATERIALIZED codebook+code tables: the
     // corpus-sized input of a steady-state search is the code table, not
@@ -2735,6 +2742,79 @@ object SparkEntry {
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
 
+
+  // the SQ quantization chain under the frozen base-corpus scale — the
+  // shared prefix of the three sq lifecycle oracles (the sqInt8Sql rule)
+  private def sqScaleCtes: String =
+    """sc AS (
+      |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+      |  FROM embeddings),
+      |qb AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * sc.s))) AS BIGINT)) AS qe
+      |  FROM embeddings, sc)""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simSqUpsert]]: the delta
+    * carve re-encoded under the SAME frozen scale, histogrammed by code
+    * value beside the base occupancy.
+    */
+  private def sqUpsertSql: String =
+    s"""WITH $sqScaleCtes,
+       |qd AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> CAST(greatest(-127, least(127, floor(CAST(embedding[65 - i] AS DOUBLE) * sc.s))) AS BIGINT)) AS qe
+       |  FROM embeddings, sc WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |bh AS (SELECT q, count(*) AS n_base FROM (SELECT unnest(qe) AS q FROM qb) GROUP BY 1),
+       |nh AS (SELECT q, count(*) AS n_new, min(vec_id) AS first_new_id
+       |       FROM (SELECT vec_id, unnest(qe) AS q FROM qd) GROUP BY 1)
+       |SELECT coalesce(bh.q, nh.q) AS q,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
+       |FROM bh FULL OUTER JOIN nh ON bh.q = nh.q
+       |ORDER BY q""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simSqDrift]]: scale
+    * re-derived over base ∪ 5/4-amplitude delta, base re-encoded, changed
+    * codes counted per dimension — the integer retrain rule.
+    */
+  private def sqDriftSql: String =
+    s"""WITH $sqScaleCtes,
+       |nsc AS (
+       |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
+       |  FROM (SELECT embedding FROM embeddings
+       |        UNION ALL
+       |        SELECT list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(1.25 AS DOUBLE)) AS embedding
+       |        FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0)),
+       |qnn AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(greatest(-127, least(127, floor(CAST(x AS DOUBLE) * nsc.s))) AS BIGINT)) AS qn,
+       |    nsc.s AS new_scale
+       |  FROM embeddings, nsc),
+       |dx AS (
+       |  SELECT o.vec_id, CAST(d.d AS INT) AS dim,
+       |    abs(o.qe[CAST(d.d AS INT) + 1] - n.qn[CAST(d.d AS INT) + 1]) AS shift,
+       |    n.new_scale
+       |  FROM qb o JOIN qnn n ON o.vec_id = n.vec_id,
+       |       (SELECT unnest(range(0, 64)) AS d) d)
+       |SELECT dim, count(*) AS n_vecs,
+       |  CAST(sum(CASE WHEN shift <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+       |  max(shift) AS max_shift, max(new_scale) AS new_scale,
+       |  CAST(sum(CASE WHEN shift <> 0 THEN 1 ELSE 0 END) AS BIGINT) * 100 > count(*) * 5 AS retrain
+       |FROM dx GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simSqDelete]]: encode
+    * chain + carve arithmetic; the Spark side recounts n_live from the
+    * physically rewritten overlay, so a hash match proves the rewrite.
+    */
+  private def sqDeleteSql: String =
+    s"""WITH $sqScaleCtes,
+       |bh AS (SELECT q, count(*) AS n_base FROM (SELECT unnest(qe) AS q FROM qb) GROUP BY 1),
+       |dh AS (SELECT q, count(*) AS n_dead
+       |       FROM (SELECT unnest(qe) AS q FROM qb WHERE vec_id % ${Similarity.pqDelMod} = ${Similarity.pqDelRem}) GROUP BY 1)
+       |SELECT bh.q AS q, n_base, coalesce(n_dead, 0) AS n_dead,
+       |  n_base - coalesce(n_dead, 0) AS n_live
+       |FROM bh LEFT JOIN dh ON bh.q = dh.q
+       |ORDER BY q""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Text.txCmsFrequency]] AND the
     * standing-cells [[graft.queries.Text.txCmsRefresh]] (identical output
@@ -5352,6 +5432,9 @@ object SparkEntry {
     "sim_bq_drift" -> bqDriftSql,
     "sim_sq_int8" -> sqInt8Sql,
     "sim_sq_int8_indexed" -> sqInt8Sql,
+    "sim_sq_upsert" -> sqUpsertSql,
+    "sim_sq_delete" -> sqDeleteSql,
+    "sim_sq_drift" -> sqDriftSql,
     // Same cosine text as sim_cosine_topk; positive = arg-max over the
     // same-label rows (first() ordered by cosine DESC, vec_id ASC — the
     // independent formulation of the engine's max-struct), negatives a

@@ -4041,6 +4041,224 @@ object Similarity {
     sqSearch(quant, k)
   }
 
+  /** Melt an SQ code frame to (vec_id, q) rows — the [[bqMeltWords]]
+    * analog for int8 codes: exact-code occupancy is vacuous on
+    * near-continuous vectors, but the quantized-VALUE histogram (≤255
+    * bins, bounded output) pins every admitted code — a scale drift, a
+    * clamp slip, or a lost delta row all move it.
+    */
+  private def sqMeltCodes(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id"), explode(col("qe")).as("q"))
+
+  /** SQ-int8 index UPSERT — [[simBqUpsert]]'s delta admission for
+    * scalar quantization (closing the one index family that was
+    * build/serve only, r12 verdict gap #3): the standard reversed
+    * negative-key delta batch ([[upsertDeltaMod]], the carve every
+    * index upsert shares) is encoded under the STANDING index's
+    * persisted scale — ONE double read from `scale/`, the quantizer
+    * frozen exactly as BQ freezes its thresholds and PQ its codebook —
+    * and the audit reports per-code-value occupancy of base vs
+    * admitted codes ([[sqMeltCodes]]). The standing tables are never
+    * mutated.
+    */
+  def simSqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val base0 = ensureSqIndex(spark, dir)
+    val sc = spark.read.parquet(s"$base0/scale")
+      .head().getDouble(0) // ONE double — bounded index metadata
+    val delta = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    val fresh = delta.withColumn("qe",
+        transform(col("embedding"), x =>
+          greatest(lit(-127L), least(lit(127L),
+            floor(x.cast("double") * lit(sc))))))
+      .select(col("vec_id"), col("qe"))
+    val baseOcc = sqMeltCodes(spark.read.parquet(s"$base0/codes")
+        .select(col("vec_id"), col("qe").cast("array<bigint>").as("qe")))
+      .groupBy("q").agg(count(lit(1)).as("n_base"))
+    val freshOcc = sqMeltCodes(fresh)
+      .groupBy("q").agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_new_id"))
+    baseOcc.join(freshOcc, Seq("q"), "full_outer")
+      .select(col("q"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        col("first_new_id"))
+      .orderBy("q")
+  }
+
+  /** SQ quantizer drift audit — [[simBqDrift]]'s decidable retrain
+    * trigger for the GLOBAL-scale quantizer. The delta here carries
+    * 5/4 amplitude on top of the standard reversed carve, and the
+    * scaladoc owes the why: a global `127/max|x|` scale is INVISIBLE
+    * to reversal (a reversed vector has the same value multiset, so
+    * max|x| over base ∪ reversed-base equals the base max and the
+    * re-derived scale is bit-identical — measured, the vacuous-audit
+    * trap), whereas a batch from a hotter encoder checkpoint moves the
+    * global max — exactly the drift SQ must retrain for, since the
+    * frozen scale would CLIP the new mass at ±127. 5/4 is an exact
+    * binary fraction, so `x · 1.25` is one exact double op in both
+    * engines.
+    *
+    * The audit re-derives the scale over base ∪ delta with the index's
+    * own derivation text, re-encodes the BASE under it, and counts
+    * changed codes per dimension against the standing code table —
+    * exact integers end to end, so the `changes·100 > n·5` five-percent
+    * retrain decision can never disagree between engines (the BQ flip
+    * rule). `max_shift` reports the worst single-code move; the
+    * standing index is never mutated. On the natural corpora the
+    * shrunken scale moves nearly every code (retrain = true — the
+    * honest outcome for an amplitude-drifted global quantizer; BQ's
+    * per-dim thresholds absorb the same delta under its 5% bar, which
+    * is the measured argument for per-dim quantizers at 100 TB).
+    */
+  def simSqDrift(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    val main = ensureSqIndex(spark, dir)
+    // the re-derived scale is an UNCORRELATED SCALAR SUBQUERY (the
+    // simSqInt8 rule — one subquery stage at run time, no constant-key
+    // join for Catalyst to fold into the banned BNLJ)
+    val newCodes = spark.sql(
+      s"""SELECT vec_id, embedding,
+         |  (SELECT CAST(127 AS DOUBLE) /
+         |     max(array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE)))))
+         |   FROM (SELECT embedding FROM embeddings
+         |         UNION ALL
+         |         SELECT transform(sequence(1, $dims), i ->
+         |             CAST(embedding[$dims - i] AS DOUBLE)
+         |               * CAST(1.25 AS DOUBLE)) AS embedding
+         |         FROM embeddings
+         |         WHERE vec_id % $upsertDeltaMod = 0)) AS new_scale
+         |FROM embeddings""".stripMargin)
+      .withColumn("qn", transform(col("embedding"), x =>
+        greatest(lit(-127L), least(lit(127L),
+          floor(x.cast("double") * col("new_scale"))))))
+      .select(col("vec_id"), col("qn"), col("new_scale"))
+    val oldCodes = spark.read.parquet(s"$main/codes")
+      .select(col("vec_id"), col("qe").cast("array<bigint>").as("qe"))
+    oldCodes.join(newCodes, "vec_id")
+      .select(col("vec_id"), col("new_scale"),
+        posexplode(expr("zip_with(qe, qn, (a, b) -> abs(a - b))")))
+      .groupBy(col("pos").as("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("col") =!= 0L, 1L).otherwise(0L)).as("n_changed"),
+        max("col").as("max_shift"),
+        max("new_scale").as("new_scale"))
+      .withColumn("retrain", col("n_changed") * 100 > col("n_vecs") * 5L)
+      .select("dim", "n_vecs", "n_changed", "max_shift", "new_scale",
+        "retrain")
+      .orderBy("dim")
+  }
+
+  /** Physically rewrite the SQ code table minus the tombstoned vectors
+    * — [[bqBuildDeleteIndex]] verbatim for int8 codes (same
+    * [[pqDelMod]]/[[pqDelRem]] carve, so the flat-table deletes stay
+    * comparable): tombstones persist, the overlay holds the anti-joined
+    * live codes, the standing table never mutates (the ivf_del
+    * isolation rule). The frozen `scale/` is NOT copied — the overlay
+    * serves under the base index's scale, deletion never retrains.
+    */
+  def sqBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    val main = ensureSqIndex(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "sq_del")
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.filter(col("vec_id") % pqDelMod === pqDelRem)
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    codes.join(spark.read.parquet(s"$base/tombstones")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  // sq_del overlay path -> sfDir that built it (the ensureIvfIndex shape)
+  private val sqDelIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the post-delete SQ overlay (the
+    * ensureBqDeleteIndex discipline: marker + memo invalidated BEFORE
+    * rebuilding).
+    */
+  def ensureSqDeleteIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "sq_del")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(sqDelIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        sqDelIndexFor.remove(base)
+        fs.delete(marker, false)
+        sqBuildDeleteIndex(spark, dir)
+        sqDelIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** SQ delete audit — per code value: base occupancy, dead rows from
+    * the physical tombstone table, live rows RECOUNTED from the
+    * rewritten overlay files (the [[simBqDelete]] physical-measurement
+    * treatment). The oracle derives all three from the quantization
+    * chain plus the carve arithmetic — a hash match proves the overlay
+    * holds exactly the base codes minus the deleted vectors, bit for
+    * bit.
+    */
+  def simSqDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureSqIndex(spark, dir)
+    val del = ensureSqDeleteIndex(spark, dir)
+    def occ(df: DataFrame, name: String): DataFrame =
+      sqMeltCodes(df.select(col("vec_id"),
+          col("qe").cast("array<bigint>").as("qe")))
+        .groupBy("q").agg(count(lit(1)).as(name))
+    occ(spark.read.parquet(s"$main/codes"), "n_base")
+      .join(occ(spark.read.parquet(s"$del/tombstones"), "n_dead_t"),
+        Seq("q"), "left")
+      .join(occ(spark.read.parquet(s"$del/codes"), "n_live_r"),
+        Seq("q"), "left")
+      .select(col("q"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"))
+      .orderBy("q")
+  }
+
+  /** [[simSqInt8Indexed]] over the post-delete overlay — the
+    * [[simBqHammingDeleted]] treatment, used by SqLifecycleSpec's
+    * no-dead-id pin: candidates come from the rewritten live code
+    * table, so a deleted vector has no code to score; query codes
+    * still read from the BASE table (a deleted vector may still
+    * query).
+    */
+  private[graft] def simSqInt8Deleted(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    register(spark)
+    val main = ensureSqIndex(spark, dir)
+    val del = ensureSqDeleteIndex(spark, dir)
+    val live = spark.read.parquet(s"$del/codes")
+      .select(col("vec_id"), col("label"),
+        col("qe").cast("array<bigint>").as("qe"), col("qnorm2"))
+    val q = spark.read.parquet(s"$main/codes")
+      .filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"),
+        col("qe").cast("array<bigint>").as("qq"),
+        col("qnorm2").as("qn2"))
+    val scored = live.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("qdot", expr("long_dot(qq, qe)"))
+      .withColumn("approx_cosine",
+        col("qdot").cast("double") /
+          (sqrt(col("qn2").cast("double")) * sqrt(col("qnorm2").cast("double"))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("approx_cosine").desc, col("vec_id").asc)
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id", "label", "approx_cosine", "rnk")
+      .orderBy("qid", "rnk")
+  }
+
   /** Thermometer binary quantization: 7 per-dimension thresholds (the
     * octile ORDER STATISTICS of the corpus — rank `j·n/8 + 1` with
     * vec_id tiebreak, so the threshold is a picked element, never
