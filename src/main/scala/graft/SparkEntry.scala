@@ -254,6 +254,9 @@ object SparkEntry {
     // HNSW: id-stratified upper layers over the standing graph route
     // each query to a per-query layer-0 entry (greedy per-level walks)
     "sim_hnsw_search" -> ((s, d) => Similarity.simHnswSearch(s, d)),
+    // the post-insert HNSW state: stale-free upper layers re-derived
+    // over base + delta, walk over the bidirectionally upserted layer 0
+    "sim_hnsw_search_upserted" -> ((s, d) => Similarity.simHnswSearchUpserted(s, d)),
     "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
@@ -1562,6 +1565,94 @@ object SparkEntry {
     graphSearchSqlOver(
       "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)",
       5, extraCtes = extra, f0Sel = route)
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simHnswSearchUpserted]]:
+    * descent chain → insert walk (the graphUpsertSql text) → layer 0 =
+    * base ∪ bidirectional insert links → upper layers RE-DERIVED over
+    * base ∪ delta → routed 6-hop walk scored against the upserted
+    * corpus. Every iterated/reused CTE MATERIALIZED (the knn-descent
+    * `e`-chain rule — this oracle stacks three hop chains).
+    */
+  private def hnswUpsertedSearchSql: String = {
+    val k = Similarity.knnDescentK
+    val m1 = Similarity.hnswL1Mod
+    val m2 = Similarity.hnswL2Mod
+    val uh = Similarity.hnswUpperHops
+    val beam = Similarity.graphSearchBeam
+    val hops = Similarity.graphSearchHops
+    val g = s"g${Similarity.knnDescentRounds}"
+    // all scoring below runs against the UPSERTED corpus e2 except the
+    // insert walk, which (like the live insert) sees the base corpus
+    def cosOf(qs: String): String =
+      s"list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm)"
+    def hopChain(prefix: String, graph: String, qsrc: String,
+        members: String, b: Int, n: Int): String =
+      (1 to n).map { h =>
+        s"""${prefix}x$h AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM $prefix${h - 1}
+           |    UNION ALL
+           |    SELECT f.qid, g2.u AS vid FROM $prefix${h - 1} f JOIN $graph g2 ON g2.v = f.vid)
+           |  WHERE vid <> qid),
+           |$prefix$h AS MATERIALIZED (
+           |  SELECT qid, vid, ${cosOf(qsrc)} AS cosine,
+           |    row_number() OVER (PARTITION BY qid ORDER BY ${cosOf(qsrc)} DESC, vid ASC) AS rnk
+           |  FROM ${prefix}x$h x JOIN $members a ON a.vec_id = x.vid JOIN $qsrc qq ON qq.vec_id = x.qid
+           |  QUALIFY rnk <= $b)""".stripMargin
+      }.mkString(",\n")
+    def scoredPairs2(pairs: String): String =
+      s"""SELECT p.src, p.dst,
+         |      list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+         |    FROM $pairs p JOIN e2 a ON a.vec_id = p.src JOIN e2 b ON b.vec_id = p.dst""".stripMargin
+    s"""WITH $knnDescentCtes,
+       |graph0 AS MATERIALIZED (SELECT src AS v, dst AS u FROM $g),
+       |qdel AS MATERIALIZED (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |uent AS (SELECT min(vec_id) AS ev FROM embeddings),
+       |uf0 AS MATERIALIZED (SELECT vec_id AS qid, ev AS vid FROM qdel, uent),
+       |${hopChain("uf", "graph0", "qdel", "e", beam, hops)},
+       |ulinks AS MATERIALIZED (SELECT qid, vid FROM uf$hops WHERE rnk <= $k),
+       |e2 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, norm FROM e
+       |  UNION ALL
+       |  SELECT vec_id, embedding, norm FROM qdel),
+       |l0 AS MATERIALIZED (
+       |  SELECT src, dst FROM $g
+       |  UNION SELECT qid AS src, vid AS dst FROM ulinks
+       |  UNION SELECT vid AS src, qid AS dst FROM ulinks),
+       |l0g AS (SELECT src AS v, dst AS u FROM l0),
+       |hl2 AS MATERIALIZED (SELECT vec_id FROM e2 WHERE vec_id % $m2 = 0),
+       |hl2e AS MATERIALIZED (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+       |  FROM (${scoredPairs2("(SELECT x.vec_id AS src, y.vec_id AS dst FROM hl2 x JOIN hl2 y ON x.vec_id <> y.vec_id)")})
+       |  QUALIFY rn <= ${Similarity.hnswL2K}),
+       |hl2g AS (SELECT src AS v, dst AS u FROM hl2e),
+       |hl1cand AS (
+       |  SELECT src, dst FROM l0 WHERE src % $m1 = 0 AND dst % $m1 = 0
+       |  UNION
+       |  SELECT i.src AS src, o.dst AS dst FROM l0 i JOIN l0 o ON i.dst = o.src
+       |  WHERE i.src % $m1 = 0 AND o.dst % $m1 = 0 AND i.src <> o.dst),
+       |hl1e AS MATERIALIZED (
+       |  SELECT src, dst, cosine,
+       |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+       |  FROM (${scoredPairs2("hl1cand")})
+       |  QUALIFY rn <= ${Similarity.hnswL1K}),
+       |hl1g AS (SELECT src AS v, dst AS u FROM hl1e),
+       |qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5),
+       |hent AS (SELECT min(vec_id) AS ev2 FROM hl2),
+       |hu0 AS MATERIALIZED (SELECT vec_id AS qid, ev2 AS vid FROM qsrc, hent),
+       |${hopChain("hu", "hl2g", "qsrc", "e2", 1, uh)},
+       |hm0 AS MATERIALIZED (SELECT qid, vid FROM hu$uh),
+       |${hopChain("hm", "hl1g", "qsrc", "e2", 1, uh)},
+       |f0 AS MATERIALIZED (SELECT qid, vid FROM hm$uh),
+       |${hopChain("f", "l0g", "qsrc", "e2", beam, hops)}
+       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphUpsert]]: the
@@ -5549,6 +5640,7 @@ object SparkEntry {
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,
     "sim_hnsw_search" -> hnswSearchSql,
+    "sim_hnsw_search_upserted" -> hnswUpsertedSearchSql,
     "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id

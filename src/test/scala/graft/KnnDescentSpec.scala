@@ -319,6 +319,53 @@ class KnnDescentSpec extends SparkSpec {
   }
 
   /** exactTopK generalized to an arbitrary k for the search pins. */
+  test("hnsw upserted: strata admit negative ids, layer 0 is bidirectional, recall on the upserted corpus pinned") {
+    val dir = "/root/testdata/sf0.01"
+    val base = Similarity.ensureHnswUpsIndex(spark, dir)
+    // layer 0 carries the insert links BOTH ways — a walk can route TO
+    // an inserted vector and THROUGH it
+    val l0 = spark.read.parquet(s"$base/l0_edges")
+      .select("src", "dst").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val l0set = l0.toSet
+    assert(l0.exists(_._1 < 0) && l0.exists(_._2 < 0),
+      "upserted layer 0 missing negative-id adjacency")
+    l0.filter(_._1 < 0).take(50).foreach { case (s, d) =>
+      assert(l0set.contains((d, s)), s"insert link ($s,$d) not bidirectional")
+    }
+    // the re-derived strata admit negative ids exactly when the modulus
+    // does (% keeps the dividend's sign in both engines)
+    val l1m = spark.read.parquet(s"$base/l1_edges")
+      .select("src").collect().map(_.getLong(0)).distinct
+    assert(l1m.forall(_ % Similarity.hnswL1Mod == 0))
+    assert(l1m.exists(_ < 0), "no upserted vector reached level 1")
+    // recall vs brute force over the UPSERTED corpus (base + reversed
+    // negative-key delta) — the measured point beside the 0.824
+    // insert-walk and 0.80 routed-walk pins
+    val vecs = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val all = vecs ++ vecs.filter(_._1 % 5 == 0)
+      .map { case (id, v) => (-id - 1, v.reverse) }
+    val norms = all.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }.toMap
+    val exact = (0L until 5L).map { q =>
+      val qv = all.find(_._1 == q).get._2
+      q -> all.filter(_._1 != q).map { case (jd, u) =>
+        var dot = 0.0
+        var i = 0
+        while (i < qv.length) { dot += qv(i).toDouble * u(i).toDouble; i += 1 }
+        (jd, dot / (norms(q) * norms(jd)))
+      }.sortBy { case (jd, c) => (-c, jd) }.take(5).map(_._1).toSet
+    }.toMap
+    val res = Similarity.simHnswSearchUpserted(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    assert(res.length == 25)
+    val recall = res.count { case (q, v) => exact(q)(v) }.toDouble / 25
+    info(f"hnsw upserted-corpus walk recall@5: $recall%.3f (measured 0.840)")
+    assert(recall >= 0.78, s"upserted-walk recall $recall under the measured 0.840")
+  }
+
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
       .selectExpr("vec_id", "embedding").collect()
