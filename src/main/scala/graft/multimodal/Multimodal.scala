@@ -155,6 +155,18 @@ object Multimodal {
         col("x.g") === col("y.g") && col("x.media_id") < col("y.media_id"))
       .select(col("x.media_id").as("media_a"), col("y.media_id").as("media_b"))
       .distinct()
+    alignRollup(cands, frames, minRun)
+  }
+
+  /** The per-pair offset/run rollup of [[temporalAlign]] — steps 2–3 of
+    * its scaladoc, factored so the streaming twin's compaction
+    * ([[graft.streaming.StreamingOps.alignCompaction]]) feeds
+    * stream-discovered candidate pairs through the IDENTICAL fold:
+    * streamed ≡ batch holds by construction on everything after
+    * candidate discovery.
+    */
+  private[graft] def alignRollup(cands: DataFrame, frames: DataFrame,
+      minRun: Long): DataFrame = {
     val fa = frames.select(col("media_id").as("media_a"),
       col("frame_idx").as("ia"), col("frame_md5").as("h"))
     val fb = frames.select(col("media_id").as("media_b"),
@@ -182,6 +194,63 @@ object Multimodal {
         (col("best.longest_run").cast("double") / lit(alignFrames.toDouble))
           .as("aligned_frac"))
       .orderBy("media_a", "media_b")
+  }
+
+  /** [[temporalAlign]]'s order-sensitive 3-frame shingles computed
+    * ARRAY-NATIVE per media row — no window, so the projection runs
+    * unchanged under the STREAMING planner (a lead() over media_id is a
+    * stateful window the append-mode landing path cannot run). Empty
+    * frames are filtered BEFORE shingling, so consecutive-in-filtered-
+    * order here equals the batch side's lead() over the filtered frame
+    * rows — MultimodalSpec pins set equality on the natural corpus. The
+    * `size >= 3` CASE guards the descending-sequence ANSI trap.
+    */
+  def alignShingles(media: DataFrame): DataFrame =
+    media
+      .withColumn("frame_size",
+        greatest(ceil(length(col("media")) / col("meta.n_frames")), lit(1))
+          .cast("int"))
+      .withColumn("fr", expr(
+        """transform(filter(transform(sequence(0, meta.n_frames - 1),
+          |  i -> substring(media, i * frame_size + 1, frame_size)),
+          |  b -> length(b) > 0), b -> md5(b))""".stripMargin))
+      .select(col("media_id"), explode(expr(
+        """CASE WHEN size(fr) >= 3
+          |  THEN transform(sequence(0, size(fr) - 3),
+          |    j -> md5(concat_ws(':', fr[j], fr[j + 1], fr[j + 2])))
+          |  ELSE CAST(array() AS ARRAY<STRING>) END""".stripMargin)).as("g"))
+
+  // align_index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val alignIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** STANDING temporal-align index over the base media carve
+    * (`media_id % 5 != 0` — the incremental carve every standing table
+    * shares): the order-sensitive 3-frame shingle table landing media
+    * probe for candidates, and the non-empty frame table the compaction
+    * rollup aligns against. Persisted under the Layout discipline —
+    * marker on the LAST table written, marker + memo cleared BEFORE
+    * rebuilding.
+    */
+  def ensureAlignIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "align_index")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/shingles/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(alignIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      alignIndexFor.remove(base)
+      fs.delete(marker, false)
+      val media = fromDocuments(
+        graft.Tables(spark, dir, "documents")
+          .filter(col("doc_id") % 5 =!= 0), alignFrames)
+      frameSample(media).filter(col("frame_bytes") > 0)
+        .select(col("media_id"), col("frame_idx"), col("frame_md5"))
+        .write.mode("overwrite").parquet(s"$base/frames")
+      alignShingles(media).distinct()
+        .write.mode("overwrite").parquet(s"$base/shingles")
+      alignIndexFor(base) = dir
+    }
+    base
   }
 
   /** Banding/threshold geometry for [[simhashDedup]] — shared with the

@@ -734,6 +734,60 @@ object StreamingOps {
       .join(baseKeys, Seq("frame_md5"), "left_semi")
       .select(col("media_id"), col("frame_idx"), col("frame_md5"))
 
+  /** Static sides of the streaming temporal-align twin: the STANDING
+    * shingle and frame tables ([[graft.multimodal.Multimodal
+    * .ensureAlignIndex]] — persisted, not recomputed per batch).
+    */
+  def alignBaseSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val base = graft.multimodal.Multimodal.ensureAlignIndex(spark, dir)
+    (spark.read.parquet(s"$base/shingles"),
+      spark.read.parquet(s"$base/frames"))
+  }
+
+  /** Streaming twin of [[graft.multimodal.Multimodal.temporalAlign]]'s
+    * candidate discovery — re-cut detection at INGEST: each landing
+    * media's order-sensitive 3-frame shingles ([[graft.multimodal
+    * .Multimodal.alignShingles]] — array-native, stateless under the
+    * streaming planner) probe the standing shingle table, emitting one
+    * (landing, base) candidate row per shared shingle. Dedup and the
+    * offset/run rollup are deliberately NOT here: both are stateful
+    * aggregations, and deployment runs them at compaction
+    * ([[alignCompaction]]) over the drained candidate log — the
+    * [[ccDeltaBaseEdges]] treatment for ordered frame evidence.
+    */
+  def alignCandidates(docsStream: DataFrame,
+      baseShingles: DataFrame): DataFrame =
+    graft.multimodal.Multimodal.alignShingles(
+      graft.multimodal.Multimodal.fromDocuments(docsStream,
+        graft.multimodal.Multimodal.alignFrames))
+      .join(baseShingles.select(col("g"),
+        col("media_id").as("base_media_id")), "g")
+      .select(col("media_id").as("landing_media_id"), col("base_media_id"))
+
+  /** Compaction half of the streaming temporal-align: canonicalize the
+    * drained candidate log (orientation + dedup) and feed it through
+    * the IDENTICAL per-pair offset/run fold the batch operator uses
+    * ([[graft.multimodal.Multimodal.alignRollup]]), aligning landing
+    * frames against the standing frame table — so streamed ≡ batch
+    * holds by construction past candidate discovery (StreamingSpec pins
+    * it end-to-end on a planted trimmed re-cut).
+    */
+  def alignCompaction(candidates: DataFrame, landingDocs: DataFrame,
+      baseFrames: DataFrame,
+      minRun: Long = graft.multimodal.Multimodal.alignMinRun): DataFrame = {
+    val cands = candidates
+      .select(least(col("landing_media_id"), col("base_media_id")).as("media_a"),
+        greatest(col("landing_media_id"), col("base_media_id")).as("media_b"))
+      .distinct()
+    val landingFrames = graft.multimodal.Multimodal.frameSample(
+        graft.multimodal.Multimodal.fromDocuments(landingDocs,
+          graft.multimodal.Multimodal.alignFrames))
+      .filter(col("frame_bytes") > 0)
+      .select(col("media_id"), col("frame_idx"), col("frame_md5"))
+    graft.multimodal.Multimodal.alignRollup(cands,
+      baseFrames.unionByName(landingFrames), minRun)
+  }
+
   /** The standing model's weight vector for [[qualityScoredDocs]] —
     * ensures the index, then collects the 1-row weights table (D
     * doubles of index metadata).

@@ -160,6 +160,27 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("alignShingles (array-native, streaming-safe) equals the batch window shingles on the natural corpus") {
+    import org.apache.spark.sql.expressions.Window
+    val media = Multimodal.fromDocuments(
+      Tables(spark, "/root/testdata/sf0.001", "documents"),
+      Multimodal.alignFrames)
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    val batch = Multimodal.frameSample(media)
+      .filter(col("frame_bytes") > 0)
+      .withColumn("f1", lead("frame_md5", 1).over(w))
+      .withColumn("f2", lead("frame_md5", 2).over(w))
+      .filter(col("f2").isNotNull)
+      .select(col("media_id"),
+        md5(concat_ws(":", col("frame_md5"), col("f1"), col("f2"))).as("g"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val arr = Multimodal.alignShingles(media)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(arr == batch,
+      "array-native shingles drifted from the windowed batch definition")
+    assert(arr.nonEmpty)
+  }
+
   test("temporalAlign: a trimmed re-cut aligns at its shift, scattered shared frames do not") {
     val spark2 = spark
     import spark2.implicits._

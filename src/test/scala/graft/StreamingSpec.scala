@@ -424,6 +424,68 @@ class StreamingSpec extends SparkSpec {
     assert(batch == streamed)
   }
 
+  test("streaming temporal-align: a landing trimmed re-cut streams its candidates and compacts to the batch answer") {
+    // the MultimodalSpec re-cut fixture split across the stream/static
+    // boundary: the ORIGINAL lives in the standing corpus (base carve),
+    // the RE-CUT lands as a stream; candidate shingle hits stream out,
+    // compaction folds them through the identical offset/run rollup
+    val spark2 = spark
+    import spark2.implicits._
+    def b(i: Int) = f"block$i%03d" // 8 chars
+    val m1 = (0 to 15).map(b).mkString // original: blocks B0..B15
+    // re-cut: two junk frames prepended, first 14 blocks kept — matches
+    // at offset ia − ib = −2 with a = base id 1 < b = landing id 100
+    val m2 = (Seq("junkblk1", "junkblk2") ++ (0 to 13).map(b)).mkString
+    val filler = (200 to 215).map(b).mkString
+    assert(Seq(m1, m2, filler).forall(_.length == 128))
+    val baseDir = java.nio.file.Files
+      .createTempDirectory("graft-align-base").toString
+    Seq((1L, m1), (2L, filler))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$baseDir/documents.parquet")
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft-align-stream").toString
+    Seq((100L, m2))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$landing/documents.parquet")
+    val (baseShingles, baseFrames) = StreamingOps.alignBaseSides(spark, baseDir)
+    val q = StreamingOps.alignCandidates(
+        StreamingOps.readDocumentsStream(spark, s"$landing/documents.parquet"),
+        baseShingles)
+      .writeStream.format("memory").queryName("align_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("align_stream")
+    // one candidate row per shared shingle: the 12 shingles of the kept
+    // 14-block run, all pointing at the original
+    val cands = streamed.collect()
+      .map(r => (r.getAs[Long]("landing_media_id"),
+        r.getAs[Long]("base_media_id")))
+    assert(cands.length == 12 && cands.forall(_ == ((100L, 1L))),
+      s"expected 12 (100,1) shingle hits: ${cands.toSeq}")
+    // compaction over the drained log ≡ the batch operator on the
+    // combined corpus (restricted to pairs the stream can see)
+    val compacted = StreamingOps.alignCompaction(streamed,
+      spark.read.parquet(s"$landing/documents.parquet"), baseFrames)
+      .collect()
+    val batch = graft.multimodal.Multimodal.temporalAlign(
+        graft.multimodal.Multimodal.fromDocuments(
+          Seq((1L, m1), (2L, filler), (100L, m2)).toDF("doc_id", "text"),
+          graft.multimodal.Multimodal.alignFrames))
+      .filter(col("media_b") === 100L).collect()
+    assert(compacted.toSeq.map(_.toSeq) == batch.toSeq.map(_.toSeq),
+      s"streamed+compacted ${compacted.toSeq} != batch ${batch.toSeq}")
+    val r = compacted.head
+    assert(r.getAs[Long]("media_a") == 1L && r.getAs[Long]("media_b") == 100L)
+    assert(r.getAs[Long]("offset") == -2L &&
+      r.getAs[Long]("longest_run") == 14L &&
+      r.getAs[Long]("n_aligned") == 14L)
+  }
+
   test("streaming PII scrub equals the batch projection per document") {
     val sf = "/root/testdata/sf0.01"
     val docsDir = java.nio.file.Files.createTempDirectory("docs-pii-stream")
