@@ -213,6 +213,10 @@ object SparkEntry {
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
     "pipeline_agg_refresh" -> ((s, d) => Text.pipelineAggRefresh(s, d)),
+    // time travel over the append-only version log: one last-writer-wins
+    // pass serves the state audit at EVERY version; the oracle replays
+    // the MERGE batches sequentially — agreement is the read≡replay proof
+    "pipeline_time_travel" -> ((s, d) => Text.pipelineTimeTravel(s, d)),
     // the delete half: XOR self-inverse retracts the CDC delete carve
     // from the refreshed view; oracle recomputes the survivors one-pass
     "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
@@ -2063,6 +2067,47 @@ object SparkEntry {
       |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
       |  UNION ALL
       |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0)""".stripMargin
+
+  /** The time-travel replay CTEs: the per-version update batches (carve
+    * constants from [[graft.queries.Text.ttCarves]] verbatim — the
+    * mergeBaseUpdCtes shared-constants rule) and the SEQUENTIALLY
+    * replayed states s0..sV, each one full-outer MERGE join over the
+    * previous state. Every state CTE is MATERIALIZED: s_v is referenced
+    * by BOTH s_{v+1} and its own audit leg, so plain CTEs would
+    * re-expand ~2^V times under DuckDB inlining (the knn-descent rounds
+    * rule).
+    */
+  private def ttCtes: String = {
+    val batches = Text.ttCarves.zipWithIndex.map {
+      case ((rm, rr, dm, dr, im), i) =>
+        val v = i + 1
+        val ins = if (im > 0)
+          s"""
+             |  UNION ALL
+             |  SELECT -8*doc_id - $v, 'new v$v: ' || text, 'upsert' FROM tbase WHERE doc_id % $im = 0""".stripMargin
+        else ""
+        val retro = if (v == Text.ttVersions)
+          s"""
+             |  UNION ALL
+             |  SELECT -8*doc_id - 1, 're: ' || text, 'upsert' FROM tbase WHERE doc_id % ${Text.ttRetroMod} = 0""".stripMargin
+        else ""
+        s"""b$v AS (
+           |  SELECT doc_id AS k, text || ' [v$v]' AS new_text, 'upsert' AS op
+           |  FROM tbase WHERE doc_id % $rm = $rr
+           |  UNION ALL
+           |  SELECT doc_id, NULL, 'delete' FROM tbase WHERE doc_id % $dm = $dr AND doc_id % $rm <> $rr$ins$retro)""".stripMargin
+    }
+    val states = (1 to Text.ttVersions).map { v =>
+      s"""s$v AS MATERIALIZED (
+         |  SELECT coalesce(u.k, s.k) AS k,
+         |    CASE WHEN u.op = 'upsert' THEN u.new_text ELSE s.text END AS text
+         |  FROM s${v - 1} s FULL OUTER JOIN b$v u ON s.k = u.k
+         |  WHERE u.op IS NULL OR u.op <> 'delete')""".stripMargin
+    }
+    (Seq("tbase AS (SELECT doc_id, text FROM documents)",
+      "s0 AS MATERIALIZED (SELECT doc_id AS k, text FROM tbase)") ++
+      batches ++ states).mkString(",\n")
+  }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfDrift]]: base and
     * delta assignments from the shared coarse chains (rk / the upsert
@@ -4638,6 +4683,33 @@ object SparkEntry {
         |          ELSE CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) END) * 4294967296
         |    + CAST(('0x' || substr(md5(text), 9, 8)) AS BIGINT)) AS text_xor
         |FROM alive GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Time travel: the oracle REPLAYS the version batches sequentially
+    // (s0 → s1 → s2 → s3, one materialized full-outer MERGE join each)
+    // and audits every state; the Spark side reads the append-only log
+    // in ONE last-writer-wins pass — hash agreement at every version is
+    // the read-at-version ≡ replay-first-v-batches proof, bit-for-bit.
+    "pipeline_time_travel" -> {
+      val vs = 0 to Text.ttVersions
+      val nev = vs.map(v => (if (v == 0) s"  SELECT 0 AS version, " else s"  UNION ALL SELECT $v, ") +
+        s"(SELECT count(*) FROM ${if (v == 0) "s0" else s"b$v"}) AS ne").mkString("\n")
+      val aud = vs.map(v =>
+        s"""  SELECT $v AS version, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+           |    min(k) AS min_k, max(k) AS max_k,
+           |    ${signed64Xor("md5(text)")} AS text_xor
+           |  FROM s$v""".stripMargin).mkString("\n  UNION ALL\n")
+      s"""WITH $ttCtes,
+         |nev AS (
+         |$nev),
+         |disc AS (
+         |  SELECT v.version, CAST(coalesce(sum(o.ne), 0) AS BIGINT) AS discarded_events
+         |  FROM nev v LEFT JOIN nev o ON o.version > v.version GROUP BY 1),
+         |aud AS (
+         |$aud)
+         |SELECT CAST(a.version AS INTEGER) AS version, a.n_rows, a.id_sum,
+         |  a.min_k, a.max_k, a.text_xor, d.discarded_events
+         |FROM aud a JOIN disc d ON a.version = d.version
+         |ORDER BY a.version""".stripMargin
+    },
     // Incremental MV refresh: the oracle aggregates the FULL corpus in
     // one pass (base + delta carve arithmetic inline) and never sees the
     // standing table — agreement proves partial-aggregate merging

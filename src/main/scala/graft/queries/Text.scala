@@ -4881,6 +4881,178 @@ object Text {
       .orderBy("grp")
   }
 
+  /** Per-version carve constants for the time-travel version log — ONE
+    * set of literals for the Spark batch builder ([[ttBatch]]) and the
+    * generated replay oracle (the [[mergeUpdates]] shared-constants
+    * discipline: mirrored literals desync silently, shared ones cannot).
+    * Batch v (1-based) row: (revMod, revRem, delMod, delRem, insMod);
+    * insMod < 0 means the batch inserts nothing. The carves are chosen
+    * so every cross-version MERGE interaction fires on every scale
+    * factor: batch 2 revises docs batch 1 tombstoned (resurrection —
+    * doc_id ≡ 56 mod 85), batch 3 tombstones docs batch 1 revised
+    * (doc_id 27, …), and batch 3's retro leg ([[ttRetroMod]]) re-payloads
+    * batch 1's reserved insert keys (update-of-an-insert).
+    */
+  private[graft] val ttCarves: Seq[(Int, Int, Int, Int, Int)] =
+    Seq((3, 0, 17, 5, 13), (5, 1, 19, 2, -1), (7, 2, 23, 4, 11))
+  private[graft] val ttVersions: Int = ttCarves.length
+  /** Batch [[ttVersions]] re-payloads batch 1's insert key
+    * `-8*doc_id - 1` for every `doc_id % ttRetroMod = 0` (26 = lcm of
+    * batch 1's insert carve 13 and 2, so every retro target exists).
+    */
+  private[graft] val ttRetroMod = 26
+
+  /** The deterministic updates batch for version `v` of the time-travel
+    * log, carved from the immutable BASE snapshot so every payload is
+    * ABSOLUTE (self-contained, never a function of the prior version's
+    * state) — the property that makes a single-pass last-writer-wins
+    * read ([[readAtVersion]]) equal sequential replay. Reserved insert
+    * keys `-8*doc_id - v` are injective across (doc_id, v) for v < 8 and
+    * disjoint from all base keys (non-negative); within one batch the
+    * revise/delete carves exclude each other and inserts are negative,
+    * so no batch touches a key twice (one event per key per version —
+    * the invariant the validity-range window in [[pipelineTimeTravel]]
+    * relies on). `-8*doc_id` on BIGINT doc_ids is ANSI-safe to ~1.1e18.
+    */
+  private[graft] def ttBatch(base: DataFrame, v: Int): DataFrame = {
+    val (revMod, revRem, delMod, delRem, insMod) = ttCarves(v - 1)
+    val rev = base.filter(col("doc_id") % revMod === revRem)
+      .select(col("doc_id").as("k"),
+        concat(col("text"), lit(s" [v$v]")).as("new_text"),
+        lit("upsert").as("op"))
+    val del = base.filter(col("doc_id") % delMod === delRem &&
+        col("doc_id") % revMod =!= revRem)
+      .select(col("doc_id").as("k"),
+        lit(null).cast("string").as("new_text"), lit("delete").as("op"))
+    val ins = base
+      .filter(if (insMod > 0) col("doc_id") % insMod === 0 else lit(false))
+      .select((col("doc_id") * -8 - v).as("k"),
+        concat(lit(s"new v$v: "), col("text")).as("new_text"),
+        lit("upsert").as("op"))
+    val retro = base
+      .filter(if (v == ttVersions) col("doc_id") % ttRetroMod === 0
+        else lit(false))
+      .select((col("doc_id") * -8 - 1).as("k"),
+        concat(lit("re: "), col("text")).as("new_text"),
+        lit("upsert").as("op"))
+    rev.unionAll(del).unionAll(ins).unionAll(retro)
+  }
+
+  // version_log path -> sfDir that built it (the ensureIvfIndex shape)
+  private val versionLogFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** The APPEND-ONLY version log — the lakehouse primitive the
+    * reference's run-provenance manifest (`wrds_ingestion.py:1155-1198`
+    * data_sources.yml) becomes at 100 TB: instead of recording which
+    * full-table rewrite a run produced, every MERGE batch lands as one
+    * immutable log partition and any historical state stays derivable.
+    * Layout: `events/ver=0` is the base snapshot as upsert events,
+    * `ver=v` is batch v verbatim — partitioned by `ver`, so a
+    * time-travel read at version v partition-prunes every later batch
+    * (TimeTravelSpec pins it). Built once under the Layout discipline
+    * (marker + memo cleared BEFORE rebuilding).
+    */
+  def ensureVersionLog(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "version_log")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(versionLogFor.get(base).contains(dir) && fs.exists(marker))) {
+        versionLogFor.remove(base)
+        fs.delete(marker, false)
+        val snap = docs(spark, dir).select(col("doc_id"), col("text"))
+        val v0 = snap.select(col("doc_id").as("k"),
+          col("text").as("new_text"), lit("upsert").as("op"),
+          lit(0).as("ver"))
+        (1 to ttVersions)
+          .map(v => ttBatch(snap, v).withColumn("ver", lit(v)))
+          .foldLeft(v0)(_ unionAll _)
+          .write.mode("overwrite").partitionBy("ver")
+          .parquet(s"$base/events")
+        versionLogFor(base) = dir
+      }
+      base
+    }
+
+  /** Time-travel POINT READ: the (k, text) state as of version `v`,
+    * served merge-on-read from the standing log — one pass over the
+    * `ver <= v` partitions (later batches partition-pruned, never
+    * scanned), last writer per key wins (`max_by` over ver — at most
+    * [[ttVersions]]+1 events per key, and the map-side partial keeps
+    * only each partition's local winner, so the shuffle carries one
+    * payload per key per map task, not the log). Because batch payloads
+    * are absolute ([[ttBatch]]), this single aggregation equals
+    * replaying batches 1..v sequentially — the equivalence
+    * [[pipelineTimeTravel]]'s oracle proves bit-for-bit at every v.
+    * A ROLLBACK to version v is exactly this read adopted as current
+    * (later partitions dropped from the log — append-only artifacts
+    * make rollback a metadata truncation, no data rewrite).
+    */
+  def readAtVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    val base = ensureVersionLog(spark, dir)
+    spark.read.parquet(s"$base/events").filter(col("ver") <= v)
+      .groupBy("k")
+      .agg(max_by(struct(col("op"), col("new_text")), col("ver")).as("w"))
+      .filter(col("w.op") =!= "delete")
+      .select(col("k"), col("w.new_text").as("text"))
+  }
+
+  /** Corpus snapshot versioning / TIME TRAVEL (VERDICT r12 item 6): the
+    * full per-version audit — for EVERY version 0..[[ttVersions]], the
+    * row count, exact key sum/extrema and 64-bit md5 XOR
+    * ([[md5SignedHash64Expr]]) of the corpus state as of that version,
+    * plus `discarded_events` (log events a rollback to that version
+    * ignores). Row v IS the rollback-to-v audit.
+    *
+    * The read is ONE pass over the log, not V replays: per key, each
+    * event's validity range is [its ver, next event's ver − 1] (a lead()
+    * window over the ≤ V+1 events per key — delete events terminate
+    * ranges and emit no live rows), and a bounded explode of
+    * `sequence(ver, valid_to)` lands each surviving payload digest in
+    * every version it was current (ascending by construction: the next
+    * event's ver is strictly larger, so the descending-sequence ANSI
+    * trap cannot fire). The oracle instead replays the batches
+    * SEQUENTIALLY — v chained full-outer MERGE joins, each materialized
+    * — so the hash agreement is exactly the contract: read-at-version ≡
+    * replaying the first v batches, bit-for-bit, at all v at once.
+    *
+    * Scale shape: payloads are md5'd BEFORE the window shuffle (the
+    * keyed exchange carries 32-hex digests, never text — the ddExact
+    * discipline); the explode multiplies digest rows by at most V+1; the
+    * output is V+1 rows. `discarded_events` attaches through an
+    * unpartitioned window over the BOUNDED per-version counts frame
+    * (V+1 rows — the corpus-totals rule, no constant-key join).
+    */
+  def pipelineTimeTravel(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ensureVersionLog(spark, dir)
+    val evts = spark.read.parquet(s"$base/events")
+      .select(col("k"), col("ver"), col("op"),
+        md5(col("new_text").cast("binary")).as("hd"))
+    val w = Window.partitionBy("k").orderBy("ver")
+    val live = evts
+      .withColumn("valid_to",
+        coalesce(lead("ver", 1).over(w) - 1, lit(ttVersions)))
+      .filter(col("op") =!= "delete")
+      .select(col("k"), col("hd"),
+        explode(expr("sequence(ver, valid_to)")).as("version"))
+    val audit = live.groupBy("version")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+    val discarded = evts.groupBy(col("ver")).agg(count(lit(1)).as("ne"))
+      .withColumn("discarded_events",
+        coalesce(sum("ne").over(Window.orderBy(col("ver").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("ver").as("version"), col("discarded_events"))
+    audit.join(discarded, "version")
+      .select(col("version").cast("int").as("version"), col("n_rows"),
+        col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
+        col("discarded_events"))
+      .orderBy("version")
+  }
+
   /** The (lang, source) partial-aggregate projection shared by the
     * standing materialized aggregate ([[ensureAggMv]]) and the delta
     * refresh pass — one definition (the mergeUpdates rule), so the

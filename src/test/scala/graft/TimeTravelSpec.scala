@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Text
+
+/** Corpus snapshot versioning / time travel (VERDICT r12 item 6): the
+  * append-only version log must serve read-at-version ≡ sequential
+  * replay (the oracle proves it bit-for-bit; here the planted corpus
+  * proves the MERGE interactions the carves exist for — resurrection,
+  * delete-after-revision, retro-update of a prior insert), a point read
+  * at version v must partition-prune every later batch, and the
+  * standing log must be served, not rebuilt.
+  */
+class TimeTravelSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val planted: String = {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-tt").toString
+    // 56: tombstoned at v1, resurrected by v2's revision; 27: revised at
+    // v1, tombstoned at v3; 0: revised + inserted (-1) at v1, the insert
+    // retro-updated at v3, second insert (-3) at v3; 8: never touched
+    Seq((0L, "t0"), (8L, "t8"), (27L, "t27"), (56L, "t56"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def state(v: Int): Map[Long, String] =
+    Text.readAtVersion(spark, planted, v).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+
+  test("planted lifecycle: resurrection, delete-after-revision, retro-updated insert") {
+    assert(state(0) == Map(0L -> "t0", 8L -> "t8", 27L -> "t27", 56L -> "t56"))
+    assert(state(1) == Map(0L -> "t0 [v1]", -1L -> "new v1: t0",
+      8L -> "t8", 27L -> "t27 [v1]"), "v1: 56 tombstoned, 0 revised+inserted")
+    assert(state(2) == Map(0L -> "t0 [v1]", -1L -> "new v1: t0",
+      8L -> "t8", 27L -> "t27 [v1]", 56L -> "t56 [v2]"),
+      "v2 must RESURRECT the v1-tombstoned doc 56 via its revision")
+    assert(state(3) == Map(0L -> "t0 [v1]", -1L -> "re: t0",
+      8L -> "t8", 56L -> "t56 [v2]", -3L -> "new v3: t0"),
+      "v3: 27 tombstoned after its v1 revision; insert -1 retro-updated")
+  }
+
+  test("a point read at version v partition-prunes every later batch") {
+    Text.ensureVersionLog(spark, dir)
+    // AQE off so the scan is visible in the static plan (the
+    // sim_bq_indexed pin discipline); selectedPartitions is what the
+    // scan will physically read
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val files = try {
+      Text.readAtVersion(spark, dir, 1)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("version_log")) =>
+            f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+        }.flatten
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(files.nonEmpty && files.exists(_.contains("ver=0")) &&
+      files.exists(_.contains("ver=1")))
+    assert(!files.exists(f => f.contains("ver=2") || f.contains("ver=3")),
+      s"ver>1 partitions must be pruned from a read at v=1: ${files.toSeq}")
+  }
+
+  test("the point read and the all-versions audit agree at every version") {
+    val audit = Text.pipelineTimeTravel(spark, dir).collect()
+      .map(r => r.getAs[Int]("version") ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("id_sum")))).toMap
+    assert(audit.keySet == (0 to Text.ttVersions).toSet)
+    (0 to Text.ttVersions).foreach { v =>
+      val pr = Text.readAtVersion(spark, dir, v)
+        .agg(count(lit(1)), sum("k")).collect().head
+      assert((pr.getLong(0), pr.getLong(1)) == audit(v),
+        s"point read at v=$v drifted from the audit row")
+    }
+  }
+
+  test("the standing log is served, not rebuilt per read") {
+    val base = Text.ensureVersionLog(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.pipelineTimeTravel(spark, dir).collect()
+    Text.readAtVersion(spark, dir, 2).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "reads must not rewrite the standing version log")
+  }
+}
