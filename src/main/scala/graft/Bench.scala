@@ -113,7 +113,11 @@ object Bench {
     // sq indexed) add ~15 s of unavoidable cold first runs; the r12
     // cross-session bucketed-table re-attach ALSO removes ~15 s of
     // session-2 rebuild cost, so two sessions fit with margin.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "920").toDouble
+    // 920 -> 1000 at round 13 (same rule, VERDICT r12 item 8): the r12
+    // run walled at 876 of 920 s and the suite grew 211 -> 218 (CC
+    // refresh/delete, SQ-int8 lifecycle x3, HNSW-upserted search, time
+    // travel) — ~25 s more unavoidable cold first runs.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1000").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 
