@@ -217,6 +217,12 @@ object SparkEntry {
     // pass serves the state audit at EVERY version; the oracle replays
     // the MERGE batches sequentially — agreement is the read≡replay proof
     "pipeline_time_travel" -> ((s, d) => Text.pipelineTimeTravel(s, d)),
+    // CDC between versions: one log-only last-writer-wins pass vs the
+    // oracle's two materialized replayed states full-outer-joined
+    "pipeline_version_diff" -> ((s, d) => Text.pipelineVersionDiff(s, d)),
+    // checkpoint/compaction: serve v >= c from checkpoint + tail
+    // partitions only; oracle replays the whole log from scratch
+    "pipeline_checkpoint" -> ((s, d) => Text.pipelineCheckpoint(s, d)),
     // the delete half: XOR self-inverse retracts the CDC delete carve
     // from the refreshed view; oracle recomputes the survivors one-pass
     "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
@@ -269,6 +275,10 @@ object SparkEntry {
     // reads only its nprobe inverted-list directories (PlanSpec pins the
     // PartitionFilters); results — and the oracle — are identical
     "sim_ivf_ann_indexed" -> ((s, d) => Similarity.simIvfAnnIndexed(s, d)),
+    // metadata-filtered ANN: label-blind probes, post-scoring semi-join
+    // filter on vector-free rows; oracle pre-filters the member side of
+    // the same chain (filter/rank commute — FilteredAnnSpec pins it)
+    "sim_filtered_ann_indexed" -> ((s, d) => Similarity.simFilteredAnnIndexed(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_kmeans_pp" -> ((s, d) => Similarity.simKmeansPp(s, d)),
     // k-means‖ (Bahmani et al.): batch oversampling passes + weighted
@@ -1117,7 +1127,7 @@ object SparkEntry {
       |rk AS (
       |  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
       |  FROM (
-      |    SELECT vec_id, embedding, vnorm, c_label,
+      |    SELECT vec_id, label, embedding, vnorm, c_label,
       |      list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * centroid[i]), (x, y) -> x + y) / (vnorm * cnorm) AS cos_c
       |    FROM e, cn))""".stripMargin
 
@@ -4710,6 +4720,45 @@ object SparkEntry {
          |FROM aud a JOIN disc d ON a.version = d.version
          |ORDER BY a.version""".stripMargin
     },
+    // CDC diff: the oracle MATERIALIZES the two endpoint states by
+    // sequential replay and full-outer joins them; the Spark side never
+    // builds a state — one last-writer-wins pass over the log. The
+    // insert group's old_xor / delete group's new_xor are all-NULL XORs
+    // (NULL in both engines — the merge_snapshot tombstone convention).
+    "pipeline_version_diff" ->
+      s"""WITH $ttCtes,
+         |d AS (
+         |  SELECT coalesce(a.k, b.k) AS k, a.text AS old_text, b.text AS new_text,
+         |    CASE WHEN a.k IS NULL THEN 'insert'
+         |         WHEN b.k IS NULL THEN 'delete'
+         |         WHEN a.text <> b.text THEN 'update' END AS change_type
+         |  FROM s${Text.ttDiffFrom} a FULL OUTER JOIN s${Text.ttDiffTo} b ON a.k = b.k)
+         |SELECT change_type, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+         |  min(k) AS min_k, max(k) AS max_k,
+         |  ${signed64Xor("md5(old_text)")} AS old_xor,
+         |  ${signed64Xor("md5(new_text)")} AS new_xor
+         |FROM d WHERE change_type IS NOT NULL GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Checkpoint serving: the oracle replays EVERY batch from scratch
+    // and never sees the checkpoint table — agreement at each v >= c
+    // proves checkpoint+tail ≡ full replay, and absorbed_events pins
+    // the prefix the compacted read no longer scans.
+    "pipeline_checkpoint" -> {
+      val c = Text.ttCheckpointVer
+      val aud = (c to Text.ttVersions).map(v =>
+        s"""  SELECT $v AS version, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+           |    min(k) AS min_k, max(k) AS max_k,
+           |    ${signed64Xor("md5(text)")} AS text_xor
+           |  FROM s$v""".stripMargin).mkString("\n  UNION ALL\n")
+      val absorbed = (Seq("(SELECT count(*) FROM s0)") ++
+        (1 to c).map(v => s"(SELECT count(*) FROM b$v)")).mkString(" + ")
+      s"""WITH $ttCtes,
+         |aud AS (
+         |$aud)
+         |SELECT CAST(a.version AS INTEGER) AS version, a.n_rows, a.id_sum,
+         |  a.min_k, a.max_k, a.text_xor,
+         |  CAST($absorbed AS BIGINT) AS absorbed_events
+         |FROM aud a ORDER BY a.version""".stripMargin
+    },
     // Incremental MV refresh: the oracle aggregates the FULL corpus in
     // one pass (base + delta carve arithmetic inline) and never sees the
     // standing table — agreement proves partial-aggregate merging
@@ -5776,6 +5825,9 @@ object SparkEntry {
     // the indexed form runs the identical algorithm over the materialized
     // cell partitions — one oracle text, shared verbatim
     "sim_ivf_ann_indexed" -> ivfAnnSql,
+    // the same coarse/score chain, label predicate on the MEMBER side
+    "sim_filtered_ann_indexed" ->
+      ivfAnnSqlOver(s"label = ${Similarity.filteredAnnLabel}"),
     // hash covers the WHOLE training loop: any drift in a seed, a distance
     // tie, or a mean in any round changes members -> counts/norms/inertia
     "sim_ivf_kmeans" ->

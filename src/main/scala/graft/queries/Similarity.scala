@@ -716,8 +716,14 @@ object Similarity {
 
   private def ivfScoreTopK(spark: SparkSession, dir: String,
       members: DataFrame, probeKeys: DataFrame,
-      querySet: Option[DataFrame], k: Int): DataFrame = {
-    val scored = ivfScoredCandidates(spark, dir, members, probeKeys, querySet)
+      querySet: Option[DataFrame], k: Int): DataFrame =
+    ivfTopK(ivfScoredCandidates(spark, dir, members, probeKeys, querySet), k)
+
+  /** The per-query ranking cut over vector-free scored candidates —
+    * factored so the filtered search ranks AFTER its post-filter through
+    * the identical tail (the alignRollup one-definition rule).
+    */
+  private def ivfTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("qid").orderBy(col("cosine").desc, col("m_vec_id").asc)
     scored.withColumn("rnk", row_number().over(w))
@@ -2104,6 +2110,61 @@ object Similarity {
     val members = readIvfCells(spark, base)
       .filter(col("cell").isin(cells.toIndexedSeq: _*))
     ivfScoreTopK(spark, dir, members, probeKeys, querySet, k)
+  }
+
+  /** The metadata filter the oracle'd filtered search pins — one literal
+    * for the Spark side and the generated ivfAnnSqlOver member predicate
+    * (the kmeansCtes shared-constants rule). Label 7 is ~10% of every
+    * scale factor's corpus (the testdata labels are ten balanced
+    * classes).
+    */
+  private[graft] val filteredAnnLabel = 7
+
+  /** METADATA-FILTERED ANN over the standing IVF index — the filtered
+    * vector search serving primitive (FAISS `IDSelector`, the vector-DB
+    * payload filter): top-k cosine neighbors among corpus vectors whose
+    * `label` matches. Probe choice stays label-blind (cells rank by
+    * query-centroid cosine only — the standard filtered-IVF contract);
+    * the predicate then applies POST-SCORING as a semi-join of the
+    * vector-free scored (qid, id, cell, cosine) rows against the
+    * label-filtered id projection of the embeddings table — a 2-column
+    * pruned scan whose label predicate pushes to parquet
+    * (FilteredAnnSpec pins PushedFilters), with bare vec_ids on the
+    * join's build side. Filter-then-rank ≡ rank-then-filter (a member's
+    * cosine is independent of other members), which is exactly how the
+    * oracle states it: the verbatim ivfAnnSqlOver coarse/score chain
+    * with `label = ` [[filteredAnnLabel]] on the MEMBER side
+    * (pre-filter); FilteredAnnSpec pins the commutation on the real
+    * corpus.
+    *
+    * Scale shape: the probed-cell partition pruning and the no-vector-
+    * shuffle ban both hold unchanged (PlanSpec); the post-filter wastes
+    * cosines on filtered-out members inside probed cells — the classic
+    * post-vs-pre-filter tradeoff. At 100 TB, with HIGHLY selective
+    * predicates, the production layout stores the filter column in the
+    * cells table itself (scan-level pushdown inside probed partitions);
+    * this serve keeps the shared standing index's pinned schema and
+    * documents the swap instead.
+    */
+  def simFilteredAnnIndexed(spark: SparkSession, dir: String,
+      label: Int = filteredAnnLabel, nprobe: Int = 2, k: Int = 5,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val base = ensureIvfIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val cells = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = readIvfCells(spark, base)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = ivfScoredCandidates(spark, dir, members, probeKeys, querySet)
+    val allowed = Tables(spark, dir, "embeddings")
+      .filter(col("label") === label)
+      .select(col("vec_id").as("m_vec_id"))
+    ivfTopK(scored.join(allowed, Seq("m_vec_id"), "left_semi"), k)
   }
 
   // ---- Product quantization (PQ / ADC) ---------------------------------

@@ -4991,12 +4991,21 @@ object Text {
     */
   def readAtVersion(spark: SparkSession, dir: String, v: Int): DataFrame = {
     val base = ensureVersionLog(spark, dir)
-    spark.read.parquet(s"$base/events").filter(col("ver") <= v)
+    stateAt(spark.read.parquet(s"$base/events"), v)
+  }
+
+  /** The last-writer-wins fold of [[readAtVersion]] over an arbitrary
+    * (k, ver, op, new_text) event frame — factored so the streaming
+    * append twin's landed log serves through the IDENTICAL read path
+    * (the alignRollup factoring rule: streamed ≡ batch holds by
+    * construction past event carving).
+    */
+  private[graft] def stateAt(events: DataFrame, v: Int): DataFrame =
+    events.filter(col("ver") <= v)
       .groupBy("k")
       .agg(max_by(struct(col("op"), col("new_text")), col("ver")).as("w"))
       .filter(col("w.op") =!= "delete")
       .select(col("k"), col("w.new_text").as("text"))
-  }
 
   /** Corpus snapshot versioning / TIME TRAVEL (VERDICT r12 item 6): the
     * full per-version audit — for EVERY version 0..[[ttVersions]], the
@@ -5050,6 +5059,151 @@ object Text {
       .select(col("version").cast("int").as("version"), col("n_rows"),
         col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
         col("discarded_events"))
+      .orderBy("version")
+  }
+
+  /** The version window the CDC diff and checkpoint demos audit — ONE
+    * pair of literals for the Spark side and the generated replay oracle
+    * (the ttCarves rule). (1, 3] spans batch 2's resurrection and batch
+    * 3's tombstones/retro-update, so all three change types fire on
+    * every scale factor.
+    */
+  private[graft] val ttDiffFrom = 1
+  private[graft] val ttDiffTo = 3
+  /** The checkpoint/compaction cut: state at this version becomes the
+    * materialized base; reads at v >= this serve checkpoint + tail.
+    */
+  private[graft] val ttCheckpointVer = 2
+
+  /** CDC DIFF between two versions (table_changes): what changed from
+    * version `from` to version `to`, classified insert / update /
+    * delete, derived from the append-only log in ONE last-writer-wins
+    * pass — NO state replay and NO state materialization: per key, the
+    * winner at `from` and the winner at `to` come out of the same
+    * aggregation (the `from` winner via a null-masked ordering key —
+    * max_by ignores null orderings, so a key with no event <= from
+    * yields a null old-side struct). Unchanged keys (same payload at
+    * both ends) are dropped. The oracle instead MATERIALIZES both
+    * states by sequential replay and full-outer joins them — agreement
+    * proves the log-only diff equals the state diff bit-for-bit.
+    *
+    * Output per change type: exact key sum/extrema and the 64-bit md5
+    * XOR of the OLD and NEW payloads ([[md5SignedHash64Expr]]) — the
+    * insert group's old_xor and the delete group's new_xor are
+    * all-NULL XORs (NULL in both engines, the merge_snapshot tombstone
+    * convention).
+    *
+    * Scale shape: payload digests computed before the keyed exchange
+    * (digest-only shuffle), `ver <= to` partition-prunes later batches,
+    * output is <= 3 rows. The struct-valued max_by pair forces
+    * SortAggregate — the honest wide-first-non-null price (the j6/j7
+    * profile note), paid on log digests, not payloads.
+    */
+  def pipelineVersionDiff(spark: SparkSession, dir: String,
+      from: Int = ttDiffFrom, to: Int = ttDiffTo): DataFrame = {
+    val base = ensureVersionLog(spark, dir)
+    val evts = spark.read.parquet(s"$base/events").filter(col("ver") <= to)
+      .select(col("k"), col("ver"), col("op"),
+        md5(col("new_text").cast("binary")).as("hd"))
+    val st = evts.groupBy("k").agg(
+      max_by(struct(col("op"), col("hd")),
+        when(col("ver") <= from, col("ver"))).as("wu"),
+      max_by(struct(col("op"), col("hd")), col("ver")).as("wv"))
+    val pu = col("wu").isNotNull && col("wu.op") =!= "delete"
+    val pv = col("wv.op") =!= "delete"
+    st.withColumn("change_type",
+        when(!pu && pv, "insert").when(pu && !pv, "delete")
+          .when(pu && pv && col("wu.hd") =!= col("wv.hd"), "update"))
+      .filter(col("change_type").isNotNull)
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        expr(s"bit_xor(${md5SignedHash64Expr("wu.hd")})").as("old_xor"),
+        expr(s"bit_xor(${md5SignedHash64Expr("wv.hd")})").as("new_xor"))
+      .orderBy("change_type")
+  }
+
+  // checkpoint overlay path -> sfDir that built it
+  private val ttCheckpointFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** CHECKPOINT / log compaction: materialize the state at
+    * [[ttCheckpointVer]] as a compacted base table so reads stop paying
+    * for the absorbed prefix — the lakehouse checkpoint primitive
+    * beside MERGE/MV/z-order/time-travel. Lives in its OWN overlay dir
+    * (the ivf_del isolation rule: the standing version log NEVER
+    * mutates — a rollback past the checkpoint stays possible by
+    * re-reading the untouched log).
+    */
+  def ensureTtCheckpoint(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "tt_checkpoint")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/state/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(ttCheckpointFor.get(base).contains(dir) && fs.exists(marker))) {
+        ttCheckpointFor.remove(base)
+        fs.delete(marker, false)
+        val logBase = ensureVersionLog(spark, dir)
+        // the checkpoint manifest records what was absorbed AT BUILD
+        // TIME — a serve never re-scans the absorbed prefix, not even
+        // to count it
+        spark.read.parquet(s"$logBase/events")
+          .filter(col("ver") <= ttCheckpointVer)
+          .agg(count(lit(1)).as("absorbed_events"))
+          .write.mode("overwrite").parquet(s"$base/meta")
+        readAtVersion(spark, dir, ttCheckpointVer)
+          .write.mode("overwrite").parquet(s"$base/state")
+        ttCheckpointFor(base) = dir
+      }
+      base
+    }
+
+  /** Reads served from CHECKPOINT + TAIL (VERDICT r12 item 6's missing
+    * compaction half): for every version v >= [[ttCheckpointVer]], the
+    * state audit computed from the materialized checkpoint unioned with
+    * only the log's tail partitions (`ver > checkpoint` — the absorbed
+    * prefix is never scanned; TimeTravelSpec pins it), via the same
+    * validity-range fold as [[pipelineTimeTravel]]. The checkpoint rows
+    * enter the fold as version-[[ttCheckpointVer]] upserts — legal
+    * because checkpoint payloads are the absorbed prefix's last-writer
+    * payloads, absolute by [[ttBatch]] construction. The oracle replays
+    * ALL batches from scratch and never sees the checkpoint — hash
+    * agreement at every v proves compacted serving ≡ full replay, and
+    * `absorbed_events` accounts for exactly the log prefix the read no
+    * longer pays for.
+    */
+  def pipelineCheckpoint(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val logBase = ensureVersionLog(spark, dir)
+    val ckBase = ensureTtCheckpoint(spark, dir)
+    val ck = spark.read.parquet(s"$ckBase/state")
+      .select(col("k"), lit(ttCheckpointVer).as("ver"),
+        lit("upsert").as("op"), md5(col("text").cast("binary")).as("hd"))
+    val tail = spark.read.parquet(s"$logBase/events")
+      .filter(col("ver") > ttCheckpointVer)
+      .select(col("k"), col("ver"), col("op"),
+        md5(col("new_text").cast("binary")).as("hd"))
+    val evts = ck.unionByName(tail)
+    val w = Window.partitionBy("k").orderBy("ver")
+    val live = evts
+      .withColumn("valid_to",
+        coalesce(lead("ver", 1).over(w) - 1, lit(ttVersions)))
+      .filter(col("op") =!= "delete")
+      .select(col("k"), col("hd"),
+        explode(expr("sequence(ver, valid_to)")).as("version"))
+    // ONE manifest row of index metadata (the BM25-totals collect
+    // precedent) — recorded at checkpoint build, so the serve reads
+    // zero absorbed-prefix bytes
+    val absorbed = spark.read.parquet(s"$ckBase/meta")
+      .head().getLong(0)
+    live.groupBy("version")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .withColumn("absorbed_events", lit(absorbed))
+      .select(col("version").cast("int").as("version"), col("n_rows"),
+        col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
+        col("absorbed_events"))
       .orderBy("version")
   }
 

@@ -788,6 +788,21 @@ object StreamingOps {
       baseFrames.unionByName(landingFrames), minRun)
   }
 
+  /** Streaming twin of the version-log APPEND
+    * ([[graft.queries.Text.ensureVersionLog]]): a landing corpus batch
+    * carves its MERGE events with the IDENTICAL [[graft.queries.Text
+    * .ttBatch]] projection — three narrow filters under a union,
+    * stateless, so it runs unchanged under the streaming planner and
+    * the event batch that lands as log partition `ver=v` is
+    * bit-identical whether the corpus arrived at rest or as a stream
+    * (StreamingSpec pins carve equality AND that the landed log serves
+    * the same last-writer-wins state through
+    * [[graft.queries.Text.stateAt]]).
+    */
+  def ttDeltaEvents(docsStream: DataFrame, v: Int): DataFrame =
+    graft.queries.Text.ttBatch(
+      docsStream.select(col("doc_id"), col("text")), v)
+
   /** The standing model's weight vector for [[qualityScoredDocs]] —
     * ensures the index, then collects the 1-row weights table (D
     * doubles of index metadata).

@@ -486,6 +486,45 @@ class StreamingSpec extends SparkSpec {
       r.getAs[Long]("n_aligned") == 14L)
   }
 
+  test("streaming version-log append: stream-carved events equal the batch carve and serve the same state") {
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-tt-stream").toString
+    // the TimeTravelSpec planted corpus: batch 1 revises 0 and 27,
+    // inserts -1, tombstones 56
+    Seq((0L, "t0"), (8L, "t8"), (27L, "t27"), (56L, "t56"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val q = StreamingOps.ttDeltaEvents(
+        StreamingOps.readDocumentsStream(spark, s"$d/documents.parquet"), 1)
+      .writeStream.format("memory").queryName("tt_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("tt_stream")
+    val batch = graft.queries.Text.ttBatch(
+      spark.read.parquet(s"$d/documents.parquet").select("doc_id", "text"), 1)
+    assert(streamed.collect().map(_.toSeq).toSet ==
+      batch.collect().map(_.toSeq).toSet,
+      "stream-carved MERGE events drifted from the batch carve")
+    assert(streamed.count() == 4) // revisions 0,27 + insert -1 + tombstone 56
+    // append-only landing: the drained events become log partition
+    // ver=1 beside the base snapshot; the identical last-writer-wins
+    // read path must serve the batch log's v=1 state
+    spark.read.parquet(s"$d/documents.parquet")
+      .select(col("doc_id").as("k"), col("text").as("new_text"),
+        lit("upsert").as("op"))
+      .write.mode("overwrite").parquet(s"$d/log/events/ver=0")
+    streamed.write.mode("overwrite").parquet(s"$d/log/events/ver=1")
+    val served = graft.queries.Text.stateAt(
+        spark.read.parquet(s"$d/log/events"), 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == Map(0L -> "t0 [v1]", -1L -> "new v1: t0",
+      8L -> "t8", 27L -> "t27 [v1]"),
+      s"landed log served a drifted v=1 state: $served")
+  }
+
   test("streaming PII scrub equals the batch projection per document") {
     val sf = "/root/testdata/sf0.01"
     val docsDir = java.nio.file.Files.createTempDirectory("docs-pii-stream")

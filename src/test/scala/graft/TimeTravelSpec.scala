@@ -80,6 +80,58 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("planted CDC diff 1->3: resurrection surfaces as insert, retro-update as update") {
+    val diff = Text.pipelineVersionDiff(spark, planted).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("id_sum")))).toMap
+    // inserts: 56 (tombstoned at u=1, resurrected by v2 — a diff of
+    // STATES must report it as an insert) and -3 (v3 insert, no event
+    // <= u at all — the null-masked max_by branch)
+    assert(diff("insert") == ((2L, 53L)), s"got $diff")
+    // delete: 27 (revised at v1, tombstoned at v3)
+    assert(diff("delete") == ((1L, 27L)), s"got $diff")
+    // update: -1 (the v1 insert retro-payloaded at v3); 0 and 8 are
+    // unchanged between the endpoints and must NOT be reported
+    assert(diff("update") == ((1L, -1L)), s"got $diff")
+    assert(diff.size == 3)
+  }
+
+  test("checkpoint+tail serving equals the full-log audit and never scans the absorbed prefix") {
+    val full = Text.pipelineTimeTravel(spark, dir).collect()
+      .map(r => r.getAs[Int]("version") -> r.toSeq.dropRight(1)).toMap
+    val ck = Text.pipelineCheckpoint(spark, dir).collect()
+    assert(ck.map(_.getAs[Int]("version")).toSeq ==
+      (Text.ttCheckpointVer to Text.ttVersions).toSeq)
+    ck.foreach { r =>
+      assert(r.toSeq.dropRight(1) == full(r.getAs[Int]("version")),
+        s"compacted serve drifted from the full-log audit at v=${r.get(0)}")
+    }
+    // the compacted read's version_log scan touches ONLY tail partitions
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val files = try {
+      Text.pipelineCheckpoint(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("version_log")) =>
+            f.selectedPartitions.toPartitionArray.map(_.filePath.toString).toSeq
+        }.flatten
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(files.nonEmpty && files.forall(_.contains("ver=3")),
+      s"absorbed prefix partitions leaked into the compacted read: ${files.toSeq}")
+  }
+
+  test("checkpointing never mutates the standing version log") {
+    val logBase = Text.ensureVersionLog(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$logBase/events/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    Text.ensureTtCheckpoint(spark, dir)
+    Text.pipelineCheckpoint(spark, dir).collect()
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "the checkpoint overlay must leave the append-only log untouched")
+  }
+
   test("the standing log is served, not rebuilt per read") {
     val base = Text.ensureVersionLog(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
