@@ -223,6 +223,9 @@ object SparkEntry {
     // checkpoint/compaction: serve v >= c from checkpoint + tail
     // partitions only; oracle replays the whole log from scratch
     "pipeline_checkpoint" -> ((s, d) => Text.pipelineCheckpoint(s, d)),
+    // vacuum: the PHYSICALLY truncated log serves every surviving
+    // version; reclaimed events accounted; below-horizon reads throw
+    "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
     // the delete half: XOR self-inverse retracts the CDC delete carve
     // from the refreshed view; oracle recomputes the survivors one-pass
     "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
@@ -4757,6 +4760,28 @@ object SparkEntry {
          |SELECT CAST(a.version AS INTEGER) AS version, a.n_rows, a.id_sum,
          |  a.min_k, a.max_k, a.text_xor,
          |  CAST($absorbed AS BIGINT) AS absorbed_events
+         |FROM aud a ORDER BY a.version""".stripMargin
+    },
+    // Vacuum: same replay-from-scratch oracle as the checkpoint (the
+    // oracle never sees the truncated log) plus the reclaimed-event
+    // account: absorbed prefix events minus the checkpointed state rows
+    // that replaced them.
+    "pipeline_vacuum" -> {
+      val c = Text.ttCheckpointVer
+      val aud = (c to Text.ttVersions).map(v =>
+        s"""  SELECT $v AS version, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum,
+           |    min(k) AS min_k, max(k) AS max_k,
+           |    ${signed64Xor("md5(text)")} AS text_xor
+           |  FROM s$v""".stripMargin).mkString("\n  UNION ALL\n")
+      val absorbed = (Seq("(SELECT count(*) FROM s0)") ++
+        (1 to c).map(v => s"(SELECT count(*) FROM b$v)")).mkString(" + ")
+      s"""WITH $ttCtes,
+         |aud AS (
+         |$aud)
+         |SELECT CAST(a.version AS INTEGER) AS version, a.n_rows, a.id_sum,
+         |  a.min_k, a.max_k, a.text_xor,
+         |  CAST($c AS INTEGER) AS horizon,
+         |  CAST($absorbed - (SELECT count(*) FROM s$c) AS BIGINT) AS vacuumed_events
          |FROM aud a ORDER BY a.version""".stripMargin
     },
     // Incremental MV refresh: the oracle aggregates the FULL corpus in

@@ -5039,27 +5039,38 @@ object Text {
     val evts = spark.read.parquet(s"$base/events")
       .select(col("k"), col("ver"), col("op"),
         md5(col("new_text").cast("binary")).as("hd"))
-    val w = Window.partitionBy("k").orderBy("ver")
-    val live = evts
-      .withColumn("valid_to",
-        coalesce(lead("ver", 1).over(w) - 1, lit(ttVersions)))
-      .filter(col("op") =!= "delete")
-      .select(col("k"), col("hd"),
-        explode(expr("sequence(ver, valid_to)")).as("version"))
-    val audit = live.groupBy("version")
-      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
-        min("k").as("min_k"), max("k").as("max_k"),
-        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
     val discarded = evts.groupBy(col("ver")).agg(count(lit(1)).as("ne"))
       .withColumn("discarded_events",
         coalesce(sum("ne").over(Window.orderBy(col("ver").desc)
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("ver").as("version"), col("discarded_events"))
-    audit.join(discarded, "version")
+    versionAudit(evts).join(discarded, "version")
       .select(col("version").cast("int").as("version"), col("n_rows"),
         col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
         col("discarded_events"))
       .orderBy("version")
+  }
+
+  /** The validity-range per-version audit fold over a (k, ver, op, hd)
+    * digest-event frame — ONE definition for the full-log read
+    * ([[pipelineTimeTravel]]), the checkpoint+tail read
+    * ([[pipelineCheckpoint]]) and the vacuumed-log read
+    * ([[pipelineVacuum]]) (the stateAt/alignRollup factoring rule:
+    * three serving paths, one fold, so they cannot drift).
+    */
+  private[graft] def versionAudit(evts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("k").orderBy("ver")
+    evts
+      .withColumn("valid_to",
+        coalesce(lead("ver", 1).over(w) - 1, lit(ttVersions)))
+      .filter(col("op") =!= "delete")
+      .select(col("k"), col("hd"),
+        explode(expr("sequence(ver, valid_to)")).as("version"))
+      .groupBy("version")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
   }
 
   /** The version window the CDC diff and checkpoint demos audit — ONE
@@ -5173,7 +5184,6 @@ object Text {
     * longer pays for.
     */
   def pipelineCheckpoint(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val logBase = ensureVersionLog(spark, dir)
     val ckBase = ensureTtCheckpoint(spark, dir)
     val ck = spark.read.parquet(s"$ckBase/state")
@@ -5183,28 +5193,106 @@ object Text {
       .filter(col("ver") > ttCheckpointVer)
       .select(col("k"), col("ver"), col("op"),
         md5(col("new_text").cast("binary")).as("hd"))
-    val evts = ck.unionByName(tail)
-    val w = Window.partitionBy("k").orderBy("ver")
-    val live = evts
-      .withColumn("valid_to",
-        coalesce(lead("ver", 1).over(w) - 1, lit(ttVersions)))
-      .filter(col("op") =!= "delete")
-      .select(col("k"), col("hd"),
-        explode(expr("sequence(ver, valid_to)")).as("version"))
     // ONE manifest row of index metadata (the BM25-totals collect
     // precedent) — recorded at checkpoint build, so the serve reads
     // zero absorbed-prefix bytes
     val absorbed = spark.read.parquet(s"$ckBase/meta")
       .head().getLong(0)
-    live.groupBy("version")
-      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
-        min("k").as("min_k"), max("k").as("max_k"),
-        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+    versionAudit(ck.unionByName(tail))
       .withColumn("absorbed_events", lit(absorbed))
       .select(col("version").cast("int").as("version"), col("n_rows"),
         col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
         col("absorbed_events"))
       .orderBy("version")
+  }
+
+  // vacuumed log path -> sfDir that built it
+  private val ttVacuumFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** VACUUM — physical log truncation (the Delta VACUUM analog, the
+    * destructive half [[pipelineCheckpoint]] deliberately avoids): the
+    * absorbed prefix is REWRITTEN away into a new `ver`-partitioned log
+    * whose `ver=`[[ttCheckpointVer]] partition is the checkpointed
+    * state as upsert events and whose tail partitions carry over
+    * verbatim. Lives in its OWN overlay dir; the standing log is never
+    * touched (TimeTravelSpec pins it), so this demo keeps
+    * below-horizon reads possible in principle — a production vacuum
+    * would delete the prefix in place, which is exactly why the
+    * horizon error contract below exists. The manifest records the
+    * horizon and the event count reclaimed, both at build time.
+    */
+  def ensureTtVacuum(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "tt_vacuum")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(ttVacuumFor.get(base).contains(dir) && fs.exists(marker))) {
+        ttVacuumFor.remove(base)
+        fs.delete(marker, false)
+        val logBase = ensureVersionLog(spark, dir)
+        val ckBase = ensureTtCheckpoint(spark, dir)
+        val absorbed = spark.read.parquet(s"$ckBase/meta")
+          .head().getLong(0)
+        val stateRows = spark.read.parquet(s"$ckBase/state").count()
+        spark.range(1)
+          .select(lit(ttCheckpointVer).as("horizon"),
+            lit(absorbed - stateRows).as("vacuumed_events"))
+          .write.mode("overwrite").parquet(s"$base/meta")
+        spark.read.parquet(s"$ckBase/state")
+          .select(col("k"), col("text").as("new_text"),
+            lit("upsert").as("op"), lit(ttCheckpointVer).as("ver"))
+          .unionByName(spark.read.parquet(s"$logBase/events")
+            .filter(col("ver") > ttCheckpointVer)
+            .select("k", "new_text", "op", "ver"))
+          .write.mode("overwrite").partitionBy("ver")
+          .parquet(s"$base/events")
+        ttVacuumFor(base) = dir
+      }
+      base
+    }
+
+  /** The vacuumed-log serve: the per-version audit for every surviving
+    * version, computed ONLY from the vacuumed log (no version_log or
+    * checkpoint path appears in the plan — spec-pinned), through the
+    * identical [[versionAudit]] fold. The oracle replays the FULL batch
+    * history from scratch — agreement at every v >= horizon proves the
+    * physical truncation lost nothing the horizon still promises, and
+    * `vacuumed_events` accounts for exactly what was reclaimed (the
+    * no-silent-caps rule applied to storage).
+    */
+  def pipelineVacuum(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureTtVacuum(spark, dir)
+    val meta = spark.read.parquet(s"$base/meta").head()
+    val evts = spark.read.parquet(s"$base/events")
+      .select(col("k"), col("ver"), col("op"),
+        md5(col("new_text").cast("binary")).as("hd"))
+    versionAudit(evts)
+      .withColumn("horizon", lit(meta.getAs[Int]("horizon")))
+      .withColumn("vacuumed_events", lit(meta.getAs[Long]("vacuumed_events")))
+      .select(col("version").cast("int").as("version"), col("n_rows"),
+        col("id_sum"), col("min_k"), col("max_k"), col("text_xor"),
+        col("horizon"), col("vacuumed_events"))
+      .orderBy("version")
+  }
+
+  /** Point read over the vacuumed log, with the rollback-horizon ERROR
+    * CONTRACT (the reference's explicit-error discipline,
+    * `parquet.py:63-65`): a version below the horizon names its failure
+    * instead of silently serving the checkpoint state it would
+    * otherwise alias to — after a real in-place vacuum that history no
+    * longer exists.
+    */
+  def readAtVersionVacuumed(spark: SparkSession, dir: String,
+      v: Int): DataFrame = {
+    val base = ensureTtVacuum(spark, dir)
+    val horizon = spark.read.parquet(s"$base/meta")
+      .head().getAs[Int]("horizon")
+    require(v >= horizon,
+      s"version $v precedes the vacuum horizon $horizon: that history " +
+        "was reclaimed — time travel below the horizon needs the " +
+        "un-vacuumed log")
+    stateAt(spark.read.parquet(s"$base/events"), v)
   }
 
   /** The (lang, source) partial-aggregate projection shared by the

@@ -132,6 +132,46 @@ class TimeTravelSpec extends SparkSpec {
       "the checkpoint overlay must leave the append-only log untouched")
   }
 
+  test("the vacuumed log serves every surviving version and reads neither the log nor the checkpoint") {
+    val ck = Text.pipelineCheckpoint(spark, dir).collect()
+      .map(r => r.getAs[Int]("version") -> r.toSeq.dropRight(1)).toMap
+    val vac = Text.pipelineVacuum(spark, dir).collect()
+    assert(vac.map(_.getAs[Int]("version")).toSeq ==
+      (Text.ttCheckpointVer to Text.ttVersions).toSeq)
+    vac.foreach { r =>
+      assert(r.toSeq.dropRight(2) == ck(r.getAs[Int]("version")),
+        s"vacuumed serve drifted at v=${r.get(0)}")
+      assert(r.getAs[Int]("horizon") == Text.ttCheckpointVer)
+      assert(r.getAs[Long]("vacuumed_events") > 0,
+        "a vacuum that reclaimed nothing proves nothing")
+    }
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val roots = try {
+      Text.pipelineVacuum(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec =>
+            f.relation.location.rootPaths.map(_.toString)
+        }.flatten
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(roots.nonEmpty && roots.forall(_.contains("tt_vacuum")),
+      s"the vacuumed serve must read ONLY the truncated log: $roots")
+  }
+
+  test("a below-horizon read names its failure; at-horizon and above match the un-vacuumed log") {
+    val e = intercept[IllegalArgumentException] {
+      Text.readAtVersionVacuumed(spark, dir, Text.ttCheckpointVer - 1)
+    }
+    assert(e.getMessage.contains("vacuum horizon"))
+    (Text.ttCheckpointVer to Text.ttVersions).foreach { v =>
+      val vac = Text.readAtVersionVacuumed(spark, dir, v)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val full = Text.readAtVersion(spark, dir, v)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(vac == full, s"vacuumed point read drifted at v=$v")
+    }
+  }
+
   test("the standing log is served, not rebuilt per read") {
     val base = Text.ensureVersionLog(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
