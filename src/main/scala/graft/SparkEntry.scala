@@ -386,6 +386,11 @@ object SparkEntry {
       graft.multimodal.Multimodal.crossModalDedup(s, dir)),
     // trimmed/shifted re-cut detection: 3-frame shingle blocking,
     // per-offset gaps-and-islands longest aligned run
+    // align-index lifecycle: landing carve admitted with the identical
+    // projections; merged row DERIVED by XOR composition while the
+    // oracle recomputes all three rows from first principles
+    "mm_align_refresh" -> ((s, dir) =>
+      graft.multimodal.Multimodal.mmAlignRefresh(s, dir)),
     "mm_temporal_align" -> ((s, dir) =>
       graft.multimodal.Multimodal.temporalAlign(
         graft.multimodal.Multimodal.fromDocuments(
@@ -2080,6 +2085,32 @@ object SparkEntry {
       |  SELECT -doc_id - 1, 'new: ' || text, 'upsert' FROM base WHERE doc_id % ${Text.mergeInsMod} = 0
       |  UNION ALL
       |  SELECT doc_id, NULL, 'delete' FROM base WHERE doc_id % ${Text.mergeDelMod} = ${Text.mergeDelRem} AND doc_id % ${Text.mergeRevMod} <> 0)""".stripMargin
+
+  /** The temporal-align frame/shingle CTE block (fr0 → fr → s0 → sh) —
+    * ONE text for the mm_temporal_align rollup oracle and the
+    * mm_align_refresh lifecycle oracle (the mergeBaseUpdCtes rule), with
+    * the frame grid and empty-frame filter mirroring
+    * [[graft.multimodal.Multimodal.frameSample]] / `alignShingles`.
+    */
+  private def alignFrShCtes: String = {
+    val nF = graft.multimodal.Multimodal.alignFrames
+    s"""fr0 AS (
+      |  SELECT doc_id AS media_id, i AS idx,
+      |    substring(text, CAST(i * fs AS BIGINT) + 1, CAST(fs AS BIGINT)) AS frame
+      |  FROM (SELECT doc_id, text,
+      |          greatest(ceil(length(text) / $nF.0), 1) AS fs FROM documents),
+      |       generate_series(0, ${nF - 1}) t(i)),
+      |fr AS (SELECT media_id, idx, md5(frame) AS h FROM fr0
+      |       WHERE length(frame) > 0),
+      |s0 AS (
+      |  SELECT media_id,
+      |    h,
+      |    lead(h, 1) OVER (PARTITION BY media_id ORDER BY idx) AS f1,
+      |    lead(h, 2) OVER (PARTITION BY media_id ORDER BY idx) AS f2
+      |  FROM fr),
+      |sh AS (SELECT DISTINCT media_id, md5(h || ':' || f1 || ':' || f2) AS g
+      |       FROM s0 WHERE f2 IS NOT NULL)""".stripMargin
+  }
 
   /** The time-travel replay CTEs: the per-version update batches (carve
     * constants from [[graft.queries.Text.ttCarves]] verbatim — the
@@ -6018,24 +6049,35 @@ object SparkEntry {
     // runs, and the same (longest_run, n_aligned, smallest offset)
     // arg-max as the Spark max-struct — geometry interpolated from the
     // ONE constant pair (the kmeansCtes discipline).
+    // Align-index refresh: base/delta/merged stats all computed from
+    // first principles over the full corpus (the oracle never sees the
+    // standing tables) — agreement proves the standing tables ARE the
+    // base carve and that XOR composition equals rebuild.
+    "mm_align_refresh" ->
+      s"""WITH $alignFrShCtes,
+        |ff AS (SELECT media_id, md5(CAST(media_id AS VARCHAR) || ':' || CAST(idx AS VARCHAR) || ':' || h) AS hd FROM fr),
+        |sf AS (SELECT media_id, md5(CAST(media_id AS VARCHAR) || ':' || g) AS hd FROM sh),
+        |fstats AS (
+        |  SELECT CASE WHEN media_id % 5 <> 0 THEN 'base' ELSE 'delta' END AS grp,
+        |    count(DISTINCT media_id) AS n_media, count(*) AS n_frames,
+        |    ${signed64Xor("hd")} AS frame_xor
+        |  FROM ff GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'merged', count(DISTINCT media_id), count(*), ${signed64Xor("hd")} FROM ff),
+        |sstats AS (
+        |  SELECT CASE WHEN media_id % 5 <> 0 THEN 'base' ELSE 'delta' END AS grp,
+        |    count(*) AS n_shingles, ${signed64Xor("hd")} AS shingle_xor
+        |  FROM sf GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'merged', count(*), ${signed64Xor("hd")} FROM sf)
+        |SELECT f.grp, CAST(f.n_media AS BIGINT) AS n_media,
+        |  CAST(f.n_frames AS BIGINT) AS n_frames, f.frame_xor,
+        |  CAST(s.n_shingles AS BIGINT) AS n_shingles, s.shingle_xor
+        |FROM fstats f JOIN sstats s ON f.grp = s.grp
+        |ORDER BY f.grp""".stripMargin,
     "mm_temporal_align" -> {
       val nF = graft.multimodal.Multimodal.alignFrames
-      s"""WITH fr0 AS (
-        |  SELECT doc_id AS media_id, i AS idx,
-        |    substring(text, CAST(i * fs AS BIGINT) + 1, CAST(fs AS BIGINT)) AS frame
-        |  FROM (SELECT doc_id, text,
-        |          greatest(ceil(length(text) / $nF.0), 1) AS fs FROM documents),
-        |       generate_series(0, ${nF - 1}) t(i)),
-        |fr AS (SELECT media_id, idx, md5(frame) AS h FROM fr0
-        |       WHERE length(frame) > 0),
-        |s0 AS (
-        |  SELECT media_id,
-        |    h,
-        |    lead(h, 1) OVER (PARTITION BY media_id ORDER BY idx) AS f1,
-        |    lead(h, 2) OVER (PARTITION BY media_id ORDER BY idx) AS f2
-        |  FROM fr),
-        |sh AS (SELECT DISTINCT media_id, md5(h || ':' || f1 || ':' || f2) AS g
-        |       FROM s0 WHERE f2 IS NOT NULL),
+      s"""WITH $alignFrShCtes,
         |c AS (SELECT DISTINCT x.media_id AS media_a, y.media_id AS media_b
         |      FROM sh x JOIN sh y ON x.g = y.g AND x.media_id < y.media_id),
         |m AS (

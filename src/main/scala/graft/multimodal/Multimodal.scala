@@ -253,6 +253,81 @@ object Multimodal {
     base
   }
 
+  /** One side's (frames, shingles) audit stats for [[mmAlignRefresh]]:
+    * media/frame/shingle counts plus 64-bit md5 XOR folds binding every
+    * row's FULL identity (media:idx:digest / media:shingle — an
+    * off-by-one frame index or a swapped media id flips the fold). The
+    * two single-row aggregates meet through a union + groupBy re-fold,
+    * never a constant-key join (the BNLJ ban).
+    */
+  private def alignSideStats(frames: DataFrame, shingles: DataFrame,
+      grp: String): DataFrame = {
+    val xor = graft.queries.Text.md5SignedHash64Expr("hd")
+    val f = frames
+      .select(md5(concat_ws(":", col("media_id"), col("frame_idx"),
+        col("frame_md5")).cast("binary")).as("hd"), col("media_id"))
+      .agg(countDistinct("media_id").as("n_media"),
+        count(lit(1)).as("n_frames"),
+        expr(s"bit_xor($xor)").as("frame_xor"))
+      .select(lit(grp).as("grp"), col("n_media"), col("n_frames"),
+        col("frame_xor"), lit(null).cast("long").as("n_shingles"),
+        lit(null).cast("long").as("shingle_xor"))
+    val s = shingles
+      .select(md5(concat_ws(":", col("media_id"), col("g"))
+        .cast("binary")).as("hd"))
+      .agg(count(lit(1)).as("n_shingles"),
+        expr(s"bit_xor($xor)").as("shingle_xor"))
+      .select(lit(grp).as("grp"), lit(null).cast("long").as("n_media"),
+        lit(null).cast("long").as("n_frames"),
+        lit(null).cast("long").as("frame_xor"),
+        col("n_shingles"), col("shingle_xor"))
+    f.unionByName(s).groupBy("grp")
+      .agg(max("n_media").as("n_media"), max("n_frames").as("n_frames"),
+        max("frame_xor").as("frame_xor"),
+        max("n_shingles").as("n_shingles"),
+        max("shingle_xor").as("shingle_xor"))
+  }
+
+  /** ALIGN-INDEX REFRESH audit (the lifecycle half [[ensureAlignIndex]]
+    * lacked — every other standing artifact has one): the landing carve
+    * (`media_id % 5 = 0`, the incremental-delta convention) is admitted
+    * by computing its frames/shingles with the IDENTICAL projections
+    * the standing tables were built from, and the refreshed index is
+    * DERIVED by composition — counts add, the 64-bit md5 XOR folds XOR
+    * (media ids are disjoint across the carves, so every fold input is
+    * distinct and XOR composition is lossless). The oracle computes the
+    * base, delta AND merged rows from first principles over the full
+    * corpus and never sees the standing tables — agreement proves both
+    * that the standing tables are exactly the base carve (no drift
+    * since build) and that composition ≡ rebuild, bit for bit.
+    *
+    * Scale shape: the base row aggregates the STANDING tables (never
+    * re-derives them from media); the delta pass reads only the landing
+    * carve; every aggregate is a single bounded row.
+    */
+  def mmAlignRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureAlignIndex(spark, dir)
+    val bStats = alignSideStats(
+      spark.read.parquet(s"$base/frames"),
+      spark.read.parquet(s"$base/shingles"), "base")
+    val deltaMedia = fromDocuments(
+      graft.Tables(spark, dir, "documents")
+        .filter(col("doc_id") % 5 === 0), alignFrames)
+    val dStats = alignSideStats(
+      frameSample(deltaMedia).filter(col("frame_bytes") > 0)
+        .select(col("media_id"), col("frame_idx"), col("frame_md5")),
+      alignShingles(deltaMedia).distinct(), "delta")
+    val both = bStats.unionByName(dStats)
+    val merged = both
+      .agg(sum("n_media").as("n_media"), sum("n_frames").as("n_frames"),
+        expr("bit_xor(frame_xor)").as("frame_xor"),
+        sum("n_shingles").as("n_shingles"),
+        expr("bit_xor(shingle_xor)").as("shingle_xor"))
+      .select(lit("merged").as("grp"), col("n_media"), col("n_frames"),
+        col("frame_xor"), col("n_shingles"), col("shingle_xor"))
+    both.unionByName(merged).orderBy("grp")
+  }
+
   /** Banding/threshold geometry for [[simhashDedup]] — shared with the
     * generated oracle (the kmeansCtes discipline: the Spark side derives
     * its shift from THESE constants and the oracle interpolates them, so

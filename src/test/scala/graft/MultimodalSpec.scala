@@ -181,6 +181,27 @@ class MultimodalSpec extends SparkSpec {
     assert(arr.nonEmpty)
   }
 
+  test("align-index refresh: merged row is the exact XOR/sum composition and the standing tables are served") {
+    val dir = "/root/testdata/sf0.001"
+    val base = Multimodal.ensureAlignIndex(spark, dir)
+    val marker = new org.apache.hadoop.fs.Path(s"$base/shingles/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t0 = fs.getFileStatus(marker).getModificationTime
+    val rows = Multimodal.mmAlignRefresh(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("base", "delta", "merged"))
+    val (b, d, m) = (rows("base"), rows("delta"), rows("merged"))
+    Seq("n_media", "n_frames", "n_shingles").foreach { c =>
+      assert(m.getAs[Long](c) == b.getAs[Long](c) + d.getAs[Long](c), c)
+    }
+    Seq("frame_xor", "shingle_xor").foreach { c =>
+      assert(m.getAs[Long](c) == (b.getAs[Long](c) ^ d.getAs[Long](c)), c)
+    }
+    assert(b.getAs[Long]("n_media") > 0 && d.getAs[Long]("n_media") > 0)
+    assert(fs.getFileStatus(marker).getModificationTime == t0,
+      "a refresh audit must serve the standing tables, not rebuild them")
+  }
+
   test("temporalAlign: a trimmed re-cut aligns at its shift, scattered shared frames do not") {
     val spark2 = spark
     import spark2.implicits._
