@@ -226,6 +226,11 @@ object SparkEntry {
     // vacuum: the PHYSICALLY truncated log serves every surviving
     // version; reclaimed events accounted; below-horizon reads throw
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
+    // optimistic concurrency: A commits, B's write-write conflicts are
+    // rejected into the retry set, the rest serializes as the next
+    // version; oracle rebuilds all four audit facets from first
+    // principles
+    "pipeline_write_conflict" -> ((s, d) => Text.pipelineWriteConflict(s, d)),
     // the delete half: XOR self-inverse retracts the CDC delete carve
     // from the refreshed view; oracle recomputes the survivors one-pass
     "pipeline_agg_retract" -> ((s, d) => Text.pipelineAggRetract(s, d)),
@@ -4814,6 +4819,41 @@ object SparkEntry {
          |  CAST($c AS INTEGER) AS horizon,
          |  CAST($absorbed - (SELECT count(*) FROM s$c) AS BIGINT) AS vacuumed_events
          |FROM aud a ORDER BY a.version""".stripMargin
+    },
+    // OCC: writer A = the time-travel v1 carve verbatim, writer B the
+    // occ carve; conflicts = key-set intersection; the final state is
+    // two sequential replay merges (A then B's survivors).
+    "pipeline_write_conflict" -> {
+      val (rm, rr, dm, dr, im) = Text.ttCarves.head
+      s"""WITH tb AS (SELECT doc_id, text FROM documents),
+         |a AS (
+         |  SELECT doc_id AS k, text || ' [v1]' AS new_text, 'upsert' AS op FROM tb WHERE doc_id % $rm = $rr
+         |  UNION ALL
+         |  SELECT doc_id, NULL, 'delete' FROM tb WHERE doc_id % $dm = $dr AND doc_id % $rm <> $rr
+         |  UNION ALL
+         |  SELECT -8*doc_id - 1, 'new v1: ' || text, 'upsert' FROM tb WHERE doc_id % $im = 0),
+         |b AS (
+         |  SELECT doc_id AS k, text || ' [wb]' AS new_text, 'upsert' AS op FROM tb WHERE doc_id % ${Text.occRevMod} = ${Text.occRevRem}
+         |  UNION ALL
+         |  SELECT doc_id, NULL, 'delete' FROM tb WHERE doc_id % ${Text.occDelMod} = ${Text.occDelRem} AND doc_id % ${Text.occRevMod} <> ${Text.occRevRem}),
+         |ak AS (SELECT DISTINCT k FROM a),
+         |bnc AS (SELECT b.* FROM b LEFT JOIN ak ON b.k = ak.k WHERE ak.k IS NULL),
+         |brej AS (SELECT b.* FROM b JOIN ak ON b.k = ak.k),
+         |m1 AS MATERIALIZED (
+         |  SELECT coalesce(u.k, s.doc_id) AS k,
+         |    CASE WHEN u.op = 'upsert' THEN u.new_text ELSE s.text END AS text
+         |  FROM tb s FULL OUTER JOIN a u ON s.doc_id = u.k
+         |  WHERE u.op IS NULL OR u.op <> 'delete'),
+         |m2 AS (
+         |  SELECT coalesce(u.k, s.k) AS k,
+         |    CASE WHEN u.op = 'upsert' THEN u.new_text ELSE s.text END AS text
+         |  FROM m1 s FULL OUTER JOIN bnc u ON s.k = u.k
+         |  WHERE u.op IS NULL OR u.op <> 'delete')
+         |SELECT 'a_committed' AS grp, count(*) AS n_rows, CAST(sum(k) AS BIGINT) AS id_sum, ${signed64Xor("md5(new_text)")} AS text_xor FROM a
+         |UNION ALL SELECT 'b_committed', count(*), CAST(sum(k) AS BIGINT), ${signed64Xor("md5(new_text)")} FROM bnc
+         |UNION ALL SELECT 'b_rejected', count(*), CAST(sum(k) AS BIGINT), ${signed64Xor("md5(new_text)")} FROM brej
+         |UNION ALL SELECT 'final_state', count(*), CAST(sum(k) AS BIGINT), ${signed64Xor("md5(text)")} FROM m2
+         |ORDER BY grp""".stripMargin
     },
     // Incremental MV refresh: the oracle aggregates the FULL corpus in
     // one pass (base + delta carve arithmetic inline) and never sees the

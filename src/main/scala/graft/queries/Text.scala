@@ -5295,6 +5295,80 @@ object Text {
     stateAt(spark.read.parquet(s"$base/events"), v)
   }
 
+  /** Writer B's carve for the OCC demo — one set of literals for both
+    * engines (the ttCarves rule). Chosen to overlap writer A's
+    * ([[ttBatch]] v=1) write set on every scale factor: rev∩rev at
+    * doc_id ≡ 9 mod 12, del∩del at doc_id ≡ 107 mod 357.
+    */
+  private[graft] val occRevMod = 4
+  private[graft] val occRevRem = 1
+  private[graft] val occDelMod = 21
+  private[graft] val occDelRem = 2
+
+  private[graft] def occBatchB(base: DataFrame): DataFrame =
+    base.filter(col("doc_id") % occRevMod === occRevRem)
+      .select(col("doc_id").as("k"),
+        concat(col("text"), lit(" [wb]")).as("new_text"),
+        lit("upsert").as("op"))
+      .unionAll(base.filter(col("doc_id") % occDelMod === occDelRem &&
+          col("doc_id") % occRevMod =!= occRevRem)
+        .select(col("doc_id").as("k"),
+          lit(null).cast("string").as("new_text"), lit("delete").as("op")))
+
+  /** OPTIMISTIC CONCURRENCY (the Delta/Iceberg commit-protocol
+    * primitive the version-log family still lacked): two writers both
+    * read snapshot v0 and prepare MERGE batches — writer A is the
+    * [[ttBatch]] v=1 carve verbatim, writer B is [[occBatchB]], with
+    * key overlap by construction. A commits first (deterministic
+    * writer order); B's commit then passes serializable conflict
+    * detection: events whose keys A also wrote are REJECTED into the
+    * retry set (write-write conflicts — B validated against a stale
+    * snapshot), the disjoint remainder commits as the next version.
+    * The audit reports all four facets: A's committed events, B's
+    * committed remainder, B's rejected retry set, and the final state
+    * (base + A + B's survivors through the [[stateAt]] fold — one
+    * last-writer-wins pass, payloads absolute so commit order IS the
+    * serialization). The oracle rebuilds every group from first
+    * principles — carves, key-set intersection, two sequential replay
+    * merges — agreement proves the conflict partition AND the
+    * serialized final state bit-for-bit.
+    *
+    * Scale shape: write sets join on bare keys (digest-only shuffles:
+    * payloads are md5'd before any exchange), batches are delta-sized,
+    * and the final-state fold is the one keyed exchange the MERGE
+    * family always pays. Output: 4 bounded rows.
+    */
+  def pipelineWriteConflict(spark: SparkSession, dir: String): DataFrame = {
+    val base = docs(spark, dir).select(col("doc_id"), col("text"))
+    val a = ttBatch(base, 1)
+    val b = occBatchB(base)
+    val aKeys = a.select("k").distinct()
+    val bNc = b.join(aKeys, Seq("k"), "left_anti")
+    val bRej = b.join(aKeys, Seq("k"), "left_semi")
+    def evAudit(ev: DataFrame, grp: String): DataFrame = ev
+      .select(col("k"), md5(col("new_text").cast("binary")).as("hd"))
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .select(lit(grp).as("grp"), col("n_rows"), col("id_sum"),
+        col("text_xor"))
+    val events = base
+      .select(col("doc_id").as("k"), col("text").as("new_text"),
+        lit("upsert").as("op"), lit(0).as("ver"))
+      .unionByName(a.withColumn("ver", lit(1)))
+      .unionByName(bNc.withColumn("ver", lit(2)))
+    val finAudit = stateAt(events, 2)
+      .select(col("k"), md5(col("text").cast("binary")).as("hd"))
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .select(lit("final_state").as("grp"), col("n_rows"), col("id_sum"),
+        col("text_xor"))
+    evAudit(a, "a_committed")
+      .unionByName(evAudit(bNc, "b_committed"))
+      .unionByName(evAudit(bRej, "b_rejected"))
+      .unionByName(finAudit)
+      .orderBy("grp")
+  }
+
   /** The (lang, source) partial-aggregate projection shared by the
     * standing materialized aggregate ([[ensureAggMv]]) and the delta
     * refresh pass — one definition (the mergeUpdates rule), so the

@@ -172,6 +172,33 @@ class TimeTravelSpec extends SparkSpec {
     }
   }
 
+  test("planted OCC: write-write conflicts are rejected, the remainder serializes") {
+    val spark2 = spark
+    import spark2.implicits._
+    // A (tt v1 carve) writes {9 rev, 5 del, 107 del, -105 ins};
+    // B (occ carve) writes {5 rev, 9 rev, 13 rev, 107 del} — conflicts
+    // {5, 9, 107} span all three shapes: update-update, delete-update,
+    // delete-delete; B's rev of 13 is disjoint (A only INSERTED -105
+    // from doc 13 — key-level detection must not conflate them)
+    val d = java.nio.file.Files.createTempDirectory("graft-occ").toString
+    Seq((5L, "t5"), (8L, "t8"), (9L, "t9"), (13L, "t13"), (107L, "t107"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = Text.pipelineWriteConflict(spark, d).collect()
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("id_sum")))).toMap
+    assert(rows("a_committed") == ((4L, 16L)), s"got $rows")
+    assert(rows("b_rejected") == ((3L, 121L)),
+      s"conflicts must be exactly {5, 9, 107}: $rows")
+    assert(rows("b_committed") == ((1L, 13L)),
+      s"B's disjoint revision of 13 must survive: $rows")
+    // final: {8, 9->[v1], 13->[wb], -105}; 5 and 107 stay deleted by A
+    // (B's rejected rev of 5 must NOT resurrect it)
+    assert(rows("final_state") == ((4L, -75L)), s"got $rows")
+  }
+
   test("the standing log is served, not rebuilt per read") {
     val base = Text.ensureVersionLog(spark, dir)
     val marker = new org.apache.hadoop.fs.Path(s"$base/events/_SUCCESS")
