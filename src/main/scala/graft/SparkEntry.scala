@@ -287,6 +287,10 @@ object SparkEntry {
     // filter on vector-free rows; oracle pre-filters the member side of
     // the same chain (filter/rank commute — FilteredAnnSpec pins it)
     "sim_filtered_ann_indexed" -> ((s, d) => Similarity.simFilteredAnnIndexed(s, d)),
+    // nprobe calibration audit: candidate recall of brute-force top-k
+    // per probe depth, in exact integers (the dd_lsh_scurve treatment
+    // for IVF)
+    "sim_probe_curve" -> ((s, d) => Similarity.simProbeCurve(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_kmeans_pp" -> ((s, d) => Similarity.simKmeansPp(s, d)),
     // k-means‖ (Bahmani et al.): batch oversampling passes + weighted
@@ -5924,6 +5928,34 @@ object SparkEntry {
     // the same coarse/score chain, label predicate on the MEMBER side
     "sim_filtered_ann_indexed" ->
       ivfAnnSqlOver(s"label = ${Similarity.filteredAnnLabel}"),
+    // Probe-depth calibration: brute-force top-5 from the exact cosine
+    // chain, neighbor cells from the crnk=1 assignment, query probe
+    // ranks from the same rk chain, swept over the shared depth list —
+    // integer candidate-recall counts per depth.
+    "sim_probe_curve" -> {
+      val depths = Similarity.probeCurveDepths.map(d => s"($d)").mkString(",")
+      s"""WITH ${kmeansCtes()},
+         |$ivfRankCtes,
+         |q AS (SELECT vec_id AS qid, embedding AS qvec, vnorm AS qnorm FROM e WHERE vec_id < 5),
+         |s AS (
+         |  SELECT qid, e.vec_id,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * vnorm) AS cosine
+         |  FROM e, q WHERE e.vec_id <> qid),
+         |bf AS (SELECT qid, vec_id FROM (
+         |    SELECT qid, vec_id, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
+         |  WHERE rnk <= 5),
+         |mc AS (SELECT vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+         |pr AS (SELECT vec_id AS qid, c_label AS cell, crnk FROM rk WHERE vec_id < 5),
+         |j AS (
+         |  SELECT bf.qid, bf.vec_id, pr.crnk
+         |  FROM bf JOIN mc ON bf.vec_id = mc.vec_id
+         |    LEFT JOIN pr ON pr.qid = bf.qid AND pr.cell = mc.cell),
+         |d AS (SELECT * FROM (VALUES $depths) t(nprobe))
+         |SELECT nprobe,
+         |  CAST(sum(CASE WHEN crnk IS NOT NULL AND crnk <= nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |  count(*) AS n_pairs
+         |FROM j, d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     // hash covers the WHOLE training loop: any drift in a seed, a distance
     // tie, or a mean in any round changes members -> counts/norms/inertia
     "sim_ivf_kmeans" ->

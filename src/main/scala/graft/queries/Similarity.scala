@@ -2167,6 +2167,60 @@ object Similarity {
     ivfTopK(scored.join(allowed, Seq("m_vec_id"), "left_semi"), k)
   }
 
+  /** Probe depths the IVF calibration audit sweeps — shared with the
+    * generated oracle (the kmeansCtes rule).
+    */
+  private[graft] val probeCurveDepths = Seq(1, 2, 4, 8)
+
+  /** IVF PROBE-DEPTH CALIBRATION AUDIT — the [[graft.queries.Text
+    * .ddLshScurve]] treatment applied to the other approximate family:
+    * the audit that justifies the suite's nprobe choice with MEASURED
+    * integers instead of folklore. For each depth in
+    * [[probeCurveDepths]], exactly how many of the brute-force top-k
+    * pairs have their neighbor's cell inside the query's top-`nprobe`
+    * probed cells — CANDIDATE recall, the quantity nprobe actually
+    * controls (ranking inside the candidate pool is exact, so candidate
+    * recall bounds serve recall from above). Pure integer counts — no
+    * float crosses the engines except inside the already-bit-exact
+    * cosine rank chains.
+    *
+    * Scale shape: the brute-force leg is the [[simCosineTopk]] pass (a
+    * few query vectors broadcast over one corpus scan — the audit's
+    * honest cost, run offline once per index build); the index legs are
+    * metadata-sized (member cell ids column-pruned off the standing
+    * cells table, |queries|·maxDepth probe ranks); the depth sweep is a
+    * bounded explode of k·|queries| rows × |depths|.
+    */
+  def simProbeCurve(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = ensureIvfIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    defaultQueries(spark, dir).createOrReplaceTempView("graft_ivf_queries")
+    // probe ranks to the max depth; the re-derived row_number over the
+    // retained rows reproduces the chain's crnk exactly (same ordering,
+    // prefix-closed retention)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("cos_c").desc, col("c_label").asc)
+    val probeRanks = spark.sql(ivfProbeKeysSql(probeCurveDepths.max))
+      .withColumn("prnk", row_number().over(w))
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"),
+        col("prnk"))
+    val memberCells = readIvfCells(spark, base)
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val bf = simCosineTopk(spark, dir, None, k).select("qid", "vec_id")
+    bf.join(memberCells, "vec_id")
+      .join(probeRanks, Seq("qid", "cell"), "left")
+      .select(col("qid"), col("prnk"),
+        explode(expr(s"array(${probeCurveDepths.mkString(", ")})"))
+          .as("nprobe"))
+      .groupBy("nprobe")
+      .agg(sum(when(col("prnk").isNotNull && col("prnk") <= col("nprobe"),
+          1L).otherwise(0L)).as("n_found"),
+        count(lit(1)).as("n_pairs"))
+      .orderBy("nprobe")
+  }
+
   // ---- Product quantization (PQ / ADC) ---------------------------------
 
   /** PQ geometry — shared by the Spark operators and the generated DuckDB

@@ -68,4 +68,23 @@ class IvfRecallSpec extends SparkSpec {
       assert(shipped >= floor,
         s"shipped-point (nprobe=2) recall $shipped below the pinned $floor floor at $dir")
     }
+
+  test("probe-curve audit: integer candidate recall, monotone, pinned at the shipped depth") {
+    // the oracle'd audit (sim_probe_curve) counts CANDIDATE recall —
+    // the quantity nprobe controls and an upper bound on serve recall;
+    // measured points: 19/23/24/25 of 25 at sf0.001 (22 trained cells)
+    val rows = Similarity.simProbeCurve(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => r.getAs[Int]("nprobe") ->
+        ((r.getAs[Long]("n_found"), r.getAs[Long]("n_pairs")))).toMap
+    assert(rows.keySet == Similarity.probeCurveDepths.toSet)
+    assert(rows.values.forall(_._2 == 25L))
+    Similarity.probeCurveDepths.sliding(2).foreach {
+      case Seq(a, b) => assert(rows(a)._1 <= rows(b)._1,
+        s"candidate recall must be monotone in nprobe: $rows")
+      case _ => ()
+    }
+    assert(rows(2)._1 >= 23L,
+      s"shipped-depth candidate recall regressed below the measured 23/25: $rows")
+  }
 }
