@@ -2145,6 +2145,14 @@ object Similarity {
     * cells table itself (scan-level pushdown inside probed partitions);
     * this serve keeps the shared standing index's pinned schema and
     * documents the swap instead.
+    *
+    * Measured selectivity penalty (FilteredAnnSpec, sf0.001, the
+    * record-the-negative rule): vs the FILTERED exact top-5, recall at
+    * the unfiltered shipped depth nprobe=2 is 0.48 (unfiltered: 0.92)
+    * — a ~10% filter thins every probed cell tenfold, so the filtered
+    * neighbors spread across more cells; nprobe=4 recovers 0.84 and
+    * nprobe=8 is exact. Deeper probing (or a label-partitioned index)
+    * is the production answer for selective filters, not a bigger k.
     */
   def simFilteredAnnIndexed(spark: SparkSession, dir: String,
       label: Int = filteredAnnLabel, nprobe: Int = 2, k: Int = 5,
