@@ -291,6 +291,10 @@ object SparkEntry {
     // per probe depth, in exact integers (the dd_lsh_scurve treatment
     // for IVF)
     "sim_probe_curve" -> ((s, d) => Similarity.simProbeCurve(s, d)),
+    // adaptive-depth filtered search: each query probes until its
+    // probed cells hold >= target label-matching candidates (exact
+    // integer occupancy off the standing index), then serves top-k
+    "sim_filtered_ann_adaptive" -> ((s, d) => Similarity.simFilteredAnnAdaptive(s, d)),
     "sim_ivf_kmeans" -> ((s, d) => Similarity.simIvfKmeans(s, d)),
     "sim_kmeans_pp" -> ((s, d) => Similarity.simKmeansPp(s, d)),
     // k-means‖ (Bahmani et al.): batch oversampling passes + weighted
@@ -5955,6 +5959,46 @@ object SparkEntry {
          |  CAST(sum(CASE WHEN crnk IS NOT NULL AND crnk <= nprobe THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
          |  count(*) AS n_pairs
          |FROM j, d GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    // Adaptive filtered search: per-cell filtered occupancy off the
+    // crnk=1 assignment, running sum in probe order, minimal depth >=
+    // target (fallback: every cell), then the verbatim score/rank chain
+    // over that per-query depth with the label pre-filter.
+    "sim_filtered_ann_adaptive" -> {
+      val lbl = Similarity.filteredAnnLabel
+      val t = Similarity.adaptiveTarget
+      s"""WITH ${kmeansCtes()},
+         |$ivfRankCtes,
+         |cc AS (SELECT c_label AS cell, count(*) AS nc FROM rk WHERE crnk = 1 AND label = $lbl GROUP BY 1),
+         |pq AS (
+         |  SELECT rk.vec_id AS qid, rk.c_label AS cell, rk.crnk,
+         |    sum(coalesce(cc.nc, 0)) OVER (PARTITION BY rk.vec_id ORDER BY rk.crnk) AS cum
+         |  FROM rk LEFT JOIN cc ON rk.c_label = cc.cell WHERE rk.vec_id < 5),
+         |dep AS (
+         |  SELECT qid, coalesce(min(CASE WHEN cum >= $t THEN crnk END), max(crnk)) AS depth_used
+         |  FROM pq GROUP BY 1),
+         |ncand AS (
+         |  SELECT pq.qid, dep.depth_used, pq.cum AS n_cands
+         |  FROM pq JOIN dep ON pq.qid = dep.qid AND pq.crnk = dep.depth_used),
+         |fcells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1 AND label = $lbl),
+         |probes AS (
+         |  SELECT rk.vec_id AS qid, rk.c_label AS cell, rk.embedding AS qvec, rk.vnorm AS qnorm
+         |  FROM rk JOIN dep ON rk.vec_id = dep.qid AND rk.crnk <= dep.depth_used
+         |  WHERE rk.vec_id < 5),
+         |s AS (
+         |  SELECT qid, m_vec_id, fcells.cell AS cell,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+         |  FROM fcells JOIN probes ON fcells.cell = probes.cell
+         |  WHERE m_vec_id <> qid),
+         |topk AS (
+         |  SELECT qid, m_vec_id AS vec_id, cell, cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk
+         |  FROM s QUALIFY rnk <= 5)
+         |SELECT t2.qid, t2.vec_id, t2.cell, t2.cosine, t2.rnk,
+         |  CAST(n.depth_used AS INTEGER) AS depth_used,
+         |  CAST(n.n_cands AS BIGINT) AS n_cands
+         |FROM topk t2 JOIN ncand n ON t2.qid = n.qid
+         |ORDER BY t2.qid, t2.rnk""".stripMargin
     },
     // hash covers the WHOLE training loop: any drift in a seed, a distance
     // tie, or a mean in any round changes members -> counts/norms/inertia

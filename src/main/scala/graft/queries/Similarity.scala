@@ -2180,6 +2180,84 @@ object Similarity {
     */
   private[graft] val probeCurveDepths = Seq(1, 2, 4, 8)
 
+  /** Minimum FILTERED candidates the adaptive search probes for — 4·k
+    * at the k=5 default, shared with the generated oracle.
+    */
+  private[graft] val adaptiveTarget = 20
+
+  /** ADAPTIVE-DEPTH filtered ANN — the principled cure for the
+    * selectivity penalty [[simFilteredAnnIndexed]]'s scaladoc records
+    * (0.48 recall at the unfiltered shipped depth): instead of a fixed
+    * nprobe, each query probes JUST deep enough that its probed cells
+    * hold at least [[adaptiveTarget]] label-matching candidates — the
+    * per-cell filtered counts are exact integers off the standing index
+    * (nlist bounded rows), the running sum over the query's cell
+    * ranking picks the minimal depth (falling back to every cell if the
+    * filter is rarer than the target), and only then are candidates
+    * scored. Queries in filter-dense regions stay cheap; queries in
+    * filter-sparse regions pay exactly the depth they need — the
+    * Qdrant/Weaviate filtered-HNSW cardinality-estimation idea, done
+    * with exact counts because the index IS a table.
+    *
+    * Output rows carry the chosen `depth_used` and the exact candidate
+    * count `n_cands` that justified it — the audit is part of the
+    * serve. The oracle re-derives depths from the same rk chain +
+    * label counts and must agree bit-for-bit, integers and floats both.
+    *
+    * Scale shape: the depth decision runs on (cell, count) metadata —
+    * |queries|·nlist rows, no vectors; scoring stays inside probed
+    * partitions; no exchange carries a vector (PlanSpec list).
+    */
+  def simFilteredAnnAdaptive(spark: SparkSession, dir: String,
+      label: Int = filteredAnnLabel, k: Int = 5,
+      target: Int = adaptiveTarget): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ensureIvfIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    defaultQueries(spark, dir).createOrReplaceTempView("graft_ivf_queries")
+    val allowed = Tables(spark, dir, "embeddings")
+      .filter(col("label") === label)
+      .select(col("vec_id").as("m_vec_id"))
+    // exact filtered occupancy per cell: nlist bounded rows of metadata
+    val cellCounts = readIvfCells(spark, base)
+      .select("m_vec_id", "cell")
+      .join(allowed, Seq("m_vec_id"), "left_semi")
+      .groupBy("cell").agg(count(lit(1)).as("nc"))
+    // rank EVERY cell per query (|queries|·nlist rows), accumulate the
+    // filtered counts in probe order, cut at the first depth >= target
+    val wr = Window.partitionBy("vec_id")
+      .orderBy(col("cos_c").desc, col("c_label").asc)
+    val ranked = spark.sql(ivfProbeKeysSql(Int.MaxValue))
+      .withColumn("prnk", row_number().over(wr))
+      .join(cellCounts.withColumnRenamed("cell", "c_label"),
+        Seq("c_label"), "left")
+      .withColumn("cum", sum(coalesce(col("nc"), lit(0L))).over(
+        Window.partitionBy("vec_id").orderBy("prnk")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val depths = ranked.groupBy(col("vec_id").as("qid"))
+      .agg(coalesce(min(when(col("cum") >= target, col("prnk"))),
+          max(col("prnk"))).as("depth_used"))
+    val nCands = ranked.join(depths,
+        col("vec_id") === col("qid") && col("prnk") === col("depth_used"))
+      .select(col("qid"), col("depth_used"), col("cum").as("n_cands"))
+    val probeKeys = ranked.join(depths,
+        col("vec_id") === col("qid") && col("prnk") <= col("depth_used"))
+      .select(col("vec_id"), col("c_label"), col("cos_c"))
+      .localCheckpoint(false)
+    val cells = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val members = readIvfCells(spark, base)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = ivfScoredCandidates(spark, dir, members, probeKeys, None)
+    ivfTopK(scored.join(allowed, Seq("m_vec_id"), "left_semi"), k)
+      .join(nCands, "qid")
+      .select(col("qid"), col("vec_id"), col("cell"), col("cosine"),
+        col("rnk"), col("depth_used"), col("n_cands"))
+      .orderBy("qid", "rnk")
+  }
+
   /** IVF PROBE-DEPTH CALIBRATION AUDIT — the [[graft.queries.Text
     * .ddLshScurve]] treatment applied to the other approximate family:
     * the audit that justifies the suite's nprobe choice with MEASURED

@@ -81,6 +81,45 @@ class FilteredAnnSpec extends SparkSpec {
     assert(curve.last._2 == 1.0, s"full probe must be exact: $curve")
   }
 
+  test("adaptive depth: every query reaches its candidate target and buys back the lost recall") {
+    val rows = Similarity.simFilteredAnnAdaptive(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the serve's own audit: the chosen depth collected >= target
+    // filtered candidates for EVERY query
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cands") >= Similarity.adaptiveTarget,
+        s"depth ${r.getAs[Int]("depth_used")} under-collected: $r")
+    }
+    // adaptivity is real: depths differ across queries on this corpus
+    // (measured 3/5/3/3/4 at sf0.001)
+    val depths = rows.map(_.getAs[Int]("depth_used")).toSet
+    assert(depths.size > 1, s"every query chose the same depth: $depths")
+    // labels hold
+    val labels = Tables(spark, dir, "embeddings").select("vec_id", "label")
+    assert(Similarity.simFilteredAnnAdaptive(spark, dir)
+      .join(labels, "vec_id").collect()
+      .forall(_.getAs[Int]("label") == Similarity.filteredAnnLabel))
+    // recall vs the FILTERED exact top-5: measured 0.80 at sf0.001 —
+    // up from 0.48 at the fixed unfiltered shipped depth (the penalty
+    // the adaptive rule exists to cure); floor just below
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    val exact = graft.queries.Similarity.simCosineTopk(spark, dir, None, 1000000)
+      .join(Tables(spark, dir, "embeddings")
+        .filter(col("label") === Similarity.filteredAnnLabel)
+        .select("vec_id"), Seq("vec_id"), "left_semi")
+      .withColumn("r2", row_number().over(w)).filter(col("r2") <= 5)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val got = rows.groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val per = exact.map { case (q, t) =>
+      (got.getOrElse(q, Set.empty[Long]) & t).size.toDouble / t.size }
+    val recall = per.sum / per.size
+    info(s"adaptive filtered recall = $recall (fixed nprobe=2: 0.48)")
+    assert(recall >= 0.76, s"measured 0.80; got $recall")
+  }
+
   test("the label-id projection is a 2-column scan with the predicate pushed down") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")

@@ -304,7 +304,7 @@ class PlanSpec extends SparkSpec {
     try {
       Seq("sim_pq_adc", "sim_pq_adc_indexed", "sim_pq_rerank",
           "sim_ivfpq", "sim_ivfpq_indexed", "sim_ivf_ann_indexed",
-          "sim_filtered_ann_indexed",
+          "sim_filtered_ann_indexed", "sim_filtered_ann_adaptive",
           "sim_ivf_ann_deleted", "sim_pq_upsert",
           "sim_pq_adc_deleted", "sim_bq_hamming",
           "sim_bq_hamming_indexed").foreach { name =>
