@@ -803,6 +803,35 @@ object StreamingOps {
     graft.queries.Text.ttBatch(
       docsStream.select(col("doc_id"), col("text")), v)
 
+  /** Streaming CDC twin of [[graft.queries.Text.pipelineVersionDiff]]
+    * for the single-batch tail window (checkpoint → next version — the
+    * natural per-commit CDC feed): each landing MERGE event classifies
+    * against the STATIC checkpointed state
+    * ([[graft.queries.Text.ensureTtCheckpoint]]) by one stateless
+    * stream-static left join on the key — insert (key absent), delete
+    * (tombstone of a present key; a tombstone of an absent key is a
+    * no-op and emits nothing), update (payload digest changed). The
+    * XOR-able digests ride along so compaction's rollup over the
+    * drained change log equals the batch diff's audit bit-for-bit
+    * (StreamingSpec pins it against `pipelineVersionDiff(from =
+    * ttCheckpointVer, to = ttCheckpointVer + 1)`). Multi-batch windows
+    * need a last-writer-wins fold first — that is the batch operator's
+    * job; the stream twin is the per-commit feed.
+    */
+  def cdcDeltaChanges(eventsStream: DataFrame, ckState: DataFrame): DataFrame =
+    eventsStream
+      .join(ckState.select(col("k"),
+        md5(col("text").cast("binary")).as("old_hd")), Seq("k"), "left")
+      .withColumn("new_hd",
+        when(col("op") === "upsert", md5(col("new_text").cast("binary"))))
+      .withColumn("change_type",
+        when(col("op") === "delete" && col("old_hd").isNotNull, "delete")
+          .when(col("op") === "upsert" && col("old_hd").isNull, "insert")
+          .when(col("op") === "upsert" && col("new_hd") =!= col("old_hd"),
+            "update"))
+      .filter(col("change_type").isNotNull)
+      .select(col("k"), col("change_type"), col("old_hd"), col("new_hd"))
+
   /** The standing model's weight vector for [[qualityScoredDocs]] —
     * ensures the index, then collects the 1-row weights table (D
     * doubles of index metadata).

@@ -525,6 +525,40 @@ class StreamingSpec extends SparkSpec {
       s"landed log served a drifted v=1 state: $served")
   }
 
+  test("streaming CDC: landing tail events classify against the checkpoint and compact to the batch diff") {
+    import graft.queries.Text
+    val dir = "/root/testdata/sf0.001"
+    val logBase = Text.ensureVersionLog(spark, dir)
+    val ckBase = Text.ensureTtCheckpoint(spark, dir)
+    val tailDir = java.nio.file.Files
+      .createTempDirectory("graft-cdc-stream").toString
+    spark.read.parquet(s"$logBase/events")
+      .filter(col("ver") === Text.ttCheckpointVer + 1)
+      .select("k", "new_text", "op")
+      .write.mode("overwrite").parquet(s"$tailDir/events")
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$tailDir/events").schema)
+      .parquet(s"$tailDir/events")
+    val q = StreamingOps.cdcDeltaChanges(stream,
+        spark.read.parquet(s"$ckBase/state"))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val xor = Text.md5SignedHash64Expr _
+    val rolled = spark.table("cdc_stream")
+      .groupBy("change_type")
+      .agg(count(lit(1)).as("n_rows"), sum("k").as("id_sum"),
+        min("k").as("min_k"), max("k").as("max_k"),
+        expr(s"bit_xor(${xor("old_hd")})").as("old_xor"),
+        expr(s"bit_xor(${xor("new_hd")})").as("new_xor"))
+      .orderBy("change_type").collect()
+    val batch = Text.pipelineVersionDiff(spark, dir,
+      Text.ttCheckpointVer, Text.ttCheckpointVer + 1).collect()
+    assert(rolled.nonEmpty &&
+      rolled.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq,
+      s"streamed CDC rollup ${rolled.toSeq} != batch diff ${batch.toSeq}")
+  }
+
   test("streaming PII scrub equals the batch projection per document") {
     val sf = "/root/testdata/sf0.01"
     val docsDir = java.nio.file.Files.createTempDirectory("docs-pii-stream")
