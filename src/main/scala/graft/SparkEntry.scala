@@ -226,6 +226,8 @@ object SparkEntry {
     // vacuum: the PHYSICALLY truncated log serves every surviving
     // version; reclaimed events accounted; below-horizon reads throw
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
+    // ANALYZE: per-column exact stats manifest, one pruned scan per leg
+    "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
     // optimistic concurrency: A commits, B's write-write conflicts are
     // rejected into the retry set, the rest serializes as the next
     // version; oracle rebuilds all four audit facets from first
@@ -4827,6 +4829,22 @@ object SparkEntry {
          |  CAST($c AS INTEGER) AS horizon,
          |  CAST($absorbed - (SELECT count(*) FROM s$c) AS BIGINT) AS vacuumed_events
          |FROM aud a ORDER BY a.version""".stripMargin
+    },
+    "pipeline_table_stats" -> {
+      val legs = Seq(("doc_id", false), ("lang", true), ("n_chars", false),
+          ("source", true), ("text", true)).map { case (c, isStr) =>
+        val sl = if (isStr) s"CAST(sum(length($c)) AS BIGINT)" else "CAST(NULL AS BIGINT)"
+        s"""  SELECT '$c' AS "column", count(*) AS n_rows,
+           |    count(*) - count($c) AS n_nulls,
+           |    count(DISTINCT $c) AS ndv,
+           |    CAST(min($c) AS VARCHAR) AS min_str,
+           |    CAST(max($c) AS VARCHAR) AS max_str,
+           |    $sl AS sum_len
+           |  FROM documents""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT * FROM (
+         |$legs
+         |) ORDER BY "column"""".stripMargin
     },
     // OCC: writer A = the time-travel v1 carve verbatim, writer B the
     // occ carve; conflicts = key-set intersection; the final state is

@@ -5369,6 +5369,38 @@ object Text {
       .orderBy("grp")
   }
 
+  /** ANALYZE TABLE — the statistics-collection primitive a cost-based
+    * planner (and every capacity plan) reads: per column of the
+    * documents table, exact row/null counts, exact NDV, binary-collation
+    * min/max (rendered as strings for one uniform schema) and the total
+    * string payload bytes. One UNION leg per column, each a
+    * single-column PRUNED scan — the honest columnar shape for a stats
+    * pass (a single-pass multi-distinct aggregate would Expand ×N every
+    * input row, the a8_approx_distinct lesson). At 100 TB the NDV legs
+    * swap to HLL partials (the a8 machinery, mergeable across
+    * partitions and days) and min/max/null counts come straight from
+    * parquet footer stats; the exact form here is what the oracle can
+    * hash, and the audit columns are the same either way.
+    */
+  def pipelineTableStats(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def leg(c: String, isStr: Boolean): DataFrame = d
+      .agg(count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_nulls"),
+        countDistinct(col(c)).as("ndv"),
+        min(col(c)).cast("string").as("min_str"),
+        max(col(c)).cast("string").as("max_str"),
+        (if (isStr) sum(length(col(c))).cast("long")
+         else lit(null).cast("long")).as("sum_len"))
+      .select(lit(c).as("column"), col("n_rows"), col("n_nulls"),
+        col("ndv"), col("min_str"), col("max_str"), col("sum_len"))
+    Seq(("doc_id", false), ("lang", true), ("n_chars", false),
+        ("source", true), ("text", true))
+      .map { case (c, s) => leg(c, s) }
+      .reduce(_ unionByName _)
+      .orderBy("column")
+  }
+
   /** The (lang, source) partial-aggregate projection shared by the
     * standing materialized aggregate ([[ensureAggMv]]) and the delta
     * refresh pass — one definition (the mergeUpdates rule), so the

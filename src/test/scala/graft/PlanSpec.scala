@@ -321,6 +321,26 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("table-stats legs each read exactly one column") {
+    // the ANALYZE pass's reason to union per-column legs: every leg's
+    // scan must prune to its single column (a multi-distinct one-pass
+    // form would Expand xN instead — the a8 lesson)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val schemas = try {
+      SparkEntry.queries("pipeline_table_stats")(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("documents")) =>
+            f.requiredSchema.fieldNames.toSeq
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(schemas.size == 5 && schemas.forall(_.size == 1),
+      s"every stats leg must scan one pruned column: $schemas")
+    assert(schemas.flatten.toSet ==
+      Set("doc_id", "lang", "n_chars", "source", "text"))
+  }
+
   test("indexed IVF probe prunes to the probed cell partitions") {
     // simIvfAnnIndexed's reason to exist: the inverted lists are partition
     // DIRECTORIES, so the probe's IN-list on the cell column must surface
