@@ -228,6 +228,10 @@ object SparkEntry {
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
     // ANALYZE: per-column exact stats manifest, one pruned scan per leg
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
+    // schema evolution: widened epoch written beside the original, ONE
+    // mergeSchema read serves both; oracle derives the audit from the
+    // carve arithmetic and never sees the parquet
+    "pipeline_schema_merge" -> ((s, d) => Text.pipelineSchemaMerge(s, d)),
     // optimistic concurrency: A commits, B's write-write conflicts are
     // rejected into the retry set, the rest serializes as the next
     // version; oracle rebuilds all four audit facets from first
@@ -4830,6 +4834,12 @@ object SparkEntry {
          |  CAST($absorbed - (SELECT count(*) FROM s$c) AS BIGINT) AS vacuumed_events
          |FROM aud a ORDER BY a.version""".stripMargin
     },
+    "pipeline_schema_merge" ->
+      s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+         |  CAST(sum(CASE WHEN doc_id % 5 = 0 THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT) AS tok_sum,
+         |  ${signed64Xor("md5(text)")} AS text_xor
+         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "pipeline_table_stats" -> {
       val legs = Seq(("doc_id", false), ("lang", true), ("n_chars", false),
           ("source", true), ("text", true)).map { case (c, isStr) =>

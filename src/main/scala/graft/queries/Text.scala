@@ -5369,6 +5369,54 @@ object Text {
       .orderBy("grp")
   }
 
+  /** [[pipelineSchemaMerge]]'s scratch — the mergeScratchDir discipline
+    * (PID-suffixed, cleared on intra-JVM reuse, removed at JVM exit),
+    * under its OWN path so no other sink demo can clear these epochs
+    * mid-read.
+    */
+  private lazy val evoScratchDir: java.io.File = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft-evo-${ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => rmRecursive(p)))
+    p
+  }
+
+  /** SCHEMA EVOLUTION as a sink + evolved read (the lakehouse
+    * mergeSchema primitive — tables widen over their lifetime and a
+    * reader must serve both epochs as one relation): epoch 1 lands the
+    * base carve in the ORIGINAL 5-column schema, epoch 2 lands the
+    * delta carve WIDENED by a `tok_count` column, and the read is one
+    * `mergeSchema` scan over both — old-epoch rows surface the new
+    * column as NULL, which is exactly what the audit pins: per
+    * has-extension group, exact counts / id sums / extension sums and
+    * the 64-bit payload XOR. The oracle derives the same audit from the
+    * documents table and the carve arithmetic alone — it never sees the
+    * parquet — so agreement proves the widened SINK and the evolved
+    * READ round-trip losslessly (the pipeline_materialize treatment
+    * applied to schema drift). Reference anchor: the rewrite-per-run
+    * warehouse (`wrds_ingestion.py:1004-1125`) freezes one schema per
+    * run; at 100 TB epochs accumulate instead and this read is how
+    * they coexist.
+    */
+  def pipelineSchemaMerge(spark: SparkSession, dir: String): DataFrame = {
+    rmRecursive(evoScratchDir)
+    val scratch = evoScratchDir.toString
+    val base = docs(spark, dir)
+    base.filter(col("doc_id") % 5 =!= 0)
+      .write.mode("overwrite").parquet(s"$scratch/t/epoch=1")
+    base.filter(col("doc_id") % 5 === 0)
+      .withColumn("tok_count", size(split(col("text"), " ")).cast("long"))
+      .write.mode("overwrite").parquet(s"$scratch/t/epoch=2")
+    spark.read.option("mergeSchema", "true").parquet(s"$scratch/t")
+      .withColumn("has_ext", col("tok_count").isNotNull)
+      .withColumn("hd", md5(col("text").cast("binary")))
+      .groupBy("has_ext")
+      .agg(count(lit(1)).as("n_rows"), sum("doc_id").as("id_sum"),
+        sum(coalesce(col("tok_count"), lit(0L))).as("tok_sum"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .orderBy("has_ext")
+  }
+
   /** ANALYZE TABLE — the statistics-collection primitive a cost-based
     * planner (and every capacity plan) reads: per column of the
     * documents table, exact row/null counts, exact NDV, binary-collation
