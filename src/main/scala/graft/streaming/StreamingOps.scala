@@ -803,6 +803,24 @@ object StreamingOps {
     graft.queries.Text.ttBatch(
       docsStream.select(col("doc_id"), col("text")), v)
 
+  /** EXACTLY-ONCE version-log append — the `foreachBatch` idempotence
+    * pattern every production streaming MERGE relies on: a batch
+    * (keyed by its version = the streaming epoch id) lands via DYNAMIC
+    * partition overwrite, so a re-delivery after a sink failure
+    * REPLACES its own partition instead of duplicating it — replaying
+    * the same deterministic batch is a no-op byte-for-byte
+    * (StreamingSpec appends twice and pins both the event count and
+    * the served state). Other partitions are untouched (dynamic mode
+    * overwrites only partitions present in the write), so concurrent
+    * epochs stay isolated the way the append-only log requires.
+    */
+  def ttIdempotentAppend(events: DataFrame, logEvents: String,
+      v: Int): Unit =
+    events.withColumn("ver", lit(v))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("ver").parquet(logEvents)
+
   /** Streaming CDC twin of [[graft.queries.Text.pipelineVersionDiff]]
     * for the single-batch tail window (checkpoint → next version — the
     * natural per-commit CDC feed): each landing MERGE event classifies

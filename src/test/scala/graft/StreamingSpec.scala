@@ -525,6 +525,35 @@ class StreamingSpec extends SparkSpec {
       s"landed log served a drifted v=1 state: $served")
   }
 
+  test("idempotent log append: re-delivering a batch replaces its partition, never duplicates it") {
+    import graft.queries.Text
+    val spark2 = spark
+    import spark2.implicits._
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-tt-idem").toString
+    Seq((0L, "t0"), (8L, "t8"), (27L, "t27"), (56L, "t56"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id").as("k"), col("text").as("new_text"),
+        lit("upsert").as("op"))
+      .write.mode("overwrite").parquet(s"$d/log/ver=0")
+    val batch = Text.ttBatch(
+      Seq((0L, "t0"), (8L, "t8"), (27L, "t27"), (56L, "t56"))
+        .toDF("doc_id", "text"), 1)
+    // deliver once, then REPLAY the same epoch (the failure-retry path)
+    StreamingOps.ttIdempotentAppend(batch, s"$d/log", 1)
+    val once = spark.read.parquet(s"$d/log").collect().map(_.toSeq).toSet
+    StreamingOps.ttIdempotentAppend(batch, s"$d/log", 1)
+    val twice = spark.read.parquet(s"$d/log").collect().map(_.toSeq).toSet
+    assert(twice == once && once.size == 8, // 4 base + 4 batch-1 events
+      "replaying the epoch must be a byte-level no-op")
+    // ver=0 untouched by the dynamic overwrite; the served state is the
+    // planted v1 state either way
+    val served = Text.stateAt(spark.read.parquet(s"$d/log"), 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(served == Map(0L -> "t0 [v1]", -1L -> "new v1: t0",
+      8L -> "t8", 27L -> "t27 [v1]"))
+  }
+
   test("streaming CDC: landing tail events classify against the checkpoint and compact to the batch diff") {
     import graft.queries.Text
     val dir = "/root/testdata/sf0.001"
