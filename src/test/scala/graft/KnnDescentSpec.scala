@@ -366,6 +366,50 @@ class KnnDescentSpec extends SparkSpec {
     assert(recall >= 0.78, s"upserted-walk recall $recall under the measured 0.840")
   }
 
+  test("hnsw deleted: strata and results are tombstone-free, recall over the survivors pinned") {
+    val dir = "/root/testdata/sf0.01"
+    val base = Similarity.ensureHnswDelIndex(spark, dir)
+    def dead(id: Long): Boolean =
+      id % Similarity.graphDelMod == Similarity.graphDelRem
+    // the re-derived strata contain NO tombstoned vertex — stale upper
+    // layers are exactly what this overlay exists to replace
+    Seq("l1_edges", "l2_edges").foreach { t =>
+      val es = spark.read.parquet(s"$base/$t")
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1)))
+      assert(es.nonEmpty && es.forall { case (s, d) => !dead(s) && !dead(d) },
+        s"tombstoned vertex survives in $t")
+    }
+    // recall vs brute force over the SURVIVING members; queries stay
+    // the external 0..4 set (query 3 is itself tombstoned — searching
+    // WITH a deleted vector's embedding is legal, it just can't be
+    // returned, and both engines treat it identically)
+    val allVecs = Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vecs = allVecs.filter { case (id, _) => !dead(id) }
+    val qnorms = allVecs.map { case (id, v) =>
+      id -> math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    }.toMap
+    val exact = (0L until 5L).map { q =>
+      val qv = allVecs.find(_._1 == q).get._2
+      q -> vecs.filter(_._1 != q).map { case (jd, u) =>
+        var dot = 0.0
+        var i = 0
+        while (i < qv.length) { dot += qv(i).toDouble * u(i).toDouble; i += 1 }
+        (jd, dot / (qnorms(q) * qnorms(jd)))
+      }.sortBy { case (jd, c) => (-c, jd) }.take(5).map(_._1).toSet
+    }.toMap
+    val res = Similarity.simHnswSearchDeleted(spark, dir).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("vec_id")))
+    assert(res.length == 25)
+    assert(res.forall { case (_, v) => !dead(v) },
+      "a tombstoned vector surfaced in the post-delete layered walk")
+    val recall = res.count { case (q, v) => exact(q)(v) }.toDouble / 25
+    info(f"hnsw survivor-corpus walk recall@5: $recall%.3f (measured 0.840)")
+    assert(recall >= 0.78, s"deleted-walk recall $recall under the measured 0.840")
+  }
+
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
       .selectExpr("vec_id", "embedding").collect()
