@@ -156,6 +156,9 @@ object SparkEntry {
     // (CMS linearity); same oracle text as the direct query — the
     // lossless-merge proof (the tx_kmv_refresh treatment)
     "tx_cms_refresh" -> ((s, d) => Text.txCmsRefresh(s, d)),
+    // the delete half: CDC carve counters SUBTRACT from the standing
+    // merged sketch (linearity); oracle rebuilds over survivors
+    "tx_cms_retract" -> ((s, d) => Text.txCmsRetract(s, d)),
     // per-source paragraph document-frequency strip rule (C4/CCNet
     // boilerplate); shuffles carry only (source, 8-byte block key, id)
     "tx_boilerplate" -> ((s, d) => Text.txBoilerplate(s, d)),
@@ -3087,9 +3090,16 @@ object SparkEntry {
     * standing-cells [[graft.queries.Text.txCmsRefresh]] (identical output
     * by the lossless counter merge — one text, the kmvDistinctSql rule).
     */
-  private def cmsFrequencySql: String =
+  private def cmsFrequencySql: String = cmsFrequencySqlWhere("")
+
+  /** [[cmsFrequencySql]] over a restricted document set — the retract
+    * oracle substitutes the survivor predicate so the SAME text serves
+    * the full, refreshed and retracted sketches (the ivfAnnSqlOver
+    * one-generator rule).
+    */
+  private def cmsFrequencySqlWhere(where: String): String =
       s"""WITH d AS (
-        |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+        |  SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents$where),
         |g AS (
         |  SELECT source, unnest(list_transform(range(1, len(toks)), i ->
         |    toks[i] || ' ' || toks[i+1])) AS g
@@ -5663,6 +5673,10 @@ object SparkEntry {
     // are md5-derived so both engines build the identical sketch
     "tx_cms_frequency" -> cmsFrequencySql,
     "tx_cms_refresh" -> cmsFrequencySql,
+    // retraction oracle: the direct sketch over the SURVIVORS — the
+    // subtraction must equal the rebuild exactly (CMS linearity)
+    "tx_cms_retract" -> cmsFrequencySqlWhere(
+      s" WHERE doc_id % ${Text.retractMod} <> ${Text.retractRem}"),
     "tx_kmv_overlap" ->
       s"""$kmvCtes,
         |p AS (

@@ -3260,6 +3260,55 @@ object Text {
       .orderBy("g")
   }
 
+  /** CMS RETRACT — the deletion half of the frequency-sketch lifecycle,
+    * and the reason CMS (not KMV) carries it: count-min cells are
+    * LINEAR, so a CDC delete carve's counters SUBTRACT from the standing
+    * merged sketch, and because every deleted occurrence was once
+    * inserted the result is EXACTLY the survivor corpus's sketch — not
+    * approximately (the pipeline_agg_retract XOR-self-inverse argument,
+    * in counter arithmetic). Zero-count cells drop out (a zero cell and
+    * an absent cell are the same sketch), after which retracted ≡
+    * survivor-rebuild bit-for-bit — which is the oracle: the direct
+    * full-sketch SQL text over the survivor carve, never seeing the
+    * standing tables. The delete carve is [[retractMod]]/[[retractRem]]
+    * (the MV retract convention — cuts across base AND delta, so the
+    * subtraction exercises counters that arrived via both merge paths).
+    *
+    * Scale shape: the subtraction leg reads O(|deleted|) corpus bytes
+    * plus the bounded standing cells; probes/exact re-scan survivors
+    * because the exact audit column inherently needs it (the
+    * txCmsRefresh note).
+    */
+  def txCmsRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureCmsCells(spark, dir)
+    val survives = pmod(col("doc_id"), lit(retractMod)) =!= lit(retractRem)
+    val deltaCells = cmsCellsBySource(cmsGrams(Tables.spread(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))))
+    val delCells = cmsCellsBySource(cmsGrams(Tables.spread(docs(spark, dir)
+        .filter(!survives))))
+      .select(col("source"), col("j"), col("cell"), (-col("cnt")).as("cnt"))
+    val cells = spark.read.parquet(s"$base/cells")
+      .unionByName(deltaCells).unionByName(delCells)
+      .groupBy("j", "cell").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+    val grams = graft.Caches.scoped("tx_cms_retract.grams",
+      cmsGrams(Tables.spread(docs(spark, dir).filter(survives))))
+    val probes = grams.filter(col("source") === "src0")
+      .select("g").distinct().orderBy("g").limit(CmsProbeLimit)
+    val est = probes
+      .select(col("g"), explode(expr(s"sequence(0, ${CmsDepth - 1})")).as("j"))
+      .withColumn("cell", expr(cmsCellExpr))
+      .join(cells, Seq("j", "cell"))
+      .groupBy("g")
+      .agg(min("cnt").as("est_count"))
+    val exact = grams.join(probes, Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("exact_count"))
+    est.join(exact, Seq("g"))
+      .withColumn("overestimate", col("est_count") - col("exact_count"))
+      .orderBy("g")
+  }
+
   /** Pairwise source-overlap estimation from the SAME per-source KMV
     * sketches (beyond-reference extension): for every source pair, merge
     * the two sketches (bottom-k of the union), count merged keys present

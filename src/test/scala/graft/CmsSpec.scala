@@ -94,4 +94,22 @@ class CmsSpec extends SparkSpec {
     assert(merged == direct,
       "streamed delta counters + standing cells must equal the one-pass sketch")
   }
+
+  test("retraction by subtraction equals the survivor rebuild, cell for cell") {
+    // the deletion-CMS identity tx_cms_retract rides on: (full sketch)
+    // minus (deleted carve's counters) == (survivor corpus's sketch),
+    // EXACTLY — deletes are a subset of inserts, so linearity runs
+    // backwards too; zero cells drop (a zero cell IS an absent cell)
+    val docs = Tables(spark, sf001, "documents")
+    val survives = pmod(col("doc_id"), lit(Text.retractMod)) =!= lit(Text.retractRem)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val full = toMap(Text.cmsCells(Text.cmsGrams(docs)).collect())
+    val del = toMap(Text.cmsCells(Text.cmsGrams(docs.filter(!survives))).collect())
+    val rebuilt = toMap(Text.cmsCells(Text.cmsGrams(docs.filter(survives))).collect())
+    val subtracted = full.map { case (k, v) => k -> (v - del.getOrElse(k, 0L)) }
+      .filter(_._2 > 0L)
+    assert(del.nonEmpty && subtracted == rebuilt,
+      "counter subtraction drifted from the survivor rebuild")
+  }
 }
