@@ -149,6 +149,10 @@ object SparkEntry {
     // standing base-carve sketches + delta carve, merged losslessly —
     // must equal the rebuild bit-for-bit (shares its oracle text)
     "tx_kmv_refresh" -> ((s, d) => Text.txKmvRefresh(s, d)),
+    // the delete half KMV can honestly offer: bottom-k cannot subtract
+    // a doc (an inserted key may have evicted others), but per-SOURCE
+    // sketches make source retirement FREE — drop the row, re-merge ALL
+    "tx_kmv_retract" -> ((s, d) => Text.txKmvRetract(s, d)),
     // count-min sketch: benchmark-gram corpus frequencies from the
     // bounded cell table (shuffle <= depth*width rows/task), exact audit
     "tx_cms_frequency" -> ((s, d) => Text.txCmsFrequency(s, d)),
@@ -536,12 +540,18 @@ object SparkEntry {
     * width = Text.KmvWidth) and the per-source bottom-k sketch rows —
     * the DuckDB twin of [[graft.queries.Text.kmvSketches]].
     */
-  private def kmvCtes: String = {
+  private def kmvCtes: String = kmvCtesWhere("")
+
+  /** [[kmvCtes]] over a restricted document set — the retirement oracle
+    * substitutes the surviving-source predicate (the cmsFrequencySqlWhere
+    * one-generator rule).
+    */
+  private def kmvCtesWhere(where: String): String = {
     val w = Text.KmvWidth
     val terms = (1 to w).map(i =>
       if (i == 1) "toks[i]" else s"toks[i+${i - 1}]").mkString(" || ' ' || ")
     s"""WITH d AS (
-       |  SELECT source, string_split(text, ' ') AS toks FROM documents),
+       |  SELECT source, string_split(text, ' ') AS toks FROM documents$where),
        |sh AS (
        |  SELECT DISTINCT source,
        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
@@ -561,8 +571,10 @@ object SparkEntry {
     * [[graft.queries.Text.txKmvRefresh]] — one text for both because the
     * bottom-k union is lossless (refresh ≡ rebuild).
     */
-  private def kmvDistinctSql: String =
-    s"""$kmvCtes,
+  private def kmvDistinctSql: String = kmvDistinctSqlWhere("")
+
+  private def kmvDistinctSqlWhere(where: String): String =
+    s"""${kmvCtesWhere(where)},
       |mu AS (SELECT DISTINCT gk FROM r WHERE rn <= ${Text.KmvK}),
       |mr AS (SELECT gk, row_number() OVER (ORDER BY gk) AS rn FROM mu),
       |msk AS (SELECT 'ALL' AS source, list(gk ORDER BY gk) AS sketch
@@ -5644,6 +5656,10 @@ object SparkEntry {
     // report bit-for-bit (the pipelineAggRefresh oracle discipline —
     // the oracle never sees the standing table)
     "tx_kmv_refresh" -> kmvDistinctSql,
+    // source retirement: the oracle sketches the SURVIVING sources'
+    // corpus directly — the zero-rescan standing-row drop must equal it
+    "tx_kmv_retract" -> kmvDistinctSqlWhere(
+      s" WHERE source <> '${Text.kmvRetiredSource}'"),
     // boilerplate: the ddParagraph 20-token block carve, per-source
     // distinct-doc frequency, threshold from Text.BoilerplateDf
     "tx_boilerplate" ->

@@ -3035,6 +3035,35 @@ object Text {
       KmvK)
   }
 
+  /** The source the KMV retirement demo pulls — one literal for both
+    * engines (the ttCarves rule). Chosen mid-range so survivors exist
+    * on every scale factor.
+    */
+  private[graft] val kmvRetiredSource = "src3"
+
+  /** KMV SOURCE RETIREMENT — the delete half a bottom-k sketch can
+    * honestly offer, and the designed CONTRAST to [[txCmsRetract]]:
+    * count-min counters subtract doc-level deletes exactly (linearity),
+    * but a bottom-k sketch cannot un-insert a key — a key that entered
+    * the sketch may have evicted others whose identity is gone, so
+    * doc-level deletion forces an affected-source rebuild. What the
+    * per-source layout DOES make free is retiring a whole source (the
+    * real curation event: a crawl found poisoned/low-quality gets
+    * pulled): drop its standing sketch row and re-merge the `ALL` row
+    * from the survivors — ZERO corpus rescans beyond the delta leg,
+    * because min-k(∪ surviving sketches) = min-k(surviving corpus keys)
+    * (the lossless-union identity, applied to deletion). The oracle
+    * sketches the surviving corpus DIRECTLY from raw text and must
+    * match bit-for-bit.
+    */
+  def txKmvRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureKmvSketches(spark, dir)
+    val delta = kmvSketches(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
+    kmvReport(spark.read.parquet(s"$base/sketches").unionByName(delta)
+      .filter(col("source") =!= kmvRetiredSource), KmvK)
+  }
+
   /** Boilerplate document-frequency threshold: a block shared by at
     * least this many DISTINCT documents of one source is boilerplate
     * (headers, navigation, license banners — the C4/CCNet strip rule).

@@ -121,6 +121,43 @@ class KmvSpec extends SparkSpec {
       s"the refresh plan must scan the corpus exactly once, saw $corpusScans")
   }
 
+  test("source retirement: drop-row + re-merge equals the survivor rebuild, zero extra scans") {
+    // the deletion contrast to tx_cms_retract: bottom-k cannot subtract
+    // a document, but retiring a SOURCE is free — its standing row
+    // drops and min-k(∪ survivors) = min-k(surviving corpus keys)
+    val retired = Text.txKmvRetract(spark, sf001).collect()
+    assert(retired.nonEmpty &&
+      !retired.exists(_.getString(0) == Text.kmvRetiredSource),
+      "the retired source still reports")
+    val rebuilt = Text.txKmvDistinct(spark, sf001).collect()
+      .filter(_.getString(0) != Text.kmvRetiredSource)
+      .filter(_.getString(0) != "ALL")
+    val retiredSrcRows = retired.filter(_.getString(0) != "ALL")
+    assert(retiredSrcRows.map(_.toSeq).toSeq == rebuilt.map(_.toSeq).toSeq,
+      "surviving sources' rows must be untouched by the retirement")
+    // the ALL row must equal a from-scratch merge over survivors (the
+    // oracle pins the raw-text version; this pins the sketch algebra)
+    val directAll = Text.kmvReport(
+        Text.kmvSketches(Tables(spark, sf001, "documents")
+          .filter(col("source") =!= Text.kmvRetiredSource)), Text.KmvK)
+      .filter(col("source") === "ALL").collect()
+    assert(retired.filter(_.getString(0) == "ALL").map(_.toSeq).toSeq ==
+      directAll.map(_.toSeq).toSeq,
+      "re-merged ALL row drifted from the survivor rebuild")
+    // scan shape: one corpus scan (the delta leg), same as the refresh
+    Text.ensureKmvSketches(spark, sf001)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val corpusScans = Text.txKmvRetract(spark, sf001)
+      .queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.relation match {
+          case f: HadoopFsRelation => f.location.rootPaths.mkString(",")
+          case _ => ""
+        }
+      }.count(_.contains("documents"))
+    assert(corpusScans == 1,
+      s"retirement must not rescan the corpus beyond the delta leg, saw $corpusScans")
+  }
+
   test("standing sketches are served, not rebuilt per refresh") {
     val base = Text.ensureKmvSketches(spark, sf001)
     val marker = new org.apache.hadoop.fs.Path(s"$base/sketches/_SUCCESS")
