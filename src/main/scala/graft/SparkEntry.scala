@@ -378,6 +378,8 @@ object SparkEntry {
     "sim_ivf_upsert" -> ((s, d) => Similarity.simIvfUpsert(s, d)),
     "sim_ivf_delete" -> ((s, d) => Similarity.simIvfDelete(s, d)),
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
+    "sim_ivf_compact" -> ((s, d) => Similarity.simIvfCompact(s, d)),
+    "sim_ivf_ann_compacted" -> ((s, d) => Similarity.simIvfAnnCompacted(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
     "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
@@ -1899,6 +1901,29 @@ object SparkEntry {
        |SELECT cell, n_base, n_dead, n_base - n_dead AS n_live,
        |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
        |FROM agg ORDER BY cell""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIvfCompact]]: the
+    * gen-2 per-cell audit from first principles — base occupancy from the
+    * assignment chain, dead counts and the live id-XOR from the delete
+    * rule, the overlay-branch flag from the exact-integer threshold. The
+    * Spark side counts and XORs the PHYSICALLY rewritten gen-2
+    * partitions, so a hash match proves the generational rewrite holds
+    * exactly the live rows (content, not just cardinality).
+    */
+  private def ivfCompactSql: String = {
+    val dead = s"cell % 2 = 0 AND m_vec_id % ${Similarity.ivfDelMod} = ${Similarity.ivfDelRem}"
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell FROM rk WHERE crnk = 1),
+       |agg AS (
+       |  SELECT cell, count(*) AS n_base,
+       |    CAST(sum(CASE WHEN $dead THEN 1 ELSE 0 END) AS BIGINT) AS n_dead,
+       |    CAST(coalesce(bit_xor(CASE WHEN $dead THEN NULL ELSE m_vec_id END), 0) AS BIGINT) AS live_xor
+       |  FROM cells GROUP BY 1)
+       |SELECT cell, n_base, n_dead, n_base - n_dead AS n_live, live_xor,
+       |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS from_overlay
+       |FROM agg ORDER BY cell""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPqDelete]]: coarse
     * assignment (kmeans chain) and PQ encode (pqAdcCtes chain) composed,
@@ -6041,6 +6066,8 @@ object SparkEntry {
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
+    "sim_ivf_compact" -> ivfCompactSql,
+    "sim_ivf_ann_compacted" -> ivfAnnDeletedSql,
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_pq_delete" -> pqDeleteSql,
     "sim_ivfpq_upsert" -> ivfPqUpsertSql,

@@ -3483,21 +3483,27 @@ object Similarity {
     * no lost live row, no surviving dead row, threshold applied to the
     * right cells.
     */
-  /** The live (cell, m_vec_id) serving view of the post-delete IVF index —
+  /** The live FULL-ROW serving view of the post-delete IVF index —
     * overlay partitions for compacted cells, base-minus-tombstones for the
-    * rest. ONE definition consumed by the per-cell audit ([[simIvfDelete]])
-    * and the composed IVFPQ audit ([[simIvfPqDelete]]), so "what a search
-    * would read" cannot drift between the two lifecycle reports.
+    * rest, every member column intact. ONE definition consumed (projected)
+    * by the per-cell audit ([[simIvfDelete]]), the composed IVFPQ audit
+    * ([[simIvfPqDelete]]) and the generational rewrite
+    * ([[ivfBuildGen2Index]]), so "what a search would read" cannot drift
+    * between the lifecycle reports and the compacted generation.
     */
-  private def ivfLiveView(spark: SparkSession, main: String,
+  private def ivfLiveRows(spark: SparkSession, main: String,
       del: String): DataFrame =
-    readIvfCells(spark, del).select("cell", "m_vec_id")
+    readIvfCells(spark, del)
       .unionByName(readIvfCells(spark, main)
         .join(spark.read.parquet(s"$del/compacted").select("cell"),
           Seq("cell"), "left_anti")
         .join(spark.read.parquet(s"$del/tombstones").select("m_vec_id"),
-          Seq("m_vec_id"), "left_anti")
-        .select("cell", "m_vec_id"))
+          Seq("m_vec_id"), "left_anti"))
+
+  /** The live (cell, m_vec_id) projection of [[ivfLiveRows]]. */
+  private def ivfLiveView(spark: SparkSession, main: String,
+      del: String): DataFrame =
+    ivfLiveRows(spark, main, del).select("cell", "m_vec_id")
 
   def simIvfDelete(spark: SparkSession, dir: String): DataFrame = {
     val main = ensureIvfIndex(spark, dir)
@@ -3555,6 +3561,116 @@ object Similarity {
     ivfScoreTopK(spark, dir, overlayPart.unionByName(plainPart),
       probeKeys, querySet, k)
   }
+
+  // ---- IVF generational compaction (gen-2 full rewrite) ----------------
+
+  /** FULL generational compaction of the post-delete IVF index — the step
+    * every merge-on-read overlay eventually owes (Lucene `forceMerge`,
+    * Delta/Iceberg `OPTIMIZE` + deletion-vector rewrite, a FAISS rebuild
+    * under the FROZEN quantizer): fold base + overlay + tombstones into a
+    * clean generation-2 index whose cell partitions hold EXACTLY the live
+    * members and nothing else. [[simIvfAnnDeleted]]'s threshold compaction
+    * rewrites only cells below the live-fraction bar and leaves the rest
+    * paying a tombstone anti-join per search forever; this rewrite retires
+    * that read amplification entirely — the gen-2 serve is a single
+    * pruned partition scan with NO mask (IvfDeleteSpec pins the plan).
+    *
+    * Centroids carry over verbatim: compaction moves rows, never geometry
+    * (retraining is [[simIvfRetrain]]'s separate, deliberate event). The
+    * cells table is [[ivfLiveRows]] — the SAME one-definition live view
+    * the masked serve reads — physically re-partitioned by cell, so
+    * gen-2 ≡ merge-on-read is true by construction and PROVEN twice:
+    * the `sim_ivf_ann_compacted` oracle is the live-members-from-first-
+    * principles search text, and the `sim_ivf_compact` audit counts (and
+    * id-XORs) the rewritten partitions against the delete rule.
+    *
+    * Scale shape: one shuffle-free union of the overlay with the
+    * anti-joined base (both already cell-partitioned reads), one
+    * partitioned write; at 100 TB this is the background maintenance job
+    * that amortizes thousands of masked searches into one rewrite.
+    */
+  def ivfBuildGen2Index(spark: SparkSession, dir: String): String = {
+    val main = ensureIvfIndex(spark, dir)
+    val del = ensureIvfDeleteIndex(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "ivf_gen2")
+    spark.read.parquet(s"$main/centroids")
+      .write.mode("overwrite").parquet(s"$base/centroids")
+    // cells last: the _SUCCESS marker under cells/ implies a complete gen
+    ivfLiveRows(spark, main, del)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$base/cells")
+    base
+  }
+
+  // gen-2 base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val gen2IndexFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the compacted generation — the
+    * [[ensureIvfIndex]] treatment including its partial-failure
+    * discipline (marker + memo cleared BEFORE rebuilding).
+    */
+  def ensureIvfGen2Index(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "ivf_gen2")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/cells/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(gen2IndexFor.get(base).contains(dir) && fs.exists(marker))) {
+      gen2IndexFor.remove(base)
+      fs.delete(marker, false)
+      ivfBuildGen2Index(spark, dir)
+      gen2IndexFor(base) = dir
+    }
+    base
+  }
+
+  /** Per-cell audit of the compacted generation, measured from the
+    * PHYSICAL gen-2 partitions: `n_base` counts the original index,
+    * `n_dead` the tombstone table, `n_live` the rewritten partitions, and
+    * `live_xor` XOR-folds the member ids a gen-2 scan actually returns —
+    * the content proof (the pipeline_zorder_materialize checksum
+    * treatment: counts can collide, an id-XOR of the wrong row set
+    * cannot, short of adversarial pairs). `from_overlay` reads the
+    * threshold manifest — which cells entered gen-2 from the partial
+    * overlay vs. the masked base, so the audit certifies BOTH merge
+    * branches landed. The oracle re-derives every column from first
+    * principles (assignment chain + delete rule + threshold); a hash
+    * match proves the rewrite lost no live row, kept no dead row, and
+    * merged the right branch per cell.
+    */
+  def simIvfCompact(spark: SparkSession, dir: String): DataFrame = {
+    val main = ensureIvfIndex(spark, dir)
+    val del = ensureIvfDeleteIndex(spark, dir)
+    val gen2 = ensureIvfGen2Index(spark, dir)
+    val baseAgg = readIvfCells(spark, main).groupBy("cell")
+      .agg(count(lit(1)).as("n_base"))
+    val deadAgg = spark.read.parquet(s"$del/tombstones").groupBy("cell")
+      .agg(count(lit(1)).as("n_dead_t"))
+    val gen2Agg = readIvfCells(spark, gen2).groupBy("cell")
+      .agg(count(lit(1)).as("n_live_g"),
+        expr("bit_xor(m_vec_id)").as("xor_g"))
+    val manifest = spark.read.parquet(s"$del/compacted")
+      .withColumn("was_overlay", lit(true))
+    baseAgg.join(deadAgg, Seq("cell"), "left")
+      .join(gen2Agg, Seq("cell"), "left")
+      .join(manifest, Seq("cell"), "left")
+      .select(col("cell"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_g"), lit(0L)).as("n_live"),
+        coalesce(col("xor_g"), lit(0L)).as("live_xor"),
+        coalesce(col("was_overlay"), lit(false)).as("from_overlay"))
+      .orderBy("cell")
+  }
+
+  /** [[simIvfAnnIndexed]] over the compacted generation: the identical
+    * probe/score/rank machinery pointed at gen-2 — no tombstone
+    * anti-join, no manifest split, one pruned partition scan
+    * (IvfDeleteSpec pins plan and bit-for-bit equality with the
+    * merge-on-read serve). Shares `sim_ivf_ann_deleted`'s oracle text:
+    * the live search from first principles must hash-match BOTH read
+    * paths, which is exactly the compaction contract.
+    */
+  def simIvfAnnCompacted(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5): DataFrame =
+    simIvfAnnIndexed(spark, dir, nprobe, k,
+      indexPath = Some(ensureIvfGen2Index(spark, dir)))
 
   /** IVFPQ delete audit — FAISS `IndexIVFPQ.remove_ids`, completing the
     * composed index's lifecycle (build / upsert / DELETE, matching the

@@ -73,6 +73,42 @@ class IvfDeleteSpec extends SparkSpec {
   }
   }
 
+  // ---- gen-2 generational compaction (full rewrite, no masks) ----------
+
+  private val gen2Dir = "/root/testdata/sf0.01"
+
+  test("gen2 rewrite holds exactly the live set — no dead row, no tombstone dir") {
+    import org.apache.spark.sql.functions.col
+    val gen2 = Similarity.ensureIvfGen2Index(spark, gen2Dir)
+    val cells = spark.read.parquet(s"$gen2/cells")
+      .selectExpr("m_vec_id", "CAST(cell AS BIGINT) AS cell")
+    assert(cells.filter(col("cell") % 2 === 0 &&
+      col("m_vec_id") % Similarity.ivfDelMod === Similarity.ivfDelRem)
+      .count() == 0, "gen-2 partition holds a tombstoned member")
+    val main = Similarity.ensureIvfIndex(spark, gen2Dir)
+    val del = Layout.indexBase(spark, gen2Dir, "ivf_del")
+    val nBase = spark.read.parquet(s"$main/cells").count()
+    val nDead = spark.read.parquet(s"$del/tombstones").count()
+    assert(cells.count() == nBase - nDead,
+      "gen-2 cardinality != base - tombstones")
+    val fs = new org.apache.hadoop.fs.Path(gen2)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen2/tombstones")),
+      "a compacted generation must carry no tombstone table")
+  }
+
+  test("compacted serve ≡ merge-on-read deleted serve bit-for-bit, plan mask-free") {
+    val a = Similarity.simIvfAnnDeleted(spark, gen2Dir).collect().toSeq
+    val df = Similarity.simIvfAnnCompacted(spark, gen2Dir)
+    val b = df.collect().toSeq
+    assert(a == b, "gen-2 serve diverged from the masked serve")
+    // the whole point of the rewrite: no anti-join mask, no overlay split
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), "gen-2 serve still anti-joins a mask")
+    assert(!plan.contains("ivf_del"), "gen-2 serve still reads the overlay")
+    assert(plan.contains("ivf_gen2"), "gen-2 serve does not read gen-2")
+  }
+
   // ---- PQ delete (the flat-index remove_ids analog: physical rewrite) ----
 
   private val pqDir = "/root/testdata/sf0.01"
