@@ -235,6 +235,8 @@ object SparkEntry {
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
     // ANALYZE: per-column exact stats manifest, one pruned scan per leg
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
+    "pipeline_expectations" -> ((s, d) => Text.pipelineExpectations(s, d)),
+    "pipeline_quarantine" -> ((s, d) => Text.pipelineQuarantine(s, d)),
     // schema evolution: widened epoch written beside the original, ONE
     // mergeSchema read serves both; oracle derives the audit from the
     // carve arithmetic and never sees the parquet
@@ -1901,6 +1903,26 @@ object SparkEntry {
        |SELECT cell, n_base, n_dead, n_base - n_dead AS n_live,
        |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
        |FROM agg ORDER BY cell""".stripMargin
+
+  /** Shared CTE chain for the expectations pair — the planted-violation
+    * landing batch ([[graft.queries.Text]] carve constants referenced
+    * from the one Scala definition) and the three per-rule FAIL flags.
+    */
+  private def expectationFlagsCtes: String = {
+    val langs = Text.expectationLangs.map(l => s"'$l'").mkString(", ")
+    s"""d AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % ${Text.expBlankMod} = ${Text.expBlankRem} THEN '' ELSE text END AS text,
+       |    CASE WHEN doc_id % ${Text.expLangMod} = ${Text.expLangRem} THEN 'xx' ELSE lang END AS lang,
+       |    CASE WHEN doc_id % ${Text.expCharsMod} = ${Text.expCharsRem} THEN n_chars + 1000 ELSE n_chars END AS n_chars
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, lang, n_chars,
+       |    NOT (lang IN ($langs)) AS f_lang,
+       |    NOT (n_chars = length(text)) AS f_chars,
+       |    NOT (length(text) > 0) AS f_text
+       |  FROM d)""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfCompact]]: the
     * gen-2 per-cell audit from first principles — base occupancy from the
@@ -4970,6 +4992,44 @@ object SparkEntry {
       s"""SELECT * FROM (
          |$legs
          |) ORDER BY "column"""".stripMargin
+    },
+    // Expectations: the planted-violation landing batch re-derived, each
+    // rule's fail count + failing-id XOR, plus the _quarantined rollup.
+    "pipeline_expectations" -> {
+      s"""WITH $expectationFlagsCtes
+         |SELECT * FROM (
+         |  SELECT '_quarantined' AS rule, count(*) AS n_checked,
+         |    CAST(sum(CASE WHEN f_lang OR f_chars OR f_text THEN 1 ELSE 0 END) AS BIGINT) AS n_fail,
+         |    CAST(coalesce(bit_xor(CASE WHEN f_lang OR f_chars OR f_text THEN doc_id END), 0) AS BIGINT) AS fail_id_xor
+         |  FROM f
+         |  UNION ALL
+         |  SELECT 'allowed_lang', count(*),
+         |    CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(bit_xor(CASE WHEN f_lang THEN doc_id END), 0) AS BIGINT)
+         |  FROM f
+         |  UNION ALL
+         |  SELECT 'chars_consistent', count(*),
+         |    CAST(sum(CASE WHEN f_chars THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(bit_xor(CASE WHEN f_chars THEN doc_id END), 0) AS BIGINT)
+         |  FROM f
+         |  UNION ALL
+         |  SELECT 'nonempty_text', count(*),
+         |    CAST(sum(CASE WHEN f_text THEN 1 ELSE 0 END) AS BIGINT),
+         |    CAST(coalesce(bit_xor(CASE WHEN f_text THEN doc_id END), 0) AS BIGINT)
+         |  FROM f
+         |) ORDER BY rule""".stripMargin
+    },
+    // Quarantine: the dead-letter rows with rule-ordered violation tags
+    // (concat_ws skips NULLs identically in both engines).
+    "pipeline_quarantine" -> {
+      s"""WITH $expectationFlagsCtes
+         |SELECT doc_id, lang, n_chars,
+         |  concat_ws(',',
+         |    CASE WHEN f_lang THEN 'allowed_lang' END,
+         |    CASE WHEN f_chars THEN 'chars_consistent' END,
+         |    CASE WHEN f_text THEN 'nonempty_text' END) AS violations
+         |FROM f WHERE f_lang OR f_chars OR f_text
+         |ORDER BY doc_id""".stripMargin
     },
     // OCC: writer A = the time-travel v1 carve verbatim, writer B the
     // occ carve; conflicts = key-set intersection; the final state is

@@ -5527,6 +5527,122 @@ object Text {
       .orderBy("column")
   }
 
+  // ---- data-contract expectations + dead-letter quarantine -------------
+
+  /** The language allowlist the `allowed_lang` expectation enforces —
+    * the corpus's five generated languages, shared with the oracle (the
+    * kmeansCtes shared-constants rule).
+    */
+  private[graft] val expectationLangs = Seq("de", "en", "es", "fr", "zh")
+
+  /** Planted-violation carve constants, shared with the generated oracle
+    * (mirrored literals desync silently; shared constants cannot):
+    * (mod, rem) for the blank-text, unknown-lang and bad-chars plants.
+    */
+  private[graft] val expBlankMod = 7
+  private[graft] val expBlankRem = 3
+  private[graft] val expLangMod = 11
+  private[graft] val expLangRem = 5
+  private[graft] val expCharsMod = 13
+  private[graft] val expCharsRem = 2
+
+  /** The deterministic DIRTY landing batch both engines derive
+    * identically (the pipelineMergeSnapshot carve discipline — the
+    * corpus itself is clean, so violations are PLANTED by explicit
+    * transforms): every `doc_id % 7 = 3` row lands with its text
+    * blanked (a scraper that returned an empty body — which also breaks
+    * the char-count contract, the multi-violation case), every
+    * `doc_id % 11 = 5` row with an unknown language tag, and every
+    * `doc_id % 13 = 2` row with a corrupted `n_chars`.
+    */
+  private def expectationLanding(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("text",
+        when(col("doc_id") % expBlankMod === expBlankRem, lit(""))
+          .otherwise(col("text")))
+      .withColumn("lang",
+        when(col("doc_id") % expLangMod === expLangRem, lit("xx"))
+          .otherwise(col("lang")))
+      .withColumn("n_chars",
+        when(col("doc_id") % expCharsMod === expCharsRem, col("n_chars") + 1000)
+          .otherwise(col("n_chars")))
+
+  /** The expectation suite: (rule name, FAIL predicate) in rule-name
+    * order. ONE definition consumed by the per-rule audit
+    * ([[pipelineExpectations]]) and the dead-letter router
+    * ([[pipelineQuarantine]]), so the audit can never disagree with
+    * what the router actually quarantined.
+    */
+  private def expectationFails: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "allowed_lang" -> !col("lang").isin(expectationLangs: _*),
+    "chars_consistent" -> (col("n_chars") =!= length(col("text")).cast("long")),
+    "nonempty_text" -> (length(col("text")) <= 0))
+
+  /** DATA-CONTRACT EXPECTATIONS — the row-level validation gate every
+    * landing zone runs before rows reach the training corpus (Delta Live
+    * Tables `EXPECT ... ON VIOLATION`, Great Expectations suites): each
+    * named rule reports exactly how many landing rows it checked, how
+    * many failed, and the XOR of the failing ids (content proof — the
+    * audit identifies WHICH rows, not just how many), plus the
+    * `_quarantined` rollup row counting rows that failed ANY rule — the
+    * dead-letter volume. All integers; the oracle re-derives every rule
+    * from the shared planted-violation arithmetic. Reference anchor: the
+    * numeric-parse drop filter (`wrds_ingestion.py:560-575`) is a
+    * one-rule inline form of this; at 100 TB the suite is declarative,
+    * per-rule metrics feed monitoring, and failing rows route to a
+    * quarantine table ([[pipelineQuarantine]]) instead of vanishing.
+    *
+    * Scale shape: each leg is one partial-aggregated scan of the landing
+    * batch (counts + XOR fold, no shuffle wider than the 4-row result);
+    * rules evaluate per-row with no joins.
+    */
+  def pipelineExpectations(spark: SparkSession, dir: String): DataFrame = {
+    val flagged = expectationLanding(spark, dir)
+    val legs = expectationFails.map { case (n, f) =>
+      flagged.withColumn("_f", f)
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("_f"), 1L).otherwise(0L)).as("n_fail"),
+          coalesce(expr("bit_xor(CASE WHEN _f THEN doc_id END)"), lit(0L))
+            .as("fail_id_xor"))
+        .select(lit(n).as("rule"), col("n_checked"), col("n_fail"),
+          col("fail_id_xor"))
+    }
+    val any = expectationFails.map(_._2).reduce(_ || _)
+    val rollup = flagged.withColumn("_f", any)
+      .agg(count(lit(1)).as("n_checked"),
+        sum(when(col("_f"), 1L).otherwise(0L)).as("n_fail"),
+        coalesce(expr("bit_xor(CASE WHEN _f THEN doc_id END)"), lit(0L))
+          .as("fail_id_xor"))
+      .select(lit("_quarantined").as("rule"), col("n_checked"),
+        col("n_fail"), col("fail_id_xor"))
+    (rollup +: legs).reduce(_ unionByName _).orderBy("rule")
+  }
+
+  /** DEAD-LETTER QUARANTINE — the routing half of the expectations gate:
+    * rows failing ANY rule are physically written to a quarantine sink
+    * (the scratch-sink materialize treatment: write → re-read → serve,
+    * so the parquet round-trip is part of what the oracle checks), each
+    * carrying the comma-joined list of the rules it violated — the
+    * triage column an on-call data engineer actually reads. Clean rows
+    * never land here; the `pipeline_expectations` `_quarantined` row
+    * counts exactly this table. Violations string is built by
+    * NULL-skipping concat_ws over the rule-name literals in rule order
+    * (both engines skip NULLs identically).
+    */
+  def pipelineQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    rmRecursive(evoScratchDir)
+    val scratch = evoScratchDir.toString
+    val flagged = expectationLanding(spark, dir)
+    val any = expectationFails.map(_._2).reduce(_ || _)
+    val viol = concat_ws(",",
+      expectationFails.map { case (n, f) => when(f, lit(n)) }: _*)
+    flagged.filter(any)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        viol.as("violations"))
+      .write.mode("overwrite").parquet(s"$scratch/quarantine")
+    spark.read.parquet(s"$scratch/quarantine").orderBy("doc_id")
+  }
+
   /** The (lang, source) partial-aggregate projection shared by the
     * standing materialized aggregate ([[ensureAggMv]]) and the delta
     * refresh pass — one definition (the mergeUpdates rule), so the
