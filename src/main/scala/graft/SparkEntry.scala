@@ -235,6 +235,7 @@ object SparkEntry {
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
     // ANALYZE: per-column exact stats manifest, one pruned scan per leg
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
+    "pipeline_stats_refresh" -> ((s, d) => Text.pipelineStatsRefresh(s, d)),
     "pipeline_expectations" -> ((s, d) => Text.pipelineExpectations(s, d)),
     "pipeline_quarantine" -> ((s, d) => Text.pipelineQuarantine(s, d)),
     // schema evolution: widened epoch written beside the original, ONE
@@ -424,6 +425,12 @@ object SparkEntry {
     // oracle recomputes all three rows from first principles
     "mm_align_refresh" -> ((s, dir) =>
       graft.multimodal.Multimodal.mmAlignRefresh(s, dir)),
+    // shot-boundary segmentation: repeat-grid frames, digest-distance
+    // cuts, gaps-and-islands scene rollup with keyframe digest
+    "mm_scene_cuts" -> ((s, dir) =>
+      graft.multimodal.Multimodal.sceneCuts(
+        graft.multimodal.Multimodal.fromDocuments(
+          Tables(s, dir, "documents")))),
     "mm_temporal_align" -> ((s, dir) =>
       graft.multimodal.Multimodal.temporalAlign(
         graft.multimodal.Multimodal.fromDocuments(
@@ -1903,6 +1910,38 @@ object SparkEntry {
        |SELECT cell, n_base, n_dead, n_base - n_dead AS n_live,
        |  (n_base - n_dead) * 100 < n_base * ${Similarity.ivfCompactLivePct} AS compacted
        |FROM agg ORDER BY cell""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.pipelineStatsRefresh]]: the
+    * full-corpus ANALYZE from scratch — per column, exact counts and
+    * native-typed min/max plus the KMV exact-integer NDV estimate over
+    * the 60-bit value keys. The Spark side merges standing + delta
+    * partials; agreement is the refresh ≡ rebuild proof.
+    */
+  private def statsRefreshSql: String = {
+    val k = Text.KmvK
+    val estCtes = Text.statsColumns.map { case (c, _) =>
+      s"""k_$c AS (SELECT DISTINCT CAST(('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15)) AS BIGINT) AS vk FROM documents WHERE $c IS NOT NULL),
+         |r_$c AS (SELECT vk, row_number() OVER (ORDER BY vk) AS rn FROM k_$c),
+         |est_$c AS (SELECT CASE WHEN count(*) < $k THEN count(*)
+         |  ELSE CAST(($kmvNumerator::HUGEINT // CAST(max(CASE WHEN rn = $k THEN vk END) AS HUGEINT)) AS BIGINT) END AS est
+         |  FROM r_$c WHERE rn <= $k)""".stripMargin
+    }.mkString(",\n")
+    val legs = Text.statsColumns.map { case (c, isStr) =>
+      val sl = if (isStr) s"CAST(sum(length($c)) AS BIGINT)"
+        else "CAST(NULL AS BIGINT)"
+      s"""  SELECT '$c' AS "column", count(*) AS n_rows,
+         |    count(*) - count($c) AS n_nulls,
+         |    (SELECT est FROM est_$c) AS ndv_est,
+         |    CAST(min($c) AS VARCHAR) AS min_str,
+         |    CAST(max($c) AS VARCHAR) AS max_str,
+         |    $sl AS sum_len
+         |  FROM documents""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $estCtes
+       |SELECT * FROM (
+       |$legs
+       |) ORDER BY "column"""".stripMargin
+  }
 
   /** Shared CTE chain for the expectations pair — the planted-violation
     * landing batch ([[graft.queries.Text]] carve constants referenced
@@ -4993,6 +5032,10 @@ object SparkEntry {
          |$legs
          |) ORDER BY "column"""".stripMargin
     },
+    // Incremental ANALYZE: the oracle is the full-corpus recompute from
+    // first principles — merged standing+delta stats must equal a rebuild
+    // bit-for-bit (counts/min/max exact, NDV via the same KMV estimator).
+    "pipeline_stats_refresh" -> statsRefreshSql,
     // Expectations: the planted-violation landing batch re-derived, each
     // rule's fail count + failing-id XOR, plus the _quarantined rollup.
     "pipeline_expectations" -> {
@@ -6374,6 +6417,31 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_frames,
         |  CAST(sum(CASE WHEN rn > 1 THEN fb ELSE 0 END) AS BIGINT) AS dup_bytes
         |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Scene cuts: the repeat-grid frames re-derived from char slices
+    // (ASCII corpus: char == byte, the mm_frame_features note), the same
+    // lag-inequality cut flags and running-sum scene ids.
+    "mm_scene_cuts" -> {
+      val (ns, rep) = (graft.multimodal.Multimodal.sceneSrcSlices,
+        graft.multimodal.Multimodal.sceneRepeat)
+      s"""WITH fr AS (
+         |  SELECT doc_id AS media_id, i AS frame_idx,
+         |    md5(substring(text, CAST((i // $rep) * greatest(ceil(length(text) / $ns.0), 1) AS BIGINT) + 1,
+         |        CAST(greatest(ceil(length(text) / $ns.0), 1) AS BIGINT))) AS fd
+         |  FROM documents, generate_series(0, ${ns * rep - 1}) t(i)),
+         |c AS (
+         |  SELECT media_id, frame_idx, fd,
+         |    CASE WHEN lag(fd) OVER (PARTITION BY media_id ORDER BY frame_idx)
+         |         IS DISTINCT FROM fd THEN 1 ELSE 0 END AS cut
+         |  FROM fr),
+         |s AS (
+         |  SELECT media_id, frame_idx, fd,
+         |    CAST(sum(cut) OVER (PARTITION BY media_id ORDER BY frame_idx) AS BIGINT) - 1 AS scene_idx
+         |  FROM c)
+         |SELECT media_id, scene_idx, min(frame_idx) AS start_frame,
+         |  max(frame_idx) AS end_frame, count(*) AS scene_frames,
+         |  min(fd) AS scene_key
+         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // Same 16-frame char-slice grid (ASCII corpus: char == byte), the
     // same order-sensitive shingle blocking, per-offset gaps-and-islands
     // runs, and the same (longest_run, n_aligned, smallest offset)

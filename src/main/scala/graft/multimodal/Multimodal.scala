@@ -102,6 +102,62 @@ object Multimodal {
       .orderBy("media_id")
   }
 
+  /** [[sceneCuts]] grid geometry, shared with the generated oracle: the
+    * payload is sliced into `sceneSrcSlices` source segments, each
+    * surfacing as `sceneRepeat` consecutive frames — a deterministic
+    * stand-in for a video whose content holds still within a shot, so
+    * the cut detector has real structure to find (the decodeStub
+    * discipline: the codec-derived feature is faked, the detection
+    * machinery is real).
+    */
+  val sceneSrcSlices = 4
+  val sceneRepeat = 4
+
+  /** SCENE-CUT SEGMENTATION — the shot-boundary pass every video
+    * curation pipeline runs before sampling keyframes (PySceneDetect's
+    * content detector, FFmpeg `select=gt(scene,t)`): consecutive frames
+    * are compared by a per-frame feature; a frame whose feature differs
+    * from its predecessor past the threshold opens a new scene, and
+    * scenes materialize with their frame spans via the running-sum-of-
+    * cuts fold (the ev_session_window gaps-and-islands shape applied
+    * within media). With the stub codec the per-frame feature is the
+    * frame-byte digest and the "distance past threshold" degenerates to
+    * digest inequality — a REAL perceptual feature slots into the same
+    * `fd` column and a `dist(prev, cur) > t` predicate replaces the
+    * `=!=`, leaving the segmentation fold untouched. Output per scene:
+    * frame span, length and the scene's (constant) frame digest — the
+    * keyframe a sampler would keep.
+    *
+    * Scale shape: frames are a narrow per-media projection (payload
+    * bytes never shuffle — digests leave the scan); the lag + running
+    * sum + rollup all share ONE media-keyed exchange, and scenes are
+    * bounded by the frame grid, never by payload size.
+    */
+  def sceneCuts(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nFrames = sceneSrcSlices * sceneRepeat
+    val frames = media
+      .withColumn("frame_size",
+        greatest(ceil(length(col("media")) / sceneSrcSlices), lit(1)).cast("int"))
+      .select(col("media_id"),
+        posexplode(expr(s"transform(sequence(0, ${nFrames - 1}), i -> " +
+          s"md5(substring(media, CAST(i DIV $sceneRepeat AS INT) * frame_size + 1, frame_size)))")))
+      .select(col("media_id"), col("pos").as("frame_idx"), col("col").as("fd"))
+    val w = Window.partitionBy("media_id").orderBy("frame_idx")
+    frames
+      .withColumn("cut",
+        when(lag("fd", 1).over(w).isNull ||
+          lag("fd", 1).over(w) =!= col("fd"), 1L).otherwise(0L))
+      .withColumn("scene_idx", sum("cut").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+      .groupBy("media_id", "scene_idx")
+      .agg(min("frame_idx").as("start_frame"),
+        max("frame_idx").as("end_frame"),
+        count(lit(1)).as("scene_frames"),
+        min("fd").as("scene_key"))
+      .orderBy("media_id", "scene_idx")
+  }
+
   /** [[temporalAlign]] geometry, shared with the generated oracle (the
     * kmeansCtes discipline): 16 frames per media and a minimum aligned
     * run of 3 consecutive frames — one shared scene is not a duplicate

@@ -5527,6 +5527,128 @@ object Text {
       .orderBy("column")
   }
 
+  // ---- incremental ANALYZE (mergeable stats refresh) --------------------
+
+  /** Columns the stats family profiles: (name, is-string). Shared by the
+    * full ANALYZE ([[pipelineTableStats]] keeps its own literal list for
+    * its frozen oracle), the standing partials and the refresh merge.
+    */
+  private[graft] val statsColumns: Seq[(String, Boolean)] =
+    Seq(("doc_id", false), ("lang", true), ("n_chars", false),
+      ("source", true), ("text", true))
+
+  /** One MERGEABLE stats row for column `c` over `in` — every field
+    * composes under union: counts and byte sums add, min/max take
+    * least/greatest (numerics merge on the NATIVE type via min_num/
+    * max_num — merging string renderings would order "10" < "9"), and
+    * distinct cardinality is a KMV bottom-k sketch over the 60-bit
+    * md5 value keys ([[kmvEstimate]]'s exact-integer estimator), which
+    * unions losslessly: min-k(A ∪ B) = min-k(min-k(A) ∪ min-k(B)).
+    * Exactly the per-file/per-partition stats a 100 TB ANALYZE computes
+    * map-side and folds, instead of rescanning the corpus per refresh.
+    */
+  private def statsLeg(in: DataFrame, c: String, isStr: Boolean): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    val scalar = in.agg(
+      count(lit(1)).as("n_rows"),
+      (count(lit(1)) - count(col(c))).as("n_nulls"),
+      (if (isStr) sum(length(col(c))).cast("long")
+       else lit(null).cast("long")).as("sum_len"),
+      (if (isStr) lit(null).cast("long") else min(col(c)).cast("long"))
+        .as("min_num"),
+      (if (isStr) lit(null).cast("long") else max(col(c)).cast("long"))
+        .as("max_num"),
+      (if (isStr) min(col(c)) else lit(null).cast("string")).as("min_s"),
+      (if (isStr) max(col(c)) else lit(null).cast("string")).as("max_s"))
+    val sk = in.filter(col(c).isNotNull)
+      .select(expr(
+        s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
+        .as("vk"))
+      .distinct()
+      .agg(ColumnBridge.collectTopK(col("vk"), KmvK, reverse = true)
+        .as("sketch"))
+    val outCols = lit(c).as("column") +:
+      (scalar.columns.toSeq.map(col) :+ col("sketch"))
+    scalar.crossJoin(sk).select(outCols: _*)
+  }
+
+  private def statsPartials(in: DataFrame): DataFrame =
+    statsColumns.map { case (c, s) => statsLeg(in, c, s) }
+      .reduce(_ unionByName _)
+
+  // stats_mv path -> sfDir that built it (the ensureIvfIndex memo shape)
+  private val statsMvFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing per-column stats over the BASE carve
+    * (`doc_id % incrementalDeltaMod != 0` — the [[ensureAggMv]]
+    * convention), built once under the warehouse with the marker/memo
+    * discipline (cleared BEFORE rebuilding).
+    */
+  def ensureStatsMv(spark: SparkSession, dir: String): String = synchronized {
+    val base = graft.Layout.indexBase(spark, dir, "stats_mv")
+    val marker = new org.apache.hadoop.fs.Path(s"$base/stats/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(statsMvFor.get(base).contains(dir) && fs.exists(marker))) {
+      statsMvFor.remove(base)
+      fs.delete(marker, false)
+      statsPartials(docs(spark, dir)
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0))
+        .write.mode("overwrite").parquet(s"$base/stats")
+      statsMvFor(base) = dir
+    }
+    base
+  }
+
+  /** Incremental ANALYZE REFRESH — [[pipelineTableStats]]'s maintenance
+    * form: the standing per-column stats table absorbs the delta carve
+    * by MERGING partials instead of rescanning the corpus. Counts and
+    * byte sums add, native-typed min/max take least/greatest, and the
+    * NDV sketches re-bottom-k the union of base and delta keys (the
+    * [[txKmvRefresh]] lossless-union identity applied per column). The
+    * served schema is the ANALYZE report: exact merged counts, string-
+    * rendered min/max, and the sketch-backed `ndv_est` — and the ORACLE
+    * is the full-corpus recompute from first principles (refresh ≡
+    * rebuild, bit-for-bit, the discipline every incremental operator
+    * here answers to). At 100 TB this is the nightly stats job: delta-
+    * sized scan, kilobytes of merge state, no corpus rescans.
+    */
+  def pipelineStatsRefresh(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureStatsMv(spark, dir)
+    val standing = spark.read.parquet(s"$base/stats")
+    val delta = statsPartials(docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
+    def b(c: String) = col(s"b.$c"); def d(c: String) = col(s"d.$c")
+    def addNullable(c: String) =
+      when(b(c).isNull && d(c).isNull, lit(null).cast("long"))
+        .otherwise(coalesce(b(c), lit(0L)) + coalesce(d(c), lit(0L)))
+    val merged = standing.alias("b")
+      .join(delta.alias("d"), col("b.column") === col("d.column"))
+      .select(col("b.column").as("column"),
+        (b("n_rows") + d("n_rows")).as("n_rows"),
+        (b("n_nulls") + d("n_nulls")).as("n_nulls"),
+        addNullable("sum_len").as("sum_len"),
+        least(b("min_num"), d("min_num")).as("min_num"),
+        greatest(b("max_num"), d("max_num")).as("max_num"),
+        least(b("min_s"), d("min_s")).as("min_s"),
+        greatest(b("max_s"), d("max_s")).as("max_s"),
+        concat(b("sketch"), d("sketch")).as("sk_cat"))
+    import org.apache.spark.sql.graft.ColumnBridge
+    val resketched = merged
+      .select(col("column"), explode(col("sk_cat")).as("vk"))
+      .distinct()
+      .groupBy("column")
+      .agg(ColumnBridge.collectTopK(col("vk"), KmvK, reverse = true)
+        .as("sketch"))
+    merged.drop("sk_cat").join(resketched, "column")
+      .select(col("column"), col("n_rows"), col("n_nulls"),
+        kmvEstimate(col("sketch"), KmvK).as("ndv_est"),
+        coalesce(col("min_num").cast("string"), col("min_s")).as("min_str"),
+        coalesce(col("max_num").cast("string"), col("max_s")).as("max_str"),
+        col("sum_len"))
+      .orderBy("column")
+  }
+
   // ---- data-contract expectations + dead-letter quarantine -------------
 
   /** The language allowlist the `allowed_lang` expectation enforces —

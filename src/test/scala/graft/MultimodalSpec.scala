@@ -231,4 +231,40 @@ class MultimodalSpec extends SparkSpec {
       r.getAs[Long]("n_aligned") == 14L, s"run must span the shared cut: $r")
     assert(r.getAs[Double]("aligned_frac") == 14.0 / 16.0)
   }
+
+  test("sceneCuts: scenes partition the frame grid; equal adjacent shots merge") {
+    val spark2 = spark
+    import spark2.implicits._
+    val M = graft.multimodal.Multimodal
+    // 4 source slices of 8 chars each (32-char payloads, fs = 8):
+    // media 1 has four distinct shots; media 2 repeats its middle
+    // slices (s1 == s2) so the cut detector must MERGE shots 1 and 2
+    // into one 8-frame scene.
+    val m1 = "shot000ashot001bshot002cshot003d"
+    val m2 = "shot100asameshotsameshotshot103d"
+    val media = M.fromDocuments(
+      Seq((1L, m1), (2L, m2)).toDF("doc_id", "text"))
+    val rows = M.sceneCuts(media).collect()
+    val byMedia = rows.groupBy(_.getAs[Long]("media_id"))
+    // scenes tile 0..15 contiguously for every media
+    byMedia.foreach { case (id, sc) =>
+      val sorted = sc.sortBy(_.getAs[Long]("scene_idx"))
+      assert(sorted.head.getAs[Int]("start_frame") == 0)
+      assert(sorted.last.getAs[Int]("end_frame") ==
+        M.sceneSrcSlices * M.sceneRepeat - 1)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Int]("start_frame") ==
+            a.getAs[Int]("end_frame") + 1, s"media $id scenes not contiguous")
+        case _ =>
+      }
+      assert(sorted.map(_.getAs[Long]("scene_frames")).sum ==
+        M.sceneSrcSlices * M.sceneRepeat)
+    }
+    assert(byMedia(1L).length == 4, "distinct shots must each cut")
+    val s2 = byMedia(2L).sortBy(_.getAs[Long]("scene_idx"))
+    assert(s2.length == 3, s"equal adjacent shots must merge: ${s2.toSeq}")
+    assert(s2(1).getAs[Long]("scene_frames") == 2L * M.sceneRepeat,
+      "the merged scene must span both repeated shots")
+  }
 }
