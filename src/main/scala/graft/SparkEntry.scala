@@ -118,6 +118,7 @@ object SparkEntry {
     "tx_token_count" -> (Text.txTokenCount _),
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
+    "tx_cdc_chunks" -> (Text.txCdcChunks _),
     "tx_hash_sample" -> (Text.txHashSample _),
     // integer-exact A-ES: priority = floor(md5_60(seed:id) / token count),
     // global bottom-n via TakeOrderedAndProject (bounded per-partition heap)
@@ -206,6 +207,7 @@ object SparkEntry {
     "tx_bpe_apply_indexed" -> ((s, d) => Text.txBpeApplyIndexed(s, d)),
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
+    "dd_lineage" -> (Text.ddLineage _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
     "dd_incremental_fuzzy_indexed" -> ((s, d) => Text.ddIncrementalFuzzyIndexed(s, d)),
@@ -4567,6 +4569,48 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, n_tokens, h // n_tokens AS priority
         |FROM k ORDER BY priority, doc_id LIMIT ${Text.WeightedSampleN}""".stripMargin,
+    // Content-defined chunking vs fixed grid: the planted edited-recrawl
+    // carve, per-token 60-bit hashes, anchor-rule boundaries (shared
+    // constants), running-sum chunk ids, hash-of-hashes chunk digests,
+    // cluster-arithmetic reclaim — both modes from one generator.
+    "tx_cdc_chunks" -> {
+      def mode(m: String, bnd: String) =
+        s"""  SELECT '$m' AS mode, lang,
+           |    CAST(sum(occ) AS BIGINT) AS n_chunks,
+           |    count(*) AS n_distinct_chunks,
+           |    CAST(sum(occ) - count(*) AS BIGINT) AS dup_occurrences,
+           |    CAST(sum((occ - 1) * tok_len) AS BIGINT) AS reclaim_tokens
+           |  FROM (
+           |    SELECT lang, cd, count(*) AS occ, min(tok_len) AS tok_len
+           |    FROM (
+           |      SELECT doc_id, lang, chunk_idx, count(*) AS tok_len,
+           |        md5(string_agg(CAST(tk AS VARCHAR), ',' ORDER BY pos)) AS cd
+           |      FROM (
+           |        SELECT doc_id, lang, pos, tk,
+           |          CAST(sum($bnd) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) - ($bnd) AS chunk_idx
+           |        FROM tt)
+           |      GROUP BY 1, 2, 3)
+           |    GROUP BY 1, 2)
+           |  GROUP BY 2""".stripMargin
+      val cdcBnd = s"CASE WHEN tk % ${Text.cdcBoundaryMod} = ${Text.cdcBoundaryRem} THEN 1 ELSE 0 END"
+      val fixBnd = s"CASE WHEN pos % ${Text.cdcBoundaryMod} = ${Text.cdcBoundaryMod - 1} THEN 1 ELSE 0 END"
+      s"""WITH allr AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + ${Text.cdcEditBase}, lang, 'EDIT: ' || text FROM documents
+         |  WHERE doc_id % ${Text.cdcEditMod} = ${Text.cdcEditRem}),
+         |d2 AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM allr),
+         |u AS (SELECT doc_id, lang, toks,
+         |    unnest(range(1, len(toks) + 1)) AS i FROM d2),
+         |tt AS MATERIALIZED (SELECT doc_id, lang, i - 1 AS pos,
+         |    CAST(('0x' || substr(md5(toks[CAST(i AS INT)]), 1, 15)) AS BIGINT) AS tk
+         |  FROM u)
+         |SELECT * FROM (
+         |${mode("cdc", cdcBnd)}
+         |  UNION ALL
+         |${mode("fixed", fixBnd)}
+         |) ORDER BY mode, lang""".stripMargin
+    },
     "tx_bigram_score" ->
       """WITH g AS (
         |  SELECT doc_id, lang, unnest(list_transform(range(1, len(string_split(text, ' '))),
@@ -4701,6 +4745,32 @@ object SparkEntry {
         |  count(DISTINCT md5(text)) AS n_distinct_md5,
         |  count(*) - count(DISTINCT md5(text)) AS n_dup_rows
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Lineage through dedup: the planted recrawl/mirror replica carves
+    // (shared constants), the 60-bit content key, per-cluster id-XOR and
+    // the sorted distinct-source list from a dedicated distinct CTE
+    // (string_agg over DISTINCT-with-ORDER is dialect-fragile; the
+    // two-step is not).
+    "dd_lineage" ->
+      s"""WITH allr AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + ${Text.lineageRecrawlBase}, 'recrawl', text FROM documents
+        |  WHERE doc_id % ${Text.lineageReplicaMod} = ${Text.lineageReplicaRem}
+        |  UNION ALL
+        |  SELECT doc_id + ${Text.lineageMirrorBase}, 'mirror', text FROM documents
+        |  WHERE doc_id % ${Text.lineageMirrorMod} = ${Text.lineageReplicaRem}),
+        |k AS (SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS hk
+        |  FROM allr),
+        |g AS (SELECT hk, min(doc_id) AS keep_doc_id, count(*) AS n_merged,
+        |    CAST(bit_xor(doc_id) AS BIGINT) AS merged_id_xor,
+        |    count(DISTINCT source) AS n_sources
+        |  FROM k GROUP BY 1),
+        |s AS (SELECT hk, string_agg(source, ',' ORDER BY source) AS sources
+        |  FROM (SELECT DISTINCT hk, source FROM k) GROUP BY 1)
+        |SELECT keep_doc_id, n_merged, merged_id_xor, n_sources, sources
+        |FROM g JOIN s USING (hk)
+        |WHERE n_merged >= 2 ORDER BY keep_doc_id""".stripMargin,
     // Snapshot-delta dedup over the same 60-bit md5-derived BIGINT keys
     // as tx_decontaminate_hashed (exact across engines by construction);
     // the delta modulus comes from the SAME constant as the Spark

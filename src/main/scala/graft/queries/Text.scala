@@ -1302,6 +1302,147 @@ object Text {
       .orderBy("lang")
   }
 
+  /** [[ddLineage]] planted-replica carve constants, shared with the
+    * generated oracle: every `doc_id % 3 = 1` document re-lands verbatim
+    * from a 'recrawl' source under key `doc_id + 10000000`, every
+    * `doc_id % 6 = 1` additionally from a 'mirror' under
+    * `doc_id + 20000000` — id offsets far above any corpus id at the
+    * tested scales, so keep-first (min id) always keeps the original.
+    */
+  private[graft] val lineageReplicaMod = 3L
+  private[graft] val lineageMirrorMod = 6L
+  private[graft] val lineageReplicaRem = 1L
+  private[graft] val lineageRecrawlBase = 10000000L
+  private[graft] val lineageMirrorBase = 20000000L
+
+  /** RECORD-LEVEL LINEAGE THROUGH DEDUP — the provenance a reproducible
+    * training release must keep when dedup collapses rows: for every
+    * kept representative whose content cluster absorbed at least one
+    * other record, the cluster size, the XOR of every merged record id
+    * (content proof — WHICH rows merged, not just how many), the number
+    * of distinct sources absorbed and the sorted source list (the
+    * column an attribution/licensing audit actually reads; a kept doc
+    * whose duplicates span sources inherits every source's terms). The
+    * corpus itself carries no cross-source copies below sf0.1, so
+    * replicas are PLANTED deterministically (recrawl + mirror carves —
+    * the pipelineMergeSnapshot discipline) on top of whatever natural
+    * duplication the scale provides; clusters of size 2 and 3 and
+    * source fans of 2 and 3 all occur by construction. Reference
+    * anchor: the reference records run-level provenance
+    * (`wrds_ingestion.py:1155-1198` data_sources.yml); at 100 TB the
+    * question becomes per-RECORD and must survive dedup — this is that
+    * operator.
+    *
+    * Scale shape: the only corpus-wide shuffle keys on the 60-bit
+    * content digest carrying (id, source) — text never shuffles (the
+    * dd_* digest-only rule); per-cluster state is bounded (ids XOR to
+    * one word, the source set is small by nature of real corpora — a
+    * pathological mega-cluster would cap the source list the
+    * no-silent-caps way, reported, before it cap'd anything else).
+    */
+  def ddLineage(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("source"), col("text"))
+    val recrawl = d
+      .filter(col("doc_id") % lineageReplicaMod === lineageReplicaRem)
+      .select((col("doc_id") + lineageRecrawlBase).as("doc_id"),
+        lit("recrawl").as("source"), col("text"))
+    val mirror = d
+      .filter(col("doc_id") % lineageMirrorMod === lineageReplicaRem)
+      .select((col("doc_id") + lineageMirrorBase).as("doc_id"),
+        lit("mirror").as("source"), col("text"))
+    d.unionByName(recrawl).unionByName(mirror)
+      .select(col("doc_id"), col("source"), expr(textDigestExpr).as("hk"))
+      .groupBy("hk")
+      .agg(min("doc_id").as("keep_doc_id"),
+        count(lit(1)).as("n_merged"),
+        expr("bit_xor(doc_id)").as("merged_id_xor"),
+        countDistinct("source").as("n_sources"),
+        concat_ws(",", array_sort(collect_set(col("source")))).as("sources"))
+      .filter(col("n_merged") >= 2)
+      .select("keep_doc_id", "n_merged", "merged_id_xor", "n_sources",
+        "sources")
+      .orderBy("keep_doc_id")
+  }
+
+  /** [[txCdcChunks]] geometry, shared with the generated oracle: a token
+    * ends a chunk when its 60-bit hash ≡ rem (mod 16) — expected chunk
+    * length 16 tokens; the fixed-grid contrast cuts after every 16th
+    * position; and every `doc_id % 4 = 2` document re-lands with one
+    * token PREPENDED (an edited re-crawl) under `doc_id + 30000000`.
+    */
+  private[graft] val cdcBoundaryMod = 16L
+  private[graft] val cdcBoundaryRem = 0L
+  private[graft] val cdcEditMod = 4L
+  private[graft] val cdcEditRem = 2L
+  private[graft] val cdcEditBase = 30000000L
+
+  /** CONTENT-DEFINED CHUNKING dedup — the storage-dedup primitive
+    * (LBFS/rsync/restic: cut where a rolling hash of local content hits
+    * an anchor, so chunk boundaries RE-SYNCHRONIZE after an edit) applied
+    * at token granularity, served side by side with the fixed-grid
+    * chunking it obsoletes. The corpus is landed together with planted
+    * "edited re-crawls" (one token prepended — the one-byte-insert that
+    * defeats fixed-size chunking); for each mode × language the report
+    * counts chunk occurrences, distinct chunks, duplicate occurrences
+    * and the tokens a chunk-store would reclaim (cluster arithmetic:
+    * Σ (occ−1)·len — never pair enumeration). The operator IS the
+    * measured claim: `cdc` reclaims nearly a full copy per edited
+    * replica because every chunk after the first anchor re-aligns,
+    * `fixed` reclaims ~nothing because the grid shifted by one token —
+    * TextOpsSpec pins the contrast and the boundary invariance.
+    *
+    * Scale shape: tokens leave the scan as 60-bit hashes (text never
+    * shuffles — chunk digests are hashes OF token hashes, the dd_*
+    * digest-only rule); the chunk assembly shares one doc-keyed
+    * exchange between the boundary window and the rollup; per-chunk
+    * state is bounded by chunk length. The boundary rule is local to
+    * each token, which is exactly what makes the cut points immune to
+    * upstream edits at any corpus size.
+    */
+  def txCdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val edited = d.filter(col("doc_id") % cdcEditMod === cdcEditRem)
+      .select((col("doc_id") + cdcEditBase).as("doc_id"), col("lang"),
+        concat(lit("EDIT: "), col("text")).as("text"))
+    val toks = graft.Caches.scoped("tx_cdc_chunks.toks",
+      Tables.spread(d.unionByName(edited))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), posexplode(col("toks")))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          expr("CAST(conv(substring(md5(col), 1, 15), 16, 10) AS BIGINT)")
+            .as("tk")))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def modeReport(mode: String,
+        bnd: org.apache.spark.sql.Column): DataFrame = {
+      val chunks = toks
+        .withColumn("bnd", when(bnd, 1L).otherwise(0L))
+        // cut AFTER the anchor: the anchor token ends the chunk it's in
+        .withColumn("chunk_idx", sum("bnd").over(w) - col("bnd"))
+        .groupBy("doc_id", "lang", "chunk_idx")
+        .agg(count(lit(1)).as("tok_len"),
+          expr("""md5(cast(array_join(transform(
+            |  array_sort(collect_list(struct(pos, tk))),
+            |  x -> cast(x.tk AS STRING)), ',') AS BINARY))""".stripMargin)
+            .as("cd"))
+      chunks.groupBy("lang", "cd")
+        .agg(count(lit(1)).as("occ"), min("tok_len").as("tok_len"))
+        .groupBy("lang")
+        .agg(sum("occ").as("n_chunks"),
+          count(lit(1)).as("n_distinct_chunks"),
+          (sum("occ") - count(lit(1))).as("dup_occurrences"),
+          sum((col("occ") - 1) * col("tok_len")).as("reclaim_tokens"))
+        .select(lit(mode).as("mode"), col("lang"), col("n_chunks"),
+          col("n_distinct_chunks"), col("dup_occurrences"),
+          col("reclaim_tokens"))
+    }
+    modeReport("cdc", pmod(col("tk"), lit(cdcBoundaryMod)) === cdcBoundaryRem)
+      .unionByName(modeReport("fixed",
+        pmod(col("pos").cast("long"), lit(cdcBoundaryMod)) === cdcBoundaryMod - 1))
+      .orderBy("mode", "lang")
+  }
+
   /** Exact deduplication stats: per language, distinct-text and distinct-md5
     * counts (the hash-groupBy dedup a 100 TB pipeline runs first — one
     * shuffle on the 16-byte digest, never on the document text itself).

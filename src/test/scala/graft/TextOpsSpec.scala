@@ -1801,4 +1801,63 @@ class TextOpsSpec extends SparkSpec {
         r.getAs[Long]("n_tokens_stripped") == 20L, s"strip accounting: $r")
     }
   }
+
+  test("ddLineage: keep-first keeps originals, both fan widths occur, XOR identifies members") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Text.ddLineage(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("keep_doc_id") < Text.lineageRecrawlBase,
+        s"a planted replica was kept over its original: $r")
+      assert(r.getAs[String]("sources").split(",").length >=
+        r.getAs[Long]("n_sources").toInt - 0,
+        s"source list shorter than its count: $r")
+    }
+    val bySize = rows.groupBy(_.getAs[Long]("n_merged"))
+    assert(bySize.contains(2L) && bySize.contains(3L),
+      "both planted cluster sizes (recrawl-only and recrawl+mirror) must occur")
+    // a recrawl-only cluster (doc % 3 = 1, doc % 6 != 1): members are
+    // exactly {id, id + recrawlBase}, so the XOR is their fold and the
+    // source fan is {orig, recrawl}
+    val duo = rows.find(r => r.getAs[Long]("n_merged") == 2 &&
+      r.getAs[Long]("keep_doc_id") % Text.lineageMirrorMod !=
+        Text.lineageReplicaRem).get
+    val id = duo.getAs[Long]("keep_doc_id")
+    assert(duo.getAs[Long]("merged_id_xor") ==
+      (id ^ (id + Text.lineageRecrawlBase)), s"XOR mismatch: $duo")
+    assert(duo.getAs[Long]("n_sources") == 2 &&
+      duo.getAs[String]("sources").contains("recrawl"))
+    val trio = rows.find(_.getAs[Long]("n_merged") == 3).get
+    assert(trio.getAs[Long]("n_sources") == 3 &&
+      trio.getAs[String]("sources").contains("mirror"), s"trio fan: $trio")
+  }
+
+  test("txCdcChunks: content-defined boundaries re-synchronize after the planted edit; the fixed grid does not") {
+    val rows = Text.txCdcChunks(spark, "/root/testdata/sf0.01").collect()
+    val byMode = rows.groupBy(_.getAs[String]("mode"))
+    assert(byMode.keySet == Set("cdc", "fixed"))
+    assert(byMode("cdc").map(_.getAs[String]("lang")).sorted.toSeq ==
+      byMode("fixed").map(_.getAs[String]("lang")).sorted.toSeq)
+    def total(m: String, c: String) = byMode(m).map(_.getAs[Long](c)).sum
+    // every lang: the anchor rule finds strictly more duplicate chunks
+    // than the shifted grid (the whole point of content-defined cuts)
+    val fixedByLang = byMode("fixed")
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("dup_occurrences"))
+      .toMap
+    byMode("cdc").foreach { r =>
+      assert(r.getAs[Long]("dup_occurrences") >
+        fixedByLang(r.getAs[String]("lang")),
+        s"cdc must out-dedup the grid for ${r.getAs[String]("lang")}")
+    }
+    // corpus-wide, the gap is structural, not marginal (measured ~10x at
+    // sf0.01; pin a conservative 3x)
+    assert(total("cdc", "reclaim_tokens") > 3 * total("fixed", "reclaim_tokens"),
+      s"cdc ${total("cdc", "reclaim_tokens")} vs fixed ${total("fixed", "reclaim_tokens")}")
+    rows.foreach { r =>
+      assert((r.getAs[Long]("reclaim_tokens") == 0) ==
+        (r.getAs[Long]("dup_occurrences") == 0), s"reclaim accounting: $r")
+      assert(r.getAs[Long]("n_chunks") - r.getAs[Long]("n_distinct_chunks")
+        == r.getAs[Long]("dup_occurrences"), s"occurrence arithmetic: $r")
+    }
+  }
 }
