@@ -119,6 +119,7 @@ object SparkEntry {
     "tx_langid" -> (Text.txLangId _),
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_cdc_chunks" -> (Text.txCdcChunks _),
+    "tx_k_anonymity" -> (Text.txKAnonymity _),
     "tx_hash_sample" -> (Text.txHashSample _),
     // integer-exact A-ES: priority = floor(md5_60(seed:id) / token count),
     // global bottom-n via TakeOrderedAndProject (bounded per-partition heap)
@@ -385,6 +386,7 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ((s, d) => Similarity.simIvfAnnDeleted(s, d)),
     "sim_ivf_compact" -> ((s, d) => Similarity.simIvfCompact(s, d)),
     "sim_ivf_ann_compacted" -> ((s, d) => Similarity.simIvfAnnCompacted(s, d)),
+    "sim_d4_prune" -> ((s, d) => Similarity.simD4Prune(s, d)),
     "sim_pq_upsert" -> ((s, d) => Similarity.simPqUpsert(s, d)),
     "sim_pq_delete" -> ((s, d) => Similarity.simPqDelete(s, d)),
     "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
@@ -1944,6 +1946,30 @@ object SparkEntry {
        |$legs
        |) ORDER BY "column"""".stripMargin
   }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simD4Prune]]: the verbatim
+    * rk assignment chain at crnk = 1, per-cell prototypicality ranks,
+    * integer-division cuts from the shared divisors, per-class counts +
+    * id XOR + boundary cosines.
+    */
+  private def d4PruneSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |a AS (SELECT vec_id, c_label AS cell, cos_c FROM rk WHERE crnk = 1),
+       |r AS (
+       |  SELECT vec_id, cell, cos_c,
+       |    row_number() OVER (PARTITION BY cell ORDER BY cos_c DESC, vec_id ASC) AS prnk,
+       |    count(*) OVER (PARTITION BY cell) AS n
+       |  FROM a),
+       |cl AS (
+       |  SELECT *, CASE WHEN prnk <= n // ${Similarity.d4ProtoDiv} THEN 'prune_proto'
+       |                 WHEN prnk > n - n // ${Similarity.d4OutlierDiv} THEN 'prune_outlier'
+       |                 ELSE 'keep' END AS cls
+       |  FROM r)
+       |SELECT cell, cls, count(*) AS n_members,
+       |  CAST(bit_xor(vec_id) AS BIGINT) AS id_xor,
+       |  max(cos_c) AS max_cos, min(cos_c) AS min_cos
+       |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared CTE chain for the expectations pair — the planted-violation
     * landing batch ([[graft.queries.Text]] carve constants referenced
@@ -4569,6 +4595,21 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, n_tokens, h // n_tokens AS priority
         |FROM k ORDER BY priority, doc_id LIMIT ${Text.WeightedSampleN}""".stripMargin,
+    // K-anonymity: equivalence classes per quasi-identifier tuple at two
+    // generalization levels, class-size histogram, shared k threshold.
+    "tx_k_anonymity" -> {
+      def level(name: String, keys: String) =
+        s"""  SELECT '$name' AS level, cls_size, count(*) AS n_classes,
+           |    CAST(count(*) * cls_size AS BIGINT) AS n_rows,
+           |    cls_size < ${Text.kAnonK} AS violates_k
+           |  FROM (SELECT count(*) AS cls_size FROM documents GROUP BY $keys)
+           |  GROUP BY cls_size""".stripMargin
+      s"""SELECT * FROM (
+         |${level("fine", s"lang, source, n_chars // ${Text.kAnonBand}")}
+         |  UNION ALL
+         |${level("coarse", "lang, source")}
+         |) ORDER BY level, cls_size""".stripMargin
+    },
     // Content-defined chunking vs fixed grid: the planted edited-recrawl
     // carve, per-token 60-bit hashes, anchor-rule boundaries (shared
     // constants), running-sum chunk ids, hash-of-hashes chunk digests,
@@ -6241,6 +6282,7 @@ object SparkEntry {
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,
     "sim_ivf_compact" -> ivfCompactSql,
     "sim_ivf_ann_compacted" -> ivfAnnDeletedSql,
+    "sim_d4_prune" -> d4PruneSql,
     "sim_pq_upsert" -> pqUpsertSql,
     "sim_pq_delete" -> pqDeleteSql,
     "sim_ivfpq_upsert" -> ivfPqUpsertSql,

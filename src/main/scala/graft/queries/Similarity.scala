@@ -688,6 +688,81 @@ object Similarity {
        |    LATERAL VIEW explode(cents) t AS c))
        |WHERE crnk <= $nprobe""".stripMargin
 
+  /** Full-corpus nearest-centroid assignment WITH the winning cosine —
+    * the [[ivfProbeKeysSql]] rank chain over `embeddings` at crnk = 1
+    * (one generator: assignment here can never drift from probe/build
+    * placement). Consumed by the prototypicality pruner
+    * ([[simD4Prune]]), which needs each member's distance to its own
+    * centroid, not just the cell id.
+    */
+  private def ivfCorpusAssignSql: String =
+    s"""SELECT vec_id, c_label AS cell, cos_c FROM (
+       |  SELECT vec_id, c_label, cos_c, row_number() OVER (
+       |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
+       |  FROM (
+       |    SELECT vec_id, c.c_label AS c_label, ${ivfCosC("embedding", "c")} AS cos_c
+       |    FROM (
+       |      SELECT vec_id, embedding,
+       |        sqrt(float_dot(embedding, embedding)) AS vnorm,
+       |        (SELECT collect_list(struct(c_label, centroid, cnorm))
+       |         FROM graft_ivf_centroids) AS cents
+       |      FROM embeddings)
+       |    LATERAL VIEW explode(cents) t AS c))
+       |WHERE crnk = 1""".stripMargin
+
+  /** [[simD4Prune]] cut divisors, shared with the generated oracle: the
+    * top n/10 most-prototypical members of each cluster are marked
+    * redundant, the bottom n/20 are marked outliers — integer division,
+    * so both engines cut at identical ranks.
+    */
+  private[graft] val d4ProtoDiv = 10L
+  private[graft] val d4OutlierDiv = 20L
+
+  /** PROTOTYPICALITY PRUNING — the D4 / SSL-prototypes curation step
+    * (Tirumala et al. 2023; Sorscher et al. 2022): after semantic dedup,
+    * the remaining redundancy lives at the CENTER of embedding clusters
+    * (many near-identical prototypical examples teach the model
+    * nothing new) and the noise lives at the EDGE (outliers are often
+    * OCR garbage or off-distribution fragments) — so each cluster
+    * prunes its most-prototypical decile and its outlier 5%, keeping
+    * the informative middle. Ranking is each member's cosine to its OWN
+    * centroid from the standing quantizer ([[ivfCorpusAssignSql]] — the
+    * verbatim assignment chain, so prune decisions can never disagree
+    * with index placement); cuts are integer ranks; the audit reports
+    * per (cell, class) exact counts, the member-id XOR (content proof)
+    * and the boundary cosines from the bit-exact chain.
+    *
+    * Scale shape: one corpus scan against broadcast centroids (the
+    * assignment pass every IVF build already pays), one cell-keyed
+    * exchange for the rank window, vector-free from there on
+    * (PlanSpec's no-vector-shuffle discipline); output is ≤ nlist × 3
+    * rows of metadata.
+    */
+  def simD4Prune(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = ensureIvfIndex(spark, dir)
+    register(spark)
+    graft.Catalog.registerAll(spark, dir)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    val assigned = spark.sql(ivfCorpusAssignSql)
+    val ranked = assigned
+      .withColumn("prnk", row_number().over(Window.partitionBy("cell")
+        .orderBy(col("cos_c").desc, col("vec_id").asc)))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("cell")))
+    ranked
+      .withColumn("cls",
+        when(col("prnk") <= expr(s"n DIV $d4ProtoDiv"), "prune_proto")
+          .when(col("prnk") > col("n") - expr(s"n DIV $d4OutlierDiv"),
+            "prune_outlier")
+          .otherwise("keep"))
+      .groupBy("cell", "cls")
+      .agg(count(lit(1)).as("n_members"),
+        expr("bit_xor(vec_id)").as("id_xor"),
+        max("cos_c").as("max_cos"), min("cos_c").as("min_cos"))
+      .orderBy("cell", "cls")
+  }
+
   /** Shared probe scoring: attach query vectors to probe keys (broadcast),
     * score each probed cell's members with the codegen'd float_dot, drop
     * vectors, top-k per query. The only exchanges carry

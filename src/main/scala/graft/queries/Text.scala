@@ -1364,6 +1364,46 @@ object Text {
       .orderBy("keep_doc_id")
   }
 
+  /** [[txKAnonymity]] parameters, shared with the generated oracle: the
+    * privacy threshold k and the fine-level length-band width.
+    */
+  private[graft] val kAnonK = 5L
+  private[graft] val kAnonBand = 100L
+
+  /** K-ANONYMITY AUDIT with a generalization contrast — the re-
+    * identification check a corpus with user-contributed text owes its
+    * subjects (Sweeney 2002; the PII family's aggregate sibling — PII
+    * redaction scrubs direct identifiers, k-anonymity bounds what QUASI-
+    * identifiers leak in combination): rows sharing a quasi-identifier
+    * tuple form an equivalence class; any class smaller than k is
+    * re-identifiable and must be suppressed or generalized. Served as a
+    * class-size histogram at two generalization levels — `fine` keys on
+    * (lang, source, n_chars DIV [[kAnonBand]]), `coarse` drops the
+    * length band (the generalization step itself) — so the operator
+    * carries its own fix's measured effect: the anonymity number (min
+    * class size) rises and the violating row count falls, which the
+    * spec pins. All integers.
+    *
+    * Scale shape: one corpus scan per level over three metadata columns
+    * (text never read — the ReadSchema stays narrow), a groupBy on the
+    * quasi-identifier tuple, then a histogram over ≤ #classes rows.
+    */
+  def txKAnonymity(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+    def level(name: String, keys: Seq[org.apache.spark.sql.Column]): DataFrame =
+      d.groupBy(keys: _*)
+        .agg(count(lit(1)).as("cls_size"))
+        .groupBy("cls_size")
+        .agg(count(lit(1)).as("n_classes"),
+          (count(lit(1)) * col("cls_size")).as("n_rows"))
+        .select(lit(name).as("level"), col("cls_size"), col("n_classes"),
+          col("n_rows"), (col("cls_size") < kAnonK).as("violates_k"))
+    level("fine", Seq(col("lang"), col("source"),
+        expr(s"n_chars DIV $kAnonBand").as("len_band")))
+      .unionByName(level("coarse", Seq(col("lang"), col("source"))))
+      .orderBy("level", "cls_size")
+  }
+
   /** [[txCdcChunks]] geometry, shared with the generated oracle: a token
     * ends a chunk when its 60-bit hash ≡ rem (mod 16) — expected chunk
     * length 16 tokens; the fixed-grid contrast cuts after every 16th

@@ -307,7 +307,8 @@ class PlanSpec extends SparkSpec {
           "sim_filtered_ann_indexed", "sim_filtered_ann_adaptive",
           "sim_ivf_ann_deleted", "sim_pq_upsert",
           "sim_pq_adc_deleted", "sim_bq_hamming",
-          "sim_bq_hamming_indexed").foreach { name =>
+          "sim_bq_hamming_indexed", "sim_ivf_ann_compacted",
+          "sim_d4_prune").foreach { name =>
         val plan = SparkEntry.queries(name)(spark, dir)
           .queryExecution.executedPlan
         val offenders = (plan +: plan.subqueriesAll).flatMap(_.collect {

@@ -644,4 +644,31 @@ class SimilaritySpec extends SparkSpec {
       })
     }
   }
+
+  test("simD4Prune: cuts are the integer-rank contract and class bands are cosine-ordered") {
+    val rows = Similarity.simD4Prune(spark, dir).collect()
+    val byCell = rows.groupBy(_.getAs[Long]("cell"))
+    assert(byCell.nonEmpty)
+    byCell.foreach { case (cell, cls) =>
+      val m = cls.map(r => r.getAs[String]("cls") -> r).toMap
+      val n = cls.map(_.getAs[Long]("n_members")).sum
+      // exact decile/ventile cuts in integers
+      assert(m.get("prune_proto").map(_.getAs[Long]("n_members"))
+        .getOrElse(0L) == n / Similarity.d4ProtoDiv,
+        s"cell $cell: proto cut != n DIV 10")
+      assert(m.get("prune_outlier").map(_.getAs[Long]("n_members"))
+        .getOrElse(0L) == n / Similarity.d4OutlierDiv,
+        s"cell $cell: outlier cut != n DIV 20")
+      // the kept middle sits strictly between the pruned bands
+      for (p <- m.get("prune_proto"); k <- m.get("keep"))
+        assert(p.getAs[Double]("min_cos") >= k.getAs[Double]("max_cos"),
+          s"cell $cell: proto band below keep band")
+      for (k <- m.get("keep"); o <- m.get("prune_outlier"))
+        assert(k.getAs[Double]("min_cos") >= o.getAs[Double]("max_cos"),
+          s"cell $cell: keep band below outlier band")
+    }
+    // the audit covers the whole corpus exactly once
+    val total = rows.map(_.getAs[Long]("n_members")).sum
+    assert(total == Tables(spark, dir, "embeddings").count())
+  }
 }

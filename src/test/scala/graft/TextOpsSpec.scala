@@ -1860,4 +1860,30 @@ class TextOpsSpec extends SparkSpec {
         == r.getAs[Long]("dup_occurrences"), s"occurrence arithmetic: $r")
     }
   }
+
+  test("txKAnonymity: histograms tile the corpus; generalization measurably helps") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Text.txKAnonymity(spark, dir).collect()
+    val byLevel = rows.groupBy(_.getAs[String]("level"))
+    assert(byLevel.keySet == Set("fine", "coarse"))
+    val n = Tables(spark, dir, "documents").count()
+    byLevel.foreach { case (lvl, hs) =>
+      assert(hs.map(_.getAs[Long]("n_rows")).sum == n,
+        s"$lvl histogram does not tile the corpus")
+      hs.foreach(r => assert(r.getAs[Boolean]("violates_k") ==
+        (r.getAs[Long]("cls_size") < Text.kAnonK)))
+    }
+    def violatingRows(lvl: String) = byLevel(lvl)
+      .filter(_.getAs[Boolean]("violates_k")).map(_.getAs[Long]("n_rows")).sum
+    def anonymityNumber(lvl: String) =
+      byLevel(lvl).map(_.getAs[Long]("cls_size")).min
+    // the audit must have something to report at the fine level, and the
+    // generalization step must strictly improve both metrics
+    assert(violatingRows("fine") > 0, "fine level found no violations")
+    assert(violatingRows("coarse") < violatingRows("fine"),
+      s"generalization did not reduce violating rows: " +
+        s"${violatingRows("coarse")} vs ${violatingRows("fine")}")
+    assert(anonymityNumber("coarse") >= anonymityNumber("fine"),
+      "generalization lowered the anonymity number")
+  }
 }
