@@ -120,6 +120,7 @@ object SparkEntry {
     "tx_fingerprint" -> (Text.txFingerprint _),
     "tx_cdc_chunks" -> (Text.txCdcChunks _),
     "tx_k_anonymity" -> (Text.txKAnonymity _),
+    "tx_semantic_split" -> (Text.txSemanticSplit _),
     "tx_hash_sample" -> (Text.txHashSample _),
     // integer-exact A-ES: priority = floor(md5_60(seed:id) / token count),
     // global bottom-n via TakeOrderedAndProject (bounded per-partition heap)
@@ -239,6 +240,7 @@ object SparkEntry {
     // ANALYZE: per-column exact stats manifest, one pruned scan per leg
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
     "pipeline_stats_refresh" -> ((s, d) => Text.pipelineStatsRefresh(s, d)),
+    "pipeline_compact_files" -> ((s, d) => Text.pipelineCompactFiles(s, d)),
     "pipeline_expectations" -> ((s, d) => Text.pipelineExpectations(s, d)),
     "pipeline_quarantine" -> ((s, d) => Text.pipelineQuarantine(s, d)),
     // schema evolution: widened epoch written beside the original, ONE
@@ -4595,6 +4597,45 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, lang, source, n_tokens, h // n_tokens AS priority
         |FROM k ORDER BY priority, doc_id LIMIT ${Text.WeightedSampleN}""".stripMargin,
+    // Semantic split: the 20-token unit grid, distinct 60-bit token
+    // hashes per unit, exact cross-multiplied Jaccard cut between
+    // consecutive units, running-sum segment ids, span rollup.
+    "tx_semantic_split" -> {
+      val (u, m) = (Text.semUnitTokens, Text.semCutMul)
+      s"""WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         |un AS (
+         |  SELECT doc_id, i AS idx,
+         |    list_slice(toks, CAST(i * $u + 1 AS INT), CAST(i * $u + $u AS INT)) AS unit
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(0, (len(toks) - 1) // $u + 1)) AS i FROM dd)),
+         |tk AS (
+         |  SELECT DISTINCT doc_id, idx,
+         |    CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS tk
+         |  FROM (SELECT doc_id, idx, unnest(unit) AS tok FROM un)),
+         |sz AS (SELECT doc_id, idx, count(*) AS n FROM tk GROUP BY 1, 2),
+         |it AS (
+         |  SELECT a.doc_id, a.idx AS lidx, count(*) AS ni
+         |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.idx = a.idx + 1
+         |    AND a.tk = b.tk
+         |  GROUP BY 1, 2),
+         |ct AS (
+         |  SELECT s1.doc_id, s1.idx + 1 AS idx,
+         |    coalesce(ni, 0) * $m < s1.n + s2.n - coalesce(ni, 0) AS cut
+         |  FROM sz s1 JOIN sz s2 ON s1.doc_id = s2.doc_id AND s2.idx = s1.idx + 1
+         |  LEFT JOIN it ON it.doc_id = s1.doc_id AND it.lidx = s1.idx),
+         |fl AS (
+         |  SELECT un.doc_id, un.idx,
+         |    CASE WHEN un.idx = 0 THEN 1
+         |         WHEN coalesce(cut, FALSE) THEN 1 ELSE 0 END AS bnd
+         |  FROM un LEFT JOIN ct ON ct.doc_id = un.doc_id AND ct.idx = un.idx),
+         |sg AS (
+         |  SELECT doc_id, idx,
+         |    CAST(sum(bnd) OVER (PARTITION BY doc_id ORDER BY idx) AS BIGINT) - 1 AS seg_idx
+         |  FROM fl)
+         |SELECT doc_id, seg_idx, min(idx) AS start_unit, max(idx) AS end_unit,
+         |  count(*) AS n_units
+         |FROM sg GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     // K-anonymity: equivalence classes per quasi-identifier tuple at two
     // generalization levels, class-size histogram, shared k threshold.
     "tx_k_anonymity" -> {
@@ -5143,6 +5184,23 @@ object SparkEntry {
          |$legs
          |) ORDER BY "column"""".stripMargin
     },
+    // Small-file compaction: file counts from the shared geometry (the
+    // landing fragment constant; after = ceil(rows/target)), loss proof
+    // from corpus-derived row counts and XORs per phase.
+    "pipeline_compact_files" ->
+      s"""SELECT * FROM (
+         |  SELECT 'after' AS phase,
+         |    CAST(ceil(count(*) / ${Text.compactRowsPerFile}.0) AS BIGINT) AS n_files,
+         |    count(*) AS n_rows,
+         |    CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+         |    ${signed64Xor("md5(text)")} AS text_xor
+         |  FROM documents
+         |  UNION ALL
+         |  SELECT 'before', ${Text.compactSmallFiles}, count(*),
+         |    CAST(bit_xor(doc_id) AS BIGINT),
+         |    ${signed64Xor("md5(text)")}
+         |  FROM documents
+         |) ORDER BY phase""".stripMargin,
     // Incremental ANALYZE: the oracle is the full-corpus recompute from
     // first principles — merged standing+delta stats must equal a rebuild
     // bit-for-bit (counts/min/max exact, NDV via the same KMV estimator).

@@ -1364,6 +1364,135 @@ object Text {
       .orderBy("keep_doc_id")
   }
 
+  /** [[pipelineCompactFiles]] geometry, shared with the generated
+    * oracle: the landing fragment count and the compaction target in
+    * rows per file (the bytes-per-file bin-packing target of a real
+    * OPTIMIZE, expressed in rows so both engines derive the same file
+    * count — documented proxy).
+    */
+  private[graft] val compactSmallFiles = 16
+  private[graft] val compactRowsPerFile = 200L
+
+  /** SMALL-FILE COMPACTION — the lakehouse OPTIMIZE/bin-packing pass
+    * (Delta `OPTIMIZE`, Iceberg `rewrite_data_files`) that every
+    * continuously-landing table owes its readers: streaming ingest
+    * leaves [[compactSmallFiles]] fragments (each micro-batch a file);
+    * the compactor rewrites them into ceil(rows / target) right-sized
+    * files. Both layouts are physically written and re-read; the served
+    * report measures `n_files` from the FILESYSTEM (one bounded listing
+    * per phase — index metadata, not data) and proves losslessness with
+    * exact row counts, the doc-id XOR and the full-64-bit text XOR per
+    * phase. The oracle derives the same rows from the corpus and the
+    * shared geometry alone — it never sees the directories — so a hash
+    * match proves the physical rewrite moved every row exactly once.
+    *
+    * Scale shape: compaction is one narrow rewrite (round-robin
+    * repartition, no keyed shuffle needed for bin-packing); at 100 TB
+    * it runs per-partition with a bytes target and file-set OCC (the
+    * pipeline_write_conflict protocol) — the rows proxy and single dir
+    * here keep the oracle exact while exercising the full
+    * write→list→re-read→checksum path.
+    */
+  def pipelineCompactFiles(spark: SparkSession, dir: String): DataFrame = {
+    rmRecursive(evoScratchDir)
+    val scratch = evoScratchDir.toString
+    val d = docs(spark, dir).select(col("doc_id"), col("text"))
+    d.repartition(compactSmallFiles)
+      .write.mode("overwrite").parquet(s"$scratch/landing")
+    val landing = spark.read.parquet(s"$scratch/landing")
+    val n = landing.count()
+    val k = ((n + compactRowsPerFile - 1) / compactRowsPerFile).toInt
+    landing.repartition(k)
+      .write.mode("overwrite").parquet(s"$scratch/compacted")
+    def phase(name: String, sub: String): DataFrame = {
+      val p = new org.apache.hadoop.fs.Path(s"$scratch/$sub")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val nFiles = fs.listStatus(p)
+        .count(s => s.getPath.getName.startsWith("part-")).toLong
+      spark.read.parquet(s"$scratch/$sub")
+        .withColumn("hd", expr("md5(cast(text AS BINARY))"))
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(doc_id)").as("id_xor"),
+          expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+        .select(lit(name).as("phase"), lit(nFiles).as("n_files"),
+          col("n_rows"), col("id_xor"), col("text_xor"))
+    }
+    phase("after", "compacted").unionByName(phase("before", "landing"))
+      .orderBy("phase")
+  }
+
+  /** [[txSemanticSplit]] geometry, shared with the generated oracle: the
+    * 20-token unit grid (the [[ddParagraph]] convention) and the cut
+    * rule `4·|∩| < |∪|` — an exact-integer Jaccard-below-1/4 test, set
+    * from the MEASURED adjacent-unit similarity distribution (mode ~0.3
+    * at sf0.01, so both cut and merge branches occur naturally).
+    */
+  private[graft] val semUnitTokens = 20
+  private[graft] val semCutMul = 4L
+
+  /** SEMANTIC SPLITTING — the topic-boundary chunker a RAG/context-
+    * window pipeline prefers over fixed-size chunks (LangChain/
+    * LlamaIndex "semantic chunking"; TextTiling, Hearst 1997): adjacent
+    * text units merge into one chunk while their lexical similarity
+    * holds and split where it drops. Units are the 20-token grid; the
+    * similarity is exact Jaccard over distinct 60-bit token hashes; the
+    * threshold comparison is cross-multiplied into integers so both
+    * engines cut at identical boundaries; segments materialize via the
+    * running-sum-of-cuts fold (the [[graft.multimodal.Multimodal
+    * .sceneCuts]] shape — this is its text sibling, with a graded
+    * similarity instead of digest equality). Output: one row per
+    * emitted chunk with its unit span.
+    *
+    * Scale shape: tokens leave the scan as hashes (text never shuffles);
+    * the consecutive-unit intersection joins on (doc, idx, hash) —
+    * within-document keys, so no corpus-wide skew — and the
+    * boundary/rollup passes share one doc-keyed exchange.
+    */
+  def txSemanticSplit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val units = graft.Caches.scoped("tx_semantic_split.units",
+      Tables.spread(docs(spark, dir))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"),
+          posexplode(expr(s"""transform(
+            |  sequence(0, (size(toks) - 1) div $semUnitTokens),
+            |  i -> slice(toks, i * $semUnitTokens + 1, $semUnitTokens))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("pos").as("idx"),
+          expr("""array_distinct(transform(col,
+            |  t -> CAST(conv(substring(md5(t), 1, 15), 16, 10) AS BIGINT)))"""
+            .stripMargin).as("tks")))
+    val tk = units.select(col("doc_id"), col("idx"),
+      explode(col("tks")).as("tk"))
+    val sz = units.select(col("doc_id"), col("idx"),
+      size(col("tks")).cast("long").as("n"))
+    val inter = tk.alias("a")
+      .join(tk.alias("b"),
+        col("a.doc_id") === col("b.doc_id") &&
+          col("b.idx") === col("a.idx") + 1 && col("a.tk") === col("b.tk"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("a.idx").as("lidx"))
+      .agg(count(lit(1)).as("ni"))
+    val cuts = sz.select(col("doc_id"), col("idx").as("lidx"),
+        col("n").as("n1"))
+      .join(sz.select(col("doc_id"), (col("idx") - 1).as("lidx"),
+        col("n").as("n2")), Seq("doc_id", "lidx"))
+      .join(inter, Seq("doc_id", "lidx"), "left")
+      .select(col("doc_id"), (col("lidx") + 1).as("idx"),
+        (coalesce(col("ni"), lit(0L)) * semCutMul <
+          col("n1") + col("n2") - coalesce(col("ni"), lit(0L))).as("cut"))
+    val w = Window.partitionBy("doc_id").orderBy("idx")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    units.select(col("doc_id"), col("idx"))
+      .join(cuts, Seq("doc_id", "idx"), "left")
+      .withColumn("bnd", when(col("idx") === 0, 1L)
+        .otherwise(when(col("cut"), 1L).otherwise(0L)))
+      .withColumn("seg_idx", sum("bnd").over(w) - 1)
+      .groupBy("doc_id", "seg_idx")
+      .agg(min("idx").as("start_unit"), max("idx").as("end_unit"),
+        count(lit(1)).as("n_units"))
+      .orderBy("doc_id", "seg_idx")
+  }
+
   /** [[txKAnonymity]] parameters, shared with the generated oracle: the
     * privacy threshold k and the fine-level length-band width.
     */
@@ -5876,7 +6005,7 @@ object Text {
     * ([[pipelineQuarantine]]), so the audit can never disagree with
     * what the router actually quarantined.
     */
-  private def expectationFails: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+  private[graft] def expectationFails: Seq[(String, org.apache.spark.sql.Column)] = Seq(
     "allowed_lang" -> !col("lang").isin(expectationLangs: _*),
     "chars_consistent" -> (col("n_chars") =!= length(col("text")).cast("long")),
     "nonempty_text" -> (length(col("text")) <= 0))

@@ -586,6 +586,27 @@ object StreamingOps {
         sum(when(col("boiler"), 0L).otherwise(col("n_toks"))).as("n_tokens_kept"),
         sum(when(col("boiler"), col("n_toks")).otherwise(0L)).as("n_tokens_stripped"))
 
+  /** Streaming twin of the expectations gate
+    * ([[graft.queries.Text.pipelineExpectations]] /
+    * [[graft.queries.Text.pipelineQuarantine]]): validate landing
+    * documents AT INGEST against the SAME rule suite
+    * ([[graft.queries.Text.expectationFails]] — one definition, so the
+    * stream can never admit a row the batch gate would quarantine) and
+    * tag each with its rule-ordered violation list plus the routing
+    * verdict. Pure stateless narrow stage — the Delta Live Tables
+    * `EXPECT ... ON VIOLATION` shape, where clean rows flow to the
+    * corpus sink and `quarantined` rows to the dead-letter sink of the
+    * same foreachBatch. Per-doc batch/stream equality is spec-pinned on
+    * a planted dirty landing.
+    */
+  def validatedDocs(docsStream: DataFrame): DataFrame = {
+    val fails = graft.queries.Text.expectationFails
+    docsStream.select(col("doc_id"), col("lang"), col("n_chars"),
+      concat_ws(",",
+        fails.map { case (n, f) => when(f, lit(n)) }: _*).as("violations"),
+      fails.map(_._2).reduce(_ || _).as("quarantined"))
+  }
+
   /** Streaming twin of [[graft.queries.Text.txDsirSelect]]: score
     * landing documents against the STANDING target/raw n-gram
     * distributions — filter-at-ingest, the deployment shape DSIR's

@@ -26,4 +26,23 @@ class SchemaMergeSpec extends SparkSpec {
     // while the widened epoch's is positive (texts are non-empty)
     assert(audit(false)._2 == 0L && audit(true)._2 > 0L, s"got $audit")
   }
+
+  test("compact-files: physical rewrite shrinks the file set and moves every row exactly once") {
+    val rows = Text.pipelineCompactFiles(spark, dir).collect()
+      .map(r => r.getAs[String]("phase") -> r).toMap
+    assert(rows.keySet == Set("before", "after"))
+    val (b, a) = (rows("before"), rows("after"))
+    assert(b.getAs[Long]("n_files") == Text.compactSmallFiles.toLong,
+      s"landing fragment count: $b")
+    val n = b.getAs[Long]("n_rows")
+    val expectAfter =
+      (n + Text.compactRowsPerFile - 1) / Text.compactRowsPerFile
+    assert(a.getAs[Long]("n_files") == expectAfter, s"bin-pack count: $a")
+    assert(a.getAs[Long]("n_files") < b.getAs[Long]("n_files"),
+      "compaction must reduce the file count")
+    // loss proof: identical cardinality and content checksums
+    assert(a.getAs[Long]("n_rows") == n)
+    assert(a.getAs[Long]("id_xor") == b.getAs[Long]("id_xor"))
+    assert(a.getAs[Long]("text_xor") == b.getAs[Long]("text_xor"))
+  }
 }

@@ -702,6 +702,48 @@ class StreamingSpec extends SparkSpec {
       "the clean landing doc must pass untouched")
   }
 
+  test("streaming expectations gate: rules fire at ingest, stream equals batch") {
+    val spark2 = spark
+    import spark2.implicits._
+    val landing = java.nio.file.Files
+      .createTempDirectory("graft_expect_stream").toString
+    def tok(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // one row per violation class, one multi-violation row, one clean row
+    Seq(
+      (1L, tok(10), "en", "srcA"), // clean
+      (2L, "", "en", "srcA"), // blanked text, stale n_chars: both text rules
+      (3L, tok(10), "xx", "srcA"), // unknown lang
+      (4L, tok(10), "de", "srcA"), // chars corrupted below
+      (5L, "", "xx", "srcA")) // everything at once
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", when(col("doc_id") === 4L, lit(9999L))
+        .when(col("doc_id") === 2L || col("doc_id") === 5L, lit(42L))
+        .otherwise(length(col("text")).cast("long")))
+      .write.mode("overwrite").parquet(s"$landing/documents.parquet")
+    val q = StreamingOps.validatedDocs(
+        StreamingOps.readDocumentsStream(spark, s"$landing/documents.parquet"))
+      .writeStream.format("memory").queryName("expect_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("violations"),
+        r.getAs[Boolean]("quarantined"))).toSet
+    val streamed = asSet(spark.table("expect_stream"))
+    val batch = asSet(StreamingOps.validatedDocs(
+      spark.read.parquet(s"$landing/documents.parquet")))
+    assert(streamed == batch && streamed.size == 5,
+      s"stream $streamed vs batch $batch")
+    assert(streamed.contains((1L, "", false)), "clean row must pass")
+    assert(streamed.contains((3L, "allowed_lang", true)))
+    assert(streamed.contains((4L, "chars_consistent", true)))
+    assert(streamed.contains(
+      (2L, "chars_consistent,nonempty_text", true)),
+      "blank text must trip both text rules in rule order")
+    assert(streamed.contains(
+      (5L, "allowed_lang,chars_consistent,nonempty_text", true)),
+      "the all-rules row must carry every tag")
+  }
+
   test("streaming vector admission: exact copies rejected, novel vectors admitted, stream equals batch") {
     import graft.queries.Similarity
     val sf = "/root/testdata/sf0.01"

@@ -1886,4 +1886,32 @@ class TextOpsSpec extends SparkSpec {
     assert(anonymityNumber("coarse") >= anonymityNumber("fine"),
       "generalization lowered the anonymity number")
   }
+
+  test("txSemanticSplit: chunks tile the unit grid; the threshold both cuts and merges") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Text.txSemanticSplit(spark, dir).collect()
+    val byDoc = rows.groupBy(_.getAs[Long]("doc_id"))
+    // every doc's unit grid is exactly covered, in order, no overlap
+    val unitCounts = Tables(spark, dir, "documents")
+      .selectExpr("doc_id",
+        s"(size(split(text, ' ')) - 1) div ${Text.semUnitTokens} + 1 AS nu")
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("nu")).toMap
+    byDoc.foreach { case (id, segs) =>
+      val sorted = segs.sortBy(_.getAs[Long]("seg_idx"))
+      assert(sorted.head.getAs[Int]("start_unit") == 0)
+      assert(sorted.last.getAs[Int]("end_unit") == unitCounts(id) - 1,
+        s"doc $id: last segment does not reach the final unit")
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b.getAs[Int]("start_unit") ==
+          a.getAs[Int]("end_unit") + 1, s"doc $id: gap between segments")
+        case _ =>
+      }
+      assert(sorted.map(_.getAs[Long]("n_units")).sum == unitCounts(id))
+    }
+    // the measured-distribution threshold must exercise BOTH branches
+    assert(rows.exists(_.getAs[Long]("n_units") >= 2),
+      "no unit pair ever merged — threshold too high")
+    assert(byDoc.exists(_._2.length >= 2),
+      "no document ever split — threshold too low")
+  }
 }
