@@ -241,6 +241,7 @@ object SparkEntry {
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
     "pipeline_stats_refresh" -> ((s, d) => Text.pipelineStatsRefresh(s, d)),
     "pipeline_compact_files" -> ((s, d) => Text.pipelineCompactFiles(s, d)),
+    "pipeline_partition_evolution" -> ((s, d) => Text.pipelinePartitionEvolution(s, d)),
     "pipeline_expectations" -> ((s, d) => Text.pipelineExpectations(s, d)),
     "pipeline_quarantine" -> ((s, d) => Text.pipelineQuarantine(s, d)),
     // schema evolution: widened epoch written beside the original, ONE
@@ -394,6 +395,7 @@ object SparkEntry {
     "sim_ivfpq_upsert" -> ((s, d) => Similarity.simIvfPqUpsert(s, d)),
     "sim_ivfpq_delete" -> ((s, d) => Similarity.simIvfPqDelete(s, d)),
     "sim_ivfpq_deleted" -> ((s, d) => Similarity.simIvfPqDeleted(s, d)),
+    "sim_ivfpq_compacted" -> ((s, d) => Similarity.simIvfPqCompacted(s, d)),
     "sim_pq_retrain" -> ((s, d) => Similarity.simPqRetrain(s, d)),
     "sim_pq_adc_deleted" -> ((s, d) => Similarity.simPqAdcDeleted(s, d)),
     "sim_ivf_drift" -> ((s, d) => Similarity.simIvfDrift(s, d)),
@@ -5184,6 +5186,14 @@ object SparkEntry {
          |$legs
          |) ORDER BY "column"""".stripMargin
     },
+    // Partition evolution: per-(epoch, lang) counts and XORs derived
+    // from the corpus + the base/delta carve, never the directories.
+    "pipeline_partition_evolution" ->
+      s"""SELECT CASE WHEN doc_id % ${Text.incrementalDeltaMod} = 0 THEN 2 ELSE 1 END AS epoch,
+         |  lang, count(*) AS n_docs,
+         |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
+         |  ${signed64Xor("md5(text)")} AS text_xor
+         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Small-file compaction: file counts from the shared geometry (the
     // landing fragment constant; after = ceil(rows/target)), loss proof
     // from corpus-derived row counts and XORs per phase.
@@ -6346,6 +6356,7 @@ object SparkEntry {
     "sim_ivfpq_upsert" -> ivfPqUpsertSql,
     "sim_ivfpq_delete" -> ivfPqDeleteSql,
     "sim_ivfpq_deleted" -> ivfPqDeletedSql,
+    "sim_ivfpq_compacted" -> ivfPqDeletedSql,
     "sim_pq_retrain" -> pqRetrainSql,
     "sim_pq_adc_deleted" -> pqAdcDeletedSql,
     "sim_ivf_drift" -> ivfDriftSql,

@@ -3849,6 +3849,43 @@ object Similarity {
     ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
   }
 
+  /** [[simIvfPqDeleted]] over the COMPACTED generation — the composed
+    * index after the background rewrite ([[ivfBuildGen2Index]]): coarse
+    * membership comes from gen-2's clean cell partitions (no manifest
+    * split, no tombstone anti-join), the PQ codes attach by id to that
+    * membership, and the ADC + exact-rerank tail is [[ivfPqScore]]
+    * verbatim. Shares `sim_ivfpq_deleted`'s oracle text (live search
+    * from first principles must hash-match BOTH read paths — the
+    * compaction contract applied to the composed index). The flat code
+    * table stays the base one on purpose: the deletion event being
+    * compacted is the IVF carve, and codes of dead ids are unreachable
+    * once membership is gen-2 (a 100 TB deployment reclaims them in the
+    * codes table's own rewrite, the pq_del machinery).
+    */
+  def simIvfPqCompacted(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    register(spark)
+    val gen2 = ensureIvfGen2Index(spark, dir)
+    val pqBase = ensurePqIndex(spark, dir)
+    spark.read.parquet(s"$gen2/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    querySet.getOrElse(defaultQueries(spark, dir))
+      .createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val probes = probeKeys
+      .select(col("vec_id").as("qid"), col("c_label").as("cell"))
+    val probed = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted
+    val cellOf = readIvfCells(spark, gen2)
+      .filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val books = spark.read.parquet(s"$pqBase/codebooks")
+    val candCodes = spark.read.parquet(s"$pqBase/codes").join(cellOf, "vec_id")
+    ivfPqScore(spark, dir, books, candCodes, probes, shortlist, k, querySet)
+  }
+
   /** Retrain-trigger threshold for [[simIvfDrift]] in integer-scaled
     * form: a cell flags retrain when `new_msd * 100 > base_msd * 150`
     * (delta members quantize ≥1.5× worse than the base — the frozen

@@ -1364,6 +1364,58 @@ object Text {
       .orderBy("keep_doc_id")
   }
 
+  /** PARTITION EVOLUTION — the lakehouse primitive Iceberg calls
+    * `ALTER TABLE ... REPLACE PARTITION FIELD`: a table's partition
+    * layout changes mid-life (here: source → lang, the re-layout a
+    * training pipeline makes when per-language sampling becomes the hot
+    * query), old epochs KEEP their physical layout (rewriting 100 TB is
+    * exactly what evolution avoids), new epochs land in the new one,
+    * and the reader serves both as one relation. The audit groups the
+    * evolved union read per (epoch, lang) with exact counts and id/text
+    * XORs; the oracle derives the same rows from the corpus and the
+    * carve alone (epoch 1 = base carve, epoch 2 = delta carve — the
+    * [[ddIncremental]] convention), proving the two-layout read is
+    * lossless and correctly attributed. What evolution buys and costs
+    * is spec-pinned physically: a lang-filtered read PRUNES epoch-2 to
+    * one partition directory while epoch 1 can only push the filter
+    * into its row groups — the exact asymmetry a real evolved table
+    * serves until old epochs are lazily rewritten.
+    */
+  def pipelinePartitionEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val (e1, e2) = ensurePartitionEpochs(spark, dir)
+    val u = spark.read.parquet(e1)
+      .select(lit(1L).as("epoch"), col("doc_id"), col("lang"), col("text"))
+      .unionByName(spark.read.parquet(e2)
+        .select(lit(2L).as("epoch"), col("doc_id"), col("lang"), col("text")))
+    u.withColumn("hd", expr("md5(cast(text AS BINARY))"))
+      .groupBy("epoch", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        expr("bit_xor(doc_id)").as("id_xor"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .orderBy("epoch", "lang")
+  }
+
+  /** Write (once per call — scratch space) the two partition epochs:
+    * epoch 1 = base carve partitioned by `source` (the original
+    * layout), epoch 2 = delta carve partitioned by `lang` (the evolved
+    * layout). Returns the two epoch paths; the spec also reads them to
+    * pin pruning physics.
+    */
+  private[graft] def ensurePartitionEpochs(spark: SparkSession,
+      dir: String): (String, String) = {
+    rmRecursive(evoScratchDir)
+    val scratch = evoScratchDir.toString
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"),
+      col("source"), col("text"))
+    d.filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0)
+      .write.mode("overwrite").partitionBy("source")
+      .parquet(s"$scratch/pe1")
+    d.filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)
+      .write.mode("overwrite").partitionBy("lang")
+      .parquet(s"$scratch/pe2")
+    (s"$scratch/pe1", s"$scratch/pe2")
+  }
+
   /** [[pipelineCompactFiles]] geometry, shared with the generated
     * oracle: the landing fragment count and the compaction target in
     * rows per file (the bytes-per-file bin-packing target of a real

@@ -109,6 +109,16 @@ class IvfDeleteSpec extends SparkSpec {
     assert(plan.contains("ivf_gen2"), "gen-2 serve does not read gen-2")
   }
 
+  test("composed gen2 serve ≡ masked IVFPQ deleted serve bit-for-bit, plan mask-free") {
+    val a = Similarity.simIvfPqDeleted(spark, gen2Dir).collect().toSeq
+    val df = Similarity.simIvfPqCompacted(spark, gen2Dir)
+    val b = df.collect().toSeq
+    assert(a == b, "composed gen-2 serve diverged from the masked serve")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("LeftAnti"), "composed gen-2 serve still anti-joins")
+    assert(!plan.contains("ivf_del"), "composed gen-2 serve still reads the overlay")
+  }
+
   // ---- PQ delete (the flat-index remove_ids analog: physical rewrite) ----
 
   private val pqDir = "/root/testdata/sf0.01"

@@ -45,4 +45,40 @@ class SchemaMergeSpec extends SparkSpec {
     assert(a.getAs[Long]("id_xor") == b.getAs[Long]("id_xor"))
     assert(a.getAs[Long]("text_xor") == b.getAs[Long]("text_xor"))
   }
+
+  test("partition evolution: the new layout prunes, the old layout only pushes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val (e1, e2) = Text.ensurePartitionEpochs(spark, dir)
+    def scanFiles(path: String): Seq[String] = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try spark.read.parquet(path).filter(col("lang") === "de")
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec =>
+            f.selectedPartitions.toPartitionArray
+              .map(_.filePath.toString).toSeq
+        }.flatten
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    // epoch 2 (evolved, lang-partitioned): the filter prunes directories
+    val f2 = scanFiles(e2)
+    assert(f2.nonEmpty && f2.forall(_.contains("lang=de")),
+      s"evolved epoch must read only the lang=de partition: $f2")
+    // epoch 1 (legacy, source-partitioned): every source dir survives —
+    // evolution never rewrites old data, the filter can only push down
+    val f1 = scanFiles(e1)
+    val sources = f1.flatMap(_.split("/").find(_.startsWith("source="))).distinct
+    val carveSources = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % 5 =!= 0).select("source").distinct().count()
+    assert(sources.size == carveSources,
+      s"legacy epoch cannot prune a lang filter; got ${sources.size} " +
+        s"of $carveSources source partitions")
+    val plan = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try spark.read.parquet(e1).filter(col("lang") === "de")
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    assert(plan.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,de)]"),
+      s"lang filter must push into the legacy epoch's row groups:\n$plan")
+  }
 }
