@@ -76,6 +76,7 @@ object SparkEntry {
     // CAPM regression primitive: trailing-30 OLS beta/alpha vs the
     // market series, the W7 exact-fold machinery
     "w11_rolling_beta" -> (Relational.w11RollingBeta _),
+    "w12_rank_ic" -> (Relational.w12RankIc _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
@@ -210,6 +211,7 @@ object SparkEntry {
     "tx_stratified_sample" -> ((s, d) => Text.txStratifiedSample(s, d)),
     "dd_exact" -> (Text.ddExact _),
     "dd_lineage" -> (Text.ddLineage _),
+    "dd_edit_distance" -> (Text.ddEditDistance _),
     "dd_incremental" -> ((s, d) => Text.ddIncremental(s, d)),
     "dd_incremental_fuzzy" -> ((s, d) => Text.ddIncrementalFuzzy(s, d)),
     "dd_incremental_fuzzy_indexed" -> ((s, d) => Text.ddIncrementalFuzzyIndexed(s, d)),
@@ -4071,6 +4073,31 @@ object SparkEntry {
         |  CASE WHEN beta30 IS NULL THEN NULL
         |       ELSE (sy - beta30 * sx) / n END AS alpha30
         |FROM b ORDER BY nationkey, date""".stripMargin,
+    // Spearman rank IC: the same daily panel as w11, forward shift per
+    // nation, untied row_number ranks with the nationkey tiebreak, the
+    // exact-difference rho with ONE final IEEE divide.
+    "w12_rank_ic" ->
+      s"""WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |fw AS (
+        |  SELECT nationkey, date, rev_c,
+        |    lead(rev_c) OVER (PARTITION BY nationkey ORDER BY date) AS fwd_c
+        |  FROM daily),
+        |p AS (SELECT * FROM fw WHERE fwd_c IS NOT NULL),
+        |r AS (
+        |  SELECT date,
+        |    row_number() OVER (PARTITION BY date ORDER BY rev_c DESC, nationkey ASC) AS ra,
+        |    row_number() OVER (PARTITION BY date ORDER BY fwd_c DESC, nationkey ASC) AS rb
+        |  FROM p),
+        |g AS (
+        |  SELECT date, count(*) AS n,
+        |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+        |  FROM r GROUP BY 1)
+        |SELECT date, n, sum_d2,
+        |  1.0 - (6.0 * sum_d2) / CAST(n * (n * n - 1) AS DOUBLE) AS rank_ic
+        |FROM g WHERE n >= ${Relational.icMinNames} ORDER BY date""".stripMargin,
     "w8_cross_section" ->
       // selection cut points (k = n DIV 10 per side), clamp by
       // comparison, moment folds over the value-sorted cross-section —
@@ -4855,6 +4882,38 @@ object SparkEntry {
         |SELECT keep_doc_id, n_merged, merged_id_xor, n_sources, sources
         |FROM g JOIN s USING (hk)
         |WHERE n_merged >= 2 ORDER BY keep_doc_id""".stripMargin,
+    // Edit-distance join: the planted one-character-substitution carve,
+    // PassJoin pigeonhole segments as (index, digest) band keys,
+    // exact levenshtein verify on candidates. allr is read 3x and sig
+    // self-joins — both MATERIALIZED per the twice-referenced-CTE rule.
+    "dd_edit_distance" -> {
+      import Text.{edTypoMod, edTypoRem, edTypoBase, edTypoPos,
+        edSegments, edMaxDist}
+      s"""WITH allr AS MATERIALIZED (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + $edTypoBase, lang,
+         |    substring(text, 1, ${edTypoPos - 1}) || 'Z' || substring(text, ${edTypoPos + 1})
+         |  FROM documents WHERE doc_id % $edTypoMod = $edTypoRem),
+         |sig AS MATERIALIZED (
+         |  SELECT doc_id, i AS band,
+         |    md5(substring(text,
+         |      CAST((i * length(text)) // $edSegments AS INT) + 1,
+         |      CAST(((i + 1) * length(text)) // $edSegments
+         |        - (i * length(text)) // $edSegments AS INT))) AS gk
+         |  FROM (SELECT doc_id, text, unnest(range(0, $edSegments)) AS i
+         |        FROM allr WHERE length(text) >= $edSegments)),
+         |cd AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sig a JOIN sig b ON a.band = b.band AND a.gk = b.gk
+         |    AND a.doc_id < b.doc_id)
+         |SELECT t1.lang, doc_a, doc_b,
+         |  CAST(levenshtein(t1.text, t2.text) AS BIGINT) AS dist
+         |FROM cd JOIN allr t1 ON t1.doc_id = doc_a
+         |  JOIN allr t2 ON t2.doc_id = doc_b
+         |WHERE levenshtein(t1.text, t2.text) <= $edMaxDist
+         |ORDER BY doc_a, doc_b""".stripMargin
+    },
     // Snapshot-delta dedup over the same 60-bit md5-derived BIGINT keys
     // as tx_decontaminate_hashed (exact across engines by construction);
     // the delta modulus comes from the SAME constant as the Spark

@@ -550,6 +550,53 @@ object Relational {
     * bit-identical operands in both engines; a zero-variance market
     * window yields NULL by exact comparison.
     */
+  /** W12 (cross-sectional rank IC) — the factor-evaluation primitive a
+    * quant research pipeline runs daily (Grinold & Kahn's information
+    * coefficient, in its robust Spearman form): per date, the rank
+    * correlation between today's signal (revenue) and the forward
+    * realization (next observation's revenue per nation) across the
+    * cross-section. Ranks are row_number with a deterministic nationkey
+    * tiebreak — UNTIED by construction, so Spearman reduces to the
+    * exact-difference form ρ = 1 − 6·Σd²/(n(n²−1)): every input to the
+    * final expression is an exact integer and the one IEEE divide is
+    * bit-identical across engines (the w-family exactness rule). Dates
+    * with a cross-section thinner than [[icMinNames]] are dropped (an
+    * IC over 2-3 names is noise; 4 is the widest cross-section the
+    * smallest test scale carries, so the gate exercises both branches
+    * at every SF — the threshold is part of the contract).
+    * Behavioral anchor: the reference's momentum/factor join
+    * (`wrds_ingestion.py:941-1001`) builds exactly this panel; the IC
+    * is what its consumers compute downstream.
+    *
+    * Scale shape: one nation-keyed exchange for the forward shift, one
+    * date-keyed exchange shared by both rank windows and the rollup;
+    * cross-sections are bounded by the universe, never by history.
+    */
+  private[graft] val icMinNames = 4L
+
+  def w12RankIc(spark: SparkSession, dir: String): DataFrame = {
+    val wN = Window.partitionBy("nationkey").orderBy("date")
+    val panel = nationDailyRevenue(spark, dir)
+      .withColumn("fwd", lead("rev", 1).over(wN))
+      .filter(col("fwd").isNotNull)
+    val wra = Window.partitionBy("date")
+      .orderBy(col("rev").desc, col("nationkey").asc)
+    val wrb = Window.partitionBy("date")
+      .orderBy(col("fwd").desc, col("nationkey").asc)
+    panel
+      .withColumn("ra", row_number().over(wra))
+      .withColumn("rb", row_number().over(wrb))
+      .groupBy("date")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST((ra - rb) * (ra - rb) AS BIGINT)")).as("sum_d2"))
+      .filter(col("n") >= icMinNames)
+      .withColumn("rank_ic",
+        lit(1.0) - lit(6.0) * col("sum_d2") /
+          (col("n") * (col("n") * col("n") - 1)).cast("double"))
+      .select("date", "n", "sum_d2", "rank_ic")
+      .orderBy("date")
+  }
+
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))

@@ -1302,6 +1302,85 @@ object Text {
       .orderBy("lang")
   }
 
+  /** [[ddEditDistance]] geometry, shared with the generated oracle:
+    * every `doc_id % 7 = 5` document re-lands under `doc_id + 40000000`
+    * with ONE character substituted (position [[edTypoPos]] → 'Z' —
+    * edit distance exactly 1 unless that character already was 'Z');
+    * candidates block on [[edSegments]] = edMaxDist + 1 aligned text
+    * thirds (the pigeonhole filter); verified duplicates are candidate
+    * pairs at Levenshtein ≤ [[edMaxDist]].
+    */
+  private[graft] val edTypoMod = 7L
+  private[graft] val edTypoRem = 5L
+  private[graft] val edTypoBase = 40000000L
+  private[graft] val edTypoPos = 11
+  private[graft] val edMaxDist = 2
+  private[graft] val edSegments = edMaxDist + 1
+
+  /** TYPO-LEVEL NEAR-DUP — edit-distance similarity join (the PassJoin
+    * partition filter, Li et al. 2011): the duplicate class every
+    * token-shingle method in this suite is BLIND to, because one
+    * character flip rewrites the whole containing token and all its
+    * shingles, while Levenshtein distance counts it as 1. Candidates
+    * block on the PIGEONHOLE filter: a document splits into
+    * [[edSegments]] = k+1 segments, and any pair within edit distance
+    * k ≤ [[edMaxDist]] must share at least one segment VERBATIM — so
+    * the candidate join keys on (segment index, segment digest), which
+    * is essentially unique per content (a 150-char third of a document
+    * has none of the q-gram hot-key problem: a first-cut MinHash over
+    * character 4-grams was measured near-quadratic here, because
+    * random same-language documents share most of their common-vocab
+    * grams, and was replaced by this filter). Verification computes
+    * EXACT Levenshtein on the candidate pairs only. This is the
+    * substitution-aligned form (segments compare at equal offsets —
+    * complete for the planted substitution class and for exact dups);
+    * full PassJoin slides each segment over a ±k window to cover
+    * insertions, a bounded extension of the same join. Typo'd replicas
+    * are planted deterministically (one substituted character) so
+    * verified pairs exist at every scale.
+    *
+    * Scale shape: the candidate join keys on (index, 16-byte digest) —
+    * near-unique keys, no hot-gram skew; document TEXT reaches only
+    * the verification join, whose input is candidate-bounded, never
+    * corpus-bounded (the EDJoin/PassJoin deployment shape).
+    */
+  def ddEditDistance(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    val typo = d.filter(col("doc_id") % edTypoMod === edTypoRem)
+      .select((col("doc_id") + edTypoBase).as("doc_id"), col("lang"),
+        concat(substring(col("text"), 1, edTypoPos - 1), lit("Z"),
+          expr(s"substring(text, ${edTypoPos + 1})")).as("text"))
+    val all = graft.Caches.scoped("dd_edit_distance.all",
+      d.unionByName(typo))
+    // aligned thirds: (segment index, segment md5) — the pigeonhole keys
+    val sigs = graft.Caches.scoped("dd_edit_distance.sigs",
+      all.filter(length(col("text")) >= edSegments)
+        .select(col("doc_id"),
+          posexplode(expr(s"""transform(sequence(0, ${edSegments - 1}),
+            |  i -> md5(substring(text,
+            |    CAST((i * length(text)) DIV $edSegments AS INT) + 1,
+            |    CAST(((i + 1) * length(text)) DIV $edSegments
+            |      - (i * length(text)) DIV $edSegments AS INT))))"""
+            .stripMargin)))
+        .select(col("doc_id"), col("pos").as("band"), col("col").as("gk")))
+    val cands = sigs.alias("a")
+      .join(sigs.alias("b"),
+        col("a.band") === col("b.band") && col("a.gk") === col("b.gk") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verification: texts join the candidate pairs (candidate-bounded)
+    val ta = all.select(col("doc_id").as("doc_a"), col("text").as("text_a"),
+      col("lang"))
+    val tb = all.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
+    cands.join(ta, "doc_a").join(tb, "doc_b")
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
+      .filter(col("dist") <= edMaxDist)
+      .select(col("lang"), col("doc_a"), col("doc_b"),
+        col("dist").cast("long").as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** [[ddLineage]] planted-replica carve constants, shared with the
     * generated oracle: every `doc_id % 3 = 1` document re-lands verbatim
     * from a 'recrawl' source under key `doc_id + 10000000`, every
@@ -5911,7 +5990,12 @@ object Text {
     */
   private def statsLeg(in: DataFrame, c: String, isStr: Boolean): DataFrame = {
     import org.apache.spark.sql.graft.ColumnBridge
-    val scalar = in.agg(
+    // the scalar leg is ONE row of bounded index metadata: collect it
+    // and attach as typed literals to the sketch row (the simSqInt8
+    // one-double-scale discipline) — a crossJoin of two 1-row aggregates
+    // would fold to BroadcastNestedLoopJoin, which PlanSpec bans
+    // suite-wide
+    val s = in.agg(
       count(lit(1)).as("n_rows"),
       (count(lit(1)) - count(col(c))).as("n_nulls"),
       (if (isStr) sum(length(col(c))).cast("long")
@@ -5922,16 +6006,24 @@ object Text {
         .as("max_num"),
       (if (isStr) min(col(c)) else lit(null).cast("string")).as("min_s"),
       (if (isStr) max(col(c)) else lit(null).cast("string")).as("max_s"))
-    val sk = in.filter(col(c).isNotNull)
+      .head()
+    def l(name: String): org.apache.spark.sql.Column =
+      if (s.isNullAt(s.fieldIndex(name))) lit(null).cast("long")
+      else lit(s.getAs[Long](name))
+    def ls(name: String): org.apache.spark.sql.Column =
+      if (s.isNullAt(s.fieldIndex(name))) lit(null).cast("string")
+      else lit(s.getAs[String](name))
+    in.filter(col(c).isNotNull)
       .select(expr(
         s"CAST(conv(substring(md5(CAST($c AS STRING)), 1, 15), 16, 10) AS BIGINT)")
         .as("vk"))
       .distinct()
       .agg(ColumnBridge.collectTopK(col("vk"), KmvK, reverse = true)
         .as("sketch"))
-    val outCols = lit(c).as("column") +:
-      (scalar.columns.toSeq.map(col) :+ col("sketch"))
-    scalar.crossJoin(sk).select(outCols: _*)
+      .select(lit(c).as("column"), l("n_rows").as("n_rows"),
+        l("n_nulls").as("n_nulls"), l("sum_len").as("sum_len"),
+        l("min_num").as("min_num"), l("max_num").as("max_num"),
+        ls("min_s").as("min_s"), ls("max_s").as("max_s"), col("sketch"))
   }
 
   private def statsPartials(in: DataFrame): DataFrame =

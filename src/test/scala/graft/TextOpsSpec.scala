@@ -1861,6 +1861,35 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ddEditDistance: every planted one-char typo pair is recovered; pairs are bounded and canonical") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Text.ddEditDistance(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val pairs = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    assert(pairs.distinct.size == pairs.size, "duplicate candidate pairs served")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"),
+        "pairs must be canonical (a < b)")
+      assert(r.getAs[Long]("dist") <= Text.edMaxDist)
+    }
+    // recall on the planted class: every doc_id % 7 = 5 original whose
+    // typo'd position wasn't already 'Z' must pair with its replica at
+    // distance 1 — character-q-gram banding survives an ed-1 edit here
+    val planted = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % Text.edTypoMod === Text.edTypoRem)
+      .selectExpr("doc_id", s"substring(text, ${Text.edTypoPos}, 1) AS c")
+      .collect().filter(_.getString(1) != "Z").map(_.getLong(0))
+    assert(planted.nonEmpty)
+    val found = rows.map(r =>
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("dist"))).toSet
+    planted.foreach { id =>
+      assert(found((id, id + Text.edTypoBase, 1L)),
+        s"planted typo pair for doc $id not recovered at distance 1")
+    }
+  }
+
   test("txKAnonymity: histograms tile the corpus; generalization measurably helps") {
     val dir = "/root/testdata/sf0.01"
     val rows = Text.txKAnonymity(spark, dir).collect()

@@ -284,4 +284,47 @@ class WindowSpec extends SparkSpec {
         math.min(r.getAs[Double]("open"), r.getAs[Double]("close")))
     }
   }
+
+  test("w12RankIc: the served rho matches a hand Spearman per date and stays in [-1, 1]") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val served = Relational.w12RankIc(spark, dir).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val (n, d2, ic) = (r.getAs[Long]("n"), r.getAs[Long]("sum_d2"),
+        r.getAs[Double]("rank_ic"))
+      assert(n >= Relational.icMinNames)
+      assert(ic >= -1.0 && ic <= 1.0, s"rho out of range: $r")
+      assert(ic == 1.0 - 6.0 * d2 / (n * (n * n - 1)).toDouble,
+        s"rho formula drifted: $r")
+      assert((d2 == 0L) == (ic == 1.0))
+    }
+    // hand recompute on the widest date from the raw panel
+    val panel = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+      .collect().map(r => (r.getAs[Int]("nk").toLong,
+        r.getAs[java.time.LocalDateTime]("date"), r.getAs[Long]("rc")))
+    val fwd = panel.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val s = rows.sortBy(_._2.toString).toSeq
+      s.zip(s.tail).map { case ((nk, d, rc), (_, _, rcNext)) =>
+        (d, nk, rc, rcNext) }
+    }
+    val (bestDate, cross) = fwd.groupBy(_._1).maxBy(_._2.size)
+    val ra = cross.sortBy(c => (-c._3, c._2)).zipWithIndex
+      .map { case (c, i) => c._2 -> (i + 1) }.toMap
+    val rb = cross.sortBy(c => (-c._4, c._2)).zipWithIndex
+      .map { case (c, i) => c._2 -> (i + 1) }.toMap
+    val n = cross.size.toLong
+    val d2 = cross.map(c => { val d = ra(c._2) - rb(c._2); d.toLong * d }).sum
+    val expect = 1.0 - 6.0 * d2 / (n * (n * n - 1)).toDouble
+    val got = served.find(
+      _.getAs[java.time.LocalDateTime]("date") == bestDate)
+    assert(got.isDefined, s"date $bestDate missing from the served IC series")
+    assert(got.get.getAs[Double]("rank_ic") == expect &&
+      got.get.getAs[Long]("sum_d2") == d2,
+      s"hand Spearman ${expect} vs served ${got.get}")
+  }
 }
