@@ -100,6 +100,8 @@ object SparkEntry {
     // MATCH_RECOGNIZE-lite: contiguous view->click->purchase trigrams
     // within 24h, per user — adjacency is what the funnel doesn't require
     "ev_sequence_detect" -> ((s, d) => Events.evSequenceDetect(s, d)),
+    "ev_markov_transitions" -> ((s, d) => Events.evMarkovTransitions(s, d)),
+    "ev_path_topk" -> ((s, d) => Events.evPathTopk(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
@@ -4309,6 +4311,33 @@ object SparkEntry {
     // two leads in one per-user window; the time bound compares
     // epoch_us integers (Spark's unix_micros), purchase values sum as
     // exact cents — adjacency via stream order (ts, event_id)
+    // First-order journey model: canonical (ts, event_id) order, exact
+    // transition counts, ONE IEEE divide per probability.
+    "ev_markov_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+        |  FROM events),
+        |t AS (
+        |  SELECT event_type AS from_type, to_type, count(*) AS n_trans
+        |  FROM s WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |f AS (SELECT from_type, CAST(sum(n_trans) AS BIGINT) AS n_from FROM t GROUP BY 1)
+        |SELECT from_type, to_type, n_trans, n_from,
+        |  CAST(n_trans AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+        |FROM t JOIN f USING (from_type)
+        |ORDER BY from_type, to_type""".stripMargin,
+    // 3-event path mining over the same canonical order; top 20 with the
+    // deterministic (count desc, path asc) cut.
+    "ev_path_topk" ->
+      """WITH s AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC))
+        |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
+        |FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
     "ev_sequence_detect" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts, event_type, value,

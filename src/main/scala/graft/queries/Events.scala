@@ -271,6 +271,61 @@ object Events {
     * bound compares `unix_micros` integers (exactly DuckDB's
     * `epoch_us`), and matched purchase values sum as exact cents.
     */
+  /** MARKOV TRANSITION MATRIX over user event journeys — the behavioral
+    * model a product/funnel team fits first (and the generator behind
+    * next-event prediction baselines): per ordered consecutive event
+    * pair within a user's stream, transition counts and the conditional
+    * probability P(to | from). Ordering is the suite's canonical event
+    * order (ts, event_id tiebreak — [[evSequenceDetect]]'s window);
+    * counts are exact integers and each probability is ONE IEEE divide
+    * of two exact longs, so both engines agree bit-for-bit. Rows carry
+    * `n_from` (the denominator) so the matrix is auditable row-by-row
+    * (per-from probabilities sum to 1 by construction; the spec pins
+    * it in exact integer form: Σ n_trans per from = n_from).
+    *
+    * Scale shape: one user-keyed exchange for the lead window, then an
+    * aggregation to |event_type|² bounded rows — journey length never
+    * inflates state.
+    */
+  def evMarkovTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val trans = events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+    val fromTotals = trans.groupBy("from_type")
+      .agg(sum("n_trans").as("n_from"))
+    trans.join(fromTotals, "from_type")
+      .withColumn("p", col("n_trans").cast("double") /
+        col("n_from").cast("double"))
+      .select("from_type", "to_type", "n_trans", "n_from", "p")
+      .orderBy("from_type", "to_type")
+  }
+
+  /** TOP-K JOURNEY PATHS — the sequential-pattern rollup beside the
+    * [[evMarkovTransitions]] first-order model: every consecutive
+    * 3-event path within a user stream (same canonical order), counted
+    * corpus-wide, top 20 by (count desc, path asc) — TakeOrderedAndProject,
+    * never a global sort. The paths a journey-mining UI shows first.
+    */
+  def evPathTopk(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("t1", lead(col("event_type"), 1).over(w))
+      .withColumn("t2", lead(col("event_type"), 2).over(w))
+      .filter(col("t1").isNotNull && col("t2").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t1"), col("t2"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path").asc)
+      .limit(k)
+  }
+
   def evSequenceDetect(spark: SparkSession, dir: String,
       maxSpanHours: Long = 24): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
