@@ -232,6 +232,7 @@ object SparkEntry {
     // pass serves the state audit at EVERY version; the oracle replays
     // the MERGE batches sequentially — agreement is the read≡replay proof
     "pipeline_time_travel" -> ((s, d) => Text.pipelineTimeTravel(s, d)),
+    "pipeline_branch_merge" -> ((s, d) => Text.pipelineBranchMerge(s, d)),
     // CDC between versions: one log-only last-writer-wins pass vs the
     // oracle's two materialized replayed states full-outer-joined
     "pipeline_version_diff" -> ((s, d) => Text.pipelineVersionDiff(s, d)),
@@ -5169,6 +5170,55 @@ object SparkEntry {
     // and audits every state; the Spark side reads the append-only log
     // in ONE last-writer-wins pass — hash agreement at every version is
     // the read-at-version ≡ replay-first-v-batches proof, bit-for-bit.
+    // Branch + rebase-merge: the oracle replays fork state, branch
+    // batch, post-fork key set, main head and the merge fold from first
+    // principles (the ttCtes chain + the shared branch constants).
+    "pipeline_branch_merge" -> {
+      import Text.{brForkVer, brRevMod, brRevRem, brDelMod, brDelRem,
+        brInsMod, brInsSlot, ttVersions}
+      val postKeys = (brForkVer + 1 to ttVersions)
+        .map(v => s"SELECT k FROM b$v").mkString(" UNION ALL ")
+      s"""WITH $ttCtes,
+         |bb AS (
+         |  SELECT doc_id AS k, text || ' [bx]' AS new_text, 'upsert' AS op
+         |  FROM tbase WHERE doc_id % $brRevMod = $brRevRem
+         |  UNION ALL
+         |  SELECT doc_id, NULL, 'delete' FROM tbase
+         |  WHERE doc_id % $brDelMod = $brDelRem AND doc_id % $brRevMod <> $brRevRem
+         |  UNION ALL
+         |  SELECT -8*doc_id - $brInsSlot, 'new bx: ' || text, 'upsert'
+         |  FROM tbase WHERE doc_id % $brInsMod = 0),
+         |bh AS MATERIALIZED (
+         |  SELECT coalesce(u.k, s.k) AS k,
+         |    CASE WHEN u.op = 'upsert' THEN u.new_text ELSE s.text END AS text
+         |  FROM s$brForkVer s FULL OUTER JOIN bb u ON s.k = u.k
+         |  WHERE u.op IS NULL OR u.op <> 'delete'),
+         |post AS (SELECT DISTINCT k FROM ($postKeys)),
+         |conf AS MATERIALIZED (
+         |  SELECT DISTINCT bb.k FROM bb JOIN post ON bb.k = post.k),
+         |surv AS (
+         |  SELECT bb.* FROM bb LEFT JOIN conf ON bb.k = conf.k
+         |  WHERE conf.k IS NULL),
+         |mg AS MATERIALIZED (
+         |  SELECT coalesce(u.k, s.k) AS k,
+         |    CASE WHEN u.op = 'upsert' THEN u.new_text ELSE s.text END AS text
+         |  FROM s$ttVersions s FULL OUTER JOIN surv u ON s.k = u.k
+         |  WHERE u.op IS NULL OR u.op <> 'delete')
+         |SELECT * FROM (
+         |  SELECT 'branch_head' AS grp, count(*) AS n_rows,
+         |    CAST(bit_xor(k) AS BIGINT) AS k_xor,
+         |    ${signed64Xor("md5(text)")} AS text_xor FROM bh
+         |  UNION ALL
+         |  SELECT 'conflicts', count(*), CAST(bit_xor(k) AS BIGINT),
+         |    CAST(0 AS BIGINT) FROM conf
+         |  UNION ALL
+         |  SELECT 'main_head', count(*), CAST(bit_xor(k) AS BIGINT),
+         |    ${signed64Xor("md5(text)")} FROM s$ttVersions
+         |  UNION ALL
+         |  SELECT 'merged', count(*), CAST(bit_xor(k) AS BIGINT),
+         |    ${signed64Xor("md5(text)")} FROM mg
+         |) ORDER BY grp""".stripMargin
+    },
     "pipeline_time_travel" -> {
       val vs = 0 to Text.ttVersions
       val nev = vs.map(v => (if (v == 0) s"  SELECT 0 AS version, " else s"  UNION ALL SELECT $v, ") +

@@ -5526,6 +5526,107 @@ object Text {
       .filter(col("w.op") =!= "delete")
       .select(col("k"), col("w.new_text").as("text"))
 
+  /** [[pipelineBranchMerge]] geometry, shared with the generated oracle:
+    * the branch forks at version [[brForkVer]] and applies one batch —
+    * revise `doc_id % 11 = 3`, tombstone `% 29 = 7` (revise-exclusive),
+    * insert under the reserved slot `-8·doc_id - 5` for `% 31 = 0`
+    * (injective vs the main log's `-8d-v` slots, v ≤ 3).
+    */
+  private[graft] val brForkVer = 1
+  private[graft] val brRevMod = 11L
+  private[graft] val brRevRem = 3L
+  private[graft] val brDelMod = 29L
+  private[graft] val brDelRem = 7L
+  private[graft] val brInsMod = 31L
+  private[graft] val brInsSlot = 5L
+
+  /** The branch's one deterministic batch — the [[ttBatch]] carve
+    * discipline under the branch constants (absolute payloads, one
+    * event per key).
+    */
+  private def branchBatch(base: DataFrame): DataFrame = {
+    val rev = base.filter(col("doc_id") % brRevMod === brRevRem)
+      .select(col("doc_id").as("k"),
+        concat(col("text"), lit(" [bx]")).as("new_text"),
+        lit("upsert").as("op"))
+    val del = base.filter(col("doc_id") % brDelMod === brDelRem &&
+        col("doc_id") % brRevMod =!= brRevRem)
+      .select(col("doc_id").as("k"),
+        lit(null).cast("string").as("new_text"), lit("delete").as("op"))
+    val ins = base.filter(col("doc_id") % brInsMod === 0)
+      .select((col("doc_id") * -8 - brInsSlot).as("k"),
+        concat(lit("new bx: "), col("text")).as("new_text"),
+        lit("upsert").as("op"))
+    rev.unionAll(del).unionAll(ins)
+  }
+
+  /** Apply a one-event-per-key batch to a (k, text) state — the
+    * last-writer step shared by the branch head and the merge
+    * ([[stateAt]]'s pairwise form; ONE definition so the two sides of
+    * the merge cannot fold differently).
+    */
+  private def applyBatch(state: DataFrame, batch: DataFrame): DataFrame =
+    state.alias("m").join(batch.alias("u"), Seq("k"), "full_outer")
+      .filter(col("u.op").isNull || col("u.op") =!= "delete")
+      .select(col("k"),
+        when(col("u.op") === "upsert", col("u.new_text"))
+          .otherwise(col("m.text")).as("text"))
+
+  /** BRANCH + MERGE over the append-only version log — the isolation
+    * primitive Nessie/Iceberg references give a lakehouse (and the thing
+    * an experimental data-curation run needs: try a recipe on a branch,
+    * merge if it works, abandon if not — without ever copying the
+    * table): a branch forks at version [[brForkVer]], applies its own
+    * batch ([[branchBatch]]) in isolation, and later REBASE-merges into
+    * the main head under the main-wins conflict rule — a branch event
+    * whose key main also touched after the fork is rejected (the
+    * [[pipelineWriteConflict]] OCC rule applied at merge time; real
+    * systems surface exactly this set for manual resolution). The audit
+    * serves all four states in one frame — `branch_head` (fork state +
+    * branch batch), `conflicts` (the rejected key set), `main_head`,
+    * `merged` (main head + surviving branch events) — as exact counts,
+    * key-XORs and full-64-bit text-XORs; the oracle re-derives every
+    * group by sequential replay from first principles (it never sees
+    * the log), so a hash match proves fork isolation, conflict
+    * detection and the merge fold all at once.
+    *
+    * Scale shape: branching is metadata (the branch is a ref + its own
+    * partitions — nothing is copied); the merge is one key-keyed
+    * full-outer join of head-sized states plus a distinct over the
+    * post-fork keys; conflicts are batch-bounded.
+    */
+  def pipelineBranchMerge(spark: SparkSession, dir: String): DataFrame = {
+    val logBase = ensureVersionLog(spark, dir)
+    val events = spark.read.parquet(s"$logBase/events")
+    val snap = docs(spark, dir).select(col("doc_id"), col("text"))
+    val bb = branchBatch(snap)
+    val branchHead = applyBatch(
+      stateAt(events.filter(col("ver") <= brForkVer), brForkVer), bb)
+    val mainHead = stateAt(events, ttVersions)
+    val mainPostKeys = events.filter(col("ver") > brForkVer)
+      .select("k").distinct()
+    val conflictKeys = bb.select("k").distinct()
+      .join(mainPostKeys, Seq("k"), "left_semi")
+    val surviving = bb.join(conflictKeys, Seq("k"), "left_anti")
+    val merged = applyBatch(mainHead, surviving)
+    def audit(name: String, state: DataFrame): DataFrame = state
+      .withColumn("hd", expr("md5(cast(text AS BINARY))"))
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(k)").as("k_xor"),
+        expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
+      .select(lit(name).as("grp"), col("n_rows"), col("k_xor"),
+        col("text_xor"))
+    val confAudit = conflictKeys
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(k)").as("k_xor"))
+      .select(lit("conflicts").as("grp"), col("n_rows"), col("k_xor"),
+        lit(0L).as("text_xor"))
+    audit("branch_head", branchHead)
+      .unionByName(confAudit)
+      .unionByName(audit("main_head", mainHead))
+      .unionByName(audit("merged", merged))
+      .orderBy("grp")
+  }
+
   /** Corpus snapshot versioning / TIME TRAVEL (VERDICT r12 item 6): the
     * full per-version audit — for EVERY version 0..[[ttVersions]], the
     * row count, exact key sum/extrema and 64-bit md5 XOR

@@ -209,4 +209,46 @@ class TimeTravelSpec extends SparkSpec {
     assert(fs.getFileStatus(marker).getModificationTime == t0,
       "reads must not rewrite the standing version log")
   }
+
+  test("branch merge: conflicts recomputed from first principles; merge moves the head") {
+    val audit = Text.pipelineBranchMerge(spark, dir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(audit.keySet ==
+      Set("branch_head", "conflicts", "main_head", "merged"))
+    // first-principles conflict set: branch batch keys ∩ keys any main
+    // post-fork batch touches (re-derived from the shared carves)
+    val base = Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0))
+    val bbKeys = base.filter(_ % Text.brRevMod == Text.brRevRem).toSet ++
+      base.filter(d => d % Text.brDelMod == Text.brDelRem &&
+        d % Text.brRevMod != Text.brRevRem).toSet ++
+      base.filter(_ % Text.brInsMod == 0)
+        .map(d => -8 * d - Text.brInsSlot).toSet
+    val post: Set[Long] = (Text.brForkVer + 1 to Text.ttVersions).flatMap { v =>
+      val (rm, rr, dm, dr, im) = Text.ttCarves(v - 1)
+      val rev = base.filter(_ % rm == rr)
+      val del = base.filter(d => d % dm == dr && d % rm != rr)
+      val ins = if (im > 0) base.filter(_ % im == 0).map(_ * -8L - v)
+        else Array.empty[Long]
+      val retro = if (v == Text.ttVersions)
+        base.filter(_ % Text.ttRetroMod == 0).map(_ * -8L - 1)
+        else Array.empty[Long]
+      rev ++ del ++ ins ++ retro
+    }.toSet
+    val conf = bbKeys.intersect(post)
+    assert(conf.nonEmpty, "the planted geometry must conflict somewhere")
+    assert(conf.size < bbKeys.size, "some branch events must survive")
+    val c = audit("conflicts")
+    assert(c.getAs[Long]("n_rows") == conf.size.toLong,
+      s"conflict count ${c.getAs[Long]("n_rows")} vs derived ${conf.size}")
+    assert(c.getAs[Long]("k_xor") == conf.foldLeft(0L)(_ ^ _),
+      "conflict key set diverged from first principles")
+    // the merge applied something: merged differs from BOTH parents
+    assert(audit("merged").getAs[Long]("text_xor") !=
+      audit("main_head").getAs[Long]("text_xor"),
+      "merge must move the main head")
+    assert(audit("merged").getAs[Long]("text_xor") !=
+      audit("branch_head").getAs[Long]("text_xor"),
+      "merge must not simply adopt the branch head")
+  }
 }
