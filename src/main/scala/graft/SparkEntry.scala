@@ -246,6 +246,7 @@ object SparkEntry {
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
     "pipeline_stats_refresh" -> ((s, d) => Text.pipelineStatsRefresh(s, d)),
     "pipeline_compact_files" -> ((s, d) => Text.pipelineCompactFiles(s, d)),
+    "pipeline_orphan_audit" -> ((s, d) => Text.pipelineOrphanAudit(s, d)),
     "pipeline_partition_evolution" -> ((s, d) => Text.pipelinePartitionEvolution(s, d)),
     "pipeline_expectations" -> ((s, d) => Text.pipelineExpectations(s, d)),
     "pipeline_quarantine" -> ((s, d) => Text.pipelineQuarantine(s, d)),
@@ -5332,6 +5333,19 @@ object SparkEntry {
          |  CAST(bit_xor(doc_id) AS BIGINT) AS id_xor,
          |  ${signed64Xor("md5(text)")} AS text_xor
          |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Orphan audit: both populations derived from the corpus + carve;
+    // file counts from the shared geometry (one file per lang partition,
+    // orphanFiles staging files).
+    "pipeline_orphan_audit" ->
+      s"""SELECT * FROM (
+         |  SELECT 'orphaned' AS grp, CAST(${Text.orphanFiles} AS BIGINT) AS n_files,
+         |    count(*) AS n_rows, CAST(bit_xor(doc_id) AS BIGINT) AS id_xor
+         |  FROM documents WHERE doc_id % ${Text.orphanMod} = ${Text.orphanRem}
+         |  UNION ALL
+         |  SELECT 'served', (SELECT count(DISTINCT lang) FROM documents),
+         |    count(*), CAST(bit_xor(doc_id) AS BIGINT)
+         |  FROM documents
+         |) ORDER BY grp""".stripMargin,
     // Small-file compaction: file counts from the shared geometry (the
     // landing fragment constant; after = ceil(rows/target)), loss proof
     // from corpus-derived row counts and XORs per phase.

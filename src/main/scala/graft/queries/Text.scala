@@ -1495,6 +1495,66 @@ object Text {
     (s"$scratch/pe1", s"$scratch/pe2")
   }
 
+  /** [[pipelineOrphanAudit]] geometry, shared with the generated
+    * oracle: the orphan carve (`doc_id % 97 = 13`) and the number of
+    * files the failed writer leaves behind.
+    */
+  private[graft] val orphanMod = 97L
+  private[graft] val orphanRem = 13L
+  private[graft] val orphanFiles = 2
+
+  /** ORPHAN-FILE AUDIT — the maintenance primitive beside VACUUM
+    * (Iceberg `remove_orphan_files`, Delta's untracked-file cleanup):
+    * a writer that dies mid-commit leaves data files on disk that no
+    * reader will ever serve (here: a `_tmp_failed/` staging directory —
+    * underscore-prefixed paths are invisible to Spark's file index by
+    * contract, which is exactly what makes them orphans: unservable but
+    * billed). The audit reports both populations — `served` (the
+    * visible partitioned table: FILESYSTEM-counted files, rows and
+    * id-XOR from the table read) and `orphaned` (the staging files:
+    * FS-counted, rows and id-XOR read directly from the orphan paths).
+    * The oracle derives both groups from the corpus and the shared
+    * carve alone; a hash match proves simultaneously that the planted
+    * failure landed where expected AND that the serving read leaked
+    * none of it (an orphan row reaching `served` flips its XOR).
+    *
+    * Scale shape: the audit is one bounded recursive listing (metadata)
+    * plus two scans; at 100 TB the listing walks the table prefix via
+    * the object store's paged API and the cleanup is a delete of the
+    * orphan set — no data rewrite.
+    */
+  def pipelineOrphanAudit(spark: SparkSession, dir: String): DataFrame = {
+    rmRecursive(evoScratchDir)
+    val scratch = evoScratchDir.toString
+    val d = docs(spark, dir).select(col("doc_id"), col("lang"), col("text"))
+    d.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(s"$scratch/ot")
+    // the failed writer: a staging dir readers never see
+    d.filter(col("doc_id") % orphanMod === orphanRem)
+      .repartition(orphanFiles)
+      .write.mode("overwrite").parquet(s"$scratch/ot/_tmp_failed")
+    val root = new org.apache.hadoop.fs.Path(s"$scratch/ot")
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(p: org.apache.hadoop.fs.Path): Seq[String] = {
+      val it = fs.listFiles(p, true)
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) { val f = it.next(); b += f.getPath.toString }
+      b.toSeq.filter(_.endsWith(".parquet"))
+    }
+    val all = dataFiles(root)
+    val (orphan, visible) = all.partition(_.contains("/_tmp_failed/"))
+    def leg(name: String, df: DataFrame, nFiles: Long): DataFrame =
+      df.agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(doc_id)").as("id_xor"))
+        .select(lit(name).as("grp"), lit(nFiles).as("n_files"),
+          col("n_rows"), col("id_xor"))
+    leg("orphaned", spark.read.parquet(s"$scratch/ot/_tmp_failed"),
+        orphan.size.toLong)
+      .unionByName(leg("served", spark.read.parquet(s"$scratch/ot"),
+        visible.size.toLong))
+      .orderBy("grp")
+  }
+
   /** [[pipelineCompactFiles]] geometry, shared with the generated
     * oracle: the landing fragment count and the compaction target in
     * rows per file (the bytes-per-file bin-packing target of a real

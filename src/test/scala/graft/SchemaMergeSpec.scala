@@ -46,6 +46,25 @@ class SchemaMergeSpec extends SparkSpec {
     assert(a.getAs[Long]("text_xor") == b.getAs[Long]("text_xor"))
   }
 
+  test("orphan audit: staging files are invisible to the serving read and fully accounted") {
+    val rows = Text.pipelineOrphanAudit(spark, dir).collect()
+      .map(r => r.getAs[String]("grp") -> r).toMap
+    assert(rows.keySet == Set("orphaned", "served"))
+    val n = Tables(spark, dir, "documents").count()
+    val carve = Tables(spark, dir, "documents")
+      .filter(col("doc_id") % Text.orphanMod === Text.orphanRem).count()
+    assert(carve > 0, "the planted failure must leave rows behind")
+    // the serving read leaks nothing from the staging dir
+    assert(rows("served").getAs[Long]("n_rows") == n,
+      s"served read leaked orphan rows: ${rows("served")}")
+    assert(rows("orphaned").getAs[Long]("n_rows") == carve)
+    assert(rows("orphaned").getAs[Long]("n_files") ==
+      Text.orphanFiles.toLong)
+    assert(rows("served").getAs[Long]("n_files") ==
+      Tables(spark, dir, "documents").select("lang").distinct().count(),
+      "one visible file per lang partition")
+  }
+
   test("partition evolution: the new layout prunes, the old layout only pushes") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val (e1, e2) = Text.ensurePartitionEpochs(spark, dir)
