@@ -102,6 +102,7 @@ object SparkEntry {
     "ev_sequence_detect" -> ((s, d) => Events.evSequenceDetect(s, d)),
     "ev_markov_transitions" -> ((s, d) => Events.evMarkovTransitions(s, d)),
     "ev_path_topk" -> ((s, d) => Events.evPathTopk(s, d)),
+    "ev_attribution" -> ((s, d) => Events.evAttribution(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
@@ -282,6 +283,7 @@ object SparkEntry {
     "dd_lsh_scurve" -> ((s, d) => Text.ddLshScurve(s, d)),
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
+    "sim_mmr_diverse" -> ((s, d) => Similarity.simMmrDiverse(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
@@ -294,6 +296,7 @@ object SparkEntry {
     // density lens beside PageRank and the CC closure
     "sim_graph_communities" -> ((s, d) => Similarity.simGraphCommunities(s, d)),
     "sim_graph_triangles" -> ((s, d) => Similarity.simGraphTriangles(s, d)),
+    "sim_graph_kcore" -> ((s, d) => Similarity.simGraphKcore(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
@@ -1322,6 +1325,67 @@ object SparkEntry {
     * Constants (k, rounds, strides, nbits) come from the ONE Scala
     * definition.
     */
+  /** DuckDB twin of [[graft.queries.Similarity.simMmrDiverse]]: the
+    * cosine shortlist (the sim_cosine_topk text at L = 20), the bounded
+    * in-shortlist pairwise sims, then every greedy MMR round unrolled
+    * (score = (rel·λnum)/λden − (maxsim·(λden−λnum))/λden — the SAME
+    * multiply-then-divide shape the driver loop computes, so the doubles
+    * are bit-identical), each round MATERIALIZED (mp{r} is referenced by
+    * msel{r} and mc{r}; mc{r} by round r+1 — the knn-descent rounds
+    * rule). Constants (L, k, λ) from the ONE Scala definition.
+    */
+  private def mmrDiverseSql: String = {
+    val l = Similarity.mmrShortlist
+    val k = Similarity.mmrK
+    val num = Similarity.mmrLambdaNum
+    val den = Similarity.mmrLambdaDen
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
+    val scoreExpr =
+      s"(rel * $num) / $den - (maxsim * ${den - num}) / $den"
+    val roundCtes = (1 to k).map { r =>
+      s"""mp$r AS MATERIALIZED (
+         |  SELECT qid, vec_id, rel, maxsim, $scoreExpr AS score,
+         |    row_number() OVER (PARTITION BY qid ORDER BY $scoreExpr DESC, vec_id ASC) AS rn
+         |  FROM mc${r - 1}),
+         |msel$r AS MATERIALIZED (SELECT qid, vec_id, rel, maxsim, score FROM mp$r WHERE rn = 1),
+         |mc$r AS MATERIALIZED (
+         |  SELECT c.qid, c.vec_id, c.rel, greatest(c.maxsim, p.sim) AS maxsim
+         |  FROM mp$r c JOIN msel$r s ON c.qid = s.qid AND c.vec_id <> s.vec_id
+         |  JOIN mps p ON p.qid = c.qid AND p.cand = c.vec_id AND p.sel = s.vec_id)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map(r =>
+      s"SELECT qid, $r AS rnk, vec_id, rel, maxsim AS max_sim, score AS mmr_score FROM msel$r")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH me AS MATERIALIZED (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(${dot("embedding", "embedding")}) AS norm
+       |  FROM embeddings),
+       |mq AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM me WHERE vec_id < 5),
+       |msr AS (
+       |  SELECT qid, e.vec_id, e.label,
+       |    ${dot("qvec", "embedding")} / (qnorm * norm) AS rel
+       |  FROM me e, mq WHERE e.vec_id <> qid),
+       |ms AS MATERIALIZED (
+       |  SELECT qid, vec_id, label, rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rnk FROM msr)
+       |  WHERE rnk <= $l),
+       |mps AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS cand, b.vec_id AS sel,
+       |    ${dot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS sim
+       |  FROM ms a JOIN ms b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |  JOIN me ea ON ea.vec_id = a.vec_id
+       |  JOIN me eb ON eb.vec_id = b.vec_id),
+       |mc0 AS MATERIALIZED (SELECT qid, vec_id, rel, CAST(0 AS DOUBLE) AS maxsim FROM ms),
+       |$roundCtes
+       |SELECT u.qid, u.rnk, u.vec_id, lbl.label, u.rel, u.max_sim, u.mmr_score
+       |FROM (
+       |  $unions) u
+       |JOIN ms lbl ON lbl.qid = u.qid AND lbl.vec_id = u.vec_id
+       |ORDER BY u.qid, u.rnk""".stripMargin
+  }
+
   private def knnDescentSql: String =
     s"""WITH $knnDescentCtes
        |SELECT src AS vec_id, dst AS nbr_id, cosine, rnk FROM g${Similarity.knnDescentRounds}
@@ -1502,6 +1566,50 @@ object SparkEntry {
        |  ELSE CAST(0.0 AS DOUBLE) END AS lcc
        |FROM deg d LEFT JOIN pv ON pv.v = d.v
        |ORDER BY vec_id""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simGraphKcore]]: the
+    * verbatim descent chain rebuilds the graph (the graphSearchSql
+    * rule), the mutual-edge filter and every synchronous peel round
+    * unroll round for round (each round's survivor set kv{r} is
+    * referenced by round r+1's degree join twice AND its stat selects —
+    * MATERIALIZED per the knn-descent rounds rule), and the trace rows
+    * union per round. Constants (threshold, rounds) from the ONE Scala
+    * definition.
+    */
+  private def graphKcoreSql: String = {
+    val g = s"g${Similarity.knnDescentRounds}"
+    val ck = Similarity.kcoreK
+    val rounds = Similarity.kcoreRounds
+    val roundCtes = (1 to rounds).map { r =>
+      s"""kd$r AS (
+         |  SELECT n.v, coalesce(d.deg, 0) AS deg
+         |  FROM kv${r - 1} n LEFT JOIN (
+         |    SELECT e.v, count(*) AS deg FROM kmut e
+         |    JOIN kv${r - 1} a ON a.v = e.v
+         |    JOIN kv${r - 1} b ON b.v = e.u
+         |    GROUP BY 1) d ON d.v = n.v),
+         |krm$r AS MATERIALIZED (SELECT v FROM kd$r WHERE deg < $ck),
+         |kv$r AS MATERIALIZED (SELECT v FROM kd$r WHERE deg >= $ck)"""
+        .stripMargin
+    }.mkString(",\n")
+    val statSelects = (1 to rounds).map { r =>
+      s"""SELECT $r AS round,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM krm$r) AS n_removed,
+         |  (SELECT CAST(coalesce(bit_xor(v), 0) AS BIGINT) FROM krm$r) AS removed_xor,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM kv$r) AS n_remaining,
+         |  (SELECT CAST(coalesce(bit_xor(v), 0) AS BIGINT) FROM kv$r) AS survivor_xor"""
+        .stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $knnDescentCtes,
+       |kmut AS MATERIALIZED (
+       |  SELECT g1.src AS v, g1.dst AS u FROM $g g1
+       |  WHERE EXISTS (SELECT 1 FROM $g g2 WHERE g2.src = g1.dst AND g2.dst = g1.src)),
+       |kv0 AS MATERIALIZED (SELECT vec_id AS v FROM embeddings),
+       |$roundCtes
+       |SELECT * FROM (
+       |$statSelects)
+       |ORDER BY round""".stripMargin
   }
 
   /** The graph-delete repair chain as a reusable CTE body (tombstones →
@@ -4340,6 +4448,39 @@ object SparkEntry {
         |SELECT event_type || '>' || t1 || '>' || t2 AS path, count(*) AS n
         |FROM s WHERE t1 IS NOT NULL AND t2 IS NOT NULL
         |GROUP BY 1 ORDER BY n DESC, path ASC LIMIT 20""".stripMargin,
+    // Multi-touch attribution: nearest-later-purchase assignment via the
+    // descending last-non-null window, then exact ppm credit models
+    // (remainder-to-last integer splits — no 1/n doubles cross the agg).
+    "ev_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts, event_type,
+        |    last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conv_id
+        |  FROM events),
+        |j AS (
+        |  SELECT event_type, conv_id,
+        |    row_number() OVER (PARTITION BY user_id, conv_id ORDER BY ts ASC, event_id ASC) AS idx,
+        |    count(*) OVER (PARTITION BY user_id, conv_id) AS n
+        |  FROM t
+        |  WHERE event_type IN ('view', 'click', 'signup') AND conv_id IS NOT NULL),
+        |c AS (
+        |  SELECT event_type AS channel, idx, n,
+        |    1000000 // n + CASE WHEN idx = n THEN 1000000 % n ELSE 0 END AS linear_ppm,
+        |    CASE WHEN n = 1 THEN 1000000
+        |         WHEN n = 2 THEN 500000
+        |         WHEN idx = 1 OR idx = n THEN 400000
+        |         ELSE 200000 // (n - 2) +
+        |           CASE WHEN idx = n - 1 THEN 200000 % (n - 2) ELSE 0 END END AS ushape_ppm
+        |  FROM j)
+        |SELECT channel, count(*) AS n_touches,
+        |  CAST(sum(CASE WHEN idx = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_first,
+        |  CAST(sum(CASE WHEN idx = n THEN 1 ELSE 0 END) AS BIGINT) AS n_last,
+        |  CAST(sum(CASE WHEN idx = 1 THEN 1000000 ELSE 0 END) AS BIGINT) AS first_touch_ppm,
+        |  CAST(sum(CASE WHEN idx = n THEN 1000000 ELSE 0 END) AS BIGINT) AS last_touch_ppm,
+        |  CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm,
+        |  CAST(sum(ushape_ppm) AS BIGINT) AS ushape_ppm
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_sequence_detect" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts, event_type, value,
@@ -6439,6 +6580,7 @@ object SparkEntry {
         |  coalesce(hit_id_sum, 0) AS hit_id_sum, min_cosine, max_cosine
         |FROM q LEFT JOIN h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin,
+    "sim_mmr_diverse" -> mmrDiverseSql,
     "sim_range_search_indexed" -> ivfRangeSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_descent" -> knnDescentSql,
@@ -6446,6 +6588,7 @@ object SparkEntry {
     "sim_graph_pagerank" -> graphPagerankSql,
     "sim_graph_communities" -> graphCommunitiesSql,
     "sim_graph_triangles" -> graphTrianglesSql,
+    "sim_graph_kcore" -> graphKcoreSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,

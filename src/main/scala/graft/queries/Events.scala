@@ -326,6 +326,85 @@ object Events {
       .limit(k)
   }
 
+  /** MULTI-TOUCH ATTRIBUTION — the credit-assignment rollup that closes
+    * the journey family (transitions = [[evMarkovTransitions]], paths =
+    * [[evPathTopk]], conversion = [[evFunnel]]): every marketing touch
+    * (`view`/`click`/`signup`; `error` is the excluded noise channel) is
+    * assigned to the user's FIRST `purchase` at-or-after it — the
+    * standard "window ends at the next conversion" rule, computed as one
+    * descending last-non-null window (nearest later purchase id) so a
+    * touch between two purchases credits only the earlier one. Touches
+    * with no later purchase are unattributed and drop (documented, not
+    * silent: `n_touches` counts only attributed touches by design).
+    *
+    * Four published credit models side by side, all in EXACT ppm
+    * integers (the pagerank/waterfill exp-libm rule — no 1.0/n doubles
+    * cross an aggregation): first-touch and last-touch (1 M to one
+    * touch), linear (1 M div n each, remainder to the LAST touch so
+    * every journey sums to exactly 1 000 000), and U-shaped/position-
+    * based (40/20/40: 400 k to first and last, 200 k div (n−2) to each
+    * middle with the remainder to the last middle; n=1 → 1 M, n=2 →
+    * 500 k each). The spec pins the conservation law each model obeys:
+    * Σ channel credit = 1 M × n_journeys, exactly.
+    *
+    * Scale shape: ONE user-keyed exchange — the journey window
+    * partitions by (user_id, conv_id), which the user_id hash already
+    * clusters (subset-key satisfaction, sort added, no re-shuffle) —
+    * then a partial-aggregated rollup to |channels| bounded rows.
+    * Extends reference coverage: the reference has no event-journey
+    * surface (SURVEY §2.10); same events table as ev_funnel.
+    */
+  def evAttribution(spark: SparkSession, dir: String): DataFrame =
+    attributionOver(events(spark, dir))
+
+  /** The attribution rollup over a given events frame — factored so the
+    * planted-journey spec can hand-trace the credit arithmetic
+    * ([[anomalyDays]] factoring).
+    */
+  private[graft] def attributionOver(ev: DataFrame): DataFrame = {
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val tagged = ev
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("conv_id",
+        last(when(col("event_type") === "purchase", col("event_id")),
+          ignoreNulls = true).over(wDesc))
+    val wJ = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "conv_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val journeys = tagged
+      .filter(col("event_type").isin("view", "click", "signup") &&
+        col("conv_id").isNotNull)
+      .withColumn("idx", row_number().over(wJ))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id", "conv_id")))
+      .withColumn("linear_ppm", expr(
+        """CAST(1000000 AS BIGINT) div n +
+          |CASE WHEN idx = n THEN 1000000 % n ELSE CAST(0 AS BIGINT) END"""
+          .stripMargin))
+      .withColumn("ushape_ppm", expr(
+        """CASE WHEN n = 1 THEN CAST(1000000 AS BIGINT)
+          |     WHEN n = 2 THEN CAST(500000 AS BIGINT)
+          |     WHEN idx = 1 OR idx = n THEN CAST(400000 AS BIGINT)
+          |     ELSE CAST(200000 AS BIGINT) div (n - 2) +
+          |       CASE WHEN idx = n - 1 THEN 200000 % (n - 2)
+          |            ELSE CAST(0 AS BIGINT) END END""".stripMargin))
+    journeys.groupBy(col("event_type").as("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("idx") === 1, 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("idx") === col("n"), 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("idx") === 1, 1000000L).otherwise(0L))
+          .as("first_touch_ppm"),
+        sum(when(col("idx") === col("n"), 1000000L).otherwise(0L))
+          .as("last_touch_ppm"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("ushape_ppm").as("ushape_ppm"))
+      .orderBy("channel")
+  }
+
   def evSequenceDetect(spark: SparkSession, dir: String,
       maxSpanHours: Long = 24): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -105,6 +105,114 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** MMR re-rank constants — λ = mmrLambdaNum/mmrLambdaDen (exact binary
+    * fraction, the in-plan-arithmetic exactness rule), shortlist L and
+    * selection k shared with the generated oracle (the kmeansCtes
+    * one-definition discipline).
+    */
+  private[graft] val mmrShortlist = 20
+  private[graft] val mmrK = 8
+  private[graft] val mmrLambdaNum = 1
+  private[graft] val mmrLambdaDen = 2
+
+  /** MAXIMAL MARGINAL RELEVANCE re-rank (Carbonell & Goldstein, SIGIR
+    * 1998) — diversity-aware top-k, the retrieval form training-data
+    * selection uses to avoid returning k near-copies of the same
+    * document: after a brute-force shortlist of L = 20 per query (the
+    * [[simCosineTopk]] plan), k = 8 results are picked greedily by
+    * score = λ·rel − (1−λ)·max_{s∈S} sim(cand, s) with λ = 1/2, where S
+    * is the already-picked set and maxsim starts at 0 (the empty-set
+    * convention — round 1 is pure relevance for any λ since the penalty
+    * term is identically 0). Ties break (score DESC, vec_id ASC). The
+    * output carries rel, the max_sim that penalized the pick, and the
+    * winning score — every round auditable row by row; the spec pins
+    * λ = 1 degenerating to the plain relevance top-k and the measured
+    * diversity gain at λ = 1/2.
+    *
+    * Exactness: λ is an exact binary fraction, so score = rel/2 −
+    * maxsim/2 is two exact halvings and one subtract of doubles both
+    * engines computed identically (the FloatDot fold); the greedy
+    * maxsim chain is an order-free max.
+    *
+    * Scale shape: the corpus-sized work is the shortlist scan (one
+    * broadcast-query pass, per-query top-L window); the re-rank itself
+    * touches only the L-bounded shortlist — its pairwise sims are an
+    * in-plan self-join of the cached shortlist (L²·|Q| rows, SF-
+    * independent) and the k greedy rounds are driver arithmetic over
+    * that bounded set (the simKmeansParallel probe-collect discipline).
+    * At 100 TB the shortlist comes from an index
+    * ([[simIvfAnnIndexed]]); the re-rank cost never grows with the
+    * corpus.
+    */
+  def simMmrDiverse(spark: SparkSession, dir: String,
+      l: Int = mmrShortlist, k: Int = mmrK,
+      lambdaNum: Int = mmrLambdaNum,
+      lambdaDen: Int = mmrLambdaDen): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = defaultQueries(spark, dir)
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("rel").desc, col("vec_id").asc)
+    val short = graft.Caches.scoped(s"mmr.short.$l",
+      emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .withColumn("rel",
+          expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= l)
+        .select("qid", "vec_id", "label", "rel", "embedding", "norm"))
+    val a = short.select(col("qid"), col("vec_id").as("cand"),
+      col("embedding").as("av"), col("norm").as("an"))
+    val b = short.select(col("qid"), col("vec_id").as("sel"),
+      col("embedding").as("bv"), col("norm").as("bn"))
+    val pairSims = a.join(b, Seq("qid"))
+      .filter(col("cand") =!= col("sel"))
+      .select(col("qid"), col("cand"), col("sel"),
+        (expr(dotExpr("av", "bv")) / (col("an") * col("bn"))).as("sim"))
+    // bounded probe-collects: |Q|·L rel rows + |Q|·L·(L−1) sim rows,
+    // both SF-independent (the simKmeansParallel driver-refine rule)
+    val rels = short.select("qid", "vec_id", "rel").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val sims = pairSims.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getDouble(3))
+      .toMap
+    val byQ = rels.keys.groupBy(_._1)
+    val rows = byQ.toSeq.sortBy(_._1).flatMap { case (qid, keys) =>
+      var remaining = keys.map(_._2).toVector.sorted
+      var maxsim = remaining.map(_ -> 0.0).toMap
+      (1 to k).flatMap { r =>
+        if (remaining.isEmpty) None else {
+          def score(c: Long): Double =
+            (rels((qid, c)) * lambdaNum) / lambdaDen -
+              (maxsim(c) * (lambdaDen - lambdaNum)) / lambdaDen
+          // plain IEEE > / == comparisons (score DESC, vec_id ASC) — the
+          // exact semantics of the oracle's row_number ORDER BY
+          val best = remaining.reduceLeft { (x, y) =>
+            val sx = score(x); val sy = score(y)
+            if (sy > sx || (sy == sx && y < x)) y else x
+          }
+          val ms = maxsim(best)
+          val s = score(best)
+          remaining = remaining.filterNot(_ == best)
+          maxsim = remaining.map { c =>
+            c -> math.max(maxsim(c), sims((qid, c, best)))
+          }.toMap
+          Some((qid, r, best, rels((qid, best)), ms, s))
+        }
+      }
+    }
+    import spark.implicits._
+    val sel = rows.toDF("qid", "rnk", "vec_id", "rel", "max_sim",
+      "mmr_score")
+    sel.join(short.select("qid", "vec_id", "label"), Seq("qid", "vec_id"))
+      .select("qid", "rnk", "vec_id", "label", "rel", "max_sim",
+        "mmr_score")
+      .orderBy("qid", "rnk")
+  }
+
   /** RANGE search — FAISS `range_search` (the other first-class search
     * API next to top-k): for each query, EVERY corpus vector with
     * cosine ≥ `tau`, reported as bounded per-query statistics (hit
@@ -1357,6 +1465,96 @@ object Similarity {
             expr("CAST((deg * (deg - 1)) DIV 2 AS DOUBLE)"))
           .otherwise(lit(0.0)).as("lcc"))
       .orderBy("vec_id")
+  }
+
+  /** k-core constants — peel threshold and fixed round count, shared
+    * with the generated oracle (the kmeansCtes one-definition rule).
+    */
+  private[graft] val kcoreK = 6
+  private[graft] val kcoreRounds = 6
+
+  /** k-CORE PEEL over the MUTUAL kNN graph — the cohesion filter that
+    * completes the graph-analytics family (PageRank = importance, LPA =
+    * communities, triangles = local density, k-core = global density
+    * skeleton; Seidman 1983, and the standard first step of web-graph
+    * spam/boilerplate mining — dense cores of a near-dup graph are
+    * template families): the graph keeps only MUTUAL descent edges
+    * (a→b AND b→a — one-sided kNN edges are the asymmetric noise a
+    * mutual filter drops; degrees then run 0..k instead of being floored
+    * at k by construction, which is what makes peeling meaningful on a
+    * kNN graph), and `kcoreRounds` synchronous peel rounds each remove
+    * every vertex whose surviving-subgraph degree < `kcoreK`. The output
+    * is the full peel TRACE — per round: removals (count + id XOR),
+    * survivors (count + id XOR) — so a reader can audit convergence
+    * (n_removed hits 0 when the core stabilizes; the round count is
+    * FIXED, not run-to-convergence, so both engines do identical work —
+    * the final round's n_removed = 0 row IS the convergence witness,
+    * spec-pinned on this corpus).
+    *
+    * Scale shape: the mutual filter is one self-semi-join of the edges
+    * table on the reversed key; each peel round is one degree count over
+    * surviving edges (id-keyed partial agg) + two bounded 1-row stat
+    * aggregates; vertex/edge frames are lineage-truncated per round (the
+    * iterative-loop rule). Shuffles carry (id, id) pairs only.
+    */
+  def simGraphKcore(spark: SparkSession, dir: String,
+      coreK: Int = kcoreK, rounds: Int = kcoreRounds): DataFrame = {
+    val base = ensureKnnGraphIndex(spark, dir)
+    val directed = spark.read.parquet(s"$base/edges")
+      .select(col("vec_id").as("v"), col("nbr_id").as("u"))
+    // mutual edges, kept in BOTH directions so a per-v count is the
+    // undirected degree
+    val mutual = directed
+      .join(directed.select(col("u").as("v"), col("v").as("u")),
+        Seq("v", "u"), "left_semi")
+      .localCheckpoint(false)
+    kcoreOver(spark,
+      Tables(spark, dir, "embeddings").select(col("vec_id").as("v")),
+      mutual, coreK, rounds)
+  }
+
+  /** The peel loop over arbitrary (vertex, undirected-edge) frames —
+    * factored so the planted-graph spec can hand-trace multi-round
+    * peeling ([[communitiesOver]] factoring). `und` must carry each
+    * edge in BOTH directions.
+    */
+  private[graft] def kcoreOver(spark: SparkSession, vertices: DataFrame,
+      und: DataFrame, coreK: Int, rounds: Int): DataFrame = {
+    var verts = vertices.localCheckpoint(false)
+    var edges = und
+    val stats = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, Long, Long, Long, Long)]
+    for (r <- 1 to rounds) {
+      val deg = edges.groupBy("v").agg(count(lit(1)).as("deg"))
+      // checkpointed once, read by the stats probe AND the survivor
+      // filter — one degree aggregation per round, not three
+      val cur = verts.join(deg, Seq("v"), "left")
+        .select(col("v"), coalesce(col("deg"), lit(0L)).as("deg"))
+        .localCheckpoint(false)
+      // bounded probe-collect: BOTH sides' stats in ONE 1-row aggregate
+      // (the small-data stage-count rule — jobs, not compute, dominate)
+      val st = cur.agg(
+        sum(when(col("deg") < coreK, 1L).otherwise(0L)).as("nr"),
+        coalesce(expr(s"bit_xor(CASE WHEN deg < $coreK THEN v END)"),
+          lit(0L)).as("xr"),
+        sum(when(col("deg") >= coreK, 1L).otherwise(0L)).as("ns"),
+        coalesce(expr(s"bit_xor(CASE WHEN deg >= $coreK THEN v END)"),
+          lit(0L)).as("xs")).head
+      stats += ((r, st.getLong(0), st.getLong(1), st.getLong(2),
+        st.getLong(3)))
+      verts = cur.filter(col("deg") >= coreK).select("v")
+      edges = edges
+        .join(verts, Seq("v"), "left_semi")
+        .join(verts.select(col("v").as("u")), Seq("u"), "left_semi")
+        .select("v", "u")
+        .localCheckpoint(false)
+      edges.count() // materialize the lazy checkpoint (one job per round)
+    }
+    import spark.implicits._
+    stats.toSeq
+      .toDF("round", "n_removed", "removed_xor", "n_remaining",
+        "survivor_xor")
+      .orderBy("round")
   }
 
   /** The standing graph's (edges, out-degrees, nodes) triple — shared by

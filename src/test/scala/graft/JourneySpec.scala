@@ -49,4 +49,72 @@ class JourneySpec extends SparkSpec {
         s"path ${r.getAs[String]("path")} has a transition the matrix lacks")
     }
   }
+
+  test("attribution conserves exactly 1M ppm per journey under every model") {
+    val rows = Events.evAttribution(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def total(c: String): Long = rows.map(_.getAs[Long](c)).sum
+    val nJourneys = total("n_first")
+    assert(nJourneys > 0)
+    // one first and one last touch per journey
+    assert(total("n_last") == nJourneys)
+    // every credit model distributes exactly 1M ppm per journey — the
+    // integer remainder-to-last rule leaves nothing on the floor
+    for (m <- Seq("first_touch_ppm", "last_touch_ppm", "linear_ppm",
+        "ushape_ppm"))
+      assert(total(m) == 1000000L * nJourneys,
+        s"$m: ${total(m)} != 1M x $nJourneys")
+  }
+
+  test("attribution credit arithmetic hand-traces on a planted journey") {
+    import spark.implicits._
+    def ev(id: Long, user: Long, s: Long, t: String) =
+      (id, user, new java.sql.Timestamp(s * 1000L), t)
+    // user 1: view,click -> purchase; signup -> purchase; trailing view
+    // (unattributed, drops). user 2: a 5-touch journey exercising the
+    // U-shape middle split 200000 div 3 with remainder to the last middle.
+    val planted = Seq(
+      ev(1, 1, 10, "view"), ev(2, 1, 20, "click"), ev(3, 1, 30, "purchase"),
+      ev(4, 1, 40, "signup"), ev(5, 1, 50, "purchase"), ev(6, 1, 60, "view"),
+      ev(10, 2, 10, "view"), ev(11, 2, 20, "click"), ev(12, 2, 30, "view"),
+      ev(13, 2, 40, "click"), ev(14, 2, 50, "view"),
+      ev(15, 2, 60, "purchase"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = Events.attributionOver(planted).collect()
+      .map(r => r.getAs[String]("channel") -> r).toMap
+    // user 1, journey 1 (n=2): view idx1, click idx2. journey 2 (n=1):
+    // signup. Trailing view (id 6) has no later purchase — drops.
+    // user 2, one journey (n=5): view,click,view,click,view — U-shape
+    // pays 400k to idx1/idx5 and 200000 div 3 = 66666 to each middle,
+    // remainder 2 to the LAST middle (idx4).
+    val click = out("click")
+    assert(click.getAs[Long]("n_touches") == 3) // u1 idx2 + u2 idx2, idx4
+    assert(click.getAs[Long]("n_first") == 0)
+    assert(click.getAs[Long]("n_last") == 1) // u1 idx2 closes its journey
+    assert(click.getAs[Long]("first_touch_ppm") == 0L)
+    assert(click.getAs[Long]("last_touch_ppm") == 1000000L)
+    // u1: 500000; u2 idx2 + idx4: 200000 each (1M div 5, remainder 0)
+    assert(click.getAs[Long]("linear_ppm") == 500000L + 400000L)
+    // u1: 500000; u2 idx2: 66666, idx4: 66666 + remainder 2
+    assert(click.getAs[Long]("ushape_ppm") == 500000L + 66666L + 66668L)
+    val signup = out("signup")
+    assert(signup.getAs[Long]("n_touches") == 1)
+    for (m <- Seq("first_touch_ppm", "last_touch_ppm", "linear_ppm",
+        "ushape_ppm"))
+      assert(signup.getAs[Long](m) == 1000000L, m)
+    val view = out("view")
+    // u1 idx1 (trailing view dropped) + u2 idx 1,3,5
+    assert(view.getAs[Long]("n_touches") == 4)
+    assert(view.getAs[Long]("n_first") == 2)
+    assert(view.getAs[Long]("first_touch_ppm") == 2000000L)
+    assert(view.getAs[Long]("last_touch_ppm") == 1000000L) // u2 idx5
+    // u1: 500000; u2: 200000 x 3
+    assert(view.getAs[Long]("linear_ppm") == 500000L + 600000L)
+    // u1: 500000; u2: idx1 400000 + idx3 66666 + idx5 400000
+    assert(view.getAs[Long]("ushape_ppm") == 500000L + 866666L)
+    // conservation on the planted set: 3 journeys, every model sums 3M
+    for (m <- Seq("first_touch_ppm", "last_touch_ppm", "linear_ppm",
+        "ushape_ppm"))
+      assert(out.values.map(_.getAs[Long](m)).sum == 3000000L, m)
+  }
 }
