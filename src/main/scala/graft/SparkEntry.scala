@@ -243,6 +243,7 @@ object SparkEntry {
     // vacuum: the PHYSICALLY truncated log serves every surviving
     // version; reclaimed events accounted; below-horizon reads throw
     "pipeline_vacuum" -> ((s, d) => Text.pipelineVacuum(s, d)),
+    "pipeline_gdpr_forget" -> ((s, d) => Text.pipelineGdprForget(s, d)),
     // ANALYZE: per-column exact stats manifest, one pruned scan per leg
     "pipeline_table_stats" -> ((s, d) => Text.pipelineTableStats(s, d)),
     "pipeline_stats_refresh" -> ((s, d) => Text.pipelineStatsRefresh(s, d)),
@@ -3532,6 +3533,103 @@ object SparkEntry {
     * dd_cluster_representative oracles (the bpeCtes discipline). Callers
     * must open with `WITH RECURSIVE`.
     */
+  /** DuckDB twin of [[graft.queries.Text.pipelineGdprForget]]: every
+    * per-surface expectation recomputed from raw text — the base-carve
+    * band/shingle arithmetic (4 bands per tokenized base doc — the
+    * [[dupClusterCtesWhere]] chain), the BM25 posting counts (distinct
+    * terms per doc), the confirmed-pair edge set and the recursive CC
+    * labels with the erase + re-point semantics applied in SQL. The
+    * `after_*` columns are the SPEC: the Spark side reads them back from
+    * the physically rewritten overlay, so a wrong-column scrub, a
+    * partial write, or a tombstoned id surviving as a cluster label
+    * hash-mismatches here. conf/comp get MATERIALIZED wrappers (each is
+    * referenced 3-4× by the surface selects — the knn-descent rounds
+    * rule; the generated chain itself stays untouched).
+    */
+  private def gdprForgetSql: String = {
+    val m = Text.gdprMod
+    val r = Text.gdprRem
+    s"""WITH RECURSIVE ${dupClusterCtesWhere(s" AND doc_id % ${Text.incrementalDeltaMod} <> 0")},
+       |confm AS MATERIALIZED (SELECT id_a, id_b FROM conf),
+       |compm AS MATERIALIZED (SELECT doc_id, component FROM comp),
+       |tomb AS MATERIALIZED (SELECT doc_id FROM documents WHERE doc_id % $m = $r),
+       |bd AS MATERIALIZED (SELECT doc_id FROM d),
+       |btc AS MATERIALIZED (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS ndt FROM (
+       |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+       |    FROM documents)
+       |  GROUP BY 1),
+       |srv AS MATERIALIZED (SELECT doc_id, component FROM compm WHERE doc_id % $m <> $r),
+       |nr AS (SELECT component, min(doc_id) AS new_rep FROM srv GROUP BY 1),
+       |rel AS MATERIALIZED (
+       |  SELECT s2.doc_id,
+       |    CASE WHEN s2.component % $m = $r THEN n2.new_rep ELSE s2.component END AS component
+       |  FROM srv s2 JOIN nr n2 ON n2.component = s2.component)
+       |SELECT * FROM (
+       |SELECT 'bm25_doclens' AS surface,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM btc) AS n_total,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM btc WHERE doc_id % $m = $r) AS n_refs,
+       |  (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT) FROM btc WHERE doc_id % $m = $r) AS erased_xor,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM btc WHERE doc_id % $m <> $r) AS after_total,
+       |  CAST(0 AS BIGINT) AS after_refs,
+       |  (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM btc WHERE doc_id % $m <> $r) AS after_id_sum
+       |UNION ALL
+       |SELECT 'bm25_postings',
+       |  (SELECT CAST(coalesce(sum(ndt), 0) AS BIGINT) FROM btc),
+       |  (SELECT CAST(coalesce(sum(ndt), 0) AS BIGINT) FROM btc WHERE doc_id % $m = $r),
+       |  (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT) FROM btc WHERE doc_id % $m = $r),
+       |  (SELECT CAST(coalesce(sum(ndt), 0) AS BIGINT) FROM btc WHERE doc_id % $m <> $r),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(doc_id * ndt), 0) AS BIGINT) FROM btc WHERE doc_id % $m <> $r)
+       |UNION ALL
+       |SELECT 'cc_edges',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM confm),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM confm WHERE id_a % $m = $r OR id_b % $m = $r),
+       |  (SELECT CAST(coalesce(bit_xor(i), 0) AS BIGINT) FROM (
+       |    SELECT DISTINCT i FROM (
+       |      SELECT id_a AS i FROM confm UNION ALL SELECT id_b FROM confm)
+       |    WHERE i % $m = $r)),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM confm WHERE id_a % $m <> $r AND id_b % $m <> $r),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(id_a + id_b), 0) AS BIGINT) FROM confm WHERE id_a % $m <> $r AND id_b % $m <> $r)
+       |UNION ALL
+       |SELECT 'cc_labels',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM compm),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM compm WHERE doc_id % $m = $r OR component % $m = $r),
+       |  (SELECT CAST(coalesce(bit_xor(i), 0) AS BIGINT) FROM (
+       |    SELECT DISTINCT i FROM (
+       |      SELECT doc_id AS i FROM compm UNION ALL SELECT component FROM compm)
+       |    WHERE i % $m = $r)),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM rel),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(doc_id + component), 0) AS BIGINT) FROM rel)
+       |UNION ALL
+       |SELECT 'corpus',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM tomb),
+       |  (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT) FROM tomb),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % $m <> $r),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM documents WHERE doc_id % $m <> $r)
+       |UNION ALL
+       |SELECT 'fuzzy_bands',
+       |  4 * (SELECT CAST(count(*) AS BIGINT) FROM bd),
+       |  4 * (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE doc_id % $m = $r),
+       |  (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT) FROM bd WHERE doc_id % $m = $r),
+       |  4 * (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE doc_id % $m <> $r),
+       |  CAST(0 AS BIGINT),
+       |  4 * (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM bd WHERE doc_id % $m <> $r)
+       |UNION ALL
+       |SELECT 'fuzzy_sh',
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bd),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE doc_id % $m = $r),
+       |  (SELECT CAST(coalesce(bit_xor(doc_id), 0) AS BIGINT) FROM bd WHERE doc_id % $m = $r),
+       |  (SELECT CAST(count(*) AS BIGINT) FROM bd WHERE doc_id % $m <> $r),
+       |  CAST(0 AS BIGINT),
+       |  (SELECT CAST(coalesce(sum(doc_id), 0) AS BIGINT) FROM bd WHERE doc_id % $m <> $r))
+       |ORDER BY surface""".stripMargin
+  }
+
   private def dupClusterCtes: String = dupClusterCtesWhere("")
 
   /** The dd_dup_clusters CTE chain with an extra `d`-level filter —
@@ -5444,6 +5542,7 @@ object SparkEntry {
          |  CAST($absorbed - (SELECT count(*) FROM s$c) AS BIGINT) AS vacuumed_events
          |FROM aud a ORDER BY a.version""".stripMargin
     },
+    "pipeline_gdpr_forget" -> gdprForgetSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -6926,4 +6926,189 @@ object Text {
         expr("coalesce(b_xor, 0L) ^ coalesce(d_xor, 0L)").as("text_xor"),
         coalesce(col("b_docs"), lit(0L)).as("n_base_docs"),
         coalesce(col("d_docs"), lit(0L)).as("n_delta_docs"))
+
+  // ---------------------------------------------------------------------
+  // GDPR forget — cross-surface erasure (the right-to-be-forgotten sweep)
+  // ---------------------------------------------------------------------
+
+  /** The erasure-request carve: `doc_id ≡ gdprRem (mod gdprMod)` — the
+    * deterministic stand-in for a batch of right-to-be-forgotten
+    * requests (~1% of the corpus), disjoint in spirit from the
+    * incremental-delta carve (mod 5) so erased docs exist in both the
+    * base and delta partitions.
+    */
+  private[graft] val gdprMod = 101L
+  private[graft] val gdprRem = 7L
+
+  private[graft] def gdprTombstones(spark: SparkSession,
+      dir: String): DataFrame =
+    docs(spark, dir)
+      .filter(pmod(col("doc_id"), lit(gdprMod)) === lit(gdprRem))
+      .select("doc_id")
+
+  private val gdprFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once HARD-ERASURE overlay: every standing text surface
+    * rewritten without the tombstoned doc_ids — GDPR's "erasure" means
+    * the bytes are GONE, not masked, so each surface is physically
+    * rewritten and the audit reads the rewritten files back (the
+    * pipeline_zorder_materialize physical-sink discipline). Surfaces:
+    * the corpus itself, the fuzzy LSH band + shingle standing tables
+    * ([[fuzzyBuildIndex]]), the BM25 postings + doclens
+    * ([[ensureBm25Index]]; the stat DECREMENT lifecycle is
+    * [[txBm25Delete]]'s domain — erasure only guarantees the ids are
+    * gone), and the CC closure's edges + labels ([[ensureCcBase]]).
+    * Labels get the one non-trivial rewrite: members erase, and any
+    * component LABELED by a tombstoned doc re-points to its minimum
+    * surviving member — an id must not survive as a cluster NAME after
+    * its document is erased. (Re-closing components a deletion SPLITS
+    * is [[ddCcDelete]]'s component-local recompute; the forget audit
+    * pins id erasure, not closure minimality — scaladoc'd division of
+    * labor.) Overlay dirs follow the ivf_del isolation rule: the shared
+    * standing tables are never mutated.
+    */
+  def ensureGdprForget(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "gdpr_forget")
+      val marker =
+        new org.apache.hadoop.fs.Path(s"$base/cc_labels/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(gdprFor.get(base).contains(dir) && fs.exists(marker))) {
+        gdprFor.remove(base)
+        fs.delete(marker, false)
+        ensureFuzzyIndex(spark, dir)
+        val bm = ensureBm25Index(spark, dir)
+        val cc = ensureCcBase(spark, dir)
+        val tomb = gdprTombstones(spark, dir)
+        def scrub(df: DataFrame, idCol: String, out: String): Unit =
+          df.join(tomb.select(col("doc_id").as(idCol)), Seq(idCol),
+              "left_anti")
+            .write.mode("overwrite").parquet(s"$base/$out")
+        scrub(docs(spark, dir), "doc_id", "corpus")
+        scrub(spark.table("graft_fuzzy_bands_bq"), "doc_id", "fuzzy_bands")
+        scrub(spark.table("graft_fuzzy_sh_bq"), "doc_id", "fuzzy_sh")
+        scrub(spark.read.parquet(s"$bm/postings"), "doc_id",
+          "bm25_postings")
+        scrub(spark.read.parquet(s"$bm/doclens"), "doc_id", "bm25_doclens")
+        spark.read.parquet(s"$cc/edges")
+          .join(tomb.select(col("doc_id").as("id_a")), Seq("id_a"),
+            "left_anti")
+          .join(tomb.select(col("doc_id").as("id_b")), Seq("id_b"),
+            "left_anti")
+          .select("id_a", "id_b")
+          .write.mode("overwrite").parquet(s"$base/cc_edges")
+        // labels LAST — its _SUCCESS is the overlay completeness marker
+        gdprRelabel(spark.read.parquet(s"$cc/labels"), tomb)
+          .write.mode("overwrite").parquet(s"$base/cc_labels")
+        gdprFor(base) = dir
+      }
+      base
+    }
+
+  /** Label erasure + re-pointing, factored over any ((id, component),
+    * tombstone) pair so the planted spec can hand-trace it: tombstoned
+    * MEMBERS leave, and a component whose NAME (its min-member label) is
+    * tombstoned re-points to its minimum surviving member. A component
+    * losing every member vanishes.
+    */
+  private[graft] def gdprRelabel(labels: DataFrame,
+      tomb: DataFrame): DataFrame = {
+    val surv = labels
+      .join(tomb.select(col("doc_id").as("id")), Seq("id"), "left_anti")
+    val newRep = surv.groupBy("component").agg(min("id").as("new_rep"))
+    surv.join(newRep, Seq("component"))
+      .join(tomb.select(col("doc_id").as("component"),
+        lit(true).as("ctomb")), Seq("component"), "left")
+      .select(col("id"),
+        when(col("ctomb"), col("new_rep")).otherwise(col("component"))
+          .as("component"))
+  }
+
+  /** THE FORGET AUDIT — per standing surface, served in one plan: total
+    * rows and tombstone-referencing rows BEFORE (read from the physical
+    * standing tables), the XOR of the distinct erased ids the surface
+    * actually held (conservation evidence), and total / referencing /
+    * id-sum AFTER (read back from the physically rewritten overlay —
+    * `after_refs` must be 0 on every surface and `after_id_sum` pins the
+    * surviving CONTENT, so a wrong-column scrub or a partial rewrite
+    * cannot hide behind an empty residual count). The oracle recomputes
+    * every expectation from raw text — standing tables and overlay are
+    * both proven against first principles.
+    *
+    * Scale shape: each leg is a scan + semi/left join against the
+    * (corpus-fraction-sized) tombstone list and a partial-aggregated
+    * rollup; all surfaces union into ONE aggregation keyed by surface
+    * (no 1-row cross joins — the constant-key-join/BNLJ ban), so the
+    * whole audit is a single job over index-sized inputs. At 100 TB
+    * every leg is id-keyed and shuffle-light; nothing rescans raw text.
+    */
+  def pipelineGdprForget(spark: SparkSession, dir: String): DataFrame = {
+    ensureFuzzyIndex(spark, dir)
+    val bm = ensureBm25Index(spark, dir)
+    val cc = ensureCcBase(spark, dir)
+    val base = ensureGdprForget(spark, dir)
+    val tomb = graft.Caches.scoped("gdpr.tomb", gdprTombstones(spark, dir))
+
+    // long-format rows: (surface, part, ref, idv) — part 0 = standing
+    // rows, part 1 = overlay rows (idv = row id-sum), part 2 = distinct
+    // erased ids found in the standing surface (idv = the id)
+    def leg(name: String, pre: DataFrame, post: DataFrame,
+        ids: Seq[String]): DataFrame = {
+      def flagged(df: DataFrame): DataFrame =
+        ids.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
+          d.join(tomb.select(col("doc_id").as(c), lit(true).as(s"_t$i")),
+            Seq(c), "left")
+        }
+      val anyRef = ids.indices
+        .map(i => col(s"_t$i") === true)
+        .reduce(_ || _)
+      val refCol = when(anyRef, 1L).otherwise(0L)
+      val idSum = ids.map(col).reduce(_ + _)
+      val preRows = flagged(pre)
+        .select(lit(name).as("surface"), lit(0).as("part"),
+          refCol.as("ref"), lit(0L).as("idv"))
+      val postRows = flagged(post)
+        .select(lit(name).as("surface"), lit(1).as("part"),
+          refCol.as("ref"), idSum.as("idv"))
+      val erased = ids.map(c => pre.select(col(c).as("i")))
+        .reduce(_ unionByName _)
+        .join(tomb.select(col("doc_id").as("i")), Seq("i"), "left_semi")
+        .distinct()
+        .select(lit(name).as("surface"), lit(2).as("part"),
+          lit(0L).as("ref"), col("i").as("idv"))
+      preRows.unionByName(postRows).unionByName(erased)
+    }
+
+    def overlay(name: String): DataFrame =
+      spark.read.parquet(s"$base/$name")
+    val legs = Seq(
+      leg("corpus", docs(spark, dir).select("doc_id"),
+        overlay("corpus").select("doc_id"), Seq("doc_id")),
+      leg("fuzzy_bands", spark.table("graft_fuzzy_bands_bq"),
+        overlay("fuzzy_bands"), Seq("doc_id")),
+      leg("fuzzy_sh", spark.table("graft_fuzzy_sh_bq"),
+        overlay("fuzzy_sh"), Seq("doc_id")),
+      leg("bm25_postings", spark.read.parquet(s"$bm/postings"),
+        overlay("bm25_postings"), Seq("doc_id")),
+      leg("bm25_doclens", spark.read.parquet(s"$bm/doclens"),
+        overlay("bm25_doclens"), Seq("doc_id")),
+      leg("cc_edges", spark.read.parquet(s"$cc/edges"),
+        overlay("cc_edges"), Seq("id_a", "id_b")),
+      leg("cc_labels", spark.read.parquet(s"$cc/labels"),
+        overlay("cc_labels"), Seq("id", "component")))
+    legs.reduce(_ unionByName _)
+      .groupBy("surface")
+      .agg(
+        sum(when(col("part") === 0, 1L).otherwise(0L)).as("n_total"),
+        sum(when(col("part") === 0, col("ref")).otherwise(0L))
+          .as("n_refs"),
+        coalesce(expr("bit_xor(CASE WHEN part = 2 THEN idv END)"),
+          lit(0L)).as("erased_xor"),
+        sum(when(col("part") === 1, 1L).otherwise(0L)).as("after_total"),
+        sum(when(col("part") === 1, col("ref")).otherwise(0L))
+          .as("after_refs"),
+        sum(when(col("part") === 1, col("idv")).otherwise(0L))
+          .as("after_id_sum"))
+      .orderBy("surface")
+  }
 }
