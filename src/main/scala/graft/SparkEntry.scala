@@ -77,6 +77,7 @@ object SparkEntry {
     // market series, the W7 exact-fold machinery
     "w11_rolling_beta" -> (Relational.w11RollingBeta _),
     "w12_rank_ic" -> (Relational.w12RankIc _),
+    "w13_ic_decay" -> (Relational.w13IcDecay _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
@@ -167,6 +168,8 @@ object SparkEntry {
     // (CMS linearity); same oracle text as the direct query — the
     // lossless-merge proof (the tx_kmv_refresh treatment)
     "tx_cms_refresh" -> ((s, d) => Text.txCmsRefresh(s, d)),
+    "tx_hist_refresh" -> ((s, d) => Text.txHistRefresh(s, d)),
+    "tx_novelty_profile" -> ((s, d) => Text.txNoveltyProfile(s, d)),
     // the delete half: CDC carve counters SUBTRACT from the standing
     // merged sketch (linearity); oracle rebuilds over survivors
     "tx_cms_retract" -> ((s, d) => Text.txCmsRetract(s, d)),
@@ -3533,6 +3536,79 @@ object SparkEntry {
     * dd_cluster_representative oracles (the bpeCtes discipline). Callers
     * must open with `WITH RECURSIVE`.
     */
+  /** DuckDB twin of [[graft.queries.Text.txNoveltyProfile]]: the
+    * distinct per-doc 8-gram keys (the kmvCtes hash convention),
+    * first-appearance via the gk-keyed min, per-source integer rollup
+    * with the one-divide ppm.
+    */
+  private def noveltyProfileSql: String = {
+    val w = 8
+    val terms = (1 to w).map(i =>
+      if (i == 1) "toks[i]" else s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+    s"""WITH sh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - ${w - 2}), i -> $terms)) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+       |    WHERE len(toks) >= $w)),
+       |nv AS (SELECT doc_id, count(*) AS nn FROM (
+       |  SELECT gk, min(doc_id) AS doc_id FROM sh GROUP BY 1) GROUP BY 1),
+       |pg AS (SELECT doc_id, count(*) AS ng FROM sh GROUP BY 1),
+       |agg AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(coalesce(pg.ng, 0)) AS BIGINT) AS n_grams,
+       |    CAST(sum(coalesce(nv.nn, 0)) AS BIGINT) AS n_novel
+       |  FROM documents d
+       |  LEFT JOIN pg ON pg.doc_id = d.doc_id
+       |  LEFT JOIN nv ON nv.doc_id = d.doc_id
+       |  GROUP BY 1)
+       |SELECT source, n_docs, n_grams, n_novel,
+       |  CASE WHEN n_grams > 0 THEN CAST((n_novel * 1000000) // n_grams AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS novelty_ppm
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Text.txHistRefresh]]: the full-corpus
+    * bucket histogram, rank = ⌈n·p/100⌉, lowest covering bucket, the
+    * exact percentile from raw lengths, and the containment check — the
+    * oracle never sees the standing cells (refresh ≡ rebuild).
+    */
+  private def histRefreshSql: String = {
+    val bw = Text.histBucketWidth
+    val mx = Text.histMaxBucket
+    val ps = Text.histPs.mkString(", ")
+    s"""WITH lens AS MATERIALIZED (
+       |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |hc AS (SELECT source, least(n_toks // $bw, $mx) AS bucket, count(*) AS cnt
+       |       FROM lens GROUP BY 1, 2),
+       |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hc GROUP BY 1),
+       |pr AS MATERIALIZED (
+       |  SELECT source, n_docs, p, (n_docs * p + 99) // 100 AS rank
+       |  FROM tot CROSS JOIN (SELECT unnest([$ps]) AS p)),
+       |hcum AS (SELECT source, bucket,
+       |           sum(cnt) OVER (PARTITION BY source ORDER BY bucket) AS cum
+       |         FROM hc),
+       |est AS (
+       |  SELECT pr.source, pr.p, pr.n_docs, pr.rank, min(h.bucket) AS bucket
+       |  FROM pr JOIN hcum h ON h.source = pr.source AND h.cum >= pr.rank
+       |  GROUP BY 1, 2, 3, 4),
+       |lcnt AS (SELECT source, n_toks, count(*) AS c FROM lens GROUP BY 1, 2),
+       |lcum AS (SELECT source, n_toks,
+       |           sum(c) OVER (PARTITION BY source ORDER BY n_toks) AS cum
+       |         FROM lcnt),
+       |ex AS (
+       |  SELECT pr.source, pr.p, min(l.n_toks) AS exact_val
+       |  FROM pr JOIN lcum l ON l.source = pr.source AND l.cum >= pr.rank
+       |  GROUP BY 1, 2)
+       |SELECT e.source, e.p, e.n_docs, e.rank, e.bucket,
+       |  e.bucket * $bw AS est_lo, x.exact_val,
+       |  (x.exact_val >= e.bucket * $bw AND
+       |   (e.bucket = $mx OR x.exact_val <= e.bucket * $bw + ${bw - 1})) AS contained
+       |FROM est e JOIN ex x ON x.source = e.source AND x.p = e.p
+       |ORDER BY e.source, e.p""".stripMargin
+  }
+
   /** DuckDB twin of [[graft.queries.Text.pipelineGdprForget]]: every
     * per-surface expectation recomputed from raw text — the base-carve
     * band/shingle arithmetic (4 bands per tokenized base doc — the
@@ -4308,6 +4384,43 @@ object SparkEntry {
         |SELECT date, n, sum_d2,
         |  1.0 - (6.0 * sum_d2) / CAST(n * (n * n - 1) AS DOUBLE) AS rank_ic
         |FROM g WHERE n >= ${Relational.icMinNames} ORDER BY date""".stripMargin,
+    // IC decay: the w12 Spearman chain per horizon (shared daily panel,
+    // one lead window per horizon), per-horizon rollup with the
+    // date-ordered mean fold (the W7 ordered-fold rule).
+    "w13_ic_decay" -> {
+      val hs = Relational.icHorizons
+      val perH = hs.map { h =>
+        s"""g$h AS (
+           |  SELECT date, count(*) AS n,
+           |    CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2
+           |  FROM (
+           |    SELECT date,
+           |      row_number() OVER (PARTITION BY date ORDER BY rev_c DESC, nationkey ASC) AS ra,
+           |      row_number() OVER (PARTITION BY date ORDER BY f$h DESC, nationkey ASC) AS rb
+           |    FROM fw WHERE f$h IS NOT NULL)
+           |  GROUP BY 1),
+           |i$h AS (
+           |  SELECT $h AS horizon, date,
+           |    1.0 - (6.0 * sum_d2) / CAST(n * (n * n - 1) AS DOUBLE) AS rank_ic
+           |  FROM g$h WHERE n >= ${Relational.icMinNames})""".stripMargin
+      }.mkString(",\n")
+      val unions = hs.map(h => s"SELECT * FROM i$h").mkString(" UNION ALL ")
+      s"""WITH daily AS (
+         |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+         |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |fw AS (
+         |  SELECT nationkey, date, rev_c,
+         |    ${hs.map(h => s"lead(rev_c, $h) OVER wn AS f$h").mkString(", ")}
+         |  FROM daily WINDOW wn AS (PARTITION BY nationkey ORDER BY date)),
+         |$perH,
+         |u AS ($unions)
+         |SELECT horizon, count(*) AS n_dates,
+         |  CAST(sum(CASE WHEN rank_ic > 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(rank_ic ORDER BY date)), (x, y) -> x + y)
+         |    / CAST(count(*) AS DOUBLE) AS mean_ic
+         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "w8_cross_section" ->
       // selection cut points (k = n DIV 10 per side), clamp by
       // comparison, moment folds over the value-sorted cross-section —
@@ -6388,6 +6501,8 @@ object SparkEntry {
     // are md5-derived so both engines build the identical sketch
     "tx_cms_frequency" -> cmsFrequencySql,
     "tx_cms_refresh" -> cmsFrequencySql,
+    "tx_hist_refresh" -> histRefreshSql,
+    "tx_novelty_profile" -> noveltyProfileSql,
     // retraction oracle: the direct sketch over the SURVIVORS — the
     // subtraction must equal the rebuild exactly (CMS linearity)
     "tx_cms_retract" -> cmsFrequencySqlWhere(

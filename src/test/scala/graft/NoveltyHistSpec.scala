@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Text
+
+/** Pins for the wave-2 profiling ops: novelty first-appearance credit
+  * hand-traced on a planted corpus plus the distinct-gram conservation
+  * law on real data, and the histogram-quantile sketch's containment +
+  * linearity (base + delta cells ≡ the direct full-corpus histogram).
+  */
+class NoveltyHistSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("novelty credits a gram exactly once, to its lowest doc_id") {
+    import spark.implicits._
+    val text8 = "a b c d e f g h" // one 8-gram
+    val planted = Seq(
+      (1L, "s1", text8),          // first appearance -> novel
+      (2L, "s2", text8),          // repeat -> 0 novel
+      (3L, "s2", "p q r s t u v w x"), // 2 grams, both novel
+      (4L, "s3", "too short"))    // under width -> 0 grams
+      .toDF("doc_id", "source", "text")
+    val out = Text.noveltyOver(planted).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(out("s1").getAs[Long]("n_grams") == 1)
+    assert(out("s1").getAs[Long]("n_novel") == 1)
+    assert(out("s1").getAs[Long]("novelty_ppm") == 1000000L)
+    assert(out("s2").getAs[Long]("n_grams") == 3)
+    assert(out("s2").getAs[Long]("n_novel") == 2)
+    assert(out("s2").getAs[Long]("novelty_ppm") == 666666L)
+    assert(out("s3").getAs[Long]("n_grams") == 0)
+    assert(out("s3").getAs[Long]("n_novel") == 0)
+    assert(out("s3").getAs[Long]("novelty_ppm") == 0L)
+  }
+
+  test("novelty conserves: novel grams sum to the global distinct-gram count") {
+    val rows = Text.txNoveltyProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val novel = rows.map(_.getAs[Long]("n_novel")).sum
+    val grams = rows.map(_.getAs[Long]("n_grams")).sum
+    assert(novel > 0 && novel <= grams)
+    // every distinct gram is novel somewhere, exactly once
+    val distinctGk = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+      .select(explode(expr(Text.shingleExpr(8))).as("g"))
+      .select(expr(
+        "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+      .distinct().count()
+    assert(novel == distinctGk,
+      s"novel sum $novel != global distinct grams $distinctGk")
+  }
+
+  test("histogram quantiles contain the exact percentile and stay monotone") {
+    val rows = Text.txHistRefresh(spark, dir).collect()
+    assert(rows.length >= 3)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("contained"),
+        s"estimate does not contain the exact percentile: $r")
+      // the estimate brackets from below by construction
+      assert(r.getAs[Long]("exact_val") >= r.getAs[Long]("est_lo"))
+    }
+    // per source, buckets are monotone in p
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val byP = rs.sortBy(_.getAs[Int]("p")).map(_.getAs[Long]("bucket"))
+      assert(byP.sameElements(byP.sorted), s"$s: non-monotone buckets")
+    }
+  }
+
+  test("histogram cells are linear: base + delta equals the direct sketch") {
+    val full = Tables(spark, dir, "documents")
+    def cells(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("source"),
+          least(expr("size(split(text, ' ')) div 16"), lit(63L))
+            .cast("long").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+        .collect()
+        .map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+          r.getAs[Long]("cnt")).toMap
+    val base = cells(full.filter(pmod(col("doc_id"), lit(5L)) =!= 0))
+    val delta = cells(full.filter(pmod(col("doc_id"), lit(5L)) === 0))
+    val direct = cells(full)
+    val merged = (base.keySet ++ delta.keySet).map(k =>
+      k -> (base.getOrElse(k, 0L) + delta.getOrElse(k, 0L))).toMap
+    assert(merged == direct)
+  }
+}

@@ -327,4 +327,25 @@ class WindowSpec extends SparkSpec {
       got.get.getAs[Long]("sum_d2") == d2,
       s"hand Spearman ${expect} vs served ${got.get}")
   }
+
+  test("w13IcDecay: horizon 1 aggregates exactly the w12 per-date series") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val decay = Relational.w13IcDecay(spark, dir).collect()
+      .map(r => r.getAs[Int]("horizon") -> r).toMap
+    assert(decay.keySet == Relational.icHorizons.toSet)
+    // horizon 1 IS w12: same date count, same positive share, and the
+    // mean is the date-ordered fold of w12's served ICs divided once
+    val w12 = Relational.w12RankIc(spark, dir).collect() // date-ordered
+    val h1 = decay(1)
+    assert(h1.getAs[Long]("n_dates") == w12.length.toLong)
+    assert(h1.getAs[Long]("n_pos") ==
+      w12.count(_.getAs[Double]("rank_ic") > 0.0).toLong)
+    val mean = w12.map(_.getAs[Double]("rank_ic"))
+      .foldLeft(0.0)(_ + _) / w12.length.toDouble
+    assert(h1.getAs[Double]("mean_ic") == mean)
+    // longer horizons see strictly fewer (or equal) forward-complete dates
+    assert(decay(5).getAs[Long]("n_dates") <= h1.getAs[Long]("n_dates"))
+    assert(decay(21).getAs[Long]("n_dates") <= decay(5).getAs[Long]("n_dates"))
+  }
 }
