@@ -78,6 +78,7 @@ object SparkEntry {
     "w11_rolling_beta" -> (Relational.w11RollingBeta _),
     "w12_rank_ic" -> (Relational.w12RankIc _),
     "w13_ic_decay" -> (Relational.w13IcDecay _),
+    "w14_seasonal_decompose" -> (Relational.w14SeasonalDecompose _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
@@ -4421,6 +4422,43 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE) AS mean_ic
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // Classical additive decomposition: integer 7-day window sums (order-
+    // safe), one divide for the trend, date-/dow-ordered folds for every
+    // double mean, engine-neutral days-since-epoch dow.
+    "w14_seasonal_decompose" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |t AS (
+        |  SELECT nationkey, date, rc,
+        |    CAST(datediff('day', DATE '1970-01-01', CAST(date AS DATE)) AS BIGINT) % 7 AS dow,
+        |    sum(rc) OVER w7 AS s7, count(*) OVER w7 AS c7
+        |  FROM daily
+        |  WINDOW w7 AS (PARTITION BY nationkey ORDER BY date
+        |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+        |det AS (
+        |  SELECT nationkey, date, rc, dow,
+        |    CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END AS trend,
+        |    CASE WHEN c7 = 7 THEN CAST(rc AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 END AS detr
+        |  FROM t),
+        |sd AS (
+        |  SELECT nationkey, dow,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(detr ORDER BY date)), (x, y) -> x + y)
+        |      / CAST(count(*) AS DOUBLE) AS s_raw
+        |  FROM det WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT nationkey,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s_raw ORDER BY dow)), (x, y) -> x + y)
+        |      / CAST(count(*) AS DOUBLE) AS ms
+        |  FROM sd GROUP BY 1),
+        |sc AS (
+        |  SELECT sd.nationkey, sd.dow, s_raw - ms AS seasonal
+        |  FROM sd JOIN sm ON sm.nationkey = sd.nationkey)
+        |SELECT d.nationkey, d.date, d.rc, d.dow, d.trend, sc.seasonal,
+        |  CASE WHEN d.trend IS NOT NULL THEN CAST(d.rc AS DOUBLE) - d.trend - sc.seasonal END AS resid
+        |FROM det d LEFT JOIN sc ON sc.nationkey = d.nationkey AND sc.dow = d.dow
+        |ORDER BY d.nationkey, d.date""".stripMargin,
     "w8_cross_section" ->
       // selection cut points (k = n DIV 10 per side), clamp by
       // comparison, moment folds over the value-sorted cross-section —

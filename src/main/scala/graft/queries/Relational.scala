@@ -664,6 +664,78 @@ object Relational {
       .orderBy("horizon")
   }
 
+  /** W14 (classical seasonal decomposition, additive, weekly period) —
+    * the rev = trend + seasonal + residual split every ops/quant
+    * dashboard runs before anomaly logic (the moving-average
+    * decomposition of Kendall/Stuart; statsmodels'
+    * `seasonal_decompose(period=7)`): trend is the centered 7-day
+    * moving average (defined only where the full window exists),
+    * detrended values average per (nation, day-of-week) into raw
+    * seasonal indexes, the seven indexes CENTER to sum to zero (the
+    * classical normalization), and the residual is what remains.
+    *
+    * Exactness: revenue is exact integer cents, so the 7-day window SUM
+    * is order-safe integer arithmetic and trend is ONE divide;
+    * day-of-week is pure date arithmetic (days-since-epoch mod 7 — no
+    * engine dow() conventions); every double SUM that follows folds a
+    * date-ordered (or dow-ordered) list (the W7 ordered-fold rule) and
+    * divides once.
+    *
+    * Scale shape: one nation-keyed exchange serves the trend window and
+    * the (nation, dow) seasonal rollup (subset-key satisfaction); the
+    * seasonal join is 7 rows per nation. History length bounds nothing
+    * but the frame lists.
+    */
+  def w14SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val w7 = Window.partitionBy("nationkey").orderBy("date")
+      .rowsBetween(-3, 3)
+    val det = daily
+      .withColumn("dow",
+        expr("CAST(datediff(date, DATE '1970-01-01') AS BIGINT) % 7"))
+      .withColumn("s7", sum("rc").over(w7))
+      .withColumn("c7", count(lit(1)).over(w7))
+      .withColumn("trend",
+        when(col("c7") === 7, col("s7").cast("double") / lit(7.0)))
+      .withColumn("detr",
+        when(col("trend").isNotNull,
+          col("rc").cast("double") - col("trend")))
+      .select("nationkey", "date", "rc", "dow", "trend", "detr")
+      .localCheckpoint(false)
+    val sd = det.filter(col("detr").isNotNull)
+      .groupBy("nationkey", "dow")
+      .agg(count(lit(1)).as("cnt"),
+        sort_array(collect_list(struct(col("date"), col("detr"))))
+          .as("ds"))
+      .withColumn("s_raw",
+        expr("aggregate(ds, 0D, (a, s) -> a + s.detr)") /
+          col("cnt").cast("double"))
+      .select("nationkey", "dow", "s_raw")
+    val sm = sd.groupBy("nationkey")
+      .agg(count(lit(1)).as("ndow"),
+        sort_array(collect_list(struct(col("dow"), col("s_raw"))))
+          .as("ss"))
+      .withColumn("ms",
+        expr("aggregate(ss, 0D, (a, s) -> a + s.s_raw)") /
+          col("ndow").cast("double"))
+      .select("nationkey", "ms")
+    val sc = sd.join(sm, Seq("nationkey"))
+      .select(col("nationkey"), col("dow"),
+        (col("s_raw") - col("ms")).as("seasonal"))
+    det.join(sc, Seq("nationkey", "dow"), "left")
+      .select(col("nationkey"), col("date"), col("rc"), col("dow"),
+        col("trend"), col("seasonal"),
+        when(col("trend").isNotNull,
+          col("rc").cast("double") - col("trend") - col("seasonal"))
+          .as("resid"))
+      .orderBy("nationkey", "date")
+  }
+
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))

@@ -489,6 +489,11 @@ object StreamingOps {
   case class SeqCarry(t1: String, ts1: Long, t2: String, ts2: Long)
   case class SeqMatch(user_id: Long, start_ts_us: Long, purchase_cents: Long)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
+  case class TouchEv(event_id: Long, ts_us: Long, event_type: String)
+  case class TouchCarry(touches: Seq[TouchEv])
+  case class AttrCredit(user_id: Long, conv_id: Long, channel: String,
+    idx: Int, n: Int, linear_ppm: Long, ushape_ppm: Long,
+    first: Boolean, last: Boolean)
 
   /** Custom stateful accumulation via flatMapGroupsWithState: per-user
     * running totals that survive across micro-batches — the
@@ -928,6 +933,60 @@ object StreamingOps {
     * cents — exact integers); the spec folds emissions to the batch
     * operator's per-user aggregate and pins equality on sf0.001.
     */
+  /** Streaming twin of [[graft.queries.Events.evAttribution]] — credit
+    * assignment AT CONVERSION TIME as `flatMapGroupsWithState`: per-user
+    * state is exactly the touch list since the last purchase (the
+    * natural attribution state — a real-time marketing stack holds the
+    * same open journey), a landing purchase emits one credit row per
+    * touch with the SAME exact-ppm integer arithmetic as the batch
+    * operator (linear remainder-to-last, 40/20/40 U-shape with the
+    * remainder to the last middle) and clears the journey; `error`
+    * events and trailing touches never emit — identical drop semantics.
+    * Within a batch the group's rows sort by (ts, event_id); across
+    * batches the file source's in-order delivery is the documented
+    * assumption (the sequenceMatches contract). A journey that STRADDLES
+    * a micro-batch boundary still credits — StreamingSpec plants one and
+    * folds all emissions to the batch rollup, pinning every column.
+    */
+  def attributedCredits(events: DataFrame): Dataset[AttrCredit] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val touchTypes = Set("view", "click", "signup")
+    events.select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("event_type"),
+        col("value"))
+      .as[SeqEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (uid: Long, rows: Iterator[SeqEvent], state: GroupState[TouchCarry]) => {
+          var touches = state.getOption.map(_.touches).getOrElse(Seq.empty)
+          val out = scala.collection.mutable.ArrayBuffer.empty[AttrCredit]
+          rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            if (touchTypes(e.event_type))
+              touches = touches :+ TouchEv(e.event_id, e.ts_us, e.event_type)
+            else if (e.event_type == "purchase") {
+              val n = touches.size
+              touches.zipWithIndex.foreach { case (t, i0) =>
+                val idx = i0 + 1
+                val linear = 1000000L / n +
+                  (if (idx == n) 1000000L % n else 0L)
+                val ushape =
+                  if (n == 1) 1000000L
+                  else if (n == 2) 500000L
+                  else if (idx == 1 || idx == n) 400000L
+                  else 200000L / (n - 2) +
+                    (if (idx == n - 1) 200000L % (n - 2) else 0L)
+                out += AttrCredit(uid, e.event_id, t.event_type, idx, n,
+                  linear, ushape, idx == 1, idx == n)
+              }
+              touches = Seq.empty
+            }
+          }
+          state.update(TouchCarry(touches))
+          out.iterator
+        })
+  }
+
   def sequenceMatches(events: DataFrame,
       maxSpanHours: Long = 24): Dataset[SeqMatch] = {
     val spark = events.sparkSession

@@ -841,6 +841,64 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 01:00:00").getTime * 1000L, 3025L)), s"$rows")
   }
 
+  test("attribution credits fire at conversion across a micro-batch boundary") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val q = StreamingOps.attributedCredits(events)
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append").start()
+    // batch 1: two touches, no conversion — the journey stays open in state
+    input.addData(
+      (1L, 10L, ts("2024-01-01 01:00:00"), "view", 0.0),
+      (1L, 11L, ts("2024-01-01 02:00:00"), "click", 0.0),
+      (1L, 12L, ts("2024-01-01 02:30:00"), "error", 0.0)) // never credits
+    q.processAllAvailable()
+    assert(spark.table("attr_stream").count() == 0L,
+      "credits must not emit before the conversion")
+    // batch 2: the purchase lands — the straddling journey credits 50/50
+    input.addData(
+      (1L, 13L, ts("2024-01-01 03:00:00"), "purchase", 9.99),
+      (1L, 14L, ts("2024-01-01 04:00:00"), "signup", 0.0)) // trailing, drops
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_stream").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Int]("idx"),
+        r.getAs[Long]("linear_ppm"), r.getAs[Long]("ushape_ppm"),
+        r.getAs[Boolean]("first"), r.getAs[Boolean]("last"))).sortBy(_._2)
+    assert(rows.toSeq == Seq(
+      ("view", 1, 500000L, 500000L, true, false),
+      ("click", 2, 500000L, 500000L, false, true)), s"${rows.toSeq}")
+  }
+
+  test("streamed attribution credits fold to the batch ev_attribution rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val stream = StreamingOps.readEventsStream(spark, eventsDir)
+    val q = StreamingOps.attributedCredits(stream)
+      .writeStream.format("memory").queryName("attr_equality")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val streamed = spark.table("attr_equality")
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_touches"),
+        sum(when(col("first"), 1L).otherwise(0L)).as("n_first"),
+        sum(when(col("last"), 1L).otherwise(0L)).as("n_last"),
+        sum(when(col("first"), 1000000L).otherwise(0L))
+          .as("first_touch_ppm"),
+        sum(when(col("last"), 1000000L).otherwise(0L)).as("last_touch_ppm"),
+        sum("linear_ppm").as("linear_ppm"),
+        sum("ushape_ppm").as("ushape_ppm"))
+      .orderBy("channel").collect().map(_.toSeq)
+    val batch = graft.queries.Events.evAttribution(spark, sf).collect()
+      .map(_.toSeq)
+    assert(streamed.nonEmpty && streamed.toSeq == batch.toSeq,
+      s"streamed ${streamed.toSeq} != batch ${batch.toSeq}")
+  }
+
   test("streamed sequence matches fold to the batch ev_sequence_detect rows") {
     val sf = "/root/testdata/sf0.001"
     val stream = StreamingOps.readEventsStream(spark, eventsDir)

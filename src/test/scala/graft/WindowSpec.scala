@@ -348,4 +348,38 @@ class WindowSpec extends SparkSpec {
     assert(decay(5).getAs[Long]("n_dates") <= h1.getAs[Long]("n_dates"))
     assert(decay(21).getAs[Long]("n_dates") <= decay(5).getAs[Long]("n_dates"))
   }
+
+  test("w14 decomposition: trend recomputed by hand, seasonal centers, identity holds") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val rows = Relational.w14SeasonalDecompose(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val byNation = rows.groupBy(_.getAs[Int]("nationkey"))
+    byNation.foreach { case (nk, rs) =>
+      val s = rs.sortBy(_.getAs[java.time.LocalDateTime]("date").toString)
+      // trend exists exactly where the full centered window exists
+      s.zipWithIndex.foreach { case (r, i) =>
+        val full = i >= 3 && i < s.length - 3
+        assert(r.isNullAt(r.fieldIndex("trend")) != full,
+          s"nation $nk row $i: trend presence wrong")
+        if (full) {
+          val win = s.slice(i - 3, i + 4).map(_.getAs[Long]("rc")).sum
+          assert(r.getAs[Double]("trend") == win.toDouble / 7.0,
+            s"nation $nk row $i: trend drifted")
+          // reconstruction: rev = trend + seasonal + resid (float assoc)
+          val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
+            r.getAs[Double]("resid")
+          assert(math.abs(back - r.getAs[Long]("rc").toDouble) < 1e-6,
+            s"nation $nk row $i: identity broken")
+        }
+      }
+      // the seven seasonal indexes center to zero
+      val seas = s.filter(!_.isNullAt(s.head.fieldIndex("seasonal")))
+        .map(r => r.getAs[Long]("dow") -> r.getAs[Double]("seasonal"))
+        .distinct
+      if (seas.nonEmpty)
+        assert(math.abs(seas.map(_._2).sum) < 1e-6,
+          s"nation $nk: seasonal indexes do not center")
+    }
+  }
 }
