@@ -118,7 +118,10 @@ object Bench {
     // run walled at 876 of 920 s and the suite grew 211 -> 218 (CC
     // refresh/delete, SQ-int8 lifecycle x3, HNSW-upserted search, time
     // travel) — ~25 s more unavoidable cold first runs.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1100").toDouble
+    // 1100 -> 1200 at the 261-query r13 continuation (same rule): +10
+    // queries add ~14 s steady plus ~70 s of unavoidable cold first
+    // runs (the GDPR overlay build alone is ~26 s, the OPQ index ~10 s).
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 

@@ -393,6 +393,7 @@ object SparkEntry {
     // OPQ rotation audit: Hadamard-rotated vs raw PQ on the anisotropic
     // carve — per-subspace SSE balance, exact folds
     "sim_opq_rotate" -> ((s, d) => Similarity.simOpqRotate(s, d)),
+    "sim_opq_adc_indexed" -> ((s, d) => Similarity.simOpqAdcIndexed(s, d)),
     // by-residual IVFPQ over the persisted residual index (build/serve
     // split; results — and the oracle — identical by construction)
     "sim_ivfpq_residual_indexed" -> ((s, d) => Similarity.simIvfPqResidualIndexed(s, d)),
@@ -2323,6 +2324,56 @@ object SparkEntry {
        |SELECT 0 AS rotated, s, sse FROM oasse
        |UNION ALL SELECT 1 AS rotated, s, sse FROM obsse
        |ORDER BY rotated, s""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqAdcIndexed]]: the
+    * carve + Hadamard rotation CTEs (the opqRotateSql text), then the
+    * verbatim PQ train/encode/ADC chain over the ROTATED vectors
+    * (pqTrainChains prefix "oq") with queries drawn from the rotated
+    * space — a hash match proves the persisted rotated codebooks and
+    * codes serve exactly the declared search.
+    */
+  private def opqAdcIndexedSql: String = {
+    val m = Similarity.pqM
+    val sub = Similarity.pqSubDims
+    val rounds = Similarity.pqTrainRounds
+    val chains = pqTrainChains("oq", "rotv", "vec")
+    val books = (0 until m)
+      .map(s => s"SELECT $s AS s, cid, centroid FROM oq${s}_c$rounds")
+      .mkString(" UNION ALL ")
+    s"""WITH aniso AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), j ->
+       |    CAST(embedding[j] AS DOUBLE) * (CASE WHEN j <= ${Similarity.opqScaleDims} THEN ${Similarity.opqScale} ELSE 1.0 END)) AS vec
+       |  FROM embeddings),
+       |rotv AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j ->
+       |      CASE WHEN bit_count(CAST((i - 1) & (j - 1) AS BIGINT)) % 2 = 0 THEN vec[j] ELSE -vec[j] END)), (x, y) -> x + y) / 8.0) AS vec
+       |  FROM aniso),
+       |$chains,
+       |oqbooks AS ($books),
+       |oqcodes AS (
+       |  SELECT vec_id, s, cid AS code FROM (
+       |    SELECT e.vec_id, b.s, b.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM rotv e, oqbooks b)
+       |  WHERE rn = 1),
+       |oqqdt AS (
+       |  SELECT q.vec_id AS qid, b.s, b.cid,
+       |    ${pqSlicedL2("q.vec", "b.centroid", s"b.s * $sub")} AS qdist
+       |  FROM rotv q, oqbooks b WHERE q.vec_id < 5),
+       |oqadist AS (
+       |  SELECT qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM oqcodes c JOIN oqqdt ON c.s = oqqdt.s AND c.code = oqqdt.cid AND c.vec_id <> oqqdt.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adc, rnk FROM (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM oqadist)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPqUpsert]]: the
@@ -6892,6 +6943,7 @@ object SparkEntry {
     "sim_ivfpq_residual" -> ivfPqResidualSql,
     "sim_ivfpq_residual_indexed" -> ivfPqResidualSql,
     "sim_opq_rotate" -> opqRotateSql,
+    "sim_opq_adc_indexed" -> opqAdcIndexedSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,

@@ -2856,20 +2856,49 @@ object Similarity {
     * stand-in), cached once per variant; everything downstream is the
     * established PQ training/encode machinery.
     */
+  /** The carve and rotation expression TEXTS — one definition for the
+    * cached corpus projections, the serve-time query rotation, and (via
+    * the opqRotateSql constants) the oracle.
+    */
+  private def opqAnisoExpr: String =
+    s"""transform(sequence(0, ${dims - 1}), j ->
+          CAST(embedding[j] AS DOUBLE) * IF(j < $opqScaleDims, ${opqScale}D, 1.0D))"""
+  private def opqRotExpr: String =
+    s"""transform(sequence(0, ${dims - 1}), i ->
+          aggregate(sequence(0, ${dims - 1}), 0D, (a, j) ->
+            a + IF(bit_count(i & j) % 2 = 0, embedding[j], -embedding[j]))
+          / 8.0D)"""
+
+  /** The anisotropic carve — factored so the rotate audit and the
+    * standing OPQ index train/encode the IDENTICAL source (the
+    * one-definition rule).
+    */
+  private[graft] def opqAniso(spark: SparkSession, dir: String): DataFrame =
+    graft.Caches.scoped("opq.aniso",
+      Tables(spark, dir, "embeddings").select(col("vec_id"),
+        expr(opqAnisoExpr).as("embedding")))
+
+  /** The Hadamard-rotated carve ([[simOpqRotate]]'s `rotated` leg) —
+    * the space the standing OPQ index lives in.
+    */
+  private[graft] def opqRotatedVecs(spark: SparkSession,
+      dir: String): DataFrame =
+    graft.Caches.scoped("opq.rot",
+      opqAniso(spark, dir).select(col("vec_id"),
+        expr(opqRotExpr).as("embedding")))
+
+  /** Rotate an arbitrary (vec_id, embedding) frame through the same
+    * carve + Hadamard — the serve-time QUERY path: |queries| rows flow
+    * through the projection directly, never the corpus-wide cache.
+    */
+  private[graft] def opqRotateQueries(qs: DataFrame): DataFrame =
+    qs.select(col("vec_id"), expr(opqAnisoExpr).as("embedding"))
+      .select(col("vec_id"), expr(opqRotExpr).as("embedding"))
+
   def simOpqRotate(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
-    val aniso = graft.Caches.scoped("opq.aniso",
-      Tables(spark, dir, "embeddings").select(col("vec_id"),
-        expr(s"""transform(sequence(0, ${dims - 1}), j ->
-                   CAST(embedding[j] AS DOUBLE) * IF(j < $opqScaleDims, ${opqScale}D, 1.0D))""")
-          .as("embedding")))
-    val rotated = graft.Caches.scoped("opq.rot",
-      aniso.select(col("vec_id"),
-        expr(s"""transform(sequence(0, ${dims - 1}), i ->
-                   aggregate(sequence(0, ${dims - 1}), 0D, (a, j) ->
-                     a + IF(bit_count(i & j) % 2 = 0, embedding[j], -embedding[j]))
-                   / 8.0D)""")
-          .as("embedding")))
+    val aniso = opqAniso(spark, dir)
+    val rotated = opqRotatedVecs(spark, dir)
     def sseOf(src: DataFrame, tag: Int): DataFrame =
       pqAssignWithDist(src, pqCodebooksFrom(src))
         .groupBy("s")
@@ -4499,6 +4528,65 @@ object Similarity {
       pqIndexFor(base) = dir
     }
     base
+  }
+
+  /** Persist the OPQ index: codebooks trained in the ROTATED space and
+    * the rotated-space code table — what `IndexPreTransform(OPQMatrix,
+    * IndexPQ)` persists in FAISS. The rotation itself is the
+    * deterministic Hadamard ([[simOpqRotate]]); a production deployment
+    * swaps in its trained matrix and everything downstream is unchanged.
+    */
+  def opqBuildIndex(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val base = graft.Layout.indexBase(spark, dir, "opq_index")
+    val rot = opqRotatedVecs(spark, dir)
+    pqCodebooksFrom(rot).write.mode("overwrite")
+      .parquet(s"$base/codebooks")
+    pqEncodeFrom(rot.select("vec_id", "embedding"),
+        spark.read.parquet(s"$base/codebooks"))
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  private val opqIndexFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the OPQ index — the [[ensurePqIndex]]
+    * treatment (clear memo + marker BEFORE rebuilding).
+    */
+  def ensureOpqIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "opq_index")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(opqIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        opqIndexFor.remove(base)
+        fs.delete(marker, false)
+        opqBuildIndex(spark, dir)
+        opqIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** ADC search over the STANDING OPQ index — the steady-state serving
+    * twin the [[simOpqRotate]] audit lacked (every other build-heavy
+    * family carries one: the train-per-call pricing note). Queries pass
+    * through the SAME carve + Hadamard projection and score the
+    * persisted rotated-space codes with the verbatim [[pqAdcScore]]
+    * arithmetic; rotation preserves L2, so this is the PQ ADC search of
+    * the rotated geometry — served entirely from the ~2 B/vector code
+    * table plus the m·k-row codebooks, no raw-embedding scan beyond the
+    * |queries| rows.
+    */
+  def simOpqAdcIndexed(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    register(spark)
+    val base = ensureOpqIndex(spark, dir)
+    val qs = opqRotateQueries(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+        .select("vec_id", "embedding"))
+    pqAdcScore(spark, dir,
+      spark.read.parquet(s"$base/codebooks"),
+      spark.read.parquet(s"$base/codes"), k, Some(qs))
   }
 
   /** [[simPqAdc]] over the MATERIALIZED index ([[pqBuildIndex]]):

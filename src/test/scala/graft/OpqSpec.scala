@@ -13,6 +13,44 @@ import graft.queries.Similarity
   */
 class OpqSpec extends SparkSpec {
 
+  test("indexed OPQ ADC serves from the standing rotated codes; rotation is an isometry") {
+    val dir = "/root/testdata/sf0.01"
+    val rows = Similarity.simOpqAdcIndexed(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // plan pin: the serve physically reads the standing OPQ index (the
+    // sim_ivf_ann_indexed discipline — AQE off so the scan is visible)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val scans = try {
+      Similarity.simOpqAdcIndexed(spark, dir)
+        .queryExecution.executedPlan.collect {
+          case f: FileSourceScanExec if f.relation.location.rootPaths
+            .exists(_.toString.contains("opq_index")) => f
+        }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(scans.nonEmpty,
+      "indexed OPQ search does not read the standing code table")
+    // the Hadamard/8 rotation preserves norms (orthonormal) — the
+    // rotated-space ADC is therefore a search of the SAME geometry
+    import org.apache.spark.sql.functions._
+    val qs = Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+      .select("vec_id", "embedding")
+    val pre = Similarity.opqAniso(spark, dir).filter(col("vec_id") < 5)
+      .withColumn("nrm", expr(
+        "aggregate(embedding, 0D, (a, x) -> a + x * x)"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("nrm")).toMap
+    val post = Similarity.opqRotateQueries(qs)
+      .withColumn("nrm", expr(
+        "aggregate(embedding, 0D, (a, x) -> a + x * x)"))
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Double]("nrm")).toMap
+    pre.foreach { case (id, n) =>
+      assert(math.abs(post(id) - n) <= 1e-6 * math.max(1.0, n),
+        s"vec $id: rotation changed the norm ($n -> ${post(id)})")
+    }
+  }
+
   for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
     test(s"rotation balances per-subspace SSE, total stays flat at $dir") {
       val rows = Similarity.simOpqRotate(spark, dir).collect()
