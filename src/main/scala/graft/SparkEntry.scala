@@ -79,6 +79,7 @@ object SparkEntry {
     "w12_rank_ic" -> (Relational.w12RankIc _),
     "w13_ic_decay" -> (Relational.w13IcDecay _),
     "w14_seasonal_decompose" -> (Relational.w14SeasonalDecompose _),
+    "w15_changepoint" -> (Relational.w15Changepoint _),
     "w8_cross_section" -> (Relational.w8CrossSection _),
     "w9_resample_ohlc" -> (Relational.w9ResampleOhlc _),
     "w10_ffill_calendar" -> (Relational.w10FfillCalendar _),
@@ -170,6 +171,7 @@ object SparkEntry {
     // lossless-merge proof (the tx_kmv_refresh treatment)
     "tx_cms_refresh" -> ((s, d) => Text.txCmsRefresh(s, d)),
     "tx_hist_refresh" -> ((s, d) => Text.txHistRefresh(s, d)),
+    "tx_hist_retract" -> ((s, d) => Text.txHistRetract(s, d)),
     "tx_novelty_profile" -> ((s, d) => Text.txNoveltyProfile(s, d)),
     // the delete half: CDC carve counters SUBTRACT from the standing
     // merged sketch (linearity); oracle rebuilds over survivors
@@ -275,6 +277,8 @@ object SparkEntry {
     "dd_ppjoin" -> ((s, d) => Text.ddPpjoin(s, d)),
     "tx_length_percentiles" -> ((s, d) => Text.txLengthPercentiles(s, d)),
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
+    "dd_source_dup_matrix" -> ((s, d) => Text.ddSourceDupMatrix(s, d)),
+    "sim_cluster_purity" -> ((s, d) => Similarity.simClusterPurity(s, d)),
     // standing base labels + delta-only edges; oracle = full recompute
     "dd_cc_incremental" -> ((s, d) => Text.ddCcIncremental(s, d)),
     // write-back: serve from the persisted refreshed labels only
@@ -3625,13 +3629,19 @@ object SparkEntry {
     * exact percentile from raw lengths, and the containment check — the
     * oracle never sees the standing cells (refresh ≡ rebuild).
     */
-  private def histRefreshSql: String = {
+  private def histRefreshSql: String = histRefreshSqlWhere("")
+
+  /** [[histRefreshSql]] over a restricted corpus — the retraction oracle
+    * substitutes the survivor predicate (the cmsFrequencySqlWhere
+    * one-generator rule): subtraction must equal the survivor rebuild.
+    */
+  private def histRefreshSqlWhere(where: String): String = {
     val bw = Text.histBucketWidth
     val mx = Text.histMaxBucket
     val ps = Text.histPs.mkString(", ")
     s"""WITH lens AS MATERIALIZED (
        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
-       |  FROM documents),
+       |  FROM documents$where),
        |hc AS (SELECT source, least(n_toks // $bw, $mx) AS bucket, count(*) AS cnt
        |       FROM lens GROUP BY 1, 2),
        |tot AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs FROM hc GROUP BY 1),
@@ -4473,6 +4483,37 @@ object SparkEntry {
          |    / CAST(count(*) AS DOUBLE) AS mean_ic
          |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    // CUSUM in closed form: S_t = P_t − min(0, running min of P) over the
+    // drift-adjusted prefix sums — two integer windows, no recursion,
+    // every value exact (y scaled by the burn-in length).
+    "w15_changepoint" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |idx AS (
+        |  SELECT nationkey, date, rc,
+        |    row_number() OVER (PARTITION BY nationkey ORDER BY date) AS t
+        |  FROM daily),
+        |burn AS (
+        |  SELECT nationkey, CAST(sum(rc) AS BIGINT) AS m28
+        |  FROM idx WHERE t <= 28 GROUP BY 1 HAVING count(*) = 28),
+        |ps AS (
+        |  SELECT i.nationkey, i.date, b.m28,
+        |    sum(28 * i.rc - b.m28 - (b.m28 // 8)) OVER (PARTITION BY i.nationkey ORDER BY i.date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS psum
+        |  FROM idx i JOIN burn b ON b.nationkey = i.nationkey
+        |  WHERE i.t > 28),
+        |det AS (
+        |  SELECT nationkey, date, m28,
+        |    psum - least(CAST(0 AS BIGINT), min(psum) OVER (PARTITION BY nationkey ORDER BY date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS s
+        |  FROM ps)
+        |SELECT nationkey, count(*) AS n_obs, m28,
+        |  CAST(sum(CASE WHEN s > m28 THEN 1 ELSE 0 END) AS BIGINT) AS n_alarms,
+        |  min(CASE WHEN s > m28 THEN date END) AS first_alarm_date,
+        |  CAST(max(s) AS BIGINT) AS max_s
+        |FROM det GROUP BY 1, 3 ORDER BY 1""".stripMargin,
     // Classical additive decomposition: integer 7-day window sums (order-
     // safe), one divide for the trend, date-/dow-ordered folds for every
     // double mean, engine-neutral days-since-epoch dow.
@@ -6186,6 +6227,41 @@ object SparkEntry {
     // min-label CTE — an independent connectivity formulation checking
     // the large-star/small-star contraction row-for-row.
     "dd_dup_clusters" -> dupClustersSql,
+    // exact cross-source pair matrix over the shared banded+confirmed
+    // chain; unordered source pairs canonicalize (least, greatest)
+    "dd_source_dup_matrix" ->
+      s"""WITH $fuzzyPairCtes,
+         |srcp AS (
+         |  SELECT least(da.source, db.source) AS source_a,
+         |    greatest(da.source, db.source) AS source_b, c.id_a, c.id_b
+         |  FROM conf c
+         |  JOIN documents da ON da.doc_id = c.id_a
+         |  JOIN documents db ON db.doc_id = c.id_b)
+         |SELECT source_a, source_b, count(*) AS n_pairs,
+         |  min(id_a) AS min_id_a, max(id_b) AS max_id_b,
+         |  CAST(bit_xor(id_a * 1000003 + id_b) AS BIGINT) AS pair_xor
+         |FROM srcp GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // coarse-quantizer purity vs ground-truth labels over the SERVED
+    // cell membership (the ivfRankCtes cosine assignment — the standing
+    // cells table's semantics, NOT the Lloyd round's L2 assignment);
+    // majority ties to the lowest label
+    "sim_cluster_purity" ->
+      s"""WITH ${kmeansCtes()},
+         |$ivfRankCtes,
+         |pc AS (SELECT c_label AS cell, label FROM rk WHERE crnk = 1),
+         |pcnt AS (SELECT cell, label, count(*) AS n FROM pc GROUP BY 1, 2),
+         |ptot AS (SELECT cell, CAST(sum(n) AS BIGINT) AS n_members, count(*) AS n_labels FROM pcnt GROUP BY 1),
+         |pmaj AS (
+         |  SELECT cell, label AS majority_label, n AS majority_n FROM (
+         |    SELECT cell, label, n,
+         |      row_number() OVER (PARTITION BY cell ORDER BY n DESC, label ASC) AS rn
+         |    FROM pcnt)
+         |  WHERE rn = 1)
+         |SELECT t.cell, t.n_members, t.n_labels, m.majority_label,
+         |  CAST(m.majority_n AS BIGINT) AS majority_n,
+         |  CAST((m.majority_n * 1000000) // t.n_members AS BIGINT) AS purity_ppm
+         |FROM ptot t JOIN pmaj m ON m.cell = t.cell
+         |ORDER BY t.cell""".stripMargin,
     // Incremental CC over star(base) + delta edges must equal the FULL
     // recompute over every confirmed pair — same text, the strongest
     // incremental ≡ rebuild proof (the tx_bm25_upsert form).
@@ -6591,6 +6667,10 @@ object SparkEntry {
     "tx_cms_frequency" -> cmsFrequencySql,
     "tx_cms_refresh" -> cmsFrequencySql,
     "tx_hist_refresh" -> histRefreshSql,
+    // retraction oracle: the quantile report over the SURVIVORS only —
+    // counter subtraction must equal the rebuild exactly (linearity)
+    "tx_hist_retract" -> histRefreshSqlWhere(
+      s" WHERE doc_id % ${Text.retractMod} <> ${Text.retractRem}"),
     "tx_novelty_profile" -> noveltyProfileSql,
     // retraction oracle: the direct sketch over the SURVIVORS — the
     // subtraction must equal the rebuild exactly (CMS linearity)

@@ -736,6 +736,60 @@ object Relational {
       .orderBy("nationkey", "date")
   }
 
+  /** W15 (CUSUM changepoint detection, Page 1954) — the sequential
+    * mean-shift detector ops teams run on revenue/volume series, beside
+    * [[w14SeasonalDecompose]]'s decomposition and the anomaly bands:
+    * per nation, a 28-observation burn-in fixes the reference level,
+    * then the one-sided CUSUM S_t = max(0, S_{t−1} + (x_t − μ − κ))
+    * accumulates upward drift and alarms past h. Computed in its CLOSED
+    * FORM — S_t = P_t − min(0, min_{j≤t} P_j) over the prefix sums of
+    * the drift-adjusted series — so the recursion becomes two plain
+    * windows (cumulative sum + running min) instead of a sequential
+    * fold. Everything is scaled by the burn-in length (y_t = 28·x_t −
+    * m28 − κ28 with κ28 = m28 div 8, h28 = m28, x in exact cents), so
+    * every operation is INTEGER arithmetic — no double crosses any
+    * aggregation (the pagerank exp/libm rule). Nations without a full
+    * burn-in drop (documented contract). Reported per nation: post-
+    * burn-in observations, the reference sum, alarm count, first alarm
+    * date, and the peak statistic.
+    *
+    * Scale shape: one nation-keyed exchange serves the burn-in rollup,
+    * both CUSUM windows, and the final aggregate; history length never
+    * inflates state beyond the window frames.
+    */
+  def w15Changepoint(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val wN = Window.partitionBy("nationkey").orderBy("date")
+    val idx = daily.withColumn("t", row_number().over(wN))
+    val burn = idx.filter(col("t") <= 28)
+      .groupBy("nationkey")
+      .agg(sum("rc").as("m28"), count(lit(1)).as("nb"))
+      .filter(col("nb") === 28)
+      .select("nationkey", "m28")
+    val det = idx.join(burn, Seq("nationkey"))
+      .filter(col("t") > 28)
+      .withColumn("y", expr("28 * rc - m28 - (m28 div 8)"))
+      .withColumn("psum", sum("y").over(wN))
+      .withColumn("pmin",
+        least(lit(0L), min("psum").over(
+          wN.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+      .withColumn("s", col("psum") - col("pmin"))
+      .withColumn("alarm", col("s") > col("m28"))
+    det.groupBy("nationkey", "m28")
+      .agg(count(lit(1)).as("n_obs"),
+        sum(when(col("alarm"), 1L).otherwise(0L)).as("n_alarms"),
+        min(when(col("alarm"), col("date"))).as("first_alarm_date"),
+        max("s").as("max_s"))
+      .select("nationkey", "n_obs", "m28", "n_alarms", "first_alarm_date",
+        "max_s")
+      .orderBy("nationkey")
+  }
+
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))

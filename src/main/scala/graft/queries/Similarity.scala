@@ -2447,6 +2447,43 @@ object Similarity {
     base
   }
 
+  /** CLUSTER PURITY of the coarse quantizer — the standard external
+    * clustering evaluation (purity; Manning, Raghavan & Schütze, IR
+    * ch. 16) run against the embeddings' ground-truth labels: per IVF
+    * cell, the member count, distinct-label count, majority label
+    * (ties to the lowest label — deterministic), and purity in exact
+    * ppm. The members come from the STANDING index's cells table
+    * ([[ensureIvfIndex]] — the labels never influenced training, so
+    * this is an honest unsupervised-vs-truth audit), and the only
+    * corpus touch is the (vec_id, label) column-pruned dimension read.
+    *
+    * Scale shape: one id-keyed join of the cells table against the
+    * two-column label dim, a partial-aggregated (cell, label) count,
+    * and per-cell windows over ≤ |labels| bounded rows.
+    */
+  def simClusterPurity(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfIndex(spark, dir)
+    val members = spark.read.parquet(s"$base/cells")
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val lab = Tables(spark, dir, "embeddings").select("vec_id", "label")
+    val cnt = members.join(lab, Seq("vec_id"))
+      .groupBy("cell", "label").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("cell")
+      .agg(sum("n").as("n_members"), count(lit(1)).as("n_labels"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cell").orderBy(col("n").desc, col("label").asc)
+    val maj = cnt.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cell"), col("label").as("majority_label"),
+        col("n").as("majority_n"))
+    tot.join(maj, Seq("cell"))
+      .withColumn("purity_ppm",
+        expr("majority_n * 1000000 div n_members"))
+      .select("cell", "n_members", "n_labels", "majority_label",
+        "majority_n", "purity_ppm")
+      .orderBy("cell")
+  }
+
   /** [[simIvfAnn]] over the MATERIALIZED index ([[simIvfBuildIndex]]):
     * identical results (same training, assignment and scoring arithmetic
     * — the oracle SQL is shared verbatim), but the probe reads the

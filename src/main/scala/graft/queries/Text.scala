@@ -6985,6 +6985,42 @@ object Text {
       .orderBy("source")
   }
 
+  /** CROSS-SOURCE DUPLICATION MATRIX — the exact confirmed-pair counts
+    * per source pair, the table a curation pipeline consults before
+    * mixing sources (the EXACT companion to [[txKmvOverlap]]'s sketch
+    * ESTIMATES: KMV prices the matrix from standing sketches with zero
+    * corpus passes, this query serves the true pair counts from the
+    * same banded+confirmed machinery [[ddDupClusters]] closes over):
+    * every confirmed near-dup pair (Jaccard ≥ 0.5 on the MinHash-band
+    * candidates, lang-blocked) maps to its two sources, the unordered
+    * source pair canonicalizes (least, greatest), and the rollup
+    * reports exact pair counts with id witnesses and a pair XOR.
+    *
+    * Scale shape: the banded candidate join (never all-pairs), one
+    * id-keyed join per pair side against the two-column source dim, a
+    * bounded |sources|² rollup.
+    */
+  def ddSourceDupMatrix(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val conf = jaccardScoredPairs(tokenizedDocs(spark, dir), 16, 4)
+      .filter(col("jaccard") >= 0.5)
+      .select("id_a", "id_b")
+    val src = docs(spark, dir).select(col("doc_id"), col("source"))
+    conf
+      .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+        Seq("id_a"))
+      .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+        Seq("id_b"))
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"),
+        col("id_a"), col("id_b"))
+      .groupBy("source_a", "source_b")
+      .agg(count(lit(1)).as("n_pairs"),
+        min("id_a").as("min_id_a"), max("id_b").as("max_id_b"),
+        expr("bit_xor(id_a * 1000003 + id_b)").as("pair_xor"))
+      .orderBy("source_a", "source_b")
+  }
+
   // ---------------------------------------------------------------------
   // Mergeable histogram sketch — the quantile member of the sketch family
   // ---------------------------------------------------------------------
@@ -7069,6 +7105,14 @@ object Text {
       .unionByName(deltaCells)
       .groupBy("source", "bucket").agg(sum("cnt").as("cnt"))
       .localCheckpoint(false)
+    histServe(cells, lens0)
+  }
+
+  /** The quantile report over a merged cell table + a lengths frame —
+    * one serve text for the refresh and the retraction (the
+    * cmsFrequencySqlWhere one-generator rule on the Spark side).
+    */
+  private def histServe(cells: DataFrame, lens0: DataFrame): DataFrame = {
     val totals = cells.groupBy("source").agg(sum("cnt").as("n_docs"))
     val pr = totals
       .withColumn("p", explode(typedLit(histPs)))
@@ -7098,6 +7142,41 @@ object Text {
       .select("source", "p", "n_docs", "rank", "bucket", "est_lo",
         "exact_val", "contained")
       .orderBy("source", "p")
+  }
+
+  /** HISTOGRAM RETRACT — the deletion half of the quantile-sketch
+    * lifecycle (the [[txCmsRetract]] treatment, and the same linearity
+    * argument: bucket counters SUBTRACT, and because every deleted doc
+    * was once counted, the difference is exactly the survivor rebuild —
+    * not an approximation of it): the standing base cells absorb the
+    * delta carve by addition and the retract carve
+    * (`doc_id ≡ retractRem mod retractMod`) by subtraction, empty
+    * buckets drop, and the merged sketch serves the same
+    * quantile-containment report over the SURVIVOR corpus. The oracle
+    * recomputes from surviving raw text only — subtraction ≡ rebuild.
+    */
+  def txHistRetract(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureHistCells(spark, dir)
+    val survives = pmod(col("doc_id"), lit(retractMod)) =!= lit(retractRem)
+    val lens0 = graft.Caches.scoped("tx_hist.lens",
+      docs(spark, dir)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks")))
+    def cellsOf(df: DataFrame): DataFrame =
+      df.select(col("source"),
+          least(expr(s"n_toks div $histBucketWidth"), lit(histMaxBucket))
+            .cast("long").as("bucket"))
+        .groupBy("source", "bucket").agg(count(lit(1)).as("cnt"))
+    val deltaCells = cellsOf(lens0
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0))
+    val delCells = cellsOf(lens0.filter(!survives))
+      .select(col("source"), col("bucket"), (-col("cnt")).as("cnt"))
+    val cells = spark.read.parquet(s"$base/cells")
+      .unionByName(deltaCells).unionByName(delCells)
+      .groupBy("source", "bucket").agg(sum("cnt").as("cnt"))
+      .filter(col("cnt") > 0)
+      .localCheckpoint(false)
+    histServe(cells, lens0.filter(survives))
   }
 
   // ---------------------------------------------------------------------

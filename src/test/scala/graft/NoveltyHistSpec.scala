@@ -68,6 +68,22 @@ class NoveltyHistSpec extends SparkSpec {
     }
   }
 
+  test("histogram retract: counter subtraction serves the survivor corpus") {
+    val rows = Text.txHistRetract(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("contained"), r.toString))
+    // per-source totals equal the survivor doc counts — the subtracted
+    // sketch serves the survivor corpus, not an approximation of it
+    val surv = Tables(spark, dir, "documents")
+      .filter(pmod(col("doc_id"), lit(7L)) =!= 3L)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("source") -> r.getAs[Long]("n"))
+      .toMap
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      assert(rs.head.getAs[Long]("n_docs") == surv(s), s)
+    }
+  }
+
   test("histogram cells are linear: base + delta equals the direct sketch") {
     val full = Tables(spark, dir, "documents")
     def cells(df: org.apache.spark.sql.DataFrame) =

@@ -349,6 +349,43 @@ class WindowSpec extends SparkSpec {
     assert(decay(21).getAs[Long]("n_dates") <= decay(5).getAs[Long]("n_dates"))
   }
 
+  test("w15 CUSUM: closed form equals the hand recursion; alarms consistent") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val served = Relational.w15Changepoint(spark, dir).collect()
+      .map(r => r.getAs[Int]("nationkey") -> r).toMap
+    assert(served.nonEmpty)
+    // hand recursion S_t = max(0, S_{t-1} + y_t) per nation from the panel
+    val panel = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+      .collect()
+      .map(r => (r.getAs[Int]("nk"),
+        r.getAs[java.time.LocalDateTime]("date").toString,
+        r.getAs[Long]("rc")))
+    panel.groupBy(_._1).foreach { case (nk, rows) =>
+      val s = rows.sortBy(_._2).map(_._3)
+      if (s.length <= 28) assert(!served.contains(nk), s"$nk lacks burn-in")
+      else {
+        val m28 = s.take(28).sum
+        var cusum = 0L; var nal = 0L; var mx = 0L
+        s.drop(28).foreach { x =>
+          cusum = math.max(0L, cusum + (28L * x - m28 - m28 / 8))
+          mx = math.max(mx, cusum)
+          if (cusum > m28) nal += 1
+        }
+        val r = served(nk)
+        assert(r.getAs[Long]("m28") == m28, s"$nk m28")
+        assert(r.getAs[Long]("n_obs") == (s.length - 28).toLong)
+        assert(r.getAs[Long]("n_alarms") == nal,
+          s"$nk alarms: served ${r.getAs[Long]("n_alarms")} vs hand $nal")
+        assert(r.getAs[Long]("max_s") == mx, s"$nk max_s")
+      }
+    }
+  }
+
   test("w14 decomposition: trend recomputed by hand, seasonal centers, identity holds") {
     import graft.queries.Relational
     val dir = "/root/testdata/sf0.01"
