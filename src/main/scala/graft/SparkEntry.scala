@@ -173,6 +173,7 @@ object SparkEntry {
     "tx_hist_refresh" -> ((s, d) => Text.txHistRefresh(s, d)),
     "tx_hist_retract" -> ((s, d) => Text.txHistRetract(s, d)),
     "tx_novelty_profile" -> ((s, d) => Text.txNoveltyProfile(s, d)),
+    "tx_novelty_incremental" -> ((s, d) => Text.txNoveltyIncremental(s, d)),
     // the delete half: CDC carve counters SUBTRACT from the standing
     // merged sketch (linearity); oracle rebuilds over survivors
     "tx_cms_retract" -> ((s, d) => Text.txCmsRetract(s, d)),
@@ -3597,10 +3598,60 @@ object SparkEntry {
     * first-appearance via the gk-keyed min, per-source integer rollup
     * with the one-divide ppm.
     */
+  /** The width-8 gram concatenation text — shared by both novelty
+    * oracles (the kmvCtes convention).
+    */
+  private def gram8Terms: String = (1 to 8).map(i =>
+    if (i == 1) "toks[i]" else s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+
+  /** DuckDB twin of [[graft.queries.Text.txNoveltyIncremental]]: the
+    * base snapshot's distinct gram keys, the delta carve's per-doc
+    * distinct keys, the in-base/novel split (novel = absent from base
+    * AND first within the batch), per-source integer rollup. The oracle
+    * recomputes the base set from raw text — it never sees the standing
+    * index, so a hash match proves the persisted grams serve exactly
+    * the declared snapshot semantics.
+    */
+  private def noveltyIncrementalSql: String = {
+    val m = Text.incrementalDeltaMod
+    s"""WITH bg AS MATERIALIZED (
+       |  SELECT DISTINCT CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+       |  FROM (
+       |    SELECT unnest(list_transform(range(1, len(toks) - 6), i -> $gram8Terms)) AS g
+       |    FROM (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id % $m <> 0)
+       |    WHERE len(toks) >= 8)),
+       |dsh AS MATERIALIZED (
+       |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+       |  FROM (
+       |    SELECT doc_id, unnest(list_transform(range(1, len(toks) - 6), i -> $gram8Terms)) AS g
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents WHERE doc_id % $m = 0)
+       |    WHERE len(toks) >= 8)),
+       |ib AS (SELECT doc_id, count(*) AS nb FROM dsh
+       |       WHERE gk IN (SELECT gk FROM bg) GROUP BY 1),
+       |nv AS (SELECT doc_id, count(*) AS nn FROM (
+       |  SELECT gk, min(doc_id) AS doc_id FROM dsh
+       |  WHERE gk NOT IN (SELECT gk FROM bg) GROUP BY 1) GROUP BY 1),
+       |pg AS (SELECT doc_id, count(*) AS ng FROM dsh GROUP BY 1),
+       |agg AS (
+       |  SELECT d.source, count(*) AS n_docs,
+       |    CAST(sum(coalesce(pg.ng, 0)) AS BIGINT) AS n_grams,
+       |    CAST(sum(coalesce(ib.nb, 0)) AS BIGINT) AS n_in_base,
+       |    CAST(sum(coalesce(nv.nn, 0)) AS BIGINT) AS n_novel
+       |  FROM documents d
+       |  LEFT JOIN pg ON pg.doc_id = d.doc_id
+       |  LEFT JOIN ib ON ib.doc_id = d.doc_id
+       |  LEFT JOIN nv ON nv.doc_id = d.doc_id
+       |  WHERE d.doc_id % $m = 0
+       |  GROUP BY 1)
+       |SELECT source, n_docs, n_grams, n_in_base, n_novel,
+       |  CASE WHEN n_grams > 0 THEN CAST((n_novel * 1000000) // n_grams AS BIGINT)
+       |       ELSE CAST(0 AS BIGINT) END AS novelty_ppm
+       |FROM agg ORDER BY source""".stripMargin
+  }
+
   private def noveltyProfileSql: String = {
     val w = 8
-    val terms = (1 to w).map(i =>
-      if (i == 1) "toks[i]" else s"toks[i+${i - 1}]").mkString(" || ' ' || ")
+    val terms = gram8Terms
     s"""WITH sh AS MATERIALIZED (
        |  SELECT DISTINCT doc_id, CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
        |  FROM (
@@ -6672,6 +6723,7 @@ object SparkEntry {
     "tx_hist_retract" -> histRefreshSqlWhere(
       s" WHERE doc_id % ${Text.retractMod} <> ${Text.retractRem}"),
     "tx_novelty_profile" -> noveltyProfileSql,
+    "tx_novelty_incremental" -> noveltyIncrementalSql,
     // retraction oracle: the direct sketch over the SURVIVORS — the
     // subtraction must equal the rebuild exactly (CMS linearity)
     "tx_cms_retract" -> cmsFrequencySqlWhere(

@@ -6985,6 +6985,86 @@ object Text {
       .orderBy("source")
   }
 
+  private val noveltyIdxFor = scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Standing first-seen gram index for the BASE snapshot — the distinct
+    * 60-bit 8-gram keys of the base carve, persisted once
+    * ([[ensureCmsCells]] discipline). The incremental novelty probe
+    * reads THIS instead of rescanning the base corpus.
+    */
+  def ensureNoveltyGrams(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "novelty_grams")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/grams/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(noveltyIdxFor.get(base).contains(dir) && fs.exists(marker))) {
+        noveltyIdxFor.remove(base)
+        fs.delete(marker, false)
+        Tables.spread(docs(spark, dir))
+          .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) =!= 0)
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 8)
+          .select(explode(expr(shingleExpr(8))).as("g"))
+          .select(expr(
+            "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)")
+            .as("gk"))
+          .distinct()
+          .write.mode("overwrite").parquet(s"$base/grams")
+        noveltyIdxFor(base) = dir
+      }
+      base
+    }
+
+  /** INCREMENTAL NOVELTY — [[txNoveltyProfile]]'s lifecycle form, the
+    * way a real pipeline scores crawl N+1 against crawl N (the
+    * dd_incremental admission semantics applied to grams): the delta
+    * carve's grams probe the STANDING base gram index ([[
+    * ensureNoveltyGrams]]) — a gram is novel iff it is absent from the
+    * base snapshot AND this doc is its first carrier within the batch
+    * (keep-first). Snapshot order, not id order: a gram in base is
+    * never novel in the delta, whatever the ids say — the semantics
+    * difference from the global-first-appearance profile, documented
+    * here. Per delta source: docs, grams, in-base grams, novel grams,
+    * and the exact ppm.
+    *
+    * Scale shape: the base corpus is NEVER rescanned — the probe is one
+    * gk-keyed join of delta gram digests against the standing index
+    * plus the delta-internal keep-first min; work is O(|delta grams|),
+    * the whole point of the standing index.
+    */
+  def txNoveltyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureNoveltyGrams(spark, dir)
+    val delta = Tables.spread(docs(spark, dir))
+      .filter(pmod(col("doc_id"), lit(incrementalDeltaMod)) === 0)
+    val toks = delta.withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 8)
+    val sh = toks
+      .select(col("doc_id"), explode(expr(shingleExpr(8))).as("g"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+    val baseGk = spark.read.parquet(s"$base/grams")
+    val inBase = sh.join(baseGk, Seq("gk"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("nb"))
+    val novel = sh.join(baseGk, Seq("gk"), "left_anti")
+      .groupBy("gk").agg(min("doc_id").as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("nn"))
+    val grams = toks
+      .select(col("doc_id"), col("source"),
+        size(expr(shingleExpr(8))).cast("long").as("ng"))
+    delta.select("doc_id", "source")
+      .join(grams.select("doc_id", "ng"), Seq("doc_id"), "left")
+      .join(inBase, Seq("doc_id"), "left")
+      .join(novel, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("ng"), lit(0L))).as("n_grams"),
+        sum(coalesce(col("nb"), lit(0L))).as("n_in_base"),
+        sum(coalesce(col("nn"), lit(0L))).as("n_novel"))
+      .withColumn("novelty_ppm", expr(
+        "CASE WHEN n_grams > 0 THEN n_novel * 1000000 div n_grams ELSE CAST(0 AS BIGINT) END"))
+      .orderBy("source")
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — the exact confirmed-pair counts
     * per source pair, the table a curation pipeline consults before
     * mixing sources (the EXACT companion to [[txKmvOverlap]]'s sketch

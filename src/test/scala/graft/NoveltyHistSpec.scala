@@ -52,6 +52,47 @@ class NoveltyHistSpec extends SparkSpec {
       s"novel sum $novel != global distinct grams $distinctGk")
   }
 
+  test("incremental novelty matches an independent set recompute; snapshot order wins") {
+    val sf = "/root/testdata/sf0.001"
+    def gks(carve: Long => Boolean): Map[Long, Set[Long]] =
+      Tables(spark, sf, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 8)
+        .select(col("doc_id"), explode(expr(Text.shingleExpr(8))).as("g"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(p => carve(p._1))
+        .groupBy(_._1).map { case (d, ps) => d -> ps.map(_._2).toSet }
+    val baseGk = gks(_ % 5 != 0).values.flatten.toSet
+    val deltaDocs = gks(_ % 5 == 0)
+    val srcOf = Tables(spark, sf, "documents").select("doc_id", "source")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // first-within-batch assignment of the not-in-base grams
+    val firstIn = deltaDocs.toSeq
+      .flatMap { case (d, s) => (s -- baseGk).map(_ -> d) }
+      .groupBy(_._1).map { case (_, ds) => ds.map(_._2).min }
+      .groupBy(identity).map { case (d, xs) => d -> xs.size.toLong }
+    val served = Text.txNoveltyIncremental(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    val bySrc = deltaDocs.keys.toSeq.groupBy(srcOf)
+    served.foreach { case (src, r) =>
+      // Seq, not Set — a Set.map would collapse equal per-doc counts
+      val docs = bySrc.getOrElse(src, Seq.empty)
+      assert(r.getAs[Long]("n_grams") ==
+        docs.map(d => deltaDocs(d).size.toLong).sum, s"$src grams")
+      assert(r.getAs[Long]("n_in_base") ==
+        docs.map(d => (deltaDocs(d) & baseGk).size.toLong).sum,
+        s"$src in_base")
+      assert(r.getAs[Long]("n_novel") ==
+        docs.map(d => firstIn.getOrElse(d, 0L)).sum, s"$src novel")
+      // conservation: in-base + novel never exceed the gram total (the
+      // gap is within-batch non-first duplicates)
+      assert(r.getAs[Long]("n_in_base") + r.getAs[Long]("n_novel") <=
+        r.getAs[Long]("n_grams"))
+    }
+  }
+
   test("histogram quantiles contain the exact percentile and stay monotone") {
     val rows = Text.txHistRefresh(spark, dir).collect()
     assert(rows.length >= 3)
