@@ -294,6 +294,7 @@ object SparkEntry {
     "dd_simhash" -> ((s, d) => Text.ddSimhash(s, d)),
     "sim_cosine_topk" -> ((s, d) => Similarity.simCosineTopk(s, d)),
     "sim_mmr_diverse" -> ((s, d) => Similarity.simMmrDiverse(s, d)),
+    "sim_mmr_indexed" -> ((s, d) => Similarity.simMmrIndexed(s, d)),
     "sim_range_search" -> ((s, d) => Similarity.simRangeSearch(s, d)),
     "sim_range_search_indexed" -> ((s, d) => Similarity.simRangeSearchIndexed(s, d)),
     "sim_knn_graph" -> ((s, d) => Similarity.simKnnGraph(s, d)),
@@ -1345,8 +1346,13 @@ object SparkEntry {
     * msel{r} and mc{r}; mc{r} by round r+1 — the knn-descent rounds
     * rule). Constants (L, k, λ) from the ONE Scala definition.
     */
-  private def mmrDiverseSql: String = {
-    val l = Similarity.mmrShortlist
+  /** The greedy MMR rounds + final select over a MATERIALIZED `ms`
+    * (qid, vec_id, label, rel) shortlist CTE, with pairwise sims drawn
+    * from `$embCte` (vector + `$normCol`) — ONE tail for the
+    * brute-force and the IVF-indexed variants (mirrors the Spark side's
+    * mmrRerank factoring).
+    */
+  private def mmrTailSql(embCte: String, normCol: String): String = {
     val k = Similarity.mmrK
     val num = Similarity.mmrLambdaNum
     val den = Similarity.mmrLambdaDen
@@ -1369,6 +1375,25 @@ object SparkEntry {
     val unions = (1 to k).map(r =>
       s"SELECT qid, $r AS rnk, vec_id, rel, maxsim AS max_sim, score AS mmr_score FROM msel$r")
       .mkString("\n  UNION ALL\n  ")
+    s"""mps AS MATERIALIZED (
+       |  SELECT a.qid, a.vec_id AS cand, b.vec_id AS sel,
+       |    ${dot("ea.embedding", "eb.embedding")} / (ea.$normCol * eb.$normCol) AS sim
+       |  FROM ms a JOIN ms b ON a.qid = b.qid AND a.vec_id <> b.vec_id
+       |  JOIN $embCte ea ON ea.vec_id = a.vec_id
+       |  JOIN $embCte eb ON eb.vec_id = b.vec_id),
+       |mc0 AS MATERIALIZED (SELECT qid, vec_id, rel, CAST(0 AS DOUBLE) AS maxsim FROM ms),
+       |$roundCtes
+       |SELECT u.qid, u.rnk, u.vec_id, lbl.label, u.rel, u.max_sim, u.mmr_score
+       |FROM (
+       |  $unions) u
+       |JOIN ms lbl ON lbl.qid = u.qid AND lbl.vec_id = u.vec_id
+       |ORDER BY u.qid, u.rnk""".stripMargin
+  }
+
+  private def mmrDiverseSql: String = {
+    val l = Similarity.mmrShortlist
+    def dot(x: String, y: String) =
+      s"list_reduce(list_transform(range(1, 65), i -> CAST($x[i] AS DOUBLE) * CAST($y[i] AS DOUBLE)), (a, b) -> a + b)"
     s"""WITH me AS MATERIALIZED (
        |  SELECT vec_id, label, embedding,
        |    sqrt(${dot("embedding", "embedding")}) AS norm
@@ -1382,19 +1407,32 @@ object SparkEntry {
        |  SELECT qid, vec_id, label, rel FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY rel DESC, vec_id ASC) AS rnk FROM msr)
        |  WHERE rnk <= $l),
-       |mps AS MATERIALIZED (
-       |  SELECT a.qid, a.vec_id AS cand, b.vec_id AS sel,
-       |    ${dot("ea.embedding", "eb.embedding")} / (ea.norm * eb.norm) AS sim
-       |  FROM ms a JOIN ms b ON a.qid = b.qid AND a.vec_id <> b.vec_id
-       |  JOIN me ea ON ea.vec_id = a.vec_id
-       |  JOIN me eb ON eb.vec_id = b.vec_id),
-       |mc0 AS MATERIALIZED (SELECT qid, vec_id, rel, CAST(0 AS DOUBLE) AS maxsim FROM ms),
-       |$roundCtes
-       |SELECT u.qid, u.rnk, u.vec_id, lbl.label, u.rel, u.max_sim, u.mmr_score
-       |FROM (
-       |  $unions) u
-       |JOIN ms lbl ON lbl.qid = u.qid AND lbl.vec_id = u.vec_id
-       |ORDER BY u.qid, u.rnk""".stripMargin
+       |${mmrTailSql("me", "norm")}""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simMmrIndexed]]: the
+    * verbatim IVF probe/score chain builds the L-shortlist (the
+    * ivfAnnSqlOver text at rnk ≤ L), labels join from the corpus, and
+    * the shared MMR tail re-ranks — one selection text for both
+    * variants (the mmrTailSql factoring).
+    */
+  private def mmrIndexedSql: String = {
+    val l = Similarity.mmrShortlist
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
+       |ivs AS (
+       |  SELECT qid, m_vec_id, cells.cell AS cell,
+       |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+       |  FROM cells JOIN probes ON cells.cell = probes.cell
+       |  WHERE m_vec_id <> qid),
+       |ms AS MATERIALIZED (
+       |  SELECT s2.qid, s2.m_vec_id AS vec_id, e2.label, s2.cosine AS rel FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, m_vec_id ASC) AS rnk FROM ivs) s2
+       |  JOIN embeddings e2 ON e2.vec_id = s2.m_vec_id
+       |  WHERE s2.rnk <= $l),
+       |${mmrTailSql("e", "vnorm")}""".stripMargin
   }
 
   private def knnDescentSql: String =
@@ -7016,6 +7054,7 @@ object SparkEntry {
         |FROM q LEFT JOIN h ON q.qid = h.qid
         |ORDER BY q.qid""".stripMargin,
     "sim_mmr_diverse" -> mmrDiverseSql,
+    "sim_mmr_indexed" -> mmrIndexedSql,
     "sim_range_search_indexed" -> ivfRangeSql,
     "sim_knn_graph" -> knnGraphSql,
     "sim_knn_descent" -> knnDescentSql,

@@ -164,6 +164,16 @@ object Similarity {
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= l)
         .select("qid", "vec_id", "label", "rel", "embedding", "norm"))
+    mmrRerank(spark, short, k, lambdaNum, lambdaDen)
+  }
+
+  /** The greedy MMR selection over ANY (qid, vec_id, label, rel,
+    * embedding, norm) shortlist — factored so the brute-force and the
+    * IVF-indexed variants share one re-rank text ([[simMmrDiverse]]
+    * documents the arithmetic and the probe-collect discipline).
+    */
+  private def mmrRerank(spark: SparkSession, short: DataFrame, k: Int,
+      lambdaNum: Int, lambdaDen: Int): DataFrame = {
     val a = short.select(col("qid"), col("vec_id").as("cand"),
       col("embedding").as("av"), col("norm").as("an"))
     val b = short.select(col("qid"), col("vec_id").as("sel"),
@@ -211,6 +221,31 @@ object Similarity {
       .select("qid", "rnk", "vec_id", "label", "rel", "max_sim",
         "mmr_score")
       .orderBy("qid", "rnk")
+  }
+
+  /** MMR over the STANDING IVF index — [[simMmrDiverse]]'s scaladoc
+    * promises "at 100 TB the shortlist comes from an index"; this query
+    * makes that real: the L-candidate shortlist is the standing-index
+    * IVF probe search ([[simIvfAnnIndexed]] at nprobe = 2, k = L), the
+    * bounded exact vectors fetch id-keyed (the simPqRerank fetch
+    * discipline), and the identical greedy re-rank ([[mmrRerank]] — one
+    * selection text for both variants) diversifies the final k. Corpus
+    * cost is the index probe; the re-rank stays L-bounded.
+    */
+  def simMmrIndexed(spark: SparkSession, dir: String,
+      l: Int = mmrShortlist, k: Int = mmrK,
+      lambdaNum: Int = mmrLambdaNum,
+      lambdaDen: Int = mmrLambdaDen): DataFrame = {
+    register(spark)
+    val ivfShort = simIvfAnnIndexed(spark, dir, nprobe = 2, k = l)
+      .select(col("qid"), col("vec_id"), col("cosine").as("rel"))
+    val emb = Tables(spark, dir, "embeddings")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .select("vec_id", "label", "embedding", "norm")
+    val short = graft.Caches.scoped(s"mmr.idx.short.$l",
+      ivfShort.join(emb, Seq("vec_id"))
+        .select("qid", "vec_id", "label", "rel", "embedding", "norm"))
+    mmrRerank(spark, short, k, lambdaNum, lambdaDen)
   }
 
   /** RANGE search — FAISS `range_search` (the other first-class search

@@ -48,6 +48,26 @@ class MmrSpec extends SparkSpec {
     }
   }
 
+  test("indexed MMR re-ranks the IVF shortlist without replacement") {
+    val rows = Similarity.simMmrIndexed(spark, dir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.nonEmpty)
+    // the shortlist IS the standing-index probe search: round 1 (pure
+    // relevance) must pick the IVF top-1
+    val ivfTop = Similarity.simIvfAnnIndexed(spark, dir,
+        nprobe = 2, k = Similarity.mmrShortlist).collect()
+      .filter(_.getAs[Int]("rnk") == 1)
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Long]("vec_id")).toMap
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length == Similarity.mmrK)
+      assert(rs.map(_.getAs[Long]("vec_id")).distinct.length == rs.length)
+      val r1 = rs.find(_.getAs[Int]("rnk") == 1).get
+      assert(r1.getAs[Long]("vec_id") == ivfTop(qid),
+        s"qid $qid: round 1 is not the IVF relevance argmax")
+      assert(r1.getAs[Double]("max_sim") == 0.0)
+    }
+  }
+
   test("lambda = 1/2 picks are more diverse than pure relevance") {
     val mmr = Similarity.simMmrDiverse(spark, dir).collect()
     val rel = Similarity.simMmrDiverse(spark, dir,
