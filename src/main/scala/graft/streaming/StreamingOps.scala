@@ -489,6 +489,13 @@ object StreamingOps {
   case class SeqCarry(t1: String, ts1: Long, t2: String, ts2: Long)
   case class SeqMatch(user_id: Long, start_ts_us: Long, purchase_cents: Long)
   case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
+  // ts kept alongside its micros: the watermark tag must survive into
+  // the flatMapGroupsWithState child or EventTimeTimeout is rejected
+  case class SessEvent(user_id: Long, event_id: Long, ts_us: Long,
+    ts: java.sql.Timestamp)
+  case class SessState(start_us: Long, last_us: Long, n: Long)
+  case class SessionOut(user_id: Long, session_start_us: Long,
+    session_end_us: Long, n_events: Long)
   case class TouchEv(event_id: Long, ts_us: Long, event_type: String)
   case class TouchCarry(touches: Seq[TouchEv])
   case class AttrCredit(user_id: Long, conv_id: Long, channel: String,
@@ -984,6 +991,67 @@ object StreamingOps {
           }
           state.update(TouchCarry(touches))
           out.iterator
+        })
+  }
+
+  /** Custom sessionization with EVENT-TIME TIMEOUT — the GroupState API
+    * surface the other stateful twins don't exercise
+    * (GroupStateTimeout.EventTimeTimeout): per-user state is the OPEN
+    * session (start, last-seen, count); a landing event either extends
+    * it (gap < 10 min — the strict-inequality `session_window`
+    * convention, so the two agree session for session) or closes it and
+    * opens the next; and a session with no successor closes when the
+    * WATERMARK passes its end — `state.hasTimedOut` fires with no input
+    * rows, which is exactly what the built-in session_window does
+    * internally and what a hand-rolled sessionizer must reproduce to
+    * avoid leaking open-session state forever. Emits one row per closed
+    * session (end = last + gap, the session_window end convention);
+    * StreamingSpec drains the corpus, pushes the watermark with a
+    * sentinel user, and pins the emitted set against a hand split AND
+    * the batch ev_session_window rollup.
+    */
+  def timedOutSessions(events: DataFrame, gapMinutes: Int = 10,
+      lateness: String = "0 seconds"): Dataset[SessionOut] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val gapUs = gapMinutes * 60L * 1000000L
+    events
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"), col("ts"))
+      .withWatermark("ts", lateness)
+      .as[SessEvent]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, rows: Iterator[SessEvent], state: GroupState[SessState]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          def close(s: SessState): Unit =
+            out += SessionOut(uid, s.start_us, s.last_us + gapUs, s.n)
+          if (state.hasTimedOut) {
+            state.getOption.foreach(close)
+            state.remove()
+            out.iterator
+          } else {
+            var st = state.getOption
+            rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+              st match {
+                case Some(s) if e.ts_us - s.last_us < gapUs =>
+                  st = Some(SessState(s.start_us, e.ts_us, s.n + 1))
+                case Some(s) =>
+                  close(s)
+                  st = Some(SessState(e.ts_us, e.ts_us, 1))
+                case None =>
+                  st = Some(SessState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            st.foreach { s =>
+              state.update(s)
+              // timeout fires once the event-time watermark passes the
+              // session end (milliseconds — the GroupState contract)
+              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L)
+            }
+            out.iterator
+          }
         })
   }
 

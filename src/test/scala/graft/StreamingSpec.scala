@@ -841,6 +841,69 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 01:00:00").getTime * 1000L, 3025L)), s"$rows")
   }
 
+  test("event-time-timeout sessionizer equals the hand split and the batch rollup") {
+    val sf = "/root/testdata/sf0.001"
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gapUs = 10L * 60L * 1000000L
+    val evs = Tables(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"),
+        r.getAs[java.sql.Timestamp]("ts")))
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val events = input.toDF().toDF("user_id", "event_id", "ts")
+    val q = StreamingOps.timedOutSessions(events)
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").start()
+    input.addData(evs.toSeq)
+    q.processAllAvailable()
+    // push the watermark far past every open session with a sentinel
+    val maxTs = evs.map(_._3.getTime).max
+    input.addData(Seq((-1L, -1L, new java.sql.Timestamp(maxTs + 86400000L))))
+    q.processAllAvailable()
+    // one more empty-ish advance so the sentinel batch's watermark fires
+    input.addData(Seq((-1L, -2L, new java.sql.Timestamp(maxTs + 2 * 86400000L))))
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("sess_stream").collect()
+      .filter(_.getAs[Long]("user_id") >= 0)
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_start_us"),
+        r.getAs[Long]("session_end_us"), r.getAs[Long]("n_events"))).toSet
+    // hand split: sorted per user, new session at gap >= 10 min
+    // (micros = epoch-seconds + full nanos — getTime alone drops sub-ms)
+    def micros(t: java.sql.Timestamp): Long =
+      (t.getTime / 1000L) * 1000000L + t.getNanos / 1000L
+    val expected = evs.groupBy(_._1).flatMap { case (uid, rows) =>
+      val ts = rows.map(r => (micros(r._3), r._2))
+        .sortBy(identity).map(_._1)
+      val sessions = scala.collection.mutable.ArrayBuffer
+        .empty[(Long, Long, Long, Long)]
+      var start = ts.head; var last = ts.head; var n = 1L
+      ts.tail.foreach { t =>
+        if (t - last < gapUs) { last = t; n += 1 }
+        else { sessions += ((uid, start, last + gapUs, n))
+          start = t; last = t; n = 1L }
+      }
+      sessions += ((uid, start, last + gapUs, n))
+      sessions
+    }.toSet
+    assert(streamed == expected,
+      s"missing ${expected -- streamed}, extra ${streamed -- expected}")
+    // triangulate against the built-in session_window rollup
+    val batch = graft.queries.Events.evSessionWindow(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"),
+          r.getAs[Long]("max_session_events"))).toMap
+    streamed.groupBy(_._1).foreach { case (uid, ss) =>
+      val (nS, nE, mx) = batch(uid)
+      assert(ss.size.toLong == nS, s"user $uid session count")
+      assert(ss.toSeq.map(_._4).sum == nE, s"user $uid event count")
+      assert(ss.map(_._4).max == mx, s"user $uid max session")
+    }
+  }
+
   test("attribution credits fire at conversion across a micro-batch boundary") {
     val spark2 = spark
     import spark2.implicits._
