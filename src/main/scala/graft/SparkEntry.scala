@@ -106,6 +106,8 @@ object SparkEntry {
     "ev_markov_transitions" -> ((s, d) => Events.evMarkovTransitions(s, d)),
     "ev_path_topk" -> ((s, d) => Events.evPathTopk(s, d)),
     "ev_attribution" -> ((s, d) => Events.evAttribution(s, d)),
+    "ev_ab_welch" -> ((s, d) => Events.evAbWelch(s, d)),
+    "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
     "ev_sequence_kleene" -> ((s, d) => Events.evSequenceKleene(s, d)),
@@ -4911,6 +4913,58 @@ object SparkEntry {
         |  CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm,
         |  CAST(sum(ushape_ppm) AS BIGINT) AS ushape_ppm
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Welch A/B rollup: exact integer moments per parity variant, the
+    // derived statistics each a single IEEE expression (one-divide rule;
+    // t SQUARED is served — t itself would need a sqrt).
+    "ev_ab_welch" ->
+      """WITH m AS (
+        |  SELECT user_id % 2 AS variant,
+        |    CAST(round(value * 100) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase'),
+        |v AS (
+        |  SELECT variant, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) AS BIGINT) AS ss
+        |  FROM m GROUP BY 1),
+        |w AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN s ELSE 0 END) AS BIGINT) AS sum_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN s ELSE 0 END) AS BIGINT) AS sum_b,
+        |    CAST(sum(CASE WHEN variant = 0 THEN ss ELSE 0 END) AS BIGINT) AS ss_a,
+        |    CAST(sum(CASE WHEN variant = 1 THEN ss ELSE 0 END) AS BIGINT) AS ss_b
+        |  FROM v),
+        |x AS (
+        |  SELECT *,
+        |    CAST(sum_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS mean_a,
+        |    CAST(sum_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS mean_b,
+        |    CAST(n_a * ss_a - sum_a * sum_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE) AS var_a,
+        |    CAST(n_b * ss_b - sum_b * sum_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE) AS var_b
+        |  FROM w)
+        |SELECT n_a, n_b, sum_a, sum_b, ss_a, ss_b, mean_a, mean_b, var_a, var_b,
+        |  (mean_a - mean_b) * (mean_a - mean_b) /
+        |    (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE)) AS t2
+        |FROM x""".stripMargin,
+    // df histogram of 3-shingles: integer log2 via binary-string length,
+    // pair mass = the candidate count an uncapped self-join would emit
+    "dd_shingle_df_profile" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(('0x' || substr(md5(g), 1, 15)) AS BIGINT) AS gk
+        |  FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(toks) - 1), i ->
+        |        toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g
+        |    FROM t WHERE len(toks) >= 3)),
+        |dfs AS (SELECT gk, count(*) AS df FROM sh GROUP BY 1)
+        |SELECT CAST(length(bin(df)) - 1 AS BIGINT) AS bucket,
+        |  count(*) AS n_shingles,
+        |  CAST(sum(df) AS BIGINT) AS posting_mass,
+        |  CAST(max(df) AS BIGINT) AS max_df,
+        |  CAST(sum(df * (df - 1) // 2) AS BIGINT) AS pair_mass
+        |FROM dfs GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_sequence_detect" ->
       """WITH s AS (
         |  SELECT user_id, event_id, ts, event_type, value,

@@ -405,6 +405,55 @@ object Events {
       .orderBy("channel")
   }
 
+  /** A/B COMPARISON (Welch) — the experimentation rollup every event
+    * platform serves: users split into two deterministic variants
+    * (user_id parity — the id-carve stand-in for an assignment table),
+    * the metric is purchase value in exact integer cents, and the
+    * output carries the full moment audit per variant (n, Σx, Σx² —
+    * all exact integers) plus the derived means, sample variances and
+    * Welch's t² — each a single IEEE expression over exact integer
+    * operands (the one-divide rule; t itself needs a sqrt, so the
+    * SQUARED statistic is served and the spec checks the sign via the
+    * mean difference). Output is ONE row — the bounded report shape.
+    *
+    * Scale shape: one partial-aggregated pass over purchases; the
+    * variant split is a projection. Nothing scales with history but
+    * the scan.
+    */
+  def evAbWelch(spark: SparkSession, dir: String): DataFrame = {
+    val p = events(spark, dir)
+      .filter(col("event_type") === "purchase")
+      .select(pmod(col("user_id"), lit(2L)).as("variant"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum("cents").as("s"),
+        sum(expr("cents * cents")).as("ss"))
+    // two bounded rows -> one report row via conditional aggregation
+    // (no 1-row cross joins — the constant-key-join ban)
+    p.select(lit(1).as("one"), col("variant"), col("n"), col("s"), col("ss"))
+      .groupBy("one")
+      .agg(
+        sum(when(col("variant") === 0, col("n")).otherwise(0L)).as("n_a"),
+        sum(when(col("variant") === 1, col("n")).otherwise(0L)).as("n_b"),
+        sum(when(col("variant") === 0, col("s")).otherwise(0L)).as("sum_a"),
+        sum(when(col("variant") === 1, col("s")).otherwise(0L)).as("sum_b"),
+        sum(when(col("variant") === 0, col("ss")).otherwise(0L)).as("ss_a"),
+        sum(when(col("variant") === 1, col("ss")).otherwise(0L)).as("ss_b"))
+      .withColumn("mean_a", col("sum_a").cast("double") / col("n_a").cast("double"))
+      .withColumn("mean_b", col("sum_b").cast("double") / col("n_b").cast("double"))
+      // unbiased sample variance from exact integer moments:
+      // (n·Σx² − (Σx)²) / (n·(n−1)) — numerator exact, ONE divide
+      .withColumn("var_a",
+        expr("CAST(n_a * ss_a - sum_a * sum_a AS DOUBLE) / CAST(n_a * (n_a - 1) AS DOUBLE)"))
+      .withColumn("var_b",
+        expr("CAST(n_b * ss_b - sum_b * sum_b AS DOUBLE) / CAST(n_b * (n_b - 1) AS DOUBLE)"))
+      .withColumn("t2",
+        expr("""(mean_a - mean_b) * (mean_a - mean_b) /
+                (var_a / CAST(n_a AS DOUBLE) + var_b / CAST(n_b AS DOUBLE))"""))
+      .select("n_a", "n_b", "sum_a", "sum_b", "ss_a", "ss_b",
+        "mean_a", "mean_b", "var_a", "var_b", "t2")
+  }
+
   def evSequenceDetect(spark: SparkSession, dir: String,
       maxSpanHours: Long = 24): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window

@@ -7065,6 +7065,40 @@ object Text {
       .orderBy("source")
   }
 
+  /** SHINGLE DOCUMENT-FREQUENCY PROFILE — the hot-key audit behind
+    * every inverted-index blocking decision (the dd_lsh_scurve df-cap
+    * and dd_ppjoin prefix-filter discussions both turn on this
+    * distribution): per power-of-two df bucket, how many distinct
+    * 3-shingles live there, their posting mass (Σ df — the index size),
+    * the bucket's hottest key, and the PAIR MASS Σ df·(df−1)/2 — the
+    * number of candidate pairs an uncapped inverted-index self-join
+    * would enumerate from that bucket, i.e. the exact quantity that
+    * decides whether a corpus needs a df cap before banding. The log₂
+    * bucket is INTEGER arithmetic (binary-string length — no libm log
+    * crosses the engines).
+    *
+    * Scale shape: digest-only shuffles (60-bit keys), one gk-keyed
+    * count, a ≤64-row rollup.
+    */
+  def ddShingleDfProfile(spark: SparkSession, dir: String,
+      width: Int = 3): DataFrame = {
+    val sh = Tables.spread(docs(spark, dir))
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= width)
+      .select(col("doc_id"), explode(expr(shingleExpr(width))).as("g"))
+      .select(col("doc_id"), expr(
+        "CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT)").as("gk"))
+    sh.groupBy("gk").agg(count(lit(1)).as("df"))
+      .withColumn("bucket",
+        expr("CAST(length(conv(df, 10, 2)) - 1 AS BIGINT)"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum("df").as("posting_mass"),
+        max("df").as("max_df"),
+        sum(expr("df * (df - 1) div 2")).as("pair_mass"))
+      .orderBy("bucket")
+  }
+
   /** CROSS-SOURCE DUPLICATION MATRIX — the exact confirmed-pair counts
     * per source pair, the table a curation pipeline consults before
     * mixing sources (the EXACT companion to [[txKmvOverlap]]'s sketch

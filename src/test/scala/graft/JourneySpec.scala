@@ -66,6 +66,28 @@ class JourneySpec extends SparkSpec {
         s"$m: ${total(m)} != 1M x $nJourneys")
   }
 
+  test("Welch A/B report recomputes from raw purchase moments") {
+    import org.apache.spark.sql.functions._
+    val r = Events.evAbWelch(spark, dir).collect().head
+    val cents = Tables(spark, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)"))
+      .collect().map(x => (x.getLong(0) % 2, x.getLong(1)))
+    def m(v: Long) = cents.filter(_._1 == v).map(_._2)
+    val (a, b) = (m(0), m(1))
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    assert(r.getAs[Long]("sum_a") == a.sum)
+    assert(r.getAs[Long]("ss_b") == b.map(x => x * x).sum)
+    val meanA = a.sum.toDouble / a.length.toDouble
+    assert(r.getAs[Double]("mean_a") == meanA)
+    val varB = (b.length.toLong * b.map(x => x * x).sum -
+      b.sum * b.sum).toDouble / (b.length.toLong * (b.length - 1)).toDouble
+    assert(r.getAs[Double]("var_b") == varB)
+    assert(r.getAs[Double]("t2") >= 0.0)
+    assert(r.getAs[Double]("var_a") > 0.0 && varB > 0.0)
+  }
+
   test("attribution credit arithmetic hand-traces on a planted journey") {
     import spark.implicits._
     def ev(id: Long, user: Long, s: Long, t: String) =

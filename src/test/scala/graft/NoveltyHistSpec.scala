@@ -93,6 +93,30 @@ class NoveltyHistSpec extends SparkSpec {
     }
   }
 
+  test("shingle df profile conserves mass and brackets each bucket") {
+    val rows = Text.ddShingleDfProfile(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val mx = r.getAs[Long]("max_df")
+      // every df in bucket b lies in [2^b, 2^(b+1))
+      assert(mx >= (1L << b) && mx < (1L << (b + 1)), r.toString)
+      assert(r.getAs[Long]("posting_mass") >= r.getAs[Long]("n_shingles"))
+      assert(r.getAs[Long]("pair_mass") >= 0L)
+    }
+    // conservation: posting mass sums to the distinct (doc, gram) pairs
+    val pairs = Tables(spark, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(Text.shingleExpr(3))).as("g"))
+      .count()
+    assert(rows.map(_.getAs[Long]("posting_mass")).sum == pairs)
+    // singletons (bucket 0) generate zero candidate pairs
+    rows.find(_.getAs[Long]("bucket") == 0L).foreach { r =>
+      assert(r.getAs[Long]("pair_mass") == 0L)
+    }
+  }
+
   test("histogram quantiles contain the exact percentile and stay monotone") {
     val rows = Text.txHistRefresh(spark, dir).collect()
     assert(rows.length >= 3)
