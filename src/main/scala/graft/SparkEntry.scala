@@ -107,6 +107,8 @@ object SparkEntry {
     "ev_path_topk" -> ((s, d) => Events.evPathTopk(s, d)),
     "ev_attribution" -> ((s, d) => Events.evAttribution(s, d)),
     "ev_ab_welch" -> ((s, d) => Events.evAbWelch(s, d)),
+    "ev_markov_stationary" -> ((s, d) => Events.evMarkovStationary(s, d)),
+    "w16_var_es" -> (Relational.w16VarEs _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
@@ -4913,6 +4915,62 @@ object SparkEntry {
         |  CAST(sum(linear_ppm) AS BIGINT) AS linear_ppm,
         |  CAST(sum(ushape_ppm) AS BIGINT) AS ushape_ppm
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Stationary distribution: the transition counts from the markov
+    // text, power iteration unrolled with floor-division INSIDE the sum
+    // (every term integer — order-free), mass drift reported.
+    "ev_markov_stationary" -> {
+      val rounds = Events.stationaryRounds
+      val roundCtes = (1 to rounds).map { r =>
+        s"""p$r AS MATERIALIZED (
+           |  SELECT s.state,
+           |    CAST(coalesce(sum((p.pi * tr.n) // nf.nf), 0) AS BIGINT) AS pi
+           |  FROM st s
+           |  LEFT JOIN tr ON tr.t = s.state
+           |  LEFT JOIN p${r - 1} p ON p.state = tr.f
+           |  LEFT JOIN nf ON nf.f = tr.f
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH sq AS (
+         |  SELECT event_type,
+         |    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS to_type
+         |  FROM events),
+         |tr AS (
+         |  SELECT event_type AS f, to_type AS t, CAST(count(*) AS BIGINT) AS n
+         |  FROM sq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |nf AS (SELECT f, CAST(sum(n) AS BIGINT) AS nf FROM tr GROUP BY 1),
+         |st AS (SELECT DISTINCT x AS state FROM (SELECT f AS x FROM tr UNION SELECT t FROM tr)),
+         |p0 AS (SELECT state, CAST(1000000 AS BIGINT) AS pi FROM st),
+         |$roundCtes
+         |SELECT s.state, p.pi AS pi_ppm,
+         |  CAST(coalesce(nf.nf, 0) AS BIGINT) AS n_out,
+         |  (SELECT CAST(sum(pi) AS BIGINT) FROM p$rounds) AS mass_ppm
+         |FROM st s
+         |JOIN p$rounds p ON p.state = s.state
+         |LEFT JOIN nf ON nf.f = s.state
+         |ORDER BY s.state""".stripMargin
+    },
+    // Historical VaR/ES: order-statistic selection over day-over-day
+    // revenue changes (exact integers), tail mean by ordered fold.
+    "w16_var_es" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |chg AS (
+        |  SELECT nationkey,
+        |    rc - lag(rc) OVER (PARTITION BY nationkey ORDER BY date) AS c
+        |  FROM daily),
+        |g AS (
+        |  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_obs,
+        |    list(c ORDER BY c) AS s
+        |  FROM chg WHERE c IS NOT NULL GROUP BY 1),
+        |k AS (SELECT *, (n_obs * 5 + 99) // 100 AS kk FROM g)
+        |SELECT nationkey, n_obs, kk AS k,
+        |  s[kk] AS var95_cents,
+        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(s[1:kk], x -> CAST(x AS DOUBLE))), (a, b) -> a + b)
+        |    / CAST(kk AS DOUBLE) AS es95,
+        |  s[1] AS worst_chg
+        |FROM k ORDER BY nationkey""".stripMargin,
     // Welch A/B rollup: exact integer moments per parity variant, the
     // derived statistics each a single IEEE expression (one-divide rule;
     // t SQUARED is served — t itself would need a sqrt).

@@ -405,6 +405,59 @@ object Events {
       .orderBy("channel")
   }
 
+  /** Stationary-distribution rounds — shared with the generated oracle
+    * (the kmeansCtes one-definition rule).
+    */
+  private[graft] val stationaryRounds = 6
+
+  /** STATIONARY DISTRIBUTION of the journey chain — the long-run
+    * state-occupancy the [[evMarkovTransitions]] matrix implies (the
+    * PageRank of the behavioral graph, power-iterated): π starts
+    * uniform at 1M ppm per state and each round applies the transition
+    * counts in EXACT integer arithmetic — π'_j = Σ_i (π_i · n_ij) div
+    * n_i, floor-division inside the sum so every term is an integer
+    * and the sum is shuffle/order-free (the pagerank ppm discipline;
+    * total mass drifts a few ppm per round from the floors — reported,
+    * not hidden: `mass_ppm` carries the round-R total). The matrix is
+    * |states|² ≤ 25 rows — bounded index metadata — so the iteration is
+    * driver arithmetic (the simKmeansParallel probe-collect
+    * discipline); the oracle unrolls the same rounds in SQL.
+    *
+    * Scale shape: one user-keyed exchange builds the transition counts
+    * (the evMarkovTransitions plan); everything after is O(|states|²).
+    */
+  def evMarkovStationary(spark: SparkSession, dir: String,
+      rounds: Int = stationaryRounds): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+    val trans = events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n_trans"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val states = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+    val nFrom = trans.groupBy(_._1).map { case (f, ts) =>
+      f -> ts.map(_._3).sum
+    }
+    var pi: Map[String, Long] = states.map(_ -> 1000000L).toMap
+    for (_ <- 1 to rounds) {
+      pi = states.map { j =>
+        j -> trans.filter(_._2 == j)
+          .map { case (i, _, nij) => (pi(i) * nij) / nFrom(i) }
+          .sum
+      }.toMap
+    }
+    import spark.implicits._
+    states.map(s => (s, pi(s),
+        nFrom.getOrElse(s, 0L), pi.values.sum))
+      .toSeq
+      .toDF("state", "pi_ppm", "n_out", "mass_ppm")
+      .orderBy("state")
+  }
+
   /** A/B COMPARISON (Welch) — the experimentation rollup every event
     * platform serves: users split into two deterministic variants
     * (user_id parity — the id-carve stand-in for an assignment table),

@@ -790,6 +790,42 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** W16 (historical VaR / expected shortfall at 95%) — the tail-risk
+    * pair every risk desk reports, over day-over-day revenue changes
+    * per nation: VaR₉₅ is pure SELECTION (the ⌈5%·n⌉-th smallest change
+    * — an exact integer order statistic, the w8 winsorize-cut
+    * discipline, no quantile interpolation) and ES₉₅ is the mean of
+    * that tail — a value-ordered fold of exact integers with ONE
+    * divide. The worst single change rides along. Everything before
+    * the divide is integer arithmetic.
+    *
+    * Scale shape: one nation-keyed exchange for the lag window and the
+    * per-nation rollup; the sorted frame is bounded by history per
+    * nation (the w-family collect_list shape).
+    */
+  def w16VarEs(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val wN = Window.partitionBy("nationkey").orderBy("date")
+    daily
+      .withColumn("c", col("rc") - lag("rc", 1).over(wN))
+      .filter(col("c").isNotNull)
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_obs"),
+        sort_array(collect_list(col("c"))).as("s"))
+      .withColumn("k", expr("(n_obs * 5 + 99) div 100"))
+      .select(col("nationkey"), col("n_obs"), col("k"),
+        expr("element_at(s, CAST(k AS INT))").as("var95_cents"),
+        (expr("aggregate(slice(s, 1, CAST(k AS INT)), 0D, (a, x) -> a + CAST(x AS DOUBLE))") /
+          col("k").cast("double")).as("es95"),
+        expr("element_at(s, 1)").as("worst_chg"))
+      .orderBy("nationkey")
+  }
+
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))

@@ -66,6 +66,30 @@ class JourneySpec extends SparkSpec {
         s"$m: ${total(m)} != 1M x $nJourneys")
   }
 
+  test("stationary distribution: one hand round, mass conservation, floor drift") {
+    val mat = Events.evMarkovTransitions(spark, dir).collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),
+        r.getAs[Long]("n_trans"), r.getAs[Long]("n_from")))
+    val states = (mat.map(_._1) ++ mat.map(_._2)).distinct.sorted
+    // round 1 by hand from the SERVED matrix (independent data path)
+    val oneRound = Events.evMarkovStationary(spark, dir, rounds = 1)
+      .collect().map(r => r.getAs[String]("state") -> r.getAs[Long]("pi_ppm"))
+      .toMap
+    states.foreach { j =>
+      val expect = mat.filter(_._2 == j)
+        .map { case (_, _, nij, ni) => 1000000L * nij / ni }.sum
+      assert(oneRound(j) == expect, s"state $j round-1 mass")
+    }
+    // full run: mass conserved in the output column, floors only shrink
+    val full = Events.evMarkovStationary(spark, dir).collect()
+    val mass = full.map(_.getAs[Long]("pi_ppm")).sum
+    assert(full.forall(_.getAs[Long]("mass_ppm") == mass))
+    assert(mass <= 1000000L * states.length)
+    assert(mass >= 1000000L * states.length - 1000L * states.length,
+      s"floor drift implausibly large: $mass")
+    assert(full.forall(_.getAs[Long]("pi_ppm") >= 0L))
+  }
+
   test("Welch A/B report recomputes from raw purchase moments") {
     import org.apache.spark.sql.functions._
     val r = Events.evAbWelch(spark, dir).collect().head

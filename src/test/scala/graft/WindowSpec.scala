@@ -349,6 +349,40 @@ class WindowSpec extends SparkSpec {
     assert(decay(21).getAs[Long]("n_dates") <= decay(5).getAs[Long]("n_dates"))
   }
 
+  test("w16 VaR/ES: order statistic and tail mean recomputed by hand") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val served = Relational.w16VarEs(spark, dir).collect()
+      .map(r => r.getAs[Int]("nationkey") -> r).toMap
+    assert(served.nonEmpty)
+    val panel = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nk"), col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+      .collect()
+      .map(r => (r.getAs[Int]("nk"),
+        r.getAs[java.time.LocalDateTime]("date").toString,
+        r.getAs[Long]("rc")))
+    panel.groupBy(_._1).foreach { case (nk, rows) =>
+      val s = rows.sortBy(_._2).map(_._3)
+      val chg = s.zip(s.tail).map { case (a, b) => b - a }.sorted
+      if (chg.nonEmpty) {
+        val r = served(nk)
+        val k = (chg.length * 5 + 99) / 100
+        assert(r.getAs[Long]("n_obs") == chg.length.toLong)
+        assert(r.getAs[Long]("k") == k.toLong)
+        assert(r.getAs[Long]("var95_cents") == chg(k - 1), s"$nk VaR")
+        assert(r.getAs[Long]("worst_chg") == chg.head)
+        val es = chg.take(k).map(_.toDouble).foldLeft(0.0)(_ + _) / k.toDouble
+        assert(r.getAs[Double]("es95") == es, s"$nk ES")
+        // the tail mean never exceeds the cut point
+        assert(r.getAs[Double]("es95") <=
+          r.getAs[Long]("var95_cents").toDouble)
+      }
+    }
+  }
+
   test("w15 CUSUM: closed form equals the hand recursion; alarms consistent") {
     import graft.queries.Relational
     val dir = "/root/testdata/sf0.01"
