@@ -108,6 +108,8 @@ object SparkEntry {
     "ev_attribution" -> ((s, d) => Events.evAttribution(s, d)),
     "ev_ab_welch" -> ((s, d) => Events.evAbWelch(s, d)),
     "ev_markov_stationary" -> ((s, d) => Events.evMarkovStationary(s, d)),
+    "ev_bot_regularity" -> ((s, d) => Events.evBotRegularity(s, d)),
+    "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
@@ -3861,6 +3863,47 @@ object SparkEntry {
        |ORDER BY surface""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Text.ddClusterDiameter]]: the
+    * dupClusterCtes chain (confirmed pairs + components), the BFS
+    * rounds from each representative unrolled MATERIALIZED (frontier
+    * joins the undirected edges, anti-joins visited), then the
+    * per-depth member and eccentricity rollups plus the depth = −1
+    * unreached witness. Round cap from the ONE Scala definition.
+    */
+  private def clusterDiameterSql: String = {
+    val rounds = Text.diameterRounds
+    val roundCtes = (1 to rounds).map { r =>
+      s"""bn$r AS MATERIALIZED (
+         |  SELECT DISTINCT e.id_b AS id, f.component, $r AS depth
+         |  FROM bf${r - 1} f JOIN bund e ON e.id_a = f.id
+         |  WHERE e.id_b NOT IN (SELECT id FROM bv${r - 1})),
+         |bv$r AS MATERIALIZED (SELECT * FROM bv${r - 1} UNION ALL SELECT * FROM bn$r),
+         |bf$r AS MATERIALIZED (SELECT id, component FROM bn$r)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE $dupClusterCtes,
+       |bund AS MATERIALIZED (
+       |  SELECT id_a, id_b FROM conf UNION SELECT id_b, id_a FROM conf),
+       |bv0 AS MATERIALIZED (
+       |  SELECT doc_id AS id, component, 0 AS depth FROM comp WHERE doc_id = component),
+       |bf0 AS MATERIALIZED (SELECT id, component FROM bv0),
+       |$roundCtes,
+       |pd AS (SELECT depth, CAST(count(*) AS BIGINT) AS n_members FROM bv$rounds GROUP BY 1),
+       |un AS (
+       |  SELECT -1 AS depth, CAST(count(*) AS BIGINT) AS n_members
+       |  FROM comp WHERE doc_id NOT IN (SELECT id FROM bv$rounds)
+       |  HAVING count(*) > 0),
+       |ec AS (
+       |  SELECT depth, CAST(count(*) AS BIGINT) AS n_clusters_ecc FROM (
+       |    SELECT component, max(depth) AS depth FROM bv$rounds GROUP BY 1)
+       |  GROUP BY 1),
+       |alld AS (SELECT * FROM pd UNION ALL SELECT * FROM un)
+       |SELECT coalesce(p.depth, e.depth) AS depth,
+       |  CAST(coalesce(p.n_members, 0) AS BIGINT) AS n_members,
+       |  CAST(coalesce(e.n_clusters_ecc, 0) AS BIGINT) AS n_clusters_ecc
+       |FROM alld p FULL OUTER JOIN ec e ON e.depth = p.depth
+       |ORDER BY 1""".stripMargin
+  }
+
   private def dupClusterCtes: String = dupClusterCtesWhere("")
 
   /** The dd_dup_clusters CTE chain with an extra `d`-level filter —
@@ -4971,6 +5014,24 @@ object SparkEntry {
         |    / CAST(kk AS DOUBLE) AS es95,
         |  s[1] AS worst_chg
         |FROM k ORDER BY nationkey""".stripMargin,
+    // Bot regularity: integer-second gap moments, cv-squared as one
+    // IEEE division of exact operands, deterministic top-10 cut.
+    "ev_bot_regularity" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC)) // 1000000 AS gap_s
+        |  FROM events),
+        |m AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps,
+        |    CAST(sum(gap_s) AS BIGINT) AS sum_gap_s,
+        |    CAST(sum(gap_s * gap_s) AS BIGINT) AS ss_gap
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_gaps, sum_gap_s, ss_gap,
+        |  CAST(sum_gap_s AS DOUBLE) / CAST(n_gaps AS DOUBLE) AS mean_gap,
+        |  CAST(n_gaps * (n_gaps * ss_gap - sum_gap_s * sum_gap_s) AS DOUBLE) /
+        |    CAST((n_gaps - 1) * sum_gap_s * sum_gap_s AS DOUBLE) AS cv2
+        |FROM m WHERE n_gaps >= 2 AND sum_gap_s > 0
+        |ORDER BY cv2 ASC, user_id ASC LIMIT 10""".stripMargin,
     // Welch A/B rollup: exact integer moments per parity variant, the
     // derived statistics each a single IEEE expression (one-divide rule;
     // t SQUARED is served — t itself would need a sqrt).
@@ -6428,6 +6489,7 @@ object SparkEntry {
     // min-label CTE — an independent connectivity formulation checking
     // the large-star/small-star contraction row-for-row.
     "dd_dup_clusters" -> dupClustersSql,
+    "dd_cluster_diameter" -> clusterDiameterSql,
     // exact cross-source pair matrix over the shared banded+confirmed
     // chain; unordered source pairs canonicalize (least, greatest)
     "dd_source_dup_matrix" ->

@@ -458,6 +458,42 @@ object Events {
       .orderBy("state")
   }
 
+  /** BOT-REGULARITY AUDIT — the anti-abuse screen every event platform
+    * runs: humans have bursty inter-event gaps, automation has
+    * metronomic ones, so the squared coefficient of variation of a
+    * user's gap series separates them (cv² → 0 = perfectly regular).
+    * Gaps are integer SECONDS (floor of the micros difference — exact),
+    * the moments (n, Σg, Σg²) are exact integers, and cv² =
+    * n·(n·Σg² − (Σg)²) / ((n−1)·(Σg)²) is ONE IEEE division of exact
+    * operands (the w12 one-divide rule). Reports the 10 most regular
+    * users (cv² ASC, user_id tiebreak) with their full moment audit.
+    *
+    * Scale shape: one user-keyed exchange for the lag window and the
+    * rollup; the top-k is TakeOrdered. History length never inflates
+    * state.
+    */
+  def evBotRegularity(spark: SparkSession, dir: String,
+      k: Int = 10): DataFrame = {
+    events(spark, dir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("gap_s",
+        expr("(ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_s").as("sum_gap_s"),
+        sum(expr("gap_s * gap_s")).as("ss_gap"))
+      .filter(col("n_gaps") >= 2 && col("sum_gap_s") > 0)
+      .withColumn("mean_gap",
+        col("sum_gap_s").cast("double") / col("n_gaps").cast("double"))
+      .withColumn("cv2", expr(
+        """CAST(n_gaps * (n_gaps * ss_gap - sum_gap_s * sum_gap_s) AS DOUBLE) /
+          |CAST((n_gaps - 1) * sum_gap_s * sum_gap_s AS DOUBLE)""".stripMargin))
+      .orderBy(col("cv2").asc, col("user_id").asc)
+      .limit(k)
+  }
+
   /** A/B COMPARISON (Welch) — the experimentation rollup every event
     * platform serves: users split into two deterministic variants
     * (user_id parity — the id-carve stand-in for an assignment table),

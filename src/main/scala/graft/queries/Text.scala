@@ -2972,6 +2972,91 @@ object Text {
       .orderBy("component", "doc_id")
   }
 
+  /** BFS depth cap for the diameter audit — shared with the generated
+    * oracle (the kmeansCtes one-definition rule).
+    */
+  private[graft] val diameterRounds = 6
+
+  /** CLUSTER CHAIN-DEPTH AUDIT — the transitive-drift QA check on the
+    * near-dup closure (the known failure mode of threshold-based
+    * transitive dedup: A≈B≈C≈…≈Z chains where the endpoints share
+    * nothing — a cluster whose BFS radius from its representative is
+    * large is exactly such a chain, and the standard prescription is a
+    * tighter threshold or a cluster-split pass): BFS from each
+    * cluster's representative (the min-id component label) over the
+    * confirmed-pair edges, `diameterRounds` synchronous rounds, then
+    * TWO bounded rollups in one output — per depth: members reached at
+    * that depth, and clusters whose ECCENTRICITY (max member depth) is
+    * that depth. Depth −1 rows would report members unreached within
+    * the cap (none on this corpus — the in-output convergence witness,
+    * the k-core discipline).
+    *
+    * Scale shape: each BFS round is one id-keyed join of the frontier
+    * against the edge list (both directions) + an anti-join against
+    * visited — shuffles carry (id, id) pairs; rounds lineage-truncate
+    * (the iterative-loop rule). Work is O(edges · rounds), never
+    * corpus².
+    */
+  def ddClusterDiameter(spark: SparkSession, dir: String,
+      numSlots: Int = 16, bandSize: Int = 4,
+      rounds: Int = diameterRounds): DataFrame = {
+    graft.functions.TextFunctions.ensureRegistered(spark)
+    val edges = jaccardScoredPairs(tokenizedDocs(spark, dir), numSlots,
+        bandSize)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint(false)
+    diameterOver(spark, edges, rounds)
+  }
+
+  /** The BFS audit over an arbitrary confirmed-pair edge frame —
+    * factored so the planted-chain spec can exercise depths the natural
+    * corpus lacks ([[kcoreOver]] factoring).
+    */
+  private[graft] def diameterOver(spark: SparkSession, edges: DataFrame,
+      rounds: Int): DataFrame = {
+    val und = edges
+      .unionByName(edges.select(col("id_b").as("id_a"),
+        col("id_a").as("id_b")))
+      .distinct()
+      .localCheckpoint(false)
+    val comp = graft.ConnectedComponents.run(edges, "id_a", "id_b")
+      .localCheckpoint(false) // (id, component)
+    var visited = comp.filter(col("id") === col("component"))
+      .select(col("id"), col("component"), lit(0).as("depth"))
+      .localCheckpoint(false)
+    var frontier = visited.select("id", "component")
+    for (r <- 1 to rounds) {
+      val next = frontier
+        .join(und, frontier("id") === und("id_a"))
+        .select(col("id_b").as("id"), col("component"))
+        .distinct()
+        .join(visited.select(col("id"), lit(true).as("seen")),
+          Seq("id"), "left_anti")
+        .withColumn("depth", lit(r))
+        .localCheckpoint(false)
+      visited = visited.unionByName(next).localCheckpoint(false)
+      visited.count() // materialize (one job per round)
+      frontier = next.select("id", "component")
+    }
+    val perDepth = visited.groupBy("depth")
+      .agg(count(lit(1)).as("n_members"))
+    val ecc = visited.groupBy("component")
+      .agg(max("depth").as("depth"))
+      .groupBy("depth").agg(count(lit(1)).as("n_clusters_ecc"))
+    val unreached = comp
+      .join(visited.select(col("id"), lit(true).as("seen")),
+        Seq("id"), "left_anti")
+      .select(lit(-1).as("depth"), lit(1L).as("one"))
+      .groupBy("depth").agg(sum("one").as("n_members"))
+    perDepth.unionByName(unreached)
+      .join(ecc, Seq("depth"), "full_outer")
+      .select(col("depth"),
+        coalesce(col("n_members"), lit(0L)).as("n_members"),
+        coalesce(col("n_clusters_ecc"), lit(0L)).as("n_clusters_ecc"))
+      .orderBy("depth")
+  }
+
   // cc_base labels path -> sfDir that built them (the ensureIvfIndex memo)
   private val ccBaseFor =
     scala.collection.concurrent.TrieMap[String, String]()

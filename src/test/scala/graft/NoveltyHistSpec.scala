@@ -93,6 +93,32 @@ class NoveltyHistSpec extends SparkSpec {
     }
   }
 
+  test("cluster diameter BFS hand-traces on a planted chain and conserves members") {
+    import spark.implicits._
+    // path 1-2-3-4-5 (rep 1, eccentricity 4) + pair 10-11 (ecc 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Text.diameterOver(spark, edges, 6).collect()
+      .map(r => r.getAs[Int]("depth") ->
+        (r.getAs[Long]("n_members"), r.getAs[Long]("n_clusters_ecc")))
+      .toMap
+    assert(out(0) == ((2L, 0L))) // two representatives
+    assert(out(1) == ((2L, 1L))) // 2 and 11; pair cluster closes here
+    assert(out(2) == ((1L, 0L)))
+    assert(out(3) == ((1L, 0L)))
+    assert(out(4) == ((1L, 1L))) // node 5; the chain's eccentricity
+    assert(!out.contains(-1), "planted members must all be reached")
+    // on the real corpus: members conserve against the closure and
+    // nothing is left unreached within the round cap
+    val served = Text.ddClusterDiameter(spark, dir).collect()
+    val total = served.filter(_.getAs[Int]("depth") >= 0)
+      .map(_.getAs[Long]("n_members")).sum
+    val clusters = Text.ddDupClusters(spark, dir).count()
+    assert(total == clusters,
+      s"BFS reached $total members, closure has $clusters")
+    assert(!served.exists(_.getAs[Int]("depth") == -1))
+  }
+
   test("shingle df profile conserves mass and brackets each bucket") {
     val rows = Text.ddShingleDfProfile(spark, dir).collect()
     assert(rows.nonEmpty)
