@@ -109,6 +109,7 @@ object SparkEntry {
     "ev_ab_welch" -> ((s, d) => Events.evAbWelch(s, d)),
     "ev_markov_stationary" -> ((s, d) => Events.evMarkovStationary(s, d)),
     "ev_bot_regularity" -> ((s, d) => Events.evBotRegularity(s, d)),
+    "ev_survival_km" -> ((s, d) => Events.evSurvivalKm(s, d)),
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
@@ -5014,6 +5015,28 @@ object SparkEntry {
         |    / CAST(kk AS DOUBLE) AS es95,
         |  s[1] AS worst_chg
         |FROM k ORDER BY nationkey""".stripMargin,
+    // Kaplan-Meier: integer risk sets and event counts, one divide per
+    // factor, the survival product folded in t order (w1 cumprod rule).
+    "ev_survival_km" ->
+      """WITH life AS (
+        |  SELECT user_id,
+        |    CAST(datediff('day', CAST(min(ts) AS DATE), CAST(max(ts) AS DATE)) AS BIGINT) AS lt
+        |  FROM events GROUP BY 1),
+        |pt AS (SELECT lt AS t_days, CAST(count(*) AS BIGINT) AS d FROM life GROUP BY 1),
+        |r AS (
+        |  SELECT t_days, d,
+        |    CAST(sum(d) OVER () AS BIGINT) AS total,
+        |    CAST(coalesce(sum(d) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+        |  FROM pt),
+        |f AS (
+        |  SELECT t_days, d, total - before AS n_risk,
+        |    CAST(total - before - d AS DOUBLE) / CAST(total - before AS DOUBLE) AS factor
+        |  FROM r)
+        |SELECT t_days, n_risk, d AS n_events,
+        |  list_reduce(list_prepend(CAST(1 AS DOUBLE),
+        |    list(factor) OVER (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |    (a, b) -> a * b) AS survival
+        |FROM f ORDER BY t_days""".stripMargin,
     // Bot regularity: integer-second gap moments, cv-squared as one
     // IEEE division of exact operands, deterministic top-10 cut.
     "ev_bot_regularity" ->

@@ -458,6 +458,64 @@ object Events {
       .orderBy("state")
   }
 
+  /** KAPLAN-MEIER SURVIVAL — the retention family's statistical form
+    * (Kaplan & Meier 1958; the survival curve every churn analysis
+    * plots beside [[evCohortRetention]]'s cohort matrix): a user's
+    * lifetime is the integer day span from first to last event (every
+    * lifetime fully observed on this bounded corpus — the no-censoring
+    * case, documented; censoring would only change the d/n bookkeeping,
+    * not the machinery), and at each distinct lifetime t the estimator
+    * multiplies the running survival by (n_risk − d)/n_risk. Exactness:
+    * risk sets and event counts are exact integers (risk = total minus
+    * the cumulative deaths BEFORE t — one window), each factor is ONE
+    * IEEE divide, and the running product folds the factors in t order
+    * (the w1 cumprod discipline) — bit-identical in both engines.
+    *
+    * Scale shape: one user-keyed rollup for lifetimes, then every
+    * window runs unpartitioned over the ≤|users| distinct-lifetime
+    * rows — the bounded-input exception to the no-global-window rule
+    * (the pagerank top-25 precedent).
+    */
+  def evSurvivalKm(spark: SparkSession, dir: String): DataFrame =
+    kmOver(events(spark, dir)
+      .groupBy("user_id")
+      .agg(expr("datediff(CAST(max(ts) AS DATE), CAST(min(ts) AS DATE))")
+        .cast("long").as("lt")))
+
+  /** The estimator over any (lt) lifetimes frame — factored so the
+    * planted spec can hand-trace a non-degenerate curve
+    * ([[attributionOver]] factoring).
+    */
+  private[graft] def kmOver(life: DataFrame): DataFrame = {
+    val perT = life.groupBy(col("lt").as("t_days"))
+      .agg(count(lit(1)).as("d"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .orderBy("t_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .orderBy("t_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wCum = org.apache.spark.sql.expressions.Window
+      .orderBy("t_days")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    perT
+      .withColumn("total", sum("d").over(wAll))
+      .withColumn("n_risk",
+        col("total") - coalesce(sum("d").over(wBefore), lit(0L)))
+      .withColumn("factor",
+        (col("n_risk") - col("d")).cast("double") /
+          col("n_risk").cast("double"))
+      .withColumn("fs",
+        sort_array(collect_list(struct(col("t_days"), col("factor")))
+          .over(wCum)))
+      .withColumn("survival",
+        expr("aggregate(fs, 1D, (a, s) -> a * s.factor)"))
+      .select(col("t_days"), col("n_risk"), col("d").as("n_events"),
+        col("survival"))
+      .orderBy("t_days")
+  }
+
   /** BOT-REGULARITY AUDIT — the anti-abuse screen every event platform
     * runs: humans have bursty inter-event gaps, automation has
     * metronomic ones, so the squared coefficient of variation of a

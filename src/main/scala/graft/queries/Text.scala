@@ -7239,7 +7239,7 @@ object Text {
     * (counters are linear, the CMS/KMV lifecycle argument for the
     * quantile sketch).
     */
-  private def histCells(df: DataFrame): DataFrame =
+  private[graft] def histCells(df: DataFrame): DataFrame =
     df.select(col("source"),
         least(expr(s"size(split(text, ' ')) div $histBucketWidth"),
           lit(histMaxBucket)).cast("long").as("bucket"))

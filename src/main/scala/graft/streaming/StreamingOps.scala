@@ -579,6 +579,17 @@ object StreamingOps {
     graft.queries.Text.cmsCellsBySource(
       graft.queries.Text.cmsGrams(docsStream))
 
+  /** Streaming twin of [[graft.queries.Text.txHistRefresh]]'s delta
+    * side — landing documents bucket into the SAME per-source
+    * fixed-width counters ([[graft.queries.Text.histCells]], one
+    * definition), merged into the standing cells by addition at
+    * compaction (counters are linear — the cmsDeltaCells argument for
+    * the quantile sketch). NoveltyHistSpec pins streamed + standing ≡
+    * the one-pass full-corpus histogram.
+    */
+  def histDeltaCells(docsStream: DataFrame): DataFrame =
+    graft.queries.Text.histCells(docsStream)
+
   /** Streaming twin of [[graft.queries.Text.txBoilerplate]]: landing
     * documents carve into the SAME 20-token block keys
     * ([[graft.queries.Text.boilerBlocksOver]] — one definition) and

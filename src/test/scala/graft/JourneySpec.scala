@@ -66,6 +66,30 @@ class JourneySpec extends SparkSpec {
         s"$m: ${total(m)} != 1M x $nJourneys")
   }
 
+  test("Kaplan-Meier hand-traces on planted lifetimes; corpus curve is a valid KM") {
+    import spark.implicits._
+    // lifetimes 1,1,3,5: S(1)=2/4, S(3)=1/2·1/2, S(5)=0
+    val out = Events.kmOver(Seq(1L, 1L, 3L, 5L).toDF("lt")).collect()
+      .map(r => r.getAs[Long]("t_days") ->
+        (r.getAs[Long]("n_risk"), r.getAs[Long]("n_events"),
+          r.getAs[Double]("survival"))).toMap
+    assert(out(1L) == ((4L, 2L, 0.5)))
+    assert(out(3L) == ((2L, 1L, 0.25)))
+    assert(out(5L) == ((1L, 1L, 0.0)))
+    // the corpus curve obeys the KM recurrence exactly and ends at zero
+    val rows = Events.evSurvivalKm(spark, dir).collect()
+      .sortBy(_.getAs[Long]("t_days"))
+    assert(rows.nonEmpty)
+    var s = 1.0
+    rows.foreach { r =>
+      s = s * (r.getAs[Long]("n_risk") - r.getAs[Long]("n_events"))
+        .toDouble / r.getAs[Long]("n_risk").toDouble
+      assert(r.getAs[Double]("survival") == s, r.toString)
+    }
+    assert(rows.last.getAs[Double]("survival") == 0.0,
+      "uncensored curve must end at zero")
+  }
+
   test("stationary distribution: one hand round, mass conservation, floor drift") {
     val mat = Events.evMarkovTransitions(spark, dir).collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type"),

@@ -175,6 +175,33 @@ class NoveltyHistSpec extends SparkSpec {
     }
   }
 
+  test("streamed delta cells + standing cells equal the one-pass histogram") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingOps
+    val sf = "/root/testdata/sf0.001"
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft-hist-stream").toString
+    Tables(spark, sf, "documents")
+      .filter(pmod(col("doc_id"), lit(5L)) === 0)
+      .write.mode("overwrite").parquet(s"$streamDir/delta")
+    val q = StreamingOps.histDeltaCells(
+        StreamingOps.readDocumentsStream(spark, s"$streamDir/delta"))
+      .writeStream.format("memory").queryName("hist_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000), "stream did not drain within timeout")
+    val base = Text.ensureHistCells(spark, sf)
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[String]("source"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cnt")).toMap
+    val merged = toMap(spark.read.parquet(s"$base/cells")
+      .unionByName(spark.table("hist_stream"))
+      .groupBy("source", "bucket").agg(sum("cnt").as("cnt")).collect())
+    val direct = toMap(
+      Text.histCells(Tables(spark, sf, "documents")).collect())
+    assert(merged == direct,
+      "streamed delta counters + standing cells must equal the one-pass histogram")
+  }
+
   test("histogram cells are linear: base + delta equals the direct sketch") {
     val full = Tables(spark, dir, "documents")
     def cells(df: org.apache.spark.sql.DataFrame) =
