@@ -121,7 +121,9 @@ object Bench {
     // 1100 -> 1200 at the 261-query r13 continuation (same rule): +10
     // queries add ~14 s steady plus ~70 s of unavoidable cold first
     // runs (the GDPR overlay build alone is ~26 s, the OPQ index ~10 s).
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1200").toDouble
+    // 1200 -> 1280 at 274 queries: the 270-query run walled at 1118 and
+    // the next 4 queries (+ the per-call BFS diameter audit) add ~25 s.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1280").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 
