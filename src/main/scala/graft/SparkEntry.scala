@@ -110,6 +110,7 @@ object SparkEntry {
     "ev_markov_stationary" -> ((s, d) => Events.evMarkovStationary(s, d)),
     "ev_bot_regularity" -> ((s, d) => Events.evBotRegularity(s, d)),
     "ev_survival_km" -> ((s, d) => Events.evSurvivalKm(s, d)),
+    "ev_activity_heatmap" -> ((s, d) => Events.evActivityHeatmap(s, d)),
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
@@ -5015,6 +5016,16 @@ object SparkEntry {
         |    / CAST(kk AS DOUBLE) AS es95,
         |  s[1] AS worst_chg
         |FROM k ORDER BY nationkey""".stripMargin,
+    // Activity heatmap: engine-neutral dow/hour integer arithmetic,
+    // exact purchase cents, bounded 168-cell rollup.
+    "ev_activity_heatmap" ->
+      """SELECT
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) % 7 AS dow,
+        |  (epoch_us(ts) // 3600000000) % 24 AS hour,
+        |  count(*) AS n_events,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // Kaplan-Meier: integer risk sets and event counts, one divide per
     // factor, the survival product folded in t order (w1 cumprod rule).
     "ev_survival_km" ->

@@ -458,6 +458,31 @@ object Events {
       .orderBy("state")
   }
 
+  /** ACTIVITY HEATMAP — the hour × day-of-week load matrix every ops
+    * dashboard opens with: per (dow, hour) cell, event count, distinct
+    * users, and exact purchase cents. Both time coordinates are
+    * engine-neutral integer arithmetic (days-since-epoch mod 7, UTC
+    * hour = epoch-micros div 3600e6 mod 24 — no dayofweek()/hour()
+    * convention mismatches cross the engines; the w14 dow rule).
+    *
+    * Scale shape: one partial-aggregated pass to ≤ 168 bounded rows.
+    */
+  def evActivityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(
+        expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-01') AS BIGINT) % 7")
+          .as("dow"),
+        expr("(unix_micros(ts) div 3600000000) % 24").as("hour"),
+        col("user_id"),
+        when(col("event_type") === "purchase",
+          expr("CAST(round(value * 100) AS BIGINT)")).otherwise(lit(0L))
+          .as("cents"))
+      .groupBy("dow", "hour")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct("user_id").as("n_users"),
+        sum("cents").as("purchase_cents"))
+      .orderBy("dow", "hour")
+
   /** KAPLAN-MEIER SURVIVAL — the retention family's statistical form
     * (Kaplan & Meier 1958; the survival curve every churn analysis
     * plots beside [[evCohortRetention]]'s cohort matrix): a user's

@@ -590,6 +590,46 @@ object StreamingOps {
   def histDeltaCells(docsStream: DataFrame): DataFrame =
     graft.queries.Text.histCells(docsStream)
 
+  /** Streaming twin of the GDPR forget's DISCOVERY side — erasure
+    * requests screened AT INGEST: each landing requested doc_id
+    * stream-static joins every standing text surface, and the running
+    * per-surface rollup counts the REFERENCES the forget rewrite will
+    * have to erase (a labels row whose member AND component both match
+    * counts once per column — reference semantics, documented; the
+    * batch audit's `n_refs` counts ROWS with any match, so the spec
+    * compares this twin against a same-semantics batch recount, not
+    * against n_refs). This is the triage a privacy queue runs the
+    * moment a request lands — scoping the blast radius before the
+    * rewrite job is scheduled; the physical erasure stays batch
+    * ([[graft.queries.Text.ensureGdprForget]]).
+    */
+  def erasureRefCounts(idsStream: DataFrame, spark: SparkSession,
+      dir: String): DataFrame = {
+    import graft.queries.Text
+    Text.ensureFuzzyIndex(spark, dir)
+    val bm = Text.ensureBm25Index(spark, dir)
+    val cc = Text.ensureCcBase(spark, dir)
+    def leg(surface: String, static: DataFrame,
+        idCol: String): DataFrame =
+      idsStream.select(col("doc_id"))
+        .join(static.select(col(idCol).as("doc_id")), Seq("doc_id"))
+        .select(lit(surface).as("surface"))
+    Seq(
+      leg("corpus", graft.Tables(spark, dir, "documents"), "doc_id"),
+      leg("fuzzy_bands", spark.table("graft_fuzzy_bands_bq"), "doc_id"),
+      leg("fuzzy_sh", spark.table("graft_fuzzy_sh_bq"), "doc_id"),
+      leg("bm25_postings", spark.read.parquet(s"$bm/postings"), "doc_id"),
+      leg("bm25_doclens", spark.read.parquet(s"$bm/doclens"), "doc_id"),
+      leg("cc_edges_a", spark.read.parquet(s"$cc/edges"), "id_a"),
+      leg("cc_edges_b", spark.read.parquet(s"$cc/edges"), "id_b"),
+      leg("cc_labels_member", spark.read.parquet(s"$cc/labels"), "id"),
+      leg("cc_labels_component", spark.read.parquet(s"$cc/labels"),
+        "component"))
+      .reduce(_ unionByName _)
+      .groupBy("surface")
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
   /** Streaming twin of [[graft.queries.Text.txBoilerplate]]: landing
     * documents carve into the SAME 20-token block keys
     * ([[graft.queries.Text.boilerBlocksOver]] — one definition) and

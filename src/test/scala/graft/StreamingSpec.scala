@@ -841,6 +841,46 @@ class StreamingSpec extends SparkSpec {
       ts("2024-01-01 01:00:00").getTime * 1000L, 3025L)), s"$rows")
   }
 
+  test("erasure requests screen against every standing surface at ingest") {
+    import org.apache.spark.sql.streaming.Trigger
+    val sf = "/root/testdata/sf0.001"
+    val tombDir = java.nio.file.Files
+      .createTempDirectory("graft-gdpr-stream").toString
+    graft.queries.Text.gdprTombstones(spark, sf)
+      .write.mode("overwrite").parquet(s"$tombDir/ids")
+    val stream = spark.readStream.schema("doc_id LONG")
+      .parquet(s"$tombDir/ids")
+    val q = StreamingOps.erasureRefCounts(stream, spark, sf)
+      .writeStream.format("memory").queryName("gdpr_stream")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(180000), "stream did not drain within timeout")
+    val streamed = spark.table("gdpr_stream").collect()
+      .map(r => r.getAs[String]("surface") -> r.getAs[Long]("n_refs"))
+      .toMap
+    // batch recount with the same reference semantics, per (surface, col)
+    val tomb = graft.queries.Text.gdprTombstones(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val bm = graft.queries.Text.ensureBm25Index(spark, sf)
+    val cc = graft.queries.Text.ensureCcBase(spark, sf)
+    def refs(df: org.apache.spark.sql.DataFrame, c: String): Long =
+      df.select(c).collect().count(r => tomb(r.getLong(0))).toLong
+    val expected = Map(
+      "corpus" -> refs(Tables(spark, sf, "documents"), "doc_id"),
+      "fuzzy_bands" -> refs(spark.table("graft_fuzzy_bands_bq"), "doc_id"),
+      "fuzzy_sh" -> refs(spark.table("graft_fuzzy_sh_bq"), "doc_id"),
+      "bm25_postings" -> refs(spark.read.parquet(s"$bm/postings"), "doc_id"),
+      "bm25_doclens" -> refs(spark.read.parquet(s"$bm/doclens"), "doc_id"),
+      "cc_edges_a" -> refs(spark.read.parquet(s"$cc/edges"), "id_a"),
+      "cc_edges_b" -> refs(spark.read.parquet(s"$cc/edges"), "id_b"),
+      "cc_labels_member" -> refs(spark.read.parquet(s"$cc/labels"), "id"),
+      "cc_labels_component" ->
+        refs(spark.read.parquet(s"$cc/labels"), "component"))
+      .filter(_._2 > 0)
+    assert(streamed == expected,
+      s"streamed $streamed != batch-recounted $expected")
+    assert(streamed("corpus") == tomb.size.toLong)
+  }
+
   test("event-time-timeout sessionizer equals the hand split and the batch rollup") {
     val sf = "/root/testdata/sf0.001"
     val spark2 = spark
