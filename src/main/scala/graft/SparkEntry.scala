@@ -240,6 +240,7 @@ object SparkEntry {
     "dd_substring_cut" -> ((s, d) => Text.ddSubstringCut(s, d)),
     "pipeline_scrub_cut" -> ((s, d) => Text.pipelineScrubCut(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
+    "pipeline_release" -> ((s, d) => Text.pipelineRelease(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
@@ -3097,6 +3098,66 @@ object SparkEntry {
     * merge_apply convention) over a hex expression — one generator so
     * the fold text cannot drift between oracles.
     */
+  /** DuckDB twin of [[graft.queries.Text.pipelineRelease]]: the shared
+    * survivor chain (survivorCtes → outq), survivor caps, the VERBATIM
+    * water-filling solver arithmetic (the tx_mix_waterfill oracle text
+    * over the survivor caps), content-keyed greedy selection to each
+    * allocation, shard by the same key, and the per-(source, shard)
+    * manifest with the signed-64 content XOR — plus the shard −1
+    * zero-row witness for budget-starved sources (none on this corpus,
+    * but the no-silent-drop rule wants the branch in the spec text).
+    */
+  private def releaseSql: String =
+    s"""WITH $survivorCtes,
+       |rsv AS MATERIALIZED (
+       |  SELECT doc_id, source, n2, md5(text2) AS h2,
+       |    CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT) AS sk
+       |  FROM outq),
+       |rcap AS (SELECT source, CAST(sum(n2) AS BIGINT) AS cap FROM rsv GROUP BY 1),
+       |rr AS (
+       |  SELECT source, cap,
+       |    count(*) OVER () AS n,
+       |    CAST(sum(cap) OVER () AS BIGINT) // 2 AS t,
+       |    row_number() OVER (ORDER BY cap ASC, source ASC) AS rn,
+       |    coalesce(CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+       |  FROM rcap),
+       |rs AS (SELECT *, cap * (n - rn + 1) + prefix <= t AS saturated FROM rr),
+       |rg AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS BIGINT) AS sat_sum,
+       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+       |      OVER (ORDER BY source ASC) AS BIGINT) AS uns_rank
+       |  FROM rs),
+       |ra AS (
+       |  SELECT source, cap AS cap_tokens,
+       |    CAST(CASE WHEN saturated THEN cap
+       |      ELSE (t - sat_sum) // m +
+       |        CASE WHEN uns_rank <= (t - sat_sum) % m THEN 1 ELSE 0 END
+       |      END AS BIGINT) AS allocated_tokens
+       |  FROM rg),
+       |rsel AS MATERIALIZED (
+       |  SELECT v.doc_id, v.source, v.n2, v.h2, v.sk,
+       |    a.cap_tokens, a.allocated_tokens,
+       |    CAST(sum(v.n2) OVER (PARTITION BY v.source ORDER BY v.sk ASC, v.doc_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM rsv v JOIN ra a ON a.source = v.source),
+       |rkept AS MATERIALIZED (SELECT * FROM rsel WHERE cum <= allocated_tokens),
+       |rgrp AS (
+       |  SELECT source, sk % 4 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(n2) AS BIGINT) AS tokens,
+       |    CAST(${signed64Xor("h2")} AS BIGINT) AS text_xor,
+       |    cap_tokens, allocated_tokens
+       |  FROM rkept GROUP BY 1, 2, 6, 7),
+       |rempty AS (
+       |  SELECT a.source, CAST(-1 AS BIGINT) AS shard,
+       |    CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS tokens,
+       |    CAST(0 AS BIGINT) AS text_xor, a.cap_tokens, a.allocated_tokens
+       |  FROM ra a WHERE a.source NOT IN (SELECT DISTINCT source FROM rkept))
+       |SELECT * FROM (SELECT * FROM rgrp UNION ALL SELECT * FROM rempty)
+       |ORDER BY source, shard""".stripMargin
+
   private def signed64Xor(h: String): String =
     s"""bit_xor((CASE WHEN CAST(('0x' || substr($h, 1, 8)) AS BIGINT) >= 2147483648
        |        THEN CAST(('0x' || substr($h, 1, 8)) AS BIGINT) - 4294967296
@@ -6082,6 +6143,7 @@ object SparkEntry {
          |FROM aud a ORDER BY a.version""".stripMargin
     },
     "pipeline_gdpr_forget" -> gdprForgetSql,
+    "pipeline_release" -> releaseSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

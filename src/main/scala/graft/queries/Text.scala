@@ -4258,6 +4258,22 @@ object Text {
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .groupBy("source")
       .agg(sum(col("n_tokens").cast("long")).as("cap"))
+    val solved = waterfillAlloc(per)
+    solved.select(col("source"), col("cap").as("cap_tokens"),
+        col("t").as("budget_tokens"), col("allocated").as("allocated_tokens"),
+        col("saturated"),
+        (col("allocated").cast("double") / col("cap").cast("double"))
+          .as("fill_fraction"))
+      .orderBy("source")
+  }
+
+  /** The exact water-filling solver over any (source, cap) frame —
+    * factored so [[txMixWaterfill]] and [[pipelineRelease]] share one
+    * allocation text (budget t = total div 2; allocations sum to the
+    * budget TO THE TOKEN). Returns the input plus (n, t, rn, prefix,
+    * saturated, ..., allocated).
+    */
+  private[graft] def waterfillAlloc(per: DataFrame): DataFrame = {
     val wAll = org.apache.spark.sql.expressions.Window
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val wOrd = org.apache.spark.sql.expressions.Window
@@ -4274,7 +4290,7 @@ object Text {
       .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
     val wUns = org.apache.spark.sql.expressions.Window
       .partitionBy().orderBy(col("source").asc)
-    val solved = ranked
+    ranked
       .withColumn("sat_sum",
         sum(when(col("saturated"), col("cap")).otherwise(0L)).over(wSat))
       .withColumn("m",
@@ -4287,12 +4303,64 @@ object Text {
         when(col("saturated"), col("cap"))
           .otherwise(col("base") +
             when(col("uns_rank") <= col("rem"), 1L).otherwise(0L)))
-    solved.select(col("source"), col("cap").as("cap_tokens"),
-        col("t").as("budget_tokens"), col("allocated").as("allocated_tokens"),
-        col("saturated"),
-        (col("allocated").cast("double") / col("cap").cast("double"))
-          .as("fill_fraction"))
-      .orderBy("source")
+  }
+
+  /** THE RELEASE BUILD — the end-to-end "assemble the training corpus"
+    * composition the whole library exists for, as ONE audited query:
+    * the full prepare flow's survivors ([[prepareCorpusSurvivors]] —
+    * paragraph-dedup rewrite → quality gate → exact dedup →
+    * decontamination), per-source token budgets by the exact
+    * water-filling solver ([[waterfillAlloc]] — budget = half the
+    * survivor mass, allocations sum to the budget to the token),
+    * content-keyed deterministic SELECTION to each budget (docs in
+    * md5(text)-hash order admitted while the running token sum fits —
+    * content-stable: a re-crawl with different ids selects the same
+    * texts), and SHARD assignment by the same content key (sk mod 4).
+    * The manifest reports, per (source, shard): docs, tokens, and the
+    * 64-bit content XOR — the thing a reproducible release pins;
+    * sources whose budget admits nothing still appear (shard −1, zero
+    * rows — the no-silent-drop rule).
+    *
+    * Scale shape: everything corpus-sized is the prepare flow's
+    * digest-keyed machinery; the solver runs over ≤|sources| rows, the
+    * selection is one per-source cumulative window, the manifest is
+    * ≤|sources|·shards rows.
+    */
+  def pipelineRelease(spark: SparkSession, dir: String,
+      nShards: Int = 4): DataFrame = {
+    // checkpointed: three consumers (caps, selection, manifest) would
+    // each re-execute the survivors' decontamination anti-join (7.0 s
+    // measured) — truncation bounds the flow to ONE prepare execution
+    // per call (5.4 s at sf0.1, ≈ the prepare flow's own 2.6 s plus the
+    // selection; the pipeline_materialize price class — composition
+    // queries pay their upstream flow per call by design)
+    val surv = prepareCorpusSurvivors(spark, dir)
+      .select(col("doc_id"), col("source"), col("n2"), col("h2"))
+      .withColumn("sk",
+        expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
+      .localCheckpoint(false)
+    val caps = surv.groupBy("source").agg(sum("n2").as("cap"))
+    val alloc = waterfillAlloc(caps)
+      .select(col("source"), col("cap").as("cap_tokens"),
+        col("allocated").as("allocated_tokens"))
+    val wS = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("sk").asc, col("doc_id").asc)
+    val sel = surv.join(alloc, Seq("source"))
+      .withColumn("cum", sum("n2").over(wS))
+      .filter(col("cum") <= col("allocated_tokens"))
+    val grouped = sel
+      .withColumn("shard", pmod(col("sk"), lit(nShards.toLong)))
+      .groupBy("source", "shard", "cap_tokens", "allocated_tokens")
+      .agg(count(lit(1)).as("n_docs"), sum("n2").as("tokens"),
+        expr(s"bit_xor(${md5SignedHash64Expr("h2")})").as("text_xor"))
+      .select("source", "shard", "n_docs", "tokens", "text_xor",
+        "cap_tokens", "allocated_tokens")
+    val empty = alloc
+      .join(grouped.select("source").distinct(), Seq("source"), "left_anti")
+      .select(col("source"), lit(-1L).as("shard"), lit(0L).as("n_docs"),
+        lit(0L).as("tokens"), lit(0L).as("text_xor"),
+        col("cap_tokens"), col("allocated_tokens"))
+    grouped.unionByName(empty).orderBy("source", "shard")
   }
 
   /** SQL text of `x^(num / 2^denLog2)` for 0 < α < 1 as a product of

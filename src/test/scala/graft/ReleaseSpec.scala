@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.Text
+
+/** Release-build pins: allocations sum to the budget to the token,
+  * every source's selection fits its allocation and is greedily maximal
+  * (the next hash-ordered doc would overflow), and the shard manifest
+  * partitions the selection.
+  */
+class ReleaseSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.01"
+
+  test("allocations exhaust the budget; selections fit and are maximal") {
+    val rows = Text.pipelineRelease(spark, dir).collect()
+    assert(rows.nonEmpty)
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    // per-source allocation is constant across its shard rows
+    val alloc = bySrc.map { case (s, rs) =>
+      val as = rs.map(_.getAs[Long]("allocated_tokens")).distinct
+      assert(as.length == 1, s"$s: inconsistent allocation")
+      s -> as.head
+    }
+    val caps = bySrc.map { case (s, rs) =>
+      s -> rs.map(_.getAs[Long]("cap_tokens")).distinct.head
+    }
+    // waterfill identity: allocations sum EXACTLY to half the cap mass
+    assert(alloc.values.sum == caps.values.sum / 2,
+      "allocations do not exhaust the budget")
+    // recompute the per-source greedy frontier from the survivors
+    val surv = Text.prepareCorpusSurvivors(spark, dir)
+      .select(col("source"), col("doc_id"), col("n2"),
+        expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)").as("sk"))
+      .collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n2"), r.getAs[Long]("sk")))
+    bySrc.foreach { case (s, rs) =>
+      val selected = rs.filter(_.getAs[Long]("shard") >= 0)
+        .map(_.getAs[Long]("tokens")).sum
+      assert(selected <= alloc(s), s"$s selection overflows its budget")
+      // maximality: the first unselected doc in hash order would overflow
+      val ordered = surv.filter(_._1 == s).sortBy(t => (t._4, t._2))
+      val cums = ordered.scanLeft(0L)(_ + _._3).tail
+      val kept = cums.takeWhile(_ <= alloc(s))
+      assert(kept.lastOption.getOrElse(0L) == selected,
+        s"$s: served token sum disagrees with the hand greedy")
+      if (kept.length < ordered.length)
+        assert(cums(kept.length) > alloc(s),
+          s"$s: selection is not maximal")
+      // doc-count conservation against the hand greedy
+      val nDocs = rs.filter(_.getAs[Long]("shard") >= 0)
+        .map(_.getAs[Long]("n_docs")).sum
+      assert(nDocs == kept.length.toLong, s"$s doc count")
+    }
+    // shard ids are the documented range
+    rows.foreach { r =>
+      val sh = r.getAs[Long]("shard")
+      assert(sh == -1L || (sh >= 0 && sh < 4), r.toString)
+    }
+  }
+}
