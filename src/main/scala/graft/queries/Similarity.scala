@@ -1522,9 +1522,13 @@ object Similarity {
     * is the full peel TRACE — per round: removals (count + id XOR),
     * survivors (count + id XOR) — so a reader can audit convergence
     * (n_removed hits 0 when the core stabilizes; the round count is
-    * FIXED, not run-to-convergence, so both engines do identical work —
-    * the final round's n_removed = 0 row IS the convergence witness,
-    * spec-pinned on this corpus).
+    * FIXED, not run-to-convergence, so both engines do identical work).
+    * The convergence witness is DATA-dependent and the trace reports it
+    * either way: at sf0.001/sf0.01 the peel stabilizes by round 5
+    * (KcoreSpec pins the n_removed = 0 tail); at sf0.1 a slow 4-per-
+    * round drain is still running at the cap (offline sim: rounds
+    * [216, 68, 29, 5, 4, 4, …] → a deeper audit raises `rounds`) —
+    * exactly the cascade depth the trace exists to expose.
     *
     * Scale shape: the mutual filter is one self-semi-join of the edges
     * table on the reversed key; each peel round is one degree count over
