@@ -4334,11 +4334,20 @@ object Text {
     // per call (5.4 s at sf0.1, ≈ the prepare flow's own 2.6 s plus the
     // selection; the pipeline_materialize price class — composition
     // queries pay their upstream flow per call by design)
-    val surv = prepareCorpusSurvivors(spark, dir)
+    releaseOver(prepareCorpusSurvivors(spark, dir)
       .select(col("doc_id"), col("source"), col("n2"), col("h2"))
       .withColumn("sk",
         expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
-      .localCheckpoint(false)
+      .localCheckpoint(false), nShards)
+  }
+
+  /** The budget/select/shard tail over any (doc_id, source, n2, h2, sk)
+    * survivors frame — factored so the planted spec can exercise the
+    * zero-selection branch (a source whose budget admits nothing) the
+    * natural corpus never hits.
+    */
+  private[graft] def releaseOver(surv: DataFrame,
+      nShards: Int): DataFrame = {
     val caps = surv.groupBy("source").agg(sum("n2").as("cap"))
     val alloc = waterfillAlloc(caps)
       .select(col("source"), col("cap").as("cap_tokens"),

@@ -59,4 +59,31 @@ class ReleaseSpec extends SparkSpec {
       assert(sh == -1L || (sh >= 0 && sh < 4), r.toString)
     }
   }
+
+  test("a budget-starved source surfaces as a zero-row shard -1 witness") {
+    import spark.implicits._
+    // srcA holds nearly all mass; srcB's single doc is bigger than the
+    // allocation water level, so its selection is empty — the branch
+    // the natural corpus never exercises
+    // caps: srcA 5x40 = 200, srcB 150; budget = 175, waterfill gives
+    // srcA 88 (selects two 40-token docs), srcB 87 (< its only doc)
+    val surv = ((1L to 5L).map(i =>
+      (i, "srcA", 40L, f"aa${i}%02d0000000000000000000000000000", i * 11L)) :+
+      ((9L, "srcB", 150L, "cc00cc00cc00cc00cc00cc00cc00cc00", 99L)))
+      .toDF("doc_id", "source", "n2", "h2", "sk")
+    val out = Text.releaseOver(surv, 4).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("tokens"),
+        r.getAs[Long]("allocated_tokens")))
+    // budget = 350 div 2 = 175; srcA (cap 200) and srcB (cap 150) split
+    // by the waterfill; srcB's water level < 150 leaves its 150-token
+    // doc unselected
+    val b = out.filter(_._1 == "srcB")
+    assert(b.length == 1 && b.head._2 == -1L && b.head._3 == 0L &&
+      b.head._4 == 0L, s"srcB rows: ${b.toSeq}")
+    assert(b.head._5 < 150L, "srcB must be budget-starved in this plant")
+    val a = out.filter(_._1 == "srcA")
+    assert(a.forall(_._2 >= 0) && a.map(_._3).sum >= 1,
+      s"srcA rows: ${a.toSeq}")
+  }
 }
