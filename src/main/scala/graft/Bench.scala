@@ -34,9 +34,10 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *   - Every completed query immediately prints
   *     `{"metric":"query","name":...,"min":...,"runs":[...]}` — a timeout
   *     now leaves a usable per-query record in the captured tail.
-  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 1100 at the 245-query r13
-  *     continuation; 480 -> 560 at r10, 560 -> 750 -> 850 at r11,
-  *     850 -> 920 -> 1000 -> 1100 as the suite's cold first runs
+  *   - `SPARK_GRAFT_BENCH_BUDGET_S` (default 1500 since r14 — the r13
+  *     wall already passed the old 1280; 480 -> 560 at r10,
+  *     560 -> 750 -> 850 at r11,
+  *     850 -> 920 -> 1000 -> 1100 -> 1280 as the suite's cold first runs
   *     outgrew each old budget — see the inline note) is a wall-clock budget:
   *     sessions starting past half of it run 1 run/query (degrade, never
   *     skip — two `session_totals` entries always survive); only past the
@@ -123,7 +124,11 @@ object Bench {
     // runs (the GDPR overlay build alone is ~26 s, the OPQ index ~10 s).
     // 1200 -> 1280 at 274 queries: the 270-query run walled at 1118 and
     // the next 4 queries (+ the per-call BFS diameter audit) add ~25 s.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1280").toDouble
+    // 1280 -> 1500 at r14 (judge directive): BENCH_r13's wall (1324.5 s)
+    // already walked past 1280 via the degraded session-2 path; the
+    // budget-floor rule says grow it with the suite BEFORE the first
+    // truncated artifact.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 

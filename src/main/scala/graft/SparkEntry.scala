@@ -4713,40 +4713,43 @@ object SparkEntry {
         |  min(CASE WHEN s > m28 THEN date END) AS first_alarm_date,
         |  CAST(max(s) AS BIGINT) AS max_s
         |FROM det GROUP BY 1, 3 ORDER BY 1""".stripMargin,
-    // Classical additive decomposition: integer 7-day window sums (order-
-    // safe), one divide for the trend, date-/dow-ordered folds for every
-    // double mean, engine-neutral days-since-epoch dow.
+    // Classical additive decomposition, integer-pinned (r14): BIGINT
+    // 7-row window sums, detrended values carried as the exact scaled
+    // integer detr7 = 7*rc - s7, both seasonal means single divides of
+    // exact integers, engine-neutral days-since-epoch dow. Every
+    // aggregate CAST to BIGINT (uncast HUGEINT reaches pandas as
+    // float64 and hash-mismatches — the r13 red-row cause).
     "w14_seasonal_decompose" ->
       """WITH daily AS (
         |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
-        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
         |t AS (
         |  SELECT nationkey, date, rc,
-        |    CAST(datediff('day', DATE '1970-01-01', CAST(date AS DATE)) AS BIGINT) % 7 AS dow,
-        |    sum(rc) OVER w7 AS s7, count(*) OVER w7 AS c7
+        |    CAST(date_diff('day', DATE '1970-01-01', CAST(date AS DATE)) AS BIGINT) % 7 AS dow,
+        |    CAST(sum(rc) OVER w7 AS BIGINT) AS s7, count(*) OVER w7 AS c7
         |  FROM daily
         |  WINDOW w7 AS (PARTITION BY nationkey ORDER BY date
         |                ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
         |det AS (
         |  SELECT nationkey, date, rc, dow,
         |    CASE WHEN c7 = 7 THEN CAST(s7 AS DOUBLE) / 7.0 END AS trend,
-        |    CASE WHEN c7 = 7 THEN CAST(rc AS DOUBLE) - CAST(s7 AS DOUBLE) / 7.0 END AS detr
+        |    CASE WHEN c7 = 7 THEN 7 * rc - s7 END AS detr7
         |  FROM t),
         |sd AS (
-        |  SELECT nationkey, dow,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(detr ORDER BY date)), (x, y) -> x + y)
-        |      / CAST(count(*) AS DOUBLE) AS s_raw
-        |  FROM det WHERE detr IS NOT NULL GROUP BY 1, 2),
+        |  SELECT nationkey, dow, CAST(sum(detr7) AS BIGINT) AS snum,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM det WHERE detr7 IS NOT NULL GROUP BY 1, 2),
         |sm AS (
-        |  SELECT nationkey,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(s_raw ORDER BY dow)), (x, y) -> x + y)
-        |      / CAST(count(*) AS DOUBLE) AS ms
+        |  SELECT nationkey, CAST(sum(snum) AS BIGINT) AS gnum,
+        |    CAST(sum(cnt) AS BIGINT) AS gn
         |  FROM sd GROUP BY 1),
         |sc AS (
-        |  SELECT sd.nationkey, sd.dow, s_raw - ms AS seasonal
+        |  SELECT sd.nationkey, sd.dow,
+        |    CAST(sd.snum AS DOUBLE) / CAST(7 * sd.cnt AS DOUBLE)
+        |      - CAST(sm.gnum AS DOUBLE) / CAST(7 * sm.gn AS DOUBLE) AS seasonal
         |  FROM sd JOIN sm ON sm.nationkey = sd.nationkey)
-        |SELECT d.nationkey, d.date, d.rc, d.dow, d.trend, sc.seasonal,
+        |SELECT d.nationkey, d.date, d.rc, d.dow, d.detr7, d.trend, sc.seasonal,
         |  CASE WHEN d.trend IS NOT NULL THEN CAST(d.rc AS DOUBLE) - d.trend - sc.seasonal END AS resid
         |FROM det d LEFT JOIN sc ON sc.nationkey = d.nationkey AND sc.dow = d.dow
         |ORDER BY d.nationkey, d.date""".stripMargin,
@@ -5055,28 +5058,36 @@ object SparkEntry {
          |LEFT JOIN nf ON nf.f = s.state
          |ORDER BY s.state""".stripMargin
     },
-    // Historical VaR/ES: order-statistic selection over day-over-day
-    // revenue changes (exact integers), tail mean by ordered fold.
+    // Historical VaR/ES, integer-pinned (r14): order statistics by
+    // windowed rank (no variable-bound list slice — version-sensitive),
+    // the tail mean's numerator an exact BIGINT companion, es95 its
+    // single divide; every aggregate CAST to BIGINT (the HUGEINT→
+    // pandas-float64 hash trap). Ties across the rank boundary are
+    // value-equal, so every output is tie-deterministic.
     "w16_var_es" ->
       """WITH daily AS (
         |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
-        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
         |chg AS (
         |  SELECT nationkey,
         |    rc - lag(rc) OVER (PARTITION BY nationkey ORDER BY date) AS c
         |  FROM daily),
-        |g AS (
-        |  SELECT nationkey, CAST(count(*) AS BIGINT) AS n_obs,
-        |    list(c ORDER BY c) AS s
-        |  FROM chg WHERE c IS NOT NULL GROUP BY 1),
-        |k AS (SELECT *, (n_obs * 5 + 99) // 100 AS kk FROM g)
-        |SELECT nationkey, n_obs, kk AS k,
-        |  s[kk] AS var95_cents,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(s[1:kk], x -> CAST(x AS DOUBLE))), (a, b) -> a + b)
-        |    / CAST(kk AS DOUBLE) AS es95,
-        |  s[1] AS worst_chg
-        |FROM k ORDER BY nationkey""".stripMargin,
+        |rk AS (
+        |  SELECT nationkey, c,
+        |    CAST(row_number() OVER (PARTITION BY nationkey ORDER BY c ASC) AS BIGINT) AS r,
+        |    CAST(count(*) OVER (PARTITION BY nationkey) AS BIGINT) AS n_obs
+        |  FROM chg WHERE c IS NOT NULL),
+        |k AS (SELECT nationkey, c, r, n_obs, (n_obs * 5 + 99) // 100 AS kk FROM rk)
+        |SELECT nationkey,
+        |  CAST(max(n_obs) AS BIGINT) AS n_obs,
+        |  CAST(max(kk) AS BIGINT) AS k,
+        |  CAST(max(CASE WHEN r = kk THEN c END) AS BIGINT) AS var95_cents,
+        |  CAST(sum(CASE WHEN r <= kk THEN c ELSE 0 END) AS BIGINT) AS es95_num_cents,
+        |  CAST(sum(CASE WHEN r <= kk THEN c ELSE 0 END) AS DOUBLE)
+        |    / CAST(max(kk) AS DOUBLE) AS es95,
+        |  CAST(min(c) AS BIGINT) AS worst_chg
+        |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     // Activity heatmap: engine-neutral dow/hour integer arithmetic,
     // exact purchase cents, bounded 168-cell rollup.
     "ev_activity_heatmap" ->

@@ -668,23 +668,34 @@ object Relational {
     * the rev = trend + seasonal + residual split every ops/quant
     * dashboard runs before anomaly logic (the moving-average
     * decomposition of Kendall/Stuart; statsmodels'
-    * `seasonal_decompose(period=7)`): trend is the centered 7-day
-    * moving average (defined only where the full window exists),
-    * detrended values average per (nation, day-of-week) into raw
-    * seasonal indexes, the seven indexes CENTER to sum to zero (the
-    * classical normalization), and the residual is what remains.
+    * `seasonal_decompose(period=7)`): trend is the 7-OBSERVATION
+    * centered moving average (a ROWS -3..3 frame over the date-ordered
+    * panel — with calendar gaps the frame spans more than 7 calendar
+    * days; the `c7 = 7` completeness check counts observations, not
+    * day span — the observation-window semantics, stated here on
+    * purpose), detrended values average per (nation, day-of-week) into
+    * raw seasonal indexes, the indexes center by subtracting the
+    * GRAND (observation-weighted) mean of all detrended values — so
+    * the seasonal component is exactly mean-zero over the panel — and
+    * the residual is what remains.
     *
-    * Exactness: revenue is exact integer cents, so the 7-day window SUM
-    * is order-safe integer arithmetic and trend is ONE divide;
-    * day-of-week is pure date arithmetic (days-since-epoch mod 7 — no
-    * engine dow() conventions); every double SUM that follows folds a
-    * date-ordered (or dow-ordered) list (the W7 ordered-fold rule) and
-    * divides once.
+    * Exactness (integer-pinned, r14): revenue is exact integer cents,
+    * so the 7-row window SUM is order-safe integer arithmetic and
+    * trend is ONE divide; the detrended value is carried SCALED BY 7
+    * as the exact BIGINT `detr7 = 7·rc − s7` (emitted as a companion
+    * column), so both seasonal means are single divides of exact
+    * integers and `seasonal` is one correctly-rounded IEEE subtract of
+    * two correctly-rounded divides — NO double ever crosses an
+    * aggregation, which makes the result independent of any engine's
+    * fold order or list semantics. Day-of-week is pure date arithmetic
+    * (days-since-epoch mod 7 — no engine dow() conventions). The
+    * DuckDB twin casts every aggregate to BIGINT (HUGEINT sums turn
+    * into float64 through pandas and hash-mismatch, r13 post-mortem).
     *
     * Scale shape: one nation-keyed exchange serves the trend window and
     * the (nation, dow) seasonal rollup (subset-key satisfaction); the
-    * seasonal join is 7 rows per nation. History length bounds nothing
-    * but the frame lists.
+    * grand mean folds from the 7-row-per-nation dow rollup, and the
+    * seasonal join is 7 rows per nation. History length bounds nothing.
     */
   def w14SeasonalDecompose(spark: SparkSession, dir: String): DataFrame = {
     val daily = Tables(spark, dir, "orders")
@@ -702,34 +713,23 @@ object Relational {
       .withColumn("c7", count(lit(1)).over(w7))
       .withColumn("trend",
         when(col("c7") === 7, col("s7").cast("double") / lit(7.0)))
-      .withColumn("detr",
-        when(col("trend").isNotNull,
-          col("rc").cast("double") - col("trend")))
-      .select("nationkey", "date", "rc", "dow", "trend", "detr")
+      .withColumn("detr7",
+        when(col("c7") === 7, lit(7L) * col("rc") - col("s7")))
+      .select("nationkey", "date", "rc", "dow", "detr7", "trend")
       .localCheckpoint(false)
-    val sd = det.filter(col("detr").isNotNull)
+    val sd = det.filter(col("detr7").isNotNull)
       .groupBy("nationkey", "dow")
-      .agg(count(lit(1)).as("cnt"),
-        sort_array(collect_list(struct(col("date"), col("detr"))))
-          .as("ds"))
-      .withColumn("s_raw",
-        expr("aggregate(ds, 0D, (a, s) -> a + s.detr)") /
-          col("cnt").cast("double"))
-      .select("nationkey", "dow", "s_raw")
+      .agg(sum("detr7").as("snum"), count(lit(1)).as("cnt"))
     val sm = sd.groupBy("nationkey")
-      .agg(count(lit(1)).as("ndow"),
-        sort_array(collect_list(struct(col("dow"), col("s_raw"))))
-          .as("ss"))
-      .withColumn("ms",
-        expr("aggregate(ss, 0D, (a, s) -> a + s.s_raw)") /
-          col("ndow").cast("double"))
-      .select("nationkey", "ms")
+      .agg(sum("snum").as("gnum"), sum("cnt").as("gn"))
     val sc = sd.join(sm, Seq("nationkey"))
       .select(col("nationkey"), col("dow"),
-        (col("s_raw") - col("ms")).as("seasonal"))
+        (col("snum").cast("double") / (lit(7L) * col("cnt")).cast("double")
+          - col("gnum").cast("double") / (lit(7L) * col("gn")).cast("double"))
+          .as("seasonal"))
     det.join(sc, Seq("nationkey", "dow"), "left")
       .select(col("nationkey"), col("date"), col("rc"), col("dow"),
-        col("trend"), col("seasonal"),
+        col("detr7"), col("trend"), col("seasonal"),
         when(col("trend").isNotNull,
           col("rc").cast("double") - col("trend") - col("seasonal"))
           .as("resid"))
@@ -797,7 +797,13 @@ object Relational {
     * discipline, no quantile interpolation) and ES₉₅ is the mean of
     * that tail — a value-ordered fold of exact integers with ONE
     * divide. The worst single change rides along. Everything before
-    * the divide is integer arithmetic.
+    * the divide is integer arithmetic, and the tail SUM is emitted as
+    * the exact BIGINT companion `es95_num_cents` (r14 integer-pinning:
+    * `es95` is that numerator's single divide by k, so no double
+    * depends on any engine's fold/slice semantics; the DuckDB twin
+    * ranks with a window instead of a variable-bound list slice and
+    * casts every aggregate to BIGINT — HUGEINT-through-pandas was the
+    * r13 hash mismatch).
     *
     * Scale shape: one nation-keyed exchange for the lag window and the
     * per-nation rollup; the sorted frame is bounded by history per
@@ -818,10 +824,13 @@ object Relational {
       .agg(count(lit(1)).as("n_obs"),
         sort_array(collect_list(col("c"))).as("s"))
       .withColumn("k", expr("(n_obs * 5 + 99) div 100"))
+      .withColumn("es95_num_cents",
+        expr("aggregate(slice(s, 1, CAST(k AS INT)), 0L, (a, x) -> a + x)"))
       .select(col("nationkey"), col("n_obs"), col("k"),
         expr("element_at(s, CAST(k AS INT))").as("var95_cents"),
-        (expr("aggregate(slice(s, 1, CAST(k AS INT)), 0D, (a, x) -> a + CAST(x AS DOUBLE))") /
-          col("k").cast("double")).as("es95"),
+        col("es95_num_cents"),
+        (col("es95_num_cents").cast("double") / col("k").cast("double"))
+          .as("es95"),
         expr("element_at(s, 1)").as("worst_chg"))
       .orderBy("nationkey")
   }

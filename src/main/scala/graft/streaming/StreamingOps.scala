@@ -1005,8 +1005,19 @@ object StreamingOps {
     * assumption (the sequenceMatches contract). A journey that STRADDLES
     * a micro-batch boundary still credits — StreamingSpec plants one and
     * folds all emissions to the batch rollup, pinning every column.
+    *
+    * Bounded state (r13 ADVICE): a user who never purchases would
+    * otherwise grow the open journey without bound across the stream's
+    * lifetime. The journey caps at `maxTouches`; past it the SECOND
+    * touch drops (oldest middle) so both U-shape anchors — the first
+    * touch (40%) and the most recent tail — survive and the linear
+    * split degrades gracefully to the retained touches. Under the cap
+    * (every realistic journey; the spec corpus never reaches it) the
+    * batch twin matches exactly; a capped journey credits the retained
+    * touches only — the documented divergence contract.
     */
-  def attributedCredits(events: DataFrame): Dataset[AttrCredit] = {
+  def attributedCredits(events: DataFrame,
+      maxTouches: Int = 1024): Dataset[AttrCredit] = {
     val spark = events.sparkSession
     import spark.implicits._
     val touchTypes = Set("view", "click", "signup")
@@ -1020,8 +1031,11 @@ object StreamingOps {
           var touches = state.getOption.map(_.touches).getOrElse(Seq.empty)
           val out = scala.collection.mutable.ArrayBuffer.empty[AttrCredit]
           rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
-            if (touchTypes(e.event_type))
+            if (touchTypes(e.event_type)) {
+              if (touches.size >= maxTouches)
+                touches = touches.head +: touches.drop(2)
               touches = touches :+ TouchEv(e.event_id, e.ts_us, e.event_type)
+            }
             else if (e.event_type == "purchase") {
               val n = touches.size
               touches.zipWithIndex.foreach { case (t, i0) =>
@@ -1096,10 +1110,23 @@ object StreamingOps {
               }
             }
             st.foreach { s =>
-              state.update(s)
-              // timeout fires once the event-time watermark passes the
-              // session end (milliseconds — the GroupState contract)
-              state.setTimeoutTimestamp((s.last_us + gapUs) / 1000L)
+              // The watermark is GLOBAL across users: a user whose rows
+              // land in a later micro-batch can hold a session whose end
+              // is already behind it (other users advanced the clock) —
+              // setTimeoutTimestamp throws unless strictly in the future,
+              // and no on-time event can ever extend such a session
+              // (an extender's ts would precede the watermark), so it
+              // closes NOW instead of registering a timeout (r13 ADVICE).
+              val endMs = (s.last_us + gapUs) / 1000L
+              if (endMs <= state.getCurrentWatermarkMs()) {
+                close(s)
+                if (state.exists) state.remove()
+              } else {
+                state.update(s)
+                // timeout fires once the event-time watermark passes the
+                // session end (milliseconds — the GroupState contract)
+                state.setTimeoutTimestamp(endMs)
+              }
             }
             out.iterator
           }
