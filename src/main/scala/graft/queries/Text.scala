@@ -2598,15 +2598,24 @@ object Text {
     // cache BEFORE the explode (the dd_ppjoin InferFiltersFromGenerate
     // lesson) — the hashed projection feeds the pair enumeration once
     val shC = graft.Caches.scoped("dd_scurve.sh", sh0)
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy("h")
-    val postsDf = shC.select(col("doc_id"), explode(col("shs")).as("h"))
-      .withColumn("df", count(lit(1)).over(wH))
+    // df via a partial-aggregated groupBy, NOT a count().over(
+    // Window.partitionBy("h")) on the full postings: the window priced
+    // a full per-key sort of every posting (~2 s of the audit's sf0.1
+    // cost, r13 judge profile) where map-side combine does the same
+    // count. Only the OVER-cap keys — the few corpus-hot shingles —
+    // survive the filter, so the anti-join's build side is small (AQE
+    // broadcasts it; no hint — "few" is empirical, not guaranteed) and
+    // the postings themselves never sort or re-shuffle for the cap.
+    val postsAll = shC.select(col("doc_id"), explode(col("shs")).as("h"))
+    val cappedKeys = graft.Caches.scoped("dd_scurve.capped",
+      postsAll.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") > lit(dfCap.toLong)))
     // postings over the cap leave the universe; the pair enumeration,
-    // set sizes and the drop accounting all derive from this one frame
+    // set sizes and the drop accounting all derive from this split
     val posts = graft.Caches.scoped("dd_scurve.posts",
-      postsDf.filter(col("df") <= lit(dfCap.toLong)).select("doc_id", "h"))
-    val dropStats = postsDf.filter(col("df") > lit(dfCap.toLong))
-      .select("h", "df").distinct()
+      postsAll.join(cappedKeys.select("h"), Seq("h"), "left_anti")
+        .select("doc_id", "h"))
+    val dropStats = cappedKeys
       .agg(count(lit(1)).as("capped_shingles"),
         coalesce(sum(expr("df * (df - 1) DIV 2")), lit(0L))
           .as("capped_pairs_bound"))
