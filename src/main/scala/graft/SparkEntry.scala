@@ -317,6 +317,7 @@ object SparkEntry {
     "sim_graph_communities" -> ((s, d) => Similarity.simGraphCommunities(s, d)),
     "sim_graph_triangles" -> ((s, d) => Similarity.simGraphTriangles(s, d)),
     "sim_graph_kcore" -> ((s, d) => Similarity.simGraphKcore(s, d)),
+    "sim_graph_kcore_mutated" -> ((s, d) => Similarity.simGraphKcoreMutated(s, d)),
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
@@ -1637,9 +1638,23 @@ object SparkEntry {
     */
   private def graphKcoreSql: String = {
     val g = s"g${Similarity.knnDescentRounds}"
-    val ck = Similarity.kcoreK
-    val rounds = Similarity.kcoreRounds
-    val roundCtes = (1 to rounds).map { r =>
+    s"""WITH $knnDescentCtes,
+       |kmut AS MATERIALIZED (
+       |  SELECT g1.src AS v, g1.dst AS u FROM $g g1
+       |  WHERE EXISTS (SELECT 1 FROM $g g2 WHERE g2.src = g1.dst AND g2.dst = g1.src)),
+       |kv0 AS MATERIALIZED (SELECT vec_id AS v FROM embeddings),
+       |${kcorePeelCtes(Similarity.kcoreK, Similarity.kcoreRounds)}
+       |${kcoreStatTail(Similarity.kcoreRounds)}""".stripMargin
+  }
+
+  /** The unrolled peel rounds over CTEs named `kmut` (mutual edges) and
+    * `kv0` (round-0 vertex set) — ONE text shared by the base audit
+    * ([[graphKcoreSql]]) and the post-mutation audit
+    * ([[graphKcoreMutatedSql]]), the knnDescentCtes rule: two audits
+    * that peel different round logic prove nothing about each other.
+    */
+  private def kcorePeelCtes(ck: Int, rounds: Int): String =
+    (1 to rounds).map { r =>
       s"""kd$r AS (
          |  SELECT n.v, coalesce(d.deg, 0) AS deg
          |  FROM kv${r - 1} n LEFT JOIN (
@@ -1651,6 +1666,9 @@ object SparkEntry {
          |kv$r AS MATERIALIZED (SELECT v FROM kd$r WHERE deg >= $ck)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** The per-round trace rollup over [[kcorePeelCtes]]'s krm/kv CTEs. */
+  private def kcoreStatTail(rounds: Int): String = {
     val statSelects = (1 to rounds).map { r =>
       s"""SELECT $r AS round,
          |  (SELECT CAST(count(*) AS BIGINT) FROM krm$r) AS n_removed,
@@ -1659,15 +1677,53 @@ object SparkEntry {
          |  (SELECT CAST(coalesce(bit_xor(v), 0) AS BIGINT) FROM kv$r) AS survivor_xor"""
         .stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $knnDescentCtes,
-       |kmut AS MATERIALIZED (
-       |  SELECT g1.src AS v, g1.dst AS u FROM $g g1
-       |  WHERE EXISTS (SELECT 1 FROM $g g2 WHERE g2.src = g1.dst AND g2.dst = g1.src)),
-       |kv0 AS MATERIALIZED (SELECT vec_id AS v FROM embeddings),
-       |$roundCtes
-       |SELECT * FROM (
+    s"""SELECT * FROM (
        |$statSelects)
        |ORDER BY round""".stripMargin
+  }
+
+  /** DuckDB twin of
+    * [[graft.queries.Similarity.simGraphKcoreMutated]]: descent chain →
+    * delete-repair chain ([[graphDeleteCtes]], the SAME text every
+    * post-delete oracle uses) → insert walk (the [[graphUpsertSql]]
+    * query source over the STANDING graph) → merged view = repaired
+    * overlay ∪ bidirectional insert links minus links to tombstones →
+    * mutual filter → the IDENTICAL unrolled peel ([[kcorePeelCtes]]).
+    * Every reused CTE MATERIALIZED (the knn-descent `e`-chain rule —
+    * this oracle stacks the descent, repair and hop chains).
+    */
+  private def graphKcoreMutatedSql: String = {
+    val k = Similarity.knnDescentK
+    val hops = Similarity.graphSearchHops
+    val dm = Similarity.graphDelMod
+    val drm = Similarity.graphDelRem
+    val tail =
+      s"""ulinks AS MATERIALIZED (
+         |  SELECT qid, vid FROM f$hops WHERE rnk <= $k
+         |    AND vid NOT IN (SELECT vec_id FROM gdead)),
+         |kmerged AS MATERIALIZED (
+         |  SELECT src AS v, dst AS u FROM grep
+         |  UNION SELECT qid AS v, vid AS u FROM ulinks
+         |  UNION SELECT vid AS v, qid AS u FROM ulinks),
+         |kmut AS MATERIALIZED (
+         |  SELECT m1.v, m1.u FROM kmerged m1
+         |  WHERE EXISTS (SELECT 1 FROM kmerged m2 WHERE m2.v = m1.u AND m2.u = m1.v)),
+         |kv0 AS MATERIALIZED (
+         |  SELECT vec_id AS v FROM embeddings WHERE vec_id % $dm <> $drm
+         |  UNION ALL
+         |  SELECT vec_id AS v FROM qsrc),
+         |${kcorePeelCtes(Similarity.kcoreK, Similarity.kcoreRounds)}"""
+        .stripMargin
+    graphSearchSqlOver(
+      s"""qsrc AS MATERIALIZED (
+         |  SELECT -vec_id - 1 AS vec_id,
+         |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0)""".stripMargin,
+      k,
+      extraCtes = graphDeleteCtes + ",",
+      tailCtes = tail,
+      finalSel = kcoreStatTail(Similarity.kcoreRounds))
   }
 
   /** The graph-delete repair chain as a reusable CTE body (tombstones →
@@ -1994,7 +2050,8 @@ object SparkEntry {
       graphSel: String =
         s"SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}",
       entSel: String = "SELECT min(vec_id) AS ev FROM embeddings",
-      f0Sel: String = "SELECT vec_id AS qid, ev AS vid FROM qsrc, ent"): String = {
+      f0Sel: String = "SELECT vec_id AS qid, ev AS vid FROM qsrc, ent",
+      tailCtes: String = "", finalSel: String = ""): String = {
     val beam = Similarity.graphSearchBeam
     val hops = Similarity.graphSearchHops
     val hopCtes = (1 to hops).map { h =>
@@ -2012,15 +2069,18 @@ object SparkEntry {
          |  FROM x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
          |  QUALIFY rnk <= $beam)""".stripMargin
     }.mkString(",\n")
+    val tc = if (tailCtes.nonEmpty) s",\n$tailCtes\n" else "\n"
+    val fin = if (finalSel.nonEmpty) finalSel
+      else
+        s"""SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
+           |ORDER BY qid, rnk""".stripMargin
     s"""WITH $knnDescentCtes,
        |$extraCtes
        |graph AS MATERIALIZED ($graphSel),
        |$querySrcCte,
        |ent AS ($entSel),
        |f0 AS MATERIALIZED ($f0Sel),
-       |$hopCtes
-       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= $k
-       |ORDER BY qid, rnk""".stripMargin
+       |$hopCtes$tc$fin""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.ddSemdedupGraph]]: the
@@ -7344,6 +7404,7 @@ object SparkEntry {
     "sim_graph_communities" -> graphCommunitiesSql,
     "sim_graph_triangles" -> graphTrianglesSql,
     "sim_graph_kcore" -> graphKcoreSql,
+    "sim_graph_kcore_mutated" -> graphKcoreMutatedSql,
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,

@@ -59,6 +59,55 @@ class KcoreSpec extends SparkSpec {
       "degenerate peel: everything was removed")
   }
 
+  test("an upsert's bidirectional links change core membership (mutated-view pin)") {
+    import spark.implicits._
+    // base: triangle 1-2-3 plus 3-4; at k=2 vertex 4 (deg 1) peels in
+    // round 1. The mutated view adds inserted vertex -5 linked
+    // bidirectionally to 3 AND 4 (the HNSW connect): 4 now holds deg 2
+    // and the WHOLE graph survives — the membership flip the post-
+    // mutation audit exists to expose.
+    val verts = Seq(1L, 2L, 3L, 4L).toDF("v")
+    val baseEdges = und((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    val baseRows = Similarity.kcoreOver(spark, verts, baseEdges, 2, 2).collect()
+    def at(rows: Array[org.apache.spark.sql.Row], r: Int) =
+      rows.find(_.getAs[Int]("round") == r).get
+    assert(at(baseRows, 1).getAs[Long]("n_removed") == 1)
+    assert(at(baseRows, 1).getAs[Long]("removed_xor") == 4L)
+    val mutVerts = verts.unionByName(Seq(-5L).toDF("v"))
+    val mutEdges = baseEdges.unionByName(und((-5L, 3L), (-5L, 4L)))
+    val mutRows = Similarity.kcoreOver(spark, mutVerts, mutEdges, 2, 2).collect()
+    assert(at(mutRows, 1).getAs[Long]("n_removed") == 0)
+    assert(at(mutRows, 1).getAs[Long]("n_remaining") == 5)
+    assert(at(mutRows, 1).getAs[Long]("survivor_xor") ==
+      (1L ^ 2L ^ 3L ^ 4L ^ -5L))
+  }
+
+  test("mutated-view audit peels the merged graph consistently on the corpus") {
+    // physics over the real corpus: the mutated trace obeys the same
+    // conservation algebra as the base trace, and round 0 starts from
+    // live base + inserted vertices (the vertex-set contract)
+    val rows = Similarity.simGraphKcoreMutated(spark, dir).collect()
+      .sortBy(_.getAs[Int]("round"))
+    assert(rows.length == Similarity.kcoreRounds)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("n_remaining") ==
+          a.getAs[Long]("n_remaining") - b.getAs[Long]("n_removed"))
+        assert(b.getAs[Long]("survivor_xor") ==
+          (a.getAs[Long]("survivor_xor") ^ b.getAs[Long]("removed_xor")))
+      case _ =>
+    }
+    val nEmb = Tables(spark, dir, "embeddings").count()
+    val nDead = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % Similarity.graphDelMod ===
+        Similarity.graphDelRem).count()
+    val nIns = Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % Similarity.upsertDeltaMod === 0).count()
+    val r1 = rows.head
+    assert(r1.getAs[Long]("n_removed") + r1.getAs[Long]("n_remaining") ==
+      nEmb - nDead + nIns)
+  }
+
   test("trace matches an independent in-memory peel; core meets the threshold") {
     val base = Similarity.ensureKnnGraphIndex(spark, dir)
     val directed = spark.read.parquet(s"$base/edges")
