@@ -410,6 +410,9 @@ object SparkEntry {
     // carve — per-subspace SSE balance, exact folds
     "sim_opq_rotate" -> ((s, d) => Similarity.simOpqRotate(s, d)),
     "sim_opq_adc_indexed" -> ((s, d) => Similarity.simOpqAdcIndexed(s, d)),
+    "sim_opq_upsert" -> ((s, d) => Similarity.simOpqUpsert(s, d)),
+    "sim_opq_delete" -> ((s, d) => Similarity.simOpqDelete(s, d)),
+    "sim_opq_drift" -> ((s, d) => Similarity.simOpqDrift(s, d)),
     // by-residual IVFPQ over the persisted residual index (build/serve
     // split; results — and the oracle — identical by construction)
     "sim_ivfpq_residual_indexed" -> ((s, d) => Similarity.simIvfPqResidualIndexed(s, d)),
@@ -2422,15 +2425,7 @@ object SparkEntry {
          |  SELECT s, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS sse
          |  FROM ${prefix}assign GROUP BY s)""".stripMargin
     }
-    s"""WITH aniso AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(range(1, 65), j ->
-       |    CAST(embedding[j] AS DOUBLE) * (CASE WHEN j <= ${Similarity.opqScaleDims} THEN ${Similarity.opqScale} ELSE 1.0 END)) AS vec
-       |  FROM embeddings),
-       |rotv AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(range(1, 65), i ->
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j ->
-       |      CASE WHEN bit_count(CAST((i - 1) & (j - 1) AS BIGINT)) % 2 = 0 THEN vec[j] ELSE -vec[j] END)), (x, y) -> x + y) / 8.0) AS vec
-       |  FROM aniso),
+    s"""WITH ${opqRotPair("aniso", "rotv", "embeddings")},
        |${chain("oa", "aniso")},
        |${chain("ob", "rotv")}
        |SELECT 0 AS rotated, s, sse FROM oasse
@@ -2445,7 +2440,29 @@ object SparkEntry {
     * space — a hash match proves the persisted rotated codebooks and
     * codes serve exactly the declared search.
     */
-  private def opqAdcIndexedSql: String = {
+  /** The carve + Hadamard rotation over an arbitrary (vec_id,
+    * embedding) source — ONE text for the corpus legs (opqRotateSql,
+    * the standing-index chains) and the delta legs (upsert/drift), the
+    * opqRotateQueries one-definition rule on the oracle side.
+    */
+  private def opqRotPair(anisoName: String, rotName: String,
+      src: String): String =
+    s"""$anisoName AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), j ->
+       |    CAST(embedding[j] AS DOUBLE) * (CASE WHEN j <= ${Similarity.opqScaleDims} THEN ${Similarity.opqScale} ELSE 1.0 END)) AS vec
+       |  FROM $src),
+       |$rotName AS MATERIALIZED (
+       |  SELECT vec_id, list_transform(range(1, 65), i ->
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j ->
+       |      CASE WHEN bit_count(CAST((i - 1) & (j - 1) AS BIGINT)) % 2 = 0 THEN vec[j] ELSE -vec[j] END)), (x, y) -> x + y) / 8.0) AS vec
+       |  FROM $anisoName)""".stripMargin
+
+  /** The standing OPQ index from first principles (carve → rotate →
+    * train → books → encode) — the CTE body every OPQ lifecycle oracle
+    * shares, so serve, upsert, delete and drift can never disagree on
+    * what the persisted rotated-space index contains.
+    */
+  private def opqIndexCtes: String = {
     val m = Similarity.pqM
     val sub = Similarity.pqSubDims
     val rounds = Similarity.pqTrainRounds
@@ -2453,15 +2470,7 @@ object SparkEntry {
     val books = (0 until m)
       .map(s => s"SELECT $s AS s, cid, centroid FROM oq${s}_c$rounds")
       .mkString(" UNION ALL ")
-    s"""WITH aniso AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(range(1, 65), j ->
-       |    CAST(embedding[j] AS DOUBLE) * (CASE WHEN j <= ${Similarity.opqScaleDims} THEN ${Similarity.opqScale} ELSE 1.0 END)) AS vec
-       |  FROM embeddings),
-       |rotv AS MATERIALIZED (
-       |  SELECT vec_id, list_transform(range(1, 65), i ->
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), j ->
-       |      CASE WHEN bit_count(CAST((i - 1) & (j - 1) AS BIGINT)) % 2 = 0 THEN vec[j] ELSE -vec[j] END)), (x, y) -> x + y) / 8.0) AS vec
-       |  FROM aniso),
+    s"""${opqRotPair("aniso", "rotv", "embeddings")},
        |$chains,
        |oqbooks AS ($books),
        |oqcodes AS (
@@ -2471,7 +2480,12 @@ object SparkEntry {
        |        ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} ASC,
        |        b.cid ASC) AS rn
        |    FROM rotv e, oqbooks b)
-       |  WHERE rn = 1),
+       |  WHERE rn = 1)""".stripMargin
+  }
+
+  private def opqAdcIndexedSql: String = {
+    val sub = Similarity.pqSubDims
+    s"""WITH $opqIndexCtes,
        |oqqdt AS (
        |  SELECT q.vec_id AS qid, b.s, b.cid,
        |    ${pqSlicedL2("q.vec", "b.centroid", s"b.s * $sub")} AS qdist
@@ -2486,6 +2500,101 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
        |  FROM oqadist)
        |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** The reversed negative-key delta carved + rotated under the FROZEN
+    * Hadamard — the admission path of [[opqUpsertSql]] (raw reversal)
+    * and, with the 5/4 amplitude, [[opqDriftSql]].
+    */
+  private def opqDeltaCtes(amp: String): String =
+    s"""oqdelta AS (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE)$amp) AS embedding
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |${opqRotPair("oqdaniso", "oqdrot", "oqdelta")},
+       |oqdcodes AS (
+       |  SELECT vec_id, s, cid AS code, dist FROM (
+       |    SELECT d.vec_id, b.s, b.cid,
+       |      ${pqSlicedL2("d.vec", "b.centroid", s"b.s * ${Similarity.pqSubDims}")} AS dist,
+       |      row_number() OVER (PARTITION BY d.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("d.vec", "b.centroid", s"b.s * ${Similarity.pqSubDims}")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM oqdrot d, oqbooks b)
+       |  WHERE rn = 1)""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqUpsert]]: the
+    * standing rotated-space index from first principles
+    * ([[opqIndexCtes]]), the delta carved + rotated under the frozen
+    * Hadamard and encoded against the frozen books, per-(subspace,
+    * codeword) occupancy in exact integers — the pqUpsertSql audit in
+    * rotated space.
+    */
+  private def opqUpsertSql: String =
+    s"""WITH $opqIndexCtes,
+       |${opqDeltaCtes("")},
+       |bc AS (SELECT s, code, count(*) AS n_base FROM oqcodes GROUP BY 1, 2),
+       |dc AS (SELECT s, code, count(*) AS n_new, min(vec_id) AS first_new_id
+       |       FROM oqdcodes GROUP BY 1, 2)
+       |SELECT coalesce(bc.s, dc.s) AS s, coalesce(bc.code, dc.code) AS code,
+       |  coalesce(n_base, 0) AS n_base, coalesce(n_new, 0) AS n_new,
+       |  coalesce(n_base, 0) + coalesce(n_new, 0) AS n_total, first_new_id
+       |FROM bc FULL OUTER JOIN dc ON bc.s = dc.s AND bc.code = dc.code
+       |ORDER BY s, code""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqDelete]]: the
+    * shared rotated chain, then per-(subspace, codeword) base / dead /
+    * live occupancy with the dead set from the carve arithmetic — the
+    * Spark side recounts n_live from the physically rewritten overlay,
+    * so a hash match proves the rewrite's content (the pqDeleteSql
+    * treatment).
+    */
+  private def opqDeleteSql: String =
+    s"""WITH $opqIndexCtes,
+       |bc AS (SELECT s, code, count(*) AS n_base FROM oqcodes GROUP BY 1, 2),
+       |dd AS (SELECT s, code, count(*) AS n_dead FROM oqcodes
+       |       WHERE vec_id % ${Similarity.pqDelMod} = ${Similarity.pqDelRem} GROUP BY 1, 2),
+       |lv AS (SELECT s, code, count(*) AS n_live FROM oqcodes
+       |       WHERE vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem} GROUP BY 1, 2)
+       |SELECT bc.s, bc.code, n_base,
+       |  coalesce(n_dead, 0) AS n_dead, coalesce(n_live, 0) AS n_live
+       |FROM bc LEFT JOIN dd ON bc.s = dd.s AND bc.code = dd.code
+       |LEFT JOIN lv ON bc.s = lv.s AND bc.code = lv.code
+       |ORDER BY bc.s, bc.code""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqDrift]]: the
+    * standing chain re-assigned WITH the winning sub-distance for the
+    * base leg, the 5/4-amplitude delta carved + rotated under the
+    * frozen Hadamard for the drift leg, per-subspace vec_id-ordered msd
+    * folds and the shared integer-scaled retrain test.
+    */
+  private def opqDriftSql: String = {
+    val sub = Similarity.pqSubDims
+    s"""WITH $opqIndexCtes,
+       |${opqDeltaCtes(" * 1.25")},
+       |basea AS (
+       |  SELECT vec_id, s, dist FROM (
+       |    SELECT e.vec_id, b.s,
+       |      ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} AS dist,
+       |      row_number() OVER (PARTITION BY e.vec_id, b.s ORDER BY
+       |        ${pqSlicedL2("e.vec", "b.centroid", s"b.s * $sub")} ASC,
+       |        b.cid ASC) AS rn
+       |    FROM rotv e, oqbooks b)
+       |  WHERE rn = 1),
+       |bs AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_base,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y)
+       |      / CAST(count(*) AS BIGINT) AS base_msd
+       |  FROM basea GROUP BY 1),
+       |ns AS (
+       |  SELECT s, CAST(count(*) AS BIGINT) AS n_new,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y)
+       |      / CAST(count(*) AS BIGINT) AS new_msd
+       |  FROM oqdcodes GROUP BY 1)
+       |SELECT bs.s, bs.n_base, coalesce(ns.n_new, 0) AS n_new,
+       |  bs.base_msd, ns.new_msd,
+       |  coalesce(ns.new_msd * 100 > bs.base_msd * ${Similarity.ivfDriftPct}, false) AS retrain
+       |FROM bs LEFT JOIN ns ON ns.s = bs.s
+       |ORDER BY bs.s""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simIvfPqUpsert]]: the
@@ -7457,6 +7566,9 @@ object SparkEntry {
     "sim_ivfpq_residual_indexed" -> ivfPqResidualSql,
     "sim_opq_rotate" -> opqRotateSql,
     "sim_opq_adc_indexed" -> opqAdcIndexedSql,
+    "sim_opq_upsert" -> opqUpsertSql,
+    "sim_opq_delete" -> opqDeleteSql,
+    "sim_opq_drift" -> opqDriftSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,

@@ -4718,6 +4718,160 @@ object Similarity {
       spark.read.parquet(s"$base/codes"), k, Some(qs))
   }
 
+  // ---- OPQ lifecycle (VERDICT r13 item 4: the last index family
+  // without upsert/delete/drift symmetry) --------------------------------
+
+  /** OPQ index UPSERT — [[simPqUpsert]]'s frozen-quantizer admission in
+    * the ROTATED space (FAISS `IndexPreTransform.add`: the pre-transform
+    * applies to every added vector, then the wrapped index admits): the
+    * standard reversed negative-key delta batch ([[upsertDeltaFrame]])
+    * passes through the FROZEN carve + Hadamard ([[opqRotateQueries]] —
+    * the serve-time query path, so admission and serving can never
+    * rotate differently) and encodes under the standing index's frozen
+    * rotated-space codebooks. The audit reports per-(subspace, codeword)
+    * occupancy of base vs admitted codes in exact integers; the
+    * standing tables are never mutated.
+    */
+  def simOpqUpsert(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val base0 = ensureOpqIndex(spark, dir)
+    val books = spark.read.parquet(s"$base0/codebooks")
+    val delta = opqRotateQueries(upsertDeltaFrame(spark, dir))
+    val base = spark.read.parquet(s"$base0/codes")
+      .groupBy("s", "code").agg(count(lit(1)).as("n_base"))
+    val fresh = pqEncodeFrom(delta, books)
+      .groupBy("s", "code").agg(count(lit(1)).as("n_new"),
+        min("vec_id").as("first_new_id"))
+    base.join(fresh, Seq("s", "code"), "full_outer")
+      .select(col("s"), col("code"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        (coalesce(col("n_base"), lit(0L)) + coalesce(col("n_new"), lit(0L)))
+          .as("n_total"),
+        col("first_new_id"))
+      .orderBy("s", "code")
+  }
+
+  // opq_del overlay path -> sfDir that built it (the ensureIvfIndex shape)
+  private val opqDelIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Physically rewrite the OPQ code table minus the tombstoned vectors
+    * — [[pqBuildDeleteIndex]] verbatim for the rotated-space codes (same
+    * [[pqDelMod]]/[[pqDelRem]] carve, so the flat-table deletes stay
+    * comparable): a flat rotated code table has no pruning unit to mask
+    * behind, so the honest `remove_ids` analog is the one-time physical
+    * rewrite into an overlay; the standing index and the frozen rotation
+    * are never mutated — deletion never re-rotates or retrains.
+    */
+  def opqBuildDeleteIndex(spark: SparkSession, dir: String): String = {
+    val main = ensureOpqIndex(spark, dir)
+    val base = graft.Layout.indexBase(spark, dir, "opq_del")
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.filter(col("vec_id") % pqDelMod === pqDelRem)
+      .write.mode("overwrite").parquet(s"$base/tombstones")
+    codes.join(spark.read.parquet(s"$base/tombstones")
+        .select("vec_id").distinct(), Seq("vec_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$base/codes")
+    base
+  }
+
+  /** Build-once accessor for the post-delete OPQ overlay (the
+    * ensureIvfDeleteIndex discipline: marker + memo invalidated BEFORE
+    * rebuilding).
+    */
+  def ensureOpqDeleteIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "opq_del")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/codes/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(opqDelIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        opqDelIndexFor.remove(base)
+        fs.delete(marker, false)
+        opqBuildDeleteIndex(spark, dir)
+        opqDelIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** OPQ delete audit — [[simPqDelete]] over the rotated-space tables:
+    * per (subspace, codeword) base occupancy, dead rows from the
+    * physical tombstones, live rows RECOUNTED from the rewritten
+    * overlay. The oracle derives all three from the rotation + training
+    * chain plus the carve arithmetic — a hash match proves the overlay
+    * holds exactly the base rotated codes minus the deleted vectors.
+    */
+  def simOpqDelete(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureOpqIndex(spark, dir)
+    val del = ensureOpqDeleteIndex(spark, dir)
+    val codes = spark.read.parquet(s"$main/codes")
+    codes.groupBy("s", "code").agg(count(lit(1)).as("n_base"))
+      .join(spark.read.parquet(s"$del/tombstones")
+        .groupBy("s", "code").agg(count(lit(1)).as("n_dead_t")),
+        Seq("s", "code"), "left")
+      .join(spark.read.parquet(s"$del/codes")
+        .groupBy("s", "code").agg(count(lit(1)).as("n_live_r")),
+        Seq("s", "code"), "left")
+      .select(col("s"), col("code"), col("n_base"),
+        coalesce(col("n_dead_t"), lit(0L)).as("n_dead"),
+        coalesce(col("n_live_r"), lit(0L)).as("n_live"))
+      .orderBy("s", "code")
+  }
+
+  /** OPQ drift audit — the [[simIvfDrift]] discipline applied in the
+    * ROTATED space (VERDICT r13 item 4's interesting half): the delta
+    * carries 5/4 amplitude on top of the standard reversed carve (the
+    * [[simSqDrift]] hotter-encoder story — 5/4 is an exact binary
+    * fraction, one exact double multiply in both engines), passes
+    * through the FROZEN carve + Hadamard, and encodes under the
+    * standing rotated-space codebooks. Per subspace the audit reports
+    * the mean squared quantization distance of the BASE rotated corpus
+    * vs the rotated DELTA against those frozen codebooks — a delta that
+    * quantizes much worse than the base is the signal that the frozen
+    * rotation + codebooks no longer fit the incoming energy balance and
+    * the deliberate retrain (re-derive the rotation, re-train books) is
+    * due, flagged by the exact integer-scaled ratio test
+    * ([[ivfDriftPct]] — one rule for every drift audit).
+    *
+    * Bit-exactness: each msd is a vec_id-ordered fold of the winning
+    * sub-distances divided ONCE (the simIvfDrift treatment); the
+    * amplitude multiply precedes the carve in both engines (one op
+    * order, one text). Scale shape: the base leg is the standing
+    * encode's projection re-run (a maintenance audit prices one pass
+    * over the corpus — no vector ever shuffles beyond the per-subspace
+    * bounded aggregates).
+    */
+  def simOpqDrift(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureOpqIndex(spark, dir)
+    val books = spark.read.parquet(s"$main/codebooks")
+    val delta = upsertDeltaFrame(spark, dir)
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.25D)")
+          .as("embedding"))
+    def msdPerS(src: DataFrame, n: String, msd: String): DataFrame =
+      pqAssignWithDist(src, books)
+        .groupBy("s")
+        .agg(count(lit(1)).as(n),
+          sort_array(collect_list(struct(col("vec_id"), col("dist"))))
+            .as("ds"))
+        .withColumn(msd,
+          expr(s"aggregate(ds, 0D, (acc, t) -> acc + t.dist) / $n"))
+        .drop("ds")
+    val base = msdPerS(
+      opqRotatedVecs(spark, dir).select("vec_id", "embedding"),
+      "n_base", "base_msd")
+    val fresh = msdPerS(opqRotateQueries(delta), "n_new", "new_msd")
+    base.join(fresh, Seq("s"), "left")
+      .select(col("s"), col("n_base"),
+        coalesce(col("n_new"), lit(0L)).as("n_new"),
+        col("base_msd"), col("new_msd"),
+        coalesce(col("new_msd") * 100 > col("base_msd") * ivfDriftPct,
+          lit(false)).as("retrain"))
+      .orderBy("s")
+  }
+
   /** [[simPqAdc]] over the MATERIALIZED index ([[pqBuildIndex]]):
     * identical scoring arithmetic ([[pqAdcScore]] — the oracle text is
     * shared verbatim), but books and codes come from the persisted
