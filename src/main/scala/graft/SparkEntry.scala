@@ -241,6 +241,7 @@ object SparkEntry {
     "pipeline_scrub_cut" -> ((s, d) => Text.pipelineScrubCut(s, d)),
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_release" -> ((s, d) => Text.pipelineRelease(s, d)),
+    "pipeline_release_at_version" -> ((s, d) => Text.pipelineReleaseAtVersion(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
@@ -3115,8 +3116,14 @@ object SparkEntry {
     * rebuilt `text2` — shared by the stats oracle and the materialize
     * round-trip oracle so the two can't drift.
     */
-  private val survivorCtes: String =
-    """d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM documents),
+  private val survivorCtes: String = survivorCtesOver("documents")
+
+  /** [[survivorCtes]] over an arbitrary (doc_id, lang, source, text)
+    * relation — the prepareCorpusSurvivorsOver factoring on the oracle
+    * side, so the version-pinned release replays the IDENTICAL recipe.
+    */
+  private def survivorCtesOver(rel: String): String =
+    s"""d AS (SELECT doc_id, lang, source, string_split(text, ' ') AS toks FROM $rel),
       |p AS (
       |  SELECT doc_id, lang, source, unnest(list_transform(range(0, (len(toks) - 1) // 20 + 1),
       |    i -> {'pos': i, 'para': array_to_string(toks[i * 20 + 1 : i * 20 + 20], ' ')})) AS u
@@ -3278,7 +3285,34 @@ object SparkEntry {
     */
   private def releaseSql: String =
     s"""WITH $survivorCtes,
-       |rsv AS MATERIALIZED (
+       |${releaseChainSql("")}""".stripMargin
+
+  /** DuckDB twin of
+    * [[graft.queries.Text.pipelineReleaseAtVersion]]: sequential replay
+    * of the version log to the head state (the ttCtes chain — the
+    * oracle never sees the log or the point read, so agreement proves
+    * read-at-version feeds the release exactly the replayed state), the
+    * origin-attribute rejoin (`(−k) // 8` recovers an inserted key's
+    * origin doc), then the IDENTICAL survivor + release chain texts
+    * with the pinned version column.
+    */
+  private def releaseAtVersionSql: String = {
+    val v = Text.ttVersions
+    s"""WITH $ttCtes,
+       |vdocs AS MATERIALIZED (
+       |  SELECT s.k AS doc_id, d0.lang AS lang, d0.source AS source, s.text AS text
+       |  FROM s$v s JOIN documents d0
+       |    ON d0.doc_id = CASE WHEN s.k >= 0 THEN s.k ELSE (-s.k) // 8 END),
+       |${survivorCtesOver("vdocs")},
+       |${releaseChainSql(s", CAST($v AS INTEGER) AS version")}""".stripMargin
+  }
+
+  /** The water-fill/select/shard/manifest chain over `outq` — ONE text
+    * for the live release and the version-pinned release (the
+    * releaseOver factoring on the oracle side).
+    */
+  private def releaseChainSql(extraFinalCols: String): String =
+    s"""rsv AS MATERIALIZED (
        |  SELECT doc_id, source, n2, md5(text2) AS h2,
        |    CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT) AS sk
        |  FROM outq),
@@ -3324,7 +3358,7 @@ object SparkEntry {
        |    CAST(0 AS BIGINT) AS n_docs, CAST(0 AS BIGINT) AS tokens,
        |    CAST(0 AS BIGINT) AS text_xor, a.cap_tokens, a.allocated_tokens
        |  FROM ra a WHERE a.source NOT IN (SELECT DISTINCT source FROM rkept))
-       |SELECT * FROM (SELECT * FROM rgrp UNION ALL SELECT * FROM rempty)
+       |SELECT *$extraFinalCols FROM (SELECT * FROM rgrp UNION ALL SELECT * FROM rempty)
        |ORDER BY source, shard""".stripMargin
 
   private def signed64Xor(h: String): String =
@@ -6324,6 +6358,7 @@ object SparkEntry {
     },
     "pipeline_gdpr_forget" -> gdprForgetSql,
     "pipeline_release" -> releaseSql,
+    "pipeline_release_at_version" -> releaseAtVersionSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

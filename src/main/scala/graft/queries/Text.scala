@@ -1174,8 +1174,23 @@ object Text {
     */
   private[graft] def prepareCorpusSurvivors(spark: SparkSession, dir: String,
       paraTokens: Int = 20, minTokens: Int = 10,
+      benchmarkSource: String = "src0", width: Int = 8): DataFrame =
+    prepareCorpusSurvivorsOver(spark, docs(spark, dir), "", paraTokens,
+      minTokens, benchmarkSource, width)
+
+  /** [[prepareCorpusSurvivors]] over an ARBITRARY (doc_id, lang, source,
+    * text) frame — factored so the version-pinned release
+    * ([[pipelineReleaseAtVersion]]) runs the IDENTICAL prepare recipe
+    * over a replayed historical state (one recipe text, any corpus
+    * state). `cacheTag` keys the scoped caches per source frame: the
+    * live flow and each versioned flow hold different rewrites and must
+    * not collide in the plan-keyed cache.
+    */
+  private[graft] def prepareCorpusSurvivorsOver(spark: SparkSession,
+      src: DataFrame, cacheTag: String,
+      paraTokens: Int = 20, minTokens: Int = 10,
       benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
-    val paras = Tables.spread(docs(spark, dir))
+    val paras = Tables.spread(src)
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"), col("lang"), col("source"),
         posexplode(expr(
@@ -1199,14 +1214,16 @@ object Text {
     // uncached, the rewrite would execute six times. Two scoped caches
     // bound that to one rewrite + one dedup join (the documented
     // expensive-projection-reused-across-join-sides rule).
-    val q = graft.Caches.scoped(s"prepare.rewritten.$paraTokens.$minTokens",
+    val q = graft.Caches.scoped(
+      s"prepare.rewritten$cacheTag.$paraTokens.$minTokens",
       rewritten
         .withColumn("toks", split(col("text2"), " "))
         .withColumn("n2", size(col("toks")).cast("long"))
         .filter(col("n2") >= minTokens)
         .withColumn("h2", expr("md5(cast(text2 AS BINARY))")))
     val keepIds = q.groupBy("h2").agg(min("doc_id").as("keep_id"))
-    val dd = graft.Caches.scoped(s"prepare.deduped.$paraTokens.$minTokens",
+    val dd = graft.Caches.scoped(
+      s"prepare.deduped$cacheTag.$paraTokens.$minTokens",
       q.join(keepIds, "h2").filter(col("doc_id") === col("keep_id")))
     val bench = dd.filter(col("source") === benchmarkSource)
       .filter(size(col("toks")) >= width)
@@ -4350,6 +4367,56 @@ object Text {
       .localCheckpoint(false), nShards)
   }
 
+  /** VERSION-PINNED RELEASE — "re-create training set #N" (VERDICT r13
+    * item 5, composing the round's two flagship machineries): build the
+    * release manifest AT version `v`, from the version log ALONE. The
+    * corpus state as of v ([[readAtVersion]] — one merge-on-read pass,
+    * provably ≡ sequential replay via the time-travel oracle) is
+    * re-dressed as a documents frame (lang/source rejoin from the
+    * origin doc: an inserted key `-8·d − s` recovers its origin as
+    * `(−k) div 8` — exact integer arithmetic, shared with the oracle),
+    * then the IDENTICAL release recipe runs over it: the full prepare
+    * flow ([[prepareCorpusSurvivorsOver]] — one recipe text with the
+    * live flow), exact water-fill budgets, content-keyed selection,
+    * shard manifest with the 64-bit content XOR, plus the pinned
+    * `version` column. Because every stage is deterministic in the
+    * replayed state and the state is derivable from the log at any
+    * time, the manifest reproduces bit-for-bit from the log alone —
+    * run-over-run AND point-read-vs-replay (ReleaseAtVersionSpec pins
+    * both, and pins v = 0 ≡ the live [[pipelineRelease]] manifest).
+    *
+    * Scale shape: the state read is the log's partition-pruned
+    * merge-on-read pass; everything after is the release flow's own
+    * digest-keyed machinery — nothing new shuffles.
+    */
+  def pipelineReleaseAtVersion(spark: SparkSession, dir: String,
+      v: Int = ttVersions, nShards: Int = 4): DataFrame =
+    releaseAtVersionOver(spark, dir, readAtVersion(spark, dir, v), v,
+      nShards)
+
+  /** The versioned-release tail over an arbitrary (k, text) state —
+    * factored so the spec can feed the SEQUENTIALLY replayed state and
+    * pin manifest equality against the point read.
+    */
+  private[graft] def releaseAtVersionOver(spark: SparkSession, dir: String,
+      state: DataFrame, v: Int, nShards: Int = 4): DataFrame = {
+    val attrs = docs(spark, dir)
+      .select(col("doc_id").as("o_id"), col("lang"), col("source"))
+    val vdocs = state
+      .withColumn("o_id",
+        expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
+      .join(attrs, "o_id")
+      .select(col("k").as("doc_id"), col("lang"), col("source"),
+        col("text"))
+    releaseOver(prepareCorpusSurvivorsOver(spark, vdocs, s".atv$v")
+        .select(col("doc_id"), col("source"), col("n2"), col("h2"))
+        .withColumn("sk",
+          expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
+        .localCheckpoint(false), nShards)
+      .withColumn("version", lit(v))
+      .orderBy("source", "shard")
+  }
+
   /** The budget/select/shard tail over any (doc_id, source, n2, h2, sk)
     * survivors frame — factored so the planted spec can exercise the
     * zero-selection branch (a source whose budget admits nothing) the
@@ -5796,7 +5863,7 @@ object Text {
     * ([[stateAt]]'s pairwise form; ONE definition so the two sides of
     * the merge cannot fold differently).
     */
-  private def applyBatch(state: DataFrame, batch: DataFrame): DataFrame =
+  private[graft] def applyBatch(state: DataFrame, batch: DataFrame): DataFrame =
     state.alias("m").join(batch.alias("u"), Seq("k"), "full_outer")
       .filter(col("u.op").isNull || col("u.op") =!= "delete")
       .select(col("k"),
