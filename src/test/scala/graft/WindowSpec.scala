@@ -437,6 +437,9 @@ class WindowSpec extends SparkSpec {
           val win = s.slice(i - 3, i + 4).map(_.getAs[Long]("rc")).sum
           assert(r.getAs[Double]("trend") == win.toDouble / 7.0,
             s"nation $nk row $i: trend drifted")
+          // the scaled-integer companion is exact long arithmetic
+          assert(r.getAs[Long]("detr7") == 7L * r.getAs[Long]("rc") - win,
+            s"nation $nk row $i: detr7 companion inconsistent")
           // reconstruction: rev = trend + seasonal + resid (float assoc)
           val back = r.getAs[Double]("trend") + r.getAs[Double]("seasonal") +
             r.getAs[Double]("resid")
@@ -444,13 +447,18 @@ class WindowSpec extends SparkSpec {
             s"nation $nk row $i: identity broken")
         }
       }
-      // the seven seasonal indexes center to zero
-      val seas = s.filter(!_.isNullAt(s.head.fieldIndex("seasonal")))
-        .map(r => r.getAs[Long]("dow") -> r.getAs[Double]("seasonal"))
-        .distinct
-      if (seas.nonEmpty)
-        assert(math.abs(seas.map(_._2).sum) < 1e-6,
-          s"nation $nk: seasonal indexes do not center")
+      // r14 normalization: seasonal subtracts the observation-WEIGHTED
+      // grand mean, so the exact identity is Σ_d cnt_d · seasonal_d = 0
+      // over the detrended observations (the unweighted 7-index sum is
+      // no longer the centered quantity)
+      val obs = s.filter(!_.isNullAt(s.head.fieldIndex("detr7")))
+      if (obs.nonEmpty) {
+        val wsum = obs.groupBy(_.getAs[Long]("dow")).map { case (_, rs) =>
+          rs.head.getAs[Double]("seasonal") * rs.length
+        }.sum
+        assert(math.abs(wsum) < 1e-6,
+          s"nation $nk: weighted seasonal indexes do not center")
+      }
     }
   }
 }
