@@ -242,6 +242,7 @@ object SparkEntry {
     "pipeline_prepare_corpus" -> ((s, d) => Text.pipelinePrepareCorpus(s, d)),
     "pipeline_release" -> ((s, d) => Text.pipelineRelease(s, d)),
     "pipeline_release_at_version" -> ((s, d) => Text.pipelineReleaseAtVersion(s, d)),
+    "pipeline_corpus_drift" -> ((s, d) => Text.pipelineCorpusDrift(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
@@ -414,6 +415,8 @@ object SparkEntry {
     "sim_opq_upsert" -> ((s, d) => Similarity.simOpqUpsert(s, d)),
     "sim_opq_delete" -> ((s, d) => Similarity.simOpqDelete(s, d)),
     "sim_opq_drift" -> ((s, d) => Similarity.simOpqDrift(s, d)),
+    "sim_opq_adc_deleted" -> ((s, d) => Similarity.simOpqAdcDeleted(s, d)),
+    "sim_hard_negatives_indexed" -> ((s, d) => Similarity.simHardNegativesIndexed(s, d)),
     // by-residual IVFPQ over the persisted residual index (build/serve
     // split; results — and the oracle — identical by construction)
     "sim_ivfpq_residual_indexed" -> ((s, d) => Similarity.simIvfPqResidualIndexed(s, d)),
@@ -1251,6 +1254,72 @@ object SparkEntry {
       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
 
   private def ivfAnnSql: String = ivfAnnSqlOver("TRUE")
+
+  /** DuckDB twin of
+    * [[graft.queries.Similarity.simHardNegativesIndexed]]: the verbatim
+    * ivfAnnSqlOver probe/score chain supplies the shortlist, labels
+    * join from the corpus, and the sim_hard_negatives report tail runs
+    * over it unchanged — shortlist-scoped positive included (NULL pos
+    * columns where the probed region holds no positive).
+    */
+  private def hardNegativesIndexedSql: String =
+    s"""WITH ${kmeansCtes()},
+       |$ivfRankCtes,
+       |cells AS (SELECT vec_id AS m_vec_id, c_label AS cell, embedding AS m_vec, vnorm AS m_norm FROM rk WHERE crnk = 1),
+       |probes AS (SELECT vec_id AS qid, c_label AS cell, embedding AS qvec, vnorm AS qnorm FROM rk WHERE vec_id < 5 AND crnk <= 2),
+       |s0 AS (
+       |  SELECT qid, m_vec_id,
+       |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(m_vec[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * m_norm) AS cosine
+       |  FROM cells JOIN probes ON cells.cell = probes.cell
+       |  WHERE m_vec_id <> qid),
+       |s AS (
+       |  SELECT s0.qid, qe.label AS qlabel, s0.m_vec_id AS vec_id,
+       |    me.label AS label, s0.cosine
+       |  FROM s0 JOIN embeddings me ON me.vec_id = s0.m_vec_id
+       |  JOIN embeddings qe ON qe.vec_id = s0.qid),
+       |p AS (
+       |  SELECT qid, first(vec_id ORDER BY cosine DESC, vec_id ASC) AS pos_id,
+       |    first(cosine ORDER BY cosine DESC, vec_id ASC) AS pos_cosine
+       |  FROM s WHERE label = qlabel GROUP BY qid),
+       |n AS (
+       |  SELECT qid, qlabel, vec_id AS neg_id, label AS neg_label, cosine AS neg_cosine,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS INT) AS rnk
+       |  FROM s WHERE label <> qlabel)
+       |SELECT n.qid, n.qlabel, n.rnk, n.neg_id, n.neg_label, n.neg_cosine,
+       |  p.pos_id, p.pos_cosine,
+       |  p.pos_cosine - n.neg_cosine AS margin,
+       |  n.neg_cosine > p.pos_cosine AS violating
+       |FROM n LEFT JOIN p ON n.qid = p.qid
+       |WHERE n.rnk <= 5
+       |ORDER BY n.qid, n.rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.pipelineCorpusDrift]]: the
+    * sequential-replay states at the diff window's endpoints, unigram
+    * counts full-outer joined, the top-|Δ| cut with integer-ppm shares
+    * — every output column a BIGINT.
+    */
+  private def corpusDriftSql: String = {
+    val k = Text.driftTopK
+    s"""WITH $ttCtes,
+       |cf AS (SELECT token, CAST(count(*) AS BIGINT) AS n_from FROM (
+       |         SELECT unnest(string_split(text, ' ')) AS token FROM s${Text.ttDiffFrom}) GROUP BY 1),
+       |ct AS (SELECT token, CAST(count(*) AS BIGINT) AS n_to FROM (
+       |         SELECT unnest(string_split(text, ' ')) AS token FROM s${Text.ttDiffTo}) GROUP BY 1),
+       |jj AS MATERIALIZED (
+       |  SELECT coalesce(cf.token, ct.token) AS token,
+       |    coalesce(n_from, 0) AS n_from, coalesce(n_to, 0) AS n_to
+       |  FROM cf FULL OUTER JOIN ct ON cf.token = ct.token),
+       |tot AS (SELECT CAST(sum(n_from) AS BIGINT) AS total_from,
+       |               CAST(sum(n_to) AS BIGINT) AS total_to FROM jj),
+       |top AS (SELECT * FROM jj
+       |        ORDER BY abs(n_to - n_from) DESC, token ASC LIMIT $k)
+       |SELECT token, n_from, n_to, n_to - n_from AS delta,
+       |  n_from * 1000000 // total_from AS share_from_ppm,
+       |  n_to * 1000000 // total_to AS share_to_ppm,
+       |  total_from, total_to
+       |FROM top, tot
+       |ORDER BY abs(n_to - n_from) DESC, token ASC""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.multimodal.Multimodal.crossModalDedup]]: the
     * verbatim ivfAnnSqlOver probe/score chain with the frame-carve query
@@ -2495,6 +2564,31 @@ object SparkEntry {
        |  SELECT qid, c.vec_id AS vec_id,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
        |  FROM oqcodes c JOIN oqqdt ON c.s = oqqdt.s AND c.code = oqqdt.cid AND c.vec_id <> oqqdt.qid
+       |  GROUP BY 1, 2)
+       |SELECT qid, vec_id, adc, rnk FROM (
+       |  SELECT qid, vec_id, adc,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM oqadist)
+       |WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqAdcDeleted]]: the
+    * shared rotated chain with the code table filtered to the live
+    * carve — the opqAdcIndexedSql search text over survivors only.
+    */
+  private def opqAdcDeletedSql: String = {
+    val sub = Similarity.pqSubDims
+    s"""WITH $opqIndexCtes,
+       |oqlive AS (SELECT * FROM oqcodes
+       |  WHERE vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem}),
+       |oqqdt AS (
+       |  SELECT q.vec_id AS qid, b.s, b.cid,
+       |    ${pqSlicedL2("q.vec", "b.centroid", s"b.s * $sub")} AS qdist
+       |  FROM rotv q, oqbooks b WHERE q.vec_id < 5),
+       |oqadist AS (
+       |  SELECT qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM oqlive c JOIN oqqdt ON c.s = oqqdt.s AND c.code = oqqdt.cid AND c.vec_id <> oqqdt.qid
        |  GROUP BY 1, 2)
        |SELECT qid, vec_id, adc, rnk FROM (
        |  SELECT qid, vec_id, adc,
@@ -6359,6 +6453,7 @@ object SparkEntry {
     "pipeline_gdpr_forget" -> gdprForgetSql,
     "pipeline_release" -> releaseSql,
     "pipeline_release_at_version" -> releaseAtVersionSql,
+    "pipeline_corpus_drift" -> corpusDriftSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
@@ -7604,6 +7699,8 @@ object SparkEntry {
     "sim_opq_upsert" -> opqUpsertSql,
     "sim_opq_delete" -> opqDeleteSql,
     "sim_opq_drift" -> opqDriftSql,
+    "sim_opq_adc_deleted" -> opqAdcDeletedSql,
+    "sim_hard_negatives_indexed" -> hardNegativesIndexedSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,
     "sim_ivf_ann_deleted" -> ivfAnnDeletedSql,

@@ -105,6 +105,41 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** [[simHardNegatives]] over the STANDING IVF shortlist — the scale
+    * path that operator's own scaladoc names ("at 100 TB the scan side
+    * swaps for the standing IVF/BQ shortlist ... with this exact form
+    * as the recall oracle"): candidates come from the probed cells only
+    * (the [[simFilteredAnnIndexed]] probe machinery), anchor/candidate
+    * labels join from the id/label projection (no vector re-scan), and
+    * the IDENTICAL report tail runs — including the nearest positive,
+    * which here is SHORTLIST-SCOPED: exactly what a FAISS-backed miner
+    * computes, and the documented semantic difference from the
+    * brute-force recall oracle (a probed region with no positive emits
+    * NULL pos columns and NULL margins — surfaced, not hidden).
+    */
+  def simHardNegativesIndexed(spark: SparkSession, dir: String,
+      nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val base = ensureIvfIndex(spark, dir)
+    register(spark)
+    spark.read.parquet(s"$base/centroids")
+      .createOrReplaceTempView("graft_ivf_centroids")
+    defaultQueries(spark, dir).createOrReplaceTempView("graft_ivf_queries")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+    val cells = probeKeys.select("c_label").distinct()
+      .collect().map(_.getLong(0)).sorted // bounded index metadata
+    val members = readIvfCells(spark, base)
+      .filter(col("cell").isin(cells.toIndexedSeq: _*))
+    val scored = ivfScoredCandidates(spark, dir, members, probeKeys, None)
+    val lab = Tables(spark, dir, "embeddings")
+      .select(col("vec_id").as("m_vec_id"), col("label"))
+    val qlab = Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("label").as("qlabel"))
+    hardNegReport(
+      scored.join(lab, "m_vec_id").join(broadcast(qlab), "qid")
+        .select(col("qid"), col("qlabel"), col("m_vec_id").as("vec_id"),
+          col("label"), col("cosine")), k)
+  }
+
   /** MMR re-rank constants — λ = mmrLambdaNum/mmrLambdaDen (exact binary
     * fraction, the in-plan-arithmetic exactness rule), shortlist L and
     * selection k shared with the generated oracle (the kmeansCtes
@@ -4819,6 +4854,26 @@ object Similarity {
       .orderBy("s", "code")
   }
 
+  /** [[simOpqAdcIndexed]] over the post-delete overlay — the
+    * [[simPqAdcDeleted]] treatment for the rotated family: frozen
+    * rotated-space codebooks with the REWRITTEN code table, queries
+    * through the same carve + Hadamard. A hash match (ADC over live
+    * rotated codes from first principles) proves the rewrite lost no
+    * live code and no deleted vector can ever surface.
+    */
+  def simOpqAdcDeleted(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    register(spark)
+    val main = ensureOpqIndex(spark, dir)
+    val del = ensureOpqDeleteIndex(spark, dir)
+    val qs = opqRotateQueries(
+      Tables(spark, dir, "embeddings").filter(col("vec_id") < 5)
+        .select("vec_id", "embedding"))
+    pqAdcScore(spark, dir,
+      spark.read.parquet(s"$main/codebooks"),
+      spark.read.parquet(s"$del/codes"), k, Some(qs))
+  }
+
   /** OPQ drift audit — the [[simIvfDrift]] discipline applied in the
     * ROTATED space (VERDICT r13 item 4's interesting half): the delta
     * carries 5/4 amplitude on top of the standard reversed carve (the
@@ -5138,6 +5193,15 @@ object Similarity {
         expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
       .select(col("qid"), col("qlabel"), col("vec_id"), col("label"),
         col("cosine"))
+    hardNegReport(scored, k)
+  }
+
+  /** The positive-argmax + negative-top-k + margin report over any
+    * (qid, qlabel, vec_id, label, cosine) candidate frame — ONE text
+    * for the brute-force miner and the standing-shortlist twin
+    * ([[simHardNegativesIndexed]]), the ivfTopK factoring rule.
+    */
+  private def hardNegReport(scored: DataFrame, k: Int): DataFrame = {
     val pos = scored.filter(col("label") === col("qlabel"))
       .groupBy("qid")
       .agg(max(struct(col("cosine"), (-col("vec_id")).as("nid"))).as("p"))

@@ -5991,6 +5991,76 @@ object Text {
         expr(s"bit_xor(${md5SignedHash64Expr("hd")})").as("text_xor"))
   }
 
+  /** Top-k cut for [[pipelineCorpusDrift]] — shared with the generated
+    * oracle (the ttCarves rule).
+    */
+  private[graft] val driftTopK = 25
+
+  /** CORPUS DRIFT between two log versions — the dataset-card question
+    * a curator asks before shipping training set #N+1 ("what actually
+    * changed in the data?") answered at the TOKEN level, from the
+    * version log alone: unigram counts of the corpus state at
+    * [[ttDiffFrom]] vs [[ttDiffTo]] (both states one merge-on-read
+    * pass, the [[readAtVersion]] machinery), full-outer joined, and
+    * the [[driftTopK]] largest absolute count movers reported with
+    * exact integer shares (`count·10⁶ div total` — integer division,
+    * no float ever). A re-shard or id remap moves NOTHING here; a
+    * boilerplate injection, a source swap or a template leak moves the
+    * head of this list immediately — the drift screen that catches
+    * silent corpus rot between releases.
+    *
+    * Exactness: every column is a BIGINT (counts, deltas, ppm by
+    * integer division) — nothing to round. Determinism: the cut
+    * orders by (|Δ| DESC, token ASC) — a total order. Scale shape:
+    * token counts are digest-small shuffle rows; the top-k is
+    * TakeOrderedAndProject (distributed partial top-k, never a global
+    * sort); corpus totals attach to the 25-row cut via the
+    * unpartitioned-window-over-bounded-frame rule (no constant-key
+    * join for Catalyst to fold into a BNLJ); the vocabulary-sized
+    * count frame is lineage-truncated once and feeds both the cut and
+    * the 1-row totals.
+    */
+  def pipelineCorpusDrift(spark: SparkSession, dir: String,
+      vFrom: Int = ttDiffFrom, vTo: Int = ttDiffTo,
+      topK: Int = driftTopK): DataFrame = {
+    val base = ensureVersionLog(spark, dir)
+    val events = spark.read.parquet(s"$base/events")
+    def counts(v: Int, as: String): DataFrame =
+      stateAt(events, v)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy("token").agg(count(lit(1)).as(as))
+    val j = counts(vFrom, "n_from")
+      .join(counts(vTo, "n_to"), Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("n_from"), lit(0L)).as("n_from"),
+        coalesce(col("n_to"), lit(0L)).as("n_to"))
+      .localCheckpoint(false)
+    val top = j
+      .withColumn("delta", col("n_to") - col("n_from"))
+      .orderBy(abs(col("delta")).desc, col("token").asc)
+      .limit(topK)
+    val tot = j.agg(sum("n_from").as("tf"), sum("n_to").as("tt"))
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    top
+      .withColumn("total_from", lit(null).cast("long"))
+      .withColumn("total_to", lit(null).cast("long"))
+      .unionByName(tot.select(
+        lit(null).cast("string").as("token"),
+        lit(null).cast("long").as("n_from"),
+        lit(null).cast("long").as("n_to"),
+        lit(null).cast("long").as("delta"),
+        col("tf").as("total_from"), col("tt").as("total_to")))
+      .withColumn("total_from", max("total_from").over(wAll))
+      .withColumn("total_to", max("total_to").over(wAll))
+      .filter(col("token").isNotNull)
+      .select(col("token"), col("n_from"), col("n_to"), col("delta"),
+        expr("n_from * 1000000L div total_from").as("share_from_ppm"),
+        expr("n_to * 1000000L div total_to").as("share_to_ppm"),
+        col("total_from"), col("total_to"))
+      .orderBy(abs(col("delta")).desc, col("token").asc)
+  }
+
   /** The version window the CDC diff and checkpoint demos audit — ONE
     * pair of literals for the Spark side and the generated replay oracle
     * (the ttCarves rule). (1, 3] spans batch 2's resurrection and batch

@@ -62,6 +62,16 @@ class OpqLifecycleSpec extends SparkSpec {
     assert(live.count() == expected)
   }
 
+  test("opq delete serve: no tombstoned id ever surfaces from the overlay") {
+    val served = Similarity.simOpqAdcDeleted(spark, sf001).collect()
+    assert(served.nonEmpty)
+    served.foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(id % Similarity.pqDelMod != Similarity.pqDelRem,
+        s"deleted vector $id surfaced as an ADC candidate")
+    }
+  }
+
   test("opq drift: the 5/4-amplitude delta flags retrain in every subspace") {
     val rows = Similarity.simOpqDrift(spark, sf001).collect()
     assert(rows.length == Similarity.pqM)

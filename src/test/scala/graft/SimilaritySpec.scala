@@ -385,6 +385,38 @@ class SimilaritySpec extends SparkSpec {
       "an anchor without a same-label partner must report null positive/margin")
   }
 
+  test("indexed hard negatives: shortlist positive never beats global, cosines bit-match, recall holds") {
+    val sf001 = "/root/testdata/sf0.001"
+    // a wide brute net so every indexed pair has a reference cosine
+    val brute = Similarity.simHardNegatives(spark, sf001, k = 40).collect()
+    val bruteCos = brute.map(r => (r.getAs[Long]("qid"),
+      r.getAs[Long]("neg_id")) -> r.getAs[Double]("neg_cosine")).toMap
+    val brutePos = brute.filter(!_.isNullAt(7))
+      .map(r => r.getAs[Long]("qid") -> r.getAs[Double]("pos_cosine")).toMap
+    val idx = Similarity.simHardNegativesIndexed(spark, sf001).collect()
+    assert(idx.nonEmpty)
+    idx.foreach { r =>
+      val qid = r.getAs[Long]("qid")
+      // the shortlist-scoped positive is a max over a SUBSET of the
+      // global candidate pool — exact ≤, never >
+      if (!r.isNullAt(r.fieldIndex("pos_cosine")))
+        assert(r.getAs[Double]("pos_cosine") <= brutePos(qid),
+          s"anchor $qid: shortlist positive beats the global one")
+      // same pair, same arithmetic text: cosines are bit-equal
+      bruteCos.get((qid, r.getAs[Long]("neg_id"))).foreach { c =>
+        assert(c == r.getAs[Double]("neg_cosine"),
+          s"anchor $qid neg ${r.getAs[Long]("neg_id")}: cosine drifted")
+      }
+    }
+    // probe-depth recall vs the brute top-5 (measured 23/25 at sf0.001)
+    val bruteTop = Similarity.simHardNegatives(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("qid"), r.getAs[Long]("neg_id"))).toSet
+    val got = idx.map(r =>
+      (r.getAs[Long]("qid"), r.getAs[Long]("neg_id"))).toSet
+    assert((bruteTop & got).size * 5 >= bruteTop.size * 4,
+      s"indexed miner recall below 0.8: ${(bruteTop & got).size}/${bruteTop.size}")
+  }
+
   test("rrf fusion indexed: equals the per-call fusion, lexical leg never re-tokenizes") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}

@@ -978,6 +978,40 @@ class StreamingSpec extends SparkSpec {
       ("click", 2, 500000L, 500000L, false, true)), s"${rows.toSeq}")
   }
 
+  test("attribution journey caps per-user state keeping both U-shape anchors") {
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val input = MemoryStream[(Long, Long, java.sql.Timestamp, String, Double)]
+    val events = input.toDF()
+      .toDF("user_id", "event_id", "ts", "event_type", "value")
+    val q = StreamingOps.attributedCredits(events, maxTouches = 3)
+      .writeStream.format("memory").queryName("attr_capped")
+      .outputMode("append").start()
+    // five touches against a cap of 3: each overflow drops the SECOND
+    // retained touch (oldest middle), so the journey ends as
+    // [t1=view, t4=click, t5=view] — the first touch (U-shape 40%
+    // anchor) and the freshest tail survive
+    input.addData(
+      (1L, 10L, ts("2024-01-01 01:00:00"), "view", 0.0),
+      (1L, 11L, ts("2024-01-01 01:10:00"), "click", 0.0),
+      (1L, 12L, ts("2024-01-01 01:20:00"), "signup", 0.0),
+      (1L, 13L, ts("2024-01-01 01:30:00"), "click", 0.0),
+      (1L, 14L, ts("2024-01-01 01:40:00"), "view", 0.0),
+      (1L, 15L, ts("2024-01-01 02:00:00"), "purchase", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("attr_capped").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Int]("idx"),
+        r.getAs[Long]("linear_ppm"), r.getAs[Long]("ushape_ppm"),
+        r.getAs[Boolean]("first"), r.getAs[Boolean]("last"))).sortBy(_._2)
+    assert(rows.toSeq == Seq(
+      ("view", 1, 333333L, 400000L, true, false),
+      ("click", 2, 333333L, 200000L, false, false),
+      ("view", 3, 333334L, 400000L, false, true)), s"${rows.toSeq}")
+  }
+
   test("streamed attribution credits fold to the batch ev_attribution rollup") {
     val sf = "/root/testdata/sf0.001"
     val stream = StreamingOps.readEventsStream(spark, eventsDir)

@@ -251,4 +251,40 @@ class TimeTravelSpec extends SparkSpec {
       audit("branch_head").getAs[Long]("text_xor"),
       "merge must not simply adopt the branch head")
   }
+
+  test("corpus drift: version markers surface with zero prior mass; integer algebra exact") {
+    val rows = Text.pipelineCorpusDrift(spark, dir).collect()
+    assert(rows.length == Text.driftTopK)
+    // batch 3 revises inside the (ttDiffFrom, ttDiffTo] window: its
+    // " [v3]" suffix token is NEW corpus mass and must top the movers;
+    // batch 2's marker likewise (both measured rank 1-2 at sf0.001)
+    Seq("[v2]", "[v3]").foreach { m =>
+      val r = rows.find(_.getAs[String]("token") == m)
+      assert(r.isDefined, s"marker token $m missing from the drift head")
+      assert(r.get.getAs[Long]("n_from") == 0L, s"$m existed before?")
+      assert(r.get.getAs[Long]("delta") > 0L)
+    }
+    // batch 2/3 revise docs batch 1 already revised, so [v1] mass must
+    // SHRINK across the window — the overwrite made visible
+    val v1 = rows.find(_.getAs[String]("token") == "[v1]")
+    assert(v1.isDefined && v1.get.getAs[Long]("delta") < 0L,
+      "the [v1] marker must lose mass to later revisions")
+    // exact integer algebra on every row
+    rows.foreach { r =>
+      assert(r.getAs[Long]("delta") ==
+        r.getAs[Long]("n_to") - r.getAs[Long]("n_from"))
+      assert(r.getAs[Long]("share_from_ppm") ==
+        r.getAs[Long]("n_from") * 1000000L / r.getAs[Long]("total_from"))
+      assert(r.getAs[Long]("share_to_ppm") ==
+        r.getAs[Long]("n_to") * 1000000L / r.getAs[Long]("total_to"))
+    }
+    // the attached corpus totals equal the directly recomputed state
+    // token masses (the unpartitioned-window attach carried real sums)
+    val tf = Text.readAtVersion(spark, dir, Text.ttDiffFrom)
+      .select(explode(split(col("text"), " "))).count()
+    val tt = Text.readAtVersion(spark, dir, Text.ttDiffTo)
+      .select(explode(split(col("text"), " "))).count()
+    assert(rows.head.getAs[Long]("total_from") == tf)
+    assert(rows.head.getAs[Long]("total_to") == tt)
+  }
 }
