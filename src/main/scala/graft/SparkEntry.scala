@@ -243,6 +243,7 @@ object SparkEntry {
     "pipeline_release" -> ((s, d) => Text.pipelineRelease(s, d)),
     "pipeline_release_at_version" -> ((s, d) => Text.pipelineReleaseAtVersion(s, d)),
     "pipeline_corpus_drift" -> ((s, d) => Text.pipelineCorpusDrift(s, d)),
+    "pipeline_budget_drift" -> ((s, d) => Text.pipelineBudgetDrift(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
@@ -1292,6 +1293,34 @@ object SparkEntry {
        |FROM n LEFT JOIN p ON n.qid = p.qid
        |WHERE n.rnk <= 5
        |ORDER BY n.qid, n.rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.pipelineBudgetDrift]]: the
+    * sequential-replay states at the window endpoints, per-source token
+    * capacities via the origin rejoin, and the VERBATIM water-fill
+    * solver arithmetic ([[waterfillCtes]]) run at both endpoints —
+    * integer deltas end to end.
+    */
+  private def budgetDriftSql: String = {
+    def capCte(name: String, st: String): String =
+      s"""$name AS (
+         |  SELECT d0.source AS source,
+         |    CAST(sum(len(string_split(s.text, ' '))) AS BIGINT) AS cap
+         |  FROM $st s JOIN documents d0
+         |    ON d0.doc_id = CASE WHEN s.k >= 0 THEN s.k ELSE (-s.k) // 8 END
+         |  GROUP BY 1)""".stripMargin
+    s"""WITH $ttCtes,
+       |${capCte("fcap", s"s${Text.ttDiffFrom}")},
+       |${capCte("tcap", s"s${Text.ttDiffTo}")},
+       |${waterfillCtes("f", "fcap")},
+       |${waterfillCtes("t", "tcap")}
+       |SELECT coalesce(f.source, t.source) AS source,
+       |  coalesce(f.cap, 0) AS cap_from, coalesce(f.allocated, 0) AS alloc_from,
+       |  coalesce(t.cap, 0) AS cap_to, coalesce(t.allocated, 0) AS alloc_to,
+       |  coalesce(t.cap, 0) - coalesce(f.cap, 0) AS cap_delta,
+       |  coalesce(t.allocated, 0) - coalesce(f.allocated, 0) AS alloc_delta
+       |FROM fra f FULL OUTER JOIN tra t ON f.source = t.source
+       |ORDER BY source""".stripMargin
+  }
 
   /** DuckDB twin of [[graft.queries.Text.pipelineCorpusDrift]]: the
     * sequential-replay states at the diff window's endpoints, unigram
@@ -3401,6 +3430,36 @@ object SparkEntry {
        |${releaseChainSql(s", CAST($v AS INTEGER) AS version")}""".stripMargin
   }
 
+  /** The exact water-fill solver arithmetic over a (source, cap) CTE —
+    * ONE text for the release manifests and the budget-drift audit (the
+    * waterfillAlloc one-definition rule mirrored on the oracle side).
+    * Emits `${p}ra` = (source, cap, allocated).
+    */
+  private def waterfillCtes(p: String, capsCte: String): String =
+    s"""${p}rr AS (
+       |  SELECT source, cap,
+       |    count(*) OVER () AS n,
+       |    CAST(sum(cap) OVER () AS BIGINT) // 2 AS t,
+       |    row_number() OVER (ORDER BY cap ASC, source ASC) AS rn,
+       |    coalesce(CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+       |  FROM $capsCte),
+       |${p}rs AS (SELECT *, cap * (n - rn + 1) + prefix <= t AS saturated FROM ${p}rr),
+       |${p}rg AS (
+       |  SELECT *,
+       |    CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS BIGINT) AS sat_sum,
+       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS BIGINT) AS m,
+       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
+       |      OVER (ORDER BY source ASC) AS BIGINT) AS uns_rank
+       |  FROM ${p}rs),
+       |${p}ra AS (
+       |  SELECT source, cap,
+       |    CAST(CASE WHEN saturated THEN cap
+       |      ELSE (t - sat_sum) // m +
+       |        CASE WHEN uns_rank <= (t - sat_sum) % m THEN 1 ELSE 0 END
+       |      END AS BIGINT) AS allocated
+       |  FROM ${p}rg)""".stripMargin
+
   /** The water-fill/select/shard/manifest chain over `outq` — ONE text
     * for the live release and the version-pinned release (the
     * releaseOver factoring on the oracle side).
@@ -3411,29 +3470,8 @@ object SparkEntry {
        |    CAST(('0x' || substr(md5(text2), 1, 15)) AS BIGINT) AS sk
        |  FROM outq),
        |rcap AS (SELECT source, CAST(sum(n2) AS BIGINT) AS cap FROM rsv GROUP BY 1),
-       |rr AS (
-       |  SELECT source, cap,
-       |    count(*) OVER () AS n,
-       |    CAST(sum(cap) OVER () AS BIGINT) // 2 AS t,
-       |    row_number() OVER (ORDER BY cap ASC, source ASC) AS rn,
-       |    coalesce(CAST(sum(cap) OVER (ORDER BY cap ASC, source ASC
-       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
-       |  FROM rcap),
-       |rs AS (SELECT *, cap * (n - rn + 1) + prefix <= t AS saturated FROM rr),
-       |rg AS (
-       |  SELECT *,
-       |    CAST(sum(CASE WHEN saturated THEN cap ELSE 0 END) OVER () AS BIGINT) AS sat_sum,
-       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END) OVER () AS BIGINT) AS m,
-       |    CAST(sum(CASE WHEN saturated THEN 0 ELSE 1 END)
-       |      OVER (ORDER BY source ASC) AS BIGINT) AS uns_rank
-       |  FROM rs),
-       |ra AS (
-       |  SELECT source, cap AS cap_tokens,
-       |    CAST(CASE WHEN saturated THEN cap
-       |      ELSE (t - sat_sum) // m +
-       |        CASE WHEN uns_rank <= (t - sat_sum) % m THEN 1 ELSE 0 END
-       |      END AS BIGINT) AS allocated_tokens
-       |  FROM rg),
+       |${waterfillCtes("w", "rcap")},
+       |ra AS (SELECT source, cap AS cap_tokens, allocated AS allocated_tokens FROM wra),
        |rsel AS MATERIALIZED (
        |  SELECT v.doc_id, v.source, v.n2, v.h2, v.sk,
        |    a.cap_tokens, a.allocated_tokens,
@@ -6454,6 +6492,7 @@ object SparkEntry {
     "pipeline_release" -> releaseSql,
     "pipeline_release_at_version" -> releaseAtVersionSql,
     "pipeline_corpus_drift" -> corpusDriftSql,
+    "pipeline_budget_drift" -> budgetDriftSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

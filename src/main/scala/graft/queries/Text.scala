@@ -6061,6 +6061,52 @@ object Text {
       .orderBy(abs(col("delta")).desc, col("token").asc)
   }
 
+  /** WATER-FILL BUDGET DRIFT across the version window — the
+    * capacity-planning companion to [[pipelineCorpusDrift]] (that one
+    * answers "which tokens moved"; this answers "how do the moved
+    * masses change next release's per-source budgets"): per source,
+    * the raw token capacity and the EXACT water-fill allocation
+    * ([[waterfillAlloc]] — the release builder's own solver) at
+    * [[ttDiffFrom]] vs [[ttDiffTo]], with integer deltas. Because the
+    * solver is exact and closed-form, the drift in allocations is
+    * exactly attributable to the drift in capacities — the audit a
+    * curator reads before re-cutting the mix. Source attribution via
+    * the origin-doc rejoin (the [[pipelineReleaseAtVersion]] `(−k) div
+    * 8` rule).
+    *
+    * Scale shape: two partition-pruned merge-on-read state passes; the
+    * solver runs twice over ≤|sources| rows; output is |sources| rows
+    * of BIGINTs.
+    */
+  def pipelineBudgetDrift(spark: SparkSession, dir: String,
+      vFrom: Int = ttDiffFrom, vTo: Int = ttDiffTo): DataFrame = {
+    val base = ensureVersionLog(spark, dir)
+    val events = spark.read.parquet(s"$base/events")
+    val attrs = docs(spark, dir)
+      .select(col("doc_id").as("o_id"), col("source"))
+    def alloc(v: Int, capN: String, allocN: String): DataFrame =
+      waterfillAlloc(stateAt(events, v)
+          .withColumn("o_id",
+            expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
+          .join(attrs, "o_id")
+          .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+          .groupBy("source").agg(sum("n_tokens").as("cap")))
+        .select(col("source"), col("cap").as(capN),
+          col("allocated").as(allocN))
+    alloc(vFrom, "cap_from", "alloc_from")
+      .join(alloc(vTo, "cap_to", "alloc_to"), Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("cap_from"), lit(0L)).as("cap_from"),
+        coalesce(col("alloc_from"), lit(0L)).as("alloc_from"),
+        coalesce(col("cap_to"), lit(0L)).as("cap_to"),
+        coalesce(col("alloc_to"), lit(0L)).as("alloc_to"),
+        (coalesce(col("cap_to"), lit(0L)) -
+          coalesce(col("cap_from"), lit(0L))).as("cap_delta"),
+        (coalesce(col("alloc_to"), lit(0L)) -
+          coalesce(col("alloc_from"), lit(0L))).as("alloc_delta"))
+      .orderBy("source")
+  }
+
   /** The version window the CDC diff and checkpoint demos audit — ONE
     * pair of literals for the Spark side and the generated replay oracle
     * (the ttCarves rule). (1, 3] spans batch 2's resurrection and batch

@@ -252,6 +252,29 @@ class TimeTravelSpec extends SparkSpec {
       "merge must not simply adopt the branch head")
   }
 
+  test("budget drift: both endpoints spend exactly half their capacity, to the token") {
+    val rows = Text.pipelineBudgetDrift(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // the water-fill law at EACH endpoint: allocations sum to
+    // floor(total capacity / 2) exactly — no float share ever rounds
+    // the budget away (the txMixWaterfill invariant, here across two
+    // replayed states at once)
+    val capF = rows.map(_.getAs[Long]("cap_from")).sum
+    val capT = rows.map(_.getAs[Long]("cap_to")).sum
+    assert(rows.map(_.getAs[Long]("alloc_from")).sum == capF / 2)
+    assert(rows.map(_.getAs[Long]("alloc_to")).sum == capT / 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cap_delta") ==
+        r.getAs[Long]("cap_to") - r.getAs[Long]("cap_from"))
+      assert(r.getAs[Long]("alloc_delta") ==
+        r.getAs[Long]("alloc_to") - r.getAs[Long]("alloc_from"))
+      assert(r.getAs[Long]("alloc_from") <= r.getAs[Long]("cap_from"))
+      assert(r.getAs[Long]("alloc_to") <= r.getAs[Long]("cap_to"))
+    }
+    // the three edit batches move real token mass between the endpoints
+    assert(rows.map(_.getAs[Long]("cap_delta")).exists(_ != 0L))
+  }
+
   test("corpus drift: version markers surface with zero prior mass; integer algebra exact") {
     val rows = Text.pipelineCorpusDrift(spark, dir).collect()
     assert(rows.length == Text.driftTopK)
