@@ -244,6 +244,7 @@ object SparkEntry {
     "pipeline_release_at_version" -> ((s, d) => Text.pipelineReleaseAtVersion(s, d)),
     "pipeline_corpus_drift" -> ((s, d) => Text.pipelineCorpusDrift(s, d)),
     "pipeline_budget_drift" -> ((s, d) => Text.pipelineBudgetDrift(s, d)),
+    "pipeline_quality_drift" -> ((s, d) => Text.pipelineQualityDrift(s, d)),
     "pipeline_materialize" -> ((s, d) => Text.pipelineMaterialize(s, d)),
     "pipeline_merge_snapshot" -> ((s, d) => Text.pipelineMergeSnapshot(s, d)),
     "pipeline_merge_apply" -> ((s, d) => Text.pipelineMergeApply(s, d)),
@@ -1321,6 +1322,66 @@ object SparkEntry {
        |FROM fra f FULL OUTER JOIN tra t ON f.source = t.source
        |ORDER BY source""".stripMargin
   }
+
+  /** The Gopher flag rollup over a replayed (k, text) state CTE, in
+    * LONG (lang, rule) form — the tx_gopher_rules text with the
+    * origin-lang rejoin, one generator for both endpoints of
+    * [[qualityDriftSql]].
+    */
+  private def gopherStateCtes(p: String, stateCte: String): String =
+    s"""${p}d AS (
+       |  SELECT d0.lang AS lang, s.text AS text, string_split(s.text, ' ') AS toks
+       |  FROM $stateCte s JOIN documents d0
+       |    ON d0.doc_id = CASE WHEN s.k >= 0 THEN s.k ELSE (-s.k) // 8 END),
+       |${p}f AS (
+       |  SELECT lang,
+       |    CAST(len(toks) AS BIGINT) AS n_words,
+       |    CAST(strlen(text) - (len(toks) - 1) AS BIGINT) AS sum_len,
+       |    CAST((strlen(text) - strlen(replace(text, '#', ''))) +
+       |      ((strlen(text) - strlen(replace(text, '...', ''))) // 3) AS BIGINT) AS n_sym,
+       |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+       |    CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+       |      s2 -> list_contains(list_transform(toks, t -> lower(t)), s2))) AS BIGINT) AS n_stop
+       |  FROM ${p}d),
+       |${p}g AS (
+       |  SELECT lang,
+       |    CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END AS fw,
+       |    CASE WHEN sum_len < 3 * n_words OR sum_len > 10 * n_words THEN 1 ELSE 0 END AS fm,
+       |    CASE WHEN 10 * n_sym > n_words THEN 1 ELSE 0 END AS fs,
+       |    CASE WHEN 5 * n_alpha < 4 * n_words THEN 1 ELSE 0 END AS fa,
+       |    CASE WHEN n_stop < 2 THEN 1 ELSE 0 END AS fp
+       |  FROM ${p}f),
+       |${p}r AS (
+       |  SELECT lang, CAST(count(*) AS BIGINT) AS nd,
+       |    CAST(sum(fw) AS BIGINT) AS r_word_count,
+       |    CAST(sum(fm) AS BIGINT) AS r_mean_len,
+       |    CAST(sum(fs) AS BIGINT) AS r_symbol,
+       |    CAST(sum(fa) AS BIGINT) AS r_alpha,
+       |    CAST(sum(fp) AS BIGINT) AS r_stop
+       |  FROM ${p}g GROUP BY 1),
+       |${p}u AS (
+       |  SELECT lang, nd, 'alpha' AS rule, r_alpha AS nf FROM ${p}r
+       |  UNION ALL SELECT lang, nd, 'mean_len', r_mean_len FROM ${p}r
+       |  UNION ALL SELECT lang, nd, 'stop', r_stop FROM ${p}r
+       |  UNION ALL SELECT lang, nd, 'symbol', r_symbol FROM ${p}r
+       |  UNION ALL SELECT lang, nd, 'word_count', r_word_count FROM ${p}r)""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Text.pipelineQualityDrift]]: the
+    * replayed endpoint states through the verbatim Gopher rule text,
+    * per-(lang, rule) failure counts full-outer joined with integer
+    * deltas.
+    */
+  private def qualityDriftSql: String =
+    s"""WITH $ttCtes,
+       |${gopherStateCtes("qf", s"s${Text.ttDiffFrom}")},
+       |${gopherStateCtes("qt", s"s${Text.ttDiffTo}")}
+       |SELECT coalesce(f.lang, t.lang) AS lang,
+       |  coalesce(f.rule, t.rule) AS rule,
+       |  coalesce(f.nd, 0) AS n_docs_from, coalesce(f.nf, 0) AS n_fail_from,
+       |  coalesce(t.nd, 0) AS n_docs_to, coalesce(t.nf, 0) AS n_fail_to,
+       |  coalesce(t.nf, 0) - coalesce(f.nf, 0) AS fail_delta
+       |FROM qfu f FULL OUTER JOIN qtu t ON f.lang = t.lang AND f.rule = t.rule
+       |ORDER BY lang, rule""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Text.pipelineCorpusDrift]]: the
     * sequential-replay states at the diff window's endpoints, unigram
@@ -6493,6 +6554,7 @@ object SparkEntry {
     "pipeline_release_at_version" -> releaseAtVersionSql,
     "pipeline_corpus_drift" -> corpusDriftSql,
     "pipeline_budget_drift" -> budgetDriftSql,
+    "pipeline_quality_drift" -> qualityDriftSql,
     "pipeline_schema_merge" ->
       s"""SELECT doc_id % 5 = 0 AS has_ext, count(*) AS n_rows,
          |  CAST(sum(doc_id) AS BIGINT) AS id_sum,

@@ -6107,6 +6107,65 @@ object Text {
       .orderBy("source")
   }
 
+  /** QUALITY DRIFT across the version window — the third lens of the
+    * release-diff family ([[pipelineCorpusDrift]] = which tokens moved,
+    * [[pipelineBudgetDrift]] = how budgets shift, this = did the edits
+    * change the QUALITY profile): the exact-integer Gopher rule flags
+    * ([[gopherFlags]] — one rule text with the live gate) evaluated
+    * over both replayed states, rolled up per (lang, rule) in LONG form
+    * with integer deltas. A batch of template-y inserts or truncating
+    * revisions moves a rule's failure count immediately; id churn moves
+    * nothing. Language attribution via the origin-doc rejoin (the
+    * release-at-version rule).
+    *
+    * Scale shape: two state passes through the narrow per-doc flag
+    * projection; rollup is |langs|·5 rows of BIGINTs.
+    */
+  def pipelineQualityDrift(spark: SparkSession, dir: String,
+      vFrom: Int = ttDiffFrom, vTo: Int = ttDiffTo): DataFrame = {
+    val base = ensureVersionLog(spark, dir)
+    val events = spark.read.parquet(s"$base/events")
+    val attrs = docs(spark, dir)
+      .select(col("doc_id").as("o_id"), col("lang"))
+    def ruleCounts(v: Int, nd: String, nf: String): DataFrame =
+      // spread before the flag projection: the merge-on-read state is a
+      // small post-aggregation frame AQE coalesces to few partitions,
+      // and the per-token regex/lower flags are the CPU stage (the
+      // Tables.spread single-partition rule, post-shuffle variant —
+      // measured 4.7 s unspread vs ~1 s spread at sf0.1)
+      gopherFlags(Tables.spread(stateAt(events, v)
+          .withColumn("o_id",
+            expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
+          .join(attrs, "o_id")
+          .select(col("lang"), col("text"))))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("nd0"),
+          sum("fail_word_count").as("r_word_count"),
+          sum("fail_mean_len").as("r_mean_len"),
+          sum("fail_symbol").as("r_symbol"),
+          sum("fail_alpha").as("r_alpha"),
+          sum("fail_stop").as("r_stop"))
+        .selectExpr("lang", s"nd0 AS $nd",
+          """stack(5,
+            |  'alpha', r_alpha,
+            |  'mean_len', r_mean_len,
+            |  'stop', r_stop,
+            |  'symbol', r_symbol,
+            |  'word_count', r_word_count) AS (rule, nf0)""".stripMargin)
+        .withColumnRenamed("nf0", nf)
+    ruleCounts(vFrom, "n_docs_from", "n_fail_from")
+      .join(ruleCounts(vTo, "n_docs_to", "n_fail_to"),
+        Seq("lang", "rule"), "full_outer")
+      .select(col("lang"), col("rule"),
+        coalesce(col("n_docs_from"), lit(0L)).as("n_docs_from"),
+        coalesce(col("n_fail_from"), lit(0L)).as("n_fail_from"),
+        coalesce(col("n_docs_to"), lit(0L)).as("n_docs_to"),
+        coalesce(col("n_fail_to"), lit(0L)).as("n_fail_to"),
+        (coalesce(col("n_fail_to"), lit(0L)) -
+          coalesce(col("n_fail_from"), lit(0L))).as("fail_delta"))
+      .orderBy("lang", "rule")
+  }
+
   /** The version window the CDC diff and checkpoint demos audit — ONE
     * pair of literals for the Spark side and the generated replay oracle
     * (the ttCarves rule). (1, 3] spans batch 2's resurrection and batch

@@ -275,6 +275,38 @@ class TimeTravelSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("cap_delta")).exists(_ != 0L))
   }
 
+  test("quality drift: rule counts cohere with the replayed states; edits move real flags") {
+    val rows = Text.pipelineQualityDrift(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length % 5 == 0, "5 rules per language")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fail_delta") ==
+        r.getAs[Long]("n_fail_to") - r.getAs[Long]("n_fail_from"))
+      assert(r.getAs[Long]("n_fail_from") <= r.getAs[Long]("n_docs_from"))
+      assert(r.getAs[Long]("n_fail_to") <= r.getAs[Long]("n_docs_to"))
+    }
+    // every rule row of one language reports the SAME doc universe,
+    // and it equals the replayed state's per-language census
+    val attrs = Tables(spark, dir, "documents")
+      .select(col("doc_id").as("o_id"), col("lang"))
+    def census(v: Int): Map[String, Long] =
+      Text.readAtVersion(spark, dir, v)
+        .withColumn("o_id",
+          expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
+        .join(attrs, "o_id")
+        .groupBy("lang").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cf = census(Text.ttDiffFrom)
+    val ct = census(Text.ttDiffTo)
+    rows.groupBy(_.getAs[String]("lang")).foreach { case (lang, rs) =>
+      assert(rs.map(_.getAs[Long]("n_docs_from")).distinct.length == 1)
+      assert(rs.head.getAs[Long]("n_docs_from") == cf(lang), s"lang $lang")
+      assert(rs.head.getAs[Long]("n_docs_to") == ct(lang), s"lang $lang")
+    }
+    // the three edit batches change at least one rule's failure count
+    assert(rows.exists(_.getAs[Long]("fail_delta") != 0L),
+      "edit batches left every quality flag unchanged")
+  }
+
   test("corpus drift: version markers surface with zero prior mass; integer algebra exact") {
     val rows = Text.pipelineCorpusDrift(spark, dir).collect()
     assert(rows.length == Text.driftTopK)
