@@ -113,6 +113,7 @@ object SparkEntry {
     "ev_activity_heatmap" -> ((s, d) => Events.evActivityHeatmap(s, d)),
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
+    "w17_concentration" -> (Relational.w17Concentration _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
@@ -201,6 +202,7 @@ object SparkEntry {
     "tx_mix_waterfill" -> ((s, d) => Text.txMixWaterfill(s, d)),
     "tx_mix_sample" -> (Text.txMixSample _),
     "tx_topk_ngrams" -> ((s, d) => Text.txTopkNgrams(s, d)),
+    "tx_idf_topterms" -> ((s, d) => Text.txIdfTopterms(s, d)),
     "tx_bm25_topk" -> ((s, d) => Text.txBm25TopK(s, d)),
     "tx_bm25_indexed" -> ((s, d) => Text.txBm25Indexed(s, d)),
     "tx_bm25_upsert" -> ((s, d) => Text.txBm25Upsert(s, d)),
@@ -5484,6 +5486,22 @@ object SparkEntry {
         |    / CAST(max(kk) AS DOUBLE) AS es95,
         |  CAST(min(c) AS BIGINT) AS worst_chg
         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
+    // HHI concentration: integer-ppm shares (floor div), BIGINT squares
+    // — every aggregate CAST (the HUGEINT rule).
+    "w17_concentration" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT date, rc,
+        |    rc * 1000000 // CAST(sum(rc) OVER (PARTITION BY date) AS BIGINT) AS share_ppm
+        |  FROM daily)
+        |SELECT date, CAST(count(*) AS BIGINT) AS n_nations,
+        |  CAST(sum(rc) AS BIGINT) AS total_cents,
+        |  CAST(max(share_ppm) AS BIGINT) AS top_share_ppm,
+        |  CAST(sum(share_ppm * share_ppm) AS BIGINT) AS hhi_ppm2
+        |FROM sh GROUP BY 1 ORDER BY 1""".stripMargin,
     // Activity heatmap: engine-neutral dow/hour integer arithmetic,
     // exact purchase cents, bounded 168-cell rollup.
     "ev_activity_heatmap" ->
@@ -7224,6 +7242,28 @@ object SparkEntry {
         |  CAST(sum(fp) AS BIGINT) AS n_fail_stop,
         |  CAST(sum(CASE WHEN fw + fm + fs + fa + fp = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Integer-quantized TF-IDF: idf_q = ilog2(N // df) via the unpadded
+    // bin() whole-bit log (CAST row_number AS INT — Spark rnk is Int).
+    "tx_idf_topterms" ->
+      """WITH tk AS (
+        |  SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tk GROUP BY 1, 2),
+        |dfc AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM (
+        |          SELECT DISTINCT doc_id, term FROM tk) GROUP BY 1),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |sc AS (
+        |  SELECT tf.source, tf.term, tf.tf, dfc.df,
+        |    CAST(length(bin((SELECT n FROM nn) // dfc.df)) - 1 AS BIGINT) AS idf_q
+        |  FROM tf JOIN dfc ON tf.term = dfc.term),
+        |r AS (
+        |  SELECT source, term, tf, df, idf_q, tf * idf_q AS score,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY tf * idf_q DESC, term ASC) AS INT) AS rnk
+        |  FROM sc)
+        |SELECT source, rnk, term, tf, df, idf_q, score FROM r
+        |WHERE rnk <= 5 ORDER BY source, rnk""".stripMargin,
     "tx_topk_ngrams" ->
       """WITH d AS (
         |  SELECT string_split(text, ' ') AS toks FROM documents

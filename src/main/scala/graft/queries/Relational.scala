@@ -835,6 +835,40 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** W17 (revenue concentration — Herfindahl-Hirschman index per day):
+    * the market-structure lens a risk/ops desk runs beside the
+    * cross-sectional stats (w8): per date, each nation's revenue share
+    * in exact integer ppm (`rc·10⁶ div total` — floor division, so the
+    * shares sum to ≤ 10⁶ with the remainder documented as quantization,
+    * the corpus-drift ppm convention) and HHI = Σ share_ppm² — pure
+    * BIGINT arithmetic end to end (share ≤ 10⁶ ⇒ square ≤ 10¹², sum
+    * over ≤ 25 nations ≪ 2⁶³; at any corpus scale rc·10⁶ stays inside
+    * BIGINT for daily revenues under ~9·10¹² cents per nation). The
+    * top single share rides along (HHI and max are the two standard
+    * concentration readouts).
+    *
+    * Scale shape: one date-keyed exchange serves the per-date total
+    * (window over the ≤25-row nation slice) and the final rollup.
+    */
+  def w17Concentration(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("o_orderdate").as("date"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+    val wD = Window.partitionBy("date")
+    daily
+      .withColumn("tot", sum("rc").over(wD))
+      .withColumn("share_ppm", expr("rc * 1000000L div tot"))
+      .groupBy("date")
+      .agg(count(lit(1)).as("n_nations"),
+        sum("rc").as("total_cents"),
+        max("share_ppm").as("top_share_ppm"),
+        sum(expr("share_ppm * share_ppm")).as("hhi_ppm2"))
+      .orderBy("date")
+  }
+
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))

@@ -4583,6 +4583,46 @@ object Text {
     * negligible even at 100 TB corpus scale (and detectable: the display
     * join would surface two gram strings for one hash).
     */
+  /** TF-IDF keyword extraction per source, INTEGER-QUANTIZED — the
+    * classic curation lens ("what is this source actually about")
+    * with the idf lifted out of libm: `idf_q = ilog2(N div df)` (the
+    * whole-bit integer log — `length(conv(x,10,2)) − 1` in Spark,
+    * `length(bin(x)) − 1` in DuckDB, exact in both — the
+    * [[txLmPerplexity]] surrogate rule applied to idf), so
+    * `score = tf · idf_q` is pure BIGINT arithmetic and the top-k per
+    * source is a total order under (score DESC, term ASC). A term in
+    * every document quantizes to idf_q = 0 and can never surface —
+    * stopword suppression falls out of the quantization itself.
+    *
+    * The corpus document count N is ONE long read driver-side (the
+    * simGraphSearch entry-point precedent — bounded corpus metadata,
+    * not a data collect).
+    *
+    * Scale shape: tf is a partial-aggregated (source, term) count, df
+    * a distinct-(doc, term) count — token-keyed shuffles only; the
+    * per-source cut is a window over the term-level aggregate.
+    */
+  def txIdfTopterms(spark: SparkSession, dir: String,
+      k: Int = 5): DataFrame = {
+    val toks = Tables.spread(docs(spark, dir))
+      .select(col("doc_id"), col("source"),
+        explode(split(col("text"), " ")).as("term"))
+    val n = docs(spark, dir).count()
+    val tf = toks.groupBy("source", "term").agg(count(lit(1)).as("tf"))
+    val dfc = toks.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("score").desc, col("term").asc)
+    tf.join(dfc, "term")
+      .withColumn("idf_q",
+        expr(s"CAST(length(conv(${n}L div df, 10, 2)) - 1 AS BIGINT)"))
+      .withColumn("score", col("tf") * col("idf_q"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("source", "rnk", "term", "tf", "df", "idf_q", "score")
+      .orderBy("source", "rnk")
+  }
+
   def txTopkNgrams(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
     val toks = Tables.spread(docs(spark, dir))
       .withColumn("toks", split(col("text"), " "))

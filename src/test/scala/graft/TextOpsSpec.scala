@@ -438,6 +438,39 @@ class TextOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("capped_pairs_bound") == 70L * 69L / 2L)
   }
 
+  test("tf-idf topterms: planted corpus — ubiquitous terms quantize out, rare terms win") {
+    val spark2 = spark
+    import spark2.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-idf").toString
+    // 'common' appears in EVERY doc (df = N -> N div df = 1 -> idf_q = 0:
+    // it can never out-score anything); 'rare' appears only in doc 1 but
+    // many times (tf large, idf_q = ilog2(4) = 2); 'mid' in two docs.
+    Seq(
+      (1L, "common rare rare rare rare mid"),
+      (2L, "common mid filler1 filler2"),
+      (3L, "common filler3 filler4 filler5"),
+      (4L, "common filler6 filler7 filler8"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Text.txIdfTopterms(spark, dir).collect()
+    val byRnk = rows.sortBy(_.getAs[Int]("rnk"))
+    assert(byRnk.head.getAs[String]("term") == "rare",
+      s"rare (tf=4, idf_q=2, score=8) must top: ${byRnk.toSeq}")
+    assert(byRnk.head.getAs[Long]("score") == 8L)
+    rows.foreach { r =>
+      assert(r.getAs[String]("term") != "common",
+        "a df=N term has idf_q=0 and must never surface")
+      // score algebra and the whole-bit integer log, recomputed
+      val expIdf = 63 - java.lang.Long.numberOfLeadingZeros(
+        4L / r.getAs[Long]("df"))
+      assert(r.getAs[Long]("idf_q") == expIdf.toLong)
+      assert(r.getAs[Long]("score") ==
+        r.getAs[Long]("tf") * r.getAs[Long]("idf_q"))
+    }
+  }
+
   test("waterfill: planted caps — small source saturates, residue splits with exact remainder") {
     val spark2 = spark
     import spark2.implicits._

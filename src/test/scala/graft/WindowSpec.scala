@@ -420,6 +420,34 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("w17 concentration: HHI recomputed by hand in exact longs") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val rows = Relational.w17Concentration(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // independent recompute: per (date, nation) cents, then floor-div
+    // ppm shares and HHI in Scala long arithmetic
+    val daily = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey"), col("o_orderdate").as("d"))
+      .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)")).as("rc"))
+      .collect()
+      .groupBy(_.getAs[java.time.LocalDateTime]("d"))
+      .map { case (d, rs) => d -> rs.map(_.getAs[Long]("rc")).toSeq }
+    rows.foreach { r =>
+      val cents = daily(r.getAs[java.time.LocalDateTime]("date"))
+      val tot = cents.sum
+      val shares = cents.map(c => c * 1000000L / tot)
+      assert(r.getAs[Long]("n_nations") == cents.length.toLong)
+      assert(r.getAs[Long]("total_cents") == tot)
+      assert(r.getAs[Long]("top_share_ppm") == shares.max)
+      assert(r.getAs[Long]("hhi_ppm2") == shares.map(s => s * s).sum)
+      // bounds: a monopoly day is 1e12, shares never exceed 1e6
+      assert(r.getAs[Long]("hhi_ppm2") <= 1000000000000L)
+    }
+  }
+
   test("w14 decomposition: trend recomputed by hand, seasonal centers, identity holds") {
     import graft.queries.Relational
     val dir = "/root/testdata/sf0.01"
