@@ -111,6 +111,7 @@ object SparkEntry {
     "ev_bot_regularity" -> ((s, d) => Events.evBotRegularity(s, d)),
     "ev_survival_km" -> ((s, d) => Events.evSurvivalKm(s, d)),
     "ev_activity_heatmap" -> ((s, d) => Events.evActivityHeatmap(s, d)),
+    "ev_rfm_segments" -> ((s, d) => Events.evRfmSegments(s, d)),
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "w17_concentration" -> (Relational.w17Concentration _),
@@ -5512,6 +5513,27 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // RFM quintiles: ntile over total orders (metric, user_id) — the
+    // SQL-standard fill rule is engine-identical under unique ordering;
+    // exact cents, every aggregate CAST (the HUGEINT rule).
+    "ev_rfm_segments" ->
+      """WITH per AS (
+        |  SELECT user_id,
+        |    CAST(max(epoch_us(ts)) AS BIGINT) AS last_us,
+        |    CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |seg AS (
+        |  SELECT user_id, freq, cents,
+        |    ntile(5) OVER (ORDER BY last_us ASC, user_id ASC) AS r_q,
+        |    ntile(5) OVER (ORDER BY freq ASC, user_id ASC) AS f_q,
+        |    ntile(5) OVER (ORDER BY cents ASC, user_id ASC) AS m_q
+        |  FROM per)
+        |SELECT r_q, f_q, m_q, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(cents) AS BIGINT) AS total_purchase_cents,
+        |  CAST(sum(freq) AS BIGINT) AS total_events,
+        |  CAST(min(user_id) AS BIGINT) AS min_user_id
+        |FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // Kaplan-Meier: integer risk sets and event counts, one divide per
     // factor, the survival product folded in t order (w1 cumprod rule).
     "ev_survival_km" ->

@@ -934,6 +934,50 @@ object Events {
       base
     }
 
+  /** RFM SEGMENTATION — the recency/frequency/monetary quintile grid
+    * every growth/CRM team cuts its user base into (Hughes 1994; the
+    * standard campaign-targeting rollup): per user, the last event
+    * time, total event count, and exact purchase cents; each metric
+    * quintiles by ntile(5) over a TOTAL order (metric, then user_id —
+    * ntile's fill rule is SQL-standard and identical in both engines
+    * under a unique ordering), and the ≤125-cell (r, f, m) grid rolls
+    * up with user counts, exact cents and min-id witnesses. Recency
+    * quintiles order by raw last-event micros ASCENDING (bucket 5 =
+    * most recent) — ranking by timestamp equals ranking by days-ago
+    * with no anchor subtraction to drift.
+    *
+    * Scale shape: one user-keyed exchange builds the per-user rollup;
+    * the three ntiles run over that corpus-BOUNDED aggregate (users,
+    * not events). Honest note: an unpartitioned ntile is a single-
+    * partition sort of the user frame — the exact recall-oracle form;
+    * at billions of users production swaps precomputed percentile
+    * cut-points (the approx_quantiles machinery), with THIS form as
+    * its correctness reference (the simHardNegatives indexed/oracle
+    * relationship).
+    */
+  def evRfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = Tables(spark, dir, "events")
+      .groupBy("user_id")
+      .agg(max(expr("unix_micros(ts)")).as("last_us"),
+        count(lit(1)).as("freq"),
+        sum(expr("CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0L END"))
+          .as("cents"))
+    val seg = per
+      .withColumn("r_q", ntile(5).over(
+        Window.orderBy(col("last_us").asc, col("user_id").asc)))
+      .withColumn("f_q", ntile(5).over(
+        Window.orderBy(col("freq").asc, col("user_id").asc)))
+      .withColumn("m_q", ntile(5).over(
+        Window.orderBy(col("cents").asc, col("user_id").asc)))
+    seg.groupBy("r_q", "f_q", "m_q")
+      .agg(count(lit(1)).as("n_users"),
+        sum("cents").as("total_purchase_cents"),
+        sum("freq").as("total_events"),
+        min("user_id").as("min_user_id"))
+      .orderBy("r_q", "f_q", "m_q")
+  }
+
   /** Round-trip audit of the MATERIALIZED z-order rewrite: re-reads the
     * physical tables and recomputes [[pipelineZorder]]'s per-file
     * footer audit from what was actually written, plus an event-id XOR

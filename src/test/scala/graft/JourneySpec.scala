@@ -187,4 +187,33 @@ class JourneySpec extends SparkSpec {
         "ushape_ppm"))
       assert(out.values.map(_.getAs[Long](m)).sum == 3000000L, m)
   }
+
+  test("rfm segments: quintile populations balance and the grid conserves users") {
+    import graft.queries.Events
+    val rows = Events.evRfmSegments(spark, dir).collect()
+    assert(rows.nonEmpty && rows.length <= 125)
+    val nUsers = Tables(spark, dir, "events")
+      .select("user_id").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_users")).sum == nUsers,
+      "the (r, f, m) grid must partition the user base exactly")
+    // ntile law: each metric's five buckets differ by at most one user
+    for ((qc, i) <- Seq("r_q", "f_q", "m_q").zipWithIndex) {
+      val sizes = rows.groupBy(_.getAs[Int](qc))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("n_users")).sum }
+      assert(sizes.size == 5, s"$qc must populate all five quintiles")
+      assert(sizes.max - sizes.min <= 1L,
+        s"$qc populations unbalanced: $sizes (i=$i)")
+    }
+    // monetary monotonicity: the top monetary quintile's mean spend
+    // strictly exceeds the bottom's (the segmentation means something)
+    def spendOf(q: Int): (Long, Long) = {
+      val rs = rows.filter(_.getAs[Int]("m_q") == q)
+      (rs.map(_.getAs[Long]("total_purchase_cents")).sum,
+        rs.map(_.getAs[Long]("n_users")).sum)
+    }
+    val (loC, loN) = spendOf(1)
+    val (hiC, hiN) = spendOf(5)
+    assert(hiC * loN > loC * hiN,
+      "top monetary quintile must out-spend the bottom per user")
+  }
 }
