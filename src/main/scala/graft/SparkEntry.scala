@@ -112,6 +112,7 @@ object SparkEntry {
     "ev_survival_km" -> ((s, d) => Events.evSurvivalKm(s, d)),
     "ev_activity_heatmap" -> ((s, d) => Events.evActivityHeatmap(s, d)),
     "ev_rfm_segments" -> ((s, d) => Events.evRfmSegments(s, d)),
+    "ev_interarrival_quantiles" -> ((s, d) => Events.evInterarrivalQuantiles(s, d)),
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "w17_concentration" -> (Relational.w17Concentration _),
@@ -5513,6 +5514,28 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Exact selection quantiles (the w16 ceiling-rank rule) over
+    // integer-second inter-arrival gaps per event type.
+    "ev_interarrival_quantiles" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, event_type,
+        |    (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |       ORDER BY epoch_us(ts) ASC, event_id ASC)) // 1000000 AS gap_s
+        |  FROM events),
+        |gg AS (SELECT * FROM g WHERE gap_s IS NOT NULL),
+        |rk2 AS (
+        |  SELECT event_type, gap_s,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY gap_s ASC, user_id ASC, event_id ASC) AS r,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM gg)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+        |  CAST(min(gap_s) AS BIGINT) AS min_s,
+        |  CAST(max(CASE WHEN r = (n * 50 + 99) // 100 THEN gap_s END) AS BIGINT) AS p50_s,
+        |  CAST(max(CASE WHEN r = (n * 90 + 99) // 100 THEN gap_s END) AS BIGINT) AS p90_s,
+        |  CAST(max(CASE WHEN r = (n * 99 + 99) // 100 THEN gap_s END) AS BIGINT) AS p99_s,
+        |  CAST(max(gap_s) AS BIGINT) AS max_s
+        |FROM rk2 GROUP BY 1 ORDER BY 1""".stripMargin,
     // RFM quintiles: ntile over total orders (metric, user_id) — the
     // SQL-standard fill rule is engine-identical under unique ordering;
     // exact cents, every aggregate CAST (the HUGEINT rule).

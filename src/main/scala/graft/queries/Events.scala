@@ -934,6 +934,49 @@ object Events {
       base
     }
 
+  /** INTER-ARRIVAL QUANTILES per event type — the latency/SLO readout
+    * beside [[evBotRegularity]]'s cv² screen and the approx-sketch
+    * family (a10_approx_quantiles): per (user, type) consecutive gaps
+    * in integer seconds, then p50/p90/p99 as EXACT ORDER STATISTICS
+    * (rank `⌈p·n⌉` selection with the w16 `(n·p + 99) div 100`
+    * ceiling — a picked element, never interpolated, so both engines
+    * hold the identical integer; ties across the rank boundary are
+    * value-equal, hence deterministic). Min/max ride along.
+    *
+    * Scale shape: one (user, type)-keyed exchange for the lag window;
+    * the per-type rank is a five-partition ordered window over gap
+    * rows — the exact recall-oracle form (production reads the approx
+    * sketch; THIS pins it, the a10 relationship).
+    */
+  def evInterarrivalQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wLag = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").asc, col("event_id").asc)
+    val gaps = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("gap_s",
+        expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts_us ASC, event_id ASC)) div 1000000"))
+      .filter(col("gap_s").isNotNull)
+    val wT = Window.partitionBy("event_type")
+    val ranked = gaps
+      .withColumn("r", row_number().over(
+        wT.orderBy(col("gap_s").asc, col("user_id").asc,
+          col("event_id").asc)))
+      .withColumn("n", count(lit(1)).over(wT))
+    ranked.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        min("gap_s").as("min_s"),
+        max(when(col("r") === expr("(n * 50 + 99) div 100"),
+          col("gap_s"))).as("p50_s"),
+        max(when(col("r") === expr("(n * 90 + 99) div 100"),
+          col("gap_s"))).as("p90_s"),
+        max(when(col("r") === expr("(n * 99 + 99) div 100"),
+          col("gap_s"))).as("p99_s"),
+        max("gap_s").as("max_s"))
+      .orderBy("event_type")
+  }
+
   /** RFM SEGMENTATION — the recency/frequency/monetary quintile grid
     * every growth/CRM team cuts its user base into (Hughes 1994; the
     * standard campaign-targeting rollup): per user, the last event

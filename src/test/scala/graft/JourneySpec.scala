@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.queries.Events
 
 /** Journey-model pins: the Markov matrix is row-stochastic in exact
@@ -186,6 +188,33 @@ class JourneySpec extends SparkSpec {
     for (m <- Seq("first_touch_ppm", "last_touch_ppm", "linear_ppm",
         "ushape_ppm"))
       assert(out.values.map(_.getAs[Long](m)).sum == 3000000L, m)
+  }
+
+  test("interarrival quantiles: monotone, and p50 matches an in-memory selection") {
+    import graft.queries.Events
+    val rows = Events.evInterarrivalQuantiles(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_s") <= r.getAs[Long]("p50_s"))
+      assert(r.getAs[Long]("p50_s") <= r.getAs[Long]("p90_s"))
+      assert(r.getAs[Long]("p90_s") <= r.getAs[Long]("p99_s"))
+      assert(r.getAs[Long]("p99_s") <= r.getAs[Long]("max_s"))
+    }
+    // independent selection for one type: sort the gaps, pick the
+    // ceiling-rank element in plain Scala
+    val et = rows.head.getAs[String]("event_type")
+    val gaps = Tables(spark, dir, "events")
+      .filter(col("event_type") === et)
+      .select(col("user_id"), expr("unix_micros(ts)").as("ts_us"),
+        col("event_id"))
+      .collect()
+      .groupBy(_.getLong(0)).values.flatMap { es =>
+        es.sortBy(r => (r.getLong(1), r.getLong(2))).map(_.getLong(1))
+          .toSeq.sliding(2).collect { case Seq(a, b) => (b - a) / 1000000L }
+      }.toSeq.sorted
+    val k = (gaps.length * 50 + 99) / 100
+    assert(rows.head.getAs[Long]("n_gaps") == gaps.length.toLong)
+    assert(rows.head.getAs[Long]("p50_s") == gaps(k - 1), s"type $et p50")
   }
 
   test("rfm segments: quintile populations balance and the grid conserves users") {
