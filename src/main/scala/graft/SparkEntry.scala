@@ -116,6 +116,7 @@ object SparkEntry {
     "dd_cluster_diameter" -> ((s, d) => Text.ddClusterDiameter(s, d)),
     "w16_var_es" -> (Relational.w16VarEs _),
     "w17_concentration" -> (Relational.w17Concentration _),
+    "w18_underwater" -> (Relational.w18Underwater _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
@@ -4960,6 +4961,41 @@ object SparkEntry {
         |  FROM lv)
         |SELECT nationkey, date, level, peak, level / peak - 1.0 AS drawdown
         |FROM pk ORDER BY nationkey, date""".stripMargin,
+    // Drawdown duration over the w6 level/peak chain: the peak test
+    // compares the identical doubles, everything after is integer
+    // window arithmetic; arg_max over the unique row index.
+    "w18_underwater" ->
+      """WITH daily AS (
+        |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE) / CAST(100 AS DOUBLE) AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+        |r AS (
+        |  SELECT nationkey, date,
+        |    COALESCE(rev / lag(rev) OVER (PARTITION BY nationkey ORDER BY date) - 1.0, 0.0) AS ret
+        |  FROM daily),
+        |rn AS (SELECT *, row_number() OVER (PARTITION BY nationkey ORDER BY date) AS i FROM r),
+        |lst AS (SELECT nationkey, list(1.0 + ret ORDER BY date) AS arr FROM r GROUP BY 1),
+        |lv AS (
+        |  SELECT rn.nationkey, rn.date,
+        |    list_reduce(arr[1:rn.i], (a, b) -> a * b) * 100.0 AS level
+        |  FROM rn JOIN lst ON rn.nationkey = lst.nationkey),
+        |pk AS (
+        |  SELECT nationkey, date, level,
+        |    CAST(row_number() OVER (PARTITION BY nationkey ORDER BY date) AS BIGINT) AS rn2,
+        |    max(level) OVER (PARTITION BY nationkey ORDER BY date
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |  FROM lv),
+        |ud AS (
+        |  SELECT nationkey, rn2,
+        |    rn2 - max(CASE WHEN level >= peak THEN rn2 END)
+        |      OVER (PARTITION BY nationkey ORDER BY rn2
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS under_days
+        |  FROM pk)
+        |SELECT nationkey, CAST(count(*) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN under_days > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_underwater_days,
+        |  CAST(max(under_days) AS BIGINT) AS max_underwater_days,
+        |  CAST(arg_max(under_days, rn2) AS BIGINT) AS open_underwater_days
+        |FROM ud GROUP BY 1 ORDER BY 1""".stripMargin,
     "w7_rolling_corr" ->
       // moment sums are left-to-right folds over the frame list in frame
       // order — the same sequence Spark's aggregate() runs, so the five

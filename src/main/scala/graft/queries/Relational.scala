@@ -484,6 +484,44 @@ object Relational {
       .orderBy("nationkey", "date")
   }
 
+  /** W18 (time underwater — drawdown DURATION per nation): the risk
+    * statistic that complements [[w6Drawdown]]'s depth — how LONG the
+    * equity curve sits below its running peak: per row, days since the
+    * last peak touch (`rn − max(peak-row rn so far)` — pure integer
+    * window arithmetic over [[w6Drawdown]]'s exact level/peak chain;
+    * `level >= peak` compares the IDENTICAL doubles both engines
+    * materialize, the w6 hash already proves them bit-equal), rolled
+    * up per nation: observation count, underwater days, the worst
+    * streak, and the streak still open at the last observation
+    * (max_by over the unique row index — selection, not arithmetic).
+    * Every output column is a BIGINT.
+    *
+    * Scale shape: the one nation-keyed exchange serves all three
+    * windows and the rollup (subset-key satisfaction); history bounds
+    * only the w1-style prefix folds the level chain already pays.
+    */
+  def w18Underwater(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("nationkey").orderBy("date")
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nationDailyRevenue(spark, dir)
+      .withColumn("ret",
+        coalesce(col("rev") / lag("rev", 1).over(wOrd) - lit(1.0), lit(0.0)))
+      .withColumn("level",
+        product(lit(1.0) + col("ret")).over(wRun) * lit(100.0))
+      .withColumn("peak", max("level").over(wRun))
+      .withColumn("rn", row_number().over(wOrd).cast("long"))
+      .withColumn("peak_rn",
+        max(when(col("level") >= col("peak"), col("rn"))).over(wRun))
+      .withColumn("under_days", col("rn") - col("peak_rn"))
+      .groupBy("nationkey")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("under_days") > 0, 1L).otherwise(0L))
+          .as("n_underwater_days"),
+        max("under_days").as("max_underwater_days"),
+        max_by(col("under_days"), col("rn")).as("open_underwater_days"))
+      .orderBy("nationkey")
+  }
+
   /** W7 (rolling correlation): trailing-30-observation Pearson
     * correlation of each nation's daily revenue against the all-nation
     * market total — the rolling-beta/correlation window every quant

@@ -420,6 +420,30 @@ class WindowSpec extends SparkSpec {
     }
   }
 
+  test("w18 underwater: streaks recomputed by hand from the w6 curve") {
+    import graft.queries.Relational
+    val dir = "/root/testdata/sf0.01"
+    val curve = Relational.w6Drawdown(spark, dir).collect()
+      .groupBy(_.getAs[Int]("nationkey"))
+    val rows = Relational.w18Underwater(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val s = curve(r.getAs[Int]("nationkey"))
+        .sortBy(_.getAs[java.time.LocalDateTime]("date").toString)
+      var lastPeak = 0
+      var under = Vector.empty[Long]
+      s.zipWithIndex.foreach { case (row, i) =>
+        if (row.getAs[Double]("level") >= row.getAs[Double]("peak"))
+          lastPeak = i
+        under :+= (i - lastPeak).toLong
+      }
+      assert(r.getAs[Long]("n_days") == s.length.toLong)
+      assert(r.getAs[Long]("n_underwater_days") == under.count(_ > 0).toLong)
+      assert(r.getAs[Long]("max_underwater_days") == under.max)
+      assert(r.getAs[Long]("open_underwater_days") == under.last)
+    }
+  }
+
   test("w17 concentration: HHI recomputed by hand in exact longs") {
     import graft.queries.Relational
     val dir = "/root/testdata/sf0.01"
