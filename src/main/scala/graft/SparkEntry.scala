@@ -125,6 +125,7 @@ object SparkEntry {
     // the PHYSICAL rewrite: standing clustered tables re-read + audited
     "pipeline_zorder_materialize" -> ((s, d) => Events.pipelineZorderMaterialize(s, d)),
     "ev_anomaly_days" -> ((s, d) => Events.evAnomalyDays(s, d)),
+    "ev_anomaly_mad" -> ((s, d) => Events.evAnomalyMad(s, d)),
     "ev_asof_join" -> (Events.evAsofJoin _),
     "ev_asof_tolerance" -> ((s, d) => Events.evAsofTolerance(s, d)),
     "ev_cohort_retention" -> (Events.evCohortRetention _),
@@ -5550,6 +5551,34 @@ object SparkEntry {
         |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS purchase_cents
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // Robust bands: median and MAD by ceiling-rank selection over the
+    // bounded (type, day) counts; the 3-MAD flag is a pure integer test.
+    "ev_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    CAST(datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |medr AS (
+        |  SELECT event_type, n_events AS med FROM (
+        |    SELECT event_type, day, n_events,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY n_events ASC, day ASC) AS r,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |    FROM daily) WHERE r = (d * 50 + 99) // 100),
+        |dev AS (
+        |  SELECT daily.event_type, day, n_events, med,
+        |    abs(n_events - med) AS adev
+        |  FROM daily JOIN medr ON daily.event_type = medr.event_type),
+        |madr AS (
+        |  SELECT event_type, adev AS mad FROM (
+        |    SELECT event_type, day, adev,
+        |      row_number() OVER (PARTITION BY event_type ORDER BY adev ASC, day ASC) AS r,
+        |      CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS d
+        |    FROM dev) WHERE r = (d * 50 + 99) // 100)
+        |SELECT dev.event_type, day, n_events, med, adev, mad,
+        |  CASE WHEN adev > 3 * mad THEN 1 ELSE 0 END AS is_out_mad3
+        |FROM dev JOIN madr ON dev.event_type = madr.event_type
+        |ORDER BY dev.event_type, day""".stripMargin,
     // Exact selection quantiles (the w16 ceiling-rank rule) over
     // integer-second inter-arrival gaps per event type.
     "ev_interarrival_quantiles" ->

@@ -768,6 +768,55 @@ object Events {
       .orderBy("event_type", "day")
   }
 
+  /** Robust (median/MAD) daily-volume anomaly bands — the
+    * outlier-resistant twin of [[evAnomalyDays]] (Hampel's rule; the
+    * reading ops teams trust when the spike itself inflates σ and
+    * mean-based bands go blind): per event type, the MEDIAN daily
+    * count and the median absolute deviation, both by exact
+    * ceiling-rank SELECTION over integer counts (the w16 discipline —
+    * picked elements, never arithmetic), and the flag
+    * `|x − med| > 3·MAD` as a pure integer comparison. A day is
+    * reported with its deviation so the audit is inspectable row by
+    * row; the planted spec shows a spike day that the σ-band's own
+    * variance absorbs still firing here.
+    *
+    * Scale shape: the one corpus-sized stage is the (type, day)
+    * partial-aggregated count; both selections and the flag run over
+    * those bounded rows.
+    */
+  def evAnomalyMad(spark: SparkSession, dir: String): DataFrame =
+    anomalyMad(events(spark, dir))
+
+  /** [[evAnomalyMad]]'s core over any (event_type, ts) frame — factored
+    * for the planted-spike spec (the anomalyDays discipline).
+    */
+  private[graft] def anomalyMad(ev: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev.select(col("event_type"),
+      expr("CAST(datediff(CAST(ts AS DATE), DATE'2024-01-01') AS BIGINT)")
+        .as("day"))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"))
+    val wT = Window.partitionBy("event_type")
+    def pick(src: DataFrame, metric: String, as: String): DataFrame =
+      src
+        .withColumn("r", row_number().over(
+          wT.orderBy(col(metric).asc, col("day").asc)))
+        .withColumn("d", count(lit(1)).over(wT))
+        .filter(col("r") === expr("(d * 50 + 99) div 100"))
+        .select(col("event_type"), col(metric).as(as))
+    val med = pick(daily, "n_events", "med")
+    val dev = daily.join(med, "event_type")
+      .withColumn("adev", abs(col("n_events") - col("med")))
+    val mad = pick(dev, "adev", "mad")
+    dev.join(mad, "event_type")
+      .select(col("event_type"), col("day"), col("n_events"), col("med"),
+        col("adev"), col("mad"),
+        when(col("adev") > lit(3L) * col("mad"), 1L).otherwise(0L)
+          .as("is_out_mad3"))
+      .orderBy("event_type", "day")
+  }
+
   /** Z-order layout constants, shared with the generated oracle SQL and
     * the spec (the bm25Terms discipline): 11 interleave bits per dim
     * (user_id ≤ 2047, day ≤ 2047 across this corpus family — a wider

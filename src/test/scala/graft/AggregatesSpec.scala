@@ -238,6 +238,33 @@ class AggregatesSpec extends SparkSpec {
       "steady series must stay clean")
   }
 
+  test("ev_anomaly_mad: the robust band fires where the sigma band goes blind") {
+    val spark2 = spark
+    import spark2.implicits._
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-${day + 1}%02d 12:00:00")
+    // a MASSIVE single spike among six constant days: the spike inflates
+    // the σ estimate enough that the single-spike z² = d−1 = 5 only
+    // clears the 2σ band (the evAnomalyDays hand-derivation), while the
+    // median/MAD never budge — med = 10, MAD = 0, |500−10| > 0 fires.
+    val rows =
+      (0 until 6).flatMap(d => Seq.fill(if (d == 3) 500 else 10)(("blunt", ts(d)))) ++
+      (0 until 6).flatMap(d => Seq.fill(10)(("steady", ts(d))))
+    val sig = graft.queries.Events.anomalyDays(rows.toDF("event_type", "ts"))
+      .collect().filter(_.getAs[String]("event_type") == "blunt")
+    assert(sig.forall(_.getAs[Long]("is_out_3s") == 0L),
+      "the σ band must be blinded by its own spike (z² = 5 < 9)")
+    val out = graft.queries.Events.anomalyMad(rows.toDF("event_type", "ts"))
+      .collect()
+    def mad(t: String) = out.filter(_.getAs[String]("event_type") == t)
+    mad("blunt").foreach { r =>
+      assert(r.getAs[Long]("med") == 10L && r.getAs[Long]("mad") == 0L)
+      assert((r.getAs[Long]("day") == 3L) ==
+        (r.getAs[Long]("is_out_mad3") == 1L),
+        s"exactly the spike day fires: $r")
+    }
+    assert(mad("steady").forall(_.getAs[Long]("is_out_mad3") == 0L))
+  }
+
   test("pipeline_zorder: balanced files, exact tiling, z prunes at least as well as linear") {
     val rows = graft.queries.Events.pipelineZorder(spark, dir).collect()
     val byLayout = rows.groupBy(_.getAs[String]("layout"))
