@@ -156,7 +156,10 @@ object Bench {
       // fraction of the run, and the single cold run inflated pooled
       // mins past the 2x regression tripwire (measured r9b) — the exact
       // cold-single-run trap the convergence-stop note documents.
-      "sim_pq_retrain")
+      "sim_pq_retrain",
+      // r14: the rotated-space warm retrain runs the same
+      // build-dominated Lloyd rounds per call as its PQ sibling
+      "sim_opq_retrain")
 
     // Iteration aid (r12): SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset.
     // History files (bench_last/bench_full) are NOT written in subset

@@ -424,6 +424,7 @@ object SparkEntry {
     "sim_opq_delete" -> ((s, d) => Similarity.simOpqDelete(s, d)),
     "sim_opq_drift" -> ((s, d) => Similarity.simOpqDrift(s, d)),
     "sim_opq_adc_deleted" -> ((s, d) => Similarity.simOpqAdcDeleted(s, d)),
+    "sim_opq_retrain" -> ((s, d) => Similarity.simOpqRetrain(s, d)),
     "sim_hard_negatives_indexed" -> ((s, d) => Similarity.simHardNegativesIndexed(s, d)),
     // by-residual IVFPQ over the persisted residual index (build/serve
     // split; results — and the oracle — identical by construction)
@@ -835,36 +836,43 @@ object SparkEntry {
     * sub-distances feed the per-(subspace, codeword) occupancy,
     * movement and vec_id-ordered SSE audit.
     */
-  private def pqRetrainSql: String = {
+  /** The warm-Lloyd retrain body over a CTE `u` = (vec_id, embedding)
+    * union — seeded from `${seedPrefix}{s}_c{r0}`, audited against
+    * `$booksRel` — ONE generator for the PQ retrain and the
+    * rotated-space OPQ retrain (the retrainReport factoring mirrored).
+    */
+  private def pqRetrainBodySql(seedPrefix: String,
+      booksRel: String): String = {
     val m = Similarity.pqM
     val sub = Similarity.pqSubDims
     val r0 = Similarity.pqTrainRounds
     val rw = Similarity.pqRetrainRounds
+    val wp = seedPrefix + "w"
     val warmChains = (0 until m).map { s =>
       val lo = s * sub
-      val seed = s"pqw${s}_c0 AS (SELECT cid, centroid FROM pq${s}_c$r0)"
+      val seed = s"$wp${s}_c0 AS (SELECT cid, centroid FROM $seedPrefix${s}_c$r0)"
       val steps = (1 to rw).map { r =>
-        s"""pqw${s}_a$r AS (
+        s"""$wp${s}_a$r AS (
            |  SELECT vec_id, embedding, cid FROM (
            |    SELECT uu.vec_id, uu.embedding, c.cid,
            |      row_number() OVER (PARTITION BY uu.vec_id ORDER BY
            |        ${pqSlicedL2("uu.embedding", "c.centroid", lo.toString)} ASC,
            |        c.cid ASC) AS rn
-           |    FROM u uu, pqw${s}_c${r - 1} c)
+           |    FROM u uu, $wp${s}_c${r - 1} c)
            |  WHERE rn = 1),
-           |pqw${s}_c$r AS (
+           |$wp${s}_c$r AS (
            |  SELECT cid,
            |    list_transform(range(1, ${sub + 1}), d ->
            |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
            |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-           |        FROM pqw${s}_a$r GROUP BY cid))""".stripMargin
+           |        FROM $wp${s}_a$r GROUP BY cid))""".stripMargin
       }
       (seed +: steps).mkString(",\n")
     }
     val wbooks = (0 until m)
-      .map(s => s"SELECT $s AS s, cid, centroid FROM pqw${s}_c$rw")
+      .map(s => s"SELECT $s AS s, cid, centroid FROM $wp${s}_c$rw")
       .mkString(" UNION ALL ")
-    def assign(name: String, booksRel: String): String =
+    def assign(name: String, rel: String): String =
       s"""$name AS (
          |  SELECT vec_id, s, cid AS code,
          |    ${pqSlicedL2("embedding", "centroid", s"s * $sub")} AS dist
@@ -873,16 +881,11 @@ object SparkEntry {
          |      row_number() OVER (PARTITION BY uu.vec_id, b.s ORDER BY
          |        ${pqSlicedL2("uu.embedding", "b.centroid", s"b.s * $sub")} ASC,
          |        b.cid ASC) AS rn
-         |    FROM u uu, $booksRel b)
+         |    FROM u uu, $rel b)
          |  WHERE rn = 1)""".stripMargin
-    s"""$pqAdcCtes,
-       |u AS (SELECT vec_id, embedding FROM embeddings
-       |      UNION ALL
-       |      SELECT -vec_id - 1, list_transform(range(1, 65), i -> embedding[65 - i])
-       |      FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
-       |${warmChains.mkString(",\n")},
+    s"""${warmChains.mkString(",\n")},
        |wbooks AS ($wbooks),
-       |${assign("bfr", "books")},
+       |${assign("bfr", booksRel)},
        |${assign("aft", "wbooks")},
        |bo AS (SELECT s, code, count(*) AS n_before,
        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS old_sse
@@ -904,6 +907,27 @@ object SparkEntry {
        |LEFT JOIN lf ON coalesce(bo.s, ao.s) = lf.s AND coalesce(bo.code, ao.code) = lf.code
        |ORDER BY s, code""".stripMargin
   }
+
+  private def pqRetrainSql: String =
+    s"""$pqAdcCtes,
+       |u AS (SELECT vec_id, embedding FROM embeddings
+       |      UNION ALL
+       |      SELECT -vec_id - 1, list_transform(range(1, 65), i -> embedding[65 - i])
+       |      FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |${pqRetrainBodySql("pq", "books")}""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simOpqRetrain]]: the
+    * rotated chain + the frozen-rotation delta legs supply `u` (rotated
+    * base ∪ rotated delta), then the VERBATIM warm retrain body seeded
+    * from the rotated codebooks — one retrain text for both families.
+    */
+  private def opqRetrainSql: String =
+    s"""WITH $opqIndexCtes,
+       |${opqDeltaCtes("")},
+       |u AS (SELECT vec_id, vec AS embedding FROM rotv
+       |      UNION ALL
+       |      SELECT vec_id, vec FROM oqdrot),
+       |${pqRetrainBodySql("oq", "oqbooks")}""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simPqAdcDeleted]]: the
     * shared chain's ADC re-derived over the LIVE codes only (the carve
@@ -7951,6 +7975,7 @@ object SparkEntry {
     "sim_opq_delete" -> opqDeleteSql,
     "sim_opq_drift" -> opqDriftSql,
     "sim_opq_adc_deleted" -> opqAdcDeletedSql,
+    "sim_opq_retrain" -> opqRetrainSql,
     "sim_hard_negatives_indexed" -> hardNegativesIndexedSql,
     "sim_ivf_upsert" -> ivfUpsertSql,
     "sim_ivf_delete" -> ivfDeleteSql,

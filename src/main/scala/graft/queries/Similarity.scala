@@ -3273,11 +3273,21 @@ object Similarity {
     val books0 = spark.read.parquet(s"$main/codebooks")
     val union = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
       .unionByName(upsertDeltaFrame(spark, dir))
-    val before = graft.Caches.scoped("pq_retrain.before",
-      pqAssignWithDist(union, books0))
-    val after = graft.Caches.scoped("pq_retrain.after",
-      pqAssignWithDist(union,
-        pqWarmBooks(spark, union, books0, pqRetrainRounds)))
+    retrainReport(
+      graft.Caches.scoped("pq_retrain.before",
+        pqAssignWithDist(union, books0)),
+      graft.Caches.scoped("pq_retrain.after",
+        pqAssignWithDist(union,
+          pqWarmBooks(spark, union, books0, pqRetrainRounds))))
+  }
+
+  /** The before/after occupancy, movement and vec_id-ordered SSE audit
+    * over two assignment frames — ONE text for the PQ retrain and the
+    * rotated-space OPQ retrain ([[simOpqRetrain]]), the hardNegReport
+    * factoring rule.
+    */
+  private def retrainReport(before: DataFrame,
+      after: DataFrame): DataFrame = {
     def occ(df: DataFrame, n: String, sse: String): DataFrame = df
       .groupBy("s", "code")
       .agg(count(lit(1)).as(n),
@@ -3304,6 +3314,31 @@ object Similarity {
         coalesce(col("n_left"), lit(0L)).as("n_left"),
         col("old_sse"), col("new_sse"))
       .orderBy("s", "code")
+  }
+
+  /** OPQ warm RETRAIN — the deliberate event [[simOpqDrift]]'s flag
+    * calls for, done the way FAISS retrains an `IndexPreTransform`
+    * without re-deriving the transform: the ROTATION STAYS FROZEN
+    * (re-learning it re-encodes every stored code; the codebooks are
+    * the cheap half) and the rotated-space codebooks warm-start Lloyd
+    * over base ∪ delta — [[pqWarmBooks]] verbatim over the rotated
+    * frames, so per-subspace `sum(new_sse) ≤ sum(old_sse)` is the same
+    * theorem ([[kmeansWarmState]]) and OpqLifecycleSpec pins it. The
+    * audit is [[retrainReport]]: per (subspace, codeword) occupancy
+    * before/after, movement counts, vec_id-ordered SSE folds.
+    */
+  def simOpqRetrain(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val main = ensureOpqIndex(spark, dir)
+    val books0 = spark.read.parquet(s"$main/codebooks")
+    val union = opqRotatedVecs(spark, dir).select("vec_id", "embedding")
+      .unionByName(opqRotateQueries(upsertDeltaFrame(spark, dir)))
+    retrainReport(
+      graft.Caches.scoped("opq_retrain.before",
+        pqAssignWithDist(union, books0)),
+      graft.Caches.scoped("opq_retrain.after",
+        pqAssignWithDist(union,
+          pqWarmBooks(spark, union, books0, pqRetrainRounds))))
   }
 
   /** Asymmetric-distance (ADC) top-k search over the PQ codes (Jégou et

@@ -72,6 +72,28 @@ class OpqLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("opq retrain: warm Lloyd under the frozen rotation never worsens total SSE") {
+    val rows = Similarity.simOpqRetrain(spark, sf001).collect()
+    assert(rows.nonEmpty)
+    // the kmeansWarmState theorem in rotated space, per subspace:
+    // warm-started Lloyd is non-increasing in total squared distance
+    rows.groupBy(_.getAs[Int]("s")).foreach { case (s, rs) =>
+      val oldSse = rs.flatMap(r => Option(r.getAs[java.lang.Double]("old_sse")))
+        .map(_.doubleValue).sum
+      val newSse = rs.flatMap(r => Option(r.getAs[java.lang.Double]("new_sse")))
+        .map(_.doubleValue).sum
+      assert(newSse <= oldSse, s"subspace $s: retrain worsened SSE")
+    }
+    // movement bookkeeping balances: total entered == total left
+    assert(rows.map(_.getAs[Long]("n_entered")).sum ==
+      rows.map(_.getAs[Long]("n_left")).sum)
+    // occupancy conserves the union row count per subspace
+    rows.groupBy(_.getAs[Int]("s")).foreach { case (s, rs) =>
+      assert(rs.map(_.getAs[Long]("n_before")).sum ==
+        rs.map(_.getAs[Long]("n_after")).sum, s"subspace $s occupancy")
+    }
+  }
+
   test("opq drift: the 5/4-amplitude delta flags retrain in every subspace") {
     val rows = Similarity.simOpqDrift(spark, sf001).collect()
     assert(rows.length == Similarity.pqM)
