@@ -252,6 +252,17 @@ class TimeTravelSpec extends SparkSpec {
       "merge must not simply adopt the branch head")
   }
 
+  test("corpus drift: the top-k cut plans as a distributed partial top-k") {
+    // the scaladoc's scale claim made physical: the |vocabulary|-sized
+    // count frame is cut by TakeOrderedAndProject (per-partition top-k
+    // + one bounded merge), never a global sort of the vocabulary
+    val df = Text.pipelineCorpusDrift(spark, dir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      "the top-|delta| cut must be a partial top-k")
+  }
+
   test("budget drift: both endpoints spend exactly half their capacity, to the token") {
     val rows = Text.pipelineBudgetDrift(spark, dir).collect()
     assert(rows.nonEmpty)
