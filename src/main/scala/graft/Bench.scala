@@ -91,6 +91,26 @@ import scala.collection.mutable.{ArrayBuffer, LinkedHashMap}
   *     (build-dominated). Extending it to 1-2 s lifecycle demos was
   *     measured and REVERTED: their cold single runs tripped the 2x
   *     regression tripwire — the cold-min trap all over again.
+  *
+  * Heavy tier (round 15, per VERDICT r14 item 1 — the 292-query r14 wall
+  * hit 1973 s in a loud window, degrading session 2 to 1 run and
+  * flagging 31 phantom regressions):
+  *
+  *   - Train-per-call twins now run in SESSION 1 ONLY. They are
+  *     deterministic full builds priced at 1 run by the r9 rule, so a
+  *     second session re-measures identical work — ~90 s of wall that
+  *     buys zero extra information (their pooled min equals their
+  *     session-1 min by construction). Later sessions run the STEADY
+  *     suite at the full run count, which is the two-full-convergent-
+  *     sessions evidence the noise-vs-regression test actually needs.
+  *   - `session_totals` keeps its per-session composition (session 1
+  *     includes the heavy builds); the new `"steady_totals"` sums mins
+  *     over non-heavy queries only — THE cross-session comparable pair.
+  *     Read noise-vs-regression on `steady_totals` divergence first.
+  *   - Budget default 1500 -> 2000 (the budget-floor rule at 292
+  *     queries' ~500 s of unavoidable cold first runs; with the heavy
+  *     tier out of session 2 a quiet two-session run walls ~1200 s and
+  *     a 1.6x-loud window stays inside 2000).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -128,7 +148,11 @@ object Bench {
     // already walked past 1280 via the degraded session-2 path; the
     // budget-floor rule says grow it with the suite BEFORE the first
     // truncated artifact.
-    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1500").toDouble
+    // 1500 -> 2000 at r15 (VERDICT r14 item 1 + ADVICE): the r14 wall
+    // reached 1973 s in a loud window. 2000 plus the session-1-only
+    // heavy tier keeps two FULL convergent sessions inside budget even
+    // at the r14 window's 1.6x inflation.
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "2000").toDouble
     val wall0 = System.nanoTime()
     def elapsedS: Double = (System.nanoTime() - wall0) / 1e9
 
@@ -240,6 +264,12 @@ object Bench {
       val total = mins.map(_._2).sum
       val sessionTotals = rawPerSession.map(sr =>
         measured.filter(sr.contains).map(n => minOf(sr(n))).sum)
+      // composition-comparable across sessions: heavy (train-per-call)
+      // queries run only in session 1, so cross-session noise reads on
+      // THIS pair, not session_totals
+      val steadyTotals = rawPerSession.map(sr =>
+        measured.filter(n => sr.contains(n) && !trainPerCall(n))
+          .map(n => minOf(sr(n))).sum)
       val sessionFirstRuns = rawPerSession.map(sr =>
         measured.filter(n => sr.contains(n) && sr(n).nonEmpty).map(n => sr(n).head._1).sum)
       val qs = mins.map { case (k, m) => "\"" + k + "\":" + m }.mkString("{", ",", "}")
@@ -251,7 +281,7 @@ object Bench {
       val errJson = errors.map { case (k, v) =>
         Verify.q(k) + ":" + Verify.q(v) // full control-char-safe JSON escape
       }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"session_runs":${sessionRuns.mkString("[", ",", "]")},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","method":"min-of-$nRuns-x$nSessions-sessions-coldcache","truncated":${truncated || partial},"budget_s":$budgetS,"wall_s":$elapsedS,"sessions_run":${rawPerSession.size},"session_runs":${sessionRuns.mkString("[", ",", "]")},"queries_run":${measured.size},"value_first_runs":${sessionFirstRuns.headOption.getOrElse(0.0)},"session_totals":${sessionTotals.mkString("[", ",", "]")},"steady_totals":${steadyTotals.mkString("[", ",", "]")},"session_first_runs":${sessionFirstRuns.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"queries":$qs,"runs":$raw,"errors":$errJson,"sf":"$sfDir"}"""
     }
 
     // VERDICT r7 item 1: the driver keeps only the LAST 2000 chars of
@@ -265,7 +295,10 @@ object Bench {
       val total = mins.map(_._2).sum
       val sessionTotals = rawPerSession.map(sr =>
         measured.filter(sr.contains).map(n => minOf(sr(n))).sum)
-      s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_runs":${sessionRuns.mkString("[", ",", "]")},"session_totals":${sessionTotals.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"sf":"$sfDir"}"""
+      val steadyTotals = rawPerSession.map(sr =>
+        measured.filter(n => sr.contains(n) && !trainPerCall(n))
+          .map(n => minOf(sr(n))).sum)
+      s"""{"metric":"grand_total","value":$total,"unit":"sec","queries_run":${measured.size},"errors":${errors.size},"truncated":${truncated || partial},"wall_s":$elapsedS,"session_runs":${sessionRuns.mkString("[", ",", "]")},"session_totals":${sessionTotals.mkString("[", ",", "]")},"steady_totals":${steadyTotals.mkString("[", ",", "]")},"regressed":${regressedJson(mins)},"sf":"$sfDir"}"""
     }
 
     // VERDICT r9 item 6: the driver's BENCH_rN artifact keeps a stdout
@@ -327,8 +360,11 @@ object Bench {
         rawPerSession += perQuery
         sessionRuns += (if (sessionDegraded) 1 else nRuns)
       }
+      // r15 heavy tier: train-per-call builds are measured once, in
+      // session 1 (deterministic work — a re-measure adds wall, not
+      // information); later sessions run the steady suite at full runs.
       for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
-           if selected(name)) {
+           if selected(name) && (s == 1 || !trainPerCall(name))) {
         val overBudget = elapsedS > budgetS
         // `truncated` tracks ACTUAL degradation, not the clock: in a
         // degraded session every query's nominal plan is already 1 run,

@@ -1004,8 +1004,9 @@ object Events {
     val gaps = Tables(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("event_type"),
         expr("unix_micros(ts)").as("ts_us"))
-      .withColumn("gap_s",
-        expr("(ts_us - lag(ts_us, 1) OVER (PARTITION BY user_id, event_type ORDER BY ts_us ASC, event_id ASC)) div 1000000"))
+      .withColumn("prev_us", lag(col("ts_us"), 1).over(wLag))
+      .withColumn("gap_s", expr("(ts_us - prev_us) div 1000000"))
+      .drop("prev_us")
       .filter(col("gap_s").isNotNull)
     val wT = Window.partitionBy("event_type")
     val ranked = gaps

@@ -1612,6 +1612,30 @@ object Similarity {
     */
   def simGraphKcoreMutated(spark: SparkSession, dir: String,
       coreK: Int = kcoreK, rounds: Int = kcoreRounds): DataFrame = {
+    val merged = mergedMutatedEdges(spark, dir).localCheckpoint(false)
+    val mutual = merged
+      .join(merged.select(col("u").as("v"), col("v").as("u")),
+        Seq("v", "u"), "left_semi")
+      .localCheckpoint(false)
+    val emb = Tables(spark, dir, "embeddings")
+    val verts = emb.select(col("vec_id").as("v"))
+      .filter(!(col("v") % graphDelMod === graphDelRem))
+      .unionByName(emb.filter(col("vec_id") % upsertDeltaMod === 0)
+        .select((col("vec_id") * -1 - 1).as("v")))
+    kcoreOver(spark, verts, mutual, coreK, rounds)
+  }
+
+  /** The merged post-mutation edge view [[simGraphKcoreMutated]] peels —
+    * factored so KcoreSpec can pin the (v, u) uniqueness invariant the
+    * no-distinct union relies on (r14 ADVICE: the DuckDB twin's UNION
+    * dedups, so a future duplicate in the repaired overlay or the upsert
+    * walk would inflate Spark-side degrees silently). No distinct here
+    * by design: overlay edges are top-k-unique over positive ids, insert
+    * links carry exactly one negative endpoint — disjoint by id sign;
+    * the spec asserts the union is duplicate-free on the corpus.
+    */
+  private[graft] def mergedMutatedEdges(spark: SparkSession,
+      dir: String): DataFrame = {
     val delBase = ensureKnnGraphDeleteIndex(spark, dir)
     val dead = spark.read.parquet(s"$delBase/tombstones")
     val repaired = spark.read.parquet(s"$delBase/edges")
@@ -1625,19 +1649,7 @@ object Similarity {
       .select(col("qid").as("v"), col("vec_id").as("u"))
       .join(dead.select(col("vec_id").as("u")), Seq("u"), "left_anti")
     val bidir = fwd.unionByName(fwd.select(col("u").as("v"), col("v").as("u")))
-    // no distinct needed: overlay edges are top-k-unique over positive
-    // ids, insert links carry exactly one negative endpoint — disjoint
-    val merged = repaired.unionByName(bidir).localCheckpoint(false)
-    val mutual = merged
-      .join(merged.select(col("u").as("v"), col("v").as("u")),
-        Seq("v", "u"), "left_semi")
-      .localCheckpoint(false)
-    val emb = Tables(spark, dir, "embeddings")
-    val verts = emb.select(col("vec_id").as("v"))
-      .filter(!(col("v") % graphDelMod === graphDelRem))
-      .unionByName(emb.filter(col("vec_id") % upsertDeltaMod === 0)
-        .select((col("vec_id") * -1 - 1).as("v")))
-    kcoreOver(spark, verts, mutual, coreK, rounds)
+    repaired.unionByName(bidir)
   }
 
   /** The peel loop over arbitrary (vertex, undirected-edge) frames —

@@ -1032,8 +1032,18 @@ object StreamingOps {
           val out = scala.collection.mutable.ArrayBuffer.empty[AttrCredit]
           rows.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
             if (touchTypes(e.event_type)) {
-              if (touches.size >= maxTouches)
-                touches = touches.head +: touches.drop(2)
+              // Enforce the cap for ANY maxTouches >= 1 and for restored
+              // state already above it (r14 ADVICE: the old one-middle
+              // drop assumed maxTouches >= 2 and shrank an over-cap
+              // buffer by only one per arrival): shrink to maxTouches-1
+              // BEFORE appending by keeping the first-touch anchor and
+              // the newest middles — the same oldest-middle-drop
+              // semantics, generalized.
+              if (touches.size >= maxTouches) {
+                touches =
+                  if (maxTouches <= 1) Seq.empty
+                  else touches.head +: touches.takeRight(maxTouches - 2)
+              }
               touches = touches :+ TouchEv(e.event_id, e.ts_us, e.event_type)
             }
             else if (e.event_type == "purchase") {

@@ -108,6 +108,18 @@ class KcoreSpec extends SparkSpec {
       nEmb - nDead + nIns)
   }
 
+  test("merged mutated edges are (v, u)-unique — the no-distinct invariant") {
+    // simGraphKcoreMutated unions repaired-overlay edges with the
+    // bidirectional insert links WITHOUT distinct, while the DuckDB twin's
+    // UNION dedups: the engines agree only while the union is
+    // duplicate-free (disjoint by id sign, top-k-unique within each side).
+    // Pin it so a future duplicate-producing change fails here, loudly,
+    // instead of as a drifting peel-degree hash (r14 ADVICE).
+    val dupes = Similarity.mergedMutatedEdges(spark, dir)
+      .groupBy("v", "u").count().filter(col("count") > 1).count()
+    assert(dupes == 0L, s"$dupes duplicate (v, u) edges in the merged view")
+  }
+
   test("trace matches an independent in-memory peel; core meets the threshold") {
     val base = Similarity.ensureKnnGraphIndex(spark, dir)
     val directed = spark.read.parquet(s"$base/edges")
