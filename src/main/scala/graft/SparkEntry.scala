@@ -331,6 +331,10 @@ object SparkEntry {
     "sim_knn_graph_upsert" -> ((s, d) => Similarity.simKnnGraphUpsert(s, d)),
     "sim_knn_graph_delete" -> ((s, d) => Similarity.simKnnGraphDelete(s, d)),
     "sim_graph_search_deleted" -> ((s, d) => Similarity.simGraphSearchDeleted(s, d)),
+    // generational compaction: fold base + delete-repair + insert links
+    // into a clean gen-2 graph (audit) and serve from it (no overlays)
+    "sim_knn_graph_compact" -> ((s, d) => Similarity.simKnnGraphCompact(s, d)),
+    "sim_graph_search_compacted" -> ((s, d) => Similarity.simGraphSearchCompacted(s, d)),
     // HNSW: id-stratified upper layers over the standing graph route
     // each query to a per-query layer-0 entry (greedy per-level walks)
     "sim_hnsw_search" -> ((s, d) => Similarity.simHnswSearch(s, d)),
@@ -1917,6 +1921,106 @@ object SparkEntry {
       extraCtes = graphDeleteCtes + ",",
       tailCtes = tail,
       finalSel = kcoreStatTail(Similarity.kcoreRounds))
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphCompact]]:
+    * descent chain → delete repair ([[graphDeleteCtes]], the SAME text
+    * every post-delete oracle uses) → insert walk ([[graphUpsertSql]]'s
+    * query source over the STANDING graph) → merged view (the
+    * [[graphKcoreMutatedSql]] kmerged text) → per-vertex degree/XOR/
+    * provenance rollup. The Spark side measures the PHYSICAL gen-2
+    * edges; agreement proves the fold lost no edge, kept no tombstoned
+    * edge, and landed every insert link bidirectionally.
+    */
+  private def knnGraphCompactSql: String = {
+    val k = Similarity.knnDescentK
+    val hops = Similarity.graphSearchHops
+    val tail =
+      s"""ulinks AS MATERIALIZED (
+         |  SELECT qid, vid FROM f$hops WHERE rnk <= $k
+         |    AND vid NOT IN (SELECT vec_id FROM gdead)),
+         |kmerged AS MATERIALIZED (
+         |  SELECT src AS v, dst AS u FROM grep
+         |  UNION SELECT qid AS v, vid AS u FROM ulinks
+         |  UNION SELECT vid AS v, qid AS u FROM ulinks)""".stripMargin
+    graphSearchSqlOver(
+      s"""qsrc AS MATERIALIZED (
+         |  SELECT -vec_id - 1 AS vec_id,
+         |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+         |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0)""".stripMargin,
+      k,
+      extraCtes = graphDeleteCtes + ",",
+      tailCtes = tail,
+      finalSel =
+        s"""SELECT v AS vec_id, CAST(count(*) AS BIGINT) AS deg_out,
+           |  CAST(bit_xor(u) AS BIGINT) AS nbr_xor,
+           |  CAST(sum(CASE WHEN v >= 0 AND u >= 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_repair,
+           |  CAST(sum(CASE WHEN v < 0 OR u < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+           |  v < 0 AS inserted
+           |FROM kmerged GROUP BY v ORDER BY vec_id""".stripMargin)
+  }
+
+  /** DuckDB twin of
+    * [[graft.queries.Similarity.simGraphSearchCompacted]]: descent
+    * chain → delete repair → insert walk over the STANDING graph →
+    * merged adjacency (the graphKcoreMutatedSql kmerged text) → the
+    * standard unrolled serve walk from the min LIVE entry, scored
+    * against base ∪ delta (e2 — the hnswUpsertedSearchSql convention).
+    * A hash match proves the physically folded gen-2 edges serve
+    * exactly the merge-on-read walk.
+    */
+  private def graphSearchCompactedSql: String = {
+    val k = Similarity.knnDescentK
+    val beam = Similarity.graphSearchBeam
+    val hops = Similarity.graphSearchHops
+    val g = s"g${Similarity.knnDescentRounds}"
+    def cosOf: String =
+      "list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm)"
+    def hopChain(prefix: String, graph: String, qsrc: String,
+        members: String, b: Int, n: Int): String =
+      (1 to n).map { h =>
+        s"""${prefix}x$h AS MATERIALIZED (
+           |  SELECT DISTINCT qid, vid FROM (
+           |    SELECT qid, vid FROM $prefix${h - 1}
+           |    UNION ALL
+           |    SELECT f.qid, g2.u AS vid FROM $prefix${h - 1} f JOIN $graph g2 ON g2.v = f.vid)
+           |  WHERE vid <> qid),
+           |$prefix$h AS MATERIALIZED (
+           |  SELECT qid, vid, $cosOf AS cosine,
+           |    row_number() OVER (PARTITION BY qid ORDER BY $cosOf DESC, vid ASC) AS rnk
+           |  FROM ${prefix}x$h x JOIN $members a ON a.vec_id = x.vid JOIN $qsrc qq ON qq.vec_id = x.qid
+           |  QUALIFY rnk <= $b)""".stripMargin
+      }.mkString(",\n")
+    s"""WITH $knnDescentCtes,
+       |$graphDeleteCtes,
+       |graph0 AS (SELECT src AS v, dst AS u FROM gedges),
+       |qdel AS MATERIALIZED (
+       |  SELECT -vec_id - 1 AS vec_id,
+       |    list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+       |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+       |  FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+       |uent AS (SELECT min(vec_id) AS ev FROM embeddings),
+       |uf0 AS MATERIALIZED (SELECT vec_id AS qid, ev AS vid FROM qdel, uent),
+       |${hopChain("uf", "graph0", "qdel", "e", beam, hops)},
+       |ulinks AS MATERIALIZED (
+       |  SELECT qid, vid FROM uf$hops WHERE rnk <= $k
+       |    AND vid NOT IN (SELECT vec_id FROM gdead)),
+       |kmerged AS MATERIALIZED (
+       |  SELECT src AS v, dst AS u FROM grep
+       |  UNION SELECT qid AS v, vid AS u FROM ulinks
+       |  UNION SELECT vid AS v, qid AS u FROM ulinks),
+       |e2 AS MATERIALIZED (
+       |  SELECT vec_id, embedding, norm FROM e
+       |  UNION ALL
+       |  SELECT vec_id, embedding, norm FROM qdel),
+       |qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5),
+       |ent AS (SELECT min(vec_id) AS ev FROM embeddings
+       |  WHERE vec_id % ${Similarity.graphDelMod} <> ${Similarity.graphDelRem}),
+       |f0 AS MATERIALIZED (SELECT vec_id AS qid, ev AS vid FROM qsrc, ent),
+       |${hopChain("f", "kmerged", "qsrc", "e2", beam, hops)}
+       |SELECT qid, vid AS vec_id, cosine, rnk FROM f$hops WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
   }
 
   /** The graph-delete repair chain as a reusable CTE body (tombstones →
@@ -7922,6 +8026,8 @@ object SparkEntry {
     "sim_knn_graph_upsert" -> graphUpsertSql,
     "sim_knn_graph_delete" -> knnGraphDeleteSql,
     "sim_graph_search_deleted" -> graphSearchDeletedSql,
+    "sim_knn_graph_compact" -> knnGraphCompactSql,
+    "sim_graph_search_compacted" -> graphSearchCompactedSql,
     "sim_hnsw_search" -> hnswSearchSql,
     "sim_hnsw_search_upserted" -> hnswUpsertedSearchSql,
     "sim_hnsw_search_deleted" -> hnswDeletedSearchSql,

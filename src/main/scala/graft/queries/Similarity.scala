@@ -1652,6 +1652,166 @@ object Similarity {
     repaired.unionByName(bidir)
   }
 
+  /** GENERATIONAL COMPACTION of the kNN-graph/HNSW family (VERDICT r14
+    * "What's missing" #1 — the last index family still serving forever
+    * through overlays): fold base ∪ delete-repair ∪ insert links into a
+    * clean generation-2 graph, the [[ivfBuildGen2Index]] contract
+    * applied to graph adjacency (Lucene `forceMerge`; FreshDiskANN's
+    * StreamingMerge — Singh et al. 2021 §3.4 — folds its delete/insert
+    * deltas into the on-disk graph the same way). The gen-2 `edges`
+    * table IS [[mergedMutatedEdges]] — the SAME one-definition merged
+    * view the masked (merge-on-read) walk reads — physically
+    * materialized, so gen-2 ≡ merge-on-read by construction and proven
+    * twice: the `sim_knn_graph_compact` oracle re-derives every
+    * degree/XOR from first principles, and KcoreSpec pins serve
+    * bit-equality. `members` persists the inserted delta vectors
+    * (reversed-fold norms, the [[simKnnGraphUpsert]] convention) so the
+    * gen-2 serve scores without re-deriving the carve.
+    *
+    * Scale shape: one walk (the insert discovery — the upsert twin's
+    * documented cost) + two id-pair unions + one write; at 100 TB this
+    * is the background maintenance job that retires a per-walk-hop
+    * overlay union + tombstone anti-join forever. The standing graph,
+    * delete overlay and tombstones are never mutated (the overlay
+    * discipline — other queries keep their semantics).
+    */
+  def graphBuildGen2Index(spark: SparkSession, dir: String): String = {
+    register(spark)
+    val base = graft.Layout.indexBase(spark, dir, "knn_graph_gen2")
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .write.mode("overwrite").parquet(s"$base/members")
+    // edges last: the _SUCCESS marker under edges/ implies a complete gen
+    mergedMutatedEdges(spark, dir)
+      .write.mode("overwrite").parquet(s"$base/edges")
+    base
+  }
+
+  // gen-2 graph base path -> sfDir that built it (ensureIvfIndex shape)
+  private val knnGraphGen2For =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once accessor for the compacted graph generation — the
+    * [[ensureIvfGen2Index]] treatment verbatim (marker + memo cleared
+    * BEFORE rebuilding; memo keys on the dir string).
+    */
+  def ensureKnnGraphGen2Index(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "knn_graph_gen2")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/edges/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(knnGraphGen2For.get(base).contains(dir) && fs.exists(marker))) {
+        knnGraphGen2For.remove(base)
+        fs.delete(marker, false)
+        graphBuildGen2Index(spark, dir)
+        knnGraphGen2For(base) = dir
+      }
+      base
+    }
+
+  /** Per-vertex audit of the compacted graph generation, measured from
+    * the PHYSICAL gen-2 edges (the [[simIvfCompact]] treatment):
+    * out-degree, neighbor id-XOR (the content proof — counts can
+    * collide, an XOR of the wrong neighbor set cannot), and the
+    * provenance split by id sign (repair edges join two positive ids;
+    * insert links carry exactly one negative endpoint — the disjointness
+    * KcoreSpec pins). The oracle re-derives every column from first
+    * principles (descent chain + delete repair + insert walk + merge),
+    * so a hash match proves the fold lost no edge, kept no tombstoned
+    * edge, and landed every insert link bidirectionally.
+    */
+  def simKnnGraphCompact(spark: SparkSession, dir: String): DataFrame = {
+    val g2 = ensureKnnGraphGen2Index(spark, dir)
+    spark.read.parquet(s"$g2/edges")
+      .groupBy("v")
+      .agg(count(lit(1)).as("deg_out"),
+        expr("bit_xor(u)").as("nbr_xor"),
+        sum(when(col("v") >= 0 && col("u") >= 0, 1L).otherwise(0L))
+          .as("n_repair"),
+        sum(when(col("v") < 0 || col("u") < 0, 1L).otherwise(0L))
+          .as("n_insert"))
+      .select(col("v").as("vec_id"), col("deg_out"), col("nbr_xor"),
+        col("n_repair"), col("n_insert"), (col("v") < 0).as("inserted"))
+      .orderBy("vec_id")
+  }
+
+  /** [[simGraphSearch]] over the compacted generation: the IDENTICAL
+    * beam walk pointed at the gen-2 edges table with the min LIVE entry
+    * vertex, scored against base ∪ the persisted gen-2 members — one
+    * pruned parquet scan per hop, NO overlay union, NO tombstone
+    * anti-join, NO per-call insert walk (KcoreSpec pins the hop plan
+    * and bit-for-bit equality with the masked merge-on-read serve).
+    * The oracle rebuilds the merged graph from first principles and
+    * unrolls the same hops — the graphSearchSqlOver family, so
+    * compacted and masked serves can never walk different graphs.
+    */
+  def simGraphSearchCompacted(spark: SparkSession, dir: String, k: Int = 5,
+      beam: Int = graphSearchBeam, hops: Int = graphSearchHops,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val g2 = ensureKnnGraphGen2Index(spark, dir)
+    val entry = Tables(spark, dir, "embeddings")
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .agg(min("vec_id")).head.getLong(0)
+    val (q, _) = walkQueryFrames(spark, dir, querySet)
+    val frontier = walkFrontierOver(spark.read.parquet(s"$g2/edges"),
+      q.select(col("qid"), lit(entry).as("vid")), beam, hops, q,
+      gen2WalkMembers(spark, dir, g2))
+    walkReport(frontier, k)
+  }
+
+  /** The gen-2 serve's member-embedding side: base corpus ∪ the
+    * persisted gen-2 delta members (no per-call carve re-derivation).
+    */
+  private def gen2WalkMembers(spark: SparkSession, dir: String,
+      g2: String): DataFrame =
+    bucketedEmbeddings(spark, dir, knnDescentNbits)
+      .select(col("vec_id").as("vid"), col("embedding").as("mv"),
+        col("norm").as("mn"))
+      .unionByName(spark.read.parquet(s"$g2/members")
+        .select(col("vec_id").as("vid"), col("embedding").as("mv"),
+          col("norm").as("mn")))
+
+  /** ONE un-checkpointed serve hop over the PHYSICAL gen-2 edges —
+    * spec-only (GraphCompactSpec's plan pin, the CLAUDE.md
+    * pagerank-pin rule: the served walk's checkpoints hide every hop's
+    * exchanges, so the no-anti-join claim must pin the factored hop).
+    */
+  private[graft] def gen2WalkHop(spark: SparkSession,
+      dir: String): DataFrame = {
+    val g2 = ensureKnnGraphGen2Index(spark, dir)
+    val entry = Tables(spark, dir, "embeddings")
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .agg(min("vec_id")).head.getLong(0)
+    val (q, _) = walkQueryFrames(spark, dir, None)
+    walkHop(spark.read.parquet(s"$g2/edges"),
+      q.select(col("qid"), lit(entry).as("vid")), graphSearchBeam, q,
+      gen2WalkMembers(spark, dir, g2))
+  }
+
+  /** The masked (merge-on-read) twin of [[simGraphSearchCompacted]] —
+    * the walk over [[mergedMutatedEdges]] computed per call, scored
+    * against [[upsertedWalkMembers]]. Spec-only (KcoreSpec's
+    * serve-equality pin): a deployment pays this until compaction runs.
+    */
+  private[graft] def simGraphSearchMutatedMasked(spark: SparkSession,
+      dir: String, k: Int = 5, beam: Int = graphSearchBeam,
+      hops: Int = graphSearchHops,
+      querySet: Option[DataFrame] = None): DataFrame = {
+    val entry = Tables(spark, dir, "embeddings")
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .agg(min("vec_id")).head.getLong(0)
+    val (q, _) = walkQueryFrames(spark, dir, querySet)
+    val frontier = walkFrontierOver(
+      mergedMutatedEdges(spark, dir).localCheckpoint(false),
+      q.select(col("qid"), lit(entry).as("vid")), beam, hops, q,
+      upsertedWalkMembers(spark, dir))
+    walkReport(frontier, k)
+  }
+
   /** The peel loop over arbitrary (vertex, undirected-edge) frames —
     * factored so the planted-graph spec can hand-trace multi-round
     * peeling ([[communitiesOver]] factoring). `und` must carry each
@@ -1801,20 +1961,7 @@ object Similarity {
       beam: Int, hops: Int, q: DataFrame, emb: DataFrame): DataFrame = {
     var frontier = frontier0
     for (h <- 1 to hops) {
-      val expanded = frontier.select("qid", "vid")
-        .unionByName(frontier.select("qid", "vid")
-          .join(edges, col("vid") === col("v"))
-          .select(col("qid"), col("u").as("vid")))
-        .distinct()
-        .filter(col("vid") =!= col("qid"))
-      frontier = expanded
-        .join(emb, "vid")
-        .join(broadcast(q), "qid")
-        .select(col("qid"), col("vid"),
-          (expr(dotExpr("qv", "mv")) / (col("qn") * col("mn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(walkWindow))
-        .filter(col("rnk") <= beam)
-        .select("qid", "vid", "cosine")
+      frontier = walkHop(edges, frontier, beam, q, emb)
       // a hop references its predecessor twice, so an unchecked chain
       // doubles per hop — truncate every SECOND hop (4 subtree copies
       // max) to halve the bounded |Q|·beam materialization jobs
@@ -1824,6 +1971,30 @@ object Similarity {
       }
     }
     frontier
+  }
+
+  /** ONE un-checkpointed beam-walk hop (expand ∪ neighbors, rescore,
+    * keep best `beam`) — factored from [[walkFrontierOver]] so plan
+    * pins can target the hop the serve actually runs (the CLAUDE.md
+    * pagerank-pin rule: localCheckpoint hides every round's plan from
+    * the served query's executedPlan, making a whole-walk pin vacuous).
+    */
+  private[graft] def walkHop(edges: DataFrame, frontier: DataFrame,
+      beam: Int, q: DataFrame, emb: DataFrame): DataFrame = {
+    val expanded = frontier.select("qid", "vid")
+      .unionByName(frontier.select("qid", "vid")
+        .join(edges, col("vid") === col("v"))
+        .select(col("qid"), col("u").as("vid")))
+      .distinct()
+      .filter(col("vid") =!= col("qid"))
+    expanded
+      .join(emb, "vid")
+      .join(broadcast(q), "qid")
+      .select(col("qid"), col("vid"),
+        (expr(dotExpr("qv", "mv")) / (col("qn") * col("mn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(walkWindow))
+      .filter(col("rnk") <= beam)
+      .select("qid", "vid", "cosine")
   }
 
   private def walkReport(frontier: DataFrame, k: Int): DataFrame =
