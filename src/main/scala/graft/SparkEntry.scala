@@ -453,6 +453,9 @@ object SparkEntry {
     "sim_ivf_retrain" -> ((s, d) => Similarity.simIvfRetrain(s, d)),
     "sim_ivf_ann_retrained" -> ((s, d) => Similarity.simIvfAnnRetrained(s, d)),
     "sim_hybrid_search" -> ((s, d) => Similarity.simHybridSearch(s, d)),
+    // per-release retrieval-quality report: recall@5 / MRR / nDCG@5 per
+    // standing index family vs the exact cosine top-5, integer metrics
+    "sim_ir_metrics" -> ((s, d) => Similarity.simIrMetrics(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     // hybrid deployment form: lexical leg off the standing BM25 index
     "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
@@ -1921,6 +1924,89 @@ object SparkEntry {
       extraCtes = graphDeleteCtes + ",",
       tailCtes = tail,
       finalSel = kcoreStatTail(Similarity.kcoreRounds))
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simCosineTopk]] — a def
+    * so the IR-metrics report ([[irMetricsSql]]) can reuse the EXACT
+    * ground-truth text its families are judged against.
+    */
+  private def cosineTopkSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
+      |s AS (
+      |  SELECT qid, vec_id, label,
+      |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+      |  FROM e, q WHERE vec_id <> qid)
+      |SELECT qid, vec_id, label, cosine, rnk FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
+      |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIrMetrics]]: every
+    * family's EXISTING oracle text (the one its own green entry is
+    * gated by) runs in its own nested WITH scope, cut to top-5, and
+    * folds through ONE integer metric tail — recall/MRR/nDCG in the
+    * exact arithmetic the Spark side declares (LCM-60 reciprocal
+    * ranks, ⌊log₂⌋ dyadic DCG weights, ideal 7, micro = ·10⁶ floor
+    * division). Reusing the family texts verbatim means this report
+    * can never disagree with the per-family entries about what each
+    * index serves.
+    */
+  private def irMetricsSql: String = {
+    val fams = Seq(
+      "bq" -> bqHammingSql, "graph" -> graphSearchSql,
+      "ivf" -> ivfAnnSql, "ivfpq" -> ivfPqSql,
+      "opq" -> opqAdcIndexedSql, "pq" -> pqAdcSql,
+      "rrf" -> rrfFusionSql, "sq" -> sqInt8Sql)
+    val famCtes = (Seq("bm25" ->
+      s"""r_bm25 AS MATERIALIZED (
+         |  SELECT q.qid, b.doc_id AS vec_id, b.rnk FROM (
+         |$bm25TopkSql
+         |) b, irqids q WHERE b.rnk <= 5)""".stripMargin) ++
+      fams.map { case (n, sql) =>
+        n -> s"""r_$n AS MATERIALIZED (
+                |  SELECT qid, vec_id, rnk FROM (
+                |$sql
+                |) WHERE rnk <= 5)""".stripMargin
+      }).map(_._2).mkString(",\n")
+    val names = "bm25" +: fams.map(_._1)
+    val metricCtes = names.map { n =>
+      s"""m_$n AS (
+         |  SELECT '$n' AS family,
+         |    CAST(count(*) AS BIGINT) AS n_q,
+         |    CAST(sum(hits) AS BIGINT) AS hits5,
+         |    CAST(sum(hits) AS BIGINT) * 1000000 // (5 * count(*)) AS recall_micro,
+         |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) AS rr60_sum,
+         |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) * 1000000 // (60 * count(*)) AS mrr_micro,
+         |    CAST(sum(dcg2) AS BIGINT) AS dcg2_sum,
+         |    CAST(sum(dcg2) AS BIGINT) * 1000000 // (7 * count(*)) AS ndcg_micro
+         |  FROM (
+         |    SELECT q.qid,
+         |      COALESCE(a.hits, 0) AS hits,
+         |      COALESCE(a.first_rel, 0) AS first_rel,
+         |      COALESCE(a.dcg2, 0) AS dcg2
+         |    FROM irqids q LEFT JOIN (
+         |      SELECT r.qid,
+         |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |        CAST(COALESCE(min(CASE WHEN t.vec_id IS NOT NULL THEN r.rnk END), 0) AS BIGINT) AS first_rel,
+         |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN (CASE WHEN r.rnk <= 2 THEN 2 ELSE 1 END) ELSE 0 END) AS BIGINT) AS dcg2
+         |      FROM r_$n r LEFT JOIN irtruth t ON t.qid = r.qid AND t.vec_id = r.vec_id
+         |      GROUP BY r.qid) a ON a.qid = q.qid))""".stripMargin
+    }.mkString(",\n")
+    val unionAll = names.map(n => s"SELECT * FROM m_$n")
+      .mkString("\nUNION ALL\n")
+    s"""WITH irtruth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |$cosineTopkSql
+       |) WHERE rnk <= 5),
+       |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+       |$famCtes,
+       |$metricCtes
+       |SELECT * FROM (
+       |$unionAll)
+       |ORDER BY family""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Similarity.simKnnGraphCompact]]:
@@ -7874,6 +7960,7 @@ object SparkEntry {
     // text, the dense leg the sim_cosine_topk cosine text; each rrf
     // contribution is one double division of exact small integers and
     // the two add in fixed order (dense first) on both engines.
+    "sim_ir_metrics" -> irMetricsSql,
     "sim_rrf_fusion" -> rrfFusionSql,
     // the standing-index lexical leg is bit-identical by construction —
     // same text (the sqInt8Sql rule)
@@ -7978,19 +8065,7 @@ object SparkEntry {
         |    / CAST(CAST(sum(n) AS BIGINT) AS DOUBLE) AS recall
         |FROM pq GROUP BY 1 ORDER BY 1""".stripMargin
     },
-    "sim_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, label, embedding,
-        |    sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
-        |  FROM embeddings),
-        |q AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM e WHERE vec_id < 5),
-        |s AS (
-        |  SELECT qid, vec_id, label,
-        |    list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
-        |  FROM e, q WHERE vec_id <> qid)
-        |SELECT qid, vec_id, label, cosine, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM s)
-        |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin,
+    "sim_cosine_topk" -> cosineTopkSql,
     // FAISS range_search: same cosine text as sim_cosine_topk, bounded
     // per-query aggregates instead of a k-cap (a range result has no k).
     "sim_range_search" ->

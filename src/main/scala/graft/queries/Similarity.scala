@@ -5269,6 +5269,99 @@ object Similarity {
       .orderBy("qid", "rnk")
   }
 
+  /** RETRIEVAL-QUALITY REPORT AS DATA (VERDICT r14 item 3): recall@5,
+    * MRR and nDCG@5 (Järvelin & Kekäläinen 2002) for every standing
+    * index family's steady serve, measured against [[simCosineTopk]]'s
+    * exact brute-force top-5 — the per-release quality review a search
+    * shop reads as a TABLE, promoted from the ScalaTest recall floors
+    * (IvfRecallSpec 0.92, BqRecallSpec 0.88, …) into the same oracle
+    * gate that audits correctness. One bounded row per family.
+    *
+    * Exactness discipline (the sim_probe_curve rule — no floats):
+    *   - recall_micro = hits·10⁶ div (5·|Q|) — integer counts only.
+    *   - reciprocal ranks in LCM(1..5) = 60 units: rr60 = 60 div
+    *     first_rel is EXACT for every rank 1..5; mrr_micro = Σrr60·10⁶
+    *     div (60·|Q|).
+    *   - nDCG's log₂ via the whole-bit integer surrogate (the LM-family
+    *     discipline, Text.scala's integer-log fold): weight(i) = 2 div
+    *     ⌊log₂(i+1)⌋ ∈ {2,2,1,1,1} halves, so DCG2 = Σ rel_i·w(i) is an
+    *     integer and the ideal (5 relevant docs up top) is the constant
+    *     7; ndcg_micro = ΣDCG2·10⁶ div (7·|Q|).
+    *
+    * Family serves are the STANDING steady twins with their shipped
+    * defaults (never the train-per-call builds); rank lists cut at 5 by
+    * the prefix property of row_number. The pure-ADC rows (pq, opq)
+    * honestly report the documented low recall of an unreranked ADC
+    * serve on this distance-concentrated corpus — the finding the PQ
+    * scaladocs record, now visible as data. bm25's row measures
+    * lexical-vs-semantic agreement (its fixed-term list is query-
+    * independent — the rrfFuse convention), rrf the fused hybrid.
+    *
+    * Scale shape: each leg is its own already-scale-shaped serve; the
+    * metric tail joins ≤5·|Q| id pairs against a ≤5·|Q| truth table and
+    * folds to ONE row per family — bounded everywhere.
+    */
+  def simIrMetrics(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val truth = simCosineTopk(spark, dir).filter(col("rnk") <= 5)
+      .select("qid", "vec_id")
+      .localCheckpoint(false) // 5·|Q| rows, reused by every family join
+    val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
+    // the fixed-term lexical list is query-independent: broadcast the
+    // ≤5-row qid frame onto it (bounded×bounded — the rrfFuse crossJoin)
+    val bm25 = graft.queries.Text.txBm25Indexed(spark, dir)
+      .select(col("doc_id").as("vec_id"), col("rnk"))
+      .crossJoin(broadcast(qids))
+    Seq(
+      "bm25" -> bm25,
+      "bq" -> simBqHammingIndexed(spark, dir),
+      "graph" -> simGraphSearch(spark, dir),
+      "ivf" -> simIvfAnnIndexed(spark, dir),
+      "ivfpq" -> simIvfPqIndexed(spark, dir),
+      "opq" -> simOpqAdcIndexed(spark, dir),
+      "pq" -> simPqAdcIndexed(spark, dir),
+      "rrf" -> simRrfFusionIndexed(spark, dir),
+      "sq" -> simSqInt8Indexed(spark, dir))
+      .map { case (name, res) => irMetricsOver(name, truth, qids, res) }
+      .reduce(_.unionByName(_))
+      .orderBy("family")
+  }
+
+  /** The one-definition metric tail of [[simIrMetrics]] — every family
+    * folds through the SAME integer arithmetic, so families can never
+    * be scored by drifting formulas.
+    */
+  private def irMetricsOver(name: String, truth: DataFrame,
+      qids: DataFrame, res: DataFrame): DataFrame = {
+    val r5 = res.filter(col("rnk") <= 5)
+      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+    val j = r5.join(broadcast(truth.withColumn("hit", lit(1L))),
+        Seq("qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("hit"), lit(0L)))
+    val perQ = j.groupBy("qid").agg(
+      sum("rel").as("hits"),
+      min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+      sum(col("rel") * when(col("rnk") <= 2L, 2L).otherwise(1L)).as("dcg2"))
+    qids.join(broadcast(perQ), Seq("qid"), "left")
+      .select(
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rel"), lit(0L)).as("first_rel"),
+        coalesce(col("dcg2"), lit(0L)).as("dcg2"))
+      .agg(
+        count(lit(1)).as("n_q"),
+        sum("hits").as("hits5"),
+        expr("sum(hits) * 1000000 div (5 * count(1))").as("recall_micro"),
+        expr("sum(CASE WHEN first_rel > 0 THEN 60 div first_rel ELSE 0 END)")
+          .as("rr60_sum"),
+        expr("sum(CASE WHEN first_rel > 0 THEN 60 div first_rel ELSE 0 END) * 1000000 div (60 * count(1))")
+          .as("mrr_micro"),
+        sum("dcg2").as("dcg2_sum"),
+        expr("sum(dcg2) * 1000000 div (7 * count(1))").as("ndcg_micro"))
+      .select(lit(name).as("family"), col("n_q"), col("hits5"),
+        col("recall_micro"), col("rr60_sum"), col("mrr_micro"),
+        col("dcg2_sum"), col("ndcg_micro"))
+  }
+
   /** Hybrid retrieval: keyword prefilter + semantic rerank — the
     * standard two-stage search shape (sparse recall, dense precision).
     * Candidates are documents containing the keyword token, joined to
