@@ -299,6 +299,9 @@ object SparkEntry {
     "dd_dup_clusters" -> ((s, d) => Text.ddDupClusters(s, d)),
     "dd_source_dup_matrix" -> ((s, d) => Text.ddSourceDupMatrix(s, d)),
     "sim_cluster_purity" -> ((s, d) => Similarity.simClusterPurity(s, d)),
+    // chance-corrected + information-theoretic cluster eval beside
+    // purity: exact rational ARI, whole-bit-log NMI, one bounded row
+    "sim_cluster_ari" -> ((s, d) => Similarity.simClusterAri(s, d)),
     // standing base labels + delta-only edges; oracle = full recompute
     "dd_cc_incremental" -> ((s, d) => Text.ddCcIncremental(s, d)),
     // write-back: serve from the persisted refreshed labels only
@@ -7374,6 +7377,45 @@ object SparkEntry {
          |  CAST((m.majority_n * 1000000) // t.n_members AS BIGINT) AS purity_ppm
          |FROM ptot t JOIN pmaj m ON m.cell = t.cell
          |ORDER BY t.cell""".stripMargin,
+    // ARI (exact rational on the contingency table) + NMI (whole-bit
+    // integer-log surrogate) over the SAME served-cells-vs-labels pair
+    // as sim_cluster_purity; ppm renderings use the +den shift before
+    // the floor division (the lm trunc-vs-floor rule)
+    "sim_cluster_ari" ->
+      s"""WITH ${kmeansCtes()},
+         |$ivfRankCtes,
+         |pc AS (SELECT c_label AS cell, label FROM rk WHERE crnk = 1),
+         |arcont AS MATERIALIZED (
+         |  SELECT cell, label, CAST(count(*) AS BIGINT) AS nij
+         |  FROM pc GROUP BY 1, 2),
+         |arca AS MATERIALIZED (
+         |  SELECT cell, CAST(sum(nij) AS BIGINT) AS a FROM arcont GROUP BY 1),
+         |arcb AS MATERIALIZED (
+         |  SELECT label, CAST(sum(nij) AS BIGINT) AS b FROM arcont GROUP BY 1),
+         |arcn AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM arcont),
+         |aragg AS (
+         |  SELECT
+         |    (SELECT n FROM arcn) AS n,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM arca) AS n_cells,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM arcb) AS n_labels,
+         |    CAST(sum(c.nij * (c.nij - 1) // 2) AS BIGINT) AS sum_nij_c2,
+         |    (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) FROM arca) AS sum_a_c2,
+         |    (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) FROM arcb) AS sum_b_c2,
+         |    CAST(sum(c.nij * ((len(bin(n2.n * c.nij)) - 1) - (len(bin(a.a * b.b)) - 1))) AS BIGINT) AS mi_bits,
+         |    (SELECT CAST(sum(a * ((len(bin(n3.n)) - 1) - (len(bin(a)) - 1))) AS BIGINT) FROM arca, arcn n3) AS ha_bits,
+         |    (SELECT CAST(sum(b * ((len(bin(n4.n)) - 1) - (len(bin(b)) - 1))) AS BIGINT) FROM arcb, arcn n4) AS hb_bits
+         |  FROM arcont c JOIN arca a USING (cell) JOIN arcb b USING (label), arcn n2),
+         |arari AS (
+         |  SELECT *,
+         |    2 * ((n * (n - 1) // 2) * sum_nij_c2 - sum_a_c2 * sum_b_c2) AS ari_num,
+         |    (n * (n - 1) // 2) * (sum_a_c2 + sum_b_c2) - 2 * sum_a_c2 * sum_b_c2 AS ari_den
+         |  FROM aragg)
+         |SELECT n, n_cells, n_labels, sum_nij_c2, sum_a_c2, sum_b_c2,
+         |  ari_num, ari_den,
+         |  (ari_num + ari_den) * 1000000 // ari_den - 1000000 AS ari_ppm,
+         |  mi_bits, ha_bits, hb_bits,
+         |  (2 * mi_bits + ha_bits + hb_bits) * 1000000 // (ha_bits + hb_bits) - 1000000 AS nmi_ppm
+         |FROM arari""".stripMargin,
     // Incremental CC over star(base) + delta edges must equal the FULL
     // recompute over every confirmed pair — same text, the strongest
     // incremental ≡ rebuild proof (the tx_bm25_upsert form).

@@ -2794,6 +2794,89 @@ object Similarity {
       .orderBy("cell")
   }
 
+  /** ARI + NMI beside purity (VERDICT r14 item 4) — the standard
+    * cluster-evaluation pair (Hubert & Arabie 1985; Strehl & Ghosh
+    * 2002) over the SAME two clusterings [[simClusterPurity]] compares:
+    * the standing IVF index's served cells vs the ground-truth labels.
+    * Purity rewards trivial over-clustering; ARI corrects for chance
+    * and NMI for cluster-count imbalance — the three a release review
+    * reads together. One bounded output row.
+    *
+    * Exactness: ARI is PURE RATIONAL arithmetic on the contingency
+    * table — with S = ΣᵢⱼC(nᵢⱼ,2), A = ΣᵢC(aᵢ,2), B = ΣⱼC(bⱼ,2),
+    * P = C(n,2): ari = 2·(P·S − A·B) / (P·(A+B) − 2·A·B), emitted as
+    * the exact (ari_num, ari_den) pair plus a ppm rendering. NMI uses
+    * the whole-bit integer log (`ilog2(x) = length(bin(x)) − 1`, the
+    * LM-perplexity surrogate — true logs live in libm): mi_bits =
+    * Σ nᵢⱼ·(ilog2(n·nᵢⱼ) − ilog2(aᵢ·bⱼ)), entropies likewise, and
+    * nmi_ppm = 2·mi/(H(A)+H(B)) in micro units. Both ppm renderings
+    * use the +den shift before the floor division (the lm ppm rule:
+    * a possibly-negative dividend splits trunc-vs-floor between
+    * engines). 62-bit budget: P·S and A·B are the largest products —
+    * exact through corpora of ~10⁶ elements; past that a deployment
+    * carries the pair in DECIMAL(38,0), noted here rather than paid.
+    *
+    * Scale shape: ONE (cell, label)-keyed partial-aggregated count
+    * (the contingency table, ≤ nlist·|labels| rows — index metadata,
+    * not corpus), then bounded windows over it (the bounded-aggregate
+    * total-attach rule) and a one-row fold.
+    */
+  def simClusterAri(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureIvfIndex(spark, dir)
+    val members = spark.read.parquet(s"$base/cells")
+      .select(col("m_vec_id").as("vec_id"), col("cell"))
+    val lab = Tables(spark, dir, "embeddings").select("vec_id", "label")
+    clusterAriOver(members.join(lab, Seq("vec_id"))
+      .select(col("cell"), col("label")))
+  }
+
+  /** The ARI/NMI fold over an arbitrary (cell, label) assignment frame
+    * — factored so the planted two-clustering spec can hand-compute the
+    * exact rational (ClusterAriSpec).
+    */
+  private[graft] def clusterAriOver(assign: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cont = assign.groupBy("cell", "label")
+      .agg(count(lit(1)).as("nij"))
+    // bounded frame (≤ nlist·|labels| rows): unpartitioned windows here
+    // are the bounded-aggregate total-attach rule, never corpus-wide
+    val wCell = Window.partitionBy("cell")
+    val wLab = Window.partitionBy("label")
+    val t = cont
+      .withColumn("a", sum("nij").over(wCell))
+      .withColumn("b", sum("nij").over(wLab))
+      .withColumn("n", sum("nij").over(Window.partitionBy()))
+      .withColumn("rc", row_number().over(wCell.orderBy("label")))
+      .withColumn("rl", row_number().over(wLab.orderBy("cell")))
+    t.agg(
+      max("n").as("n"),
+      sum(when(col("rc") === 1, 1L).otherwise(0L)).as("n_cells"),
+      sum(when(col("rl") === 1, 1L).otherwise(0L)).as("n_labels"),
+      sum(expr("nij * (nij - 1) div 2")).as("sum_nij_c2"),
+      sum(when(col("rc") === 1, expr("a * (a - 1) div 2"))).as("sum_a_c2"),
+      sum(when(col("rl") === 1, expr("b * (b - 1) div 2"))).as("sum_b_c2"),
+      sum(expr(
+        "nij * ((length(bin(n * nij)) - 1) - (length(bin(a * b)) - 1))"))
+        .as("mi_bits"),
+      sum(when(col("rc") === 1,
+        expr("a * ((length(bin(n)) - 1) - (length(bin(a)) - 1))")))
+        .as("ha_bits"),
+      sum(when(col("rl") === 1,
+        expr("b * ((length(bin(n)) - 1) - (length(bin(b)) - 1))")))
+        .as("hb_bits"))
+      .withColumn("ari_num",
+        expr("2 * ((n * (n - 1) div 2) * sum_nij_c2 - sum_a_c2 * sum_b_c2)"))
+      .withColumn("ari_den",
+        expr("(n * (n - 1) div 2) * (sum_a_c2 + sum_b_c2) - 2 * sum_a_c2 * sum_b_c2"))
+      .withColumn("ari_ppm",
+        expr("(ari_num + ari_den) * 1000000 div ari_den - 1000000"))
+      .withColumn("nmi_ppm",
+        expr("(2 * mi_bits + ha_bits + hb_bits) * 1000000 div (ha_bits + hb_bits) - 1000000"))
+      .select("n", "n_cells", "n_labels", "sum_nij_c2", "sum_a_c2",
+        "sum_b_c2", "ari_num", "ari_den", "ari_ppm", "mi_bits",
+        "ha_bits", "hb_bits", "nmi_ppm")
+  }
+
   /** [[simIvfAnn]] over the MATERIALIZED index ([[simIvfBuildIndex]]):
     * identical results (same training, assignment and scoring arithmetic
     * — the oracle SQL is shared verbatim), but the probe reads the
