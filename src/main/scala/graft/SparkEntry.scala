@@ -117,6 +117,9 @@ object SparkEntry {
     "w16_var_es" -> (Relational.w16VarEs _),
     "w17_concentration" -> (Relational.w17Concentration _),
     "w18_underwater" -> (Relational.w18Underwater _),
+    // cross-version dataset card for the quant panel: early-vs-late
+    // window coverage/revenue/share/median per nation, drift in ppm
+    "w19_panel_card" -> (Relational.w19PanelCard _),
     "dd_shingle_df_profile" -> ((s, d) => Text.ddShingleDfProfile(s, d)),
     // the B+ quantifier case: view -> click+ -> purchase via anchor
     // groups (running non-click count), one lead over anchors
@@ -5214,6 +5217,53 @@ object SparkEntry {
         |  CAST(max(under_days) AS BIGINT) AS max_underwater_days,
         |  CAST(arg_max(under_days, rn2) AS BIGINT) AS open_underwater_days
         |FROM ud GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Cross-version panel card: integer-cent rollup, (nation, version)
+    // rank window for the exact lower median, version totals by window,
+    // full-outer a/b card; drift is a subtraction (no signed division).
+    "w19_panel_card" ->
+      s"""WITH daily AS (
+         |  SELECT c_nationkey AS nationkey, o_orderdate AS date,
+         |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+         |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+         |v AS (
+         |  SELECT nationkey, date, rev,
+         |    CASE WHEN date < DATE '${Relational.panelCardSplit}' THEN 'a' ELSE 'b' END AS ver
+         |  FROM daily),
+         |rk AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY nationkey, ver ORDER BY rev ASC, date ASC) AS rn,
+         |    count(*) OVER (PARTITION BY nationkey, ver) AS cnt
+         |  FROM v),
+         |per AS (
+         |  SELECT nationkey, ver, CAST(count(*) AS BIGINT) AS n_days,
+         |    CAST(sum(rev) AS BIGINT) AS rev_sum,
+         |    CAST(max(CASE WHEN rn = (cnt + 1) // 2 THEN rev END) AS BIGINT) AS p50_day_rev
+         |  FROM rk GROUP BY 1, 2),
+         |sp AS (
+         |  SELECT nationkey, ver, n_days, rev_sum, p50_day_rev,
+         |    rev_sum * 1000000 // CAST(sum(rev_sum) OVER (PARTITION BY ver) AS BIGINT) AS share_ppm
+         |  FROM per),
+         |sa AS (SELECT nationkey, n_days AS n_days_a, rev_sum AS rev_a,
+         |    p50_day_rev AS p50_day_rev_a, share_ppm AS share_a_ppm
+         |  FROM sp WHERE ver = 'a'),
+         |sb AS (SELECT nationkey, n_days AS n_days_b, rev_sum AS rev_b,
+         |    p50_day_rev AS p50_day_rev_b, share_ppm AS share_b_ppm
+         |  FROM sp WHERE ver = 'b')
+         |SELECT nationkey,
+         |  COALESCE(n_days_a, 0) AS n_days_a,
+         |  COALESCE(n_days_b, 0) AS n_days_b,
+         |  COALESCE(rev_a, 0) AS rev_a,
+         |  COALESCE(rev_b, 0) AS rev_b,
+         |  COALESCE(p50_day_rev_a, 0) AS p50_day_rev_a,
+         |  COALESCE(p50_day_rev_b, 0) AS p50_day_rev_b,
+         |  COALESCE(share_a_ppm, 0) AS share_a_ppm,
+         |  COALESCE(share_b_ppm, 0) AS share_b_ppm,
+         |  CASE WHEN share_a_ppm IS NULL THEN 'entered'
+         |       WHEN share_b_ppm IS NULL THEN 'exited'
+         |       ELSE 'steady' END AS status,
+         |  COALESCE(share_b_ppm, 0) - COALESCE(share_a_ppm, 0) AS drift_ppm
+         |FROM sa FULL OUTER JOIN sb USING (nationkey)
+         |ORDER BY nationkey""".stripMargin,
     "w7_rolling_corr" ->
       // moment sums are left-to-right folds over the frame list in frame
       // order — the same sequence Spark's aggregate() runs, so the five

@@ -522,6 +522,83 @@ object Relational {
       .orderBy("nationkey")
   }
 
+  /** W19 split date (the panel's two "release versions") — shared with
+    * the generated oracle (the o5 shared-constant rule). The testdata's
+    * order dates span 1995-01-01..2001-08-01 uniformly, so splitting at
+    * the range midpoint populates both halves at every scale factor.
+    */
+  private[graft] val panelCardSplit = "1998-05-01"
+
+  /** W19: DATASET-CARD DRIFT FOR THE QUANT PANEL (VERDICT r14 item 6) —
+    * the release-diff discipline (`pipeline_corpus_drift`,
+    * `tx_dataset_card`) applied to the orders panel: compare the daily
+    * nation-revenue panel's early window (dates < [[panelCardSplit]],
+    * "version a") against the late window ("version b") and report, per
+    * nation, the card a panel reviewer reads between releases: coverage
+    * (n_days), exact integer-cent revenue, revenue share in ppm, the
+    * exact lower-median daily revenue (rank `(n+1) div 2` picked
+    * element — the w16/ev_interarrival selection, never interpolated),
+    * membership status (steady / entered / exited), and the share drift
+    * in ppm (a subtraction of two non-negative integers — no signed
+    * floor division to split the engines).
+    *
+    * Scale shape: one partial-aggregated daily rollup (the shared
+    * w-family panel), a (nation, version)-partitioned rank window over
+    * the bounded daily aggregate, version totals attached by the
+    * bounded-window rule (≤ 2·|nations| rows), and a bounded full-outer
+    * self-join for the a/b card — never an orders-sized shuffle beyond
+    * the rollup.
+    */
+  def w19PanelCard(spark: SparkSession, dir: String): DataFrame = {
+    val split = java.sql.Date.valueOf(panelCardSplit)
+    val wnv = Window.partitionBy("nationkey", "ver")
+    // the card needs UNDESCALED integer cents (shares and medians are
+    // integer arithmetic); the shared panel's rev is the descaled double
+    val cents = Tables(spark, dir, "orders")
+      .join(Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_nationkey").as("nationkey"),
+        col("o_orderdate").as("date"))
+      .agg(sum(Exact.units(col("o_totalprice"), 2)).as("rev"))
+    val per = cents
+      .withColumn("ver",
+        when(col("date") < lit(split), lit("a")).otherwise(lit("b")))
+      .withColumn("rn",
+        row_number().over(wnv.orderBy(col("rev").asc, col("date").asc)))
+      .withColumn("cnt", count(lit(1)).over(wnv))
+      .groupBy("nationkey", "ver")
+      .agg(count(lit(1)).as("n_days"),
+        sum("rev").as("rev_sum"),
+        max(when(col("rn") === expr("(cnt + 1) div 2"), col("rev")))
+          .as("p50_day_rev"))
+    // ≤ 2·|nations| rows: the bounded-aggregate total-attach rule
+    val shared = per
+      .withColumn("ver_total",
+        sum("rev_sum").over(Window.partitionBy("ver")))
+      .withColumn("share_ppm", expr("rev_sum * 1000000 div ver_total"))
+    def side(v: String) = shared.filter(col("ver") === v)
+      .select(col("nationkey"), col("n_days").as(s"n_days_$v"),
+        col("rev_sum").as(s"rev_$v"),
+        col("p50_day_rev").as(s"p50_day_rev_$v"),
+        col("share_ppm").as(s"share_${v}_ppm"))
+    side("a").join(side("b"), Seq("nationkey"), "full_outer")
+      .select(col("nationkey"),
+        coalesce(col("n_days_a"), lit(0L)).as("n_days_a"),
+        coalesce(col("n_days_b"), lit(0L)).as("n_days_b"),
+        coalesce(col("rev_a"), lit(0L)).as("rev_a"),
+        coalesce(col("rev_b"), lit(0L)).as("rev_b"),
+        coalesce(col("p50_day_rev_a"), lit(0L)).as("p50_day_rev_a"),
+        coalesce(col("p50_day_rev_b"), lit(0L)).as("p50_day_rev_b"),
+        coalesce(col("share_a_ppm"), lit(0L)).as("share_a_ppm"),
+        coalesce(col("share_b_ppm"), lit(0L)).as("share_b_ppm"),
+        when(col("share_a_ppm").isNull, lit("entered"))
+          .when(col("share_b_ppm").isNull, lit("exited"))
+          .otherwise(lit("steady")).as("status"),
+        (coalesce(col("share_b_ppm"), lit(0L)) -
+          coalesce(col("share_a_ppm"), lit(0L))).as("drift_ppm"))
+      .orderBy("nationkey")
+  }
+
   /** W7 (rolling correlation): trailing-30-observation Pearson
     * correlation of each nation's daily revenue against the all-nation
     * market total — the rolling-beta/correlation window every quant

@@ -513,4 +513,31 @@ class WindowSpec extends SparkSpec {
       }
     }
   }
+
+  test("w19 panel card: share conservation, drift algebra, status logic") {
+    val rows = Relational.w19PanelCard(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // both versions populated on the uniform TPC-H date range
+    assert(rows.map(_.getAs[Long]("n_days_a")).sum > 0)
+    assert(rows.map(_.getAs[Long]("n_days_b")).sum > 0)
+    // floor-division shares conserve to within one ppm per nation
+    for (v <- Seq("a", "b")) {
+      val s = rows.map(_.getAs[Long](s"share_${v}_ppm")).sum
+      assert(s <= 1000000L && s > 1000000L - rows.length,
+        s"version $v shares sum to $s")
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("drift_ppm") ==
+        r.getAs[Long]("share_b_ppm") - r.getAs[Long]("share_a_ppm"))
+      val st = r.getAs[String]("status")
+      assert(st == "steady" || st == "entered" || st == "exited")
+      if (st == "steady") {
+        assert(r.getAs[Long]("n_days_a") > 0 && r.getAs[Long]("n_days_b") > 0)
+        // the picked lower median is an observed daily value inside the
+        // version's revenue span
+        assert(r.getAs[Long]("p50_day_rev_a") > 0L)
+        assert(r.getAs[Long]("p50_day_rev_a") <= r.getAs[Long]("rev_a"))
+      }
+    }
+  }
 }
