@@ -1612,7 +1612,14 @@ object Similarity {
     */
   def simGraphKcoreMutated(spark: SparkSession, dir: String,
       coreK: Int = kcoreK, rounds: Int = kcoreRounds): DataFrame = {
-    val merged = mergedMutatedEdges(spark, dir).localCheckpoint(false)
+    // r15: read the merged view from the standing gen-2 fold instead of
+    // re-deriving it per call (the per-call insert walk was ~60% of this
+    // audit's 4.1 s) — a deployment audits the state it SERVES, and
+    // after compaction that state is gen-2. Bit-equal by construction:
+    // gen-2 edges ARE mergedMutatedEdges materialized (GraphCompactSpec
+    // pins serve equality; the oracle text is unchanged).
+    val merged = spark.read
+      .parquet(s"${ensureKnnGraphGen2Index(spark, dir)}/edges")
     val mutual = merged
       .join(merged.select(col("u").as("v"), col("v").as("u")),
         Seq("v", "u"), "left_semi")
