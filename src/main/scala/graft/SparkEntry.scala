@@ -462,6 +462,9 @@ object SparkEntry {
     // per-release retrieval-quality report: recall@5 / MRR / nDCG@5 per
     // standing index family vs the exact cosine top-5, integer metrics
     "sim_ir_metrics" -> ((s, d) => Similarity.simIrMetrics(s, d)),
+    // the same quality report over the POST-DELETE serves, each family
+    // judged against its own live-corpus exact top-5
+    "sim_ir_metrics_deleted" -> ((s, d) => Similarity.simIrMetricsDeleted(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     // hybrid deployment form: lexical leg off the standing BM25 index
     "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
@@ -1978,35 +1981,113 @@ object SparkEntry {
                 |) WHERE rnk <= 5)""".stripMargin
       }).map(_._2).mkString(",\n")
     val names = "bm25" +: fams.map(_._1)
-    val metricCtes = names.map { n =>
-      s"""m_$n AS (
-         |  SELECT '$n' AS family,
-         |    CAST(count(*) AS BIGINT) AS n_q,
-         |    CAST(sum(hits) AS BIGINT) AS hits5,
-         |    CAST(sum(hits) AS BIGINT) * 1000000 // (5 * count(*)) AS recall_micro,
-         |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) AS rr60_sum,
-         |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) * 1000000 // (60 * count(*)) AS mrr_micro,
-         |    CAST(sum(dcg2) AS BIGINT) AS dcg2_sum,
-         |    CAST(sum(dcg2) AS BIGINT) * 1000000 // (7 * count(*)) AS ndcg_micro
-         |  FROM (
-         |    SELECT q.qid,
-         |      COALESCE(a.hits, 0) AS hits,
-         |      COALESCE(a.first_rel, 0) AS first_rel,
-         |      COALESCE(a.dcg2, 0) AS dcg2
-         |    FROM irqids q LEFT JOIN (
-         |      SELECT r.qid,
-         |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
-         |        CAST(COALESCE(min(CASE WHEN t.vec_id IS NOT NULL THEN r.rnk END), 0) AS BIGINT) AS first_rel,
-         |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN (CASE WHEN r.rnk <= 2 THEN 2 ELSE 1 END) ELSE 0 END) AS BIGINT) AS dcg2
-         |      FROM r_$n r LEFT JOIN irtruth t ON t.qid = r.qid AND t.vec_id = r.vec_id
-         |      GROUP BY r.qid) a ON a.qid = q.qid))""".stripMargin
-    }.mkString(",\n")
+    val metricCtes = names.map(n => irMetricCte(n, "irtruth"))
+      .mkString(",\n")
     val unionAll = names.map(n => s"SELECT * FROM m_$n")
       .mkString("\nUNION ALL\n")
     s"""WITH irtruth AS MATERIALIZED (
        |  SELECT qid, vec_id FROM (
        |$cosineTopkSql
        |) WHERE rnk <= 5),
+       |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+       |$famCtes,
+       |$metricCtes
+       |SELECT * FROM (
+       |$unionAll)
+       |ORDER BY family""".stripMargin
+  }
+
+  /** ONE metric-fold CTE per family — factored so the base report
+    * ([[irMetricsSql]]) and the post-delete report
+    * ([[irMetricsDeletedSql]]) can never score by drifting formulas
+    * (the irMetricsOver one-definition rule, oracle side).
+    */
+  private def irMetricCte(n: String, truthCte: String): String =
+    s"""m_$n AS (
+       |  SELECT '$n' AS family,
+       |    CAST(count(*) AS BIGINT) AS n_q,
+       |    CAST(sum(hits) AS BIGINT) AS hits5,
+       |    CAST(sum(hits) AS BIGINT) * 1000000 // (5 * count(*)) AS recall_micro,
+       |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) AS rr60_sum,
+       |    CAST(sum(CASE WHEN first_rel > 0 THEN 60 // first_rel ELSE 0 END) AS BIGINT) * 1000000 // (60 * count(*)) AS mrr_micro,
+       |    CAST(sum(dcg2) AS BIGINT) AS dcg2_sum,
+       |    CAST(sum(dcg2) AS BIGINT) * 1000000 // (7 * count(*)) AS ndcg_micro
+       |  FROM (
+       |    SELECT q.qid,
+       |      COALESCE(a.hits, 0) AS hits,
+       |      COALESCE(a.first_rel, 0) AS first_rel,
+       |      COALESCE(a.dcg2, 0) AS dcg2
+       |    FROM irqids q LEFT JOIN (
+       |      SELECT r.qid,
+       |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+       |        CAST(COALESCE(min(CASE WHEN t.vec_id IS NOT NULL THEN r.rnk END), 0) AS BIGINT) AS first_rel,
+       |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN (CASE WHEN r.rnk <= 2 THEN 2 ELSE 1 END) ELSE 0 END) AS BIGINT) AS dcg2
+       |      FROM r_$n r LEFT JOIN $truthCte t ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |      GROUP BY r.qid) a ON a.qid = q.qid))""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIrMetricsDeleted]]:
+    * each family's EXISTING deleted-serve oracle text cut to top-5,
+    * scored against the exact cosine top-5 over ITS OWN first-
+    * principles live corpus (the flat id%4 carve, the graph id%7 rule,
+    * IVF's cell-correlated [[ivfLivePred]] over the assignment chain —
+    * re-derived, so the truth cross-checks the physical tombstones),
+    * folded through the SAME metric text as the base report.
+    */
+  private def irMetricsDeletedSql: String = {
+    val cosDot =
+      "list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)"
+    def liveTruth(name: String, pred: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    WITH le AS (
+         |      SELECT vec_id, embedding,
+         |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |      FROM embeddings),
+         |    lq AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM le WHERE vec_id < 5),
+         |    ls AS (
+         |      SELECT qid, vec_id,
+         |        $cosDot / (qnorm * norm) AS cosine
+         |      FROM le, lq WHERE vec_id <> qid AND ($pred))
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |    FROM ls)
+         |  WHERE rnk <= 5)""".stripMargin
+    val ivfTruth =
+      s"""t_ivf AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    WITH ${kmeansCtes()},
+         |    $ivfRankCtes,
+         |    liv AS (SELECT vec_id, embedding, vnorm FROM rk WHERE crnk = 1 AND ($ivfLivePred)),
+         |    lq AS (SELECT vec_id AS qid, embedding AS qvec, vnorm AS qnorm FROM e WHERE vec_id < 5),
+         |    ls AS (
+         |      SELECT qid, liv.vec_id AS vec_id,
+         |        list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(liv.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * vnorm) AS cosine
+         |      FROM liv, lq WHERE liv.vec_id <> qid)
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |    FROM ls)
+         |  WHERE rnk <= 5)""".stripMargin
+    val fams = Seq(
+      ("bq", bqHammingDeletedSql, "t_flat"),
+      ("graph", graphSearchDeletedSql, "t_graph"),
+      ("ivf", ivfAnnDeletedSql, "t_ivf"),
+      ("opq", opqAdcDeletedSql, "t_flat"),
+      ("pq", pqAdcDeletedSql, "t_flat"))
+    val famCtes = fams.map { case (n, sql, _) =>
+      s"""r_$n AS MATERIALIZED (
+         |  SELECT qid, vec_id, rnk FROM (
+         |$sql
+         |) WHERE rnk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val metricCtes = fams.map { case (n, _, t) => irMetricCte(n, t) }
+      .mkString(",\n")
+    val unionAll = fams.map { case (n, _, _) => s"SELECT * FROM m_$n" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${liveTruth("t_flat",
+        s"vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem}")},
+       |${liveTruth("t_graph",
+        s"vec_id % ${Similarity.graphDelMod} <> ${Similarity.graphDelRem}")},
+       |$ivfTruth,
        |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
        |$famCtes,
        |$metricCtes
@@ -8053,6 +8134,7 @@ object SparkEntry {
     // contribution is one double division of exact small integers and
     // the two add in fixed order (dense first) on both engines.
     "sim_ir_metrics" -> irMetricsSql,
+    "sim_ir_metrics_deleted" -> irMetricsDeletedSql,
     "sim_rrf_fusion" -> rrfFusionSql,
     // the standing-index lexical leg is bit-identical by construction —
     // same text (the sqInt8Sql rule)

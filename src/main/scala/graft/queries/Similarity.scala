@@ -5417,6 +5417,69 @@ object Similarity {
       .orderBy("family")
   }
 
+  /** [[simIrMetrics]] FOR THE POST-DELETE SERVES — the release question
+    * the base report can't answer: does deletion preserve retrieval
+    * quality? Each family's deleted serve (tombstone overlay / physical
+    * rewrite — the already-oracled `*_deleted` entries) is scored
+    * against the exact cosine top-5 over ITS OWN live corpus (the flat
+    * families share the id%4 carve, the graph its id%7 rule, IVF its
+    * cell-correlated rule read from the physical tombstone table — the
+    * oracle re-derives it from first principles, so the truth doubles
+    * as a tombstone cross-check). Same integer metric tail, one bounded
+    * row per family; SQ's deleted serve is spec-only (unoracled) and
+    * stays out.
+    */
+  def simIrMetricsDeleted(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
+    val tFlat = cosineTopkLive(spark, dir,
+      emb.filter(!(col("vec_id") % pqDelMod === pqDelRem))
+        .select("vec_id")).localCheckpoint(false)
+    val tGraph = cosineTopkLive(spark, dir,
+      emb.filter(!(col("vec_id") % graphDelMod === graphDelRem))
+        .select("vec_id")).localCheckpoint(false)
+    val ivfDel = ensureIvfDeleteIndex(spark, dir)
+    val tIvf = cosineTopkLive(spark, dir,
+      emb.select("vec_id").join(
+        spark.read.parquet(s"$ivfDel/tombstones")
+          .select(col("m_vec_id").as("vec_id")),
+        Seq("vec_id"), "left_anti")).localCheckpoint(false)
+    Seq(
+      ("bq", tFlat, simBqHammingDeleted(spark, dir)),
+      ("graph", tGraph, simGraphSearchDeleted(spark, dir)),
+      ("ivf", tIvf, simIvfAnnDeleted(spark, dir)),
+      ("opq", tFlat, simOpqAdcDeleted(spark, dir)),
+      ("pq", tFlat, simPqAdcDeleted(spark, dir)))
+      .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
+      .reduce(_.unionByName(_))
+      .orderBy("family")
+  }
+
+  /** Exact cosine top-5 ground truth restricted to a live member-id
+    * frame — the per-family truth of [[simIrMetricsDeleted]] (the
+    * [[simCosineTopk]] text over a semi-joined corpus).
+    */
+  private def cosineTopkLive(spark: SparkSession, dir: String,
+      live: DataFrame, k: Int = 5): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+      .join(live.select("vec_id"), Seq("vec_id"), "left_semi")
+      .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+    val q = defaultQueries(spark, dir)
+      .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"),
+        col("qnorm"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("cosine").desc, col("vec_id").asc)
+    emb.join(broadcast(q), col("vec_id") =!= col("qid"))
+      .withColumn("cosine",
+        expr(dotExpr("qvec", "embedding")) / (col("qnorm") * col("norm")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id")
+  }
+
   /** The one-definition metric tail of [[simIrMetrics]] — every family
     * folds through the SAME integer arithmetic, so families can never
     * be scored by drifting formulas.
