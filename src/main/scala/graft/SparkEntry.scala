@@ -465,6 +465,9 @@ object SparkEntry {
     // the same quality report over the POST-DELETE serves, each family
     // judged against its own live-corpus exact top-5
     "sim_ir_metrics_deleted" -> ((s, d) => Similarity.simIrMetricsDeleted(s, d)),
+    // the third lifecycle panel: post-mutation serves (compacted graph,
+    // upserted/deleted HNSW) vs their own-corpus exact truth
+    "sim_ir_metrics_mutated" -> ((s, d) => Similarity.simIrMetricsMutated(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     // hybrid deployment form: lexical leg off the standing BM25 index
     "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
@@ -2088,6 +2091,67 @@ object SparkEntry {
        |${liveTruth("t_graph",
         s"vec_id % ${Similarity.graphDelMod} <> ${Similarity.graphDelRem}")},
        |$ivfTruth,
+       |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+       |$famCtes,
+       |$metricCtes
+       |SELECT * FROM (
+       |$unionAll)
+       |ORDER BY family""".stripMargin
+  }
+
+  /** DuckDB twin of [[graft.queries.Similarity.simIrMetricsMutated]]:
+    * the post-mutation serves' existing oracle texts (compacted walk,
+    * upserted/deleted HNSW) scored against the exact cosine top-5 over
+    * each serve's OWN corpus (live base ∪ reversed-fold delta where
+    * inserts apply), through the shared metric text.
+    */
+  private def irMetricsMutatedSql: String = {
+    val dm = Similarity.graphDelMod
+    val drm = Similarity.graphDelRem
+    def truthOver(name: String, memberSel: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    WITH le AS (
+         |      SELECT vec_id, embedding,
+         |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |      FROM embeddings),
+         |    ldel AS (
+         |      SELECT -vec_id - 1 AS vec_id,
+         |        list_transform(range(1, 65), i -> embedding[65 - i]) AS embedding,
+         |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[65 - i] AS DOUBLE) * CAST(embedding[65 - i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |      FROM embeddings WHERE vec_id % ${Similarity.upsertDeltaMod} = 0),
+         |    lm AS ($memberSel),
+         |    lq AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM le WHERE vec_id < 5),
+         |    ls AS (
+         |      SELECT qid, lm.vec_id AS vec_id,
+         |        list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(lm.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * lm.norm) AS cosine
+         |      FROM lm, lq WHERE lm.vec_id <> qid)
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |    FROM ls)
+         |  WHERE rnk <= 5)""".stripMargin
+    val fams = Seq(
+      ("graph_gen2", graphSearchCompactedSql, "t_mut"),
+      ("hnsw_deleted", hnswDeletedSearchSql, "t_liveb"),
+      ("hnsw_upserted", hnswUpsertedSearchSql, "t_ups"))
+    val famCtes = fams.map { case (n, sql, _) =>
+      s"""r_$n AS MATERIALIZED (
+         |  SELECT qid, vec_id, rnk FROM (
+         |$sql
+         |) WHERE rnk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val metricCtes = fams.map { case (n, _, t) => irMetricCte(n, t) }
+      .mkString(",\n")
+    val unionAll = fams.map { case (n, _, _) => s"SELECT * FROM m_$n" }
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${truthOver("t_mut",
+        s"SELECT vec_id, embedding, norm FROM le WHERE vec_id % $dm <> $drm" +
+          " UNION ALL SELECT vec_id, embedding, norm FROM ldel")},
+       |${truthOver("t_liveb",
+        s"SELECT vec_id, embedding, norm FROM le WHERE vec_id % $dm <> $drm")},
+       |${truthOver("t_ups",
+        "SELECT vec_id, embedding, norm FROM le" +
+          " UNION ALL SELECT vec_id, embedding, norm FROM ldel")},
        |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
        |$famCtes,
        |$metricCtes
@@ -8135,6 +8199,7 @@ object SparkEntry {
     // the two add in fixed order (dense first) on both engines.
     "sim_ir_metrics" -> irMetricsSql,
     "sim_ir_metrics_deleted" -> irMetricsDeletedSql,
+    "sim_ir_metrics_mutated" -> irMetricsMutatedSql,
     "sim_rrf_fusion" -> rrfFusionSql,
     // the standing-index lexical leg is bit-identical by construction —
     // same text (the sqInt8Sql rule)

@@ -5461,10 +5461,21 @@ object Similarity {
     * [[simCosineTopk]] text over a semi-joined corpus).
     */
   private def cosineTopkLive(spark: SparkSession, dir: String,
-      live: DataFrame, k: Int = 5): DataFrame = {
+      live: DataFrame, k: Int = 5): DataFrame =
+    cosineTopkOver(spark, dir,
+      Tables(spark, dir, "embeddings")
+        .join(live.select("vec_id"), Seq("vec_id"), "left_semi")
+        .select("vec_id", "embedding"), k)
+
+  /** Exact cosine top-5 over an ARBITRARY (vec_id, embedding) member
+    * frame — the mutated-corpus truths (base ∪ delta) of
+    * [[simIrMetricsMutated]] need members that are not a subset of the
+    * base table.
+    */
+  private def cosineTopkOver(spark: SparkSession, dir: String,
+      members: DataFrame, k: Int = 5): DataFrame = {
     register(spark)
-    val emb = Tables(spark, dir, "embeddings")
-      .join(live.select("vec_id"), Seq("vec_id"), "left_semi")
+    val emb = members
       .withColumn("norm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
     val q = defaultQueries(spark, dir)
       .withColumn("qnorm", expr(s"sqrt(${dotExpr("embedding", "embedding")})"))
@@ -5478,6 +5489,50 @@ object Similarity {
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select("qid", "vec_id")
+  }
+
+  /** [[simIrMetrics]] FOR THE POST-MUTATION SERVES — the third panel of
+    * the lifecycle-quality matrix (base → deleted → mutated): the
+    * serves whose corpus is neither the base nor a pure subset, each
+    * judged against the exact cosine top-5 over ITS OWN corpus:
+    *
+    *   - `graph_gen2` — [[simGraphSearchCompacted]] over the folded
+    *     delete+insert generation; truth = live base (the graph delete
+    *     rule) ∪ the inserted delta (negative ids, reversed fold).
+    *   - `hnsw_upserted` — [[simHnswSearchUpserted]]; truth = full
+    *     base ∪ delta (inserts only, no deletes).
+    *   - `hnsw_deleted` — [[simHnswSearchDeleted]]; truth = live base
+    *     (the same id%7 rule as the flat graph's deleted row).
+    *
+    * Same integer metric tail ([[irMetricsOver]]); the oracle reuses
+    * each serve's existing green oracle text, so this report can never
+    * disagree with the per-serve entries.
+    */
+  def simIrMetricsMutated(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val emb = Tables(spark, dir, "embeddings")
+    val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
+    val delta = emb.filter(col("vec_id") % upsertDeltaMod === 0)
+      .select((col("vec_id") * -1 - 1).as("vec_id"),
+        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
+          .as("embedding"))
+    val base = emb.select("vec_id", "embedding")
+    val liveBase = emb
+      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+      .select("vec_id", "embedding")
+    val tMut = cosineTopkOver(spark, dir, liveBase.unionByName(delta))
+      .localCheckpoint(false)
+    val tUps = cosineTopkOver(spark, dir, base.unionByName(delta))
+      .localCheckpoint(false)
+    val tLive = cosineTopkOver(spark, dir, liveBase)
+      .localCheckpoint(false)
+    Seq(
+      ("graph_gen2", tMut, simGraphSearchCompacted(spark, dir)),
+      ("hnsw_deleted", tLive, simHnswSearchDeleted(spark, dir)),
+      ("hnsw_upserted", tUps, simHnswSearchUpserted(spark, dir)))
+      .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
+      .reduce(_.unionByName(_))
+      .orderBy("family")
   }
 
   /** The one-definition metric tail of [[simIrMetrics]] — every family

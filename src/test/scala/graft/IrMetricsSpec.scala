@@ -77,4 +77,22 @@ class IrMetricsSpec extends SparkSpec {
     assert(rows("ivf").getAs[Long]("recall_micro") == 880000L)
     assert(rows("pq").getAs[Long]("recall_micro") <= 400000L)
   }
+
+  test("mutation preserves retrieval quality (post-mutation report)") {
+    val rows = Similarity
+      .simIrMetricsMutated(spark, "/root/testdata/sf0.001").collect()
+      .map(r => r.getAs[String]("family") -> r).toMap
+    assert(rows.keySet == Set("graph_gen2", "hnsw_deleted", "hnsw_upserted"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_q") == 5L)
+      assert(r.getAs[Long]("recall_micro") ==
+        r.getAs[Long]("hits5") * 1000000L / (5 * r.getAs[Long]("n_q")))
+    }
+    // measured sf0.001 pins: all three mutated serves hold the graph
+    // family's pre-mutation class (0.92) against their own-corpus truth
+    // — compaction, insertion and deletion each preserve walk quality
+    rows.values.foreach(r =>
+      assert(r.getAs[Long]("recall_micro") == 920000L,
+        s"${r.getAs[String]("family")}: ${r.getAs[Long]("recall_micro")}"))
+  }
 }
