@@ -1968,30 +1968,53 @@ object SparkEntry {
     */
   private def irMetricsSql: String = {
     val fams = Seq(
-      "bq" -> bqHammingSql, "graph" -> graphSearchSql,
-      "ivf" -> ivfAnnSql, "ivfpq" -> ivfPqSql,
-      "opq" -> opqAdcIndexedSql, "pq" -> pqAdcSql,
-      "rrf" -> rrfFusionSql, "sq" -> sqInt8Sql)
-    val famCtes = (Seq("bm25" ->
+      ("bq", bqHammingSql, "irtruth"),
+      ("filtered",
+        ivfAnnSqlOver(s"label = ${Similarity.filteredAnnLabel}"),
+        "t_filt"),
+      ("graph", graphSearchSql, "irtruth"),
+      ("hnsw", hnswSearchSql, "irtruth"),
+      ("ivf", ivfAnnSql, "irtruth"),
+      ("ivfpq", ivfPqSql, "irtruth"),
+      ("opq", opqAdcIndexedSql, "irtruth"),
+      ("pq", pqAdcSql, "irtruth"),
+      ("rrf", rrfFusionSql, "irtruth"),
+      ("sq", sqInt8Sql, "irtruth"))
+    val famCtes = (Seq(
       s"""r_bm25 AS MATERIALIZED (
          |  SELECT q.qid, b.doc_id AS vec_id, b.rnk FROM (
          |$bm25TopkSql
          |) b, irqids q WHERE b.rnk <= 5)""".stripMargin) ++
-      fams.map { case (n, sql) =>
-        n -> s"""r_$n AS MATERIALIZED (
-                |  SELECT qid, vec_id, rnk FROM (
-                |$sql
-                |) WHERE rnk <= 5)""".stripMargin
-      }).map(_._2).mkString(",\n")
-    val names = "bm25" +: fams.map(_._1)
-    val metricCtes = names.map(n => irMetricCte(n, "irtruth"))
+      fams.map { case (n, sql, _) =>
+        s"""r_$n AS MATERIALIZED (
+           |  SELECT qid, vec_id, rnk FROM (
+           |$sql
+           |) WHERE rnk <= 5)""".stripMargin
+      }).mkString(",\n")
+    val pairs = ("bm25", "irtruth") +: fams.map { case (n, _, t) => (n, t) }
+    val metricCtes = pairs.map { case (n, t) => irMetricCte(n, t) }
       .mkString(",\n")
-    val unionAll = names.map(n => s"SELECT * FROM m_$n")
+    val unionAll = pairs.map { case (n, _) => s"SELECT * FROM m_$n" }
       .mkString("\nUNION ALL\n")
     s"""WITH irtruth AS MATERIALIZED (
        |  SELECT qid, vec_id FROM (
        |$cosineTopkSql
        |) WHERE rnk <= 5),
+       |t_filt AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    WITH le AS (
+       |      SELECT vec_id, label, embedding,
+       |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+       |      FROM embeddings),
+       |    lq AS (SELECT vec_id AS qid, embedding AS qvec, norm AS qnorm FROM le WHERE vec_id < 5),
+       |    ls AS (
+       |      SELECT qid, vec_id,
+       |        list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+       |      FROM le, lq WHERE vec_id <> qid AND label = ${Similarity.filteredAnnLabel})
+       |    SELECT qid, vec_id,
+       |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+       |    FROM ls)
+       |  WHERE rnk <= 5),
        |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
        |$famCtes,
        |$metricCtes

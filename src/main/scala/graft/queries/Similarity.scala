@@ -5396,6 +5396,12 @@ object Similarity {
     val truth = simCosineTopk(spark, dir).filter(col("rnk") <= 5)
       .select("qid", "vec_id")
       .localCheckpoint(false) // 5·|Q| rows, reused by every family join
+    // the filtered serve's honest truth is the FILTERED exact top-5
+    // (the FilteredAnnSpec recall convention)
+    val truthFilt = cosineTopkLive(spark, dir,
+      Tables(spark, dir, "embeddings")
+        .filter(col("label") === filteredAnnLabel).select("vec_id"))
+      .localCheckpoint(false)
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
     // the fixed-term lexical list is query-independent: broadcast the
     // ≤5-row qid frame onto it (bounded×bounded — the rrfFuse crossJoin)
@@ -5403,16 +5409,18 @@ object Similarity {
       .select(col("doc_id").as("vec_id"), col("rnk"))
       .crossJoin(broadcast(qids))
     Seq(
-      "bm25" -> bm25,
-      "bq" -> simBqHammingIndexed(spark, dir),
-      "graph" -> simGraphSearch(spark, dir),
-      "ivf" -> simIvfAnnIndexed(spark, dir),
-      "ivfpq" -> simIvfPqIndexed(spark, dir),
-      "opq" -> simOpqAdcIndexed(spark, dir),
-      "pq" -> simPqAdcIndexed(spark, dir),
-      "rrf" -> simRrfFusionIndexed(spark, dir),
-      "sq" -> simSqInt8Indexed(spark, dir))
-      .map { case (name, res) => irMetricsOver(name, truth, qids, res) }
+      ("bm25", truth, bm25),
+      ("bq", truth, simBqHammingIndexed(spark, dir)),
+      ("filtered", truthFilt, simFilteredAnnIndexed(spark, dir)),
+      ("graph", truth, simGraphSearch(spark, dir)),
+      ("hnsw", truth, simHnswSearch(spark, dir)),
+      ("ivf", truth, simIvfAnnIndexed(spark, dir)),
+      ("ivfpq", truth, simIvfPqIndexed(spark, dir)),
+      ("opq", truth, simOpqAdcIndexed(spark, dir)),
+      ("pq", truth, simPqAdcIndexed(spark, dir)),
+      ("rrf", truth, simRrfFusionIndexed(spark, dir)),
+      ("sq", truth, simSqInt8Indexed(spark, dir)))
+      .map { case (name, t, res) => irMetricsOver(name, t, qids, res) }
       .reduce(_.unionByName(_))
       .orderBy("family")
   }

@@ -15,8 +15,8 @@ class IrMetricsSpec extends SparkSpec {
 
   test("metric identities hold for every family (sf0.001)") {
     val rows = rowsAt("/root/testdata/sf0.001")
-    assert(rows.keySet == Set("bm25", "bq", "graph", "ivf", "ivfpq",
-      "opq", "pq", "rrf", "sq"))
+    assert(rows.keySet == Set("bm25", "bq", "filtered", "graph", "hnsw",
+      "ivf", "ivfpq", "opq", "pq", "rrf", "sq"))
     rows.values.foreach { r =>
       val nQ = r.getAs[Long]("n_q")
       val hits = r.getAs[Long]("hits5")
@@ -46,6 +46,10 @@ class IrMetricsSpec extends SparkSpec {
     assert(r1("ivf").getAs[Long]("recall_micro") == 920000L)
     assert(r1("graph").getAs[Long]("recall_micro") == 880000L)
     assert(r1("bq").getAs[Long]("recall_micro") == 1000000L)
+    // FilteredAnnSpec's documented selectivity penalty (0.48 at the
+    // unfiltered shipped depth nprobe=2) and the layered walk's 0.84
+    assert(r1("filtered").getAs[Long]("recall_micro") == 480000L)
+    assert(r1("hnsw").getAs[Long]("recall_micro") == 840000L)
     assert(r1("pq").getAs[Long]("recall_micro") <= 400000L,
       "pure-ADC PQ recall should stay documented-low on this corpus")
     // sf0.01: the IvfRecallSpec floor (measured 0.92) and BQ's 0.88-era
