@@ -384,6 +384,9 @@ object SparkEntry {
     // standing int8 code table (frozen scale), bit-identical serve —
     // same oracle text as the per-call form (the simBqHammingIndexed rule)
     "sim_sq_int8_indexed" -> ((s, d) => Similarity.simSqInt8Indexed(s, d)),
+    // the physically rewritten overlay serving the live search — the
+    // last deleted serve without its own oracle entry (it was spec-only)
+    "sim_sq_int8_deleted" -> ((s, d) => Similarity.simSqInt8Deleted(s, d)),
     // thermometer 1-bit codes + Hamming popcount shortlist + exact
     // re-rank: the BQ member of the quantization ladder (4x less scan
     // I/O than float32, recall 0.88-1.0@L50 across the corpora)
@@ -2098,7 +2101,8 @@ object SparkEntry {
       ("graph", graphSearchDeletedSql, "t_graph"),
       ("ivf", ivfAnnDeletedSql, "t_ivf"),
       ("opq", opqAdcDeletedSql, "t_flat"),
-      ("pq", pqAdcDeletedSql, "t_flat"))
+      ("pq", pqAdcDeletedSql, "t_flat"),
+      ("sq", sqInt8DeletedSql, "t_flat"))
     val famCtes = fams.map { case (n, sql, _) =>
       s"""r_$n AS MATERIALIZED (
          |  SELECT qid, vec_id, rnk FROM (
@@ -4191,8 +4195,13 @@ object SparkEntry {
     * standing-index serve (bit-identical by the shared sqSearch tail
     * and frozen persisted scale/codes — one text, the bm25TopkSql rule).
     */
-  private def sqInt8Sql: String =
-      """WITH sc AS (
+  /** SQ int8 search over a member predicate — `TRUE` is the full-corpus
+    * search; the delete twin substitutes the live carve so the
+    * post-delete oracle is the SAME text over the SAME frozen-scale
+    * quantization chain (the ivfAnnSqlOver one-generator rule).
+    */
+  private def sqInt8SqlOver(memberPred: String): String =
+      s"""WITH sc AS (
         |  SELECT CAST(127 AS DOUBLE) / max(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))) AS s
         |  FROM embeddings),
         |qn AS (
@@ -4208,10 +4217,21 @@ object SparkEntry {
         |  SELECT qid, vec_id, label,
         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qq[i] * qe[i])), (x, y) -> x + y) AS DOUBLE)
         |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) AS approx_cosine
-        |  FROM n, q WHERE vec_id <> qid)
+        |  FROM n, q WHERE vec_id <> qid AND ($memberPred))
         |SELECT qid, vec_id, label, approx_cosine, rnk FROM (
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM s2)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
+
+  private def sqInt8Sql: String = sqInt8SqlOver("TRUE")
+
+  /** DuckDB twin of [[graft.queries.Similarity.simSqInt8Deleted]]: the
+    * identical frozen-scale chain over the live carve — the physically
+    * rewritten overlay must serve exactly the live search from first
+    * principles.
+    */
+  private def sqInt8DeletedSql: String =
+    sqInt8SqlOver(
+      s"vec_id % ${Similarity.pqDelMod} <> ${Similarity.pqDelRem}")
 
 
 
@@ -8255,6 +8275,7 @@ object SparkEntry {
     "sim_bq_drift" -> bqDriftSql,
     "sim_sq_int8" -> sqInt8Sql,
     "sim_sq_int8_indexed" -> sqInt8Sql,
+    "sim_sq_int8_deleted" -> sqInt8DeletedSql,
     "sim_sq_upsert" -> sqUpsertSql,
     "sim_sq_delete" -> sqDeleteSql,
     "sim_sq_drift" -> sqDriftSql,

@@ -5434,8 +5434,8 @@ object Similarity {
     * cell-correlated rule read from the physical tombstone table — the
     * oracle re-derives it from first principles, so the truth doubles
     * as a tombstone cross-check). Same integer metric tail, one bounded
-    * row per family; SQ's deleted serve is spec-only (unoracled) and
-    * stays out.
+    * row per family — all six deleted serves, SQ included now that its
+    * overlay serve carries its own oracle entry (r15 second wave).
     */
   def simIrMetricsDeleted(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
@@ -5458,7 +5458,8 @@ object Similarity {
       ("graph", tGraph, simGraphSearchDeleted(spark, dir)),
       ("ivf", tIvf, simIvfAnnDeleted(spark, dir)),
       ("opq", tFlat, simOpqAdcDeleted(spark, dir)),
-      ("pq", tFlat, simPqAdcDeleted(spark, dir)))
+      ("pq", tFlat, simPqAdcDeleted(spark, dir)),
+      ("sq", tFlat, simSqInt8Deleted(spark, dir)))
       .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
       .reduce(_.unionByName(_))
       .orderBy("family")
@@ -6081,7 +6082,7 @@ object Similarity {
     * still read from the BASE table (a deleted vector may still
     * query).
     */
-  private[graft] def simSqInt8Deleted(spark: SparkSession, dir: String,
+  def simSqInt8Deleted(spark: SparkSession, dir: String,
       k: Int = 10): DataFrame = {
     register(spark)
     val main = ensureSqIndex(spark, dir)

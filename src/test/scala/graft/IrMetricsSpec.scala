@@ -63,7 +63,7 @@ class IrMetricsSpec extends SparkSpec {
     val rows = Similarity
       .simIrMetricsDeleted(spark, "/root/testdata/sf0.001").collect()
       .map(r => r.getAs[String]("family") -> r).toMap
-    assert(rows.keySet == Set("bq", "graph", "ivf", "opq", "pq"))
+    assert(rows.keySet == Set("bq", "graph", "ivf", "opq", "pq", "sq"))
     rows.values.foreach { r =>
       val nQ = r.getAs[Long]("n_q")
       assert(nQ == 5L)
