@@ -471,6 +471,14 @@ object SparkEntry {
     // the third lifecycle panel: post-mutation serves (compacted graph,
     // upserted/deleted HNSW) vs their own-corpus exact truth
     "sim_ir_metrics_mutated" -> ((s, d) => Similarity.simIrMetricsMutated(s, d)),
+    // quality history over releases: standing serves judged against each
+    // release version's live corpus (VERDICT r15 item 5)
+    "sim_ir_metrics_at_version" -> ((s, d) => Similarity.simIrMetricsAtVersion(s, d)),
+    // re-rank shortlist operating-point curve (VERDICT r15 item 6)
+    "sim_rerank_curve" -> ((s, d) => Similarity.simRerankCurve(s, d)),
+    // unigram-LM tokenizer twin (VERDICT r15 item 7)
+    "tx_unigram_train" -> ((s, d) => Text.txUnigramTrain(s, d)),
+    "tx_unigram_apply" -> ((s, d) => Text.txUnigramApply(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     // hybrid deployment form: lexical leg off the standing BM25 index
     "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
@@ -584,10 +592,12 @@ object SparkEntry {
     * `a{r}` (squared-L2 window argmin, ties by lowest cid — the distance
     * is the same left-to-right `list_prepend(0, ...)` double fold the
     * Spark side computes, so every tie resolves identically) + mean
-    * update `c{r}` (vec_id-ordered sequential fold, the established
-    * centroid form). Generated text so the Spark defaults and the oracle
-    * can never drift apart; the final CTE is `c{rounds}` with columns
-    * (cid, n, members, centroid, min_vec_id, max_vec_id).
+    * update `c{r}` via the two-level bucketed fold ([[twoLevelMeanSql]]
+    * — VERDICT r15 item 1; the twin of
+    * [[graft.queries.Similarity.meanFold2]]). Generated text so the
+    * Spark defaults and the oracle can never drift apart; the final CTE
+    * is `c{rounds}` with columns (cid, n, min_vec_id, max_vec_id,
+    * centroid).
     */
   private def kmeansCtes(k: Int = 8, rounds: Int = 3): String = {
     val seed =
@@ -604,14 +614,7 @@ object SparkEntry {
          |        c.cid ASC) AS rn
          |    FROM embeddings e, c${r - 1} c)
          |  WHERE rn = 1),
-         |c$r AS (
-         |  SELECT cid, n, members,
-         |    list_transform(range(1, 65), d ->
-         |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid,
-         |    min_vec_id, max_vec_id
-         |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members,
-         |          min(vec_id) AS min_vec_id, max(vec_id) AS max_vec_id
-         |        FROM a$r GROUP BY cid))""".stripMargin
+         |c$r AS ${twoLevelMeanSql(s"a$r", Seq("cid"), "embedding", "0", 64)}""".stripMargin
     }
     (seed +: steps).mkString(",\n")
   }
@@ -721,6 +724,62 @@ object SparkEntry {
        |          (CAST($v[i + $lo] AS DOUBLE) - $c[i]) * (CAST($v[i + $lo] AS DOUBLE) - $c[i]))), (x, y) -> x + y)""".stripMargin
   }
 
+  /** DuckDB twin of [[graft.queries.Similarity.foldW]]'s bucket: `//` on
+    * the offset-positive dividend floors exactly where Spark's `div`
+    * truncates (one geometry, two engines — VERDICT r15 item 1).
+    */
+  private def foldBktSql(id: String): String =
+    s"(($id + ${Similarity.foldOff}) // ${Similarity.foldW})"
+
+  /** Two-level idCol-ordered MEAN fold over a dim slice — the DuckDB
+    * twin of [[graft.queries.Similarity.meanFold2]]: per (keys, bucket)
+    * partial sums folded in id order, then a bucket-ordered fold of the
+    * partials divided once. Emits a parenthesized relation with columns
+    * keys..., n (BIGINT — sum() is HUGEINT, always cast), min_vec_id,
+    * max_vec_id, centroid. `lo` is the 0-based slice offset (DuckDB
+    * lists are 1-based; `d` runs 1..sub so `mm[d + lo]` lands on the
+    * same elements as Spark's `m[d + lo]` with d 0-based).
+    */
+  private def twoLevelMeanSql(src: String, keys: Seq[String],
+      vecCol: String, lo: String, sub: Int,
+      idCol: String = "vec_id"): String = {
+    val ks = keys.mkString(", ")
+    s"""(
+       |  SELECT $ks, n, min_vec_id, max_vec_id,
+       |    list_transform(range(1, ${sub + 1}), d ->
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(parts, p -> p[d])), (x, y) -> x + y) / n) AS centroid
+       |  FROM (
+       |    SELECT $ks, CAST(sum(n_b) AS BIGINT) AS n, min(mn) AS min_vec_id,
+       |      max(mx) AS max_vec_id, list(psum ORDER BY bkt) AS parts
+       |    FROM (
+       |      SELECT $ks, bkt, n_b, mn, mx,
+       |        list_transform(range(1, ${sub + 1}), d ->
+       |          list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ms, mm -> CAST(mm[d + ($lo)] AS DOUBLE))), (x, y) -> x + y)) AS psum
+       |      FROM (
+       |        SELECT $ks, ${foldBktSql(idCol)} AS bkt, count(*) AS n_b,
+       |          min($idCol) AS mn, max($idCol) AS mx,
+       |          list($vecCol ORDER BY $idCol) AS ms
+       |        FROM $src GROUP BY $ks, bkt))
+       |    GROUP BY $ks))""".stripMargin
+  }
+
+  /** Two-level idCol-ordered SUM fold over a scalar — the DuckDB twin of
+    * [[graft.queries.Similarity.sumFold2]]. Emits a parenthesized
+    * relation with columns keys..., n (BIGINT), fsum.
+    */
+  private def twoLevelSumSql(src: String, keys: Seq[String], valCol: String,
+      idCol: String = "vec_id"): String = {
+    val ks = keys.mkString(", ")
+    s"""(
+       |  SELECT $ks, CAST(sum(n_b) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ps ORDER BY bkt)), (x, y) -> x + y) AS fsum
+       |  FROM (
+       |    SELECT $ks, ${foldBktSql(idCol)} AS bkt, count(*) AS n_b,
+       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list($valCol ORDER BY $idCol)), (x, y) -> x + y) AS ps
+       |    FROM $src GROUP BY $ks, bkt)
+       |  GROUP BY $ks)""".stripMargin
+  }
+
   /** The per-subspace PQ Lloyd training chain, parameterized over CTE
     * prefix, source CTE and vector column — ONE generator for the raw
     * chain (pqAdcCtes: prefix "pq" over `embeddings.embedding`), the
@@ -752,12 +811,7 @@ object SparkEntry {
            |        c.cid ASC) AS rn
            |    FROM $srcCte e, ${prefix}${s}_c${r - 1} c)
            |  WHERE rn = 1),
-           |${prefix}${s}_c$r AS (
-           |  SELECT cid,
-           |    list_transform(range(1, ${sub + 1}), d ->
-           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-           |  FROM (SELECT cid, count(*) AS n, list($vecCol ORDER BY vec_id) AS members
-           |        FROM ${prefix}${s}_a$r GROUP BY cid))""".stripMargin
+           |${prefix}${s}_c$r AS ${twoLevelMeanSql(s"${prefix}${s}_a$r", Seq("cid"), vecCol, lo.toString, sub)}""".stripMargin
       }
       (seed +: steps).mkString(",\n")
     }.mkString(",\n")
@@ -882,12 +936,7 @@ object SparkEntry {
            |        c.cid ASC) AS rn
            |    FROM u uu, $wp${s}_c${r - 1} c)
            |  WHERE rn = 1),
-           |$wp${s}_c$r AS (
-           |  SELECT cid,
-           |    list_transform(range(1, ${sub + 1}), d ->
-           |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, mm -> CAST(mm[d + $lo] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-           |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-           |        FROM $wp${s}_a$r GROUP BY cid))""".stripMargin
+           |$wp${s}_c$r AS ${twoLevelMeanSql(s"$wp${s}_a$r", Seq("cid"), "embedding", lo.toString, sub)}""".stripMargin
       }
       (seed +: steps).mkString(",\n")
     }
@@ -909,12 +958,10 @@ object SparkEntry {
        |wbooks AS ($wbooks),
        |${assign("bfr", booksRel)},
        |${assign("aft", "wbooks")},
-       |bo AS (SELECT s, code, count(*) AS n_before,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS old_sse
-       |  FROM bfr GROUP BY 1, 2),
-       |ao AS (SELECT s, code, count(*) AS n_after,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS new_sse
-       |  FROM aft GROUP BY 1, 2),
+       |bo AS (SELECT s, code, n AS n_before, fsum AS old_sse
+       |  FROM ${twoLevelSumSql("bfr", Seq("s", "code"), "dist")} t),
+       |ao AS (SELECT s, code, n AS n_after, fsum AS new_sse
+       |  FROM ${twoLevelSumSql("aft", Seq("s", "code"), "dist")} t),
        |mv AS (SELECT b.s, b.code AS cb, a.code AS ca
        |  FROM bfr b JOIN aft a ON b.vec_id = a.vec_id AND b.s = a.s
        |  WHERE b.code <> a.code),
@@ -2032,8 +2079,17 @@ object SparkEntry {
     * (the irMetricsOver one-definition rule, oracle side).
     */
   private def irMetricCte(n: String, truthCte: String): String =
-    s"""m_$n AS (
-       |  SELECT '$n' AS family,
+    irMetricCteNamed(s"m_$n", n, s"r_$n", truthCte, "")
+
+  /** The parameterized core of [[irMetricCte]] — the at-version report
+    * scores the SAME serve CTE against several per-version truths, so
+    * the CTE name, result CTE and extra select columns are arguments
+    * (one metric text for all three reports plus the history).
+    */
+  private def irMetricCteNamed(cte: String, n: String, resCte: String,
+      truthCte: String, extra: String): String =
+    s"""$cte AS (
+       |  SELECT '$n' AS family$extra,
        |    CAST(count(*) AS BIGINT) AS n_q,
        |    CAST(sum(hits) AS BIGINT) AS hits5,
        |    CAST(sum(hits) AS BIGINT) * 1000000 // (5 * count(*)) AS recall_micro,
@@ -2051,7 +2107,7 @@ object SparkEntry {
        |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits,
        |        CAST(COALESCE(min(CASE WHEN t.vec_id IS NOT NULL THEN r.rnk END), 0) AS BIGINT) AS first_rel,
        |        CAST(sum(CASE WHEN t.vec_id IS NOT NULL THEN (CASE WHEN r.rnk <= 2 THEN 2 ELSE 1 END) ELSE 0 END) AS BIGINT) AS dcg2
-       |      FROM r_$n r LEFT JOIN $truthCte t ON t.qid = r.qid AND t.vec_id = r.vec_id
+       |      FROM $resCte r LEFT JOIN $truthCte t ON t.qid = r.qid AND t.vec_id = r.vec_id
        |      GROUP BY r.qid) a ON a.qid = q.qid))""".stripMargin
 
   /** DuckDB twin of [[graft.queries.Similarity.simIrMetricsDeleted]]:
@@ -2062,6 +2118,265 @@ object SparkEntry {
     * re-derived, so the truth cross-checks the physical tombstones),
     * folded through the SAME metric text as the base report.
     */
+  /** DuckDB twin of the unigram-LM tokenizer pair
+    * ([[graft.queries.Text.txUnigramTrain]] / `txUnigramApply`): the
+    * (tok, c) rollup, the substring seed vocabulary, and
+    * [[graft.queries.Text.uniPruneRounds]] unrolled hard-EM rounds —
+    * each a packed-integer Viterbi DP fold (value and piece length in
+    * one positive BIGINT, the foldOff `//`-vs-`div` discipline), a
+    * string-packed backtrace walk, a usage rollup and the
+    * bottom-⌈[[graft.queries.Text.uniPrunePct]]%⌉ prune. All scores are
+    * whole-bit integers, so every DP tie resolves identically in both
+    * engines.
+    */
+  private def uniCtes: String = {
+    val off = Text.uniPackOff
+    val b = Text.uniScoreB
+    def keyL(l: Int): String =
+      s"""coalesce(CASE WHEN $l <= CAST(x[1] AS INT) THEN
+         |        (acc[CAST(x[1] AS INT) - $l + 1] // 4 - $off
+         |         + map_extract(m, substr(tok, CAST(x[1] AS INT) - $l + 1, $l))[1]
+         |         - $b + $off) * 4 + (4 - $l)
+         |      ELSE NULL END, -1)""".stripMargin
+    def segCtes(vocabCte: String, prefix: String): String = {
+      val lTxt = s"(4 - CAST(dp[CAST(split_part(acc, '|', 1) AS INT) + 1] % 4 AS INT))"
+      s"""${prefix}vm AS (
+         |  SELECT map(list(piece ORDER BY piece), list(bits ORDER BY piece)) AS m FROM $vocabCte),
+         |${prefix}dp AS (
+         |  SELECT tok, c, len(tok) AS n,
+         |    list_reduce(
+         |      list_prepend(CAST([${off * 4}] AS BIGINT[]),
+         |        list_transform(range(1, len(tok) + 1), i -> [CAST(i AS BIGINT)])),
+         |      (acc, x) -> list_append(acc, greatest(${keyL(1)}, ${keyL(2)}, ${keyL(3)}))) AS dp
+         |  FROM gtok, ${prefix}vm),
+         |${prefix}bt AS (
+         |  SELECT tok, c,
+         |    string_split(ltrim(split_part(
+         |      list_reduce(
+         |        list_prepend(CAST(n AS VARCHAR) || '|',
+         |          list_transform(range(1, n + 1), i -> '')),
+         |        (acc, x) -> CASE WHEN CAST(split_part(acc, '|', 1) AS INT) > 0 THEN
+         |            CAST(CAST(split_part(acc, '|', 1) AS INT) - $lTxt AS VARCHAR) ||
+         |            '|' || split_part(acc, '|', 2) || ' ' ||
+         |            substr(tok, CAST(split_part(acc, '|', 1) AS INT) - $lTxt + 1, $lTxt)
+         |          ELSE acc END),
+         |      '|', 2), ' '), ' ') AS pieces
+         |  FROM ${prefix}dp),
+         |${prefix}seg AS (SELECT tok, c, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces FROM ${prefix}bt)""".stripMargin
+    }
+    def usageCte(prefix: String): String =
+      s"""${prefix}use AS (
+         |  SELECT piece, CAST(sum(c) AS BIGINT) AS usage
+         |  FROM (SELECT c, unnest(pieces) AS piece FROM ${prefix}seg)
+         |  GROUP BY piece)""".stripMargin
+    def pruneCtes(vin: String, prefix: String, vout: String): String =
+      s"""${prefix}rank AS (
+         |  SELECT v.piece, v.bits, coalesce(u.usage, 0) AS usage,
+         |    row_number() OVER (ORDER BY coalesce(u.usage, 0) ASC, v.piece ASC) AS prn,
+         |    count(*) OVER () AS nm
+         |  FROM $vin v LEFT JOIN ${prefix}use u ON u.piece = v.piece
+         |  WHERE len(v.piece) >= 2),
+         |$vout AS (
+         |  SELECT piece, bits FROM $vin WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, bits FROM ${prefix}rank
+         |  WHERE prn > (nm * ${Text.uniPrunePct} + 99) // 100)""".stripMargin
+    val base =
+      s"""WITH gtok AS MATERIALIZED (
+         |  SELECT tok, CAST(count(*) AS BIGINT) AS c FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+         |  WHERE len(tok) >= 1 GROUP BY tok),
+         |subs AS (
+         |  SELECT piece, CAST(sum(c) AS BIGINT) AS f FROM (
+         |    SELECT c, unnest(list_transform(flatten(
+         |      list_transform([1, 2, 3], l ->
+         |        list_transform(range(1, len(tok) - l + 2), i -> [i, CAST(l AS BIGINT)]))),
+         |      p -> substr(tok, CAST(p[1] AS INT), CAST(p[2] AS INT)))) AS piece
+         |    FROM gtok)
+         |  GROUP BY piece),
+         |unichars AS (SELECT piece, f, CAST(len(bin(f)) - 1 AS BIGINT) AS bits FROM subs WHERE len(piece) = 1),
+         |unimulti AS (
+         |  SELECT piece, f, CAST(len(bin(f)) - 1 AS BIGINT) AS bits,
+         |    row_number() OVER (ORDER BY f DESC, piece ASC) AS srn
+         |  FROM subs WHERE len(piece) >= 2),
+         |v0 AS (
+         |  SELECT piece, bits FROM unichars
+         |  UNION ALL
+         |  SELECT piece, bits FROM unimulti WHERE srn <= ${Text.uniSeedK})""".stripMargin
+    val parts = scala.collection.mutable.ArrayBuffer(base)
+    var vin = "v0"
+    for (r <- 1 to Text.uniPruneRounds) {
+      parts += segCtes(vin, s"r$r")
+      parts += usageCte(s"r$r")
+      parts += pruneCtes(vin, s"r$r", s"v$r")
+      vin = s"v$r"
+    }
+    parts += segCtes(vin, "unifin")
+    parts += usageCte("unifin")
+    parts.mkString(",\n") + s""",
+      |univlast AS (SELECT piece, bits FROM $vin)""".stripMargin
+  }
+
+  private def unigramTrainSql: String =
+    s"""$uniCtes,
+       |vfinal AS (
+       |  SELECT v.piece, CAST(len(v.piece) AS INTEGER) AS piece_len,
+       |    v.bits AS f_bits, coalesce(u.usage, 0) AS usage
+       |  FROM univlast v LEFT JOIN unifinuse u ON u.piece = v.piece)
+       |SELECT piece, piece_len, f_bits, usage FROM vfinal ORDER BY piece""".stripMargin
+
+  private def unigramApplySql: String =
+    s"""$uniCtes,
+       |unilt AS (
+       |  SELECT lang, tok, CAST(count(*) AS BIGINT) AS c FROM (
+       |    SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |  WHERE len(tok) >= 1 GROUP BY lang, tok)
+       |SELECT lang,
+       |  CAST(sum(unilt.c) AS BIGINT) AS n_tokens,
+       |  CAST(sum(unilt.c * len(unilt.tok)) AS BIGINT) AS n_chars,
+       |  CAST(sum(unilt.c * s.n_pieces) AS BIGINT) AS n_pieces,
+       |  CAST(sum(unilt.c * len(unilt.tok)) AS BIGINT) / CAST(sum(unilt.c * s.n_pieces) AS BIGINT) AS compression
+       |FROM unilt JOIN unifinseg s ON s.tok = unilt.tok
+       |GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** DuckDB twin of [[graft.queries.Similarity.simRerankCurve]]: the
+    * standing PQ chain's full ADC ranking (pqAdcCtes `ranked`) and the
+    * standing OPQ chain's (opqIndexCtes + the opqAdcIndexedSql ADC text)
+    * cut at max(L), exact squared-L2 for every shortlist row (raw
+    * corpus / rotated carve respectively), per-(qid, L) re-ranked top-5
+    * by prefix, and the probe-curve-style truth join — all-integer
+    * outputs.
+    */
+  private def rerankCurveSql: String = {
+    val sub = Similarity.pqSubDims
+    val lList = Similarity.rerankCurveLs.mkString(", ")
+    val lMax = Similarity.rerankCurveLs.max
+    def l2(a: String, b: String): String =
+      s"""list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
+         |      (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)))), (x, y) -> x + y)""".stripMargin
+    def truthCte(name: String, rel: String, vcol: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    SELECT q.vec_id AS qid, e.vec_id,
+         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |        ${l2(s"q.$vcol", s"e.$vcol")} ASC, e.vec_id ASC) AS rnk
+         |    FROM $rel e, $rel q
+         |    WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id)
+         |  WHERE rnk <= 5)""".stripMargin
+    def curveCtes(fam: String, rankedRel: String, rel: String,
+        vcol: String, truth: String): String =
+      s"""${fam}_ex AS MATERIALIZED (
+         |  SELECT r.qid, r.vec_id, r.rnk AS adc_rnk,
+         |    ${l2(s"q.$vcol", s"e2.$vcol")} AS dist
+         |  FROM $rankedRel r
+         |  JOIN $rel e2 ON e2.vec_id = r.vec_id
+         |  JOIN $rel q ON q.vec_id = r.qid
+         |  WHERE r.rnk <= $lMax),
+         |${fam}_top AS (
+         |  SELECT l, qid, vec_id FROM (
+         |    SELECT ls.l, x.qid, x.vec_id,
+         |      row_number() OVER (PARTITION BY x.qid, ls.l ORDER BY x.dist ASC, x.vec_id ASC) AS rrnk
+         |    FROM ${fam}_ex x, ls WHERE x.adc_rnk <= ls.l)
+         |  WHERE rrnk <= 5),
+         |m_$fam AS (
+         |  SELECT '$fam' AS family, t.l,
+         |    CAST(sum(CASE WHEN p.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM (SELECT tt.qid, tt.vec_id, ls.l FROM $truth tt, ls) t
+         |  LEFT JOIN ${fam}_top p
+         |    ON p.l = t.l AND p.qid = t.qid AND p.vec_id = t.vec_id
+         |  GROUP BY t.l)""".stripMargin
+    s"""$pqAdcCtes,
+       |$opqIndexCtes,
+       |oqqdt AS (
+       |  SELECT q.vec_id AS qid, b.s, b.cid,
+       |    ${pqSlicedL2("q.vec", "b.centroid", s"b.s * $sub")} AS qdist
+       |  FROM rotv q, oqbooks b WHERE q.vec_id < 5),
+       |oqadist AS (
+       |  SELECT qid, c.vec_id AS vec_id,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(qdist ORDER BY c.s)), (x, y) -> x + y) AS adc
+       |  FROM oqcodes c JOIN oqqdt ON c.s = oqqdt.s AND c.code = oqqdt.cid AND c.vec_id <> oqqdt.qid
+       |  GROUP BY 1, 2),
+       |oqranked AS (
+       |  SELECT qid, vec_id,
+       |    row_number() OVER (PARTITION BY qid ORDER BY adc ASC, vec_id ASC) AS rnk
+       |  FROM oqadist),
+       |ls AS (SELECT unnest([$lList]) AS l),
+       |${truthCte("pq_truth", "embeddings", "embedding")},
+       |${truthCte("oq_truth", "rotv", "vec")},
+       |${curveCtes("pq", "ranked", "embeddings", "embedding", "pq_truth")},
+       |${curveCtes("opq", "oqranked", "rotv", "vec", "oq_truth")}
+       |SELECT family, l, n_found, n_pairs,
+       |  n_found * 1000000 // n_pairs AS recall_micro
+       |FROM (SELECT * FROM m_pq UNION ALL SELECT * FROM m_opq)
+       |ORDER BY family, l""".stripMargin
+  }
+
+  /** DuckDB twin of
+    * [[graft.queries.Similarity.simIrMetricsAtVersion]]: the time-travel
+    * state CTEs (ttCtes, s0..s{ttVersions}) carve each version's live
+    * id set from first principles, each version gets an exact cosine
+    * top-5 truth over its live vec_ids (queries stay the full default
+    * probe set — the cosineTopkLive convention), the three family
+    * serves reuse their EXISTING green oracle texts cut to top-5 and
+    * scored ONCE PER VERSION through the shared metric text
+    * ([[irMetricCteNamed]]), and the drift columns are integer
+    * micro-unit lags per family (0 at version 0).
+    */
+  private def irMetricsAtVersionSql: String = {
+    val fams = Seq(("bq", bqHammingSql), ("ivf", ivfAnnSql),
+      ("sq", sqInt8Sql))
+    val famCtes = fams.map { case (n, sql) =>
+      s"""r_$n AS MATERIALIZED (
+         |  SELECT qid, vec_id, rnk FROM (
+         |$sql
+         |) WHERE rnk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val truthCtes = (0 to Text.ttVersions).map { v =>
+      s"""t_v$v AS MATERIALIZED (
+         |  SELECT qid, vec_id FROM (
+         |    WITH le AS (
+         |      SELECT vec_id, embedding,
+         |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS norm
+         |      FROM embeddings
+         |      WHERE vec_id IN (SELECT k FROM s$v WHERE k >= 0)),
+         |    lq AS (
+         |      SELECT vec_id AS qid, embedding AS qvec,
+         |        sqrt(list_reduce(list_transform(range(1, 65), i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)) AS qnorm
+         |      FROM embeddings WHERE vec_id < 5),
+         |    ls AS (
+         |      SELECT qid, vec_id,
+         |        list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qnorm * norm) AS cosine
+         |      FROM le, lq WHERE vec_id <> qid)
+         |    SELECT qid, vec_id,
+         |      row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk
+         |    FROM ls)
+         |  WHERE rnk <= 5)""".stripMargin
+    }.mkString(",\n")
+    val metricCtes = (for {
+      v <- 0 to Text.ttVersions
+      (n, _) <- fams
+    } yield irMetricCteNamed(s"m_${n}_v$v", n, s"r_$n", s"t_v$v",
+      s", CAST($v AS INTEGER) AS version")).mkString(",\n")
+    val unionAll = (for {
+      v <- 0 to Text.ttVersions
+      (n, _) <- fams
+    } yield s"SELECT * FROM m_${n}_v$v").mkString("\nUNION ALL\n")
+    s"""WITH $ttCtes,
+       |irqids AS (SELECT vec_id AS qid FROM embeddings WHERE vec_id < 5),
+       |$famCtes,
+       |$truthCtes,
+       |$metricCtes
+       |SELECT family, version, n_q, hits5, recall_micro, rr60_sum,
+       |  mrr_micro, dcg2_sum, ndcg_micro,
+       |  coalesce(recall_micro - lag(recall_micro) OVER (PARTITION BY family ORDER BY version), 0) AS recall_drift_micro,
+       |  coalesce(mrr_micro - lag(mrr_micro) OVER (PARTITION BY family ORDER BY version), 0) AS mrr_drift_micro,
+       |  coalesce(ndcg_micro - lag(ndcg_micro) OVER (PARTITION BY family ORDER BY version), 0) AS ndcg_drift_micro
+       |FROM (
+       |$unionAll)
+       |ORDER BY family, version""".stripMargin
+  }
+
   private def irMetricsDeletedSql: String = {
     val cosDot =
       "list_reduce(list_transform(range(1, 65), i -> CAST(qvec[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)), (x, y) -> x + y)"
@@ -2980,8 +3295,8 @@ object SparkEntry {
          |    FROM $srcCte e, ${prefix}books b)
          |  WHERE rn = 1),
          |${prefix}sse AS (
-         |  SELECT s, list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y) AS sse
-         |  FROM ${prefix}assign GROUP BY s)""".stripMargin
+         |  SELECT s, fsum AS sse
+         |  FROM ${twoLevelSumSql(s"${prefix}assign", Seq("s"), "dist")} t)""".stripMargin
     }
     s"""WITH ${opqRotPair("aniso", "rotv", "embeddings")},
        |${chain("oa", "aniso")},
@@ -3164,15 +3479,11 @@ object SparkEntry {
        |    FROM rotv e, oqbooks b)
        |  WHERE rn = 1),
        |bs AS (
-       |  SELECT s, CAST(count(*) AS BIGINT) AS n_base,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y)
-       |      / CAST(count(*) AS BIGINT) AS base_msd
-       |  FROM basea GROUP BY 1),
+       |  SELECT s, n AS n_base, fsum / n AS base_msd
+       |  FROM ${twoLevelSumSql("basea", Seq("s"), "dist")} t),
        |ns AS (
-       |  SELECT s, CAST(count(*) AS BIGINT) AS n_new,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(dist ORDER BY vec_id)), (x, y) -> x + y)
-       |      / CAST(count(*) AS BIGINT) AS new_msd
-       |  FROM oqdcodes GROUP BY 1)
+       |  SELECT s, n AS n_new, fsum / n AS new_msd
+       |  FROM ${twoLevelSumSql("oqdcodes", Seq("s"), "dist")} t)
        |SELECT bs.s, bs.n_base, coalesce(ns.n_new, 0) AS n_new,
        |  bs.base_msd, ns.new_msd,
        |  coalesce(ns.new_msd * 100 > bs.base_msd * ${Similarity.ivfDriftPct}, false) AS retrain
@@ -3350,8 +3661,9 @@ object SparkEntry {
   /** DuckDB twin of [[graft.queries.Similarity.simIvfDrift]]: base and
     * delta assignments from the shared coarse chains (rk / the upsert
     * delta chain verbatim), per-member squared L2 to the frozen centroid
-    * via the ordered 64-dim fold, per-cell mean as the vec_id-ordered
-    * sequential sum divided once, and the integer-scaled retrain ratio.
+    * via the ordered 64-dim fold, per-cell mean as the two-level
+    * bucketed sum ([[twoLevelSumSql]]) divided once, and the
+    * integer-scaled retrain ratio.
     */
   /** DuckDB twin of [[graft.queries.Similarity.simKmeansPp]]: the
     * farthest-first traversal unrolled seed by seed (running min-distance
@@ -3389,9 +3701,8 @@ object SparkEntry {
        |    FROM e, seeds s)
        |  WHERE rn = 1),
        |cells AS (
-       |  SELECT rank, count(*) AS n_members,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY vec_id)), (x, y) -> x + y) AS cell_ssd
-       |  FROM asg GROUP BY 1)
+       |  SELECT rank, n AS n_members, fsum AS cell_ssd
+       |  FROM ${twoLevelSumSql("asg", Seq("rank"), "d")} t)
        |SELECT s.rank, s.vec_id AS seed_id, s.spread, c.n_members, c.cell_ssd
        |FROM seeds s JOIN cells c USING (rank) ORDER BY s.rank""".stripMargin
   }
@@ -3475,10 +3786,10 @@ object SparkEntry {
        |    FROM e, seeds s)
        |  WHERE rn = 1),
        |cells AS (
-       |  SELECT rank, count(*) AS n_members,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d ORDER BY vec_id)), (x, y) -> x + y) AS cell_ssd,
-       |    max(d) AS cell_radius
-       |  FROM asg GROUP BY 1)
+       |  SELECT t.rank, t.n AS n_members, t.fsum AS cell_ssd, r.cell_radius
+       |  FROM ${twoLevelSumSql("asg", Seq("rank"), "d")} t
+       |  JOIN (SELECT rank, max(d) AS cell_radius FROM asg GROUP BY 1) r
+       |    USING (rank))
        |SELECT s.rank, s.vec_id AS seed_id, s.w AS weight, c.n_members,
        |  c.cell_ssd, c.cell_radius
        |FROM seeds s JOIN cells c USING (rank) ORDER BY s.rank""".stripMargin
@@ -3509,9 +3820,8 @@ object SparkEntry {
        |    ${l2Fold("rk.embedding", "cn.centroid")} AS d2
        |  FROM rk JOIN cn ON rk.c_label = cn.c_label WHERE rk.crnk = 1),
        |bagg AS (
-       |  SELECT cell, count(*) AS n_base,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) / count(*) AS base_msd
-       |  FROM bd GROUP BY 1),
+       |  SELECT cell, n AS n_base, fsum / n AS base_msd
+       |  FROM ${twoLevelSumSql("bd", Seq("cell"), "d2")} t),
        |dd2 AS (
        |  SELECT de.vec_id, drk.c_label AS cell,
        |    ${l2Fold("de.embedding", "cn.centroid")} AS d2
@@ -3519,9 +3829,8 @@ object SparkEntry {
        |  JOIN cn ON drk.c_label = cn.c_label
        |  WHERE drk.crnk = 1),
        |dagg AS (
-       |  SELECT cell, count(*) AS n_new,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) / count(*) AS new_msd
-       |  FROM dd2 GROUP BY 1)
+       |  SELECT cell, n AS n_new, fsum / n AS new_msd
+       |  FROM ${twoLevelSumSql("dd2", Seq("cell"), "d2")} t)
        |SELECT bagg.cell AS cell, n_base, coalesce(n_new, 0) AS n_new,
        |  base_msd, new_msd,
        |  coalesce(new_msd * 100 > base_msd * ${Similarity.ivfDriftPct}, FALSE) AS retrain
@@ -3565,10 +3874,8 @@ object SparkEntry {
        |          FROM uni u, c3 c))
        |  WHERE rn = 1),
        |wc1 AS (
-       |  SELECT cid, list_transform(range(1, 65), d ->
-       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-       |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-       |        FROM wa1 GROUP BY cid)),
+       |  SELECT cid, centroid
+       |  FROM ${twoLevelMeanSql("wa1", Seq("cid"), "embedding", "0", 64)} t),
        |wa2 AS (
        |  SELECT vec_id, embedding, cid FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
@@ -3577,21 +3884,18 @@ object SparkEntry {
        |          FROM uni u, wc1 c))
        |  WHERE rn = 1),
        |wc2 AS (
-       |  SELECT cid, list_transform(range(1, 65), d ->
-       |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-       |  FROM (SELECT cid, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-       |        FROM wa2 GROUP BY cid)),
+       |  SELECT cid, centroid
+       |  FROM ${twoLevelMeanSql("wa2", Seq("cid"), "embedding", "0", 64)} t),
        |ossd AS (
-       |  SELECT cid AS cell,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2 ORDER BY vec_id)), (x, y) -> x + y) AS old_ssd
-       |  FROM wa1 GROUP BY cid),
+       |  SELECT cid AS cell, fsum AS old_ssd
+       |  FROM ${twoLevelSumSql("wa1", Seq("cid"), "d2")} t),
        |nssd AS (
-       |  SELECT cid AS cell,
-       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(d2n ORDER BY vec_id)), (x, y) -> x + y) AS new_ssd
-       |  FROM (SELECT wa2.vec_id, wa2.cid,
-       |          ${l2Fold("wa2.embedding", "wc2.centroid")} AS d2n
-       |        FROM wa2 JOIN wc2 ON wa2.cid = wc2.cid)
-       |  GROUP BY cid),
+       |  SELECT cid AS cell, fsum AS new_ssd
+       |  FROM ${twoLevelSumSql(
+             s"""(SELECT wa2.vec_id, wa2.cid,
+                    ${l2Fold("wa2.embedding", "wc2.centroid")} AS d2n
+                  FROM wa2 JOIN wc2 ON wa2.cid = wc2.cid)""",
+             Seq("cid"), "d2n")} t),
        |cn2 AS (
        |  SELECT cid AS c_label, centroid,
        |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
@@ -4213,13 +4517,13 @@ object SparkEntry {
         |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qe[i] * qe[i])), (x, y) -> x + y) AS qnorm2
         |  FROM qn),
         |q AS (SELECT vec_id AS qid, qe AS qq, qnorm2 AS qn2 FROM n WHERE vec_id < 5),
-        |s2 AS (
+        |sqsc AS (
         |  SELECT qid, vec_id, label,
         |    CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(1, 65), i -> qq[i] * qe[i])), (x, y) -> x + y) AS DOUBLE)
         |      / (sqrt(CAST(qn2 AS DOUBLE)) * sqrt(CAST(qnorm2 AS DOUBLE))) AS approx_cosine
         |  FROM n, q WHERE vec_id <> qid AND ($memberPred))
         |SELECT qid, vec_id, label, approx_cosine, rnk FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM s2)
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY approx_cosine DESC, vec_id ASC) AS rnk FROM sqsc)
         |WHERE rnk <= 10 ORDER BY qid, rnk""".stripMargin
 
   private def sqInt8Sql: String = sqInt8SqlOver("TRUE")
@@ -7650,9 +7954,11 @@ object SparkEntry {
          |  FROM aragg)
          |SELECT n, n_cells, n_labels, sum_nij_c2, sum_a_c2, sum_b_c2,
          |  ari_num, ari_den,
-         |  (ari_num + ari_den) * 1000000 // ari_den - 1000000 AS ari_ppm,
+         |  CASE WHEN ari_den = 0 THEN 1000000
+         |       ELSE (ari_num + ari_den) * 1000000 // ari_den - 1000000 END AS ari_ppm,
          |  mi_bits, ha_bits, hb_bits,
-         |  (2 * mi_bits + ha_bits + hb_bits) * 1000000 // (ha_bits + hb_bits) - 1000000 AS nmi_ppm
+         |  CASE WHEN ha_bits + hb_bits = 0 THEN 1000000
+         |       ELSE (2 * mi_bits + ha_bits + hb_bits) * 1000000 // (ha_bits + hb_bits) - 1000000 END AS nmi_ppm
          |FROM arari""".stripMargin,
     // Incremental CC over star(base) + delta edges must equal the FULL
     // recompute over every confirmed pair — same text, the strongest
@@ -8243,6 +8549,10 @@ object SparkEntry {
     "sim_ir_metrics" -> irMetricsSql,
     "sim_ir_metrics_deleted" -> irMetricsDeletedSql,
     "sim_ir_metrics_mutated" -> irMetricsMutatedSql,
+    "sim_ir_metrics_at_version" -> irMetricsAtVersionSql,
+    "sim_rerank_curve" -> rerankCurveSql,
+    "tx_unigram_train" -> unigramTrainSql,
+    "tx_unigram_apply" -> unigramApplySql,
     "sim_rrf_fusion" -> rrfFusionSql,
     // the standing-index lexical leg is bit-identical by construction —
     // same text (the sqInt8Sql rule)
@@ -8402,14 +8712,9 @@ object SparkEntry {
         |  FROM embeddings)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "sim_centroid_assign" ->
-      """WITH c AS (
-        |  SELECT label AS c_label, count(*) AS n, list(embedding ORDER BY vec_id) AS members
-        |  FROM embeddings GROUP BY label),
-        |cent AS (
-        |  SELECT c_label,
-        |    list_transform(range(1, 65), d ->
-        |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m -> CAST(m[d] AS DOUBLE))), (x, y) -> x + y) / n) AS centroid
-        |  FROM c),
+      s"""WITH cent AS (
+        |  SELECT label AS c_label, centroid
+        |  FROM ${twoLevelMeanSql("embeddings", Seq("label"), "embedding", "0", 64)} t),
         |cn AS (
         |  SELECT c_label, centroid,
         |    sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm
@@ -8537,13 +8842,17 @@ object SparkEntry {
     // hash covers the WHOLE training loop: any drift in a seed, a distance
     // tie, or a mean in any round changes members -> counts/norms/inertia
     "sim_ivf_kmeans" ->
-      s"""WITH ${kmeansCtes()}
-        |SELECT cid, n AS n_members, min_vec_id, max_vec_id,
-        |  sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm,
-        |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(members, m ->
+      s"""WITH ${kmeansCtes()},
+        |ivd AS (
+        |  SELECT a.vec_id, a.cid,
         |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i ->
-        |      (CAST(m[i] AS DOUBLE) - centroid[i]) * (CAST(m[i] AS DOUBLE) - centroid[i]))), (x, y) -> x + y))), (x, y) -> x + y) AS inertia
-        |FROM c3 ORDER BY cid""".stripMargin,
+        |      (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i]) * (CAST(a.embedding[i] AS DOUBLE) - c.centroid[i]))), (x, y) -> x + y) AS d2
+        |  FROM a3 a JOIN c3 c USING (cid)),
+        |ivi AS ${twoLevelSumSql("ivd", Seq("cid"), "d2")}
+        |SELECT c3.cid, c3.n AS n_members, c3.min_vec_id, c3.max_vec_id,
+        |  sqrt(list_reduce(list_transform(range(1, 65), i -> centroid[i] * centroid[i]), (x, y) -> x + y)) AS cnorm,
+        |  ivi.fsum AS inertia
+        |FROM c3 JOIN ivi ON c3.cid = ivi.cid ORDER BY c3.cid""".stripMargin,
     "dd_embedding_cosine" ->
       """WITH e AS (
         |  SELECT vec_id, label, embedding,

