@@ -186,7 +186,12 @@ object Bench {
       "sim_pq_retrain",
       // r14: the rotated-space warm retrain runs the same
       // build-dominated Lloyd rounds per call as its PQ sibling
-      "sim_opq_retrain")
+      "sim_opq_retrain",
+      // r16: the unigram trainer runs its full hard-EM loop (seed +
+      // prune rounds + final segmentation) inside every measured run —
+      // the tx_bpe_apply argument verbatim; both queries share the
+      // deterministic uniTrain build
+      "tx_unigram_train", "tx_unigram_apply")
 
     // Iteration aid (r12): SPARK_GRAFT_BENCH_ONLY=q1,q2 times a subset.
     // History files (bench_last/bench_full) are NOT written in subset

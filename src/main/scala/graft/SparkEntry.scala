@@ -476,6 +476,8 @@ object SparkEntry {
     "sim_ir_metrics_at_version" -> ((s, d) => Similarity.simIrMetricsAtVersion(s, d)),
     // re-rank shortlist operating-point curve (VERDICT r15 item 6)
     "sim_rerank_curve" -> ((s, d) => Similarity.simRerankCurve(s, d)),
+    // graph-walk beam operating-point curve (VERDICT r15 item 6)
+    "sim_beam_curve" -> ((s, d) => Similarity.simBeamCurve(s, d)),
     // unigram-LM tokenizer twin (VERDICT r15 item 7)
     "tx_unigram_train" -> ((s, d) => Text.txUnigramTrain(s, d)),
     "tx_unigram_apply" -> ((s, d) => Text.txUnigramApply(s, d)),
@@ -2921,6 +2923,71 @@ object SparkEntry {
     * carve for the upsert), so serve and insert can never walk different
     * graphs.
     */
+  /** The unrolled beam-walk hop chain over a `graph`/`qsrc`/`f0` scope —
+    * factored from [[graphSearchSqlOver]] with the beam and CTE-name
+    * prefix as arguments so the beam operating-point curve can unroll
+    * several walks over ONE shared graph (VERDICT r15 item 6).
+    */
+  private def walkHopCtes(beam: Int, hops: Int, p: String,
+      f0: String): String =
+    (1 to hops).map { h =>
+      val prev = if (h == 1) f0 else s"${p}f${h - 1}"
+      s"""${p}x$h AS (
+         |  SELECT DISTINCT qid, vid FROM (
+         |    SELECT qid, vid FROM $prev
+         |    UNION ALL
+         |    SELECT f.qid, g.u AS vid FROM $prev f JOIN graph g ON g.v = f.vid)
+         |  WHERE vid <> qid),
+         |${p}f$h AS (
+         |  SELECT qid, vid,
+         |    list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) AS cosine,
+         |    row_number() OVER (PARTITION BY qid ORDER BY
+         |      list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) DESC, vid ASC) AS rnk
+         |  FROM ${p}x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
+         |  QUALIFY rnk <= $beam)""".stripMargin
+    }.mkString(",\n")
+
+  /** DuckDB twin of [[graft.queries.Similarity.simBeamCurve]]: ONE
+    * descent chain + graph, one walk unroll per beam (the
+    * [[walkHopCtes]] prefixes), each cut to top-5 and scored against
+    * the exact cosine top-5 with the probe-curve truth join.
+    */
+  private def beamCurveSql: String = {
+    val hops = Similarity.graphSearchHops
+    val walks = Similarity.beamCurveBeams.map(b =>
+      walkHopCtes(b, hops, s"b${b}_", "f0")).mkString(",\n")
+    val metrics = Similarity.beamCurveBeams.map { b =>
+      s"""mb_$b AS (
+         |  SELECT $b AS beam,
+         |    CAST(sum(CASE WHEN p.vid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+         |    CAST(count(*) AS BIGINT) AS n_pairs
+         |  FROM bctruth t LEFT JOIN
+         |    (SELECT qid, vid FROM b${b}_f$hops WHERE rnk <= 5) p
+         |    ON p.qid = t.qid AND p.vid = t.vec_id)""".stripMargin
+    }.mkString(",\n")
+    val unionAll = Similarity.beamCurveBeams
+      .map(b => s"SELECT * FROM mb_$b").mkString("\nUNION ALL\n")
+    s"""WITH $knnDescentCtes,
+       |graph AS MATERIALIZED (SELECT src AS v, dst AS u FROM g${Similarity.knnDescentRounds}),
+       |qsrc AS MATERIALIZED (SELECT vec_id, embedding, norm FROM e WHERE vec_id < 5),
+       |ent AS (SELECT min(vec_id) AS ev FROM embeddings),
+       |f0 AS MATERIALIZED (SELECT vec_id AS qid, ev AS vid FROM qsrc, ent),
+       |$walks,
+       |bctruth AS MATERIALIZED (
+       |  SELECT qid, vec_id FROM (
+       |    SELECT q.vec_id AS qid, m.vec_id,
+       |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+       |        list_reduce(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(m.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (q.norm * m.norm) DESC,
+       |        m.vec_id ASC) AS rnk
+       |    FROM e m, qsrc q WHERE m.vec_id <> q.vec_id)
+       |  WHERE rnk <= 5),
+       |$metrics
+       |SELECT beam, n_found, n_pairs,
+       |  n_found * 1000000 // n_pairs AS recall_micro
+       |FROM ($unionAll)
+       |ORDER BY beam""".stripMargin
+  }
+
   private def graphSearchSqlOver(querySrcCte: String, k: Int,
       extraCtes: String = "",
       graphSel: String =
@@ -2928,23 +2995,9 @@ object SparkEntry {
       entSel: String = "SELECT min(vec_id) AS ev FROM embeddings",
       f0Sel: String = "SELECT vec_id AS qid, ev AS vid FROM qsrc, ent",
       tailCtes: String = "", finalSel: String = ""): String = {
-    val beam = Similarity.graphSearchBeam
     val hops = Similarity.graphSearchHops
-    val hopCtes = (1 to hops).map { h =>
-      s"""x$h AS (
-         |  SELECT DISTINCT qid, vid FROM (
-         |    SELECT qid, vid FROM f${h - 1}
-         |    UNION ALL
-         |    SELECT f.qid, g.u AS vid FROM f${h - 1} f JOIN graph g ON g.v = f.vid)
-         |  WHERE vid <> qid),
-         |f$h AS (
-         |  SELECT qid, vid,
-         |    list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) AS cosine,
-         |    row_number() OVER (PARTITION BY qid ORDER BY
-         |      list_reduce(list_transform(range(1, 65), i -> CAST(qq.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y) / (qq.norm * a.norm) DESC, vid ASC) AS rnk
-         |  FROM x$h x JOIN e a ON a.vec_id = x.vid JOIN qsrc qq ON qq.vec_id = x.qid
-         |  QUALIFY rnk <= $beam)""".stripMargin
-    }.mkString(",\n")
+    val hopCtes =
+      walkHopCtes(Similarity.graphSearchBeam, hops, "", "f0")
     val tc = if (tailCtes.nonEmpty) s",\n$tailCtes\n" else "\n"
     val fin = if (finalSel.nonEmpty) finalSel
       else
@@ -8551,6 +8604,7 @@ object SparkEntry {
     "sim_ir_metrics_mutated" -> irMetricsMutatedSql,
     "sim_ir_metrics_at_version" -> irMetricsAtVersionSql,
     "sim_rerank_curve" -> rerankCurveSql,
+    "sim_beam_curve" -> beamCurveSql,
     "tx_unigram_train" -> unigramTrainSql,
     "tx_unigram_apply" -> unigramApplySql,
     "sim_rrf_fusion" -> rrfFusionSql,

@@ -5768,6 +5768,38 @@ object Similarity {
     pqLeg.unionByName(opqLeg).orderBy("family", "l")
   }
 
+  /** Beam depths of the graph-walk operating-point curve — shared with
+    * the generated oracle (the kmeansCtes rule). {4, 8, 16} spans
+    * half-quarter-full of the shipped [[graphSearchBeam]].
+    */
+  private[graft] val beamCurveBeams = Seq(4, 8, 16)
+
+  /** OPERATING-POINT CURVE FOR THE GRAPH-WALK BEAM (VERDICT r15
+    * item 6, second knob) — the [[simProbeCurve]] discipline applied to
+    * the kNN-graph serve: recall@5 of the standing graph walk as a
+    * FUNCTION of beam width at the shipped hop count, vs the standing
+    * exact cosine top-5 ([[ensureIrTruth]] `full`). One walk per beam
+    * over the SAME standing edges table; each walk is the verbatim
+    * serve loop ([[simGraphSearch]]), so the curve prices exactly what
+    * a deployment would serve at that beam. All-integer outputs (the
+    * probe-curve shape).
+    */
+  def simBeamCurve(spark: SparkSession, dir: String): DataFrame = {
+    register(spark)
+    val truth = spark.read.parquet(s"${ensureIrTruth(spark, dir)}/full")
+    beamCurveBeams.map { b =>
+      val top = simGraphSearch(spark, dir, 5, beam = b)
+        .select(col("qid"), col("vec_id"))
+      truth
+        .join(top.withColumn("found", lit(1L)),
+          Seq("qid", "vec_id"), "left")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .select(lit(b).as("beam"), col("n_found"), col("n_pairs"),
+          expr("n_found * 1000000 div n_pairs").as("recall_micro"))
+    }.reduce(_.unionByName(_)).orderBy("beam")
+  }
+
   /** [[simIrMetrics]] FOR THE POST-MUTATION SERVES — the third panel of
     * the lifecycle-quality matrix (base → deleted → mutated): the
     * serves whose corpus is neither the base nor a pure subset, each

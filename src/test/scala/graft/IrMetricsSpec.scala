@@ -59,6 +59,31 @@ class IrMetricsSpec extends SparkSpec {
     assert(r2("bq").getAs[Long]("recall_micro") >= 880000L)
   }
 
+  test("operating-point curves agree with the matrix at the shipped knobs") {
+    // identity pins (r16): the beam curve's beam = 16 row IS the
+    // matrix's graph serve vs the same full truth, and the rerank
+    // curve's pq row at the shipped L = 50 reproduces the PqRecallSpec
+    // operating point (recall vs the exact-L2 truth) as data.
+    val dir = "/root/testdata/sf0.001"
+    val matrix = rowsAt(dir)
+    val beam = Similarity.simBeamCurve(spark, dir).collect()
+      .map(r => r.getAs[Int]("beam") -> r.getAs[Long]("recall_micro")).toMap
+    assert(beam.keySet == Set(4, 8, 16))
+    assert(beam(16) == matrix("graph").getAs[Long]("recall_micro"),
+      "beam-16 curve row must equal the matrix's graph serve")
+    val rerank = Similarity.simRerankCurve(spark, dir).collect()
+      .map(r => (r.getAs[String]("family"), r.getAs[Int]("l")) ->
+        r.getAs[Long]("recall_micro")).toMap
+    // PqRecallSpec floors at this corpus: 0.75 at L=50, 0.99 at L=150
+    assert(rerank(("pq", 50)) >= 750000L)
+    assert(rerank(("pq", 150)) >= 990000L)
+    // the shortlist-prefix argument: recall is monotone in L per family
+    Seq("pq", "opq").foreach { f =>
+      assert(rerank((f, 10)) <= rerank((f, 50)) &&
+        rerank((f, 50)) <= rerank((f, 150)), f)
+    }
+  }
+
   test("deletion preserves retrieval quality (post-delete report)") {
     val rows = Similarity
       .simIrMetricsDeleted(spark, "/root/testdata/sf0.001").collect()
