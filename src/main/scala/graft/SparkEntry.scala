@@ -481,6 +481,7 @@ object SparkEntry {
     // unigram-LM tokenizer twin (VERDICT r15 item 7)
     "tx_unigram_train" -> ((s, d) => Text.txUnigramTrain(s, d)),
     "tx_unigram_apply" -> ((s, d) => Text.txUnigramApply(s, d)),
+    "tx_unigram_apply_indexed" -> ((s, d) => Text.txUnigramApplyIndexed(s, d)),
     "sim_rrf_fusion" -> ((s, d) => Similarity.simRrfFusion(s, d)),
     // hybrid deployment form: lexical leg off the standing BM25 index
     "sim_rrf_fusion_indexed" -> ((s, d) => Similarity.simRrfFusionIndexed(s, d)),
@@ -2126,48 +2127,62 @@ object SparkEntry {
     * [[graft.queries.Text.uniPruneRounds]] unrolled hard-EM rounds —
     * each a packed-integer Viterbi DP fold (value and piece length in
     * one positive BIGINT, the foldOff `//`-vs-`div` discipline), a
-    * string-packed backtrace walk, a usage rollup and the
-    * bottom-⌈[[graft.queries.Text.uniPrunePct]]%⌉ prune. All scores are
+    * BIGINT-position backtrace walk, a usage rollup and the
+    * bottom-⌈[[graft.queries.Text.uniPrunePct]]%⌉ prune. The walk folds
+    * positions as a BIGINT list and derives pieces in a plain
+    * projection: the first cut packed the walk into a VARCHAR
+    * accumulator with split_part re-parsing, and DuckDB's PARALLEL
+    * execution evaluated that fold nondeterministically (three distinct
+    * results across 10 runs; single-threaded stable — an engine bug the
+    * gate caught because the misbinding sometimes served another
+    * round's segmentation). BIGINT-list accumulators with array-indexed
+    * reads are the construct 15 rounds of embedding-fold oracles have
+    * proven stable under parallelism. All scores are
     * whole-bit integers, so every DP tie resolves identically in both
     * engines.
     */
   private def uniCtes: String = {
     val off = Text.uniPackOff
     val b = Text.uniScoreB
-    def keyL(l: Int): String =
+    def keyL(l: Int, mcol: String): String =
       s"""coalesce(CASE WHEN $l <= CAST(x[1] AS INT) THEN
          |        (acc[CAST(x[1] AS INT) - $l + 1] // 4 - $off
-         |         + map_extract(m, substr(tok, CAST(x[1] AS INT) - $l + 1, $l))[1]
+         |         + map_extract($mcol, substr(tok, CAST(x[1] AS INT) - $l + 1, $l))[1]
          |         - $b + $off) * 4 + (4 - $l)
          |      ELSE NULL END, -1)""".stripMargin
+    // every CTE of the chain MATERIALIZED and every map column uniquely
+    // named: the plain-CTE form re-inlined under DuckDB and the
+    // re-execution MISBOUND the lambda's map reference to a different
+    // round's vocabulary (r16 gate catch — the same flip the Spark side
+    // hit through its temp view; both now pinned deterministic)
     def segCtes(vocabCte: String, prefix: String): String = {
-      val lTxt = s"(4 - CAST(dp[CAST(split_part(acc, '|', 1) AS INT) + 1] % 4 AS INT))"
-      s"""${prefix}vm AS (
-         |  SELECT map(list(piece ORDER BY piece), list(bits ORDER BY piece)) AS m FROM $vocabCte),
-         |${prefix}dp AS (
+      val m = s"${prefix}m"
+      s"""${prefix}vm AS MATERIALIZED (
+         |  SELECT map(list(piece ORDER BY piece), list(bits ORDER BY piece)) AS $m FROM $vocabCte),
+         |${prefix}dp AS MATERIALIZED (
          |  SELECT tok, c, len(tok) AS n,
          |    list_reduce(
          |      list_prepend(CAST([${off * 4}] AS BIGINT[]),
          |        list_transform(range(1, len(tok) + 1), i -> [CAST(i AS BIGINT)])),
-         |      (acc, x) -> list_append(acc, greatest(${keyL(1)}, ${keyL(2)}, ${keyL(3)}))) AS dp
+         |      (acc, x) -> list_append(acc, greatest(${keyL(1, m)}, ${keyL(2, m)}, ${keyL(3, m)}))) AS dp
          |  FROM gtok, ${prefix}vm),
-         |${prefix}bt AS (
+         |${prefix}bt AS MATERIALIZED (
          |  SELECT tok, c,
-         |    string_split(ltrim(split_part(
-         |      list_reduce(
-         |        list_prepend(CAST(n AS VARCHAR) || '|',
-         |          list_transform(range(1, n + 1), i -> '')),
-         |        (acc, x) -> CASE WHEN CAST(split_part(acc, '|', 1) AS INT) > 0 THEN
-         |            CAST(CAST(split_part(acc, '|', 1) AS INT) - $lTxt AS VARCHAR) ||
-         |            '|' || split_part(acc, '|', 2) || ' ' ||
-         |            substr(tok, CAST(split_part(acc, '|', 1) AS INT) - $lTxt + 1, $lTxt)
-         |          ELSE acc END),
-         |      '|', 2), ' '), ' ') AS pieces
+         |    list_filter(
+         |      list_transform(
+         |        list_reduce(
+         |          list_prepend(CAST([n] AS BIGINT[]), list_transform(range(1, n + 1), i -> [CAST(i AS BIGINT)])),
+         |          (acc, x) -> list_append(acc,
+         |            CASE WHEN acc[len(acc)] > 0
+         |              THEN acc[len(acc)] - (4 - dp[CAST(acc[len(acc)] AS INT) + 1] % 4)
+         |              ELSE CAST(0 AS BIGINT) END)),
+         |        p -> CASE WHEN p > 0 THEN substr(tok, CAST(p AS INT) - (4 - CAST(dp[CAST(p AS INT) + 1] % 4 AS INT)) + 1, 4 - CAST(dp[CAST(p AS INT) + 1] % 4 AS INT)) END),
+         |      x -> x IS NOT NULL) AS pieces
          |  FROM ${prefix}dp),
-         |${prefix}seg AS (SELECT tok, c, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces FROM ${prefix}bt)""".stripMargin
+         |${prefix}seg AS MATERIALIZED (SELECT tok, c, pieces, CAST(len(pieces) AS BIGINT) AS n_pieces FROM ${prefix}bt)""".stripMargin
     }
     def usageCte(prefix: String): String =
-      s"""${prefix}use AS (
+      s"""${prefix}use AS MATERIALIZED (
          |  SELECT piece, CAST(sum(c) AS BIGINT) AS usage
          |  FROM (SELECT c, unnest(pieces) AS piece FROM ${prefix}seg)
          |  GROUP BY piece)""".stripMargin
@@ -2178,7 +2193,7 @@ object SparkEntry {
          |    count(*) OVER () AS nm
          |  FROM $vin v LEFT JOIN ${prefix}use u ON u.piece = v.piece
          |  WHERE len(v.piece) >= 2),
-         |$vout AS (
+         |$vout AS MATERIALIZED (
          |  SELECT piece, bits FROM $vin WHERE len(piece) = 1
          |  UNION ALL
          |  SELECT piece, bits FROM ${prefix}rank
@@ -8607,6 +8622,10 @@ object SparkEntry {
     "sim_beam_curve" -> beamCurveSql,
     "tx_unigram_train" -> unigramTrainSql,
     "tx_unigram_apply" -> unigramApplySql,
+    // standing-tokenizer serve: same algorithm, same oracle text (the
+    // ivfAnnSql sharing rule) — a hash match proves the persisted
+    // segmentation serves exactly the trained encode
+    "tx_unigram_apply_indexed" -> unigramApplySql,
     "sim_rrf_fusion" -> rrfFusionSql,
     // the standing-index lexical leg is bit-identical by construction —
     // same text (the sqInt8Sql rule)

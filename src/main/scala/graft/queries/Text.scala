@@ -4987,15 +4987,24 @@ object Text {
       .filter(length(col("tok")) >= 1)
       .groupBy("tok").agg(count(lit(1)).as("c"))
 
-  /** Viterbi DP + backtrace over a token rollup under a vocabulary
-    * view: per token, the packed best-value/piece-length DP vector
-    * (value and chosen length packed into one positive BIGINT so both
-    * engines' integer division unpacks identically), then the walk
-    * back from the end emitting the chosen pieces. Interpreted
-    * higher-order folds — bounded, they run over the VOCABULARY rollup,
-    * never the corpus (the bpeTrain rule).
+  /** Viterbi DP + backtrace over a token rollup under a LITERAL
+    * vocabulary map: per token, the packed best-value/piece-length DP
+    * vector (value and chosen length packed into one positive BIGINT
+    * so both engines' integer division unpacks identically), then the
+    * walk back from the end emitting the chosen pieces. The vocabulary
+    * rides as an explicit literal (the probe-list bounded-metadata rule
+    * — ≤ seedK + alphabet entries): the first cut attached it through a
+    * temp-view scalar subquery, and WHICH round's view the lazily
+    * materialized segmentation saw proved execution-order-dependent —
+    * the Spark mirror of the DuckDB CTE-inlining misbinding the r16
+    * gates caught (both engines flipped between seed- and final-vocab
+    * segmentations, sometimes agreeing — see the uniCtes MATERIALIZED
+    * note). A literal cannot drift. Interpreted higher-order folds —
+    * bounded, they run over the VOCABULARY rollup, never the corpus
+    * (the bpeTrain rule).
     */
-  private def uniSegment(gtok: DataFrame): DataFrame = {
+  private def uniSegment(gtok: DataFrame,
+      vmap: Map[String, Long]): DataFrame = {
     def keyL(l: Int): String =
       s"""coalesce(CASE WHEN $l <= i THEN
             (element_at(acc, i - $l + 1) div 4 - $uniPackOff
@@ -5003,8 +5012,7 @@ object Text {
              - $uniScoreB + $uniPackOff) * 4 + (4 - $l)
           ELSE NULL END, -1L)"""
     val dp = gtok
-      .withColumn("m", expr(
-        "(SELECT map_from_entries(collect_list(struct(piece, bits))) FROM graft_uni_vocab)"))
+      .withColumn("m", typedLit(vmap))
       .withColumn("dp", expr(
         s"""aggregate(sequence(1, length(tok)),
               array(${uniPackOff * 4}L),
@@ -5072,10 +5080,15 @@ object Text {
         .filter(col("srn") <= uniSeedK)
         .select("piece", "bits"))
       .localCheckpoint(false)
+    // the vocabulary is bounded index metadata (≤ seedK + alphabet
+    // rows): collect it per round and hand the segmentation a literal
+    // map — the execution-order hazard of a mutable temp view is the
+    // bug class this replaced (see uniSegment)
+    def vmapOf(v: DataFrame): Map[String, Long] =
+      v.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     var seg: DataFrame = null
     for (_ <- 1 to uniPruneRounds) {
-      vocab.createOrReplaceTempView("graft_uni_vocab")
-      seg = uniSegment(gtok).localCheckpoint(false)
+      seg = uniSegment(gtok, vmapOf(vocab)).localCheckpoint(false)
       val wPr = org.apache.spark.sql.expressions.Window
         .partitionBy().orderBy(col("usage").asc, col("piece").asc)
       val wAll = org.apache.spark.sql.expressions.Window
@@ -5094,8 +5107,7 @@ object Text {
         .localCheckpoint(false)
       vocab.count() // one bounded vocabulary-sized job per round
     }
-    vocab.createOrReplaceTempView("graft_uni_vocab")
-    (vocab, uniSegment(gtok).localCheckpoint(false))
+    (vocab, uniSegment(gtok, vmapOf(vocab)).localCheckpoint(false))
   }
 
   /** UNIGRAM-LM TOKENIZER TRAINING (Kudo 2018, "Subword Regularization"
@@ -5128,8 +5140,16 @@ object Text {
     * against the final segmentation; the token stream is aggregated
     * away before any join.
     */
-  def txUnigramApply(spark: SparkSession, dir: String): DataFrame = {
-    val (_, seg) = uniTrain(spark, dir)
+  def txUnigramApply(spark: SparkSession, dir: String): DataFrame =
+    uniApplyReport(spark, dir, uniTrain(spark, dir)._2)
+
+  /** The per-language encode report over a final segmentation — shared
+    * by the train-per-call form ([[txUnigramApply]]) and the
+    * standing-index form ([[txUnigramApplyIndexed]]); one report text,
+    * one oracle (the bpeApplyReport factoring).
+    */
+  private def uniApplyReport(spark: SparkSession, dir: String,
+      seg: DataFrame): DataFrame = {
     val lt = Tables.spread(docs(spark, dir))
       .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
       .filter(length(col("tok")) >= 1)
@@ -5142,6 +5162,50 @@ object Text {
       .withColumn("compression",
         col("n_chars").cast("double") / col("n_pieces").cast("double"))
       .orderBy("lang")
+  }
+
+  // unigram index path -> sfDir that built it (the ensureIvfIndex shape)
+  private val uniIndexFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Persist the trained unigram tokenizer — the surviving vocabulary
+    * and the per-token final segmentation (the encode table a
+    * deployment actually serves from) — the [[ensureBpeIndex]]
+    * train-once/serve-many story for the second tokenizer family.
+    * Marker + memo discipline matches [[ensureBpeIndex]].
+    */
+  def uniBuildIndex(spark: SparkSession, dir: String): String = {
+    val base = graft.Layout.indexBase(spark, dir, "uni_index")
+    val (vocab, seg) = uniTrain(spark, dir)
+    vocab.write.mode("overwrite").parquet(s"$base/vocab")
+    seg.select("tok", "c", "n_pieces")
+      .write.mode("overwrite").parquet(s"$base/seg")
+    base
+  }
+
+  def ensureUnigramIndex(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "uni_index")
+      val marker = new org.apache.hadoop.fs.Path(s"$base/seg/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(uniIndexFor.get(base).contains(dir) && fs.exists(marker))) {
+        uniIndexFor.remove(base)
+        fs.delete(marker, false)
+        uniBuildIndex(spark, dir)
+        uniIndexFor(base) = dir
+      }
+      base
+    }
+
+  /** [[txUnigramApply]] over the STANDING tokenizer ([[uniBuildIndex]])
+    * — identical output (training is deterministic; the oracle text is
+    * shared verbatim, the ivfAnnSql sharing rule), different physics:
+    * the EM loop never runs, the encode reads the persisted
+    * segmentation table and the corpus once.
+    */
+  def txUnigramApplyIndexed(spark: SparkSession, dir: String): DataFrame = {
+    val base = ensureUnigramIndex(spark, dir)
+    uniApplyReport(spark, dir, spark.read.parquet(s"$base/seg"))
   }
 
   def bpeVocabSymCounts(spark: SparkSession, dir: String): Seq[(String, Int)] = {
