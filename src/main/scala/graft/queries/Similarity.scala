@@ -5592,12 +5592,19 @@ object Similarity {
     val bm25 = graft.queries.Text.txBm25Indexed(spark, dir)
       .select(col("doc_id").as("vec_id"), col("rnk"))
       .crossJoin(broadcast(qids))
+    // the two walk serves run their per-hop materialization jobs at
+    // CONSTRUCTION (view-free) — overlap them (graft.Par, guide §2.6);
+    // the IVF-family serves mutate the shared graft_ivf_* temp views
+    // and stay on this thread (the CLAUDE.md mutable-view rule)
+    val Seq(graphServe, hnswServe) = graft.Par.run(Seq(
+      () => simGraphSearch(spark, dir),
+      () => simHnswSearch(spark, dir)))
     Seq(
       ("bm25", truth, bm25),
       ("bq", truth, simBqHammingIndexed(spark, dir)),
       ("filtered", truthFilt, simFilteredAnnIndexed(spark, dir)),
-      ("graph", truth, simGraphSearch(spark, dir)),
-      ("hnsw", truth, simHnswSearch(spark, dir)),
+      ("graph", truth, graphServe),
+      ("hnsw", truth, hnswServe),
       ("ivf", truth, simIvfAnnIndexed(spark, dir)),
       ("ivfpq", truth, simIvfPqIndexed(spark, dir)),
       ("opq", truth, simOpqAdcIndexed(spark, dir)),
@@ -5628,12 +5635,19 @@ object Similarity {
     val tFlat = spark.read.parquet(s"$tBase/flat_del")
     val tGraph = spark.read.parquet(s"$tBase/graph_del")
     val tIvf = spark.read.parquet(s"$tBase/ivf_del")
+    // the deleted graph walk and the PQ serve's construction-time
+    // materializations are independent and view-free — overlap them
+    // (graft.Par, guide §2.6); the IVF serve mutates the shared
+    // graft_ivf_* temp views and stays on this thread
+    val Seq(graphDel, pqDel) = graft.Par.run(Seq(
+      () => simGraphSearchDeleted(spark, dir),
+      () => simPqAdcDeleted(spark, dir)))
     Seq(
       ("bq", tFlat, simBqHammingDeleted(spark, dir)),
-      ("graph", tGraph, simGraphSearchDeleted(spark, dir)),
+      ("graph", tGraph, graphDel),
       ("ivf", tIvf, simIvfAnnDeleted(spark, dir)),
       ("opq", tFlat, simOpqAdcDeleted(spark, dir)),
-      ("pq", tFlat, simPqAdcDeleted(spark, dir)),
+      ("pq", tFlat, pqDel),
       ("sq", tFlat, simSqInt8Deleted(spark, dir)))
       .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
       .reduce(_.unionByName(_))
@@ -5787,7 +5801,12 @@ object Similarity {
   def simBeamCurve(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
     val truth = spark.read.parquet(s"${ensureIrTruth(spark, dir)}/full")
-    beamCurveBeams.map { b =>
+    // the three walks are independent serves over the SAME standing
+    // edges (view-free, thread-confined frames): overlap their per-hop
+    // materialization jobs (graft.Par — guide §2.6) instead of leaving
+    // the cluster idle through each walk's stage tail. Input order is
+    // preserved, so the union shape is unchanged.
+    graft.Par.run(beamCurveBeams.map { b => () =>
       val top = simGraphSearch(spark, dir, 5, beam = b)
         .select(col("qid"), col("vec_id"))
       truth
@@ -5797,7 +5816,7 @@ object Similarity {
           sum(coalesce(col("found"), lit(0L))).as("n_found"))
         .select(lit(b).as("beam"), col("n_found"), col("n_pairs"),
           expr("n_found * 1000000 div n_pairs").as("recall_micro"))
-    }.reduce(_.unionByName(_)).orderBy("beam")
+    }).reduce(_.unionByName(_)).orderBy("beam")
   }
 
   /** [[simIrMetrics]] FOR THE POST-MUTATION SERVES — the third panel of
@@ -5824,10 +5843,17 @@ object Similarity {
     val tMut = spark.read.parquet(s"$tBase/mut")
     val tUps = spark.read.parquet(s"$tBase/ups")
     val tLive = spark.read.parquet(s"$tBase/live")
+    // all three serves are view-free walk chains whose CONSTRUCTION
+    // runs the per-hop materialization jobs — overlap them (graft.Par,
+    // guide §2.6); input order preserved so the union is unchanged
+    val Seq(gen2, hnswDel, hnswUps) = graft.Par.run(Seq(
+      () => simGraphSearchCompacted(spark, dir),
+      () => simHnswSearchDeleted(spark, dir),
+      () => simHnswSearchUpserted(spark, dir)))
     Seq(
-      ("graph_gen2", tMut, simGraphSearchCompacted(spark, dir)),
-      ("hnsw_deleted", tLive, simHnswSearchDeleted(spark, dir)),
-      ("hnsw_upserted", tUps, simHnswSearchUpserted(spark, dir)))
+      ("graph_gen2", tMut, gen2),
+      ("hnsw_deleted", tLive, hnswDel),
+      ("hnsw_upserted", tUps, hnswUps))
       .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
       .reduce(_.unionByName(_))
       .orderBy("family")
