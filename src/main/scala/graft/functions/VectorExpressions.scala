@@ -5,9 +5,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructField, StructType}
 
 /** Custom Catalyst expression for the one hot-path Spark's built-ins can't
   * express efficiently (SURVEY.md §7.3 tier (b)): the float-vector dot
@@ -383,6 +383,273 @@ case class Hadamard64(child: Expression) extends UnaryExpression {
       newChild: Expression): Hadamard64 = copy(child = newChild)
 }
 
+/** `float_dot_fd(vec array<float|double>, cent array<double>) → double` —
+  * the mixed-type dot product of a stored vector against a TRAINED
+  * centroid (double array): the IVF coarse-assignment hot loop.
+  * `graft.queries.Similarity.ivfCosC`'s higher-order fold is
+  * CodegenFallback — an interpreted 64-step lambda per (corpus row ×
+  * centroid) inside `array_min(transform(cents, …))`, k evaluations per
+  * row in every cell assignment (members, corpus-assign, probe ranking)
+  * — the same hot-loop class [[FloatVectorDot]] retired for the
+  * float×float pairs (r16-opt; guide §4.1). Identical arithmetic in the
+  * identical order: `acc += (double) vec[i] · cent[i]`, i ascending —
+  * bit-equal to the fold and the DuckDB twin (VectorExpressionsSpec).
+  * Length mismatch, null input or null element yields NULL.
+  */
+case class FloatDoubleDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private lazy val vecIsFloat: Boolean = left.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"float_dot_fd requires (array<float|double>, array<double>), got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_dot_fd"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = if (vecIsFloat) x.getFloat(i).toDouble else x.getDouble(i)
+      acc += xv * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val get =
+        if (vecIsFloat) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $get * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): FloatDoubleDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `float_l2_sub(vec array<float|double>, cent array<double>, lo) →
+  * double` — squared L2 between a subspace centroid and the `lo`-offset
+  * slice of a stored vector: the PQ assignment/encode hot loop. The
+  * higher-order formulation (`graft.queries.Similarity.l2SubExpr`'s
+  * `aggregate(sequence(...))` fold) is CodegenFallback — an interpreted
+  * 16-step lambda per (row × codeword) candidate, and every PQ
+  * train/encode evaluates it m·k times per corpus row (r16-opt plan
+  * audit; the [[FloatDoubleL2]]/[[Hadamard64]] treatment). Identical
+  * arithmetic in the identical order: `d = (double) vec[lo+i] − cent[i]`,
+  * `acc += d·d`, i ascending — bit-equal to the fold and the DuckDB twin
+  * (VectorExpressionsSpec pins equality against the interpreted text).
+  * The vector side may be float (corpus embeddings) or double (residual
+  * and rotated frames — the fold's CAST is a no-op there). A null input,
+  * null element, or an out-of-range slice yields NULL (the fold would
+  * ANSI-throw on the latter; no caller slices out of range — centroids
+  * are built `transform(sequence(0, sub−1), …)` against the same `lo`).
+  */
+case class FloatDoubleL2Sub(vec: Expression, cent: Expression,
+    lo: Expression) extends TernaryExpression {
+
+  override def first: Expression = vec
+  override def second: Expression = cent
+  override def third: Expression = lo
+
+  private lazy val vecIsFloat: Boolean = vec.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (vec.dataType, cent.dataType, lo.dataType) match {
+      case (ArrayType(FloatType | DoubleType, _), ArrayType(DoubleType, _),
+          IntegerType | LongType) => TypeCheckResult.TypeCheckSuccess
+      case (v, c, l) => TypeCheckResult.TypeCheckFailure(
+        s"float_l2_sub requires (array<float|double>, array<double>, integral), got $v, $c, $l")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "float_l2_sub"
+
+  private def offOf(c: Any): Long = c match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val off = offOf(c)
+    val n = y.numElements()
+    if (off < 0 || off + n > x.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = (off + i).toInt
+      if (x.isNullAt(xi) || y.isNullAt(i)) return null
+      val xv = if (vecIsFloat) x.getFloat(xi).toDouble else x.getDouble(xi)
+      val d = xv - y.getDouble(i)
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val off = ctx.freshName("off")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      val get =
+        if (vecIsFloat) s"(double) $a.getFloat($xi)" else s"$a.getDouble($xi)"
+      s"""
+         |int $n = $b.numElements();
+         |long $off = (long) $c;
+         |if ($off < 0 || $off + $n > $a.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    int $xi = (int) $off + $i;
+         |    if ($a.isNullAt($xi) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    double $d = $get - $b.getDouble($i);
+         |    $acc += $d * $d;
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): FloatDoubleL2Sub =
+    copy(vec = newFirst, cent = newSecond, lo = newThird)
+}
+
+/** `corr_moments5(array<struct<x:double, y:double>>) →
+  * struct<sx, sy, sxy, sxx, syy>` — the five rolling-regression moment
+  * sums over a windowed frame list, each accumulated LEFT-TO-RIGHT in
+  * frame order: the closed-form Pearson/OLS primitives of the
+  * w7/w11 rolling windows. The retired formulation ran FIVE interpreted
+  * `aggregate(fr, 0D, …)` lambda folds per output row (CodegenFallback —
+  * and a struct-accumulator single fold measured SLOWER still, the
+  * w7 scaladoc's 3.5 vs 2.8 s note); this is one codegen'd loop
+  * carrying five primitive double accumulators. Each sum's addition
+  * sequence is IDENTICAL to its standalone fold (independent
+  * accumulators, same element order), so the w-family oracle hashes are
+  * unchanged (VectorExpressionsSpec pins all five against the folds).
+  * Null array → NULL; a null element or null x/y field → NULL struct
+  * (the separate folds would null only the sums reading that field —
+  * the callers' inputs are exact-integer-descale aggregates over inner
+  * joins, never null; deviation documented here and in the spec).
+  */
+case class RollingMoments5(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields.forall(_.dataType == DoubleType) =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"corr_moments5 requires array<struct<double, double>>, got $t")
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("sx", DoubleType, nullable = false),
+    StructField("sy", DoubleType, nullable = false),
+    StructField("sxy", DoubleType, nullable = false),
+    StructField("sxx", DoubleType, nullable = false),
+    StructField("syy", DoubleType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "corr_moments5"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var sx = 0.0; var sy = 0.0; var sxy = 0.0; var sxx = 0.0; var syy = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val s = xs.getStruct(i, 2)
+      if (s.isNullAt(0) || s.isNullAt(1)) return null
+      val x = s.getDouble(0)
+      val y = s.getDouble(1)
+      sx += x; sy += y; sxy += x * y; sxx += x * x; syy += y * y
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](sx, sy, sxy, sxx, syy))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val sx = ctx.freshName("sx")
+      val sy = ctx.freshName("sy")
+      val sxy = ctx.freshName("sxy")
+      val sxx = ctx.freshName("sxx")
+      val syy = ctx.freshName("syy")
+      s"""
+         |int $n = $a.numElements();
+         |double $sx = 0.0, $sy = 0.0, $sxy = 0.0, $sxx = 0.0, $syy = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  InternalRow $s = $a.getStruct($i, 2);
+         |  if ($s.isNullAt(0) || $s.isNullAt(1)) { ${ev.isNull} = true; break; }
+         |  double $x = $s.getDouble(0);
+         |  double $y = $s.getDouble(1);
+         |  $sx += $x; $sy += $y; $sxy += $x * $y; $sxx += $x * $x; $syy += $y * $y;
+         |}
+         |if (!${ev.isNull}) {
+         |  ${ev.value} =
+         |    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+         |      new Object[]{Double.valueOf($sx), Double.valueOf($sy),
+         |        Double.valueOf($sxy), Double.valueOf($sxx),
+         |        Double.valueOf($syy)});
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): RollingMoments5 = copy(child = newChild)
+}
+
 object VectorFunctions {
 
   private[functions] val hadamardFid = FunctionIdentifier("hadamard64")
@@ -399,6 +666,30 @@ object VectorFunctions {
   private[functions] val floatL2Builder = (exprs: Seq[Expression]) => {
     require(exprs.length == 2, "float_l2 takes exactly 2 arguments")
     FloatDoubleL2(exprs.head, exprs(1)): Expression
+  }
+
+  private[functions] val moments5Fid = FunctionIdentifier("corr_moments5")
+  private[functions] val moments5Info =
+    new ExpressionInfo(classOf[RollingMoments5].getName, "corr_moments5")
+  private[functions] val moments5Builder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 1, "corr_moments5 takes exactly 1 argument")
+    RollingMoments5(exprs.head): Expression
+  }
+
+  private[functions] val floatDotFdFid = FunctionIdentifier("float_dot_fd")
+  private[functions] val floatDotFdInfo =
+    new ExpressionInfo(classOf[FloatDoubleDot].getName, "float_dot_fd")
+  private[functions] val floatDotFdBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "float_dot_fd takes exactly 2 arguments")
+    FloatDoubleDot(exprs.head, exprs(1)): Expression
+  }
+
+  private[functions] val floatL2SubFid = FunctionIdentifier("float_l2_sub")
+  private[functions] val floatL2SubInfo =
+    new ExpressionInfo(classOf[FloatDoubleL2Sub].getName, "float_l2_sub")
+  private[functions] val floatL2SubBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 3, "float_l2_sub takes exactly 3 arguments")
+    FloatDoubleL2Sub(exprs.head, exprs(1), exprs(2)): Expression
   }
 
   private[functions] val fid = FunctionIdentifier("float_dot")
@@ -450,6 +741,18 @@ object VectorFunctions {
       spark.sessionState.functionRegistry.registerFunction(
         hadamardFid, hadamardInfo, hadamardBuilder)
     }
+    if (!spark.sessionState.functionRegistry.functionExists(floatL2SubFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        floatL2SubFid, floatL2SubInfo, floatL2SubBuilder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(floatDotFdFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        floatDotFdFid, floatDotFdInfo, floatDotFdBuilder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(moments5Fid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        moments5Fid, moments5Info, moments5Builder)
+    }
   }
 }
 
@@ -481,6 +784,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       VectorFunctions.hadamardFid, VectorFunctions.hadamardInfo,
       VectorFunctions.hadamardBuilder))
+    ext.injectFunction((
+      VectorFunctions.floatL2SubFid, VectorFunctions.floatL2SubInfo,
+      VectorFunctions.floatL2SubBuilder))
+    ext.injectFunction((
+      VectorFunctions.floatDotFdFid, VectorFunctions.floatDotFdInfo,
+      VectorFunctions.floatDotFdBuilder))
+    ext.injectFunction((
+      VectorFunctions.moments5Fid, VectorFunctions.moments5Info,
+      VectorFunctions.moments5Builder))
     ext.injectFunction((
       TextFunctions.lshFid, TextFunctions.lshInfo, TextFunctions.lshBuilder))
     ext.injectFunction((

@@ -624,6 +624,7 @@ object Relational {
     * orders.
     */
   def w7RollingCorr(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))
       .agg(Exact.sumFixed(col("o_totalprice"), 2).as("mkt"))
@@ -634,14 +635,20 @@ object Relational {
       .withColumn("fr",
         collect_list(struct(col("rev").as("x"), col("mkt").as("y"))).over(w))
       .withColumn("n", size(col("fr")).cast("double"))
-      // five scalar folds, NOT one struct-accumulator pass: a
-      // named_struct accumulator allocates per element and measured
-      // SLOWER (3.5 vs 2.8 s at sf0.1) than five primitive-double folds
-      .withColumn("sx", expr("aggregate(fr, 0D, (a, s) -> a + s.x)"))
-      .withColumn("sy", expr("aggregate(fr, 0D, (a, s) -> a + s.y)"))
-      .withColumn("sxy", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)"))
-      .withColumn("sxx", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.x)"))
-      .withColumn("syy", expr("aggregate(fr, 0D, (a, s) -> a + s.y * s.y)"))
+      // ONE codegen'd five-accumulator loop (graft.functions
+      // .RollingMoments5, r16-opt — guide §4.1): the five interpreted
+      // scalar folds this replaces ran CodegenFallback per output row
+      // (and a named_struct ACCUMULATOR fold measured slower still, 3.5
+      // vs 2.8 s at sf0.1 — per-element allocation; the codegen'd loop
+      // carries five primitive doubles, no allocation). Each sum's
+      // addition order is identical to its standalone fold, so the
+      // oracle hash is unchanged (VectorExpressionsSpec pins all five).
+      .withColumn("m", expr("corr_moments5(fr)"))
+      .withColumn("sx", col("m.sx"))
+      .withColumn("sy", col("m.sy"))
+      .withColumn("sxy", col("m.sxy"))
+      .withColumn("sxx", col("m.sxx"))
+      .withColumn("syy", col("m.syy"))
       .withColumn("corr30",
         when(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0 ||
              col("n") * col("syy") - col("sy") * col("sy") <= 0.0, lit(null))
@@ -985,6 +992,7 @@ object Relational {
   }
 
   def w11RollingBeta(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(spark)
     val global = Tables(spark, dir, "orders")
       .groupBy(col("o_orderdate").as("date"))
       .agg(Exact.sumFixed(col("o_totalprice"), 2).as("mkt"))
@@ -995,10 +1003,13 @@ object Relational {
       .withColumn("fr",
         collect_list(struct(col("mkt").as("x"), col("rev").as("y"))).over(w))
       .withColumn("n", size(col("fr")).cast("double"))
-      .withColumn("sx", expr("aggregate(fr, 0D, (a, s) -> a + s.x)"))
-      .withColumn("sy", expr("aggregate(fr, 0D, (a, s) -> a + s.y)"))
-      .withColumn("sxy", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)"))
-      .withColumn("sxx", expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.x)"))
+      // the w7 codegen'd moments loop (syy rides along unused — same
+      // expression, one cache of generated code across both queries)
+      .withColumn("m", expr("corr_moments5(fr)"))
+      .withColumn("sx", col("m.sx"))
+      .withColumn("sy", col("m.sy"))
+      .withColumn("sxy", col("m.sxy"))
+      .withColumn("sxx", col("m.sxx"))
       .withColumn("beta30",
         when(col("n") * col("sxx") - col("sx") * col("sx") <= 0.0, lit(null))
           .otherwise((col("n") * col("sxy") - col("sx") * col("sy")) /

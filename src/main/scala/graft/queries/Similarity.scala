@@ -919,10 +919,19 @@ object Similarity {
   }
 
   /** The query·centroid cosine over an exploded/lambda centroid struct
-    * `c` — the ordered double fold, shared by assignment and probing.
+    * `c` — shared by assignment and probing. Since r16-opt the dot is
+    * the codegen'd [[graft.functions.FloatDoubleDot]]: the retired
+    * higher-order fold (`aggregate(sequence(0, 63), 0D, (acc, i) ->
+    * acc + CAST($v[i] AS DOUBLE) * $c.centroid[i])`) was
+    * CodegenFallback and ran k times per CORPUS row inside the
+    * cell-assignment `array_min(transform(cents, …))` — the dominant
+    * per-task work of every IVF members/assign pass (guide §4.1; the
+    * float_dot/float_l2 treatment). Bit-identical accumulation order
+    * (VectorExpressionsSpec), so all IVF-family oracle hashes are
+    * unchanged.
     */
   private def ivfCosC(v: String, c: String): String =
-    s"aggregate(sequence(0, ${dims - 1}), 0D, (acc, i) -> acc + CAST($v[i] AS DOUBLE) * $c.centroid[i]) / (vnorm * $c.cnorm)"
+    s"float_dot_fd($v, $c.centroid) / (vnorm * $c.cnorm)"
 
   /** Corpus-side cell assignment as a PURE PROJECTION (VERDICT r6 item 2:
     * the r6 row_number window shuffled k vector-carrying candidate rows
@@ -3272,13 +3281,20 @@ object Similarity {
   /** Squared L2 between the `lo`-offset `pqSubDims`-dim slice of a float
     * vector column and a subspace centroid — the [[l2Expr]] fold
     * restricted to one subspace, same left-to-right order as the DuckDB
-    * replica. `lo` may be any integer SQL expression (a literal during
-    * per-subspace training, the `s * pqSubDims` column during the
-    * one-pass corpus encode).
+    * replica. `lo` may be any integer SQL expression (the
+    * `s * pqSubDims` column during joint training and the one-pass
+    * corpus encode). Since r16-opt this is the codegen'd
+    * [[graft.functions.FloatDoubleL2Sub]]: the retired higher-order fold
+    * (`aggregate(sequence(0, sub−1), 0D, (a2, i2) -> a2 + …)`) was
+    * CodegenFallback — an interpreted 16-step lambda per
+    * (row × codeword), m·k evaluations per corpus row in every PQ
+    * train/encode, the dominant per-task work of the PQ family
+    * (guide §1.2 step 2). Bit-identical accumulation order
+    * (VectorExpressionsSpec pins equality against the fold text), so
+    * every oracle hash is unchanged.
     */
   private def l2SubExpr(v: String, c: String, lo: String): String =
-    s"""aggregate(sequence(0, ${pqSubDims - 1}), 0D, (a2, i2) ->
-          a2 + (CAST($v[i2 + ($lo)] AS DOUBLE) - $c[i2]) * (CAST($v[i2 + ($lo)] AS DOUBLE) - $c[i2]))"""
+    s"float_l2_sub($v, $c, $lo)"
 
   /** Train the `pqM` per-subspace PQ codebooks: for each subspace,
     * [[kmeansTrain]]'s exact loop (deterministic lowest-id seeds, Lloyd
@@ -3286,9 +3302,11 @@ object Similarity {
     * two-level bucketed bit-exact mean ([[meanFold2]]), localCheckpoint
     * per round) run on the subvector slice. Returns (s, cid, centroid[pqSubDims]) — k·m tiny
     * rows, checkpointed so downstream search plans carry no training
-    * subtree (the [[centroidsWithNorm]] treatment). Subspaces train
-    * sequentially: each is the same bounded-job cadence as the IVF
-    * quantizer, and m is a small constant.
+    * subtree (the [[centroidsWithNorm]] treatment). All m subspaces
+    * train JOINTLY (r16-opt, the [[pqWarmBooks]] discipline): one
+    * corpus scan and one bounded job per round instead of per
+    * (subspace, round) — identical per-subspace arithmetic, m× fewer
+    * passes.
     */
   def pqCodebooks(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
@@ -3304,29 +3322,34 @@ object Similarity {
     * on an already-double residual array.
     */
   private def pqCodebooksFrom(emb: DataFrame): DataFrame = {
-    val books = (0 until pqM).map { s =>
-      val lo = s * pqSubDims
-      var cents = emb.filter(col("vec_id") < pqCodebookK)
-        .select(col("vec_id").as("cid"),
-          expr(s"transform(sequence(0, ${pqSubDims - 1}), i -> CAST(embedding[i + $lo] AS DOUBLE))")
-            .as("centroid"))
-        .localCheckpoint(false)
-      for (_ <- 1 to pqTrainRounds) {
-        val assigned = emb.join(broadcast(cents))
-          .withColumn("dist", expr(l2SubExpr("embedding", "centroid", lo.toString)))
-          .groupBy("vec_id")
-          .agg(min(struct(col("dist"), col("cid"))).as("b"))
-          .select(col("vec_id"), col("b.cid").as("cid"))
-        cents = meanFold2(emb.join(assigned, "vec_id"), Seq("cid"),
-            "embedding", lo.toString, pqSubDims)
-          .select("cid", "centroid")
-          .localCheckpoint(false)
-        cents.count() // one bounded job per round, lineage truncated
-      }
-      cents.withColumn("s", lit(s))
-    }
-    books.reduce(_.unionByName(_)).select("s", "cid", "centroid")
+    // r16-opt: all m subspaces advance TOGETHER (the [[pqWarmBooks]]
+    // discipline) — the retired per-subspace loop scanned the corpus
+    // twice per (subspace, round) and serialized m·rounds checkpoint
+    // jobs on the driver; the joint loop runs the SAME arithmetic as
+    // one scan + one bounded job per round (guide §1.2 step 1: fewer
+    // passes, same algorithm). Per (s, cid) nothing changes: the seed
+    // slices, the min(struct(dist, cid)) winners per (vec_id, s) and
+    // the vec_id-ordered meanFold2 buckets are identical to the
+    // sequential form's per-s results, so the oracle text and hashes
+    // are untouched (the gate re-proves it).
+    var cents = emb.filter(col("vec_id") < pqCodebookK)
+      .select(col("vec_id").as("cid"),
+        explode(expr(s"sequence(0, ${pqM - 1})")).as("s"), col("embedding"))
+      .select(col("s"), col("cid"),
+        expr(s"""transform(sequence(0, ${pqSubDims - 1}),
+                 |  i -> CAST(embedding[i + s * $pqSubDims] AS DOUBLE))"""
+          .stripMargin).as("centroid"))
       .localCheckpoint(false)
+    for (_ <- 1 to pqTrainRounds) {
+      val assigned = pqAssignWithDist(emb, cents)
+        .select(col("vec_id"), col("s"), col("code").as("cid"))
+      cents = meanFold2(emb.join(assigned, "vec_id"), Seq("s", "cid"),
+          "embedding", s"s * $pqSubDims", pqSubDims)
+        .select("s", "cid", "centroid")
+        .localCheckpoint(false)
+      cents.count() // one bounded m·k-row job per round, lineage truncated
+    }
+    cents
   }
 
   /** PQ-encode the corpus in ONE pass: every vector × the broadcast
@@ -3461,8 +3484,13 @@ object Similarity {
       sumFold2(pqAssignWithDist(src, pqCodebooksFrom(src)),
           Seq("s"), "vec_id", "dist", "sse")
         .select(lit(tag).as("rotated"), col("s"), col("sse"))
-    sseOf(aniso, 0).unionByName(sseOf(rotated, 1))
-      .orderBy("rotated", "s")
+    // the raw and rotated trainings are INDEPENDENT checkpoint-job
+    // chains over thread-confined frames (scoped plan-keyed caches
+    // only — the graft.Par contract), so overlap them: each side's
+    // per-round stage tails back-fill the other's (guide §2.6)
+    val Seq(raw, rot) =
+      graft.Par.run(Seq(() => sseOf(aniso, 0), () => sseOf(rotated, 1)))
+    raw.unionByName(rot).orderBy("rotated", "s")
   }
 
   /** PQ index UPSERT — [[simIvfUpsert]]'s frozen-quantizer admission

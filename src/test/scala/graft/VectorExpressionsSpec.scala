@@ -57,6 +57,122 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(rows.getDouble(3) == 5.0)
   }
 
+  test("float_dot_fd equals the interpreted mixed-type dot fold bit-for-bit") {
+    // r16-opt: the IVF coarse-assignment hot loop (ivfCosC — k
+    // evaluations per corpus row) moved from the CodegenFallback fold to
+    // the codegen'd FloatDoubleDot. Same left-to-right accumulation or
+    // every IVF-family oracle hash drifts.
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val a = emb.as("a").filter("vec_id < 20")
+    val b = emb.filter("vec_id >= 20 AND vec_id < 40").select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("centroid")).as("b")
+    val both = a.crossJoin(b).select(
+      expr("float_dot_fd(a.embedding, b.centroid)").as("fast"),
+      expr("aggregate(sequence(0, 63), 0D, (acc, i) -> acc + CAST(a.embedding[i] AS DOUBLE) * b.centroid[i])")
+        .as("fold")).collect()
+    assert(both.length == 400)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    val edge = spark.sql(
+      """SELECT
+        |  float_dot_fd(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS mismatch,
+        |  float_dot_fd(array(CAST(1.0 AS FLOAT), NULL), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE))) AS nullelem,
+        |  float_dot_fd(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS DOUBLE))) AS nullinput,
+        |  float_dot_fd(array(CAST(3.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), array(CAST(2.0 AS DOUBLE), CAST(5.0 AS DOUBLE))) AS dblgood
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1) && edge.isNullAt(2))
+    assert(edge.getDouble(3) == 11.0)
+  }
+
+  test("float_l2_sub equals the interpreted sliced fold bit-for-bit, float and double vectors") {
+    // r16-opt: the PQ assignment hot loop — m·k evaluations per corpus
+    // row in every PQ train/encode — moved from the CodegenFallback
+    // aggregate(...) fold to the codegen'd FloatDoubleL2Sub. Same
+    // left-to-right accumulation per slice or the PQ family's oracle
+    // hashes drift. Exercises BOTH vector element types (float corpus
+    // embeddings; double residual/rotated frames) and a column offset
+    // (the `s * pqSubDims` encode shape).
+    VectorFunctions.ensureRegistered(spark)
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cents = emb.filter("vec_id >= 20 AND vec_id < 28")
+      .select(col("vec_id").as("cid"),
+        explode(expr("sequence(0, 3)")).as("s"), col("embedding"))
+      .select(col("s"), col("cid"),
+        expr("transform(sequence(0, 15), i -> CAST(embedding[i + s * 16] AS DOUBLE))")
+          .as("centroid")).as("b")
+    for (toDouble <- Seq(false, true)) {
+      val a = (if (toDouble)
+          emb.select(col("vec_id"),
+            expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("embedding"))
+        else emb).as("a").filter("vec_id < 20")
+      val both = a.crossJoin(cents).select(
+        expr("float_l2_sub(a.embedding, b.centroid, b.s * 16)").as("fast"),
+        expr("""aggregate(sequence(0, 15), 0D, (a2, i2) ->
+            a2 + (CAST(a.embedding[i2 + (b.s * 16)] AS DOUBLE) - b.centroid[i2]) * (CAST(a.embedding[i2 + (b.s * 16)] AS DOUBLE) - b.centroid[i2]))""")
+          .as("fold")).collect()
+      assert(both.length == 20 * 32)
+      assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    }
+  }
+
+  test("float_l2_sub null handling: out-of-range slice, null element, null input") {
+    VectorFunctions.ensureRegistered(spark)
+    val rows = spark.sql(
+      """SELECT
+        |  float_l2_sub(array(CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), 0) AS short,
+        |  float_l2_sub(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE)), 2) AS past,
+        |  float_l2_sub(array(CAST(1.0 AS FLOAT), NULL), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), 0) AS nullelem,
+        |  float_l2_sub(CAST(NULL AS ARRAY<FLOAT>), array(CAST(1.0 AS DOUBLE)), 0) AS nullinput,
+        |  float_l2_sub(array(CAST(9.0 AS FLOAT), CAST(3.0 AS FLOAT), CAST(1.0 AS FLOAT)), array(CAST(1.0 AS DOUBLE), CAST(2.0 AS DOUBLE)), 1) AS good
+        |""".stripMargin).collect().head
+    assert(rows.isNullAt(0) && rows.isNullAt(1) && rows.isNullAt(2) &&
+      rows.isNullAt(3))
+    assert(rows.getDouble(4) == 5.0)
+  }
+
+  test("corr_moments5 equals the five interpreted moment folds bit-for-bit") {
+    // r16-opt: w7/w11's five per-row CodegenFallback folds became one
+    // codegen'd five-accumulator loop. Each sum's addition order must
+    // match its standalone fold exactly or the w-family hashes drift.
+    // Frames are built like the real callers': windowed collect_lists
+    // of exact-descale doubles.
+    VectorFunctions.ensureRegistered(spark)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(expr("vec_id % 7")).orderBy("vec_id").rowsBetween(-29, 0)
+    val fr = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(CAST(embedding[0] * 100 AS BIGINT) AS DOUBLE) / 100").as("x"),
+        expr("CAST(CAST(embedding[1] * 100 AS BIGINT) AS DOUBLE) / 100").as("y"))
+      .withColumn("fr", collect_list(struct(col("x"), col("y"))).over(w))
+    val both = fr.select(
+      expr("corr_moments5(fr)").as("m"),
+      expr("aggregate(fr, 0D, (a, s) -> a + s.x)").as("sx"),
+      expr("aggregate(fr, 0D, (a, s) -> a + s.y)").as("sy"),
+      expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.y)").as("sxy"),
+      expr("aggregate(fr, 0D, (a, s) -> a + s.x * s.x)").as("sxx"),
+      expr("aggregate(fr, 0D, (a, s) -> a + s.y * s.y)").as("syy")).collect()
+    assert(both.length >= 100)
+    both.foreach { r =>
+      val m = r.getStruct(0)
+      assert(m.getDouble(0) == r.getDouble(1) && m.getDouble(1) == r.getDouble(2)
+        && m.getDouble(2) == r.getDouble(3) && m.getDouble(3) == r.getDouble(4)
+        && m.getDouble(4) == r.getDouble(5))
+    }
+    // null semantics: null array -> NULL; null field -> NULL struct (the
+    // documented whole-result deviation from per-sum fold nulling)
+    val edge = spark.sql(
+      """SELECT corr_moments5(CAST(NULL AS ARRAY<STRUCT<x: DOUBLE, y: DOUBLE>>)) AS n,
+        |       corr_moments5(array(named_struct('x', 1.0D, 'y', CAST(NULL AS DOUBLE)))) AS nf,
+        |       corr_moments5(array(named_struct('x', 3.0D, 'y', 4.0D))) AS ok
+        |""".stripMargin).collect().head
+    assert(edge.isNullAt(0) && edge.isNullAt(1))
+    val ok = edge.getStruct(2)
+    assert(ok.getDouble(0) == 3.0 && ok.getDouble(1) == 4.0 &&
+      ok.getDouble(2) == 12.0 && ok.getDouble(3) == 9.0 && ok.getDouble(4) == 16.0)
+  }
+
   test("hadamard64 equals the interpreted rotation fold bit-for-bit") {
     // VERDICT r15 item 3: the OPQ rotation's 64²-flop-per-row fold is
     // now the codegen'd Hadamard64; every output element must carry the
