@@ -13,12 +13,17 @@ package graft
   * the declared deterministic shape, and each thunk's frames/jobs are
   * unchanged — only the wall-clock overlap is new.
   *
-  * Callers must keep session-MUTATING constructions (the shared
-  * `graft_ivf_*` temp views, catalog writes) on the calling thread —
-  * the CLAUDE.md mutable-temp-view rule; everything submitted here must
-  * touch only thread-confined frames, build-once `ensure*` accessors
-  * (synchronized) and plan-keyed scoped caches (concurrent same-plan
-  * `cache()` shares one CacheManager entry).
+  * Callers must keep constructions that mutate SHARED session state
+  * (a temp view two thunks both read, catalog table writes two thunks
+  * both touch) on the calling thread — the CLAUDE.md mutable-temp-view
+  * rule. A construction that writes a view name PRIVATE to itself
+  * (written exactly once per invocation — the `viewSfx` discipline of
+  * the IVF-family serves, r16-opt) is pool-safe: the view is resolved
+  * at its own `spark.sql` analysis time and nothing else re-points it.
+  * Everything submitted here must otherwise touch only thread-confined
+  * frames, build-once `ensure*` accessors (synchronized) and plan-keyed
+  * scoped caches (concurrent same-plan `cache()` shares one
+  * CacheManager entry).
   */
 object Par {
   def run[A](thunks: Seq[() => A], maxThreads: Int = 4): Seq[A] = {

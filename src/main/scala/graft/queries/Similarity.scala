@@ -972,7 +972,14 @@ object Similarity {
     * rows — and the projection drops the vectors BEFORE the window, so
     * even that tiny exchange carries (vec_id, c_label, cos_c) triples.
     */
-  private def ivfProbeKeysSql(nprobe: Int): String =
+  /** `sfx` names a PRIVATE view pair (`graft_ivf_centroids$sfx` /
+    * `graft_ivf_queries$sfx`) so report queries can construct several
+    * IVF-family serves CONCURRENTLY (graft.Par) — each serve writes its
+    * own views exactly once, which retires the shared-mutable-view
+    * hazard the CLAUDE.md r16 note documents. Standalone queries keep
+    * the default shared names (same plans as before).
+    */
+  private def ivfProbeKeysSql(nprobe: Int, sfx: String = ""): String =
     s"""SELECT vec_id, c_label, cos_c FROM (
        |  SELECT vec_id, c_label, cos_c, row_number() OVER (
        |    PARTITION BY vec_id ORDER BY cos_c DESC, c_label ASC) AS crnk
@@ -982,8 +989,8 @@ object Similarity {
        |      SELECT vec_id, embedding,
        |        sqrt(float_dot(embedding, embedding)) AS vnorm,
        |        (SELECT collect_list(struct(c_label, centroid, cnorm))
-       |         FROM graft_ivf_centroids) AS cents
-       |      FROM graft_ivf_queries)
+       |         FROM graft_ivf_centroids$sfx) AS cents
+       |      FROM graft_ivf_queries$sfx)
        |    LATERAL VIEW explode(cents) t AS c))
        |WHERE crnk <= $nprobe""".stripMargin
 
@@ -3042,14 +3049,15 @@ object Similarity {
   def simIvfAnnIndexed(spark: SparkSession, dir: String,
       nprobe: Int = 2, k: Int = 5,
       querySet: Option[DataFrame] = None,
-      indexPath: Option[String] = None): DataFrame = {
+      indexPath: Option[String] = None,
+      viewSfx: String = ""): DataFrame = {
     val base = indexPath.getOrElse(ensureIvfIndex(spark, dir))
     register(spark)
     spark.read.parquet(s"$base/centroids")
-      .createOrReplaceTempView("graft_ivf_centroids")
+      .createOrReplaceTempView(s"graft_ivf_centroids$viewSfx")
     querySet.getOrElse(defaultQueries(spark, dir))
-      .createOrReplaceTempView("graft_ivf_queries")
-    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe))
+      .createOrReplaceTempView(s"graft_ivf_queries$viewSfx")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe, viewSfx))
       .localCheckpoint(false)
     // ≤ |queries|·nprobe values: the bounded probe list every IVF search
     // materializes before deciding which inverted lists to read
@@ -3106,14 +3114,15 @@ object Similarity {
     */
   def simFilteredAnnIndexed(spark: SparkSession, dir: String,
       label: Int = filteredAnnLabel, nprobe: Int = 2, k: Int = 5,
-      querySet: Option[DataFrame] = None): DataFrame = {
+      querySet: Option[DataFrame] = None, viewSfx: String = ""): DataFrame = {
     val base = ensureIvfIndex(spark, dir)
     register(spark)
     spark.read.parquet(s"$base/centroids")
-      .createOrReplaceTempView("graft_ivf_centroids")
+      .createOrReplaceTempView(s"graft_ivf_centroids$viewSfx")
     querySet.getOrElse(defaultQueries(spark, dir))
-      .createOrReplaceTempView("graft_ivf_queries")
-    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+      .createOrReplaceTempView(s"graft_ivf_queries$viewSfx")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe, viewSfx))
+      .localCheckpoint(false)
     val cells = probeKeys.select("c_label").distinct()
       .collect().map(_.getLong(0)).sorted
     val members = readIvfCells(spark, base)
@@ -3956,16 +3965,17 @@ object Similarity {
     */
   def simIvfPqIndexed(spark: SparkSession, dir: String,
       nprobe: Int = 2, k: Int = 5, shortlist: Int = pqShortlist,
-      querySet: Option[DataFrame] = None): DataFrame = {
+      querySet: Option[DataFrame] = None, viewSfx: String = ""): DataFrame = {
     require(shortlist >= k, "shortlist must be at least k")
     register(spark)
     val ivfBase = ensureIvfIndex(spark, dir)
     val pqBase = ensurePqIndex(spark, dir)
     spark.read.parquet(s"$ivfBase/centroids")
-      .createOrReplaceTempView("graft_ivf_centroids")
+      .createOrReplaceTempView(s"graft_ivf_centroids$viewSfx")
     querySet.getOrElse(defaultQueries(spark, dir))
-      .createOrReplaceTempView("graft_ivf_queries")
-    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+      .createOrReplaceTempView(s"graft_ivf_queries$viewSfx")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe, viewSfx))
+      .localCheckpoint(false)
     val probes = probeKeys
       .select(col("vec_id").as("qid"), col("c_label").as("cell"))
     val probedCells = probeKeys.select("c_label").distinct()
@@ -4448,15 +4458,16 @@ object Similarity {
     */
   def simIvfAnnDeleted(spark: SparkSession, dir: String,
       nprobe: Int = 2, k: Int = 5,
-      querySet: Option[DataFrame] = None): DataFrame = {
+      querySet: Option[DataFrame] = None, viewSfx: String = ""): DataFrame = {
     val main = ensureIvfIndex(spark, dir)
     val base = ensureIvfDeleteIndex(spark, dir)
     register(spark)
     spark.read.parquet(s"$main/centroids")
-      .createOrReplaceTempView("graft_ivf_centroids")
+      .createOrReplaceTempView(s"graft_ivf_centroids$viewSfx")
     querySet.getOrElse(defaultQueries(spark, dir))
-      .createOrReplaceTempView("graft_ivf_queries")
-    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe)).localCheckpoint(false)
+      .createOrReplaceTempView(s"graft_ivf_queries$viewSfx")
+    val probeKeys = spark.sql(ivfProbeKeysSql(nprobe, viewSfx))
+      .localCheckpoint(false)
     val probed = probeKeys.select("c_label").distinct()
       .collect().map(_.getLong(0)).sorted
     val compactedSet = spark.read.parquet(s"$base/compacted")
@@ -5620,25 +5631,38 @@ object Similarity {
     val bm25 = graft.queries.Text.txBm25Indexed(spark, dir)
       .select(col("doc_id").as("vec_id"), col("rnk"))
       .crossJoin(broadcast(qids))
-    // the two walk serves run their per-hop materialization jobs at
-    // CONSTRUCTION (view-free) — overlap them (graft.Par, guide §2.6);
-    // the IVF-family serves mutate the shared graft_ivf_* temp views
-    // and stay on this thread (the CLAUDE.md mutable-view rule)
-    val Seq(graphServe, hnswServe) = graft.Par.run(Seq(
-      () => simGraphSearch(spark, dir),
-      () => simHnswSearch(spark, dir)))
+    // ALL ten remaining serve constructions overlap (graft.Par, guide
+    // §2.6): the walks run per-hop materialization jobs, the IVF-family
+    // serves run probe checkpoints + bounded collects — each now writes
+    // its OWN view pair (viewSfx), so the shared-mutable-view hazard
+    // that used to pin them to this thread is gone (r16-opt; the
+    // ivfProbeKeysSql sfx note). Results return in input order, so the
+    // declared union shape is unchanged.
+    val Seq(bqServe, filtServe, graphServe, hnswServe, ivfServe,
+        ivfpqServe, opqServe, pqServe, rrfServe, sqServe) =
+      graft.Par.run(Seq[() => DataFrame](
+        () => simBqHammingIndexed(spark, dir),
+        () => simFilteredAnnIndexed(spark, dir, viewSfx = "_irm_filt"),
+        () => simGraphSearch(spark, dir),
+        () => simHnswSearch(spark, dir),
+        () => simIvfAnnIndexed(spark, dir, viewSfx = "_irm_ivf"),
+        () => simIvfPqIndexed(spark, dir, viewSfx = "_irm_ivfpq"),
+        () => simOpqAdcIndexed(spark, dir),
+        () => simPqAdcIndexed(spark, dir),
+        () => simRrfFusionIndexed(spark, dir),
+        () => simSqInt8Indexed(spark, dir)), maxThreads = 5)
     Seq(
       ("bm25", truth, bm25),
-      ("bq", truth, simBqHammingIndexed(spark, dir)),
-      ("filtered", truthFilt, simFilteredAnnIndexed(spark, dir)),
+      ("bq", truth, bqServe),
+      ("filtered", truthFilt, filtServe),
       ("graph", truth, graphServe),
       ("hnsw", truth, hnswServe),
-      ("ivf", truth, simIvfAnnIndexed(spark, dir)),
-      ("ivfpq", truth, simIvfPqIndexed(spark, dir)),
-      ("opq", truth, simOpqAdcIndexed(spark, dir)),
-      ("pq", truth, simPqAdcIndexed(spark, dir)),
-      ("rrf", truth, simRrfFusionIndexed(spark, dir)),
-      ("sq", truth, simSqInt8Indexed(spark, dir)))
+      ("ivf", truth, ivfServe),
+      ("ivfpq", truth, ivfpqServe),
+      ("opq", truth, opqServe),
+      ("pq", truth, pqServe),
+      ("rrf", truth, rrfServe),
+      ("sq", truth, sqServe))
       .map { case (name, t, res) => irMetricsOver(name, t, qids, res) }
       .reduce(_.unionByName(_))
       .orderBy("family")
@@ -5663,20 +5687,24 @@ object Similarity {
     val tFlat = spark.read.parquet(s"$tBase/flat_del")
     val tGraph = spark.read.parquet(s"$tBase/graph_del")
     val tIvf = spark.read.parquet(s"$tBase/ivf_del")
-    // the deleted graph walk and the PQ serve's construction-time
-    // materializations are independent and view-free — overlap them
-    // (graft.Par, guide §2.6); the IVF serve mutates the shared
-    // graft_ivf_* temp views and stays on this thread
-    val Seq(graphDel, pqDel) = graft.Par.run(Seq(
-      () => simGraphSearchDeleted(spark, dir),
-      () => simPqAdcDeleted(spark, dir)))
+    // ALL six deleted serves' constructions overlap (graft.Par, guide
+    // §2.6) — the IVF serve writes its own view pair now (viewSfx), so
+    // nothing here touches shared mutable session state (r16-opt)
+    val Seq(bqDel, graphDel, ivfDel, opqDel, pqDel, sqDel) =
+      graft.Par.run(Seq[() => DataFrame](
+        () => simBqHammingDeleted(spark, dir),
+        () => simGraphSearchDeleted(spark, dir),
+        () => simIvfAnnDeleted(spark, dir, viewSfx = "_irdel_ivf"),
+        () => simOpqAdcDeleted(spark, dir),
+        () => simPqAdcDeleted(spark, dir),
+        () => simSqInt8Deleted(spark, dir)), maxThreads = 5)
     Seq(
-      ("bq", tFlat, simBqHammingDeleted(spark, dir)),
+      ("bq", tFlat, bqDel),
       ("graph", tGraph, graphDel),
-      ("ivf", tIvf, simIvfAnnDeleted(spark, dir)),
-      ("opq", tFlat, simOpqAdcDeleted(spark, dir)),
+      ("ivf", tIvf, ivfDel),
+      ("opq", tFlat, opqDel),
       ("pq", tFlat, pqDel),
-      ("sq", tFlat, simSqInt8Deleted(spark, dir)))
+      ("sq", tFlat, sqDel))
       .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
       .reduce(_.unionByName(_))
       .orderBy("family")
@@ -5918,10 +5946,14 @@ object Similarity {
     register(spark)
     val qids = defaultQueries(spark, dir).select(col("vec_id").as("qid"))
     val tBase = ensureIrTruth(spark, dir)
-    val serves = Seq(
-      ("bq", simBqHammingIndexed(spark, dir)),
-      ("ivf", simIvfAnnIndexed(spark, dir)),
-      ("sq", simSqInt8Indexed(spark, dir))).map { case (n, res) =>
+    // the three serve constructions overlap (graft.Par, guide §2.6) —
+    // the IVF serve writes its own view pair (viewSfx), nothing shared
+    val Seq(bqAtv, ivfAtv, sqAtv) = graft.Par.run(Seq[() => DataFrame](
+      () => simBqHammingIndexed(spark, dir),
+      () => simIvfAnnIndexed(spark, dir, viewSfx = "_iratv_ivf"),
+      () => simSqInt8Indexed(spark, dir)))
+    val serves = Seq(("bq", bqAtv), ("ivf", ivfAtv), ("sq", sqAtv))
+      .map { case (n, res) =>
       // one serve execution per family (not per version): cut to the
       // bounded top-5 rows, then truncate lineage before the fan-out
       (n, res.filter(col("rnk") <= 5)

@@ -1297,8 +1297,18 @@ object Text {
     // frame reads the shards lazily, so the previous run's contents are
     // removed HERE — not after — and the path stays stable for re-reads.
     val base = baseDir.getOrElse(Text.materializeScratch)
-    graft.sources.CorpusSource.writeJsonl(contract, s"$base/jsonl", shards = 4)
-    graft.Layout.saveBucketed(contract, "prepared_corpus_b", 8, Seq("doc_id"))
+    // the two sink legs are independent write jobs over the SAME
+    // scoped-cached survivors — overlap them (graft.Par, guide §2.6).
+    // Pool-safe per the Par contract: writeJsonl touches only its own
+    // scratch path; saveBucketed touches only its own catalog table
+    // name (written exactly once here, nothing else reads it until the
+    // re-read below); the shared prepare caches are plan-keyed and
+    // concurrent same-plan materialization shares one entry.
+    graft.Par.run(Seq[() => Unit](
+      () => graft.sources.CorpusSource.writeJsonl(
+        contract, s"$base/jsonl", shards = 4),
+      () => graft.Layout.saveBucketed(
+        contract, "prepared_corpus_b", 8, Seq("doc_id"))))
     val (clean, corrupt) = graft.sources.CorpusSource.cleanAndCorrupt(
       graft.sources.CorpusSource.readJsonl(spark, s"$base/jsonl"))
     val nBad = corrupt.count()
