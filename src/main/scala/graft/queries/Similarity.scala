@@ -1164,6 +1164,37 @@ object Similarity {
   private[graft] val knnDescentNbits = 8
   private[graft] val knnDescentStrides = Seq(1L, 2L)
 
+
+  /** Exact rescore + keep-best-k of an (src, dst) candidate frame
+    * against a (vec_id, embedding, norm) member side — the shared tail
+    * of every graph-family build/descent/repair round (NN-descent
+    * local-join scoring, the HNSW strata rescores, the FreshDiskANN
+    * bridge repair). The dst side joins FIRST and the src side LAST
+    * deliberately (r16-opt, guide §2.4): the keep-best window partitions
+    * by src, so in the sort-merge regime the final join's
+    * hashpartitioning(src) already satisfies the window's required
+    * distribution and the scored candidate set — the largest
+    * intermediate of a descent round — is never re-exchanged
+    * (GraphScorePlanSpec pins the exchange count with broadcasts
+    * disabled, the CLAUDE.md broadcast-beating-claim rule). Join order
+    * cannot change results: inner equi-joins commute and the per-row
+    * cosine arithmetic is identical.
+    */
+  private[graft] def scoreTopK(cand: DataFrame, v: DataFrame,
+      k: Int): DataFrame = {
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
+    cand
+      .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
+        col("norm").as("dn")), "dst")
+      .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
+        col("norm").as("sn")), "src")
+      .select(col("src"), col("dst"),
+        (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
+      .withColumn("rnk", row_number().over(wTop))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate GLOBAL kNN-graph construction by NN-descent (Dong,
     * Moses, Li, WWW'11 — the standard graph-ANN builder; HNSW layer-0
     * neighborhoods and kgraph both descend this way), the cross-cell
@@ -1200,19 +1231,6 @@ object Similarity {
     val emb = bucketedEmbeddings(spark, dir, nbits)
     val n = Tables(spark, dir, "embeddings").count()
     val v = emb.select(col("vec_id"), col("embedding"), col("norm"))
-    def score(pairs: DataFrame): DataFrame =
-      pairs
-        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
-          col("norm").as("sn")), "src")
-        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-          col("norm").as("dn")), "dst")
-        .select(col("src"), col("dst"),
-          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-    def topK(scored: DataFrame): DataFrame =
-      scored.withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= k)
     val inBucket = emb.select(col("bucket"), col("vec_id").as("src"))
       .join(emb.select(col("bucket"), col("vec_id").as("dst")), Seq("bucket"))
       .filter(col("src") =!= col("dst"))
@@ -1221,7 +1239,7 @@ object Similarity {
       .map(s => v.select(col("vec_id").as("src"),
         ((col("vec_id") + s) % n).as("dst")))
       .reduce(_ unionByName _)
-    var graph = topK(score(inBucket.unionByName(ring).distinct()))
+    var graph = scoreTopK(inBucket.unionByName(ring).distinct(), v, k)
       .localCheckpoint(false)
     graph.count() // materialize the lazy checkpoint (one job per round)
     val wRev = org.apache.spark.sql.expressions.Window
@@ -1237,7 +1255,7 @@ object Similarity {
           col("a.w") === col("b.w") && col("a.x") =!= col("b.x"))
         .select(col("a.x").as("src"), col("b.x").as("dst"))
       val cand = pairs.unionByName(graph.select("src", "dst")).distinct()
-      graph = topK(score(cand)).localCheckpoint(false)
+      graph = scoreTopK(cand, v, k).localCheckpoint(false)
       graph.count()
     }
     graph
@@ -2227,17 +2245,7 @@ object Similarity {
     val cand = liveEdges.unionByName(bridges).distinct()
     val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
       .select(col("vec_id"), col("embedding"), col("norm"))
-    val wTop = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-    cand
-      .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
-        col("norm").as("sn")), "src")
-      .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-        col("norm").as("dn")), "dst")
-      .select(col("src"), col("dst"),
-        (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
-      .withColumn("rnk", row_number().over(wTop))
-      .filter(col("rnk") <= knnDescentK)
+    scoreTopK(cand, v, knnDescentK)
       .select(col("src").as("vec_id"), col("dst").as("nbr_id"),
         col("cosine"), col("rnk"))
       .write.mode("overwrite").parquet(s"$base/edges")
@@ -2365,19 +2373,8 @@ object Similarity {
       .select(col("vec_id").as("src"), col("nbr_id").as("dst"))
     val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
       .select(col("vec_id"), col("embedding"), col("norm"))
-    def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-      cand
-        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
-          col("norm").as("sn")), "src")
-        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-          col("norm").as("dn")), "dst")
-        .select(col("src"), col("dst"),
-          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= k)
-    }
+    def rescoreTopK(cand: DataFrame, k: Int): DataFrame =
+      scoreTopK(cand, v, k)
     val l2m = v.filter(col("vec_id") % hnswL2Mod === 0).select("vec_id")
     rescoreTopK(
       l2m.select(col("vec_id").as("src"))
@@ -2494,19 +2491,8 @@ object Similarity {
     val v = bucketedEmbeddings(spark, dir, knnDescentNbits)
       .filter(!(col("vec_id") % graphDelMod === graphDelRem))
       .select(col("vec_id"), col("embedding"), col("norm"))
-    def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-      cand
-        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
-          col("norm").as("sn")), "src")
-        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-          col("norm").as("dn")), "dst")
-        .select(col("src"), col("dst"),
-          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= k)
-    }
+    def rescoreTopK(cand: DataFrame, k: Int): DataFrame =
+      scoreTopK(cand, v, k)
     val l2m = v.filter(col("vec_id") % hnswL2Mod === 0).select("vec_id")
     rescoreTopK(
       l2m.select(col("vec_id").as("src"))
@@ -2634,19 +2620,8 @@ object Similarity {
     val v = upsertedWalkMembers(spark, dir)
       .select(col("vid").as("vec_id"), col("mv").as("embedding"),
         col("mn").as("norm"))
-    def rescoreTopK(cand: DataFrame, k: Int): DataFrame = {
-      val wTop = org.apache.spark.sql.expressions.Window
-        .partitionBy("src").orderBy(col("cosine").desc, col("dst").asc)
-      cand
-        .join(v.select(col("vec_id").as("src"), col("embedding").as("sv"),
-          col("norm").as("sn")), "src")
-        .join(v.select(col("vec_id").as("dst"), col("embedding").as("dv"),
-          col("norm").as("dn")), "dst")
-        .select(col("src"), col("dst"),
-          (expr(dotExpr("sv", "dv")) / (col("sn") * col("dn"))).as("cosine"))
-        .withColumn("rnk", row_number().over(wTop))
-        .filter(col("rnk") <= k)
-    }
+    def rescoreTopK(cand: DataFrame, k: Int): DataFrame =
+      scoreTopK(cand, v, k)
     val l2m = v.filter(col("vec_id") % hnswL2Mod === 0).select("vec_id")
     rescoreTopK(
       l2m.select(col("vec_id").as("src"))

@@ -777,16 +777,21 @@ object Text {
   def ddParagraph(spark: SparkSession, dir: String,
       paraTokens: Int = 20): DataFrame = {
     require(paraTokens > 0)
-    val paras = Tables.spread(docs(spark, dir))
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("lang"),
-        posexplode(expr(
-          s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
-             |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
-            .stripMargin)))
-      .select(col("doc_id"), col("lang"), col("pos"),
-        expr("md5(cast(col AS BINARY))").as("h"),
-        expr("size(split(col, ' '))").as("n_toks"))
+    // keep-first aggregate + join-back both consume this subtree (no
+    // ReusedExchange: partial-min digests vs full occurrence rows) —
+    // scoped-cache so the interpreted slice/concat_ws + per-paragraph
+    // md5 pass runs ONCE per call (r16-opt; the prepare-flow rule)
+    val paras = graft.Caches.scoped(s"dd_paragraph.paras.$paraTokens",
+      Tables.spread(docs(spark, dir))
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"),
+          posexplode(expr(
+            s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
+               |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
+              .stripMargin)))
+        .select(col("doc_id"), col("lang"), col("pos"),
+          expr("md5(cast(col AS BINARY))").as("h"),
+          expr("size(split(col, ' '))").as("n_toks")))
     val firsts = paras.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     paras.join(firsts, "h")
@@ -1190,15 +1195,23 @@ object Text {
       src: DataFrame, cacheTag: String,
       paraTokens: Int = 20, minTokens: Int = 10,
       benchmarkSource: String = "src0", width: Int = 8): DataFrame = {
-    val paras = Tables.spread(src)
-      .withColumn("toks", split(col("text"), " "))
-      .select(col("doc_id"), col("lang"), col("source"),
-        posexplode(expr(
-          s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
-             |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
-            .stripMargin)))
-      .select(col("doc_id"), col("lang"), col("source"), col("pos"),
-        col("col").as("para"), expr("md5(cast(col AS BINARY))").as("h"))
+    // the keep-first aggregate AND its join-back both consume this
+    // subtree (the partial-min side shuffles digest partials, the probe
+    // side full paragraph rows — no ReusedExchange can unify them), so
+    // uncached the interpreted slice/concat_ws transform + per-paragraph
+    // md5 runs TWICE per prepare execution. Scoped-cache the exploded
+    // pass (r16-opt, guide §1.2 step 1: remove passes before tuning
+    // code; the dd_ppjoin expensive-join-key rule).
+    val paras = graft.Caches.scoped(s"prepare.paras$cacheTag.$paraTokens",
+      Tables.spread(src)
+        .withColumn("toks", split(col("text"), " "))
+        .select(col("doc_id"), col("lang"), col("source"),
+          posexplode(expr(
+            s"""transform(sequence(0, (size(toks) - 1) div $paraTokens),
+               |  i -> concat_ws(' ', slice(toks, i * $paraTokens + 1, $paraTokens)))"""
+              .stripMargin)))
+        .select(col("doc_id"), col("lang"), col("source"), col("pos"),
+          col("col").as("para"), expr("md5(cast(col AS BINARY))").as("h")))
     val firsts = paras.groupBy("h")
       .agg(min(struct(col("doc_id"), col("pos"))).as("first"))
     val rewritten = paras.join(firsts, "h")

@@ -410,6 +410,59 @@ class KnnDescentSpec extends SparkSpec {
     assert(recall >= 0.78, s"deleted-walk recall $recall under the measured 0.840")
   }
 
+  test("scoreTopK: src joins last so the keep-best window adds no exchange (SMJ regime)") {
+    // the r16-opt join-order claim, probed in the regime it exists for
+    // (broadcasts at -1, AQE off — the CLAUDE.md broadcast-beating rule):
+    // cand⋈dst costs 2 exchanges, ⋈src 2 more, and the window's required
+    // hashpartitioning(src) is satisfied by the final join — 4 total,
+    // with NO exchange between the Window and the src-side join.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = thresholds.map(kk => kk -> spark.conf.getOption(kk))
+    thresholds.foreach(kk => spark.conf.set(kk, "-1"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      graft.functions.VectorFunctions.ensureRegistered(spark)
+      val v = Tables(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+        .withColumn("norm", expr("sqrt(float_dot(embedding, embedding))"))
+      val cand = Tables(spark, dir, "embeddings")
+        .select(col("vec_id").as("src"),
+          ((col("vec_id") + 1) % 100).as("dst"))
+      val plan = Similarity.scoreTopK(cand, v, 5)
+        .queryExecution.executedPlan
+      // 3 real exchanges: cand-by-dst, v-by-dst, joined-by-src. The
+      // src-side v exchange REUSES the dst-side one (same v subtree
+      // hashed by vec_id either way), and the window adds none — its
+      // required hashpartitioning(src) is the final join's output.
+      val exchanges = plan.collect { case e: ShuffleExchangeLike => e }
+      assert(exchanges.length == 3,
+        s"expected 3 exchanges (2 joins + v-side reuse, none for the window): got ${exchanges.length}\n$plan")
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        s"v side no longer shares one exchange across both joins\n$plan")
+      val windowSubtreeExchanges = plan.collect {
+        case w: WindowExec =>
+          w.child.collect { case e: ShuffleExchangeLike => e }.length
+      }
+      assert(windowSubtreeExchanges.nonEmpty, s"no WindowExec in\n$plan")
+      // every exchange sits at or below the joins: the window subtree
+      // sees all 3, i.e. the window itself required no 4th
+      assert(windowSubtreeExchanges.head == 3,
+        s"window required a 4th exchange — src join no longer satisfies it\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      saved.foreach {
+        case (kk, Some(vv)) => spark.conf.set(kk, vv)
+        case (kk, None) => spark.conf.unset(kk)
+      }
+    }
+  }
+
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
     val vecs = Tables(spark, dir, "embeddings")
       .selectExpr("vec_id", "embedding").collect()
