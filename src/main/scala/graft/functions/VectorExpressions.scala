@@ -650,7 +650,216 @@ case class RollingMoments5(child: Expression) extends UnaryExpression {
       newChild: Expression): RollingMoments5 = copy(child = newChild)
 }
 
+/** `vec_sum_slice(ms, lo, sub) → array<double>` — the LEVEL-1 inner loop
+  * of the two-level training folds ([[graft.queries.Similarity]]'s
+  * meanFold2): over an ALREADY vec_id-ORDERED
+  * `array<struct<vec_id, vec: array<float|double>>>` bucket, the
+  * per-dimension left-to-right sum of `vec[lo + d]` for
+  * d ∈ [0, sub). Replaces the interpreted
+  * `transform(sequence(0, sub-1), d -> aggregate(ms, 0D, (a, m) ->
+  * a + CAST(m.vec[d + lo] AS DOUBLE)))` (CodegenFallback — sub × |bucket|
+  * boxed lambda steps per bucket, corpus-sized total work in every
+  * k-means/PQ/OPQ train round). Per output d the accumulation sequence
+  * is IDENTICAL to the standalone fold (independent accumulators, same
+  * element order), so centroids — and every oracle hash downstream —
+  * are unchanged (VectorExpressionsSpec pins bit-equality on float and
+  * double vectors). Null array/lo → NULL; a null element, null vec or
+  * null cell → NULL (the fold's acc + NULL). An out-of-range slice
+  * returns NULL where the ANSI fold would throw — the float_l2_sub
+  * deviation, callers always slice within dims.
+  */
+case class OrderedVecSumSlice(ms: Expression, lo: Expression,
+    sub: Expression) extends TernaryExpression {
+
+  override def first: Expression = ms
+  override def second: Expression = lo
+  override def third: Expression = sub
+
+  private lazy val vecIsFloat: Boolean = ms.dataType match {
+    case ArrayType(StructType(fields), _) if fields.length == 2 =>
+      fields(1).dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (ms.dataType, lo.dataType, sub.dataType) match {
+      case (ArrayType(StructType(fields), _), IntegerType | LongType,
+          IntegerType | LongType)
+          if fields.length == 2 &&
+            (fields(1).dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) => TypeCheckResult.TypeCheckSuccess
+      case (m, l, s) => TypeCheckResult.TypeCheckFailure(
+        s"vec_sum_slice requires (array<struct<_, array<float|double>>>, integral, integral), got $m, $l, $s")
+    }
+  override def dataType: DataType =
+    ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "vec_sum_slice"
+
+  private def longOf(c: Any): Long = c match {
+    case i: java.lang.Integer => i.toLong
+    case l: java.lang.Long => l
+    case i: Int => i.toLong
+    case l: Long => l
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val off = longOf(b)
+    val sub = longOf(c).toInt
+    if (off < 0 || sub < 0) return null
+    val n = xs.numElements()
+    val acc = new Array[Double](sub)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val s = xs.getStruct(i, 2)
+      if (s.isNullAt(1)) return null
+      val v = s.getArray(1)
+      if (off + sub > v.numElements()) return null
+      var d = 0
+      while (d < sub) {
+        val vi = (off + d).toInt
+        if (v.isNullAt(vi)) return null
+        acc(d) += (if (vecIsFloat) v.getFloat(vi).toDouble
+          else v.getDouble(vi))
+        d += 1
+      }
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(acc)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d")
+      val vi = ctx.freshName("vi")
+      val off = ctx.freshName("off")
+      val sub = ctx.freshName("sub")
+      val acc = ctx.freshName("acc")
+      val st = ctx.freshName("st")
+      val v = ctx.freshName("v")
+      val get =
+        if (vecIsFloat) s"(double) $v.getFloat($vi)" else s"$v.getDouble($vi)"
+      s"""
+         |long $off = (long) $b;
+         |int $sub = (int) $c;
+         |if ($off < 0 || $sub < 0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  int $n = $a.numElements();
+         |  double[] $acc = new double[$sub];
+         |  for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
+         |    if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    InternalRow $st = $a.getStruct($i, 2);
+         |    if ($st.isNullAt(1)) { ${ev.isNull} = true; break; }
+         |    ArrayData $v = $st.getArray(1);
+         |    if ($off + $sub > $v.numElements()) { ${ev.isNull} = true; break; }
+         |    for (int $d = 0; $d < $sub; $d++) {
+         |      int $vi = (int) $off + $d;
+         |      if ($v.isNullAt($vi)) { ${ev.isNull} = true; break; }
+         |      $acc[$d] += $get;
+         |    }
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} =
+         |      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData($acc);
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newFirst: Expression,
+      newSecond: Expression, newThird: Expression): OrderedVecSumSlice =
+    copy(ms = newFirst, lo = newSecond, sub = newThird)
+}
+
+/** `ordered_sum_field(ds) → double` — the scalar sibling of
+  * [[OrderedVecSumSlice]]: the left-to-right sum of struct field 1
+  * (double) over an already-ordered `array<struct<_, double>>` — the
+  * level-1 bucket partial and level-2 bucket-partials fold of sumFold2.
+  * Replaces the interpreted `aggregate(ds, 0D, (a, t) -> a + t.v)`
+  * with the identical accumulation sequence (spec-pinned); a null
+  * element or null field → NULL, the fold's acc + NULL.
+  */
+case class OrderedSumField(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StructType(fields), _)
+        if fields.length == 2 && fields(1).dataType == DoubleType =>
+      TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ordered_sum_field requires array<struct<_, double>>, got $t")
+  }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "ordered_sum_field"
+
+  override protected def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val s = xs.getStruct(i, 2)
+      if (s.isNullAt(1)) return null
+      acc += s.getDouble(1)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |  InternalRow $s = $a.getStruct($i, 2);
+         |  if ($s.isNullAt(1)) { ${ev.isNull} = true; break; }
+         |  $acc += $s.getDouble(1);
+         |}
+         |if (!${ev.isNull}) { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): OrderedSumField = copy(child = newChild)
+}
+
 object VectorFunctions {
+
+  private[functions] val vecSumSliceFid = FunctionIdentifier("vec_sum_slice")
+  private[functions] val vecSumSliceInfo =
+    new ExpressionInfo(classOf[OrderedVecSumSlice].getName, "vec_sum_slice")
+  private[functions] val vecSumSliceBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 3, "vec_sum_slice takes exactly 3 arguments")
+    OrderedVecSumSlice(exprs.head, exprs(1), exprs(2)): Expression
+  }
+
+  private[functions] val orderedSumFid = FunctionIdentifier("ordered_sum_field")
+  private[functions] val orderedSumInfo =
+    new ExpressionInfo(classOf[OrderedSumField].getName, "ordered_sum_field")
+  private[functions] val orderedSumBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 1, "ordered_sum_field takes exactly 1 argument")
+    OrderedSumField(exprs.head): Expression
+  }
+
 
   private[functions] val hadamardFid = FunctionIdentifier("hadamard64")
   private[functions] val hadamardInfo =
@@ -752,6 +961,14 @@ object VectorFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(moments5Fid)) {
       spark.sessionState.functionRegistry.registerFunction(
         moments5Fid, moments5Info, moments5Builder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(vecSumSliceFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        vecSumSliceFid, vecSumSliceInfo, vecSumSliceBuilder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(orderedSumFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        orderedSumFid, orderedSumInfo, orderedSumBuilder)
     }
   }
 }

@@ -601,9 +601,11 @@ object Similarity {
         min("vec_id").as("_mn"), max("vec_id").as("_mx"),
         sort_array(collect_list(struct(col("vec_id"), col(vecCol))))
           .as("_ms"))
-      .withColumn("_ps", expr(
-        s"""transform(sequence(0, ${sub - 1}), d ->
-              aggregate(_ms, 0D, (acc, m) -> acc + CAST(m.$vecCol[d + ($lo)] AS DOUBLE)))"""))
+      // both levels run the codegen'd ordered fold (r16-opt; the
+      // interpreted transform/aggregate lambda twins are spec-pinned
+      // bit-identical — sub × |bucket| boxed steps per bucket was the
+      // dominant cost of every train round at sf0.1)
+      .withColumn("_ps", expr(s"vec_sum_slice(_ms, $lo, $sub)"))
       .drop("_ms")
       .groupBy(keys.map(col): _*)
       .agg(sum("_nb").as("n"),
@@ -611,8 +613,7 @@ object Similarity {
         sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
           .as("_parts"))
       .withColumn("centroid", expr(
-        s"""transform(sequence(0, ${sub - 1}), d ->
-              aggregate(_parts, 0D, (acc, p) -> acc + p._ps[d]) / n)"""))
+        s"transform(vec_sum_slice(_parts, 0, $sub), t -> t / n)"))
       .drop("_parts")
 
   /** Two-level deterministic SUM fold over a scalar column: per
@@ -629,13 +630,15 @@ object Similarity {
       .agg(count(lit(1)).as("_nb"), max(col(valCol)).as("_mxv"),
         sort_array(collect_list(struct(col(idCol), col(valCol))))
           .as("_ds"))
-      .withColumn("_ps", expr(s"aggregate(_ds, 0D, (a, t) -> a + t.$valCol)"))
+      // codegen'd ordered folds at both levels (r16-opt; bit-identical
+      // to the interpreted aggregate lambdas, VectorExpressionsSpec)
+      .withColumn("_ps", expr("ordered_sum_field(_ds)"))
       .drop("_ds")
       .groupBy(keys.map(col): _*)
       .agg(sum("_nb").as("n"), max("_mxv").as("vmax"),
         sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
           .as("_parts"))
-      .withColumn(out, expr("aggregate(_parts, 0D, (a, p) -> a + p._ps)"))
+      .withColumn(out, expr("ordered_sum_field(_parts)"))
       .drop("_parts")
 
   /** Per-cell inertia of an assignment against FINAL centroids — the

@@ -273,6 +273,77 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(out.getLong(2) == 0L) // all counters negative -> no bits set
   }
 
+  test("vec_sum_slice equals the interpreted two-level-fold inner loop bit-for-bit") {
+    VectorFunctions.ensureRegistered(spark)
+    // the exact meanFold2 level-1 shape: vec_id-ordered buckets of
+    // (vec_id, embedding) structs, summed per dimension slice — float
+    // vectors, plus the sliced-offset case (the pqWarmBooks s * subDims)
+    val emb = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("_bkt", expr("vec_id div 7"))
+      .groupBy("_bkt")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("_ms"))
+    for (lo <- Seq(0, 16, 48); sub <- Seq(16, 8)) {
+      val both = emb.select(
+        expr(s"vec_sum_slice(_ms, $lo, $sub)").as("fast"),
+        expr(
+          s"""transform(sequence(0, ${sub - 1}), d ->
+                aggregate(_ms, 0D, (acc, m) -> acc + CAST(m.embedding[d + ($lo)] AS DOUBLE)))""")
+          .as("fold")).collect()
+      assert(both.nonEmpty)
+      assert(both.forall(r =>
+        r.getSeq[Double](0) == r.getSeq[Double](1)),
+        s"vec_sum_slice($lo, $sub) drifted from the interpreted fold")
+    }
+    // the level-2 shape: double-array partials
+    val l2 = emb
+      .withColumn("_ps", expr("vec_sum_slice(_ms, 0, 64)"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
+        .as("_parts"))
+    val both2 = l2.select(
+      expr("vec_sum_slice(_parts, 0, 64)").as("fast"),
+      expr(
+        """transform(sequence(0, 63), d ->
+             aggregate(_parts, 0D, (acc, p) -> acc + p._ps[d]))""").as("fold"))
+      .collect()
+    assert(both2.forall(r => r.getSeq[Double](0) == r.getSeq[Double](1)))
+    // null semantics: null array → null, null vec cell → null,
+    // out-of-range slice → null (the float_l2_sub deviation: the ANSI
+    // fold would throw)
+    val nulls = spark.sql(
+      """SELECT vec_sum_slice(CAST(NULL AS ARRAY<STRUCT<a: BIGINT, v: ARRAY<FLOAT>>>), 0, 2) AS a,
+        |       vec_sum_slice(array(named_struct('a', 1L, 'v', array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)))), 0, 2) AS b,
+        |       vec_sum_slice(array(named_struct('a', 1L, 'v', array(CAST(1.0 AS FLOAT)))), 0, 2) AS c
+        |""".stripMargin).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1) && nulls.isNullAt(2))
+  }
+
+  test("ordered_sum_field equals the interpreted scalar fold bit-for-bit") {
+    VectorFunctions.ensureRegistered(spark)
+    val ds = Tables(spark, "/root/testdata/sf0.01", "embeddings")
+      .select(col("vec_id"),
+        expr("CAST(vec_id AS DOUBLE) / 3.0 + float_dot(embedding, embedding)")
+          .as("d"))
+      .withColumn("_bkt", expr("vec_id div 11"))
+      .groupBy("_bkt")
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("d"))))
+        .as("_ds"))
+    val both = ds.select(
+      expr("ordered_sum_field(_ds)").as("fast"),
+      expr("aggregate(_ds, 0D, (a, t) -> a + t.d)").as("fold")).collect()
+    assert(both.nonEmpty)
+    assert(both.forall(r => r.getDouble(0) == r.getDouble(1)))
+    val nulls = spark.sql(
+      """SELECT ordered_sum_field(CAST(NULL AS ARRAY<STRUCT<a: BIGINT, v: DOUBLE>>)) AS a,
+        |       ordered_sum_field(array(named_struct('a', 1L, 'v', CAST(NULL AS DOUBLE)))) AS b,
+        |       ordered_sum_field(CAST(array() AS ARRAY<STRUCT<a: BIGINT, v: DOUBLE>>)) AS c
+        |""".stripMargin).collect().head
+    assert(nulls.isNullAt(0) && nulls.isNullAt(1))
+    assert(nulls.getDouble(2) == 0.0)
+  }
+
   test("every custom function resolves after idempotent registration") {
     // The production paths: lazy per-session registration (exercised
     // here, twice — must be idempotent) or GraftExtensions at session
