@@ -4843,15 +4843,25 @@ object SparkEntry {
   private def modelQualitySql: String = {
     val d = Text.mqBuckets
     val rounds = Text.mqRounds
+    // the mean-score fold is the TWO-LEVEL bucketed form mirroring the
+    // Spark side's inline fold (r16-opt: the retired single
+    // list(score ORDER BY doc_id) fold buffered a whole per-(lang,
+    // source) corpus slice — the unbounded ordered-fold class); the
+    // pass/doc counters ride the same two aggregations
     s"""WITH $mqCtes,
        |sc AS (
        |  SELECT f.doc_id, f.lang, f.source,
        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) AS score
        |  FROM fx f, tw$rounds)
-       |SELECT lang, source, count(*) AS n_docs,
-       |  CAST(sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
-       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY doc_id)), (a, b2) -> a + b2) / CAST(count(*) AS DOUBLE) AS mean_score
-       |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+       |SELECT lang, source, CAST(sum(n_b) AS BIGINT) AS n_docs,
+       |  CAST(sum(np) AS BIGINT) AS n_pass,
+       |  list_reduce(list_prepend(CAST(0 AS DOUBLE), list(ps ORDER BY bkt)), (x, y) -> x + y) / CAST(sum(n_b) AS DOUBLE) AS mean_score
+       |FROM (
+       |  SELECT lang, source, ${foldBktSql("doc_id")} AS bkt, count(*) AS n_b,
+       |    sum(CASE WHEN score > 0.5 THEN 1 ELSE 0 END) AS np,
+       |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list(score ORDER BY doc_id)), (x, y) -> x + y) AS ps
+       |  FROM sc GROUP BY 1, 2, 3)
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
   /** DuckDB twin of [[graft.queries.Text.txModelQualityEval]]: the same

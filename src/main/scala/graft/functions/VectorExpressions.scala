@@ -80,6 +80,72 @@ case class FloatVectorDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Double sibling of [[FloatVectorDot]] for trained-weight vectors:
+  * `double_dot(array<double>, array<double>) → double`, replacing the
+  * interpreted `aggregate(sequence(0, d-1), 0D, (acc, j) ->
+  * acc + wv[j] * x[j])` linear-scorer fold (per-ROW over the corpus in
+  * the quality-model family — CodegenFallback). Identical left-to-right
+  * accumulation, so scores and every oracle hash downstream are
+  * unchanged (VectorExpressionsSpec pins it). Length mismatch or null
+  * element yields NULL where the ANSI fold would throw on the
+  * out-of-range index — the float_l2_sub deviation; callers feed
+  * equal-length weight/feature arrays.
+  */
+case class DoubleVectorDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"double_dot requires two array<double> arguments, got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override def nullable: Boolean = true
+  override def prettyName: String = "double_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (y.numElements() != n) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DoubleVectorDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Integer sibling of [[FloatVectorDot]] for quantized vectors:
   * `long_dot(array<bigint>, array<bigint>) → bigint`, a tight codegen'd
   * multiply-accumulate replacing the interpreted `aggregate(zip_with(…))`
@@ -852,6 +918,14 @@ object VectorFunctions {
     OrderedVecSumSlice(exprs.head, exprs(1), exprs(2)): Expression
   }
 
+  private[functions] val doubleDotFid = FunctionIdentifier("double_dot")
+  private[functions] val doubleDotInfo =
+    new ExpressionInfo(classOf[DoubleVectorDot].getName, "double_dot")
+  private[functions] val doubleDotBuilder = (exprs: Seq[Expression]) => {
+    require(exprs.length == 2, "double_dot takes exactly 2 arguments")
+    DoubleVectorDot(exprs.head, exprs(1)): Expression
+  }
+
   private[functions] val orderedSumFid = FunctionIdentifier("ordered_sum_field")
   private[functions] val orderedSumInfo =
     new ExpressionInfo(classOf[OrderedSumField].getName, "ordered_sum_field")
@@ -969,6 +1043,10 @@ object VectorFunctions {
     if (!spark.sessionState.functionRegistry.functionExists(orderedSumFid)) {
       spark.sessionState.functionRegistry.registerFunction(
         orderedSumFid, orderedSumInfo, orderedSumBuilder)
+    }
+    if (!spark.sessionState.functionRegistry.functionExists(doubleDotFid)) {
+      spark.sessionState.functionRegistry.registerFunction(
+        doubleDotFid, doubleDotInfo, doubleDotBuilder)
     }
   }
 }

@@ -5310,6 +5310,7 @@ object Text {
     */
   private[graft] def mqFeatures(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.TextFunctions.ensureRegistered(spark)
+    graft.functions.VectorFunctions.ensureRegistered(spark) // double_dot
     graft.Caches.scoped("tx_model_quality.feat",
       mqFeaturize(Tables.spread(docs(spark, dir))))
   }
@@ -5352,7 +5353,7 @@ object Text {
       val scored = train
         .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
         .withColumn("err", expr(
-          s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j]) - y"))
+          "double_dot(wv, x) - y"))
       w = scored
         .agg(sort_array(collect_list(struct(col("doc_id"), col("err"),
             col("x")))).as("ds"),
@@ -5368,22 +5369,42 @@ object Text {
   }
 
   /** Score the corpus against whatever weights the `graft_mq_w` view
-    * holds and report the per-(lang, source) gate audit.
+    * holds and report the per-(lang, source) gate audit. The mean-score
+    * fold is the TWO-LEVEL bucketed form (r16-opt): the retired shape
+    * collected the ENTIRE per-(lang, source) corpus slice into one
+    * sort_array(collect_list) buffer — the unbounded ordered-fold
+    * scale-killer the r15 verdict retired from the train family, missed
+    * here on the scoring side. sumFold2 bounds every buffer at the
+    * fold-bucket width; the DuckDB oracle mirrors via twoLevelSumSql
+    * (one geometry, both engines — the CLAUDE.md bounded-fold rule).
     */
   private def mqScoreReport(spark: SparkSession, dir: String): DataFrame = {
-    val d = mqBuckets
+    graft.functions.VectorFunctions.ensureRegistered(spark)
+    // inline two-level (not sumFold2 + a pass-rollup join): the pass and
+    // doc counters ride the SAME two aggregations as the bucketed mean
+    // partials, so the bounded fold costs exactly one extra exchange
+    // over the retired single-agg shape (a sumFold2 ⋈ rollup form
+    // measured +1.6 s at sf0.1 from the third aggregation + join)
     mqFeatures(spark, dir)
       .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
       .withColumn("score", expr(
-        s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
-      .groupBy("lang", "source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("score") > 0.5d, 1L).otherwise(0L)).as("n_pass"),
+        "double_dot(wv, x)"))
+      .withColumn("_bkt",
+        expr(s"((doc_id + ${graft.queries.Similarity.foldOff}L) div ${graft.queries.Similarity.foldW})"))
+      .groupBy("lang", "source", "_bkt")
+      .agg(count(lit(1)).as("_nb"),
+        sum(when(col("score") > 0.5d, 1L).otherwise(0L)).as("_np"),
         sort_array(collect_list(struct(col("doc_id"), col("score"))))
-          .as("ss"))
-      .withColumn("mean_score", expr(
-        "aggregate(ss, 0D, (acc, t) -> acc + t.score) / CAST(n_docs AS DOUBLE)"))
-      .drop("ss")
+          .as("_ds"))
+      .withColumn("_ps", expr("ordered_sum_field(_ds)"))
+      .drop("_ds")
+      .groupBy("lang", "source")
+      .agg(sum("_nb").as("n_docs"), sum("_np").as("n_pass"),
+        sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
+          .as("_parts"))
+      .withColumn("mean_score",
+        expr("ordered_sum_field(_parts)") / col("n_docs").cast("double"))
+      .drop("_parts")
       .orderBy("lang", "source")
   }
 
@@ -5458,7 +5479,7 @@ object Text {
       .filter(pmod(col("doc_id"), lit(mqTrainMod)) =!= 0)
       .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
       .withColumn("score", expr(
-        s"aggregate(sequence(0, ${d - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
+        "double_dot(wv, x)"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_eval"),
         sum(when(col("score") > 0.5d && col("y") === 1.0d, 1L).otherwise(0L))

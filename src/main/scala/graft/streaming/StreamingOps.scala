@@ -520,10 +520,11 @@ object StreamingOps {
     * score, pass); batch/stream equality is StreamingSpec-pinned.
     */
   def qualityScoredDocs(docsStream: DataFrame, weights: Seq[Double]): DataFrame = {
+    graft.functions.VectorFunctions.ensureRegistered(docsStream.sparkSession)
     val scored = graft.queries.Text.mqFeaturize(docsStream)
       .withColumn("wv", array(weights.map(lit(_)): _*))
       .withColumn("score", expr(
-        s"aggregate(sequence(0, ${weights.size - 1}), 0D, (acc, j) -> acc + wv[j] * x[j])"))
+        "double_dot(wv, x)")) // codegen'd, bit-identical to the fold (r16-opt)
     scored.select(col("doc_id"), col("lang"), col("source"), col("score"),
       (col("score") > 0.5d).as("pass"))
   }
