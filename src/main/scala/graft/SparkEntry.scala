@@ -5377,19 +5377,36 @@ object SparkEntry {
          |      WHERE len(toks) >= 1))),
          |tr AS (SELECT * FROM fx WHERE doc_id % ${Text.mqTrainMod} = 0),
          |tw0 AS (SELECT list_transform(range(0, $d), j -> CAST(0 AS DOUBLE)) AS w)""".stripMargin
+    // the gradient is the two-level bucketed vector fold mirroring the
+    // Spark side (r16-opt): per-bucket doc_id-ordered partial sums of
+    // g[j] = (2·err)·x[j], then a bucket-ordered fold of the partials —
+    // the retired a$r collected the whole train slice into one list
     val steps = (1 to rounds).map { r =>
       s"""e$r AS (
          |  SELECT t.doc_id, t.x,
          |    list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, ${d + 1}), j -> w[j] * x[j])), (a, b2) -> a + b2) - y AS err
          |  FROM tr t, tw${r - 1}),
          |a$r AS (
-         |  SELECT list(struct_pack(doc_id := doc_id, err := err, x := x) ORDER BY doc_id) AS ds,
-         |    count(*) AS n
-         |  FROM e$r),
+         |  SELECT bkt, n_b,
+         |    list_transform(range(1, ${d + 1}), j ->
+         |      list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ms, g -> g[j])), (a, b2) -> a + b2)) AS ps
+         |  FROM (
+         |    SELECT bkt, count(*) AS n_b, list(g ORDER BY doc_id) AS ms
+         |    FROM (
+         |      SELECT doc_id, ${foldBktSql("doc_id")} AS bkt,
+         |        list_transform(x, xv -> CAST(2 AS DOUBLE) * err * xv) AS g
+         |      FROM e$r)
+         |    GROUP BY bkt)),
          |tw$r AS (
          |  SELECT list_transform(range(1, ${d + 1}), j ->
-         |    w[j] - CAST(${Text.mqLr} AS DOUBLE) * list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(ds, t -> CAST(2 AS DOUBLE) * t.err * t.x[j])), (a, b2) -> a + b2) / CAST(n AS DOUBLE)) AS w
-         |  FROM a$r, tw${r - 1})""".stripMargin
+         |    w[j] - CAST(${Text.mqLr} AS DOUBLE) * grad[j] / CAST(n AS DOUBLE)) AS w
+         |  FROM (
+         |    SELECT n,
+         |      list_transform(range(1, ${d + 1}), j ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(parts, p -> p[j])), (a, b2) -> a + b2)) AS grad
+         |    FROM (
+         |      SELECT CAST(sum(n_b) AS BIGINT) AS n, list(ps ORDER BY bkt) AS parts
+         |      FROM a$r)), tw${r - 1})""".stripMargin
     }
     s"""$prefix,
        |${steps.mkString(",\n")}""".stripMargin

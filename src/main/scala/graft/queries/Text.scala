@@ -5348,20 +5348,41 @@ object Text {
       .filter(pmod(col("doc_id"), lit(mqTrainMod)) === 0)
     var w = spark.range(1)
       .select(expr(s"array_repeat(0D, $d)").as("w")).localCheckpoint(false)
+    // the gradient is the TWO-LEVEL bucketed vector fold (r16-opt): the
+    // retired shape collected the WHOLE train slice (with its 32-dim
+    // feature arrays) into one sort_array(collect_list) buffer per
+    // round — the last unbounded ordered fold in the suite. Per-row
+    // g[j] = (2·err)·x[j] keeps the product order of the retired
+    // `2D * t.err * t.x[j]`; per-dimension partial sums run doc_id-
+    // ordered inside each foldW-wide bucket (codegen'd vec_sum_slice),
+    // then bucket-ordered across partials — the meanFold2 geometry,
+    // mirrored in the oracle's mqCtes.
     for (_ <- 1 to rounds) {
       w.createOrReplaceTempView("graft_mq_w")
       val scored = train
         .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
         .withColumn("err", expr(
           "double_dot(wv, x) - y"))
+        .withColumn("g", expr("transform(x, xv -> 2D * err * xv)"))
+        .withColumn("_bkt", expr(
+          s"((doc_id + ${graft.queries.Similarity.foldOff}L) div ${graft.queries.Similarity.foldW})"))
       w = scored
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("err"),
-            col("x")))).as("ds"),
-          count(lit(1)).as("n"), first(col("wv")).as("wv"))
+        .groupBy("_bkt")
+        .agg(count(lit(1)).as("_nb"),
+          sort_array(collect_list(struct(col("doc_id"), col("g"))))
+            .as("_ms"),
+          first(col("wv")).as("wv"))
+        .withColumn("_ps", expr(s"vec_sum_slice(_ms, 0, $d)"))
+        .drop("_ms")
+        .groupBy()
+        .agg(sum("_nb").as("n"), first(col("wv")).as("wv"),
+          sort_array(collect_list(struct(col("_bkt"), col("_ps"))))
+            .as("_parts"))
+        .withColumn("grad", expr(s"vec_sum_slice(_parts, 0, $d)"))
         .select(expr(
           s"""transform(sequence(0, ${d - 1}), j ->
-                wv[j] - CAST($mqLr AS DOUBLE) * aggregate(ds, 0D, (acc, t) -> acc + 2D * t.err * t.x[j])
-                  / CAST(n AS DOUBLE))""").as("w"))
+                wv[j] - CAST($mqLr AS DOUBLE) * grad[j] / CAST(n AS DOUBLE))""")
+          .as("w"))
         .localCheckpoint(false)
       w.count() // materialize: one 1-row job per round, lineage truncated
     }
