@@ -6265,10 +6265,16 @@ object Text {
     val logBase = ensureVersionLog(spark, dir)
     val events = spark.read.parquet(s"$logBase/events")
     val snap = docs(spark, dir).select(col("doc_id"), col("text"))
-    val bb = branchBatch(snap)
+    // bb feeds three consumers (branch head, conflict keys, surviving
+    // rows) and mainHead two (its own audit + the merge) — scoped
+    // caches bound the snapshot projection and the merge-on-read
+    // max_by pass to ONE execution each (r16-opt, guide §1.2 step 1;
+    // uncached, the union-of-audits plan re-ran both per leg)
+    val bb = graft.Caches.scoped("branch_merge.bb", branchBatch(snap))
     val branchHead = applyBatch(
       stateAt(events.filter(col("ver") <= brForkVer), brForkVer), bb)
-    val mainHead = stateAt(events, ttVersions)
+    val mainHead = graft.Caches.scoped("branch_merge.main",
+      stateAt(events, ttVersions))
     val mainPostKeys = events.filter(col("ver") > brForkVer)
       .select("k").distinct()
     val conflictKeys = bb.select("k").distinct()
