@@ -1414,8 +1414,14 @@ object Text {
       col("lang"))
     val tb = all.select(col("doc_id").as("doc_b"), col("text").as("text_b"))
     cands.join(ta, "doc_a").join(tb, "doc_b")
-      .withColumn("dist", levenshtein(col("text_a"), col("text_b")))
-      .filter(col("dist") <= edMaxDist)
+      // thresholded verification (r17-opt, guide §4.1 per-task work):
+      // the 3-arg levenshtein runs the banded O(len·k) DP and returns
+      // -1 above the bound, so `>= 0` keeps exactly the rows the
+      // unbounded O(len²) form kept, with identical distances
+      // (EditDistanceSpec pins value equality on planted pairs).
+      .withColumn("dist",
+        levenshtein(col("text_a"), col("text_b"), edMaxDist))
+      .filter(col("dist") >= 0)
       .select(col("lang"), col("doc_a"), col("doc_b"),
         col("dist").cast("long").as("dist"))
       .orderBy("doc_a", "doc_b")
@@ -5291,14 +5297,13 @@ object Text {
     * collect_list in the gradient is the kmeans-members discipline over
     * a sample, never the corpus); the corpus-wide work is one
     * tokenize+hash projection and one partial-aggregated groupBy; the
-    * weights attach via an uncorrelated scalar subquery (the simSqInt8
-    * pattern — no constant-key join, no BNLJ).
+    * weights attach as a collected D-double literal (the streaming
+    * scorer's convention — no constant-key join, no BNLJ, no
+    * re-pointed view; r17-opt).
     */
   def txModelQuality(spark: SparkSession, dir: String,
-      rounds: Int = mqRounds): DataFrame = {
-    mqTrainWeights(spark, dir, rounds).createOrReplaceTempView("graft_mq_w")
-    mqScoreReport(spark, dir)
-  }
+      rounds: Int = mqRounds): DataFrame =
+    mqScoreReport(spark, dir, mqTrainWeightsVec(spark, dir, rounds))
 
   /** Per-doc hashed feature vectors + labels — a PURE PROJECTION:
     * hashed_bucket_counts folds hash + histogram into one codegen'd
@@ -5339,15 +5344,32 @@ object Text {
 
   /** The full-batch gradient training loop — returns the 1-row weights
     * frame after `rounds` rounds (see [[txModelQuality]] for the
-    * numerics).
+    * numerics); [[mqTrainWeightsVec]] is the collected form the scoring
+    * callers attach as a literal.
     */
   private[graft] def mqTrainWeights(spark: SparkSession, dir: String,
-      rounds: Int = mqRounds): DataFrame = {
+      rounds: Int = mqRounds): DataFrame =
+    spark.range(1).select(
+      array(mqTrainWeightsVec(spark, dir, rounds).map(lit(_)): _*).as("w"))
+
+  /** The gradient loop's driver-side core: D doubles of bounded model
+    * state per round (the probe-collect discipline). The weights attach
+    * to each round's plan as a COLLECTED LITERAL array — never a
+    * re-pointed temp view read through a scalar subquery, the exact
+    * construct the CLAUDE.md r16 rule retired (a lazy frame capturing a
+    * mutable view binds execution-order-dependently); the streaming
+    * scorer twin ([[graft.streaming.StreamingOps.qualityScoredDocs]])
+    * already attached weights this way, so batch and stream now share
+    * the one convention (r17-opt). A malformed feature row now fails
+    * LOUDLY at the round collect (NULL weight element → NPE) instead of
+    * silently NULL-ing the model — the ADVICE r16 item 1 consequence.
+    */
+  private[graft] def mqTrainWeightsVec(spark: SparkSession, dir: String,
+      rounds: Int = mqRounds): Seq[Double] = {
     val d = mqBuckets
     val train = mqFeatures(spark, dir)
       .filter(pmod(col("doc_id"), lit(mqTrainMod)) === 0)
-    var w = spark.range(1)
-      .select(expr(s"array_repeat(0D, $d)").as("w")).localCheckpoint(false)
+    var wv: Seq[Double] = Seq.fill(d)(0.0d)
     // the gradient is the TWO-LEVEL bucketed vector fold (r16-opt): the
     // retired shape collected the WHOLE train slice (with its 32-dim
     // feature arrays) into one sort_array(collect_list) buffer per
@@ -5356,17 +5378,19 @@ object Text {
     // `2D * t.err * t.x[j]`; per-dimension partial sums run doc_id-
     // ordered inside each foldW-wide bucket (codegen'd vec_sum_slice),
     // then bucket-ordered across partials — the meanFold2 geometry,
-    // mirrored in the oracle's mqCtes.
+    // mirrored in the oracle's mqCtes. The weight update stays IN-PLAN
+    // (the final transform) so the IEEE op sequence is unchanged; the
+    // collect replaces the retired per-round localCheckpoint+count (one
+    // 1-row job per round either way, no lineage to truncate).
     for (_ <- 1 to rounds) {
-      w.createOrReplaceTempView("graft_mq_w")
       val scored = train
-        .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+        .withColumn("wv", array(wv.map(lit(_)): _*))
         .withColumn("err", expr(
           "double_dot(wv, x) - y"))
         .withColumn("g", expr("transform(x, xv -> 2D * err * xv)"))
         .withColumn("_bkt", expr(
           s"((doc_id + ${graft.queries.Similarity.foldOff}L) div ${graft.queries.Similarity.foldW})"))
-      w = scored
+      wv = scored
         .groupBy("_bkt")
         .agg(count(lit(1)).as("_nb"),
           sort_array(collect_list(struct(col("doc_id"), col("g"))))
@@ -5383,14 +5407,14 @@ object Text {
           s"""transform(sequence(0, ${d - 1}), j ->
                 wv[j] - CAST($mqLr AS DOUBLE) * grad[j] / CAST(n AS DOUBLE))""")
           .as("w"))
-        .localCheckpoint(false)
-      w.count() // materialize: one 1-row job per round, lineage truncated
+        .collect()(0).getSeq[Double](0)
     }
-    w
+    wv
   }
 
-  /** Score the corpus against whatever weights the `graft_mq_w` view
-    * holds and report the per-(lang, source) gate audit. The mean-score
+  /** Score the corpus against the given weight vector (attached as a
+    * collected literal — the [[mqTrainWeightsVec]] convention) and
+    * report the per-(lang, source) gate audit. The mean-score
     * fold is the TWO-LEVEL bucketed form (r16-opt): the retired shape
     * collected the ENTIRE per-(lang, source) corpus slice into one
     * sort_array(collect_list) buffer — the unbounded ordered-fold
@@ -5399,7 +5423,8 @@ object Text {
     * fold-bucket width; the DuckDB oracle mirrors via twoLevelSumSql
     * (one geometry, both engines — the CLAUDE.md bounded-fold rule).
     */
-  private def mqScoreReport(spark: SparkSession, dir: String): DataFrame = {
+  private def mqScoreReport(spark: SparkSession, dir: String,
+      weights: Seq[Double]): DataFrame = {
     graft.functions.VectorFunctions.ensureRegistered(spark)
     // inline two-level (not sumFold2 + a pass-rollup join): the pass and
     // doc counters ride the SAME two aggregations as the bucketed mean
@@ -5407,7 +5432,7 @@ object Text {
     // over the retired single-agg shape (a sumFold2 ⋈ rollup form
     // measured +1.6 s at sf0.1 from the third aggregation + join)
     mqFeatures(spark, dir)
-      .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+      .withColumn("wv", array(weights.map(lit(_)): _*))
       .withColumn("score", expr(
         "double_dot(wv, x)"))
       .withColumn("_bkt",
@@ -5469,11 +5494,16 @@ object Text {
     * and makes one narrow pass over the corpus. The steady-state twin
     * every sim_*_indexed form has, applied to the text family.
     */
-  def txModelQualityIndexed(spark: SparkSession, dir: String): DataFrame = {
+  def txModelQualityIndexed(spark: SparkSession, dir: String): DataFrame =
+    mqScoreReport(spark, dir, mqIndexedWeights(spark, dir))
+
+  /** The standing model's weights as the D-double literal every scoring
+    * caller attaches (bounded index-metadata read — the
+    * StreamingOps.qualityModelWeights shape, shared here).
+    */
+  private def mqIndexedWeights(spark: SparkSession, dir: String): Seq[Double] = {
     val base = ensureMqIndex(spark, dir)
-    spark.read.parquet(s"$base/weights")
-      .createOrReplaceTempView("graft_mq_w")
-    mqScoreReport(spark, dir)
+    spark.read.parquet(s"$base/weights").collect().head.getSeq[Double](0)
   }
 
   /** HELD-OUT evaluation of the standing quality model — the other half
@@ -5492,13 +5522,9 @@ object Text {
     * equals train-then-eval semantics on held-out data.
     */
   def txModelQualityEval(spark: SparkSession, dir: String): DataFrame = {
-    val base = ensureMqIndex(spark, dir)
-    spark.read.parquet(s"$base/weights")
-      .createOrReplaceTempView("graft_mq_w")
-    val d = mqBuckets
     mqFeatures(spark, dir)
       .filter(pmod(col("doc_id"), lit(mqTrainMod)) =!= 0)
-      .withColumn("wv", expr("(SELECT w FROM graft_mq_w)"))
+      .withColumn("wv", array(mqIndexedWeights(spark, dir).map(lit(_)): _*))
       .withColumn("score", expr(
         "double_dot(wv, x)"))
       .groupBy("lang")

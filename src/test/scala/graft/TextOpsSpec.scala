@@ -1923,6 +1923,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("ddEditDistance: thresholded verification ≡ unbounded levenshtein (r17-opt)") {
+    val dir = sf001
+    // the banded form's contract: exact distance at ≤ k, -1 above k
+    val s = spark.sql(
+      "SELECT levenshtein('kitten','kitten',2), levenshtein('kitten','sitten',2), " +
+        "levenshtein('kitten','sitting',2), levenshtein('kitten','sitting')")
+      .collect()(0)
+    assert(s.getInt(0) == 0 && s.getInt(1) == 1 && s.getInt(2) == -1 &&
+      s.getInt(3) == 3)
+    // every served distance equals the unbounded recompute on the texts
+    val d0 = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val typo = d0.filter(col("doc_id") % Text.edTypoMod === Text.edTypoRem)
+      .select((col("doc_id") + Text.edTypoBase).as("doc_id"),
+        concat(substring(col("text"), 1, Text.edTypoPos - 1), lit("Z"),
+          expr(s"substring(text, ${Text.edTypoPos + 1})")).as("text"))
+    val all = d0.unionByName(typo)
+    val mismatched = Text.ddEditDistance(spark, dir)
+      .join(all.select(col("doc_id").as("doc_a"), col("text").as("ta")), "doc_a")
+      .join(all.select(col("doc_id").as("doc_b"), col("text").as("tb")), "doc_b")
+      .withColumn("full", levenshtein(col("ta"), col("tb")))
+      .filter(col("full") =!= col("dist")).count()
+    assert(mismatched == 0, "thresholded distance drifted from the unbounded form")
+  }
+
   test("txKAnonymity: histograms tile the corpus; generalization measurably helps") {
     val dir = "/root/testdata/sf0.01"
     val rows = Text.txKAnonymity(spark, dir).collect()
