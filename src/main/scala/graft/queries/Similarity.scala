@@ -5629,7 +5629,7 @@ object Similarity {
         () => simPqAdcIndexed(spark, dir),
         () => simRrfFusionIndexed(spark, dir),
         () => simSqInt8Indexed(spark, dir)), maxThreads = 5)
-    Seq(
+    irMetricsPanel(qids, Seq(
       ("bm25", truth, bm25),
       ("bq", truth, bqServe),
       ("filtered", truthFilt, filtServe),
@@ -5640,9 +5640,7 @@ object Similarity {
       ("opq", truth, opqServe),
       ("pq", truth, pqServe),
       ("rrf", truth, rrfServe),
-      ("sq", truth, sqServe))
-      .map { case (name, t, res) => irMetricsOver(name, t, qids, res) }
-      .reduce(_.unionByName(_))
+      ("sq", truth, sqServe)))
       .orderBy("family")
   }
 
@@ -5676,15 +5674,13 @@ object Similarity {
         () => simOpqAdcDeleted(spark, dir),
         () => simPqAdcDeleted(spark, dir),
         () => simSqInt8Deleted(spark, dir)), maxThreads = 5)
-    Seq(
+    irMetricsPanel(qids, Seq(
       ("bq", tFlat, bqDel),
       ("graph", tGraph, graphDel),
       ("ivf", tIvf, ivfDel),
       ("opq", tFlat, opqDel),
       ("pq", tFlat, pqDel),
-      ("sq", tFlat, sqDel))
-      .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
-      .reduce(_.unionByName(_))
+      ("sq", tFlat, sqDel)))
       .orderBy("family")
   }
 
@@ -5884,12 +5880,10 @@ object Similarity {
       () => simGraphSearchCompacted(spark, dir),
       () => simHnswSearchDeleted(spark, dir),
       () => simHnswSearchUpserted(spark, dir)))
-    Seq(
+    irMetricsPanel(qids, Seq(
       ("graph_gen2", tMut, gen2),
       ("hnsw_deleted", tLive, hnswDel),
-      ("hnsw_upserted", tUps, hnswUps))
-      .map { case (n, t, r) => irMetricsOver(n, t, qids, r) }
-      .reduce(_.unionByName(_))
+      ("hnsw_upserted", tUps, hnswUps)))
       .orderBy("family")
   }
 
@@ -5916,9 +5910,11 @@ object Similarity {
     * so the full corpus is the EARLIEST version, not the latest).
     *
     * Scale shape: the serves are the standing steady twins, cut to
-    * ≤5·|Q| rows and lineage-truncated ONCE each before fanning out to
-    * the |versions| metric tails; truths are standing parquet; the
-    * drift window is over ≤|families|·|versions| rows.
+    * ≤5·|Q| rows and lineage-truncated ONCE each; the metric tail is
+    * ONE plan over every (family, version) cell (r17-opt — the version
+    * axis attaches by literal explode, truths read as one unioned
+    * standing-parquet scan, rollups group by cell); the drift window is
+    * over ≤|families|·|versions| rows.
     */
   def simIrMetricsAtVersion(spark: SparkSession, dir: String): DataFrame = {
     register(spark)
@@ -5934,16 +5930,54 @@ object Similarity {
       .map { case (n, res) =>
       // one serve execution per family (not per version): cut to the
       // bounded top-5 rows, then truncate lineage before the fan-out
-      (n, res.filter(col("rnk") <= 5)
+      res.filter(col("rnk") <= 5)
         .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"))
-        .localCheckpoint(false))
+        .localCheckpoint(false)
+        .withColumn("family", lit(n))
     }
-    val rows = (for {
-      v <- 0 to graft.queries.Text.ttVersions
-      (n, r5) <- serves
-    } yield irMetricsOver(n, spark.read.parquet(s"$tBase/atv$v"), qids, r5)
-      .withColumn("version", lit(v)))
-      .reduce(_.unionByName(_))
+    // ONE metric plan for every (family, version) cell (r17-opt): the
+    // retired shape unioned |families|·|versions| = 15 irMetricsOver
+    // legs — 15 broadcast-join + triple-aggregation subtrees in one
+    // declared plan (112 Exchange nodes, plans/r17). The serves fan out
+    // over the version axis via a literal explode (no join — the
+    // PlanSpec cartesian ban never risks firing), all five standing
+    // truth tables read in one unioned scan with a version tag, and the
+    // per-query/per-cell rollups group by (family, version) — the
+    // irMetricsOver integer arithmetic VERBATIM per cell, so every
+    // output value is unchanged (the oracle text is untouched).
+    val versions = (0 to graft.queries.Text.ttVersions).toList
+    val truthAll = versions.map { v =>
+        spark.read.parquet(s"$tBase/atv$v")
+          .select(lit(v).as("version"), col("qid"), col("vec_id"))
+      }.reduce(_ unionByName _)
+      .withColumn("hit", lit(1L))
+    val j = serves.reduce(_ unionByName _)
+      .withColumn("version", explode(typedLit(versions)))
+      .join(broadcast(truthAll), Seq("version", "qid", "vec_id"), "left")
+      .withColumn("rel", coalesce(col("hit"), lit(0L)))
+    val perQ = j.groupBy("family", "version", "qid").agg(
+      sum("rel").as("hits"),
+      min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
+      sum(col("rel") * when(col("rnk") <= 2L, 2L).otherwise(1L)).as("dcg2"))
+    val base = qids
+      .withColumn("family", explode(typedLit(Seq("bq", "ivf", "sq"))))
+      .withColumn("version", explode(typedLit(versions)))
+    val rows = base.join(broadcast(perQ), Seq("family", "version", "qid"), "left")
+      .select(col("family"), col("version"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        coalesce(col("first_rel"), lit(0L)).as("first_rel"),
+        coalesce(col("dcg2"), lit(0L)).as("dcg2"))
+      .groupBy("family", "version")
+      .agg(
+        count(lit(1)).as("n_q"),
+        sum("hits").as("hits5"),
+        expr("sum(hits) * 1000000 div (5 * count(1))").as("recall_micro"),
+        expr("sum(CASE WHEN first_rel > 0 THEN 60 div first_rel ELSE 0 END)")
+          .as("rr60_sum"),
+        expr("sum(CASE WHEN first_rel > 0 THEN 60 div first_rel ELSE 0 END) * 1000000 div (60 * count(1))")
+          .as("mrr_micro"),
+        sum("dcg2").as("dcg2_sum"),
+        expr("sum(dcg2) * 1000000 div (7 * count(1))").as("ndcg_micro"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("family").orderBy("version")
     rows
@@ -5961,24 +5995,39 @@ object Similarity {
 
   /** The one-definition metric tail of [[simIrMetrics]] — every family
     * folds through the SAME integer arithmetic, so families can never
-    * be scored by drifting formulas.
+    * be scored by drifting formulas. ONE plan for the whole panel
+    * (r17-opt): the retired per-leg form planned |families| separate
+    * broadcast-join + triple-aggregation subtrees per panel (the 11-leg
+    * base panel alone carried ~30 bounded-row exchanges of pure
+    * scheduling overhead); here the serves union under a family tag,
+    * the per-family truths union under the same tag, and the rollups
+    * group by family — the per-leg integer arithmetic VERBATIM per
+    * group, so every output value is unchanged (oracle texts untouched;
+    * the at-version panel is the same shape with a version axis).
     */
-  private def irMetricsOver(name: String, truth: DataFrame,
-      qids: DataFrame, res: DataFrame): DataFrame = {
-    val r5 = res.filter(col("rnk") <= 5)
-      .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"))
-    val j = r5.join(broadcast(truth.withColumn("hit", lit(1L))),
-        Seq("qid", "vec_id"), "left")
+  private def irMetricsPanel(qids: DataFrame,
+      legs: Seq[(String, DataFrame, DataFrame)]): DataFrame = {
+    val r5 = legs.map { case (n, _, res) =>
+      res.filter(col("rnk") <= 5)
+        .select(col("qid"), col("vec_id"), col("rnk").cast("long").as("rnk"))
+        .withColumn("family", lit(n))
+    }.reduce(_ unionByName _)
+    val truthAll = legs.map { case (n, t, _) =>
+      t.select(col("qid"), col("vec_id")).withColumn("family", lit(n))
+    }.reduce(_ unionByName _).withColumn("hit", lit(1L))
+    val j = r5.join(broadcast(truthAll), Seq("family", "qid", "vec_id"), "left")
       .withColumn("rel", coalesce(col("hit"), lit(0L)))
-    val perQ = j.groupBy("qid").agg(
+    val perQ = j.groupBy("family", "qid").agg(
       sum("rel").as("hits"),
       min(when(col("rel") === 1L, col("rnk"))).as("first_rel"),
       sum(col("rel") * when(col("rnk") <= 2L, 2L).otherwise(1L)).as("dcg2"))
-    qids.join(broadcast(perQ), Seq("qid"), "left")
-      .select(
+    qids.withColumn("family", explode(typedLit(legs.map(_._1).toList)))
+      .join(broadcast(perQ), Seq("family", "qid"), "left")
+      .select(col("family"),
         coalesce(col("hits"), lit(0L)).as("hits"),
         coalesce(col("first_rel"), lit(0L)).as("first_rel"),
         coalesce(col("dcg2"), lit(0L)).as("dcg2"))
+      .groupBy("family")
       .agg(
         count(lit(1)).as("n_q"),
         sum("hits").as("hits5"),
@@ -5989,7 +6038,7 @@ object Similarity {
           .as("mrr_micro"),
         sum("dcg2").as("dcg2_sum"),
         expr("sum(dcg2) * 1000000 div (7 * count(1))").as("ndcg_micro"))
-      .select(lit(name).as("family"), col("n_q"), col("hits5"),
+      .select(col("family"), col("n_q"), col("hits5"),
         col("recall_micro"), col("rr60_sum"), col("mrr_micro"),
         col("dcg2_sum"), col("ndcg_micro"))
   }
