@@ -3081,7 +3081,17 @@ object Text {
       .select(col("id"), col("component"), lit(0).as("depth"))
       .localCheckpoint(false)
     var frontier = visited.select("id", "component")
-    for (r <- 1 to rounds) {
+    // early exit on an empty frontier (r17-opt): an empty round's joins
+    // produce empty `next` forever after, so the remaining rounds add
+    // no rows and no depths — the output is provably identical, and the
+    // common case (cluster eccentricity ≪ the cap) stops paying one
+    // 3-exchange job per phantom round. The frontier count doubles as
+    // the round's checkpoint-materializing action (one job per round,
+    // as before); `visited` stays a union of ≤rounds checkpointed
+    // frames, so its plan is bounded without a per-round truncation.
+    var r = 1
+    var drained = false
+    while (r <= rounds && !drained) {
       val next = frontier
         .join(und, frontier("id") === und("id_a"))
         .select(col("id_b").as("id"), col("component"))
@@ -3090,9 +3100,12 @@ object Text {
           Seq("id"), "left_anti")
         .withColumn("depth", lit(r))
         .localCheckpoint(false)
-      visited = visited.unionByName(next).localCheckpoint(false)
-      visited.count() // materialize (one job per round)
-      frontier = next.select("id", "component")
+      if (next.count() == 0L) drained = true
+      else {
+        visited = visited.unionByName(next)
+        frontier = next.select("id", "component")
+      }
+      r += 1
     }
     val perDepth = visited.groupBy("depth")
       .agg(count(lit(1)).as("n_members"))
