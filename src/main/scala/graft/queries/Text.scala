@@ -4395,19 +4395,78 @@ object Text {
     * ≤|sources|·shards rows.
     */
   def pipelineRelease(spark: SparkSession, dir: String,
-      nShards: Int = 4): DataFrame = {
-    // checkpointed: three consumers (caps, selection, manifest) would
-    // each re-execute the survivors' decontamination anti-join (7.0 s
-    // measured) — truncation bounds the flow to ONE prepare execution
-    // per call (5.4 s at sf0.1, ≈ the prepare flow's own 2.6 s plus the
-    // selection; the pipeline_materialize price class — composition
-    // queries pay their upstream flow per call by design)
-    releaseOver(prepareCorpusSurvivors(spark, dir)
-      .select(col("doc_id"), col("source"), col("n2"), col("h2"))
-      .withColumn("sk",
-        expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
-      .localCheckpoint(false), nShards)
+      nShards: Int = 4): DataFrame =
+    // standing survivors (r17-opt, VERDICT r16 item 8): the per-call
+    // form re-ran the whole prepare flow (paragraph rewrite + dedup +
+    // decontamination anti-join) per release build; the survivor
+    // PROJECTION (doc_id, source, n2, h2, sk) is a deterministic
+    // corpus-scoped intermediate, so it stands in the warehouse behind
+    // the ensure* marker+memo contract like every index — the build
+    // rides cold first runs, a release build is then the bounded
+    // solve/select/shard tail over a point-read.
+    // ReleaseSurvivorsSpec pins standing ≡ per-call recompute row sets.
+    releaseOver(spark.read.parquet(
+      s"${ensureReleaseSurvivors(spark, dir)}/live"), nShards)
+
+  /** The versioned documents frame at release-log version `v` —
+    * [[readAtVersion]]'s state re-dressed with origin attrs (factored
+    * from [[releaseAtVersionOver]] so the standing-survivor build and
+    * the spec's replayed-state path share one text).
+    */
+  private[graft] def atVersionDocs(spark: SparkSession, dir: String,
+      state: DataFrame): DataFrame = {
+    val attrs = docs(spark, dir)
+      .select(col("doc_id").as("o_id"), col("lang"), col("source"))
+    state
+      .withColumn("o_id",
+        expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
+      .join(attrs, "o_id")
+      .select(col("k").as("doc_id"), col("lang"), col("source"),
+        col("text"))
   }
+
+  // release-survivor base path -> sfDir that built it (ensureIvfIndex memo)
+  private val relSurvFor =
+    scala.collection.concurrent.TrieMap[String, String]()
+
+  /** Build-once STANDING survivor snapshots for the release flow
+    * (VERDICT r16 item 8): the live prepare survivors plus one snapshot
+    * per release-log version, projected to exactly the columns the
+    * release tail consumes (doc_id, source, n2, h2, sk). Deterministic
+    * in the immutable corpus + append-only log, so the snapshots belong
+    * in the warehouse next to the indexes (the ensureIrTruth argument);
+    * values are EXACTLY the retired per-call recomputes
+    * (ReleaseSurvivorsSpec pins row-set equality per version), so the
+    * two release manifests' oracle hashes are untouched. Marker/memo
+    * discipline: the marker is the LAST-written snapshot's _SUCCESS,
+    * cleared with the memo BEFORE rebuilding (the ensureIvfRetrainIndex
+    * partial-failure rule).
+    */
+  def ensureReleaseSurvivors(spark: SparkSession, dir: String): String =
+    synchronized {
+      val base = graft.Layout.indexBase(spark, dir, "rel_surv")
+      val marker = new org.apache.hadoop.fs.Path(
+        s"$base/atv$ttVersions/_SUCCESS")
+      val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!(relSurvFor.get(base).contains(dir) && fs.exists(marker))) {
+        relSurvFor.remove(base)
+        fs.delete(marker, false)
+        def proj(s: DataFrame): DataFrame = s
+          .select(col("doc_id"), col("source"), col("n2"), col("h2"))
+          .withColumn("sk",
+            expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
+        proj(prepareCorpusSurvivors(spark, dir))
+          .write.mode("overwrite").parquet(s"$base/live")
+        for (v <- 0 to ttVersions) {
+          proj(prepareCorpusSurvivorsOver(spark,
+              atVersionDocs(spark, dir, readAtVersion(spark, dir, v)),
+              s".atv$v"))
+            .write.mode("overwrite").parquet(s"$base/atv$v")
+        }
+        relSurvFor(base) = dir
+      }
+      base
+    }
 
   /** VERSION-PINNED RELEASE — "re-create training set #N" (VERDICT r13
     * item 5, composing the round's two flagship machineries): build the
@@ -4433,31 +4492,30 @@ object Text {
     */
   def pipelineReleaseAtVersion(spark: SparkSession, dir: String,
       v: Int = ttVersions, nShards: Int = 4): DataFrame =
-    releaseAtVersionOver(spark, dir, readAtVersion(spark, dir, v), v,
-      nShards)
+    // standing per-version survivors (r17-opt, VERDICT r16 item 8):
+    // replay is now a point-read of the version's standing snapshot;
+    // [[releaseAtVersionOver]] stays the recompute path the equivalence
+    // spec drives (replay ≡ point-read ≡ standing snapshot).
+    releaseOver(spark.read.parquet(
+        s"${ensureReleaseSurvivors(spark, dir)}/atv$v"), nShards)
+      .withColumn("version", lit(v))
+      .orderBy("source", "shard")
 
   /** The versioned-release tail over an arbitrary (k, text) state —
     * factored so the spec can feed the SEQUENTIALLY replayed state and
-    * pin manifest equality against the point read.
+    * pin manifest equality against the point read (and, since r17, the
+    * standing-snapshot serve above).
     */
   private[graft] def releaseAtVersionOver(spark: SparkSession, dir: String,
-      state: DataFrame, v: Int, nShards: Int = 4): DataFrame = {
-    val attrs = docs(spark, dir)
-      .select(col("doc_id").as("o_id"), col("lang"), col("source"))
-    val vdocs = state
-      .withColumn("o_id",
-        expr("CASE WHEN k >= 0 THEN k ELSE (-k) div 8 END"))
-      .join(attrs, "o_id")
-      .select(col("k").as("doc_id"), col("lang"), col("source"),
-        col("text"))
-    releaseOver(prepareCorpusSurvivorsOver(spark, vdocs, s".atv$v")
+      state: DataFrame, v: Int, nShards: Int = 4): DataFrame =
+    releaseOver(prepareCorpusSurvivorsOver(spark,
+        atVersionDocs(spark, dir, state), s".atv$v")
         .select(col("doc_id"), col("source"), col("n2"), col("h2"))
         .withColumn("sk",
           expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
         .localCheckpoint(false), nShards)
       .withColumn("version", lit(v))
       .orderBy("source", "shard")
-  }
 
   /** The budget/select/shard tail over any (doc_id, source, n2, h2, sk)
     * survivors frame — factored so the planted spec can exercise the

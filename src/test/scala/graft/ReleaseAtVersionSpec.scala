@@ -35,6 +35,25 @@ class ReleaseAtVersionSpec extends SparkSpec {
     assert(head.nonEmpty && head.forall(_.last == Text.ttVersions))
   }
 
+  test("standing survivor snapshots ≡ the per-call prepare recompute, per version (r17-opt)") {
+    val base = Text.ensureReleaseSurvivors(spark, sf001)
+    def sorted(df: org.apache.spark.sql.DataFrame): Seq[Seq[Any]] =
+      df.select("doc_id", "source", "n2", "h2")
+        .orderBy("doc_id").collect().toSeq.map(_.toSeq)
+    val liveStanding = sorted(spark.read.parquet(s"$base/live"))
+    val liveRecomputed = sorted(Text.prepareCorpusSurvivors(spark, sf001))
+    assert(liveStanding == liveRecomputed,
+      "standing live survivors drifted from the per-call prepare")
+    for (v <- Seq(0, Text.ttVersions)) {
+      val standing = sorted(spark.read.parquet(s"$base/atv$v"))
+      val recomputed = sorted(Text.prepareCorpusSurvivorsOver(spark,
+        Text.atVersionDocs(spark, sf001, Text.readAtVersion(spark, sf001, v)),
+        s".atv$v"))
+      assert(standing == recomputed,
+        s"standing atv$v survivors drifted from the per-call prepare")
+    }
+  }
+
   test("the manifest reproduces bit-for-bit run-over-run from the log alone") {
     val a = rows(Text.pipelineReleaseAtVersion(spark, sf001))
     val b = rows(Text.pipelineReleaseAtVersion(spark, sf001))
