@@ -1251,12 +1251,23 @@ object Similarity {
       val rev = graph.withColumn("rrnk", row_number().over(wRev))
         .filter(col("rrnk") <= k)
         .select(col("dst").as("w"), col("src").as("x"))
+      // B(w) as ONE bounded array per vertex (r17-opt, guide §2.4): the
+      // retired form deduped the (w, x) membership rows through a
+      // distinct exchange and self-joined them on w through two more —
+      // collect_set folds dedup INTO a single groupBy(w) aggregation
+      // (buffer ≤ 2k elements: k out-neighbors + the k-capped reverse
+      // set) and the all-pairs expansion becomes two generates over the
+      // bounded array. Set semantics are unchanged — the pair SET this
+      // emits is identical (order never matters: cand.distinct() and
+      // the exact rescore are downstream), so the unrolled oracle text
+      // is untouched.
       val nbrs = graph.select(col("src").as("w"), col("dst").as("x"))
-        .unionByName(rev).distinct()
-      val pairs = nbrs.as("a")
-        .join(nbrs.as("b"),
-          col("a.w") === col("b.w") && col("a.x") =!= col("b.x"))
-        .select(col("a.x").as("src"), col("b.x").as("dst"))
+        .unionByName(rev)
+      val bset = nbrs.groupBy("w").agg(collect_set(col("x")).as("xs"))
+      val pairs = bset
+        .select(explode(col("xs")).as("src"), col("xs"))
+        .select(col("src"), explode(col("xs")).as("dst"))
+        .filter(col("src") =!= col("dst"))
       val cand = pairs.unionByName(graph.select("src", "dst")).distinct()
       graph = scoreTopK(cand, v, k).localCheckpoint(false)
       graph.count()

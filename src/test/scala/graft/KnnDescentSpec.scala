@@ -420,10 +420,14 @@ class KnnDescentSpec extends SparkSpec {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    val thresholds = Seq("spark.sql.autoBroadcastJoinThreshold",
-      "spark.sql.adaptive.autoBroadcastJoinThreshold")
-    val saved = thresholds.map(kk => kk -> spark.conf.getOption(kk))
-    thresholds.foreach(kk => spark.conf.set(kk, "-1"))
+    // ADVICE r16-3: AQE is save/restored like the thresholds, not
+    // hardcoded back to "true" — a session configured with AQE off must
+    // leave this test the way it entered
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled")
+    val saved = confs.map(kk => kk -> spark.conf.getOption(kk))
+    confs.take(2).foreach(kk => spark.conf.set(kk, "-1"))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       graft.functions.VectorFunctions.ensureRegistered(spark)
@@ -455,12 +459,57 @@ class KnnDescentSpec extends SparkSpec {
       assert(windowSubtreeExchanges.head == 3,
         s"window required a 4th exchange — src join no longer satisfies it\n$plan")
     } finally {
-      spark.conf.set("spark.sql.adaptive.enabled", "true")
       saved.foreach {
         case (kk, Some(vv)) => spark.conf.set(kk, vv)
         case (kk, None) => spark.conf.unset(kk)
       }
     }
+  }
+
+  test("descent round: B(w) membership folds through ONE exchange with a bounded buffer (r17-opt)") {
+    // the round's retired shape deduped (w, x) rows through a distinct
+    // exchange and self-joined them through two more; the collect_set
+    // form must keep exactly one shuffle on the membership rows, and its
+    // aggregation buffer is bounded by 2k by construction (k
+    // out-neighbors + the k-capped reverse set)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val k = 3
+    val graph = (0L until 40L).flatMap(s =>
+        (1 to k).map(j => (s, (s + j) % 40L, 1.0 / j, j)))
+      .toDF("src", "dst", "cosine", "rnk")
+    val wRev = org.apache.spark.sql.expressions.Window
+      .partitionBy("dst").orderBy(col("cosine").desc, col("src").asc)
+    val rev = graph.withColumn("rrnk", row_number().over(wRev))
+      .filter(col("rrnk") <= k)
+      .select(col("dst").as("w"), col("src").as("x"))
+    val nbrs = graph.select(col("src").as("w"), col("dst").as("x"))
+      .unionByName(rev)
+    val bset = nbrs.groupBy("w").agg(collect_set(col("x")).as("xs"))
+    val rows = bset.collect()
+    assert(rows.nonEmpty && rows.forall(_.getSeq[Long](1).size <= 2 * k),
+      "B(w) buffer exceeded the 2k bound")
+    val exchanges = bset.queryExecution.executedPlan.collect {
+      case e: ShuffleExchangeLike => e }
+    // one for the groupBy(w); the rev window's dst exchange serves both
+    // (w = dst on the reverse side)
+    assert(exchanges.length <= 2,
+      s"membership fold grew extra exchanges:\n${bset.queryExecution.executedPlan}")
+    // the pair SET from the array expansion equals the retired
+    // distinct+self-join form's
+    val viaArray = bset
+      .select(explode(col("xs")).as("src"), col("xs"))
+      .select(col("src"), explode(col("xs")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrsD = nbrs.distinct()
+    val viaJoin = nbrsD.as("a").join(nbrsD.as("b"),
+        col("a.w") === col("b.w") && col("a.x") =!= col("b.x"))
+      .select(col("a.x").as("src"), col("b.x").as("dst"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaArray == viaJoin, "array expansion changed the candidate pair set")
   }
 
   private def exactTopKOf(dir: String, kk: Int): Map[Long, Set[Long]] = {
