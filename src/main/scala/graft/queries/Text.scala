@@ -781,7 +781,11 @@ object Text {
     // ReusedExchange: partial-min digests vs full occurrence rows) —
     // scoped-cache so the interpreted slice/concat_ws + per-paragraph
     // md5 pass runs ONCE per call (r16-opt; the prepare-flow rule)
-    val paras = graft.Caches.scoped(s"dd_paragraph.paras.$paraTokens",
+    // the tag carries the corpus dir (ADVICE r16-2): without it,
+    // alternating dirs in one session evict each other's entries every
+    // call — sameResult keeps correctness, but the cache never helps a
+    // cross-dir workload (the corpus-scoped index-path convention)
+    val paras = graft.Caches.scoped(s"dd_paragraph.paras.$paraTokens@$dir",
       Tables.spread(docs(spark, dir))
         .withColumn("toks", split(col("text"), " "))
         .select(col("doc_id"), col("lang"),
@@ -1180,7 +1184,7 @@ object Text {
   private[graft] def prepareCorpusSurvivors(spark: SparkSession, dir: String,
       paraTokens: Int = 20, minTokens: Int = 10,
       benchmarkSource: String = "src0", width: Int = 8): DataFrame =
-    prepareCorpusSurvivorsOver(spark, docs(spark, dir), "", paraTokens,
+    prepareCorpusSurvivorsOver(spark, docs(spark, dir), s"@$dir", paraTokens,
       minTokens, benchmarkSource, width)
 
   /** [[prepareCorpusSurvivors]] over an ARBITRARY (doc_id, lang, source,
@@ -4460,7 +4464,7 @@ object Text {
         for (v <- 0 to ttVersions) {
           proj(prepareCorpusSurvivorsOver(spark,
               atVersionDocs(spark, dir, readAtVersion(spark, dir, v)),
-              s".atv$v"))
+              s".atv$v@$dir"))
             .write.mode("overwrite").parquet(s"$base/atv$v")
         }
         relSurvFor(base) = dir
@@ -4509,7 +4513,7 @@ object Text {
   private[graft] def releaseAtVersionOver(spark: SparkSession, dir: String,
       state: DataFrame, v: Int, nShards: Int = 4): DataFrame =
     releaseOver(prepareCorpusSurvivorsOver(spark,
-        atVersionDocs(spark, dir, state), s".atv$v")
+        atVersionDocs(spark, dir, state), s".atv$v@$dir")
         .select(col("doc_id"), col("source"), col("n2"), col("h2"))
         .withColumn("sk",
           expr("CAST(conv(substring(h2, 1, 15), 16, 10) AS BIGINT)"))
