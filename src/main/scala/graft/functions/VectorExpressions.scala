@@ -732,7 +732,13 @@ case class RollingMoments5(child: Expression) extends UnaryExpression {
   * double vectors). Null array/lo → NULL; a null element, null vec or
   * null cell → NULL (the fold's acc + NULL). An out-of-range slice
   * returns NULL where the ANSI fold would throw — the float_l2_sub
-  * deviation, callers always slice within dims.
+  * deviation, callers always slice within dims. CONSEQUENCE (ADVICE
+  * r16-1): in a training fold one malformed (short) feature row NULLs
+  * that bucket's partial and therefore the whole gradient/weight vector
+  * — a silent model kill downstream. The quality-model loop therefore
+  * COLLECTS its weights per round (graft.queries.Text.mqTrainWeightsVec),
+  * where a NULL element fails loudly at the driver; any new fold
+  * consumer should either collect the same way or pre-validate lengths.
   */
 case class OrderedVecSumSlice(ms: Expression, lo: Expression,
     sub: Expression) extends TernaryExpression {
